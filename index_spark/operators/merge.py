@@ -1,0 +1,103 @@
+"""Sorted merge of per-shard posting blobs into a global per-term index.
+
+The reference leaves chunks unmerged (independent immutable blobs with
+their own docID spaces, index.cpp:60-99); the north_rule requires a
+global term-partitioned index produced by sorted merge. Because build
+shards are *ranges* of the global doc_id space (build.py), the merge of
+one term's shards is concatenation + patching the boundary delta of each
+subsequent blob — no decode of the full lists:
+
+  blob_s starts with delta_0 = first_doc_s (gap from 0); after merge it
+  must be first_doc_s - last_doc_{s-1}. Only that one varbyte is
+  rewritten; skips / blocks get their posting indexes shifted.
+
+One shuffle on term; hot terms are one reducer key here, but the value
+is pre-compressed bytes (the heavy lifting happened shard-parallel), so
+the reducer does O(total_bytes) memcpy, not O(postings) scoring work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from index_spark.functions import varbyte as vb
+
+MERGED_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType(), False),
+    T.StructField("df", T.LongType(), False),
+    T.StructField("cf", T.LongType(), False),
+    T.StructField("first_doc", T.LongType(), False),
+    T.StructField("last_doc", T.LongType(), False),
+    T.StructField("doc_blob", T.BinaryType(), False),
+    T.StructField("tf_blob", T.BinaryType(), False),
+    T.StructField("skips", T.ArrayType(
+        T.StructType([
+            T.StructField("idx", T.LongType(), False),
+            T.StructField("doc", T.LongType(), False),
+        ])), False),
+    T.StructField("blocks", T.ArrayType(
+        T.StructType([
+            T.StructField("start", T.LongType(), False),
+            T.StructField("last_doc", T.LongType(), False),
+            T.StructField("ub", T.DoubleType(), False),
+        ])), False),
+    T.StructField("max_ub", T.DoubleType(), False),
+])
+
+
+def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("shard")
+    doc_parts: list[bytes] = []
+    tf_parts: list[bytes] = []
+    skips: list[tuple[int, int]] = []
+    blocks: list[tuple[int, int, float]] = []
+    prev_last = 0
+    idx_shift = 0
+    for row in pdf.itertuples(index=False):
+        blob = bytes(row.doc_blob)
+        if idx_shift == 0:
+            doc_parts.append(blob)
+        else:
+            # rewrite the first delta: absolute first_doc -> gap from the
+            # previous shard's last doc
+            _, consumed = vb.decode_prefix(blob, 1)
+            patched = vb.encode_one(int(row.first_doc) - prev_last)
+            doc_parts.append(patched + blob[consumed:])
+        tf_parts.append(bytes(row.tf_blob))
+        skips.extend((int(s["idx"]) + idx_shift, int(s["doc"])) for s in row.skips)
+        blocks.extend(
+            (int(b["start"]) + idx_shift, int(b["last_doc"]), float(b["ub"]))
+            for b in row.blocks
+        )
+        idx_shift += int(row.df)
+        prev_last = int(row.last_doc)
+    # keep only the first skip entry per power-of-two threshold: shard
+    # builds each emit local crossings; after concat the doc values are
+    # global already, so dedupe by doc-threshold keeping lowest idx
+    dedup: dict[int, tuple[int, int]] = {}
+    for idx, doc in skips:
+        key = doc.bit_length()
+        if key not in dedup or idx < dedup[key][0]:
+            dedup[key] = (idx, doc)
+    skips = sorted(dedup.values())
+    first = pdf.iloc[0]
+    return pd.DataFrame([{
+        "term": first["term"],
+        "df": int(pdf["df"].sum()),
+        "cf": int(pdf["cf"].sum()),
+        "first_doc": int(first["first_doc"]),
+        "last_doc": prev_last,
+        "doc_blob": b"".join(doc_parts),
+        "tf_blob": b"".join(tf_parts),
+        "skips": [(int(i), int(d)) for i, d in skips],
+        "blocks": blocks,
+        "max_ub": float(pdf["max_ub"].max()),
+    }])
+
+
+def merge_shards(index: DataFrame) -> DataFrame:
+    """Sharded index -> one row per term (global sorted posting list)."""
+    return index.groupBy("term").applyInPandas(_merge_term, schema=MERGED_SCHEMA)

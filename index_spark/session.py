@@ -1,0 +1,46 @@
+"""SparkSession factory used by tests, bench, and the driver harness."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    cores: int | str = "*",
+    app_name: str = "index_spark",
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+) -> SparkSession:
+    """Create (or reuse) a local SparkSession tuned for this engine.
+
+    ``cores`` maps to ``local[cores]``. Shuffle partitions default to the
+    core count (local mode has no network shuffle; 200 partitions of tiny
+    files just add scheduling overhead). On a real cluster the same code
+    runs unchanged — partitioning decisions in the operators are expressed
+    relative to ``spark.sparkContext.defaultParallelism``.
+    """
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cores == "*" else max(int(cores), 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
