@@ -1,0 +1,105 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = the engine's flagship paths (index build, WAND query set,
+MinHash dedup) + representative SQL/embedding/relational operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from index_spark.operators.build import build_index
+    from index_spark.operators.dedup import minhash_near_dup_pairs
+    from index_spark.operators.query import search
+    from index_spark.session import get_spark
+
+    spark = get_spark(cores=int(cpus), app_name="index_spark_bench",
+                      shuffle_partitions=int(cpus))
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs_df.count()
+    corpus = docs_df.select(
+        F.col("source").alias("repo"),
+        F.format_string("doc%08d", F.col("doc_id")).alias("path"),
+        F.col("text").alias("content"),
+    )
+
+    # 1. flagship: full index build (tokenize+stem, postings, blobs)
+    shard_size = 1024
+    state = {}
+
+    def _build():
+        docs, index, stats = build_index(corpus, stem=True, shard_size=shard_size)
+        docs, index = docs.persist(), index.persist()
+        docs.count(), index.count()
+        state.update(docs=docs, index=index, stats=stats)
+
+    timed("build_index", _build)
+
+    # 2. query latency: 10-query WAND set (sequential, includes planning)
+    qset = [" ".join(t) for _, t in entrymod.QUERYSET]
+
+    def _queries():
+        lat = []
+        for q in qset:
+            t0 = time.time()
+            search(state["index"], state["docs"], state["stats"], q, k=10,
+                   use_wand=True, shard_size=shard_size).collect()
+            lat.append(time.time() - t0)
+        lat.sort()
+        timings["query_p95"] = round(lat[int(0.95 * (len(lat) - 1))], 3)
+        timings["query_mean"] = round(sum(lat) / len(lat), 3)
+
+    timed("wand_query_set", _queries)
+
+    # 3. MinHash/LSH near-dup sweep
+    timed("minhash_dedup", lambda: minhash_near_dup_pairs(
+        docs_df, text_col="text", id_col="doc_id").count())
+
+    # 4-8. representative SQL operators via the entry registry
+    qs = entrymod.queries()
+    for name in ["bm25_queryset", "term_stats", "ngram_jaccard", "emb_knn",
+                 "tpch_q1", "tpch_q3", "events_hourly"]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    total = round(sum(v for k, v in timings.items()
+                      if k not in ("query_p95", "query_mean")), 3)
+    timings["build_docs_per_sec"] = round(n_docs / timings["build_index"], 1)
+    print(json.dumps({
+        "metric": "index_spark headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus),
+        "n_docs": n_docs,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

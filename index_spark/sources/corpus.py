@@ -98,7 +98,10 @@ def generate_corpus(n_files: int = 500, seed: int = SEED) -> pd.DataFrame:
         sep = rng.choice(seps, size=n_tok)
         contents.append("".join(t + s for t, s in zip(toks, sep)))
 
-    # near-duplicate injection: 2% close copies, 2% half-mutants
+    # near-duplicate injection: 2% close copies (ONE contiguous ~1% block
+    # replaced — scattered edits would shred every 8-word shingle window
+    # and defeat the 0.90 signature threshold by design), 2% half-mutants
+    # (50% scattered — must be admitted)
     n_dup = max(1, n_files // 50)
     dup_targets = rng.choice(n_files, size=2 * n_dup, replace=False)
     for j, tgt in enumerate(dup_targets):
@@ -106,9 +109,13 @@ def generate_corpus(n_files: int = 500, seed: int = SEED) -> pd.DataFrame:
         if src == tgt:
             continue
         words = contents[src].split(" ")
-        frac = 0.05 if j < n_dup else 0.5
-        n_mut = max(1, int(frac * len(words)))
-        pos = rng.choice(len(words), size=n_mut, replace=False)
+        if j < n_dup:  # near-dup: one contiguous 1% block
+            n_mut = max(1, len(words) // 100)
+            start = int(rng.integers(0, max(1, len(words) - n_mut)))
+            pos = range(start, start + n_mut)
+        else:  # mutant: 50% scattered
+            n_mut = len(words) // 2
+            pos = rng.choice(len(words), size=n_mut, replace=False)
         for p in pos:
             words[p] = f"mut{tgt}w{p}"
         contents[tgt] = " ".join(words)

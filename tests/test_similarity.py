@@ -1,0 +1,70 @@
+"""ANN / similarity search: brute-force exactness + IVF recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from index_spark.operators.similarity import (
+    assign_buckets,
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    train_centroids,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+
+
+def numpy_cosine_topk(emb_pdf, qvec, k):
+    x = np.stack(emb_pdf["embedding"].to_numpy()).astype(np.float64)
+    q = np.asarray(qvec, dtype=np.float64)
+    cos = (x @ q) / (np.linalg.norm(x, axis=1) * np.linalg.norm(q))
+    ids = emb_pdf["vec_id"].to_numpy()
+    order = np.lexsort((ids, -np.round(cos, 4)))[:k]
+    return list(zip(ids[order], np.round(cos[order], 4)))
+
+
+def test_cosine_topk_exact(emb, qvec):
+    got = [(r["vec_id"], r["cos"]) for r in cosine_topk(emb, qvec, k=10).collect()]
+    exp = numpy_cosine_topk(emb.toPandas(), qvec, 10)
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for (gid, gc), (eid, ec) in zip(got, exp):
+        assert gc == pytest.approx(ec, abs=1e-4)
+
+
+def test_ivf_recall(emb, qvec):
+    cents = train_centroids(emb, n_buckets=8)
+    bucketed = assign_buckets(emb, cents).persist()
+    exact = [r["vec_id"] for r in cosine_topk(emb, qvec, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(bucketed, cents, qvec, k=10, nprobe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.7, f"IVF recall {recall} too low"
+    # full probe == exact
+    full = [r["vec_id"] for r in ivf_topk(bucketed, cents, qvec, k=10, nprobe=8).collect()]
+    assert full == exact
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (3, [1.0, 0.0, 0.0, 0.0]),      # exact dup of 0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+              .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    cents = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0]])
+    bucketed = assign_buckets(df, cents)
+    pairs = {(r["vec_a"], r["vec_b"]) for r in
+             embedding_near_dup_pairs(bucketed, threshold=0.99).collect()}
+    assert (0, 1) in pairs and (0, 3) in pairs and (0, 2) not in pairs
