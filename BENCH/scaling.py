@@ -1,0 +1,102 @@
+"""Scaling-efficiency evidence: the same build job at two parallelism
+levels (local[8] vs local[32]) on the same input — the sandbox proxy for
+the north_rule's N -> 4N executor criterion (no real cluster here).
+
+Each level runs in a FRESH process/JVM (no warm-cache contamination);
+wall time covers the build job only (session startup excluded). Writes
+BENCH/scaling_results.json and prints a summary.
+
+Usage: python BENCH/scaling.py [sf_dir] [repeats]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from index_spark.session import get_spark
+from index_spark.operators.build import build_index
+from index_spark.operators.query import search
+
+cores = int(sys.argv[1]); sf_dir = sys.argv[2]
+spark = get_spark(cores=cores, shuffle_partitions=cores, driver_memory="32g")
+import os
+if os.path.exists(f"{{sf_dir}}/corpus.parquet"):
+    # source-code corpus (repo, path, commit, lang, content)
+    corpus = spark.read.parquet(f"{{sf_dir}}/corpus.parquet") \
+                  .select("repo", "path", "content")
+else:
+    docs_raw = spark.read.parquet(f"{{sf_dir}}/documents.parquet")
+    corpus = docs_raw.select(F.col("source").alias("repo"),
+                             F.format_string("doc%08d", F.col("doc_id")).alias("path"),
+                             F.col("text").alias("content"))
+corpus = corpus.persist(); n = corpus.count()   # warm input, exclude read
+
+t0 = time.time()
+docs, index, stats = build_index(corpus, stem=True, shard_size=1024)
+index = index.persist(); index.count()
+build_s = time.time() - t0
+
+qs = ["data table query", "scan filter", "group agg window", "spark",
+      "slow fast", "merge join sort", "customer order", "stream batch",
+      "hash value", "row column line"]
+t0 = time.time()
+for q in qs:
+    search(index, None, stats, q, k=10).collect()
+query_s = time.time() - t0
+
+print(json.dumps({{"cores": cores, "n_docs": n, "build_s": round(build_s, 3),
+                   "docs_per_sec": round(n / build_s, 2),
+                   "query_set_s": round(query_s, 3),
+                   "queries_per_sec": round(len(qs) / query_s, 2)}}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, sf_dir: str) -> dict:
+    code = _CHILD.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cores), sf_dir],
+        capture_output=True, text=True, timeout=1200, check=False)
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no result from cores={cores}: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    levels = (8, 32)
+    results = {c: [] for c in levels}
+    for r in range(repeats):
+        for c in levels:
+            res = run_level(c, sf_dir)
+            results[c].append(res)
+            print(f"run {r} cores={c}: {res}")
+    best = {c: max(runs, key=lambda x: x["docs_per_sec"]) for c, runs in results.items()}
+    eff_build = (best[32]["docs_per_sec"] / best[8]["docs_per_sec"]) / (32 / 8)
+    eff_query = (best[32]["queries_per_sec"] / best[8]["queries_per_sec"]) / (32 / 8)
+    summary = {
+        "sf_dir": sf_dir,
+        "levels": best,
+        "build_scaling_efficiency_8_to_32": round(eff_build, 3),
+        "query_scaling_efficiency_8_to_32": round(eff_query, 3),
+        "all_runs": results,
+    }
+    out_path = os.path.join(REPO, "BENCH", "scaling_results.json")
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: v for k, v in summary.items() if k != "all_runs"}))
+
+
+if __name__ == "__main__":
+    main()

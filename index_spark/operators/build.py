@@ -62,6 +62,7 @@ INDEX_SCHEMA = T.StructType([
     T.StructField("last_doc", T.LongType(), False),
     T.StructField("doc_blob", T.BinaryType(), False),
     T.StructField("tf_blob", T.BinaryType(), False),
+    T.StructField("dl_blob", T.BinaryType(), False),
     T.StructField("skips", T.ArrayType(
         T.StructType([
             T.StructField("idx", T.LongType(), False),
@@ -71,9 +72,11 @@ INDEX_SCHEMA = T.StructType([
         T.StructType([
             T.StructField("start", T.LongType(), False),
             T.StructField("last_doc", T.LongType(), False),
-            T.StructField("ub", T.DoubleType(), False),
+            T.StructField("max_tf", T.LongType(), False),
+            T.StructField("min_dl", T.DoubleType(), False),
         ])), False),
-    T.StructField("max_ub", T.DoubleType(), False),
+    T.StructField("max_tf", T.LongType(), False),
+    T.StructField("min_dl", T.DoubleType(), False),
 ])
 
 
@@ -136,7 +139,11 @@ def tokenized_docs(corpus_with_ids: DataFrame, stem: bool = True,
 
 
 def postings(tok_docs: DataFrame, positions: bool = False) -> DataFrame:
-    """(term, doc_id, tf[, positions], doc_len) — map-side combinable agg."""
+    """(term, doc_id, tf[, positions], doc_len) — map-side combinable agg.
+
+    Kept for position-carrying builds; the fused ``doc_term_counts`` path
+    below is the fast path when positions aren't needed (it counts inside
+    the tokenize UDF and skips this 1-row-per-token shuffle entirely)."""
     exploded = tok_docs.select(
         "doc_id", "doc_len", F.posexplode("tokens").alias("pos", "term")
     )
@@ -149,6 +156,66 @@ def postings(tok_docs: DataFrame, positions: bool = False) -> DataFrame:
     return exploded.groupBy("term", "doc_id").agg(*aggs)
 
 
+_COUNTS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("term", T.StringType(), False),
+    T.StructField("tf", T.LongType(), False),
+    T.StructField("doc_len", T.LongType(), False),
+])
+
+
+def doc_term_counts(corpus_with_ids: DataFrame, stem: bool = True,
+                    text_col: str = "content") -> DataFrame:
+    """Fused tokenize + per-doc term counting in ONE Arrow pass.
+
+    Emits (doc_id, term, tf, doc_len) — already aggregated per document,
+    so the per-token explode + groupBy(term, doc_id) shuffle of the naive
+    plan disappears; the only shuffle left in the whole build is the
+    groupBy(shard) of the blob stage. Counting is vectorized for the
+    whole batch: factorize terms, combine (doc, term) into one int64 key,
+    count with np.unique on ints.
+
+    Empty documents emit a single sentinel row (term='', tf=0) so
+    docs/stats stay exact; the index build filters it out.
+    """
+    from index_spark.functions.text import tokenize_flat
+
+    def fn(batches):
+        for pdf in batches:
+            flat, lens = tokenize_flat(pdf[text_col], stem=stem)
+            n = len(pdf)
+            doc_ids = pdf["doc_id"].to_numpy()
+            if flat.size == 0:
+                yield pd.DataFrame({"doc_id": doc_ids,
+                                    "term": [""] * n,
+                                    "tf": np.zeros(n, dtype=np.int64),
+                                    "doc_len": np.zeros(n, dtype=np.int64)})
+                continue
+            codes, uniques = pd.factorize(flat)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            key = doc_idx * len(uniques) + codes
+            uk, counts = np.unique(key, return_counts=True)  # int sort: fast
+            d = uk // len(uniques)
+            t = uk % len(uniques)
+            out = pd.DataFrame({
+                "doc_id": doc_ids[d],
+                "term": np.asarray(uniques, dtype=object)[t],
+                "tf": counts.astype(np.int64),
+                "doc_len": lens[d],
+            })
+            empty = np.flatnonzero(lens == 0)
+            if empty.size:
+                out = pd.concat([out, pd.DataFrame({
+                    "doc_id": doc_ids[empty], "term": [""] * empty.size,
+                    "tf": np.zeros(empty.size, dtype=np.int64),
+                    "doc_len": np.zeros(empty.size, dtype=np.int64)})],
+                    ignore_index=True)
+            yield out
+
+    cols = [c for c in corpus_with_ids.columns if c in ("doc_id", text_col)]
+    return corpus_with_ids.select(*cols).mapInPandas(fn, schema=_COUNTS_SCHEMA)
+
+
 def corpus_stats(tok_docs: DataFrame) -> dict:
     row = tok_docs.agg(
         F.count("*").alias("n_docs"),
@@ -159,95 +226,142 @@ def corpus_stats(tok_docs: DataFrame) -> dict:
             "total_tokens": row["total_tokens"]}
 
 
-def _build_blob_group(pdf: pd.DataFrame, n_docs: int, avgdl: float) -> pd.DataFrame:
-    """Build one (term, shard) posting blob. Runs inside applyInPandas."""
-    term = pdf["term"].iloc[0]
-    shard = int(pdf["shard"].iloc[0])
-    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-    docs = pdf["doc_id"].to_numpy()[order].astype(np.int64)
-    tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
-    dls = pdf["doc_len"].to_numpy()[order].astype(np.float64)
+def _build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Build ALL term blobs of one shard in one vectorized kernel.
 
-    deltas = np.empty_like(docs)
-    deltas[0] = docs[0]
-    np.subtract(docs[1:], docs[:-1], out=deltas[1:])
-    doc_blob = vb.encode(deltas.astype(np.uint64))
-    tf_blob = vb.encode(tfs.astype(np.uint64))
+    One applyInPandas call per *shard* (not per (term, shard)) — per-call
+    overhead amortizes over every term in the shard, and the varbyte
+    encode runs ONCE over the shard's whole delta stream; per-term blobs
+    are byte-range slices located via encoded_lengths cumsums.
 
-    # skip pointers at power-of-two doc_id crossings (index.h:276-281)
-    max_doc = int(docs[-1])
-    pows = 2 ** np.arange(0, max(max_doc, 1).bit_length() + 1, dtype=np.int64)
-    pows = pows[pows <= max_doc]
-    sk_idx = np.searchsorted(docs, pows, side="left")
-    keep = np.unique(sk_idx)
-    skips = [(int(i), int(docs[i])) for i in keep]
-
-    # block-max upper bounds (idf uses the term's GLOBAL df, carried as a
-    # column so no vocabulary-sized driver state exists)
-    df_local = len(docs)
-    df_global = int(pdf["df_global"].iloc[0]) if "df_global" in pdf else df_local
-    idf = math.log((n_docs - df_global + 0.5) / (df_global + 0.5) + 1.0)
-    contrib = idf * tfs / (tfs + K1 * (1.0 - B + B * dls / avgdl))
-    nblocks = (len(docs) + BLOCK_SIZE - 1) // BLOCK_SIZE
-    blocks = []
-    for bi in range(nblocks):
-        lo, hi = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, len(docs))
-        blocks.append((int(lo), int(docs[hi - 1]), float(contrib[lo:hi].max())))
-
-    return pd.DataFrame([{
-        "term": term,
-        "shard": shard,
-        "df": df_local,
-        "cf": int(tfs.sum()),
-        "first_doc": int(docs[0]),
-        "last_doc": int(docs[-1]),
-        "doc_blob": doc_blob,
-        "tf_blob": tf_blob,
-        "skips": skips,
-        "blocks": blocks,
-        "max_ub": float(contrib.max()),
-    }])
-
-
-def build_sharded_index(post_df: DataFrame, stats: dict,
-                        shard_size: int = DEFAULT_SHARD_SIZE,
-                        global_idf: bool = True) -> DataFrame:
-    """(term, doc_id, tf, doc_len) -> sharded blob index.
-
-    One shuffle: groupBy(term, shard). Hot terms split across all shards
-    (bounded reducer keys); the blob build is a vectorized numpy kernel
-    per group.
+    Semantics per term are unchanged: sorted doc_ids -> deltas (first
+    absolute) + varbyte; skip pointers at power-of-two doc_id crossings
+    (reference index.h:276-281); 128-posting block-max (max_tf, min_dl).
     """
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-    sharded = post_df.withColumn(
+    shard = int(pdf["shard"].iloc[0])
+    term_codes, terms = pd.factorize(pdf["term"])
+    docs = pdf["doc_id"].to_numpy().astype(np.int64)
+    tfs = pdf["tf"].to_numpy().astype(np.int64)
+    dls = pdf["doc_len"].to_numpy().astype(np.int64)
+
+    order = np.lexsort((docs, term_codes))
+    tc = term_codes[order]
+    docs, tfs, dls = docs[order], tfs[order], dls[order]
+
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(tc)) + 1))
+    ends = np.concatenate((starts[1:], [len(tc)]))
+    term_of_group = np.asarray(terms, dtype=object)[tc[starts]]
+
+    deltas = docs.copy()
+    deltas[1:] -= docs[:-1]
+    deltas[starts] = docs[starts]  # first posting of each term: absolute
+
+    # one encode per stream; per-term byte ranges from length cumsums
+    def _enc_with_offsets(vals: np.ndarray):
+        lens = vb.encoded_lengths(vals.astype(np.uint64))
+        cum = np.concatenate(([0], np.cumsum(lens)))
+        return vb.encode(vals.astype(np.uint64)), cum
+
+    doc_bytes, doc_cum = _enc_with_offsets(deltas)
+    tf_bytes, tf_cum = _enc_with_offsets(tfs)
+    dl_bytes, dl_cum = _enc_with_offsets(dls)
+
+    # per-term aggregates, vectorized via reduceat
+    df_g = (ends - starts).astype(np.int64)
+    cf_g = np.add.reduceat(tfs, starts)
+    first_doc = docs[starts]
+    last_doc = docs[ends - 1]
+    max_tf_g = np.maximum.reduceat(tfs, starts)
+    min_dl_g = np.minimum.reduceat(dls, starts)
+
+    n_terms = len(starts)
+    doc_blobs = [doc_bytes[doc_cum[s] : doc_cum[e]] for s, e in zip(starts, ends)]
+    tf_blobs = [tf_bytes[tf_cum[s] : tf_cum[e]] for s, e in zip(starts, ends)]
+    dl_blobs = [dl_bytes[dl_cum[s] : dl_cum[e]] for s, e in zip(starts, ends)]
+
+    skips_col = []
+    blocks_col = []
+    for g in range(n_terms):
+        s, e = int(starts[g]), int(ends[g])
+        d = docs[s:e]
+        md = int(d[-1])
+        pows = 2 ** np.arange(0, max(md, 1).bit_length() + 1, dtype=np.int64)
+        pows = pows[pows <= md]
+        sk_idx = np.unique(np.searchsorted(d, pows, side="left"))
+        skips_col.append([(int(i), int(d[i])) for i in sk_idx])
+        nb = (e - s + BLOCK_SIZE - 1) // BLOCK_SIZE
+        blocks = []
+        for bi in range(nb):
+            lo, hi = s + bi * BLOCK_SIZE, min(s + (bi + 1) * BLOCK_SIZE, e)
+            blocks.append((int(lo - s), int(docs[hi - 1]),
+                           int(tfs[lo:hi].max()), float(dls[lo:hi].min())))
+        blocks_col.append(blocks)
+
+    return pd.DataFrame({
+        "term": term_of_group,
+        "shard": np.full(n_terms, shard, dtype=np.int64),
+        "df": df_g,
+        "cf": cf_g.astype(np.int64),
+        "first_doc": first_doc,
+        "last_doc": last_doc,
+        "doc_blob": doc_blobs,
+        "tf_blob": tf_blobs,
+        "dl_blob": dl_blobs,
+        "skips": skips_col,
+        "blocks": blocks_col,
+        "max_tf": max_tf_g.astype(np.int64),
+        "min_dl": min_dl_g.astype(np.float64),
+    })
+
+
+def build_sharded_index(post_df: DataFrame,
+                        shard_size: int = DEFAULT_SHARD_SIZE) -> DataFrame:
+    """(term, doc_id, tf, doc_len) rows -> sharded blob index.
+
+    ONE shuffle: groupBy(shard). A shard is a bounded doc_id range, so
+    reducer keys stay bounded no matter how hot a term is (the explicit
+    skew handling — a term like ``import`` is split across every shard).
+    Inside each shard the kernel is vectorized numpy over all terms.
+    No global statistics are needed at build time (block-max stores raw
+    (max_tf, min_dl)), so chunked/resumable builds compose without
+    cross-chunk coordination.
+    """
+    sharded = post_df.filter(F.col("term") != "").withColumn(
         "shard", (F.col("doc_id") / F.lit(shard_size)).cast("long")
     )
-    if global_idf:
-        # exact global df per term (one posting row per (term, doc)),
-        # joined back on term — vocabulary never touches the driver; the
-        # join co-partitions with the groupBy(term, shard) that follows
-        gdf = sharded.groupBy("term").agg(F.count("*").alias("df_global"))
-        sharded = sharded.join(gdf, "term")
+    return sharded.groupBy("shard").applyInPandas(_build_shard, schema=INDEX_SCHEMA)
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _build_blob_group(pdf, n_docs, avgdl)
 
-    return sharded.groupBy("term", "shard").applyInPandas(fn, schema=INDEX_SCHEMA)
+def doc_lengths(counts: DataFrame) -> DataFrame:
+    """(doc_id, doc_len) from the fused counts (includes empty docs)."""
+    return counts.groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
+
+
+def stats_from_doclens(doclens: DataFrame) -> dict:
+    row = doclens.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").alias("total_tokens"),
+    ).collect()[0]
+    return {"n_docs": row["n_docs"], "avgdl": float(row["avgdl"] or 0.0),
+            "total_tokens": row["total_tokens"]}
 
 
 def build_index(corpus: DataFrame, stem: bool = True,
                 shard_size: int = DEFAULT_SHARD_SIZE):
     """Full build: corpus -> (docs_df, index_df, stats).
 
+    Plan (exactly one heavy shuffle):
+      scan -> assign ids (range partition) -> fused tokenize+count UDF
+           -> groupBy(shard) -> vectorized blob kernel -> index rows
+
     docs_df is the docID -> (repo, path) dimension (the reference's
     ``vector<string> documents``, index.h:294).
     """
     with_ids = assign_doc_ids(corpus)
-    docs = with_ids.select("doc_id", "repo", "path")
-    toks = tokenized_docs(with_ids, stem=stem)
-    toks = toks.persist()
-    stats = corpus_stats(toks)
-    post = postings(toks)
-    index = build_sharded_index(post, stats, shard_size=shard_size)
-    docs = docs.join(toks.select("doc_id", "doc_len"), "doc_id")
+    counts = doc_term_counts(with_ids, stem=stem).persist()
+    doclens = doc_lengths(counts)
+    stats = stats_from_doclens(doclens)
+    index = build_sharded_index(counts, shard_size=shard_size)
+    docs = with_ids.select("doc_id", "repo", "path").join(doclens, "doc_id")
     return docs, index, stats

@@ -33,6 +33,7 @@ MERGED_SCHEMA = T.StructType([
     T.StructField("last_doc", T.LongType(), False),
     T.StructField("doc_blob", T.BinaryType(), False),
     T.StructField("tf_blob", T.BinaryType(), False),
+    T.StructField("dl_blob", T.BinaryType(), False),
     T.StructField("skips", T.ArrayType(
         T.StructType([
             T.StructField("idx", T.LongType(), False),
@@ -42,9 +43,11 @@ MERGED_SCHEMA = T.StructType([
         T.StructType([
             T.StructField("start", T.LongType(), False),
             T.StructField("last_doc", T.LongType(), False),
-            T.StructField("ub", T.DoubleType(), False),
+            T.StructField("max_tf", T.LongType(), False),
+            T.StructField("min_dl", T.DoubleType(), False),
         ])), False),
-    T.StructField("max_ub", T.DoubleType(), False),
+    T.StructField("max_tf", T.LongType(), False),
+    T.StructField("min_dl", T.DoubleType(), False),
 ])
 
 
@@ -52,8 +55,9 @@ def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values("shard")
     doc_parts: list[bytes] = []
     tf_parts: list[bytes] = []
+    dl_parts: list[bytes] = []
     skips: list[tuple[int, int]] = []
-    blocks: list[tuple[int, int, float]] = []
+    blocks: list[tuple[int, int, int, float]] = []
     prev_last = 0
     idx_shift = 0
     for row in pdf.itertuples(index=False):
@@ -67,9 +71,11 @@ def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
             patched = vb.encode_one(int(row.first_doc) - prev_last)
             doc_parts.append(patched + blob[consumed:])
         tf_parts.append(bytes(row.tf_blob))
+        dl_parts.append(bytes(row.dl_blob))
         skips.extend((int(s["idx"]) + idx_shift, int(s["doc"])) for s in row.skips)
         blocks.extend(
-            (int(b["start"]) + idx_shift, int(b["last_doc"]), float(b["ub"]))
+            (int(b["start"]) + idx_shift, int(b["last_doc"]),
+             int(b["max_tf"]), float(b["min_dl"]))
             for b in row.blocks
         )
         idx_shift += int(row.df)
@@ -92,9 +98,11 @@ def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
         "last_doc": prev_last,
         "doc_blob": b"".join(doc_parts),
         "tf_blob": b"".join(tf_parts),
+        "dl_blob": b"".join(dl_parts),
         "skips": [(int(i), int(d)) for i, d in skips],
         "blocks": blocks,
-        "max_ub": float(pdf["max_ub"].max()),
+        "max_tf": int(pdf["max_tf"].max()),
+        "min_dl": float(pdf["min_dl"].min()),
     }])
 
 

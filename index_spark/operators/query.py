@@ -8,15 +8,21 @@ bit-comparable to the single-threaded oracle (tests/oracle.py).
 Distributed shape: the sharded index aligns every term's postings on the
 same global doc_id ranges (build.py), so each shard holds *all* query
 terms' postings for its doc range — document-at-a-time scoring
-parallelizes per shard with no cross-shard traffic:
+parallelizes per shard with no cross-shard traffic, and doc lengths ride
+in the index itself (dl_blob), so the query plan is:
 
-  index.filter(term IN qterms)      # term-pruned columnar scan
-    -> repartition('shard')
-    -> applyInPandas(per-shard DAAT WAND -> local top-k)
-    -> orderBy(score desc, doc_id asc).limit(k)    # tiny global merge
+  index.filter(term IN qterms)        # term-pruned columnar scan
+    -> groupBy('shard').applyInPandas(DAAT WAND -> local top-k)
+    -> orderBy(score desc, doc_id asc).limit(k)   # tiny global merge
 
-At 10^12 docs each task scores one bounded doc range; the global merge
-moves only num_shards*k rows.
+Exactly ONE shuffle of a few small rows per query; no join against the
+docs dimension. At 10^12 docs each task scores one bounded doc range and
+the global merge moves only num_shards_with_hits * k rows.
+
+Block upper bounds are derived query-side from the stored (max_tf,
+min_dl): ub = idf * max_tf / (max_tf + k1*(1-b+b*min_dl/avgdl)), valid
+because the BM25 term contribution is increasing in tf and decreasing in
+dl. idf uses the exact global df = sum of shard dfs of the term.
 """
 
 from __future__ import annotations
@@ -32,42 +38,49 @@ from pyspark.sql import types as T
 
 from index_spark.functions import varbyte as vb
 from index_spark.functions.text import tokenize
-from index_spark.operators.build import B, BLOCK_SIZE, K1
+from index_spark.operators.build import B, K1
 
 TOPK_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
     T.StructField("score", T.DoubleType(), False),
 ])
 
+_INF_DOC = 1 << 62
 
-def _decode_lists(pdf: pd.DataFrame):
-    """Decode a shard's (term -> docs, tfs, blocks) from blob rows."""
+
+def _ub(tf, dl, idf: float, avgdl: float):
+    """BM25 upper bound for a (max_tf, min_dl) pair (scalar or ndarray)."""
+    return idf * tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def _decode_lists(pdf: pd.DataFrame, avgdl: float):
+    """Decode a shard's rows -> per-term (docs, tfs, dls, block arrays)."""
     lists = []
     for row in pdf.itertuples(index=False):
-        deltas = vb.decode(row.doc_blob).astype(np.int64)
-        docs = np.cumsum(deltas)
+        docs = np.cumsum(vb.decode(row.doc_blob).astype(np.int64))
         tfs = vb.decode(row.tf_blob).astype(np.int64)
-        lists.append((row.term, docs, tfs, row.blocks, float(row.idf)))
-    # ascending term order pins the score summation order
-    lists.sort(key=lambda x: x[0])
+        dls = vb.decode(row.dl_blob).astype(np.float64)
+        idf = float(row.idf)
+        blk_last = np.fromiter((b["last_doc"] for b in row.blocks), np.int64)
+        blk_ub = _ub(
+            np.fromiter((b["max_tf"] for b in row.blocks), np.float64),
+            np.fromiter((b["min_dl"] for b in row.blocks), np.float64),
+            idf, avgdl)
+        lists.append((row.term, docs, tfs, dls, idf, blk_last, blk_ub))
+    lists.sort(key=lambda x: x[0])  # ascending term = pinned sum order
     return lists
 
 
-def _score_shard_exhaustive(pdf: pd.DataFrame, avgdl: float,
-                            doc_len: np.ndarray, base_doc: int,
-                            k: int) -> pd.DataFrame:
+def _score_shard_exhaustive(pdf: pd.DataFrame, avgdl: float, k: int) -> pd.DataFrame:
     """Vectorized exhaustive DAAT over one shard (numpy scatter-add)."""
-    lists = _decode_lists(pdf)
+    lists = _decode_lists(pdf, avgdl)
     if not lists:
         return pd.DataFrame({"doc_id": [], "score": []})
     lo = min(int(l[1][0]) for l in lists)
     hi = max(int(l[1][-1]) for l in lists)
-    width = hi - lo + 1
-    acc = np.zeros(width, dtype=np.float64)
-    for term, docs, tfs, blocks, idf in lists:
-        dl = doc_len[docs - base_doc]
-        contrib = idf * tfs / (tfs + K1 * (1.0 - B + B * dl / avgdl))
-        acc[docs - lo] += contrib
+    acc = np.zeros(hi - lo + 1, dtype=np.float64)
+    for _, docs, tfs, dls, idf, _, _ in lists:
+        acc[docs - lo] += idf * tfs / (tfs + K1 * (1.0 - B + B * dls / avgdl))
     nz = np.flatnonzero(acc)
     if nz.size == 0:
         return pd.DataFrame({"doc_id": [], "score": []})
@@ -77,27 +90,19 @@ def _score_shard_exhaustive(pdf: pd.DataFrame, avgdl: float,
                          "score": scores[order]})
 
 
-def _score_shard_wand(pdf: pd.DataFrame, avgdl: float,
-                      doc_len: np.ndarray, base_doc: int,
-                      k: int) -> pd.DataFrame:
-    """Block-max WAND: score-exact top-k with block skipping.
-
-    Classic DAAT WAND pivoting (term lists sorted by current doc_id;
-    skip when the sum of max upper bounds of lists above the pivot is
-    below the heap threshold), refined with per-block upper bounds.
-    """
-    lists = _decode_lists(pdf)
+def _score_shard_wand(pdf: pd.DataFrame, avgdl: float, k: int) -> pd.DataFrame:
+    """Block-max WAND: score-exact top-k with block skipping."""
+    lists = _decode_lists(pdf, avgdl)
     if not lists:
         return pd.DataFrame({"doc_id": [], "score": []})
-
-    # cursors: [ptr, term_order] per list; block ubs as arrays
     n = len(lists)
     ptrs = [0] * n
     docs_arr = [l[1] for l in lists]
     tfs_arr = [l[2] for l in lists]
+    dls_arr = [l[3] for l in lists]
     idfs = [l[4] for l in lists]
-    blk_last = [np.array([b["last_doc"] for b in l[3]], dtype=np.int64) for l in lists]
-    blk_ub = [np.array([b["ub"] for b in l[3]], dtype=np.float64) for l in lists]
+    blk_last = [l[5] for l in lists]
+    blk_ub = [l[6] for l in lists]
     max_ub = [float(u.max()) for u in blk_ub]
 
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
@@ -105,13 +110,11 @@ def _score_shard_wand(pdf: pd.DataFrame, avgdl: float,
 
     def cur_doc(i: int) -> int:
         p = ptrs[i]
-        return int(docs_arr[i][p]) if p < docs_arr[i].size else 1 << 62
+        return int(docs_arr[i][p]) if p < docs_arr[i].size else _INF_DOC
 
     def block_ub_at(i: int, doc: int) -> float:
         bi = int(np.searchsorted(blk_last[i], doc, side="left"))
-        if bi >= blk_ub[i].size:
-            return 0.0
-        return float(blk_ub[i][bi])
+        return float(blk_ub[i][bi]) if bi < blk_ub[i].size else 0.0
 
     live = list(range(n))
     while True:
@@ -119,7 +122,6 @@ def _score_shard_wand(pdf: pd.DataFrame, avgdl: float,
         if not live:
             break
         live.sort(key=cur_doc)
-        # find pivot: smallest prefix whose summed max_ub exceeds theta
         acc_ub = 0.0
         pivot = -1
         for j, i in enumerate(live):
@@ -130,14 +132,12 @@ def _score_shard_wand(pdf: pd.DataFrame, avgdl: float,
         if pivot < 0:
             break
         pivot_doc = cur_doc(live[pivot])
-        if pivot_doc >= (1 << 62):
+        if pivot_doc >= _INF_DOC:
             break
-        # block-max refinement on the pivot prefix; skip only when the
-        # bound is STRICTLY below theta so exact ties (dup docs) survive
+        # block-max refinement; skip only when STRICTLY below theta so
+        # exact ties (duplicate docs) survive
         block_sum = sum(block_ub_at(i, pivot_doc) for i in live[: pivot + 1])
         if len(heap) >= k and block_sum < theta:
-            # safe jump target: past the earliest block boundary among the
-            # prefix lists (beyond it at least one block ub changes)
             nxt = pivot_doc + 1
             boundaries = []
             for i in live[: pivot + 1]:
@@ -150,16 +150,14 @@ def _score_shard_wand(pdf: pd.DataFrame, avgdl: float,
             ptrs[adv] = int(np.searchsorted(docs_arr[adv], nxt, side="left"))
             continue
         if cur_doc(live[0]) == pivot_doc:
-            # all prefix lists aligned on pivot_doc -> full evaluation,
-            # summed in ascending term order (lists already term-sorted:
-            # iterate original index order)
+            # aligned -> full evaluation in ascending term order
             score = 0.0
-            dl = float(doc_len[pivot_doc - base_doc])
-            norm = K1 * (1.0 - B + B * dl / avgdl)
             for i in range(n):
-                if ptrs[i] < docs_arr[i].size and int(docs_arr[i][ptrs[i]]) == pivot_doc:
-                    tf = float(tfs_arr[i][ptrs[i]])
-                    score += idfs[i] * tf / (tf + norm)
+                p = ptrs[i]
+                if p < docs_arr[i].size and int(docs_arr[i][p]) == pivot_doc:
+                    tf = float(tfs_arr[i][p])
+                    dl = float(dls_arr[i][p])
+                    score += idfs[i] * tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
                     ptrs[i] += 1
             item = (score, -pivot_doc)
             if len(heap) < k:
@@ -169,7 +167,6 @@ def _score_shard_wand(pdf: pd.DataFrame, avgdl: float,
             if len(heap) >= k:
                 theta = heap[0][0]
         else:
-            # advance all lists before the pivot up to pivot_doc
             for i in live[:pivot]:
                 if cur_doc(i) < pivot_doc:
                     ptrs[i] = int(np.searchsorted(docs_arr[i], pivot_doc, side="left"))
@@ -179,10 +176,24 @@ def _score_shard_wand(pdf: pd.DataFrame, avgdl: float,
                          "score": [float(s) for s, _ in rows]})
 
 
-def search(index: DataFrame, docs: DataFrame, stats: dict, query: str,
-           k: int = 10, stem: bool = True, use_wand: bool = True,
+# below this many postings in a shard, the numpy scatter-add exhaustive
+# scan beats the pointer-chasing WAND loop (both are score-exact)
+AUTO_WAND_MIN_POSTINGS = 200_000
+
+
+def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
+           k: int = 10, stem: bool = True, use_wand: bool | str = "auto",
            shard_size: int = 4096) -> DataFrame:
-    """Top-k BM25 over the sharded index. Returns (doc_id, score)."""
+    """Top-k BM25 over the sharded index. Returns (doc_id, score).
+
+    ``use_wand``: True (always WAND), False (always exhaustive), or
+    "auto" — per shard, exhaustive below AUTO_WAND_MIN_POSTINGS postings,
+    WAND above. All modes are score-exact; auto just picks the faster
+    kernel for the density.
+
+    ``docs`` is accepted for API symmetry but unused — doc lengths live in
+    the index (dl_blob); ``shard_size`` likewise (shard ids are stored).
+    """
     spark = index.sparkSession
     qterms = sorted(set(tokenize(query, stem=stem)))
     if not qterms:
@@ -190,33 +201,25 @@ def search(index: DataFrame, docs: DataFrame, stats: dict, query: str,
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
 
     hits = index.filter(F.col("term").isin(qterms))
-    # per-term global df for idf: sum of shard dfs (exact — one posting
-    # per (term, doc), ranges disjoint)
-    tstats = hits.groupBy("term").agg(F.sum("df").alias("df_g"))
-    hits = hits.join(F.broadcast(tstats), "term").withColumn(
+    # exact global df per term = sum of its shard dfs (ranges disjoint),
+    # via a window over the tiny hit set — keeps the query ONE Spark job
+    # (a groupBy+broadcast-join would add a materialization job)
+    from pyspark.sql import Window as W
+
+    hits = hits.withColumn(
+        "df_g", F.sum("df").over(W.partitionBy("term"))
+    ).withColumn(
         "idf",
         F.log((F.lit(float(n_docs)) - F.col("df_g") + 0.5) / (F.col("df_g") + 0.5) + 1.0),
     )
 
-    # doc_len lookup per shard: ship the shard's slice via cogroup-free
-    # trick — doc lengths are derivable from the docs dimension; for the
-    # per-shard UDF we pass a dense doc_len array per shard
-    dl_df = docs.withColumn("shard", (F.col("doc_id") / F.lit(shard_size)).cast("long"))
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if use_wand == "auto":
+            wand = int(pdf["df"].sum()) >= AUTO_WAND_MIN_POSTINGS
+        else:
+            wand = bool(use_wand)
+        scorer = _score_shard_wand if wand else _score_shard_exhaustive
+        return scorer(pdf, avgdl, k)
 
-    scorer = _score_shard_wand if use_wand else _score_shard_exhaustive
-
-    def fn(key, idx_pdf, dl_pdf) -> pd.DataFrame:
-        if len(idx_pdf) == 0:
-            return pd.DataFrame({"doc_id": [], "score": []})
-        base = int(key[0]) * shard_size
-        dl = np.zeros(shard_size, dtype=np.float64)
-        ids = dl_pdf["doc_id"].to_numpy() - base
-        dl[ids] = dl_pdf["doc_len"].to_numpy()
-        return scorer(idx_pdf, avgdl, dl, base, k)
-
-    local = (
-        hits.groupBy("shard")
-        .cogroup(dl_df.groupBy("shard"))
-        .applyInPandas(fn, schema=TOPK_SCHEMA)
-    )
+    local = hits.groupBy("shard").applyInPandas(fn, schema=TOPK_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,101 @@
+"""spark-submit entry point for the index_spark engine.
+
+Usage (cluster):
+    zip -r index_spark.zip index_spark
+    spark-submit --py-files index_spark.zip main.py build \
+        --corpus s3://bucket/corpus_parquet --out s3://bucket/index \
+        --docs-per-chunk 5000000 --shard-size 1048576
+    spark-submit --py-files index_spark.zip main.py query \
+        --index-dir s3://bucket/index --query "import numpy" -k 10
+    spark-submit --py-files index_spark.zip main.py bench
+
+Local smoke (this sandbox):
+    python main.py build --corpus /root/testdata/sf0.01/documents.parquet \
+        --out /tmp/idx --documents-table --docs-per-chunk 256 --shard-size 64
+    python main.py query --index-dir /tmp/idx --query "data table" -k 5
+
+The build is chunked + resumable: re-running the same command after a
+failure skips committed chunks (see index_spark/plans/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from index_spark.session import get_spark
+
+    return get_spark(cores=args.cores, shuffle_partitions=args.cores
+                     if isinstance(args.cores, int) else None)
+
+
+def cmd_build(args) -> None:
+    from pyspark.sql import functions as F
+
+    from index_spark.plans.checkpoint import build_chunked
+
+    spark = _spark(args)
+    corpus = spark.read.parquet(args.corpus)
+    if args.documents_table:
+        corpus = corpus.select(
+            F.col("source").alias("repo"),
+            F.format_string("doc%08d", F.col("doc_id")).alias("path"),
+            F.col("text").alias("content"))
+    report = build_chunked(spark, corpus, args.out,
+                           docs_per_chunk=args.docs_per_chunk,
+                           shard_size=args.shard_size,
+                           stem=not args.no_stem)
+    print(json.dumps(report))
+
+
+def cmd_query(args) -> None:
+    from index_spark.operators.query import search
+    from index_spark.plans.checkpoint import load_index, load_stats
+
+    spark = _spark(args)
+    index = load_index(spark, args.index_dir)
+    stats = load_stats(args.index_dir)
+    rows = search(index, None, stats, args.query, k=args.k).collect()
+    print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]))
+
+
+def cmd_bench(args) -> None:
+    import bench
+
+    bench.main()
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="index_spark")
+    p.add_argument("--cores", default="*",
+                   type=lambda s: s if s == "*" else int(s))
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="chunked resumable index build")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--docs-per-chunk", type=int, default=5000)
+    b.add_argument("--shard-size", type=int, default=4096)
+    b.add_argument("--no-stem", action="store_true")
+    b.add_argument("--documents-table", action="store_true",
+                   help="corpus is a (doc_id,text,source,...) documents table")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="top-k BM25 over a built index")
+    q.add_argument("--index-dir", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.set_defaults(fn=cmd_query)
+
+    be = sub.add_parser("bench", help="headline benchmark suite")
+    be.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

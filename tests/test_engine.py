@@ -56,7 +56,8 @@ def test_term_df_matches_oracle(built):
         assert spark_df[term] == len(postings), term
 
 
-@pytest.mark.parametrize("use_wand", [False, True], ids=["exhaustive", "wand"])
+@pytest.mark.parametrize("use_wand", [False, True, "auto"],
+                         ids=["exhaustive", "wand", "auto"])
 def test_rank_identity(built, use_wand):
     docs, index, stats, oracle = built
     for q in PINNED_QUERIES:

@@ -1,0 +1,54 @@
+"""Streaming incremental ingest: chunks identical in layout to batch
+builds; streamed + batch chunks queryable together."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from index_spark.operators.query import search
+from index_spark.plans import checkpoint as cp
+from index_spark.streaming.ingest import ingest_batch, start_file_stream
+
+SHARD = 32
+
+CORPUS_SCHEMA = T.StructType([
+    T.StructField("repo", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("content", T.StringType()),
+])
+
+
+def test_ingest_batches_then_query(spark, tiny_corpus, tmp_path):
+    out = str(tmp_path / "sidx")
+    full = spark.createDataFrame(tiny_corpus)
+    b1 = full.where(F.col("repo") < "org1")
+    b2 = full.where(F.col("repo") >= "org1")
+    m1 = ingest_batch(spark, b1, out, shard_size=SHARD)
+    m2 = ingest_batch(spark, b2, out, shard_size=SHARD)
+    assert m1["chunk_id"] == 0 and m2["chunk_id"] == 1
+    assert m2["doc_lo"] % SHARD == 0 and m2["doc_lo"] >= m1["doc_hi"]
+
+    stats = cp.load_stats(out)
+    assert stats["n_docs"] == 150
+    index = cp.load_index(spark, out)
+    got = search(index, None, stats, "import", k=10).collect()
+    assert len(got) == 10 and got[0]["score"] >= got[-1]["score"]
+
+
+def test_empty_batch_noop(spark, tmp_path):
+    out = str(tmp_path / "eidx")
+    empty = spark.createDataFrame([], CORPUS_SCHEMA)
+    m = ingest_batch(spark, empty, out, shard_size=SHARD)
+    assert m["n_docs"] == 0 and m["chunk_id"] is None
+
+
+def test_file_stream_available_now(spark, tiny_corpus, tmp_path):
+    src = str(tmp_path / "drop")
+    out = str(tmp_path / "stridx")
+    spark.createDataFrame(tiny_corpus[:80])[["repo", "path", "content"]] \
+        .write.mode("overwrite").parquet(src)
+    q = start_file_stream(spark, src, out, CORPUS_SCHEMA, shard_size=SHARD)
+    q.awaitTermination(120)
+    lin = cp.lineage(out)
+    assert len(lin) >= 1
+    assert sum(m["n_docs"] for m in lin) == 80
