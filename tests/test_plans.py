@@ -1,0 +1,90 @@
+"""Physical-plan regression tests: the optimizations we rely on must be
+visible in .explain() output — filter pushdown into parquet, column
+pruning, whole-stage codegen, and the single-shuffle build shape."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def index_on_disk(spark, tiny_corpus, tmp_path_factory):
+    from index_spark.operators.build import build_index
+
+    out = str(tmp_path_factory.mktemp("planidx") / "index")
+    corpus_df = spark.createDataFrame(tiny_corpus)
+    _, index, stats = build_index(corpus_df, stem=True, shard_size=64)
+    index.write.parquet(out)
+    return out, stats
+
+
+def test_term_filter_pushed_to_parquet(spark, index_on_disk):
+    """Query-term lookup must reach the scan as a pushed filter (the
+    Spark analog of the reference's blob hash probe, index.cpp:9-14)."""
+    out, _ = index_on_disk
+    df = spark.read.parquet(out).filter(F.col("term").isin("import", "return"))
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters:.*In\(term", plan), plan
+
+
+def test_column_pruning_on_index_scan(spark, index_on_disk):
+    """Selecting stats columns must not read the posting blobs."""
+    out, _ = index_on_disk
+    df = spark.read.parquet(out).select("term", "df", "cf")
+    plan = _plan(df)
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "doc_blob" not in m.group(1), plan
+
+
+def test_search_plan_single_exchange(spark, index_on_disk):
+    """The query path must contain exactly one shuffle (the per-shard
+    regroup) over the term-pruned scan — no join against a docs table."""
+    from index_spark.operators.query import search
+
+    out, stats = index_on_disk
+    index = spark.read.parquet(out)
+    df = search(index, None, stats, "import numpy", k=10)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    tree = plan.split("\n\n")[0]  # formatted output repeats nodes in detail sections
+    n_exchanges = len(re.findall(r"\bExchange\b", tree))
+    # window(df_g) + shard regroup; global top-k is TakeOrderedAndProject
+    assert n_exchanges <= 2, plan
+    assert re.search(r"PushedFilters:.*In\(term", plan), plan
+
+
+def test_wholestage_codegen_in_sql_surface(spark):
+    """Relational-surface queries stay in whole-stage codegen (no Python
+    in the hot path)."""
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    df = (li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s")))
+    df.collect()  # AQE: codegen markers appear in the executed final plan
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    assert "*(" in plan, plan  # whole-stage-codegen stage markers
+    assert "PushedFilters" in _plan(df)
+
+
+def test_build_has_single_heavy_shuffle(spark, tiny_corpus):
+    """Build plan shape: fused UDF -> one groupBy(shard) exchange."""
+    from index_spark.operators.build import (
+        assign_doc_ids, build_sharded_index, doc_term_counts)
+
+    corpus_df = spark.createDataFrame(tiny_corpus)
+    with_ids = assign_doc_ids(corpus_df)
+    counts = doc_term_counts(with_ids, stem=True)
+    index = build_sharded_index(counts, shard_size=64)
+    plan = _plan(index)
+    tree = plan.split("\n\n")[0]
+    # one exchange between the counts UDF and the blob kernel, plus the
+    # upstream range partition for doc-id assignment
+    segment = tree.split("MapInPandas")[0]
+    assert len(re.findall(r"\bExchange\b", segment)) <= 1, plan
