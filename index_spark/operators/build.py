@@ -178,39 +178,61 @@ def doc_term_counts(corpus_with_ids: DataFrame, stem: bool = True,
     Empty documents emit a single sentinel row (term='', tf=0) so
     docs/stats stay exact; the index build filters it out.
     """
+    import gc
+
     from index_spark.functions.text import tokenize_flat
 
+    # CPython's generational GC goes superlinear when millions of small
+    # objects (token strings) are alive at once: every gen-2 collection
+    # walks them all. Working in bounded sub-batches with the collector
+    # paused keeps the kernel linear — measured 2.5-10x on 4096-doc Arrow
+    # batches.
+    SUB_BATCH = 512
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        doc_ids = pdf["doc_id"].to_numpy()
+        flat, lens = tokenize_flat(pdf[text_col], stem=stem)
+        if flat.size == 0:
+            return pd.DataFrame({"doc_id": doc_ids,
+                                 "term": [""] * n,
+                                 "tf": np.zeros(n, dtype=np.int64),
+                                 "doc_len": np.zeros(n, dtype=np.int64)})
+        codes, uniques = pd.factorize(flat)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        key = doc_idx * len(uniques) + codes
+        uk, counts = np.unique(key, return_counts=True)  # int sort: fast
+        d = uk // len(uniques)
+        t = uk % len(uniques)
+        out = pd.DataFrame({
+            "doc_id": doc_ids[d],
+            "term": np.asarray(uniques, dtype=object)[t],
+            "tf": counts.astype(np.int64),
+            "doc_len": lens[d],
+        })
+        empty = np.flatnonzero(lens == 0)
+        if empty.size:
+            out = pd.concat([out, pd.DataFrame({
+                "doc_id": doc_ids[empty], "term": [""] * empty.size,
+                "tf": np.zeros(empty.size, dtype=np.int64),
+                "doc_len": np.zeros(empty.size, dtype=np.int64)})],
+                ignore_index=True)
+        return out
+
     def fn(batches):
-        for pdf in batches:
-            flat, lens = tokenize_flat(pdf[text_col], stem=stem)
-            n = len(pdf)
-            doc_ids = pdf["doc_id"].to_numpy()
-            if flat.size == 0:
-                yield pd.DataFrame({"doc_id": doc_ids,
-                                    "term": [""] * n,
-                                    "tf": np.zeros(n, dtype=np.int64),
-                                    "doc_len": np.zeros(n, dtype=np.int64)})
-                continue
-            codes, uniques = pd.factorize(flat)
-            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-            key = doc_idx * len(uniques) + codes
-            uk, counts = np.unique(key, return_counts=True)  # int sort: fast
-            d = uk // len(uniques)
-            t = uk % len(uniques)
-            out = pd.DataFrame({
-                "doc_id": doc_ids[d],
-                "term": np.asarray(uniques, dtype=object)[t],
-                "tf": counts.astype(np.int64),
-                "doc_len": lens[d],
-            })
-            empty = np.flatnonzero(lens == 0)
-            if empty.size:
-                out = pd.concat([out, pd.DataFrame({
-                    "doc_id": doc_ids[empty], "term": [""] * empty.size,
-                    "tf": np.zeros(empty.size, dtype=np.int64),
-                    "doc_len": np.zeros(empty.size, dtype=np.int64)})],
-                    ignore_index=True)
-            yield out
+        gc_was_on = gc.isenabled()
+        try:
+            for pdf in batches:
+                if gc_was_on:
+                    gc.disable()
+                for lo in range(0, len(pdf), SUB_BATCH):
+                    yield _one(pdf.iloc[lo : lo + SUB_BATCH])
+                if gc_was_on:
+                    gc.enable()
+                    gc.collect(0)
+        finally:
+            if gc_was_on and not gc.isenabled():
+                gc.enable()
 
     cols = [c for c in corpus_with_ids.columns if c in ("doc_id", text_col)]
     return corpus_with_ids.select(*cols).mapInPandas(fn, schema=_COUNTS_SCHEMA)
