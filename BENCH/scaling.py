@@ -2,11 +2,17 @@
 levels (local[8] vs local[32]) on the same input — the sandbox proxy for
 the north_rule's N -> 4N executor criterion (no real cluster here).
 
-Each level runs in a FRESH process/JVM (no warm-cache contamination);
-wall time covers the build job only (session startup excluded). Writes
-BENCH/scaling_results.json and prints a summary.
+Each level runs in a FRESH process/JVM (no warm-cache contamination).
+The measured job is the real build: corpus (cached, read excluded) ->
+doc_id range exchange -> fused tokenize+stem+count+compress mapInPandas
+-> index blob rows written to parquet (the honest sink — a previous
+version "materialized" with ``foreach(lambda r: None)``, which pickles
+every row into Python one at a time and measures serialization, not the
+build). A cold pass (python-worker spawn + JIT) is recorded separately;
+efficiency is computed on the warm pass — the regime of long-lived
+executors at 10^12-file scale.
 
-Usage: python BENCH/scaling.py [sf_dir] [repeats]
+Usage: python BENCH/scaling.py [corpus_dir] [repeats] [n_files]
 """
 
 from __future__ import annotations
@@ -19,7 +25,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CHILD = r"""
-import json, sys, time
+import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from index_spark.session import get_spark
@@ -27,10 +33,8 @@ from index_spark.operators.build import build_index
 from index_spark.operators.query import search
 
 cores = int(sys.argv[1]); sf_dir = sys.argv[2]
-spark = get_spark(cores=cores, shuffle_partitions=cores, driver_memory="32g")
-import os
+spark = get_spark(cores=cores, shuffle_partitions=cores, driver_memory="48g")
 if os.path.exists(f"{{sf_dir}}/corpus.parquet"):
-    # source-code corpus (repo, path, commit, lang, content)
     corpus = spark.read.parquet(f"{{sf_dir}}/corpus.parquet") \
                   .select("repo", "path", "content")
 else:
@@ -38,37 +42,47 @@ else:
     corpus = docs_raw.select(F.col("source").alias("repo"),
                              F.format_string("doc%08d", F.col("doc_id")).alias("path"),
                              F.col("text").alias("content"))
-corpus = corpus.persist(); n = corpus.count()   # warm input, exclude read
+# warm the input; partitions == cores (python-task launch costs ~10ms
+# each in this sandbox — more, smaller tasks would tax the 32-core level)
+corpus = corpus.repartition(cores).persist()
+n = corpus.count()
 
-# shard granularity: ~4 shards per core so the blob stage load-balances
-shard_size = max(256, n // (cores * 4))
+def one_build(tag):
+    t0 = time.time()
+    docs, index, stats = build_index(corpus, stem=True, shard_size=4096)
+    out = tempfile.mkdtemp(prefix=f"idx_{{tag}}_{{cores}}_")
+    index.write.mode("overwrite").parquet(out)
+    dt = time.time() - t0
+    return index, stats, dt, out
 
-# cold pass: includes python-worker spawn + JIT (constant, not
-# throughput); warm pass models long-lived executors — the regime that
-# matters at 10^12 files. Efficiency is computed on warm.
-t0 = time.time()
-docs, index, stats = build_index(corpus, stem=True, shard_size=shard_size)
-index = index.persist(); index.count()
-cold_s = time.time() - t0
-
-t0 = time.time()
-docs2, index2, stats2 = build_index(corpus, stem=True, shard_size=shard_size)
-index2.foreach(lambda r: None)   # full materialization, no cache write
-build_s = time.time() - t0
+index1, stats1, cold_s, out1 = one_build("cold")
+index1.unpersist(); shutil.rmtree(out1, ignore_errors=True)
+warm = []
+for w in range(2):
+    index2, stats2, bs, out2 = one_build(f"warm{w}")
+    shutil.rmtree(out2, ignore_errors=True)
+    warm.append(bs)
+    if w == 0:
+        index2.unpersist()
+build_s = min(warm)
 
 qs = ["data table query", "scan filter", "group agg window", "spark",
       "slow fast", "merge join sort", "customer order", "stream batch",
       "hash value", "row column line"]
-t0 = time.time()
+lat = []
 for q in qs:
-    search(index, None, stats, q, k=10).collect()
-query_s = time.time() - t0
+    t0 = time.time()
+    search(index2, None, stats2, q, k=10).collect()
+    lat.append(time.time() - t0)
+lat.sort()
+query_s = sum(lat)
 
 print(json.dumps({{"cores": cores, "n_docs": n,
                    "cold_build_s": round(cold_s, 3),
                    "build_s": round(build_s, 3),
                    "docs_per_sec": round(n / build_s, 2),
                    "query_set_s": round(query_s, 3),
+                   "query_p95_s": round(lat[int(0.95 * (len(lat) - 1))], 3),
                    "queries_per_sec": round(len(qs) / query_s, 2)}}))
 spark.stop()
 """
@@ -78,16 +92,29 @@ def run_level(cores: int, sf_dir: str) -> dict:
     code = _CHILD.format(repo=REPO)
     out = subprocess.run(
         [sys.executable, "-c", code, str(cores), sf_dir],
-        capture_output=True, text=True, timeout=1200, check=False)
+        capture_output=True, text=True, timeout=2400, check=False)
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
             return json.loads(line)
     raise RuntimeError(f"no result from cores={cores}: {out.stderr[-2000:]}")
 
 
+def ensure_corpus(path: str, n_files: int) -> str:
+    if not os.path.exists(os.path.join(path, "corpus.parquet")):
+        from index_spark.sources.corpus import write_corpus_sharded
+
+        print(f"generating {n_files}-file corpus at {path} ...")
+        write_corpus_sharded(path, n_files=n_files, n_shards=16)
+    return path
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_corpus200k"
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_files = int(sys.argv[3]) if len(sys.argv) > 3 else 200_000
+    if "testdata" not in sf_dir:
+        sys.path.insert(0, REPO)
+        ensure_corpus(sf_dir, n_files)
     levels = (8, 32)
     results = {c: [] for c in levels}
     for r in range(repeats):

@@ -99,6 +99,181 @@ def tokenize_series(texts: pd.Series, stem: bool = True) -> pd.Series:
     return pd.Series(out, index=texts.index)
 
 
+# ---------------------------------------------------------------------------
+# Byte-level vectorized tokenizer (the build hot path).
+#
+# CPython string tokenization allocates one PyObject per token; at millions
+# of tokens per Arrow batch the allocator/GC churn dominates and — worse —
+# serializes across worker processes (page-fault and mmap syscalls are
+# globally contended in sandboxed kernels), killing N->4N scaling. This
+# path never materializes per-token strings: the batch's documents are
+# joined into ONE ascii byte buffer, token boundaries are computed with
+# shifted boolean masks (exactly the _FAST_RE camelCase semantics), and
+# term identity comes from a fixed-width byte matrix + np.unique (exact —
+# no hashing). Only the per-batch *unique vocabulary* (Zipf-small) ever
+# becomes Python strings, for Porter stemming (lru-cached per worker).
+# ---------------------------------------------------------------------------
+
+# one LUT gather yields all four char classes as bit flags:
+# 1 = alnum, 2 = upper, 4 = lower letter, 8 = lower-or-digit
+_B_CLS = np.zeros(256, dtype=np.uint8)
+for _c in range(ord("a"), ord("z") + 1):
+    _B_CLS[_c] = 1 | 4 | 8
+for _c in range(ord("A"), ord("Z") + 1):
+    _B_CLS[_c] = 1 | 2
+for _c in range(ord("0"), ord("9") + 1):
+    _B_CLS[_c] = 1 | 8
+_B_TOLOWER = np.arange(256, dtype=np.uint8)
+_B_TOLOWER[ord("A"): ord("Z") + 1] += 32
+
+
+def _prep_doc(s) -> str:
+    """Normalize one document to an ascii-safe string whose byte-level
+    tokenization equals ``tokenize(s)``.
+
+    ascii docs pass through (camel splitting happens in the byte kernel);
+    NUL bytes become spaces (both are non-alnum separators — token-
+    equivalent — but NUL is reserved as the document joiner). non-ascii
+    docs get the python path's exact pipeline prefix: camel-split FIRST
+    (case information), then NFKD+casefold+strip-marks; any remaining
+    non-ascii chars encode to '?' later — a separator, same as the python path
+    dropping non-[a-z0-9] runs."""
+    if not isinstance(s, str):
+        s = "" if s is None else str(s)
+    if s.isascii():
+        return s.replace("\x00", " ") if "\x00" in s else s
+    return normalize_text(_CAMEL_RE.sub(" ", s))
+
+
+def _token_spans(buf: np.ndarray):
+    """Token (start, length) spans + camelCase boundaries over a byte buf.
+
+    Reproduces _FAST_RE: a token starts at i when alnum[i] and either
+    (a) i==0 or not alnum[i-1], (b) upper[i] and lower-or-digit[i-1]
+    (camel boundary), or (c) upper[i] and upper[i-1] and lower[i+1]
+    (acronym -> Word boundary, e.g. HTTPServer -> HTTP|Server).
+    All masks are 0/1 uint8 bit arithmetic over one class-LUT gather."""
+    cls = _B_CLS[buf]
+    a = cls & 1
+    u = (cls >> 1) & 1
+    lo = (cls >> 2) & 1
+    ld = (cls >> 3) & 1
+    prev = np.empty_like(cls)  # reused shift workspace
+    start = np.empty_like(cls)
+    # start = a & ~prev_a
+    prev[0] = 0
+    prev[1:] = a[:-1]
+    np.subtract(1, prev, out=start)
+    # |= u & prev_ld
+    prev[1:] = ld[:-1]
+    start |= u & prev
+    # |= u & prev_u & next_lo
+    prev[1:] = u[:-1]
+    nxt = ld  # ld no longer needed; reuse as next_lo workspace
+    nxt[-1] = 0
+    nxt[:-1] = lo[1:]
+    start |= u & prev & nxt
+    start &= a
+    starts = np.flatnonzero(start)
+    if starts.size == 0:
+        return starts, starts
+    np.subtract(1, a, out=prev)  # non-alnum
+    start |= prev
+    stops = np.flatnonzero(start)
+    pos = np.searchsorted(stops, starts, side="right")
+    ends = np.where(pos < stops.size, stops[np.minimum(pos, stops.size - 1)],
+                    buf.size)
+    return starts, ends - starts
+
+
+def _win8(buf_pad: np.ndarray, starts: np.ndarray, tok_len: np.ndarray,
+          offset: int) -> np.ndarray:
+    """u64 key = bytes [offset, offset+8) of each token, zero-padded.
+
+    One strided-window fancy-index gather (no index matrix); equality of
+    keys == equality of those 8 bytes, exactly."""
+    from numpy.lib.stride_tricks import as_strided
+
+    win = as_strided(buf_pad, shape=(buf_pad.size - 7, 8), strides=(1, 1))
+    g = win[starts + offset] if offset else win[starts]
+    rel = np.arange(offset, offset + 8, dtype=np.int64)
+    g[rel[None, :] >= tok_len[:, None]] = 0
+    return g.view("<u8").ravel()
+
+
+def _term_codes(buf_lower: np.ndarray, starts: np.ndarray,
+                tok_len: np.ndarray):
+    """Exact per-token term codes + vocab, no per-token Python strings
+    in the hot path.
+
+    Short tokens (<= 8 bytes — ~99% of the stream once camelCase /
+    snake_case splitting has run) are coded by their zero-padded little-
+    endian u64 value via ONE hash factorize: no sort, no byte matrix,
+    and the vocab string decodes straight from the key value. The rare
+    longer tokens are materialized as bytes objects (a <1% subset) and
+    factorized exactly; they can never collide with a short token since
+    their lengths differ.
+    """
+    buf_pad = np.concatenate([buf_lower, np.zeros(8, dtype=np.uint8)])
+    k1 = _win8(buf_pad, starts, tok_len, 0)
+    codes, u1 = pd.factorize(k1)
+    codes = codes.astype(np.int64, copy=False)
+    vocab_parts = [b.decode("ascii", "replace")
+                   for b in u1.astype("<u8").view("S8").tolist()]
+    long_idx = np.flatnonzero(tok_len > 8)
+    if long_idx.size:
+        raw = buf_lower.tobytes()
+        l_starts = starts[long_idx]
+        l_len = tok_len[long_idx]
+        long_keys = np.empty(long_idx.size, dtype=object)
+        long_keys[:] = [raw[s:s + l] for s, l in zip(l_starts.tolist(),
+                                                     l_len.tolist())]
+        sub, ulong = pd.factorize(long_keys)
+        codes[long_idx] = len(u1) + sub
+        vocab_parts += [b.decode("ascii", "replace") for b in ulong.tolist()]
+    return np.array(vocab_parts, dtype=object), codes
+
+
+def term_counts_batch(texts, stem: bool = True):
+    """Batch kernel: documents -> (vocab, doc_idx, term_code, count, lens).
+
+    The build's fused tokenize+count stage, fully vectorized:
+      - ``vocab``: object ndarray of (stemmed) unique terms of the batch
+      - ``doc_idx``/``term_code``/``count``: one row per (document, term)
+        with the term frequency; term_code indexes ``vocab``
+      - ``lens``: per-document token counts (BM25 doc_len)
+
+    Token/stem semantics are byte-identical to ``tokenize(text, stem)``
+    (property-tested); documents may be None/non-ascii/NUL-bearing.
+    """
+    n = len(texts)
+    lens = np.zeros(n, dtype=np.int64)
+    empty = (np.empty(0, dtype=object), np.empty(0, np.int64),
+             np.empty(0, np.int64), np.empty(0, np.int64), lens)
+    if n == 0:
+        return empty
+    joined = "\x00".join(_prep_doc(t) for t in texts)
+    buf = np.frombuffer(joined.encode("ascii", "replace"), dtype=np.uint8)
+    starts, tok_len = _token_spans(buf)
+    if starts.size == 0:
+        return empty
+    sep_idx = np.flatnonzero(buf == 0)
+    doc_of = np.searchsorted(sep_idx, starts).astype(np.int64)
+    lens = np.bincount(doc_of, minlength=n).astype(np.int64)
+    vocab, codes = _term_codes(_B_TOLOWER[buf], starts, tok_len)
+    if stem and vocab.size:
+        from index_spark.functions.porter import stem_word
+
+        stemmed = np.array([stem_word(w) for w in vocab.tolist()],
+                           dtype=object)
+        vocab, smap = np.unique(stemmed, return_inverse=True)
+        codes = smap[codes]
+    key = doc_of * np.int64(vocab.size) + codes
+    uk, cnt = np.unique(key, return_counts=True)
+    return (vocab, (uk // vocab.size).astype(np.int64),
+            (uk % vocab.size).astype(np.int64), cnt.astype(np.int64), lens)
+
+
 def simple_tokens(text: str) -> list[str]:
     """SQL-parity tokenizer: lower, split on non-[a-z0-9], drop empties.
 

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from index_spark.functions import varbyte as vb
-from index_spark.functions.text import tokenize_series
+from index_spark.functions.text import tokenize_flat, tokenize_series
 
 K1 = 1.2
 B = 0.75
@@ -178,36 +178,17 @@ def doc_term_counts(corpus_with_ids: DataFrame, stem: bool = True,
     Empty documents emit a single sentinel row (term='', tf=0) so
     docs/stats stay exact; the index build filters it out.
     """
-    import gc
-
-    from index_spark.functions.text import tokenize_flat
-
-    # CPython's generational GC goes superlinear when millions of small
-    # objects (token strings) are alive at once: every gen-2 collection
-    # walks them all. Working in bounded sub-batches with the collector
-    # paused keeps the kernel linear — measured 2.5-10x on 4096-doc Arrow
-    # batches.
-    SUB_BATCH = 512
+    from index_spark.functions.text import term_counts_batch
 
     def _one(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         doc_ids = pdf["doc_id"].to_numpy()
-        flat, lens = tokenize_flat(pdf[text_col], stem=stem)
-        if flat.size == 0:
-            return pd.DataFrame({"doc_id": doc_ids,
-                                 "term": [""] * n,
-                                 "tf": np.zeros(n, dtype=np.int64),
-                                 "doc_len": np.zeros(n, dtype=np.int64)})
-        codes, uniques = pd.factorize(flat)
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-        key = doc_idx * len(uniques) + codes
-        uk, counts = np.unique(key, return_counts=True)  # int sort: fast
-        d = uk // len(uniques)
-        t = uk % len(uniques)
+        vocab, d, t, cnt, lens = term_counts_batch(pdf[text_col].tolist(),
+                                                   stem=stem)
         out = pd.DataFrame({
             "doc_id": doc_ids[d],
-            "term": np.asarray(uniques, dtype=object)[t],
-            "tf": counts.astype(np.int64),
+            "term": vocab[t] if vocab.size else np.empty(0, dtype=object),
+            "tf": cnt,
             "doc_len": lens[d],
         })
         empty = np.flatnonzero(lens == 0)
@@ -220,19 +201,8 @@ def doc_term_counts(corpus_with_ids: DataFrame, stem: bool = True,
         return out
 
     def fn(batches):
-        gc_was_on = gc.isenabled()
-        try:
-            for pdf in batches:
-                if gc_was_on:
-                    gc.disable()
-                for lo in range(0, len(pdf), SUB_BATCH):
-                    yield _one(pdf.iloc[lo : lo + SUB_BATCH])
-                if gc_was_on:
-                    gc.enable()
-                    gc.collect(0)
-        finally:
-            if gc_was_on and not gc.isenabled():
-                gc.enable()
+        for pdf in batches:
+            yield _one(pdf)
 
     cols = [c for c in corpus_with_ids.columns if c in ("doc_id", text_col)]
     return corpus_with_ids.select(*cols).mapInPandas(fn, schema=_COUNTS_SCHEMA)
@@ -248,31 +218,21 @@ def corpus_stats(tok_docs: DataFrame) -> dict:
             "total_tokens": row["total_tokens"]}
 
 
-def _build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Build ALL term blobs of one shard in one vectorized kernel.
+def _blob_rows(terms_sorted: np.ndarray, tc: np.ndarray, docs: np.ndarray,
+               tfs: np.ndarray, dls: np.ndarray, shard: int) -> pd.DataFrame:
+    """Shared blob kernel: (term-code-sorted posting arrays) -> index rows.
 
-    One applyInPandas call per *shard* (not per (term, shard)) — per-call
-    overhead amortizes over every term in the shard, and the varbyte
-    encode runs ONCE over the shard's whole delta stream; per-term blobs
-    are byte-range slices located via encoded_lengths cumsums.
-
-    Semantics per term are unchanged: sorted doc_ids -> deltas (first
-    absolute) + varbyte; skip pointers at power-of-two doc_id crossings
-    (reference index.h:276-281); 128-posting block-max (max_tf, min_dl).
+    Inputs must already be sorted by (term_code, doc_id); ``terms_sorted``
+    maps term codes -> term strings. Per-term semantics: sorted doc_ids ->
+    deltas (first absolute) + varbyte; skip pointers at power-of-two
+    doc_id crossings (reference index.h:276-281); 128-posting block-max
+    (max_tf, min_dl). The varbyte encode runs ONCE over the whole delta
+    stream; per-term blobs are byte-range slices via encoded_lengths
+    cumsums.
     """
-    shard = int(pdf["shard"].iloc[0])
-    term_codes, terms = pd.factorize(pdf["term"])
-    docs = pdf["doc_id"].to_numpy().astype(np.int64)
-    tfs = pdf["tf"].to_numpy().astype(np.int64)
-    dls = pdf["doc_len"].to_numpy().astype(np.int64)
-
-    order = np.lexsort((docs, term_codes))
-    tc = term_codes[order]
-    docs, tfs, dls = docs[order], tfs[order], dls[order]
-
     starts = np.concatenate(([0], np.flatnonzero(np.diff(tc)) + 1))
     ends = np.concatenate((starts[1:], [len(tc)]))
-    term_of_group = np.asarray(terms, dtype=object)[tc[starts]]
+    term_of_group = np.asarray(terms_sorted, dtype=object)[tc[starts]]
 
     deltas = docs.copy()
     deltas[1:] -= docs[:-1]
@@ -301,23 +261,49 @@ def _build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
     tf_blobs = [tf_bytes[tf_cum[s] : tf_cum[e]] for s, e in zip(starts, ends)]
     dl_blobs = [dl_bytes[dl_cum[s] : dl_cum[e]] for s, e in zip(starts, ends)]
 
+    # skip pointers, vectorized: posting i is a skip target iff a power
+    # of two lies in (prev_doc, doc_i] — i.e. bit_length grows (docs are
+    # strictly increasing within a term). bit_length via frexp exponent,
+    # exact for doc_ids < 2^53.
+    bl = np.frexp(docs.astype(np.float64))[1]
+    prev_bl = np.empty_like(bl)
+    prev_bl[0] = 0
+    prev_bl[1:] = bl[:-1]
+    prev_bl[starts] = 0
+    sk_pos = np.flatnonzero(bl > prev_bl)
+    sk_term = np.searchsorted(starts, sk_pos, side="right") - 1
+    sk_local = (sk_pos - starts[sk_term]).tolist()
+    sk_doc = docs[sk_pos].tolist()
+    sk_counts = np.bincount(sk_term, minlength=n_terms)
     skips_col = []
+    p = 0
+    for c in sk_counts.tolist():
+        skips_col.append(list(zip(sk_local[p : p + c], sk_doc[p : p + c])))
+        p += c
+
+    # block-max metadata, vectorized: per-term 128-posting blocks are
+    # contiguous across the whole shard, so one reduceat covers all terms
+    df_all = ends - starts
+    nb_g = (df_all + BLOCK_SIZE - 1) // BLOCK_SIZE
+    nb_cum = np.concatenate(([0], np.cumsum(nb_g)))
+    total_b = int(nb_cum[-1])
+    rep = np.repeat(np.arange(n_terms), nb_g)
+    intra = np.arange(total_b, dtype=np.int64) - nb_cum[rep]
+    b_start = starts[rep] + intra * BLOCK_SIZE
+    b_end = np.minimum(b_start + BLOCK_SIZE, ends[rep])
+    b_max_tf = np.maximum.reduceat(tfs, b_start) if total_b else np.empty(0, np.int64)
+    b_min_dl = np.minimum.reduceat(dls, b_start) if total_b else np.empty(0, np.int64)
+    b_last = docs[b_end - 1]
+    b_local = (intra * BLOCK_SIZE).tolist()
+    b_last_l = b_last.tolist()
+    b_mtf = b_max_tf.tolist()
+    b_mdl = [float(x) for x in b_min_dl.tolist()]
     blocks_col = []
-    for g in range(n_terms):
-        s, e = int(starts[g]), int(ends[g])
-        d = docs[s:e]
-        md = int(d[-1])
-        pows = 2 ** np.arange(0, max(md, 1).bit_length() + 1, dtype=np.int64)
-        pows = pows[pows <= md]
-        sk_idx = np.unique(np.searchsorted(d, pows, side="left"))
-        skips_col.append([(int(i), int(d[i])) for i in sk_idx])
-        nb = (e - s + BLOCK_SIZE - 1) // BLOCK_SIZE
-        blocks = []
-        for bi in range(nb):
-            lo, hi = s + bi * BLOCK_SIZE, min(s + (bi + 1) * BLOCK_SIZE, e)
-            blocks.append((int(lo - s), int(docs[hi - 1]),
-                           int(tfs[lo:hi].max()), float(dls[lo:hi].min())))
-        blocks_col.append(blocks)
+    p = 0
+    for c in nb_g.tolist():
+        blocks_col.append(list(zip(b_local[p : p + c], b_last_l[p : p + c],
+                                   b_mtf[p : p + c], b_mdl[p : p + c])))
+        p += c
 
     return pd.DataFrame({
         "term": term_of_group,
@@ -334,6 +320,20 @@ def _build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         "max_tf": max_tf_g.astype(np.int64),
         "min_dl": min_dl_g.astype(np.float64),
     })
+
+
+def _build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: one shard's (term, doc_id, tf, doc_len) rows
+    -> blob rows (shuffle-based build path / streaming ingest)."""
+    shard = int(pdf["shard"].iloc[0])
+    term_codes, terms = pd.factorize(pdf["term"])
+    docs = pdf["doc_id"].to_numpy().astype(np.int64)
+    tfs = pdf["tf"].to_numpy().astype(np.int64)
+    dls = pdf["doc_len"].to_numpy().astype(np.int64)
+
+    order = np.lexsort((docs, term_codes))
+    return _blob_rows(np.asarray(terms, dtype=object), term_codes[order],
+                      docs[order], tfs[order], dls[order], shard)
 
 
 def build_sharded_index(post_df: DataFrame,
@@ -369,18 +369,149 @@ def stats_from_doclens(doclens: DataFrame) -> dict:
             "total_tokens": row["total_tokens"]}
 
 
+# end-of-document pseudo-term: one row per shard carrying the shard's doc
+# table (doc ids + doc lengths). Mirrors the reference's "%" posting list
+# (index.cpp:152-153 — the document-boundary table of the position space).
+# The tokenizer only emits [a-z0-9]+ so "%" can never collide with a term.
+# Convention: tf of a "%" posting := doc_len, so df == docs-in-shard and
+# cf == tokens-in-shard, making corpus stats a metadata-only aggregate.
+DOC_MARKER = "%"
+
+
+def _shard_index_rows(doc_ids: np.ndarray, contents, stem: bool,
+                      shard: int) -> pd.DataFrame:
+    """Fused kernel: one shard's raw (doc_id, content) -> index blob rows.
+
+    tokenize+stem (vectorized, batch-vocab dedup) -> per-(doc, term)
+    counts via one int64-key np.unique -> sort by (term, doc) -> shared
+    blob kernel. Appends the '%' doc-table group. Zero JVM round-trips:
+    everything between the content scan and the finished blobs happens in
+    this one Python kernel.
+    """
+    from index_spark.functions.text import term_counts_batch
+
+    n = len(doc_ids)
+    vocab, d, t, cnt, lens = term_counts_batch(contents, stem=stem)
+    terms_all = np.concatenate(
+        [vocab, np.array([DOC_MARKER], dtype=object)])
+    t = np.concatenate([t, np.full(n, vocab.size, np.int64)])
+    d = np.concatenate([d, np.arange(n, dtype=np.int64)])
+    cnt = np.concatenate([cnt, lens])  # '%': tf := doc_len
+    order = np.lexsort((d, t))
+    return _blob_rows(terms_all, t[order], doc_ids[d[order]], cnt[order],
+                      lens[d[order]], shard)
+
+
+def build_partition_index(with_ids: DataFrame, stem: bool = True,
+                          shard_size: int = DEFAULT_SHARD_SIZE,
+                          text_col: str = "content") -> DataFrame:
+    """Zero-shuffle build: contiguous-doc_id partitions -> blob rows.
+
+    Requires the ``assign_doc_ids`` invariant: within every partition,
+    doc_ids ascend contiguously (partitions are disjoint doc ranges).
+    Shard = ``doc_id // shard_size`` cuts each partition into bounded doc
+    ranges processed one at a time (streaming within the partition, so
+    worker memory is O(shard), not O(partition)); a shard that spans a
+    partition boundary yields one row per side — disjoint sub-ranges that
+    every consumer (query groupBy(shard), merge concat) handles.
+
+    This is the scale path: after the range exchange that assigns doc
+    ids, tokenize -> count -> compress never crosses the JVM boundary or
+    the network again; Python emits only finished compressed blobs.
+    """
+    import gc
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gc_was_on = gc.isenabled()
+        if gc_was_on:
+            gc.disable()
+        try:
+            cur: int | None = None
+            ids_buf: list[np.ndarray] = []
+            txt_buf: list[np.ndarray] = []
+            for pdf in batches:
+                ids = pdf["doc_id"].to_numpy().astype(np.int64)
+                txts = pdf[text_col].to_numpy(dtype=object)
+                shards = ids // shard_size
+                bounds = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(shards)) + 1, [len(ids)]))
+                for lo, hi in zip(bounds[:-1], bounds[1:]):
+                    if lo == hi:
+                        continue
+                    s = int(shards[lo])
+                    if cur is not None and s != cur:
+                        yield _shard_index_rows(
+                            np.concatenate(ids_buf), np.concatenate(txt_buf),
+                            stem, cur)
+                        ids_buf, txt_buf = [], []
+                        gc.collect(0)
+                    cur = s
+                    ids_buf.append(ids[lo:hi])
+                    txt_buf.append(txts[lo:hi])
+            if ids_buf:
+                yield _shard_index_rows(
+                    np.concatenate(ids_buf), np.concatenate(txt_buf), stem, cur)
+        finally:
+            if gc_was_on:
+                gc.enable()
+
+    return with_ids.select("doc_id", text_col).mapInPandas(fn, schema=INDEX_SCHEMA)
+
+
+def stats_from_index(index: DataFrame) -> dict:
+    """Corpus stats from the '%' doc-table rows (metadata-only agg)."""
+    row = index.filter(F.col("term") == DOC_MARKER).agg(
+        F.sum("df").alias("n"), F.sum("cf").alias("tot")).collect()[0]
+    n = int(row["n"] or 0)
+    tot = int(row["tot"] or 0)
+    return {"n_docs": n, "avgdl": (tot / n) if n else 0.0, "total_tokens": tot}
+
+
+_DOCLEN_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("doc_len", T.LongType(), False),
+])
+
+
+def doclens_from_index(index: DataFrame) -> DataFrame:
+    """(doc_id, doc_len) decoded from the '%' doc-table blobs."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                docs = np.cumsum(vb.decode(row.doc_blob).astype(np.int64))
+                dls = vb.decode(row.tf_blob).astype(np.int64)
+                yield pd.DataFrame({"doc_id": docs, "doc_len": dls})
+
+    return (index.filter(F.col("term") == DOC_MARKER)
+            .select("doc_blob", "tf_blob")
+            .mapInPandas(fn, schema=_DOCLEN_SCHEMA))
+
+
 def build_index(corpus: DataFrame, stem: bool = True,
-                shard_size: int = DEFAULT_SHARD_SIZE):
+                shard_size: int = DEFAULT_SHARD_SIZE, fused: bool = True):
     """Full build: corpus -> (docs_df, index_df, stats).
 
-    Plan (exactly one heavy shuffle):
-      scan -> assign ids (range partition) -> fused tokenize+count UDF
-           -> groupBy(shard) -> vectorized blob kernel -> index rows
+    Fused plan (default; the scale path):
+      scan -> range exchange (doc_id assignment — the build's ONLY wide
+      shuffle) -> one mapInPandas doing tokenize+stem+count+compress per
+      shard -> blob rows (+ '%' doc-table rows)
 
-    docs_df is the docID -> (repo, path) dimension (the reference's
-    ``vector<string> documents``, index.h:294).
+    ``fused=False`` keeps the two-stage plan (tokenize+count UDF ->
+    groupBy(shard) -> blob kernel) used by streaming/checkpoint callers
+    that need the intermediate (term, doc_id, tf) relation.
+
+    docs_df is the docID -> (repo, path, doc_len) dimension (the
+    reference's ``vector<string> documents``, index.h:294).
     """
     with_ids = assign_doc_ids(corpus)
+    if fused:
+        index = build_partition_index(with_ids, stem=stem, shard_size=shard_size)
+        index = index.persist()
+        stats = stats_from_index(index)
+        docs = with_ids.select("doc_id", "repo", "path").join(
+            doclens_from_index(index), "doc_id", "left")
+        return docs, index, stats
     counts = doc_term_counts(with_ids, stem=stem).persist()
     doclens = doc_lengths(counts)
     stats = stats_from_doclens(doclens)

@@ -52,7 +52,10 @@ MERGED_SCHEMA = T.StructType([
 
 
 def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("shard")
+    # (shard, first_doc): the fused build may emit two rows for a shard
+    # that spans a partition boundary — disjoint doc sub-ranges, ordered
+    # by first_doc
+    pdf = pdf.sort_values(["shard", "first_doc"])
     doc_parts: list[bytes] = []
     tf_parts: list[bytes] = []
     dl_parts: list[bytes] = []

@@ -139,11 +139,39 @@ def corpus_manifest(corpus: pd.DataFrame) -> pd.DataFrame:
 
 
 def write_corpus(out_dir: str, n_files: int = 500, seed: int = SEED) -> None:
-    """Write corpus.parquet + manifest.parquet under ``out_dir``."""
+    """Write corpus.parquet + manifest.parquet under ``out_dir``.
+
+    Small row groups keep the single file splittable for parallel scans.
+    """
     import pathlib
 
     p = pathlib.Path(out_dir)
     p.mkdir(parents=True, exist_ok=True)
     corpus = generate_corpus(n_files, seed)
-    corpus.to_parquet(p / "corpus.parquet", index=False)
+    corpus.to_parquet(p / "corpus.parquet", index=False, row_group_size=4096)
     corpus_manifest(corpus).to_parquet(p / "manifest.parquet", index=False)
+
+
+def _gen_shard(args) -> None:
+    out_path, n, seed = args
+    corpus = generate_corpus(n, seed)
+    corpus.to_parquet(out_path, index=False, row_group_size=4096)
+
+
+def write_corpus_sharded(out_dir: str, n_files: int, n_shards: int = 8,
+                         seed: int = SEED) -> None:
+    """Parallel deterministic corpus: shard i is generate_corpus(n/n_shards,
+    seed+i), written as corpus.parquet/part-i.parquet (a directory dataset
+    both Spark and DuckDB read). Used for large scaling-bench corpora."""
+    import pathlib
+    from multiprocessing import Pool
+
+    p = pathlib.Path(out_dir) / "corpus.parquet"
+    p.mkdir(parents=True, exist_ok=True)
+    per = n_files // n_shards
+    sizes = [per + (1 if i < n_files - per * n_shards else 0)
+             for i in range(n_shards)]
+    jobs = [(str(p / f"part-{i:04d}.parquet"), sizes[i], seed + i)
+            for i in range(n_shards) if sizes[i]]
+    with Pool(min(n_shards, 8)) as pool:
+        pool.map(_gen_shard, jobs)

@@ -48,8 +48,11 @@ def test_doc_ids_match_oracle(built):
 
 
 def test_term_df_matches_oracle(built):
+    from index_spark.operators.build import DOC_MARKER
+
     _, index, _, oracle = built
-    rows = index.groupBy("term").agg(F.sum("df").alias("df")).collect()
+    rows = (index.filter(F.col("term") != DOC_MARKER)
+            .groupBy("term").agg(F.sum("df").alias("df")).collect())
     spark_df = {r["term"]: r["df"] for r in rows}
     assert len(spark_df) == len(oracle.tf)
     for term, postings in oracle.tf.items():
@@ -75,8 +78,11 @@ def test_rank_identity(built, use_wand):
 
 def test_merge_roundtrip(built):
     """Merged per-term blob decodes to the oracle's full posting list."""
+    from index_spark.operators.build import DOC_MARKER
+
     _, index, _, oracle = built
-    merged = {r["term"]: r for r in merge_shards(index).collect()}
+    tindex = index.filter(F.col("term") != DOC_MARKER)
+    merged = {r["term"]: r for r in merge_shards(tindex).collect()}
     assert set(merged) == set(oracle.tf)
     for term in sorted(oracle.tf)[:200]:
         row = merged[term]
