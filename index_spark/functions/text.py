@@ -142,10 +142,13 @@ def _prep_doc(s) -> str:
         s = "" if s is None else str(s)
     if s.isascii():
         return s.replace("\x00", " ") if "\x00" in s else s
-    return normalize_text(_CAMEL_RE.sub(" ", s))
+    out = normalize_text(_CAMEL_RE.sub(" ", s))
+    # NUL is the document joiner downstream; as a non-alnum separator the
+    # swap to space is token-equivalent
+    return out.replace("\x00", " ") if "\x00" in out else out
 
 
-def _token_spans(buf: np.ndarray):
+def _token_spans(buf: np.ndarray, force_starts: np.ndarray | None = None):
     """Token (start, length) spans + camelCase boundaries over a byte buf.
 
     Reproduces _FAST_RE: a token starts at i when alnum[i] and either
@@ -172,8 +175,16 @@ def _token_spans(buf: np.ndarray):
     nxt = ld  # ld no longer needed; reuse as next_lo workspace
     nxt[-1] = 0
     nxt[:-1] = lo[1:]
+    if force_starts is not None and force_starts.size:
+        # a doc's last byte must not see the NEXT doc's first byte as
+        # lookahead (acronym rule would split "...ABC"|"d..." wrongly)
+        nxt[force_starts - 1] = 0
     start |= u & prev & nxt
     start &= a
+    if force_starts is not None and force_starts.size:
+        # document boundaries in a separator-less stream: force a token
+        # break at each doc start so tokens never span documents
+        start[force_starts] |= a[force_starts]
     starts = np.flatnonzero(start)
     if starts.size == 0:
         return starts, starts
@@ -261,6 +272,73 @@ def term_counts_batch(texts, stem: bool = True):
     doc_of = np.searchsorted(sep_idx, starts).astype(np.int64)
     lens = np.bincount(doc_of, minlength=n).astype(np.int64)
     vocab, codes = _term_codes(_B_TOLOWER[buf], starts, tok_len)
+    if stem and vocab.size:
+        from index_spark.functions.porter import stem_word
+
+        stemmed = np.array([stem_word(w) for w in vocab.tolist()],
+                           dtype=object)
+        vocab, smap = np.unique(stemmed, return_inverse=True)
+        codes = smap[codes]
+    key = doc_of * np.int64(vocab.size) + codes
+    uk, cnt = np.unique(key, return_counts=True)
+    return (vocab, (uk // vocab.size).astype(np.int64),
+            (uk % vocab.size).astype(np.int64), cnt.astype(np.int64), lens)
+
+
+def term_counts_stream(buf: np.ndarray, bounds: np.ndarray,
+                       stem: bool = True):
+    """Like :func:`term_counts_batch`, but over a raw UTF-8 byte stream —
+    the zero-copy Arrow path.
+
+    ``buf`` is the concatenation of n documents' UTF-8 bytes (exactly an
+    Arrow StringArray data buffer); ``bounds`` is int64[n+1] document
+    boundaries (the Arrow offsets). No separators exist between docs, so
+    token starts are forced at every document boundary. Documents
+    containing non-ascii bytes or NUL (rare in source code) are detected
+    vectorized, zeroed out of the stream, and re-appended through the
+    normalizing python path — semantics stay byte-identical to
+    ``tokenize``.
+    """
+    n = bounds.size - 1
+    zero_lens = np.zeros(n, dtype=np.int64)
+    empty = (np.empty(0, dtype=object), np.empty(0, np.int64),
+             np.empty(0, np.int64), np.empty(0, np.int64), zero_lens)
+    if n == 0 or buf.size == 0:
+        return empty
+    bad_pos = np.flatnonzero((buf >= 0x80) | (buf == 0))
+    main_len = buf.size
+    if bad_pos.size:
+        bad_docs = np.unique(
+            np.searchsorted(bounds, bad_pos, side="right") - 1)
+        work = buf.copy()
+        fb_texts = []
+        for b in bad_docs.tolist():
+            lo, hi = int(bounds[b]), int(bounds[b + 1])
+            fb_texts.append(bytes(buf[lo:hi]).decode("utf-8", "replace"))
+            work[lo:hi] = 0
+        fb_buf = np.frombuffer(
+            ("\x00".join(_prep_doc(t) for t in fb_texts))
+            .encode("ascii", "replace"), dtype=np.uint8)
+        full = np.concatenate([work, np.zeros(1, dtype=np.uint8), fb_buf])
+    else:
+        bad_docs = None
+        full = buf
+    force = bounds[1:-1][(bounds[1:-1] > 0) & (bounds[1:-1] < main_len)]
+    starts, tok_len = _token_spans(full, force_starts=force.astype(np.int64))
+    if starts.size == 0:
+        return empty
+    if bad_docs is None:
+        doc_of = (np.searchsorted(bounds, starts, side="right") - 1).astype(np.int64)
+    else:
+        split = int(np.searchsorted(starts, main_len))
+        doc_of = np.empty(starts.size, dtype=np.int64)
+        doc_of[:split] = np.searchsorted(bounds, starts[:split],
+                                         side="right") - 1
+        fb_seps = np.flatnonzero(full[main_len:] == 0) + main_len
+        doc_of[split:] = bad_docs[
+            np.searchsorted(fb_seps, starts[split:], side="right") - 1]
+    lens = np.bincount(doc_of, minlength=n).astype(np.int64)
+    vocab, codes = _term_codes(_B_TOLOWER[full], starts, tok_len)
     if stem and vocab.size:
         from index_spark.functions.porter import stem_word
 

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from index_spark.functions import varbyte as vb
-from index_spark.functions.text import tokenize_flat, tokenize_series
+from index_spark.functions.text import tokenize_series
 
 K1 = 1.2
 B = 0.75
@@ -230,9 +230,59 @@ def _blob_rows(terms_sorted: np.ndarray, tc: np.ndarray, docs: np.ndarray,
     stream; per-term blobs are byte-range slices via encoded_lengths
     cumsums.
     """
+    core = _blob_core(tc, docs, tfs, dls)
+    term_of_group = np.asarray(terms_sorted, dtype=object)[tc[core["starts"]]]
+    n_terms = core["starts"].size
+
+    doc_bytes, doc_cum = core["doc_bytes"], core["doc_cum"]
+    tf_bytes, tf_cum = core["tf_bytes"], core["tf_cum"]
+    dl_bytes, dl_cum = core["dl_bytes"], core["dl_cum"]
+    starts, ends = core["starts"], core["ends"]
+    doc_blobs = [doc_bytes[doc_cum[s] : doc_cum[e]] for s, e in zip(starts, ends)]
+    tf_blobs = [tf_bytes[tf_cum[s] : tf_cum[e]] for s, e in zip(starts, ends)]
+    dl_blobs = [dl_bytes[dl_cum[s] : dl_cum[e]] for s, e in zip(starts, ends)]
+
+    sk_local = core["sk_local"].tolist()
+    sk_doc = core["sk_doc"].tolist()
+    skips_col = []
+    p = 0
+    for c in core["sk_counts"].tolist():
+        skips_col.append(list(zip(sk_local[p : p + c], sk_doc[p : p + c])))
+        p += c
+
+    b_local = core["b_local"].tolist()
+    b_last_l = core["b_last"].tolist()
+    b_mtf = core["b_max_tf"].tolist()
+    b_mdl = [float(x) for x in core["b_min_dl"].tolist()]
+    blocks_col = []
+    p = 0
+    for c in core["nb_g"].tolist():
+        blocks_col.append(list(zip(b_local[p : p + c], b_last_l[p : p + c],
+                                   b_mtf[p : p + c], b_mdl[p : p + c])))
+        p += c
+
+    return pd.DataFrame({
+        "term": term_of_group,
+        "shard": np.full(n_terms, shard, dtype=np.int64),
+        "df": core["df_g"],
+        "cf": core["cf_g"],
+        "first_doc": core["first_doc"],
+        "last_doc": core["last_doc"],
+        "doc_blob": doc_blobs,
+        "tf_blob": tf_blobs,
+        "dl_blob": dl_blobs,
+        "skips": skips_col,
+        "blocks": blocks_col,
+        "max_tf": core["max_tf_g"],
+        "min_dl": core["min_dl_g"],
+    })
+
+
+def _blob_core(tc: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
+               dls: np.ndarray) -> dict:
+    """Numpy core shared by the pandas and Arrow blob builders."""
     starts = np.concatenate(([0], np.flatnonzero(np.diff(tc)) + 1))
     ends = np.concatenate((starts[1:], [len(tc)]))
-    term_of_group = np.asarray(terms_sorted, dtype=object)[tc[starts]]
 
     deltas = docs.copy()
     deltas[1:] -= docs[:-1]
@@ -255,11 +305,7 @@ def _blob_rows(terms_sorted: np.ndarray, tc: np.ndarray, docs: np.ndarray,
     last_doc = docs[ends - 1]
     max_tf_g = np.maximum.reduceat(tfs, starts)
     min_dl_g = np.minimum.reduceat(dls, starts)
-
     n_terms = len(starts)
-    doc_blobs = [doc_bytes[doc_cum[s] : doc_cum[e]] for s, e in zip(starts, ends)]
-    tf_blobs = [tf_bytes[tf_cum[s] : tf_cum[e]] for s, e in zip(starts, ends)]
-    dl_blobs = [dl_bytes[dl_cum[s] : dl_cum[e]] for s, e in zip(starts, ends)]
 
     # skip pointers, vectorized: posting i is a skip target iff a power
     # of two lies in (prev_doc, doc_i] — i.e. bit_length grows (docs are
@@ -272,19 +318,13 @@ def _blob_rows(terms_sorted: np.ndarray, tc: np.ndarray, docs: np.ndarray,
     prev_bl[starts] = 0
     sk_pos = np.flatnonzero(bl > prev_bl)
     sk_term = np.searchsorted(starts, sk_pos, side="right") - 1
-    sk_local = (sk_pos - starts[sk_term]).tolist()
-    sk_doc = docs[sk_pos].tolist()
+    sk_local = sk_pos - starts[sk_term]
+    sk_doc = docs[sk_pos]
     sk_counts = np.bincount(sk_term, minlength=n_terms)
-    skips_col = []
-    p = 0
-    for c in sk_counts.tolist():
-        skips_col.append(list(zip(sk_local[p : p + c], sk_doc[p : p + c])))
-        p += c
 
     # block-max metadata, vectorized: per-term 128-posting blocks are
     # contiguous across the whole shard, so one reduceat covers all terms
-    df_all = ends - starts
-    nb_g = (df_all + BLOCK_SIZE - 1) // BLOCK_SIZE
+    nb_g = (df_g + BLOCK_SIZE - 1) // BLOCK_SIZE
     nb_cum = np.concatenate(([0], np.cumsum(nb_g)))
     total_b = int(nb_cum[-1])
     rep = np.repeat(np.arange(n_terms), nb_g)
@@ -293,33 +333,22 @@ def _blob_rows(terms_sorted: np.ndarray, tc: np.ndarray, docs: np.ndarray,
     b_end = np.minimum(b_start + BLOCK_SIZE, ends[rep])
     b_max_tf = np.maximum.reduceat(tfs, b_start) if total_b else np.empty(0, np.int64)
     b_min_dl = np.minimum.reduceat(dls, b_start) if total_b else np.empty(0, np.int64)
-    b_last = docs[b_end - 1]
-    b_local = (intra * BLOCK_SIZE).tolist()
-    b_last_l = b_last.tolist()
-    b_mtf = b_max_tf.tolist()
-    b_mdl = [float(x) for x in b_min_dl.tolist()]
-    blocks_col = []
-    p = 0
-    for c in nb_g.tolist():
-        blocks_col.append(list(zip(b_local[p : p + c], b_last_l[p : p + c],
-                                   b_mtf[p : p + c], b_mdl[p : p + c])))
-        p += c
+    b_last = docs[b_end - 1] if total_b else np.empty(0, np.int64)
 
-    return pd.DataFrame({
-        "term": term_of_group,
-        "shard": np.full(n_terms, shard, dtype=np.int64),
-        "df": df_g,
-        "cf": cf_g.astype(np.int64),
-        "first_doc": first_doc,
-        "last_doc": last_doc,
-        "doc_blob": doc_blobs,
-        "tf_blob": tf_blobs,
-        "dl_blob": dl_blobs,
-        "skips": skips_col,
-        "blocks": blocks_col,
-        "max_tf": max_tf_g.astype(np.int64),
-        "min_dl": min_dl_g.astype(np.float64),
-    })
+    return {
+        "starts": starts, "ends": ends,
+        "df_g": df_g, "cf_g": cf_g.astype(np.int64),
+        "first_doc": first_doc, "last_doc": last_doc,
+        "max_tf_g": max_tf_g.astype(np.int64),
+        "min_dl_g": min_dl_g.astype(np.float64),
+        "doc_bytes": doc_bytes, "doc_cum": doc_cum,
+        "tf_bytes": tf_bytes, "tf_cum": tf_cum,
+        "dl_bytes": dl_bytes, "dl_cum": dl_cum,
+        "sk_local": sk_local, "sk_doc": sk_doc, "sk_counts": sk_counts,
+        "nb_g": nb_g, "b_local": intra * BLOCK_SIZE, "b_last": b_last,
+        "b_max_tf": b_max_tf.astype(np.int64),
+        "b_min_dl": b_min_dl.astype(np.float64),
+    }
 
 
 def _build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -378,28 +407,87 @@ def stats_from_doclens(doclens: DataFrame) -> dict:
 DOC_MARKER = "%"
 
 
-def _shard_index_rows(doc_ids: np.ndarray, contents, stem: bool,
-                      shard: int) -> pd.DataFrame:
-    """Fused kernel: one shard's raw (doc_id, content) -> index blob rows.
+def _pa_index_schema():
+    import pyarrow as pa
 
-    tokenize+stem (vectorized, batch-vocab dedup) -> per-(doc, term)
-    counts via one int64-key np.unique -> sort by (term, doc) -> shared
-    blob kernel. Appends the '%' doc-table group. Zero JVM round-trips:
-    everything between the content scan and the finished blobs happens in
-    this one Python kernel.
+    return pa.schema([
+        ("term", pa.string()), ("shard", pa.int64()), ("df", pa.int64()),
+        ("cf", pa.int64()), ("first_doc", pa.int64()), ("last_doc", pa.int64()),
+        ("doc_blob", pa.binary()), ("tf_blob", pa.binary()),
+        ("dl_blob", pa.binary()),
+        ("skips", pa.list_(pa.struct([("idx", pa.int64()),
+                                      ("doc", pa.int64())]))),
+        ("blocks", pa.list_(pa.struct([("start", pa.int64()),
+                                       ("last_doc", pa.int64()),
+                                       ("max_tf", pa.int64()),
+                                       ("min_dl", pa.float64())]))),
+        ("max_tf", pa.int64()), ("min_dl", pa.float64()),
+    ])
+
+
+def _shard_record_batch(doc_ids: np.ndarray, buf: np.ndarray,
+                        bounds: np.ndarray, stem: bool, shard: int):
+    """Arrow-native fused kernel: one shard's raw UTF-8 stream -> index
+    RecordBatch, zero-copy on every hot column.
+
+    tokenize+count straight off the Arrow string buffer
+    (term_counts_stream), then the shared numpy blob core; blob columns
+    are BinaryArrays whose offsets slice the single varbyte stream
+    in place, and skips/blocks are ListArrays assembled from numpy
+    offset/child arrays — no per-row Python objects anywhere.
     """
-    from index_spark.functions.text import term_counts_batch
+    import pyarrow as pa
+
+    from index_spark.functions.text import term_counts_stream
 
     n = len(doc_ids)
-    vocab, d, t, cnt, lens = term_counts_batch(contents, stem=stem)
-    terms_all = np.concatenate(
-        [vocab, np.array([DOC_MARKER], dtype=object)])
+    vocab, d, t, cnt, lens = term_counts_stream(buf, bounds, stem=stem)
+    terms_all = np.concatenate([vocab, np.array([DOC_MARKER], dtype=object)])
     t = np.concatenate([t, np.full(n, vocab.size, np.int64)])
     d = np.concatenate([d, np.arange(n, dtype=np.int64)])
     cnt = np.concatenate([cnt, lens])  # '%': tf := doc_len
     order = np.lexsort((d, t))
-    return _blob_rows(terms_all, t[order], doc_ids[d[order]], cnt[order],
-                      lens[d[order]], shard)
+    tc = t[order]
+    core = _blob_core(tc, doc_ids[d[order]], cnt[order], lens[d[order]])
+    starts, ends = core["starts"], core["ends"]
+    n_terms = starts.size
+    term_of_group = terms_all[tc[starts]]
+
+    def bin_arr(data: bytes, cum: np.ndarray):
+        offs = np.empty(n_terms + 1, dtype=np.int32)
+        offs[:-1] = cum[starts]
+        offs[-1] = cum[ends[-1]]
+        return pa.Array.from_buffers(
+            pa.binary(), n_terms,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data)])
+
+    def list_arr(counts: np.ndarray, fields: list, names: list):
+        offs = np.zeros(counts.size + 1, dtype=np.int32)
+        np.cumsum(counts, out=offs[1:])
+        child = pa.StructArray.from_arrays(
+            [pa.array(f) for f in fields], names)
+        return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), child)
+
+    arrays = [
+        pa.array(term_of_group, pa.string()),
+        pa.array(np.full(n_terms, shard, dtype=np.int64)),
+        pa.array(core["df_g"]),
+        pa.array(core["cf_g"]),
+        pa.array(core["first_doc"]),
+        pa.array(core["last_doc"]),
+        bin_arr(core["doc_bytes"], core["doc_cum"]),
+        bin_arr(core["tf_bytes"], core["tf_cum"]),
+        bin_arr(core["dl_bytes"], core["dl_cum"]),
+        list_arr(core["sk_counts"], [core["sk_local"], core["sk_doc"]],
+                 ["idx", "doc"]),
+        list_arr(core["nb_g"],
+                 [core["b_local"], core["b_last"], core["b_max_tf"],
+                  core["b_min_dl"]],
+                 ["start", "last_doc", "max_tf", "min_dl"]),
+        pa.array(core["max_tf_g"]),
+        pa.array(core["min_dl_g"]),
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=_pa_index_schema())
 
 
 def build_partition_index(with_ids: DataFrame, stem: bool = True,
@@ -417,45 +505,59 @@ def build_partition_index(with_ids: DataFrame, stem: bool = True,
 
     This is the scale path: after the range exchange that assigns doc
     ids, tokenize -> count -> compress never crosses the JVM boundary or
-    the network again; Python emits only finished compressed blobs.
+    the network again, and document text never becomes Python strings —
+    the kernel runs directly on the Arrow string buffers (mapInArrow)
+    and emits blob columns zero-copy.
     """
-    import gc
+    import pyarrow as pa
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        gc_was_on = gc.isenabled()
-        if gc_was_on:
-            gc.disable()
-        try:
-            cur: int | None = None
-            ids_buf: list[np.ndarray] = []
-            txt_buf: list[np.ndarray] = []
-            for pdf in batches:
-                ids = pdf["doc_id"].to_numpy().astype(np.int64)
-                txts = pdf[text_col].to_numpy(dtype=object)
-                shards = ids // shard_size
-                bounds = np.concatenate(
-                    ([0], np.flatnonzero(np.diff(shards)) + 1, [len(ids)]))
-                for lo, hi in zip(bounds[:-1], bounds[1:]):
-                    if lo == hi:
-                        continue
-                    s = int(shards[lo])
-                    if cur is not None and s != cur:
-                        yield _shard_index_rows(
-                            np.concatenate(ids_buf), np.concatenate(txt_buf),
-                            stem, cur)
-                        ids_buf, txt_buf = [], []
-                        gc.collect(0)
-                    cur = s
-                    ids_buf.append(ids[lo:hi])
-                    txt_buf.append(txts[lo:hi])
-            if ids_buf:
-                yield _shard_index_rows(
-                    np.concatenate(ids_buf), np.concatenate(txt_buf), stem, cur)
-        finally:
-            if gc_was_on:
-                gc.enable()
+    def fn(batches):
+        cur: int | None = None
+        ids_buf: list[np.ndarray] = []
+        byte_buf: list[np.ndarray] = []
+        bounds_buf: list[np.ndarray] = []
 
-    return with_ids.select("doc_id", text_col).mapInPandas(fn, schema=INDEX_SCHEMA)
+        def flush(shard):
+            ids = np.concatenate(ids_buf)
+            data = np.concatenate(byte_buf) if byte_buf else np.empty(0, np.uint8)
+            total = 0
+            parts = [np.zeros(1, dtype=np.int64)]
+            for i, b in enumerate(bounds_buf):
+                parts.append(b[1:] + total)
+                total += int(b[-1])
+            bounds = np.concatenate(parts)
+            return _shard_record_batch(ids, data, bounds, stem, shard)
+
+        for rb in batches:
+            ids = rb.column(0).to_numpy()
+            col = rb.column(1)
+            nrows = len(col)
+            off0 = col.offset
+            obuf = col.buffers()[1]
+            dbuf = col.buffers()[2]
+            offs = np.frombuffer(obuf, np.int32)[off0: off0 + nrows + 1] \
+                     .astype(np.int64)
+            data = (np.frombuffer(dbuf, np.uint8) if dbuf is not None
+                    else np.empty(0, np.uint8))
+            shards = ids // shard_size
+            cuts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(shards)) + 1, [nrows]))
+            for lo, hi in zip(cuts[:-1], cuts[1:]):
+                if lo == hi:
+                    continue
+                s = int(shards[lo])
+                if cur is not None and s != cur:
+                    yield flush(cur)
+                    ids_buf, byte_buf, bounds_buf = [], [], []
+                cur = s
+                ids_buf.append(ids[lo:hi])
+                byte_buf.append(data[offs[lo]: offs[hi]])
+                bounds_buf.append(offs[lo: hi + 1] - offs[lo])
+        if ids_buf:
+            yield flush(cur)
+
+    return with_ids.select("doc_id", text_col).mapInArrow(
+        fn, schema=INDEX_SCHEMA)
 
 
 def stats_from_index(index: DataFrame) -> dict:
