@@ -92,9 +92,15 @@ spark.stop()
 
 def run_level(cores: int, sf_dir: str) -> dict:
     code = _CHILD.format(repo=REPO)
+    env = dict(os.environ)
+    # shuffle spill to tmpfs: measure the engine, not the VM's disk
+    if os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/spark-bench"
+        os.makedirs(shm, exist_ok=True)
+        env["SPARK_LOCAL_DIRS"] = shm
     out = subprocess.run(
         [sys.executable, "-c", code, str(cores), sf_dir],
-        capture_output=True, text=True, timeout=2400, check=False)
+        capture_output=True, text=True, timeout=2400, check=False, env=env)
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
             return json.loads(line)

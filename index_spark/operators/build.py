@@ -2,13 +2,20 @@
 
 Spark-first re-expression of the reference build kernel
 (/root/reference/index.cpp:112-162 ``Index::addDocument`` and the
-PostingList machinery, index.h:139-284):
+PostingList machinery, index.h:139-284). Default (fused, Arrow-native)
+plan:
 
-  read corpus -> tokenize+normalize+stem (Arrow pandas UDF)
-              -> posexplode -> groupBy(term, doc_id).agg(tf)
-              -> shard = doc_id // shard_size
-              -> groupBy(term, shard).applyInPandas(build blob)
-              -> term+shard-keyed index table
+  read corpus -> doc_id range exchange (the build's ONLY wide shuffle)
+              -> ONE mapInArrow kernel per contiguous-doc-range shard:
+                 tokenize+stem off the Arrow string buffers -> per-(doc,
+                 term) counts -> delta+varbyte blobs + skips + block-max,
+                 emitted zero-copy -> term+shard blob index table
+                 (+ '%' doc-table rows carrying doc ids / lengths)
+
+A two-stage shuffle plan (tokenize+count UDF -> groupBy(shard) ->
+applyInPandas blob kernel) remains available via ``fused=False`` for
+callers that need the intermediate (term, doc_id, tf) relation
+(streaming ingest, chunked checkpoint builds).
 
 Design notes for 100 TB / 10^12-file scale:
 

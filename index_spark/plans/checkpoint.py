@@ -33,10 +33,10 @@ from pyspark.sql import functions as F
 
 from index_spark.operators.build import (
     DEFAULT_SHARD_SIZE,
+    DOC_MARKER,
     assign_doc_ids,
-    build_sharded_index,
-    doc_lengths,
-    doc_term_counts,
+    build_partition_index,
+    doclens_from_index,
 )
 
 DEFAULT_DOCS_PER_CHUNK = 5000  # reference MAX_DOCS, index.h:27
@@ -86,29 +86,29 @@ def build_chunked(
         chunk_corpus = with_ids.where(
             (F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
 
-        counts = doc_term_counts(chunk_corpus, stem=stem).persist()
-        doclens = doc_lengths(counts)
+        # fused Arrow build per chunk (chunk partitions keep the
+        # contiguous-doc_id invariant, so the zero-shuffle path applies)
         stage_t0 = time.time()
-        agg = doclens.agg(F.count("*").alias("n"), F.sum("doc_len").alias("tok")).collect()[0]
-        tokenize_s = time.time() - stage_t0
-
-        stage_t0 = time.time()
-        index = build_sharded_index(counts, shard_size=shard_size)
+        index = build_partition_index(chunk_corpus, stem=stem,
+                                      shard_size=shard_size)
         cdir = _chunk_dir(out_dir, cid)
         index.write.mode("overwrite").parquet(os.path.join(cdir, "index"))
-        blob_s = time.time() - stage_t0
+        build_write_s = time.time() - stage_t0
+
+        idx_back = spark.read.parquet(os.path.join(cdir, "index"))
+        agg = idx_back.filter(F.col("term") == DOC_MARKER).agg(
+            F.sum("df").alias("n"), F.sum("cf").alias("tok")).collect()[0]
 
         docs_dim = chunk_corpus.select("doc_id", "repo", "path") \
-            .join(doclens, "doc_id")
+            .join(doclens_from_index(idx_back), "doc_id")
         docs_dim.write.mode("overwrite").parquet(os.path.join(cdir, "docs"))
 
-        idx_stats = spark.read.parquet(os.path.join(cdir, "index")).agg(
+        idx_stats = idx_back.filter(F.col("term") != DOC_MARKER).agg(
             F.count("*").alias("rows"),
             F.sum("df").alias("postings"),
             F.sum(F.length("doc_blob") + F.length("tf_blob") + F.length("dl_blob")).alias("blob_bytes"),
             F.countDistinct("term").alias("terms"),
         ).collect()[0]
-        counts.unpersist()
 
         manifest = {
             "chunk_id": cid,
@@ -122,8 +122,7 @@ def build_chunked(
             "blob_bytes": int(idx_stats["blob_bytes"] or 0),
             "shard_size": shard_size,
             "stem": stem,
-            "stages": {"tokenize_s": round(tokenize_s, 3),
-                       "blobs_write_s": round(blob_s, 3)},
+            "stages": {"build_write_s": round(build_write_s, 3)},
             "wall_s": round(time.time() - t0, 3),
         }
         # atomic commit: manifest written last, via rename

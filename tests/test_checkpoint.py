@@ -56,7 +56,7 @@ def test_lineage_metrics(spark, corpus_df, tmp_path_factory):
     assert [m["chunk_id"] for m in lin] == list(range(len(lin)))
     for m in lin:
         assert m["n_postings"] > 0 and m["blob_bytes"] > 0
-        assert m["stages"]["tokenize_s"] >= 0
+        assert m["stages"]["build_write_s"] >= 0
     stats = cp.load_stats(d)
     assert stats["n_docs"] == sum(m["n_docs"] for m in lin) == 150
     assert stats["n_postings"] == sum(m["n_postings"] for m in lin)
