@@ -29,7 +29,7 @@ import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from index_spark.session import get_spark
-from index_spark.operators.build import build_index
+from index_spark.operators.build import build_index, release_build
 from index_spark.operators.query import QueryEngine
 
 cores = int(sys.argv[1]); sf_dir = sys.argv[2]
@@ -56,14 +56,14 @@ def one_build(tag):
     return index, stats, dt, out
 
 index1, stats1, cold_s, out1 = one_build("cold")
-index1.unpersist(); shutil.rmtree(out1, ignore_errors=True)
+release_build(index1); shutil.rmtree(out1, ignore_errors=True)
 warm = []
 for w in range(2):
     index2, stats2, bs, out2 = one_build("warm" + str(w))
     shutil.rmtree(out2, ignore_errors=True)
     warm.append(bs)
     if w == 0:
-        index2.unpersist()
+        release_build(index2)
 build_s = min(warm)
 
 qs = ["data table query", "scan filter", "group agg window", "spark",

@@ -127,7 +127,12 @@ def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> Data
             base += len(pdf)
             yield pdf
 
-    return ranged.mapInPandas(add_ids, schema=out_schema)
+    with_ids = ranged.mapInPandas(add_ids, schema=out_schema)
+    # expose the pinned range cache so callers can release it when the
+    # build is materialized (repeated builds would otherwise accumulate
+    # a full corpus copy in executor memory per call)
+    with_ids._ranged_cache = ranged
+    return with_ids
 
 
 def tokenized_docs(corpus_with_ids: DataFrame, stem: bool = True,
@@ -620,10 +625,24 @@ def build_index(corpus: DataFrame, stem: bool = True,
         stats = stats_from_index(index)
         docs = with_ids.select("doc_id", "repo", "path").join(
             doclens_from_index(index), "doc_id", "left")
+        index._build_caches = [with_ids._ranged_cache, index]
         return docs, index, stats
     counts = doc_term_counts(with_ids, stem=stem).persist()
     doclens = doc_lengths(counts)
     stats = stats_from_doclens(doclens)
     index = build_sharded_index(counts, shard_size=shard_size)
     docs = with_ids.select("doc_id", "repo", "path").join(doclens, "doc_id")
+    index._build_caches = [with_ids._ranged_cache, counts]
     return docs, index, stats
+
+
+def release_build(index: DataFrame) -> None:
+    """Unpersist the intermediate caches a build_index call pinned (the
+    range-partitioned corpus copy and the index itself). Call when done
+    with a built index — long-lived sessions running repeated builds
+    would otherwise accumulate a corpus-sized cache per build."""
+    for df in getattr(index, "_build_caches", []):
+        try:
+            df.unpersist()
+        except Exception:
+            pass

@@ -152,6 +152,27 @@ def write_corpus(out_dir: str, n_files: int = 500, seed: int = SEED) -> None:
     corpus_manifest(corpus).to_parquet(p / "manifest.parquet", index=False)
 
 
+def verify_corpus(corpus, manifest):
+    """Per-row content-integrity check (north_star's sha256 invariant).
+
+    ``corpus`` and ``manifest`` are Spark DataFrames; manifest carries
+    (repo, path, content_sha256). Returns the violation set — rows whose
+    Spark-side sha256(content) mismatches the manifest, plus rows present
+    on only one side. Empty result == corpus verified. JVM-side F.sha2,
+    broadcast-or-shuffle hash join — no Python in the plan.
+    """
+    from pyspark.sql import functions as F
+
+    hashed = corpus.select(
+        "repo", "path", F.sha2(F.col("content"), 256).alias("sha"))
+    joined = hashed.join(manifest, ["repo", "path"], "full_outer")
+    return joined.where(
+        F.col("sha").isNull()
+        | F.col("content_sha256").isNull()
+        | (F.col("sha") != F.col("content_sha256"))
+    ).select("repo", "path", "sha", "content_sha256")
+
+
 def _gen_shard(args) -> None:
     out_path, n, seed = args
     corpus = generate_corpus(n, seed)

@@ -115,6 +115,23 @@ def test_merge_roundtrip(built):
             assert doc_arr[s["idx"]] == s["doc"]
 
 
+def test_verify_corpus_operator(spark, tiny_corpus):
+    """verify_corpus returns empty on intact corpus, flags tampering."""
+    from index_spark.sources.corpus import corpus_manifest, verify_corpus
+
+    corpus_df = spark.createDataFrame(tiny_corpus)
+    manifest_df = spark.createDataFrame(corpus_manifest(tiny_corpus))
+    assert verify_corpus(corpus_df, manifest_df).count() == 0
+
+    tampered = corpus_df.withColumn(
+        "content",
+        F.when(F.col("path").contains("file0."), F.lit("EVIL"))
+         .otherwise(F.col("content")))
+    bad = verify_corpus(tampered, manifest_df).collect()
+    assert len(bad) >= 1
+    assert all("file0." in r["path"] for r in bad)
+
+
 def test_sha256_row_invariant(spark, tiny_corpus):
     """Per-row content sha256 equality vs the generator manifest
     (input_hint invariant), computed Spark-side via F.sha2."""
