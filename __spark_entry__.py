@@ -512,6 +512,14 @@ def _build_registry():
     fn, duck = _docs_pair(_BODY_LANGID, [m_cte])
     add("langid_pred", fn, duck)
 
+    # per-row content sha256 (the north_star integrity invariant,
+    # index_spark.sources.corpus.verify_corpus) — value-checked vs DuckDB
+    _sha_spark = ("SELECT doc_id, sha2(text, 256) AS content_sha FROM documents"
+                  " ORDER BY doc_id")
+    _sha_duck = ("SELECT doc_id, sha256(text) AS content_sha FROM documents"
+                 " ORDER BY doc_id")
+    add("content_sha256", _sql_query(["documents"], _sha_spark), _sha_duck)
+
     add("exact_dup_groups", _sql_query(["documents"], _BODY_EXACT_DUPS), _BODY_EXACT_DUPS)
     add("prefix_dup_groups", _sql_query(["documents"], _BODY_PREFIX_DUPS), _BODY_PREFIX_DUPS)
     add("token_counts", _sql_query(["documents"], _BODY_TOKEN_COUNTS_SPARK), _BODY_TOKEN_COUNTS_DUCK)

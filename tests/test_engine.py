@@ -115,6 +115,20 @@ def test_merge_roundtrip(built):
             assert doc_arr[s["idx"]] == s["doc"]
 
 
+def test_hot_term_skew_bounded(built):
+    """Range-sharding IS the hot-term salting (north_rule): a term that
+    appears in ~every doc ('import') is split across every shard with a
+    bounded per-shard posting count; no reducer key ever exceeds the
+    shard's doc capacity."""
+    _, index, stats, oracle = built
+    rows = index.select("term", "shard", "df").collect()
+    per_row_max = max(r["df"] for r in rows)
+    assert per_row_max <= SHARD_SIZE  # bounded regardless of term df
+    hot = [r for r in rows if r["term"] == "import"]
+    assert len(hot) > 1  # hot term split across shards
+    assert sum(r["df"] for r in hot) == len(oracle.tf["import"])
+
+
 def test_verify_corpus_operator(spark, tiny_corpus):
     """verify_corpus returns empty on intact corpus, flags tampering."""
     from index_spark.sources.corpus import corpus_manifest, verify_corpus

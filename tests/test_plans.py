@@ -73,6 +73,23 @@ def test_wholestage_codegen_in_sql_surface(spark):
     assert "PushedFilters" in _plan(df)
 
 
+def test_fused_build_zero_extra_shuffle(spark, tiny_corpus):
+    """The fused Arrow build plan must contain EXACTLY ONE exchange —
+    the doc_id range partition. Tokenize+count+compress never shuffle."""
+    from index_spark.operators.build import (
+        assign_doc_ids, build_partition_index)
+
+    corpus_df = spark.createDataFrame(tiny_corpus)
+    with_ids = assign_doc_ids(corpus_df)
+    index = build_partition_index(with_ids, shard_size=64)
+    plan = _plan(index)
+    tree = plan.split("\n\n")[0]
+    # the cached InMemoryRelation renders its child plan again, so count
+    # distinct node ids, not textual occurrences
+    assert len(set(re.findall(r"\bExchange \((\d+)\)", tree))) == 1, plan
+    assert "Join" not in tree, plan
+
+
 def test_build_has_single_heavy_shuffle(spark, tiny_corpus):
     """Build plan shape: fused UDF -> one groupBy(shard) exchange."""
     from index_spark.operators.build import (
