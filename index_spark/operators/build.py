@@ -19,9 +19,10 @@ callers that need the intermediate (term, doc_id, tf) relation
 
 Design notes for 100 TB / 10^12-file scale:
 
-- **doc_id assignment** avoids the single-partition global window: range
-  partition by (repo, path), sort within partitions, then per-partition
-  offsets from a metadata-size count pass (classic scalable zipWithIndex).
+- **doc_id assignment** avoids the single-partition global window AND a
+  corpus-sized cache: deterministic hash-sampled key-range buckets, a
+  metadata-size per-bucket count pass, then doc_id = bucket offset +
+  rank within bucket (scalable zipWithIndex; see ``assign_doc_ids``).
 - **sharding IS the skew handling** (north_rule's explicit hot-term
   salting, range-salt variant from SURVEY.md §4.1): every term's postings
   are range-partitioned by ``doc_id // shard_size``, so a hot term like
@@ -87,52 +88,118 @@ INDEX_SCHEMA = T.StructType([
 ])
 
 
-def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Deterministic doc_id = 0-based rank of (repo, path).
+_KEY_SEP = "\x01"
 
-    Scalable zipWithIndex: range-partition + sort-within + per-partition
-    offset from a count pass. No global single-partition window — the
-    count pass moves only one long per partition to the driver, so this
-    holds at 10^12 rows (the reference's insertion-ordinal docID,
-    index.cpp:160-161, is inherently sequential; rank order replaces it).
+
+def _bucket_partition(corpus: DataFrame, num_partitions: int | None = None,
+                      buckets_per_partition: int = 4):
+    """Deterministic key-range bucketing, cache-free.
+
+    1. deterministic pseudo-sample of keys (hash filter — NOT Spark's
+       range sampler, whose boundaries differ run to run) -> sorted
+       bucket boundaries; buckets are contiguous (repo, path) key ranges
+    2. one tiny map-side-combined count per bucket -> exact bucket
+       offsets (``doc_id`` = bucket offset + rank within bucket = the
+       exact global (repo, path) rank — independent of partitioning;
+       sampling quality only affects balance, never ids)
+    3. hash repartition on bucket id + sort within partitions by
+       (bucket, repo, path): every partition holds whole buckets whose
+       rows ascend in doc_id — the contiguity invariant the fused build
+       needs
+
+    Returns (parted_df_with__bucket, offsets, counts). Determinism holds
+    because every step depends only on the key set; a nondeterministic
+    upstream is caught by the consumers' count verification.
     """
     spark = corpus.sparkSession
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 2)
-    ranged = corpus.repartitionByRange(num_partitions, "repo", "path") \
-                   .sortWithinPartitions("repo", "path")
-    ranged = ranged.cache()  # pin range boundaries for both passes
-    counts = (
-        ranged.groupBy(F.spark_partition_id().alias("_pid"))
-        .count()
-        .collect()
-    )
-    by_pid = {r["_pid"]: r["count"] for r in counts}
+    n_buckets = num_partitions * buckets_per_partition
+
+    key = F.concat_ws(_KEY_SEP, "repo", "path")
+    n = corpus.count()
+    if n == 0:
+        return None, {}, {}
+    # ~128 deterministic samples per bucket; mod-hash keeps it exact
+    rate = max(1, n // (n_buckets * 128))
+    sample = [r["k"] for r in corpus.select(key.alias("k"))
+              .where(F.pmod(F.xxhash64(key), F.lit(rate)) == 0)
+              .collect()]
+    sample.sort()
+    bounds = [sample[(len(sample) * i) // n_buckets]
+              for i in range(1, n_buckets)] if sample else []
+    bounds_arr = np.array(bounds, dtype=object)
+
+    @F.pandas_udf(T.IntegerType())
+    def _bucket(keys: pd.Series) -> pd.Series:
+        if bounds_arr.size == 0:
+            return pd.Series(np.zeros(len(keys), dtype=np.int32))
+        b = np.searchsorted(bounds_arr, keys.to_numpy(dtype=object),
+                            side="right").astype(np.int32)
+        return pd.Series(b)
+
+    bucketed = corpus.withColumn("_bucket", _bucket(key))
+    counts = {int(r["_bucket"]): int(r["count"])
+              for r in bucketed.groupBy("_bucket").count().collect()}
     offsets = {}
     acc = 0
-    for pid in sorted(by_pid):
-        offsets[pid] = acc
-        acc += by_pid[pid]
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
 
-    out_schema = T.StructType(ranged.schema.fields + [T.StructField("doc_id", T.LongType(), False)])
+    parted = bucketed.repartition(num_partitions, "_bucket") \
+                     .sortWithinPartitions("_bucket", "repo", "path")
+    return parted, offsets, counts
+
+
+def _run_ids(b: np.ndarray, offsets: dict, seen: dict) -> np.ndarray:
+    """doc_ids for one batch of bucket codes (sorted runs), updating the
+    per-partition ``seen`` progress map."""
+    ids = np.empty(len(b), dtype=np.int64)
+    runs = np.concatenate(([0], np.flatnonzero(np.diff(b)) + 1, [len(b)]))
+    for lo, hi in zip(runs[:-1], runs[1:]):
+        bk = int(b[lo])
+        base = offsets[bk] + seen.get(bk, 0)
+        ids[lo:hi] = np.arange(base, base + (hi - lo), dtype=np.int64)
+        seen[bk] = seen.get(bk, 0) + (hi - lo)
+    return ids
+
+
+def _verify_seen(seen: dict, counts: dict) -> None:
+    for bk, cnt in seen.items():
+        if cnt != counts.get(bk, -1):
+            raise RuntimeError(
+                f"doc_id assignment drift: bucket {bk} saw {cnt} rows, "
+                f"count pass saw {counts.get(bk)} — nondeterministic input?")
+
+
+def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None,
+                   buckets_per_partition: int = 4) -> DataFrame:
+    """Deterministic doc_id = 0-based rank of (repo, path), cache-free.
+
+    Scalable zipWithIndex via :func:`_bucket_partition`; see there for the
+    design. The id kernel re-verifies each bucket's row count against the
+    count pass and raises on drift, so a nondeterministic upstream fails
+    loudly instead of corrupting ids. (The reference's insertion-ordinal
+    docID, index.cpp:160-161, is inherently sequential; rank replaces it.)
+    """
+    parted, offsets, counts = _bucket_partition(
+        corpus, num_partitions, buckets_per_partition)
+    out_schema = T.StructType(corpus.schema.fields
+                              + [T.StructField("doc_id", T.LongType(), False)])
+    if parted is None:
+        return corpus.sparkSession.createDataFrame([], out_schema)
 
     def add_ids(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        base = offsets.get(pid, 0)
+        seen: dict[int, int] = {}
         for pdf in pdf_iter:
-            pdf = pdf.copy()
-            pdf["doc_id"] = np.arange(base, base + len(pdf), dtype=np.int64)
-            base += len(pdf)
+            ids = _run_ids(pdf["_bucket"].to_numpy(), offsets, seen)
+            pdf = pdf.drop(columns=["_bucket"]).copy()
+            pdf["doc_id"] = ids
             yield pdf
+        _verify_seen(seen, counts)
 
-    with_ids = ranged.mapInPandas(add_ids, schema=out_schema)
-    # expose the pinned range cache so callers can release it when the
-    # build is materialized (repeated builds would otherwise accumulate
-    # a full corpus copy in executor memory per call)
-    with_ids._ranged_cache = ranged
-    return with_ids
+    return parted.mapInPandas(add_ids, schema=out_schema)
 
 
 def tokenized_docs(corpus_with_ids: DataFrame, stem: bool = True,
@@ -521,54 +588,91 @@ def build_partition_index(with_ids: DataFrame, stem: bool = True,
     the kernel runs directly on the Arrow string buffers (mapInArrow)
     and emits blob columns zero-copy.
     """
-    import pyarrow as pa
-
     def fn(batches):
-        cur: int | None = None
-        ids_buf: list[np.ndarray] = []
-        byte_buf: list[np.ndarray] = []
-        bounds_buf: list[np.ndarray] = []
-
-        def flush(shard):
-            ids = np.concatenate(ids_buf)
-            data = np.concatenate(byte_buf) if byte_buf else np.empty(0, np.uint8)
-            total = 0
-            parts = [np.zeros(1, dtype=np.int64)]
-            for i, b in enumerate(bounds_buf):
-                parts.append(b[1:] + total)
-                total += int(b[-1])
-            bounds = np.concatenate(parts)
-            return _shard_record_batch(ids, data, bounds, stem, shard)
-
-        for rb in batches:
-            ids = rb.column(0).to_numpy()
-            col = rb.column(1)
-            nrows = len(col)
-            off0 = col.offset
-            obuf = col.buffers()[1]
-            dbuf = col.buffers()[2]
-            offs = np.frombuffer(obuf, np.int32)[off0: off0 + nrows + 1] \
-                     .astype(np.int64)
-            data = (np.frombuffer(dbuf, np.uint8) if dbuf is not None
-                    else np.empty(0, np.uint8))
-            shards = ids // shard_size
-            cuts = np.concatenate(
-                ([0], np.flatnonzero(np.diff(shards)) + 1, [nrows]))
-            for lo, hi in zip(cuts[:-1], cuts[1:]):
-                if lo == hi:
-                    continue
-                s = int(shards[lo])
-                if cur is not None and s != cur:
-                    yield flush(cur)
-                    ids_buf, byte_buf, bounds_buf = [], [], []
-                cur = s
-                ids_buf.append(ids[lo:hi])
-                byte_buf.append(data[offs[lo]: offs[hi]])
-                bounds_buf.append(offs[lo: hi + 1] - offs[lo])
-        if ids_buf:
-            yield flush(cur)
+        pairs = ((rb.column(0).to_numpy(), rb.column(1)) for rb in batches)
+        yield from _fused_shard_stream(pairs, stem, shard_size)
 
     return with_ids.select("doc_id", text_col).mapInArrow(
+        fn, schema=INDEX_SCHEMA)
+
+
+def _fused_shard_stream(pairs, stem: bool, shard_size: int):
+    """Shared shard-cutting generator: (doc_ids ndarray, Arrow string
+    column) pairs -> index RecordBatches, one-or-more per shard."""
+    cur: int | None = None
+    last_id: int | None = None
+    ids_buf: list[np.ndarray] = []
+    byte_buf: list[np.ndarray] = []
+    bounds_buf: list[np.ndarray] = []
+
+    def flush(shard):
+        ids = np.concatenate(ids_buf)
+        data = np.concatenate(byte_buf) if byte_buf else np.empty(0, np.uint8)
+        total = 0
+        parts = [np.zeros(1, dtype=np.int64)]
+        for b in bounds_buf:
+            parts.append(b[1:] + total)
+            total += int(b[-1])
+        bounds = np.concatenate(parts)
+        return _shard_record_batch(ids, data, bounds, stem, shard)
+
+    for ids, col in pairs:
+        nrows = len(col)
+        off0 = col.offset
+        obuf = col.buffers()[1]
+        dbuf = col.buffers()[2]
+        offs = np.frombuffer(obuf, np.int32)[off0: off0 + nrows + 1] \
+                 .astype(np.int64)
+        data = (np.frombuffer(dbuf, np.uint8) if dbuf is not None
+                else np.empty(0, np.uint8))
+        shards = ids // shard_size
+        # cut on shard change OR doc_id discontinuity: a partition holds
+        # whole key-range buckets, so its doc ids come in ascending
+        # contiguous runs with gaps owned by OTHER partitions — two runs
+        # of the same shard id must not be glued (their blobs would
+        # interleave with the other partitions' rows at merge time)
+        cuts = np.concatenate(
+            ([0],
+             np.flatnonzero((np.diff(shards) != 0)
+                            | (np.diff(ids) != 1)) + 1,
+             [nrows]))
+        for lo, hi in zip(cuts[:-1], cuts[1:]):
+            if lo == hi:
+                continue
+            s = int(shards[lo])
+            if cur is not None and (s != cur or int(ids[lo]) != last_id + 1):
+                yield flush(cur)
+                ids_buf, byte_buf, bounds_buf = [], [], []
+            cur = s
+            last_id = int(ids[hi - 1])
+            ids_buf.append(ids[lo:hi])
+            byte_buf.append(data[offs[lo]: offs[hi]])
+            bounds_buf.append(offs[lo: hi + 1] - offs[lo])
+    if ids_buf:
+        yield flush(cur)
+
+
+def _build_bucketed(parted: DataFrame, offsets: dict, counts: dict,
+                    stem: bool, shard_size: int,
+                    text_col: str = "content") -> DataFrame:
+    """Fully fused build over a bucket-partitioned corpus: doc_id
+    assignment happens INSIDE the Arrow kernel (from the int32 bucket
+    column + offsets), so document content crosses the JVM->Python
+    boundary exactly once in the whole build. Verifies per-bucket row
+    counts against the count pass (raises on nondeterministic input)."""
+
+    def fn(batches):
+        seen: dict[int, int] = {}
+
+        def pairs():
+            for rb in batches:
+                yield _run_ids(rb.column(0).to_numpy(), offsets, seen), \
+                    rb.column(1)
+
+        yield from _fused_shard_stream(pairs(), stem, shard_size)
+        _verify_seen(seen, counts)
+
+    return parted.select("_bucket", text_col).mapInArrow(
         fn, schema=INDEX_SCHEMA)
 
 
@@ -618,21 +722,35 @@ def build_index(corpus: DataFrame, stem: bool = True,
     docs_df is the docID -> (repo, path, doc_len) dimension (the
     reference's ``vector<string> documents``, index.h:294).
     """
-    with_ids = assign_doc_ids(corpus)
     if fused:
-        index = build_partition_index(with_ids, stem=stem, shard_size=shard_size)
+        parted, offsets, counts = _bucket_partition(corpus)
+        if parted is None:
+            spark = corpus.sparkSession
+            empty_idx = spark.createDataFrame([], INDEX_SCHEMA)
+            docs_schema = T.StructType([
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("repo", T.StringType(), True),
+                T.StructField("path", T.StringType(), True),
+                T.StructField("doc_len", T.LongType(), True)])
+            return (spark.createDataFrame([], docs_schema), empty_idx,
+                    {"n_docs": 0, "avgdl": 0.0, "total_tokens": 0})
+        index = _build_bucketed(parted, offsets, counts, stem, shard_size)
         index = index.persist()
         stats = stats_from_index(index)
-        docs = with_ids.select("doc_id", "repo", "path").join(
+        # docs dimension from a key-only pipeline (column-pruned scan —
+        # content never moves for it); same deterministic ids
+        keys_with_ids = assign_doc_ids(corpus.select("repo", "path"))
+        docs = keys_with_ids.select("doc_id", "repo", "path").join(
             doclens_from_index(index), "doc_id", "left")
-        index._build_caches = [with_ids._ranged_cache, index]
+        index._build_caches = [index]
         return docs, index, stats
+    with_ids = assign_doc_ids(corpus)
     counts = doc_term_counts(with_ids, stem=stem).persist()
     doclens = doc_lengths(counts)
     stats = stats_from_doclens(doclens)
     index = build_sharded_index(counts, shard_size=shard_size)
     docs = with_ids.select("doc_id", "repo", "path").join(doclens, "doc_id")
-    index._build_caches = [with_ids._ranged_cache, counts]
+    index._build_caches = [counts]
     return docs, index, stats
 
 

@@ -134,19 +134,29 @@ def _score_shard_wand(pdf: pd.DataFrame, avgdl: float, k: int) -> pd.DataFrame:
         pivot_doc = cur_doc(live[pivot])
         if pivot_doc >= _INF_DOC:
             break
+        # extend the pivot through lists tied at pivot_doc — with
+        # fragmented per-range lists, several lists commonly sit on the
+        # same doc; their upper bounds must count before any skip
+        ext = pivot
+        while ext + 1 < len(live) and cur_doc(live[ext + 1]) == pivot_doc:
+            ext += 1
         # block-max refinement; skip only when STRICTLY below theta so
         # exact ties (duplicate docs) survive
-        block_sum = sum(block_ub_at(i, pivot_doc) for i in live[: pivot + 1])
+        block_sum = sum(block_ub_at(i, pivot_doc) for i in live[: ext + 1])
         if len(heap) >= k and block_sum < theta:
             nxt = pivot_doc + 1
             boundaries = []
-            for i in live[: pivot + 1]:
+            for i in live[: ext + 1]:
                 bi = int(np.searchsorted(blk_last[i], pivot_doc, side="left"))
                 if bi < blk_last[i].size:
                     boundaries.append(int(blk_last[i][bi]) + 1)
             if boundaries:
                 nxt = max(nxt, min(boundaries))
-            adv = max(live[: pivot + 1], key=lambda i: max_ub[i])
+            if ext + 1 < len(live):
+                # the window may not cross the next list's current doc —
+                # its contribution is not in block_sum
+                nxt = min(nxt, cur_doc(live[ext + 1]))
+            adv = max(live[: ext + 1], key=lambda i: max_ub[i])
             ptrs[adv] = int(np.searchsorted(docs_arr[adv], nxt, side="left"))
             continue
         if cur_doc(live[0]) == pivot_doc:

@@ -71,15 +71,9 @@ def build_chunked(
     # align chunk boundary to shard boundary so shards never straddle chunks
     docs_per_chunk = max(shard_size, (docs_per_chunk // shard_size) * shard_size)
 
-    ranged_cache = None
     with_ids = assign_doc_ids(corpus)
-    ranged_cache = getattr(with_ids, "_ranged_cache", None)
     with_ids = with_ids.persist()
     n_docs = with_ids.count()
-    # with_ids is now independently cached (MEMORY_AND_DISK — spills,
-    # not evicted); the pinned range-shuffle copy underneath is redundant
-    if ranged_cache is not None:
-        ranged_cache.unpersist()
     n_chunks = (n_docs + docs_per_chunk - 1) // docs_per_chunk
 
     report = {"n_docs": n_docs, "n_chunks": n_chunks, "built": [], "skipped": []}

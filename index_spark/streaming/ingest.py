@@ -93,9 +93,6 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, out_dir: str,
         json.dump(manifest, f, indent=1)
     os.rename(tmp, os.path.join(cdir, "_COMMIT.json"))
     cp._write_global_stats(out_dir)
-    ranged = getattr(with_ids, "_ranged_cache", None)
-    if ranged is not None:
-        ranged.unpersist()
     return manifest
 
 
