@@ -129,10 +129,40 @@ def encode_one(value: int) -> bytes:
     return encode(np.array([value], dtype=np.uint64))
 
 
+def first_len(b0: int) -> int:
+    """Byte length of the value whose first byte is ``b0`` (O(1)).
+
+    The leading-ones count of the first byte announces the length
+    (reference index.h:63-74 semantics); 0xFF marks the 12-byte
+    extension. ``b0`` must be a value-start byte (outside [0x80,0xBF])."""
+    if b0 < 0x80:
+        return 1
+    if b0 == 0xFF:
+        return _BIG_LEN
+    n = 0
+    while b0 & (0x80 >> n):
+        n += 1
+    return n
+
+
+def decode_first(buf) -> tuple[int, int]:
+    """Decode only the FIRST value of a blob; return (value, bytes_consumed).
+
+    O(1) — reads the first byte's length prefix and decodes just those
+    bytes, never touching the rest of the stream (the merge boundary
+    patch runs this once per shard row; a full decode here would make
+    merging a hot term O(total postings) per shard)."""
+    n = first_len(buf[0])
+    return int(decode(bytes(buf[:n]))[0]), n
+
+
 def decode_prefix(buf: bytes, count: int) -> tuple[np.ndarray, int]:
-    """Decode the first ``count`` values; return (values, bytes_consumed)."""
-    vals = decode(buf)
-    if vals.size < count:
-        raise ValueError(f"buffer holds {vals.size} values, wanted {count}")
-    lens = encoded_lengths(vals[:count])
-    return vals[:count], int(lens.sum())
+    """Decode the first ``count`` values; return (values, bytes_consumed).
+
+    O(count): walks length prefixes, then vector-decodes the exact slice."""
+    consumed = 0
+    for _ in range(count):
+        if consumed >= len(buf):
+            raise ValueError(f"buffer exhausted before {count} values")
+        consumed += first_len(buf[consumed])
+    return decode(buf[:consumed]), consumed

@@ -116,7 +116,16 @@ def _bucket_partition(corpus: DataFrame, num_partitions: int | None = None,
         num_partitions = max(spark.sparkContext.defaultParallelism, 2)
     n_buckets = num_partitions * buckets_per_partition
 
-    key = F.concat_ws(_KEY_SEP, "repo", "path")
+    # NULL repo/path coalesce to '' (concat_ws would silently DROP a null
+    # column, collapsing the key); both bucketing and the within-partition
+    # sort below order by THIS key string, so bucket boundaries and ranks
+    # can never disagree. String-order(key) == tuple-order(repo, path)
+    # whenever keys contain no \x00/\x01 bytes (the separator assumption —
+    # for keys carrying control bytes doc_ids are still deterministic and
+    # dense, just ranked by the joined key string).
+    key = F.concat_ws(_KEY_SEP,
+                      F.coalesce(F.col("repo"), F.lit("")),
+                      F.coalesce(F.col("path"), F.lit("")))
     n = corpus.count()
     if n == 0:
         return None, {}, {}
@@ -138,7 +147,8 @@ def _bucket_partition(corpus: DataFrame, num_partitions: int | None = None,
                             side="right").astype(np.int32)
         return pd.Series(b)
 
-    bucketed = corpus.withColumn("_bucket", _bucket(key))
+    bucketed = corpus.withColumn("_key", key) \
+                     .withColumn("_bucket", _bucket(F.col("_key")))
     counts = {int(r["_bucket"]): int(r["count"])
               for r in bucketed.groupBy("_bucket").count().collect()}
     offsets = {}
@@ -148,7 +158,8 @@ def _bucket_partition(corpus: DataFrame, num_partitions: int | None = None,
         acc += counts[b]
 
     parted = bucketed.repartition(num_partitions, "_bucket") \
-                     .sortWithinPartitions("_bucket", "repo", "path")
+                     .sortWithinPartitions("_bucket", "_key") \
+                     .drop("_key")
     return parted, offsets, counts
 
 
@@ -200,6 +211,28 @@ def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None,
         _verify_seen(seen, counts)
 
     return parted.mapInPandas(add_ids, schema=out_schema)
+
+
+def _ids_from_parted(parted: DataFrame, offsets: dict, counts: dict,
+                     cols: list[str]) -> DataFrame:
+    """(doc_id, *cols) from an existing bucket partitioning — the docs
+    dimension derives from the build's own (parted, offsets, counts)
+    instead of re-running the count/sample passes."""
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False)]
+        + [parted.schema[c] for c in cols])
+
+    def add_ids(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen: dict[int, int] = {}
+        for pdf in pdf_iter:
+            ids = _run_ids(pdf["_bucket"].to_numpy(), offsets, seen)
+            out = pdf[cols].copy()
+            out.insert(0, "doc_id", ids)
+            yield out
+        _verify_seen(seen, counts)
+
+    return parted.select("_bucket", *cols).mapInPandas(
+        add_ids, schema=out_schema)
 
 
 def tokenized_docs(corpus_with_ids: DataFrame, stem: bool = True,
@@ -435,12 +468,19 @@ def _build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
     -> blob rows (shuffle-based build path / streaming ingest)."""
     shard = int(pdf["shard"].iloc[0])
     term_codes, terms = pd.factorize(pdf["term"])
+    terms = np.asarray(terms, dtype=object)
+    # sorted-at-rest (see _shard_record_batch): remap codes to term order
+    sort_v = np.argsort(terms)
+    remap = np.empty(terms.size, dtype=np.int64)
+    remap[sort_v] = np.arange(terms.size)
+    term_codes = remap[term_codes.astype(np.int64)]
+    terms = terms[sort_v]
     docs = pdf["doc_id"].to_numpy().astype(np.int64)
     tfs = pdf["tf"].to_numpy().astype(np.int64)
     dls = pdf["doc_len"].to_numpy().astype(np.int64)
 
     order = np.lexsort((docs, term_codes))
-    return _blob_rows(np.asarray(terms, dtype=object), term_codes[order],
+    return _blob_rows(terms, term_codes[order],
                       docs[order], tfs[order], dls[order], shard)
 
 
@@ -525,6 +565,15 @@ def _shard_record_batch(doc_ids: np.ndarray, buf: np.ndarray,
     t = np.concatenate([t, np.full(n, vocab.size, np.int64)])
     d = np.concatenate([d, np.arange(n, dtype=np.int64)])
     cnt = np.concatenate([cnt, lens])  # '%': tf := doc_len
+    # emit rows sorted by TERM STRING (not first-appearance code): the
+    # sorted-at-rest analog of the reference's dict.Optimize
+    # (index.cpp:51-52) — parquet row groups get tight term min/max
+    # stats, so term-pruned scans skip whole row groups
+    sort_v = np.argsort(terms_all)
+    remap = np.empty(terms_all.size, dtype=np.int64)
+    remap[sort_v] = np.arange(terms_all.size)
+    t = remap[t]
+    terms_all = terms_all[sort_v]
     order = np.lexsort((d, t))
     tc = t[order]
     core = _blob_core(tc, doc_ids[d[order]], cnt[order], lens[d[order]])
@@ -533,6 +582,13 @@ def _shard_record_batch(doc_ids: np.ndarray, buf: np.ndarray,
     term_of_group = terms_all[tc[starts]]
 
     def bin_arr(data: bytes, cum: np.ndarray):
+        if int(cum[ends[-1]]) > np.iinfo(np.int32).max:
+            # int32 Arrow binary offsets would silently wrap -> corrupt
+            # blobs; a shard's concatenated varbyte stream past 2 GiB
+            # means shard_size is far too large for the corpus density
+            raise ValueError(
+                "shard blob stream exceeds int32 offsets "
+                f"({int(cum[ends[-1]])} bytes); lower shard_size")
         offs = np.empty(n_terms + 1, dtype=np.int32)
         offs[:-1] = cum[starts]
         offs[-1] = cum[ends[-1]]
@@ -592,8 +648,9 @@ def build_partition_index(with_ids: DataFrame, stem: bool = True,
         pairs = ((rb.column(0).to_numpy(), rb.column(1)) for rb in batches)
         yield from _fused_shard_stream(pairs, stem, shard_size)
 
-    return with_ids.select("doc_id", text_col).mapInArrow(
-        fn, schema=INDEX_SCHEMA)
+    return with_ids.select(
+        "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    ).mapInArrow(fn, schema=INDEX_SCHEMA)
 
 
 def _fused_shard_stream(pairs, stem: bool, shard_size: int):
@@ -616,12 +673,31 @@ def _fused_shard_stream(pairs, stem: bool, shard_size: int):
         bounds = np.concatenate(parts)
         return _shard_record_batch(ids, data, bounds, stem, shard)
 
+    import pyarrow as pa
+
     for ids, col in pairs:
         nrows = len(col)
+        # offset width is dictated by the Arrow type — int32 for
+        # string/binary, int64 for large_string/large_binary (Spark ships
+        # large_ when spark.sql.execution.arrow.useLargeVarTypes=true);
+        # reading with the wrong width silently misparses, so branch on
+        # the type and reject anything else loudly
+        if pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type):
+            odt = np.int64
+        elif pa.types.is_string(col.type) or pa.types.is_binary(col.type):
+            odt = np.int32
+        else:
+            raise TypeError(f"fused build needs a string column, got {col.type}")
+        if col.null_count:
+            # callers coalesce nulls JVM-side; the Arrow spec does not
+            # guarantee meaningful offsets in null slots, so never index
+            # from them
+            raise ValueError("fused build received NULL content rows; "
+                             "coalesce(content, '') before mapInArrow")
         off0 = col.offset
         obuf = col.buffers()[1]
         dbuf = col.buffers()[2]
-        offs = np.frombuffer(obuf, np.int32)[off0: off0 + nrows + 1] \
+        offs = np.frombuffer(obuf, odt)[off0: off0 + nrows + 1] \
                  .astype(np.int64)
         data = (np.frombuffer(dbuf, np.uint8) if dbuf is not None
                 else np.empty(0, np.uint8))
@@ -672,8 +748,9 @@ def _build_bucketed(parted: DataFrame, offsets: dict, counts: dict,
         yield from _fused_shard_stream(pairs(), stem, shard_size)
         _verify_seen(seen, counts)
 
-    return parted.select("_bucket", text_col).mapInArrow(
-        fn, schema=INDEX_SCHEMA)
+    return parted.select(
+        "_bucket", F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    ).mapInArrow(fn, schema=INDEX_SCHEMA)
 
 
 def stats_from_index(index: DataFrame) -> dict:
@@ -737,11 +814,12 @@ def build_index(corpus: DataFrame, stem: bool = True,
         index = _build_bucketed(parted, offsets, counts, stem, shard_size)
         index = index.persist()
         stats = stats_from_index(index)
-        # docs dimension from a key-only pipeline (column-pruned scan —
-        # content never moves for it); same deterministic ids
-        keys_with_ids = assign_doc_ids(corpus.select("repo", "path"))
-        docs = keys_with_ids.select("doc_id", "repo", "path").join(
-            doclens_from_index(index), "doc_id", "left")
+        # docs dimension reuses the SAME bucketing (parted/offsets/counts)
+        # — no second count()/sample-collect pass; the key-only projection
+        # is column-pruned so content never moves for it
+        keys_with_ids = _ids_from_parted(parted, offsets, counts,
+                                         ["repo", "path"])
+        docs = keys_with_ids.join(doclens_from_index(index), "doc_id", "left")
         index._build_caches = [index]
         return docs, index, stats
     with_ids = assign_doc_ids(corpus)
@@ -755,10 +833,10 @@ def build_index(corpus: DataFrame, stem: bool = True,
 
 
 def release_build(index: DataFrame) -> None:
-    """Unpersist the intermediate caches a build_index call pinned (the
-    range-partitioned corpus copy and the index itself). Call when done
-    with a built index — long-lived sessions running repeated builds
-    would otherwise accumulate a corpus-sized cache per build."""
+    """Unpersist the caches a build_index call pinned (the built index
+    blobs for the fused path; the counts relation for ``fused=False``).
+    Call when done with a built index — long-lived sessions running
+    repeated builds would otherwise accumulate a cache per build."""
     for df in getattr(index, "_build_caches", []):
         try:
             df.unpersist()

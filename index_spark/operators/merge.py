@@ -69,8 +69,9 @@ def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
             doc_parts.append(blob)
         else:
             # rewrite the first delta: absolute first_doc -> gap from the
-            # previous shard's last doc
-            _, consumed = vb.decode_prefix(blob, 1)
+            # previous shard's last doc (O(1) — only the first varbyte is
+            # examined, never the rest of the blob)
+            _, consumed = vb.decode_first(blob)
             patched = vb.encode_one(int(row.first_doc) - prev_last)
             doc_parts.append(patched + blob[consumed:])
         tf_parts.append(bytes(row.tf_blob))

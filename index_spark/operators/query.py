@@ -247,11 +247,15 @@ class QueryEngine:
         of unseen terms — the merged index's term catalog at 10^12 scale),
       * injects idf JVM-side via a literal ``create_map`` (no window, no
         Python in the plan until the scorer),
-      * runs the per-shard DAAT scorer and merges the per-shard top-ks
-        driver-side (<= shards*k tiny rows) instead of a sort exchange.
+      * runs the per-shard DAAT scorer, then merges per-shard top-ks with
+        the ``orderBy().limit(k)`` tail — Spark compiles it to
+        ``TakeOrderedAndProject`` (each task keeps its own top-k heap; the
+        driver merges k rows per TASK, never per shard), so the merge
+        stays bounded at 10^12-doc shard counts where a collect of
+        shards-with-hits x k rows would OOM the driver.
 
     Per query: scan(term-pruned) -> exchange(shard, a few KB) -> scorer
-    -> collect. One exchange total.
+    -> TakeOrderedAndProject. One exchange total.
     """
 
     def __init__(self, index: DataFrame, stats: dict, stem: bool = True,
@@ -281,9 +285,18 @@ class QueryEngine:
         self._ensure_stats(sorted(terms))
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        df = self.topk_df(query, k)
+        if df is None:
+            return []
+        return [(int(r["doc_id"]), float(r["score"])) for r in df.collect()]
+
+    def topk_df(self, query: str, k: int = 10) -> DataFrame | None:
+        """The query's top-k plan as a DataFrame (None for empty/unknown
+        queries) — collect() yields exactly k rows via the distributed
+        TakeOrderedAndProject merge."""
         qterms = sorted(set(tokenize(query, stem=self.stem)))
         if not qterms:
-            return []
+            return None
         self._ensure_stats(qterms)
         n_docs, avgdl = self.stats["n_docs"], self.stats["avgdl"]
         idf = {
@@ -292,7 +305,7 @@ class QueryEngine:
             for t in qterms if self._df_cache[t] > 0
         }
         if not idf:
-            return []
+            return None
         use_wand = self.use_wand
         mapping = F.create_map(
             *[F.lit(x) for kv in idf.items() for x in kv])
@@ -308,6 +321,4 @@ class QueryEngine:
             return scorer(pdf, avgdl, k)
 
         local = hits.groupBy("shard").applyInPandas(fn, schema=TOPK_SCHEMA)
-        rows = [(int(r["doc_id"]), float(r["score"])) for r in local.collect()]
-        rows.sort(key=lambda x: (-x[1], x[0]))
-        return rows[:k]
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

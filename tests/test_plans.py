@@ -92,6 +92,50 @@ def test_fused_build_zero_extra_shuffle(spark, tiny_corpus):
     assert "Join" not in tree, plan
 
 
+def test_query_engine_distributed_topk_merge(spark, index_on_disk):
+    """The serving path's global merge must be TakeOrderedAndProject
+    (per-task top-k heaps, k rows per task to the driver) — never a
+    collect of every shard's local top-k (driver OOM at 10^12-doc shard
+    counts)."""
+    from index_spark.operators.query import QueryEngine
+
+    out, stats = index_on_disk
+    index = spark.read.parquet(out)
+    eng = QueryEngine(index, stats, use_wand=True)
+    df = eng.topk_df("import numpy", k=10)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_shard_rows_term_sorted():
+    """Index rows must leave BOTH build kernels sorted by term string
+    within each shard batch (sorted-at-rest, the dict.Optimize analog —
+    /root/reference/index.cpp:51-52): parquet row groups then carry tight
+    term min/max stats for term-pruned scans."""
+    import numpy as np
+    import pandas as pd
+
+    from index_spark.operators.build import _build_shard, _shard_record_batch
+
+    texts = ["zebra apple mango kiwi", "apple zebra banana", "mango fig"]
+    raw = "".join(texts).encode()
+    bounds = np.cumsum([0] + [len(t.encode()) for t in texts]).astype(np.int64)
+    rb = _shard_record_batch(np.arange(3, dtype=np.int64),
+                             np.frombuffer(raw, np.uint8), bounds,
+                             stem=False, shard=0)
+    terms = rb.column(0).to_pylist()
+    assert terms == sorted(terms), terms
+
+    pdf = pd.DataFrame({
+        "shard": [0] * 4,
+        "term": ["zebra", "apple", "mango", "apple"],
+        "doc_id": [0, 0, 1, 2], "tf": [2, 1, 1, 3],
+        "doc_len": [4, 4, 3, 3],
+    })
+    out = _build_shard(pdf)
+    assert list(out["term"]) == sorted(out["term"]), list(out["term"])
+
+
 def test_build_has_single_heavy_shuffle(spark, tiny_corpus):
     """Build plan shape: fused UDF -> one groupBy(shard) exchange."""
     from index_spark.operators.build import (

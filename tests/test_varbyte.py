@@ -68,3 +68,22 @@ def test_decode_prefix():
     got, consumed = vb.decode_prefix(enc, 2)
     assert list(got) == [5, 300]
     assert consumed == 1 + 2
+
+
+def test_decode_first_o1():
+    """decode_first reads only the first value's bytes (merge boundary
+    patch must be O(1), not O(blob))."""
+    for v in BOUNDARIES:
+        tail = np.array([7, 99, 2**40], dtype=np.uint64)
+        enc = vb.encode(np.concatenate(([v], tail)).astype(np.uint64))
+        first_bytes = len(vb.encode_one(v))
+        got, consumed = vb.decode_first(enc[: first_bytes])  # tail withheld
+        assert got == v
+        assert consumed == first_bytes
+
+
+def test_first_len_matches_encoded_lengths():
+    vals = np.array(BOUNDARIES, dtype=np.uint64)
+    lens = vb.encoded_lengths(vals)
+    for v, n in zip(BOUNDARIES, lens):
+        assert vb.first_len(vb.encode_one(v)[0]) == n
