@@ -48,18 +48,26 @@ def normalize_text(s: str) -> str:
     return "".join(ch for ch in d if not unicodedata.combining(ch))
 
 
-def tokenize(text: str, stem: bool = False) -> list[str]:
+def tokenize(text: str, stem: bool = False, camel: bool = True) -> list[str]:
     """Full build tokenizer: identifier split -> normalize -> [a-z0-9]+ runs.
 
     ASCII fast path does it in one findall (source code is ~all ASCII);
     rows with non-ASCII take the full camel-split -> NFKD -> extract
-    pipeline so ``café``/``Größe`` fold correctly."""
+    pipeline so ``café``/``Größe`` fold correctly.
+
+    ``camel=False`` disables identifier splitting — the tokenization then
+    equals the SQL-parity spec (``lower`` -> ``[a-z0-9]+`` runs,
+    :func:`simple_tokens` + unicode folding), which DuckDB/ANSI SQL can
+    reproduce exactly; the engine-path oracle entries build with it."""
     from index_spark.functions.porter import stem_word
 
     if text.isascii():
-        toks = [t.lower() for t in _FAST_RE.findall(text)]
+        if camel:
+            toks = [t.lower() for t in _FAST_RE.findall(text)]
+        else:
+            toks = _TOKEN_RE.findall(text.lower())
     else:
-        split = _CAMEL_RE.sub(" ", text)
+        split = _CAMEL_RE.sub(" ", text) if camel else text
         norm = normalize_text(split)
         toks = _TOKEN_RE.findall(norm)
     if stem:
@@ -127,7 +135,7 @@ _B_TOLOWER = np.arange(256, dtype=np.uint8)
 _B_TOLOWER[ord("A"): ord("Z") + 1] += 32
 
 
-def _prep_doc(s) -> str:
+def _prep_doc(s, camel: bool = True) -> str:
     """Normalize one document to an ascii-safe string whose byte-level
     tokenization equals ``tokenize(s)``.
 
@@ -142,44 +150,47 @@ def _prep_doc(s) -> str:
         s = "" if s is None else str(s)
     if s.isascii():
         return s.replace("\x00", " ") if "\x00" in s else s
-    out = normalize_text(_CAMEL_RE.sub(" ", s))
+    out = normalize_text(_CAMEL_RE.sub(" ", s) if camel else s)
     # NUL is the document joiner downstream; as a non-alnum separator the
     # swap to space is token-equivalent
     return out.replace("\x00", " ") if "\x00" in out else out
 
 
-def _token_spans(buf: np.ndarray, force_starts: np.ndarray | None = None):
+def _token_spans(buf: np.ndarray, force_starts: np.ndarray | None = None,
+                 camel: bool = True):
     """Token (start, length) spans + camelCase boundaries over a byte buf.
 
     Reproduces _FAST_RE: a token starts at i when alnum[i] and either
     (a) i==0 or not alnum[i-1], (b) upper[i] and lower-or-digit[i-1]
     (camel boundary), or (c) upper[i] and upper[i-1] and lower[i+1]
     (acronym -> Word boundary, e.g. HTTPServer -> HTTP|Server).
-    All masks are 0/1 uint8 bit arithmetic over one class-LUT gather."""
+    All masks are 0/1 uint8 bit arithmetic over one class-LUT gather.
+    ``camel=False`` keeps only rule (a) — the SQL-parity tokenizer."""
     cls = _B_CLS[buf]
     a = cls & 1
-    u = (cls >> 1) & 1
-    lo = (cls >> 2) & 1
-    ld = (cls >> 3) & 1
     prev = np.empty_like(cls)  # reused shift workspace
     start = np.empty_like(cls)
     # start = a & ~prev_a
     prev[0] = 0
     prev[1:] = a[:-1]
     np.subtract(1, prev, out=start)
-    # |= u & prev_ld
-    prev[1:] = ld[:-1]
-    start |= u & prev
-    # |= u & prev_u & next_lo
-    prev[1:] = u[:-1]
-    nxt = ld  # ld no longer needed; reuse as next_lo workspace
-    nxt[-1] = 0
-    nxt[:-1] = lo[1:]
-    if force_starts is not None and force_starts.size:
-        # a doc's last byte must not see the NEXT doc's first byte as
-        # lookahead (acronym rule would split "...ABC"|"d..." wrongly)
-        nxt[force_starts - 1] = 0
-    start |= u & prev & nxt
+    if camel:
+        u = (cls >> 1) & 1
+        lo = (cls >> 2) & 1
+        ld = (cls >> 3) & 1
+        # |= u & prev_ld
+        prev[1:] = ld[:-1]
+        start |= u & prev
+        # |= u & prev_u & next_lo
+        prev[1:] = u[:-1]
+        nxt = ld  # ld no longer needed; reuse as next_lo workspace
+        nxt[-1] = 0
+        nxt[:-1] = lo[1:]
+        if force_starts is not None and force_starts.size:
+            # a doc's last byte must not see the NEXT doc's first byte as
+            # lookahead (acronym rule would split "...ABC"|"d..." wrongly)
+            nxt[force_starts - 1] = 0
+        start |= u & prev & nxt
     start &= a
     if force_starts is not None and force_starts.size:
         # document boundaries in a separator-less stream: force a token
@@ -245,7 +256,47 @@ def _term_codes(buf_lower: np.ndarray, starts: np.ndarray,
     return np.array(vocab_parts, dtype=object), codes
 
 
-def term_counts_batch(texts, stem: bool = True):
+def _stem_vocab(vocab: np.ndarray, codes: np.ndarray):
+    """Stem the unique vocab once (Zipf dedup), remap token codes."""
+    from index_spark.functions.porter import stem_word
+
+    stemmed = np.array([stem_word(w) for w in vocab.tolist()], dtype=object)
+    vocab, smap = np.unique(stemmed, return_inverse=True)
+    return vocab, smap[codes]
+
+
+def _aggregate_counts(doc_of: np.ndarray, codes: np.ndarray,
+                      vocab: np.ndarray, lens: np.ndarray,
+                      positions: bool = False):
+    """(per-token doc/code) -> per-(doc, term) counts, optionally with the
+    flat occurrence-position stream.
+
+    With ``positions``: ``pos`` holds, for each output (doc, term) pair in
+    order, that pair's token ordinals within the document, ascending,
+    concatenated (``count`` gives the per-pair lengths). Valid because
+    every document's tokens form ONE contiguous run of the stream in
+    appearance order, so a stable sort by (doc, term) keeps positions
+    ascending within each pair.
+    """
+    v = np.int64(vocab.size)
+    key = doc_of * v + codes
+    if not positions:
+        uk, cnt = np.unique(key, return_counts=True)
+        return (vocab, (uk // v).astype(np.int64),
+                (uk % v).astype(np.int64), cnt.astype(np.int64), lens)
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    gs = np.concatenate(([0], np.flatnonzero(np.diff(ks)) + 1))
+    uk = ks[gs]
+    cnt = np.diff(np.concatenate((gs, [ks.size]))).astype(np.int64)
+    runs = np.concatenate(([0], np.flatnonzero(np.diff(doc_of) != 0) + 1))
+    run_of = np.searchsorted(runs, np.arange(doc_of.size), side="right") - 1
+    tok_pos = np.arange(doc_of.size, dtype=np.int64) - runs[run_of]
+    return (vocab, (uk // v).astype(np.int64), (uk % v).astype(np.int64),
+            cnt, lens, tok_pos[order])
+
+
+def term_counts_batch(texts, stem: bool = True, camel: bool = True):
     """Batch kernel: documents -> (vocab, doc_idx, term_code, count, lens).
 
     The build's fused tokenize+count stage, fully vectorized:
@@ -254,8 +305,8 @@ def term_counts_batch(texts, stem: bool = True):
         with the term frequency; term_code indexes ``vocab``
       - ``lens``: per-document token counts (BM25 doc_len)
 
-    Token/stem semantics are byte-identical to ``tokenize(text, stem)``
-    (property-tested); documents may be None/non-ascii/NUL-bearing.
+    Token/stem semantics are byte-identical to ``tokenize(text, stem,
+    camel)`` (property-tested); documents may be None/non-ascii/NUL-bearing.
     """
     n = len(texts)
     lens = np.zeros(n, dtype=np.int64)
@@ -263,9 +314,9 @@ def term_counts_batch(texts, stem: bool = True):
              np.empty(0, np.int64), np.empty(0, np.int64), lens)
     if n == 0:
         return empty
-    joined = "\x00".join(_prep_doc(t) for t in texts)
+    joined = "\x00".join(_prep_doc(t, camel=camel) for t in texts)
     buf = np.frombuffer(joined.encode("ascii", "replace"), dtype=np.uint8)
-    starts, tok_len = _token_spans(buf)
+    starts, tok_len = _token_spans(buf, camel=camel)
     if starts.size == 0:
         return empty
     sep_idx = np.flatnonzero(buf == 0)
@@ -273,20 +324,13 @@ def term_counts_batch(texts, stem: bool = True):
     lens = np.bincount(doc_of, minlength=n).astype(np.int64)
     vocab, codes = _term_codes(_B_TOLOWER[buf], starts, tok_len)
     if stem and vocab.size:
-        from index_spark.functions.porter import stem_word
-
-        stemmed = np.array([stem_word(w) for w in vocab.tolist()],
-                           dtype=object)
-        vocab, smap = np.unique(stemmed, return_inverse=True)
-        codes = smap[codes]
-    key = doc_of * np.int64(vocab.size) + codes
-    uk, cnt = np.unique(key, return_counts=True)
-    return (vocab, (uk // vocab.size).astype(np.int64),
-            (uk % vocab.size).astype(np.int64), cnt.astype(np.int64), lens)
+        vocab, codes = _stem_vocab(vocab, codes)
+    return _aggregate_counts(doc_of, codes, vocab, lens)
 
 
 def term_counts_stream(buf: np.ndarray, bounds: np.ndarray,
-                       stem: bool = True):
+                       stem: bool = True, camel: bool = True,
+                       positions: bool = False):
     """Like :func:`term_counts_batch`, but over a raw UTF-8 byte stream —
     the zero-copy Arrow path.
 
@@ -298,11 +342,17 @@ def term_counts_stream(buf: np.ndarray, bounds: np.ndarray,
     vectorized, zeroed out of the stream, and re-appended through the
     normalizing python path — semantics stay byte-identical to
     ``tokenize``.
+
+    ``positions=True`` appends a 6th element: the flat occurrence-
+    position stream (see :func:`_aggregate_counts`) powering
+    phrase/proximity postings.
     """
     n = bounds.size - 1
     zero_lens = np.zeros(n, dtype=np.int64)
     empty = (np.empty(0, dtype=object), np.empty(0, np.int64),
              np.empty(0, np.int64), np.empty(0, np.int64), zero_lens)
+    if positions:
+        empty = empty + (np.empty(0, np.int64),)
     if n == 0 or buf.size == 0:
         return empty
     bad_pos = np.flatnonzero((buf >= 0x80) | (buf == 0))
@@ -317,14 +367,15 @@ def term_counts_stream(buf: np.ndarray, bounds: np.ndarray,
             fb_texts.append(bytes(buf[lo:hi]).decode("utf-8", "replace"))
             work[lo:hi] = 0
         fb_buf = np.frombuffer(
-            ("\x00".join(_prep_doc(t) for t in fb_texts))
+            ("\x00".join(_prep_doc(t, camel=camel) for t in fb_texts))
             .encode("ascii", "replace"), dtype=np.uint8)
         full = np.concatenate([work, np.zeros(1, dtype=np.uint8), fb_buf])
     else:
         bad_docs = None
         full = buf
     force = bounds[1:-1][(bounds[1:-1] > 0) & (bounds[1:-1] < main_len)]
-    starts, tok_len = _token_spans(full, force_starts=force.astype(np.int64))
+    starts, tok_len = _token_spans(full, force_starts=force.astype(np.int64),
+                                   camel=camel)
     if starts.size == 0:
         return empty
     if bad_docs is None:
@@ -340,16 +391,8 @@ def term_counts_stream(buf: np.ndarray, bounds: np.ndarray,
     lens = np.bincount(doc_of, minlength=n).astype(np.int64)
     vocab, codes = _term_codes(_B_TOLOWER[full], starts, tok_len)
     if stem and vocab.size:
-        from index_spark.functions.porter import stem_word
-
-        stemmed = np.array([stem_word(w) for w in vocab.tolist()],
-                           dtype=object)
-        vocab, smap = np.unique(stemmed, return_inverse=True)
-        codes = smap[codes]
-    key = doc_of * np.int64(vocab.size) + codes
-    uk, cnt = np.unique(key, return_counts=True)
-    return (vocab, (uk // vocab.size).astype(np.int64),
-            (uk % vocab.size).astype(np.int64), cnt.astype(np.int64), lens)
+        vocab, codes = _stem_vocab(vocab, codes)
+    return _aggregate_counts(doc_of, codes, vocab, lens, positions=positions)
 
 
 def simple_tokens(text: str) -> list[str]:

@@ -71,6 +71,7 @@ INDEX_SCHEMA = T.StructType([
     T.StructField("doc_blob", T.BinaryType(), False),
     T.StructField("tf_blob", T.BinaryType(), False),
     T.StructField("dl_blob", T.BinaryType(), False),
+    T.StructField("pos_blob", T.BinaryType(), False),
     T.StructField("skips", T.ArrayType(
         T.StructType([
             T.StructField("idx", T.LongType(), False),
@@ -277,7 +278,7 @@ _COUNTS_SCHEMA = T.StructType([
 
 
 def doc_term_counts(corpus_with_ids: DataFrame, stem: bool = True,
-                    text_col: str = "content") -> DataFrame:
+                    text_col: str = "content", camel: bool = True) -> DataFrame:
     """Fused tokenize + per-doc term counting in ONE Arrow pass.
 
     Emits (doc_id, term, tf, doc_len) — already aggregated per document,
@@ -296,7 +297,7 @@ def doc_term_counts(corpus_with_ids: DataFrame, stem: bool = True,
         n = len(pdf)
         doc_ids = pdf["doc_id"].to_numpy()
         vocab, d, t, cnt, lens = term_counts_batch(pdf[text_col].tolist(),
-                                                   stem=stem)
+                                                   stem=stem, camel=camel)
         out = pd.DataFrame({
             "doc_id": doc_ids[d],
             "term": vocab[t] if vocab.size else np.empty(0, dtype=object),
@@ -383,6 +384,7 @@ def _blob_rows(terms_sorted: np.ndarray, tc: np.ndarray, docs: np.ndarray,
         "doc_blob": doc_blobs,
         "tf_blob": tf_blobs,
         "dl_blob": dl_blobs,
+        "pos_blob": [b""] * n_terms,  # positions ride the fused path only
         "skips": skips_col,
         "blocks": blocks_col,
         "max_tf": core["max_tf_g"],
@@ -533,7 +535,7 @@ def _pa_index_schema():
         ("term", pa.string()), ("shard", pa.int64()), ("df", pa.int64()),
         ("cf", pa.int64()), ("first_doc", pa.int64()), ("last_doc", pa.int64()),
         ("doc_blob", pa.binary()), ("tf_blob", pa.binary()),
-        ("dl_blob", pa.binary()),
+        ("dl_blob", pa.binary()), ("pos_blob", pa.binary()),
         ("skips", pa.list_(pa.struct([("idx", pa.int64()),
                                       ("doc", pa.int64())]))),
         ("blocks", pa.list_(pa.struct([("start", pa.int64()),
@@ -545,7 +547,8 @@ def _pa_index_schema():
 
 
 def _shard_record_batch(doc_ids: np.ndarray, buf: np.ndarray,
-                        bounds: np.ndarray, stem: bool, shard: int):
+                        bounds: np.ndarray, stem: bool, shard: int,
+                        camel: bool = True, positions: bool = False):
     """Arrow-native fused kernel: one shard's raw UTF-8 stream -> index
     RecordBatch, zero-copy on every hot column.
 
@@ -554,16 +557,31 @@ def _shard_record_batch(doc_ids: np.ndarray, buf: np.ndarray,
     are BinaryArrays whose offsets slice the single varbyte stream
     in place, and skips/blocks are ListArrays assembled from numpy
     offset/child arrays — no per-row Python objects anywhere.
+
+    ``positions=True`` additionally emits ``pos_blob``: per posting, the
+    varbyte deltas of the term's occurrence ordinals within the document
+    (first absolute; tf values per posting) — the per-doc re-expression
+    of the reference's position postings (index.h:215-224; per-doc rather
+    than chunk-global positions so shards stay independently mergeable,
+    SURVEY.md §7). Phrase/proximity queries decode it shard-locally.
     """
     import pyarrow as pa
 
     from index_spark.functions.text import term_counts_stream
 
     n = len(doc_ids)
-    vocab, d, t, cnt, lens = term_counts_stream(buf, bounds, stem=stem)
+    if positions:
+        vocab, d, t, cnt, lens, pos = term_counts_stream(
+            buf, bounds, stem=stem, camel=camel, positions=True)
+    else:
+        vocab, d, t, cnt, lens = term_counts_stream(
+            buf, bounds, stem=stem, camel=camel)
+        pos = None
+    n_real = cnt.size
     terms_all = np.concatenate([vocab, np.array([DOC_MARKER], dtype=object)])
     t = np.concatenate([t, np.full(n, vocab.size, np.int64)])
     d = np.concatenate([d, np.arange(n, dtype=np.int64)])
+    pos_cnt = np.concatenate([cnt, np.zeros(n, np.int64)])  # '%' has no pos
     cnt = np.concatenate([cnt, lens])  # '%': tf := doc_len
     # emit rows sorted by TERM STRING (not first-appearance code): the
     # sorted-at-rest analog of the reference's dict.Optimize
@@ -580,6 +598,33 @@ def _shard_record_batch(doc_ids: np.ndarray, buf: np.ndarray,
     starts, ends = core["starts"], core["ends"]
     n_terms = starts.size
     term_of_group = terms_all[tc[starts]]
+
+    if pos is not None:
+        # delta-encode the flat position stream per posting (first value
+        # absolute), ONE varbyte encode for the whole shard, then a
+        # vectorized ragged gather to permute per-posting byte ranges
+        # into the term-sorted posting order
+        seg = np.concatenate(([0], np.cumsum(pos_cnt[:n_real])))
+        deltas = pos.copy()
+        deltas[1:] -= pos[:-1]
+        deltas[seg[:-1]] = pos[seg[:-1]]
+        plens = vb.encoded_lengths(deltas.astype(np.uint64))
+        pair_bytes = np.zeros(pos_cnt.size, dtype=np.int64)
+        if n_real:
+            pair_bytes[:n_real] = np.add.reduceat(plens, seg[:-1]) \
+                if plens.size else 0
+        pb = np.frombuffer(vb.encode(deltas.astype(np.uint64)), np.uint8)
+        pair_off = np.concatenate(([0], np.cumsum(pair_bytes)))
+        sel_len = pair_bytes[order]
+        src = pair_off[:-1][order]
+        tgt_off = np.concatenate(([0], np.cumsum(sel_len)))
+        out_idx = np.repeat(src - tgt_off[:-1], sel_len) \
+            + np.arange(int(tgt_off[-1]), dtype=np.int64)
+        pos_stream = pb[out_idx]
+        pos_cum = tgt_off
+    else:
+        pos_stream = np.empty(0, np.uint8)
+        pos_cum = np.zeros(tc.size + 1, dtype=np.int64)
 
     def bin_arr(data: bytes, cum: np.ndarray):
         if int(cum[ends[-1]]) > np.iinfo(np.int32).max:
@@ -613,6 +658,7 @@ def _shard_record_batch(doc_ids: np.ndarray, buf: np.ndarray,
         bin_arr(core["doc_bytes"], core["doc_cum"]),
         bin_arr(core["tf_bytes"], core["tf_cum"]),
         bin_arr(core["dl_bytes"], core["dl_cum"]),
+        bin_arr(pos_stream, pos_cum),
         list_arr(core["sk_counts"], [core["sk_local"], core["sk_doc"]],
                  ["idx", "doc"]),
         list_arr(core["nb_g"],
@@ -627,7 +673,8 @@ def _shard_record_batch(doc_ids: np.ndarray, buf: np.ndarray,
 
 def build_partition_index(with_ids: DataFrame, stem: bool = True,
                           shard_size: int = DEFAULT_SHARD_SIZE,
-                          text_col: str = "content") -> DataFrame:
+                          text_col: str = "content", camel: bool = True,
+                          positions: bool = False) -> DataFrame:
     """Zero-shuffle build: contiguous-doc_id partitions -> blob rows.
 
     Requires the ``assign_doc_ids`` invariant: within every partition,
@@ -646,14 +693,16 @@ def build_partition_index(with_ids: DataFrame, stem: bool = True,
     """
     def fn(batches):
         pairs = ((rb.column(0).to_numpy(), rb.column(1)) for rb in batches)
-        yield from _fused_shard_stream(pairs, stem, shard_size)
+        yield from _fused_shard_stream(pairs, stem, shard_size,
+                                       camel=camel, positions=positions)
 
     return with_ids.select(
         "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     ).mapInArrow(fn, schema=INDEX_SCHEMA)
 
 
-def _fused_shard_stream(pairs, stem: bool, shard_size: int):
+def _fused_shard_stream(pairs, stem: bool, shard_size: int,
+                        camel: bool = True, positions: bool = False):
     """Shared shard-cutting generator: (doc_ids ndarray, Arrow string
     column) pairs -> index RecordBatches, one-or-more per shard."""
     cur: int | None = None
@@ -671,7 +720,8 @@ def _fused_shard_stream(pairs, stem: bool, shard_size: int):
             parts.append(b[1:] + total)
             total += int(b[-1])
         bounds = np.concatenate(parts)
-        return _shard_record_batch(ids, data, bounds, stem, shard)
+        return _shard_record_batch(ids, data, bounds, stem, shard,
+                                   camel=camel, positions=positions)
 
     import pyarrow as pa
 
@@ -730,7 +780,8 @@ def _fused_shard_stream(pairs, stem: bool, shard_size: int):
 
 def _build_bucketed(parted: DataFrame, offsets: dict, counts: dict,
                     stem: bool, shard_size: int,
-                    text_col: str = "content") -> DataFrame:
+                    text_col: str = "content", camel: bool = True,
+                    positions: bool = False) -> DataFrame:
     """Fully fused build over a bucket-partitioned corpus: doc_id
     assignment happens INSIDE the Arrow kernel (from the int32 bucket
     column + offsets), so document content crosses the JVM->Python
@@ -745,7 +796,8 @@ def _build_bucketed(parted: DataFrame, offsets: dict, counts: dict,
                 yield _run_ids(rb.column(0).to_numpy(), offsets, seen), \
                     rb.column(1)
 
-        yield from _fused_shard_stream(pairs(), stem, shard_size)
+        yield from _fused_shard_stream(pairs(), stem, shard_size,
+                                       camel=camel, positions=positions)
         _verify_seen(seen, counts)
 
     return parted.select(
@@ -784,7 +836,8 @@ def doclens_from_index(index: DataFrame) -> DataFrame:
 
 
 def build_index(corpus: DataFrame, stem: bool = True,
-                shard_size: int = DEFAULT_SHARD_SIZE, fused: bool = True):
+                shard_size: int = DEFAULT_SHARD_SIZE, fused: bool = True,
+                camel: bool = True, positions: bool = False):
     """Full build: corpus -> (docs_df, index_df, stats).
 
     Fused plan (default; the scale path):
@@ -811,7 +864,8 @@ def build_index(corpus: DataFrame, stem: bool = True,
                 T.StructField("doc_len", T.LongType(), True)])
             return (spark.createDataFrame([], docs_schema), empty_idx,
                     {"n_docs": 0, "avgdl": 0.0, "total_tokens": 0})
-        index = _build_bucketed(parted, offsets, counts, stem, shard_size)
+        index = _build_bucketed(parted, offsets, counts, stem, shard_size,
+                                camel=camel, positions=positions)
         index = index.persist()
         stats = stats_from_index(index)
         # docs dimension reuses the SAME bucketing (parted/offsets/counts)
@@ -822,8 +876,10 @@ def build_index(corpus: DataFrame, stem: bool = True,
         docs = keys_with_ids.join(doclens_from_index(index), "doc_id", "left")
         index._build_caches = [index]
         return docs, index, stats
+    if positions:
+        raise ValueError("positions requires the fused build path")
     with_ids = assign_doc_ids(corpus)
-    counts = doc_term_counts(with_ids, stem=stem).persist()
+    counts = doc_term_counts(with_ids, stem=stem, camel=camel).persist()
     doclens = doc_lengths(counts)
     stats = stats_from_doclens(doclens)
     index = build_sharded_index(counts, shard_size=shard_size)

@@ -34,6 +34,7 @@ MERGED_SCHEMA = T.StructType([
     T.StructField("doc_blob", T.BinaryType(), False),
     T.StructField("tf_blob", T.BinaryType(), False),
     T.StructField("dl_blob", T.BinaryType(), False),
+    T.StructField("pos_blob", T.BinaryType(), False),
     T.StructField("skips", T.ArrayType(
         T.StructType([
             T.StructField("idx", T.LongType(), False),
@@ -59,6 +60,7 @@ def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
     doc_parts: list[bytes] = []
     tf_parts: list[bytes] = []
     dl_parts: list[bytes] = []
+    pos_parts: list[bytes] = []
     skips: list[tuple[int, int]] = []
     blocks: list[tuple[int, int, int, float]] = []
     prev_last = 0
@@ -76,6 +78,8 @@ def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
             doc_parts.append(patched + blob[consumed:])
         tf_parts.append(bytes(row.tf_blob))
         dl_parts.append(bytes(row.dl_blob))
+        # positions are doc-local deltas — concatenation needs no patch
+        pos_parts.append(bytes(getattr(row, "pos_blob", b"") or b""))
         skips.extend((int(s["idx"]) + idx_shift, int(s["doc"])) for s in row.skips)
         blocks.extend(
             (int(b["start"]) + idx_shift, int(b["last_doc"]),
@@ -103,6 +107,7 @@ def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
         "doc_blob": b"".join(doc_parts),
         "tf_blob": b"".join(tf_parts),
         "dl_blob": b"".join(dl_parts),
+        "pos_blob": b"".join(pos_parts),
         "skips": [(int(i), int(d)) for i, d in skips],
         "blocks": blocks,
         "max_tf": int(pdf["max_tf"].max()),

@@ -1,0 +1,130 @@
+"""Exact phrase search over a positions-carrying index.
+
+The reference's core data model is *position* postings (each Post is a
+position delta, /root/reference/index.h:215-224, index.cpp:181-185) —
+the thing they exist for is phrase/proximity matching. Our index stores
+per-document occurrence ordinals (pos_blob, built with
+``build_index(..., positions=True)``; per-doc rather than chunk-global
+so range shards stay independently mergeable, SURVEY.md §7).
+
+Query semantics: a phrase of terms t0..tm-1 matches at document position
+p iff t_i occurs at p+i for every i. Result = (doc_id, n_matches) for
+docs with >= 1 match, ranked by n_matches desc, doc_id asc.
+
+Distributed shape — identical to the BM25 path (operators/query.py):
+
+  index.filter(term IN phrase_terms)     # term-pruned columnar scan
+    -> groupBy('shard') -> per-shard position-intersection kernel
+    -> orderBy(n_matches desc, doc_id asc).limit(k)   # TakeOrdered
+
+One exchange of a few pruned rows; each shard kernel is vectorized
+numpy: occurrences become sorted (doc, pos-i) int64 keys and the phrase
+match set is an m-way sorted-array intersection — never a per-document
+Python loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from index_spark.functions import varbyte as vb
+from index_spark.functions.text import tokenize
+
+PHRASE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("n_matches", T.LongType(), False),
+])
+
+
+def decode_positions(tf_blob: bytes, pos_blob: bytes) -> np.ndarray:
+    """pos_blob (per-posting first-absolute deltas) -> flat absolute
+    occurrence ordinals, segmented by the tf values (vectorized
+    segmented cumsum)."""
+    tfs = vb.decode(tf_blob).astype(np.int64)
+    deltas = vb.decode(pos_blob).astype(np.int64)
+    if deltas.size != int(tfs.sum()):
+        raise ValueError(
+            "pos_blob length mismatch — was the index built with "
+            "positions=True?")
+    if deltas.size == 0:
+        return deltas
+    seg = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    c = np.cumsum(deltas)
+    base = c[seg] - deltas[seg]
+    return c - np.repeat(base, tfs)
+
+
+def _term_occurrences(rows) -> tuple[np.ndarray, np.ndarray]:
+    """One term's shard rows (>=1 disjoint doc sub-ranges) ->
+    (doc per occurrence, position per occurrence), (doc, pos)-sorted."""
+    rows = sorted(rows, key=lambda r: r.first_doc)
+    doc_l, pos_l = [], []
+    for r in rows:
+        docs = np.cumsum(vb.decode(r.doc_blob).astype(np.int64))
+        tfs = vb.decode(r.tf_blob).astype(np.int64)
+        doc_l.append(np.repeat(docs, tfs))
+        pos_l.append(decode_positions(r.tf_blob, r.pos_blob))
+    return np.concatenate(doc_l), np.concatenate(pos_l)
+
+
+def _phrase_shard(pdf: pd.DataFrame, qterms: list[str]) -> pd.DataFrame:
+    """Vectorized m-way phrase intersection over one shard's rows."""
+    empty = pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                          "n_matches": np.empty(0, np.int64)})
+    groups: dict[str, list] = {}
+    for r in pdf.itertuples(index=False):
+        groups.setdefault(r.term, []).append(r)
+    if any(t not in groups for t in qterms):
+        return empty  # a missing term in this doc range -> no match
+    decoded = {t: _term_occurrences(rs) for t, rs in groups.items()}
+
+    # shard-local composite keys (doc - doc_min) * pos_cap + (pos - i):
+    # fits int64 because the doc range is shard-bounded and positions are
+    # bounded by the shard's max doc length
+    doc_min = min(int(d.min()) for d, _ in decoded.values())
+    pos_cap = max(int(p.max()) for _, p in decoded.values()) + len(qterms) + 2
+
+    keys: np.ndarray | None = None
+    for i, t in enumerate(qterms):
+        docs, pos = decoded[t]
+        adj = pos - i
+        ok = adj >= 0
+        k = (docs[ok] - doc_min) * pos_cap + adj[ok]
+        keys = k if keys is None else np.intersect1d(keys, k,
+                                                     assume_unique=True)
+        if keys.size == 0:
+            return empty
+    match_docs = keys // pos_cap + doc_min
+    ud, cnt = np.unique(match_docs, return_counts=True)
+    return pd.DataFrame({"doc_id": ud.astype(np.int64),
+                         "n_matches": cnt.astype(np.int64)})
+
+
+def phrase_search(index: DataFrame, stats: dict | None, phrase: str,
+                  k: int = 10, stem: bool = True,
+                  camel: bool = True) -> DataFrame:
+    """Top-k exact-phrase matches: (doc_id, n_matches).
+
+    ``stats`` is accepted for API symmetry with ``search`` and unused
+    (phrase ranking is pure occurrence count). The query tokenizer must
+    match the build's (same ``stem``/``camel``) or positions won't align.
+    """
+    spark = index.sparkSession
+    qterms = tokenize(phrase, stem=stem, camel=camel)
+    if not qterms:
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    hits = index.filter(F.col("term").isin(sorted(set(qterms))))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _phrase_shard(pdf, qterms)
+        if len(out) > k:  # local prune is exact: shards partition docs
+            out = out.sort_values(["n_matches", "doc_id"],
+                                  ascending=[False, True]).head(k)
+        return out
+
+    local = hits.groupBy("shard").applyInPandas(fn, schema=PHRASE_SCHEMA)
+    return local.orderBy(F.desc("n_matches"), F.asc("doc_id")).limit(k)

@@ -193,7 +193,7 @@ AUTO_WAND_MIN_POSTINGS = 200_000
 
 def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
            k: int = 10, stem: bool = True, use_wand: bool | str = "auto",
-           shard_size: int = 4096) -> DataFrame:
+           shard_size: int = 4096, camel: bool = True) -> DataFrame:
     """Top-k BM25 over the sharded index. Returns (doc_id, score).
 
     ``use_wand``: True (always WAND), False (always exhaustive), or
@@ -205,7 +205,7 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
     the index (dl_blob); ``shard_size`` likewise (shard ids are stored).
     """
     spark = index.sparkSession
-    qterms = sorted(set(tokenize(query, stem=stem)))
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
     if not qterms:
         return spark.createDataFrame([], TOPK_SCHEMA)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
@@ -259,10 +259,11 @@ class QueryEngine:
     """
 
     def __init__(self, index: DataFrame, stats: dict, stem: bool = True,
-                 use_wand: bool | str = "auto"):
+                 use_wand: bool | str = "auto", camel: bool = True):
         self.index = index
         self.stats = stats
         self.stem = stem
+        self.camel = camel
         self.use_wand = use_wand
         self._df_cache: dict[str, int] = {}
 
@@ -281,7 +282,7 @@ class QueryEngine:
         """Prefetch stats for a query set in one job."""
         terms: set[str] = set()
         for q in queries:
-            terms.update(tokenize(q, stem=self.stem))
+            terms.update(tokenize(q, stem=self.stem, camel=self.camel))
         self._ensure_stats(sorted(terms))
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
@@ -294,7 +295,8 @@ class QueryEngine:
         """The query's top-k plan as a DataFrame (None for empty/unknown
         queries) — collect() yields exactly k rows via the distributed
         TakeOrderedAndProject merge."""
-        qterms = sorted(set(tokenize(query, stem=self.stem)))
+        qterms = sorted(set(tokenize(query, stem=self.stem,
+                                     camel=self.camel)))
         if not qterms:
             return None
         self._ensure_stats(qterms)

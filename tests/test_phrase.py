@@ -1,0 +1,137 @@
+"""Phrase search + position postings: kernel properties, engine vs naive
+oracle, merge passthrough."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from index_spark.functions.text import (
+    term_counts_stream, tokenize, simple_tokens)
+
+
+def _stream(texts):
+    raw = "".join(texts).encode()
+    bounds = np.cumsum([0] + [len(t.encode()) for t in texts]).astype(np.int64)
+    return np.frombuffer(raw, np.uint8), bounds
+
+
+def test_stream_positions_match_naive():
+    """term_counts_stream(positions=True) positions == the naive
+    per-document enumerate() of the same tokenizer."""
+    texts = ["the quick fox the quick", "fox fox fox", "a b a b a",
+             "singleword", ""]
+    buf, bounds = _stream(texts)
+    vocab, d, t, cnt, lens, pos = term_counts_stream(
+        buf, bounds, stem=False, positions=True)
+    got = {}
+    off = 0
+    for di, ti, c in zip(d, t, cnt):
+        got[(int(di), vocab[ti])] = list(pos[off: off + c])
+        off += c
+    for di, text in enumerate(texts):
+        naive = {}
+        for p, tok in enumerate(tokenize(text, stem=False)):
+            naive.setdefault(tok, []).append(p)
+        for tok, plist in naive.items():
+            assert got[(di, tok)] == plist, (di, tok)
+
+
+def test_camel_false_equals_simple_tokens():
+    """camel=False tokenization == the SQL-parity tokenizer, including on
+    text the camel tokenizer would split differently."""
+    texts = ["FooBar HTTPServer x1y2", "don't stop-me now", "ABCdef"]
+    for t in texts:
+        assert tokenize(t, stem=False, camel=False) == simple_tokens(t), t
+    # the flag actually changes behavior where camelCase exists
+    assert tokenize("FooBar", stem=False, camel=True) == ["foo", "bar"]
+    assert tokenize("FooBar", stem=False, camel=False) == ["foobar"]
+
+
+@pytest.fixture(scope="module")
+def phrase_corpus(spark):
+    texts = [
+        "big data table scan big data table",
+        "data table data table data table",
+        "table data table data",
+        "data and table apart data x table",
+        "no relevant words here at all",
+        "data table",
+    ]
+    rows = [("r", f"{i:04d}", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["repo", "path", "content"])
+    return texts, df
+
+
+@pytest.fixture(scope="module")
+def phrase_index(spark, phrase_corpus):
+    from index_spark.operators.build import build_index
+
+    _, df = phrase_corpus
+    docs, index, stats = build_index(df, stem=False, positions=True,
+                                     shard_size=4)
+    return index.persist(), stats
+
+
+def _naive_phrase(texts, phrase, k=10):
+    terms = phrase.split()
+    out = []
+    for i, t in enumerate(texts):
+        toks = tokenize(t, stem=False)
+        n = sum(
+            1 for p in range(len(toks) - len(terms) + 1)
+            if toks[p: p + len(terms)] == terms)
+        if n:
+            out.append((i, n))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def test_phrase_engine_vs_naive(phrase_index, phrase_corpus):
+    from index_spark.operators.phrase import phrase_search
+
+    texts, _ = phrase_corpus
+    index, stats = phrase_index
+    for phrase in ["data table", "big data table", "data table data",
+                   "table data", "absent phrase"]:
+        got = [(r["doc_id"], r["n_matches"])
+               for r in phrase_search(index, stats, phrase,
+                                      stem=False).collect()]
+        assert got == _naive_phrase(texts, phrase), phrase
+
+
+def test_single_term_phrase_is_tf(phrase_index, phrase_corpus):
+    from index_spark.operators.phrase import phrase_search
+
+    texts, _ = phrase_corpus
+    index, stats = phrase_index
+    got = dict(
+        (r["doc_id"], r["n_matches"])
+        for r in phrase_search(index, stats, "data", stem=False).collect())
+    for i, t in enumerate(texts):
+        tf = tokenize(t, stem=False).count("data")
+        if tf:
+            assert got[i] == tf
+
+
+def test_positions_survive_merge(phrase_index, phrase_corpus):
+    """merge_shards concatenates pos blobs; decoded per-doc positions must
+    be identical to the sharded index's."""
+    from index_spark.operators.merge import merge_shards
+    from index_spark.operators.phrase import decode_positions
+
+    texts, _ = phrase_corpus
+    index, _ = phrase_index
+    merged = merge_shards(index)
+    row = merged.where(F.col("term") == "data").collect()[0]
+    import index_spark.functions.varbyte as vb
+
+    docs = np.cumsum(vb.decode(row["doc_blob"]).astype(np.int64))
+    tfs = vb.decode(row["tf_blob"]).astype(np.int64)
+    pos = decode_positions(row["tf_blob"], row["pos_blob"])
+    off = 0
+    for doc, tf in zip(docs, tfs):
+        expected = [p for p, tok in enumerate(tokenize(texts[doc], stem=False))
+                    if tok == "data"]
+        assert list(pos[off: off + tf]) == expected, doc
+        off += tf
