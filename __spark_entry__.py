@@ -412,33 +412,143 @@ def _docs_pair(body: str, extra: list[str] | None = None,
     return _sql_query(["documents"], spark_sql), duck_sql
 
 
-def _spark_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Rows-only entries exercising the binary-blob engine + UDF kernels."""
+def _parity_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as an engine corpus whose deterministic (repo, path) rank
+    EQUALS the original doc_id (doc_ids are dense 0..N-1 and the
+    zero-padded path preserves numeric order), so engine results join the
+    DuckDB oracle on doc_id directly."""
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.lit("corpus").alias("repo"),
+                F.format_string("doc%08d", F.col("doc_id")).alias("path"),
+                F.col("text").alias("content"))
+    )
 
-    def _docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return (
-            spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .select(F.col("source").alias("repo"),
-                    F.format_string("doc%08d", F.col("doc_id")).alias("path"),
-                    F.col("text").alias("content"))
-        )
 
+# engine-path entries WITH DuckDB oracles: built with stem=False +
+# camel=False so the engine tokenizer is exactly the SQL-parity spec
+# (lower -> [a-z0-9]+ runs) that the oracle CTEs reproduce
+def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.build import build_index
         from index_spark.operators.query import search
 
-        corpus = _docs_as_corpus(spark, sf_dir)
-        docs, index, stats = build_index(corpus, stem=True, shard_size=256)
-        docs, index = docs.persist(), index.persist()
-        return search(index, docs, stats, "data table query", k=10,
-                      use_wand=True, shard_size=256)
+        corpus = _parity_corpus(spark, sf_dir)
+        docs, index, stats = build_index(corpus, stem=False, camel=False,
+                                         shard_size=256)
+        index = index.persist()
+        top = search(index, docs, stats, "data table query", k=10,
+                     use_wand=True, stem=False, camel=False, shard_size=256)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    def phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.build import build_index
+        from index_spark.operators.phrase import phrase_search
+
+        corpus = _parity_corpus(spark, sf_dir)
+        _, index, stats = build_index(corpus, stem=False, camel=False,
+                                      positions=True, shard_size=256)
+        index = index.persist()
+        return phrase_search(index, stats, "data table", k=10,
+                             stem=False, camel=False)
 
     def index_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from index_spark.operators.build import build_index
+        from index_spark.operators.build import DOC_MARKER, build_index
 
-        corpus = _docs_as_corpus(spark, sf_dir)
-        _, index, _ = build_index(corpus, stem=True, shard_size=256)
-        return index.select("term", "shard", "df", "cf", "first_doc", "last_doc")
+        corpus = _parity_corpus(spark, sf_dir)
+        _, index, _ = build_index(corpus, stem=False, camel=False,
+                                  shard_size=256)
+        # a shard split at a partition boundary yields sub-range rows;
+        # aggregate to one row per (term, shard) for the relational view
+        return (index.filter(F.col("term") != DOC_MARKER)
+                .groupBy("term", "shard")
+                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"),
+                     F.min("first_doc").alias("first_doc"),
+                     F.max("last_doc").alias("last_doc")))
+
+    def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.similarity import (
+            assign_buckets, ivf_topk, train_centroids)
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        cents = train_centroids(emb, n_buckets=8)
+        bucketed = assign_buckets(emb, cents)
+        # nprobe == n_buckets: every bucket probed -> exact cosine top-k,
+        # value-checkable against SQL (bench exercises pruned nprobe)
+        return ivf_topk(bucketed, cents, list(qvec), k=10, nprobe=8)
+
+    def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.multimodal import extract_features
+
+        media = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").alias("media_id"),
+                    F.element_at(
+                        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                        (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+                    F.encode("text", "utf-8").alias("payload"))
+        )
+        return extract_features(media).select(
+            "media_id", "kind", "n_bytes", "payload_sha256")
+
+    return {
+        "wand_topk": wand_topk,
+        "phrase_topk": phrase_topk,
+        "index_shard_stats": index_shard_stats,
+        "ivf_topk": ivf_topk_q,
+        "media_features": media_features,
+    }
+
+
+_ORACLE_WAND_TOPK = """
+, top AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
+
+_ORACLE_PHRASE_TOPK_DUCK = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos FROM toks
+), m AS (
+  SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM pos p0 JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+  WHERE p0.term = 'data' AND p1.term = 'table'
+  GROUP BY p0.doc_id
+)
+SELECT doc_id, n_matches FROM m ORDER BY n_matches DESC, doc_id ASC LIMIT 10"""
+
+_ORACLE_SHARD_STATS = """
+SELECT term, CAST(doc_id // 256 AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM tf GROUP BY term, doc_id // 256"""
+
+_ORACLE_IVF_TOPK_DUCK = """
+WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT e.vec_id,
+         round(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], qv.q::DOUBLE[]), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+                  * sqrt(list_sum(list_transform(qv.q::DOUBLE[], x -> x * x)))), 4) AS cos
+  FROM embeddings e CROSS JOIN qv
+)
+SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+_ORACLE_MEDIA_DUCK = """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha256
+FROM documents"""
+
+
+def _spark_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Rows-only entries: custom-hash kernels (FNV MinHash / blake2b
+    SimHash signatures) are not SQL-expressible — pytest pins them against
+    reference-semantics oracles instead."""
 
     def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.dedup import minhash_near_dup_pairs
@@ -452,29 +562,9 @@ def _spark_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return simhash_near_dup_pairs(docs, max_hamming=3)
 
-    def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from index_spark.operators.similarity import assign_buckets, ivf_topk, train_centroids
-
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-        cents = train_centroids(emb, n_buckets=8)
-        bucketed = assign_buckets(emb, cents)
-        return ivf_topk(bucketed, cents, list(qvec), k=10, nprobe=3)
-
-    def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from index_spark.operators.multimodal import extract_features, synth_media
-
-        media = synth_media(spark, n=64)
-        return extract_features(media).select(
-            "media_id", "kind", "n_bytes", "payload_sha256")
-
     return {
-        "wand_topk": wand_topk,
-        "index_shard_stats": index_shard_stats,
         "minhash_pairs": minhash_pairs,
         "simhash_pairs": simhash_pairs,
-        "ivf_topk": ivf_topk_q,
-        "media_features": media_features,
     }
 
 
@@ -538,8 +628,20 @@ def _build_registry():
     add("events_hourly", _sql_query(["events"], _BODY_EVENTS_HOURLY_SPARK), _BODY_EVENTS_HOURLY_DUCK)
     add("events_user_sessions", _sql_query(["events"], _BODY_EVENTS_SESSIONS_SPARK), _BODY_EVENTS_SESSIONS_DUCK)
 
+    # engine paths (blob index, WAND, phrase, IVF, media plumbing) WITH
+    # DuckDB value oracles — the engine kernels themselves are the
+    # system under test here, not a SQL re-statement
+    eng = _engine_oracle_queries()
+    add("wand_topk", eng["wand_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_WAND_TOPK, [q_cte]))
+    add("phrase_topk", eng["phrase_topk"], _ORACLE_PHRASE_TOPK_DUCK)
+    add("index_shard_stats", eng["index_shard_stats"],
+        _docs_sql("duck", _ORACLE_SHARD_STATS))
+    add("ivf_topk", eng["ivf_topk"], _ORACLE_IVF_TOPK_DUCK)
+    add("media_features", eng["media_features"], _ORACLE_MEDIA_DUCK)
+
     for name, fn in _spark_engine_queries().items():
-        add(name, fn, None)  # rows-only: binary-blob / UDF-kernel paths
+        add(name, fn, None)  # rows-only: non-SQL-expressible hash kernels
 
     return queries, oracles
 
