@@ -614,7 +614,17 @@ def _build_registry():
     add("prefix_dup_groups", _sql_query(["documents"], _BODY_PREFIX_DUPS), _BODY_PREFIX_DUPS)
     add("token_counts", _sql_query(["documents"], _BODY_TOKEN_COUNTS_SPARK), _BODY_TOKEN_COUNTS_DUCK)
     add("alpha_ratio", _sql_query(["documents"], _BODY_ALPHA_RATIO_SPARK), _BODY_ALPHA_RATIO_DUCK)
-    add("ngram_jaccard", _sql_query(["documents"], _BODY_NGRAM_JACCARD_SPARK), _BODY_NGRAM_JACCARD_DUCK)
+    def _ngram_jaccard_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the ENGINE operator (prefix-filtered exact join) checked against
+        # the naive all-pairs SQL oracle — exactness of the prefix filter
+        # is part of what the driver verifies
+        from index_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return ngram_jaccard_pairs(docs, n=3, threshold=0.2,
+                                   text_col="text", id_col="doc_id")
+
+    add("ngram_jaccard", _ngram_jaccard_op, _BODY_NGRAM_JACCARD_DUCK)
 
     add("emb_norms", _sql_query(["embeddings"], _BODY_EMB_NORMS_SPARK), _BODY_EMB_NORMS_DUCK)
     add("emb_knn", _sql_query(["embeddings"], _BODY_EMB_KNN_SPARK), _BODY_EMB_KNN_DUCK)

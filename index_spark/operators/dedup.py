@@ -110,9 +110,97 @@ def minhash_signature(words: list[str]) -> bytes:
     return hashes.min(axis=1).astype(np.uint8).tobytes()
 
 
+def minhash_signatures_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-batch MinHash: (n, 64) uint8 signatures + (n, 8) int64 band
+    hashes, byte-identical to :func:`minhash_signature` per document.
+
+    One window byte-matrix and ONE FNV recurrence for the entire Arrow
+    batch (never per document): all docs' window byte ranges live in one
+    buffer, the multiply-xor recurrence runs down the shared byte axis,
+    and per-doc signature minima come from ``np.minimum.reduceat`` over
+    doc window segments. Band hashes run the same batched recurrence over
+    the 8 signature bytes per band.
+    """
+    n = len(texts)
+    sigs = np.full((n, SIGNATURE_SIZE), 0xFF, dtype=np.uint8)
+    if n == 0:
+        return sigs, np.empty((0, NUM_BANDS), dtype=np.int64)
+
+    # flatten all words; per-doc word counts
+    words_per_doc = [(t or "").split() for t in texts]
+    wcounts = np.fromiter((len(w) for w in words_per_doc), np.int64, count=n)
+    buf_parts: list[bytes] = []
+    wlens: list[int] = []
+    for words in words_per_doc:
+        for w in words:
+            wb = w.encode()
+            buf_parts.append(wb)
+            wlens.append(len(wb))
+    total_words = len(wlens)
+    # per-doc window (start_byte, end_byte) ranges over the joined buffer
+    word_off = np.zeros(total_words + 1, dtype=np.int64)
+    np.cumsum(np.asarray(wlens, dtype=np.int64), out=word_off[1:])
+    doc_w0 = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(wcounts, out=doc_w0[1:])
+    # window count per doc: W-7 full windows, or 1 whole-doc window (W<8)
+    nwin = np.where(wcounts >= SHINGLE_SIZE, wcounts - SHINGLE_SIZE + 1,
+                    np.minimum(wcounts, 1))
+    win_doc = np.repeat(np.arange(n), nwin)
+    win_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nwin, out=win_cum[1:])
+    intra = np.arange(int(win_cum[-1]), dtype=np.int64) - win_cum[win_doc]
+    w_first = doc_w0[win_doc] + intra
+    w_last = np.where(wcounts[win_doc] >= SHINGLE_SIZE,
+                      w_first + SHINGLE_SIZE, doc_w0[win_doc + 1])
+    starts = word_off[w_first]
+    lens = word_off[w_last] - starts
+    n_win = starts.size
+    if n_win == 0:
+        return sigs, _band_hashes(sigs)[1]
+
+    buf = np.frombuffer(b"".join(buf_parts), dtype=np.uint8)
+    maxlen = int(lens.max())
+    buf_pad = np.concatenate([buf, np.zeros(maxlen, dtype=np.uint8)])
+    # batched FNV multiply-xor recurrence down the byte axis
+    h = np.full(n_win, FNV_OFFSET, dtype=np.uint64)
+    old = np.seterr(over="ignore")
+    try:
+        for j in range(maxlen):
+            active = lens > j
+            h[active] = (h[active] * FNV_PRIME) \
+                ^ buf_pad[starts[active] + j].astype(np.uint64)
+        # 64 affine minhashes; per-function pass keeps memory at O(n_win)
+        has_win = nwin > 0
+        seg = win_cum[:-1][has_win]
+        for j in range(SIGNATURE_SIZE):
+            v = (A[j] * h + B_C[j]) % P
+            sigs[has_win, j] = np.minimum.reduceat(v, seg).astype(np.uint8)
+    finally:
+        np.seterr(**old)
+    _, bands = _band_hashes(sigs)
+    return sigs, bands
+
+
+def _band_hashes(sigs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(n, 64) signatures -> (n, 8) FNV band hashes (shingle.cpp:23-33),
+    shifted into signed int64 exactly like ``int(h) - 2**63``."""
+    n = sigs.shape[0]
+    bands = np.empty((n, NUM_BANDS), dtype=np.int64)
+    old = np.seterr(over="ignore")
+    try:
+        for b in range(NUM_BANDS):
+            h = np.full(n, FNV_OFFSET, dtype=np.uint64)
+            for j in range(BAND_SIZE):
+                h = (h * FNV_PRIME) ^ sigs[:, b * BAND_SIZE + j].astype(np.uint64)
+            bands[:, b] = (h ^ np.uint64(1 << 63)).view(np.int64)
+    finally:
+        np.seterr(**old)
+    return sigs, bands
+
+
 def signatures_df(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
-    """(id, sig binary, band_0..7 hash) via one vectorized UDF pass."""
+    """(id, sig binary, band_0..7 hash) via one batch-vectorized UDF pass."""
     out_schema = T.StructType([
         T.StructField("sig", T.BinaryType(), False),
         T.StructField("bands", T.ArrayType(T.LongType()), False),
@@ -120,18 +208,11 @@ def signatures_df(df: DataFrame, text_col: str = "text",
 
     @F.pandas_udf(out_schema)
     def _sig(texts: pd.Series) -> pd.DataFrame:
-        sigs, bandlists = [], []
-        for t in texts:
-            words = (t or "").split()
-            sig = minhash_signature(words)
-            sigs.append(sig)
-            # band hash = FNV over the band's 8 bytes (shingle.cpp:23-33)
-            bandlists.append([
-                int(_fnv_bytes(sig[b * BAND_SIZE : (b + 1) * BAND_SIZE]))
-                - (1 << 63)  # shift into signed long range for the column
-                for b in range(NUM_BANDS)
-            ])
-        return pd.DataFrame({"sig": sigs, "bands": bandlists})
+        sigs, bands = minhash_signatures_batch(texts.tolist())
+        return pd.DataFrame({
+            "sig": [sigs[i].tobytes() for i in range(sigs.shape[0])],
+            "bands": bands.tolist(),
+        })
 
     return df.select(F.col(id_col).alias("doc_id"),
                      _sig(F.col(text_col)).alias("s")) \
@@ -146,20 +227,52 @@ _PAIR_SCHEMA = T.StructType([
 ])
 
 
-def minhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """LSH band join -> distinct candidate pairs with byte-agreement count."""
+def minhash_candidate_pairs(sigs: DataFrame,
+                            max_bucket: int = 64) -> DataFrame:
+    """LSH band join -> distinct candidate pairs with byte-agreement count.
+
+    **Bucket-size guard** (the scale bound): a band bucket of m docs
+    normally contributes O(m²) candidate pairs — one pathological bucket
+    (m mutually-identical documents, or a degenerate band value) would
+    blow up the join quadratically at corpus scale. Buckets larger than
+    ``max_bucket`` therefore switch to *star pairing*: every member pairs
+    with the bucket's min doc_id only — O(m) pairs. For keep-first dedup
+    this preserves the outcome whenever the oversized bucket is a cluster
+    of mutual near-dups (each loser still links to the keeper); the full
+    pair *listing* inside such buckets is intentionally not enumerated.
+
+    Both window stats and the self-join partition by (band_id,
+    band_hash), so Spark computes the bands relation once, shuffles once,
+    and reuses the exchange for both join sides.
+    """
+    from pyspark.sql import Window as W
+
     bands = sigs.select(
         "doc_id", "sig", F.posexplode("bands").alias("band_id", "band_hash")
     )
-    left = bands.alias("l")
-    right = bands.alias("r")
-    cand = (
+    w = W.partitionBy("band_id", "band_hash")
+    w_ord = w.orderBy("doc_id")
+    bands = (bands
+             .withColumn("bsz", F.count("*").over(w))
+             .withColumn("bmin", F.min("doc_id").over(w))
+             .withColumn("bsig", F.first("sig").over(w_ord)))
+    small = bands.where(F.col("bsz") <= max_bucket)
+    left = small.alias("l")
+    right = small.alias("r")
+    cand_small = (
         left.join(right, on=["band_id", "band_hash"], how="inner")
         .where(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("doc_a"), F.col("l.sig").alias("sig_a"),
                 F.col("r.doc_id").alias("doc_b"), F.col("r.sig").alias("sig_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
     )
+    cand_large = (
+        bands.where((F.col("bsz") > max_bucket)
+                    & (F.col("doc_id") != F.col("bmin")))
+        .select(F.col("bmin").alias("doc_a"), F.col("bsig").alias("sig_a"),
+                F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    )
+    cand = cand_small.unionByName(cand_large) \
+                     .dropDuplicates(["doc_a", "doc_b"])
 
     def agree(it):
         for pdf in it:
@@ -204,41 +317,81 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
     )
 
 
+def simhash_batch(texts) -> np.ndarray:
+    """Whole-batch 64-bit SimHash (Charikar 2002), value-identical to the
+    per-document definition: per token a 64-bit blake2b hash votes +1/-1
+    per bit weighted by tf; sign of the vote sum -> fingerprint bit.
+
+    Batch-vectorized: tokens are hash-factorized across the batch and the
+    Zipf-small *unique vocabulary* is hashed ONCE (not per occurrence);
+    per-doc bit votes come from 64 weighted bincounts over the (doc,
+    unique-term, count) pairs — no per-document Python loop.
+    """
+    import hashlib
+
+    n = len(texts)
+    fp = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return fp.view(np.int64)
+    words_per_doc = [(t or "").split() for t in texts]
+    lens = np.fromiter((len(w) for w in words_per_doc), np.int64, count=n)
+    flat = np.empty(int(lens.sum()), dtype=object)
+    pos = 0
+    for lst in words_per_doc:
+        flat[pos: pos + len(lst)] = lst
+        pos += len(lst)
+    if flat.size == 0:
+        return fp.view(np.int64)
+    codes, uniq = pd.factorize(flat)
+    hs = np.fromiter(
+        (int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+         for w in uniq),
+        dtype=np.uint64, count=len(uniq))
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    key = doc_of * np.int64(len(uniq)) + codes
+    uk, cnt = np.unique(key, return_counts=True)
+    d = (uk // len(uniq)).astype(np.int64)
+    hsc = hs[(uk % len(uniq)).astype(np.int64)]
+    cw = cnt.astype(np.float64)  # exact for counts < 2^52
+    total = np.bincount(d, weights=cw, minlength=n)
+    for b in range(64):
+        bit = ((hsc >> np.uint64(b)) & np.uint64(1)).astype(np.float64)
+        votes = np.bincount(d, weights=cw * bit, minlength=n)
+        # votes*2 > total  <=>  sum((2*bit-1)*count) > 0
+        fp |= np.uint64(1 << b) * (2.0 * votes > total).astype(np.uint64)
+    return fp.view(np.int64)
+
+
 def simhash64(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over whitespace tokens (Charikar 2002): per token a
-    64-bit hash votes +1/-1 per bit weighted by tf; sign -> fingerprint."""
+    """64-bit SimHash over whitespace tokens — see :func:`simhash_batch`."""
     out = T.StructType([T.StructField("doc_id", T.LongType(), False),
                         T.StructField("simhash", T.LongType(), False)])
 
     def fn(it):
-        import hashlib
-
         for pdf in it:
-            ids, fps = [], []
-            for did, t in zip(pdf[id_col], pdf[text_col]):
-                words, counts = np.unique((t or "").split(), return_counts=True)
-                if words.size == 0:
-                    ids.append(int(did)); fps.append(0)
-                    continue
-                hs = np.array(
-                    [int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-                     for w in words], dtype=np.uint64)
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-                votes = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
-                fp = np.uint64(0)
-                for i in np.flatnonzero(votes > 0):
-                    fp |= np.uint64(1) << np.uint64(i)
-                ids.append(int(did)); fps.append(int(fp.astype(np.int64)))
-            yield pd.DataFrame({"doc_id": ids, "simhash": fps})
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].to_numpy().astype(np.int64),
+                "simhash": simhash_batch(pdf[text_col].tolist()),
+            })
 
     return df.select(id_col, text_col).mapInPandas(fn, schema=out)
 
 
 def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
-                           text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """SimHash near-dups via 4x16-bit block LSH (any identical block is a
-    candidate; exact Hamming check after)."""
+                           text_col: str = "text", id_col: str = "doc_id",
+                           max_bucket: int = 64) -> DataFrame:
+    """SimHash near-dups via 4x16-bit block LSH (pigeonhole: hamming <= 3
+    guarantees >= 1 identical block of 4; exact Hamming check after).
+
+    Same bucket-size guard as :func:`minhash_candidate_pairs` — block
+    buckets larger than ``max_bucket`` star-pair to the bucket min
+    instead of all-pairs (16-bit blocks only span 65,536 values, so at
+    corpus scale unguarded buckets WILL be huge; widen the blocks or
+    raise block count before raising ``max_bucket``)."""
+    from pyspark.sql import Window as W
+
     sh = simhash64(df, text_col, id_col)
     blocks = sh.select(
         "doc_id", "simhash",
@@ -248,49 +401,153 @@ def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
             for i in range(4)
         ])).alias("b"),
     ).select("doc_id", "simhash", "b.block_id", "b.block")
-    l, r = blocks.alias("l"), blocks.alias("r")
-    cand = (
+    w = W.partitionBy("block_id", "block")
+    w_ord = w.orderBy("doc_id")
+    blocks = (blocks
+              .withColumn("bsz", F.count("*").over(w))
+              .withColumn("bmin", F.min("doc_id").over(w))
+              .withColumn("bhash", F.first("simhash").over(w_ord)))
+    small = blocks.where(F.col("bsz") <= max_bucket)
+    l, r = small.alias("l"), small.alias("r")
+    cand_small = (
         l.join(r, ["block_id", "block"])
         .where(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"),
                 F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb"))
-        .dropDuplicates(["doc_a", "doc_b"])
     )
+    cand_large = (
+        blocks.where((F.col("bsz") > max_bucket)
+                     & (F.col("doc_id") != F.col("bmin")))
+        .select(F.col("bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"),
+                F.col("bhash").alias("ha"), F.col("simhash").alias("hb"))
+    )
+    cand = cand_small.unionByName(cand_large) \
+                     .dropDuplicates(["doc_a", "doc_b"])
     return cand.withColumn(
         "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     ).where(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
 
 
-def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
-                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Token n-gram Jaccard similarity via shingle equi-join (SQL-shaped:
-    the DuckDB oracle runs the same relational plan)."""
+def _doc_grams(df: DataFrame, n: int, text_col: str,
+               id_col: str) -> DataFrame:
+    """(doc_id, gram) distinct token n-grams (SQL-parity tokenizer)."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
                  lambda x: x != F.lit("")).alias("toks"),
     )
-    grams = toks.select(
+    return toks.select(
         "doc_id",
         F.explode(F.transform(
             F.sequence(F.lit(0), F.size("toks") - n),
             lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
         )).alias("gram"),
     ).where(F.size(F.split(F.col("gram"), " ")) == n).distinct()
+
+
+def _gram_prefix(grams: DataFrame, threshold: float) -> DataFrame:
+    """Each doc's PREFIX grams under the global (df asc, gram) order.
+
+    Prefix-filtering principle (Chaudhuri et al. ICDE'06 / PPJoin):
+    J(a,b) >= t implies |a ∩ b| >= ceil(t·max(|a|,|b|)) (since the union
+    is at least the max), and an overlap of α forces the two docs'
+    first (|x| - α + 1) grams under ANY shared total order to intersect.
+    Ordering by ascending document frequency puts the RAREST grams in
+    the prefix, so a stop-gram shared by every doc almost never joins —
+    the candidate join is bounded by rare-gram buckets instead of going
+    quadratic. EXACT: no above-threshold pair can be missed. The f.p.
+    epsilon only ever enlarges the prefix (safe direction).
+    """
+    from pyspark.sql import Window as W
+
+    w_doc = W.partitionBy("doc_id")
+    ranked = (grams
+              .withColumn("gdf", F.count("*").over(W.partitionBy("gram")))
+              .withColumn("n_grams", F.count("*").over(w_doc))
+              .withColumn("rn", F.row_number().over(
+                  w_doc.orderBy("gdf", "gram"))))
+    prefix_len = (F.col("n_grams")
+                  - F.ceil(F.col("n_grams") * F.lit(threshold) - F.lit(1e-9))
+                  + 1)
+    return ranked.where(F.col("rn") <= prefix_len) \
+                 .select("doc_id", "gram", "n_grams")
+
+
+def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        mode: str = "auto",
+                        naive_max_join_rows: float = 5e7) -> DataFrame:
+    """Token n-gram Jaccard similarity >= threshold. EXACT in every mode.
+
+    The all-grams equi-join produces Σ_g df(g)² rows — optimal while no
+    gram is common (direct map-side-combinable aggregation, no candidate
+    materialization) but quadratic in a stop-gram's document frequency at
+    corpus scale. Modes:
+
+    - ``"naive"``: the direct join (best when Σ df² is modest).
+    - ``"prefix"``: PPJoin-style prefix filtering (:func:`_gram_prefix`)
+      — candidates only join on each doc's rarest grams, so a stop-gram
+      shared by everything cannot induce a quadratic join; verification
+      is ``array_intersect`` over per-doc gram sets (one row per
+      candidate pair, JVM codegen — not a row-exploding re-join).
+    - ``"auto"``: one metadata aggregate computes Σ df² and picks naive
+      iff it stays under ``naive_max_join_rows`` — the skew statistic IS
+      the plan choice, mirroring what a cost-based optimizer would do.
+    """
+    # the gram relation feeds several subtrees; persist it
+    # (memory-and-disk, spills at scale) or explode+distinct recomputes
+    grams = _doc_grams(df, n, text_col, id_col).persist()
+    if mode == "auto":
+        row = (grams.groupBy("gram").count()
+               .agg(F.sum(F.col("count") * F.col("count")).alias("j"))
+               .collect()[0])
+        mode = "naive" if int(row["j"] or 0) <= naive_max_join_rows else "prefix"
+
     counts = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    l, r = grams.alias("l"), grams.alias("r")
-    inter = (
-        l.join(r, "gram")
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("ga"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("gb"))
-    return (
-        inter.join(ca, "doc_a").join(cb, "doc_b")
+    if mode == "naive":
+        l, r = grams.alias("l"), grams.alias("r")
+        inter = (
+            l.join(r, "gram")
+            .where(F.col("l.doc_id") < F.col("r.doc_id"))
+            .groupBy(F.col("l.doc_id").alias("doc_a"),
+                     F.col("r.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_inter"))
+        )
+        ca = counts.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n_grams").alias("ga"))
+        cb = counts.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_grams").alias("gb"))
+        scored = inter.join(ca, "doc_a").join(cb, "doc_b")
+    else:
+        prefix = _gram_prefix(grams, threshold)
+        pl, pr = prefix.alias("l"), prefix.alias("r")
+        cand = (
+            pl.join(pr, "gram")
+            .where(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(F.col("l.doc_id").alias("doc_a"),
+                    F.col("r.doc_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        doc_sets = grams.groupBy("doc_id").agg(
+            F.collect_list("gram").alias("gset"),
+            F.count("*").alias("n_grams"))
+        a_sets = doc_sets.select(F.col("doc_id").alias("doc_a"),
+                                 F.col("gset").alias("aset"),
+                                 F.col("n_grams").alias("ga"))
+        b_sets = doc_sets.select(F.col("doc_id").alias("doc_b"),
+                                 F.col("gset").alias("bset"),
+                                 F.col("n_grams").alias("gb"))
+        scored = (
+            cand.join(a_sets, "doc_a").join(b_sets, "doc_b")
+            .withColumn("n_inter",
+                        F.size(F.array_intersect("aset", "bset")).cast("long"))
+        )
+    out = (
+        scored
         .withColumn("jaccard", F.round(
             F.col("n_inter") / (F.col("ga") + F.col("gb") - F.col("n_inter")), 4))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    out._build_caches = [grams]  # release via build.release_build(out)
+    return out

@@ -36,6 +36,56 @@ def test_minhash_signature_matches_cpp_size_t_semantics():
     assert dd.minhash_signature([]) == bytes([0xFF] * 64)
 
 
+def test_minhash_batch_matches_per_doc():
+    """The whole-batch kernel must be byte-identical to the per-document
+    reference path for every document shape (empty, <8 words, long,
+    repeated words, unicode)."""
+    texts = [
+        "",
+        "one",
+        "two words",
+        "seven little words fit in one shingle",
+        " ".join(f"w{i % 7}tok{i % 29}" for i in range(200)),
+        " ".join("same" for _ in range(40)),
+        "café naïve übung " * 10,
+        None,
+        " ".join(f"z{i}" for i in range(9)),
+    ]
+    sigs, bands = dd.minhash_signatures_batch(texts)
+    for i, t in enumerate(texts):
+        exp = dd.minhash_signature((t or "").split())
+        assert sigs[i].tobytes() == exp, i
+        for b in range(dd.NUM_BANDS):
+            expb = naive_fnv(exp[b * 8: (b + 1) * 8]) - (1 << 63)
+            assert int(bands[i, b]) == expb, (i, b)
+
+
+def _naive_simhash(text: str) -> int:
+    import hashlib
+
+    words, counts = np.unique((text or "").split(), return_counts=True)
+    if words.size == 0:
+        return 0
+    hs = np.array(
+        [int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(),
+                        "little") for w in words], dtype=np.uint64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    votes = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+    fp = np.uint64(0)
+    for i in np.flatnonzero(votes > 0):
+        fp |= np.uint64(1) << np.uint64(i)
+    return int(fp.astype(np.int64))
+
+
+def test_simhash_batch_matches_per_doc():
+    texts = ["", "one", "a b a b", " ".join(f"t{i % 31}" for i in range(150)),
+             None, "tie tie untie untie"]
+    got = dd.simhash_batch(texts)
+    for i, t in enumerate(texts):
+        assert int(got[i]) == _naive_simhash(t or ""), i
+
+
 def test_near_dup_separation():
     """Contiguous 1% edit stays >= 57/64; 50% scattered edit falls below."""
     base = [f"word{i % 50}x{i % 13}" for i in range(600)]  # aperiodic (lcm 650)
@@ -103,3 +153,63 @@ def test_ngram_jaccard_pairs(spark, docs_df):
     assert got[(0, 3)] == 1.0
     assert (0, 1) in got and got[(0, 1)] > 0.9
     assert (0, 2) not in got
+
+
+def test_ngram_prefix_filter_bounds_stop_gram(spark):
+    """A gram shared by EVERY doc must not induce a quadratic candidate
+    join: with prefix filtering the stop-gram only pairs docs whose
+    prefixes contain it, and results stay exact vs the naive join."""
+    m = 40
+    rows = [(i, "common stop gram " + " ".join(f"u{i}x{j}" for j in range(30)))
+            for i in range(m)]
+    rows.append((m, "common stop gram " + " ".join(f"u{m}x{j}" for j in range(30))))
+    rows.append((m + 1, rows[0][1]))  # exact dup of doc 0
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    grams = dd._doc_grams(df, 3, "text", "doc_id")
+    n_pairs_naive = (
+        grams.alias("l").join(grams.alias("r"), "gram")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select("l.doc_id", "r.doc_id").distinct().count())
+    prefix = dd._gram_prefix(grams, 0.5)
+    n_pairs_prefix = (
+        prefix.alias("l").join(prefix.alias("r"), "gram")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select("l.doc_id", "r.doc_id").distinct().count())
+    # every doc shares 'common stop gram' -> naive candidates ~ m^2/2;
+    # the stop-gram is in no prefix (highest df), so prefix candidates
+    # stay tiny (the one true dup pair and a few rare-gram collisions)
+    assert n_pairs_naive >= (m * (m - 1)) // 2
+    assert n_pairs_prefix < m
+
+    # both plans are exact and agree
+    for mode in ("naive", "prefix"):
+        got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+               for r in dd.ngram_jaccard_pairs(df, threshold=0.5,
+                                               mode=mode).collect()}
+        assert got == {(0, m + 1): 1.0}, mode
+    # auto picks prefix when the join-row statistic blows past the cap
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dd.ngram_jaccard_pairs(df, threshold=0.5,
+                                           naive_max_join_rows=10).collect()}
+    assert got == {(0, m + 1): 1.0}
+
+
+def test_lsh_giant_bucket_star_pairing(spark):
+    """An oversized LSH bucket (many mutually-identical docs) must emit
+    O(m) star pairs, not O(m^2) — and keep-first dedup must still drop
+    every loser."""
+    m = 30
+    text = " ".join(f"tok{i % 11}w{i % 7}" for i in range(300))
+    rows = [(i, text) for i in range(m)] + [(m, "totally different " * 50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = dd.signatures_df(df)
+    pairs = dd.minhash_candidate_pairs(sigs, max_bucket=8)
+    rows_p = pairs.collect()
+    # star pairing: every pair anchors at doc 0 (the bucket min)
+    assert 0 < len(rows_p) <= m
+    assert all(r["doc_a"] == 0 for r in rows_p)
+    near = pairs.where(F.col("n_equal") >= dd.NUM_SIMILARITY)
+    kept = dd.dedup_keep_first(df, near)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert ids == {0, m}
