@@ -466,6 +466,28 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                      F.min("first_doc").alias("first_doc"),
                      F.max("last_doc").alias("last_doc")))
 
+    def zone_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.build import build_zoned_index
+        from index_spark.operators.query import zone_search
+
+        corpus = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.lit("corpus").alias("repo"),
+                    F.format_string("doc%08d", F.col("doc_id")).alias("path"),
+                    F.col("text").alias("content"),
+                    F.col("source").alias("src"))
+        )
+        # body zone = text (w=1), src zone = source id (w=2) — the
+        # source-code analog of the reference's self-URL '##' zone
+        _, index, stats = build_zoned_index(
+            corpus, [("body", "content"), ("src", "src")],
+            stem=False, camel=False, shard_size=256)
+        index = index.persist()
+        top = zone_search(index, stats, "data table src3",
+                          {"body": 1.0, "src": 2.0}, k=10,
+                          stem=False, camel=False)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.similarity import (
             assign_buckets, ivf_topk, train_centroids)
@@ -495,6 +517,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
     return {
         "wand_topk": wand_topk,
         "phrase_topk": phrase_topk,
+        "zone_topk": zone_topk,
         "index_shard_stats": index_shard_stats,
         "ivf_topk": ivf_topk_q,
         "media_features": media_features,
@@ -518,6 +541,44 @@ WITH toks AS (
   GROUP BY p0.doc_id
 )
 SELECT doc_id, n_matches FROM m ORDER BY n_matches DESC, doc_id ASC LIMIT 10"""
+
+_ORACLE_ZONE_TOPK_DUCK = """
+WITH body_tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+), src_tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(source), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+), ztok AS (
+  SELECT 'body' AS zone, doc_id, term FROM body_tok
+  UNION ALL SELECT 'src', doc_id, term FROM src_tok
+), ztf AS (
+  SELECT zone, doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM ztok GROUP BY zone, doc_id, term
+), zdl AS (
+  SELECT zone, doc_id, CAST(count(*) AS BIGINT) AS dlen
+  FROM ztok GROUP BY zone, doc_id
+), zstats AS (
+  SELECT zone, CAST(count(*) AS BIGINT) AS n, avg(dlen) AS avgdl
+  FROM zdl GROUP BY zone
+), zdft AS (
+  SELECT zone, term, CAST(count(*) AS BIGINT) AS df
+  FROM ztf GROUP BY zone, term
+), q(term) AS (SELECT * FROM (VALUES ('data'), ('table'), ('src3')) AS v(term)),
+zw(zone, wt) AS (SELECT * FROM (VALUES ('body', CAST(1.0 AS DOUBLE)), ('src', CAST(2.0 AS DOUBLE))) AS v(zone, wt)),
+scores AS (
+  SELECT ztf.doc_id,
+         sum( zw.wt * ln((zstats.n - zdft.df + 0.5) / (zdft.df + 0.5) + 1.0)
+              * ztf.tf / (ztf.tf + 1.2 * (1.0 - 0.75 + 0.75 * zdl.dlen / zstats.avgdl)) ) AS score
+  FROM ztf
+  JOIN q ON ztf.term = q.term
+  JOIN zdft ON ztf.zone = zdft.zone AND ztf.term = zdft.term
+  JOIN zdl ON ztf.zone = zdl.zone AND ztf.doc_id = zdl.doc_id
+  JOIN zstats ON ztf.zone = zstats.zone
+  JOIN zw ON ztf.zone = zw.zone
+  GROUP BY ztf.doc_id
+), top AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
 
 _ORACLE_SHARD_STATS = """
 SELECT term, CAST(doc_id // 256 AS BIGINT) AS shard,
@@ -645,6 +706,7 @@ def _build_registry():
     add("wand_topk", eng["wand_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_WAND_TOPK, [q_cte]))
     add("phrase_topk", eng["phrase_topk"], _ORACLE_PHRASE_TOPK_DUCK)
+    add("zone_topk", eng["zone_topk"], _ORACLE_ZONE_TOPK_DUCK)
     add("index_shard_stats", eng["index_shard_stats"],
         _docs_sql("duck", _ORACLE_SHARD_STATS))
     add("ivf_topk", eng["ivf_topk"], _ORACLE_IVF_TOPK_DUCK)

@@ -888,6 +888,58 @@ def build_index(corpus: DataFrame, stem: bool = True,
     return docs, index, stats
 
 
+def build_zoned_index(corpus: DataFrame, zones: list[tuple[str, str]],
+                      stem: bool = True, camel: bool = True,
+                      shard_size: int = DEFAULT_SHARD_SIZE,
+                      positions: bool = False):
+    """Multi-zone build: one index with a ``zone`` column.
+
+    The reference multiplexes zones into the term key space with marker
+    prefixes (title '@', head '<', anchor '$', self-URL '##' —
+    /root/reference/index.h:320-326, index.cpp:119-158). Spark-first, the
+    zone is a first-class COLUMN: parquet scans prune on (zone, term) via
+    min/max stats exactly like the key-prefix trick pruned the hash
+    space, and per-zone statistics (df, avgdl) fall out of ordinary
+    filters instead of string surgery.
+
+    ``zones``: [(zone_name, text_col), ...]. One bucketing pass; one
+    fused Arrow kernel per zone (each column-pruned to its own text
+    column); doc_ids shared across zones. Returns (docs_df, index_df,
+    stats) where stats = {zone: {n_docs, avgdl, total_tokens}}.
+    """
+    from functools import reduce
+
+    parted, offsets, counts = _bucket_partition(corpus)
+    spark = corpus.sparkSession
+    if parted is None:
+        docs_schema = T.StructType([
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("repo", T.StringType(), True),
+            T.StructField("path", T.StringType(), True)])
+        empty_schema = T.StructType(
+            INDEX_SCHEMA.fields + [T.StructField("zone", T.StringType(), False)])
+        return (spark.createDataFrame([], docs_schema),
+                spark.createDataFrame([], empty_schema),
+                {z: {"n_docs": 0, "avgdl": 0.0, "total_tokens": 0}
+                 for z, _ in zones})
+    parts = []
+    for zone_name, col in zones:
+        zi = _build_bucketed(parted, offsets, counts, stem, shard_size,
+                             text_col=col, camel=camel, positions=positions)
+        parts.append(zi.withColumn("zone", F.lit(zone_name)))
+    index = reduce(lambda a, b: a.unionByName(b), parts).persist()
+    stats = {}
+    for r in (index.filter(F.col("term") == DOC_MARKER)
+              .groupBy("zone").agg(F.sum("df").alias("n"),
+                                   F.sum("cf").alias("tot")).collect()):
+        n, tot = int(r["n"] or 0), int(r["tot"] or 0)
+        stats[r["zone"]] = {"n_docs": n, "avgdl": (tot / n) if n else 0.0,
+                            "total_tokens": tot}
+    docs = _ids_from_parted(parted, offsets, counts, ["repo", "path"])
+    index._build_caches = [index]
+    return docs, index, stats
+
+
 def release_build(index: DataFrame) -> None:
     """Unpersist the caches a build_index call pinned (the built index
     blobs for the fused path; the counts relation for ``fused=False``).

@@ -54,20 +54,30 @@ def _ub(tf, dl, idf: float, avgdl: float):
 
 
 def _decode_lists(pdf: pd.DataFrame, avgdl: float):
-    """Decode a shard's rows -> per-term (docs, tfs, dls, block arrays)."""
+    """Decode a shard's rows -> per-term (docs, tfs, dls, block arrays).
+
+    Rows may carry a per-row ``avgdl`` column (zoned indexes: each zone
+    has its own doc-length distribution); absent that, the global scalar
+    applies. The sum order is pinned by (term, zone) so zoned scoring
+    stays deterministic."""
     lists = []
+    has_avgdl = "avgdl" in pdf.columns
+    has_zone = "zone" in pdf.columns
     for row in pdf.itertuples(index=False):
         docs = np.cumsum(vb.decode(row.doc_blob).astype(np.int64))
         tfs = vb.decode(row.tf_blob).astype(np.int64)
         dls = vb.decode(row.dl_blob).astype(np.float64)
         idf = float(row.idf)
+        l_avgdl = float(row.avgdl) if has_avgdl else avgdl
         blk_last = np.fromiter((b["last_doc"] for b in row.blocks), np.int64)
         blk_ub = _ub(
             np.fromiter((b["max_tf"] for b in row.blocks), np.float64),
             np.fromiter((b["min_dl"] for b in row.blocks), np.float64),
-            idf, avgdl)
-        lists.append((row.term, docs, tfs, dls, idf, blk_last, blk_ub))
-    lists.sort(key=lambda x: x[0])  # ascending term = pinned sum order
+            idf, l_avgdl)
+        sort_key = (row.term, row.zone if has_zone else "")
+        lists.append((sort_key, docs, tfs, dls, idf, blk_last, blk_ub,
+                      l_avgdl))
+    lists.sort(key=lambda x: x[0])  # ascending (term, zone) = pinned order
     return lists
 
 
@@ -79,8 +89,8 @@ def _score_shard_exhaustive(pdf: pd.DataFrame, avgdl: float, k: int) -> pd.DataF
     lo = min(int(l[1][0]) for l in lists)
     hi = max(int(l[1][-1]) for l in lists)
     acc = np.zeros(hi - lo + 1, dtype=np.float64)
-    for _, docs, tfs, dls, idf, _, _ in lists:
-        acc[docs - lo] += idf * tfs / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+    for _, docs, tfs, dls, idf, _, _, l_avgdl in lists:
+        acc[docs - lo] += idf * tfs / (tfs + K1 * (1.0 - B + B * dls / l_avgdl))
     nz = np.flatnonzero(acc)
     if nz.size == 0:
         return pd.DataFrame({"doc_id": [], "score": []})
@@ -103,6 +113,7 @@ def _score_shard_wand(pdf: pd.DataFrame, avgdl: float, k: int) -> pd.DataFrame:
     idfs = [l[4] for l in lists]
     blk_last = [l[5] for l in lists]
     blk_ub = [l[6] for l in lists]
+    avgdls = [l[7] for l in lists]
     max_ub = [float(u.max()) for u in blk_ub]
 
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
@@ -167,7 +178,7 @@ def _score_shard_wand(pdf: pd.DataFrame, avgdl: float, k: int) -> pd.DataFrame:
                 if p < docs_arr[i].size and int(docs_arr[i][p]) == pivot_doc:
                     tf = float(tfs_arr[i][p])
                     dl = float(dls_arr[i][p])
-                    score += idfs[i] * tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+                    score += idfs[i] * tf / (tf + K1 * (1.0 - B + B * dl / avgdls[i]))
                     ptrs[i] += 1
             item = (score, -pivot_doc)
             if len(heap) < k:
@@ -324,3 +335,56 @@ class QueryEngine:
 
         local = hits.groupBy("shard").applyInPandas(fn, schema=TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def zone_search(index: DataFrame, zone_stats: dict, query: str,
+                zone_weights: dict[str, float], k: int = 10,
+                stem: bool = True, use_wand: bool | str = "auto",
+                camel: bool = True) -> DataFrame:
+    """Top-k zone-weighted BM25 over a zoned index (build_zoned_index).
+
+    score(d) = sum over zones z of  w_z * BM25_z(q, d), where BM25_z uses
+    the zone's own df / N / avgdl (zones are independent sub-indexes; the
+    reference's analog is querying '@'-prefixed title keys next to bare
+    body keys, index.h:320-326, with caller-side weighting).
+
+    Plan shape is identical to ``search``: term+zone-pruned scan -> one
+    shard exchange -> per-shard DAAT (the zone's weight is folded into
+    the row's idf; each row carries its zone's avgdl) -> distributed
+    top-k. Zone lists of the same doc range land in the same shard group,
+    so the weighted sum needs no extra join or shuffle.
+    """
+    from pyspark.sql import Window as W
+
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    zones = sorted(z for z in zone_weights if z in zone_stats)
+    if not qterms or not zones:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+
+    hits = index.filter(F.col("term").isin(qterms)
+                        & F.col("zone").isin(zones))
+    hits = hits.withColumn(
+        "df_g", F.sum("df").over(W.partitionBy("zone", "term")))
+    n_map = F.create_map(*[F.lit(x) for z in zones
+                           for x in (z, float(zone_stats[z]["n_docs"]))])
+    w_map = F.create_map(*[F.lit(x) for z in zones
+                           for x in (z, float(zone_weights[z]))])
+    a_map = F.create_map(*[F.lit(x) for z in zones
+                           for x in (z, float(zone_stats[z]["avgdl"]))])
+    hits = (hits
+            .withColumn("idf", w_map[F.col("zone")] * F.log(
+                (n_map[F.col("zone")] - F.col("df_g") + 0.5)
+                / (F.col("df_g") + 0.5) + 1.0))
+            .withColumn("avgdl", a_map[F.col("zone")]))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if use_wand == "auto":
+            wand = int(pdf["df"].sum()) >= AUTO_WAND_MIN_POSTINGS
+        else:
+            wand = bool(use_wand)
+        scorer = _score_shard_wand if wand else _score_shard_exhaustive
+        return scorer(pdf, 0.0, k)  # per-row avgdl overrides the scalar
+
+    local = hits.groupBy("shard").applyInPandas(fn, schema=TOPK_SCHEMA)
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

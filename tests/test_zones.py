@@ -1,0 +1,106 @@
+"""Zoned index + zone-weighted BM25: engine vs pinned python oracle."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from index_spark.functions.text import tokenize
+
+K1, B = 1.2, 0.75
+
+CORPUS = [
+    # (path_tokens_zone, body)
+    ("alpha util", "data table query join data"),
+    ("beta data", "scan filter merge sort"),
+    ("gamma table", "data data table window"),
+    ("delta misc", "group agg window stream"),
+    ("data data", "nothing relevant here"),
+]
+
+
+@pytest.fixture(scope="module")
+def zoned(spark):
+    from index_spark.operators.build import build_zoned_index
+
+    rows = [("r", f"{i:04d}", body, ztext)
+            for i, (ztext, body) in enumerate(CORPUS)]
+    df = spark.createDataFrame(rows, ["repo", "path", "content", "ztext"])
+    docs, index, stats = build_zoned_index(
+        df, [("body", "content"), ("zpath", "ztext")],
+        stem=False, shard_size=4)
+    return index.persist(), stats
+
+
+def _naive_zone_bm25(query, weights):
+    zones = {"body": [tokenize(b, stem=False) for _, b in CORPUS],
+             "zpath": [tokenize(z, stem=False) for z, _ in CORPUS]}
+    qterms = sorted(set(tokenize(query, stem=False)))
+    scores = {}
+    for z, docs in zones.items():
+        n = len(docs)
+        avgdl = sum(len(d) for d in docs) / n
+        for t in qterms:
+            df_t = sum(1 for d in docs if t in d)
+            if df_t == 0:
+                continue
+            idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+            for i, d in enumerate(docs):
+                tf = d.count(t)
+                if tf:
+                    dl = len(d)
+                    scores[i] = scores.get(i, 0.0) + weights[z] * idf * tf / (
+                        tf + K1 * (1 - B + B * dl / avgdl))
+    return sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+
+
+def test_zone_stats(zoned):
+    _, stats = zoned
+    assert stats["body"]["n_docs"] == 5
+    assert stats["zpath"]["avgdl"] == 2.0
+
+
+def test_zone_search_matches_oracle(zoned):
+    from index_spark.operators.query import zone_search
+
+    index, stats = zoned
+    for query, weights in [
+        ("data table", {"body": 1.0, "zpath": 3.0}),
+        ("data", {"body": 1.0, "zpath": 10.0}),
+        ("window util", {"body": 2.0, "zpath": 0.5}),
+    ]:
+        got = [(r["doc_id"], r["score"])
+               for r in zone_search(index, stats, query, weights,
+                                    stem=False).collect()]
+        exp = _naive_zone_bm25(query, weights)
+        assert [g[0] for g in got] == [e[0] for e in exp], (query, got, exp)
+        for (_, gs), (_, es) in zip(got, exp):
+            assert abs(gs - es) < 1e-9, (query, gs, es)
+
+
+def test_zone_weight_changes_ranking(zoned):
+    """Boosting the path zone must promote the doc whose path matches."""
+    from index_spark.operators.query import zone_search
+
+    index, stats = zoned
+    low = [r["doc_id"] for r in zone_search(
+        index, stats, "data", {"body": 1.0, "zpath": 0.01},
+        stem=False).collect()]
+    high = [r["doc_id"] for r in zone_search(
+        index, stats, "data", {"body": 0.01, "zpath": 10.0},
+        stem=False).collect()]
+    # doc 4's path is "data data" but its body lacks 'data'
+    assert high[0] == 4
+    assert low[0] != 4
+
+
+def test_zone_index_prunes_on_zone_and_term(spark, zoned, tmp_path):
+    index, _ = zoned
+    out = str(tmp_path / "zidx")
+    index.write.parquet(out)
+    df = (spark.read.parquet(out)
+          .filter((F.col("zone") == "zpath") & F.col("term").isin("data")))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "PushedFilters" in plan
+    assert "zone" in plan.split("PushedFilters")[1][:200], plan
