@@ -500,6 +500,24 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         # value-checkable against SQL (bench exercises pruned nprobe)
         return ivf_topk(bucketed, cents, list(qvec), k=10, nprobe=8)
 
+    def doc_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.build import build_index, doc_lookup
+
+        corpus = _parity_corpus(spark, sf_dir)
+        docs, _, _ = build_index(corpus, stem=False, camel=False,
+                                 shard_size=256)
+        return doc_lookup(docs, path="doc%08d" % 42).select(
+            "doc_id", "repo", "path", F.col("doc_len").cast("long").alias("doc_len"))
+
+    def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.similarity import embedding_near_dup_pairs
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+                   .withColumn("bucket", F.lit(0))
+        # single bucket -> exact all-pairs (oracle-checkable); production
+        # uses IVF buckets from assign_buckets for the O(n^2) cut
+        return embedding_near_dup_pairs(emb, threshold=0.4)
+
     def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.multimodal import extract_features
 
@@ -520,6 +538,8 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "zone_topk": zone_topk,
         "index_shard_stats": index_shard_stats,
         "ivf_topk": ivf_topk_q,
+        "doc_lookup": doc_lookup_q,
+        "emb_near_dup": emb_near_dup,
         "media_features": media_features,
     }
 
@@ -597,6 +617,27 @@ c AS (
   FROM embeddings e CROSS JOIN qv
 )
 SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+_ORACLE_DOC_LOOKUP = """
+SELECT CAST(documents.doc_id AS BIGINT) AS doc_id,
+       'corpus' AS repo,
+       printf('doc%08d', documents.doc_id) AS path,
+       CAST(dl.dlen AS BIGINT) AS doc_len
+FROM documents JOIN dl ON documents.doc_id = dl.doc_id
+WHERE documents.doc_id = 42"""
+
+_ORACLE_EMB_NEAR_DUP_DUCK = """
+WITH norm AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS n
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+             / (a.n * b.n), 4) AS cos
+FROM norm a JOIN norm b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+            / (a.n * b.n), 4) >= 0.4"""
 
 _ORACLE_MEDIA_DUCK = """
 SELECT doc_id AS media_id,
@@ -710,6 +751,9 @@ def _build_registry():
     add("index_shard_stats", eng["index_shard_stats"],
         _docs_sql("duck", _ORACLE_SHARD_STATS))
     add("ivf_topk", eng["ivf_topk"], _ORACLE_IVF_TOPK_DUCK)
+    add("doc_lookup", eng["doc_lookup"],
+        _docs_sql("duck", _ORACLE_DOC_LOOKUP))
+    add("emb_near_dup", eng["emb_near_dup"], _ORACLE_EMB_NEAR_DUP_DUCK)
     add("media_features", eng["media_features"], _ORACLE_MEDIA_DUCK)
 
     for name, fn in _spark_engine_queries().items():

@@ -89,6 +89,48 @@ def main() -> None:
     timed("minhash_dedup", lambda: minhash_near_dup_pairs(
         docs_df, text_col="text", id_col="doc_id").count())
 
+    # 3b. positions build + exact phrase search (engine path)
+    def _phrase():
+        from index_spark.operators.build import build_index, release_build
+        from index_spark.operators.phrase import phrase_search
+
+        _, pidx, pstats = build_index(corpus, stem=False, camel=False,
+                                      positions=True, shard_size=shard_size)
+        pidx = pidx.persist()
+        pidx.count()
+        timings["phrase_query"] = 0.0
+        t0 = time.time()
+        phrase_search(pidx, pstats, "data table", k=10,
+                      stem=False, camel=False).collect()
+        timings["phrase_query"] = round(time.time() - t0, 3)
+        release_build(pidx)
+
+    timed("phrase_build_query", _phrase)
+
+    # 3c. zoned build + zone-weighted BM25 (engine path)
+    def _zones():
+        from index_spark.operators.build import (build_zoned_index,
+                                                 release_build)
+        from index_spark.operators.query import zone_search
+
+        zcorpus = docs_df.select(
+            F.lit("corpus").alias("repo"),
+            F.format_string("doc%08d", F.col("doc_id")).alias("path"),
+            F.col("text").alias("content"), F.col("source").alias("src"))
+        _, zidx, zstats = build_zoned_index(
+            zcorpus, [("body", "content"), ("src", "src")],
+            stem=False, camel=False, shard_size=shard_size)
+        zidx = zidx.persist()
+        zidx.count()
+        t0 = time.time()
+        zone_search(zidx, zstats, "data table src3",
+                    {"body": 1.0, "src": 2.0}, k=10,
+                    stem=False, camel=False).collect()
+        timings["zone_query"] = round(time.time() - t0, 3)
+        release_build(zidx)
+
+    timed("zone_build_query", _zones)
+
     # 4-8. representative SQL operators via the entry registry
     qs = entrymod.queries()
     for name in ["bm25_queryset", "term_stats", "ngram_jaccard", "emb_knn",

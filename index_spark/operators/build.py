@@ -888,6 +888,28 @@ def build_index(corpus: DataFrame, stem: bool = True,
     return docs, index, stats
 
 
+def doc_lookup(docs: DataFrame, repo: str | None = None,
+               path: str | None = None,
+               doc_id: int | None = None) -> DataFrame:
+    """Point lookups on the docs dimension — the reference's
+    ``IndexReadHandler::FindUrl`` / ``getDocument`` analogs
+    (/root/reference/index.h:408-409, index.cpp:16-19).
+
+    The docs dimension is keyed by (repo, path) AND by doc_id, so both
+    directions are predicate-pushdown point gets on the parquet scan —
+    the columnar replacement for the blob's URL-key hash probe
+    (``'##'+url``, index.cpp:156-158) and the docID->URL array lookup.
+    """
+    out = docs
+    if repo is not None:
+        out = out.filter(F.col("repo") == repo)
+    if path is not None:
+        out = out.filter(F.col("path") == path)
+    if doc_id is not None:
+        out = out.filter(F.col("doc_id") == doc_id)
+    return out
+
+
 def build_zoned_index(corpus: DataFrame, zones: list[tuple[str, str]],
                       stem: bool = True, camel: bool = True,
                       shard_size: int = DEFAULT_SHARD_SIZE,

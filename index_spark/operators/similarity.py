@@ -53,13 +53,19 @@ def cosine_topk(emb: DataFrame, qvec: list[float], k: int = 10,
 
 
 def train_centroids(emb: DataFrame, n_buckets: int = 16, iters: int = 5,
-                    sample: int = 4096, vec_col: str = "embedding") -> np.ndarray:
-    """k-means-lite on a deterministic sample (first ``sample`` rows by id).
+                    sample: int = 4096, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> np.ndarray:
+    """k-means-lite on a deterministic SPREAD sample.
 
-    Centroid training is metadata-scale (n_buckets x dim floats); only the
-    sample leaves the executors.
+    Rows are ranked by a hash of their id (TakeOrderedAndProject — each
+    task keeps ``sample`` rows, no full sort), so the sample draws from
+    the whole corpus rather than the first ids (which could all share a
+    label/shard and skew every centroid). Centroid training is
+    metadata-scale (n_buckets x dim floats); only the sample leaves the
+    executors.
     """
-    rows = (emb.orderBy("vec_id").limit(sample)
+    rows = (emb.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+               .limit(sample)
                .select(vec_col).toPandas()[vec_col])
     x = np.stack(rows.to_numpy())
     x = x / np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)

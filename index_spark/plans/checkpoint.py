@@ -61,6 +61,8 @@ def build_chunked(
     docs_per_chunk: int = DEFAULT_DOCS_PER_CHUNK,
     shard_size: int = DEFAULT_SHARD_SIZE,
     stem: bool = True,
+    camel: bool = True,
+    positions: bool = False,
     fail_after_chunk: int | None = None,  # test hook: simulate a crash
 ) -> dict:
     """Build (or resume) the chunked index under ``out_dir``.
@@ -90,7 +92,8 @@ def build_chunked(
         # contiguous-doc_id invariant, so the zero-shuffle path applies)
         stage_t0 = time.time()
         index = build_partition_index(chunk_corpus, stem=stem,
-                                      shard_size=shard_size)
+                                      shard_size=shard_size, camel=camel,
+                                      positions=positions)
         cdir = _chunk_dir(out_dir, cid)
         index.write.mode("overwrite").parquet(os.path.join(cdir, "index"))
         build_write_s = time.time() - stage_t0
@@ -122,6 +125,8 @@ def build_chunked(
             "blob_bytes": int(idx_stats["blob_bytes"] or 0),
             "shard_size": shard_size,
             "stem": stem,
+            "camel": camel,
+            "positions": positions,
             "stages": {"build_write_s": round(build_write_s, 3)},
             "wall_s": round(time.time() - t0, 3),
         }
