@@ -90,7 +90,7 @@ spark.stop()
 """
 
 
-def run_level(cores: int, sf_dir: str) -> dict:
+def run_level(cores: int, sf_dir: str, pin: bool = False) -> dict:
     code = _CHILD.format(repo=REPO)
     env = dict(os.environ)
     # shuffle spill to tmpfs: measure the engine, not the VM's disk
@@ -98,9 +98,16 @@ def run_level(cores: int, sf_dir: str) -> dict:
         shm = "/dev/shm/spark-bench"
         os.makedirs(shm, exist_ok=True)
         env["SPARK_LOCAL_DIRS"] = shm
+    cmd = [sys.executable, "-c", code, str(cores), sf_dir]
+    if pin:
+        # pin the WHOLE process (worker + GC + shuffle + python workers)
+        # to exactly `cores` CPUs: an honest N-core box. Unpinned, the
+        # low level's auxiliary threads spill onto idle CPUs and inflate
+        # its throughput, understating N->4N efficiency.
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cores), sf_dir],
-        capture_output=True, text=True, timeout=2400, check=False, env=env)
+        cmd, capture_output=True, text=True, timeout=2400, check=False,
+        env=env)
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
             return json.loads(line)
@@ -125,12 +132,14 @@ def main() -> None:
         ensure_corpus(sf_dir, n_files)
     levels = tuple(int(x) for x in sys.argv[4].split(",")) if len(sys.argv) > 4 \
         else (8, 32)
+    pin = os.environ.get("SCALING_PIN", "1") == "1"
     results = {c: [] for c in levels}
     for r in range(repeats):
         for c in levels:
-            res = run_level(c, sf_dir)
+            res = run_level(c, sf_dir, pin=pin)
+            res["pinned"] = pin
             results[c].append(res)
-            print(f"run {r} cores={c}: {res}")
+            print(f"run {r} cores={c} pinned={pin}: {res}")
     best = {c: max(runs, key=lambda x: x["docs_per_sec"]) for c, runs in results.items()}
     lo, hi = levels
     ratio = hi / lo
@@ -143,7 +152,10 @@ def main() -> None:
         f"query_scaling_efficiency_{lo}_to_{hi}": round(eff_query, 3),
         "all_runs": results,
     }
-    out_path = os.path.join(REPO, "BENCH", "scaling_results.json")
+    suffix = f"_{lo}_{hi}" if levels != (2, 8) else ""
+    if os.environ.get("SCALING_PIN", "1") == "1":
+        suffix += "_pinned"
+    out_path = os.path.join(REPO, "BENCH", f"scaling_results{suffix}.json")
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps({k: v for k, v in summary.items() if k != "all_runs"}))

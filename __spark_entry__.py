@@ -500,6 +500,20 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         # value-checkable against SQL (bench exercises pruned nprobe)
         return ivf_topk(bucketed, cents, list(qvec), k=10, nprobe=8)
 
+    def top_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # list-size ordering (reference PostingList comparators sort by
+        # descending length, index.h:251-257): global df from shard-df
+        # sums, ordered desc — the planner-facing "largest lists first"
+        from index_spark.operators.build import DOC_MARKER, build_index
+
+        corpus = _parity_corpus(spark, sf_dir)
+        _, index, _ = build_index(corpus, stem=False, camel=False,
+                                  shard_size=256)
+        return (index.filter(F.col("term") != DOC_MARKER)
+                .groupBy("term").agg(F.sum("df").alias("df"),
+                                     F.sum("cf").alias("cf"))
+                .orderBy(F.desc("df"), F.asc("term")).limit(20))
+
     def doc_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.build import build_index, doc_lookup
 
@@ -538,6 +552,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "zone_topk": zone_topk,
         "index_shard_stats": index_shard_stats,
         "ivf_topk": ivf_topk_q,
+        "top_posting_lists": top_posting_lists,
         "doc_lookup": doc_lookup_q,
         "emb_near_dup": emb_near_dup,
         "media_features": media_features,
@@ -617,6 +632,12 @@ c AS (
   FROM embeddings e CROSS JOIN qv
 )
 SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+_ORACLE_TOP_LISTS = """
+SELECT term, df, CAST(sum_cf AS BIGINT) AS cf FROM (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, sum(tf) AS sum_cf
+  FROM tf GROUP BY term
+) t ORDER BY df DESC, term ASC LIMIT 20"""
 
 _ORACLE_DOC_LOOKUP = """
 SELECT CAST(documents.doc_id AS BIGINT) AS doc_id,
@@ -751,6 +772,8 @@ def _build_registry():
     add("index_shard_stats", eng["index_shard_stats"],
         _docs_sql("duck", _ORACLE_SHARD_STATS))
     add("ivf_topk", eng["ivf_topk"], _ORACLE_IVF_TOPK_DUCK)
+    add("top_posting_lists", eng["top_posting_lists"],
+        _docs_sql("duck", _ORACLE_TOP_LISTS))
     add("doc_lookup", eng["doc_lookup"],
         _docs_sql("duck", _ORACLE_DOC_LOOKUP))
     add("emb_near_dup", eng["emb_near_dup"], _ORACLE_EMB_NEAR_DUP_DUCK)
