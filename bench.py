@@ -69,6 +69,7 @@ def main() -> None:
         from index_spark.operators.query import QueryEngine
 
         eng = QueryEngine(state["index"], state["stats"], use_wand=True)
+        eng.prepare()  # serving mode: shard-partitioned cached index
         eng.warm(qset)
         lat = []
         for q in qset:

@@ -136,6 +136,32 @@ def test_shard_rows_term_sorted():
     assert list(out["term"]) == sorted(out["term"]), list(out["term"])
 
 
+def test_prepared_engine_query_has_no_exchange(spark, index_on_disk):
+    """After QueryEngine.prepare() (index cached hash-partitioned by
+    shard), a query plan must contain ZERO exchanges: the groupBy(shard)
+    distribution is satisfied by the cached relation and the global
+    top-k is TakeOrderedAndProject."""
+    from index_spark.operators.query import QueryEngine
+
+    out, stats = index_on_disk
+    index = spark.read.parquet(out)
+    eng = QueryEngine(index, stats, use_wand=True).prepare()
+    try:
+        df = eng.topk_df("import numpy", k=10)
+        plan = _plan(df)
+        # the query-time path is everything ABOVE the cached relation
+        # (InMemoryRelation re-renders its stored build plan, which
+        # legitimately contains prepare()'s one-time shuffle)
+        tree = plan.split("\n\n")[0].split("InMemoryRelation")[0]
+        assert len(re.findall(r"\bExchange\b", tree)) == 0, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        rows = eng.search("import numpy", k=10)
+        assert rows == [(int(r["doc_id"]), float(r["score"]))
+                        for r in df.collect()]
+    finally:
+        eng.release()
+
+
 def test_build_has_single_heavy_shuffle(spark, tiny_corpus):
     """Build plan shape: fused UDF -> one groupBy(shard) exchange."""
     from index_spark.operators.build import (
