@@ -466,6 +466,17 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                      F.min("first_doc").alias("first_doc"),
                      F.max("last_doc").alias("last_doc")))
 
+    def proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.build import build_index
+        from index_spark.operators.phrase import proximity_search
+
+        corpus = _parity_corpus(spark, sf_dir)
+        _, index, stats = build_index(corpus, stem=False, camel=False,
+                                      positions=True, shard_size=256)
+        index = index.persist()
+        return proximity_search(index, stats, "data", "table", window=5,
+                                k=10, stem=False, camel=False)
+
     def zone_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.build import build_zoned_index
         from index_spark.operators.query import zone_search
@@ -549,6 +560,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
     return {
         "wand_topk": wand_topk,
         "phrase_topk": phrase_topk,
+        "proximity_topk": proximity_topk,
         "zone_topk": zone_topk,
         "index_shard_stats": index_shard_stats,
         "ivf_topk": ivf_topk_q,
@@ -572,6 +584,21 @@ WITH toks AS (
 ), m AS (
   SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
   FROM pos p0 JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+  WHERE p0.term = 'data' AND p1.term = 'table'
+  GROUP BY p0.doc_id
+)
+SELECT doc_id, n_matches FROM m ORDER BY n_matches DESC, doc_id ASC LIMIT 10"""
+
+_ORACLE_PROXIMITY_TOPK_DUCK = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos FROM toks
+), m AS (
+  SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM pos p0 JOIN pos p1 ON p1.doc_id = p0.doc_id
+       AND p1.pos - p0.pos BETWEEN 1 AND 5
   WHERE p0.term = 'data' AND p1.term = 'table'
   GROUP BY p0.doc_id
 )
@@ -768,6 +795,7 @@ def _build_registry():
     add("wand_topk", eng["wand_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_WAND_TOPK, [q_cte]))
     add("phrase_topk", eng["phrase_topk"], _ORACLE_PHRASE_TOPK_DUCK)
+    add("proximity_topk", eng["proximity_topk"], _ORACLE_PROXIMITY_TOPK_DUCK)
     add("zone_topk", eng["zone_topk"], _ORACLE_ZONE_TOPK_DUCK)
     add("index_shard_stats", eng["index_shard_stats"],
         _docs_sql("duck", _ORACLE_SHARD_STATS))

@@ -128,3 +128,69 @@ def phrase_search(index: DataFrame, stats: dict | None, phrase: str,
 
     local = hits.groupBy("shard").applyInPandas(fn, schema=PHRASE_SCHEMA)
     return local.orderBy(F.desc("n_matches"), F.asc("doc_id")).limit(k)
+
+
+def _pair_window_counts(d0, p0, d1, p1, window: int):
+    """Per-doc count of ordered position pairs with 0 < pos1 - pos0 <= W,
+    fully vectorized (two searchsorted passes over the occurrence
+    arrays). Inputs are (doc, pos) occurrence arrays sorted by (doc,
+    pos)."""
+    import numpy as np
+
+    # restrict to docs present on both sides
+    common = np.intersect1d(np.unique(d0), np.unique(d1))
+    if common.size == 0:
+        return common, common
+    m0 = np.isin(d0, common)
+    m1 = np.isin(d1, common)
+    d0, p0 = d0[m0], p0[m0]
+    d1, p1 = d1[m1], p1[m1]
+    # composite keys keep windows from leaking across documents: space
+    # positions so that doc boundaries are > W apart
+    span = np.int64(max(int(p0.max()), int(p1.max())) + window + 2)
+    k0 = d0 * span + p0
+    k1 = d1 * span + p1
+    lo = np.searchsorted(k0, k1 - window, side="left")
+    hi = np.searchsorted(k0, k1 - 1, side="right")
+    cnt = (hi - lo).astype(np.int64)
+    ud, inv = np.unique(d1, return_inverse=True)
+    per_doc = np.bincount(inv, weights=cnt).astype(np.int64)
+    keep = per_doc > 0
+    return ud[keep], per_doc[keep]
+
+
+def proximity_search(index: DataFrame, stats: dict | None, term_a: str,
+                     term_b: str, window: int = 5, k: int = 10,
+                     stem: bool = True, camel: bool = True) -> DataFrame:
+    """Top-k within-window co-occurrence: (doc_id, n_matches) where
+    n_matches counts ordered position pairs with ``0 < pos(term_b) -
+    pos(term_a) <= window`` — the proximity generalization of phrase
+    adjacency (window=1 over two terms == the phrase count). Same
+    one-exchange plan shape as phrase_search.
+    """
+    spark = index.sparkSession
+    ta = tokenize(term_a, stem=stem, camel=camel)
+    tb = tokenize(term_b, stem=stem, camel=camel)
+    if not ta or not tb:
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    ta, tb = ta[0], tb[0]
+    hits = index.filter(F.col("term").isin(sorted({ta, tb})))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        groups: dict[str, list] = {}
+        for r in pdf.itertuples(index=False):
+            groups.setdefault(r.term, []).append(r)
+        if ta not in groups or tb not in groups:
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                 "n_matches": np.empty(0, np.int64)})
+        d0, p0 = _term_occurrences(groups[ta])
+        d1, p1 = _term_occurrences(groups[tb])
+        docs, cnt = _pair_window_counts(d0, p0, d1, p1, window)
+        out = pd.DataFrame({"doc_id": docs, "n_matches": cnt})
+        if len(out) > k:
+            out = out.sort_values(["n_matches", "doc_id"],
+                                  ascending=[False, True]).head(k)
+        return out
+
+    local = hits.groupBy("shard").applyInPandas(fn, schema=PHRASE_SCHEMA)
+    return local.orderBy(F.desc("n_matches"), F.asc("doc_id")).limit(k)

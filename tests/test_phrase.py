@@ -114,6 +114,28 @@ def test_single_term_phrase_is_tf(phrase_index, phrase_corpus):
             assert got[i] == tf
 
 
+def test_proximity_engine_vs_naive(phrase_index, phrase_corpus):
+    from index_spark.operators.phrase import proximity_search
+
+    texts, _ = phrase_corpus
+    index, stats = phrase_index
+    for ta, tb, w in [("data", "table", 1), ("data", "table", 3),
+                      ("table", "data", 2), ("data", "data", 4)]:
+        got = [(r["doc_id"], r["n_matches"])
+               for r in proximity_search(index, stats, ta, tb, window=w,
+                                         stem=False).collect()]
+        exp = []
+        for i, t in enumerate(texts):
+            toks = tokenize(t, stem=False)
+            n = sum(1 for a, x in enumerate(toks) if x == ta
+                    for b in range(a + 1, min(a + w + 1, len(toks)))
+                    if toks[b] == tb)
+            if n:
+                exp.append((i, n))
+        exp.sort(key=lambda x: (-x[1], x[0]))
+        assert got == exp[:10], (ta, tb, w, got, exp)
+
+
 def test_positions_survive_merge(phrase_index, phrase_corpus):
     """merge_shards concatenates pos blobs; decoded per-doc positions must
     be identical to the sharded index's."""
