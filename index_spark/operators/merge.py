@@ -52,7 +52,7 @@ MERGED_SCHEMA = T.StructType([
 ])
 
 
-def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
+def _merge_term_impl(pdf: pd.DataFrame, zone: bool) -> pd.DataFrame:
     # (shard, first_doc): the fused build may emit two rows for a shard
     # that spans a partition boundary — disjoint doc sub-ranges, ordered
     # by first_doc
@@ -99,6 +99,7 @@ def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
     skips = sorted(dedup.values())
     first = pdf.iloc[0]
     return pd.DataFrame([{
+        **({"zone": first["zone"]} if zone else {}),
         "term": first["term"],
         "df": int(pdf["df"].sum()),
         "cf": int(pdf["cf"].sum()),
@@ -115,6 +116,25 @@ def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
     }])
 
 
+def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
+    # single-parameter wrappers: applyInPandas treats a 2-arg function
+    # as (group_key, pdf)
+    return _merge_term_impl(pdf, zone=False)
+
+
+def _merge_term_zone(pdf: pd.DataFrame) -> pd.DataFrame:
+    return _merge_term_impl(pdf, zone=True)
+
+
 def merge_shards(index: DataFrame) -> DataFrame:
-    """Sharded index -> one row per term (global sorted posting list)."""
+    """Sharded index -> one row per term (global sorted posting list).
+
+    A zoned index (build_zoned_index) merges per (zone, term) — zones are
+    independent sub-indexes and must never concatenate across."""
+    if "zone" in index.columns:
+        schema = T.StructType(
+            [T.StructField("zone", T.StringType(), False)]
+            + list(MERGED_SCHEMA.fields))
+        return index.groupBy("zone", "term").applyInPandas(
+            _merge_term_zone, schema=schema)
     return index.groupBy("term").applyInPandas(_merge_term, schema=MERGED_SCHEMA)

@@ -94,6 +94,26 @@ def test_zone_weight_changes_ranking(zoned):
     assert low[0] != 4
 
 
+def test_zoned_merge_groups_by_zone_and_term(spark, zoned):
+    """merge_shards on a zoned index must keep zones separate: one row
+    per (zone, term), with per-zone df preserved."""
+    from pyspark.sql import functions as F
+
+    from index_spark.operators.merge import merge_shards
+
+    index, _ = zoned
+    merged = merge_shards(index)
+    rows = merged.where(F.col("term") == "data") \
+                 .select("zone", "term", "df").collect()
+    got = {(r["zone"], r["term"]): r["df"] for r in rows}
+    # body zone: docs 0, 1(no), 2... -> df from CORPUS bodies; zpath zone
+    body_df = sum(1 for _, b in CORPUS if "data" in tokenize(b, stem=False))
+    path_df = sum(1 for z, _ in CORPUS if "data" in tokenize(z, stem=False))
+    assert got == {("body", "data"): body_df, ("zpath", "data"): path_df}
+    assert merged.groupBy("zone", "term").count() \
+                 .where(F.col("count") > 1).count() == 0
+
+
 def test_zone_index_prunes_on_zone_and_term(spark, zoned, tmp_path):
     index, _ = zoned
     out = str(tmp_path / "zidx")
