@@ -543,6 +543,12 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         # uses IVF buckets from assign_buckets for the O(n^2) cut
         return embedding_near_dup_pairs(emb, threshold=0.4)
 
+    def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.dedup import winnow_fingerprints
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return winnow_fingerprints(docs, k=8, window=4)
+
     def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.multimodal import extract_features
 
@@ -566,6 +572,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "ivf_topk": ivf_topk_q,
         "top_posting_lists": top_posting_lists,
         "doc_lookup": doc_lookup_q,
+        "doc_fingerprints": doc_fingerprints,
         "emb_near_dup": emb_near_dup,
         "media_features": media_features,
     }
@@ -673,6 +680,31 @@ SELECT CAST(documents.doc_id AS BIGINT) AS doc_id,
        CAST(dl.dlen AS BIGINT) AS doc_len
 FROM documents JOIN dl ON documents.doc_id = dl.doc_id
 WHERE documents.doc_id = 42"""
+
+# winnowing fingerprints (Schleimer et al. 2003): polynomial rolling hash
+# base 31 mod 2^31-1 over char 8-grams, min per 4-hash window, distinct
+_ORACLE_FINGERPRINTS_DUCK = """
+WITH pos AS (
+  SELECT doc_id, unnest(range(length(text) - 7)) AS i, text FROM documents
+), h AS (
+  SELECT doc_id, i,
+         (CAST(ord(substr(text, CAST(i + 1 AS INT), 1)) AS BIGINT) * 27512614111
+        + CAST(ord(substr(text, CAST(i + 2 AS INT), 1)) AS BIGINT) * 887503681
+        + CAST(ord(substr(text, CAST(i + 3 AS INT), 1)) AS BIGINT) * 28629151
+        + CAST(ord(substr(text, CAST(i + 4 AS INT), 1)) AS BIGINT) * 923521
+        + CAST(ord(substr(text, CAST(i + 5 AS INT), 1)) AS BIGINT) * 29791
+        + CAST(ord(substr(text, CAST(i + 6 AS INT), 1)) AS BIGINT) * 961
+        + CAST(ord(substr(text, CAST(i + 7 AS INT), 1)) AS BIGINT) * 31
+        + CAST(ord(substr(text, CAST(i + 8 AS INT), 1)) AS BIGINT)) % 2147483647 AS hv
+  FROM pos
+), w AS (
+  SELECT doc_id,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+  FROM h
+)
+SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM w WHERE rn >= 4"""
 
 _ORACLE_EMB_NEAR_DUP_DUCK = """
 WITH norm AS (
@@ -804,6 +836,8 @@ def _build_registry():
         _docs_sql("duck", _ORACLE_TOP_LISTS))
     add("doc_lookup", eng["doc_lookup"],
         _docs_sql("duck", _ORACLE_DOC_LOOKUP))
+    add("doc_fingerprints", eng["doc_fingerprints"],
+        _ORACLE_FINGERPRINTS_DUCK)
     add("emb_near_dup", eng["emb_near_dup"], _ORACLE_EMB_NEAR_DUP_DUCK)
     add("media_features", eng["media_features"], _ORACLE_MEDIA_DUCK)
 

@@ -551,3 +551,57 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     )
     out._build_caches = [grams]  # release via build.release_build(out)
     return out
+
+
+# ------------------------------------------------------------ fingerprints
+
+FP_BASE = 31
+FP_MOD = 2147483647  # 2^31 - 1; sum of 8 terms stays < 2^63 pre-mod
+
+
+def winnow_batch(texts, k: int = 8, window: int = 4) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    polynomial rolling hash over character k-grams, then the min of each
+    w-hash window; the fingerprint set is the DISTINCT window minima.
+
+    Returns (doc_idx, fp) pairs, deduped per document. Pure integer
+    arithmetic (base 31, mod 2^31-1, byte codes) so ANSI SQL reproduces
+    it exactly — the driver oracle recomputes the same values in DuckDB.
+    Docs with fewer than k+window-1 characters emit no fingerprints.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    d_out, f_out = [], []
+    weights = (FP_BASE ** np.arange(k - 1, -1, -1, dtype=np.int64))
+    for i, t in enumerate(texts):
+        b = np.frombuffer((t or "").encode("utf-8", "replace"), dtype=np.uint8)
+        if b.size < k:
+            continue
+        grams = sliding_window_view(b, k).astype(np.int64)
+        h = (grams * weights[None, :]).sum(axis=1) % FP_MOD
+        if h.size < window:
+            continue
+        fps = np.unique(sliding_window_view(h, window).min(axis=1))
+        d_out.append(np.full(fps.size, i, dtype=np.int64))
+        f_out.append(fps)
+    if not d_out:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(d_out), np.concatenate(f_out)
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 8, window: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fp) — each doc's winnowing fingerprint set. Content-reuse
+    detection = equi-join on fp (bounded buckets: fingerprints are
+    near-uniform hash values, so no stop-gram-style skew)."""
+    out = T.StructType([T.StructField("doc_id", T.LongType(), False),
+                        T.StructField("fp", T.LongType(), False)])
+
+    def fn(it):
+        for pdf in it:
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            d, f = winnow_batch(pdf[text_col].tolist(), k=k, window=window)
+            yield pd.DataFrame({"doc_id": ids[d], "fp": f})
+
+    return df.select(id_col, text_col).mapInPandas(fn, schema=out)

@@ -195,6 +195,34 @@ def test_ngram_prefix_filter_bounds_stop_gram(spark):
     assert got == {(0, m + 1): 1.0}
 
 
+def test_winnow_fingerprints_match_naive():
+    """winnow_batch == the definitional per-doc computation (rolling
+    polynomial hash over char 8-grams, min per 4-window, distinct)."""
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumps over the lazy dog",  # dup
+             "completely different content here with words",
+             "short", ""]
+    d, f = dd.winnow_batch(texts, k=8, window=4)
+    got = {}
+    for di, fp in zip(d, f):
+        got.setdefault(int(di), set()).add(int(fp))
+    for i, t in enumerate(texts):
+        b = t.encode()
+        if len(b) < 8 + 3:
+            assert i not in got
+            continue
+        hs = []
+        for p in range(len(b) - 7):
+            v = 0
+            for j in range(8):
+                v = v * dd.FP_BASE + b[p + j]
+            hs.append(v % dd.FP_MOD)
+        exp = {min(hs[p: p + 4]) for p in range(len(hs) - 3)}
+        assert got[i] == exp, i
+    assert got[0] == got[1]  # identical docs -> identical fingerprints
+    assert got[0] != got[2]
+
+
 def test_lsh_giant_bucket_star_pairing(spark):
     """An oversized LSH bucket (many mutually-identical docs) must emit
     O(m) star pairs, not O(m^2) — and keep-first dedup must still drop
