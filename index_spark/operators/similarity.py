@@ -81,17 +81,39 @@ def train_centroids(emb: DataFrame, n_buckets: int = 16, iters: int = 5,
 
 
 def assign_buckets(emb: DataFrame, centroids: np.ndarray,
-                   vec_col: str = "embedding") -> DataFrame:
-    """Add ``bucket`` = argmax cosine vs centroids (one Arrow UDF pass)."""
+                   vec_col: str = "embedding",
+                   n_assign: int = 1) -> DataFrame:
+    """Add ``bucket`` = nearest-centroid id(s) (one Arrow UDF pass).
+
+    ``n_assign > 1`` is build-side multi-probe: each vector lands in its
+    top-``n_assign`` buckets (row replicated), so near-dup candidate
+    generation no longer misses pairs straddling a centroid boundary —
+    two vectors within the near-dup threshold almost surely share one of
+    their top-2 buckets. Storage cost is the replication factor;
+    consumers producing pairs must de-duplicate (embedding_near_dup_pairs
+    does)."""
     cents = centroids.astype(np.float64)
 
-    @F.pandas_udf(T.IntegerType())
-    def _bucket(vecs: pd.Series) -> pd.Series:
+    if n_assign <= 1:
+        @F.pandas_udf(T.IntegerType())
+        def _bucket(vecs: pd.Series) -> pd.Series:
+            x = np.stack(vecs.to_numpy()).astype(np.float64)
+            x = x / np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)
+            return pd.Series(np.argmax(x @ cents.T, axis=1).astype(np.int32))
+
+        return emb.withColumn("bucket", _bucket(F.col(vec_col)))
+
+    k = min(n_assign, len(cents))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
         x = np.stack(vecs.to_numpy()).astype(np.float64)
         x = x / np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)
-        return pd.Series(np.argmax(x @ cents.T, axis=1).astype(np.int32))
+        sims = x @ cents.T
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k].astype(np.int32)
+        return pd.Series(list(top))
 
-    return emb.withColumn("bucket", _bucket(F.col(vec_col)))
+    return emb.withColumn("bucket", F.explode(_buckets(F.col(vec_col))))
 
 
 def ivf_topk(bucketed: DataFrame, centroids: np.ndarray, qvec: list[float],
@@ -128,7 +150,8 @@ def embedding_near_dup_pairs(bucketed: DataFrame, threshold: float = 0.95,
                         F.col(vec_col).alias("va"))
     r = bucketed.select(F.col(id_col).alias("vec_b"), F.col("bucket"),
                         F.col(vec_col).alias("vb"))
-    pairs = l.join(r, "bucket").where(F.col("vec_a") < F.col("vec_b"))
+    pairs = l.join(r, "bucket").where(F.col("vec_a") < F.col("vec_b")) \
+             .dropDuplicates(["vec_a", "vec_b"])  # multi-assign overlap
     dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a.cast("double") * b),
                       F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(F.transform("va", lambda a: a.cast("double") * a),

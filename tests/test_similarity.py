@@ -68,3 +68,24 @@ def test_embedding_near_dup(spark):
     pairs = {(r["vec_a"], r["vec_b"]) for r in
              embedding_near_dup_pairs(bucketed, threshold=0.99).collect()}
     assert (0, 1) in pairs and (0, 3) in pairs and (0, 2) not in pairs
+
+
+def test_multi_assign_catches_boundary_pairs(spark):
+    """Build-side multi-probe (n_assign=2): a near-dup pair straddling a
+    centroid boundary is missed by single assignment but caught when each
+    vector also lands in its second-nearest bucket."""
+    rows = [
+        (0, [0.72, 0.69, 0.0, 0.0]),   # just on centroid-0 side
+        (1, [0.69, 0.72, 0.0, 0.0]),   # just on centroid-1 side; cos~0.998
+        (2, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+              .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    cents = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]])
+    single = {(r["vec_a"], r["vec_b"]) for r in embedding_near_dup_pairs(
+        assign_buckets(df, cents), threshold=0.99).collect()}
+    multi = {(r["vec_a"], r["vec_b"]) for r in embedding_near_dup_pairs(
+        assign_buckets(df, cents, n_assign=2), threshold=0.99).collect()}
+    assert (0, 1) not in single  # the boundary miss
+    assert (0, 1) in multi       # multi-probe recovers it
+    assert all(p == (0, 1) for p in multi)
