@@ -241,21 +241,22 @@ def minhash_candidate_pairs(sigs: DataFrame,
     of mutual near-dups (each loser still links to the keeper); the full
     pair *listing* inside such buckets is intentionally not enumerated.
 
-    Both window stats and the self-join partition by (band_id,
-    band_hash), so Spark computes the bands relation once, shuffles once,
-    and reuses the exchange for both join sides.
+    Bucket stats come from a map-side-combinable groupBy joined back on
+    the band keys — NOT a window over (band_id, band_hash): a window
+    would funnel a pathological bucket's every row into one task, while
+    the aggregate combines map-side and the join-back is AQE
+    skew-splittable.
     """
-    from pyspark.sql import Window as W
-
     bands = sigs.select(
         "doc_id", "sig", F.posexplode("bands").alias("band_id", "band_hash")
     )
-    w = W.partitionBy("band_id", "band_hash")
-    w_ord = w.orderBy("doc_id")
-    bands = (bands
-             .withColumn("bsz", F.count("*").over(w))
-             .withColumn("bmin", F.min("doc_id").over(w))
-             .withColumn("bsig", F.first("sig").over(w_ord)))
+    stats = (bands.groupBy("band_id", "band_hash")
+             .agg(F.count("*").alias("bsz"),
+                  F.min(F.struct("doc_id", "sig")).alias("_m"))
+             .select("band_id", "band_hash", "bsz",
+                     F.col("_m.doc_id").alias("bmin"),
+                     F.col("_m.sig").alias("bsig")))
+    bands = bands.join(stats, ["band_id", "band_hash"])
     small = bands.where(F.col("bsz") <= max_bucket)
     left = small.alias("l")
     right = small.alias("r")
@@ -389,9 +390,8 @@ def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
     buckets larger than ``max_bucket`` star-pair to the bucket min
     instead of all-pairs (16-bit blocks only span 65,536 values, so at
     corpus scale unguarded buckets WILL be huge; widen the blocks or
-    raise block count before raising ``max_bucket``)."""
-    from pyspark.sql import Window as W
-
+    raise block count before raising ``max_bucket``). Bucket stats via
+    groupBy + join-back (skew-safe), not a window."""
     sh = simhash64(df, text_col, id_col)
     blocks = sh.select(
         "doc_id", "simhash",
@@ -401,12 +401,13 @@ def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
             for i in range(4)
         ])).alias("b"),
     ).select("doc_id", "simhash", "b.block_id", "b.block")
-    w = W.partitionBy("block_id", "block")
-    w_ord = w.orderBy("doc_id")
-    blocks = (blocks
-              .withColumn("bsz", F.count("*").over(w))
-              .withColumn("bmin", F.min("doc_id").over(w))
-              .withColumn("bhash", F.first("simhash").over(w_ord)))
+    stats = (blocks.groupBy("block_id", "block")
+             .agg(F.count("*").alias("bsz"),
+                  F.min(F.struct("doc_id", "simhash")).alias("_m"))
+             .select("block_id", "block", "bsz",
+                     F.col("_m.doc_id").alias("bmin"),
+                     F.col("_m.simhash").alias("bhash")))
+    blocks = blocks.join(stats, ["block_id", "block"])
     small = blocks.where(F.col("bsz") <= max_bucket)
     l, r = small.alias("l"), small.alias("r")
     cand_small = (
@@ -457,12 +458,17 @@ def _gram_prefix(grams: DataFrame, threshold: float) -> DataFrame:
     the candidate join is bounded by rare-gram buckets instead of going
     quadratic. EXACT: no above-threshold pair can be missed. The f.p.
     epsilon only ever enlarges the prefix (safe direction).
+
+    Gram df comes from a map-side-combinable groupBy joined back on the
+    gram (AQE-skew-splittable), never a window over ``gram`` — a window
+    would push every occurrence of a stop-gram into one task. The
+    remaining windows partition by ``doc_id`` (bounded by doc size).
     """
     from pyspark.sql import Window as W
 
+    gdf = grams.groupBy("gram").agg(F.count("*").alias("gdf"))
     w_doc = W.partitionBy("doc_id")
-    ranked = (grams
-              .withColumn("gdf", F.count("*").over(W.partitionBy("gram")))
+    ranked = (grams.join(gdf, "gram")
               .withColumn("n_grams", F.count("*").over(w_doc))
               .withColumn("rn", F.row_number().over(
                   w_doc.orderBy("gdf", "gram"))))
