@@ -222,14 +222,13 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
 
     hits = index.filter(F.col("term").isin(qterms))
-    # exact global df per term = sum of its shard dfs (ranges disjoint),
-    # via a window over the tiny hit set — keeps the query ONE Spark job
-    # (a groupBy+broadcast-join would add a materialization job)
-    from pyspark.sql import Window as W
-
-    hits = hits.withColumn(
-        "df_g", F.sum("df").over(W.partitionBy("term"))
-    ).withColumn(
+    # exact global df per term = sum of its shard dfs (ranges disjoint).
+    # A map-side-combined aggregate + BROADCAST join-back (the stats
+    # relation is <= |query terms| rows): the hit rows never shuffle by
+    # term. A window over term would funnel a hot term's every shard row
+    # into one task at 10^12-doc shard counts.
+    dfs = hits.groupBy("term").agg(F.sum("df").alias("df_g"))
+    hits = hits.join(F.broadcast(dfs), "term").withColumn(
         "idf",
         F.log((F.lit(float(n_docs)) - F.col("df_g") + 0.5) / (F.col("df_g") + 0.5) + 1.0),
     )
@@ -378,8 +377,6 @@ def zone_search(index: DataFrame, zone_stats: dict, query: str,
     top-k. Zone lists of the same doc range land in the same shard group,
     so the weighted sum needs no extra join or shuffle.
     """
-    from pyspark.sql import Window as W
-
     spark = index.sparkSession
     qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
     zones = sorted(z for z in zone_weights if z in zone_stats)
@@ -388,8 +385,10 @@ def zone_search(index: DataFrame, zone_stats: dict, query: str,
 
     hits = index.filter(F.col("term").isin(qterms)
                         & F.col("zone").isin(zones))
-    hits = hits.withColumn(
-        "df_g", F.sum("df").over(W.partitionBy("zone", "term")))
+    # per-(zone, term) global df via aggregate + broadcast join-back
+    # (skew-safe; see ``search``)
+    dfs = hits.groupBy("zone", "term").agg(F.sum("df").alias("df_g"))
+    hits = hits.join(F.broadcast(dfs), ["zone", "term"])
     n_map = F.create_map(*[F.lit(x) for z in zones
                            for x in (z, float(zone_stats[z]["n_docs"]))])
     w_map = F.create_map(*[F.lit(x) for z in zones

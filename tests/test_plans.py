@@ -44,18 +44,23 @@ def test_column_pruning_on_index_scan(spark, index_on_disk):
 
 
 def test_search_plan_single_exchange(spark, index_on_disk):
-    """The query path must contain exactly one shuffle (the per-shard
-    regroup) over the term-pruned scan — no join against a docs table."""
+    """The query path must shuffle the hit rows exactly once (the
+    per-shard regroup): term df stats join back via BROADCAST (never a
+    sort-merge join, never a window shuffling hits by term), and there is
+    no join against a docs table."""
     from index_spark.operators.query import search
 
     out, stats = index_on_disk
     index = spark.read.parquet(out)
     df = search(index, None, stats, "import numpy", k=10)
     plan = _plan(df)
-    assert "Join" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
     tree = plan.split("\n\n")[0]  # formatted output repeats nodes in detail sections
-    n_exchanges = len(re.findall(r"\bExchange\b", tree))
-    # window(df_g) + shard regroup; global top-k is TakeOrderedAndProject
+    tree = tree.split("== Initial Plan ==")[0]
+    # tiny df-stats aggregate + broadcast + shard regroup; global top-k is
+    # TakeOrderedAndProject. Count distinct shuffle-exchange node ids.
+    n_exchanges = len(set(re.findall(r"\bExchange \((\d+)\)", tree)))
     assert n_exchanges <= 2, plan
     assert re.search(r"PushedFilters:.*In\(term", plan), plan
 
