@@ -500,9 +500,11 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
       iff it stays under ``naive_max_join_rows`` — the skew statistic IS
       the plan choice, mirroring what a cost-based optimizer would do.
     """
-    # the gram relation feeds several subtrees; persist it
-    # (memory-and-disk, spills at scale) or explode+distinct recomputes
+    # every plan (and the auto decision aggregate) reads the gram
+    # relation several times; persist it (memory-and-disk, spills at
+    # scale) or the explode+distinct recomputes per subtree
     grams = _doc_grams(df, n, text_col, id_col).persist()
+    caches = [grams]
     if mode == "auto":
         row = (grams.groupBy("gram").count()
                .agg(F.sum(F.col("count") * F.col("count")).alias("j"))
@@ -555,7 +557,7 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    out._build_caches = [grams]  # release via build.release_build(out)
+    out._build_caches = caches  # release via build.release_build(out)
     return out
 
 

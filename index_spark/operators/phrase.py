@@ -104,9 +104,20 @@ def _phrase_shard(pdf: pd.DataFrame, qterms: list[str]) -> pd.DataFrame:
                          "n_matches": cnt.astype(np.int64)})
 
 
+def _zone_pinned(index: DataFrame, zone: str | None) -> DataFrame:
+    """Positions are per-zone streams: a zoned index must be pinned to
+    ONE zone before position queries, or different zones' occurrences
+    would be conflated. Also tolerates a merged (shard-less) index."""
+    if "zone" in index.columns:
+        index = index.filter(F.col("zone") == (zone or "body"))
+    if "shard" not in index.columns:
+        index = index.withColumn("shard", F.lit(0))
+    return index
+
+
 def phrase_search(index: DataFrame, stats: dict | None, phrase: str,
                   k: int = 10, stem: bool = True,
-                  camel: bool = True) -> DataFrame:
+                  camel: bool = True, zone: str | None = None) -> DataFrame:
     """Top-k exact-phrase matches: (doc_id, n_matches).
 
     ``stats`` is accepted for API symmetry with ``search`` and unused
@@ -117,7 +128,8 @@ def phrase_search(index: DataFrame, stats: dict | None, phrase: str,
     qterms = tokenize(phrase, stem=stem, camel=camel)
     if not qterms:
         return spark.createDataFrame([], PHRASE_SCHEMA)
-    hits = index.filter(F.col("term").isin(sorted(set(qterms))))
+    hits = _zone_pinned(index, zone)
+    hits = hits.filter(F.col("term").isin(sorted(set(qterms))))
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         out = _phrase_shard(pdf, qterms)
@@ -161,7 +173,8 @@ def _pair_window_counts(d0, p0, d1, p1, window: int):
 
 def proximity_search(index: DataFrame, stats: dict | None, term_a: str,
                      term_b: str, window: int = 5, k: int = 10,
-                     stem: bool = True, camel: bool = True) -> DataFrame:
+                     stem: bool = True, camel: bool = True,
+                     zone: str | None = None) -> DataFrame:
     """Top-k within-window co-occurrence: (doc_id, n_matches) where
     n_matches counts ordered position pairs with ``0 < pos(term_b) -
     pos(term_a) <= window`` — the proximity generalization of phrase
@@ -174,7 +187,8 @@ def proximity_search(index: DataFrame, stats: dict | None, term_a: str,
     if not ta or not tb:
         return spark.createDataFrame([], PHRASE_SCHEMA)
     ta, tb = ta[0], tb[0]
-    hits = index.filter(F.col("term").isin(sorted({ta, tb})))
+    hits = _zone_pinned(index, zone)
+    hits = hits.filter(F.col("term").isin(sorted({ta, tb})))
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         groups: dict[str, list] = {}

@@ -221,6 +221,10 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
         return spark.createDataFrame([], TOPK_SCHEMA)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
 
+    if "shard" not in index.columns:
+        # a merged global index (merge_shards output) is one doc-range
+        # row per term — score it as a single logical shard
+        index = index.withColumn("shard", F.lit(0))
     hits = index.filter(F.col("term").isin(qterms))
     # exact global df per term = sum of its shard dfs (ranges disjoint).
     # A map-side-combined aggregate + BROADCAST join-back (the stats

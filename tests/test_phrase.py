@@ -157,3 +157,41 @@ def test_positions_survive_merge(phrase_index, phrase_corpus):
                     if tok == "data"]
         assert list(pos[off: off + tf]) == expected, doc
         off += tf
+
+
+def test_search_works_on_merged_index(spark, phrase_index):
+    """BM25 search over merge_shards output (one row per term, no shard
+    column) must be rank-identical to search over the sharded index."""
+    from index_spark.operators.build import stats_from_index
+    from index_spark.operators.merge import merge_shards
+    from index_spark.operators.query import search
+
+    index, _ = phrase_index
+    stats = stats_from_index(index)
+    merged = merge_shards(index)
+    a = [(r["doc_id"], round(r["score"], 9)) for r in
+         search(index, None, stats, "data table", stem=False).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in
+         search(merged, None, stats, "data table", stem=False).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_phrase_on_zoned_index_pins_one_zone(spark, phrase_corpus):
+    """phrase_search over a zoned positions index must not conflate the
+    zones' position streams: body-zone phrase results equal the unzoned
+    build's."""
+    from index_spark.operators.build import build_index, build_zoned_index
+    from index_spark.operators.phrase import phrase_search
+
+    texts, df = phrase_corpus
+    df = df.withColumn("ztext", df["content"])  # second zone = same text
+    _, zidx, _ = build_zoned_index(df, [("body", "content"),
+                                        ("dup", "ztext")],
+                                   stem=False, positions=True, shard_size=4)
+    _, plain, _ = build_index(df, stem=False, positions=True, shard_size=4)
+    a = [(r["doc_id"], r["n_matches"]) for r in
+         phrase_search(zidx, None, "data table", stem=False,
+                       zone="body").collect()]
+    b = [(r["doc_id"], r["n_matches"]) for r in
+         phrase_search(plain, None, "data table", stem=False).collect()]
+    assert a == b and len(a) > 0
