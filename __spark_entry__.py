@@ -549,6 +549,17 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return winnow_fingerprints(docs, k=8, window=4)
 
+    def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the streaming windowed-aggregate operator on its batch-parity
+        # path (same plan serves readStream + watermark; test-pinned)
+        from index_spark.streaming.aggregate import windowed_event_counts
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return windowed_event_counts(ev).select(
+            F.unix_timestamp("window_start").alias("ws"),
+            F.unix_timestamp("window_end").alias("we"),
+            "event_type", "n_events", "sum_value")
+
     def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.multimodal import extract_features
 
@@ -573,6 +584,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "top_posting_lists": top_posting_lists,
         "doc_lookup": doc_lookup_q,
         "doc_fingerprints": doc_fingerprints,
+        "events_windowed": events_windowed,
         "emb_near_dup": emb_near_dup,
         "media_features": media_features,
     }
@@ -719,6 +731,13 @@ FROM norm a JOIN norm b ON a.vec_id < b.vec_id
 WHERE round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
             / (a.n * b.n), 4) >= 0.4"""
 
+_ORACLE_EVENTS_WINDOWED_DUCK = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
+       CAST(epoch(date_trunc('hour', ts)) + 3600 AS BIGINT) AS we,
+       event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2, 3"""
+
 _ORACLE_MEDIA_DUCK = """
 SELECT doc_id AS media_id,
        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -839,6 +858,8 @@ def _build_registry():
     add("doc_fingerprints", eng["doc_fingerprints"],
         _ORACLE_FINGERPRINTS_DUCK)
     add("emb_near_dup", eng["emb_near_dup"], _ORACLE_EMB_NEAR_DUP_DUCK)
+    add("events_windowed", eng["events_windowed"],
+        _ORACLE_EVENTS_WINDOWED_DUCK)
     add("media_features", eng["media_features"], _ORACLE_MEDIA_DUCK)
 
     for name, fn in _spark_engine_queries().items():

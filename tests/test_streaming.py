@@ -52,3 +52,29 @@ def test_file_stream_available_now(spark, tiny_corpus, tmp_path):
     lin = cp.lineage(out)
     assert len(lin) >= 1
     assert sum(m["n_docs"] for m in lin) == 80
+
+
+def test_windowed_stream_agg_matches_batch(spark, tmp_path):
+    """Streaming windowed counts (watermark + tumbling window,
+    availableNow) == the batch groupBy over the same closed input."""
+    import shutil
+
+    from index_spark.streaming.aggregate import (
+        run_stream_to_memory, windowed_event_counts)
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    src = str(tmp_path / "events_stream")
+    # two "micro-batch" files so the stream sees multiple splits
+    events.where("event_id % 2 = 0").write.parquet(src)
+    events.where("event_id % 2 = 1").write.mode("append").parquet(src)
+
+    q = run_stream_to_memory(spark, src, events.schema, "winagg")
+    try:
+        got = {tuple(map(str, r)) for r in
+               spark.sql("SELECT * FROM winagg").collect()}
+        exp = {tuple(map(str, r)) for r in
+               windowed_event_counts(events).collect()}
+        assert got == exp and len(exp) > 0
+    finally:
+        q.stop()
+        shutil.rmtree(src, ignore_errors=True)
