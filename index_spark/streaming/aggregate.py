@@ -55,3 +55,50 @@ def run_stream_to_memory(spark, source_dir: str, schema, name: str,
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(120)
     return q
+
+
+SESSION_GAP_S = 1800
+_NO_TS = -1.0e18  # "no previous event" sentinel (state columns can't be null)
+
+
+def sessionize_stream(events: DataFrame, gap_s: int = SESSION_GAP_S,
+                      ts_col: str = "ts") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per
+    user, running (n_events, n_sessions) where a session break is an
+    event-time gap > ``gap_s`` — the streaming form of the batch
+    events_user_sessions query (same rule: first event opens a session,
+    ties ordered by (ts, event_id)).
+
+    Per-user state is three scalars (last event time, counts); each
+    micro-batch updates it vectorized (one diff + comparison over the
+    user's batch rows — no per-row Python). Update output mode emits the
+    running totals per user per batch; the final row per user equals the
+    batch aggregation over the same closed input (test-pinned).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_type = ("user_id long, n_events long, n_sessions long")
+    state_type = ("last_ts double, n_events long, n_sessions long")
+
+    def fn(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        last_ts, n_ev, n_sess = state.get if state.exists \
+            else (_NO_TS, 0, 0)
+        batch = pd.concat(list(pdfs))
+        batch = batch.sort_values(["_ts_epoch", "event_id"])
+        ts = batch["_ts_epoch"].to_numpy(dtype=np.float64)
+        if ts.size:
+            prev = np.concatenate(([last_ts], ts[:-1]))
+            n_sess += int(((ts - prev) > gap_s).sum())
+            n_ev += ts.size
+            last_ts = float(ts[-1])
+            state.update((last_ts, int(n_ev), int(n_sess)))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n_ev],
+                            "n_sessions": [n_sess]})
+
+    prepared = events.withColumn(
+        "_ts_epoch", F.col(ts_col).cast("timestamp").cast("double"))
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn, out_type, state_type, "update", GroupStateTimeout.NoTimeout)

@@ -78,3 +78,59 @@ def test_windowed_stream_agg_matches_batch(spark, tmp_path):
     finally:
         q.stop()
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: per-user state carried across
+    micro-batches; final running totals == the batch window-function
+    sessionization over the same closed input."""
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from index_spark.streaming.aggregate import sessionize_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    mid = events.agg(F.expr("percentile(cast(cast(ts as timestamp) as double), 0.5)")) \
+                .collect()[0][0]
+    src = str(tmp_path / "sess_stream")
+    # two time-split files, written with distinct mod times so the file
+    # source processes them in event-time order across micro-batches
+    events.where(F.col("ts").cast("timestamp").cast("double") <= mid) \
+          .coalesce(1).write.parquet(src)
+    _time.sleep(1.2)
+    events.where(F.col("ts").cast("timestamp").cast("double") > mid) \
+          .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (sessionize_stream(stream).writeStream.format("memory")
+         .queryName("sess").outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    try:
+        # update mode appends one running row per (user, batch); the
+        # final state is the row with the highest n_events per user
+        got = {r["user_id"]: (r["n_events"], r["n_sessions"]) for r in
+               spark.sql("""SELECT user_id, max(n_events) AS n_events,
+                                   max(n_sessions) AS n_sessions
+                            FROM sess GROUP BY user_id""").collect()}
+        exp_rows = spark.sql("""
+            WITH seq AS (
+              SELECT user_id, cast(cast(ts AS timestamp) AS double) AS tse,
+                     lag(cast(cast(ts AS timestamp) AS double))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM {ev}
+            )
+            SELECT user_id, count(*) AS n_events,
+                   sum(CASE WHEN prev IS NULL OR tse - prev > 1800
+                            THEN 1 ELSE 0 END) AS n_sessions
+            FROM seq GROUP BY user_id""", ev=events).collect()
+        exp = {r["user_id"]: (r["n_events"], r["n_sessions"])
+               for r in exp_rows}
+        assert got == exp and len(exp) > 0
+        assert q.lastProgress is not None
+    finally:
+        q.stop()
+        shutil.rmtree(src, ignore_errors=True)
