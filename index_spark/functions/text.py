@@ -35,17 +35,33 @@ _FAST_RE = re.compile(
     r"[A-Z]{2,}[0-9][a-z0-9]*|[A-Z]{2,}(?![a-z])|[A-Z][a-z0-9]*|[a-z0-9]+")
 
 
+_COMBINING_TABLE: dict | None = None
+
+
+def _combining_table() -> dict:
+    """str.translate deletion table of every combining codepoint, built
+    once per process: mark-stripping then runs at C speed instead of a
+    per-character ``unicodedata.combining`` generator (which dominated
+    profiles on corpora with a non-ASCII sprinkle)."""
+    global _COMBINING_TABLE
+    if _COMBINING_TABLE is None:
+        _COMBINING_TABLE = {
+            cp: None for cp in range(0x110000)
+            if unicodedata.combining(chr(cp))}
+    return _COMBINING_TABLE
+
+
 def normalize_text(s: str) -> str:
     """NFKD + casefold + strip combining marks (pinned normalizer).
 
     ASCII fast path: on ASCII input the full pipeline reduces to
     ``str.lower`` (NFKD and mark-stripping are identity, casefold ==
     lower), and source code is overwhelmingly ASCII — this skips the
-    per-character combining scan for the common case."""
+    combining scan for the common case."""
     if s.isascii():
         return s.lower()
     d = unicodedata.normalize("NFKD", s).casefold()
-    return "".join(ch for ch in d if not unicodedata.combining(ch))
+    return d.translate(_combining_table())
 
 
 def tokenize(text: str, stem: bool = False, camel: bool = True) -> list[str]:
