@@ -47,7 +47,8 @@ def cmd_build(args) -> None:
     report = build_chunked(spark, corpus, args.out,
                            docs_per_chunk=args.docs_per_chunk,
                            shard_size=args.shard_size,
-                           stem=not args.no_stem)
+                           stem=not args.no_stem,
+                           positions=args.positions)
     print(json.dumps(report))
 
 
@@ -60,6 +61,19 @@ def cmd_query(args) -> None:
     stats = load_stats(args.index_dir)
     rows = search(index, None, stats, args.query, k=args.k).collect()
     print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]))
+
+
+def cmd_phrase(args) -> None:
+    from index_spark.operators.phrase import phrase_search
+    from index_spark.plans.checkpoint import load_index, load_stats
+
+    spark = _spark(args)
+    index = load_index(spark, args.index_dir)
+    stats = load_stats(args.index_dir)
+    rows = phrase_search(index, stats, args.phrase, k=args.k,
+                         stem=not args.no_stem).collect()
+    print(json.dumps([{"doc_id": r["doc_id"], "n_matches": r["n_matches"]}
+                      for r in rows]))
 
 
 def cmd_bench(args) -> None:
@@ -80,6 +94,8 @@ def main(argv=None) -> None:
     b.add_argument("--docs-per-chunk", type=int, default=5000)
     b.add_argument("--shard-size", type=int, default=4096)
     b.add_argument("--no-stem", action="store_true")
+    b.add_argument("--positions", action="store_true",
+                   help="store position postings (enables phrase/proximity)")
     b.add_argument("--documents-table", action="store_true",
                    help="corpus is a (doc_id,text,source,...) documents table")
     b.set_defaults(fn=cmd_build)
@@ -89,6 +105,14 @@ def main(argv=None) -> None:
     q.add_argument("--query", required=True)
     q.add_argument("-k", type=int, default=10)
     q.set_defaults(fn=cmd_query)
+
+    ph = sub.add_parser("phrase", help="exact phrase search (needs a "
+                                       "--positions build)")
+    ph.add_argument("--index-dir", required=True)
+    ph.add_argument("--phrase", required=True)
+    ph.add_argument("-k", type=int, default=10)
+    ph.add_argument("--no-stem", action="store_true")
+    ph.set_defaults(fn=cmd_phrase)
 
     be = sub.add_parser("bench", help="headline benchmark suite")
     be.set_defaults(fn=cmd_bench)
