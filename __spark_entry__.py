@@ -425,39 +425,46 @@ def _parity_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one SQL-parity engine build (positions on — a superset index) serves
+# every non-zoned engine entry; memoized per sf_dir so the driver's
+# correctness sweep doesn't rebuild per entry
+_BUILD_CACHE: dict = {}
+
+
+def _parity_build(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _BUILD_CACHE:
+        from index_spark.operators.build import build_index
+
+        corpus = _parity_corpus(spark, sf_dir)
+        docs, index, stats = build_index(corpus, stem=False, camel=False,
+                                         positions=True, shard_size=256)
+        _BUILD_CACHE[sf_dir] = (docs, index.persist(), stats)
+    return _BUILD_CACHE[sf_dir]
+
+
 # engine-path entries WITH DuckDB oracles: built with stem=False +
 # camel=False so the engine tokenizer is exactly the SQL-parity spec
 # (lower -> [a-z0-9]+ runs) that the oracle CTEs reproduce
 def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from index_spark.operators.build import build_index
         from index_spark.operators.query import search
 
-        corpus = _parity_corpus(spark, sf_dir)
-        docs, index, stats = build_index(corpus, stem=False, camel=False,
-                                         shard_size=256)
-        index = index.persist()
+        docs, index, stats = _parity_build(spark, sf_dir)
         top = search(index, docs, stats, "data table query", k=10,
                      use_wand=True, stem=False, camel=False, shard_size=256)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
     def phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from index_spark.operators.build import build_index
         from index_spark.operators.phrase import phrase_search
 
-        corpus = _parity_corpus(spark, sf_dir)
-        _, index, stats = build_index(corpus, stem=False, camel=False,
-                                      positions=True, shard_size=256)
-        index = index.persist()
+        _, index, stats = _parity_build(spark, sf_dir)
         return phrase_search(index, stats, "data table", k=10,
                              stem=False, camel=False)
 
     def index_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from index_spark.operators.build import DOC_MARKER, build_index
+        from index_spark.operators.build import DOC_MARKER
 
-        corpus = _parity_corpus(spark, sf_dir)
-        _, index, _ = build_index(corpus, stem=False, camel=False,
-                                  shard_size=256)
+        _, index, _ = _parity_build(spark, sf_dir)
         # a shard split at a partition boundary yields sub-range rows;
         # aggregate to one row per (term, shard) for the relational view
         return (index.filter(F.col("term") != DOC_MARKER)
@@ -467,13 +474,9 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                      F.max("last_doc").alias("last_doc")))
 
     def proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from index_spark.operators.build import build_index
         from index_spark.operators.phrase import proximity_search
 
-        corpus = _parity_corpus(spark, sf_dir)
-        _, index, stats = build_index(corpus, stem=False, camel=False,
-                                      positions=True, shard_size=256)
-        index = index.persist()
+        _, index, stats = _parity_build(spark, sf_dir)
         return proximity_search(index, stats, "data", "table", window=5,
                                 k=10, stem=False, camel=False)
 
@@ -515,22 +518,18 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         # list-size ordering (reference PostingList comparators sort by
         # descending length, index.h:251-257): global df from shard-df
         # sums, ordered desc — the planner-facing "largest lists first"
-        from index_spark.operators.build import DOC_MARKER, build_index
+        from index_spark.operators.build import DOC_MARKER
 
-        corpus = _parity_corpus(spark, sf_dir)
-        _, index, _ = build_index(corpus, stem=False, camel=False,
-                                  shard_size=256)
+        _, index, _ = _parity_build(spark, sf_dir)
         return (index.filter(F.col("term") != DOC_MARKER)
                 .groupBy("term").agg(F.sum("df").alias("df"),
                                      F.sum("cf").alias("cf"))
                 .orderBy(F.desc("df"), F.asc("term")).limit(20))
 
     def doc_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from index_spark.operators.build import build_index, doc_lookup
+        from index_spark.operators.build import doc_lookup
 
-        corpus = _parity_corpus(spark, sf_dir)
-        docs, _, _ = build_index(corpus, stem=False, camel=False,
-                                 shard_size=256)
+        docs, _, _ = _parity_build(spark, sf_dir)
         return doc_lookup(docs, path="doc%08d" % 42).select(
             "doc_id", "repo", "path", F.col("doc_len").cast("long").alias("doc_len"))
 
