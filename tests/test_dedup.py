@@ -241,3 +241,30 @@ def test_lsh_giant_bucket_star_pairing(spark):
     kept = dd.dedup_keep_first(df, near)
     ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert ids == {0, m}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = st.lists(
+    st.text(alphabet=st.sampled_from("abcdé1"), min_size=1, max_size=6),
+    max_size=20)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_WORDS, max_size=6))
+def test_minhash_batch_property(word_lists):
+    """Batch MinHash == per-doc reference path over random word lists."""
+    texts = [" ".join(w) for w in word_lists]
+    sigs, bands = dd.minhash_signatures_batch(texts)
+    for i, t in enumerate(texts):
+        assert sigs[i].tobytes() == dd.minhash_signature(t.split()), i
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_WORDS, max_size=6))
+def test_simhash_batch_property(word_lists):
+    texts = [" ".join(w) for w in word_lists]
+    got = dd.simhash_batch(texts)
+    for i, t in enumerate(texts):
+        assert int(got[i]) == _naive_simhash(t), i

@@ -195,3 +195,34 @@ def test_phrase_on_zoned_index_pins_one_zone(spark, phrase_corpus):
     b = [(r["doc_id"], r["n_matches"]) for r in
          phrase_search(plain, None, "data table", stem=False).collect()]
     assert a == b and len(a) > 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_DOC = st.text(
+    alphabet=st.sampled_from("ab1 _-éÉ\x00\n\tZ"), max_size=60)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_DOC, max_size=8))
+def test_stream_positions_property(texts):
+    """Positions from the byte-stream kernel == per-doc enumerate() of
+    tokenize(), over adversarial docs (unicode, NUL, camel, empties)."""
+    buf, bounds = _stream(texts)
+    out = term_counts_stream(buf, bounds, stem=False, positions=True)
+    vocab, d, t, cnt, lens, pos = out
+    got = {}
+    off = 0
+    for di, ti, c in zip(d, t, cnt):
+        got[(int(di), vocab[ti])] = list(pos[off: off + c])
+        off += c
+    for di, text in enumerate(texts):
+        naive = {}
+        for p, tok in enumerate(tokenize(text, stem=False)):
+            naive.setdefault(tok, []).append(p)
+        assert len(tokenize(text, stem=False)) == lens[di]
+        for tok, plist in naive.items():
+            assert got[(di, tok)] == plist, (di, tok)
+    assert len(got) == sum(
+        len(set(tokenize(t, stem=False))) for t in texts)
