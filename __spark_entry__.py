@@ -454,6 +454,18 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                      use_wand=True, stem=False, camel=False, shard_size=256)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def wand_queryset(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # BATCH query surface: the whole 10-query set in one Spark job
+        # over the blob engine, vs the SQL BM25 queryset oracle
+        from index_spark.operators.query import search_many
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        queries = {qid: " ".join(terms) for qid, terms in QUERYSET}
+        out = search_many(index, stats, queries, k=10,
+                          stem=False, camel=False)
+        return out.select("query_id", "doc_id",
+                          F.round("score", 4).alias("score"), "rank")
+
     def phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.phrase import phrase_search
 
@@ -575,6 +587,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
 
     return {
         "wand_topk": wand_topk,
+        "wand_queryset": wand_queryset,
         "phrase_topk": phrase_topk,
         "proximity_topk": proximity_topk,
         "zone_topk": zone_topk,
@@ -592,6 +605,26 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
 _ORACLE_WAND_TOPK = """
 , top AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10)
 SELECT doc_id, round(score, 4) AS score FROM top"""
+
+_ORACLE_WAND_QUERYSET = """
+, qscores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+), rankedx AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM qscores
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       round(score, 4) AS score, CAST(rank AS BIGINT) AS rank
+FROM rankedx WHERE rank <= 10"""
 
 _ORACLE_PHRASE_TOPK_DUCK = """
 WITH toks AS (
@@ -844,6 +877,8 @@ def _build_registry():
     eng = _engine_oracle_queries()
     add("wand_topk", eng["wand_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_WAND_TOPK, [q_cte]))
+    add("wand_queryset", eng["wand_queryset"],
+        _docs_sql("duck", _ORACLE_WAND_QUERYSET, [qs_cte]))
     add("phrase_topk", eng["phrase_topk"], _ORACLE_PHRASE_TOPK_DUCK)
     add("proximity_topk", eng["proximity_topk"], _ORACLE_PROXIMITY_TOPK_DUCK)
     add("zone_topk", eng["zone_topk"], _ORACLE_ZONE_TOPK_DUCK)

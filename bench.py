@@ -85,6 +85,13 @@ def main() -> None:
         search(state["index"], state["docs"], state["stats"], qset[0], k=10,
                use_wand=True, shard_size=shard_size).collect()
         timings["query_oneshot"] = round(time.time() - t0, 3)
+        # whole query set as ONE Spark job (batch/eval-set surface)
+        from index_spark.operators.query import search_many
+
+        t0 = time.time()
+        search_many(state["index"], state["stats"],
+                    dict(enumerate(qset)), k=10).count()
+        timings["queryset_batch"] = round(time.time() - t0, 3)
 
     timed("wand_query_set", _queries)
 
@@ -144,7 +151,7 @@ def main() -> None:
     total = round(sum(v for k, v in timings.items()
                       if k not in ("query_p95", "query_mean", "query_prepare",
                                    "phrase_query", "zone_query",
-                                   "query_oneshot")), 3)
+                                   "query_oneshot", "queryset_batch")), 3)
     timings["build_docs_per_sec"] = round(n_docs / timings["build_index"], 1)
     print(json.dumps({
         "metric": "index_spark headline suite wall time",

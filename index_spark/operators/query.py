@@ -415,3 +415,97 @@ def zone_search(index: DataFrame, zone_stats: dict, query: str,
 
     local = hits.groupBy("shard").applyInPandas(fn, schema=TOPK_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+MULTI_TOPK_SCHEMA = T.StructType([
+    T.StructField("query_id", T.LongType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("score", T.DoubleType(), False),
+])
+
+
+def _score_shard_multi(pdf: pd.DataFrame, avgdl: float,
+                       qmap: dict[int, list[str]], k: int) -> pd.DataFrame:
+    """Multi-query exhaustive DAAT over one shard: every term's posting
+    list decodes ONCE and its per-posting BM25 contributions are shared
+    across all queries containing the term; per query a numpy scatter-add
+    + local top-k. Sum order stays pinned (ascending term)."""
+    lists = _decode_lists(pdf, avgdl)
+    contrib: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for key, docs, tfs, dls, idf, _, _, l_avgdl in lists:
+        s = idf * tfs / (tfs + K1 * (1.0 - B + B * dls / l_avgdl))
+        t = key[0]
+        if t in contrib:
+            d0, s0 = contrib[t]
+            contrib[t] = (np.concatenate([d0, docs]),
+                          np.concatenate([s0, s]))
+        else:
+            contrib[t] = (docs, s)
+    out_q, out_d, out_s = [], [], []
+    for qid, terms in qmap.items():
+        terms_in = sorted(t for t in terms if t in contrib)
+        if not terms_in:
+            continue
+        lo = min(int(contrib[t][0].min()) for t in terms_in)
+        hi = max(int(contrib[t][0].max()) for t in terms_in)
+        acc = np.zeros(hi - lo + 1, dtype=np.float64)
+        for t in terms_in:
+            d, s = contrib[t]
+            acc[d - lo] += s
+        nz = np.flatnonzero(acc)
+        if nz.size == 0:
+            continue
+        scores = acc[nz]
+        order = np.lexsort((nz, -scores))[:k]
+        out_q.append(np.full(order.size, qid, dtype=np.int64))
+        out_d.append((nz + lo).astype(np.int64)[order])
+        out_s.append(scores[order])
+    if not out_q:
+        return pd.DataFrame({"query_id": np.empty(0, np.int64),
+                             "doc_id": np.empty(0, np.int64),
+                             "score": np.empty(0, np.float64)})
+    return pd.DataFrame({"query_id": np.concatenate(out_q),
+                         "doc_id": np.concatenate(out_d),
+                         "score": np.concatenate(out_s)})
+
+
+def search_many(index: DataFrame, stats: dict, queries: dict[int, str],
+                k: int = 10, stem: bool = True,
+                camel: bool = True) -> DataFrame:
+    """Batch top-k BM25: the WHOLE query set in ONE Spark job.
+
+    Returns (query_id, doc_id, score, rank), rank 1..k per query by
+    (score desc, doc_id asc). All queries' terms prune one scan; each
+    shard kernel decodes every hit list once and shares the per-posting
+    contributions across queries — the throughput surface for eval-set /
+    mining workloads where per-query job latency would dominate. The
+    final per-query rank window sees at most shards-with-hits x k rows
+    per query (pre-pruned by the shard kernel's local top-k).
+    """
+    from pyspark.sql import Window as W
+
+    spark = index.sparkSession
+    qmap = {int(qid): sorted(set(tokenize(q, stem=stem, camel=camel)))
+            for qid, q in queries.items()}
+    all_terms = sorted(set().union(*qmap.values())) if qmap else []
+    if not all_terms:
+        return spark.createDataFrame(
+            [], T.StructType(MULTI_TOPK_SCHEMA.fields
+                             + [T.StructField("rank", T.LongType(), False)]))
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    if "shard" not in index.columns:
+        index = index.withColumn("shard", F.lit(0))
+    hits = index.filter(F.col("term").isin(all_terms))
+    dfs = hits.groupBy("term").agg(F.sum("df").alias("df_g"))
+    hits = hits.join(F.broadcast(dfs), "term").withColumn(
+        "idf",
+        F.log((F.lit(float(n_docs)) - F.col("df_g") + 0.5)
+              / (F.col("df_g") + 0.5) + 1.0))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_shard_multi(pdf, avgdl, qmap, k)
+
+    local = hits.groupBy("shard").applyInPandas(fn, schema=MULTI_TOPK_SCHEMA)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (local.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k))

@@ -226,3 +226,24 @@ def test_stream_positions_property(texts):
             assert got[(di, tok)] == plist, (di, tok)
     assert len(got) == sum(
         len(set(tokenize(t, stem=False))) for t in texts)
+
+
+def test_search_many_matches_per_query(spark, phrase_index):
+    """Batch multi-query search == per-query search, per query (shared
+    decode must not perturb scores or ranking)."""
+    from index_spark.operators.build import stats_from_index
+    from index_spark.operators.query import search, search_many
+
+    index, _ = phrase_index
+    stats = stats_from_index(index)
+    queries = {0: "data table", 1: "big scan", 2: "table", 3: "absent zz"}
+    batch = search_many(index, stats, queries, k=5, stem=False).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9)))
+    for qid, q in queries.items():
+        exp = [(i + 1, r["doc_id"], round(r["score"], 9))
+               for i, r in enumerate(
+                   search(index, None, stats, q, k=5, stem=False).collect())]
+        assert sorted(got.get(qid, [])) == exp, (qid, q)
