@@ -182,3 +182,39 @@ def test_build_has_single_heavy_shuffle(spark, tiny_corpus):
     # upstream range partition for doc-id assignment
     segment = tree.split("MapInPandas")[0]
     assert len(re.findall(r"\bExchange\b", segment)) <= 1, plan
+
+
+def test_bucketed_serving_index_prunes_buckets(spark, tiny_corpus):
+    """The term-bucketed at-rest layout must bucket-prune point lookups:
+    an equality term filter selects a strict subset of buckets before
+    reading rows (the columnar analog of the reference's blob hash
+    probe), and queries over it stay rank-identical."""
+    from index_spark.operators.build import build_index, release_build
+    from index_spark.operators.query import search
+    from index_spark.plans.storage import (load_serving_index,
+                                           save_serving_index)
+
+    corpus_df = spark.createDataFrame(tiny_corpus)
+    _, index, stats = build_index(corpus_df, stem=True, shard_size=64)
+    spark.sql("DROP TABLE IF EXISTS t_serving")
+    import shutil
+    shutil.rmtree("spark-warehouse/t_serving", ignore_errors=True)
+    save_serving_index(index, table="t_serving", n_buckets=8)
+    release_build(index)
+    served = load_serving_index(spark, "t_serving")
+    df = served.filter(F.col("term") == "import")
+    plan = _plan(df)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) < int(m.group(2)), plan
+
+    a = [(r["doc_id"], round(r["score"], 9)) for r in
+         search(served, None, stats, "import numpy").collect()]
+    fresh_index = build_index(corpus_df, stem=True, shard_size=64)[1]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in
+         search(fresh_index, None, stats, "import numpy").collect()]
+    release_build(fresh_index)
+    assert a == b and len(a) > 0
+    spark.sql("DROP TABLE IF EXISTS t_serving")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                   "true")
