@@ -576,6 +576,9 @@ def winnow_batch(texts, k: int = 8, window: int = 4) -> tuple[np.ndarray, np.nda
     arithmetic (base 31, mod 2^31-1, byte codes) so ANSI SQL reproduces
     it exactly — the driver oracle recomputes the same values in DuckDB.
     Docs with fewer than k+window-1 characters emit no fingerprints.
+    Grams are UTF-8 BYTE k-grams (a char-level SQL restatement matches
+    only on ASCII text; non-ASCII fingerprints are still deterministic,
+    just byte- rather than codepoint-grained).
     """
     from numpy.lib.stride_tricks import sliding_window_view
 
