@@ -482,8 +482,34 @@ def _build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
     dls = pdf["doc_len"].to_numpy().astype(np.int64)
 
     order = np.lexsort((docs, term_codes))
-    return _blob_rows(terms, term_codes[order],
-                      docs[order], tfs[order], dls[order], shard)
+    tc = term_codes[order]
+    out = _blob_rows(terms, tc, docs[order], tfs[order], dls[order], shard)
+    if "positions" in pdf.columns:
+        # per-posting occurrence-ordinal deltas (first absolute), sliced
+        # per term group — format-identical to the fused kernel's pos_blob
+        plists = pdf["positions"].to_numpy()[order]
+        cnts = np.fromiter((len(p) for p in plists), np.int64,
+                           count=len(plists))
+        total = int(cnts.sum())
+        if total:
+            flat = np.concatenate(
+                [np.asarray(p, dtype=np.int64) for p in plists if len(p)])
+            deltas = flat.copy()
+            deltas[1:] -= flat[:-1]
+            first_idx = np.concatenate(([0], np.cumsum(cnts)))[:-1]
+            first_idx = first_idx[cnts > 0]
+            deltas[first_idx] = flat[first_idx]
+            plens = vb.encoded_lengths(deltas.astype(np.uint64))
+            pb = vb.encode(deltas.astype(np.uint64))
+            byte_cum = np.concatenate(([0], np.cumsum(plens)))
+            val_cum = np.concatenate(([0], np.cumsum(cnts)))
+            pair_bytes = byte_cum[val_cum[1:]] - byte_cum[val_cum[:-1]]
+            pair_off = np.concatenate(([0], np.cumsum(pair_bytes)))
+            starts = np.concatenate(([0], np.flatnonzero(np.diff(tc)) + 1))
+            ends = np.concatenate((starts[1:], [tc.size]))
+            out["pos_blob"] = [pb[pair_off[s]: pair_off[e]]
+                               for s, e in zip(starts, ends)]
+    return out
 
 
 def build_sharded_index(post_df: DataFrame,

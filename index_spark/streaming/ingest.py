@@ -28,6 +28,8 @@ from index_spark.operators.build import (
     build_sharded_index,
     doc_lengths,
     doc_term_counts,
+    postings,
+    tokenized_docs,
 )
 from index_spark.plans import checkpoint as cp
 
@@ -41,7 +43,8 @@ def _next_chunk_and_doc(out_dir: str) -> tuple[int, int]:
 
 
 def ingest_batch(spark: SparkSession, batch_df: DataFrame, out_dir: str,
-                 shard_size: int = DEFAULT_SHARD_SIZE, stem: bool = True) -> dict:
+                 shard_size: int = DEFAULT_SHARD_SIZE, stem: bool = True,
+                 positions: bool = False) -> dict:
     """Index one micro-batch as a new immutable chunk. Used directly by
     tests and as the foreachBatch body."""
     os.makedirs(os.path.join(out_dir, "chunks"), exist_ok=True)
@@ -57,10 +60,17 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, out_dir: str,
 
     with_ids = assign_doc_ids(ordered).withColumn(
         "doc_id", F.col("doc_id") + F.lit(doc_base))
-    counts = doc_term_counts(with_ids, stem=stem).persist()
+    if positions:
+        # position-carrying chunks use the (term, doc, tf, positions)
+        # relation; doc count comes from the id assignment (the postings
+        # relation drops token-less docs)
+        counts = postings(tokenized_docs(with_ids, stem=stem),
+                          positions=True).persist()
+    else:
+        counts = doc_term_counts(with_ids, stem=stem).persist()
     doclens = doc_lengths(counts)
     agg = doclens.agg(F.count("*").alias("n"), F.sum("doc_len").alias("tok")).collect()[0]
-    n = int(agg["n"] or 0)
+    n = int(with_ids.count()) if positions else int(agg["n"] or 0)
     if n == 0:
         counts.unpersist()
         return {"chunk_id": None, "n_docs": 0}
@@ -84,7 +94,7 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, out_dir: str,
         "n_postings": int(idx_stats["postings"] or 0),
         "index_rows": int(idx_stats["rows"]),
         "blob_bytes": int(idx_stats["blob_bytes"] or 0),
-        "shard_size": shard_size, "stem": stem,
+        "shard_size": shard_size, "stem": stem, "positions": positions,
         "stages": {"streamed": True},
         "wall_s": round(time.time() - t0, 3),
     }
@@ -98,14 +108,15 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, out_dir: str,
 
 def start_file_stream(spark: SparkSession, in_dir: str, out_dir: str,
                       schema, shard_size: int = DEFAULT_SHARD_SIZE,
-                      stem: bool = True, trigger_once: bool = True):
+                      stem: bool = True, trigger_once: bool = True,
+                      positions: bool = False):
     """readStream(file source) -> foreachBatch(chunk build). Returns the
     StreamingQuery (caller awaits/stops)."""
     stream = spark.readStream.schema(schema).parquet(in_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch(batch_df.sparkSession, batch_df, out_dir,
-                     shard_size=shard_size, stem=stem)
+                     shard_size=shard_size, stem=stem, positions=positions)
 
     writer = stream.writeStream.foreachBatch(handle) \
         .option("checkpointLocation", os.path.join(out_dir, "_stream_checkpoint"))

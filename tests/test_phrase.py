@@ -247,3 +247,45 @@ def test_search_many_matches_per_query(spark, phrase_index):
                for i, r in enumerate(
                    search(index, None, stats, q, k=5, stem=False).collect())]
         assert sorted(got.get(qid, [])) == exp, (qid, q)
+
+
+def test_fused_and_shuffle_positions_byte_identical(spark, phrase_corpus):
+    """positions=True on the fused Arrow path and the shuffle path
+    (postings -> build_sharded_index) must produce byte-identical merged
+    pos blobs."""
+    from index_spark.operators.build import (
+        assign_doc_ids, build_index, build_sharded_index, postings,
+        tokenized_docs)
+    from index_spark.operators.merge import merge_shards
+
+    _, df = phrase_corpus
+    _, fused, _ = build_index(df, stem=False, positions=True, shard_size=4)
+    with_ids = assign_doc_ids(df)
+    post = postings(tokenized_docs(with_ids, stem=False), positions=True)
+    shuffled = build_sharded_index(post, shard_size=4)
+
+    a = {r["term"]: (bytes(r["doc_blob"]), bytes(r["tf_blob"]),
+                     bytes(r["pos_blob"]))
+         for r in merge_shards(fused).collect() if r["term"] != "%"}
+    b = {r["term"]: (bytes(r["doc_blob"]), bytes(r["tf_blob"]),
+                     bytes(r["pos_blob"]))
+         for r in merge_shards(shuffled).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_streaming_ingest_with_positions(spark, phrase_corpus, tmp_path):
+    """A streamed chunk built with positions answers phrase queries."""
+    from index_spark.operators.phrase import phrase_search
+    from index_spark.plans.checkpoint import load_index, load_stats
+    from index_spark.streaming.ingest import ingest_batch
+
+    texts, df = phrase_corpus
+    out = str(tmp_path / "stream_pos_idx")
+    rep = ingest_batch(spark, df, out, shard_size=4, stem=False,
+                       positions=True)
+    assert rep["n_docs"] == len(texts) and rep["positions"]
+    index = load_index(spark, out)
+    stats = load_stats(out)
+    got = [(r["doc_id"], r["n_matches"]) for r in
+           phrase_search(index, stats, "data table", stem=False).collect()]
+    assert got == _naive_phrase(texts, "data table")
