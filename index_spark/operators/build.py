@@ -831,8 +831,13 @@ def _build_bucketed(parted: DataFrame, offsets: dict, counts: dict,
     ).mapInArrow(fn, schema=INDEX_SCHEMA)
 
 
-def stats_from_index(index: DataFrame) -> dict:
-    """Corpus stats from the '%' doc-table rows (metadata-only agg)."""
+def stats_from_index(index: DataFrame, zone: str | None = None) -> dict:
+    """Corpus stats from the '%' doc-table rows (metadata-only agg).
+
+    Zoned indexes carry '%' rows per zone; pin one (default ``body``) —
+    summing across zones would overcount n_docs."""
+    if "zone" in index.columns:
+        index = index.filter(F.col("zone") == (zone or "body"))
     row = index.filter(F.col("term") == DOC_MARKER).agg(
         F.sum("df").alias("n"), F.sum("cf").alias("tot")).collect()[0]
     n = int(row["n"] or 0)
@@ -846,8 +851,14 @@ _DOCLEN_SCHEMA = T.StructType([
 ])
 
 
-def doclens_from_index(index: DataFrame) -> DataFrame:
-    """(doc_id, doc_len) decoded from the '%' doc-table blobs."""
+def doclens_from_index(index: DataFrame, zone: str | None = None) -> DataFrame:
+    """(doc_id, doc_len) decoded from the '%' doc-table blobs.
+
+    A zoned index carries one '%' row set PER ZONE (each zone has its
+    own doc lengths); pin one zone (default ``body``) so lengths never
+    mix across zones."""
+    if "zone" in index.columns:
+        index = index.filter(F.col("zone") == (zone or "body"))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -124,3 +124,17 @@ def test_zone_index_prunes_on_zone_and_term(spark, zoned, tmp_path):
         df._jdf.queryExecution(), "formatted")
     assert "PushedFilters" in plan
     assert "zone" in plan.split("PushedFilters")[1][:200], plan
+
+
+def test_doclens_from_zoned_index_pins_one_zone(zoned):
+    from index_spark.operators.build import doclens_from_index
+
+    index, _ = zoned
+    body = {r["doc_id"]: r["doc_len"]
+            for r in doclens_from_index(index).collect()}
+    zpath = {r["doc_id"]: r["doc_len"]
+             for r in doclens_from_index(index, zone="zpath").collect()}
+    assert len(body) == len(CORPUS) == len(zpath)
+    for i, (ztext, b) in enumerate(CORPUS):
+        assert body[i] == len(tokenize(b, stem=False))
+        assert zpath[i] == len(tokenize(ztext, stem=False))
