@@ -6,9 +6,10 @@ and run a block-max-WAND BM25 top-k query.
 
 `queries()` / `oracle_sql()` — one entry per operator from SURVEY.md §2
 plus the training-data-pipeline operators (dedup / similarity / text
-analysis / multimodal plumbing). SQL-expressible stages carry a DuckDB
-oracle; binary-blob / custom-kernel stages are rows-only (pytest covers
-them against the pinned oracle instead).
+analysis / multimodal plumbing). EVERY entry carries a DuckDB value
+oracle — including the FNV hash kernels (MinHash/SimHash), whose
+recurrences are restated as recursive CTEs with HUGEINT mod-2^64
+arithmetic.
 
 Column-name parity rule: every computed column is aliased identically in
 the Spark plan and the oracle SQL.
@@ -582,8 +583,11 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                         (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
                     F.encode("text", "utf-8").alias("payload"))
         )
+        # mean_byte is a REAL decoded-payload statistic (mean of the raw
+        # bytes) — value-checked against the oracle's per-char restatement
         return extract_features(media).select(
-            "media_id", "kind", "n_bytes", "payload_sha256")
+            "media_id", "kind", "n_bytes", "payload_sha256",
+            F.round("mean_byte", 4).alias("mean_byte"))
 
     return {
         "wand_topk": wand_topk,
@@ -774,14 +778,23 @@ _ORACLE_MEDIA_DUCK = """
 SELECT doc_id AS media_id,
        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
-       sha256(text) AS payload_sha256
+       sha256(text) AS payload_sha256,
+       round(list_avg(list_transform(range(1, strlen(text) + 1),
+                                     i -> ord(substr(text, CAST(i AS INT), 1)))), 4) AS mean_byte
 FROM documents"""
 
 
 def _spark_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Rows-only entries: custom-hash kernels (FNV MinHash / blake2b
-    SimHash signatures) are not SQL-expressible — pytest pins them against
-    reference-semantics oracles instead."""
+    """Hash-kernel dedup entries (FNV MinHash / FNV SimHash). Both now
+    carry full DuckDB value oracles: the FNV multiply-then-xor recurrence
+    is restated as a recursive CTE over ``ord(substr(...))`` bytes with
+    HUGEINT mod-2^64 arithmetic, and the oracle enumerates ALL pairs at
+    the threshold — valid because the LSH candidate generation is
+    lossless there (>=57/64 equal bytes forces >=1 fully-equal band of
+    the 8 by pigeonhole; hamming<=3 forces >=1 equal 16-bit block of the
+    4), so operator output == the all-pairs set whenever no bucket trips
+    the star-pairing guard (checked at the driver's sf: max bucket 3
+    (minhash) / 44 (simhash) vs guard 64)."""
 
     def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.dedup import minhash_near_dup_pairs
@@ -799,6 +812,106 @@ def _spark_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
         "minhash_pairs": minhash_pairs,
         "simhash_pairs": simhash_pairs,
     }
+
+
+def _minhash_aj_values_sql() -> str:
+    from index_spark.operators.dedup import _A16, _B16
+
+    vals = ", ".join(f"({j}, {a}, {b})"
+                     for j, (a, b) in enumerate(zip(_A16 * 4, _B16 * 4)))
+    return f"(VALUES {vals})"
+
+
+# FNV multiply-then-xor over each 8-word window's concatenated bytes
+# (dedup.shingle_hashes), 64 affine minhashes mod 255 with uint64
+# wraparound (dedup.minhash_signature), all pairs with >= 57/64 equal
+# signature bytes. HUGEINT keeps h*prime (< 2^104) exact before the
+# mod-2^64 that uint64 numpy wraparound performs implicitly.
+_ORACLE_MINHASH_DUCK_TMPL = r"""
+WITH RECURSIVE
+words AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, unnest(range(1, len(ws) - 6)) AS i, ws
+  FROM words WHERE len(ws) >= 8
+),
+wstr AS (
+  SELECT doc_id, ws[i]||ws[i+1]||ws[i+2]||ws[i+3]||ws[i+4]||ws[i+5]||ws[i+6]||ws[i+7] AS w FROM wins
+  UNION ALL
+  SELECT doc_id, array_to_string(ws, '') AS w FROM words WHERE len(ws) BETWEEN 1 AND 7
+),
+uw AS (SELECT DISTINCT w FROM wstr),
+fnv AS (
+  SELECT w, 0 AS i, CAST(146959810393466560 AS HUGEINT) AS h FROM uw
+  UNION ALL
+  SELECT w, i + 1,
+         CAST(xor(CAST((h * 1099511628211) % 18446744073709551616 AS UBIGINT),
+                  CAST(ord(substr(w, i + 1, 1)) AS UBIGINT)) AS HUGEINT)
+  FROM fnv WHERE i < strlen(w)
+),
+wh AS (SELECT w, h FROM fnv WHERE i = strlen(w)),
+aj(j, a, b) AS (SELECT * FROM {AJ} AS v(j, a, b)),
+sigs AS (
+  SELECT ws.doc_id, aj.j,
+         CAST(min(((CAST(aj.a AS HUGEINT) * wh.h) % 18446744073709551616 + aj.b) % 255) AS INT) AS v
+  FROM wstr ws JOIN wh ON ws.w = wh.w CROSS JOIN aj
+  GROUP BY ws.doc_id, aj.j
+),
+pairs AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+         CAST(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS INT) AS n_equal
+  FROM sigs sa JOIN sigs sb ON sa.j = sb.j AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_equal FROM pairs WHERE n_equal >= 57"""
+
+
+# same FNV recurrence per unique whitespace token; 64 weighted bit votes
+# (dedup.simhash_batch); signed-int64 view of the fingerprint; all pairs
+# with hamming(xor) <= 3
+_ORACLE_SIMHASH_DUCK = r"""
+WITH RECURSIVE
+stok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+  FROM documents
+),
+wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt FROM stok GROUP BY doc_id, w),
+uw AS (SELECT DISTINCT w FROM wc),
+fnv AS (
+  SELECT w, 0 AS i, CAST(146959810393466560 AS HUGEINT) AS h FROM uw
+  UNION ALL
+  SELECT w, i + 1,
+         CAST(xor(CAST((h * 1099511628211) % 18446744073709551616 AS UBIGINT),
+                  CAST(ord(substr(w, i + 1, 1)) AS UBIGINT)) AS HUGEINT)
+  FROM fnv WHERE i < strlen(w)
+),
+wh AS (SELECT w, CAST(h AS UBIGINT) AS h FROM fnv WHERE i = strlen(w)),
+bits AS (
+  SELECT wc.doc_id, b.b,
+         sum(wc.cnt * CAST((wh.h >> CAST(b.b AS UBIGINT)) & 1 AS BIGINT)) AS votes,
+         sum(wc.cnt) AS total
+  FROM wc JOIN wh ON wc.w = wh.w
+  CROSS JOIN (SELECT unnest(range(64)) AS b) b
+  GROUP BY wc.doc_id, b.b
+),
+fps AS (
+  SELECT doc_id,
+         sum(CASE WHEN 2 * votes > total THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS fpu
+  FROM bits GROUP BY doc_id
+),
+fp AS (
+  SELECT documents.doc_id,
+         CAST(CASE WHEN coalesce(fps.fpu, 0) >= 9223372036854775808
+              THEN coalesce(fps.fpu, 0) - 18446744073709551616
+              ELSE coalesce(fps.fpu, 0) END AS BIGINT) AS f
+  FROM documents LEFT JOIN fps ON documents.doc_id = fps.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= 3"""
 
 
 def _build_registry():
@@ -896,8 +1009,10 @@ def _build_registry():
         _ORACLE_EVENTS_WINDOWED_DUCK)
     add("media_features", eng["media_features"], _ORACLE_MEDIA_DUCK)
 
-    for name, fn in _spark_engine_queries().items():
-        add(name, fn, None)  # rows-only: non-SQL-expressible hash kernels
+    eng2 = _spark_engine_queries()
+    add("minhash_pairs", eng2["minhash_pairs"],
+        _ORACLE_MINHASH_DUCK_TMPL.replace("{AJ}", _minhash_aj_values_sql()))
+    add("simhash_pairs", eng2["simhash_pairs"], _ORACLE_SIMHASH_DUCK)
 
     return queries, oracles
 

@@ -83,6 +83,12 @@ INDEX_SCHEMA = T.StructType([
             T.StructField("last_doc", T.LongType(), False),
             T.StructField("max_tf", T.LongType(), False),
             T.StructField("min_dl", T.DoubleType(), False),
+            # blob-local byte offsets of the block's first varbyte in
+            # doc/tf/dl blobs: block-max WAND decodes ONLY surviving
+            # blocks (the delta base of block i is blocks[i-1].last_doc)
+            T.StructField("doc_off", T.LongType(), False),
+            T.StructField("tf_off", T.LongType(), False),
+            T.StructField("dl_off", T.LongType(), False),
         ])), False),
     T.StructField("max_tf", T.LongType(), False),
     T.StructField("min_dl", T.DoubleType(), False),
@@ -93,7 +99,8 @@ _KEY_SEP = "\x01"
 
 
 def _bucket_partition(corpus: DataFrame, num_partitions: int | None = None,
-                      buckets_per_partition: int = 4):
+                      buckets_per_partition: int = 4,
+                      docs_per_partition: int = 4096):
     """Deterministic key-range bucketing, cache-free.
 
     1. deterministic pseudo-sample of keys (hash filter — NOT Spark's
@@ -113,9 +120,9 @@ def _bucket_partition(corpus: DataFrame, num_partitions: int | None = None,
     upstream is caught by the consumers' count verification.
     """
     spark = corpus.sparkSession
-    if num_partitions is None:
+    derive_parts = num_partitions is None
+    if derive_parts:
         num_partitions = max(spark.sparkContext.defaultParallelism, 2)
-    n_buckets = num_partitions * buckets_per_partition
 
     # NULL repo/path coalesce to '' (concat_ws would silently DROP a null
     # column, collapsing the key); both bucketing and the within-partition
@@ -130,6 +137,15 @@ def _bucket_partition(corpus: DataFrame, num_partitions: int | None = None,
     n = corpus.count()
     if n == 0:
         return None, {}, {}
+    if derive_parts:
+        # don't over-partition a small corpus: every partition of every
+        # Python stage pays a worker launch + Arrow channel, which
+        # dominates when partitions hold a few hundred docs (the kernel
+        # itself is ~20us/doc). At real scale ceil(n/docs_per_partition)
+        # >> parallelism and the cap never binds.
+        num_partitions = max(1, min(num_partitions,
+                                    -(-n // docs_per_partition)))
+    n_buckets = num_partitions * buckets_per_partition
     # ~128 deterministic samples per bucket; mod-hash keeps it exact
     rate = max(1, n // (n_buckets * 128))
     sample = [r["k"] for r in corpus.select(key.alias("k"))
@@ -138,18 +154,21 @@ def _bucket_partition(corpus: DataFrame, num_partitions: int | None = None,
     sample.sort()
     bounds = [sample[(len(sample) * i) // n_buckets]
               for i in range(1, n_buckets)] if sample else []
-    bounds_arr = np.array(bounds, dtype=object)
 
-    @F.pandas_udf(T.IntegerType())
-    def _bucket(keys: pd.Series) -> pd.Series:
-        if bounds_arr.size == 0:
-            return pd.Series(np.zeros(len(keys), dtype=np.int32))
-        b = np.searchsorted(bounds_arr, keys.to_numpy(dtype=object),
-                            side="right").astype(np.int32)
-        return pd.Series(b)
-
+    # bucket id = searchsorted(bounds, key, side='right') = count of
+    # boundaries <= key, as a pure JVM expression over a literal sorted
+    # array: stays inside codegen, so the two passes that evaluate it
+    # (the count pass and the repartition) never cross into Python — the
+    # build's first Python stage is then the fused Arrow kernel itself.
+    # (Spark string '<=' is UTF-8 binary order == Python's codepoint
+    # order used to sort the sample, for all valid UTF-8.)
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket_col = F.size(F.filter(barr, lambda b: b <= F.col("_key")))
+    else:
+        bucket_col = F.lit(0)
     bucketed = corpus.withColumn("_key", key) \
-                     .withColumn("_bucket", _bucket(F.col("_key")))
+                     .withColumn("_bucket", bucket_col.cast("int"))
     counts = {int(r["_bucket"]): int(r["count"])
               for r in bucketed.groupBy("_bucket").count().collect()}
     offsets = {}
@@ -367,11 +386,16 @@ def _blob_rows(terms_sorted: np.ndarray, tc: np.ndarray, docs: np.ndarray,
     b_last_l = core["b_last"].tolist()
     b_mtf = core["b_max_tf"].tolist()
     b_mdl = [float(x) for x in core["b_min_dl"].tolist()]
+    b_doff = core["b_doc_off"].tolist()
+    b_toff = core["b_tf_off"].tolist()
+    b_loff = core["b_dl_off"].tolist()
     blocks_col = []
     p = 0
     for c in core["nb_g"].tolist():
         blocks_col.append(list(zip(b_local[p : p + c], b_last_l[p : p + c],
-                                   b_mtf[p : p + c], b_mdl[p : p + c])))
+                                   b_mtf[p : p + c], b_mdl[p : p + c],
+                                   b_doff[p : p + c], b_toff[p : p + c],
+                                   b_loff[p : p + c])))
         p += c
 
     return pd.DataFrame({
@@ -448,6 +472,15 @@ def _blob_core(tc: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
     b_max_tf = np.maximum.reduceat(tfs, b_start) if total_b else np.empty(0, np.int64)
     b_min_dl = np.minimum.reduceat(dls, b_start) if total_b else np.empty(0, np.int64)
     b_last = docs[b_end - 1] if total_b else np.empty(0, np.int64)
+    # blob-local byte offsets of each block's first varbyte (enables
+    # decode of ONLY the blocks a WAND query's theta admits)
+    if total_b:
+        term_doc0 = doc_cum[starts[rep]]
+        b_doc_off = doc_cum[b_start] - term_doc0
+        b_tf_off = tf_cum[b_start] - tf_cum[starts[rep]]
+        b_dl_off = dl_cum[b_start] - dl_cum[starts[rep]]
+    else:
+        b_doc_off = b_tf_off = b_dl_off = np.empty(0, np.int64)
 
     return {
         "starts": starts, "ends": ends,
@@ -462,6 +495,9 @@ def _blob_core(tc: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
         "nb_g": nb_g, "b_local": intra * BLOCK_SIZE, "b_last": b_last,
         "b_max_tf": b_max_tf.astype(np.int64),
         "b_min_dl": b_min_dl.astype(np.float64),
+        "b_doc_off": b_doc_off.astype(np.int64),
+        "b_tf_off": b_tf_off.astype(np.int64),
+        "b_dl_off": b_dl_off.astype(np.int64),
     }
 
 
@@ -567,7 +603,10 @@ def _pa_index_schema():
         ("blocks", pa.list_(pa.struct([("start", pa.int64()),
                                        ("last_doc", pa.int64()),
                                        ("max_tf", pa.int64()),
-                                       ("min_dl", pa.float64())]))),
+                                       ("min_dl", pa.float64()),
+                                       ("doc_off", pa.int64()),
+                                       ("tf_off", pa.int64()),
+                                       ("dl_off", pa.int64())]))),
         ("max_tf", pa.int64()), ("min_dl", pa.float64()),
     ])
 
@@ -689,8 +728,10 @@ def _shard_record_batch(doc_ids: np.ndarray, buf: np.ndarray,
                  ["idx", "doc"]),
         list_arr(core["nb_g"],
                  [core["b_local"], core["b_last"], core["b_max_tf"],
-                  core["b_min_dl"]],
-                 ["start", "last_doc", "max_tf", "min_dl"]),
+                  core["b_min_dl"], core["b_doc_off"], core["b_tf_off"],
+                  core["b_dl_off"]],
+                 ["start", "last_doc", "max_tf", "min_dl",
+                  "doc_off", "tf_off", "dl_off"]),
         pa.array(core["max_tf_g"]),
         pa.array(core["min_dl_g"]),
     ]
@@ -831,13 +872,32 @@ def _build_bucketed(parted: DataFrame, offsets: dict, counts: dict,
     ).mapInArrow(fn, schema=INDEX_SCHEMA)
 
 
+def _pin_index_zone(index: DataFrame, zone: str | None) -> DataFrame:
+    """Filter a zoned index to one validated zone (default ``body``).
+
+    Raises when the pinned zone is absent instead of silently yielding
+    n_docs=0 / empty doclens (which would propagate a zeroed avgdl into
+    BM25). Validation is a pushed-filter limit-1 probe — cheap at any
+    scale; the distinct-zone listing runs only on the error path."""
+    if "zone" not in index.columns:
+        return index
+    z = zone or "body"
+    pinned = index.filter(F.col("zone") == z)
+    if pinned.isEmpty() and not index.isEmpty():
+        zones = sorted(r["zone"] for r in index.select("zone")
+                       .distinct().collect())
+        raise ValueError(
+            f"zone {z!r} not present in this zoned index (zones: {zones}); "
+            "pass zone=...")
+    return pinned
+
+
 def stats_from_index(index: DataFrame, zone: str | None = None) -> dict:
     """Corpus stats from the '%' doc-table rows (metadata-only agg).
 
-    Zoned indexes carry '%' rows per zone; pin one (default ``body``) —
-    summing across zones would overcount n_docs."""
-    if "zone" in index.columns:
-        index = index.filter(F.col("zone") == (zone or "body"))
+    Zoned indexes carry '%' rows per zone; pin one (default ``body``,
+    validated) — summing across zones would overcount n_docs."""
+    index = _pin_index_zone(index, zone)
     row = index.filter(F.col("term") == DOC_MARKER).agg(
         F.sum("df").alias("n"), F.sum("cf").alias("tot")).collect()[0]
     n = int(row["n"] or 0)
@@ -855,10 +915,9 @@ def doclens_from_index(index: DataFrame, zone: str | None = None) -> DataFrame:
     """(doc_id, doc_len) decoded from the '%' doc-table blobs.
 
     A zoned index carries one '%' row set PER ZONE (each zone has its
-    own doc lengths); pin one zone (default ``body``) so lengths never
-    mix across zones."""
-    if "zone" in index.columns:
-        index = index.filter(F.col("zone") == (zone or "body"))
+    own doc lengths); pin one zone (default ``body``, validated) so
+    lengths never mix across zones."""
+    index = _pin_index_zone(index, zone)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

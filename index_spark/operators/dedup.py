@@ -320,16 +320,22 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
 
 def simhash_batch(texts) -> np.ndarray:
     """Whole-batch 64-bit SimHash (Charikar 2002), value-identical to the
-    per-document definition: per token a 64-bit blake2b hash votes +1/-1
-    per bit weighted by tf; sign of the vote sum -> fingerprint bit.
+    per-document definition: per token a 64-bit hash votes +1/-1 per bit
+    weighted by tf; sign of the vote sum -> fingerprint bit.
+
+    Pinned token hash: the same FNV-ish multiply-then-xor recurrence the
+    MinHash shingles use (:func:`_fnv_bytes` — reference shingle.cpp:6-21
+    semantics). Pinned spec note: round 2 used blake2b here; swapped to
+    FNV so the recurrence is ANSI-SQL-expressible and the driver's DuckDB
+    oracle can value-check the whole pipeline (and so ONE hash family
+    covers both near-dup kernels). Any 64-bit avalanche hash satisfies
+    Charikar's construction; the choice only has to be pinned.
 
     Batch-vectorized: tokens are hash-factorized across the batch and the
     Zipf-small *unique vocabulary* is hashed ONCE (not per occurrence);
     per-doc bit votes come from 64 weighted bincounts over the (doc,
     unique-term, count) pairs — no per-document Python loop.
     """
-    import hashlib
-
     n = len(texts)
     fp = np.zeros(n, dtype=np.uint64)
     if n == 0:
@@ -344,11 +350,8 @@ def simhash_batch(texts) -> np.ndarray:
     if flat.size == 0:
         return fp.view(np.int64)
     codes, uniq = pd.factorize(flat)
-    hs = np.fromiter(
-        (int.from_bytes(
-            hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-         for w in uniq),
-        dtype=np.uint64, count=len(uniq))
+    hs = np.fromiter((_fnv_bytes(w.encode()) for w in uniq),
+                     dtype=np.uint64, count=len(uniq))
     doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
     key = doc_of * np.int64(len(uniq)) + codes
     uk, cnt = np.unique(key, return_counts=True)
@@ -527,7 +530,12 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                            F.col("n_grams").alias("gb"))
         scored = inter.join(ca, "doc_a").join(cb, "doc_b")
     else:
-        prefix = _gram_prefix(grams, threshold)
+        # candidate generation at a hair below the nominal threshold: the
+        # final filter compares round(jaccard, 4) >= threshold (oracle
+        # parity), so a pair whose true J sits in [t - 5e-5, t) can round
+        # UP into the output — the prefix must not have pruned it. The
+        # lowered t only ever ENLARGES the prefix (safe direction).
+        prefix = _gram_prefix(grams, max(threshold - 5e-5, 0.0))
         pl, pr = prefix.alias("l"), prefix.alias("r")
         cand = (
             pl.join(pr, "gram")

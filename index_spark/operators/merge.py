@@ -11,9 +11,18 @@ subsequent blob — no decode of the full lists:
   must be first_doc_s - last_doc_{s-1}. Only that one varbyte is
   rewritten; skips / blocks get their posting indexes shifted.
 
-One shuffle on term; hot terms are one reducer key here, but the value
-is pre-compressed bytes (the heavy lifting happened shard-parallel), so
-the reducer does O(total_bytes) memcpy, not O(postings) scoring work.
+One shuffle on the merge key; the reducer does O(total_bytes) memcpy of
+pre-compressed bytes (the heavy lifting happened shard-parallel), and —
+critically for 10^12-doc corpora — the merge key is NOT the bare term:
+a hot term (``import`` ≈ present in every doc) would otherwise funnel
+every shard row into ONE reducer and emit ONE multi-hundred-GB row.
+:func:`merge_shards` therefore merges per (term, doc-range SEGMENT) with
+a bounded bytes-per-segment target: terms whose total blob bytes fit the
+target merge to a single row (the common, Zipf-cold case), hot terms
+split into ⌈bytes/target⌉ contiguous shard-range segments, each a
+bounded row on its own reducer. Query/phrase already score disjoint
+sub-range rows of a term independently (query.py _decode_lists,
+phrase.py), so segmented and monolithic merges are rank-identical.
 """
 
 from __future__ import annotations
@@ -21,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from index_spark.functions import varbyte as vb
@@ -46,6 +56,9 @@ MERGED_SCHEMA = T.StructType([
             T.StructField("last_doc", T.LongType(), False),
             T.StructField("max_tf", T.LongType(), False),
             T.StructField("min_dl", T.DoubleType(), False),
+            T.StructField("doc_off", T.LongType(), False),
+            T.StructField("tf_off", T.LongType(), False),
+            T.StructField("dl_off", T.LongType(), False),
         ])), False),
     T.StructField("max_tf", T.LongType(), False),
     T.StructField("min_dl", T.DoubleType(), False),
@@ -65,9 +78,11 @@ def _merge_term_impl(pdf: pd.DataFrame, zone: bool) -> pd.DataFrame:
     blocks: list[tuple[int, int, int, float]] = []
     prev_last = 0
     idx_shift = 0
+    doc_base = tf_base = dl_base = 0
     for row in pdf.itertuples(index=False):
         blob = bytes(row.doc_blob)
         if idx_shift == 0:
+            dlen = 0
             doc_parts.append(blob)
         else:
             # rewrite the first delta: absolute first_doc -> gap from the
@@ -75,17 +90,29 @@ def _merge_term_impl(pdf: pd.DataFrame, zone: bool) -> pd.DataFrame:
             # examined, never the rest of the blob)
             _, consumed = vb.decode_first(blob)
             patched = vb.encode_one(int(row.first_doc) - prev_last)
+            dlen = len(patched) - consumed  # byte shift for offsets > 0
             doc_parts.append(patched + blob[consumed:])
-        tf_parts.append(bytes(row.tf_blob))
-        dl_parts.append(bytes(row.dl_blob))
+        tfb = bytes(row.tf_blob)
+        dlb = bytes(row.dl_blob)
+        tf_parts.append(tfb)
+        dl_parts.append(dlb)
         # positions are doc-local deltas — concatenation needs no patch
         pos_parts.append(bytes(getattr(row, "pos_blob", b"") or b""))
         skips.extend((int(s["idx"]) + idx_shift, int(s["doc"])) for s in row.skips)
+        # block byte offsets: every part-local offset shifts by the bytes
+        # of the parts already merged; within the patched part, offsets
+        # past the rewritten first varbyte additionally shift by dlen
+        # (offset 0 == the patched varbyte itself — no shift)
         blocks.extend(
             (int(b["start"]) + idx_shift, int(b["last_doc"]),
-             int(b["max_tf"]), float(b["min_dl"]))
+             int(b["max_tf"]), float(b["min_dl"]),
+             doc_base + int(b["doc_off"]) + (dlen if int(b["doc_off"]) else 0),
+             tf_base + int(b["tf_off"]), dl_base + int(b["dl_off"]))
             for b in row.blocks
         )
+        doc_base += len(blob) + dlen
+        tf_base += len(tfb)
+        dl_base += len(dlb)
         idx_shift += int(row.df)
         prev_last = int(row.last_doc)
     # keep only the first skip entry per power-of-two threshold: shard
@@ -126,15 +153,59 @@ def _merge_term_zone(pdf: pd.DataFrame) -> pd.DataFrame:
     return _merge_term_impl(pdf, zone=True)
 
 
-def merge_shards(index: DataFrame) -> DataFrame:
-    """Sharded index -> one row per term (global sorted posting list).
+DEFAULT_SEGMENT_BYTES = 8 << 20  # 8 MiB of blob per merged row
 
-    A zoned index (build_zoned_index) merges per (zone, term) — zones are
-    independent sub-indexes and must never concatenate across."""
+
+def merge_shards(index: DataFrame,
+                 segment_bytes: int = DEFAULT_SEGMENT_BYTES) -> DataFrame:
+    """Sharded index -> one row per (term, bounded doc-range segment).
+
+    Cold terms (total blob bytes <= ``segment_bytes``, the overwhelming
+    Zipf majority) merge to ONE global sorted posting row. Hot terms
+    split into ⌈total_bytes / segment_bytes⌉ segments of contiguous
+    shard ranges, so no reducer key ever aggregates unbounded bytes and
+    no output row exceeds ~segment_bytes (+ one shard's blob, since the
+    cut is at shard granularity).
+
+    Segment assignment is skew-safe metadata work: per-term totals come
+    from a map-side-combined aggregate (small rows — never the blobs),
+    only the HOT subset (few terms by Zipf) is broadcast back, and the
+    segment id is a pure column expression over the shard id — the blobs
+    shuffle exactly once, on the (term, segment) key.
+
+    A zoned index (build_zoned_index) merges per (zone, term[, segment])
+    — zones are independent sub-indexes and must never concatenate
+    across. ``segment_bytes=None`` disables segmentation (always one row
+    per term; only safe for bounded corpora)."""
+    gcols = ["zone", "term"] if "zone" in index.columns else ["term"]
+    if segment_bytes:
+        row_bytes = (F.length("doc_blob") + F.length("tf_blob")
+                     + F.length("dl_blob") + F.length("pos_blob"))
+        totals = (index.groupBy(*gcols)
+                  .agg(F.sum(row_bytes).alias("_tbytes"),
+                       F.min("shard").alias("_min_sh"),
+                       F.max("shard").alias("_max_sh")))
+        hot = (totals.where(F.col("_tbytes") > segment_bytes)
+               .withColumn("_n_segs", F.ceil(F.col("_tbytes")
+                                             / F.lit(float(segment_bytes))))
+               .withColumn("_width", F.greatest(F.lit(1), F.ceil(
+                   (F.col("_max_sh") - F.col("_min_sh") + 1)
+                   / F.col("_n_segs"))))
+               .select(*gcols, "_min_sh", "_width"))
+        index = (index.join(F.broadcast(hot), gcols, "left")
+                 .withColumn("_seg", F.coalesce(
+                     F.floor((F.col("shard") - F.col("_min_sh"))
+                             / F.col("_width")), F.lit(0)).cast("long"))
+                 .drop("_min_sh", "_width"))
+        gcols = gcols + ["_seg"]
+    else:
+        index = index.withColumn("_seg", F.lit(0))
+        gcols = gcols + ["_seg"]
     if "zone" in index.columns:
         schema = T.StructType(
             [T.StructField("zone", T.StringType(), False)]
             + list(MERGED_SCHEMA.fields))
-        return index.groupBy("zone", "term").applyInPandas(
+        return index.groupBy(*gcols).applyInPandas(
             _merge_term_zone, schema=schema)
-    return index.groupBy("term").applyInPandas(_merge_term, schema=MERGED_SCHEMA)
+    return index.groupBy(*gcols).applyInPandas(
+        _merge_term, schema=MERGED_SCHEMA)

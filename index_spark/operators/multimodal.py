@@ -2,12 +2,18 @@
 
 A 100-TB training-data pipeline carries image/audio/video as ``binary``
 columns with typed metadata and runs decode / feature-extract / resize /
-frame-sample as Arrow-batched UDFs. The image/audio codec libraries are
-not available in this environment, so the DECODE step is a deterministic
-fake (clearly marked); everything Spark-side — schema, batch shape,
-partition behavior, UDF signatures — is real and tested.
+frame-sample as Arrow-batched UDFs.
 
-Synthesis helper included so tests/bench have data of the right shape.
+Round 3: the decode step is REAL for codec-free container formats —
+uncompressed 24-bit BMP, binary PPM (P6), and 8/16-bit PCM WAV are
+parsed in pure numpy (:func:`decode_media`), and their features (pixel /
+sample statistics, dimensions, sample rate) are actual decoded values.
+Formats that need a real codec library (PNG/JPEG/MP4 — not available in
+this environment) still fall back to the clearly-marked deterministic
+fake; in deployment the fallback body is where PIL/libvips/ffmpeg slots
+in, with every Spark-side contract unchanged.
+
+Synthesis helpers included so tests/bench have data of the right shape.
 """
 
 from __future__ import annotations
@@ -36,8 +42,123 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("kind", T.StringType(), False),
     T.StructField("n_bytes", T.LongType(), False),
     T.StructField("payload_sha256", T.StringType(), False),
+    # mean of the raw payload bytes — format-independent, ANSI-SQL
+    # checkable (the driver oracle recomputes it per char)
+    T.StructField("mean_byte", T.DoubleType(), False),
+    # True when a real (BMP/PPM/WAV) decode produced the features
+    T.StructField("decoded", T.BooleanType(), False),
     T.StructField("feature", T.ArrayType(T.FloatType()), False),
 ])
+
+
+# ------------------------------------------------------------- real decode
+
+def _decode_bmp(b: bytes) -> np.ndarray | None:
+    """Uncompressed 24-bit BI_RGB BMP -> (h, w, 3) uint8 (BGR order,
+    top-down). Returns None if the payload isn't such a BMP."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    flip = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    if off + stride * h > len(b):
+        return None
+    rows = np.frombuffer(b, np.uint8, count=stride * h, offset=off)
+    px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return px[::-1] if flip else px
+
+
+def _decode_ppm(b: bytes) -> np.ndarray | None:
+    """Binary PPM (P6, maxval <= 255) -> (h, w, 3) uint8 RGB."""
+    if not b.startswith(b"P6"):
+        return None
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
+    fields, i, n = [], 2, len(b)
+    while len(fields) < 3 and i < n:
+        while i < n and b[i : i + 1].isspace():
+            i += 1
+        if i < n and b[i : i + 1] == b"#":  # comment to EOL
+            while i < n and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not b[j : j + 1].isspace():
+            j += 1
+        fields.append(b[i:j])
+        i = j
+    i += 1  # the single whitespace after maxval
+    try:
+        w, h, maxv = (int(f) for f in fields)
+    except (ValueError, TypeError):
+        return None
+    if maxv > 255 or w <= 0 or h <= 0 or i + w * h * 3 > n:
+        return None
+    return np.frombuffer(b, np.uint8, count=w * h * 3, offset=i).reshape(h, w, 3)
+
+
+def _decode_wav(b: bytes) -> tuple[np.ndarray, int] | None:
+    """PCM WAV (8- or 16-bit) -> (float samples in [-1, 1], sample_rate)."""
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(b)
+    fmt = None
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        sz = int.from_bytes(b[i + 4 : i + 8], "little")
+        body = b[i + 8 : i + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data" and fmt is not None:
+            audio_fmt = int.from_bytes(fmt[0:2], "little")
+            rate = int.from_bytes(fmt[4:8], "little")
+            bits = int.from_bytes(fmt[14:16], "little")
+            if audio_fmt != 1:  # PCM only
+                return None
+            if bits == 16:
+                s = np.frombuffer(body, "<i2",
+                                  count=len(body) // 2).astype(np.float64)
+                return s / 32768.0, rate
+            if bits == 8:  # unsigned
+                s = np.frombuffer(body, np.uint8).astype(np.float64)
+                return (s - 128.0) / 128.0, rate
+            return None
+        i += 8 + sz + (sz & 1)  # chunks pad to even
+    return None
+
+
+def decode_media(payload: bytes) -> tuple[np.ndarray, bool]:
+    """payload -> (feature vector, decoded_for_real).
+
+    Real decode for BMP / PPM / WAV (pure numpy — no codec libs needed);
+    feature = [kind_tag, dim0, dim1, mean, std, min, max, extra] of the
+    DECODED pixels/samples. Unknown formats fall back to the
+    deterministic fake (the deployment hook for PIL/ffmpeg)."""
+    px = _decode_bmp(payload)
+    tag = 1.0
+    if px is None:
+        px = _decode_ppm(payload)
+        tag = 2.0
+    if px is not None:
+        v = px.astype(np.float64)
+        return np.array([tag, px.shape[1], px.shape[0], v.mean(), v.std(),
+                         v.min(), v.max(), px.shape[2]],
+                        dtype=np.float32), True
+    wav = _decode_wav(payload)
+    if wav is not None:
+        s, rate = wav
+        if s.size:
+            return np.array([3.0, s.size, rate, s.mean(), s.std(),
+                             s.min(), s.max(), 0.0], dtype=np.float32), True
+        return np.array([3.0, 0.0, rate, 0, 0, 0, 0, 0.0],
+                        dtype=np.float32), True
+    return _fake_decode(payload), False
 
 
 def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
@@ -59,6 +180,45 @@ def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synth_bmp(w: int, h: int, seed: int = 0) -> tuple[bytes, np.ndarray]:
+    """Valid uncompressed 24-bit BMP + its (h, w, 3) BGR pixel array."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px.reshape(h, w * 3)
+    data = rows[::-1].tobytes()  # bottom-up
+    size = 54 + len(data)
+    hdr = (b"BM" + size.to_bytes(4, "little") + b"\0\0\0\0"
+           + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+           + w.to_bytes(4, "little", signed=True)
+           + h.to_bytes(4, "little", signed=True)
+           + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+           + (0).to_bytes(4, "little") + len(data).to_bytes(4, "little")
+           + b"\0" * 16)
+    return hdr + data, px
+
+
+def synth_ppm(w: int, h: int, seed: int = 0) -> tuple[bytes, np.ndarray]:
+    """Valid binary PPM (P6) + its (h, w, 3) RGB pixel array."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes(), px
+
+
+def synth_wav(n: int, rate: int = 8000, seed: int = 0) -> tuple[bytes, np.ndarray]:
+    """Valid 16-bit PCM WAV + its int16 sample array."""
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+    data = s.tobytes()
+    fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    body = (b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body, s
+
+
 def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
     """STUB DECODER — deterministic stand-in for a real image/audio codec.
 
@@ -73,21 +233,35 @@ def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Decode + feature-extract per media row, Arrow-batched.
 
-    mapInPandas (not a scalar UDF) so a real decoder can amortize codec
-    setup per batch and control memory: batches arrive bounded by
+    Real decode for BMP/PPM/WAV (:func:`decode_media`); other formats
+    get the deterministic fake with ``decoded=False``. mapInPandas (not
+    a scalar UDF) so a real codec can amortize setup per batch and
+    control memory: batches arrive bounded by
     spark.sql.execution.arrow.maxRecordsPerBatch.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
-            feats = [_fake_decode(p, dim).tolist() for p in payloads]
-            shas = [hashlib.sha256(bytes(p)).hexdigest() for p in payloads]
+            payloads = [bytes(p) for p in pdf["payload"]]
+            feats, decoded, means = [], [], []
+            for p in payloads:
+                f, real = decode_media(p)
+                feats.append(f.tolist())
+                decoded.append(real)
+                # unrounded: callers round with F.round (half-up, the
+                # SQL semantics) — python round() is banker's and
+                # disagrees on exact .xxxx5 ties
+                means.append(
+                    float(np.frombuffer(p, np.uint8).mean()) if p else 0.0)
+            shas = [hashlib.sha256(p).hexdigest() for p in payloads]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "n_bytes": payloads.map(len).astype("int64"),
+                "n_bytes": pd.Series([len(p) for p in payloads],
+                                     dtype="int64"),
                 "payload_sha256": shas,
+                "mean_byte": means,
+                "decoded": decoded,
                 "feature": feats,
             })
 

@@ -27,7 +27,6 @@ dl. idf uses the exact global df = sum of shard dfs of the term.
 
 from __future__ import annotations
 
-import heapq
 import math
 
 import numpy as np
@@ -45,7 +44,26 @@ TOPK_SCHEMA = T.StructType([
     T.StructField("score", T.DoubleType(), False),
 ])
 
-_INF_DOC = 1 << 62
+def pin_zone(index: DataFrame, zone: str | None) -> DataFrame:
+    """Pin a zoned index to ONE zone for single-zone query paths.
+
+    A zoned index carries independent per-zone posting lists for the
+    same term; summing them under global stats silently inflates scores
+    (use :func:`zone_search` for weighted multi-zone scoring). The
+    pinned zone is validated with a pushed-filter limit-1 probe — cheap
+    at any scale — so a typo'd/absent zone fails loudly instead of
+    returning empty results or zeroed statistics."""
+    if "zone" not in index.columns:
+        return index
+    z = zone or "body"
+    pinned = index.filter(F.col("zone") == z)
+    if pinned.isEmpty() and not index.isEmpty():
+        zones = sorted(r["zone"] for r in index.select("zone")
+                       .distinct().collect())
+        raise ValueError(
+            f"zone {z!r} not present in this zoned index (zones: {zones}); "
+            "pass zone=... or use zone_search for weighted multi-zone")
+    return pinned
 
 
 def _ub(tf, dl, idf: float, avgdl: float):
@@ -94,123 +112,281 @@ def _score_shard_exhaustive(pdf: pd.DataFrame, avgdl: float, k: int) -> pd.DataF
     nz = np.flatnonzero(acc)
     if nz.size == 0:
         return pd.DataFrame({"doc_id": [], "score": []})
-    scores = acc[nz]
-    order = np.lexsort((nz, -scores))[:k]  # score desc, doc_id asc
-    return pd.DataFrame({"doc_id": (nz + lo).astype(np.int64)[order],
+    return _topk_frame(nz + lo, acc[nz], k)
+
+
+def _topk_frame(docs: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
+    """(doc_id, score) top-k by (score desc, doc_id asc) — partition-based
+    candidate cut (O(n)) before the small lexsort, instead of sorting the
+    whole score array."""
+    if docs.size > k:
+        kth = np.partition(scores, scores.size - k)[scores.size - k]
+        keep = scores >= kth  # ties kept; resolved by the lexsort below
+        docs, scores = docs[keep], scores[keep]
+    order = np.lexsort((docs, -scores))[:k]
+    return pd.DataFrame({"doc_id": docs[order].astype(np.int64),
                          "score": scores[order]})
 
 
+def _lists_meta(pdf: pd.DataFrame, avgdl: float) -> list[dict]:
+    """Per-row block metadata + raw blob references — NO posting decode.
+
+    The WAND kernel works from this alone until it knows which blocks
+    survive; only those blocks' byte ranges are ever decoded."""
+    metas = []
+    has_avgdl = "avgdl" in pdf.columns
+    for row in pdf.itertuples(index=False):
+        blk = row.blocks
+        nb = len(blk)
+        idf = float(row.idf)
+        l_avgdl = float(row.avgdl) if has_avgdl else avgdl
+        blk_last = np.fromiter((b["last_doc"] for b in blk), np.int64, nb)
+        blk_ub = _ub(
+            np.fromiter((b["max_tf"] for b in blk), np.float64, nb),
+            np.fromiter((b["min_dl"] for b in blk), np.float64, nb),
+            idf, l_avgdl)
+        starts = np.fromiter((b["start"] for b in blk), np.int64, nb)
+        metas.append({
+            "idf": idf, "avgdl": l_avgdl, "df": int(row.df),
+            "doc_blob": bytes(row.doc_blob), "tf_blob": bytes(row.tf_blob),
+            "dl_blob": bytes(row.dl_blob),
+            "blk_last": blk_last, "blk_ub": blk_ub,
+            "counts": np.diff(np.concatenate((starts, [int(row.df)]))),
+            "doc_off": np.fromiter((b["doc_off"] for b in blk), np.int64, nb),
+            "tf_off": np.fromiter((b["tf_off"] for b in blk), np.int64, nb),
+            "dl_off": np.fromiter((b["dl_off"] for b in blk), np.int64, nb),
+        })
+    return metas
+
+
+def _gather_ranges(blob: bytes, off: np.ndarray, end: np.ndarray,
+                   bsel: np.ndarray) -> bytes:
+    buf = np.frombuffer(blob, np.uint8)
+    return np.concatenate([buf[off[b]: end[b]] for b in bsel]).tobytes()
+
+
+def _decode_blocks(meta: dict, bsel: np.ndarray):
+    """Decode ONLY the selected blocks of one list -> (docs, tfs, dls).
+
+    Block b's first delta is relative to blocks[b-1].last_doc (0 for the
+    first block), so each selected block decodes independently: one
+    varbyte decode over the concatenated byte ranges, then a per-block
+    base-reset cumsum."""
+    nb = meta["blk_last"].size
+    d_end = np.concatenate((meta["doc_off"][1:], [len(meta["doc_blob"])]))
+    t_end = np.concatenate((meta["tf_off"][1:], [len(meta["tf_blob"])]))
+    l_end = np.concatenate((meta["dl_off"][1:], [len(meta["dl_blob"])]))
+    deltas = vb.decode(_gather_ranges(meta["doc_blob"], meta["doc_off"],
+                                      d_end, bsel)).astype(np.int64)
+    tfs = vb.decode(_gather_ranges(meta["tf_blob"], meta["tf_off"],
+                                   t_end, bsel)).astype(np.int64)
+    dls = vb.decode(_gather_ranges(meta["dl_blob"], meta["dl_off"],
+                                   l_end, bsel)).astype(np.float64)
+    cnts = meta["counts"][bsel]
+    seg = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    base = np.where(bsel > 0, meta["blk_last"][np.maximum(bsel - 1, 0)], 0)
+    c = np.cumsum(deltas)
+    docs = c - np.repeat(c[seg] - deltas[seg] - base, cnts)
+    return docs, tfs, dls
+
+
+def _contrib(meta: dict, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+    tf = tfs.astype(np.float64)
+    return meta["idf"] * tf / (tf + K1 * (1.0 - B + B * dls / meta["avgdl"]))
+
+
+class _ListCache:
+    """Incremental block-decode cache for one list: any block decodes at
+    most ONCE per query, no matter how many probe phases touch it."""
+
+    __slots__ = ("meta", "bsel", "docs", "tfs", "dls")
+
+    def __init__(self, meta: dict):
+        self.meta = meta
+        self.bsel = np.empty(0, np.int64)
+        self.docs = np.empty(0, np.int64)
+        self.tfs = np.empty(0, np.int64)
+        self.dls = np.empty(0, np.float64)
+
+    def ensure(self, need: np.ndarray):
+        """Decode the blocks in ``need`` not yet cached; keep arrays in
+        block (== doc) order."""
+        missing = np.setdiff1d(need, self.bsel, assume_unique=False)
+        if missing.size == 0:
+            return
+        d, t, l = _decode_blocks(self.meta, missing)
+        if self.bsel.size == 0:
+            self.bsel, self.docs, self.tfs, self.dls = missing, d, t, l
+            return
+        cnts = self.meta["counts"]
+        old_b = np.repeat(self.bsel, cnts[self.bsel])
+        new_b = np.repeat(missing, cnts[missing])
+        order = np.argsort(np.concatenate([old_b, new_b]), kind="stable")
+        self.docs = np.concatenate([self.docs, d])[order]
+        self.tfs = np.concatenate([self.tfs, t])[order]
+        self.dls = np.concatenate([self.dls, l])[order]
+        self.bsel = np.union1d(self.bsel, missing)
+
+    def full(self):
+        self.ensure(np.arange(self.meta["blk_last"].size))
+        return self.docs, self.tfs, self.dls
+
+
+def _probe(meta: dict, qdocs: np.ndarray, lc: "_ListCache"):
+    """Contributions of list ``lc`` at exactly the (sorted) ``qdocs``:
+    returns (mask over qdocs, contributions for the masked docs).
+
+    Decodes ONLY the blocks whose doc range covers a probed doc (byte
+    ranges from the stored per-block offsets) — a pinpoint gather, never
+    a full-list decode; already-decoded blocks are free."""
+    nb = meta["blk_last"].size
+    cov = np.searchsorted(meta["blk_last"], qdocs, side="left")
+    need = np.unique(cov[cov < nb])
+    if need.size == 0 and lc.docs.size == 0:
+        return np.zeros(qdocs.size, dtype=bool), np.empty(0, np.float64)
+    lc.ensure(need)
+    docs, tfs, dls = lc.docs, lc.tfs, lc.dls
+    idx = np.searchsorted(docs, qdocs)
+    hit = (idx < docs.size)
+    hit[hit] = docs[idx[hit]] == qdocs[hit]
+    sel = idx[hit]
+    return hit, _contrib(meta, tfs[sel], dls[sel])
+
+
 def _score_shard_wand(pdf: pd.DataFrame, avgdl: float, k: int) -> pd.DataFrame:
-    """Block-max WAND: score-exact top-k with block skipping."""
-    lists = _decode_lists(pdf, avgdl)
-    if not lists:
+    """Vectorized MaxScore (Turtle & Flood) with block-targeted decode —
+    the round-3 rewrite of the per-pivot DAAT pointer loop, whose
+    Python-level constant factor lost to the exhaustive numpy kernel
+    below ~200k postings.
+
+    1. **Seed θ**: fully decode only the single highest-upper-bound
+       (≈ highest-idf) list, probe every other list at exactly its docs
+       (block-targeted decode via the stored per-block byte offsets),
+       and take the k-th best exact score.
+    2. **Essential split**: order lists by whole-list ub ascending; the
+       longest prefix whose ub-sum stays < θ is NON-ESSENTIAL — a doc
+       appearing only there can never reach θ.
+    3. **Candidates** = the union of the essential lists' docs (bincount
+       scatter-add of their contributions); non-essential lists are
+       probed at candidate positions only, decoding just the blocks a
+       candidate touches.
+
+    Exact: every candidate's score is complete (essential scatter-add +
+    non-essential probes); every non-candidate scores ≤ Σ non-essential
+    ubs < θ ≤ true k-th score (strict — doc_id tiebreaks unaffected).
+    All steps are searchsorted / bincount over whole arrays; pruned
+    lists and blocks cost zero decode. Degenerates gracefully: when θ
+    prunes nothing every list is essential and the cost ≈ the exhaustive
+    kernel plus one probe pass.
+    """
+    metas = _lists_meta(pdf, avgdl)
+    if not metas:
         return pd.DataFrame({"doc_id": [], "score": []})
-    n = len(lists)
-    ptrs = [0] * n
-    docs_arr = [l[1] for l in lists]
-    tfs_arr = [l[2] for l in lists]
-    dls_arr = [l[3] for l in lists]
-    idfs = [l[4] for l in lists]
-    blk_last = [l[5] for l in lists]
-    blk_ub = [l[6] for l in lists]
-    avgdls = [l[7] for l in lists]
-    max_ub = [float(u.max()) for u in blk_ub]
+    n = len(metas)
+    max_ub = np.array([float(mt["blk_ub"].max()) for mt in metas])
+    caches = [_ListCache(mt) for mt in metas]
 
-    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
-    theta = 0.0
+    # 1. seed θ from the highest-ub list's docs, scored exactly. A large
+    # seed list is sampled down to its highest-block-ub blocks — probing
+    # every other list at a huge doc set would cost more than it prunes
+    seed_i = int(np.argmax(max_ub))
+    seed_cap = max(32 * k, 512)
+    seed_full = metas[seed_i]["df"] <= seed_cap
+    mt = metas[seed_i]
+    if seed_full:
+        sdocs, stfs, sdls = caches[seed_i].full()
+    else:
+        border = np.argsort(-mt["blk_ub"], kind="stable")
+        take = int(np.searchsorted(np.cumsum(mt["counts"][border]),
+                                   seed_cap)) + 1
+        caches[seed_i].ensure(np.sort(border[:take]))
+        sdocs, stfs, sdls = (caches[seed_i].docs, caches[seed_i].tfs,
+                             caches[seed_i].dls)
+    seed_scores = _contrib(metas[seed_i], stfs, sdls).copy()
+    for j in range(n):
+        if j != seed_i:
+            hit, c = _probe(metas[j], sdocs, caches[j])
+            seed_scores[hit] += c
+    if seed_scores.size >= k:
+        theta = float(np.partition(seed_scores, seed_scores.size - k)[
+            seed_scores.size - k])
+        order = np.argsort(max_ub, kind="stable")
+        cum = np.cumsum(max_ub[order])
+        n_ness = int(np.searchsorted(cum, theta, side="left"))
+        essential = sorted(order[n_ness:].tolist())
+        if not essential:  # float edge: θ == Σ ub — keep one list
+            essential = [seed_i]
+    else:
+        essential = list(range(n))
+    ness = [i for i in range(n) if i not in set(essential)]
+    if essential == [seed_i] and seed_full:
+        # the candidates ARE the fully-scored seed docs — done
+        return _topk_frame(sdocs, seed_scores, k)
 
-    def cur_doc(i: int) -> int:
-        p = ptrs[i]
-        return int(docs_arr[i][p]) if p < docs_arr[i].size else _INF_DOC
+    # 2. candidates = union of essential docs, with essential scores
+    all_d, all_s = [], []
+    for i in essential:
+        docs, tfs, dls = caches[i].full()
+        all_d.append(docs)
+        all_s.append(_contrib(metas[i], tfs, dls))
+    d = np.concatenate(all_d)
+    s = np.concatenate(all_s)
+    lo = int(d.min())
+    acc = np.bincount(d - lo, weights=s)
+    nz = np.flatnonzero(acc)
+    cand = nz + lo
+    scores = acc[nz]
 
-    def block_ub_at(i: int, doc: int) -> float:
-        bi = int(np.searchsorted(blk_last[i], doc, side="left"))
-        return float(blk_ub[i][bi]) if bi < blk_ub[i].size else 0.0
-
-    live = list(range(n))
-    while True:
-        live = [i for i in live if ptrs[i] < docs_arr[i].size]
-        if not live:
-            break
-        live.sort(key=cur_doc)
-        acc_ub = 0.0
-        pivot = -1
-        for j, i in enumerate(live):
-            acc_ub += max_ub[i]
-            if len(heap) < k or acc_ub >= theta:
-                pivot = j
-                break
-        if pivot < 0:
-            break
-        pivot_doc = cur_doc(live[pivot])
-        if pivot_doc >= _INF_DOC:
-            break
-        # extend the pivot through lists tied at pivot_doc — with
-        # fragmented per-range lists, several lists commonly sit on the
-        # same doc; their upper bounds must count before any skip
-        ext = pivot
-        while ext + 1 < len(live) and cur_doc(live[ext + 1]) == pivot_doc:
-            ext += 1
-        # block-max refinement; skip only when STRICTLY below theta so
-        # exact ties (duplicate docs) survive
-        block_sum = sum(block_ub_at(i, pivot_doc) for i in live[: ext + 1])
-        if len(heap) >= k and block_sum < theta:
-            nxt = pivot_doc + 1
-            boundaries = []
-            for i in live[: ext + 1]:
-                bi = int(np.searchsorted(blk_last[i], pivot_doc, side="left"))
-                if bi < blk_last[i].size:
-                    boundaries.append(int(blk_last[i][bi]) + 1)
-            if boundaries:
-                nxt = max(nxt, min(boundaries))
-            if ext + 1 < len(live):
-                # the window may not cross the next list's current doc —
-                # its contribution is not in block_sum
-                nxt = min(nxt, cur_doc(live[ext + 1]))
-            adv = max(live[: ext + 1], key=lambda i: max_ub[i])
-            ptrs[adv] = int(np.searchsorted(docs_arr[adv], nxt, side="left"))
-            continue
-        if cur_doc(live[0]) == pivot_doc:
-            # aligned -> full evaluation in ascending term order
-            score = 0.0
-            for i in range(n):
-                p = ptrs[i]
-                if p < docs_arr[i].size and int(docs_arr[i][p]) == pivot_doc:
-                    tf = float(tfs_arr[i][p])
-                    dl = float(dls_arr[i][p])
-                    score += idfs[i] * tf / (tf + K1 * (1.0 - B + B * dl / avgdls[i]))
-                    ptrs[i] += 1
-            item = (score, -pivot_doc)
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
-            if len(heap) >= k:
-                theta = heap[0][0]
-        else:
-            for i in live[:pivot]:
-                if cur_doc(i) < pivot_doc:
-                    ptrs[i] = int(np.searchsorted(docs_arr[i], pivot_doc, side="left"))
-
-    rows = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
-    return pd.DataFrame({"doc_id": [int(d) for _, d in rows],
-                         "score": [float(s) for s, _ in rows]})
+    # 3. complete candidate scores with non-essential probes (block
+    # decodes shared with the seed phase via the per-list caches)
+    for j in ness:
+        hit, c = _probe(metas[j], cand, caches[j])
+        scores[hit] += c
+    return _topk_frame(cand, scores, k)
 
 
 # below this many postings in a shard, the numpy scatter-add exhaustive
-# scan beats the pointer-chasing WAND loop (both are score-exact)
-AUTO_WAND_MIN_POSTINGS = 200_000
+# scan beats the MaxScore machinery (both are score-exact); re-measured
+# round 3 against the vectorized kernel (see BENCH/wand_crossover)
+AUTO_WAND_MIN_POSTINGS = 100_000
+# pruning pays only when one list's upper bound dominates the sum (a
+# rare/high-idf term next to commons — the classic WAND regime); with a
+# flat ub profile nothing can be skipped and exhaustive wins on constant
+# factor, so "auto" also gates on this concentration statistic
+AUTO_WAND_UB_CONCENTRATION = 0.45
+
+
+def _pick_scorer(pdf: pd.DataFrame, use_wand: bool | str):
+    """Kernel choice for one shard. "auto" = exhaustive below the size
+    threshold, else WAND iff the per-term upper-bound mass is
+    concentrated enough for pruning to pay. The proxy ub
+    idf*max_tf/(max_tf+k1) needs only row metadata — no decode."""
+    if use_wand != "auto":
+        return _score_shard_wand if bool(use_wand) else _score_shard_exhaustive
+    if int(pdf["df"].sum()) < AUTO_WAND_MIN_POSTINGS:
+        return _score_shard_exhaustive
+    ub = pdf["idf"].to_numpy() * pdf["max_tf"].to_numpy() \
+        / (pdf["max_tf"].to_numpy() + K1)
+    t_ub = pd.Series(ub).groupby(pdf["term"].to_numpy()).max()
+    conc = float(t_ub.max() / t_ub.sum()) if t_ub.size else 0.0
+    return (_score_shard_wand if conc >= AUTO_WAND_UB_CONCENTRATION
+            else _score_shard_exhaustive)
 
 
 def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
            k: int = 10, stem: bool = True, use_wand: bool | str = "auto",
-           shard_size: int = 4096, camel: bool = True) -> DataFrame:
+           shard_size: int = 4096, camel: bool = True,
+           zone: str | None = None) -> DataFrame:
     """Top-k BM25 over the sharded index. Returns (doc_id, score).
 
     ``use_wand``: True (always WAND), False (always exhaustive), or
     "auto" — per shard, exhaustive below AUTO_WAND_MIN_POSTINGS postings,
     WAND above. All modes are score-exact; auto just picks the faster
     kernel for the density.
+
+    A ZONED index is pinned to one zone (default ``body``, validated —
+    see :func:`pin_zone`); the caller's ``stats`` must be that zone's.
+    Weighted multi-zone scoring is :func:`zone_search`.
 
     ``docs`` is accepted for API symmetry but unused — doc lengths live in
     the index (dl_blob); ``shard_size`` likewise (shard ids are stored).
@@ -221,6 +397,7 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
         return spark.createDataFrame([], TOPK_SCHEMA)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
 
+    index = pin_zone(index, zone)
     if "shard" not in index.columns:
         # a merged global index (merge_shards output) is one doc-range
         # row per term — score it as a single logical shard
@@ -238,12 +415,7 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        if use_wand == "auto":
-            wand = int(pdf["df"].sum()) >= AUTO_WAND_MIN_POSTINGS
-        else:
-            wand = bool(use_wand)
-        scorer = _score_shard_wand if wand else _score_shard_exhaustive
-        return scorer(pdf, avgdl, k)
+        return _pick_scorer(pdf, use_wand)(pdf, avgdl, k)
 
     local = hits.groupBy("shard").applyInPandas(fn, schema=TOPK_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -253,9 +425,10 @@ class QueryEngine:
     """Low-latency repeated-query interface over a built index.
 
     ``search()`` above is the one-shot DataFrame API (used by the oracle
-    parity tests); it derives global term dfs with a window function
-    every call — 3 exchanges per query. A real serving path amortizes
-    index statistics across queries, so this engine:
+    parity tests); it derives global term dfs with a map-side-combined
+    aggregate + broadcast join-back every call — an extra stats job per
+    query. A real serving path amortizes index statistics across
+    queries, so this engine:
 
       * caches global per-term df (one tiny filtered aggregate per batch
         of unseen terms — the merged index's term catalog at 10^12 scale),
@@ -273,13 +446,18 @@ class QueryEngine:
     """
 
     def __init__(self, index: DataFrame, stats: dict, stem: bool = True,
-                 use_wand: bool | str = "auto", camel: bool = True):
-        self.index = index
+                 use_wand: bool | str = "auto", camel: bool = True,
+                 zone: str | None = None):
+        self.index = pin_zone(index, zone)
         self.stats = stats
         self.stem = stem
         self.camel = camel
         self.use_wand = use_wand
-        self._df_cache: dict[str, int] = {}
+        # LRU-bounded df cache: a long-lived serving process seeing an
+        # unbounded query-term stream must not grow without bound
+        from collections import OrderedDict
+        self._df_cache: OrderedDict[str, int] = OrderedDict()
+        self._df_cache_max = 262_144
         self._prepared = False
 
     def prepare(self, num_partitions: int | None = None) -> "QueryEngine":
@@ -306,7 +484,12 @@ class QueryEngine:
             self._prepared = False
 
     def _ensure_stats(self, terms: list[str]) -> None:
-        missing = [t for t in terms if t not in self._df_cache]
+        missing = []
+        for t in terms:
+            if t in self._df_cache:
+                self._df_cache.move_to_end(t)  # LRU touch
+            else:
+                missing.append(t)
         if not missing:
             return
         rows = (self.index.filter(F.col("term").isin(missing))
@@ -315,6 +498,8 @@ class QueryEngine:
             self._df_cache[r["term"]] = int(r["df"])
         for t in missing:
             self._df_cache.setdefault(t, 0)
+        while len(self._df_cache) > self._df_cache_max:
+            self._df_cache.popitem(last=False)
 
     def warm(self, queries: list[str]) -> None:
         """Prefetch stats for a query set in one job."""
@@ -406,12 +591,8 @@ def zone_search(index: DataFrame, zone_stats: dict, query: str,
             .withColumn("avgdl", a_map[F.col("zone")]))
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        if use_wand == "auto":
-            wand = int(pdf["df"].sum()) >= AUTO_WAND_MIN_POSTINGS
-        else:
-            wand = bool(use_wand)
-        scorer = _score_shard_wand if wand else _score_shard_exhaustive
-        return scorer(pdf, 0.0, k)  # per-row avgdl overrides the scalar
+        # per-row avgdl overrides the scalar
+        return _pick_scorer(pdf, use_wand)(pdf, 0.0, k)
 
     local = hits.groupBy("shard").applyInPandas(fn, schema=TOPK_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -471,8 +652,11 @@ def _score_shard_multi(pdf: pd.DataFrame, avgdl: float,
 
 def search_many(index: DataFrame, stats: dict, queries: dict[int, str],
                 k: int = 10, stem: bool = True,
-                camel: bool = True) -> DataFrame:
+                camel: bool = True, zone: str | None = None) -> DataFrame:
     """Batch top-k BM25: the WHOLE query set in ONE Spark job.
+
+    A zoned index is pinned to one validated zone (default ``body``),
+    like :func:`search` — see :func:`pin_zone`.
 
     Returns (query_id, doc_id, score, rank), rank 1..k per query by
     (score desc, doc_id asc). All queries' terms prune one scan; each
@@ -493,6 +677,7 @@ def search_many(index: DataFrame, stats: dict, queries: dict[int, str],
             [], T.StructType(MULTI_TOPK_SCHEMA.fields
                              + [T.StructField("rank", T.LongType(), False)]))
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    index = pin_zone(index, zone)
     if "shard" not in index.columns:
         index = index.withColumn("shard", F.lit(0))
     hits = index.filter(F.col("term").isin(all_terms))

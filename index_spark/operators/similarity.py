@@ -132,6 +132,11 @@ def ivf_topk(bucketed: DataFrame, centroids: np.ndarray, qvec: list[float],
         bucketed.where(F.col("bucket").isin(probe))
         .select(F.col(id_col).alias("vec_id"),
                 F.round(_cos_expr(vec_col, qvec), 4).alias("cos"))
+        # build-side multi-probe (assign_buckets n_assign>1) replicates a
+        # vector into several buckets; dedup before the top-k or the
+        # replicas crowd out distinct results (cos is identical across
+        # replicas, so any one row is correct)
+        .dropDuplicates(["vec_id"])
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
     )

@@ -25,11 +25,11 @@ from pyspark.sql import functions as F
 
 from index_spark.operators.build import (
     DEFAULT_SHARD_SIZE,
-    build_sharded_index,
-    doc_lengths,
-    doc_term_counts,
-    postings,
-    tokenized_docs,
+    DOC_MARKER,
+    _bucket_partition,
+    _build_bucketed,
+    _ids_from_parted,
+    doclens_from_index,
 )
 from index_spark.plans import checkpoint as cp
 
@@ -46,50 +46,50 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, out_dir: str,
                  shard_size: int = DEFAULT_SHARD_SIZE, stem: bool = True,
                  positions: bool = False) -> dict:
     """Index one micro-batch as a new immutable chunk. Used directly by
-    tests and as the foreachBatch body."""
+    tests and as the foreachBatch body.
+
+    The chunk is built with the SAME fused Arrow kernel as the offline
+    build (checkpoint.py uses it too): the batch's ONLY wide exchange is
+    the bucket repartition of the doc-id assignment; tokenize + count +
+    compress (+ position deltas when ``positions=True``) happen in one
+    mapInArrow pass, so streamed and batch-built chunks are
+    byte-identical for identical input (Kappa). Round-2 note: the
+    positions path previously ran posexplode + groupBy(term, doc) +
+    groupBy(shard) — two extra wide exchanges per micro-batch — and the
+    non-positions path one; both now ride the single-exchange plan."""
     os.makedirs(os.path.join(out_dir, "chunks"), exist_ok=True)
     chunk_id, doc_base = _next_chunk_and_doc(out_dir)
     # doc_base must sit on a shard boundary so shard ids stay global
     doc_base = ((doc_base + shard_size - 1) // shard_size) * shard_size
 
     t0 = time.time()
-    ordered = batch_df.select("repo", "path", "content") \
-        .repartitionByRange(max(spark.sparkContext.defaultParallelism, 2), "repo", "path") \
-        .sortWithinPartitions("repo", "path")
-    from index_spark.operators.build import assign_doc_ids
-
-    with_ids = assign_doc_ids(ordered).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(doc_base))
-    if positions:
-        # position-carrying chunks use the (term, doc, tf, positions)
-        # relation; doc count comes from the id assignment (the postings
-        # relation drops token-less docs)
-        counts = postings(tokenized_docs(with_ids, stem=stem),
-                          positions=True).persist()
-    else:
-        counts = doc_term_counts(with_ids, stem=stem).persist()
-    doclens = doc_lengths(counts)
-    agg = doclens.agg(F.count("*").alias("n"), F.sum("doc_len").alias("tok")).collect()[0]
-    n = int(with_ids.count()) if positions else int(agg["n"] or 0)
+    parted, offsets, counts = _bucket_partition(
+        batch_df.select("repo", "path", "content"))
+    n = sum(counts.values()) if counts else 0
     if n == 0:
-        counts.unpersist()
         return {"chunk_id": None, "n_docs": 0}
+    # shifting every bucket offset by doc_base keeps the contiguity
+    # invariant and lands this chunk's ids after the last committed chunk
+    offsets = {b: off + doc_base for b, off in offsets.items()}
 
-    index = build_sharded_index(counts, shard_size=shard_size)
+    index = _build_bucketed(parted, offsets, counts, stem, shard_size,
+                            positions=positions)
     cdir = os.path.join(out_dir, "chunks", f"{chunk_id:05d}")
     index.write.mode("overwrite").parquet(os.path.join(cdir, "index"))
-    with_ids.select("doc_id", "repo", "path") \
-        .join(doclens, "doc_id") \
+    idx_back = spark.read.parquet(os.path.join(cdir, "index"))
+    _ids_from_parted(parted, offsets, counts, ["repo", "path"]) \
+        .join(doclens_from_index(idx_back), "doc_id") \
         .write.mode("overwrite").parquet(os.path.join(cdir, "docs"))
-    idx_stats = spark.read.parquet(os.path.join(cdir, "index")).agg(
+    marker = idx_back.filter(F.col("term") == DOC_MARKER).agg(
+        F.sum("cf").alias("tok")).collect()[0]
+    idx_stats = idx_back.filter(F.col("term") != DOC_MARKER).agg(
         F.count("*").alias("rows"), F.sum("df").alias("postings"),
         F.sum(F.length("doc_blob") + F.length("tf_blob") + F.length("dl_blob")).alias("blob_bytes"),
         F.countDistinct("term").alias("terms")).collect()[0]
-    counts.unpersist()
 
     manifest = {
         "chunk_id": chunk_id, "doc_lo": doc_base, "doc_hi": doc_base + n,
-        "n_docs": n, "n_tokens": int(agg["tok"] or 0),
+        "n_docs": n, "n_tokens": int(marker["tok"] or 0),
         "n_terms": int(idx_stats["terms"]),
         "n_postings": int(idx_stats["postings"] or 0),
         "index_rows": int(idx_stats["rows"]),

@@ -61,14 +61,13 @@ def test_minhash_batch_matches_per_doc():
 
 
 def _naive_simhash(text: str) -> int:
-    import hashlib
-
+    # token hash = the pinned FNV multiply-then-xor recurrence (round-3
+    # spec change from blake2b: SQL-expressible for the driver oracle)
     words, counts = np.unique((text or "").split(), return_counts=True)
     if words.size == 0:
         return 0
-    hs = np.array(
-        [int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(),
-                        "little") for w in words], dtype=np.uint64)
+    hs = np.array([dd._fnv_bytes(w.encode()) for w in words],
+                  dtype=np.uint64)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
             & np.uint64(1)).astype(np.int64)
     votes = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)

@@ -89,3 +89,16 @@ def test_multi_assign_catches_boundary_pairs(spark):
     assert (0, 1) not in single  # the boundary miss
     assert (0, 1) in multi       # multi-probe recovers it
     assert all(p == (0, 1) for p in multi)
+
+
+def test_ivf_topk_dedups_multi_assign_replicas(spark, emb, qvec):
+    """n_assign>1 replicates vectors across buckets; ivf_topk must return
+    k DISTINCT vec_ids (replicas carry identical cos)."""
+    from index_spark.operators.similarity import (assign_buckets, ivf_topk,
+                                                  train_centroids)
+
+    cents = train_centroids(emb, n_buckets=8)
+    bucketed = assign_buckets(emb, cents, n_assign=3)
+    rows = ivf_topk(bucketed, cents, qvec, k=10, nprobe=8).collect()
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 10

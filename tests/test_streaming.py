@@ -134,3 +134,42 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     finally:
         q.stop()
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_ingest_positions_single_exchange_and_phrase(spark, tiny_corpus,
+                                                     tmp_path):
+    """The streamed chunk build (positions on) must show exactly ONE wide
+    exchange — the doc-id bucket repartition — and the chunk must serve
+    phrase queries identically to a batch positions build."""
+    import re
+
+    from index_spark.operators.build import (_bucket_partition,
+                                             _build_bucketed, build_index)
+    from index_spark.operators.phrase import phrase_search
+
+    full = spark.createDataFrame(tiny_corpus)
+    parted, offsets, counts = _bucket_partition(
+        full.select("repo", "path", "content"))
+    index = _build_bucketed(parted, offsets, counts, True, SHARD,
+                            positions=True)
+    plan = index._sc._jvm.PythonSQLUtils.explainString(
+        index._jdf.queryExecution(), "formatted")
+    assert len(set(re.findall(r"\bExchange \((\d+)\)", plan))) == 1, plan
+
+    out = str(tmp_path / "pidx")
+    m = ingest_batch(spark, full, out, shard_size=SHARD, stem=False,
+                     positions=True)
+    assert m["n_docs"] == 150
+    sidx = cp.load_index(spark, out)
+    _, bidx, _ = build_index(full, stem=False, positions=True,
+                             shard_size=SHARD)
+    # phrase = the first two tokens of some document (data-derived so the
+    # synthetic corpus is guaranteed to contain it)
+    from index_spark.functions.text import tokenize
+    toks = tokenize(tiny_corpus["content"].iloc[0], stem=False)
+    phrase = " ".join(toks[:2])
+    a = [(r["doc_id"], r["n_matches"]) for r in
+         phrase_search(sidx, None, phrase, stem=False).collect()]
+    b = [(r["doc_id"], r["n_matches"]) for r in
+         phrase_search(bidx, None, phrase, stem=False).collect()]
+    assert a == b and len(a) > 0

@@ -138,3 +138,37 @@ def test_doclens_from_zoned_index_pins_one_zone(zoned):
     for i, (ztext, b) in enumerate(CORPUS):
         assert body[i] == len(tokenize(b, stem=False))
         assert zpath[i] == len(tokenize(ztext, stem=False))
+
+
+def test_plain_search_on_zoned_index_pins_body(spark, zoned):
+    """search()/search_many() on a zoned index must pin ONE zone (default
+    body) — never sum the same term's per-zone lists under global stats."""
+    from index_spark.operators.build import build_index, stats_from_index
+    from index_spark.operators.query import search, search_many
+
+    index, stats = zoned
+    rows = [("r", f"{i:04d}", body) for i, (_, body) in enumerate(CORPUS)]
+    plain_df = spark.createDataFrame(rows, ["repo", "path", "content"])
+    _, plain, _ = build_index(plain_df, stem=False, shard_size=4)
+    pstats = stats_from_index(plain)
+    a = [(r["doc_id"], round(r["score"], 9)) for r in
+         search(index, None, stats["body"], "data table", stem=False).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in
+         search(plain, None, pstats, "data table", stem=False).collect()]
+    assert a == b and len(a) > 0
+    got = search_many(index, stats["body"], {0: "data table"},
+                      stem=False).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in
+            sorted(got, key=lambda r: r["rank"])] == a
+
+
+def test_zone_validation_raises_on_absent_zone(zoned):
+    from index_spark.operators.build import stats_from_index
+    from index_spark.operators.query import search
+
+    index, _ = zoned
+    with pytest.raises(ValueError, match="zone 'nope'"):
+        stats_from_index(index, zone="nope")
+    with pytest.raises(ValueError, match="zone 'nope'"):
+        search(index, None, {"n_docs": 5, "avgdl": 4.0}, "data",
+               stem=False, zone="nope")
