@@ -147,11 +147,63 @@ def main() -> None:
                  "tpch_q1", "tpch_q3", "events_hourly"]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
+    # 9. IVF pruned recall@10 at nprobe=2 (pinned config: 4 buckets,
+    # build-side n_assign=2 — see tests/test_similarity.py for why the
+    # near-uniform synthetic embeddings need the multi-probe build)
+    def _ivf_recall():
+        from index_spark.operators.similarity import (
+            assign_buckets, cosine_topk, ivf_topk, train_centroids)
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+        cents = train_centroids(emb, n_buckets=4)
+        b = assign_buckets(emb, cents, n_assign=2).persist()
+        recalls = []
+        for qid in [0, 7, 23]:
+            q = list(emb.where(F.col("vec_id") == qid)
+                     .collect()[0]["embedding"])
+            exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+            appr = [r["vec_id"] for r in
+                    ivf_topk(b, cents, q, k=10, nprobe=2).collect()]
+            recalls.append(len(set(exact) & set(appr)) / 10)
+        b.unpersist(), emb.unpersist()
+        timings["ivf_recall_nprobe2"] = round(sum(recalls) / len(recalls), 3)
+
+    timed("ivf_topk_recall", _ivf_recall)
+
+    # 10. 200k-document build (fixed overhead amortized away — the
+    # round-over-round build throughput signal; corpus generation is
+    # one-time and excluded from the timing)
+    def _build_200k():
+        corpus_dir = os.environ.get("SPARK_GRAFT_200K_DIR",
+                                    "/tmp/bench_corpus200k")
+        if not os.path.exists(os.path.join(corpus_dir, "corpus.parquet")):
+            from index_spark.sources.corpus import write_corpus_sharded
+            write_corpus_sharded(corpus_dir, n_files=200_000, n_shards=16)
+        from index_spark.operators.build import release_build
+        big = spark.read.parquet(f"{corpus_dir}/corpus.parquet") \
+                   .select("repo", "path", "content") \
+                   .repartition(int(cpus)).persist()
+        n_big = big.count()
+        t0 = time.time()
+        docs, index, stats = build_index(big, stem=True, shard_size=4096)
+        index.count()
+        dt = time.time() - t0
+        timings["build_200k"] = round(dt, 3)
+        timings["build_200k_docs_per_sec"] = round(n_big / dt, 1)
+        release_build(index)
+        big.unpersist()
+
+    _build_200k()
+
     # sub-timings of other entries don't double-count into the total
+    # build_200k reports separately (one-off scale row, not part of the
+    # round-over-round sf0.1 headline total); recall is a ratio not a time
     total = round(sum(v for k, v in timings.items()
                       if k not in ("query_p95", "query_mean", "query_prepare",
                                    "phrase_query", "zone_query",
-                                   "query_oneshot", "queryset_batch")), 3)
+                                   "query_oneshot", "queryset_batch",
+                                   "ivf_recall_nprobe2", "build_200k",
+                                   "build_200k_docs_per_sec")), 3)
     timings["build_docs_per_sec"] = round(n_docs / timings["build_index"], 1)
     print(json.dumps({
         "metric": "index_spark headline suite wall time",

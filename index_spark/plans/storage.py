@@ -27,9 +27,19 @@ def save_serving_index(index: DataFrame, table: str = "serving_index",
                        n_buckets: int = 64, path: str | None = None) -> None:
     """Write the index term-bucketed + term-sorted for point-lookup
     serving. ``n_buckets`` should scale with total index size (files per
-    bucket stay near one per writing task)."""
-    w = (index.write.format("parquet").mode("overwrite")
-         .bucketBy(n_buckets, "term").sortBy("term"))
+    bucket stay near one per writing task).
+
+    A ZONED index is PARTITIONED by zone and bucketed by term (Spark
+    bucket-prunes only single-column bucket specs): the zone-pinned
+    point lookup every zoned query path issues (``zone = 'body' AND term
+    = 'x'``) then directory-prunes to the zone AND bucket-prunes to the
+    term's files — the columnar analog of the reference's zone-prefixed
+    hash keys ('@title' etc., index.h:320-326) pruning the key space.
+    Zones are few and bounded, so zone directories never explode."""
+    w = index.write.format("parquet").mode("overwrite")
+    if "zone" in index.columns:
+        w = w.partitionBy("zone")
+    w = w.bucketBy(n_buckets, "term").sortBy("term")
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)

@@ -115,3 +115,23 @@ def test_segmented_merge_decode_roundtrip(hot_index):
         assert docs[-1] == r["last_doc"]
         assert (np.diff(docs) > 0).all()
         assert docs.size == r["df"]
+
+
+def test_wand_kernel_on_merged_segments(spark, hot_index):
+    """Forced-WAND search over merged (and segmented) rows must equal the
+    exhaustive kernel: exercises the per-block byte offsets, which the
+    merge must shift (part byte bases + the patched first varbyte)."""
+    from index_spark.operators.merge import merge_shards
+    from index_spark.operators.query import search
+
+    index, stats = hot_index
+
+    def top(idx, wand):
+        return [(r["doc_id"], round(r["score"], 9)) for r in
+                search(idx, None, stats, "hot filler3 word5",
+                       stem=False, use_wand=wand).collect()]
+
+    for seg in (None, 96):
+        merged = merge_shards(index, segment_bytes=seg)
+        assert top(merged, True) == top(merged, False) == top(index, False)
+    assert len(top(index, True)) > 0

@@ -218,3 +218,32 @@ def test_bucketed_serving_index_prunes_buckets(spark, tiny_corpus):
     spark.sql("DROP TABLE IF EXISTS t_serving")
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
                    "true")
+
+
+def test_zoned_serving_table_bucket_prunes(spark, tiny_corpus):
+    """A zoned serving table buckets by (zone, term): the zone-pinned
+    point lookup every zoned query path issues must bucket-prune."""
+    from index_spark.operators.build import build_zoned_index, release_build
+    from index_spark.plans.storage import (load_serving_index,
+                                           save_serving_index)
+
+    corpus_df = spark.createDataFrame(tiny_corpus) \
+        .withColumn("ztext", F.col("path"))
+    _, zidx, _ = build_zoned_index(
+        corpus_df, [("body", "content"), ("zpath", "ztext")],
+        stem=True, shard_size=64)
+    spark.sql("DROP TABLE IF EXISTS t_zserving")
+    import shutil
+    shutil.rmtree("spark-warehouse/t_zserving", ignore_errors=True)
+    save_serving_index(zidx, table="t_zserving", n_buckets=8)
+    release_build(zidx)
+    served = load_serving_index(spark, "t_zserving")
+    df = served.filter((F.col("zone") == "body")
+                       & (F.col("term") == "import"))
+    plan = _plan(df)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) < int(m.group(2)), plan
+    # and the pinned-zone rows are really the body zone's
+    zones = {r["zone"] for r in df.select("zone").distinct().collect()}
+    assert zones <= {"body"}
