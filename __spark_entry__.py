@@ -467,6 +467,38 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         return out.select("query_id", "doc_id",
                           F.round("score", 4).alias("score"), "rank")
 
+    def and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # conjunctive mode: the intersection-driven kernel (rarest-term
+        # candidates + block-targeted probes) vs the HAVING-count oracle
+        from index_spark.operators.query import search
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        top = search(index, docs, stats, "data table query", k=10,
+                     mode="and", stem=False, camel=False, shard_size=256)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    def term_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # dictionary prefix scan over the sorted-at-rest term catalog
+        from index_spark.operators.query import term_prefix_stats
+
+        _, index, _ = _parity_build(spark, sf_dir)
+        return term_prefix_stats(index, "s", limit=15)
+
+    def snippet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # serving-side snippet extraction: broadcast top-k semi-join into
+        # the corpus scan, JVM string expressions only
+        from index_spark.operators.build import assign_doc_ids
+        from index_spark.operators.query import search, snippets
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        corpus = assign_doc_ids(_parity_corpus(spark, sf_dir))
+        top = search(index, docs, stats, "data table query", k=10,
+                     stem=False, camel=False, shard_size=256)
+        out = snippets(top, corpus, "data table query",
+                       stem=False, camel=False)
+        return out.select("doc_id", F.round("score", 4).alias("score"),
+                          "pos", "snippet")
+
     def phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.phrase import phrase_search
 
@@ -591,6 +623,9 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
 
     return {
         "wand_topk": wand_topk,
+        "and_topk": and_topk,
+        "term_prefix": term_prefix,
+        "snippet_topk": snippet_topk,
         "wand_queryset": wand_queryset,
         "phrase_topk": phrase_topk,
         "proximity_topk": proximity_topk,
@@ -609,6 +644,44 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
 _ORACLE_WAND_TOPK = """
 , top AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10)
 SELECT doc_id, round(score, 4) AS score FROM top"""
+
+# conjunctive (AND) top-k: only docs containing EVERY query term score
+_ORACLE_AND_TOPK = """
+, scores_and AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+  HAVING count(DISTINCT tf.term) = (SELECT count(*) FROM q)
+), top AS (SELECT doc_id, score FROM scores_and ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
+
+# dictionary prefix scan: terms LIKE 's%' with global df/cf, term asc
+_ORACLE_TERM_PREFIX = """
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM tf WHERE term LIKE 's%' GROUP BY term ORDER BY term ASC LIMIT 15"""
+
+# snippet extraction: top-10 BM25 docs, each with the 80-char window
+# starting 20 chars before the earliest query-term occurrence (1-based;
+# falls back to the document head when no term occurs literally)
+_ORACLE_SNIPPET_TOPK = """
+, top AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10)
+, pos AS (
+  SELECT top.doc_id, CAST(min(strpos(lower(d.text), q.term)) AS BIGINT) AS pos
+  FROM top JOIN documents d ON top.doc_id = d.doc_id CROSS JOIN q
+  WHERE strpos(lower(d.text), q.term) > 0
+  GROUP BY top.doc_id
+)
+SELECT top.doc_id, round(top.score, 4) AS score,
+       coalesce(pos.pos, 1) AS pos,
+       substr(d.text, CAST(greatest(1, coalesce(pos.pos, 1) - 20) AS BIGINT), 80) AS snippet
+FROM top JOIN documents d ON top.doc_id = d.doc_id
+LEFT JOIN pos ON top.doc_id = pos.doc_id"""
 
 _ORACLE_WAND_QUERYSET = """
 , qscores AS (
@@ -990,6 +1063,12 @@ def _build_registry():
     eng = _engine_oracle_queries()
     add("wand_topk", eng["wand_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_WAND_TOPK, [q_cte]))
+    add("and_topk", eng["and_topk"],
+        _docs_sql("duck", _ORACLE_AND_TOPK, [q_cte]))
+    add("term_prefix", eng["term_prefix"],
+        _docs_sql("duck", _ORACLE_TERM_PREFIX))
+    add("snippet_topk", eng["snippet_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_SNIPPET_TOPK, [q_cte]))
     add("wand_queryset", eng["wand_queryset"],
         _docs_sql("duck", _ORACLE_WAND_QUERYSET, [qs_cte]))
     add("phrase_topk", eng["phrase_topk"], _ORACLE_PHRASE_TOPK_DUCK)

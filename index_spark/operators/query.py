@@ -147,6 +147,7 @@ def _lists_meta(pdf: pd.DataFrame, avgdl: float) -> list[dict]:
             idf, l_avgdl)
         starts = np.fromiter((b["start"] for b in blk), np.int64, nb)
         metas.append({
+            "term": row.term,
             "idf": idf, "avgdl": l_avgdl, "df": int(row.df),
             "doc_blob": bytes(row.doc_blob), "tf_blob": bytes(row.tf_blob),
             "dl_blob": bytes(row.dl_blob),
@@ -345,6 +346,72 @@ def _score_shard_wand(pdf: pd.DataFrame, avgdl: float, k: int) -> pd.DataFrame:
     return _topk_frame(cand, scores, k)
 
 
+def _score_shard_conjunctive(pdf: pd.DataFrame, avgdl: float, k: int,
+                             n_required: int) -> pd.DataFrame:
+    """Conjunctive (AND) top-k BM25 over one shard: only docs containing
+    ALL ``n_required`` query terms score.
+
+    Intersection-driven, not scan-driven: the rarest term's rows decode
+    fully (they ARE the candidate set — conjunctive results can only
+    shrink from there), every other term is probed block-targeted at
+    exactly the surviving candidates via the stored per-block byte
+    offsets (:func:`_probe`), and candidates are compacted after each
+    term — so per-shard cost is O(rarest df) probes, and blocks no
+    candidate touches are never decoded. The classic conjunctive-DAAT
+    shape (Turtle & Flood '95), re-expressed as whole-array searchsorted.
+
+    A term may span several rows in one logical shard (merged doc-range
+    segments); rows of one term cover disjoint doc ranges, so per-term
+    presence is the OR of its rows' probe hits and per-term contribution
+    the sum. BM25 contributions accumulate in ascending term order
+    (same pinned order as the other kernels) for cross-kernel float
+    identity.
+    """
+    metas = _lists_meta(pdf, avgdl)
+    by_term: dict[str, list[dict]] = {}
+    for mt in metas:
+        by_term.setdefault(mt["term"], []).append(mt)
+    if len(by_term) < n_required:
+        return pd.DataFrame({"doc_id": [], "score": []})
+    caches = {id(mt): _ListCache(mt) for mt in metas}
+
+    # seed: the rarest term's docs, fully decoded (cheapest full decode)
+    terms = sorted(by_term)
+    t0 = min(terms, key=lambda t: (sum(m["df"] for m in by_term[t]), t))
+    seed_d, seed_s = [], []
+    for mt in by_term[t0]:
+        d, tf, dl = caches[id(mt)].full()
+        seed_d.append(d)
+        seed_s.append(_contrib(mt, tf, dl))
+    cand = np.concatenate(seed_d)
+    order = np.argsort(cand, kind="stable")
+    cand = cand[order]
+    contribs = {t0: np.concatenate(seed_s)[order]}
+
+    for t in terms:
+        if t == t0:
+            continue
+        hit_any = np.zeros(cand.size, dtype=bool)
+        c_arr = np.zeros(cand.size, dtype=np.float64)
+        for mt in by_term[t]:
+            hit, c = _probe(mt, cand, caches[id(mt)])
+            c_arr[hit] += c
+            hit_any |= hit
+        if not hit_any.all():  # compact: shrink every aligned array
+            cand = cand[hit_any]
+            for key in contribs:
+                contribs[key] = contribs[key][hit_any]
+            c_arr = c_arr[hit_any]
+        contribs[t] = c_arr
+        if cand.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for t in terms:  # pinned ascending-term sum order
+        scores += contribs[t]
+    return _topk_frame(cand, scores, k)
+
+
 # below this many postings in a shard, the numpy scatter-add exhaustive
 # scan beats the MaxScore machinery (both are score-exact); re-measured
 # round 3 against the vectorized kernel (see BENCH/wand_crossover)
@@ -376,13 +443,22 @@ def _pick_scorer(pdf: pd.DataFrame, use_wand: bool | str):
 def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
            k: int = 10, stem: bool = True, use_wand: bool | str = "auto",
            shard_size: int = 4096, camel: bool = True,
-           zone: str | None = None) -> DataFrame:
+           zone: str | None = None, mode: str = "or") -> DataFrame:
     """Top-k BM25 over the sharded index. Returns (doc_id, score).
 
     ``use_wand``: True (always WAND), False (always exhaustive), or
     "auto" — per shard, exhaustive below AUTO_WAND_MIN_POSTINGS postings,
     WAND above. All modes are score-exact; auto just picks the faster
     kernel for the density.
+
+    ``mode``: "or" (default — any query term matches, disjunctive BM25)
+    or "and" (conjunctive: only docs containing EVERY query term score;
+    a term absent from the whole index makes the result empty). AND uses
+    the intersection-driven kernel (:func:`_score_shard_conjunctive`) —
+    per-shard cost bounded by the rarest term's postings. A doc's
+    postings for all its terms live in its own doc-range shard, so the
+    shard-local term count IS the doc's global count: no cross-shard
+    coordination is needed for the conjunction.
 
     A ZONED index is pinned to one zone (default ``body``, validated —
     see :func:`pin_zone`); the caller's ``stats`` must be that zone's.
@@ -414,8 +490,16 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
         F.log((F.lit(float(n_docs)) - F.col("df_g") + 0.5) / (F.col("df_g") + 0.5) + 1.0),
     )
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _pick_scorer(pdf, use_wand)(pdf, avgdl, k)
+    if mode == "and":
+        n_req = len(qterms)
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _score_shard_conjunctive(pdf, avgdl, k, n_req)
+    elif mode == "or":
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _pick_scorer(pdf, use_wand)(pdf, avgdl, k)
+    else:
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
 
     local = hits.groupBy("shard").applyInPandas(fn, schema=TOPK_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -508,16 +592,23 @@ class QueryEngine:
             terms.update(tokenize(q, stem=self.stem, camel=self.camel))
         self._ensure_stats(sorted(terms))
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        df = self.topk_df(query, k)
+    def search(self, query: str, k: int = 10,
+               mode: str = "or") -> list[tuple[int, float]]:
+        df = self.topk_df(query, k, mode=mode)
         if df is None:
             return []
         return [(int(r["doc_id"]), float(r["score"])) for r in df.collect()]
 
-    def topk_df(self, query: str, k: int = 10) -> DataFrame | None:
+    def topk_df(self, query: str, k: int = 10,
+                mode: str = "or") -> DataFrame | None:
         """The query's top-k plan as a DataFrame (None for empty/unknown
         queries) — collect() yields exactly k rows via the distributed
-        TakeOrderedAndProject merge."""
+        TakeOrderedAndProject merge. ``mode="and"`` scores only docs
+        containing every query term (see :func:`search`); a term with
+        zero global df short-circuits to None driver-side — no job runs.
+        """
+        if mode not in ("or", "and"):
+            raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
         qterms = sorted(set(tokenize(query, stem=self.stem,
                                      camel=self.camel)))
         if not qterms:
@@ -531,13 +622,18 @@ class QueryEngine:
         }
         if not idf:
             return None
+        if mode == "and" and len(idf) < len(qterms):
+            return None  # a required term is absent from the index
         use_wand = self.use_wand
+        n_req = len(qterms)
         mapping = F.create_map(
             *[F.lit(x) for kv in idf.items() for x in kv])
         hits = (self.index.filter(F.col("term").isin(list(idf)))
                 .withColumn("idf", mapping[F.col("term")]))
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            if mode == "and":
+                return _score_shard_conjunctive(pdf, avgdl, k, n_req)
             if use_wand == "auto":
                 wand = int(pdf["df"].sum()) >= AUTO_WAND_MIN_POSTINGS
             else:
@@ -596,6 +692,65 @@ def zone_search(index: DataFrame, zone_stats: dict, query: str,
 
     local = hits.groupBy("shard").applyInPandas(fn, schema=TOPK_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def term_prefix_stats(index: DataFrame, prefix: str, limit: int = 20,
+                      zone: str | None = None) -> DataFrame:
+    """Dictionary prefix scan: terms starting with ``prefix`` with their
+    global df/cf, ascending by term, first ``limit`` rows.
+
+    The reference's analog is walking the term dictionary from a seek
+    point (its chunks serialize keys in sorted order, index.cpp:51-52).
+    Here the scan leans on sorted-at-rest: both build kernels emit
+    term-string-sorted rows per shard batch, so every parquet row group
+    carries tight term min/max statistics and ``StartsWith`` prunes row
+    groups before decode; on the bucketed serving table the same filter
+    is evaluated against the sorted in-bucket layout. The aggregate is
+    map-side combinable; only (term, df, cf) rows — never blobs — reach
+    the reducer, and ``limit`` bounds the driver result."""
+    from index_spark.operators.build import DOC_MARKER
+
+    index = pin_zone(index, zone)
+    return (index
+            .filter(F.col("term").startswith(prefix)
+                    & (F.col("term") != DOC_MARKER))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            .orderBy(F.asc("term")).limit(limit))
+
+
+def snippets(topk: DataFrame, corpus_with_ids: DataFrame, query: str,
+             stem: bool = True, camel: bool = True, before: int = 20,
+             width: int = 80) -> DataFrame:
+    """Attach a deterministic context snippet to each top-k hit.
+
+    For each (doc_id, score) row, the snippet is the ``width``-char
+    substring of the original content starting ``before`` chars before
+    the first case-insensitive occurrence of any query term (the
+    earliest position across terms; docs where no term occurs literally
+    — e.g. only via stemming — fall back to the document head).
+
+    Plan shape: the top-k relation (k rows) broadcasts into the corpus
+    scan, so snippet extraction touches exactly k documents' content at
+    any corpus scale — a pushdown semi-join, then pure JVM string
+    expressions (lower/instr/substring); no Python, no extra shuffle.
+    Returns (doc_id, score, pos, snippet); ``pos`` is the 1-based match
+    position (1 when falling back).
+    """
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    hay = F.lower(F.col("content"))
+    pos_cols = [
+        F.when(F.instr(hay, t) > 0, F.instr(hay, t)) for t in qterms
+    ]
+    pos = F.least(*pos_cols) if len(pos_cols) > 1 else pos_cols[0]
+    joined = corpus_with_ids.join(F.broadcast(topk), "doc_id")
+    return (joined
+            .withColumn("pos", F.coalesce(pos, F.lit(1)).cast("long"))
+            .withColumn("start",
+                        F.greatest(F.lit(1), F.col("pos") - before))
+            .select("doc_id", "score", "pos",
+                    F.expr(f"substring(content, start, {int(width)})")
+                    .alias("snippet")))
 
 
 MULTI_TOPK_SCHEMA = T.StructType([

@@ -185,6 +185,78 @@ def load_docs(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "chunks", "*", "docs"))
 
 
+def compact_index(spark: SparkSession, out_dir: str,
+                  segment_bytes: int | None = None,
+                  force: bool = False) -> dict:
+    """Compact every committed chunk into the merged global index under
+    ``<out_dir>/merged/`` — the background-merge step of the index
+    lifecycle (build chunks online, serve the compacted form).
+
+    Idempotent + incremental: the merge manifest records the chunk set
+    it was built from; re-running with the same committed chunks is a
+    no-op, while new chunks (or ``force=True``) trigger a re-merge.
+    The merge itself is :func:`~index_spark.operators.merge.merge_shards`
+    — hot terms split into bounded doc-range segments, so compaction has
+    no unbounded reducer at any corpus size — and the commit is atomic
+    (manifest written last, via rename), matching the chunk protocol.
+
+    Returns the manifest: {"chunks", "rows", "terms", "blob_bytes",
+    "skipped", "wall_s"}.
+    """
+    from index_spark.operators.merge import merge_shards
+
+    chunks_dir = os.path.join(out_dir, "chunks")
+    chunk_ids = sorted(
+        int(name) for name in os.listdir(chunks_dir)
+        if chunk_is_committed(out_dir, int(name)))
+    if not chunk_ids:
+        raise ValueError(f"no committed chunks under {chunks_dir}")
+    mdir = os.path.join(out_dir, "merged")
+    mpath = os.path.join(mdir, "_COMMIT.json")
+    if os.path.exists(mpath) and not force:
+        with open(mpath) as f:
+            prev = json.load(f)
+        if prev.get("chunks") == chunk_ids:
+            prev["skipped"] = True
+            return prev
+
+    t0 = time.time()
+    kwargs = {} if segment_bytes is None else {"segment_bytes": segment_bytes}
+    merged = merge_shards(load_index(spark, out_dir), **kwargs)
+    os.makedirs(mdir, exist_ok=True)
+    merged.write.mode("overwrite").parquet(os.path.join(mdir, "index"))
+
+    back = spark.read.parquet(os.path.join(mdir, "index"))
+    agg = back.agg(
+        F.count("*").alias("rows"),
+        F.countDistinct("term").alias("terms"),
+        F.sum(F.length("doc_blob") + F.length("tf_blob")
+              + F.length("dl_blob")).alias("blob_bytes")).collect()[0]
+    manifest = {
+        "chunks": chunk_ids,
+        "rows": int(agg["rows"]),
+        "terms": int(agg["terms"]),
+        "blob_bytes": int(agg["blob_bytes"] or 0),
+        "skipped": False,
+        "wall_s": round(time.time() - t0, 3),
+    }
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.rename(tmp, mpath)
+    return manifest
+
+
+def load_merged_index(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The compacted global index (compact_index output); raises if no
+    compaction has been committed."""
+    if not os.path.exists(os.path.join(out_dir, "merged", "_COMMIT.json")):
+        raise FileNotFoundError(
+            f"no committed compaction under {out_dir}/merged — "
+            "run compact_index first")
+    return spark.read.parquet(os.path.join(out_dir, "merged", "index"))
+
+
 def lineage(out_dir: str) -> list[dict]:
     """All chunk manifests, ordered — the build's lineage/metrics log."""
     chunks_dir = os.path.join(out_dir, "chunks")

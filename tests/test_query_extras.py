@@ -1,0 +1,198 @@
+"""Round-3 session additions: conjunctive (AND) search, dictionary
+prefix scan, snippet extraction, chunk compaction.
+
+AND-mode is checked rank-identically against a conjunctive restatement
+of the pinned oracle (filter to docs containing every query term, same
+BM25 sum) on the sharded index, the segmented merged index, and the
+serving QueryEngine path.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from index_spark.functions.text import tokenize
+from index_spark.operators.build import build_index
+from index_spark.operators.merge import merge_shards
+from index_spark.operators.query import (
+    QueryEngine,
+    search,
+    snippets,
+    term_prefix_stats,
+)
+from tests.oracle import OracleIndex
+
+SHARD_SIZE = 64
+
+AND_QUERIES = [
+    "import return",          # two hot terms — large intersection
+    "def class if",           # three hot terms
+    "uniq7token import",      # rare + hot — intersection <= 1 doc
+    "import numpy",           # hot + globally-absent => empty
+    "public static void",
+    "café import",            # non-ASCII fold + hot
+    "zzzznotaterm",           # absent single term => empty
+    "import",                 # single term: AND == OR
+]
+
+
+def oracle_and(oracle: OracleIndex, query: str, k: int = 10):
+    """Conjunctive restatement of the pinned oracle: same BM25 sum,
+    restricted to docs containing EVERY query term."""
+    qterms = sorted(set(tokenize(query, stem=oracle.stem)))
+    if not qterms or any(not oracle.tf.get(t) for t in qterms):
+        return []
+    docsets = [set(oracle.tf[t]) for t in qterms]
+    hits = set.intersection(*docsets)
+    scores = {}
+    for d in hits:
+        s = 0.0
+        for t in qterms:  # ascending term order — pinned sum order
+            tf = oracle.tf[t][d]
+            dl = oracle.doc_len[d]
+            s += oracle.idf(t) * tf / (
+                tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / oracle.avgdl))
+        scores[d] = s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tiny_corpus):
+    corpus_df = spark.createDataFrame(tiny_corpus)
+    docs, index, stats = build_index(corpus_df, stem=True,
+                                     shard_size=SHARD_SIZE)
+    docs, index = docs.persist(), index.persist()
+    docs.count(), index.count()
+    oracle = OracleIndex(
+        list(tiny_corpus[["repo", "path", "content"]].itertuples(index=False)),
+        stem=True)
+    return docs, index, stats, oracle
+
+
+def _check_and(index, docs, stats, oracle, **kw):
+    for q in AND_QUERIES:
+        expected = oracle_and(oracle, q, k=10)
+        got = search(index, docs, stats, q, k=10, mode="and", **kw).collect()
+        assert [r["doc_id"] for r in got] == [d for d, _ in expected], q
+        for r, (ed, es) in zip(got, expected):
+            assert r["score"] == pytest.approx(es, abs=1e-9), (q, ed)
+
+
+def test_and_mode_rank_identity(built):
+    docs, index, stats, oracle = built
+    _check_and(index, docs, stats, oracle)
+
+
+def test_and_mode_on_segmented_merged_index(built):
+    """Conjunctive scoring composes over merged doc-range segments: a
+    term's postings split across several segment rows must still count
+    as ONE term for the conjunction."""
+    docs, index, stats, oracle = built
+    merged = merge_shards(index, segment_bytes=256).persist()
+    merged.count()
+    _check_and(merged, docs, stats, oracle)
+    merged.unpersist()
+
+
+def test_and_mode_subset_of_or(built):
+    """Every AND hit is an OR hit with the identical score."""
+    docs, index, stats, _ = built
+    q = "import return def"
+    or_rows = {r["doc_id"]: r["score"]
+               for r in search(index, docs, stats, q, k=1000).collect()}
+    and_rows = search(index, docs, stats, q, k=1000, mode="and").collect()
+    assert and_rows, "conjunction of hot terms should be non-empty"
+    for r in and_rows:
+        assert r["doc_id"] in or_rows
+        assert r["score"] == pytest.approx(or_rows[r["doc_id"]], abs=1e-9)
+
+
+def test_and_mode_query_engine(built):
+    _, index, stats, oracle = built
+    eng = QueryEngine(index, stats)
+    for q in AND_QUERIES:
+        expected = oracle_and(oracle, q, k=10)
+        got = eng.search(q, k=10, mode="and")
+        assert [d for d, _ in got] == [d for d, _ in expected], q
+        for (gd, gs), (ed, es) in zip(got, expected):
+            assert gs == pytest.approx(es, abs=1e-9), (q, gd)
+    # absent term short-circuits driver-side: no job, empty result
+    assert eng.search("import zzzznotaterm", k=10, mode="and") == []
+
+
+def test_and_mode_bad_mode_raises(built):
+    docs, index, stats, _ = built
+    with pytest.raises(ValueError, match="mode"):
+        search(index, docs, stats, "import", mode="not-a-mode").collect()
+
+
+def test_term_prefix_stats(built):
+    _, index, _, oracle = built
+    for prefix in ["imp", "ge", "uniq1", "zzz"]:
+        got = term_prefix_stats(index, prefix, limit=15).collect()
+        exp = sorted(
+            (t, len(p), sum(p.values()))
+            for t, p in oracle.tf.items() if t.startswith(prefix))[:15]
+        assert [(r["term"], r["df"], r["cf"]) for r in got] == exp, prefix
+
+
+def test_snippets(spark, tiny_corpus, built):
+    """Each snippet is the width-char window before/around the earliest
+    query-term occurrence of the ORIGINAL content, verified per doc."""
+    from index_spark.operators.build import assign_doc_ids
+
+    docs, index, stats, _ = built
+    corpus_df = assign_doc_ids(spark.createDataFrame(tiny_corpus))
+    q = "import return"
+    top = search(index, docs, stats, q, k=5)
+    out = snippets(top, corpus_df, q, stem=True, before=20, width=80)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    top_ids = [r["doc_id"] for r in top.collect()]
+    assert sorted(rows) == sorted(top_ids)
+    content = {r["doc_id"]: r["content"]
+               for r in corpus_df.filter(
+                   F.col("doc_id").isin(top_ids)).collect()}
+    qterms = sorted(set(tokenize(q, stem=True)))
+    for did, r in rows.items():
+        hay = content[did].lower()
+        positions = [hay.find(t) + 1 for t in qterms if hay.find(t) >= 0]
+        exp_pos = min(positions) if positions else 1
+        assert r["pos"] == exp_pos, did
+        start = max(1, exp_pos - 20)
+        assert r["snippet"] == content[did][start - 1:start - 1 + 80], did
+        assert any(t in r["snippet"].lower() for t in qterms) or not positions
+
+
+def test_compact_index_lifecycle(spark, tiny_corpus, tmp_path):
+    """build_chunked -> compact_index: merged results rank-identical to
+    the chunk union; recompaction with an unchanged chunk set is a
+    skipped no-op; force re-merges."""
+    from index_spark.plans.checkpoint import (
+        build_chunked,
+        compact_index,
+        load_index,
+        load_merged_index,
+        load_stats,
+    )
+
+    out = str(tmp_path / "idx")
+    corpus_df = spark.createDataFrame(tiny_corpus)
+    build_chunked(spark, corpus_df, out, docs_per_chunk=64, shard_size=64)
+
+    m1 = compact_index(spark, out, segment_bytes=512)
+    assert not m1["skipped"] and m1["terms"] > 0
+    merged = load_merged_index(spark, out)
+    stats = load_stats(out)
+    chunked = load_index(spark, out)
+    for q in ["import return", "def class", "uniq7token"]:
+        a = search(merged, None, stats, q, k=10).collect()
+        b = search(chunked, None, stats, q, k=10).collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in a] == \
+               [(r["doc_id"], round(r["score"], 9)) for r in b], q
+
+    m2 = compact_index(spark, out, segment_bytes=512)
+    assert m2["skipped"] and m2["chunks"] == m1["chunks"]
+    m3 = compact_index(spark, out, segment_bytes=512, force=True)
+    assert not m3["skipped"] and m3["rows"] == m1["rows"]
