@@ -477,6 +477,17 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                      mode="and", stem=False, camel=False, shard_size=256)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # boolean NOT: exclusion lists probed block-targeted at scored
+        # candidates only (never fully decoded)
+        from index_spark.operators.query import search
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        top = search(index, docs, stats, "data table", k=10,
+                     exclude="query", stem=False, camel=False,
+                     shard_size=256)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     def term_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dictionary prefix scan over the sorted-at-rest term catalog
         from index_spark.operators.query import term_prefix_stats
@@ -624,6 +635,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
     return {
         "wand_topk": wand_topk,
         "and_topk": and_topk,
+        "not_topk": not_topk,
         "term_prefix": term_prefix,
         "snippet_topk": snippet_topk,
         "wand_queryset": wand_queryset,
@@ -659,6 +671,15 @@ _ORACLE_AND_TOPK = """
   GROUP BY tf.doc_id
   HAVING count(DISTINCT tf.term) = (SELECT count(*) FROM q)
 ), top AS (SELECT doc_id, score FROM scores_and ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
+
+# boolean NOT: BM25 over q, docs containing the excluded term removed
+# before the top-k cut
+_ORACLE_NOT_TOPK = """
+, top AS (
+  SELECT doc_id, score FROM scores
+  WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'query')
+  ORDER BY score DESC, doc_id ASC LIMIT 10)
 SELECT doc_id, round(score, 4) AS score FROM top"""
 
 # dictionary prefix scan: terms LIKE 's%' with global df/cf, term asc
@@ -1065,6 +1086,9 @@ def _build_registry():
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_WAND_TOPK, [q_cte]))
     add("and_topk", eng["and_topk"],
         _docs_sql("duck", _ORACLE_AND_TOPK, [q_cte]))
+    add("not_topk", eng["not_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_NOT_TOPK,
+                  [_terms_values_sql(["data", "table"])]))
     add("term_prefix", eng["term_prefix"],
         _docs_sql("duck", _ORACLE_TERM_PREFIX))
     add("snippet_topk", eng["snippet_topk"],

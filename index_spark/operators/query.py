@@ -99,8 +99,13 @@ def _decode_lists(pdf: pd.DataFrame, avgdl: float):
     return lists
 
 
-def _score_shard_exhaustive(pdf: pd.DataFrame, avgdl: float, k: int) -> pd.DataFrame:
-    """Vectorized exhaustive DAAT over one shard (numpy scatter-add)."""
+def _score_shard_exhaustive(pdf: pd.DataFrame, avgdl: float, k: int,
+                            excl: list[dict] | None = None) -> pd.DataFrame:
+    """Vectorized exhaustive DAAT over one shard (numpy scatter-add).
+
+    ``excl``: optional exclusion-list metadata (:func:`_lists_meta`
+    rows); docs present in ANY exclusion list are dropped BEFORE the
+    top-k cut, probed block-targeted at the scored docs only."""
     lists = _decode_lists(pdf, avgdl)
     if not lists:
         return pd.DataFrame({"doc_id": [], "score": []})
@@ -112,7 +117,29 @@ def _score_shard_exhaustive(pdf: pd.DataFrame, avgdl: float, k: int) -> pd.DataF
     nz = np.flatnonzero(acc)
     if nz.size == 0:
         return pd.DataFrame({"doc_id": [], "score": []})
-    return _topk_frame(nz + lo, acc[nz], k)
+    docs_out, scores_out = nz + lo, acc[nz]
+    if excl:
+        docs_out, scores_out = _apply_exclusions(docs_out, scores_out, excl)
+        if docs_out.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+    return _topk_frame(docs_out, scores_out, k)
+
+
+def _apply_exclusions(cand: np.ndarray, scores: np.ndarray,
+                      excl: list[dict]) -> tuple[np.ndarray, np.ndarray]:
+    """Drop candidates present in any exclusion list. Each exclusion
+    list is probed block-targeted at the candidate docs only (the same
+    byte-offset machinery as scoring probes) — an exclusion term's full
+    postings are never decoded, no matter how common the term."""
+    order = np.argsort(cand, kind="stable")  # _probe needs sorted docs
+    cand_s = cand[order]
+    keep_s = np.ones(cand_s.size, dtype=bool)
+    for mt in excl:
+        hit, _ = _probe(mt, cand_s, _ListCache(mt))
+        keep_s &= ~hit
+    keep = np.empty_like(keep_s)
+    keep[order] = keep_s
+    return cand[keep], scores[keep]
 
 
 def _topk_frame(docs: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
@@ -347,7 +374,8 @@ def _score_shard_wand(pdf: pd.DataFrame, avgdl: float, k: int) -> pd.DataFrame:
 
 
 def _score_shard_conjunctive(pdf: pd.DataFrame, avgdl: float, k: int,
-                             n_required: int) -> pd.DataFrame:
+                             n_required: int,
+                             excl: list[dict] | None = None) -> pd.DataFrame:
     """Conjunctive (AND) top-k BM25 over one shard: only docs containing
     ALL ``n_required`` query terms score.
 
@@ -409,6 +437,10 @@ def _score_shard_conjunctive(pdf: pd.DataFrame, avgdl: float, k: int,
     scores = np.zeros(cand.size, dtype=np.float64)
     for t in terms:  # pinned ascending-term sum order
         scores += contribs[t]
+    if excl:
+        cand, scores = _apply_exclusions(cand, scores, excl)
+        if cand.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
     return _topk_frame(cand, scores, k)
 
 
@@ -443,7 +475,8 @@ def _pick_scorer(pdf: pd.DataFrame, use_wand: bool | str):
 def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
            k: int = 10, stem: bool = True, use_wand: bool | str = "auto",
            shard_size: int = 4096, camel: bool = True,
-           zone: str | None = None, mode: str = "or") -> DataFrame:
+           zone: str | None = None, mode: str = "or",
+           exclude: str | None = None) -> DataFrame:
     """Top-k BM25 over the sharded index. Returns (doc_id, score).
 
     ``use_wand``: True (always WAND), False (always exhaustive), or
@@ -464,6 +497,14 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
     see :func:`pin_zone`); the caller's ``stats`` must be that zone's.
     Weighted multi-zone scoring is :func:`zone_search`.
 
+    ``exclude``: optional NOT clause — docs containing ANY of its terms
+    (tokenized like the query) are removed before the top-k cut.
+    Exclusion lists are probed block-targeted at the scored candidates
+    only, so a common exclusion term never fully decodes; with an
+    exclusion present the OR path uses the exhaustive kernel (a WAND θ
+    seeded on to-be-excluded docs could over-prune — folding exclusion
+    probes into the seed phase is the scale refinement).
+
     ``docs`` is accepted for API symmetry but unused — doc lengths live in
     the index (dl_blob); ``shard_size`` likewise (shard ids are stored).
     """
@@ -471,6 +512,8 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
     qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
     if not qterms:
         return spark.createDataFrame([], TOPK_SCHEMA)
+    xterms = sorted(set(tokenize(exclude, stem=stem, camel=camel))
+                    ) if exclude else []
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
 
     index = pin_zone(index, zone)
@@ -478,7 +521,8 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
         # a merged global index (merge_shards output) is one doc-range
         # row per term — score it as a single logical shard
         index = index.withColumn("shard", F.lit(0))
-    hits = index.filter(F.col("term").isin(qterms))
+    hits = index.filter(
+        F.col("term").isin(sorted(set(qterms) | set(xterms))))
     # exact global df per term = sum of its shard dfs (ranges disjoint).
     # A map-side-combined aggregate + BROADCAST join-back (the stats
     # relation is <= |query terms| rows): the hit rows never shuffle by
@@ -490,16 +534,23 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
         F.log((F.lit(float(n_docs)) - F.col("df_g") + 0.5) / (F.col("df_g") + 0.5) + 1.0),
     )
 
-    if mode == "and":
-        n_req = len(qterms)
-
-        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _score_shard_conjunctive(pdf, avgdl, k, n_req)
-    elif mode == "or":
-        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _pick_scorer(pdf, use_wand)(pdf, avgdl, k)
-    else:
+    if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    n_req = len(qterms)
+    qset, xset = set(qterms), set(xterms)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if xset:
+            xpdf = pdf[pdf["term"].isin(xset)]
+            spdf = pdf[pdf["term"].isin(qset)]
+            excl = _lists_meta(xpdf, avgdl) if len(xpdf) else None
+        else:
+            spdf, excl = pdf, None
+        if mode == "and":
+            return _score_shard_conjunctive(spdf, avgdl, k, n_req, excl)
+        if excl is not None:
+            return _score_shard_exhaustive(spdf, avgdl, k, excl)
+        return _pick_scorer(spdf, use_wand)(spdf, avgdl, k)
 
     local = hits.groupBy("shard").applyInPandas(fn, schema=TOPK_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -34,6 +34,21 @@ def test_term_filter_pushed_to_parquet(spark, index_on_disk):
     assert re.search(r"PushedFilters:.*In\(term", plan), plan
 
 
+def test_prefix_scan_pushed_to_parquet(spark, index_on_disk):
+    """term_prefix_stats' StartsWith filter must reach the parquet scan
+    (sorted-at-rest term rows give tight row-group min/max, so the
+    pushed StringStartsWith prunes row groups before decode), and its
+    scan must not read the posting blobs."""
+    from index_spark.operators.query import term_prefix_stats
+
+    out, _ = index_on_disk
+    df = term_prefix_stats(spark.read.parquet(out), "imp", limit=10)
+    plan = _plan(df)
+    assert re.search(r"PushedFilters:.*StringStartsWith\(term,imp\)", plan), plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "doc_blob" not in m.group(1), plan
+
+
 def test_column_pruning_on_index_scan(spark, index_on_disk):
     """Selecting stats columns must not read the posting blobs."""
     out, _ = index_on_disk

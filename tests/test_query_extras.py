@@ -122,6 +122,51 @@ def test_and_mode_query_engine(built):
     assert eng.search("import zzzznotaterm", k=10, mode="and") == []
 
 
+def oracle_not(oracle: OracleIndex, query: str, exclude: str,
+               mode: str = "or", k: int = 10):
+    """OR/AND oracle with docs containing any excluded term removed."""
+    xterms = sorted(set(tokenize(exclude, stem=oracle.stem)))
+    banned = set()
+    for t in xterms:
+        banned |= set(oracle.tf.get(t, {}))
+    base = (oracle.search(query, k=10 ** 9) if mode == "or"
+            else oracle_and(oracle, query, k=10 ** 9))
+    return [(d, s) for d, s in base if d not in banned][:k]
+
+
+EXCLUDE_CASES = [
+    ("import return", "def", "or"),
+    ("import return", "def class", "or"),
+    ("import", "import", "or"),            # self-exclusion => empty
+    ("def class", "zzznotaterm", "or"),    # absent exclusion => no-op
+    ("import return", "def", "and"),
+    ("café", "return", "or"),
+]
+
+
+def test_exclusion_rank_identity(built):
+    docs, index, stats, oracle = built
+    for q, x, m in EXCLUDE_CASES:
+        expected = oracle_not(oracle, q, x, mode=m)
+        got = search(index, docs, stats, q, k=10, mode=m,
+                     exclude=x).collect()
+        assert [r["doc_id"] for r in got] == [d for d, _ in expected], (q, x, m)
+        for r, (ed, es) in zip(got, expected):
+            assert r["score"] == pytest.approx(es, abs=1e-9), (q, x, ed)
+
+
+def test_exclusion_on_merged_index(built):
+    docs, index, stats, oracle = built
+    merged = merge_shards(index, segment_bytes=256).persist()
+    merged.count()
+    for q, x, m in EXCLUDE_CASES[:3]:
+        expected = oracle_not(oracle, q, x, mode=m)
+        got = search(merged, docs, stats, q, k=10, mode=m,
+                     exclude=x).collect()
+        assert [r["doc_id"] for r in got] == [d for d, _ in expected], (q, x)
+    merged.unpersist()
+
+
 def test_and_mode_bad_mode_raises(built):
     docs, index, stats, _ = built
     with pytest.raises(ValueError, match="mode"):
