@@ -488,6 +488,35 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                      shard_size=256)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def tombstone_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # logical delete: tombstones cogrouped by shard into the scorer;
+        # corpus stats intentionally unchanged (delete-then-compact)
+        from index_spark.operators.query import search
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        tomb = spark.createDataFrame([(d,) for d in _DELETED_IDS],
+                                     "doc_id long")
+        top = search(index, docs, stats, "data table query", k=10,
+                     stem=False, camel=False, shard_size=256,
+                     tombstones=tomb)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    def vacuum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # physical delete: affected rows decoded/filtered/re-encoded,
+        # stats refreshed from the vacuumed '%' rows
+        from index_spark.operators.build import stats_from_index
+        from index_spark.operators.maintenance import vacuum_index
+        from index_spark.operators.query import search
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        tomb = spark.createDataFrame([(d,) for d in _DELETED_IDS],
+                                     "doc_id long")
+        v = vacuum_index(index, tomb, shard_size=256)
+        vstats = stats_from_index(v)
+        top = search(v, docs, vstats, "data table query", k=10,
+                     stem=False, camel=False, shard_size=256)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     def term_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dictionary prefix scan over the sorted-at-rest term catalog
         from index_spark.operators.query import term_prefix_stats
@@ -636,6 +665,8 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "wand_topk": wand_topk,
         "and_topk": and_topk,
         "not_topk": not_topk,
+        "tombstone_topk": tombstone_topk,
+        "vacuum_topk": vacuum_topk,
         "term_prefix": term_prefix,
         "snippet_topk": snippet_topk,
         "wand_queryset": wand_queryset,
@@ -681,6 +712,31 @@ _ORACLE_NOT_TOPK = """
   WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'query')
   ORDER BY score DESC, doc_id ASC LIMIT 10)
 SELECT doc_id, round(score, 4) AS score FROM top"""
+
+# deletes: logical tombstones (original stats) vs physical vacuum
+# (stats recomputed over survivors)
+_DELETED_IDS = [3, 7, 21, 42, 77]
+
+_ORACLE_TOMB_TOPK = """
+, top AS (
+  SELECT doc_id, score FROM scores
+  WHERE doc_id NOT IN ({IDS})
+  ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
+
+
+def _vacuum_duck_sql() -> str:
+    """The FULL pipeline (tok/tf/dl/stats/dft/scores) over the corpus
+    minus the deleted docs — what a physically vacuumed index + refreshed
+    stats must reproduce."""
+    ids = ", ".join(map(str, _DELETED_IDS))
+    tok = _DUCK_TOK_CTE.replace(
+        "FROM documents",
+        f"FROM documents WHERE doc_id NOT IN ({ids})")
+    return (_with(tok, _TF_CTE, _DL_CTE, _STATS_CTE, _DF_CTE,
+                  _terms_values_sql(FLAGSHIP_TERMS))
+            + _BM25_SCORE_SQL + "\n" + _ORACLE_WAND_TOPK.lstrip())
+
 
 # dictionary prefix scan: terms LIKE 's%' with global df/cf, term asc
 _ORACLE_TERM_PREFIX = """
@@ -1089,6 +1145,10 @@ def _build_registry():
     add("not_topk", eng["not_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_NOT_TOPK,
                   [_terms_values_sql(["data", "table"])]))
+    add("tombstone_topk", eng["tombstone_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_TOMB_TOPK.replace(
+            "{IDS}", ", ".join(map(str, _DELETED_IDS))), [q_cte]))
+    add("vacuum_topk", eng["vacuum_topk"], _vacuum_duck_sql())
     add("term_prefix", eng["term_prefix"],
         _docs_sql("duck", _ORACLE_TERM_PREFIX))
     add("snippet_topk", eng["snippet_topk"],

@@ -100,12 +100,15 @@ def _decode_lists(pdf: pd.DataFrame, avgdl: float):
 
 
 def _score_shard_exhaustive(pdf: pd.DataFrame, avgdl: float, k: int,
-                            excl: list[dict] | None = None) -> pd.DataFrame:
+                            excl: list[dict] | None = None,
+                            banned: np.ndarray | None = None) -> pd.DataFrame:
     """Vectorized exhaustive DAAT over one shard (numpy scatter-add).
 
     ``excl``: optional exclusion-list metadata (:func:`_lists_meta`
     rows); docs present in ANY exclusion list are dropped BEFORE the
-    top-k cut, probed block-targeted at the scored docs only."""
+    top-k cut, probed block-targeted at the scored docs only.
+    ``banned``: optional sorted doc_id array (tombstoned deletes),
+    likewise dropped before the cut."""
     lists = _decode_lists(pdf, avgdl)
     if not lists:
         return pd.DataFrame({"doc_id": [], "score": []})
@@ -118,24 +121,33 @@ def _score_shard_exhaustive(pdf: pd.DataFrame, avgdl: float, k: int,
     if nz.size == 0:
         return pd.DataFrame({"doc_id": [], "score": []})
     docs_out, scores_out = nz + lo, acc[nz]
-    if excl:
-        docs_out, scores_out = _apply_exclusions(docs_out, scores_out, excl)
+    if excl or (banned is not None and banned.size):
+        docs_out, scores_out = _apply_exclusions(
+            docs_out, scores_out, excl, banned)
         if docs_out.size == 0:
             return pd.DataFrame({"doc_id": [], "score": []})
     return _topk_frame(docs_out, scores_out, k)
 
 
 def _apply_exclusions(cand: np.ndarray, scores: np.ndarray,
-                      excl: list[dict]) -> tuple[np.ndarray, np.ndarray]:
-    """Drop candidates present in any exclusion list. Each exclusion
-    list is probed block-targeted at the candidate docs only (the same
+                      excl: list[dict] | None,
+                      banned: np.ndarray | None = None
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Drop candidates present in any exclusion list (term-level NOT) or
+    in the sorted ``banned`` doc_id array (tombstoned deletes). Exclusion
+    lists are probed block-targeted at the candidate docs only (the same
     byte-offset machinery as scoring probes) — an exclusion term's full
     postings are never decoded, no matter how common the term."""
     order = np.argsort(cand, kind="stable")  # _probe needs sorted docs
     cand_s = cand[order]
     keep_s = np.ones(cand_s.size, dtype=bool)
-    for mt in excl:
+    for mt in (excl or []):
         hit, _ = _probe(mt, cand_s, _ListCache(mt))
+        keep_s &= ~hit
+    if banned is not None and banned.size:
+        idx = np.searchsorted(banned, cand_s)
+        hit = idx < banned.size
+        hit[hit] = banned[idx[hit]] == cand_s[hit]
         keep_s &= ~hit
     keep = np.empty_like(keep_s)
     keep[order] = keep_s
@@ -375,7 +387,8 @@ def _score_shard_wand(pdf: pd.DataFrame, avgdl: float, k: int) -> pd.DataFrame:
 
 def _score_shard_conjunctive(pdf: pd.DataFrame, avgdl: float, k: int,
                              n_required: int,
-                             excl: list[dict] | None = None) -> pd.DataFrame:
+                             excl: list[dict] | None = None,
+                             banned: np.ndarray | None = None) -> pd.DataFrame:
     """Conjunctive (AND) top-k BM25 over one shard: only docs containing
     ALL ``n_required`` query terms score.
 
@@ -437,8 +450,8 @@ def _score_shard_conjunctive(pdf: pd.DataFrame, avgdl: float, k: int,
     scores = np.zeros(cand.size, dtype=np.float64)
     for t in terms:  # pinned ascending-term sum order
         scores += contribs[t]
-    if excl:
-        cand, scores = _apply_exclusions(cand, scores, excl)
+    if excl or (banned is not None and banned.size):
+        cand, scores = _apply_exclusions(cand, scores, excl, banned)
         if cand.size == 0:
             return pd.DataFrame({"doc_id": [], "score": []})
     return _topk_frame(cand, scores, k)
@@ -476,7 +489,8 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
            k: int = 10, stem: bool = True, use_wand: bool | str = "auto",
            shard_size: int = 4096, camel: bool = True,
            zone: str | None = None, mode: str = "or",
-           exclude: str | None = None) -> DataFrame:
+           exclude: str | None = None,
+           tombstones: DataFrame | None = None) -> DataFrame:
     """Top-k BM25 over the sharded index. Returns (doc_id, score).
 
     ``use_wand``: True (always WAND), False (always exhaustive), or
@@ -505,8 +519,18 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
     seeded on to-be-excluded docs could over-prune — folding exclusion
     probes into the seed phase is the scale refinement).
 
+    ``tombstones``: optional (doc_id) DataFrame of logically-deleted
+    docs — dropped from results before the top-k cut, while corpus
+    statistics stay those of the caller's ``stats`` (the standard
+    delete-then-compact contract; :func:`vacuum_index` is the physical
+    purge that also refreshes stats). Distribution is a shard-cogroup:
+    tombstones shuffle BY SHARD next to the hit rows (``shard_size``
+    must match the build), so no tombstone set is ever collected or
+    broadcast whole — deletes scale with the corpus.
+
     ``docs`` is accepted for API symmetry but unused — doc lengths live in
-    the index (dl_blob); ``shard_size`` likewise (shard ids are stored).
+    the index (dl_blob); ``shard_size`` is only used to route
+    ``tombstones`` (shard ids themselves are stored in the index).
     """
     spark = index.sparkSession
     qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
@@ -517,7 +541,8 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
 
     index = pin_zone(index, zone)
-    if "shard" not in index.columns:
+    merged_form = "shard" not in index.columns
+    if merged_form:
         # a merged global index (merge_shards output) is one doc-range
         # row per term — score it as a single logical shard
         index = index.withColumn("shard", F.lit(0))
@@ -539,7 +564,7 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
     n_req = len(qterms)
     qset, xset = set(qterms), set(xterms)
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score(pdf: pd.DataFrame, banned: np.ndarray | None) -> pd.DataFrame:
         if xset:
             xpdf = pdf[pdf["term"].isin(xset)]
             spdf = pdf[pdf["term"].isin(qset)]
@@ -547,12 +572,27 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
         else:
             spdf, excl = pdf, None
         if mode == "and":
-            return _score_shard_conjunctive(spdf, avgdl, k, n_req, excl)
-        if excl is not None:
-            return _score_shard_exhaustive(spdf, avgdl, k, excl)
+            return _score_shard_conjunctive(spdf, avgdl, k, n_req, excl,
+                                            banned)
+        if excl is not None or (banned is not None and banned.size):
+            return _score_shard_exhaustive(spdf, avgdl, k, excl, banned)
         return _pick_scorer(spdf, use_wand)(spdf, avgdl, k)
 
-    local = hits.groupBy("shard").applyInPandas(fn, schema=TOPK_SCHEMA)
+    if tombstones is not None:
+        shard_expr = (F.lit(0).cast("long") if merged_form
+                      else F.floor(F.col("doc_id") / shard_size).cast("long"))
+        tomb = tombstones.select(shard_expr.alias("shard"),
+                                 F.col("doc_id").cast("long"))
+
+        def fn2(key_pdf: pd.DataFrame, t_pdf: pd.DataFrame) -> pd.DataFrame:
+            banned = np.sort(t_pdf["doc_id"].to_numpy(np.int64))
+            return score(key_pdf, banned)
+
+        local = hits.groupby("shard").cogroup(tomb.groupby("shard")) \
+            .applyInPandas(fn2, schema=TOPK_SCHEMA)
+    else:
+        local = hits.groupBy("shard").applyInPandas(
+            lambda pdf: score(pdf, None), schema=TOPK_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

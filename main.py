@@ -59,8 +59,30 @@ def cmd_query(args) -> None:
     spark = _spark(args)
     index = load_index(spark, args.index_dir)
     stats = load_stats(args.index_dir)
-    rows = search(index, None, stats, args.query, k=args.k).collect()
+    rows = search(index, None, stats, args.query, k=args.k,
+                  mode=args.mode, exclude=args.exclude).collect()
     print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]))
+
+
+def cmd_compact(args) -> None:
+    from index_spark.plans.checkpoint import compact_index
+
+    spark = _spark(args)
+    report = compact_index(spark, args.index_dir, force=args.force)
+    print(json.dumps(report))
+
+
+def cmd_vacuum(args) -> None:
+    from index_spark.operators.maintenance import vacuum_index
+    from index_spark.plans.checkpoint import load_index
+
+    spark = _spark(args)
+    index = load_index(spark, args.index_dir)
+    tomb = spark.createDataFrame(
+        [(int(d),) for d in args.doc_ids], "doc_id long")
+    v = vacuum_index(index, tomb, shard_size=args.shard_size)
+    v.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
 
 
 def cmd_phrase(args) -> None:
@@ -104,7 +126,24 @@ def main(argv=None) -> None:
     q.add_argument("--index-dir", required=True)
     q.add_argument("--query", required=True)
     q.add_argument("-k", type=int, default=10)
+    q.add_argument("--mode", choices=["or", "and"], default="or",
+                   help="disjunctive (default) or conjunctive matching")
+    q.add_argument("--exclude", default=None,
+                   help="boolean NOT: drop docs containing any of these terms")
     q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser("compact", help="merge committed chunks into the "
+                                       "serving index (idempotent)")
+    c.add_argument("--index-dir", required=True)
+    c.add_argument("--force", action="store_true")
+    c.set_defaults(fn=cmd_compact)
+
+    v = sub.add_parser("vacuum", help="physically purge deleted doc_ids")
+    v.add_argument("--index-dir", required=True)
+    v.add_argument("--out", required=True)
+    v.add_argument("--shard-size", type=int, default=4096)
+    v.add_argument("doc_ids", nargs="+")
+    v.set_defaults(fn=cmd_vacuum)
 
     ph = sub.add_parser("phrase", help="exact phrase search (needs a "
                                        "--positions build)")
