@@ -136,8 +136,18 @@ def vacuum_index(index: DataFrame, tombstones: DataFrame,
         F.col("doc_id").cast("long"))
     touched = sorted(r["shard"]
                      for r in tomb.select("shard").distinct().collect())
-    untouched = index.filter(~F.col("shard").isin(touched))
-    cand = index.filter(F.col("shard").isin(touched))
+    if len(touched) <= 10_000:
+        # the common case: a bounded touched-shard list as a pushed-down
+        # In filter; untouched shards bypass the cogroup entirely
+        untouched = index.filter(~F.col("shard").isin(touched))
+        cand = index.filter(F.col("shard").isin(touched))
+    else:
+        # massive delete: the touched set is no longer "a few shards" —
+        # skip the literal-list split (a 10k+-element In defeats
+        # pushdown) and route every shard through the cogroup; rows
+        # without deletes still pass through undecoded
+        untouched = index.limit(0)
+        cand = index
 
     def fn(ix_pdf: pd.DataFrame, t_pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(ix_pdf):

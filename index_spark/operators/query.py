@@ -559,6 +559,19 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
         F.log((F.lit(float(n_docs)) - F.col("df_g") + 0.5) / (F.col("df_g") + 0.5) + 1.0),
     )
 
+    local = _modal_local_topk(hits, qterms, xterms, mode, avgdl, k,
+                              lambda pdf: _pick_scorer(pdf, use_wand),
+                              tombstones, shard_size, merged_form)
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
+                      mode: str, avgdl: float, k: int, pick,
+                      tombstones: DataFrame | None, shard_size: int,
+                      merged_form: bool) -> DataFrame:
+    """Per-shard local top-k under OR/AND mode, term exclusions, and
+    shard-cogrouped tombstones — shared by ``search`` and
+    ``QueryEngine``. ``pick(pdf)`` returns the OR-mode scorer kernel."""
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     n_req = len(qterms)
@@ -576,7 +589,7 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
                                             banned)
         if excl is not None or (banned is not None and banned.size):
             return _score_shard_exhaustive(spdf, avgdl, k, excl, banned)
-        return _pick_scorer(spdf, use_wand)(spdf, avgdl, k)
+        return pick(spdf)(spdf, avgdl, k)
 
     if tombstones is not None:
         shard_expr = (F.lit(0).cast("long") if merged_form
@@ -588,12 +601,10 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
             banned = np.sort(t_pdf["doc_id"].to_numpy(np.int64))
             return score(key_pdf, banned)
 
-        local = hits.groupby("shard").cogroup(tomb.groupby("shard")) \
+        return hits.groupby("shard").cogroup(tomb.groupby("shard")) \
             .applyInPandas(fn2, schema=TOPK_SCHEMA)
-    else:
-        local = hits.groupBy("shard").applyInPandas(
-            lambda pdf: score(pdf, None), schema=TOPK_SCHEMA)
-    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return hits.groupBy("shard").applyInPandas(
+        lambda pdf: score(pdf, None), schema=TOPK_SCHEMA)
 
 
 class QueryEngine:
@@ -622,12 +633,16 @@ class QueryEngine:
 
     def __init__(self, index: DataFrame, stats: dict, stem: bool = True,
                  use_wand: bool | str = "auto", camel: bool = True,
-                 zone: str | None = None):
+                 zone: str | None = None,
+                 shard_size: int = 4096,
+                 tombstones: DataFrame | None = None):
         self.index = pin_zone(index, zone)
         self.stats = stats
         self.stem = stem
         self.camel = camel
         self.use_wand = use_wand
+        self.shard_size = shard_size  # doc_id -> shard routing (deletes)
+        self._tombstones = tombstones
         # LRU-bounded df cache: a long-lived serving process seeing an
         # unbounded query-term stream must not grow without bound
         from collections import OrderedDict
@@ -683,20 +698,33 @@ class QueryEngine:
             terms.update(tokenize(q, stem=self.stem, camel=self.camel))
         self._ensure_stats(sorted(terms))
 
-    def search(self, query: str, k: int = 10,
-               mode: str = "or") -> list[tuple[int, float]]:
-        df = self.topk_df(query, k, mode=mode)
+    def delete(self, doc_ids) -> None:
+        """Register logical deletes: subsequent queries drop these docs
+        (shard-cogrouped, never collected back). Stats stay as built —
+        run :func:`~index_spark.operators.maintenance.vacuum_index` and
+        rebuild the engine for a physical purge."""
+        spark = self.index.sparkSession
+        df = spark.createDataFrame([(int(d),) for d in doc_ids],
+                                   "doc_id long")
+        self._tombstones = (df if self._tombstones is None
+                            else self._tombstones.unionByName(df).distinct())
+
+    def search(self, query: str, k: int = 10, mode: str = "or",
+               exclude: str | None = None) -> list[tuple[int, float]]:
+        df = self.topk_df(query, k, mode=mode, exclude=exclude)
         if df is None:
             return []
         return [(int(r["doc_id"]), float(r["score"])) for r in df.collect()]
 
-    def topk_df(self, query: str, k: int = 10,
-                mode: str = "or") -> DataFrame | None:
+    def topk_df(self, query: str, k: int = 10, mode: str = "or",
+                exclude: str | None = None) -> DataFrame | None:
         """The query's top-k plan as a DataFrame (None for empty/unknown
         queries) — collect() yields exactly k rows via the distributed
         TakeOrderedAndProject merge. ``mode="and"`` scores only docs
         containing every query term (see :func:`search`); a term with
         zero global df short-circuits to None driver-side — no job runs.
+        ``exclude`` is the boolean NOT clause; registered ``delete()``
+        tombstones apply to every query.
         """
         if mode not in ("or", "and"):
             raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
@@ -704,6 +732,8 @@ class QueryEngine:
                                      camel=self.camel)))
         if not qterms:
             return None
+        xterms = sorted(set(tokenize(exclude, stem=self.stem,
+                                     camel=self.camel))) if exclude else []
         self._ensure_stats(qterms)
         n_docs, avgdl = self.stats["n_docs"], self.stats["avgdl"]
         idf = {
@@ -716,23 +746,23 @@ class QueryEngine:
         if mode == "and" and len(idf) < len(qterms):
             return None  # a required term is absent from the index
         use_wand = self.use_wand
-        n_req = len(qterms)
         mapping = F.create_map(
             *[F.lit(x) for kv in idf.items() for x in kv])
-        hits = (self.index.filter(F.col("term").isin(list(idf)))
-                .withColumn("idf", mapping[F.col("term")]))
+        hits = (self.index.filter(
+                    F.col("term").isin(sorted(set(idf) | set(xterms))))
+                .withColumn("idf",
+                            F.coalesce(mapping[F.col("term")], F.lit(0.0))))
 
-        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            if mode == "and":
-                return _score_shard_conjunctive(pdf, avgdl, k, n_req)
+        def pick(pdf: pd.DataFrame):
             if use_wand == "auto":
                 wand = int(pdf["df"].sum()) >= AUTO_WAND_MIN_POSTINGS
             else:
                 wand = bool(use_wand)
-            scorer = _score_shard_wand if wand else _score_shard_exhaustive
-            return scorer(pdf, avgdl, k)
+            return _score_shard_wand if wand else _score_shard_exhaustive
 
-        local = hits.groupBy("shard").applyInPandas(fn, schema=TOPK_SCHEMA)
+        local = _modal_local_topk(hits, sorted(idf), xterms, mode, avgdl,
+                                  k, pick, self._tombstones,
+                                  self.shard_size, merged_form=False)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

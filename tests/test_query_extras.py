@@ -167,6 +167,28 @@ def test_exclusion_on_merged_index(built):
     merged.unpersist()
 
 
+def test_engine_exclude_and_delete_parity(spark, built):
+    """QueryEngine NOT + tombstones match the one-shot search paths."""
+    docs, index, stats, oracle = built
+    banned = [1, 4, 9, 16, 25]
+    eng = QueryEngine(index, stats, shard_size=SHARD_SIZE)
+    for q, x, m in EXCLUDE_CASES:
+        exp = search(index, docs, stats, q, k=10, mode=m,
+                     exclude=x).collect()
+        got = eng.search(q, k=10, mode=m, exclude=x)
+        assert got == [(r["doc_id"], pytest.approx(r["score"], abs=1e-9))
+                       for r in exp], (q, x, m)
+    eng.delete(banned)
+    tomb = spark.createDataFrame([(d,) for d in banned], "doc_id long")
+    for q in ["import return", "def class"]:
+        exp = search(index, docs, stats, q, k=10, shard_size=SHARD_SIZE,
+                     tombstones=tomb).collect()
+        got = eng.search(q, k=10)
+        assert got == [(r["doc_id"], pytest.approx(r["score"], abs=1e-9))
+                       for r in exp], q
+        assert not set(banned) & {d for d, _ in got}
+
+
 def test_and_mode_bad_mode_raises(built):
     docs, index, stats, _ = built
     with pytest.raises(ValueError, match="mode"):
