@@ -90,6 +90,20 @@ spark.stop()
 """
 
 
+def _cpu_times() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — quantifies hypervisor
+    cycle theft during a measurement window. On this sandbox identical
+    pinned runs vary 5-7x under steal (BENCH/machine_noise_probe.json),
+    so every level records the steal fraction of its own window; a
+    scaling ratio computed from windows with materially different steal
+    is reported but not trusted."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def run_level(cores: int, sf_dir: str, pin: bool = False) -> dict:
     code = _CHILD.format(repo=REPO)
     env = dict(os.environ)
@@ -105,12 +119,16 @@ def run_level(cores: int, sf_dir: str, pin: bool = False) -> dict:
         # low level's auxiliary threads spill onto idle CPUs and inflate
         # its throughput, understating N->4N efficiency.
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    s0, t0 = _cpu_times()
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=2400, check=False,
         env=env)
+    s1, t1 = _cpu_times()
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
-            return json.loads(line)
+            res = json.loads(line)
+            res["steal_frac"] = round((s1 - s0) / max(t1 - t0, 1), 4)
+            return res
     raise RuntimeError(f"no result from cores={cores}: {out.stderr[-2000:]}")
 
 

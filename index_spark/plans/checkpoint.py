@@ -187,7 +187,9 @@ def load_docs(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def compact_index(spark: SparkSession, out_dir: str,
                   segment_bytes: int | None = None,
-                  force: bool = False) -> dict:
+                  force: bool = False,
+                  serving_table: str | None = None,
+                  serving_buckets: int = 64) -> dict:
     """Compact every committed chunk into the merged global index under
     ``<out_dir>/merged/`` — the background-merge step of the index
     lifecycle (build chunks online, serve the compacted form).
@@ -200,8 +202,13 @@ def compact_index(spark: SparkSession, out_dir: str,
     no unbounded reducer at any corpus size — and the commit is atomic
     (manifest written last, via rename), matching the chunk protocol.
 
+    ``serving_table``: additionally publish the merged index as a
+    term-bucketed serving table (:func:`~index_spark.plans.storage.
+    save_serving_index`) — the point-lookup layout — in the same
+    compaction pass; the table name is recorded in the manifest.
+
     Returns the manifest: {"chunks", "rows", "terms", "blob_bytes",
-    "skipped", "wall_s"}.
+    "skipped", "wall_s"[, "serving_table"]}.
     """
     from index_spark.operators.merge import merge_shards
 
@@ -240,6 +247,12 @@ def compact_index(spark: SparkSession, out_dir: str,
         "skipped": False,
         "wall_s": round(time.time() - t0, 3),
     }
+    if serving_table:
+        from index_spark.plans.storage import save_serving_index
+
+        save_serving_index(back, table=serving_table,
+                           n_buckets=serving_buckets)
+        manifest["serving_table"] = serving_table
     tmp = mpath + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)

@@ -263,3 +263,41 @@ def test_compact_index_lifecycle(spark, tiny_corpus, tmp_path):
     assert m2["skipped"] and m2["chunks"] == m1["chunks"]
     m3 = compact_index(spark, out, segment_bytes=512, force=True)
     assert not m3["skipped"] and m3["rows"] == m1["rows"]
+
+
+def test_compact_to_serving_table(spark, tiny_corpus, tmp_path):
+    """compact_index(serving_table=...) publishes the merged index as a
+    term-bucketed table in the same pass: point lookups bucket-prune and
+    search over the table is rank-identical to the merged parquet."""
+    from index_spark.plans.checkpoint import (
+        build_chunked,
+        compact_index,
+        load_merged_index,
+        load_stats,
+    )
+    from index_spark.plans.storage import load_serving_index
+
+    out = str(tmp_path / "idx_serve")
+    table = "t_compact_serving_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    corpus_df = spark.createDataFrame(tiny_corpus)
+    build_chunked(spark, corpus_df, out, docs_per_chunk=64, shard_size=64)
+    m = compact_index(spark, out, segment_bytes=512,
+                      serving_table=table, serving_buckets=4)
+    assert m["serving_table"] == table
+    try:
+        sv = load_serving_index(spark, table)
+        stats = load_stats(out)
+        merged = load_merged_index(spark, out)
+        for q in ["import return", "uniq7token"]:
+            a = search(sv, None, stats, q, k=10).collect()
+            b = search(merged, None, stats, q, k=10).collect()
+            assert [(r["doc_id"], round(r["score"], 9)) for r in a] == \
+                   [(r["doc_id"], round(r["score"], 9)) for r in b], q
+        plan = sv.filter(F.col("term") == "import")._sc._jvm \
+            .PythonSQLUtils.explainString(
+                sv.filter(F.col("term") == "import")._jdf.queryExecution(),
+                "formatted")
+        assert "SelectedBucketsCount: 1 out of 4" in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
