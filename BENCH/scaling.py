@@ -90,18 +90,17 @@ spark.stop()
 """
 
 
-def _cpu_times() -> tuple[int, int]:
-    """(steal, total) jiffies from /proc/stat — quantifies hypervisor
-    cycle theft during a measurement window. On this sandbox identical
-    pinned runs vary 5-7x under steal (BENCH/machine_noise_probe.json),
-    so every level records the steal fraction of its own window; a
-    scaling ratio computed from windows with materially different steal
-    is reported but not trusted."""
+def _cpu_times() -> list[int]:
+    """Jiffy counters from /proc/stat (user nice system idle iowait irq
+    softirq steal). On this sandbox the host episodically makes guest
+    minor page faults expensive — identical pinned runs then vary 5-30x
+    and CPU time goes >90% SYSTEM (BENCH/machine_noise_probe.json).
+    Every level therefore records the user/sys/steal fractions of its
+    own window: a scaling ratio is only trustworthy when BOTH windows
+    are user-dominated (sys_frac low)."""
     with open("/proc/stat") as f:
         parts = f.readline().split()
-    vals = [int(x) for x in parts[1:]]
-    steal = vals[7] if len(vals) > 7 else 0
-    return steal, sum(vals)
+    return [int(x) for x in parts[1:]]
 
 
 def run_level(cores: int, sf_dir: str, pin: bool = False) -> dict:
@@ -119,15 +118,19 @@ def run_level(cores: int, sf_dir: str, pin: bool = False) -> dict:
         # low level's auxiliary threads spill onto idle CPUs and inflate
         # its throughput, understating N->4N efficiency.
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-    s0, t0 = _cpu_times()
+    c0 = _cpu_times()
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=2400, check=False,
         env=env)
-    s1, t1 = _cpu_times()
+    c1 = _cpu_times()
+    d = [b - a for a, b in zip(c0, c1)]
+    tot = max(sum(d), 1)
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
             res = json.loads(line)
-            res["steal_frac"] = round((s1 - s0) / max(t1 - t0, 1), 4)
+            res["user_frac"] = round(d[0] / tot, 4)
+            res["sys_frac"] = round(d[2] / tot, 4)
+            res["steal_frac"] = round((d[7] if len(d) > 7 else 0) / tot, 4)
             return res
     raise RuntimeError(f"no result from cores={cores}: {out.stderr[-2000:]}")
 
