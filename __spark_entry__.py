@@ -539,6 +539,17 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         return out.select("doc_id", F.round("score", 4).alias("score"),
                           "pos", "snippet")
 
+    def and_queryset(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # batch conjunctive matching: the whole query set in one job
+        from index_spark.operators.query import search_many
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        queries = {qid: " ".join(terms) for qid, terms in QUERYSET}
+        out = search_many(index, stats, queries, k=10,
+                          stem=False, camel=False, mode="and")
+        return out.select("query_id", "doc_id",
+                          F.round("score", 4).alias("score"), "rank")
+
     def phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.phrase import phrase_search
 
@@ -670,6 +681,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "term_prefix": term_prefix,
         "snippet_topk": snippet_topk,
         "wand_queryset": wand_queryset,
+        "and_queryset": and_queryset,
         "phrase_topk": phrase_topk,
         "proximity_topk": proximity_topk,
         "zone_topk": zone_topk,
@@ -775,6 +787,30 @@ _ORACLE_WAND_QUERYSET = """
   SELECT query_id, doc_id, score,
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
   FROM qscores
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       round(score, 4) AS score, CAST(rank AS BIGINT) AS rank
+FROM rankedx WHERE rank <= 10"""
+
+# batch conjunctive: per query, only docs holding EVERY query term rank
+_ORACLE_AND_QUERYSET = """
+, qn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY query_id)
+, qscores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ) AS score,
+         CAST(count(DISTINCT tf.term) AS BIGINT) AS nt
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+), rankedx AS (
+  SELECT qs.query_id, qs.doc_id, qs.score,
+         row_number() OVER (PARTITION BY qs.query_id ORDER BY qs.score DESC, qs.doc_id ASC) AS rank
+  FROM qscores qs JOIN qn ON qs.query_id = qn.query_id
+  WHERE qs.nt = qn.n
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
        round(score, 4) AS score, CAST(rank AS BIGINT) AS rank
@@ -1155,6 +1191,8 @@ def _build_registry():
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_SNIPPET_TOPK, [q_cte]))
     add("wand_queryset", eng["wand_queryset"],
         _docs_sql("duck", _ORACLE_WAND_QUERYSET, [qs_cte]))
+    add("and_queryset", eng["and_queryset"],
+        _docs_sql("duck", _ORACLE_AND_QUERYSET, [qs_cte]))
     add("phrase_topk", eng["phrase_topk"], _ORACLE_PHRASE_TOPK_DUCK)
     add("proximity_topk", eng["proximity_topk"], _ORACLE_PROXIMITY_TOPK_DUCK)
     add("zone_topk", eng["zone_topk"], _ORACLE_ZONE_TOPK_DUCK)

@@ -882,11 +882,17 @@ MULTI_TOPK_SCHEMA = T.StructType([
 
 
 def _score_shard_multi(pdf: pd.DataFrame, avgdl: float,
-                       qmap: dict[int, list[str]], k: int) -> pd.DataFrame:
+                       qmap: dict[int, list[str]], k: int,
+                       mode: str = "or") -> pd.DataFrame:
     """Multi-query exhaustive DAAT over one shard: every term's posting
     list decodes ONCE and its per-posting BM25 contributions are shared
     across all queries containing the term; per query a numpy scatter-add
-    + local top-k. Sum order stays pinned (ascending term)."""
+    + local top-k. Sum order stays pinned (ascending term).
+
+    ``mode="and"``: per query, only docs containing EVERY query term
+    survive — a parallel presence scatter-add masks docs whose distinct
+    term count misses ``len(qmap[qid])`` (a doc's postings all live in
+    its own doc-range shard, so the shard-local count is global)."""
     lists = _decode_lists(pdf, avgdl)
     contrib: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for key, docs, tfs, dls, idf, _, _, l_avgdl in lists:
@@ -901,14 +907,19 @@ def _score_shard_multi(pdf: pd.DataFrame, avgdl: float,
     out_q, out_d, out_s = [], [], []
     for qid, terms in qmap.items():
         terms_in = sorted(t for t in terms if t in contrib)
-        if not terms_in:
+        if not terms_in or (mode == "and" and len(terms_in) < len(terms)):
             continue
         lo = min(int(contrib[t][0].min()) for t in terms_in)
         hi = max(int(contrib[t][0].max()) for t in terms_in)
         acc = np.zeros(hi - lo + 1, dtype=np.float64)
+        cnt = np.zeros(hi - lo + 1, dtype=np.int32) if mode == "and" else None
         for t in terms_in:
             d, s = contrib[t]
             acc[d - lo] += s
+            if cnt is not None:
+                cnt[d - lo] += 1
+        if cnt is not None:
+            acc[cnt < len(terms)] = 0.0
         nz = np.flatnonzero(acc)
         if nz.size == 0:
             continue
@@ -928,8 +939,12 @@ def _score_shard_multi(pdf: pd.DataFrame, avgdl: float,
 
 def search_many(index: DataFrame, stats: dict, queries: dict[int, str],
                 k: int = 10, stem: bool = True,
-                camel: bool = True, zone: str | None = None) -> DataFrame:
+                camel: bool = True, zone: str | None = None,
+                mode: str = "or") -> DataFrame:
     """Batch top-k BM25: the WHOLE query set in ONE Spark job.
+
+    ``mode="and"`` applies conjunctive matching to every query in the
+    batch (per-query presence mask in the shared-decode kernel).
 
     A zoned index is pinned to one validated zone (default ``body``),
     like :func:`search` — see :func:`pin_zone`.
@@ -963,8 +978,11 @@ def search_many(index: DataFrame, stats: dict, queries: dict[int, str],
         F.log((F.lit(float(n_docs)) - F.col("df_g") + 0.5)
               / (F.col("df_g") + 0.5) + 1.0))
 
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _score_shard_multi(pdf, avgdl, qmap, k)
+        return _score_shard_multi(pdf, avgdl, qmap, k, mode)
 
     local = hits.groupBy("shard").applyInPandas(fn, schema=MULTI_TOPK_SCHEMA)
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -167,6 +167,25 @@ def test_exclusion_on_merged_index(built):
     merged.unpersist()
 
 
+def test_search_many_and_mode(built):
+    """Batch AND == per-query AND for the whole query set."""
+    from index_spark.operators.query import search_many
+
+    docs, index, stats, oracle = built
+    queries = {i: q for i, q in enumerate(AND_QUERIES)}
+    out = search_many(index, stats, queries, k=10, mode="and").collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for qid, q in queries.items():
+        expected = oracle_and(oracle, q, k=10)
+        got = sorted(by_q.get(qid, []))
+        assert [d for _, d, _ in got] == [d for d, _ in expected], q
+        for (_, gd, gs), (ed, es) in zip(got, expected):
+            assert gs == pytest.approx(es, abs=1e-9), (q, ed)
+
+
 def test_engine_exclude_and_delete_parity(spark, built):
     """QueryEngine NOT + tombstones match the one-shot search paths."""
     docs, index, stats, oracle = built
