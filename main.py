@@ -104,6 +104,21 @@ def cmd_bench(args) -> None:
     bench.main()
 
 
+def cmd_package(args) -> None:
+    """Zip the index_spark package for spark-submit --py-files."""
+    import pathlib
+    import zipfile
+
+    root = pathlib.Path(__file__).resolve().parent
+    out = pathlib.Path(args.out)
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for p in sorted((root / "index_spark").rglob("*.py")):
+            zf.write(p, p.relative_to(root))
+    names = out.name
+    print(json.dumps({"zip": str(out),
+                      "usage": f"spark-submit --py-files {names} main.py ..."}))
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="index_spark")
     p.add_argument("--cores", default="*",
@@ -155,6 +170,10 @@ def main(argv=None) -> None:
 
     be = sub.add_parser("bench", help="headline benchmark suite")
     be.set_defaults(fn=cmd_bench)
+
+    pk = sub.add_parser("package", help="zip index_spark for --py-files")
+    pk.add_argument("--out", default="index_spark.zip")
+    pk.set_defaults(fn=cmd_package)
 
     args = p.parse_args(argv)
     args.fn(args)
