@@ -198,6 +198,36 @@ def test_vacuum_noop_for_absent_ids(spark, built):
     assert a == b
 
 
+def test_vacuum_zoned_index(spark):
+    """Vacuum preserves the zone column and per-zone stats refresh."""
+    from index_spark.operators.build import build_zoned_index
+
+    rows = [("r", f"{i:04d}", f"data table doc{i} term{i}", f"title{i} data")
+            for i in range(12)]
+    df = spark.createDataFrame(rows, ["repo", "path", "content", "ztext"])
+    _, index, stats = build_zoned_index(
+        df, [("body", "content"), ("title", "ztext")],
+        stem=False, shard_size=4)
+    index = index.persist()
+    banned = [1, 5, 9]
+    tomb = spark.createDataFrame([(d,) for d in banned], "doc_id long")
+    v = vacuum_index(index, tomb, shard_size=4).persist()
+    assert "zone" in v.columns
+    for z in ("body", "title"):
+        zstats = stats_from_index(v, zone=z)
+        assert zstats["n_docs"] == 12 - len(banned), z
+    # the per-doc unique terms of banned docs are gone
+    terms = {r["term"] for r in v.select("term").distinct().collect()}
+    for d in banned:
+        assert f"doc{d}" not in terms and f"term{d}" not in terms
+    # surviving docs intact in both zones
+    body = {r["term"] for r in v.filter(
+        (F.col("zone") == "body") & (F.col("term") == "doc0")).collect()}
+    assert body == {"doc0"}
+    v.unpersist()
+    index.unpersist()
+
+
 def test_vacuum_rejects_merged_index(built):
     from index_spark.operators.merge import merge_shards
 
