@@ -115,14 +115,54 @@ def _zone_pinned(index: DataFrame, zone: str | None) -> DataFrame:
     return index
 
 
+def _local_positional_topk(index: DataFrame, hits: DataFrame, kernel,
+                           k: int, tombstones: DataFrame | None,
+                           shard_size: int) -> DataFrame:
+    """Shared tail of phrase/proximity: per-shard kernel -> tombstone
+    mask (BEFORE the local prune, so deletes can't under-fill k) ->
+    local top-k -> distributed TakeOrderedAndProject. Tombstones ride
+    the same shard-cogroup shape as ``query.search``."""
+    def prune(out: pd.DataFrame) -> pd.DataFrame:
+        if len(out) > k:  # local prune is exact: shards partition docs
+            out = out.sort_values(["n_matches", "doc_id"],
+                                  ascending=[False, True]).head(k)
+        return out
+
+    if tombstones is not None:
+        merged_form = "shard" not in index.columns
+        shard_expr = (F.lit(0).cast("long") if merged_form
+                      else F.floor(F.col("doc_id") / shard_size)
+                      .cast("long"))
+        tomb = tombstones.select(shard_expr.alias("shard"),
+                                 F.col("doc_id").cast("long"))
+
+        def fn2(pdf: pd.DataFrame, tpdf: pd.DataFrame) -> pd.DataFrame:
+            out = kernel(pdf)
+            banned = tpdf["doc_id"].to_numpy(np.int64)
+            if banned.size and len(out):
+                out = out[~out["doc_id"].isin(banned)]
+            return prune(out)
+
+        local = hits.groupby("shard").cogroup(tomb.groupby("shard")) \
+            .applyInPandas(fn2, schema=PHRASE_SCHEMA)
+    else:
+        local = hits.groupBy("shard").applyInPandas(
+            lambda pdf: prune(kernel(pdf)), schema=PHRASE_SCHEMA)
+    return local.orderBy(F.desc("n_matches"), F.asc("doc_id")).limit(k)
+
+
 def phrase_search(index: DataFrame, stats: dict | None, phrase: str,
                   k: int = 10, stem: bool = True,
-                  camel: bool = True, zone: str | None = None) -> DataFrame:
+                  camel: bool = True, zone: str | None = None,
+                  tombstones: DataFrame | None = None,
+                  shard_size: int = 4096) -> DataFrame:
     """Top-k exact-phrase matches: (doc_id, n_matches).
 
     ``stats`` is accepted for API symmetry with ``search`` and unused
     (phrase ranking is pure occurrence count). The query tokenizer must
     match the build's (same ``stem``/``camel``) or positions won't align.
+    ``tombstones``/``shard_size``: logical deletes, dropped before the
+    local top-k (see ``query.search``).
     """
     spark = index.sparkSession
     qterms = tokenize(phrase, stem=stem, camel=camel)
@@ -130,16 +170,9 @@ def phrase_search(index: DataFrame, stats: dict | None, phrase: str,
         return spark.createDataFrame([], PHRASE_SCHEMA)
     hits = _zone_pinned(index, zone)
     hits = hits.filter(F.col("term").isin(sorted(set(qterms))))
-
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = _phrase_shard(pdf, qterms)
-        if len(out) > k:  # local prune is exact: shards partition docs
-            out = out.sort_values(["n_matches", "doc_id"],
-                                  ascending=[False, True]).head(k)
-        return out
-
-    local = hits.groupBy("shard").applyInPandas(fn, schema=PHRASE_SCHEMA)
-    return local.orderBy(F.desc("n_matches"), F.asc("doc_id")).limit(k)
+    return _local_positional_topk(index, hits,
+                                  lambda pdf: _phrase_shard(pdf, qterms),
+                                  k, tombstones, shard_size)
 
 
 def _pair_window_counts(d0, p0, d1, p1, window: int):
@@ -174,12 +207,14 @@ def _pair_window_counts(d0, p0, d1, p1, window: int):
 def proximity_search(index: DataFrame, stats: dict | None, term_a: str,
                      term_b: str, window: int = 5, k: int = 10,
                      stem: bool = True, camel: bool = True,
-                     zone: str | None = None) -> DataFrame:
+                     zone: str | None = None,
+                     tombstones: DataFrame | None = None,
+                     shard_size: int = 4096) -> DataFrame:
     """Top-k within-window co-occurrence: (doc_id, n_matches) where
     n_matches counts ordered position pairs with ``0 < pos(term_b) -
     pos(term_a) <= window`` — the proximity generalization of phrase
     adjacency (window=1 over two terms == the phrase count). Same
-    one-exchange plan shape as phrase_search.
+    one-exchange plan shape as phrase_search; ``tombstones`` as there.
     """
     spark = index.sparkSession
     ta = tokenize(term_a, stem=stem, camel=camel)
@@ -190,7 +225,7 @@ def proximity_search(index: DataFrame, stats: dict | None, term_a: str,
     hits = _zone_pinned(index, zone)
     hits = hits.filter(F.col("term").isin(sorted({ta, tb})))
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         groups: dict[str, list] = {}
         for r in pdf.itertuples(index=False):
             groups.setdefault(r.term, []).append(r)
@@ -200,11 +235,7 @@ def proximity_search(index: DataFrame, stats: dict | None, term_a: str,
         d0, p0 = _term_occurrences(groups[ta])
         d1, p1 = _term_occurrences(groups[tb])
         docs, cnt = _pair_window_counts(d0, p0, d1, p1, window)
-        out = pd.DataFrame({"doc_id": docs, "n_matches": cnt})
-        if len(out) > k:
-            out = out.sort_values(["n_matches", "doc_id"],
-                                  ascending=[False, True]).head(k)
-        return out
+        return pd.DataFrame({"doc_id": docs, "n_matches": cnt})
 
-    local = hits.groupBy("shard").applyInPandas(fn, schema=PHRASE_SCHEMA)
-    return local.orderBy(F.desc("n_matches"), F.asc("doc_id")).limit(k)
+    return _local_positional_topk(index, hits, kernel, k, tombstones,
+                                  shard_size)

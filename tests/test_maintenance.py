@@ -178,6 +178,30 @@ def test_vacuum_positions_survive(built, vacuumed):
     assert checked > 0  # the banned set must actually exercise the path
 
 
+def test_phrase_proximity_tombstones(spark, built):
+    """Query-time tombstones on phrase/proximity == base results minus
+    banned docs (masked BEFORE the local top-k, so k stays filled)."""
+    from index_spark.operators.phrase import phrase_search, proximity_search
+
+    _, index, stats, _ = built
+    tomb = spark.createDataFrame([(d,) for d in BANNED], "doc_id long")
+    base = phrase_search(index, stats, "import return", k=1000).collect()
+    got = phrase_search(index, stats, "import return", k=1000,
+                        tombstones=tomb, shard_size=SHARD_SIZE).collect()
+    exp = [(r["doc_id"], r["n_matches"]) for r in base
+           if r["doc_id"] not in set(BANNED)]
+    assert [(r["doc_id"], r["n_matches"]) for r in got] == exp
+
+    pbase = proximity_search(index, stats, "import", "return",
+                             window=8, k=1000).collect()
+    pgot = proximity_search(index, stats, "import", "return", window=8,
+                            k=1000, tombstones=tomb,
+                            shard_size=SHARD_SIZE).collect()
+    pexp = [(r["doc_id"], r["n_matches"]) for r in pbase
+            if r["doc_id"] not in set(BANNED)]
+    assert [(r["doc_id"], r["n_matches"]) for r in pgot] == pexp
+
+
 def test_vacuum_phrase_still_works(spark, built, vacuumed):
     from index_spark.operators.phrase import phrase_search
 
