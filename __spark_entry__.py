@@ -517,6 +517,15 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                      stem=False, camel=False, shard_size=256)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def dsl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # web-search syntax: +required bare -excluded (mixed kernel)
+        from index_spark.operators.query import search_dsl
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        top = search_dsl(index, docs, stats, "+data table -scan", k=10,
+                         stem=False, camel=False, shard_size=256)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     def term_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dictionary prefix scan over the sorted-at-rest term catalog
         from index_spark.operators.query import term_prefix_stats
@@ -677,6 +686,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "and_topk": and_topk,
         "not_topk": not_topk,
         "tombstone_topk": tombstone_topk,
+        "dsl_topk": dsl_topk,
         "vacuum_topk": vacuum_topk,
         "term_prefix": term_prefix,
         "snippet_topk": snippet_topk,
@@ -749,6 +759,26 @@ def _vacuum_duck_sql() -> str:
                   _terms_values_sql(FLAGSHIP_TERMS))
             + _BM25_SCORE_SQL + "\n" + _ORACLE_WAND_TOPK.lstrip())
 
+
+# web-search DSL: '+data table -scan' — doc must contain 'data', must
+# not contain 'scan'; 'table' contributes score without gating
+_ORACLE_DSL_TOPK = """
+, scores_dsl AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+  HAVING count(DISTINCT CASE WHEN tf.term = 'data' THEN tf.term END) = 1
+), top AS (
+  SELECT doc_id, score FROM scores_dsl
+  WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'scan')
+  ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
 
 # dictionary prefix scan: terms LIKE 's%' with global df/cf, term asc
 _ORACLE_TERM_PREFIX = """
@@ -1180,6 +1210,9 @@ def _build_registry():
         _docs_sql("duck", _ORACLE_AND_TOPK, [q_cte]))
     add("not_topk", eng["not_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_NOT_TOPK,
+                  [_terms_values_sql(["data", "table"])]))
+    add("dsl_topk", eng["dsl_topk"],
+        _docs_sql("duck", _ORACLE_DSL_TOPK,
                   [_terms_values_sql(["data", "table"])]))
     add("tombstone_topk", eng["tombstone_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_TOMB_TOPK.replace(

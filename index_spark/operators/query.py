@@ -388,9 +388,17 @@ def _score_shard_wand(pdf: pd.DataFrame, avgdl: float, k: int) -> pd.DataFrame:
 def _score_shard_conjunctive(pdf: pd.DataFrame, avgdl: float, k: int,
                              n_required: int,
                              excl: list[dict] | None = None,
-                             banned: np.ndarray | None = None) -> pd.DataFrame:
+                             banned: np.ndarray | None = None,
+                             required: set[str] | None = None
+                             ) -> pd.DataFrame:
     """Conjunctive (AND) top-k BM25 over one shard: only docs containing
     ALL ``n_required`` query terms score.
+
+    ``required`` (mixed mode): when given, only THOSE terms gate the
+    candidate set — the remaining (optional) terms are probed at the
+    candidates for score contributions without shrinking the match set.
+    ``required=None`` means every term is required (pure AND). Candidate
+    seeding always uses the rarest REQUIRED term.
 
     Intersection-driven, not scan-driven: the rarest term's rows decode
     fully (they ARE the candidate set — conjunctive results can only
@@ -412,13 +420,17 @@ def _score_shard_conjunctive(pdf: pd.DataFrame, avgdl: float, k: int,
     by_term: dict[str, list[dict]] = {}
     for mt in metas:
         by_term.setdefault(mt["term"], []).append(mt)
-    if len(by_term) < n_required:
+    req_present = sorted(t for t in by_term
+                         if required is None or t in required)
+    if len(req_present) < n_required:
         return pd.DataFrame({"doc_id": [], "score": []})
     caches = {id(mt): _ListCache(mt) for mt in metas}
 
-    # seed: the rarest term's docs, fully decoded (cheapest full decode)
+    # seed: the rarest REQUIRED term's docs, fully decoded (cheapest
+    # full decode; conjunctive candidates can only shrink from there)
     terms = sorted(by_term)
-    t0 = min(terms, key=lambda t: (sum(m["df"] for m in by_term[t]), t))
+    t0 = min(req_present,
+             key=lambda t: (sum(m["df"] for m in by_term[t]), t))
     seed_d, seed_s = [], []
     for mt in by_term[t0]:
         d, tf, dl = caches[id(mt)].full()
@@ -429,7 +441,9 @@ def _score_shard_conjunctive(pdf: pd.DataFrame, avgdl: float, k: int,
     cand = cand[order]
     contribs = {t0: np.concatenate(seed_s)[order]}
 
-    for t in terms:
+    req_set = set(req_present)
+    for t in [x for x in terms if x in req_set] + \
+             [x for x in terms if x not in req_set]:
         if t == t0:
             continue
         hit_any = np.zeros(cand.size, dtype=bool)
@@ -438,7 +452,9 @@ def _score_shard_conjunctive(pdf: pd.DataFrame, avgdl: float, k: int,
             hit, c = _probe(mt, cand, caches[id(mt)])
             c_arr[hit] += c
             hit_any |= hit
-        if not hit_any.all():  # compact: shrink every aligned array
+        if t in req_set and not hit_any.all():
+            # compact: shrink every aligned array (required terms only —
+            # optional terms never shrink the match set)
             cand = cand[hit_any]
             for key in contribs:
                 contribs[key] = contribs[key][hit_any]
@@ -568,13 +584,16 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
 def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
                       mode: str, avgdl: float, k: int, pick,
                       tombstones: DataFrame | None, shard_size: int,
-                      merged_form: bool) -> DataFrame:
+                      merged_form: bool,
+                      required: set[str] | None = None) -> DataFrame:
     """Per-shard local top-k under OR/AND mode, term exclusions, and
-    shard-cogrouped tombstones — shared by ``search`` and
-    ``QueryEngine``. ``pick(pdf)`` returns the OR-mode scorer kernel."""
+    shard-cogrouped tombstones — shared by ``search``, ``search_dsl``
+    and ``QueryEngine``. ``pick(pdf)`` returns the OR-mode scorer
+    kernel. ``required`` (with mode="and") marks the subset of
+    ``qterms`` that gates matches; the rest contribute score only."""
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
-    n_req = len(qterms)
+    n_req = len(required) if required is not None else len(qterms)
     qset, xset = set(qterms), set(xterms)
 
     def score(pdf: pd.DataFrame, banned: np.ndarray | None) -> pd.DataFrame:
@@ -586,7 +605,7 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
             spdf, excl = pdf, None
         if mode == "and":
             return _score_shard_conjunctive(spdf, avgdl, k, n_req, excl,
-                                            banned)
+                                            banned, required)
         if excl is not None or (banned is not None and banned.size):
             return _score_shard_exhaustive(spdf, avgdl, k, excl, banned)
         return pick(spdf)(spdf, avgdl, k)
@@ -812,6 +831,72 @@ def zone_search(index: DataFrame, zone_stats: dict, query: str,
         return _pick_scorer(pdf, use_wand)(pdf, 0.0, k)
 
     local = hits.groupBy("shard").applyInPandas(fn, schema=TOPK_SCHEMA)
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def parse_query(q: str, stem: bool = True,
+                camel: bool = True) -> tuple[list[str], list[str], list[str]]:
+    """Web-search query syntax -> (required, optional, excluded) term
+    lists. ``+word`` requires, ``-word`` excludes, bare words are
+    optional (score-contributing). Each token runs through the build
+    tokenizer, so a marker applies to every term it expands to (e.g.
+    ``+getNode`` requires both ``get`` and ``node`` under camel
+    splitting)."""
+    req: set[str] = set()
+    opt: set[str] = set()
+    exc: set[str] = set()
+    for raw in q.split():
+        if raw.startswith("+"):
+            dst, body = req, raw[1:]
+        elif raw.startswith("-"):
+            dst, body = exc, raw[1:]
+        else:
+            dst, body = opt, raw
+        dst.update(tokenize(body, stem=stem, camel=camel))
+    opt -= req  # a term both required and bare is just required
+    return sorted(req), sorted(opt), sorted(exc)
+
+
+def search_dsl(index: DataFrame, docs: DataFrame | None, stats: dict,
+               q: str, k: int = 10, stem: bool = True,
+               use_wand: bool | str = "auto", camel: bool = True,
+               zone: str | None = None,
+               tombstones: DataFrame | None = None,
+               shard_size: int = 4096) -> DataFrame:
+    """Top-k BM25 under web-search syntax: ``+required bare -excluded``.
+
+    Semantics: a doc matches iff it contains EVERY ``+term`` and NO
+    ``-term``; bare terms add BM25 score without gating the match (with
+    no ``+terms`` at all, bare terms form a plain disjunctive query).
+    Kernel shape: candidates come from the rarest required term, the
+    other required terms compact them, optional terms are probed at the
+    survivors for contributions, exclusions drop before the top-k —
+    all block-targeted decodes (:func:`_score_shard_conjunctive`).
+    """
+    spark = index.sparkSession
+    req, opt, exc = parse_query(q, stem=stem, camel=camel)
+    qterms = sorted(set(req) | set(opt))
+    if not qterms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+
+    index = pin_zone(index, zone)
+    merged_form = "shard" not in index.columns
+    if merged_form:
+        index = index.withColumn("shard", F.lit(0))
+    hits = index.filter(
+        F.col("term").isin(sorted(set(qterms) | set(exc))))
+    dfs = hits.groupBy("term").agg(F.sum("df").alias("df_g"))
+    hits = hits.join(F.broadcast(dfs), "term").withColumn(
+        "idf",
+        F.log((F.lit(float(n_docs)) - F.col("df_g") + 0.5)
+              / (F.col("df_g") + 0.5) + 1.0))
+
+    mode = "and" if req else "or"
+    local = _modal_local_topk(hits, qterms, exc, mode, avgdl, k,
+                              lambda pdf: _pick_scorer(pdf, use_wand),
+                              tombstones, shard_size, merged_form,
+                              required=set(req) if req else None)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

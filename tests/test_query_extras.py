@@ -167,6 +167,71 @@ def test_exclusion_on_merged_index(built):
     merged.unpersist()
 
 
+def oracle_dsl(oracle: OracleIndex, q: str, k: int = 10):
+    from index_spark.operators.query import parse_query
+
+    req, opt, exc = parse_query(q, stem=oracle.stem)
+    if req and any(not oracle.tf.get(t) for t in req):
+        return []
+    if req:
+        docsets = [set(oracle.tf[t]) for t in req]
+        hits = set.intersection(*docsets)
+    else:
+        hits = set()
+        for t in opt:
+            hits |= set(oracle.tf.get(t, {}))
+    banned = set()
+    for t in exc:
+        banned |= set(oracle.tf.get(t, {}))
+    hits -= banned
+    scores = {}
+    for d in hits:
+        s = 0.0
+        for t in sorted(set(req) | set(opt)):  # pinned sum order
+            tf = oracle.tf.get(t, {}).get(d)
+            if tf is None:
+                continue
+            dl = oracle.doc_len[d]
+            s += oracle.idf(t) * tf / (
+                tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / oracle.avgdl))
+        scores[d] = s
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+DSL_QUERIES = [
+    "+import return",          # required + optional
+    "+import +return def",     # two required, one optional
+    "+import -def",            # required + exclusion
+    "+uniq7token import",      # rare required, hot optional
+    "import return",           # no markers == plain OR
+    "+zzznotaterm import",     # absent required => empty
+    "data -data",              # optional excluded by itself => empty
+    "+def +class -while uniq7token",
+]
+
+
+def test_search_dsl(built):
+    from index_spark.operators.query import search_dsl
+
+    docs, index, stats, oracle = built
+    for q in DSL_QUERIES:
+        expected = oracle_dsl(oracle, q, k=10)
+        got = search_dsl(index, docs, stats, q, k=10).collect()
+        assert [r["doc_id"] for r in got] == [d for d, _ in expected], q
+        for r, (ed, es) in zip(got, expected):
+            assert r["score"] == pytest.approx(es, abs=1e-9), (q, ed)
+
+
+def test_search_dsl_plain_equals_or_search(built):
+    from index_spark.operators.query import search_dsl
+
+    docs, index, stats, _ = built
+    a = search_dsl(index, docs, stats, "import return def", k=10).collect()
+    b = search(index, docs, stats, "import return def", k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == \
+           [(r["doc_id"], r["score"]) for r in b]
+
+
 def test_search_many_and_mode(built):
     """Batch AND == per-query AND for the whole query set."""
     from index_spark.operators.query import search_many
