@@ -526,6 +526,18 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                          stem=False, camel=False, shard_size=256)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def dsl_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # quoted-phrase DSL: '"data table" query -scan' — the phrase
+        # gates positionally (shard-local intersection narrows the
+        # conjunctive candidates), 'query' scores without gating,
+        # 'scan' docs drop before the top-k
+        from index_spark.operators.query import search_dsl
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        top = search_dsl(index, docs, stats, '"data table" query -scan',
+                         k=10, stem=False, camel=False, shard_size=256)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     def term_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dictionary prefix scan over the sorted-at-rest term catalog
         from index_spark.operators.query import term_prefix_stats
@@ -687,6 +699,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "not_topk": not_topk,
         "tombstone_topk": tombstone_topk,
         "dsl_topk": dsl_topk,
+        "dsl_phrase_topk": dsl_phrase_topk,
         "vacuum_topk": vacuum_topk,
         "term_prefix": term_prefix,
         "snippet_topk": snippet_topk,
@@ -777,6 +790,37 @@ _ORACLE_DSL_TOPK = """
 ), top AS (
   SELECT doc_id, score FROM scores_dsl
   WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'scan')
+  ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
+
+# quoted-phrase DSL: '"data table" query -scan' — doc must contain the
+# exact consecutive phrase (positional gate over the token sequence),
+# must not contain 'scan'; 'query' contributes score without gating.
+# Phrase presence implies both phrase terms present, so no extra HAVING.
+_ORACLE_DSL_PHRASE_TOPK = """
+, toksl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+), posn AS (
+  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos FROM toksl
+), pm AS (
+  SELECT DISTINCT p0.doc_id
+  FROM posn p0 JOIN posn p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+  WHERE p0.term = 'data' AND p1.term = 'table'
+), scores_dslp AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+), top AS (
+  SELECT doc_id, score FROM scores_dslp
+  WHERE doc_id IN (SELECT doc_id FROM pm)
+    AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'scan')
   ORDER BY score DESC, doc_id ASC LIMIT 10)
 SELECT doc_id, round(score, 4) AS score FROM top"""
 
@@ -1214,6 +1258,9 @@ def _build_registry():
     add("dsl_topk", eng["dsl_topk"],
         _docs_sql("duck", _ORACLE_DSL_TOPK,
                   [_terms_values_sql(["data", "table"])]))
+    add("dsl_phrase_topk", eng["dsl_phrase_topk"],
+        _docs_sql("duck", _ORACLE_DSL_PHRASE_TOPK,
+                  [_terms_values_sql(["data", "query", "table"])]))
     add("tombstone_topk", eng["tombstone_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_TOMB_TOPK.replace(
             "{IDS}", ", ".join(map(str, _DELETED_IDS))), [q_cte]))

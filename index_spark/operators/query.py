@@ -389,7 +389,8 @@ def _score_shard_conjunctive(pdf: pd.DataFrame, avgdl: float, k: int,
                              n_required: int,
                              excl: list[dict] | None = None,
                              banned: np.ndarray | None = None,
-                             required: set[str] | None = None
+                             required: set[str] | None = None,
+                             allowed: np.ndarray | None = None
                              ) -> pd.DataFrame:
     """Conjunctive (AND) top-k BM25 over one shard: only docs containing
     ALL ``n_required`` query terms score.
@@ -399,6 +400,11 @@ def _score_shard_conjunctive(pdf: pd.DataFrame, avgdl: float, k: int,
     candidates for score contributions without shrinking the match set.
     ``required=None`` means every term is required (pure AND). Candidate
     seeding always uses the rarest REQUIRED term.
+
+    ``allowed``: optional sorted doc_id array (e.g. quoted-phrase
+    positional matches) — candidates outside it drop IMMEDIATELY after
+    seeding, so every subsequent block-targeted probe works on the
+    already-narrowed set.
 
     Intersection-driven, not scan-driven: the rarest term's rows decode
     fully (they ARE the candidate set — conjunctive results can only
@@ -440,6 +446,18 @@ def _score_shard_conjunctive(pdf: pd.DataFrame, avgdl: float, k: int,
     order = np.argsort(cand, kind="stable")
     cand = cand[order]
     contribs = {t0: np.concatenate(seed_s)[order]}
+    if allowed is not None:
+        # narrow to the positional-gate survivors before any probing:
+        # cand and allowed are both sorted, membership by searchsorted
+        if allowed.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        pos = np.minimum(np.searchsorted(allowed, cand),
+                         allowed.size - 1)
+        keep = allowed[pos] == cand
+        cand = cand[keep]
+        contribs[t0] = contribs[t0][keep]
+        if cand.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
 
     req_set = set(req_present)
     for t in [x for x in terms if x in req_set] + \
@@ -585,27 +603,67 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
                       mode: str, avgdl: float, k: int, pick,
                       tombstones: DataFrame | None, shard_size: int,
                       merged_form: bool,
-                      required: set[str] | None = None) -> DataFrame:
+                      required: set[str] | None = None,
+                      phrases: list[list[str]] | None = None,
+                      neg_phrases: list[list[str]] | None = None
+                      ) -> DataFrame:
     """Per-shard local top-k under OR/AND mode, term exclusions, and
     shard-cogrouped tombstones — shared by ``search``, ``search_dsl``
     and ``QueryEngine``. ``pick(pdf)`` returns the OR-mode scorer
     kernel. ``required`` (with mode="and") marks the subset of
-    ``qterms`` that gates matches; the rest contribute score only."""
+    ``qterms`` that gates matches; the rest contribute score only.
+
+    ``phrases``/``neg_phrases``: exact-position phrase gates, resolved
+    SHARD-LOCALLY (a doc's positions for every term live in its own
+    doc-range shard, so the positional intersection needs no cross-shard
+    traffic). Positive phrases narrow the conjunctive candidate set via
+    the kernel's ``allowed`` fast path; negative phrases' match docs
+    merge into the tombstone-style ``banned`` array, which both kernels
+    already honor. Phrase terms must be in ``qterms`` (positive) /
+    the hits relation (negative) so their pos_blobs reach the shard."""
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    if phrases and mode != "and":
+        raise ValueError("positive phrases imply mode='and' (their terms "
+                         "gate the match set)")
     n_req = len(required) if required is not None else len(qterms)
     qset, xset = set(qterms), set(xterms)
+    # neg-phrase terms ride in pdf only for the positional gate — they
+    # must never reach the scorers
+    negp_terms = {t for ph in (neg_phrases or []) for t in ph}
 
     def score(pdf: pd.DataFrame, banned: np.ndarray | None) -> pd.DataFrame:
-        if xset:
-            xpdf = pdf[pdf["term"].isin(xset)]
+        empty = pd.DataFrame({"doc_id": [], "score": []})
+        allowed = None
+        if phrases or neg_phrases:
+            from index_spark.operators.phrase import _phrase_shard
+            for ph in (phrases or []):
+                m = _phrase_shard(pdf[pdf["term"].isin(set(ph))], ph)
+                hit = m["doc_id"].to_numpy(np.int64)  # sorted (np.unique)
+                allowed = hit if allowed is None else np.intersect1d(
+                    allowed, hit, assume_unique=True)
+                if allowed.size == 0:
+                    return empty
+            neg_hits = [
+                _phrase_shard(pdf[pdf["term"].isin(set(ph))], ph)
+                ["doc_id"].to_numpy(np.int64)
+                for ph in (neg_phrases or [])
+            ]
+            neg_hits = [h for h in neg_hits if h.size]
+            if neg_hits:
+                extra = neg_hits[0] if len(neg_hits) == 1 \
+                    else np.unique(np.concatenate(neg_hits))
+                banned = extra if banned is None or not banned.size \
+                    else np.union1d(banned, extra)
+        if xset or negp_terms:
+            xpdf = pdf[pdf["term"].isin(xset)] if xset else pdf.iloc[:0]
             spdf = pdf[pdf["term"].isin(qset)]
             excl = _lists_meta(xpdf, avgdl) if len(xpdf) else None
         else:
             spdf, excl = pdf, None
         if mode == "and":
             return _score_shard_conjunctive(spdf, avgdl, k, n_req, excl,
-                                            banned, required)
+                                            banned, required, allowed)
         if excl is not None or (banned is not None and banned.size):
             return _score_shard_exhaustive(spdf, avgdl, k, excl, banned)
         return pick(spdf)(spdf, avgdl, k)
@@ -834,18 +892,43 @@ def zone_search(index: DataFrame, zone_stats: dict, query: str,
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
-def parse_query(q: str, stem: bool = True,
-                camel: bool = True) -> tuple[list[str], list[str], list[str]]:
-    """Web-search query syntax -> (required, optional, excluded) term
-    lists. ``+word`` requires, ``-word`` excludes, bare words are
-    optional (score-contributing). Each token runs through the build
-    tokenizer, so a marker applies to every term it expands to (e.g.
-    ``+getNode`` requires both ``get`` and ``node`` under camel
-    splitting)."""
+def parse_query(q: str, stem: bool = True, camel: bool = True
+                ) -> tuple[list[str], list[str], list[str],
+                           list[list[str]], list[list[str]]]:
+    """Web-search query syntax -> ``(required, optional, excluded,
+    phrases, excluded_phrases)``.
+
+    ``+word`` requires, ``-word`` excludes, bare words are optional
+    (score-contributing). ``"some words"`` is a required exact phrase
+    (its terms also gate + score like ``+`` terms); ``-"some words"``
+    excludes documents containing the exact phrase (its terms neither
+    gate nor score). Each token runs through the build tokenizer, so a
+    marker applies to every term it expands to (e.g. ``+getNode``
+    requires both ``get`` and ``node`` under camel splitting; a quoted
+    ``"getNode tree"`` matches the consecutive positions the build
+    tokenizer emitted: get, node, tree). Single-term phrases fold into
+    plain required/excluded terms — positions add nothing there."""
+    import re
+
     req: set[str] = set()
     opt: set[str] = set()
     exc: set[str] = set()
-    for raw in q.split():
+    phrases: list[list[str]] = []
+    neg_phrases: list[list[str]] = []
+
+    def grab(m: "re.Match[str]") -> str:
+        terms = tokenize(m.group(2), stem=stem, camel=camel)
+        if not terms:
+            return " "
+        neg = m.group(1) == "-"
+        if len(terms) == 1:  # presence == phrase match for one term
+            (exc if neg else req).add(terms[0])
+        else:
+            (neg_phrases if neg else phrases).append(terms)
+        return " "
+
+    rest = re.sub(r'([+-]?)"([^"]*)"', grab, q)
+    for raw in rest.split():
         if raw.startswith("+"):
             dst, body = req, raw[1:]
         elif raw.startswith("-"):
@@ -853,8 +936,13 @@ def parse_query(q: str, stem: bool = True,
         else:
             dst, body = opt, raw
         dst.update(tokenize(body, stem=stem, camel=camel))
+    req.update(t for ph in phrases for t in ph)  # phrase terms gate+score
     opt -= req  # a term both required and bare is just required
-    return sorted(req), sorted(opt), sorted(exc)
+    # dedupe phrases (list-of-list, tiny)
+    phrases = [list(p) for p in dict.fromkeys(map(tuple, phrases))]
+    neg_phrases = [list(p) for p in
+                   dict.fromkeys(map(tuple, neg_phrases))]
+    return sorted(req), sorted(opt), sorted(exc), phrases, neg_phrases
 
 
 def search_dsl(index: DataFrame, docs: DataFrame | None, stats: dict,
@@ -863,29 +951,44 @@ def search_dsl(index: DataFrame, docs: DataFrame | None, stats: dict,
                zone: str | None = None,
                tombstones: DataFrame | None = None,
                shard_size: int = 4096) -> DataFrame:
-    """Top-k BM25 under web-search syntax: ``+required bare -excluded``.
+    """Top-k BM25 under web-search syntax: ``+required bare -excluded
+    "exact phrase" -"excluded phrase"``.
 
-    Semantics: a doc matches iff it contains EVERY ``+term`` and NO
-    ``-term``; bare terms add BM25 score without gating the match (with
-    no ``+terms`` at all, bare terms form a plain disjunctive query).
+    Semantics: a doc matches iff it contains EVERY ``+term``, EVERY
+    quoted phrase at consecutive positions, NO ``-term`` and NO
+    ``-"quoted phrase"``; bare terms add BM25 score without gating the
+    match (with no ``+terms``/phrases at all, bare terms form a plain
+    disjunctive query). A positive phrase's terms also gate and score
+    like ``+`` terms; a negative phrase's terms neither gate nor score
+    — only the exact consecutive occurrence excludes.
+
     Kernel shape: candidates come from the rarest required term, the
-    other required terms compact them, optional terms are probed at the
-    survivors for contributions, exclusions drop before the top-k —
-    all block-targeted decodes (:func:`_score_shard_conjunctive`).
+    shard-local positional phrase intersection (``allowed``) narrows
+    them before any probing, the other required terms compact them,
+    optional terms are probed at the survivors for contributions,
+    exclusions and negative-phrase matches drop before the top-k — all
+    block-targeted decodes (:func:`_score_shard_conjunctive`). Phrase
+    gates need a positions build (``build_index(positions=True)``).
     """
     spark = index.sparkSession
-    req, opt, exc = parse_query(q, stem=stem, camel=camel)
+    req, opt, exc, phrases, neg_phrases = parse_query(
+        q, stem=stem, camel=camel)
     qterms = sorted(set(req) | set(opt))
     if not qterms:
         return spark.createDataFrame([], TOPK_SCHEMA)
+    if (phrases or neg_phrases) and "pos_blob" not in index.columns:
+        raise ValueError(
+            "quoted phrases need a positional index — rebuild with "
+            "build_index(..., positions=True)")
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
 
     index = pin_zone(index, zone)
     merged_form = "shard" not in index.columns
     if merged_form:
         index = index.withColumn("shard", F.lit(0))
+    negp_terms = {t for ph in neg_phrases for t in ph}
     hits = index.filter(
-        F.col("term").isin(sorted(set(qterms) | set(exc))))
+        F.col("term").isin(sorted(set(qterms) | set(exc) | negp_terms)))
     dfs = hits.groupBy("term").agg(F.sum("df").alias("df_g"))
     hits = hits.join(F.broadcast(dfs), "term").withColumn(
         "idf",
@@ -896,7 +999,8 @@ def search_dsl(index: DataFrame, docs: DataFrame | None, stats: dict,
     local = _modal_local_topk(hits, qterms, exc, mode, avgdl, k,
                               lambda pdf: _pick_scorer(pdf, use_wand),
                               tombstones, shard_size, merged_form,
-                              required=set(req) if req else None)
+                              required=set(req) if req else None,
+                              phrases=phrases, neg_phrases=neg_phrases)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

@@ -170,7 +170,7 @@ def test_exclusion_on_merged_index(built):
 def oracle_dsl(oracle: OracleIndex, q: str, k: int = 10):
     from index_spark.operators.query import parse_query
 
-    req, opt, exc = parse_query(q, stem=oracle.stem)
+    req, opt, exc, _, _ = parse_query(q, stem=oracle.stem)
     if req and any(not oracle.tf.get(t) for t in req):
         return []
     if req:
