@@ -538,6 +538,21 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                          k=10, stem=False, camel=False, shard_size=256)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # metadata-filtered retrieval: the allow-set (docs with
+        # source='src3') cogroups BY SHARD next to the hit rows — never
+        # collected or broadcast; scores stay the unrestricted BM25
+        from index_spark.operators.query import search
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        meta = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        allow = meta.filter(F.col("source") == "src3") \
+                    .select(F.col("doc_id").cast("long"))
+        top = search(index, docs, stats, "data table query", k=10,
+                     stem=False, camel=False, shard_size=256,
+                     restrict=allow)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     def term_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dictionary prefix scan over the sorted-at-rest term catalog
         from index_spark.operators.query import term_prefix_stats
@@ -698,6 +713,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "and_topk": and_topk,
         "not_topk": not_topk,
         "tombstone_topk": tombstone_topk,
+        "filtered_topk": filtered_topk,
         "dsl_topk": dsl_topk,
         "dsl_phrase_topk": dsl_phrase_topk,
         "vacuum_topk": vacuum_topk,
@@ -751,6 +767,13 @@ SELECT doc_id, round(score, 4) AS score FROM top"""
 # deletes: logical tombstones (original stats) vs physical vacuum
 # (stats recomputed over survivors)
 _DELETED_IDS = [3, 7, 21, 42, 77]
+
+_ORACLE_FILTERED_TOPK = """
+, top AS (
+  SELECT doc_id, score FROM scores
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src3')
+  ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
 
 _ORACLE_TOMB_TOPK = """
 , top AS (
@@ -1264,6 +1287,8 @@ def _build_registry():
     add("tombstone_topk", eng["tombstone_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_TOMB_TOPK.replace(
             "{IDS}", ", ".join(map(str, _DELETED_IDS))), [q_cte]))
+    add("filtered_topk", eng["filtered_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_FILTERED_TOPK, [q_cte]))
     add("vacuum_topk", eng["vacuum_topk"], _vacuum_duck_sql())
     add("term_prefix", eng["term_prefix"],
         _docs_sql("duck", _ORACLE_TERM_PREFIX))

@@ -101,14 +101,19 @@ def _decode_lists(pdf: pd.DataFrame, avgdl: float):
 
 def _score_shard_exhaustive(pdf: pd.DataFrame, avgdl: float, k: int,
                             excl: list[dict] | None = None,
-                            banned: np.ndarray | None = None) -> pd.DataFrame:
+                            banned: np.ndarray | None = None,
+                            allowed: np.ndarray | None = None
+                            ) -> pd.DataFrame:
     """Vectorized exhaustive DAAT over one shard (numpy scatter-add).
 
     ``excl``: optional exclusion-list metadata (:func:`_lists_meta`
     rows); docs present in ANY exclusion list are dropped BEFORE the
     top-k cut, probed block-targeted at the scored docs only.
     ``banned``: optional sorted doc_id array (tombstoned deletes),
-    likewise dropped before the cut."""
+    likewise dropped before the cut.
+    ``allowed``: optional sorted doc_id allow-set (restricted search) —
+    candidates outside it drop before the cut; a doc's score is
+    unchanged by the restriction (same full-query BM25 sum)."""
     lists = _decode_lists(pdf, avgdl)
     if not lists:
         return pd.DataFrame({"doc_id": [], "score": []})
@@ -121,6 +126,15 @@ def _score_shard_exhaustive(pdf: pd.DataFrame, avgdl: float, k: int,
     if nz.size == 0:
         return pd.DataFrame({"doc_id": [], "score": []})
     docs_out, scores_out = nz + lo, acc[nz]
+    if allowed is not None:
+        if allowed.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        pos = np.minimum(np.searchsorted(allowed, docs_out),
+                         allowed.size - 1)
+        keep = allowed[pos] == docs_out
+        docs_out, scores_out = docs_out[keep], scores_out[keep]
+        if docs_out.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
     if excl or (banned is not None and banned.size):
         docs_out, scores_out = _apply_exclusions(
             docs_out, scores_out, excl, banned)
@@ -524,7 +538,8 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
            shard_size: int = 4096, camel: bool = True,
            zone: str | None = None, mode: str = "or",
            exclude: str | None = None,
-           tombstones: DataFrame | None = None) -> DataFrame:
+           tombstones: DataFrame | None = None,
+           restrict: DataFrame | None = None) -> DataFrame:
     """Top-k BM25 over the sharded index. Returns (doc_id, score).
 
     ``use_wand``: True (always WAND), False (always exhaustive), or
@@ -562,6 +577,16 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
     must match the build), so no tombstone set is ever collected or
     broadcast whole — deletes scale with the corpus.
 
+    ``restrict``: optional (doc_id) allow-set — metadata-filtered
+    retrieval ("only docs where lang='python'"): compute the filter on
+    the doc dimension (any predicate, any join), pass its doc_ids here.
+    Only allowed docs may rank; their scores are the unrestricted BM25
+    (global idf/avgdl — the filter narrows the candidates, not the
+    corpus statistics). Same shard-cogroup distribution as tombstones,
+    so filter results of any size scale. Composes with ``mode``,
+    ``exclude`` and ``tombstones`` (a doc both allowed and tombstoned
+    stays deleted).
+
     ``docs`` is accepted for API symmetry but unused — doc lengths live in
     the index (dl_blob); ``shard_size`` is only used to route
     ``tombstones`` (shard ids themselves are stored in the index).
@@ -595,7 +620,8 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
 
     local = _modal_local_topk(hits, qterms, xterms, mode, avgdl, k,
                               lambda pdf: _pick_scorer(pdf, use_wand),
-                              tombstones, shard_size, merged_form)
+                              tombstones, shard_size, merged_form,
+                              restrict=restrict)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -605,7 +631,8 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
                       merged_form: bool,
                       required: set[str] | None = None,
                       phrases: list[list[str]] | None = None,
-                      neg_phrases: list[list[str]] | None = None
+                      neg_phrases: list[list[str]] | None = None,
+                      restrict: DataFrame | None = None
                       ) -> DataFrame:
     """Per-shard local top-k under OR/AND mode, term exclusions, and
     shard-cogrouped tombstones — shared by ``search``, ``search_dsl``
@@ -620,7 +647,16 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
     the kernel's ``allowed`` fast path; negative phrases' match docs
     merge into the tombstone-style ``banned`` array, which both kernels
     already honor. Phrase terms must be in ``qterms`` (positive) /
-    the hits relation (negative) so their pos_blobs reach the shard."""
+    the hits relation (negative) so their pos_blobs reach the shard.
+
+    ``restrict``: optional (doc_id) allow-set — only docs IN the set may
+    appear in the top-k; a surviving doc's score is its unrestricted
+    full-query BM25 (the restriction filters, never rescales).
+    Distribution mirrors tombstones: the set shuffles BY SHARD next to
+    the hit rows through one shared cogroup side-channel (kind 0 =
+    tombstone, kind 1 = allowed), so a billion-doc filter result is
+    never collected or broadcast. A shard with hit rows but no allowed
+    rows contributes nothing."""
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     if phrases and mode != "and":
@@ -632,9 +668,12 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
     # must never reach the scorers
     negp_terms = {t for ph in (neg_phrases or []) for t in ph}
 
-    def score(pdf: pd.DataFrame, banned: np.ndarray | None) -> pd.DataFrame:
+    def score(pdf: pd.DataFrame, banned: np.ndarray | None,
+              allowed_r: np.ndarray | None = None) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id": [], "score": []})
-        allowed = None
+        if allowed_r is not None and allowed_r.size == 0:
+            return empty
+        allowed = allowed_r
         if phrases or neg_phrases:
             from index_spark.operators.phrase import _phrase_shard
             for ph in (phrases or []):
@@ -664,21 +703,39 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
         if mode == "and":
             return _score_shard_conjunctive(spdf, avgdl, k, n_req, excl,
                                             banned, required, allowed)
-        if excl is not None or (banned is not None and banned.size):
-            return _score_shard_exhaustive(spdf, avgdl, k, excl, banned)
+        if excl is not None or (banned is not None and banned.size) \
+                or allowed is not None:
+            # allow-set / exclusion present: the exhaustive kernel (a
+            # WAND θ over to-be-filtered docs could over-prune)
+            return _score_shard_exhaustive(spdf, avgdl, k, excl, banned,
+                                           allowed)
         return pick(spdf)(spdf, avgdl, k)
 
-    if tombstones is not None:
+    has_restrict = restrict is not None
+    if tombstones is not None or has_restrict:
         shard_expr = (F.lit(0).cast("long") if merged_form
                       else F.floor(F.col("doc_id") / shard_size).cast("long"))
-        tomb = tombstones.select(shard_expr.alias("shard"),
-                                 F.col("doc_id").cast("long"))
+        sides = []
+        if tombstones is not None:
+            sides.append(tombstones.select(
+                shard_expr.alias("shard"), F.col("doc_id").cast("long"),
+                F.lit(0).alias("kind")))
+        if has_restrict:
+            sides.append(restrict.select(
+                shard_expr.alias("shard"), F.col("doc_id").cast("long"),
+                F.lit(1).alias("kind")))
+        side = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
 
-        def fn2(key_pdf: pd.DataFrame, t_pdf: pd.DataFrame) -> pd.DataFrame:
-            banned = np.sort(t_pdf["doc_id"].to_numpy(np.int64))
-            return score(key_pdf, banned)
+        def fn2(key_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = s_pdf["doc_id"].to_numpy(np.int64)
+            kinds = s_pdf["kind"].to_numpy()
+            banned = np.sort(ids[kinds == 0])
+            allowed_r = (np.unique(ids[kinds == 1]) if has_restrict
+                         else None)
+            return score(key_pdf, banned if banned.size else None,
+                         allowed_r)
 
-        return hits.groupby("shard").cogroup(tomb.groupby("shard")) \
+        return hits.groupby("shard").cogroup(side.groupby("shard")) \
             .applyInPandas(fn2, schema=TOPK_SCHEMA)
     return hits.groupBy("shard").applyInPandas(
         lambda pdf: score(pdf, None), schema=TOPK_SCHEMA)
