@@ -553,6 +553,40 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                      restrict=allow)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def facet_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # search-result faceting: shard-local doc-stream decode (no
+        # scoring) -> shuffle join to the doc-attribute dimension ->
+        # counts per value
+        from index_spark.operators.analytics import facet_counts
+
+        _, index, _ = _parity_build(spark, sf_dir)
+        meta = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                    .select(F.col("doc_id").cast("long"), "source")
+        return facet_counts(index, meta, "data table query", by="source",
+                            stem=False, camel=False)
+
+    def hit_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the "about N results" total: matching-doc enumeration + one
+        # tiny count aggregate
+        from index_spark.operators.analytics import hit_count
+
+        _, index, _ = _parity_build(spark, sf_dir)
+        return hit_count(index, "data table query", stem=False,
+                         camel=False)
+
+    def related_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # co-occurrence discovery over the index's own export path:
+        # blob index -> postings_from_index decode -> PMI ranking
+        from index_spark.operators.analytics import (
+            postings_from_index,
+            related_terms,
+        )
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        posts = postings_from_index(index)
+        return related_terms(posts, "data", stats["n_docs"], top=15,
+                             min_cooc=2)
+
     def term_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dictionary prefix scan over the sorted-at-rest term catalog
         from index_spark.operators.query import term_prefix_stats
@@ -714,6 +748,9 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "not_topk": not_topk,
         "tombstone_topk": tombstone_topk,
         "filtered_topk": filtered_topk,
+        "facet_counts": facet_counts_q,
+        "hit_count": hit_count_q,
+        "related_terms": related_terms_q,
         "dsl_topk": dsl_topk,
         "dsl_phrase_topk": dsl_phrase_topk,
         "vacuum_topk": vacuum_topk,
@@ -774,6 +811,32 @@ _ORACLE_FILTERED_TOPK = """
   WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src3')
   ORDER BY score DESC, doc_id ASC LIMIT 10)
 SELECT doc_id, round(score, 4) AS score FROM top"""
+
+_ORACLE_FACETS = """
+, m AS (SELECT DISTINCT tf.doc_id FROM tf JOIN q ON tf.term = q.term)
+SELECT documents.source, CAST(count(*) AS BIGINT) AS n_docs
+FROM m JOIN documents ON m.doc_id = documents.doc_id
+GROUP BY documents.source
+ORDER BY n_docs DESC, source ASC"""
+
+_ORACLE_HIT_COUNT = """
+SELECT CAST(count(*) AS BIGINT) AS n_hits
+FROM (SELECT DISTINCT tf.doc_id FROM tf JOIN q ON tf.term = q.term) m"""
+
+# PMI co-occurrence: cooc = |docs with seed AND t|, pmi = ln(cooc*N /
+# (df_seed*df_t)); same rounding/order keys as the engine operator
+_ORACLE_RELATED = """
+, seed AS (SELECT doc_id FROM tf WHERE term = 'data'),
+cooc AS (
+  SELECT tf.term, CAST(count(*) AS BIGINT) AS cooc
+  FROM tf JOIN seed ON tf.doc_id = seed.doc_id
+  WHERE tf.term <> 'data'
+  GROUP BY tf.term HAVING count(*) >= 2
+)
+SELECT c.term, c.cooc, d.df, round(ln(c.cooc * CAST(stats.n AS DOUBLE)
+       / ((SELECT df FROM dft WHERE term = 'data') * d.df)), 6) AS pmi
+FROM cooc c JOIN dft d ON c.term = d.term CROSS JOIN stats
+ORDER BY pmi DESC, c.cooc DESC, c.term ASC LIMIT 15"""
 
 _ORACLE_TOMB_TOPK = """
 , top AS (
@@ -1289,6 +1352,12 @@ def _build_registry():
             "{IDS}", ", ".join(map(str, _DELETED_IDS))), [q_cte]))
     add("filtered_topk", eng["filtered_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_FILTERED_TOPK, [q_cte]))
+    add("facet_counts", eng["facet_counts"],
+        _docs_sql("duck", _ORACLE_FACETS, [q_cte]))
+    add("hit_count", eng["hit_count"],
+        _docs_sql("duck", _ORACLE_HIT_COUNT, [q_cte]))
+    add("related_terms", eng["related_terms"],
+        _docs_sql("duck", _ORACLE_RELATED))
     add("vacuum_topk", eng["vacuum_topk"], _vacuum_duck_sql())
     add("term_prefix", eng["term_prefix"],
         _docs_sql("duck", _ORACLE_TERM_PREFIX))

@@ -1,0 +1,191 @@
+"""Result-set analytics over the inverted index: matching-doc
+enumeration, facet counts, hit counting, index-to-postings export, and
+co-occurrence term discovery.
+
+These are the layers a web-scale search service stacks ON TOP of top-k
+retrieval: "how many hits, split by language?", "which terms co-occur
+with X?". The reference snapshot (/root/reference/index.h — posting-list
+ISR iteration only) stops at the posting list; everything here is the
+Spark-first result-set surface above it.
+
+Scale notes
+-----------
+* ``matching_docs`` is the shared primitive: term-pruned columnar scan
+  -> ONE shard exchange -> per-shard vectorized decode of only the query
+  terms' doc streams (never tf/dl/scores — cheaper than scoring), doc
+  sets unioned/intersected shard-locally. Shards hold disjoint doc
+  ranges, so the output is globally distinct with no extra shuffle.
+* ``facet_counts`` joins the match set to the doc-attribute dimension on
+  doc_id and aggregates — a standard shuffle join + partial agg that AQE
+  handles at any match-set size (the match set is never collected).
+* ``related_terms`` works over the exploded postings relation;
+  candidate generation is a doc_id equi-join against the seed term's
+  postings, aggregated BEFORE any driver-side limit.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from index_spark.functions import varbyte as vb
+from index_spark.functions.text import tokenize
+from index_spark.operators.build import DOC_MARKER
+from index_spark.operators.query import pin_zone
+
+_DOCS_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType(), False)])
+
+_POSTINGS_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("tf", T.LongType(), False),
+])
+
+
+def matching_docs(index: DataFrame, query: str, mode: str = "or",
+                  stem: bool = True, camel: bool = True,
+                  zone: str | None = None) -> DataFrame:
+    """Distinct doc_ids matching the query (no scoring).
+
+    ``mode='or'``: docs containing ANY query term; ``'and'``: docs
+    containing EVERY query term. Decodes only the doc streams (delta
+    cumsum — no tf/dl/blocks), so enumeration is strictly cheaper than
+    scoring. A term split across merged doc-range segment rows counts
+    once (per-term union across its rows precedes the modal combine).
+    """
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    if not qterms:
+        return spark.createDataFrame([], _DOCS_SCHEMA)
+    index = pin_zone(index, zone)
+    if "shard" not in index.columns:
+        index = index.withColumn("shard", F.lit(0))
+    hits = index.filter(F.col("term").isin(qterms)) \
+                .select("shard", "term", "doc_blob")
+    n_q = len(qterms)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        per_term: dict[str, list[np.ndarray]] = {}
+        for row in pdf.itertuples(index=False):
+            docs = np.cumsum(vb.decode(row.doc_blob).astype(np.int64))
+            per_term.setdefault(row.term, []).append(docs)
+        if mode == "and" and len(per_term) < n_q:
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64)})
+        sets = [np.unique(np.concatenate(v)) for v in per_term.values()]
+        if not sets:
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64)})
+        if mode == "or":
+            out = np.unique(np.concatenate(sets))
+        else:
+            sets.sort(key=len)
+            out = sets[0]
+            for s in sets[1:]:
+                out = np.intersect1d(out, s, assume_unique=True)
+                if out.size == 0:
+                    break
+        return pd.DataFrame({"doc_id": out})
+
+    return hits.groupBy("shard").applyInPandas(fn, schema=_DOCS_SCHEMA)
+
+
+def hit_count(index: DataFrame, query: str, mode: str = "or",
+              stem: bool = True, camel: bool = True,
+              zone: str | None = None) -> DataFrame:
+    """Single-row (n_hits) total match count — the "about N results"
+    number. Same plan as :func:`matching_docs` plus a count aggregate
+    (map-side partial per shard task, one tiny final reduce)."""
+    m = matching_docs(index, query, mode=mode, stem=stem, camel=camel,
+                      zone=zone)
+    return m.agg(F.count("*").alias("n_hits"))
+
+
+def facet_counts(index: DataFrame, doc_meta: DataFrame, query: str,
+                 by: str, mode: str = "or", stem: bool = True,
+                 camel: bool = True, zone: str | None = None,
+                 top: int | None = None) -> DataFrame:
+    """Matching-doc counts per value of attribute ``by`` — search-result
+    faceting ("hits by language / repo / source").
+
+    ``doc_meta``: (doc_id, <by>, ...) doc-attribute dimension — any
+    DataFrame keyed by the build's doc ids (e.g. the ``docs`` output of
+    ``build_index`` joined to catalog metadata). The match set joins it
+    on doc_id (shuffle join — neither side collects) and aggregates.
+    Rows ordered by (n_docs desc, <by> asc); ``top`` bounds the output
+    via the TakeOrderedAndProject tail, not a blind collect.
+    """
+    m = matching_docs(index, query, mode=mode, stem=stem, camel=camel,
+                      zone=zone)
+    meta = doc_meta.select(F.col("doc_id").cast("long"), F.col(by))
+    out = (m.join(meta, "doc_id")
+            .groupBy(by).agg(F.count("*").alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc(by)))
+    return out.limit(top) if top else out
+
+
+def postings_from_index(index: DataFrame, zone: str | None = None
+                        ) -> DataFrame:
+    """Decode the blob index back into the exploded (term, doc_id, tf)
+    posting relation — the index's logical scan/export path (feeds
+    :func:`related_terms`, external analytics, or re-indexing).
+
+    Distributed decode: ``mapInPandas`` over index rows, one output
+    chunk per posting-list row, Arrow-batched. The '%' doc-table rows
+    are excluded (they are lengths, not terms)."""
+    index = pin_zone(index, zone)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                docs = np.cumsum(vb.decode(row.doc_blob).astype(np.int64))
+                tfs = vb.decode(row.tf_blob).astype(np.int64)
+                yield pd.DataFrame({
+                    "term": np.repeat(row.term, docs.size),
+                    "doc_id": docs, "tf": tfs})
+
+    return (index.filter(F.col("term") != DOC_MARKER)
+            .select("term", "doc_blob", "tf_blob")
+            .mapInPandas(fn, schema=_POSTINGS_SCHEMA))
+
+
+def related_terms(postings: DataFrame, seed_term: str, n_docs: int,
+                  top: int = 20, min_cooc: int = 2) -> DataFrame:
+    """Terms co-occurring with ``seed_term``, ranked by PMI.
+
+    ``postings``: the (term, doc_id, tf) relation — either raw build
+    postings or :func:`postings_from_index` output. For every other term
+    t, over documents:
+
+        cooc(t)  = |docs containing both seed and t|
+        pmi(t)   = ln( cooc * N / (df_seed * df_t) )      [N = n_docs]
+
+    returned as (term, cooc, df, pmi), pmi desc / cooc desc / term asc,
+    ``cooc >= min_cooc`` (singleton co-occurrence is noise at any scale).
+
+    Plan: seed doc list (one filtered scan) equi-joins the postings
+    relation on doc_id — candidate generation proportional to the seed
+    term's corpus footprint, not the corpus; df comes from a map-side
+    combined aggregate joined back on term. No driver-side collection;
+    the top cut is a TakeOrderedAndProject."""
+    seed_docs = (postings.filter(F.col("term") == seed_term)
+                 .select("doc_id"))
+    dfs = postings.groupBy("term").agg(F.count("*").alias("df"))
+    df_seed = F.broadcast(dfs.filter(F.col("term") == seed_term)
+                          .select(F.col("df").alias("df_seed")))
+    cooc = (postings.join(seed_docs, "doc_id")
+            .filter(F.col("term") != seed_term)
+            .groupBy("term").agg(F.count("*").alias("cooc"))
+            .filter(F.col("cooc") >= min_cooc))
+    out = (cooc.join(dfs, "term").crossJoin(df_seed)
+           .withColumn("pmi", F.round(
+               F.log(F.col("cooc") * F.lit(float(n_docs))
+                     / (F.col("df_seed") * F.col("df"))), 6))
+           .select("term", "cooc", "df", "pmi")
+           .orderBy(F.desc("pmi"), F.desc("cooc"), F.asc("term")))
+    return out.limit(top)

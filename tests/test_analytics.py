@@ -1,0 +1,131 @@
+"""Result-set analytics: matching_docs / hit_count / facet_counts /
+postings_from_index / related_terms, pinned against naive restatements
+of the oracle index."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from index_spark.functions.text import tokenize
+from index_spark.operators.analytics import (
+    facet_counts,
+    hit_count,
+    matching_docs,
+    postings_from_index,
+    related_terms,
+)
+from index_spark.operators.build import build_index
+from index_spark.operators.merge import merge_shards
+from tests.oracle import OracleIndex
+
+SHARD_SIZE = 64
+
+
+@pytest.fixture(scope="module")
+def built(spark, tiny_corpus):
+    corpus_df = spark.createDataFrame(tiny_corpus)
+    docs, index, stats = build_index(corpus_df, stem=True,
+                                     shard_size=SHARD_SIZE)
+    docs, index = docs.persist(), index.persist()
+    docs.count(), index.count()
+    oracle = OracleIndex(
+        list(tiny_corpus[["repo", "path", "content"]].itertuples(index=False)),
+        stem=True)
+    return docs, index, stats, oracle
+
+
+def oracle_match(oracle: OracleIndex, query: str, mode: str) -> set[int]:
+    qterms = sorted(set(tokenize(query, stem=oracle.stem)))
+    sets = [set(oracle.tf.get(t, {})) for t in qterms]
+    if not sets:
+        return set()
+    return set.union(*sets) if mode == "or" else set.intersection(*sets)
+
+
+MATCH_CASES = [
+    ("import return", "or"),
+    ("import return", "and"),
+    ("uniq7token import", "and"),
+    ("import numpy", "and"),      # absent term => empty conjunction
+    ("zzznotaterm", "or"),        # absent => empty
+    ("café", "or"),
+]
+
+
+def test_matching_docs(built):
+    docs, index, stats, oracle = built
+    for q, m in MATCH_CASES:
+        got = {r["doc_id"]
+               for r in matching_docs(index, q, mode=m).collect()}
+        assert got == oracle_match(oracle, q, m), (q, m)
+
+
+def test_matching_docs_on_merged_index(built):
+    """A term split across merged segment rows still counts once per
+    doc, and AND-mode counts the term present."""
+    docs, index, stats, oracle = built
+    merged = merge_shards(index, segment_bytes=256).persist()
+    merged.count()
+    for q, m in MATCH_CASES:
+        got = {r["doc_id"]
+               for r in matching_docs(merged, q, mode=m).collect()}
+        assert got == oracle_match(oracle, q, m), (q, m)
+    merged.unpersist()
+
+
+def test_hit_count(built):
+    docs, index, stats, oracle = built
+    n = hit_count(index, "import return").collect()[0]["n_hits"]
+    assert n == len(oracle_match(oracle, "import return", "or"))
+    n0 = hit_count(index, "zzznotaterm").collect()[0]["n_hits"]
+    assert n0 == 0
+
+
+def test_facet_counts(spark, built):
+    docs, index, stats, oracle = built
+    meta = docs.select("doc_id", (F.col("doc_id") % 3).alias("grp"))
+    out = facet_counts(index, meta, "import return", by="grp").collect()
+    match = oracle_match(oracle, "import return", "or")
+    expected: dict[int, int] = {}
+    for d in match:
+        expected[d % 3] = expected.get(d % 3, 0) + 1
+    assert {r["grp"]: r["n_docs"] for r in out} == expected
+    # ordered by count desc then attr asc
+    pairs = [(r["n_docs"], r["grp"]) for r in out]
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+
+def test_postings_from_index_roundtrip(built):
+    docs, index, stats, oracle = built
+    got = postings_from_index(index).toPandas()
+    assert len(got) == sum(len(p) for p in oracle.tf.values())
+    got_map = {(r.term, r.doc_id): r.tf for r in got.itertuples(index=False)}
+    for t, posts in oracle.tf.items():
+        for d, tf in posts.items():
+            assert got_map[(t, d)] == tf
+
+
+def test_related_terms_pmi(built):
+    docs, index, stats, oracle = built
+    posts = postings_from_index(index).persist()
+    seed = "import"
+    got = related_terms(posts, seed, oracle.n_docs, top=15,
+                        min_cooc=2).collect()
+    seed_docs = set(oracle.tf[seed])
+    rows = []
+    for t, p in oracle.tf.items():
+        if t == seed:
+            continue
+        cooc = len(seed_docs & set(p))
+        if cooc >= 2:
+            pmi = round(math.log(cooc * oracle.n_docs
+                                 / (len(seed_docs) * len(p))), 6)
+            rows.append((t, cooc, len(p), pmi))
+    rows.sort(key=lambda r: (-r[3], -r[1], r[0]))
+    expected = rows[:15]
+    assert [(r["term"], r["cooc"], r["df"], r["pmi"]) for r in got] \
+        == expected
+    posts.unpersist()
