@@ -553,6 +553,18 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                      restrict=allow)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # typo-tolerant retrieval: dictionary edit-distance expansion
+        # (bounded neighborhood, df-desc cap) then one OR search; each
+        # variant scores with its own global idf
+        from index_spark.operators.query import search_fuzzy
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        top = search_fuzzy(index, docs, stats, "dat tabl query", k=10,
+                           max_dist=1, max_expansions=8,
+                           stem=False, camel=False, shard_size=256)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     def facet_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # search-result faceting: shard-local doc-stream decode (no
         # scoring) -> shuffle join to the doc-attribute dimension ->
@@ -749,6 +761,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "tombstone_topk": tombstone_topk,
         "filtered_topk": filtered_topk,
         "facet_counts": facet_counts_q,
+        "fuzzy_topk": fuzzy_topk,
         "hit_count": hit_count_q,
         "related_terms": related_terms_q,
         "dsl_topk": dsl_topk,
@@ -810,6 +823,33 @@ _ORACLE_FILTERED_TOPK = """
   SELECT doc_id, score FROM scores
   WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src3')
   ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
+
+# fuzzy expansion restated: per query term, dictionary terms within
+# Levenshtein distance 1 (exact length-band necessary condition), top-8
+# by (df desc, term asc); BM25 over the DISTINCT expanded terms, each
+# with its own idf
+_ORACLE_FUZZY_TOPK = """
+, cand AS (
+  SELECT d.term, d.df, q.term AS qterm
+  FROM dft d JOIN q ON abs(length(d.term) - length(q.term)) <= 1
+   AND levenshtein(d.term, q.term) <= 1
+), q2 AS (
+  SELECT DISTINCT term FROM (
+    SELECT term, row_number() OVER (
+      PARTITION BY qterm ORDER BY df DESC, term ASC) AS rn
+    FROM cand) r WHERE rn <= 8
+), fscores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q2 ON tf.term = q2.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+), top AS (SELECT doc_id, score FROM fscores ORDER BY score DESC, doc_id ASC LIMIT 10)
 SELECT doc_id, round(score, 4) AS score FROM top"""
 
 _ORACLE_FACETS = """
@@ -1352,6 +1392,9 @@ def _build_registry():
             "{IDS}", ", ".join(map(str, _DELETED_IDS))), [q_cte]))
     add("filtered_topk", eng["filtered_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_FILTERED_TOPK, [q_cte]))
+    add("fuzzy_topk", eng["fuzzy_topk"],
+        _docs_sql("duck", _ORACLE_FUZZY_TOPK,
+                  [_terms_values_sql(["dat", "tabl", "query"])]))
     add("facet_counts", eng["facet_counts"],
         _docs_sql("duck", _ORACLE_FACETS, [q_cte]))
     add("hit_count", eng["hit_count"],

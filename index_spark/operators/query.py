@@ -1086,6 +1086,79 @@ def term_prefix_stats(index: DataFrame, prefix: str, limit: int = 20,
             .orderBy(F.asc("term")).limit(limit))
 
 
+def fuzzy_expand(index: DataFrame, qterms: list[str], max_dist: int = 1,
+                 max_expansions: int = 8, zone: str | None = None
+                 ) -> dict[str, list[str]]:
+    """Expand query terms to dictionary terms within Levenshtein
+    distance ``max_dist``, at most ``max_expansions`` per query term
+    (highest global df first, term-ascending tiebreak — the pinned
+    deterministic order).
+
+    Plan: the term catalog is filtered BEFORE its df aggregate by the
+    exact length-band necessary condition (|len(t)-len(q)| <= dist) and
+    the JVM ``levenshtein`` predicate, so only the edit-distance
+    neighborhood — a bounded set per query term — ever shuffles; the
+    query-term relation is broadcast into a nested-loop join (it is
+    |query| rows). The per-query-term rank is a window over that bounded
+    candidate set, and only qterms x max_expansions rows reach the
+    driver."""
+    from pyspark.sql import Window
+
+    from index_spark.operators.build import DOC_MARKER
+
+    if not qterms:
+        return {}
+    spark = index.sparkSession
+    index = pin_zone(index, zone)
+    lens = [len(t) for t in qterms]
+    band = F.length("term").between(min(lens) - max_dist,
+                                    max(lens) + max_dist)
+    near_any = None
+    for t in qterms:
+        c = F.levenshtein(F.col("term"), F.lit(t)) <= max_dist
+        near_any = c if near_any is None else (near_any | c)
+    cand = (index.filter((F.col("term") != DOC_MARKER) & band & near_any)
+            .groupBy("term").agg(F.sum("df").alias("df_g")))
+    qdf = spark.createDataFrame([(t,) for t in qterms], "qterm string")
+    pairs = cand.join(
+        F.broadcast(qdf),
+        F.levenshtein(F.col("term"), F.col("qterm")) <= max_dist)
+    w = Window.partitionBy("qterm").orderBy(F.desc("df_g"), F.asc("term"))
+    rows = (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_expansions)
+            .select("qterm", "term").collect())
+    out: dict[str, list[str]] = {t: [] for t in qterms}
+    for r in rows:
+        out[r["qterm"]].append(r["term"])
+    return out
+
+
+def search_fuzzy(index: DataFrame, docs: DataFrame | None, stats: dict,
+                 query: str, k: int = 10, max_dist: int = 1,
+                 max_expansions: int = 8, stem: bool = True,
+                 camel: bool = True, shard_size: int = 4096,
+                 zone: str | None = None, **kw) -> DataFrame:
+    """Typo-tolerant top-k BM25: each query term expands to its
+    edit-distance neighborhood in the index dictionary
+    (:func:`fuzzy_expand`), then one OR search runs over the distinct
+    expanded terms — every variant scored with its OWN global idf (a
+    rare misspelling contributes high-idf hits next to the common
+    form), the standard disjunctive fuzzy semantic.
+
+    Two jobs total: the bounded dictionary-expansion lookup, then the
+    one-exchange scoring plan of :func:`search`. Expanded terms are
+    already dictionary tokens, so the inner search re-tokenizes with
+    ``stem=False`` (no double stemming)."""
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    exp = fuzzy_expand(index, qterms, max_dist=max_dist,
+                       max_expansions=max_expansions, zone=zone)
+    terms = sorted({t for v in exp.values() for t in v})
+    if not terms:
+        return index.sparkSession.createDataFrame([], TOPK_SCHEMA)
+    return search(index, docs, stats, " ".join(terms), k=k, stem=False,
+                  camel=False, shard_size=shard_size, zone=zone, **kw)
+
+
 def snippets(topk: DataFrame, corpus_with_ids: DataFrame, query: str,
              stem: bool = True, camel: bool = True, before: int = 20,
              width: int = 80) -> DataFrame:
