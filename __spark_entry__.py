@@ -680,6 +680,28 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                           stem=False, camel=False)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # true BM25F: zone tfs combine (weighted, length-normalized)
+        # BEFORE one saturation; doc-level idf over any-zone df
+        from index_spark.operators.build import build_zoned_index
+        from index_spark.operators.query import bm25f_search
+
+        corpus = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.lit("corpus").alias("repo"),
+                    F.format_string("doc%08d", F.col("doc_id")).alias("path"),
+                    F.col("text").alias("content"),
+                    F.col("source").alias("src"))
+        )
+        _, index, stats = build_zoned_index(
+            corpus, [("body", "content"), ("src", "src")],
+            stem=False, camel=False, shard_size=256)
+        index = index.persist()
+        top = bm25f_search(index, stats, "data table src3",
+                           {"body": 1.0, "src": 2.0}, k=10,
+                           stem=False, camel=False)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.similarity import (
             assign_buckets, ivf_topk, train_centroids)
@@ -774,6 +796,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "phrase_topk": phrase_topk,
         "proximity_topk": proximity_topk,
         "zone_topk": zone_topk,
+        "bm25f_topk": bm25f_topk,
         "index_shard_stats": index_shard_stats,
         "ivf_topk": ivf_topk_q,
         "top_posting_lists": top_posting_lists,
@@ -1080,6 +1103,51 @@ scores AS (
   JOIN zstats ON ztf.zone = zstats.zone
   JOIN zw ON ztf.zone = zw.zone
   GROUP BY ztf.doc_id
+), top AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
+
+# BM25F: wtf = sum_z w_z * tf_z / ((1-b) + b*dl_z/avgdl_z); score =
+# sum_t idf_doc(t) * wtf/(k1+wtf) with doc-level (any-zone) df and
+# N = |docs in any zone|
+_ORACLE_BM25F_TOPK_DUCK = """
+WITH body_tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+), src_tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(source), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+), ztok AS (
+  SELECT 'body' AS zone, doc_id, term FROM body_tok
+  UNION ALL SELECT 'src', doc_id, term FROM src_tok
+), ztf AS (
+  SELECT zone, doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM ztok GROUP BY zone, doc_id, term
+), zdl AS (
+  SELECT zone, doc_id, CAST(count(*) AS BIGINT) AS dlen
+  FROM ztok GROUP BY zone, doc_id
+), zstats AS (
+  SELECT zone, avg(dlen) AS avgdl FROM zdl GROUP BY zone
+), nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM zdl),
+ddf AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM ztok GROUP BY term
+), q(term) AS (SELECT * FROM (VALUES ('data'), ('table'), ('src3')) AS v(term)),
+zw(zone, wt) AS (SELECT * FROM (VALUES ('body', CAST(1.0 AS DOUBLE)), ('src', CAST(2.0 AS DOUBLE))) AS v(zone, wt)),
+wtf AS (
+  SELECT ztf.doc_id, ztf.term,
+         sum( zw.wt * ztf.tf / ((1.0 - 0.75) + 0.75 * zdl.dlen / zstats.avgdl) ) AS wtf
+  FROM ztf
+  JOIN q ON ztf.term = q.term
+  JOIN zdl ON ztf.zone = zdl.zone AND ztf.doc_id = zdl.doc_id
+  JOIN zstats ON ztf.zone = zstats.zone
+  JOIN zw ON ztf.zone = zw.zone
+  GROUP BY ztf.doc_id, ztf.term
+), scores AS (
+  SELECT wtf.doc_id,
+         sum( ln((nn.n - ddf.df + 0.5) / (ddf.df + 0.5) + 1.0)
+              * wtf.wtf / (1.2 + wtf.wtf) ) AS score
+  FROM wtf JOIN ddf ON wtf.term = ddf.term CROSS JOIN nn
+  GROUP BY wtf.doc_id
 ), top AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10)
 SELECT doc_id, round(score, 4) AS score FROM top"""
 
@@ -1413,6 +1481,7 @@ def _build_registry():
     add("phrase_topk", eng["phrase_topk"], _ORACLE_PHRASE_TOPK_DUCK)
     add("proximity_topk", eng["proximity_topk"], _ORACLE_PROXIMITY_TOPK_DUCK)
     add("zone_topk", eng["zone_topk"], _ORACLE_ZONE_TOPK_DUCK)
+    add("bm25f_topk", eng["bm25f_topk"], _ORACLE_BM25F_TOPK_DUCK)
     add("index_shard_stats", eng["index_shard_stats"],
         _docs_sql("duck", _ORACLE_SHARD_STATS))
     add("ivf_topk", eng["ivf_topk"], _ORACLE_IVF_TOPK_DUCK)

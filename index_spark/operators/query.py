@@ -949,6 +949,109 @@ def zone_search(index: DataFrame, zone_stats: dict, query: str,
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+_UNION_DF_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType(), False),
+    T.StructField("dfd", T.LongType(), False),
+])
+
+
+def bm25f_search(index: DataFrame, zone_stats: dict, query: str,
+                 zone_weights: dict[str, float], k: int = 10,
+                 stem: bool = True, camel: bool = True,
+                 k1: float = K1, b: float = B) -> DataFrame:
+    """Top-k BM25F (Robertson & Zaragoza 2004, simple weighted variant)
+    over a zoned index — the principled multi-field scorer next to
+    :func:`zone_search`'s per-zone-BM25 weighted SUM.
+
+    Per term t and doc d, zone tfs combine BEFORE saturation:
+
+        wtf(t,d) = sum_z  w_z * tf_z / ((1-b) + b * dl_z/avgdl_z)
+        score(d) = sum_t  idf_doc(t) * wtf / (k1 + wtf)
+
+    with DOC-level idf: df_doc(t) = |docs containing t in ANY zone| and
+    N = |docs present in any zone| (so a title-only hit and a body-only
+    hit share one df). That early combination is what distinguishes
+    BM25F from summing independent per-zone BM25s: a term spread across
+    fields saturates ONCE, weighted, instead of earning each zone's full
+    k1 ramp.
+
+    Two jobs, mirroring one-shot ``search``'s stats-then-score shape:
+      1. doc-level df: per shard, union each term's doc ids across its
+         zone rows (doc ranges are shard-disjoint, so per-shard union
+         counts SUM to the global df_doc); the '%' doc-table rows union
+         the same way into N. Only (term, count) rows leave the tasks.
+      2. scoring: one shard exchange; the kernel accumulates wtf per
+         (term, doc) across zone rows, then saturates once per term in
+         ascending-term order (the pinned float sum order), local top-k,
+         TakeOrderedAndProject global merge.
+    """
+    from index_spark.operators.build import DOC_MARKER
+
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    zones = sorted(z for z in zone_weights if z in zone_stats)
+    if not qterms or not zones:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+
+    zsel = index.filter(F.col("zone").isin(zones))
+    hits = zsel.filter(F.col("term").isin(qterms))
+    pool = zsel.filter(F.col("term").isin(qterms + [DOC_MARKER])) \
+               .select("shard", "term", "doc_blob")
+
+    def union_df(pdf: pd.DataFrame) -> pd.DataFrame:
+        terms, counts = [], []
+        for term, grp in pdf.groupby("term", sort=False):
+            docs = [np.cumsum(vb.decode(blob).astype(np.int64))
+                    for blob in grp["doc_blob"]]
+            terms.append(term)
+            counts.append(np.unique(np.concatenate(docs)).size)
+        return pd.DataFrame({"term": terms,
+                             "dfd": np.asarray(counts, np.int64)})
+
+    agg = (pool.groupBy("shard").applyInPandas(union_df, _UNION_DF_SCHEMA)
+           .groupBy("term").agg(F.sum("dfd").alias("dfd")).collect())
+    dfd = {r["term"]: int(r["dfd"]) for r in agg}
+    n_docs = dfd.pop(DOC_MARKER, 0)
+    if not dfd or n_docs == 0:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    idf_map = {t: math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               for t, df in dfd.items()}
+    zw = {z: float(zone_weights[z]) for z in zones}
+    zavg = {z: float(zone_stats[z]["avgdl"]) for z in zones}
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+        lo, hi = None, None
+        for row in pdf.itertuples(index=False):
+            docs = np.cumsum(vb.decode(row.doc_blob).astype(np.int64))
+            tfs = vb.decode(row.tf_blob).astype(np.float64)
+            dls = vb.decode(row.dl_blob).astype(np.float64)
+            az = zavg[row.zone]
+            contrib = zw[row.zone] * tfs / ((1.0 - b) + b * dls / az)
+            by_term.setdefault(row.term, []).append((docs, contrib))
+            lo = int(docs[0]) if lo is None else min(lo, int(docs[0]))
+            hi = int(docs[-1]) if hi is None else max(hi, int(docs[-1]))
+        if lo is None:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        acc = np.zeros(hi - lo + 1, dtype=np.float64)
+        for term in sorted(by_term):  # pinned ascending-term sum order
+            idf = idf_map.get(term)
+            if idf is None:
+                continue
+            wtf = np.zeros(hi - lo + 1, dtype=np.float64)
+            for docs, contrib in by_term[term]:
+                wtf[docs - lo] += contrib
+            nz = wtf > 0.0
+            acc[nz] += idf * wtf[nz] / (k1 + wtf[nz])
+        nzi = np.flatnonzero(acc)
+        if nzi.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        return _topk_frame(nzi + lo, acc[nzi], k)
+
+    local = hits.groupBy("shard").applyInPandas(score, schema=TOPK_SCHEMA)
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def parse_query(q: str, stem: bool = True, camel: bool = True
                 ) -> tuple[list[str], list[str], list[str],
                            list[list[str]], list[list[str]]]:

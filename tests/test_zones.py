@@ -172,3 +172,70 @@ def test_zone_validation_raises_on_absent_zone(zoned):
     with pytest.raises(ValueError, match="zone 'nope'"):
         search(index, None, {"n_docs": 5, "avgdl": 4.0}, "data",
                stem=False, zone="nope")
+
+
+def _naive_bm25f(query, weights, k1=1.2, b=0.75):
+    """Textbook BM25F (simple variant): zone tfs combine via weighted
+    length-normalized sum BEFORE one saturation; doc-level idf."""
+    zones = {"body": [tokenize(b_, stem=False) for _, b_ in CORPUS],
+             "zpath": [tokenize(z, stem=False) for z, _ in CORPUS]}
+    qterms = sorted(set(tokenize(query, stem=False)))
+    n = len(CORPUS)
+    avgdl = {z: sum(len(d) for d in docs) / n for z, docs in zones.items()}
+    scores = {}
+    for t in qterms:
+        dfd = sum(1 for i in range(n)
+                  if any(t in zones[z][i] for z in zones))
+        if dfd == 0:
+            continue
+        idf = math.log((n - dfd + 0.5) / (dfd + 0.5) + 1.0)
+        for i in range(n):
+            wtf = 0.0
+            for z in zones:
+                tf = zones[z][i].count(t)
+                if tf:
+                    dl = len(zones[z][i])
+                    wtf += weights[z] * tf / (
+                        (1 - b) + b * dl / avgdl[z])
+            if wtf > 0:
+                scores[i] = scores.get(i, 0.0) + idf * wtf / (k1 + wtf)
+    return sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+
+
+def test_bm25f_matches_naive(zoned):
+    from index_spark.operators.query import bm25f_search
+
+    index, stats = zoned
+    for query, weights in [
+        ("data table", {"body": 1.0, "zpath": 3.0}),
+        ("data", {"body": 1.0, "zpath": 10.0}),
+        ("window util", {"body": 2.0, "zpath": 0.5}),
+        ("nothing data window", {"body": 1.0, "zpath": 1.0}),
+        ("zzzabsent", {"body": 1.0, "zpath": 1.0}),
+    ]:
+        got = [(r["doc_id"], r["score"])
+               for r in bm25f_search(index, stats, query, weights,
+                                     stem=False).collect()]
+        exp = _naive_bm25f(query, weights)[:10]
+        assert [g[0] for g in got] == [e[0] for e in exp], (query, got, exp)
+        for (_, gs), (_, es) in zip(got, exp):
+            assert abs(gs - es) < 1e-9, (query, gs, es)
+
+
+def test_bm25f_differs_from_zone_sum(zoned):
+    """The early weighted-tf combination saturates once per term —
+    distinct from zone_search's sum of independent per-zone BM25s."""
+    from index_spark.operators.query import bm25f_search, zone_search
+
+    index, stats = zoned
+    w = {"body": 1.0, "zpath": 1.0}
+    f = {r["doc_id"]: r["score"]
+         for r in bm25f_search(index, stats, "data", w,
+                               stem=False).collect()}
+    s = {r["doc_id"]: r["score"]
+         for r in zone_search(index, stats, "data", w,
+                              stem=False).collect()}
+    # doc 4 ('data data' path, body without 'data') must appear in both,
+    # but at least one doc's scores must differ between the two models
+    assert 4 in f and 4 in s
+    assert any(abs(f[d] - s[d]) > 1e-12 for d in f if d in s)
