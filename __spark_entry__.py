@@ -553,6 +553,19 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                      restrict=allow)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # more-like-this: tf*idf top-terms of doc 42 -> OR search,
+        # source doc tombstoned out
+        from index_spark.operators.build import assign_doc_ids
+        from index_spark.operators.query import more_like_this
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        corpus = assign_doc_ids(_parity_corpus(spark, sf_dir))
+        top = more_like_this(index, docs, stats, corpus, 42, k=10,
+                             top_terms=10, stem=False, camel=False,
+                             shard_size=256)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     def fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # typo-tolerant retrieval: dictionary edit-distance expansion
         # (bounded neighborhood, df-desc cap) then one OR search; each
@@ -784,6 +797,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "filtered_topk": filtered_topk,
         "facet_counts": facet_counts_q,
         "fuzzy_topk": fuzzy_topk,
+        "mlt_topk": mlt_topk,
         "hit_count": hit_count_q,
         "related_terms": related_terms_q,
         "dsl_topk": dsl_topk,
@@ -845,6 +859,31 @@ _ORACLE_FILTERED_TOPK = """
 , top AS (
   SELECT doc_id, score FROM scores
   WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src3')
+  ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
+
+# more-like-this restated: source doc 42's terms ranked by
+# tf * ln((N-df+0.5)/(df+0.5)+1), top-10 (tfidf desc, term asc), BM25
+# over those terms, source doc excluded
+_ORACLE_MLT_TOPK = """
+, src AS (SELECT term, tf FROM tf WHERE doc_id = 42),
+tsc AS (
+  SELECT src.term,
+         src.tf * ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0) AS tfidf
+  FROM src JOIN dft ON src.term = dft.term CROSS JOIN stats
+), q2 AS (SELECT term FROM tsc ORDER BY tfidf DESC, term ASC LIMIT 10),
+mscores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q2 ON tf.term = q2.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+), top AS (
+  SELECT doc_id, score FROM mscores WHERE doc_id <> 42
   ORDER BY score DESC, doc_id ASC LIMIT 10)
 SELECT doc_id, round(score, 4) AS score FROM top"""
 
@@ -1460,6 +1499,8 @@ def _build_registry():
             "{IDS}", ", ".join(map(str, _DELETED_IDS))), [q_cte]))
     add("filtered_topk", eng["filtered_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_FILTERED_TOPK, [q_cte]))
+    add("mlt_topk", eng["mlt_topk"],
+        _docs_sql("duck", _ORACLE_MLT_TOPK))
     add("fuzzy_topk", eng["fuzzy_topk"],
         _docs_sql("duck", _ORACLE_FUZZY_TOPK,
                   [_terms_values_sql(["dat", "tabl", "query"])]))

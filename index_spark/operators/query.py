@@ -844,21 +844,27 @@ class QueryEngine:
                             else self._tombstones.unionByName(df).distinct())
 
     def search(self, query: str, k: int = 10, mode: str = "or",
-               exclude: str | None = None) -> list[tuple[int, float]]:
-        df = self.topk_df(query, k, mode=mode, exclude=exclude)
+               exclude: str | None = None,
+               restrict: DataFrame | None = None
+               ) -> list[tuple[int, float]]:
+        df = self.topk_df(query, k, mode=mode, exclude=exclude,
+                          restrict=restrict)
         if df is None:
             return []
         return [(int(r["doc_id"]), float(r["score"])) for r in df.collect()]
 
     def topk_df(self, query: str, k: int = 10, mode: str = "or",
-                exclude: str | None = None) -> DataFrame | None:
+                exclude: str | None = None,
+                restrict: DataFrame | None = None) -> DataFrame | None:
         """The query's top-k plan as a DataFrame (None for empty/unknown
         queries) — collect() yields exactly k rows via the distributed
         TakeOrderedAndProject merge. ``mode="and"`` scores only docs
         containing every query term (see :func:`search`); a term with
         zero global df short-circuits to None driver-side — no job runs.
         ``exclude`` is the boolean NOT clause; registered ``delete()``
-        tombstones apply to every query.
+        tombstones apply to every query. ``restrict`` is the (doc_id)
+        allow-set of :func:`search` — metadata-filtered serving, same
+        shard-cogroup distribution.
         """
         if mode not in ("or", "and"):
             raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
@@ -896,7 +902,8 @@ class QueryEngine:
 
         local = _modal_local_topk(hits, sorted(idf), xterms, mode, avgdl,
                                   k, pick, self._tombstones,
-                                  self.shard_size, merged_form=False)
+                                  self.shard_size, merged_form=False,
+                                  restrict=restrict)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -1294,6 +1301,53 @@ def snippets(topk: DataFrame, corpus_with_ids: DataFrame, query: str,
             .select("doc_id", "score", "pos",
                     F.expr(f"substring(content, start, {int(width)})")
                     .alias("snippet")))
+
+
+def more_like_this(index: DataFrame, docs: DataFrame | None, stats: dict,
+                   corpus_with_ids: DataFrame, doc_id: int, k: int = 10,
+                   top_terms: int = 10, stem: bool = True,
+                   camel: bool = True, shard_size: int = 4096,
+                   exclude_self: bool = True, **kw) -> DataFrame:
+    """Find documents similar to a given document (classic
+    more-like-this): the source doc's distinct terms rank by tf*idf,
+    the ``top_terms`` best (tfidf desc, term asc — pinned order) form
+    one OR query, and the source doc itself is tombstoned out of the
+    result (``exclude_self``).
+
+    Plan: one pushdown point-read of the source row (doc_id predicate
+    into the corpus scan), driver-side tokenize of that single document
+    (the forward-index step — bounded by ONE doc's length at any corpus
+    scale), one bounded term-pruned df aggregate (<= the doc's
+    vocabulary, small rows only), then the standard one-exchange scoring
+    plan of :func:`search`. idf uses the same global-stats formula as
+    scoring, so term selection and ranking agree."""
+    spark = index.sparkSession
+    rows = (corpus_with_ids.filter(F.col("doc_id") == int(doc_id))
+            .select("content").collect())
+    if not rows:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    from collections import Counter
+
+    tf = Counter(tokenize(rows[0]["content"], stem=stem, camel=camel))
+    if not tf:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    n_docs = stats["n_docs"]
+    dfs = (index.filter(F.col("term").isin(sorted(tf)))
+           .groupBy("term").agg(F.sum("df").alias("df_g")).collect())
+    scored = []
+    for r in dfs:
+        t, df_g = r["term"], int(r["df_g"])
+        idf = math.log((n_docs - df_g + 0.5) / (df_g + 0.5) + 1.0)
+        scored.append((-tf[t] * idf, t))
+    scored.sort()
+    terms = sorted(t for _, t in scored[:top_terms])
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    tomb = (spark.createDataFrame([(int(doc_id),)], "doc_id long")
+            if exclude_self else None)
+    return search(index, docs, stats, " ".join(terms), k=k, stem=False,
+                  camel=False, shard_size=shard_size, tombstones=tomb,
+                  **kw)
 
 
 MULTI_TOPK_SCHEMA = T.StructType([

@@ -127,3 +127,19 @@ def test_restrict_from_metadata_predicate(spark, built):
     got = search(index, docs, stats, "import return", k=10,
                  shard_size=SHARD_SIZE, restrict=sub).collect()
     assert [r["doc_id"] for r in got] == [d for d, _ in expected]
+
+
+def test_restrict_query_engine_parity(spark, built):
+    """The serving engine honors restrict identically to one-shot
+    search()."""
+    from index_spark.operators.query import QueryEngine
+
+    docs, index, stats, oracle = built
+    eng = QueryEngine(index, stats, shard_size=SHARD_SIZE)
+    evens = {d for d in range(oracle.n_docs) if d % 2 == 0}
+    for q in ["import return", "def class if"]:
+        expected = oracle_restrict(oracle, q, evens)
+        got = eng.search(q, k=10, restrict=_ids_df(spark, evens))
+        assert [d for d, _ in got] == [d for d, _ in expected], q
+        for (gd, gs), (ed, es) in zip(got, expected):
+            assert gs == pytest.approx(es, abs=1e-9), (q, gd)
