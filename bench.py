@@ -147,6 +147,39 @@ def main() -> None:
                  "tpch_q1", "tpch_q3", "events_hourly"]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
+    # 8b. session-3 query surfaces over the flagship build — reported
+    # as separate keys, excluded from the round-over-round headline
+    # total (same policy as build_200k)
+    def _extras():
+        from index_spark.operators.analytics import facet_counts
+        from index_spark.operators.build import assign_doc_ids
+        from index_spark.operators.query import (
+            more_like_this,
+            search_fuzzy,
+        )
+
+        idx, dstats, ddocs = state["index"], state["stats"], state["docs"]
+        meta = docs_df.select(F.col("doc_id").cast("long"), "source")
+        t0 = time.time()
+        facet_counts(idx, meta, "data table query", by="source").count()
+        timings["facet_query"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        search_fuzzy(idx, ddocs, dstats, "dat tabl qury", k=10,
+                     shard_size=shard_size).collect()
+        timings["fuzzy_query"] = round(time.time() - t0, 3)
+        allow = meta.filter(F.col("source") == "src3").select("doc_id")
+        t0 = time.time()
+        search(idx, ddocs, dstats, "data table query", k=10,
+               shard_size=shard_size, restrict=allow).collect()
+        timings["restrict_query"] = round(time.time() - t0, 3)
+        cwi = assign_doc_ids(corpus)
+        t0 = time.time()
+        more_like_this(idx, ddocs, dstats, cwi, 42, k=10,
+                       shard_size=shard_size).collect()
+        timings["mlt_query"] = round(time.time() - t0, 3)
+
+    _extras()
+
     # 9. IVF pruned recall@10 at nprobe=2 (pinned config: 4 buckets,
     # build-side n_assign=2 — see tests/test_similarity.py for why the
     # near-uniform synthetic embeddings need the multi-probe build)
@@ -203,7 +236,9 @@ def main() -> None:
                                    "phrase_query", "zone_query",
                                    "query_oneshot", "queryset_batch",
                                    "ivf_recall_nprobe2", "build_200k",
-                                   "build_200k_docs_per_sec")), 3)
+                                   "build_200k_docs_per_sec",
+                                   "facet_query", "fuzzy_query",
+                                   "restrict_query", "mlt_query")), 3)
     timings["build_docs_per_sec"] = round(n_docs / timings["build_index"], 1)
     print(json.dumps({
         "metric": "index_spark headline suite wall time",
