@@ -538,6 +538,42 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                          k=10, stem=False, camel=False, shard_size=256)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Iceberg-style MERGE lifecycle, end-to-end: chunked build ->
+        # upsert_docs (2 replacements + 1 new doc; old ids -> tombstone
+        # log, batch -> fresh chunk at the next shard-aligned doc base)
+        # -> search over the union index with the log applied. Stats
+        # follow the delete-then-compact contract (physical corpus incl.
+        # replaced versions), which the oracle restates.
+        import tempfile
+
+        from index_spark.operators.build import stats_from_index
+        from index_spark.operators.maintenance import (
+            load_tombstones,
+            upsert_docs,
+        )
+        from index_spark.operators.query import search
+        from index_spark.plans.checkpoint import build_chunked, load_index
+
+        out = tempfile.mkdtemp(prefix="upsert_entry_")
+        corpus = _parity_corpus(spark, sf_dir)
+        build_chunked(spark, corpus, out, docs_per_chunk=256,
+                      shard_size=256, stem=False, camel=False)
+        batch = spark.createDataFrame(
+            [("corpus", "doc%08d" % 0, "data table upsert replacement"),
+             ("corpus", "doc%08d" % 10, "fresh table data data content"),
+             ("zrepo", "new/doc.py", "data query table brand new")],
+            ["repo", "path", "content"])
+        upsert_docs(spark, out, batch, shard_size=256, stem=False,
+                    camel=False)
+        index = load_index(spark, out)
+        stats = stats_from_index(index)
+        tomb = load_tombstones(spark, out)
+        top = search(index, None, stats, "data table query", k=10,
+                     stem=False, camel=False, shard_size=256,
+                     tombstones=tomb)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     def filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # metadata-filtered retrieval: the allow-set (docs with
         # source='src3') cogroups BY SHARD next to the hit rows — never
@@ -795,6 +831,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "not_topk": not_topk,
         "tombstone_topk": tombstone_topk,
         "filtered_topk": filtered_topk,
+        "upsert_topk": upsert_topk,
         "facet_counts": facet_counts_q,
         "fuzzy_topk": fuzzy_topk,
         "mlt_topk": mlt_topk,
@@ -854,6 +891,43 @@ SELECT doc_id, round(score, 4) AS score FROM top"""
 # deletes: logical tombstones (original stats) vs physical vacuum
 # (stats recomputed over survivors)
 _DELETED_IDS = [3, 7, 21, 42, 77]
+
+# upsert lifecycle restated: physical corpus = documents UNION the 3
+# upserted rows at the next shard-aligned doc base (ceil(500/256)*256 =
+# 512, batch ranked by (repo, path)); tombstoned old ids (0, 10) drop
+# from results only — stats keep the full physical corpus
+# (delete-then-compact contract)
+_ORACLE_UPSERT_TOPK = """
+WITH newdocs(doc_id, text) AS (
+  SELECT * FROM (VALUES
+    (512, 'data table upsert replacement'),
+    (513, 'fresh table data data content'),
+    (514, 'data query table brand new')) v(doc_id, text)
+), alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM newdocs
+), tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM alldocs
+), tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen FROM tok GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dlen) AS avgdl FROM dl),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+q(term) AS (SELECT * FROM (VALUES ('data'), ('table'), ('query')) AS v(term)),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+), top AS (
+  SELECT doc_id, score FROM scores WHERE doc_id NOT IN (0, 10)
+  ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
 
 _ORACLE_FILTERED_TOPK = """
 , top AS (
@@ -1497,6 +1571,7 @@ def _build_registry():
     add("tombstone_topk", eng["tombstone_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_TOMB_TOPK.replace(
             "{IDS}", ", ".join(map(str, _DELETED_IDS))), [q_cte]))
+    add("upsert_topk", eng["upsert_topk"], _ORACLE_UPSERT_TOPK)
     add("filtered_topk", eng["filtered_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_FILTERED_TOPK, [q_cte]))
     add("mlt_topk", eng["mlt_topk"],

@@ -158,3 +158,98 @@ def vacuum_index(index: DataFrame, tombstones: DataFrame,
     cleaned = cand.groupby("shard").cogroup(tomb.groupby("shard")) \
         .applyInPandas(fn, schema=index.schema)
     return cleaned.unionByName(untouched)
+
+
+def _tombstone_dir(out_dir: str) -> str:
+    import os
+
+    return os.path.join(out_dir, "tombstones")
+
+
+def load_tombstones(spark, out_dir: str) -> DataFrame | None:
+    """The chunk store's accumulated tombstone log as a (doc_id)
+    DataFrame (distinct), or None if no deletes were ever recorded —
+    pass straight to ``search(tombstones=...)`` /
+    ``QueryEngine(tombstones=...)`` / ``vacuum_index``."""
+    import os
+
+    d = _tombstone_dir(out_dir)
+    if not os.path.isdir(d) or not any(
+            f.endswith(".parquet") for f in os.listdir(d)):
+        return None
+    # each delete_docs call writes one immutable parquet DIRECTORY;
+    # glob them so the union spans the whole log
+    return (spark.read.parquet(os.path.join(d, "*.parquet"))
+            .select("doc_id").distinct())
+
+
+def delete_docs(spark, out_dir: str, doc_ids: DataFrame,
+                tag: str = "delete") -> int:
+    """Append a (doc_id) set to the chunk store's tombstone log (one
+    immutable parquet per call — the delete side of the Iceberg-style
+    lifecycle). Returns the number of ids written. Idempotent at read
+    time: ``load_tombstones`` de-duplicates across log files."""
+    import os
+    import time as _t
+
+    d = _tombstone_dir(out_dir)
+    os.makedirs(d, exist_ok=True)
+    out = doc_ids.select(F.col("doc_id").cast("long"))
+    n = out.count()
+    if n:
+        out.write.mode("overwrite").parquet(
+            os.path.join(d, f"{tag}_{int(_t.time() * 1000)}.parquet"))
+    return n
+
+
+def upsert_docs(spark, out_dir: str, new_docs: DataFrame,
+                shard_size: int = DEFAULT_SHARD_SIZE, stem: bool = True,
+                positions: bool = False, camel: bool = True) -> dict:
+    """Iceberg-style MERGE into a chunk store (build_chunked /
+    ingest_batch output): rows whose (repo, path) key already exists
+    REPLACE the old version — its doc_ids are appended to the tombstone
+    log — and every row (replacement or brand-new) is indexed as one
+    fresh immutable chunk with new doc ids at the tail of the id space.
+
+    ``new_docs``: (repo, path, content); one row per key (keys are the
+    unit of replacement — de-duplicate upstream).
+
+    Scale shape: the old-id lookup is an equi-join of the store's docs
+    dimension against the (bounded) upsert batch on the key — broadcast
+    the batch side; the tombstone append writes only the matched ids;
+    the chunk build is the streaming ingest plan (ONE wide exchange).
+    Queries see the post-upsert truth by passing
+    ``load_tombstones(out_dir)``; physical reclamation remains the
+    vacuum/compact path (delete-then-compact contract).
+
+    Returns the new chunk's manifest plus ``n_replaced``.
+
+    Repeated upserts of one key compose: each round tombstones the
+    then-live id (earlier ids are already in the log; the distinct at
+    read time keeps the log idempotent).
+    """
+    from index_spark.plans.checkpoint import load_docs
+    from index_spark.streaming.ingest import ingest_batch
+
+    batch = new_docs.select("repo", "path", "content")
+    keys = batch.select("repo", "path")
+    # The tombstone append MUST materialize BEFORE the new chunk lands:
+    # load_docs globs chunks/*/docs at action time, so a lazy old-id
+    # plan evaluated after ingest would match the replacement rows'
+    # own keys and tombstone the fresh docs.
+    import glob as _glob
+    import os as _os
+
+    has_docs = bool(_glob.glob(_os.path.join(out_dir, "chunks", "*",
+                                             "docs")))
+    if has_docs:
+        old = load_docs(spark, out_dir).join(
+            F.broadcast(keys), ["repo", "path"]).select("doc_id")
+        n_replaced = delete_docs(spark, out_dir, old, tag="upsert")
+    else:  # empty store: nothing to replace
+        n_replaced = 0
+    manifest = ingest_batch(spark, batch, out_dir,
+                            shard_size=shard_size, stem=stem,
+                            positions=positions, camel=camel)
+    manifest["n_replaced"] = n_replaced
+    return manifest

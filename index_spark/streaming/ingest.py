@@ -44,7 +44,7 @@ def _next_chunk_and_doc(out_dir: str) -> tuple[int, int]:
 
 def ingest_batch(spark: SparkSession, batch_df: DataFrame, out_dir: str,
                  shard_size: int = DEFAULT_SHARD_SIZE, stem: bool = True,
-                 positions: bool = False) -> dict:
+                 positions: bool = False, camel: bool = True) -> dict:
     """Index one micro-batch as a new immutable chunk. Used directly by
     tests and as the foreachBatch body.
 
@@ -73,7 +73,7 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, out_dir: str,
     offsets = {b: off + doc_base for b, off in offsets.items()}
 
     index = _build_bucketed(parted, offsets, counts, stem, shard_size,
-                            positions=positions)
+                            camel=camel, positions=positions)
     cdir = os.path.join(out_dir, "chunks", f"{chunk_id:05d}")
     index.write.mode("overwrite").parquet(os.path.join(cdir, "index"))
     idx_back = spark.read.parquet(os.path.join(cdir, "index"))
@@ -95,6 +95,7 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, out_dir: str,
         "index_rows": int(idx_stats["rows"]),
         "blob_bytes": int(idx_stats["blob_bytes"] or 0),
         "shard_size": shard_size, "stem": stem, "positions": positions,
+        "camel": camel,
         "stages": {"streamed": True},
         "wall_s": round(time.time() - t0, 3),
     }
