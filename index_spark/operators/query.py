@@ -307,6 +307,47 @@ def _probe(meta: dict, qdocs: np.ndarray, lc: "_ListCache"):
     return hit, _contrib(meta, tfs[sel], dls[sel])
 
 
+# a probe costs ~1 block decode (amortized to ~0 by the per-list cache
+# once probes cluster); below this candidate:posting ratio the
+# probe-driven restricted kernel beats decoding every list in full
+RESTRICT_PROBE_RATIO = 4
+
+
+def _score_shard_restricted(pdf: pd.DataFrame, avgdl: float, k: int,
+                            allowed: np.ndarray,
+                            excl: list[dict] | None = None,
+                            banned: np.ndarray | None = None
+                            ) -> pd.DataFrame:
+    """Candidate-driven scorer for restricted search: the (sorted)
+    allow-set IS the candidate list; every query list is block-probed at
+    exactly those docs (:func:`_probe` — pruned blocks never decode), so
+    per-shard cost is O(|allowed| · terms) probes instead of the full
+    posting mass. Score-exact vs the exhaustive kernel: contributions
+    add in the same ascending-(term, zone) list order, so floats are
+    bit-identical; docs matching NO query term drop (OR semantics)."""
+    if allowed.size == 0 or not len(pdf):
+        return pd.DataFrame({"doc_id": [], "score": []})
+    has_zone = "zone" in pdf.columns
+    order = sorted(
+        range(len(pdf)),
+        key=lambda i: (pdf["term"].iat[i],
+                       pdf["zone"].iat[i] if has_zone else ""))
+    metas = _lists_meta(pdf.iloc[order], avgdl)
+    scores = np.zeros(allowed.size, dtype=np.float64)
+    for mt in metas:
+        hit, c = _probe(mt, allowed, _ListCache(mt))
+        scores[hit] += c
+    keep = scores > 0.0
+    cand, sc = allowed[keep], scores[keep]
+    if cand.size == 0:
+        return pd.DataFrame({"doc_id": [], "score": []})
+    if excl or (banned is not None and banned.size):
+        cand, sc = _apply_exclusions(cand, sc, excl, banned)
+        if cand.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+    return _topk_frame(cand, sc, k)
+
+
 def _score_shard_wand(pdf: pd.DataFrame, avgdl: float, k: int) -> pd.DataFrame:
     """Vectorized MaxScore (Turtle & Flood) with block-targeted decode —
     the round-3 rewrite of the per-pivot DAAT pointer loop, whose
@@ -703,12 +744,19 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
         if mode == "and":
             return _score_shard_conjunctive(spdf, avgdl, k, n_req, excl,
                                             banned, required, allowed)
-        if excl is not None or (banned is not None and banned.size) \
-                or allowed is not None:
-            # allow-set / exclusion present: the exhaustive kernel (a
-            # WAND θ over to-be-filtered docs could over-prune)
+        if allowed is not None:
+            # small allow-set vs big posting mass: probe-driven kernel
+            # (block-targeted, score-exact); else exhaustive + filter.
+            # Either way no WAND (a θ over to-be-filtered docs could
+            # over-prune).
+            total_df = int(spdf["df"].sum()) if len(spdf) else 0
+            if allowed.size * RESTRICT_PROBE_RATIO < total_df:
+                return _score_shard_restricted(spdf, avgdl, k, allowed,
+                                               excl, banned)
             return _score_shard_exhaustive(spdf, avgdl, k, excl, banned,
                                            allowed)
+        if excl is not None or (banned is not None and banned.size):
+            return _score_shard_exhaustive(spdf, avgdl, k, excl, banned)
         return pick(spdf)(spdf, avgdl, k)
 
     has_restrict = restrict is not None

@@ -143,3 +143,41 @@ def test_restrict_query_engine_parity(spark, built):
         assert [d for d, _ in got] == [d for d, _ in expected], q
         for (gd, gs), (ed, es) in zip(got, expected):
             assert gs == pytest.approx(es, abs=1e-9), (q, gd)
+
+
+def test_restrict_small_set_probe_path(spark, built):
+    """A small allow-set rides the probe-driven kernel through the auto
+    gate (size * RESTRICT_PROBE_RATIO < total postings) — results must
+    be rank- and score-identical to the oracle."""
+    docs, index, stats, oracle = built
+    small = {d for d in range(0, oracle.n_docs, 17)}
+    _check(index, docs, stats, oracle, spark, small)
+
+
+def test_restrict_kernels_bit_identical(spark, built):
+    """Probe-driven and exhaustive restricted scoring agree bit-for-bit
+    (same ascending-(term, zone) float sum order)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from index_spark.operators.query import (
+        _score_shard_exhaustive,
+        _score_shard_restricted,
+    )
+
+    docs, index, stats, oracle = built
+    qterms = ["import", "return", "def"]
+    hits = index.filter(F.col("term").isin(qterms))
+    dfs = hits.groupBy("term").agg(F.sum("df").alias("df_g"))
+    n = float(stats["n_docs"])
+    hits = hits.join(F.broadcast(dfs), "term").withColumn(
+        "idf", F.log((F.lit(n) - F.col("df_g") + 0.5)
+                     / (F.col("df_g") + 0.5) + 1.0))
+    pdf = hits.filter(F.col("shard") == 0).toPandas()
+    assert len(pdf)
+    allowed = np.arange(0, SHARD_SIZE, 5, dtype=np.int64)
+    a = _score_shard_restricted(pdf, stats["avgdl"], 1000, allowed)
+    b = _score_shard_exhaustive(pdf, stats["avgdl"], 1000,
+                                allowed=allowed)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert all(x == y for x, y in zip(a["score"], b["score"]))
