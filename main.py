@@ -53,15 +53,63 @@ def cmd_build(args) -> None:
 
 
 def cmd_query(args) -> None:
-    from index_spark.operators.query import search
+    from index_spark.operators.maintenance import load_tombstones
+    from index_spark.operators.query import search, search_fuzzy
     from index_spark.plans.checkpoint import load_index, load_stats
 
     spark = _spark(args)
     index = load_index(spark, args.index_dir)
     stats = load_stats(args.index_dir)
-    rows = search(index, None, stats, args.query, k=args.k,
-                  mode=args.mode, exclude=args.exclude).collect()
+    # the store's tombstone log (deletes/upserts) applies automatically
+    tomb = load_tombstones(spark, args.index_dir)
+    if args.fuzzy:
+        rows = search_fuzzy(index, None, stats, args.query, k=args.k,
+                            tombstones=tomb).collect()
+    else:
+        rows = search(index, None, stats, args.query, k=args.k,
+                      mode=args.mode, exclude=args.exclude,
+                      tombstones=tomb).collect()
     print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]))
+
+
+def cmd_upsert(args) -> None:
+    from index_spark.operators.maintenance import upsert_docs
+
+    spark = _spark(args)
+    batch = spark.read.parquet(args.batch)
+    m = upsert_docs(spark, args.index_dir, batch,
+                    shard_size=args.shard_size, stem=not args.no_stem,
+                    positions=args.positions)
+    print(json.dumps(m))
+
+
+def cmd_facets(args) -> None:
+    from index_spark.operators.analytics import facet_counts
+    from index_spark.plans.checkpoint import load_docs, load_index
+
+    spark = _spark(args)
+    index = load_index(spark, args.index_dir)
+    meta = load_docs(spark, args.index_dir)
+    out = facet_counts(index, meta, args.query, by=args.by,
+                       mode=args.mode, top=args.top).collect()
+    print(json.dumps([{args.by: r[args.by], "n_docs": r["n_docs"]}
+                      for r in out]))
+
+
+def cmd_related(args) -> None:
+    from index_spark.operators.analytics import (
+        postings_from_index,
+        related_terms,
+    )
+    from index_spark.plans.checkpoint import load_index, load_stats
+
+    spark = _spark(args)
+    index = load_index(spark, args.index_dir)
+    stats = load_stats(args.index_dir)
+    out = related_terms(postings_from_index(index), args.term,
+                        stats["n_docs"], top=args.top).collect()
+    print(json.dumps([{"term": r["term"], "cooc": r["cooc"],
+                       "df": r["df"], "pmi": r["pmi"]} for r in out]))
 
 
 def cmd_compact(args) -> None:
@@ -145,7 +193,34 @@ def main(argv=None) -> None:
                    help="disjunctive (default) or conjunctive matching")
     q.add_argument("--exclude", default=None,
                    help="boolean NOT: drop docs containing any of these terms")
+    q.add_argument("--fuzzy", action="store_true",
+                   help="edit-distance-1 dictionary expansion")
     q.set_defaults(fn=cmd_query)
+
+    up = sub.add_parser("upsert", help="Iceberg-style MERGE: replace "
+                        "existing (repo, path) keys, add new ones")
+    up.add_argument("--index-dir", required=True)
+    up.add_argument("--batch", required=True,
+                    help="parquet with (repo, path, content)")
+    up.add_argument("--shard-size", type=int, default=4096)
+    up.add_argument("--no-stem", action="store_true")
+    up.add_argument("--positions", action="store_true")
+    up.set_defaults(fn=cmd_upsert)
+
+    fc = sub.add_parser("facets", help="matching-doc counts per doc "
+                        "attribute")
+    fc.add_argument("--index-dir", required=True)
+    fc.add_argument("--query", required=True)
+    fc.add_argument("--by", default="repo")
+    fc.add_argument("--mode", default="or", choices=["or", "and"])
+    fc.add_argument("--top", type=int, default=20)
+    fc.set_defaults(fn=cmd_facets)
+
+    rl = sub.add_parser("related", help="PMI co-occurring terms")
+    rl.add_argument("--index-dir", required=True)
+    rl.add_argument("--term", required=True)
+    rl.add_argument("--top", type=int, default=20)
+    rl.set_defaults(fn=cmd_related)
 
     c = sub.add_parser("compact", help="merge committed chunks into the "
                                        "serving index (idempotent)")
