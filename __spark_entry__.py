@@ -538,6 +538,18 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                          k=10, stem=False, camel=False, shard_size=256)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def explain_topdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # scoring transparency: per-(doc, term) BM25 contribution rows
+        # for fixed docs, block-probed at exactly those docs
+        from index_spark.operators.query import explain_score
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        out = explain_score(index, stats, "data table query",
+                            [7, 42, 99], stem=False, camel=False)
+        return out.select("doc_id", "term", "tf", "doc_len", "df",
+                          F.round("idf", 6).alias("idf"),
+                          F.round("contribution", 6).alias("contribution"))
+
     def upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Iceberg-style MERGE lifecycle, end-to-end: chunked build ->
         # upsert_docs (2 replacements + 1 new doc; old ids -> tombstone
@@ -832,6 +844,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "tombstone_topk": tombstone_topk,
         "filtered_topk": filtered_topk,
         "upsert_topk": upsert_topk,
+        "explain_topdoc": explain_topdoc,
         "facet_counts": facet_counts_q,
         "fuzzy_topk": fuzzy_topk,
         "mlt_topk": mlt_topk,
@@ -891,6 +904,19 @@ SELECT doc_id, round(score, 4) AS score FROM top"""
 # deletes: logical tombstones (original stats) vs physical vacuum
 # (stats recomputed over survivors)
 _DELETED_IDS = [3, 7, 21, 42, 77]
+
+_ORACLE_EXPLAIN = """
+SELECT tf.doc_id, tf.term, tf.tf, dl.dlen AS doc_len, dft.df,
+       round(ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0), 6) AS idf,
+       round(ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)), 6) AS contribution
+FROM tf
+JOIN q ON tf.term = q.term
+JOIN dft ON tf.term = dft.term
+JOIN dl ON tf.doc_id = dl.doc_id
+CROSS JOIN stats
+WHERE tf.doc_id IN (7, 42, 99)
+ORDER BY tf.doc_id, tf.term"""
 
 # upsert lifecycle restated: physical corpus = documents UNION the 3
 # upserted rows at the next shard-aligned doc base (ceil(500/256)*256 =
@@ -1572,6 +1598,8 @@ def _build_registry():
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_TOMB_TOPK.replace(
             "{IDS}", ", ".join(map(str, _DELETED_IDS))), [q_cte]))
     add("upsert_topk", eng["upsert_topk"], _ORACLE_UPSERT_TOPK)
+    add("explain_topdoc", eng["explain_topdoc"],
+        _docs_sql("duck", _ORACLE_EXPLAIN, [q_cte]))
     add("filtered_topk", eng["filtered_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_FILTERED_TOPK, [q_cte]))
     add("mlt_topk", eng["mlt_topk"],

@@ -1351,6 +1351,80 @@ def snippets(topk: DataFrame, corpus_with_ids: DataFrame, query: str,
                     .alias("snippet")))
 
 
+EXPLAIN_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("term", T.StringType(), False),
+    T.StructField("tf", T.LongType(), False),
+    T.StructField("doc_len", T.LongType(), False),
+    T.StructField("df", T.LongType(), False),
+    T.StructField("idf", T.DoubleType(), False),
+    T.StructField("contribution", T.DoubleType(), False),
+])
+
+
+def explain_score(index: DataFrame, stats: dict, query: str,
+                  doc_ids: list[int], stem: bool = True,
+                  camel: bool = True, zone: str | None = None
+                  ) -> DataFrame:
+    """Per-term BM25 contribution breakdown for specific documents —
+    the scoring-transparency/debug surface (Lucene ``explain`` analog).
+
+    Returns one row per (doc, query term) the doc actually contains:
+    (doc_id, term, tf, doc_len, df, idf, contribution) with
+    contribution = idf * tf / (tf + k1*(1-b+b*doc_len/avgdl)); summing
+    a doc's contributions reproduces its ``search`` score exactly (same
+    formula, same stats).
+
+    Plan: the usual term-pruned scan + global-df broadcast join-back,
+    then each shard block-probes ONLY the target docs (the explain set
+    is k docs — it rides the task closure; probes decode no block a
+    target doc doesn't touch). Cost O(|doc_ids| x terms) probes total.
+    """
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    targets = np.unique(np.asarray(sorted(doc_ids), dtype=np.int64))
+    if not qterms or targets.size == 0:
+        return spark.createDataFrame([], EXPLAIN_SCHEMA)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    index = pin_zone(index, zone)
+    if "shard" not in index.columns:
+        index = index.withColumn("shard", F.lit(0))
+    hits = index.filter(F.col("term").isin(qterms))
+    dfs = hits.groupBy("term").agg(F.sum("df").alias("df_g"))
+    hits = hits.join(F.broadcast(dfs), "term").withColumn(
+        "idf", F.log((F.lit(float(n_docs)) - F.col("df_g") + 0.5)
+                     / (F.col("df_g") + 0.5) + 1.0))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {k: [] for k in ("doc_id", "term", "tf", "doc_len",
+                               "df", "idf", "contribution")}
+        for mt, df_g in zip(_lists_meta(pdf, avgdl),
+                            pdf["df_g"].astype("int64")):
+            lc = _ListCache(mt)
+            nb = mt["blk_last"].size
+            cov = np.searchsorted(mt["blk_last"], targets, side="left")
+            lc.ensure(np.unique(cov[cov < nb]))
+            docs, tfs, dls = lc.docs, lc.tfs, lc.dls
+            idx = np.searchsorted(docs, targets)
+            hit = idx < docs.size
+            hit[hit] = docs[idx[hit]] == targets[hit]
+            sel = idx[hit]
+            if not sel.size:
+                continue
+            contrib = _contrib(mt, tfs[sel], dls[sel])
+            out["doc_id"].extend(targets[hit].tolist())
+            out["term"].extend([mt["term"]] * int(sel.size))
+            out["tf"].extend(tfs[sel].astype(np.int64).tolist())
+            out["doc_len"].extend(dls[sel].astype(np.int64).tolist())
+            out["df"].extend([int(df_g)] * int(sel.size))
+            out["idf"].extend([mt["idf"]] * int(sel.size))
+            out["contribution"].extend(contrib.tolist())
+        return pd.DataFrame(out)
+
+    return (hits.groupBy("shard").applyInPandas(fn, schema=EXPLAIN_SCHEMA)
+            .orderBy("doc_id", "term"))
+
+
 def more_like_this(index: DataFrame, docs: DataFrame | None, stats: dict,
                    corpus_with_ids: DataFrame, doc_id: int, k: int = 10,
                    top_terms: int = 10, stem: bool = True,
