@@ -660,6 +660,25 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         return related_terms(posts, "data", stats["n_docs"], top=15,
                              min_cooc=2)
 
+    def suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # autocompletion: prefix dictionary scan ranked by popularity
+        from index_spark.operators.query import complete_terms
+
+        _, index, _ = _parity_build(spark, sf_dir)
+        return complete_terms(index, "s", limit=10)
+
+    def resolved_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # serving response assembly: top-k + (repo, path) keys via a
+        # broadcast semi-join into the docs dimension
+        from index_spark.operators.query import resolve_topk, search
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        top = search(index, docs, stats, "data table query", k=10,
+                     stem=False, camel=False, shard_size=256)
+        out = resolve_topk(top, docs)
+        return out.select("doc_id", F.round("score", 4).alias("score"),
+                          "repo", "path")
+
     def term_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dictionary prefix scan over the sorted-at-rest term catalog
         from index_spark.operators.query import term_prefix_stats
@@ -854,6 +873,8 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "dsl_phrase_topk": dsl_phrase_topk,
         "vacuum_topk": vacuum_topk,
         "term_prefix": term_prefix,
+        "suggest_terms": suggest_terms,
+        "resolved_topk": resolved_topk,
         "snippet_topk": snippet_topk,
         "wand_queryset": wand_queryset,
         "and_queryset": and_queryset,
@@ -1120,6 +1141,17 @@ FROM tf WHERE term LIKE 's%' GROUP BY term ORDER BY term ASC LIMIT 15"""
 # snippet extraction: top-10 BM25 docs, each with the 80-char window
 # starting 20 chars before the earliest query-term occurrence (1-based;
 # falls back to the document head when no term occurs literally)
+_ORACLE_SUGGEST = """
+SELECT term, df FROM dft
+WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC LIMIT 10"""
+
+_ORACLE_RESOLVED_TOPK = """
+, top AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score, 'corpus' AS repo,
+       printf('doc%08d', doc_id) AS path
+FROM top"""
+
 _ORACLE_SNIPPET_TOPK = """
 , top AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10)
 , pos AS (
@@ -1614,6 +1646,10 @@ def _build_registry():
     add("related_terms", eng["related_terms"],
         _docs_sql("duck", _ORACLE_RELATED))
     add("vacuum_topk", eng["vacuum_topk"], _vacuum_duck_sql())
+    add("suggest_terms", eng["suggest_terms"],
+        _docs_sql("duck", _ORACLE_SUGGEST))
+    add("resolved_topk", eng["resolved_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_RESOLVED_TOPK, [q_cte]))
     add("term_prefix", eng["term_prefix"],
         _docs_sql("duck", _ORACLE_TERM_PREFIX))
     add("snippet_topk", eng["snippet_topk"],

@@ -1165,9 +1165,13 @@ def search_dsl(index: DataFrame, docs: DataFrame | None, stats: dict,
                use_wand: bool | str = "auto", camel: bool = True,
                zone: str | None = None,
                tombstones: DataFrame | None = None,
-               shard_size: int = 4096) -> DataFrame:
+               shard_size: int = 4096,
+               restrict: DataFrame | None = None) -> DataFrame:
     """Top-k BM25 under web-search syntax: ``+required bare -excluded
     "exact phrase" -"excluded phrase"``.
+
+    ``restrict``/``tombstones`` compose exactly as in :func:`search`
+    (shard-cogrouped allow/deny sets).
 
     Semantics: a doc matches iff it contains EVERY ``+term``, EVERY
     quoted phrase at consecutive positions, NO ``-term`` and NO
@@ -1215,7 +1219,8 @@ def search_dsl(index: DataFrame, docs: DataFrame | None, stats: dict,
                               lambda pdf: _pick_scorer(pdf, use_wand),
                               tombstones, shard_size, merged_form,
                               required=set(req) if req else None,
-                              phrases=phrases, neg_phrases=neg_phrases)
+                              phrases=phrases, neg_phrases=neg_phrases,
+                              restrict=restrict)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -1315,6 +1320,33 @@ def search_fuzzy(index: DataFrame, docs: DataFrame | None, stats: dict,
         return index.sparkSession.createDataFrame([], TOPK_SCHEMA)
     return search(index, docs, stats, " ".join(terms), k=k, stem=False,
                   camel=False, shard_size=shard_size, zone=zone, **kw)
+
+
+def complete_terms(index: DataFrame, prefix: str, limit: int = 10,
+                   zone: str | None = None) -> DataFrame:
+    """Query autocompletion: dictionary terms under ``prefix`` ranked by
+    global df (desc; term-ascending tiebreak). Same pushed-StartsWith,
+    blob-pruned scan as :func:`term_prefix_stats`; the popularity cut is
+    a TakeOrderedAndProject tail, so only ``limit`` rows reach the
+    driver no matter how wide the prefix."""
+    from index_spark.operators.build import DOC_MARKER
+
+    index = pin_zone(index, zone)
+    return (index
+            .filter(F.col("term").startswith(prefix)
+                    & (F.col("term") != DOC_MARKER))
+            .groupBy("term").agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term")).limit(limit))
+
+
+def resolve_topk(topk: DataFrame, docs: DataFrame) -> DataFrame:
+    """Serving response assembly: attach the document keys (repo, path)
+    to a top-k relation. The k-row top-k side broadcasts into the docs
+    dimension scan (a pushdown semi-join — touches k dimension rows at
+    any corpus scale); row order re-pinned to (score desc, doc_id)."""
+    return (docs.join(F.broadcast(topk), "doc_id")
+            .select("doc_id", "score", "repo", "path")
+            .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
 def snippets(topk: DataFrame, corpus_with_ids: DataFrame, query: str,

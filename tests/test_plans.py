@@ -262,3 +262,56 @@ def test_zoned_serving_table_bucket_prunes(spark, tiny_corpus):
     # and the pinned-zone rows are really the body zone's
     zones = {r["zone"] for r in df.select("zone").distinct().collect()}
     assert zones <= {"body"}
+
+
+def test_matching_docs_scan_prunes_blobs(spark, index_on_disk):
+    """matching_docs needs ONLY (shard, term, doc_blob): the scan must
+    not read tf/dl/pos blobs or block structs, and the term filter must
+    push down."""
+    from index_spark.operators.analytics import matching_docs
+
+    out, _ = index_on_disk
+    df = matching_docs(spark.read.parquet(out), "import return")
+    plan = _plan(df)
+    assert re.search(r"PushedFilters:.*In\(term", plan), plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m, plan
+    for col in ("tf_blob", "dl_blob", "pos_blob", "blocks", "skips"):
+        assert col not in m.group(1), (col, plan)
+
+
+def test_fuzzy_dictionary_scan_prunes_blobs(spark, index_on_disk):
+    """fuzzy_expand's dictionary lookup aggregates (term, df) only —
+    its scan must not read any posting blob, and the length-band +
+    levenshtein candidate filter must run BEFORE the aggregate (no blob
+    bytes ever shuffle)."""
+    from pyspark.sql import Window
+
+    out, _ = index_on_disk
+    index = spark.read.parquet(out)
+    band = F.length("term").between(5, 7)
+    near = F.levenshtein(F.col("term"), F.lit("import")) <= 1
+    cand = (index.filter((F.col("term") != "%") & band & near)
+            .groupBy("term").agg(F.sum("df").alias("df_g")))
+    plan = _plan(cand)
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "doc_blob" not in m.group(1), plan
+    # the levenshtein predicate sits below the aggregate in the plan
+    assert plan.index("levenshtein") > plan.index("HashAggregate"), plan
+
+
+def test_explain_score_single_exchange(spark, index_on_disk):
+    """explain_score keeps the one-shard-exchange query shape (plus the
+    tiny broadcast for global dfs)."""
+    from index_spark.operators.build import stats_from_index
+    from index_spark.operators.query import explain_score
+
+    out, _ = index_on_disk
+    index = spark.read.parquet(out)
+    stats = stats_from_index(index)
+    df = explain_score(index, stats, "import return", [3, 7])
+    plan = _plan(df)
+    # exchanges: one hashpartitioning on shard for the cogroup-free
+    # groupBy, plus the final sort's rangepartitioning
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash <= 2, plan

@@ -385,3 +385,28 @@ def test_compact_to_serving_table(spark, tiny_corpus, tmp_path):
         assert "SelectedBucketsCount: 1 out of 4" in plan, plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_complete_terms_popularity_order(built):
+    from index_spark.operators.query import complete_terms
+
+    docs, index, stats, oracle = built
+    got = [(r["term"], r["df"])
+           for r in complete_terms(index, "re", limit=5).collect()]
+    cand = [(t, len(p)) for t, p in oracle.tf.items()
+            if t.startswith("re")]
+    cand.sort(key=lambda x: (-x[1], x[0]))
+    assert got == cand[:5]
+
+
+def test_resolve_topk_keys(built):
+    from index_spark.operators.query import resolve_topk, search
+
+    docs, index, stats, oracle = built
+    top = search(index, docs, stats, "import return", k=5,
+                 shard_size=SHARD_SIZE)
+    out = resolve_topk(top, docs).collect()
+    assert [r["doc_id"] for r in out] == \
+        [r["doc_id"] for r in top.collect()]
+    for r in out:
+        assert (r["repo"], r["path"]) == oracle.doc_keys[r["doc_id"]]
