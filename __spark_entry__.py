@@ -648,17 +648,14 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                          camel=False)
 
     def related_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # co-occurrence discovery over the index's own export path:
-        # blob index -> postings_from_index decode -> PMI ranking
-        from index_spark.operators.analytics import (
-            postings_from_index,
-            related_terms,
-        )
+        # co-occurrence discovery, index-native scale path: seed-shard
+        # semi-join + shard-local membership counting (no exploded
+        # postings relation); dfs from row metadata only
+        from index_spark.operators.analytics import related_terms_index
 
         _, index, stats = _parity_build(spark, sf_dir)
-        posts = postings_from_index(index)
-        return related_terms(posts, "data", stats["n_docs"], top=15,
-                             min_cooc=2)
+        return related_terms_index(index, "data", stats["n_docs"],
+                                   top=15, min_cooc=2)
 
     def suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         # autocompletion: prefix dictionary scan ranked by popularity

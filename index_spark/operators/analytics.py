@@ -154,6 +154,74 @@ def postings_from_index(index: DataFrame, zone: str | None = None
             .mapInPandas(fn, schema=_POSTINGS_SCHEMA))
 
 
+_COOC_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType(), False),
+    T.StructField("cooc", T.LongType(), False),
+])
+
+
+def related_terms_index(index: DataFrame, seed_term: str, n_docs: int,
+                        top: int = 20, min_cooc: int = 2) -> DataFrame:
+    """Index-native :func:`related_terms` — the scale path: never
+    materializes the exploded postings relation.
+
+    Plan: (1) shards containing the seed term come from a metadata-only
+    scan (term-pushed filter, no blob read) and semi-join the index —
+    for a RARE seed only its shards' rows ever load; (2) within each
+    surviving shard, the seed row's doc stream decodes once and every
+    other term row is counted against it by a sorted-merge membership
+    test over its own doc stream (a decode bounded by the shard's rows,
+    done where the data sits); (3) per-term partial cooc counts SUM
+    across shards (disjoint doc ranges), global dfs come from the
+    metadata df column (map-side-combined aggregate, no decode), PMI
+    ranks, the top cut is a TakeOrderedAndProject."""
+    from index_spark.operators.build import DOC_MARKER
+
+    if "shard" not in index.columns:
+        index = index.withColumn("shard", F.lit(0))
+    seed_shards = (index.filter(F.col("term") == seed_term)
+                   .select("shard").distinct())
+    pool = (index.filter(F.col("term") != DOC_MARKER)
+            .select("shard", "term", "doc_blob")
+            .join(seed_shards, "shard", "left_semi"))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        seed_rows = pdf[pdf["term"] == seed_term]
+        if not len(seed_rows):
+            return pd.DataFrame({"term": [], "cooc": []})
+        seed = np.unique(np.concatenate([
+            np.cumsum(vb.decode(b).astype(np.int64))
+            for b in seed_rows["doc_blob"]]))
+        terms, coocs = [], []
+        for row in pdf.itertuples(index=False):
+            if row.term == seed_term:
+                continue
+            docs = np.cumsum(vb.decode(row.doc_blob).astype(np.int64))
+            idx = np.searchsorted(seed, docs)
+            idx[idx >= seed.size] = seed.size - 1
+            c = int((seed[idx] == docs).sum())
+            if c:
+                terms.append(row.term)
+                coocs.append(c)
+        return pd.DataFrame({"term": terms,
+                             "cooc": np.asarray(coocs, np.int64)})
+
+    cooc = (pool.groupBy("shard").applyInPandas(fn, _COOC_SCHEMA)
+            .groupBy("term").agg(F.sum("cooc").alias("cooc"))
+            .filter(F.col("cooc") >= min_cooc))
+    dfs = (index.filter(F.col("term") != DOC_MARKER)
+           .groupBy("term").agg(F.sum("df").alias("df")))
+    df_seed = F.broadcast(dfs.filter(F.col("term") == seed_term)
+                          .select(F.col("df").alias("df_seed")))
+    out = (cooc.join(dfs, "term").crossJoin(df_seed)
+           .withColumn("pmi", F.round(
+               F.log(F.col("cooc") * F.lit(float(n_docs))
+                     / (F.col("df_seed") * F.col("df"))), 6))
+           .select("term", "cooc", "df", "pmi")
+           .orderBy(F.desc("pmi"), F.desc("cooc"), F.asc("term")))
+    return out.limit(top)
+
+
 def related_terms(postings: DataFrame, seed_term: str, n_docs: int,
                   top: int = 20, min_cooc: int = 2) -> DataFrame:
     """Terms co-occurring with ``seed_term``, ranked by PMI.

@@ -97,17 +97,14 @@ def cmd_facets(args) -> None:
 
 
 def cmd_related(args) -> None:
-    from index_spark.operators.analytics import (
-        postings_from_index,
-        related_terms,
-    )
+    from index_spark.operators.analytics import related_terms_index
     from index_spark.plans.checkpoint import load_index, load_stats
 
     spark = _spark(args)
     index = load_index(spark, args.index_dir)
     stats = load_stats(args.index_dir)
-    out = related_terms(postings_from_index(index), args.term,
-                        stats["n_docs"], top=args.top).collect()
+    out = related_terms_index(index, args.term,
+                              stats["n_docs"], top=args.top).collect()
     print(json.dumps([{"term": r["term"], "cooc": r["cooc"],
                        "df": r["df"], "pmi": r["pmi"]} for r in out]))
 

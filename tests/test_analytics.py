@@ -129,3 +129,19 @@ def test_related_terms_pmi(built):
     assert [(r["term"], r["cooc"], r["df"], r["pmi"]) for r in got] \
         == expected
     posts.unpersist()
+
+
+def test_related_terms_index_native_identical(built):
+    """The index-native kernel (seed-shard semi-join + shard-local
+    membership counting) returns exactly the relation-level result."""
+    from index_spark.operators.analytics import related_terms_index
+
+    docs, index, stats, oracle = built
+    posts = postings_from_index(index).persist()
+    for seed in ["import", "uniq7token", "zzzabsent"]:
+        a = related_terms(posts, seed, oracle.n_docs, top=15,
+                          min_cooc=2).collect()
+        b = related_terms_index(index, seed, oracle.n_docs, top=15,
+                                min_cooc=2).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], seed
+    posts.unpersist()
