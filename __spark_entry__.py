@@ -657,6 +657,18 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         return related_terms_index(index, "data", stats["n_docs"],
                                    top=15, min_cooc=2)
 
+    def percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # prospective search: route every document against the standing
+        # 10-query set (conjunctive) — broadcast query relation, vocab
+        # filter before the single aggregate
+        from index_spark.operators.build import assign_doc_ids
+        from index_spark.operators.percolate import percolate
+
+        corpus = assign_doc_ids(_parity_corpus(spark, sf_dir))
+        queries = {qid: " ".join(terms) for qid, terms in QUERYSET}
+        return percolate(corpus, queries, mode="and", stem=False,
+                         camel=False)
+
     def suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         # autocompletion: prefix dictionary scan ranked by popularity
         from index_spark.operators.query import complete_terms
@@ -871,6 +883,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "vacuum_topk": vacuum_topk,
         "term_prefix": term_prefix,
         "suggest_terms": suggest_terms,
+        "percolate_matches": percolate_matches,
         "resolved_topk": resolved_topk,
         "snippet_topk": snippet_topk,
         "wand_queryset": wand_queryset,
@@ -1138,6 +1151,13 @@ FROM tf WHERE term LIKE 's%' GROUP BY term ORDER BY term ASC LIMIT 15"""
 # snippet extraction: top-10 BM25 docs, each with the 80-char window
 # starting 20 chars before the earliest query-term occurrence (1-based;
 # falls back to the document head when no term occurs literally)
+_ORACLE_PERCOLATE = """
+, qn AS (SELECT query_id, CAST(count(*) AS INT) AS n FROM q GROUP BY query_id)
+SELECT q.query_id, tf.doc_id
+FROM tf JOIN q ON tf.term = q.term JOIN qn ON q.query_id = qn.query_id
+GROUP BY q.query_id, tf.doc_id, qn.n
+HAVING count(DISTINCT tf.term) = qn.n"""
+
 _ORACLE_SUGGEST = """
 SELECT term, df FROM dft
 WHERE term LIKE 's%'
@@ -1643,6 +1663,8 @@ def _build_registry():
     add("related_terms", eng["related_terms"],
         _docs_sql("duck", _ORACLE_RELATED))
     add("vacuum_topk", eng["vacuum_topk"], _vacuum_duck_sql())
+    add("percolate_matches", eng["percolate_matches"],
+        _docs_sql("duck", _ORACLE_PERCOLATE, [qs_cte]))
     add("suggest_terms", eng["suggest_terms"],
         _docs_sql("duck", _ORACLE_SUGGEST))
     add("resolved_topk", eng["resolved_topk"],

@@ -1,0 +1,95 @@
+"""Percolation (prospective search / document routing): match INCOMING
+documents against a STANDING query set — the dual of the index. A web
+crawler/alerting pipeline routes each new doc to the saved searches it
+satisfies (the Elasticsearch-percolator / Google-Alerts shape); the
+reference's analog surface is its add-time document walk
+(/root/reference/index.cpp:112-158), here re-pointed at queries instead
+of posting lists.
+
+Scale shape: the standing query set is BOUNDED (it broadcasts); incoming
+docs are unbounded. One fused Arrow pass (``doc_term_counts``) turns the
+batch into (doc_id, term, tf); a pushed ``isin`` on the query VOCABULARY
+drops every non-query term before anything shuffles; the match test is
+one map-side-combinable aggregate over (query_id, doc_id). Conjunctive
+queries use the count(DISTINCT term)=n_terms gate; disjunctive queries
+match on any overlap.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from index_spark.functions.text import tokenize
+from index_spark.operators.build import doc_term_counts
+
+PERC_COLS = ["query_id", "doc_id"]
+
+
+def _query_relation(spark: SparkSession, queries: dict[int, str],
+                    stem: bool, camel: bool):
+    """(query_id, term, n_terms) rows + the distinct vocabulary."""
+    rows = []
+    for qid, q in queries.items():
+        terms = sorted(set(tokenize(q, stem=stem, camel=camel)))
+        for t in terms:
+            rows.append((int(qid), t, len(terms)))
+    if not rows:
+        return None, []
+    vocab = sorted({t for _, t, _ in rows})
+    return (spark.createDataFrame(rows, "query_id long, term string, "
+                                        "n_terms int"), vocab)
+
+
+def percolate(corpus_with_ids: DataFrame, queries: dict[int, str],
+              mode: str = "and", stem: bool = True,
+              camel: bool = True) -> DataFrame:
+    """All (query_id, doc_id) matches of the standing ``queries`` over
+    the given docs. ``mode='and'``: a doc matches iff it contains EVERY
+    term of the query; ``'or'``: any term. Rows distinct, unordered
+    (aggregate output)."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    spark = corpus_with_ids.sparkSession
+    qrel, vocab = _query_relation(spark, queries, stem, camel)
+    if qrel is None:
+        return spark.createDataFrame([], "query_id long, doc_id long")
+    toks = (doc_term_counts(corpus_with_ids, stem=stem, camel=camel)
+            .filter(F.col("term").isin(vocab))   # query vocab only
+            .select("doc_id", "term"))
+    joined = toks.join(F.broadcast(qrel), "term")
+    if mode == "or":
+        return joined.select("query_id", "doc_id").distinct()
+    return (joined.groupBy("query_id", "doc_id", "n_terms")
+            .agg(F.countDistinct("term").alias("hit"))
+            .filter(F.col("hit") == F.col("n_terms"))
+            .select("query_id", "doc_id"))
+
+
+def percolate_stream(spark: SparkSession, in_dir: str, out_dir: str,
+                     schema, queries: dict[int, str], mode: str = "and",
+                     stem: bool = True, camel: bool = True,
+                     trigger_once: bool = True):
+    """readStream(file source) -> foreachBatch(percolate) -> parquet
+    append of (query_id, doc_id, repo, path) match records. Returns the
+    StreamingQuery. Each micro-batch routes independently (percolation
+    is per-document — no cross-batch state, no watermark needed)."""
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    matches_dir = os.path.join(out_dir, "matches")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.withColumn(
+            "doc_id", F.xxhash64("repo", "path"))  # stable per-key id
+        m = percolate(b, queries, mode=mode, stem=stem, camel=camel)
+        (m.join(b.select("doc_id", "repo", "path"), "doc_id")
+          .select("query_id", "doc_id", "repo", "path")
+          .write.mode("append").parquet(matches_dir))
+
+    writer = stream.writeStream.foreachBatch(handle) \
+        .option("checkpointLocation",
+                os.path.join(out_dir, "_perc_checkpoint"))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

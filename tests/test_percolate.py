@@ -1,0 +1,80 @@
+"""Percolation: standing-query routing — batch vs naive oracle, and
+stream-vs-batch parity (Kappa)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from index_spark.functions.text import tokenize
+from index_spark.operators.build import assign_doc_ids
+from index_spark.operators.percolate import percolate, percolate_stream
+from tests.oracle import OracleIndex
+
+QUERIES = {
+    0: "import return",
+    1: "uniq7token",
+    2: "def class if",
+    3: "import numpy",          # absent term => no AND matches
+    4: "café",
+}
+
+
+@pytest.fixture(scope="module")
+def ids_and_oracle(spark, tiny_corpus):
+    corpus_df = spark.createDataFrame(tiny_corpus)
+    with_ids = assign_doc_ids(corpus_df).persist()
+    with_ids.count()
+    oracle = OracleIndex(
+        list(tiny_corpus[["repo", "path", "content"]].itertuples(index=False)),
+        stem=True)
+    return with_ids, oracle
+
+
+def naive_percolate(oracle: OracleIndex, queries, mode):
+    out = set()
+    for qid, q in queries.items():
+        qterms = sorted(set(tokenize(q, stem=True)))
+        if not qterms:
+            continue
+        sets = [set(oracle.tf.get(t, {})) for t in qterms]
+        docs = (set.union(*sets) if mode == "or"
+                else set.intersection(*sets))
+        out |= {(qid, d) for d in docs}
+    return out
+
+
+@pytest.mark.parametrize("mode", ["and", "or"])
+def test_percolate_matches_oracle(ids_and_oracle, mode):
+    with_ids, oracle = ids_and_oracle
+    got = {(r["query_id"], r["doc_id"])
+           for r in percolate(with_ids, QUERIES, mode=mode).collect()}
+    assert got == naive_percolate(oracle, QUERIES, mode)
+
+
+def test_percolate_empty_queries(spark, ids_and_oracle):
+    with_ids, _ = ids_and_oracle
+    assert percolate(with_ids, {}).collect() == []
+
+
+def test_percolate_stream_equals_batch(spark, tiny_corpus, tmp_path):
+    """availableNow stream over two file batches routes exactly the
+    docs the one-shot batch percolate routes."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ordered = tiny_corpus.sort_values(["repo", "path"]).reset_index(drop=True)
+    half = len(ordered) // 2
+    sub = ordered[["repo", "path", "content"]]
+    spark.createDataFrame(sub.iloc[:half]).write.mode("append").parquet(src)
+    spark.createDataFrame(sub.iloc[half:]).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    q = percolate_stream(spark, src, out, schema, QUERIES, mode="and")
+    q.awaitTermination(120)
+
+    got = {(r["query_id"], r["repo"], r["path"])
+           for r in spark.read.parquet(f"{out}/matches").collect()}
+    full = spark.createDataFrame(sub)
+    b = percolate(assign_doc_ids(full), QUERIES, mode="and")
+    docs = assign_doc_ids(full).select("doc_id", "repo", "path")
+    expected = {(r["query_id"], r["repo"], r["path"])
+                for r in b.join(docs, "doc_id").collect()}
+    assert got == expected
