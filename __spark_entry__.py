@@ -657,6 +657,15 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         return related_terms_index(index, "data", stats["n_docs"],
                                    top=15, min_cooc=2)
 
+    def curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # training-data curation tier: exact keep-first dedup + length
+        # + alpha gates, pinned gate order, pure codegen
+        from index_spark.operators.curate import curate_corpus
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return curate_corpus(docs, min_tokens=50, max_tokens=5000,
+                             min_alpha=0.55)
+
     def percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         # prospective search: route every document against the standing
         # 10-query set (conjunctive) — broadcast query relation, vocab
@@ -884,6 +893,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "term_prefix": term_prefix,
         "suggest_terms": suggest_terms,
         "percolate_matches": percolate_matches,
+        "curation_verdicts": curation_verdicts,
         "resolved_topk": resolved_topk,
         "snippet_topk": snippet_topk,
         "wand_queryset": wand_queryset,
@@ -1151,6 +1161,34 @@ FROM tf WHERE term LIKE 's%' GROUP BY term ORDER BY term ASC LIMIT 15"""
 # snippet extraction: top-10 BM25 docs, each with the 80-char window
 # starting 20 chars before the earliest query-term occurrence (1-based;
 # falls back to the document head when no term occurs literally)
+# curation verdicts: sha256 keep-first dedup, then token floor/ceiling,
+# then alpha floor — same pinned gate order as the operator
+_ORACLE_CURATE = """
+, h AS (SELECT doc_id, sha256(text) AS hh FROM documents),
+firsts AS (SELECT hh, min(doc_id) AS first_id FROM h GROUP BY hh),
+feats AS (
+  SELECT documents.doc_id,
+         CAST(coalesce(dl.dlen, 0) AS BIGINT) AS n_tokens,
+         round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha_ratio,
+         CASE WHEN documents.doc_id <> f.first_id THEN f.first_id END AS dup_of
+  FROM documents
+  JOIN h ON documents.doc_id = h.doc_id
+  JOIN firsts f ON h.hh = f.hh
+  LEFT JOIN dl ON documents.doc_id = dl.doc_id
+)
+SELECT doc_id, n_tokens, alpha_ratio, dup_of,
+       (CASE WHEN dup_of IS NOT NULL THEN 'duplicate'
+             WHEN n_tokens < 50 THEN 'too_short'
+             WHEN n_tokens > 5000 THEN 'too_long'
+             WHEN alpha_ratio < 0.55 THEN 'low_alpha'
+             ELSE 'ok' END) AS reason,
+       (CASE WHEN dup_of IS NOT NULL THEN 'duplicate'
+             WHEN n_tokens < 50 THEN 'too_short'
+             WHEN n_tokens > 5000 THEN 'too_long'
+             WHEN alpha_ratio < 0.55 THEN 'low_alpha'
+             ELSE 'ok' END) = 'ok' AS keep
+FROM feats"""
+
 _ORACLE_PERCOLATE = """
 , qn AS (SELECT query_id, CAST(count(*) AS INT) AS n FROM q GROUP BY query_id)
 SELECT q.query_id, tf.doc_id
@@ -1663,6 +1701,8 @@ def _build_registry():
     add("related_terms", eng["related_terms"],
         _docs_sql("duck", _ORACLE_RELATED))
     add("vacuum_topk", eng["vacuum_topk"], _vacuum_duck_sql())
+    add("curation_verdicts", eng["curation_verdicts"],
+        _docs_sql("duck", _ORACLE_CURATE))
     add("percolate_matches", eng["percolate_matches"],
         _docs_sql("duck", _ORACLE_PERCOLATE, [qs_cte]))
     add("suggest_terms", eng["suggest_terms"],

@@ -267,3 +267,31 @@ def test_simhash_batch_property(word_lists):
     got = dd.simhash_batch(texts)
     for i, t in enumerate(texts):
         assert int(got[i]) == _naive_simhash(t), i
+
+
+def test_curate_corpus_gates(spark, tiny_corpus):
+    """Pinned gate order + keep-first dedup + kept() composition."""
+    import pandas as pd
+
+    from index_spark.operators.curate import curate_corpus, kept
+
+    rows = pd.DataFrame([
+        {"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta"},
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"},
+        {"doc_id": 2, "text": "short one"},
+        {"doc_id": 3, "text": "1234 5678 9012 3456 7890 1111"},
+        {"doc_id": 4, "text": "plain unique words here again ok"},
+    ])
+    df = spark.createDataFrame(rows)
+    v = {r["doc_id"]: r for r in
+         curate_corpus(df, min_tokens=3, max_tokens=10,
+                       min_alpha=0.5).collect()}
+    assert v[0]["reason"] == "ok" and v[0]["keep"]
+    assert v[1]["reason"] == "duplicate" and v[1]["dup_of"] == 0
+    assert v[2]["reason"] == "too_short"
+    assert v[3]["reason"] == "low_alpha"
+    assert v[4]["reason"] == "ok"
+    verdicts = curate_corpus(df, min_tokens=3, max_tokens=10,
+                             min_alpha=0.5)
+    left = sorted(r["doc_id"] for r in kept(df, verdicts).collect())
+    assert left == [0, 4]
