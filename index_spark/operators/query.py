@@ -308,9 +308,10 @@ def _probe(meta: dict, qdocs: np.ndarray, lc: "_ListCache"):
 
 
 # a probe costs ~1 block decode (amortized to ~0 by the per-list cache
-# once probes cluster); below this candidate:posting ratio the
-# probe-driven restricted kernel beats decoding every list in full
-RESTRICT_PROBE_RATIO = 4
+# once probes cluster); the probe-driven restricted kernel wins clearly
+# below ~2% candidate:posting ratio and loses past ~50%
+# (BENCH/restrict_crossover.json) — gate at allowed * 12 < total df
+RESTRICT_PROBE_RATIO = 12
 
 
 def _score_shard_restricted(pdf: pd.DataFrame, avgdl: float, k: int,
