@@ -737,6 +737,14 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         return phrase_search(index, stats, "data table", k=10,
                              stem=False, camel=False)
 
+    def slop_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ordered gap-bounded phrase: exists-a-chain viability, gap=3
+        from index_spark.operators.phrase import sloppy_phrase_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        return sloppy_phrase_search(index, stats, "data table", gap=3,
+                                    k=10, stem=False, camel=False)
+
     def index_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.build import DOC_MARKER
 
@@ -899,6 +907,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "wand_queryset": wand_queryset,
         "and_queryset": and_queryset,
         "phrase_topk": phrase_topk,
+        "slop_phrase_topk": slop_phrase_topk,
         "proximity_topk": proximity_topk,
         "zone_topk": zone_topk,
         "bm25f_topk": bm25f_topk,
@@ -1275,6 +1284,25 @@ WITH toks AS (
   SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
   FROM pos p0 JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
   WHERE p0.term = 'data' AND p1.term = 'table'
+  GROUP BY p0.doc_id
+)
+SELECT doc_id, n_matches FROM m ORDER BY n_matches DESC, doc_id ASC LIMIT 10"""
+
+# sloppy phrase (gap=3): count first-term occurrences from which a
+# second-term occurrence exists within (p, p+3]
+_ORACLE_SLOP_PHRASE_DUCK = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos FROM toks
+), m AS (
+  SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM pos p0
+  WHERE p0.term = 'data' AND EXISTS (
+    SELECT 1 FROM pos p1
+    WHERE p1.doc_id = p0.doc_id AND p1.term = 'table'
+      AND p1.pos > p0.pos AND p1.pos <= p0.pos + 3)
   GROUP BY p0.doc_id
 )
 SELECT doc_id, n_matches FROM m ORDER BY n_matches DESC, doc_id ASC LIMIT 10"""
@@ -1718,6 +1746,8 @@ def _build_registry():
     add("and_queryset", eng["and_queryset"],
         _docs_sql("duck", _ORACLE_AND_QUERYSET, [qs_cte]))
     add("phrase_topk", eng["phrase_topk"], _ORACLE_PHRASE_TOPK_DUCK)
+    add("slop_phrase_topk", eng["slop_phrase_topk"],
+        _ORACLE_SLOP_PHRASE_DUCK)
     add("proximity_topk", eng["proximity_topk"], _ORACLE_PROXIMITY_TOPK_DUCK)
     add("zone_topk", eng["zone_topk"], _ORACLE_ZONE_TOPK_DUCK)
     add("bm25f_topk", eng["bm25f_topk"], _ORACLE_BM25F_TOPK_DUCK)

@@ -175,6 +175,71 @@ def phrase_search(index: DataFrame, stats: dict | None, phrase: str,
                                   k, tombstones, shard_size)
 
 
+def _sloppy_shard(pdf: pd.DataFrame, qterms: list[str],
+                  gap: int) -> pd.DataFrame:
+    """Ordered gap-bounded phrase over one shard: a match anchors at an
+    occurrence p1 of the first term from which SOME chain p1 < p2 < …
+    < pm exists with p_{j+1} - p_j <= gap (gap=1 ≡ exact phrase).
+
+    Exact "exists a chain" (not greedy): viability propagates RIGHT to
+    LEFT — an occurrence of term j is viable iff a viable occurrence of
+    term j+1 sits in (p, p+gap], tested by one searchsorted over the
+    next term's viable composite keys. n_matches = viable first-term
+    occurrences per doc."""
+    empty = pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                          "n_matches": np.empty(0, np.int64)})
+    groups: dict[str, list] = {}
+    for r in pdf.itertuples(index=False):
+        groups.setdefault(r.term, []).append(r)
+    if any(t not in groups for t in qterms):
+        return empty
+    decoded = {t: _term_occurrences(rs) for t, rs in groups.items()}
+    doc_min = min(int(d.min()) for d, _ in decoded.values())
+    pos_cap = max(int(p.max()) for _, p in decoded.values()) + gap + 2
+
+    viable: np.ndarray | None = None  # composite keys of term j+1
+    for t in reversed(qterms):
+        docs, pos = decoded[t]
+        keys = (docs - doc_min) * pos_cap + pos
+        order = np.argsort(keys)
+        keys = keys[order]
+        if viable is not None:
+            idx = np.searchsorted(viable, keys + 1)
+            ok = idx < viable.size
+            ok[ok] = viable[idx[ok]] <= keys[ok] + gap
+            keys = keys[ok]
+            if keys.size == 0:
+                return empty
+        viable = keys
+    match_docs = viable // pos_cap + doc_min
+    ud, cnt = np.unique(match_docs, return_counts=True)
+    return pd.DataFrame({"doc_id": ud.astype(np.int64),
+                         "n_matches": cnt.astype(np.int64)})
+
+
+def sloppy_phrase_search(index: DataFrame, stats: dict | None,
+                         phrase: str, gap: int = 2, k: int = 10,
+                         stem: bool = True, camel: bool = True,
+                         zone: str | None = None,
+                         tombstones: DataFrame | None = None,
+                         shard_size: int = 4096) -> DataFrame:
+    """Top-k ordered gap-bounded ("sloppy") phrase matches:
+    (doc_id, n_matches). ``gap`` bounds each consecutive step
+    (p_{j+1} - p_j <= gap); gap=1 reproduces :func:`phrase_search`
+    exactly (pytest-pinned). Same one-exchange positional plan."""
+    if gap < 1:
+        raise ValueError("gap must be >= 1")
+    spark = index.sparkSession
+    qterms = tokenize(phrase, stem=stem, camel=camel)
+    if not qterms:
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    hits = _zone_pinned(index, zone)
+    hits = hits.filter(F.col("term").isin(sorted(set(qterms))))
+    return _local_positional_topk(
+        index, hits, lambda pdf: _sloppy_shard(pdf, qterms, gap),
+        k, tombstones, shard_size)
+
+
 def _pair_window_counts(d0, p0, d1, p1, window: int):
     """Per-doc count of ordered position pairs with 0 < pos1 - pos0 <= W,
     fully vectorized (two searchsorted passes over the occurrence

@@ -289,3 +289,60 @@ def test_streaming_ingest_with_positions(spark, phrase_corpus, tmp_path):
     got = [(r["doc_id"], r["n_matches"]) for r in
            phrase_search(index, stats, "data table", stem=False).collect()]
     assert got == _naive_phrase(texts, "data table")
+
+
+def _naive_sloppy(texts, phrase, gap, k=10):
+    """Exists-a-chain DP: occurrence p of term j is viable iff some
+    viable occurrence of term j+1 sits in (p, p+gap]."""
+    terms = phrase.split()
+    out = []
+    for i, t in enumerate(texts):
+        toks = tokenize(t, stem=False)
+        occ = {}
+        for p, tok in enumerate(toks):
+            occ.setdefault(tok, []).append(p)
+        if any(tt not in occ for tt in terms):
+            continue
+        viable = occ[terms[-1]]
+        for tt in reversed(terms[:-1]):
+            viable = [p for p in occ[tt]
+                      if any(p < v <= p + gap for v in viable)]
+            if not viable:
+                break
+        if viable:
+            out.append((i, len(viable)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def test_sloppy_phrase_engine_vs_naive(phrase_index, phrase_corpus):
+    from index_spark.operators.phrase import sloppy_phrase_search
+
+    texts, _ = phrase_corpus
+    index, stats = phrase_index
+    for phrase, gap in [("data table", 2), ("data table", 3),
+                        ("big data table", 2), ("data x table", 1),
+                        ("data table", 1), ("table scan", 4),
+                        ("absent words", 2)]:
+        got = [(r["doc_id"], r["n_matches"])
+               for r in sloppy_phrase_search(index, stats, phrase,
+                                             gap=gap,
+                                             stem=False).collect()]
+        assert got == _naive_sloppy(texts, phrase, gap), (phrase, gap)
+
+
+def test_sloppy_gap1_equals_exact_phrase(phrase_index):
+    from index_spark.operators.phrase import (
+        phrase_search,
+        sloppy_phrase_search,
+    )
+
+    index, stats = phrase_index
+    for phrase in ["data table", "big data table", "data table data"]:
+        a = [(r["doc_id"], r["n_matches"])
+             for r in phrase_search(index, stats, phrase,
+                                    stem=False).collect()]
+        b = [(r["doc_id"], r["n_matches"])
+             for r in sloppy_phrase_search(index, stats, phrase, gap=1,
+                                           stem=False).collect()]
+        assert a == b, phrase
