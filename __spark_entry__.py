@@ -626,6 +626,15 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                            stem=False, camel=False, shard_size=256)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # "did you mean": most popular dictionary neighbor for terms the
+        # index does not know
+        from index_spark.operators.query import suggest_corrections
+
+        _, index, _ = _parity_build(spark, sf_dir)
+        return suggest_corrections(index, "dat tabel query", max_dist=1,
+                                   stem=False, camel=False)
+
     def facet_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # search-result faceting: shard-local doc-stream decode (no
         # scoring) -> shuffle join to the doc-attribute dimension ->
@@ -892,6 +901,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "explain_topdoc": explain_topdoc,
         "facet_counts": facet_counts_q,
         "fuzzy_topk": fuzzy_topk,
+        "spell_suggest": spell_suggest,
         "mlt_topk": mlt_topk,
         "hit_count": hit_count_q,
         "related_terms": related_terms_q,
@@ -1063,6 +1073,22 @@ _ORACLE_FUZZY_TOPK = """
   GROUP BY tf.doc_id
 ), top AS (SELECT doc_id, score FROM fscores ORDER BY score DESC, doc_id ASC LIMIT 10)
 SELECT doc_id, round(score, 4) AS score FROM top"""
+
+# "did you mean": per ABSENT query term, the df-max dictionary term
+# within levenshtein distance 1 (df desc, term asc)
+_ORACLE_SPELL = """
+, missing AS (
+  SELECT q.term AS qterm FROM q
+  WHERE NOT EXISTS (SELECT 1 FROM dft WHERE dft.term = q.term)
+), cand AS (
+  SELECT m.qterm, d.term AS suggestion, d.df,
+         row_number() OVER (PARTITION BY m.qterm
+                            ORDER BY d.df DESC, d.term ASC) AS rn
+  FROM missing m JOIN dft d
+    ON abs(length(d.term) - length(m.qterm)) <= 1
+   AND levenshtein(d.term, m.qterm) <= 1
+)
+SELECT qterm, suggestion, df FROM cand WHERE rn = 1"""
 
 _ORACLE_FACETS = """
 , m AS (SELECT DISTINCT tf.doc_id FROM tf JOIN q ON tf.term = q.term)
@@ -1722,6 +1748,9 @@ def _build_registry():
     add("fuzzy_topk", eng["fuzzy_topk"],
         _docs_sql("duck", _ORACLE_FUZZY_TOPK,
                   [_terms_values_sql(["dat", "tabl", "query"])]))
+    add("spell_suggest", eng["spell_suggest"],
+        _docs_sql("duck", _ORACLE_SPELL,
+                  [_terms_values_sql(["dat", "tabel", "query"])]))
     add("facet_counts", eng["facet_counts"],
         _docs_sql("duck", _ORACLE_FACETS, [q_cte]))
     add("hit_count", eng["hit_count"],

@@ -1297,6 +1297,48 @@ def fuzzy_expand(index: DataFrame, qterms: list[str], max_dist: int = 1,
     return out
 
 
+_SUGGEST_SCHEMA = T.StructType([
+    T.StructField("qterm", T.StringType(), False),
+    T.StructField("suggestion", T.StringType(), False),
+    T.StructField("df", T.LongType(), False),
+])
+
+
+def suggest_corrections(index: DataFrame, query: str, max_dist: int = 1,
+                        stem: bool = True, camel: bool = True,
+                        zone: str | None = None) -> DataFrame:
+    """"Did you mean": for each query term ABSENT from the dictionary,
+    the most popular dictionary term within edit distance ``max_dist``
+    (df desc, term asc — the same pinned order as
+    :func:`fuzzy_expand`). Terms the index knows produce no row; absent
+    terms with no neighbor produce no row either.
+
+    Two bounded jobs: a term-pruned df aggregate to find the absent
+    terms (<= |query| rows), then the fuzzy-expansion lookup capped at
+    one candidate per absent term."""
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    if not qterms:
+        return spark.createDataFrame([], _SUGGEST_SCHEMA)
+    zidx = pin_zone(index, zone)
+    present = {r["term"] for r in
+               zidx.filter(F.col("term").isin(qterms))
+               .select("term").distinct().collect()}
+    missing = [t for t in qterms if t not in present]
+    if not missing:
+        return spark.createDataFrame([], _SUGGEST_SCHEMA)
+    exp = fuzzy_expand(index, missing, max_dist=max_dist,
+                       max_expansions=1, zone=zone)
+    best = sorted({s for v in exp.values() for s in v})
+    dfs = ({r["term"]: int(r["df_g"]) for r in
+            zidx.filter(F.col("term").isin(best))
+            .groupBy("term").agg(F.sum("df").alias("df_g")).collect()}
+           if best else {})
+    rows = [(t, exp[t][0], dfs[exp[t][0]])
+            for t in missing if exp.get(t)]
+    return spark.createDataFrame(rows, _SUGGEST_SCHEMA)
+
+
 def search_fuzzy(index: DataFrame, docs: DataFrame | None, stats: dict,
                  query: str, k: int = 10, max_dist: int = 1,
                  max_expansions: int = 8, stem: bool = True,

@@ -109,3 +109,22 @@ def test_search_fuzzy_exact_term_included(built):
              search_fuzzy(index, docs, stats, "import", k=1000,
                           shard_size=SHARD_SIZE).collect()}
     assert exact <= fuzzy
+
+
+def test_suggest_corrections(built):
+    from index_spark.operators.query import suggest_corrections
+
+    docs, index, stats, oracle = built
+    # 'import' is known -> no row; 'imort' is absent -> its df-max
+    # distance-1 neighbor
+    rows = suggest_corrections(index, "import imort").collect()
+    exp = naive_expand(oracle, ["imort"], max_expansions=1)["imort"]
+    if exp:
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["qterm"], r["suggestion"]) == ("imort", exp[0])
+        assert r["df"] == len(oracle.tf[exp[0]])
+    else:
+        assert rows == []
+    # fully-known query -> empty
+    assert suggest_corrections(index, "import return").collect() == []
