@@ -687,6 +687,26 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         return percolate(corpus, queries, mode="and", stem=False,
                          camel=False)
 
+    def ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # IR evaluation surface: MRR@10 + nDCG@10 of the engine's batch
+        # query-set results against containment-graded qrels (rel = #
+        # distinct query terms in the doc)
+        from index_spark.operators.evaluate import ranking_metrics
+        from index_spark.operators.query import search_many
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        queries = {qid: " ".join(terms) for qid, terms in QUERYSET}
+        res = search_many(index, stats, queries, k=10,
+                          stem=False, camel=False)
+        _register(spark, sf_dir, ["documents"])
+        qrels = spark.sql(
+            _with(_SPARK_TOK_CTE, _queryset_values_sql())
+            + """ SELECT q.query_id, tok.doc_id,
+                     CAST(count(DISTINCT tok.term) AS DOUBLE) AS rel
+                  FROM tok JOIN q ON tok.term = q.term
+                  GROUP BY q.query_id, tok.doc_id""")
+        return ranking_metrics(res, qrels, k=10)
+
     def suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         # autocompletion: prefix dictionary scan ranked by popularity
         from index_spark.operators.query import complete_terms
@@ -910,6 +930,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "vacuum_topk": vacuum_topk,
         "term_prefix": term_prefix,
         "suggest_terms": suggest_terms,
+        "ranking_eval": ranking_eval,
         "percolate_matches": percolate_matches,
         "curation_verdicts": curation_verdicts,
         "resolved_topk": resolved_topk,
@@ -1230,6 +1251,52 @@ SELECT q.query_id, tf.doc_id
 FROM tf JOIN q ON tf.term = q.term JOIN qn ON q.query_id = qn.query_id
 GROUP BY q.query_id, tf.doc_id, qn.n
 HAVING count(DISTINCT tf.term) = qn.n"""
+
+# IR eval restated: SQL BM25 ranking (rank-identical to the engine) +
+# containment-graded qrels -> per-query RR/DCG/IDCG/nDCG, same pinned
+# definitions as operators/evaluate.py
+_ORACLE_RANKING_EVAL = """
+, qscores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+), res AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM qscores QUALIFY rank <= 10
+), qrels AS (
+  SELECT q.query_id, tok.doc_id,
+         CAST(count(DISTINCT tok.term) AS DOUBLE) AS rel
+  FROM tok JOIN q ON tok.term = q.term
+  GROUP BY q.query_id, tok.doc_id
+), fullr AS (SELECT query_id, max(rel) AS full FROM qrels GROUP BY query_id),
+perq AS (
+  SELECT r.query_id,
+         sum(coalesce(qr.rel, 0) / log2(r.rank + 1)) AS dcg,
+         min(CASE WHEN qr.rel = f.full THEN r.rank END) AS ff
+  FROM res r
+  LEFT JOIN qrels qr ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
+  JOIN fullr f ON r.query_id = f.query_id
+  GROUP BY r.query_id
+), ideal AS (
+  SELECT query_id, sum(rel / log2(i + 1)) AS idcg FROM (
+    SELECT query_id, rel,
+           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS i
+    FROM qrels) t WHERE i <= 10 GROUP BY query_id
+)
+SELECT p.query_id,
+       round(CASE WHEN p.ff IS NOT NULL THEN 1.0 / p.ff ELSE 0 END, 6) AS rr,
+       round(p.dcg, 6) AS dcg,
+       round(i.idcg, 6) AS idcg,
+       round(CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg ELSE 0 END, 6) AS ndcg
+FROM perq p JOIN ideal i ON p.query_id = i.query_id
+ORDER BY p.query_id"""
 
 _ORACLE_SUGGEST = """
 SELECT term, df FROM dft
@@ -1762,6 +1829,8 @@ def _build_registry():
         _docs_sql("duck", _ORACLE_CURATE))
     add("percolate_matches", eng["percolate_matches"],
         _docs_sql("duck", _ORACLE_PERCOLATE, [qs_cte]))
+    add("ranking_eval", eng["ranking_eval"],
+        _docs_sql("duck", _ORACLE_RANKING_EVAL, [qs_cte]))
     add("suggest_terms", eng["suggest_terms"],
         _docs_sql("duck", _ORACLE_SUGGEST))
     add("resolved_topk", eng["resolved_topk"],

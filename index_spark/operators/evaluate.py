@@ -1,0 +1,69 @@
+"""Ranking evaluation: MRR@k and nDCG@k of a result relation against a
+graded relevance (qrels) relation — the eval harness a search team runs
+over its query set on every index build.
+
+All pure SQL expressions (codegen): one join of the top-k results to
+qrels, two grouped aggregates, and one window over query_id for the
+ideal ranking. The window partitions by QUERY — qrel sets are curated
+and bounded per query, so unlike a window over terms/docs this cannot
+concentrate unbounded data on one task at corpus scale.
+
+Pinned definitions (restatable in any SQL dialect):
+
+    rel(q, d)   caller-supplied grade (>= 0)
+    full(q)     = max rel over the query's qrels (best achievable)
+    RR@k        = 1 / min{rank <= k : rel = full(q)}, else 0
+    DCG@k       = sum_{rank <= k} rel / log2(rank + 1)
+    IDCG@k      = DCG of the qrels sorted (rel desc, doc_id asc), top k
+    nDCG@k      = DCG / IDCG (0 when IDCG = 0)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ranking_metrics(results: DataFrame, qrels: DataFrame,
+                    k: int = 10) -> DataFrame:
+    """Per-query metrics. ``results``: (query_id, doc_id, rank) with
+    rank 1-based; ``qrels``: (query_id, doc_id, rel). Returns
+    (query_id, rr, dcg, idcg, ndcg), 6-decimal rounds, ordered by
+    query_id."""
+    res = results.select("query_id", "doc_id",
+                         F.col("rank").cast("long").alias("rank")) \
+                 .filter(F.col("rank") <= k)
+    qr = qrels.select("query_id", "doc_id",
+                      F.col("rel").cast("double").alias("rel"))
+    full = qr.groupBy("query_id").agg(F.max("rel").alias("full"))
+
+    j = (res.join(qr, ["query_id", "doc_id"], "left")
+         .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0.0)))
+         .join(full, "query_id"))
+    gain = F.col("rel") / F.log2(F.col("rank") + 1)
+    per_q = j.groupBy("query_id").agg(
+        F.sum(gain).alias("dcg"),
+        F.min(F.when(F.col("rel") == F.col("full"),
+                     F.col("rank"))).alias("first_full"))
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"),
+                                               F.asc("doc_id"))
+    ideal = (qr.withColumn("i", F.row_number().over(w))
+             .filter(F.col("i") <= k)
+             .groupBy("query_id")
+             .agg(F.sum(F.col("rel") / F.log2(F.col("i") + 1))
+                  .alias("idcg")))
+
+    out = (per_q.join(ideal, "query_id", "left")
+           .withColumn("idcg", F.coalesce(F.col("idcg"), F.lit(0.0)))
+           .select(
+               "query_id",
+               F.round(F.when(F.col("first_full").isNotNull(),
+                              1.0 / F.col("first_full"))
+                       .otherwise(0.0), 6).alias("rr"),
+               F.round("dcg", 6).alias("dcg"),
+               F.round("idcg", 6).alias("idcg"),
+               F.round(F.when(F.col("idcg") > 0,
+                              F.col("dcg") / F.col("idcg"))
+                       .otherwise(0.0), 6).alias("ndcg")))
+    return out.orderBy("query_id")
