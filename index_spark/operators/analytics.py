@@ -222,6 +222,48 @@ def related_terms_index(index: DataFrame, seed_term: str, n_docs: int,
     return out.limit(top)
 
 
+def index_report(index: DataFrame) -> DataFrame:
+    """One-row operational health report of an index — the numbers an
+    on-call engineer checks after every build/merge/vacuum: term and
+    row counts, posting totals, per-component blob bytes, and shard
+    skew (max/avg postings per shard). Metadata-only aggregates — no
+    blob ever decodes; the blob-length sums read the binary columns'
+    lengths inside the scan.
+
+    Columns: n_terms, n_rows, n_postings, n_docs, total_tokens,
+    doc_bytes, tf_bytes, dl_bytes, pos_bytes, n_shards,
+    max_shard_postings, avg_shard_postings, bytes_per_posting."""
+    from index_spark.operators.build import DOC_MARKER
+
+    if "shard" not in index.columns:
+        index = index.withColumn("shard", F.lit(0))
+    has_pos = "pos_blob" in index.columns
+    pos_len = (F.sum(F.length(F.coalesce(F.col("pos_blob"),
+                                         F.lit(b""))))
+               if has_pos else F.lit(0))
+    body = index.filter(F.col("term") != DOC_MARKER)
+    marker = index.filter(F.col("term") == DOC_MARKER).agg(
+        F.sum("df").alias("n_docs"), F.sum("cf").alias("total_tokens"))
+    shard_p = (body.groupBy("shard")
+               .agg(F.sum("df").alias("p"))
+               .agg(F.count("*").alias("n_shards"),
+                    F.max("p").alias("max_shard_postings"),
+                    F.round(F.avg("p"), 2).alias("avg_shard_postings")))
+    totals = body.agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.count("*").alias("n_rows"),
+        F.sum("df").alias("n_postings"),
+        F.sum(F.length("doc_blob")).alias("doc_bytes"),
+        F.sum(F.length("tf_blob")).alias("tf_bytes"),
+        F.sum(F.length("dl_blob")).alias("dl_bytes"),
+        pos_len.alias("pos_bytes"))
+    out = totals.crossJoin(marker).crossJoin(shard_p)
+    return out.withColumn(
+        "bytes_per_posting",
+        F.round((F.col("doc_bytes") + F.col("tf_bytes")
+                 + F.col("dl_bytes")) / F.col("n_postings"), 3))
+
+
 def related_terms(postings: DataFrame, seed_term: str, n_docs: int,
                   top: int = 20, min_cooc: int = 2) -> DataFrame:
     """Terms co-occurring with ``seed_term``, ranked by PMI.

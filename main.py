@@ -96,6 +96,15 @@ def cmd_facets(args) -> None:
                       for r in out]))
 
 
+def cmd_report(args) -> None:
+    from index_spark.operators.analytics import index_report
+    from index_spark.plans.checkpoint import load_index
+
+    spark = _spark(args)
+    r = index_report(load_index(spark, args.index_dir)).collect()[0]
+    print(json.dumps(r.asDict()))
+
+
 def cmd_related(args) -> None:
     from index_spark.operators.analytics import related_terms_index
     from index_spark.plans.checkpoint import load_index, load_stats
@@ -212,6 +221,11 @@ def main(argv=None) -> None:
     fc.add_argument("--mode", default="or", choices=["or", "and"])
     fc.add_argument("--top", type=int, default=20)
     fc.set_defaults(fn=cmd_facets)
+
+    rp = sub.add_parser("report", help="index health report (counts, "
+                        "bytes, shard skew)")
+    rp.add_argument("--index-dir", required=True)
+    rp.set_defaults(fn=cmd_report)
 
     rl = sub.add_parser("related", help="PMI co-occurring terms")
     rl.add_argument("--index-dir", required=True)

@@ -172,3 +172,16 @@ def test_ranking_metrics_hand_example(spark):
     # q1: no retrieved doc is relevant
     assert out[1]["rr"] == 0.0 and out[1]["dcg"] == 0.0
     assert out[1]["ndcg"] == 0.0
+
+
+def test_index_report(built):
+    from index_spark.operators.analytics import index_report
+
+    docs, index, stats, oracle = built
+    r = index_report(index).collect()[0]
+    assert r["n_docs"] == oracle.n_docs
+    assert r["total_tokens"] == sum(oracle.doc_len)
+    assert r["n_terms"] == len(oracle.tf)
+    assert r["n_postings"] == sum(len(p) for p in oracle.tf.values())
+    assert r["n_shards"] >= 1 and r["max_shard_postings"] > 0
+    assert 0 < r["bytes_per_posting"] < 20
