@@ -4,7 +4,7 @@
 # then run the pinned 8->32 scaling harness once.  Repeats until a run
 # lands whose BOTH windows are user-dominated, or max attempts reached.
 cd /root/repo
-for attempt in $(seq 1 40); do
+for attempt in $(seq 1 200); do
   if python BENCH/window_probe.py > /tmp/probe.json 2>/dev/null; then
     echo "attempt $attempt: good window $(cat /tmp/probe.json)"
     python BENCH/scaling.py /tmp/scale_corpus200k 1 200000 8,32 \
@@ -25,6 +25,6 @@ EOF
   else
     echo "attempt $attempt: bad window $(cat /tmp/probe.json)"
   fi
-  sleep 180
+  sleep 150
 done
 echo "GAVE UP after 40 attempts"
