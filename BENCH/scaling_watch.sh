@@ -27,4 +27,5 @@ EOF
   fi
   sleep 150
 done
-echo "GAVE UP after 40 attempts"
+echo "GAVE UP: no clean window"
+exit 1

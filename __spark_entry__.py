@@ -1279,7 +1279,7 @@ _ORACLE_RANKING_EVAL = """
 perq AS (
   SELECT r.query_id,
          sum(coalesce(qr.rel, 0) / log2(r.rank + 1)) AS dcg,
-         min(CASE WHEN qr.rel = f.full THEN r.rank END) AS ff
+         min(CASE WHEN qr.rel = f.full AND f.full > 0 THEN r.rank END) AS ff
   FROM res r
   LEFT JOIN qrels qr ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
   JOIN fullr f ON r.query_id = f.query_id

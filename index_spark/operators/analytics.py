@@ -161,7 +161,8 @@ _COOC_SCHEMA = T.StructType([
 
 
 def related_terms_index(index: DataFrame, seed_term: str, n_docs: int,
-                        top: int = 20, min_cooc: int = 2) -> DataFrame:
+                        top: int = 20, min_cooc: int = 2,
+                        zone: str | None = None) -> DataFrame:
     """Index-native :func:`related_terms` — the scale path: never
     materializes the exploded postings relation.
 
@@ -177,6 +178,8 @@ def related_terms_index(index: DataFrame, seed_term: str, n_docs: int,
     ranks, the top cut is a TakeOrderedAndProject."""
     from index_spark.operators.build import DOC_MARKER
 
+    index = pin_zone(index, zone)  # zoned: ONE zone, validated — else a
+    # (term, doc) co-occurrence would count once per zone
     if "shard" not in index.columns:
         index = index.withColumn("shard", F.lit(0))
     seed_shards = (index.filter(F.col("term") == seed_term)
@@ -222,7 +225,7 @@ def related_terms_index(index: DataFrame, seed_term: str, n_docs: int,
     return out.limit(top)
 
 
-def index_report(index: DataFrame) -> DataFrame:
+def index_report(index: DataFrame, zone: str | None = None) -> DataFrame:
     """One-row operational health report of an index — the numbers an
     on-call engineer checks after every build/merge/vacuum: term and
     row counts, posting totals, per-component blob bytes, and shard
@@ -235,6 +238,10 @@ def index_report(index: DataFrame) -> DataFrame:
     max_shard_postings, avg_shard_postings, bytes_per_posting."""
     from index_spark.operators.build import DOC_MARKER
 
+    # zoned indexes carry one '%' doc-table row set PER ZONE — summing
+    # across zones would overcount n_docs/total_tokens; pin one
+    # (validated, default body)
+    index = pin_zone(index, zone)
     if "shard" not in index.columns:
         index = index.withColumn("shard", F.lit(0))
     has_pos = "pos_blob" in index.columns

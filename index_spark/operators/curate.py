@@ -38,19 +38,22 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
     (keep=true, reason='ok'). Token/alpha definitions match the
     engine's SQL-parity tokenizer (lower → [a-z0-9]+ runs) and the
     ``alpha_ratio`` entry (4-decimal round)."""
+    # NULL text folds to '' BEFORE hashing: a NULL sha2 key would never
+    # match in the equi-join below and the doc would silently lose its
+    # verdict row; as '' it dedups/gates like any empty doc (too_short)
     d = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.col(text_col).alias("_text"),
-        F.sha2(F.col(text_col), 256).alias("_h"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_text"),
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("_h"),
     )
     firsts = d.groupBy("_h").agg(F.min("doc_id").alias("_first"))
     d = d.join(firsts, "_h")
     n_tok = F.size(F.filter(
         F.split(F.lower("_text"), "[^a-z0-9]+"), lambda x: x != ""
     )).cast("long")
-    alpha = F.round(
+    alpha = F.when(F.length("_text") > 0, F.round(
         F.length(F.regexp_replace(F.lower("_text"), "[^a-z]", ""))
-        / F.length("_text"), 4)
+        / F.length("_text"), 4)).otherwise(F.lit(0.0))  # '' (ANSI /0)
     d = (d.withColumn("n_tokens", n_tok)
           .withColumn("alpha_ratio", alpha)
           .withColumn("dup_of", F.when(F.col("doc_id") != F.col("_first"),

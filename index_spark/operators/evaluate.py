@@ -12,7 +12,7 @@ Pinned definitions (restatable in any SQL dialect):
 
     rel(q, d)   caller-supplied grade (>= 0)
     full(q)     = max rel over the query's qrels (best achievable)
-    RR@k        = 1 / min{rank <= k : rel = full(q)}, else 0
+    RR@k        = 1 / min{rank <= k : rel = full(q) > 0}, else 0
     DCG@k       = sum_{rank <= k} rel / log2(rank + 1)
     IDCG@k      = DCG of the qrels sorted (rel desc, doc_id asc), top k
     nDCG@k      = DCG / IDCG (0 when IDCG = 0)
@@ -37,13 +37,19 @@ def ranking_metrics(results: DataFrame, qrels: DataFrame,
                       F.col("rel").cast("double").alias("rel"))
     full = qr.groupBy("query_id").agg(F.max("rel").alias("full"))
 
+    # left joins throughout: a query with no qrels at all still scores
+    # (rr=0, ndcg=0) instead of dropping from the report, and a query
+    # whose judgments are all rel=0 has NO fully-relevant doc (the
+    # full>0 guard — otherwise unjudged results would "achieve" full=0)
     j = (res.join(qr, ["query_id", "doc_id"], "left")
          .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0.0)))
-         .join(full, "query_id"))
+         .join(full, "query_id", "left")
+         .withColumn("full", F.coalesce(F.col("full"), F.lit(0.0))))
     gain = F.col("rel") / F.log2(F.col("rank") + 1)
     per_q = j.groupBy("query_id").agg(
         F.sum(gain).alias("dcg"),
-        F.min(F.when(F.col("rel") == F.col("full"),
+        F.min(F.when((F.col("rel") == F.col("full"))
+                     & (F.col("full") > 0),
                      F.col("rank"))).alias("first_full"))
 
     w = Window.partitionBy("query_id").orderBy(F.desc("rel"),

@@ -107,9 +107,13 @@ def _phrase_shard(pdf: pd.DataFrame, qterms: list[str]) -> pd.DataFrame:
 def _zone_pinned(index: DataFrame, zone: str | None) -> DataFrame:
     """Positions are per-zone streams: a zoned index must be pinned to
     ONE zone before position queries, or different zones' occurrences
-    would be conflated. Also tolerates a merged (shard-less) index."""
-    if "zone" in index.columns:
-        index = index.filter(F.col("zone") == (zone or "body"))
+    would be conflated. Delegates to :func:`query.pin_zone` so an
+    absent/typo'd zone raises loudly (listing the available zones)
+    instead of silently matching nothing. Also tolerates a merged
+    (shard-less) index."""
+    from index_spark.operators.query import pin_zone
+
+    index = pin_zone(index, zone)
     if "shard" not in index.columns:
         index = index.withColumn("shard", F.lit(0))
     return index

@@ -5,6 +5,10 @@ Robertson/Zaragoza BM25 (k1=1.2, b=0.75) + Ding & Suel block-max WAND
 (SIGIR'11), scores summed in ascending term order so results are
 bit-comparable to the single-threaded oracle (tests/oracle.py).
 
+(The exhaustive, conjunctive and restricted kernels share the pinned
+ascending-(term, zone) sum order bit-for-bit; the MaxScore/WAND kernel
+is deterministic but may differ in the final ulp — see its docstring.)
+
 Distributed shape: the sharded index aligns every term's postings on the
 same global doc_id ranges (build.py), so each shard holds *all* query
 terms' postings for its doc range — document-at-a-time scoring
@@ -370,6 +374,10 @@ def _score_shard_wand(pdf: pd.DataFrame, avgdl: float, k: int) -> pd.DataFrame:
     Exact: every candidate's score is complete (essential scatter-add +
     non-essential probes); every non-candidate scores ≤ Σ non-essential
     ubs < θ ≤ true k-th score (strict — doc_id tiebreaks unaffected).
+    Accumulation is deterministic (term-ordered within each phase) but
+    the essential/probe split can differ from the exhaustive kernel's
+    global ascending-term sum by the last ulp — this kernel's contract
+    is rank identity at 1e-9, not bit equality.
     All steps are searchsorted / bincount over whole arrays; pruned
     lists and blocks cost zero decode. Degenerates gracefully: when θ
     prunes nothing every list is essential and the cost ≈ the exhaustive
@@ -409,12 +417,21 @@ def _score_shard_wand(pdf: pd.DataFrame, avgdl: float, k: int) -> pd.DataFrame:
         order = np.argsort(max_ub, kind="stable")
         cum = np.cumsum(max_ub[order])
         n_ness = int(np.searchsorted(cum, theta, side="left"))
-        essential = sorted(order[n_ness:].tolist())
+        essential = order[n_ness:].tolist()
         if not essential:  # float edge: θ == Σ ub — keep one list
             essential = [seed_i]
     else:
         essential = list(range(n))
-    ness = [i for i in range(n) if i not in set(essential)]
+    # deterministic float accumulation: lists add in ascending
+    # (term, row) order within each of the two phases. (Exact ascending
+    # interleave of pruned and unpruned lists — the exhaustive kernel's
+    # order — would forfeit the scatter-add/probe split; the phases can
+    # differ from exhaustive in the last ulp, which is why the WAND
+    # contract is rank identity at 1e-9, not bit equality.)
+    key = lambda i: (metas[i]["term"], i)  # noqa: E731
+    essential = sorted(essential, key=key)
+    ness = sorted((i for i in range(n) if i not in set(essential)),
+                  key=key)
     if essential == [seed_i] and seed_full:
         # the candidates ARE the fully-scored seed docs — done
         return _topk_frame(sdocs, seed_scores, k)
@@ -1411,6 +1428,10 @@ def snippets(topk: DataFrame, corpus_with_ids: DataFrame, query: str,
     position (1 when falling back).
     """
     qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    if not qterms:  # empty query: empty relation, like every entry point
+        return (corpus_with_ids.join(F.broadcast(topk), "doc_id")
+                .select("doc_id", "score", F.lit(1).cast("long").alias("pos"),
+                        F.lit("").alias("snippet")).limit(0))
     hay = F.lower(F.col("content"))
     pos_cols = [
         F.when(F.instr(hay, t) > 0, F.instr(hay, t)) for t in qterms

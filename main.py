@@ -64,6 +64,7 @@ def cmd_query(args) -> None:
     tomb = load_tombstones(spark, args.index_dir)
     if args.fuzzy:
         rows = search_fuzzy(index, None, stats, args.query, k=args.k,
+                            mode=args.mode, exclude=args.exclude,
                             tombstones=tomb).collect()
     else:
         rows = search(index, None, stats, args.query, k=args.k,

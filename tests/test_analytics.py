@@ -185,3 +185,20 @@ def test_index_report(built):
     assert r["n_postings"] == sum(len(p) for p in oracle.tf.values())
     assert r["n_shards"] >= 1 and r["max_shard_postings"] > 0
     assert 0 < r["bytes_per_posting"] < 20
+
+
+def test_ranking_metrics_all_zero_and_missing_qrels(spark):
+    """rel=0-only judgments give rr=0 (no relevant doc exists); a query
+    with no qrels at all still reports a row with rr=ndcg=0."""
+    from index_spark.operators.evaluate import ranking_metrics
+
+    res = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (1, 9, 1)],
+        "query_id long, doc_id long, rank long")
+    qrels = spark.createDataFrame(
+        [(0, 1, 0.0), (0, 2, 0.0)],
+        "query_id long, doc_id long, rel double")
+    out = {r["query_id"]: r for r in
+           ranking_metrics(res, qrels, k=3).collect()}
+    assert out[0]["rr"] == 0.0 and out[0]["ndcg"] == 0.0
+    assert 1 in out and out[1]["rr"] == 0.0 and out[1]["ndcg"] == 0.0

@@ -295,3 +295,16 @@ def test_curate_corpus_gates(spark, tiny_corpus):
                              min_alpha=0.5)
     left = sorted(r["doc_id"] for r in kept(df, verdicts).collect())
     assert left == [0, 4]
+
+
+def test_curate_null_text_keeps_its_verdict_row(spark):
+    """NULL text must not silently drop the doc from the verdicts."""
+    from index_spark.operators.curate import curate_corpus
+
+    df = spark.createDataFrame(
+        [(0, "real words here ok fine yes"), (1, None)],
+        "doc_id long, text string")
+    v = {r["doc_id"]: r for r in
+         curate_corpus(df, min_tokens=3).collect()}
+    assert set(v) == {0, 1}
+    assert v[1]["reason"] == "too_short" and not v[1]["keep"]

@@ -410,3 +410,17 @@ def test_resolve_topk_keys(built):
         [r["doc_id"] for r in top.collect()]
     for r in out:
         assert (r["repo"], r["path"]) == oracle.doc_keys[r["doc_id"]]
+
+
+def test_snippets_empty_query_returns_empty(spark, built):
+    from index_spark.operators.build import assign_doc_ids
+    from index_spark.operators.query import search, snippets
+
+    docs, index, stats, oracle = built
+    corpus = spark.createDataFrame(
+        [("r", f"{i:04d}", "text") for i in range(3)],
+        ["repo", "path", "content"])
+    top = search(index, docs, stats, "import", k=3,
+                 shard_size=SHARD_SIZE)
+    out = snippets(top, assign_doc_ids(corpus), "!!!").collect()
+    assert out == []
