@@ -97,6 +97,28 @@ def cmd_facets(args) -> None:
                       for r in out]))
 
 
+def cmd_percolate(args) -> None:
+    from index_spark.operators.build import assign_doc_ids
+    from index_spark.operators.percolate import percolate
+
+    spark = _spark(args)
+    docs = assign_doc_ids(spark.read.parquet(args.docs))
+    queries = {int(k): v for k, v in json.loads(args.queries).items()}
+    out = percolate(docs, queries, mode=args.mode).collect()
+    print(json.dumps([{"query_id": r["query_id"], "doc_id": r["doc_id"]}
+                      for r in out]))
+
+
+def cmd_eval(args) -> None:
+    from index_spark.operators.evaluate import ranking_metrics
+
+    spark = _spark(args)
+    res = spark.read.parquet(args.results)
+    qrels = spark.read.parquet(args.qrels)
+    out = ranking_metrics(res, qrels, k=args.k).collect()
+    print(json.dumps([r.asDict() for r in out]))
+
+
 def cmd_report(args) -> None:
     from index_spark.operators.analytics import index_report
     from index_spark.plans.checkpoint import load_index
@@ -222,6 +244,24 @@ def main(argv=None) -> None:
     fc.add_argument("--mode", default="or", choices=["or", "and"])
     fc.add_argument("--top", type=int, default=20)
     fc.set_defaults(fn=cmd_facets)
+
+    pc = sub.add_parser("percolate", help="route docs against a "
+                        "standing query set")
+    pc.add_argument("--docs", required=True,
+                    help="parquet with (repo, path, content)")
+    pc.add_argument("--queries", required=True,
+                    help='JSON object {"0": "data table", ...}')
+    pc.add_argument("--mode", default="and", choices=["or", "and"])
+    pc.set_defaults(fn=cmd_percolate)
+
+    ev = sub.add_parser("eval", help="MRR/nDCG of a results parquet "
+                        "against a qrels parquet")
+    ev.add_argument("--results", required=True,
+                    help="parquet with (query_id, doc_id, rank)")
+    ev.add_argument("--qrels", required=True,
+                    help="parquet with (query_id, doc_id, rel)")
+    ev.add_argument("-k", type=int, default=10)
+    ev.set_defaults(fn=cmd_eval)
 
     rp = sub.add_parser("report", help="index health report (counts, "
                         "bytes, shard skew)")
