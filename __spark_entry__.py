@@ -687,6 +687,15 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         return percolate(corpus, queries, mode="and", stem=False,
                          camel=False)
 
+    def index_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the SQL-checkable core of the index health report: term /
+        # posting / doc / token totals from metadata-only aggregates
+        from index_spark.operators.analytics import index_report
+
+        _, index, _ = _parity_build(spark, sf_dir)
+        return index_report(index).select("n_terms", "n_postings",
+                                          "n_docs", "total_tokens")
+
     def ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         # IR evaluation surface: MRR@10 + nDCG@10 of the engine's batch
         # query-set results against containment-graded qrels (rel = #
@@ -931,6 +940,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "term_prefix": term_prefix,
         "suggest_terms": suggest_terms,
         "ranking_eval": ranking_eval,
+        "index_totals": index_totals,
         "percolate_matches": percolate_matches,
         "curation_verdicts": curation_verdicts,
         "resolved_topk": resolved_topk,
@@ -1251,6 +1261,13 @@ SELECT q.query_id, tf.doc_id
 FROM tf JOIN q ON tf.term = q.term JOIN qn ON q.query_id = qn.query_id
 GROUP BY q.query_id, tf.doc_id, qn.n
 HAVING count(DISTINCT tf.term) = qn.n"""
+
+_ORACLE_INDEX_TOTALS = """
+SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+       CAST(count(*) AS BIGINT) AS n_postings,
+       (SELECT CAST(count(*) AS BIGINT) FROM dl) AS n_docs,
+       (SELECT CAST(sum(dlen) AS BIGINT) FROM dl) AS total_tokens
+FROM tf"""
 
 # IR eval restated: SQL BM25 ranking (rank-identical to the engine) +
 # containment-graded qrels -> per-query RR/DCG/IDCG/nDCG, same pinned
@@ -1829,6 +1846,8 @@ def _build_registry():
         _docs_sql("duck", _ORACLE_CURATE))
     add("percolate_matches", eng["percolate_matches"],
         _docs_sql("duck", _ORACLE_PERCOLATE, [qs_cte]))
+    add("index_totals", eng["index_totals"],
+        _docs_sql("duck", _ORACLE_INDEX_TOTALS))
     add("ranking_eval", eng["ranking_eval"],
         _docs_sql("duck", _ORACLE_RANKING_EVAL, [qs_cte]))
     add("suggest_terms", eng["suggest_terms"],
