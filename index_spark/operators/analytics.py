@@ -49,7 +49,8 @@ _POSTINGS_SCHEMA = T.StructType([
 
 def matching_docs(index: DataFrame, query: str, mode: str = "or",
                   stem: bool = True, camel: bool = True,
-                  zone: str | None = None) -> DataFrame:
+                  zone: str | None = None,
+                  _count_only: bool = False) -> DataFrame:
     """Distinct doc_ids matching the query (no scoring).
 
     ``mode='or'``: docs containing ANY query term; ``'and'``: docs
@@ -72,15 +73,16 @@ def matching_docs(index: DataFrame, query: str, mode: str = "or",
     n_q = len(qterms)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": np.empty(0, np.int64)})
         per_term: dict[str, list[np.ndarray]] = {}
         for row in pdf.itertuples(index=False):
             docs = np.cumsum(vb.decode(row.doc_blob).astype(np.int64))
             per_term.setdefault(row.term, []).append(docs)
         if mode == "and" and len(per_term) < n_q:
-            return pd.DataFrame({"doc_id": np.empty(0, np.int64)})
+            return empty
         sets = [np.unique(np.concatenate(v)) for v in per_term.values()]
         if not sets:
-            return pd.DataFrame({"doc_id": np.empty(0, np.int64)})
+            return empty
         if mode == "or":
             out = np.unique(np.concatenate(sets))
         else:
@@ -90,6 +92,9 @@ def matching_docs(index: DataFrame, query: str, mode: str = "or",
                 out = np.intersect1d(out, s, assume_unique=True)
                 if out.size == 0:
                     break
+        if _count_only:
+            return pd.DataFrame({"doc_id": np.array([out.size],
+                                                    np.int64)})
         return pd.DataFrame({"doc_id": out})
 
     return hits.groupBy("shard").applyInPandas(fn, schema=_DOCS_SCHEMA)
@@ -99,11 +104,13 @@ def hit_count(index: DataFrame, query: str, mode: str = "or",
               stem: bool = True, camel: bool = True,
               zone: str | None = None) -> DataFrame:
     """Single-row (n_hits) total match count — the "about N results"
-    number. Same plan as :func:`matching_docs` plus a count aggregate
-    (map-side partial per shard task, one tiny final reduce)."""
+    number. Same decode as :func:`matching_docs`, but each shard kernel
+    emits ONE count row (shards hold disjoint doc ranges, so per-shard
+    distinct counts sum exactly) — the kernel output is |shards| rows,
+    never the match set itself, before the final tiny sum."""
     m = matching_docs(index, query, mode=mode, stem=stem, camel=camel,
-                      zone=zone)
-    return m.agg(F.count("*").alias("n_hits"))
+                      zone=zone, _count_only=True)
+    return m.agg(F.coalesce(F.sum("doc_id"), F.lit(0)).alias("n_hits"))
 
 
 def facet_counts(index: DataFrame, doc_meta: DataFrame, query: str,
