@@ -666,6 +666,18 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         return related_terms_index(index, "data", stats["n_docs"],
                                    top=15, min_cooc=2)
 
+    def percolate_dsl_matches(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+        # routing under web-query syntax: +required bare -excluded
+        from index_spark.operators.build import assign_doc_ids
+        from index_spark.operators.percolate import percolate_dsl
+
+        corpus = assign_doc_ids(_parity_corpus(spark, sf_dir))
+        return percolate_dsl(corpus, {0: "+data +table -scan",
+                                      1: "data table",
+                                      2: "+query -data"},
+                             stem=False, camel=False)
+
     def curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # training-data curation tier: exact keep-first dedup + length
         # + alpha gates, pinned gate order, pure codegen
@@ -943,6 +955,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "index_totals": index_totals,
         "percolate_matches": percolate_matches,
         "curation_verdicts": curation_verdicts,
+        "percolate_dsl_matches": percolate_dsl_matches,
         "resolved_topk": resolved_topk,
         "snippet_topk": snippet_topk,
         "wand_queryset": wand_queryset,
@@ -1229,6 +1242,27 @@ FROM tf WHERE term LIKE 's%' GROUP BY term ORDER BY term ASC LIMIT 15"""
 # falls back to the document head when no term occurs literally)
 # curation verdicts: sha256 keep-first dedup, then token floor/ceiling,
 # then alpha floor — same pinned gate order as the operator
+# DSL percolation: kind 0=required 1=bare 2=excluded; match iff every
+# required present, no excluded present, and (no required -> any bare)
+_ORACLE_PERC_DSL = """
+, qq(query_id, term, kind, n_req) AS (SELECT * FROM (VALUES
+  (0, 'data', 0, 2), (0, 'table', 0, 2), (0, 'scan', 2, 2),
+  (1, 'data', 1, 0), (1, 'table', 1, 0),
+  (2, 'query', 0, 1), (2, 'data', 2, 1)) v(query_id, term, kind, n_req)
+), j AS (
+  SELECT qq.query_id, tf.doc_id, qq.term, qq.kind, qq.n_req
+  FROM tf JOIN qq ON tf.term = qq.term
+), agg AS (
+  SELECT query_id, doc_id, n_req,
+         count(DISTINCT CASE WHEN kind = 0 THEN term END) AS req_hit,
+         max(CASE WHEN kind = 1 THEN 1 ELSE 0 END) AS opt_hit,
+         max(CASE WHEN kind = 2 THEN 1 ELSE 0 END) AS exc_hit
+  FROM j GROUP BY query_id, doc_id, n_req
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id FROM agg
+WHERE exc_hit = 0
+  AND ((n_req > 0 AND req_hit = n_req) OR (n_req = 0 AND opt_hit = 1))"""
+
 _ORACLE_CURATE = """
 , h AS (SELECT doc_id, sha256(text) AS hh FROM documents),
 firsts AS (SELECT hh, min(doc_id) AS first_id FROM h GROUP BY hh),
@@ -1842,6 +1876,8 @@ def _build_registry():
     add("related_terms", eng["related_terms"],
         _docs_sql("duck", _ORACLE_RELATED))
     add("vacuum_topk", eng["vacuum_topk"], _vacuum_duck_sql())
+    add("percolate_dsl_matches", eng["percolate_dsl_matches"],
+        _docs_sql("duck", _ORACLE_PERC_DSL))
     add("curation_verdicts", eng["curation_verdicts"],
         _docs_sql("duck", _ORACLE_CURATE))
     add("percolate_matches", eng["percolate_matches"],

@@ -68,6 +68,58 @@ def percolate(corpus_with_ids: DataFrame, queries: dict[int, str],
             .select("query_id", "doc_id"))
 
 
+def percolate_dsl(corpus_with_ids: DataFrame, queries: dict[int, str],
+                  stem: bool = True, camel: bool = True) -> DataFrame:
+    """Percolation under web-query syntax: ``+required bare -excluded``
+    per standing query (:func:`query.parse_query`; quoted phrases are
+    rejected — routing is positionless). A doc matches query q iff it
+    contains EVERY required term, NO excluded term, and (when q has no
+    required terms) at least one bare term.
+
+    Same single-aggregate shape as :func:`percolate`: the kind-tagged
+    query relation broadcasts, the batch's tokens filter to the query
+    vocabulary before the shuffle, and the match test is three
+    conditional counts over (query_id, doc_id)."""
+    from index_spark.operators.query import parse_query
+
+    spark = corpus_with_ids.sparkSession
+    rows = []
+    for qid, q in queries.items():
+        req, opt, exc, phrases, neg_p = parse_query(q, stem=stem,
+                                                    camel=camel)
+        if phrases or neg_p:
+            raise ValueError(
+                f"query {qid}: quoted phrases are not routable without "
+                "positions — use plain/AND percolation or phrase_search")
+        for t in req:
+            rows.append((int(qid), t, 0, len(req)))
+        for t in opt:
+            rows.append((int(qid), t, 1, len(req)))
+        for t in exc:
+            rows.append((int(qid), t, 2, len(req)))
+    if not rows:
+        return spark.createDataFrame([], "query_id long, doc_id long")
+    qrel = spark.createDataFrame(
+        rows, "query_id long, term string, kind int, n_req int")
+    vocab = sorted({t for _, t, _, _ in rows})
+    toks = (doc_term_counts(corpus_with_ids, stem=stem, camel=camel)
+            .filter(F.col("term").isin(vocab))
+            .select("doc_id", "term"))
+    j = toks.join(F.broadcast(qrel), "term")
+    agg = (j.groupBy("query_id", "doc_id", "n_req").agg(
+        F.countDistinct(F.when(F.col("kind") == 0, F.col("term")))
+         .alias("req_hit"),
+        F.max(F.when(F.col("kind") == 1, 1).otherwise(0))
+         .alias("opt_hit"),
+        F.max(F.when(F.col("kind") == 2, 1).otherwise(0))
+         .alias("exc_hit")))
+    matched = agg.filter(
+        (F.col("exc_hit") == 0)
+        & (((F.col("n_req") > 0) & (F.col("req_hit") == F.col("n_req")))
+           | ((F.col("n_req") == 0) & (F.col("opt_hit") == 1))))
+    return matched.select("query_id", "doc_id")
+
+
 def percolate_stream(spark: SparkSession, in_dir: str, out_dir: str,
                      schema, queries: dict[int, str], mode: str = "and",
                      stem: bool = True, camel: bool = True,

@@ -78,3 +78,50 @@ def test_percolate_stream_equals_batch(spark, tiny_corpus, tmp_path):
     expected = {(r["query_id"], r["repo"], r["path"])
                 for r in b.join(docs, "doc_id").collect()}
     assert got == expected
+
+
+DSL_QUERIES = {
+    0: "+import +return -def",       # both required, def excluded
+    1: "import return",              # bare OR
+    2: "+uniq7token",                # rare required
+    3: "+import -import",            # self-contradiction => empty
+    4: "+import numpy",              # required + bare absent term
+}
+
+
+def naive_percolate_dsl(oracle, queries):
+    from index_spark.operators.query import parse_query
+
+    out = set()
+    for qid, q in queries.items():
+        req, opt, exc, _, _ = parse_query(q, stem=True)
+        for d in range(oracle.n_docs):
+            has = lambda t: d in oracle.tf.get(t, {})  # noqa: E731
+            if any(has(t) for t in exc):
+                continue
+            if req:
+                if all(has(t) for t in req):
+                    out.add((qid, d))
+            elif any(has(t) for t in opt):
+                out.add((qid, d))
+    return out
+
+
+def test_percolate_dsl_matches_oracle(ids_and_oracle):
+    from index_spark.operators.percolate import percolate_dsl
+
+    with_ids, oracle = ids_and_oracle
+    got = {(r["query_id"], r["doc_id"])
+           for r in percolate_dsl(with_ids, DSL_QUERIES).collect()}
+    assert got == naive_percolate_dsl(oracle, DSL_QUERIES)
+    assert not any(q == 3 for q, _ in got)  # self-contradiction
+
+
+def test_percolate_dsl_rejects_phrases(ids_and_oracle):
+    import pytest as _pytest
+
+    from index_spark.operators.percolate import percolate_dsl
+
+    with_ids, _ = ids_and_oracle
+    with _pytest.raises(ValueError, match="phrase"):
+        percolate_dsl(with_ids, {0: '"data table"'})
