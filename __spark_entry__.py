@@ -675,7 +675,8 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         corpus = assign_doc_ids(_parity_corpus(spark, sf_dir))
         return percolate_dsl(corpus, {0: "+data +table -scan",
                                       1: "data table",
-                                      2: "+query -data"},
+                                      2: "+query -data",
+                                      3: '"data table"'},
                              stem=False, camel=False)
 
     def curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1248,7 +1249,8 @@ _ORACLE_PERC_DSL = """
 , qq(query_id, term, kind, n_req) AS (SELECT * FROM (VALUES
   (0, 'data', 0, 2), (0, 'table', 0, 2), (0, 'scan', 2, 2),
   (1, 'data', 1, 0), (1, 'table', 1, 0),
-  (2, 'query', 0, 1), (2, 'data', 2, 1)) v(query_id, term, kind, n_req)
+  (2, 'query', 0, 1), (2, 'data', 2, 1),
+  (3, 'data', 0, 2), (3, 'table', 0, 2)) v(query_id, term, kind, n_req)
 ), j AS (
   SELECT qq.query_id, tf.doc_id, qq.term, qq.kind, qq.n_req
   FROM tf JOIN qq ON tf.term = qq.term
@@ -1258,10 +1260,19 @@ _ORACLE_PERC_DSL = """
          max(CASE WHEN kind = 1 THEN 1 ELSE 0 END) AS opt_hit,
          max(CASE WHEN kind = 2 THEN 1 ELSE 0 END) AS exc_hit
   FROM j GROUP BY query_id, doc_id, n_req
+), pos AS (
+  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+        FROM documents) t
+), ph3 AS (
+  SELECT DISTINCT p0.doc_id
+  FROM pos p0 JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+  WHERE p0.term = 'data' AND p1.term = 'table'
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, doc_id FROM agg
 WHERE exc_hit = 0
-  AND ((n_req > 0 AND req_hit = n_req) OR (n_req = 0 AND opt_hit = 1))"""
+  AND ((n_req > 0 AND req_hit = n_req) OR (n_req = 0 AND opt_hit = 1))
+  AND (query_id <> 3 OR doc_id IN (SELECT doc_id FROM ph3))"""
 
 _ORACLE_CURATE = """
 , h AS (SELECT doc_id, sha256(text) AS hh FROM documents),

@@ -91,14 +91,14 @@ def tokenize(text: str, stem: bool = False, camel: bool = True) -> list[str]:
     return toks
 
 
-def tokenize_flat(texts, stem: bool = True):
+def tokenize_flat(texts, stem: bool = True, camel: bool = True):
     """Tokenize a batch -> (flat_tokens ndarray[object], lens ndarray).
 
     Normalization runs per row (regex/str ops); stemming runs once per
     *unique* token of the whole batch via hash-based ``pd.factorize``
     (Zipf dedup — O(n), unlike sort-based np.unique which goes
     superlinear on multi-million-string object arrays)."""
-    token_lists = [tokenize(t or "") for t in texts]
+    token_lists = [tokenize(t or "", camel=camel) for t in texts]
     lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
                        count=len(token_lists))
     flat = np.empty(int(lens.sum()), dtype=object)
@@ -115,9 +115,10 @@ def tokenize_flat(texts, stem: bool = True):
     return flat, lens
 
 
-def tokenize_series(texts: pd.Series, stem: bool = True) -> pd.Series:
+def tokenize_series(texts: pd.Series, stem: bool = True,
+                    camel: bool = True) -> pd.Series:
     """Series[str] -> Series[list[str]] — body of the build pandas UDF."""
-    flat, lens = tokenize_flat(texts, stem=stem)
+    flat, lens = tokenize_flat(texts, stem=stem, camel=camel)
     bounds = np.cumsum(lens)[:-1]
     out = [list(chunk) for chunk in np.split(flat, bounds)]
     return pd.Series(out, index=texts.index)

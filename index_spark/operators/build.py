@@ -261,12 +261,13 @@ def _ids_from_parted(parted: DataFrame, offsets: dict, counts: dict,
 
 
 def tokenized_docs(corpus_with_ids: DataFrame, stem: bool = True,
-                   text_col: str = "content") -> DataFrame:
+                   text_col: str = "content",
+                   camel: bool = True) -> DataFrame:
     """(doc_id, tokens, doc_len) via the vectorized tokenize+stem UDF."""
 
     @F.pandas_udf(TOKENS_SCHEMA)
     def _tok(texts: pd.Series) -> pd.Series:
-        return tokenize_series(texts, stem=stem)
+        return tokenize_series(texts, stem=stem, camel=camel)
 
     return (
         corpus_with_ids

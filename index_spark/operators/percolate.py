@@ -70,33 +70,45 @@ def percolate(corpus_with_ids: DataFrame, queries: dict[int, str],
 
 def percolate_dsl(corpus_with_ids: DataFrame, queries: dict[int, str],
                   stem: bool = True, camel: bool = True) -> DataFrame:
-    """Percolation under web-query syntax: ``+required bare -excluded``
-    per standing query (:func:`query.parse_query`; quoted phrases are
-    rejected — routing is positionless). A doc matches query q iff it
-    contains EVERY required term, NO excluded term, and (when q has no
-    required terms) at least one bare term.
+    """Percolation under full web-query syntax: ``+required bare
+    -excluded "exact phrase" -"excluded phrase"`` per standing query
+    (:func:`query.parse_query`). A doc matches query q iff it contains
+    EVERY required term, every quoted phrase consecutively, NO excluded
+    term, NO negated phrase, and (when q has no required terms/phrases)
+    at least one bare term.
 
-    Same single-aggregate shape as :func:`percolate`: the kind-tagged
-    query relation broadcasts, the batch's tokens filter to the query
-    vocabulary before the shuffle, and the match test is three
-    conditional counts over (query_id, doc_id)."""
+    Term gates are the same single-aggregate shape as :func:`percolate`
+    (kind-tagged broadcast relation, vocabulary filter before the
+    shuffle, three conditional counts). Phrase gates verify AFTER the
+    term gate, on candidate docs only: candidates join back to the
+    tokenized docs and the consecutive-run predicate evaluates as a JVM
+    higher-order ``exists`` over start indexes — no Python in the plan,
+    cost proportional to candidates (phrase terms already gated as
+    required, so candidates are docs containing all of them)."""
     from index_spark.operators.query import parse_query
 
     spark = corpus_with_ids.sparkSession
     rows = []
+    positional: dict[int, tuple[list, list]] = {}
     for qid, q in queries.items():
         req, opt, exc, phrases, neg_p = parse_query(q, stem=stem,
                                                     camel=camel)
         if phrases or neg_p:
-            raise ValueError(
-                f"query {qid}: quoted phrases are not routable without "
-                "positions — use plain/AND percolation or phrase_search")
+            # phrase gates verify positionally AFTER term-level matching
+            # (phrase terms already gate as required via parse_query, so
+            # the positional pass touches candidate docs only; a
+            # NEG-phrase constrains candidates without any term filter)
+            positional[int(qid)] = (phrases, neg_p)
         for t in req:
             rows.append((int(qid), t, 0, len(req)))
         for t in opt:
             rows.append((int(qid), t, 1, len(req)))
         for t in exc:
             rows.append((int(qid), t, 2, len(req)))
+        if not req and not opt and neg_p:
+            raise ValueError(
+                f"query {qid}: only a negated phrase — nothing selects "
+                "candidate docs (add a required/bare term)")
     if not rows:
         return spark.createDataFrame([], "query_id long, doc_id long")
     qrel = spark.createDataFrame(
@@ -116,8 +128,53 @@ def percolate_dsl(corpus_with_ids: DataFrame, queries: dict[int, str],
     matched = agg.filter(
         (F.col("exc_hit") == 0)
         & (((F.col("n_req") > 0) & (F.col("req_hit") == F.col("n_req")))
-           | ((F.col("n_req") == 0) & (F.col("opt_hit") == 1))))
-    return matched.select("query_id", "doc_id")
+           | ((F.col("n_req") == 0) & (F.col("opt_hit") == 1)))) \
+        .select("query_id", "doc_id")
+    if not positional:
+        return matched
+
+    # positional verification, candidate docs only: join the phrase
+    # queries' candidates back to the tokenized docs and evaluate the
+    # consecutive-run predicate with JVM higher-order functions (exists
+    # over a start-index sequence) — no Python in the plan
+    from index_spark.operators.build import tokenized_docs
+
+    def _conj_at(tcol, i, ph):
+        pred = None
+        for off, t in enumerate(ph):
+            c = F.get(tcol, i + F.lit(off)) == t  # 0-based, Column index
+            pred = c if pred is None else (pred & c)
+        return pred
+
+    plain_ids = [q for q in queries if int(q) not in positional]
+    out = matched.filter(F.col("query_id").isin(
+        [int(q) for q in plain_ids]) if plain_ids else F.lit(False))
+    tok = tokenized_docs(corpus_with_ids, stem=stem, camel=camel) \
+        .select("doc_id", "tokens")
+    def _occurs(ph):
+        # guard short docs: sequence(0, -k) would run DESCENDING and the
+        # element get would go out of range; a doc shorter than the
+        # phrase trivially lacks it. The closure factory keeps the
+        # lambda UNARY — F.exists dispatches on lambda arity.
+        def pred(i, _ph=tuple(ph)):
+            return _conj_at(F.col("tokens"), i, list(_ph))
+
+        return (F.size("tokens") >= len(ph)) & F.exists(
+            F.sequence(F.lit(0), F.size("tokens") - len(ph)),
+            lambda i: pred(i))
+
+    for qid, (phrases, neg_p) in positional.items():
+        cand = matched.filter(F.col("query_id") == qid).join(tok, "doc_id")
+        pred = None
+        for ph in phrases:
+            c = _occurs(ph)
+            pred = c if pred is None else (pred & c)
+        for ph in neg_p:
+            c = ~_occurs(ph)
+            pred = c if pred is None else (pred & c)
+        out = out.unionByName(
+            cand.filter(pred).select("query_id", "doc_id"))
+    return out
 
 
 def percolate_stream(spark: SparkSession, in_dir: str, out_dir: str,

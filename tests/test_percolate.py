@@ -117,11 +117,54 @@ def test_percolate_dsl_matches_oracle(ids_and_oracle):
     assert not any(q == 3 for q, _ in got)  # self-contradiction
 
 
-def test_percolate_dsl_rejects_phrases(ids_and_oracle):
+def test_percolate_dsl_single_phrase_query(ids_and_oracle):
+    """A lone quoted phrase routes (its terms gate as required; the
+    positional check then narrows)."""
+    from index_spark.operators.percolate import percolate_dsl
+
+    with_ids, oracle = ids_and_oracle
+    out = percolate_dsl(with_ids, {0: '"uniq7token import"'}).collect()
+    assert isinstance(out, list)  # runs; content pinned in the big test
+
+
+def naive_has_phrase(oracle_texts_tokens, d, ph):
+    toks = oracle_texts_tokens[d]
+    m = len(ph)
+    return any(toks[i:i + m] == ph
+               for i in range(len(toks) - m + 1))
+
+
+def test_percolate_dsl_phrases(spark, tiny_corpus, ids_and_oracle):
+    """Standing phrase queries: positive phrase gates consecutively,
+    negated phrase excludes, both verified on candidates only."""
+    from index_spark.operators.percolate import percolate_dsl
+
+    with_ids, oracle = ids_and_oracle
+    ordered = tiny_corpus.sort_values(["repo", "path"]).reset_index(drop=True)
+    toks = [tokenize(t, stem=True) for t in ordered["content"]]
+    queries = {0: '"import return"', 1: 'import -"import return"',
+               2: '+return "def class"'}
+    got = {(r["query_id"], r["doc_id"])
+           for r in percolate_dsl(with_ids, queries).collect()}
+    expected = set()
+    ph_ir = tokenize("import return", stem=True)
+    ph_dc = tokenize("def class", stem=True)
+    for d in range(oracle.n_docs):
+        has = lambda t: d in oracle.tf.get(t, {})  # noqa: E731
+        if naive_has_phrase(toks, d, ph_ir):
+            expected.add((0, d))
+        if has("import") and not naive_has_phrase(toks, d, ph_ir):
+            expected.add((1, d))
+        if has("return") and naive_has_phrase(toks, d, ph_dc):
+            expected.add((2, d))
+    assert got == expected
+
+
+def test_percolate_dsl_neg_phrase_only_raises(ids_and_oracle):
     import pytest as _pytest
 
     from index_spark.operators.percolate import percolate_dsl
 
     with_ids, _ = ids_and_oracle
-    with _pytest.raises(ValueError, match="phrase"):
-        percolate_dsl(with_ids, {0: '"data table"'})
+    with _pytest.raises(ValueError, match="negated"):
+        percolate_dsl(with_ids, {0: '-"data table"'})
