@@ -180,18 +180,23 @@ def percolate_dsl(corpus_with_ids: DataFrame, queries: dict[int, str],
 def percolate_stream(spark: SparkSession, in_dir: str, out_dir: str,
                      schema, queries: dict[int, str], mode: str = "and",
                      stem: bool = True, camel: bool = True,
-                     trigger_once: bool = True):
+                     trigger_once: bool = True, syntax: str = "plain"):
     """readStream(file source) -> foreachBatch(percolate) -> parquet
     append of (query_id, doc_id, repo, path) match records. Returns the
     StreamingQuery. Each micro-batch routes independently (percolation
-    is per-document — no cross-batch state, no watermark needed)."""
+    is per-document — no cross-batch state, no watermark needed).
+    ``syntax='web'`` routes with :func:`percolate_dsl` (+/-/phrases;
+    ``mode`` is then ignored)."""
     stream = spark.readStream.schema(schema).parquet(in_dir)
     matches_dir = os.path.join(out_dir, "matches")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.withColumn(
             "doc_id", F.xxhash64("repo", "path"))  # stable per-key id
-        m = percolate(b, queries, mode=mode, stem=stem, camel=camel)
+        if syntax == "web":
+            m = percolate_dsl(b, queries, stem=stem, camel=camel)
+        else:
+            m = percolate(b, queries, mode=mode, stem=stem, camel=camel)
         (m.join(b.select("doc_id", "repo", "path"), "doc_id")
           .select("query_id", "doc_id", "repo", "path")
           .write.mode("append").parquet(matches_dir))
