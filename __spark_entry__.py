@@ -700,6 +700,16 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         return percolate(corpus, queries, mode="and", stem=False,
                          camel=False)
 
+    def top_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # phrase mining: adjacent-pair stats, JVM transform+explode,
+        # one aggregate
+        from index_spark.operators.analytics import top_bigrams
+        from index_spark.operators.build import assign_doc_ids
+
+        corpus = assign_doc_ids(_parity_corpus(spark, sf_dir))
+        return top_bigrams(corpus, top=20, min_docs=2,
+                           stem=False, camel=False)
+
     def index_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the SQL-checkable core of the index health report: term /
         # posting / doc / token totals from metadata-only aggregates
@@ -954,6 +964,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "suggest_terms": suggest_terms,
         "ranking_eval": ranking_eval,
         "index_totals": index_totals,
+        "top_bigrams": top_bigrams_q,
         "percolate_matches": percolate_matches,
         "curation_verdicts": curation_verdicts,
         "percolate_dsl_matches": percolate_dsl_matches,
@@ -1306,6 +1317,20 @@ SELECT q.query_id, tf.doc_id
 FROM tf JOIN q ON tf.term = q.term JOIN qn ON q.query_id = qn.query_id
 GROUP BY q.query_id, tf.doc_id, qn.n
 HAVING count(DISTINCT tf.term) = qn.n"""
+
+_ORACLE_BIGRAMS = """
+, pos AS (
+  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+        FROM documents) t
+), bg AS (
+  SELECT p0.doc_id, p0.term || ' ' || p1.term AS bigram
+  FROM pos p0 JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM bg GROUP BY bigram HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_occurrences DESC, bigram ASC LIMIT 20"""
 
 _ORACLE_INDEX_TOTALS = """
 SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
@@ -1893,6 +1918,8 @@ def _build_registry():
         _docs_sql("duck", _ORACLE_CURATE))
     add("percolate_matches", eng["percolate_matches"],
         _docs_sql("duck", _ORACLE_PERCOLATE, [qs_cte]))
+    add("top_bigrams", eng["top_bigrams"],
+        _docs_sql("duck", _ORACLE_BIGRAMS))
     add("index_totals", eng["index_totals"],
         _docs_sql("duck", _ORACLE_INDEX_TOTALS))
     add("ranking_eval", eng["ranking_eval"],

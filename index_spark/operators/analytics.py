@@ -232,6 +232,39 @@ def related_terms_index(index: DataFrame, seed_term: str, n_docs: int,
     return out.limit(top)
 
 
+def top_bigrams(corpus_with_ids: DataFrame, top: int = 20,
+                min_docs: int = 2, stem: bool = True,
+                camel: bool = True,
+                text_col: str = "content") -> DataFrame:
+    """Corpus-wide adjacent-token-pair statistics — the phrase-mining
+    pass of a training-data pipeline (collocation discovery, phrase
+    vocabulary induction).
+
+    Returns (bigram, n_occurrences, n_docs), ordered by
+    (n_occurrences desc, bigram asc), top cut, pairs in fewer than
+    ``min_docs`` docs dropped. Plan: one Arrow tokenize pass, then the
+    bigram explode happens JVM-side (``transform`` over the token
+    indexes + ``explode``) feeding a single map-side-combinable
+    aggregate — no Python beyond the tokenizer, one shuffle."""
+    from index_spark.operators.build import tokenized_docs
+
+    toks = tokenized_docs(corpus_with_ids, stem=stem, camel=camel,
+                          text_col=text_col)
+    pairs = toks.select(
+        "doc_id",
+        F.explode(F.when(F.size("tokens") >= 2, F.transform(
+            F.sequence(F.lit(0), F.size("tokens") - 2),
+            lambda i: F.concat_ws(" ", F.get("tokens", i),
+                                  F.get("tokens", i + F.lit(1)))
+        )).otherwise(F.array())).alias("bigram"))
+    out = (pairs.groupBy("bigram")
+           .agg(F.count("*").alias("n_occurrences"),
+                F.countDistinct("doc_id").alias("n_docs"))
+           .filter(F.col("n_docs") >= min_docs)
+           .orderBy(F.desc("n_occurrences"), F.asc("bigram")))
+    return out.limit(top)
+
+
 def index_report(index: DataFrame, zone: str | None = None) -> DataFrame:
     """One-row operational health report of an index — the numbers an
     on-call engineer checks after every build/merge/vacuum: term and

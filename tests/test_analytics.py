@@ -202,3 +202,27 @@ def test_ranking_metrics_all_zero_and_missing_qrels(spark):
            ranking_metrics(res, qrels, k=3).collect()}
     assert out[0]["rr"] == 0.0 and out[0]["ndcg"] == 0.0
     assert 1 in out and out[1]["rr"] == 0.0 and out[1]["ndcg"] == 0.0
+
+
+def test_top_bigrams(spark, built):
+    from collections import Counter
+
+    from index_spark.operators.analytics import top_bigrams
+    from index_spark.operators.build import assign_doc_ids
+
+    docs, index, stats, oracle = built
+    corpus = spark.createDataFrame(
+        [("r", f"{i:04d}", " ".join(["a b c"] * (i + 1)))
+         for i in range(4)], ["repo", "path", "content"])
+    got = [(r["bigram"], r["n_occurrences"], r["n_docs"])
+           for r in top_bigrams(assign_doc_ids(corpus), top=10,
+                                min_docs=2, stem=False).collect()]
+    occ, dc = Counter(), Counter()
+    for i in range(4):
+        toks = ("a b c " * (i + 1)).split()
+        bgs = [f"{x} {y}" for x, y in zip(toks, toks[1:])]
+        occ.update(bgs)
+        dc.update(set(bgs))
+    expected = sorted(((b, occ[b], dc[b]) for b in occ if dc[b] >= 2),
+                      key=lambda r: (-r[1], r[0]))[:10]
+    assert got == expected
