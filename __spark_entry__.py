@@ -1366,6 +1366,7 @@ _ORACLE_RANKING_EVAL = """
 perq AS (
   SELECT r.query_id,
          sum(coalesce(qr.rel, 0) / log2(r.rank + 1)) AS dcg,
+         min(CASE WHEN qr.rel > 0 THEN r.rank END) AS fr,
          min(CASE WHEN qr.rel = f.full AND f.full > 0 THEN r.rank END) AS ff
   FROM res r
   LEFT JOIN qrels qr ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
@@ -1378,7 +1379,8 @@ perq AS (
     FROM qrels) t WHERE i <= 10 GROUP BY query_id
 )
 SELECT p.query_id,
-       round(CASE WHEN p.ff IS NOT NULL THEN 1.0 / p.ff ELSE 0 END, 6) AS rr,
+       round(CASE WHEN p.fr IS NOT NULL THEN 1.0 / p.fr ELSE 0 END, 6) AS rr,
+       round(CASE WHEN p.ff IS NOT NULL THEN 1.0 / p.ff ELSE 0 END, 6) AS rr_full,
        round(p.dcg, 6) AS dcg,
        round(i.idcg, 6) AS idcg,
        round(CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg ELSE 0 END, 6) AS ndcg
@@ -1969,9 +1971,11 @@ def _build_registry():
     # driver artifact across r02-r04.  Entries pushed past the window this
     # round were all green in CORRECTNESS_r03.
     front = [
-        # (a) never driver-checked before r04
+        # (a) never driver-checked before r04; ranking_eval's schema
+        # changed this round (rr -> standard MRR + rr_full), so it
+        # re-enters the window too
         "term_prefix", "snippet_topk", "and_queryset", "slop_phrase_topk",
-        "bm25f_topk", "minhash_pairs", "simhash_pairs",
+        "bm25f_topk", "minhash_pairs", "simhash_pairs", "ranking_eval",
         # (c) round-4 additions
         *[k for k in queries if k in _R04_NEW],
         # (b) green in r02, outside the r03 window

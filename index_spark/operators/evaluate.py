@@ -12,7 +12,10 @@ Pinned definitions (restatable in any SQL dialect):
 
     rel(q, d)   caller-supplied grade (>= 0)
     full(q)     = max rel over the query's qrels (best achievable)
-    RR@k        = 1 / min{rank <= k : rel = full(q) > 0}, else 0
+    RR@k        = 1 / min{rank <= k : rel > 0}, else 0   (standard MRR)
+    RRfull@k    = 1 / min{rank <= k : rel = full(q) > 0}, else 0
+                  (strict variant: first MAX-grade hit — NOT comparable
+                  to standard MRR on graded qrels; reported as rr_full)
     DCG@k       = sum_{rank <= k} rel / log2(rank + 1)
     IDCG@k      = DCG of the qrels sorted (rel desc, doc_id asc), top k
     nDCG@k      = DCG / IDCG (0 when IDCG = 0)
@@ -28,8 +31,9 @@ def ranking_metrics(results: DataFrame, qrels: DataFrame,
                     k: int = 10) -> DataFrame:
     """Per-query metrics. ``results``: (query_id, doc_id, rank) with
     rank 1-based; ``qrels``: (query_id, doc_id, rel). Returns
-    (query_id, rr, dcg, idcg, ndcg), 6-decimal rounds, ordered by
-    query_id."""
+    (query_id, rr, rr_full, dcg, idcg, ndcg), 6-decimal rounds, ordered
+    by query_id; ``rr`` is standard reciprocal rank (first rel>0 hit),
+    ``rr_full`` the strict first-max-grade variant."""
     res = results.select("query_id", "doc_id",
                          F.col("rank").cast("long").alias("rank")) \
                  .filter(F.col("rank") <= k)
@@ -48,6 +52,7 @@ def ranking_metrics(results: DataFrame, qrels: DataFrame,
     gain = F.col("rel") / F.log2(F.col("rank") + 1)
     per_q = j.groupBy("query_id").agg(
         F.sum(gain).alias("dcg"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("first_rel"),
         F.min(F.when((F.col("rel") == F.col("full"))
                      & (F.col("full") > 0),
                      F.col("rank"))).alias("first_full"))
@@ -64,9 +69,12 @@ def ranking_metrics(results: DataFrame, qrels: DataFrame,
            .withColumn("idcg", F.coalesce(F.col("idcg"), F.lit(0.0)))
            .select(
                "query_id",
+               F.round(F.when(F.col("first_rel").isNotNull(),
+                              1.0 / F.col("first_rel"))
+                       .otherwise(0.0), 6).alias("rr"),
                F.round(F.when(F.col("first_full").isNotNull(),
                               1.0 / F.col("first_full"))
-                       .otherwise(0.0), 6).alias("rr"),
+                       .otherwise(0.0), 6).alias("rr_full"),
                F.round("dcg", 6).alias("dcg"),
                F.round("idcg", 6).alias("idcg"),
                F.round(F.when(F.col("idcg") > 0,

@@ -194,11 +194,16 @@ def delete_docs(spark, out_dir: str, doc_ids: DataFrame,
 
     d = _tombstone_dir(out_dir)
     os.makedirs(d, exist_ok=True)
-    out = doc_ids.select(F.col("doc_id").cast("long"))
-    n = out.count()
-    if n:
-        out.write.mode("overwrite").parquet(
-            os.path.join(d, f"{tag}_{int(_t.time() * 1000)}.parquet"))
+    # persist before the count+write pair: a nondeterministic input plan
+    # must not persist a different id set than the n it reports
+    out = doc_ids.select(F.col("doc_id").cast("long")).persist()
+    try:
+        n = out.count()
+        if n:
+            out.write.mode("overwrite").parquet(
+                os.path.join(d, f"{tag}_{int(_t.time() * 1000)}.parquet"))
+    finally:
+        out.unpersist()
     return n
 
 

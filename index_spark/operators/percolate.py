@@ -105,9 +105,12 @@ def percolate_dsl(corpus_with_ids: DataFrame, queries: dict[int, str],
             rows.append((int(qid), t, 1, len(req)))
         for t in exc:
             rows.append((int(qid), t, 2, len(req)))
-        if not req and not opt and neg_p:
+        if not req and not opt and (neg_p or exc):
+            # same guard for every 'no candidate selector' shape: a
+            # negation-only query (negated phrase OR excluded terms
+            # alone) has nothing that selects candidate docs
             raise ValueError(
-                f"query {qid}: only a negated phrase — nothing selects "
+                f"query {qid}: only negations — nothing selects "
                 "candidate docs (add a required/bare term)")
     if not rows:
         return spark.createDataFrame([], "query_id long, doc_id long")

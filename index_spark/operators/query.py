@@ -463,28 +463,36 @@ def _score_shard_conjunctive(pdf: pd.DataFrame, avgdl: float, k: int,
                              excl: list[dict] | None = None,
                              banned: np.ndarray | None = None,
                              required: set[str] | None = None,
-                             allowed: np.ndarray | None = None
+                             allowed: np.ndarray | None = None,
+                             groups: dict[str, tuple[int, ...]] | None = None
                              ) -> pd.DataFrame:
-    """Conjunctive (AND) top-k BM25 over one shard: only docs containing
-    ALL ``n_required`` query terms score.
+    """Conjunctive (AND) top-k BM25 over one shard: only docs satisfying
+    ALL ``n_required`` gates score.
 
-    ``required`` (mixed mode): when given, only THOSE terms gate the
-    candidate set — the remaining (optional) terms are probed at the
-    candidates for score contributions without shrinking the match set.
-    ``required=None`` means every term is required (pure AND). Candidate
-    seeding always uses the rarest REQUIRED term.
+    The gating unit is a GROUP of terms — a group is satisfied when a
+    doc contains ANY of its terms (disjunction within, conjunction
+    across). Pure AND is the degenerate case of one singleton group per
+    required term; fuzzy-AND passes each original query term's expansion
+    set as one group (``groups``: term -> gate ids; a variant within
+    edit distance of several originals gates all of them).
+
+    ``required`` (mixed mode, mutually exclusive with ``groups``): when
+    given, only THOSE terms gate the candidate set — the remaining
+    (optional) terms are probed at the candidates for score
+    contributions without shrinking the match set. ``required=None`` and
+    ``groups=None`` means every term is required (pure AND).
 
     ``allowed``: optional sorted doc_id array (e.g. quoted-phrase
     positional matches) — candidates outside it drop IMMEDIATELY after
     seeding, so every subsequent block-targeted probe works on the
     already-narrowed set.
 
-    Intersection-driven, not scan-driven: the rarest term's rows decode
+    Intersection-driven, not scan-driven: the rarest gate's lists decode
     fully (they ARE the candidate set — conjunctive results can only
     shrink from there), every other term is probed block-targeted at
     exactly the surviving candidates via the stored per-block byte
     offsets (:func:`_probe`), and candidates are compacted after each
-    term — so per-shard cost is O(rarest df) probes, and blocks no
+    gate — so per-shard cost is O(rarest gate df) probes, and blocks no
     candidate touches are never decoded. The classic conjunctive-DAAT
     shape (Turtle & Flood '95), re-expressed as whole-array searchsorted.
 
@@ -495,64 +503,105 @@ def _score_shard_conjunctive(pdf: pd.DataFrame, avgdl: float, k: int,
     (same pinned order as the other kernels) for cross-kernel float
     identity.
     """
+    empty = pd.DataFrame({"doc_id": [], "score": []})
     metas = _lists_meta(pdf, avgdl)
     by_term: dict[str, list[dict]] = {}
     for mt in metas:
         by_term.setdefault(mt["term"], []).append(mt)
-    req_present = sorted(t for t in by_term
-                         if required is None or t in required)
-    if len(req_present) < n_required:
-        return pd.DataFrame({"doc_id": [], "score": []})
+    terms = sorted(by_term)
+    # normalize gating to groups (gate ids ascend with term order in the
+    # pure-AND case, so gate iteration == the pinned ascending-term walk)
+    if groups is None:
+        gid_of: dict[str, tuple[int, ...]] = {
+            t: (i,) for i, t in enumerate(
+                sorted(t for t in terms
+                       if required is None or t in required))}
+    else:
+        gid_of = {t: tuple(groups[t]) for t in terms if t in groups}
+    gates = sorted({g for gs in gid_of.values() for g in gs})
+    if len(gates) < n_required:
+        return empty
+    by_gid = {g: sorted(t for t, gs in gid_of.items() if g in gs)
+              for g in gates}
     caches = {id(mt): _ListCache(mt) for mt in metas}
 
-    # seed: the rarest REQUIRED term's docs, fully decoded (cheapest
-    # full decode; conjunctive candidates can only shrink from there)
-    terms = sorted(by_term)
-    t0 = min(req_present,
-             key=lambda t: (sum(m["df"] for m in by_term[t]), t))
-    seed_d, seed_s = [], []
-    for mt in by_term[t0]:
-        d, tf, dl = caches[id(mt)].full()
-        seed_d.append(d)
-        seed_s.append(_contrib(mt, tf, dl))
-    cand = np.concatenate(seed_d)
-    order = np.argsort(cand, kind="stable")
-    cand = cand[order]
-    contribs = {t0: np.concatenate(seed_s)[order]}
+    def _tdf(t: str) -> int:
+        return sum(m["df"] for m in by_term[t])
+
+    # seed: the rarest GATE's docs (sum of its terms' dfs), fully
+    # decoded (cheapest full decode; conjunctive candidates can only
+    # shrink from there)
+    g0 = min(gates, key=lambda g: (sum(_tdf(t) for t in by_gid[g]),
+                                   by_gid[g][0]))
+    seed: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for t in by_gid[g0]:
+        ds, cs = [], []
+        for mt in by_term[t]:
+            d, tf, dl = caches[id(mt)].full()
+            ds.append(d)
+            cs.append(_contrib(mt, tf, dl))
+        seed[t] = (np.concatenate(ds), np.concatenate(cs))
+    cand = np.unique(np.concatenate([d for d, _ in seed.values()]))
+    contribs: dict[str, np.ndarray] = {}
+    hits_of: dict[str, np.ndarray] = {}
+    for t, (d, c) in seed.items():
+        arr = np.zeros(cand.size, dtype=np.float64)
+        hit = np.zeros(cand.size, dtype=bool)
+        idx = np.searchsorted(cand, d)  # d's docs unique, all in cand
+        arr[idx] = c
+        hit[idx] = True
+        contribs[t] = arr
+        hits_of[t] = hit
+
+    def _compact(keep: np.ndarray) -> None:
+        nonlocal cand
+        cand = cand[keep]
+        for key in contribs:
+            contribs[key] = contribs[key][keep]
+        for key in hits_of:
+            hits_of[key] = hits_of[key][keep]
+
     if allowed is not None:
         # narrow to the positional-gate survivors before any probing:
         # cand and allowed are both sorted, membership by searchsorted
         if allowed.size == 0:
-            return pd.DataFrame({"doc_id": [], "score": []})
+            return empty
         pos = np.minimum(np.searchsorted(allowed, cand),
                          allowed.size - 1)
-        keep = allowed[pos] == cand
-        cand = cand[keep]
-        contribs[t0] = contribs[t0][keep]
+        _compact(allowed[pos] == cand)
         if cand.size == 0:
-            return pd.DataFrame({"doc_id": [], "score": []})
+            return empty
 
-    req_set = set(req_present)
-    for t in [x for x in terms if x in req_set] + \
-             [x for x in terms if x not in req_set]:
-        if t == t0:
+    for g in gates:
+        if g == g0:
             continue
-        hit_any = np.zeros(cand.size, dtype=bool)
+        hit_group = np.zeros(cand.size, dtype=bool)
+        for t in by_gid[g]:
+            if t not in contribs:  # a term may gate several groups —
+                hit_any = np.zeros(cand.size, dtype=bool)  # probe once
+                c_arr = np.zeros(cand.size, dtype=np.float64)
+                for mt in by_term[t]:
+                    hit, c = _probe(mt, cand, caches[id(mt)])
+                    c_arr[hit] += c
+                    hit_any |= hit
+                contribs[t] = c_arr
+                hits_of[t] = hit_any
+            hit_group |= hits_of[t]
+        if not hit_group.all():
+            # compact: shrink every aligned array (gates only — optional
+            # terms never shrink the match set)
+            _compact(hit_group)
+        if cand.size == 0:
+            return empty
+
+    for t in terms:  # optional terms: score contributions, no gating
+        if t in contribs:
+            continue
         c_arr = np.zeros(cand.size, dtype=np.float64)
         for mt in by_term[t]:
             hit, c = _probe(mt, cand, caches[id(mt)])
             c_arr[hit] += c
-            hit_any |= hit
-        if t in req_set and not hit_any.all():
-            # compact: shrink every aligned array (required terms only —
-            # optional terms never shrink the match set)
-            cand = cand[hit_any]
-            for key in contribs:
-                contribs[key] = contribs[key][hit_any]
-            c_arr = c_arr[hit_any]
         contribs[t] = c_arr
-        if cand.size == 0:
-            return pd.DataFrame({"doc_id": [], "score": []})
 
     scores = np.zeros(cand.size, dtype=np.float64)
     for t in terms:  # pinned ascending-term sum order
@@ -560,7 +609,7 @@ def _score_shard_conjunctive(pdf: pd.DataFrame, avgdl: float, k: int,
     if excl or (banned is not None and banned.size):
         cand, scores = _apply_exclusions(cand, scores, excl, banned)
         if cand.size == 0:
-            return pd.DataFrame({"doc_id": [], "score": []})
+            return empty
     return _topk_frame(cand, scores, k)
 
 
@@ -598,7 +647,8 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
            zone: str | None = None, mode: str = "or",
            exclude: str | None = None,
            tombstones: DataFrame | None = None,
-           restrict: DataFrame | None = None) -> DataFrame:
+           restrict: DataFrame | None = None,
+           groups: dict[str, tuple[int, ...]] | None = None) -> DataFrame:
     """Top-k BM25 over the sharded index. Returns (doc_id, score).
 
     ``use_wand``: True (always WAND), False (always exhaustive), or
@@ -646,6 +696,11 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
     ``exclude`` and ``tombstones`` (a doc both allowed and tombstoned
     stays deleted).
 
+    ``groups`` (mode="and" only): maps query terms to gate ids for
+    group-conjunctive matching — a doc must satisfy EVERY gate via >=1
+    of that gate's terms (fuzzy-AND expansion groups; see
+    :func:`search_fuzzy`). Keys must be tokenized query terms.
+
     ``docs`` is accepted for API symmetry but unused — doc lengths live in
     the index (dl_blob); ``shard_size`` is only used to route
     ``tombstones`` (shard ids themselves are stored in the index).
@@ -654,6 +709,13 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
     qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
     if not qterms:
         return spark.createDataFrame([], TOPK_SCHEMA)
+    if groups is not None:
+        if mode != "and":
+            raise ValueError("groups requires mode='and'")
+        extra = set(groups) - set(qterms)
+        if extra:
+            raise ValueError(f"groups keys not in the tokenized query: "
+                             f"{sorted(extra)}")
     xterms = sorted(set(tokenize(exclude, stem=stem, camel=camel))
                     ) if exclude else []
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
@@ -680,7 +742,7 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
     local = _modal_local_topk(hits, qterms, xterms, mode, avgdl, k,
                               lambda pdf: _pick_scorer(pdf, use_wand),
                               tombstones, shard_size, merged_form,
-                              restrict=restrict)
+                              restrict=restrict, groups=groups)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -691,13 +753,17 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
                       required: set[str] | None = None,
                       phrases: list[list[str]] | None = None,
                       neg_phrases: list[list[str]] | None = None,
-                      restrict: DataFrame | None = None
+                      restrict: DataFrame | None = None,
+                      groups: dict[str, tuple[int, ...]] | None = None
                       ) -> DataFrame:
     """Per-shard local top-k under OR/AND mode, term exclusions, and
     shard-cogrouped tombstones — shared by ``search``, ``search_dsl``
     and ``QueryEngine``. ``pick(pdf)`` returns the OR-mode scorer
     kernel. ``required`` (with mode="and") marks the subset of
     ``qterms`` that gates matches; the rest contribute score only.
+    ``groups`` (with mode="and", exclusive with ``required``) maps
+    terms to gate ids for group-conjunctive matching — every gate must
+    be satisfied by >=1 of its terms (fuzzy-AND expansion groups).
 
     ``phrases``/``neg_phrases``: exact-position phrase gates, resolved
     SHARD-LOCALLY (a doc's positions for every term live in its own
@@ -721,7 +787,12 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
     if phrases and mode != "and":
         raise ValueError("positive phrases imply mode='and' (their terms "
                          "gate the match set)")
-    n_req = len(required) if required is not None else len(qterms)
+    if groups is not None and required is not None:
+        raise ValueError("groups and required are mutually exclusive")
+    if groups is not None:
+        n_req = len({g for gs in groups.values() for g in gs})
+    else:
+        n_req = len(required) if required is not None else len(qterms)
     qset, xset = set(qterms), set(xterms)
     # neg-phrase terms ride in pdf only for the positional gate — they
     # must never reach the scorers
@@ -761,7 +832,8 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
             spdf, excl = pdf, None
         if mode == "and":
             return _score_shard_conjunctive(spdf, avgdl, k, n_req, excl,
-                                            banned, required, allowed)
+                                            banned, required, allowed,
+                                            groups)
         if allowed is not None:
             # small allow-set vs big posting mass: probe-driven kernel
             # (block-targeted, score-exact); else exhaustive + filter.
@@ -1360,26 +1432,50 @@ def search_fuzzy(index: DataFrame, docs: DataFrame | None, stats: dict,
                  query: str, k: int = 10, max_dist: int = 1,
                  max_expansions: int = 8, stem: bool = True,
                  camel: bool = True, shard_size: int = 4096,
-                 zone: str | None = None, **kw) -> DataFrame:
+                 zone: str | None = None, mode: str = "or",
+                 exclude: str | None = None, **kw) -> DataFrame:
     """Typo-tolerant top-k BM25: each query term expands to its
     edit-distance neighborhood in the index dictionary
-    (:func:`fuzzy_expand`), then one OR search runs over the distinct
+    (:func:`fuzzy_expand`), then one search runs over the distinct
     expanded terms — every variant scored with its OWN global idf (a
     rare misspelling contributes high-idf hits next to the common
     form), the standard disjunctive fuzzy semantic.
 
+    ``mode="and"`` is group-conjunctive: AND across the ORIGINAL query
+    terms, OR within each term's expansion set — a doc must contain at
+    least one variant of EVERY original term (never "every variant of
+    every term", which would be almost always empty). An original term
+    with no dictionary neighborhood cannot be satisfied, so the result
+    is empty — the same contract as a missing term in plain AND.
+
+    ``exclude`` is tokenized HERE with the caller's stem/camel flags
+    (the inner search runs stem=False because expanded terms are already
+    dictionary tokens — exclusions must not skip stemming with it).
+
     Two jobs total: the bounded dictionary-expansion lookup, then the
-    one-exchange scoring plan of :func:`search`. Expanded terms are
-    already dictionary tokens, so the inner search re-tokenizes with
-    ``stem=False`` (no double stemming)."""
+    one-exchange scoring plan of :func:`search`."""
+    spark = index.sparkSession
     qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
     exp = fuzzy_expand(index, qterms, max_dist=max_dist,
                        max_expansions=max_expansions, zone=zone)
     terms = sorted({t for v in exp.values() for t in v})
     if not terms:
-        return index.sparkSession.createDataFrame([], TOPK_SCHEMA)
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    if exclude is not None:
+        exclude = " ".join(
+            sorted(set(tokenize(exclude, stem=stem, camel=camel)))) or None
+    groups = None
+    if mode == "and":
+        if any(not exp.get(t) for t in qterms):
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        gids: dict[str, list[int]] = {}
+        for i, t in enumerate(qterms):
+            for v in exp[t]:  # a variant near several originals gates all
+                gids.setdefault(v, []).append(i)
+        groups = {v: tuple(g) for v, g in gids.items()}
     return search(index, docs, stats, " ".join(terms), k=k, stem=False,
-                  camel=False, shard_size=shard_size, zone=zone, **kw)
+                  camel=False, shard_size=shard_size, zone=zone,
+                  mode=mode, exclude=exclude, groups=groups, **kw)
 
 
 def complete_terms(index: DataFrame, prefix: str, limit: int = 10,

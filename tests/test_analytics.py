@@ -155,23 +155,32 @@ def test_ranking_metrics_hand_example(spark):
 
     res = spark.createDataFrame(
         [(0, 10, 1), (0, 11, 2), (0, 12, 3),
-         (1, 20, 1), (1, 21, 2)],
+         (1, 20, 1), (1, 21, 2),
+         (2, 30, 1), (2, 31, 2)],
         "query_id long, doc_id long, rank long")
     qrels = spark.createDataFrame(
         [(0, 11, 2.0), (0, 12, 1.0), (0, 99, 2.0),
-         (1, 77, 1.0)],
+         (1, 77, 1.0),
+         (2, 30, 1.0), (2, 31, 2.0)],
         "query_id long, doc_id long, rel double")
     out = {r["query_id"]: r for r in
            ranking_metrics(res, qrels, k=3).collect()}
-    # q0: ranks (1,2,3) rel (0,2,1); first full (rel=2) at rank 2
+    # q0: ranks (1,2,3) rel (0,2,1); first rel>0 AND first full both at
+    # rank 2 — the two RR definitions coincide here
     dcg0 = 2 / math.log2(3) + 1 / math.log2(4)
     idcg0 = 2 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
     assert out[0]["rr"] == pytest.approx(0.5)
+    assert out[0]["rr_full"] == pytest.approx(0.5)
     assert out[0]["dcg"] == pytest.approx(round(dcg0, 6))
     assert out[0]["ndcg"] == pytest.approx(round(dcg0 / idcg0, 6))
     # q1: no retrieved doc is relevant
-    assert out[1]["rr"] == 0.0 and out[1]["dcg"] == 0.0
-    assert out[1]["ndcg"] == 0.0
+    assert out[1]["rr"] == 0.0 and out[1]["rr_full"] == 0.0
+    assert out[1]["dcg"] == 0.0 and out[1]["ndcg"] == 0.0
+    # q2 separates the definitions: rel (1,2) — standard RR sees the
+    # rel=1 hit at rank 1; the strict variant waits for the max grade
+    # (rel=2) at rank 2
+    assert out[2]["rr"] == pytest.approx(1.0)
+    assert out[2]["rr_full"] == pytest.approx(0.5)
 
 
 def test_index_report(built):

@@ -128,3 +128,72 @@ def test_suggest_corrections(built):
         assert rows == []
     # fully-known query -> empty
     assert suggest_corrections(index, "import return").collect() == []
+
+
+def test_search_fuzzy_and_groups(built):
+    """Conjunctive fuzzy = AND across ORIGINAL terms, OR within each
+    term's expansion group: a doc must contain >=1 variant of EVERY
+    original term; every matched variant still contributes with its own
+    idf (same per-term scoring as the OR path, narrowed candidates)."""
+    docs, index, stats, oracle = built
+    q = "imort retur"
+    qterms = sorted(set(tokenize(q, stem=True)))
+    exp = naive_expand(oracle, qterms)
+    assert all(exp[t] for t in qterms), "fixture must expand both terms"
+    group_docs = []
+    for t in qterms:
+        s = set()
+        for v in exp[t]:
+            s |= set(oracle.tf.get(v, {}))
+        group_docs.append(s)
+    allowed = set.intersection(*group_docs)
+    assert allowed, "fixture must have conjunctive fuzzy matches"
+    terms = sorted({t for v in exp.values() for t in v})
+    expected = [(d, s) for d, s in oracle_or_terms(oracle, terms, k=10 ** 9)
+                if d in allowed][:10]
+    got = search_fuzzy(index, docs, stats, q, k=10, mode="and",
+                       shard_size=SHARD_SIZE).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in expected]
+    for r, (ed, es) in zip(got, expected):
+        assert r["score"] == pytest.approx(es, abs=1e-9), ed
+    # and it's a strict narrowing of the OR path on this fixture
+    or_ids = [r["doc_id"] for r in
+              search_fuzzy(index, docs, stats, q, k=10, mode="or",
+                           shard_size=SHARD_SIZE).collect()]
+    assert set(r["doc_id"] for r in got) <= set(
+        d for d, _ in oracle_or_terms(oracle, terms, k=10 ** 9))
+    del or_ids
+
+
+def test_search_fuzzy_and_unmatchable_term_empty(built):
+    """An original term with NO dictionary neighborhood can never be
+    satisfied under mode='and' -> empty (same contract as plain AND with
+    a missing term)."""
+    docs, index, stats, _ = built
+    out = search_fuzzy(index, docs, stats, "import qqqqqqqqqqqq", k=10,
+                       mode="and", shard_size=SHARD_SIZE).collect()
+    assert out == []
+
+
+def test_search_fuzzy_exclude_stems_with_caller_flags(built):
+    """`exclude` tokenizes with the CALLER's stem/camel flags (the inner
+    search runs stem=False): on a stem-built index, excluding an
+    inflected form must hit the stemmed dictionary term."""
+    docs, index, stats, oracle = built
+    from index_spark.functions.porter import stem_word
+
+    assert stem_word("imports") == "import"
+    base = search_fuzzy(index, docs, stats, "retur", k=1000,
+                        shard_size=SHARD_SIZE).collect()
+    ex_inflected = search_fuzzy(index, docs, stats, "retur", k=1000,
+                                exclude="imports",
+                                shard_size=SHARD_SIZE).collect()
+    ex_exact = search_fuzzy(index, docs, stats, "retur", k=1000,
+                            exclude="import",
+                            shard_size=SHARD_SIZE).collect()
+    as_rows = lambda rs: [(r["doc_id"], r["score"]) for r in rs]
+    assert as_rows(ex_inflected) == as_rows(ex_exact)
+    import_docs = set(oracle.tf.get("import", {}))
+    assert all(r["doc_id"] not in import_docs for r in ex_inflected)
+    if any(d for d, _ in as_rows(base) if d in import_docs):
+        assert as_rows(ex_inflected) != as_rows(base)

@@ -166,5 +166,9 @@ def test_percolate_dsl_neg_phrase_only_raises(ids_and_oracle):
     from index_spark.operators.percolate import percolate_dsl
 
     with_ids, _ = ids_and_oracle
-    with _pytest.raises(ValueError, match="negated"):
+    with _pytest.raises(ValueError, match="only negations"):
         percolate_dsl(with_ids, {0: '-"data table"'})
+    # the SAME guard fires for an excluded-terms-only query (no
+    # candidate selector either) — previously it silently matched nothing
+    with _pytest.raises(ValueError, match="only negations"):
+        percolate_dsl(with_ids, {0: "-data"})
