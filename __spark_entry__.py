@@ -615,25 +615,31 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
     def fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # typo-tolerant retrieval: dictionary edit-distance expansion
-        # (bounded neighborhood, df-desc cap) then one OR search; each
-        # variant scores with its own global idf
+        # typo-tolerant retrieval: edit-distance expansion against the
+        # COMPACT TERM DICTIONARY (plans/dictionary.py — the catalog the
+        # compaction publishes; derived in-memory here) then one OR
+        # search; each variant scores with its own global idf
         from index_spark.operators.query import search_fuzzy
+        from index_spark.plans.dictionary import dictionary_from_index
 
         docs, index, stats = _parity_build(spark, sf_dir)
         top = search_fuzzy(index, docs, stats, "dat tabl query", k=10,
                            max_dist=1, max_expansions=8,
-                           stem=False, camel=False, shard_size=256)
+                           stem=False, camel=False, shard_size=256,
+                           dictionary=dictionary_from_index(index))
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
     def spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # "did you mean": most popular dictionary neighbor for terms the
-        # index does not know
+        # index does not know — probes the compact term catalog, never
+        # the sharded index (index=None proves it structurally)
         from index_spark.operators.query import suggest_corrections
+        from index_spark.plans.dictionary import dictionary_from_index
 
         _, index, _ = _parity_build(spark, sf_dir)
-        return suggest_corrections(index, "dat tabel query", max_dist=1,
-                                   stem=False, camel=False)
+        return suggest_corrections(None, "dat tabel query", max_dist=1,
+                                   stem=False, camel=False,
+                                   dictionary=dictionary_from_index(index))
 
     def facet_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # search-result faceting: shard-local doc-stream decode (no
@@ -740,11 +746,14 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         return ranking_metrics(res, qrels, k=10)
 
     def suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # autocompletion: prefix dictionary scan ranked by popularity
+        # autocompletion: prefix scan of the compact term catalog ranked
+        # by popularity (index=None — the catalog alone serves it)
         from index_spark.operators.query import complete_terms
+        from index_spark.plans.dictionary import dictionary_from_index
 
         _, index, _ = _parity_build(spark, sf_dir)
-        return complete_terms(index, "s", limit=10)
+        return complete_terms(None, "s", limit=10,
+                              dictionary=dictionary_from_index(index))
 
     def resolved_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # serving response assembly: top-k + (repo, path) keys via a
@@ -759,11 +768,14 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                           "repo", "path")
 
     def term_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # dictionary prefix scan over the sorted-at-rest term catalog
+        # dictionary prefix scan over the compact term catalog
+        # (index=None — the catalog alone serves it)
         from index_spark.operators.query import term_prefix_stats
+        from index_spark.plans.dictionary import dictionary_from_index
 
         _, index, _ = _parity_build(spark, sf_dir)
-        return term_prefix_stats(index, "s", limit=15)
+        return term_prefix_stats(None, "s", limit=15,
+                                 dictionary=dictionary_from_index(index))
 
     def snippet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # serving-side snippet extraction: broadcast top-k semi-join into

@@ -1314,22 +1314,35 @@ def search_dsl(index: DataFrame, docs: DataFrame | None, stats: dict,
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
-def term_prefix_stats(index: DataFrame, prefix: str, limit: int = 20,
-                      zone: str | None = None) -> DataFrame:
+def term_prefix_stats(index: DataFrame | None, prefix: str, limit: int = 20,
+                      zone: str | None = None,
+                      dictionary: DataFrame | None = None) -> DataFrame:
     """Dictionary prefix scan: terms starting with ``prefix`` with their
     global df/cf, ascending by term, first ``limit`` rows.
 
     The reference's analog is walking the term dictionary from a seek
     point (its chunks serialize keys in sorted order, index.cpp:51-52).
-    Here the scan leans on sorted-at-rest: both build kernels emit
-    term-string-sorted rows per shard batch, so every parquet row group
-    carries tight term min/max statistics and ``StartsWith`` prunes row
-    groups before decode; on the bucketed serving table the same filter
-    is evaluated against the sorted in-bucket layout. The aggregate is
-    map-side combinable; only (term, df, cf) rows — never blobs — reach
-    the reducer, and ``limit`` bounds the driver result."""
+
+    ``dictionary`` (preferred at scale): the compact term catalog
+    published by compaction (plans/dictionary.py) — already one row per
+    term with global sums, sorted-by-term at rest, so this is a pruned
+    scan of millions of rows with no aggregate and the sharded index is
+    never touched (``index`` may be None).
+
+    Fallback (no compaction yet): derive from the index. The scan leans
+    on sorted-at-rest — both build kernels emit term-string-sorted rows
+    per shard batch, so every parquet row group carries tight term
+    min/max statistics and ``StartsWith`` prunes row groups before
+    decode. The aggregate is map-side combinable; only (term, df, cf)
+    rows — never blobs — reach the reducer, and ``limit`` bounds the
+    driver result."""
     from index_spark.operators.build import DOC_MARKER
 
+    if dictionary is not None:
+        cat = pin_zone(dictionary, zone)
+        return (cat.filter(F.col("term").startswith(prefix))
+                .select("term", "df", "cf")
+                .orderBy(F.asc("term")).limit(limit))
     index = pin_zone(index, zone)
     return (index
             .filter(F.col("term").startswith(prefix)
@@ -1339,17 +1352,29 @@ def term_prefix_stats(index: DataFrame, prefix: str, limit: int = 20,
             .orderBy(F.asc("term")).limit(limit))
 
 
-def fuzzy_expand(index: DataFrame, qterms: list[str], max_dist: int = 1,
-                 max_expansions: int = 8, zone: str | None = None
+def fuzzy_expand(index: DataFrame | None, qterms: list[str],
+                 max_dist: int = 1, max_expansions: int = 8,
+                 zone: str | None = None,
+                 dictionary: DataFrame | None = None
                  ) -> dict[str, list[str]]:
     """Expand query terms to dictionary terms within Levenshtein
     distance ``max_dist``, at most ``max_expansions`` per query term
     (highest global df first, term-ascending tiebreak — the pinned
     deterministic order).
 
-    Plan: the term catalog is filtered BEFORE its df aggregate by the
-    exact length-band necessary condition (|len(t)-len(q)| <= dist) and
-    the JVM ``levenshtein`` predicate, so only the edit-distance
+    ``dictionary`` (preferred at scale): the compact term catalog from
+    compaction (plans/dictionary.py). ``levenshtein`` cannot row-group-
+    prune, so the fallback index path reads the whole term column of
+    every shard per query; against the catalog the same predicates scan
+    millions of rows, not billions, the length-band prune hits the
+    STORED ``length`` column's row-group min/max (the catalog is also
+    sorted by term, clustering lengths weakly), and no aggregate runs
+    at query time — the sharded index is never touched (``index`` may
+    be None).
+
+    Plan (either source): the catalog is filtered by the exact
+    length-band necessary condition (|len(t)-len(q)| <= dist) and the
+    JVM ``levenshtein`` predicate, so only the edit-distance
     neighborhood — a bounded set per query term — ever shuffles; the
     query-term relation is broadcast into a nested-loop join (it is
     |query| rows). The per-query-term rank is a window over that bounded
@@ -1361,17 +1386,25 @@ def fuzzy_expand(index: DataFrame, qterms: list[str], max_dist: int = 1,
 
     if not qterms:
         return {}
-    spark = index.sparkSession
-    index = pin_zone(index, zone)
     lens = [len(t) for t in qterms]
-    band = F.length("term").between(min(lens) - max_dist,
-                                    max(lens) + max_dist)
     near_any = None
     for t in qterms:
         c = F.levenshtein(F.col("term"), F.lit(t)) <= max_dist
         near_any = c if near_any is None else (near_any | c)
-    cand = (index.filter((F.col("term") != DOC_MARKER) & band & near_any)
-            .groupBy("term").agg(F.sum("df").alias("df_g")))
+    if dictionary is not None:
+        spark = dictionary.sparkSession
+        cat = pin_zone(dictionary, zone)
+        band = F.col("length").between(min(lens) - max_dist,
+                                       max(lens) + max_dist)
+        cand = (cat.filter(band & near_any)
+                .select("term", F.col("df").alias("df_g")))
+    else:
+        spark = index.sparkSession
+        index = pin_zone(index, zone)
+        band = F.length("term").between(min(lens) - max_dist,
+                                        max(lens) + max_dist)
+        cand = (index.filter((F.col("term") != DOC_MARKER) & band & near_any)
+                .groupBy("term").agg(F.sum("df").alias("df_g")))
     qdf = spark.createDataFrame([(t,) for t in qterms], "qterm string")
     pairs = cand.join(
         F.broadcast(qdf),
@@ -1393,36 +1426,50 @@ _SUGGEST_SCHEMA = T.StructType([
 ])
 
 
-def suggest_corrections(index: DataFrame, query: str, max_dist: int = 1,
+def suggest_corrections(index: DataFrame | None, query: str,
+                        max_dist: int = 1,
                         stem: bool = True, camel: bool = True,
-                        zone: str | None = None) -> DataFrame:
+                        zone: str | None = None,
+                        dictionary: DataFrame | None = None) -> DataFrame:
     """"Did you mean": for each query term ABSENT from the dictionary,
     the most popular dictionary term within edit distance ``max_dist``
     (df desc, term asc — the same pinned order as
     :func:`fuzzy_expand`). Terms the index knows produce no row; absent
     terms with no neighbor produce no row either.
 
-    Two bounded jobs: a term-pruned df aggregate to find the absent
-    terms (<= |query| rows), then the fuzzy-expansion lookup capped at
-    one candidate per absent term."""
-    spark = index.sparkSession
+    ``dictionary``: the compact term catalog from compaction
+    (plans/dictionary.py) — the presence probe and df lookup become
+    point-pruned catalog scans and the sharded index is never touched
+    (``index`` may be None).
+
+    Two bounded jobs: a term-pruned presence/df probe (<= |query| rows),
+    then the fuzzy-expansion lookup capped at one candidate per absent
+    term."""
+    cat = dictionary if dictionary is not None else index
+    spark = cat.sparkSession
     qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
     if not qterms:
         return spark.createDataFrame([], _SUGGEST_SCHEMA)
-    zidx = pin_zone(index, zone)
+    zcat = pin_zone(cat, zone)
     present = {r["term"] for r in
-               zidx.filter(F.col("term").isin(qterms))
+               zcat.filter(F.col("term").isin(qterms))
                .select("term").distinct().collect()}
     missing = [t for t in qterms if t not in present]
     if not missing:
         return spark.createDataFrame([], _SUGGEST_SCHEMA)
     exp = fuzzy_expand(index, missing, max_dist=max_dist,
-                       max_expansions=1, zone=zone)
+                       max_expansions=1, zone=zone, dictionary=dictionary)
     best = sorted({s for v in exp.values() for s in v})
-    dfs = ({r["term"]: int(r["df_g"]) for r in
-            zidx.filter(F.col("term").isin(best))
-            .groupBy("term").agg(F.sum("df").alias("df_g")).collect()}
-           if best else {})
+    if not best:
+        dfs: dict[str, int] = {}
+    elif dictionary is not None:
+        dfs = {r["term"]: int(r["df"]) for r in
+               zcat.filter(F.col("term").isin(best))
+               .select("term", "df").collect()}
+    else:
+        dfs = {r["term"]: int(r["df_g"]) for r in
+               zcat.filter(F.col("term").isin(best))
+               .groupBy("term").agg(F.sum("df").alias("df_g")).collect()}
     rows = [(t, exp[t][0], dfs[exp[t][0]])
             for t in missing if exp.get(t)]
     return spark.createDataFrame(rows, _SUGGEST_SCHEMA)
@@ -1433,11 +1480,14 @@ def search_fuzzy(index: DataFrame, docs: DataFrame | None, stats: dict,
                  max_expansions: int = 8, stem: bool = True,
                  camel: bool = True, shard_size: int = 4096,
                  zone: str | None = None, mode: str = "or",
-                 exclude: str | None = None, **kw) -> DataFrame:
+                 exclude: str | None = None,
+                 dictionary: DataFrame | None = None, **kw) -> DataFrame:
     """Typo-tolerant top-k BM25: each query term expands to its
     edit-distance neighborhood in the index dictionary
-    (:func:`fuzzy_expand`), then one search runs over the distinct
-    expanded terms — every variant scored with its OWN global idf (a
+    (:func:`fuzzy_expand`; pass ``dictionary`` — the compacted term
+    catalog — so the expansion reads millions of catalog rows instead
+    of scanning every sharded-index term row), then one search runs
+    over the distinct expanded terms — every variant scored with its OWN global idf (a
     rare misspelling contributes high-idf hits next to the common
     form), the standard disjunctive fuzzy semantic.
 
@@ -1457,7 +1507,8 @@ def search_fuzzy(index: DataFrame, docs: DataFrame | None, stats: dict,
     spark = index.sparkSession
     qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
     exp = fuzzy_expand(index, qterms, max_dist=max_dist,
-                       max_expansions=max_expansions, zone=zone)
+                       max_expansions=max_expansions, zone=zone,
+                       dictionary=dictionary)
     terms = sorted({t for v in exp.values() for t in v})
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
@@ -1478,15 +1529,23 @@ def search_fuzzy(index: DataFrame, docs: DataFrame | None, stats: dict,
                   mode=mode, exclude=exclude, groups=groups, **kw)
 
 
-def complete_terms(index: DataFrame, prefix: str, limit: int = 10,
-                   zone: str | None = None) -> DataFrame:
+def complete_terms(index: DataFrame | None, prefix: str, limit: int = 10,
+                   zone: str | None = None,
+                   dictionary: DataFrame | None = None) -> DataFrame:
     """Query autocompletion: dictionary terms under ``prefix`` ranked by
     global df (desc; term-ascending tiebreak). Same pushed-StartsWith,
-    blob-pruned scan as :func:`term_prefix_stats`; the popularity cut is
-    a TakeOrderedAndProject tail, so only ``limit`` rows reach the
-    driver no matter how wide the prefix."""
+    pruned scan as :func:`term_prefix_stats` — against the compacted
+    term catalog when ``dictionary`` is given (no aggregate, sharded
+    index untouched), else the blob-pruned index fallback. The
+    popularity cut is a TakeOrderedAndProject tail, so only ``limit``
+    rows reach the driver no matter how wide the prefix."""
     from index_spark.operators.build import DOC_MARKER
 
+    if dictionary is not None:
+        cat = pin_zone(dictionary, zone)
+        return (cat.filter(F.col("term").startswith(prefix))
+                .select("term", "df")
+                .orderBy(F.desc("df"), F.asc("term")).limit(limit))
     index = pin_zone(index, zone)
     return (index
             .filter(F.col("term").startswith(prefix)

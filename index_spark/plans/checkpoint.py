@@ -239,6 +239,17 @@ def compact_index(spark: SparkSession, out_dir: str,
         F.countDistinct("term").alias("terms"),
         F.sum(F.length("doc_blob") + F.length("tf_blob")
               + F.length("dl_blob")).alias("blob_bytes")).collect()[0]
+    # publish the compact term-dictionary artifact in the same pass —
+    # the merged form is already the smallest relation that has every
+    # term (plans/dictionary.py; the fuzzy/spell/complete/prefix family
+    # reads THIS, never the sharded index)
+    from index_spark.plans.dictionary import (
+        dictionary_from_index,
+        write_dictionary,
+    )
+
+    write_dictionary(dictionary_from_index(back), out_dir)
+
     manifest = {
         "chunks": chunk_ids,
         "rows": int(agg["rows"]),

@@ -1,0 +1,78 @@
+"""Compact term-dictionary artifact: one row per (zone,) term.
+
+The fuzzy/spell/complete/prefix query family needs the TERM CATALOG —
+(term, global df, global cf) — not the posting blobs. Deriving it from
+the sharded index per query means a full term-column scan of every
+shard for predicates that cannot row-group-prune (``levenshtein``); at
+10^9+ term-rows that is the wrong cost shape. The reference's sorted
+dictionary walk (/root/reference/index.cpp:51-52 — chunk keys serialize
+in sorted order) implies the same first-class structure.
+
+So compaction (:func:`~index_spark.plans.checkpoint.compact_index`,
+which touches every term anyway) additionally publishes
+``<out_dir>/dictionary/``: millions of rows, not billions —
+
+  * one row per (zone,) term: ``df`` (global doc freq), ``cf`` (global
+    collection freq), ``n_segs`` (merged doc-range segments),
+    ``length`` (term length, the fuzzy length-band prune key);
+  * RANGE-partitioned + sorted by term at rest, so prefix scans
+    (``StartsWith``) row-group-prune exactly like the index shards;
+  * the fuzzy length-band predicate (|len(t)-len(q)| <= dist) hits the
+    stored ``length`` column min/max per row group before any
+    ``levenshtein`` evaluates.
+
+Query functions (``fuzzy_expand`` / ``suggest_corrections`` /
+``complete_terms`` / ``term_prefix_stats``) accept ``dictionary=`` and
+then never touch the sharded index for catalog work.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def dictionary_from_index(index: DataFrame) -> DataFrame:
+    """Derive the term catalog from any index form (sharded, merged, or
+    zoned): one row per (zone,) term with global df/cf sums and the
+    contributing row count. Map-side-combinable aggregate over the
+    metadata columns only — blobs are pruned from the scan."""
+    from index_spark.operators.build import DOC_MARKER
+
+    gcols = ["zone", "term"] if "zone" in index.columns else ["term"]
+    return (index.filter(F.col("term") != DOC_MARKER)
+            .groupBy(*gcols)
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"),
+                 F.count("*").alias("n_segs"))
+            .withColumn("length", F.length("term")))
+
+
+def dictionary_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "dictionary")
+
+
+def write_dictionary(dictionary: DataFrame, out_dir: str,
+                     n_partitions: int | None = None) -> None:
+    """Publish the catalog sorted-by-term at rest. Range partitioning
+    keeps each output file a contiguous term range (tight row-group
+    min/max for StartsWith pruning); ``n_partitions`` defaults to
+    Spark's range-partition estimate."""
+    parts = [F.col("term")]
+    if "zone" in dictionary.columns:
+        parts = [F.col("zone"), F.col("term")]
+    out = (dictionary.repartitionByRange(*parts)
+           if n_partitions is None
+           else dictionary.repartitionByRange(n_partitions, *parts))
+    (out.sortWithinPartitions(*parts)
+        .write.mode("overwrite").parquet(dictionary_path(out_dir)))
+
+
+def load_dictionary(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The published term catalog; raises if compaction never wrote one."""
+    p = dictionary_path(out_dir)
+    if not os.path.isdir(p):
+        raise FileNotFoundError(
+            f"no dictionary under {p} — run compact_index first")
+    return spark.read.parquet(p)

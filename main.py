@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -63,9 +64,17 @@ def cmd_query(args) -> None:
     # the store's tombstone log (deletes/upserts) applies automatically
     tomb = load_tombstones(spark, args.index_dir)
     if args.fuzzy:
+        # expand against the compacted term dictionary when the store
+        # has one (plans/dictionary.py); else fall back to the index
+        from index_spark.plans.dictionary import (
+            dictionary_path,
+            load_dictionary,
+        )
+        d = (load_dictionary(spark, args.index_dir)
+             if os.path.isdir(dictionary_path(args.index_dir)) else None)
         rows = search_fuzzy(index, None, stats, args.query, k=args.k,
                             mode=args.mode, exclude=args.exclude,
-                            tombstones=tomb).collect()
+                            tombstones=tomb, dictionary=d).collect()
     else:
         rows = search(index, None, stats, args.query, k=args.k,
                       mode=args.mode, exclude=args.exclude,

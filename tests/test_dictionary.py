@@ -1,0 +1,126 @@
+"""Compact term-dictionary artifact (plans/dictionary.py): published at
+compaction, consumed by the fuzzy/spell/complete/prefix family so those
+paths never scan the sharded index's term column per query.
+
+The "never touches the index" property is asserted structurally:
+``index=None`` is passed — any code path reaching for the index would
+raise — and the catalog-backed results are value-identical to the
+index-derived fallback.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from index_spark.operators.build import DOC_MARKER, build_index
+from index_spark.operators.query import (
+    complete_terms,
+    fuzzy_expand,
+    search_fuzzy,
+    suggest_corrections,
+    term_prefix_stats,
+)
+from index_spark.plans.checkpoint import build_chunked, compact_index
+from index_spark.plans.dictionary import (
+    dictionary_from_index,
+    load_dictionary,
+)
+
+SHARD = 64
+
+
+@pytest.fixture(scope="module")
+def store(spark, tiny_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("dictstore") / "store")
+    ordered = tiny_corpus.sort_values(["repo", "path"]).reset_index(drop=True)
+    build_chunked(spark, spark.createDataFrame(ordered), out,
+                  docs_per_chunk=64, shard_size=SHARD)
+    compact_index(spark, out, segment_bytes=512)
+    return out
+
+
+@pytest.fixture(scope="module")
+def built(spark, tiny_corpus):
+    docs, index, stats = build_index(
+        spark.createDataFrame(tiny_corpus), stem=True, shard_size=SHARD)
+    index = index.persist()
+    index.count()
+    return docs.persist(), index, stats
+
+
+def test_compaction_publishes_dictionary(spark, store, built):
+    """compact_index writes <store>/dictionary: one row per term, global
+    df/cf sums matching an independent aggregate over the sharded index."""
+    _, index, _ = built
+    d = load_dictionary(spark, store).persist()
+    assert set(d.columns) == {"term", "df", "cf", "n_segs", "length"}
+    # term-distinct, no doc marker
+    assert d.count() == d.select("term").distinct().count()
+    assert d.filter(F.col("term") == DOC_MARKER).count() == 0
+    # global sums match the index-derived catalog exactly
+    expect = {(r["term"], r["df"], r["cf"]) for r in
+              dictionary_from_index(index)
+              .select("term", "df", "cf").collect()}
+    got = {(r["term"], r["df"], r["cf"]) for r in
+           d.select("term", "df", "cf").collect()}
+    assert got == expect
+    # stored length column is consistent (the fuzzy band prune key)
+    assert d.filter(F.length("term") != F.col("length")).count() == 0
+    d.unpersist()
+
+
+def test_dictionary_sorted_at_rest_and_pruned_scan(spark, store):
+    """The artifact is range-partitioned + sorted by term, and a prefix
+    scan pushes StartsWith into the parquet scan (row-group pruning)."""
+    import pandas as pd
+
+    d = load_dictionary(spark, store)
+    # sorted at rest: within every parquet partition file, terms ascend
+    part = (d.withColumn("_f", F.input_file_name())
+            .select("_f", "term").toPandas())
+    for _, g in part.groupby("_f"):
+        t = g["term"].tolist()
+        assert t == sorted(t)
+    del pd
+    plan = (d.filter(F.col("term").startswith("im"))
+            .select("term", "df")._jdf.queryExecution().executedPlan()
+            .toString())
+    assert "StartsWith" in plan and "PushedFilters" in plan
+
+
+def test_prefix_and_complete_match_index_fallback(spark, store, built):
+    _, index, _ = built
+    d = load_dictionary(spark, store)
+    for prefix in ["im", "re", "s", "zz"]:
+        a = term_prefix_stats(None, prefix, limit=20,
+                              dictionary=d).collect()
+        b = term_prefix_stats(index, prefix, limit=20).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], prefix
+        a = complete_terms(None, prefix, limit=10, dictionary=d).collect()
+        b = complete_terms(index, prefix, limit=10).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], prefix
+
+
+def test_fuzzy_and_spell_match_index_fallback(spark, store, built):
+    _, index, _ = built
+    d = load_dictionary(spark, store)
+    for qs in [["imort"], ["retur", "clas"], ["import"], ["zzzzzzz"]]:
+        assert fuzzy_expand(None, qs, dictionary=d) == \
+               fuzzy_expand(index, qs), qs
+    for q in ["import imort", "import return", "retur clas"]:
+        a = suggest_corrections(None, q, dictionary=d).collect()
+        b = suggest_corrections(index, q).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], q
+
+
+def test_search_fuzzy_with_dictionary_rank_identity(spark, store, built):
+    """search_fuzzy(dictionary=...) expands via the catalog but scores
+    against the index — results identical to the index-expanded path."""
+    docs, index, stats = built
+    d = load_dictionary(spark, store)
+    for q, mode in [("imort retur", "or"), ("imort retur", "and")]:
+        a = search_fuzzy(index, docs, stats, q, k=10, mode=mode,
+                         shard_size=SHARD, dictionary=d).collect()
+        b = search_fuzzy(index, docs, stats, q, k=10, mode=mode,
+                         shard_size=SHARD).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == \
+               [(r["doc_id"], r["score"]) for r in b], (q, mode)
