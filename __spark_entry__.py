@@ -706,6 +706,26 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         return percolate(corpus, queries, mode="and", stem=False,
                          camel=False)
 
+    def percolate_inverted_matches(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+        # prospective search at Lucene-percolator scale: the standing
+        # set is a DataFrame inverted into a term->query posting
+        # relation; routing is an equi-join of doc vocab against it
+        # (no driver dict, no broadcast-all-queries, no vocab literal)
+        from index_spark.operators.build import assign_doc_ids
+        from index_spark.operators.percolate import (
+            build_query_postings,
+            percolate_inverted,
+        )
+
+        corpus = assign_doc_ids(_parity_corpus(spark, sf_dir))
+        standing = spark.createDataFrame(
+            [(qid, " ".join(terms)) for qid, terms in QUERYSET],
+            "query_id long, query string")
+        qpost = build_query_postings(standing, stem=False, camel=False)
+        return percolate_inverted(corpus, qpost, mode="and",
+                                  stem=False, camel=False)
+
     def top_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # phrase mining: adjacent-pair stats, JVM transform+explode,
         # one aggregate
@@ -978,6 +998,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "index_totals": index_totals,
         "top_bigrams": top_bigrams_q,
         "percolate_matches": percolate_matches,
+        "percolate_inverted_matches": percolate_inverted_matches,
         "curation_verdicts": curation_verdicts,
         "percolate_dsl_matches": percolate_dsl_matches,
         "resolved_topk": resolved_topk,
@@ -1932,6 +1953,8 @@ def _build_registry():
         _docs_sql("duck", _ORACLE_CURATE))
     add("percolate_matches", eng["percolate_matches"],
         _docs_sql("duck", _ORACLE_PERCOLATE, [qs_cte]))
+    add("percolate_inverted_matches", eng["percolate_inverted_matches"],
+        _docs_sql("duck", _ORACLE_PERCOLATE, [qs_cte]))
     add("top_bigrams", eng["top_bigrams"],
         _docs_sql("duck", _ORACLE_BIGRAMS))
     add("index_totals", eng["index_totals"],
@@ -2005,7 +2028,7 @@ def _build_registry():
 
 
 # round-4 new entry names (kept in the driver's 50-entry check window)
-_R04_NEW: frozenset = frozenset()
+_R04_NEW: frozenset = frozenset({"percolate_inverted_matches"})
 
 
 # ---------------------------------------------------------------------------

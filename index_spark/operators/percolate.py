@@ -68,6 +68,62 @@ def percolate(corpus_with_ids: DataFrame, queries: dict[int, str],
             .select("query_id", "doc_id"))
 
 
+def build_query_postings(standing: DataFrame, stem: bool = True,
+                         camel: bool = True) -> DataFrame:
+    """Invert a standing-query RELATION (query_id, query) into the
+    term -> query posting relation ``(term, query_id, n_terms)`` — the
+    percolator's own inverted index, for standing sets far beyond what
+    :func:`percolate`'s driver-side dict can carry (10^4–10^6 saved
+    searches, the Lucene-percolator regime).
+
+    Tokenization runs through the SAME fused Arrow kernel as documents
+    (:func:`~index_spark.operators.build.doc_term_counts` — queries are
+    just tiny docs), fully distributed: no standing query ever touches
+    the driver. Build once per standing-set update and persist/write;
+    routing batches then reuse it."""
+    qdocs = standing.select(
+        F.col("query_id").cast("long").alias("doc_id"),
+        F.col("query").alias("content"))
+    tc = (doc_term_counts(qdocs, stem=stem, camel=camel)
+          .filter(F.col("term") != ""))  # empty-query sentinel rows
+    n = tc.groupBy("doc_id").agg(F.count("*").alias("n_terms"))
+    return (tc.select("doc_id", "term").join(n, "doc_id")
+            .select(F.col("doc_id").alias("query_id"), "term", "n_terms"))
+
+
+def percolate_inverted(corpus_with_ids: DataFrame,
+                       query_postings: DataFrame,
+                       mode: str = "and", stem: bool = True,
+                       camel: bool = True) -> DataFrame:
+    """Route documents against a LARGE standing set via the inverted
+    term->query posting relation (:func:`build_query_postings` output):
+    candidates = (query, doc) pairs sharing >=1 term — produced by an
+    equi-join of the docs' vocabulary against the posting relation,
+    never by broadcasting and evaluating every standing query per doc —
+    then the count gate verifies conjunctive matches.
+
+    Scale shape: one equi-join on term (AQE broadcasts the posting
+    relation when it is actually small; at 10^6 queries it shuffles —
+    Spark's runtime Bloom-filter join injection prunes non-query doc
+    terms before the exchange), then one map-side-combinable aggregate
+    on (query_id, doc_id). No driver-side vocabulary literal appears in
+    the plan, unlike the bounded-dict path's pushed ``isin``. A
+    ubiquitous standing term skews the term join — standard hygiene is
+    dropping stop-terms from OR routing and salting a hot term's query
+    list; conjunctive verification is unaffected either way."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    toks = (doc_term_counts(corpus_with_ids, stem=stem, camel=camel)
+            .select("doc_id", "term"))
+    joined = toks.join(query_postings, "term")
+    if mode == "or":
+        return joined.select("query_id", "doc_id").distinct()
+    return (joined.groupBy("query_id", "doc_id", "n_terms")
+            .agg(F.countDistinct("term").alias("hit"))
+            .filter(F.col("hit") == F.col("n_terms"))
+            .select("query_id", "doc_id"))
+
+
 def percolate_dsl(corpus_with_ids: DataFrame, queries: dict[int, str],
                   stem: bool = True, camel: bool = True) -> DataFrame:
     """Percolation under full web-query syntax: ``+required bare

@@ -185,22 +185,57 @@ def load_docs(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "chunks", "*", "docs"))
 
 
+DEFAULT_TERM_BUCKETS = 64  # term-hash partitions of the merged index
+
+
+def _tb_expr(n_term_buckets: int):
+    # term-hash bucket: every segment row of one term lands in ONE
+    # on-disk partition, so an incremental fold rewrites only the
+    # partitions whose terms the delta touches
+    return F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int")
+
+
 def compact_index(spark: SparkSession, out_dir: str,
                   segment_bytes: int | None = None,
                   force: bool = False,
                   serving_table: str | None = None,
-                  serving_buckets: int = 64) -> dict:
+                  serving_buckets: int = 64,
+                  n_term_buckets: int = DEFAULT_TERM_BUCKETS) -> dict:
     """Compact every committed chunk into the merged global index under
-    ``<out_dir>/merged/`` — the background-merge step of the index
-    lifecycle (build chunks online, serve the compacted form).
+    ``<out_dir>/merged/index/tb=<k>/`` (term-hash-partitioned) — the
+    background-merge step of the index lifecycle (build chunks online,
+    serve the compacted form).
 
-    Idempotent + incremental: the merge manifest records the chunk set
-    it was built from; re-running with the same committed chunks is a
-    no-op, while new chunks (or ``force=True``) trigger a re-merge.
-    The merge itself is :func:`~index_spark.operators.merge.merge_shards`
+    TIERED: the manifest records the chunk set the merged form was built
+    from; re-running with the same committed chunks is a no-op, and when
+    only NEW chunks were appended (chunk ids strictly extend the
+    previous set — the build/ingest protocol) the new chunks are merged
+    as a DELTA and FOLDED into the existing merged form, touching only
+    the term-hash partitions whose terms appear in the delta:
+
+      * per affected term, the delta's merged rows concatenate onto the
+        term's TAIL segment (doc ranges only ever append) when the
+        combined blob stays within ``segment_bytes``; otherwise they
+        land as new bounded segment rows after it — query kernels score
+        disjoint doc-range segments of a term independently, so both
+        shapes are rank-identical to a from-scratch merge;
+      * rows of unaffected terms (and whole unaffected partitions) are
+        never re-merged, re-read, or rewritten — compaction work is
+        O(delta + affected rows), not O(total index), so cost tracks
+        ingest rate instead of corpus age at 10^12-doc scale;
+      * a structural change (``force``, different ``segment_bytes`` /
+        ``n_term_buckets``, or a non-append chunk-set change) falls back
+        to the full merge.
+
+    The merge kernel is :func:`~index_spark.operators.merge.merge_shards`
     — hot terms split into bounded doc-range segments, so compaction has
     no unbounded reducer at any corpus size — and the commit is atomic
-    (manifest written last, via rename), matching the chunk protocol.
+    (manifest written last, via rename; the fold stages its partitions
+    and swaps them in at directory level), matching the chunk protocol.
+
+    The compact term-dictionary artifact (plans/dictionary.py) is
+    (re)published in the same pass — incrementally, on the fold path:
+    only the affected terms' catalog rows are recomputed.
 
     ``serving_table``: additionally publish the merged index as a
     term-bucketed serving table (:func:`~index_spark.plans.storage.
@@ -208,9 +243,11 @@ def compact_index(spark: SparkSession, out_dir: str,
     compaction pass; the table name is recorded in the manifest.
 
     Returns the manifest: {"chunks", "rows", "terms", "blob_bytes",
-    "skipped", "wall_s"[, "serving_table"]}.
+    "mode", "skipped", "wall_s", ...} plus fold accounting
+    ({"buckets_rewritten", "terms_affected", "rows_folded",
+    "rows_appended"}) on the incremental path.
     """
-    from index_spark.operators.merge import merge_shards
+    from index_spark.operators.merge import DEFAULT_SEGMENT_BYTES
 
     chunks_dir = os.path.join(out_dir, "chunks")
     chunk_ids = sorted(
@@ -218,49 +255,46 @@ def compact_index(spark: SparkSession, out_dir: str,
         if chunk_is_committed(out_dir, int(name)))
     if not chunk_ids:
         raise ValueError(f"no committed chunks under {chunks_dir}")
+    seg_bytes = (DEFAULT_SEGMENT_BYTES if segment_bytes is None
+                 else segment_bytes)
     mdir = os.path.join(out_dir, "merged")
     mpath = os.path.join(mdir, "_COMMIT.json")
-    if os.path.exists(mpath) and not force:
+    prev = None
+    if os.path.exists(mpath):
         with open(mpath) as f:
             prev = json.load(f)
-        if prev.get("chunks") == chunk_ids:
-            prev["skipped"] = True
-            return prev
+    if (prev is not None and not force
+            and prev.get("chunks") == chunk_ids
+            and prev.get("segment_bytes") == seg_bytes
+            and prev.get("n_term_buckets") == n_term_buckets):
+        prev["skipped"] = True
+        return prev
 
     t0 = time.time()
-    kwargs = {} if segment_bytes is None else {"segment_bytes": segment_bytes}
-    merged = merge_shards(load_index(spark, out_dir), **kwargs)
-    os.makedirs(mdir, exist_ok=True)
-    merged.write.mode("overwrite").parquet(os.path.join(mdir, "index"))
-
-    back = spark.read.parquet(os.path.join(mdir, "index"))
-    agg = back.agg(
-        F.count("*").alias("rows"),
-        F.countDistinct("term").alias("terms"),
-        F.sum(F.length("doc_blob") + F.length("tf_blob")
-              + F.length("dl_blob")).alias("blob_bytes")).collect()[0]
-    # publish the compact term-dictionary artifact in the same pass —
-    # the merged form is already the smallest relation that has every
-    # term (plans/dictionary.py; the fuzzy/spell/complete/prefix family
-    # reads THIS, never the sharded index)
-    from index_spark.plans.dictionary import (
-        dictionary_from_index,
-        write_dictionary,
+    incremental = (
+        prev is not None and not force
+        and prev.get("segment_bytes") == seg_bytes
+        and prev.get("n_term_buckets") == n_term_buckets
+        and len(chunk_ids) > len(prev.get("chunks", []))
+        and chunk_ids[: len(prev["chunks"])] == prev["chunks"]
     )
-
-    write_dictionary(dictionary_from_index(back), out_dir)
-
-    manifest = {
-        "chunks": chunk_ids,
-        "rows": int(agg["rows"]),
-        "terms": int(agg["terms"]),
-        "blob_bytes": int(agg["blob_bytes"] or 0),
-        "skipped": False,
-        "wall_s": round(time.time() - t0, 3),
-    }
+    if incremental:
+        manifest = _fold_new_chunks(
+            spark, out_dir, prev,
+            new_ids=chunk_ids[len(prev["chunks"]):],
+            seg_bytes=seg_bytes, n_term_buckets=n_term_buckets)
+    else:
+        manifest = _full_merge(spark, out_dir, chunk_ids,
+                               seg_bytes, n_term_buckets)
+    manifest["chunks"] = chunk_ids
+    manifest["segment_bytes"] = seg_bytes
+    manifest["n_term_buckets"] = n_term_buckets
+    manifest["skipped"] = False
+    manifest["wall_s"] = round(time.time() - t0, 3)
     if serving_table:
         from index_spark.plans.storage import save_serving_index
 
+        back = spark.read.parquet(os.path.join(mdir, "index")).drop("tb")
         save_serving_index(back, table=serving_table,
                            n_buckets=serving_buckets)
         manifest["serving_table"] = serving_table
@@ -271,6 +305,185 @@ def compact_index(spark: SparkSession, out_dir: str,
     return manifest
 
 
+def _merged_agg(df: DataFrame) -> dict:
+    r = df.agg(
+        F.count("*").alias("rows"),
+        F.countDistinct("term").alias("terms"),
+        F.sum(F.length("doc_blob") + F.length("tf_blob")
+              + F.length("dl_blob")).alias("blob_bytes")).collect()[0]
+    return {"rows": int(r["rows"]), "terms": int(r["terms"]),
+            "blob_bytes": int(r["blob_bytes"] or 0)}
+
+
+def _full_merge(spark: SparkSession, out_dir: str, chunk_ids: list[int],
+                seg_bytes: int, n_term_buckets: int) -> dict:
+    from index_spark.operators.merge import merge_shards
+    from index_spark.plans.dictionary import (
+        dictionary_from_index,
+        write_dictionary,
+    )
+
+    mdir = os.path.join(out_dir, "merged")
+    ipath = os.path.join(mdir, "index")
+    merged = merge_shards(load_index(spark, out_dir),
+                          segment_bytes=seg_bytes)
+    os.makedirs(mdir, exist_ok=True)
+    (merged.withColumn("tb", _tb_expr(n_term_buckets))
+     .write.partitionBy("tb").mode("overwrite").parquet(ipath))
+
+    back = spark.read.parquet(ipath).drop("tb")
+    write_dictionary(dictionary_from_index(back), out_dir)
+    return {**_merged_agg(back), "mode": "full"}
+
+
+def _fold_new_chunks(spark: SparkSession, out_dir: str, prev: dict,
+                     new_ids: list[int], seg_bytes: int,
+                     n_term_buckets: int) -> dict:
+    """Fold the new chunks' postings into the merged form in place:
+    O(delta + affected-partition rows) work, zero IO on partitions the
+    delta's vocabulary does not touch."""
+    import shutil
+
+    from index_spark.operators.merge import (
+        MERGED_SCHEMA,
+        _merge_term,
+        _merge_term_zone,
+        merge_shards,
+    )
+    from index_spark.plans.dictionary import (
+        dictionary_from_index,
+        dictionary_path,
+        load_dictionary,
+        write_dictionary,
+    )
+    from pyspark.sql import types as T
+
+    mdir = os.path.join(out_dir, "merged")
+    ipath = os.path.join(mdir, "index")
+    tb = _tb_expr(n_term_buckets)
+
+    # 1. merge the new chunks alone (bounded segments, shard-parallel)
+    delta_src = spark.read.parquet(
+        *[os.path.join(_chunk_dir(out_dir, cid), "index")
+          for cid in new_ids])
+    dmerged = merge_shards(delta_src, segment_bytes=seg_bytes).persist()
+    zoned = "zone" in dmerged.columns
+    gcols = ["zone", "term"] if zoned else ["term"]
+    dterms = dmerged.select(*gcols).distinct().persist()
+    buckets = sorted(r["tb"] for r in
+                     dterms.select(tb.alias("tb")).distinct().collect())
+
+    # 2. read ONLY the affected term-hash partitions of the merged form
+    old = (spark.read.parquet(ipath)
+           .filter(F.col("tb").isin(buckets)).drop("tb"))
+    old = old.join(F.broadcast(dterms.withColumn("_aff", F.lit(1))),
+                   gcols, "left")
+    pre_agg = _merged_agg(old)  # affected partitions BEFORE the fold
+    pass_old = old.filter(F.col("_aff").isNull()).drop("_aff")
+    aff_old = old.filter(F.col("_aff") == 1).drop("_aff")
+
+    # 3. tail segment per affected term — found via a metadata-only
+    # aggregate + broadcast join-back (never a window over blob rows)
+    tmax = aff_old.groupBy(*gcols).agg(F.max("last_doc").alias("_maxld"))
+    aff_old = aff_old.join(F.broadcast(tmax), gcols)
+    tail = aff_old.filter(F.col("last_doc") == F.col("_maxld")) \
+                  .drop("_maxld")
+    body = aff_old.filter(F.col("last_doc") != F.col("_maxld")) \
+                  .drop("_maxld")
+
+    # 4. fold decision per term: concatenate the delta onto the tail
+    # only when the combined blob stays a bounded segment; otherwise the
+    # delta rows append as fresh segments after it (both shapes are
+    # rank-identical — kernels score disjoint doc-range rows per term
+    # independently and df_g sums across rows)
+    blob_len = (F.length("doc_blob") + F.length("tf_blob")
+                + F.length("dl_blob") + F.length("pos_blob"))
+    dbytes = dmerged.groupBy(*gcols).agg(F.sum(blob_len).alias("_dbytes"))
+    foldkeys = (tail.select(*gcols, blob_len.alias("_tbytes"))
+                .join(F.broadcast(dbytes), gcols)
+                .filter(F.col("_tbytes") + F.col("_dbytes")
+                        <= F.lit(seg_bytes))
+                .select(*gcols))
+
+    # pseudo-shards order the fold input: tail first (-1), then delta
+    # rows by first_doc (doc ranges only ever append, so every delta
+    # first_doc > the tail's last_doc; _merge_term_impl sorts by
+    # (shard, first_doc) and patches each part's boundary delta)
+    foldkeys = foldkeys.persist()
+    n_folded = foldkeys.count()  # forced pre-swap: derives from `old`
+    fold_tail = tail.join(F.broadcast(foldkeys), gcols, "semi") \
+                    .withColumn("shard", F.lit(-1))
+    keep_tail = tail.join(F.broadcast(foldkeys), gcols, "anti")
+    fold_delta = dmerged.join(F.broadcast(foldkeys), gcols, "semi") \
+                        .withColumn("shard", F.lit(0))
+    append_delta = dmerged.join(F.broadcast(foldkeys), gcols, "anti")
+    n_appended = append_delta.count()
+
+    schema = (T.StructType([T.StructField("zone", T.StringType(), False)]
+                           + list(MERGED_SCHEMA.fields))
+              if zoned else MERGED_SCHEMA)
+    folded = (fold_tail.unionByName(fold_delta)
+              .groupBy(*gcols)
+              .applyInPandas(_merge_term_zone if zoned else _merge_term,
+                             schema=schema))
+
+    out_aff = (pass_old
+               .unionByName(body)
+               .unionByName(keep_tail)
+               .unionByName(folded)
+               .unionByName(append_delta))
+
+    # 5. stage the rewritten partitions, then swap them in atomically at
+    # directory level (never overwrite a path being read)
+    stage = os.path.join(mdir, "index_stage")
+    if os.path.isdir(stage):
+        shutil.rmtree(stage)
+    (out_aff.withColumn("tb", tb)
+     .write.partitionBy("tb").mode("overwrite").parquet(stage))
+    for b in buckets:
+        src, dst = (os.path.join(stage, f"tb={b}"),
+                    os.path.join(ipath, f"tb={b}"))
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.rename(src, dst)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    # 6. patch global stats from the affected partitions' before/after
+    # (term-hash partitions make rows/terms/bytes additive per bucket)
+    post = (spark.read.parquet(ipath)
+            .filter(F.col("tb").isin(buckets)).drop("tb"))
+    post_agg = _merged_agg(post)
+    fold_stats = {
+        "mode": "incremental",
+        "new_chunks": list(new_ids),
+        "buckets_rewritten": len(buckets),
+        "terms_affected": dterms.count(),
+        "rows_folded": n_folded,
+        "rows_appended": n_appended,
+        "rows": prev["rows"] - pre_agg["rows"] + post_agg["rows"],
+        "terms": prev["terms"] - pre_agg["terms"] + post_agg["terms"],
+        "blob_bytes": (prev["blob_bytes"] - pre_agg["blob_bytes"]
+                       + post_agg["blob_bytes"]),
+    }
+
+    # 7. incremental dictionary: recompute ONLY the affected terms' rows
+    old_dict = load_dictionary(spark, out_dir)
+    new_rows = dictionary_from_index(
+        post.join(F.broadcast(dterms), gcols, "semi"))
+    dict_stage = dictionary_path(out_dir) + "_stage"
+    write_dictionary(
+        old_dict.join(F.broadcast(dterms), gcols, "anti")
+                .unionByName(new_rows),
+        out_dir, path=dict_stage)
+    shutil.rmtree(dictionary_path(out_dir))
+    os.rename(dict_stage, dictionary_path(out_dir))
+
+    dmerged.unpersist()
+    dterms.unpersist()
+    foldkeys.unpersist()
+    return fold_stats
+
+
 def load_merged_index(spark: SparkSession, out_dir: str) -> DataFrame:
     """The compacted global index (compact_index output); raises if no
     compaction has been committed."""
@@ -278,7 +491,8 @@ def load_merged_index(spark: SparkSession, out_dir: str) -> DataFrame:
         raise FileNotFoundError(
             f"no committed compaction under {out_dir}/merged — "
             "run compact_index first")
-    return spark.read.parquet(os.path.join(out_dir, "merged", "index"))
+    return spark.read.parquet(
+        os.path.join(out_dir, "merged", "index")).drop("tb")
 
 
 def lineage(out_dir: str) -> list[dict]:

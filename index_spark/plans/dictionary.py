@@ -54,11 +54,14 @@ def dictionary_path(out_dir: str) -> str:
 
 
 def write_dictionary(dictionary: DataFrame, out_dir: str,
-                     n_partitions: int | None = None) -> None:
+                     n_partitions: int | None = None,
+                     path: str | None = None) -> None:
     """Publish the catalog sorted-by-term at rest. Range partitioning
     keeps each output file a contiguous term range (tight row-group
     min/max for StartsWith pruning); ``n_partitions`` defaults to
-    Spark's range-partition estimate."""
+    Spark's range-partition estimate. ``path`` overrides the target
+    directory (staging for an atomic swap when the current catalog is
+    an input of the rewrite)."""
     parts = [F.col("term")]
     if "zone" in dictionary.columns:
         parts = [F.col("zone"), F.col("term")]
@@ -66,7 +69,8 @@ def write_dictionary(dictionary: DataFrame, out_dir: str,
            if n_partitions is None
            else dictionary.repartitionByRange(n_partitions, *parts))
     (out.sortWithinPartitions(*parts)
-        .write.mode("overwrite").parquet(dictionary_path(out_dir)))
+        .write.mode("overwrite")
+        .parquet(path or dictionary_path(out_dir)))
 
 
 def load_dictionary(spark: SparkSession, out_dir: str) -> DataFrame:

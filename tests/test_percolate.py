@@ -172,3 +172,49 @@ def test_percolate_dsl_neg_phrase_only_raises(ids_and_oracle):
     # candidate selector either) — previously it silently matched nothing
     with _pytest.raises(ValueError, match="only negations"):
         percolate_dsl(with_ids, {0: "-data"})
+
+
+def test_percolate_inverted_10k_standing(spark, ids_and_oracle):
+    """Inverted percolation routes against a 10k-query standing set via
+    the term->query posting relation: the standing set is a DataFrame
+    (never a driver dict), the plan joins doc vocab to query postings
+    (no 10k-term `isin` literal, no 10k-column aggregate), and matches
+    agree with the bounded-dict path."""
+    from pyspark.sql import functions as F
+
+    from index_spark.operators.percolate import (
+        build_query_postings,
+        percolate,
+        percolate_inverted,
+    )
+
+    with_ids, oracle = ids_and_oracle
+    # 10k two-term conjunctive queries generated distributively from a
+    # small term basis (100 x 100 combinations)
+    basis = sorted(oracle.tf)[:100]
+    arr = F.array(*[F.lit(t) for t in basis])
+    standing = spark.range(10_000).select(
+        F.col("id").alias("query_id"),
+        F.concat_ws(" ",
+                    F.element_at(arr, (F.col("id") % 100 + 1).cast("int")),
+                    F.element_at(arr, (F.col("id") / 100 + 1).cast("int"))
+                    ).alias("query"))
+    qpost = build_query_postings(standing, stem=False, camel=False)
+    got = percolate_inverted(with_ids, qpost, mode="and",
+                             stem=False, camel=False)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert " IN (" not in plan, "driver-side vocabulary literal leaked"
+    assert "hashjoin" in plan.lower() or "sortmergejoin" in plan.lower() \
+        or "joi" in plan.lower()
+
+    got_pairs = {(r["query_id"], r["doc_id"]) for r in got.collect()}
+    # equivalence with the bounded-dict path on a 200-query sample
+    sample_ids = list(range(0, 10_000, 50))
+    qdict = {r["query_id"]: r["query"] for r in
+             standing.filter(F.col("query_id").isin(sample_ids)).collect()}
+    ref = {(r["query_id"], r["doc_id"]) for r in
+           percolate(with_ids, qdict, mode="and",
+                     stem=False, camel=False).collect()}
+    got_sample = {(q, d) for q, d in got_pairs if q in set(sample_ids)}
+    assert got_sample == ref
+    assert got_pairs, "10k-query routing must produce matches"
