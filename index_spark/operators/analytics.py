@@ -346,3 +346,56 @@ def related_terms(postings: DataFrame, seed_term: str, n_docs: int,
            .select("term", "cooc", "df", "pmi")
            .orderBy(F.desc("pmi"), F.desc("cooc"), F.asc("term")))
     return out.limit(top)
+
+
+STYLE_HIST_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType(), False),
+    T.StructField("style", T.IntegerType(), False),
+    T.StructField("n_occurrences", T.LongType(), False),
+])
+
+
+def style_histogram(index: DataFrame, style_shift: int = 2,
+                    zone: str | None = None) -> DataFrame:
+    """Per-term style histogram of a STYLED positional index
+    (``build_zoned_index(style_spans=...)``): (term, style,
+    n_occurrences) for every style code present, the ranking signal the
+    reference's 2-bit channel exists for (Heading/Bold hits weigh more;
+    /root/reference/index.h:44-60).
+
+    Shape: term-pruned columnar scan of (term, pos_blob) only — doc/tf
+    blobs never decode — then a per-partition vectorized unpack
+    (low ``style_shift`` bits of each varbyte value) + bincount, then
+    one map-side-combinable aggregate over (term, style). Output is
+    vocabulary-bounded."""
+    from index_spark.functions import varbyte as vb
+    from index_spark.operators.build import DOC_MARKER
+    from index_spark.operators.query import pin_zone
+
+    idx = pin_zone(index, zone).filter(F.col("term") != DOC_MARKER)
+    mask = (1 << style_shift) - 1
+    n_codes = 1 << style_shift
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms, styles, counts = [], [], []
+            for row in pdf.itertuples(index=False):
+                blob = bytes(row.pos_blob)
+                if not blob:
+                    continue
+                codes = vb.decode(blob).astype(np.int64) & mask
+                c = np.bincount(codes, minlength=n_codes)
+                nz = np.flatnonzero(c)
+                terms.extend([row.term] * nz.size)
+                styles.extend(nz.tolist())
+                counts.extend(c[nz].tolist())
+            yield pd.DataFrame({"term": terms,
+                                "style": np.asarray(styles, np.int32),
+                                "n_occurrences": np.asarray(counts,
+                                                            np.int64)})
+
+    part = idx.select("term", "pos_blob").mapInPandas(
+        fn, schema=STYLE_HIST_SCHEMA)
+    return (part.groupBy("term", "style")
+            .agg(F.sum("n_occurrences").alias("n_occurrences"))
+            .orderBy("term", "style"))

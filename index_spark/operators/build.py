@@ -619,9 +619,20 @@ def _pa_index_schema():
 
 def _shard_record_batch(doc_ids: np.ndarray, buf: np.ndarray,
                         bounds: np.ndarray, stem: bool, shard: int,
-                        camel: bool = True, positions: bool = False):
+                        camel: bool = True, positions: bool = False,
+                        style_spans: list | None = None,
+                        style_shift: int = 2):
     """Arrow-native fused kernel: one shard's raw UTF-8 stream -> index
     RecordBatch, zero-copy on every hot column.
+
+    ``style_spans`` (implies ``positions``): per-doc (start, end, style)
+    token-ordinal span lists, aligned with ``doc_ids``. Each occurrence's
+    position delta packs its style code into the low ``style_shift``
+    bits — ``value = (gap << shift) | style`` — the reference's styled
+    word post (index.h:44-60; functions/style.py). The packed stream is
+    still a plain varbyte stream of per-doc-local values, so merge
+    concatenation and the pos_blob grammar are unchanged; consumers
+    recover gaps with ``unpack_styled`` / a shift-aware decode.
 
     tokenize+count straight off the Arrow string buffer
     (term_counts_stream), then the shared numpy blob core; blob columns
@@ -641,6 +652,10 @@ def _shard_record_batch(doc_ids: np.ndarray, buf: np.ndarray,
     from index_spark.functions.text import term_counts_stream
 
     n = len(doc_ids)
+    if style_spans is not None:
+        positions = True
+        if len(style_spans) != n:
+            raise ValueError("style_spans must align with doc_ids")
     if positions:
         vocab, d, t, cnt, lens, pos = term_counts_stream(
             buf, bounds, stem=stem, camel=camel, positions=True)
@@ -679,12 +694,29 @@ def _shard_record_batch(doc_ids: np.ndarray, buf: np.ndarray,
         deltas = pos.copy()
         deltas[1:] -= pos[:-1]
         deltas[seg[:-1]] = pos[seg[:-1]]
-        plens = vb.encoded_lengths(deltas.astype(np.uint64))
+        vals = deltas.astype(np.uint64)
+        if style_spans is not None and pos.size:
+            from index_spark.functions.style import styles_from_spans
+
+            # per-doc style arrays from token-ordinal spans, then one
+            # flat gather at each occurrence's absolute ordinal
+            style_flat = np.concatenate(
+                [styles_from_spans(int(dl), sp or (), shift=style_shift)
+                 for dl, sp in zip(lens, style_spans)]) \
+                if n else np.empty(0, np.int64)
+            doc_off = np.zeros(n, dtype=np.int64)
+            if n > 1:
+                doc_off[1:] = np.cumsum(lens)[:-1]
+            occ_doc = np.repeat(d[:n_real], pos_cnt[:n_real])
+            occ_style = style_flat[doc_off[occ_doc] + pos]
+            vals = (vals << np.uint64(style_shift)) \
+                | occ_style.astype(np.uint64)
+        plens = vb.encoded_lengths(vals)
         pair_bytes = np.zeros(pos_cnt.size, dtype=np.int64)
         if n_real:
             pair_bytes[:n_real] = np.add.reduceat(plens, seg[:-1]) \
                 if plens.size else 0
-        pb = np.frombuffer(vb.encode(deltas.astype(np.uint64)), np.uint8)
+        pb = np.frombuffer(vb.encode(vals), np.uint8)
         pair_off = np.concatenate(([0], np.cumsum(pair_bytes)))
         sel_len = pair_bytes[order]
         src = pair_off[:-1][order]
@@ -775,14 +807,19 @@ def build_partition_index(with_ids: DataFrame, stem: bool = True,
 
 
 def _fused_shard_stream(pairs, stem: bool, shard_size: int,
-                        camel: bool = True, positions: bool = False):
+                        camel: bool = True, positions: bool = False,
+                        styled: bool = False, style_shift: int = 2):
     """Shared shard-cutting generator: (doc_ids ndarray, Arrow string
-    column) pairs -> index RecordBatches, one-or-more per shard."""
+    column[, per-doc span list]) pairs -> index RecordBatches,
+    one-or-more per shard. ``styled`` expects each pair to carry the
+    third element (token-ordinal style spans per doc) and packs the
+    style channel into pos_blob."""
     cur: int | None = None
     last_id: int | None = None
     ids_buf: list[np.ndarray] = []
     byte_buf: list[np.ndarray] = []
     bounds_buf: list[np.ndarray] = []
+    spans_buf: list[list] = []
 
     def flush(shard):
         ids = np.concatenate(ids_buf)
@@ -793,12 +830,20 @@ def _fused_shard_stream(pairs, stem: bool, shard_size: int,
             parts.append(b[1:] + total)
             total += int(b[-1])
         bounds = np.concatenate(parts)
+        spans = ([sp for chunk in spans_buf for sp in chunk]
+                 if styled else None)
         return _shard_record_batch(ids, data, bounds, stem, shard,
-                                   camel=camel, positions=positions)
+                                   camel=camel, positions=positions,
+                                   style_spans=spans,
+                                   style_shift=style_shift)
 
     import pyarrow as pa
 
-    for ids, col in pairs:
+    for pair in pairs:
+        if styled:
+            ids, col, spans = pair
+        else:
+            (ids, col), spans = pair, None
         nrows = len(col)
         # offset width is dictated by the Arrow type — int32 for
         # string/binary, int64 for large_string/large_binary (Spark ships
@@ -842,11 +887,14 @@ def _fused_shard_stream(pairs, stem: bool, shard_size: int,
             if cur is not None and (s != cur or int(ids[lo]) != last_id + 1):
                 yield flush(cur)
                 ids_buf, byte_buf, bounds_buf = [], [], []
+                spans_buf = []
             cur = s
             last_id = int(ids[hi - 1])
             ids_buf.append(ids[lo:hi])
             byte_buf.append(data[offs[lo]: offs[hi]])
             bounds_buf.append(offs[lo: hi + 1] - offs[lo])
+            if styled:
+                spans_buf.append(spans[lo:hi])
     if ids_buf:
         yield flush(cur)
 
@@ -854,28 +902,47 @@ def _fused_shard_stream(pairs, stem: bool, shard_size: int,
 def _build_bucketed(parted: DataFrame, offsets: dict, counts: dict,
                     stem: bool, shard_size: int,
                     text_col: str = "content", camel: bool = True,
-                    positions: bool = False) -> DataFrame:
+                    positions: bool = False,
+                    style_col: str | None = None,
+                    style_shift: int = 2) -> DataFrame:
     """Fully fused build over a bucket-partitioned corpus: doc_id
     assignment happens INSIDE the Arrow kernel (from the int32 bucket
     column + offsets), so document content crosses the JVM->Python
     boundary exactly once in the whole build. Verifies per-bucket row
-    counts against the count pass (raises on nondeterministic input)."""
+    counts against the count pass (raises on nondeterministic input).
+
+    ``style_col``: optional per-doc style-span column
+    (array<struct<start,end,style>>, token ordinals) — packs the style
+    channel into pos_blob (implies positions)."""
+    styled = style_col is not None
 
     def fn(batches):
         seen: dict[int, int] = {}
 
         def pairs():
             for rb in batches:
-                yield _run_ids(rb.column(0).to_numpy(), offsets, seen), \
-                    rb.column(1)
+                ids = _run_ids(rb.column(0).to_numpy(), offsets, seen)
+                if styled:
+                    spans = [
+                        [(s["start"], s["end"], s["style"])
+                         for s in (row or [])]
+                        for row in rb.column(2).to_pylist()]
+                    yield ids, rb.column(1), spans
+                else:
+                    yield ids, rb.column(1)
 
         yield from _fused_shard_stream(pairs(), stem, shard_size,
-                                       camel=camel, positions=positions)
+                                       camel=camel,
+                                       positions=positions or styled,
+                                       styled=styled,
+                                       style_shift=style_shift)
         _verify_seen(seen, counts)
 
-    return parted.select(
-        "_bucket", F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
-    ).mapInArrow(fn, schema=INDEX_SCHEMA)
+    cols = ["_bucket",
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col)]
+    if styled:
+        cols.append(F.col(style_col))
+    return parted.select(*cols).mapInArrow(fn, schema=INDEX_SCHEMA)
 
 
 def _pin_index_zone(index: DataFrame, zone: str | None) -> DataFrame:
@@ -1015,8 +1082,20 @@ def doc_lookup(docs: DataFrame, repo: str | None = None,
 def build_zoned_index(corpus: DataFrame, zones: list[tuple[str, str]],
                       stem: bool = True, camel: bool = True,
                       shard_size: int = DEFAULT_SHARD_SIZE,
-                      positions: bool = False):
+                      positions: bool = False,
+                      style_spans: dict[str, str] | None = None,
+                      style_shift: int = 2):
     """Multi-zone build: one index with a ``zone`` column.
+
+    ``style_spans``: {zone_name: span_column} — zones listed here emit
+    STYLED positional postings: each occurrence's pos_blob value packs
+    the reference's style channel (``(gap << style_shift) | style``,
+    index.h:44-60) from the doc's (start, end, style) token-ordinal
+    spans (the shape an upstream markup parser hands the indexer;
+    functions/style.py:styles_from_spans). Implies positions for those
+    zones. Phrase/proximity consumers pass the same ``style_shift`` to
+    recover gaps; :func:`~index_spark.operators.analytics.
+    style_histogram` aggregates the channel.
 
     The reference multiplexes zones into the term key space with marker
     prefixes (title '@', head '<', anchor '$', self-URL '##' —
@@ -1047,9 +1126,15 @@ def build_zoned_index(corpus: DataFrame, zones: list[tuple[str, str]],
                 {z: {"n_docs": 0, "avgdl": 0.0, "total_tokens": 0}
                  for z, _ in zones})
     parts = []
+    style_spans = style_spans or {}
+    unknown = set(style_spans) - {z for z, _ in zones}
+    if unknown:
+        raise ValueError(f"style_spans names unknown zones: {sorted(unknown)}")
     for zone_name, col in zones:
         zi = _build_bucketed(parted, offsets, counts, stem, shard_size,
-                             text_col=col, camel=camel, positions=positions)
+                             text_col=col, camel=camel, positions=positions,
+                             style_col=style_spans.get(zone_name),
+                             style_shift=style_shift)
         parts.append(zi.withColumn("zone", F.lit(zone_name)))
     index = reduce(lambda a, b: a.unionByName(b), parts).persist()
     stats = {}

@@ -40,12 +40,18 @@ PHRASE_SCHEMA = T.StructType([
 ])
 
 
-def decode_positions(tf_blob: bytes, pos_blob: bytes) -> np.ndarray:
+def decode_positions(tf_blob: bytes, pos_blob: bytes,
+                     style_shift: int = 0) -> np.ndarray:
     """pos_blob (per-posting first-absolute deltas) -> flat absolute
     occurrence ordinals, segmented by the tf values (vectorized
-    segmented cumsum)."""
+    segmented cumsum). ``style_shift`` > 0 strips a styled index's
+    packed style channel (``value = (gap << shift) | style``,
+    functions/style.py) before the cumsum — positional semantics are
+    then identical to an unstyled build."""
     tfs = vb.decode(tf_blob).astype(np.int64)
     deltas = vb.decode(pos_blob).astype(np.int64)
+    if style_shift:
+        deltas >>= style_shift
     if deltas.size != int(tfs.sum()):
         raise ValueError(
             "pos_blob length mismatch — was the index built with "
@@ -58,7 +64,8 @@ def decode_positions(tf_blob: bytes, pos_blob: bytes) -> np.ndarray:
     return c - np.repeat(base, tfs)
 
 
-def _term_occurrences(rows) -> tuple[np.ndarray, np.ndarray]:
+def _term_occurrences(rows, style_shift: int = 0
+                      ) -> tuple[np.ndarray, np.ndarray]:
     """One term's shard rows (>=1 disjoint doc sub-ranges) ->
     (doc per occurrence, position per occurrence), (doc, pos)-sorted."""
     rows = sorted(rows, key=lambda r: r.first_doc)
@@ -67,11 +74,13 @@ def _term_occurrences(rows) -> tuple[np.ndarray, np.ndarray]:
         docs = np.cumsum(vb.decode(r.doc_blob).astype(np.int64))
         tfs = vb.decode(r.tf_blob).astype(np.int64)
         doc_l.append(np.repeat(docs, tfs))
-        pos_l.append(decode_positions(r.tf_blob, r.pos_blob))
+        pos_l.append(decode_positions(r.tf_blob, r.pos_blob,
+                                      style_shift=style_shift))
     return np.concatenate(doc_l), np.concatenate(pos_l)
 
 
-def _phrase_shard(pdf: pd.DataFrame, qterms: list[str]) -> pd.DataFrame:
+def _phrase_shard(pdf: pd.DataFrame, qterms: list[str],
+                  style_shift: int = 0) -> pd.DataFrame:
     """Vectorized m-way phrase intersection over one shard's rows."""
     empty = pd.DataFrame({"doc_id": np.empty(0, np.int64),
                           "n_matches": np.empty(0, np.int64)})
@@ -80,7 +89,8 @@ def _phrase_shard(pdf: pd.DataFrame, qterms: list[str]) -> pd.DataFrame:
         groups.setdefault(r.term, []).append(r)
     if any(t not in groups for t in qterms):
         return empty  # a missing term in this doc range -> no match
-    decoded = {t: _term_occurrences(rs) for t, rs in groups.items()}
+    decoded = {t: _term_occurrences(rs, style_shift)
+               for t, rs in groups.items()}
 
     # shard-local composite keys (doc - doc_min) * pos_cap + (pos - i):
     # fits int64 because the doc range is shard-bounded and positions are
@@ -159,14 +169,18 @@ def phrase_search(index: DataFrame, stats: dict | None, phrase: str,
                   k: int = 10, stem: bool = True,
                   camel: bool = True, zone: str | None = None,
                   tombstones: DataFrame | None = None,
-                  shard_size: int = 4096) -> DataFrame:
+                  shard_size: int = 4096,
+                  style_shift: int = 0) -> DataFrame:
     """Top-k exact-phrase matches: (doc_id, n_matches).
 
     ``stats`` is accepted for API symmetry with ``search`` and unused
     (phrase ranking is pure occurrence count). The query tokenizer must
     match the build's (same ``stem``/``camel``) or positions won't align.
     ``tombstones``/``shard_size``: logical deletes, dropped before the
-    local top-k (see ``query.search``).
+    local top-k (see ``query.search``). ``style_shift``: pass the
+    build's shift for a STYLED index (style_spans builds) — the packed
+    style channel strips before positional intersection, so matches are
+    identical to an unstyled build.
     """
     spark = index.sparkSession
     qterms = tokenize(phrase, stem=stem, camel=camel)
@@ -174,13 +188,13 @@ def phrase_search(index: DataFrame, stats: dict | None, phrase: str,
         return spark.createDataFrame([], PHRASE_SCHEMA)
     hits = _zone_pinned(index, zone)
     hits = hits.filter(F.col("term").isin(sorted(set(qterms))))
-    return _local_positional_topk(index, hits,
-                                  lambda pdf: _phrase_shard(pdf, qterms),
-                                  k, tombstones, shard_size)
+    return _local_positional_topk(
+        index, hits, lambda pdf: _phrase_shard(pdf, qterms, style_shift),
+        k, tombstones, shard_size)
 
 
 def _sloppy_shard(pdf: pd.DataFrame, qterms: list[str],
-                  gap: int) -> pd.DataFrame:
+                  gap: int, style_shift: int = 0) -> pd.DataFrame:
     """Ordered gap-bounded phrase over one shard: a match anchors at an
     occurrence p1 of the first term from which SOME chain p1 < p2 < …
     < pm exists with p_{j+1} - p_j <= gap (gap=1 ≡ exact phrase).
@@ -197,7 +211,8 @@ def _sloppy_shard(pdf: pd.DataFrame, qterms: list[str],
         groups.setdefault(r.term, []).append(r)
     if any(t not in groups for t in qterms):
         return empty
-    decoded = {t: _term_occurrences(rs) for t, rs in groups.items()}
+    decoded = {t: _term_occurrences(rs, style_shift)
+               for t, rs in groups.items()}
     doc_min = min(int(d.min()) for d, _ in decoded.values())
     pos_cap = max(int(p.max()) for _, p in decoded.values()) + gap + 2
 
@@ -226,7 +241,8 @@ def sloppy_phrase_search(index: DataFrame, stats: dict | None,
                          stem: bool = True, camel: bool = True,
                          zone: str | None = None,
                          tombstones: DataFrame | None = None,
-                         shard_size: int = 4096) -> DataFrame:
+                         shard_size: int = 4096,
+                         style_shift: int = 0) -> DataFrame:
     """Top-k ordered gap-bounded ("sloppy") phrase matches:
     (doc_id, n_matches). ``gap`` bounds each consecutive step
     (p_{j+1} - p_j <= gap); gap=1 reproduces :func:`phrase_search`
@@ -240,7 +256,8 @@ def sloppy_phrase_search(index: DataFrame, stats: dict | None,
     hits = _zone_pinned(index, zone)
     hits = hits.filter(F.col("term").isin(sorted(set(qterms))))
     return _local_positional_topk(
-        index, hits, lambda pdf: _sloppy_shard(pdf, qterms, gap),
+        index, hits,
+        lambda pdf: _sloppy_shard(pdf, qterms, gap, style_shift),
         k, tombstones, shard_size)
 
 
@@ -278,7 +295,8 @@ def proximity_search(index: DataFrame, stats: dict | None, term_a: str,
                      stem: bool = True, camel: bool = True,
                      zone: str | None = None,
                      tombstones: DataFrame | None = None,
-                     shard_size: int = 4096) -> DataFrame:
+                     shard_size: int = 4096,
+                     style_shift: int = 0) -> DataFrame:
     """Top-k within-window co-occurrence: (doc_id, n_matches) where
     n_matches counts ordered position pairs with ``0 < pos(term_b) -
     pos(term_a) <= window`` — the proximity generalization of phrase
@@ -301,8 +319,8 @@ def proximity_search(index: DataFrame, stats: dict | None, term_a: str,
         if ta not in groups or tb not in groups:
             return pd.DataFrame({"doc_id": np.empty(0, np.int64),
                                  "n_matches": np.empty(0, np.int64)})
-        d0, p0 = _term_occurrences(groups[ta])
-        d1, p1 = _term_occurrences(groups[tb])
+        d0, p0 = _term_occurrences(groups[ta], style_shift)
+        d1, p1 = _term_occurrences(groups[tb], style_shift)
         docs, cnt = _pair_window_counts(d0, p0, d1, p1, window)
         return pd.DataFrame({"doc_id": docs, "n_matches": cnt})
 

@@ -1,0 +1,166 @@
+"""Styled zoned build end-to-end: build_zoned_index(style_spans=...)
+packs the reference's 2-bit style channel into pos_blob
+((gap << 2) | style, /root/reference/index.h:44-60); phrase/proximity
+results are unaffected (shift-aware decode), and the per-term style
+histogram reproduces the input spans exactly. The golden testPL repack
+contract stays in tests/test_style.py."""
+
+from collections import Counter
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from index_spark.functions.style import (
+    STYLE_BOLD,
+    STYLE_HEADING,
+    STYLE_ITALIC,
+    STYLE_NORMAL,
+    styles_from_spans,
+)
+from index_spark.functions.text import tokenize
+from index_spark.operators.build import build_zoned_index
+from index_spark.operators.phrase import (
+    phrase_search,
+    proximity_search,
+    sloppy_phrase_search,
+)
+
+SHARD = 32
+
+DOCS = [
+    ("r", "a.py", "heading words import numpy import pandas tail words"),
+    ("r", "b.py", "import numpy heading words and bold import return"),
+    ("r", "c.py", "plain body text import numpy no styles at all here"),
+    ("r", "d.py", "numpy import numpy import numpy import numpy import"),
+]
+# token-ordinal spans per doc: (start, end, style)
+SPANS = [
+    [(0, 2, STYLE_HEADING), (2, 4, STYLE_BOLD)],
+    [(0, 1, STYLE_ITALIC), (5, 7, STYLE_BOLD)],
+    [],
+    [(0, 9, STYLE_HEADING)],
+]
+
+SPAN_SCHEMA = T.ArrayType(T.StructType([
+    T.StructField("start", T.LongType()),
+    T.StructField("end", T.LongType()),
+    T.StructField("style", T.LongType()),
+]))
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    pdf = pd.DataFrame(DOCS, columns=["repo", "path", "content"])
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("spans", SPAN_SCHEMA),
+    ])
+    rows = [(r, p, c, [tuple(s) for s in sp])
+            for (r, p, c), sp in zip(DOCS, SPANS)]
+    styled_corpus = spark.createDataFrame(rows, schema)
+    docs_s, idx_s, stats_s = build_zoned_index(
+        styled_corpus, [("body", "content")], shard_size=SHARD,
+        style_spans={"body": "spans"})
+    docs_u, idx_u, stats_u = build_zoned_index(
+        spark.createDataFrame(pdf), [("body", "content")],
+        shard_size=SHARD, positions=True)
+    idx_s, idx_u = idx_s.persist(), idx_u.persist()
+    idx_s.count(), idx_u.count()
+    return idx_s, idx_u, stats_s, stats_u
+
+
+def _rows(df):
+    return [(r["doc_id"], r["n_matches"]) for r in df.collect()]
+
+
+def test_styled_phrase_identical_to_unstyled(corpora):
+    idx_s, idx_u, stats_s, _ = corpora
+    for ph in ["import numpy", "heading words", "numpy import numpy",
+               "absent phrase"]:
+        a = _rows(phrase_search(idx_s, stats_s, ph, k=10, zone="body",
+                                style_shift=2))
+        b = _rows(phrase_search(idx_u, stats_s, ph, k=10, zone="body"))
+        assert a == b, ph
+
+
+def test_styled_sloppy_and_proximity_identical(corpora):
+    idx_s, idx_u, stats_s, _ = corpora
+    a = _rows(sloppy_phrase_search(idx_s, stats_s, "import return",
+                                   gap=3, k=10, zone="body",
+                                   style_shift=2))
+    b = _rows(sloppy_phrase_search(idx_u, stats_s, "import return",
+                                   gap=3, k=10, zone="body"))
+    assert a == b
+    a = _rows(proximity_search(idx_s, stats_s, "import", "numpy",
+                               window=4, k=10, zone="body",
+                               style_shift=2))
+    b = _rows(proximity_search(idx_u, stats_s, "import", "numpy",
+                               window=4, k=10, zone="body"))
+    assert a == b
+
+
+def test_style_histogram_matches_spans(corpora):
+    from index_spark.operators.analytics import style_histogram
+
+    idx_s, _, _, _ = corpora
+    got = {(r["term"], r["style"]): r["n_occurrences"]
+           for r in style_histogram(idx_s, style_shift=2,
+                                    zone="body").collect()}
+    want: Counter = Counter()
+    for (_, _, content), spans in zip(DOCS, SPANS):
+        toks = tokenize(content, stem=True)
+        st = styles_from_spans(len(toks), spans, shift=2)
+        for t, s in zip(toks, st):
+            want[(t, int(s))] += 1
+    assert got == dict(want)
+    # sanity: the fixture exercises every style code
+    assert {s for _, s in got} == {STYLE_NORMAL, STYLE_ITALIC,
+                                   STYLE_BOLD, STYLE_HEADING}
+
+
+def test_styled_blobs_survive_merge(corpora, spark):
+    """merge_shards concatenates styled pos_blobs untouched (per-doc
+    values) — phrase + histogram identical on the merged form."""
+    from index_spark.operators.analytics import style_histogram
+    from index_spark.operators.merge import merge_shards
+
+    idx_s, _, stats_s, _ = corpora
+    merged = merge_shards(idx_s, segment_bytes=None).persist()
+    a = _rows(phrase_search(merged, stats_s, "import numpy", k=10,
+                            zone="body", style_shift=2))
+    b = _rows(phrase_search(idx_s, stats_s, "import numpy", k=10,
+                            zone="body", style_shift=2))
+    assert a == b
+    ha = {(r["term"], r["style"]): r["n_occurrences"]
+          for r in style_histogram(merged, style_shift=2,
+                                   zone="body").collect()}
+    hb = {(r["term"], r["style"]): r["n_occurrences"]
+          for r in style_histogram(idx_s, style_shift=2,
+                                   zone="body").collect()}
+    assert ha == hb
+    merged.unpersist()
+
+
+def test_styled_build_unstyled_zone_mix(spark):
+    """Only zones named in style_spans pack styles; other zones of the
+    SAME build keep plain positional blobs (decode with shift=0)."""
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("body", T.StringType()),
+        T.StructField("spans", SPAN_SCHEMA),
+    ])
+    rows = [("r", "x.py", "alpha beta", "alpha beta gamma",
+             [(0, 1, STYLE_BOLD)])]
+    corpus = spark.createDataFrame(rows, schema)
+    _, idx, stats = build_zoned_index(
+        corpus, [("title", "title"), ("body", "body")],
+        shard_size=SHARD, positions=True, style_spans={"title": "spans"})
+    t = _rows(phrase_search(idx, None, "alpha beta", zone="title",
+                            style_shift=2))
+    b = _rows(phrase_search(idx, None, "alpha beta", zone="body"))
+    assert t == [(0, 1)] and b == [(0, 1)]
