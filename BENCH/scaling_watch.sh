@@ -17,11 +17,11 @@ eff = d['build_scaling_efficiency_8_to_32']
 print(f"eff={eff} windows_ok={ok}")
 if ok and eff >= 0.8:
     shutil.copy('/root/repo/BENCH/scaling_results_8_32_pinned.json',
-                '/root/repo/BENCH/scaling_results_8_32_pinned_r3.json')
+                '/root/repo/BENCH/scaling_results_8_32_pinned_r4.json')
     sys.exit(0)
 sys.exit(1)
 EOF
-    if [ $? -eq 0 ]; then echo "DONE: clean r3 scaling run"; exit 0; fi
+    if [ $? -eq 0 ]; then echo "DONE: clean r4 scaling run"; exit 0; fi
   else
     echo "attempt $attempt: bad window $(cat /tmp/probe.json)"
   fi

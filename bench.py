@@ -16,6 +16,70 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def qps_worker(cores: int) -> None:
+    """Standalone concurrent-query throughput probe: build at sf_dir,
+    prepare the serving engine, run the query set over a thread pool
+    with FAIR scheduling, print one JSON line {"cores", "qps", ...}.
+
+    Run in its OWN process per core count (a JVM's master is fixed at
+    startup) — bench.py main() spawns one at 8 and one at 32 cores so
+    BENCH_r{N} carries the throughput scaling pair. Single-query p95 at
+    local[32] is scheduler-bound and misleading as a scaling signal;
+    queries/sec under concurrency is the serving-relevant number."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from index_spark.operators.build import build_index
+    from index_spark.operators.query import QueryEngine
+    from index_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(cores=cores, app_name=f"qps_worker_{cores}",
+                      shuffle_partitions=cores,
+                      extra_conf={"spark.scheduler.mode": "FAIR"})
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("source").alias("repo"),
+        F.format_string("doc%08d", F.col("doc_id")).alias("path"),
+        F.col("text").alias("content"))
+    docs, index, stats = build_index(corpus, stem=True, shard_size=1024)
+    eng = QueryEngine(index, stats, use_wand=True)
+    qset = [" ".join(t) for _, t in entrymod.QUERYSET]
+    eng.prepare()
+    eng.warm(qset)
+    # saturate the capacity under test: concurrency scales with cores
+    # (a fixed small thread count measures scheduling latency, not
+    # throughput — each query is sub-second and latency-bound)
+    n_threads = cores
+    queries = qset * (2 * max(1, n_threads // len(qset) + 1) * 5)
+    queries = queries[: 10 * n_threads]
+
+    def one(q: str) -> None:
+        eng.search(q, k=10)
+
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=n_threads) as ex:
+        list(ex.map(one, queries))
+    dt = time.time() - t0
+
+    # batched throughput: one multi-query job (search_many) — the shape
+    # a high-QPS deployment actually runs (per-job dispatch is driver-
+    # latency-bound; batching amortizes it across the whole query set)
+    from index_spark.operators.query import search_many
+
+    batch = {i: queries[i % len(queries)] for i in range(320)}
+    t1 = time.time()
+    search_many(index, stats, batch, k=10, stem=True).count()
+    bdt = time.time() - t1
+    print(json.dumps({"cores": cores, "n_queries": len(queries),
+                      "threads": n_threads,
+                      "wall_s": round(dt, 3),
+                      "qps": round(len(queries) / dt, 2),
+                      "batch_qps": round(len(batch) / bdt, 2)}))
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -228,6 +292,81 @@ def main() -> None:
 
     _build_200k()
 
+    # 10b. 200k positional kernels (non-headline scale point for the
+    # phrase/zone family — the 5k rows alone say nothing about scaling).
+    # ONE zoned positional build serves both exact phrase (zone='body')
+    # and weighted multi-zone scoring.
+    def _positional_200k():
+        from index_spark.operators.build import (
+            build_zoned_index,
+            release_build,
+        )
+        from index_spark.operators.phrase import phrase_search
+        from index_spark.operators.query import zone_search
+
+        corpus_dir = os.environ.get("SPARK_GRAFT_200K_DIR",
+                                    "/tmp/bench_corpus200k")
+        big = spark.read.parquet(f"{corpus_dir}/corpus.parquet") \
+                   .select("repo", "path", "content") \
+                   .repartition(int(cpus)).persist()
+        big.count()
+        t0 = time.time()
+        _, zidx, zstats = build_zoned_index(
+            big.withColumn("src", F.col("repo")),
+            [("body", "content"), ("src", "src")],
+            stem=False, camel=False, shard_size=4096, positions=True)
+        zidx = zidx.persist()
+        zidx.count()
+        timings["pos_zone_build_200k"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        phrase_search(zidx, None, "import return", k=10, stem=False,
+                      camel=False, zone="body").collect()
+        timings["phrase_query_200k"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        zone_search(zidx, zstats, "import return repo0",
+                    {"body": 1.0, "src": 2.0}, k=10,
+                    stem=False, camel=False).collect()
+        timings["zone_query_200k"] = round(time.time() - t0, 3)
+        release_build(zidx)
+        zidx.unpersist()
+        big.unpersist()
+
+    _positional_200k()
+
+    # 10c. concurrent-query throughput at 8 vs 32 cores, each in its
+    # own process/JVM (a Spark master is fixed at startup). The
+    # serving-relevant scaling number — single-query p95 at local[32]
+    # is scheduler-bound and must not be read as a scaling signal.
+    def _concurrent_qps():
+        import subprocess
+
+        for c in (8, 32):
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--qps-worker", str(c)],
+                    capture_output=True, text=True, timeout=900,
+                    env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir})
+                line = [ln for ln in out.stdout.splitlines()
+                        if ln.startswith("{")][-1]
+                rec = json.loads(line)
+                timings[f"concurrent_qps_{c}"] = rec["qps"]
+                timings[f"batch_qps_{c}"] = rec["batch_qps"]
+            except Exception:
+                timings[f"concurrent_qps_{c}"] = -1.0
+        if timings.get("concurrent_qps_8", 0) > 0 \
+                and timings.get("concurrent_qps_32", 0) > 0:
+            timings["concurrent_qps_scaling_8_to_32"] = round(
+                timings["concurrent_qps_32"]
+                / (timings["concurrent_qps_8"] * 4), 3)
+        if timings.get("batch_qps_8", 0) > 0 \
+                and timings.get("batch_qps_32", 0) > 0:
+            timings["batch_qps_scaling_8_to_32"] = round(
+                timings["batch_qps_32"]
+                / (timings["batch_qps_8"] * 4), 3)
+
+    _concurrent_qps()
+
     # sub-timings of other entries don't double-count into the total
     # build_200k reports separately (one-off scale row, not part of the
     # round-over-round sf0.1 headline total); recall is a ratio not a time
@@ -238,7 +377,13 @@ def main() -> None:
                                    "ivf_recall_nprobe2", "build_200k",
                                    "build_200k_docs_per_sec",
                                    "facet_query", "fuzzy_query",
-                                   "restrict_query", "mlt_query")), 3)
+                                   "restrict_query", "mlt_query",
+                                   "pos_zone_build_200k",
+                                   "phrase_query_200k", "zone_query_200k",
+                                   "concurrent_qps_8", "concurrent_qps_32",
+                                   "concurrent_qps_scaling_8_to_32",
+                                   "batch_qps_8", "batch_qps_32",
+                                   "batch_qps_scaling_8_to_32")), 3)
     timings["build_docs_per_sec"] = round(n_docs / timings["build_index"], 1)
     print(json.dumps({
         "metric": "index_spark headline suite wall time",
@@ -253,4 +398,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--qps-worker":
+        qps_worker(int(sys.argv[2]))
+    else:
+        main()

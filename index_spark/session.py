@@ -12,6 +12,7 @@ def get_spark(
     app_name: str = "index_spark",
     shuffle_partitions: int | None = None,
     driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Create (or reuse) a local SparkSession tuned for this engine.
 
@@ -36,6 +37,8 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
