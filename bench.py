@@ -333,6 +333,33 @@ def main() -> None:
 
     _positional_200k()
 
+    # 10b2. 200k dedup scale point (non-headline): MinHash/LSH sweep +
+    # exact sha256 keep-first over the same corpus — the dedup family's
+    # 40x companion to the 5k headline row
+    def _dedup_200k():
+        from index_spark.operators.dedup import minhash_near_dup_pairs
+
+        corpus_dir = os.environ.get("SPARK_GRAFT_200K_DIR",
+                                    "/tmp/bench_corpus200k")
+        big = spark.read.parquet(f"{corpus_dir}/corpus.parquet") \
+                   .select("path", "content") \
+                   .withColumn("doc_id", F.xxhash64("path")) \
+                   .repartition(int(cpus)).persist()
+        big.count()
+        t0 = time.time()
+        n_pairs = minhash_near_dup_pairs(big, text_col="content",
+                                         id_col="doc_id").count()
+        timings["minhash_dedup_200k"] = round(time.time() - t0, 3)
+        timings["minhash_dedup_200k_pairs"] = n_pairs
+        t0 = time.time()
+        (big.groupBy(F.sha2("content", 256).alias("h"))
+            .agg(F.count("*").alias("n"), F.min("doc_id").alias("keep"))
+            .filter(F.col("n") > 1).count())
+        timings["exact_dedup_200k"] = round(time.time() - t0, 3)
+        big.unpersist()
+
+    _dedup_200k()
+
     # 10c. concurrent-query throughput at 8 vs 32 cores, each in its
     # own process/JVM (a Spark master is fixed at startup). The
     # serving-relevant scaling number — single-query p95 at local[32]
@@ -380,6 +407,9 @@ def main() -> None:
                                    "restrict_query", "mlt_query",
                                    "pos_zone_build_200k",
                                    "phrase_query_200k", "zone_query_200k",
+                                   "minhash_dedup_200k",
+                                   "minhash_dedup_200k_pairs",
+                                   "exact_dedup_200k",
                                    "concurrent_qps_8", "concurrent_qps_32",
                                    "concurrent_qps_scaling_8_to_32",
                                    "batch_qps_8", "batch_qps_32",
