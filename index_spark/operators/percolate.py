@@ -237,22 +237,32 @@ def percolate_dsl(corpus_with_ids: DataFrame, queries: dict[int, str],
 
 
 def percolate_stream(spark: SparkSession, in_dir: str, out_dir: str,
-                     schema, queries: dict[int, str], mode: str = "and",
+                     schema, queries: dict[int, str] | None = None,
+                     mode: str = "and",
                      stem: bool = True, camel: bool = True,
-                     trigger_once: bool = True, syntax: str = "plain"):
+                     trigger_once: bool = True, syntax: str = "plain",
+                     query_postings: DataFrame | None = None):
     """readStream(file source) -> foreachBatch(percolate) -> parquet
     append of (query_id, doc_id, repo, path) match records. Returns the
     StreamingQuery. Each micro-batch routes independently (percolation
     is per-document — no cross-batch state, no watermark needed).
     ``syntax='web'`` routes with :func:`percolate_dsl` (+/-/phrases;
-    ``mode`` is then ignored)."""
+    ``mode`` is then ignored). ``query_postings`` (exclusive with
+    ``queries``/``syntax``): route each batch through
+    :func:`percolate_inverted` against a pre-built (persisted)
+    term->query posting relation — the large-standing-set path."""
+    if (query_postings is None) == (queries is None):
+        raise ValueError("pass exactly one of queries / query_postings")
     stream = spark.readStream.schema(schema).parquet(in_dir)
     matches_dir = os.path.join(out_dir, "matches")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.withColumn(
             "doc_id", F.xxhash64("repo", "path"))  # stable per-key id
-        if syntax == "web":
+        if query_postings is not None:
+            m = percolate_inverted(b, query_postings, mode=mode,
+                                   stem=stem, camel=camel)
+        elif syntax == "web":
             m = percolate_dsl(b, queries, stem=stem, camel=camel)
         else:
             m = percolate(b, queries, mode=mode, stem=stem, camel=camel)

@@ -137,6 +137,32 @@ def cmd_report(args) -> None:
     print(json.dumps(r.asDict()))
 
 
+def cmd_suggest(args) -> None:
+    """Dictionary-backed query understanding: the catalog published by
+    `compact` serves both autocompletion and spell suggestions without
+    touching the sharded index; falls back to the chunk union when the
+    store has no compaction yet."""
+    from index_spark.operators.query import complete_terms, suggest_corrections
+    from index_spark.plans.checkpoint import load_index
+    from index_spark.plans.dictionary import dictionary_path, load_dictionary
+
+    spark = _spark(args)
+    if os.path.isdir(dictionary_path(args.index_dir)):
+        d, idx = load_dictionary(spark, args.index_dir), None
+    else:
+        d, idx = None, load_index(spark, args.index_dir)
+    out = {}
+    if args.prefix:
+        rows = complete_terms(idx, args.prefix, limit=args.top,
+                              dictionary=d).collect()
+        out["complete"] = [{"term": r["term"], "df": r["df"]} for r in rows]
+    if args.query:
+        rows = suggest_corrections(idx, args.query, dictionary=d).collect()
+        out["suggest"] = [{"qterm": r["qterm"], "suggestion": r["suggestion"],
+                           "df": r["df"]} for r in rows]
+    print(json.dumps(out))
+
+
 def cmd_related(args) -> None:
     from index_spark.operators.analytics import related_terms_index
     from index_spark.plans.checkpoint import load_index, load_stats
@@ -276,6 +302,15 @@ def main(argv=None) -> None:
                         "bytes, shard skew)")
     rp.add_argument("--index-dir", required=True)
     rp.set_defaults(fn=cmd_report)
+
+    sg = sub.add_parser("suggest", help="prefix autocompletion + "
+                                        "'did you mean' over the "
+                                        "compacted term dictionary")
+    sg.add_argument("--index-dir", required=True)
+    sg.add_argument("--prefix", help="autocomplete this prefix")
+    sg.add_argument("--query", help="spell-suggest absent terms of this query")
+    sg.add_argument("--top", type=int, default=10)
+    sg.set_defaults(fn=cmd_suggest)
 
     rl = sub.add_parser("related", help="PMI co-occurring terms")
     rl.add_argument("--index-dir", required=True)

@@ -218,3 +218,41 @@ def test_percolate_inverted_10k_standing(spark, ids_and_oracle):
     got_sample = {(q, d) for q, d in got_pairs if q in set(sample_ids)}
     assert got_sample == ref
     assert got_pairs, "10k-query routing must produce matches"
+
+
+def test_percolate_stream_inverted(spark, tiny_corpus, tmp_path):
+    """Streaming routing against a pre-built term->query posting
+    relation matches the batch inverted path exactly."""
+    from index_spark.operators.percolate import (
+        build_query_postings,
+        percolate_inverted,
+        percolate_stream,
+    )
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    sub = tiny_corpus[["repo", "path", "content"]]
+    spark.createDataFrame(sub).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    standing = spark.createDataFrame(
+        [(i, q) for i, q in QUERIES.items()], "query_id long, query string")
+    qpost = build_query_postings(standing).persist()
+    qpost.count()
+
+    q = percolate_stream(spark, src, out, schema, mode="and",
+                         query_postings=qpost)
+    q.awaitTermination(120)
+    got = {(r["query_id"], r["repo"], r["path"])
+           for r in spark.read.parquet(f"{out}/matches").collect()}
+    full = assign_doc_ids(spark.createDataFrame(sub))
+    b = percolate_inverted(full, qpost, mode="and")
+    docs = full.select("doc_id", "repo", "path")
+    expected = {(r["query_id"], r["repo"], r["path"])
+                for r in b.join(docs, "doc_id").collect()}
+    assert got == expected and got
+    qpost.unpersist()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        percolate_stream(spark, src, out, schema, queries=QUERIES,
+                         query_postings=qpost)
