@@ -201,3 +201,30 @@ def test_skip_unchanged_and_full_fallback_flags(spark, store):
     # changing the segment target is a structural change -> full merge
     m = compact_index(spark, out, segment_bytes=SEG * 2)
     assert m["mode"] == "full" and m["skipped"] is False
+
+
+def test_fold_preserves_positions(spark, tiny_corpus, tmp_path):
+    """Positional chunks fold correctly: pos_blobs are per-doc-local
+    streams, so tail concatenation needs no patch — phrase results on
+    the folded form match the chunk union exactly."""
+    from index_spark.operators.phrase import phrase_search
+
+    out = str(tmp_path / "posstore")
+    ordered = tiny_corpus.sort_values(["repo", "path"]).reset_index(drop=True)
+    build_chunked(spark, spark.createDataFrame(ordered.iloc[:100]), out,
+                  docs_per_chunk=64, shard_size=SHARD, positions=True,
+                  stem=False)
+    compact_index(spark, out, segment_bytes=SEG)
+    ingest_batch(spark, spark.createDataFrame(ordered.iloc[100:]), out,
+                 shard_size=SHARD, positions=True, stem=False)
+    m2 = compact_index(spark, out, segment_bytes=SEG)
+    assert m2["mode"] == "incremental" and m2["rows_folded"] >= 1
+    union = load_index(spark, out).persist()
+    merged = load_merged_index(spark, out)
+    for ph in ["import return", "def class", "uniq7token import"]:
+        a = [(r["doc_id"], r["n_matches"]) for r in
+             phrase_search(merged, None, ph, k=20, stem=False).collect()]
+        b = [(r["doc_id"], r["n_matches"]) for r in
+             phrase_search(union, None, ph, k=20, stem=False).collect()]
+        assert a == b, ph
+    union.unpersist()
