@@ -857,6 +857,28 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         return proximity_search(index, stats, "data", "table", window=5,
                                 k=10, stem=False, camel=False)
 
+    def styled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # styled postings end-to-end: build with deterministic style
+        # spans (first 3 token ordinals = Heading), score with the
+        # style-weighted BM25 (Heading occurrences weigh 1.5) — the
+        # consumer of the reference's 2-bit style channel
+        from index_spark.operators.build import build_zoned_index
+        from index_spark.operators.query import style_weighted_search
+
+        corpus = _parity_corpus(spark, sf_dir).withColumn(
+            "spans", F.array(F.struct(
+                F.lit(0).cast("long").alias("start"),
+                F.lit(3).cast("long").alias("end"),
+                F.lit(3).cast("long").alias("style"))))
+        _, zidx, zstats = build_zoned_index(
+            corpus, [("body", "content")], stem=False, camel=False,
+            shard_size=256, style_spans={"body": "spans"})
+        top = style_weighted_search(zidx, None, zstats["body"],
+                                    "data table query", k=10,
+                                    style_weights=(1.0, 1.1, 1.25, 1.5),
+                                    stem=False, camel=False, zone="body")
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     def zone_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.build import build_zoned_index
         from index_spark.operators.query import zone_search
@@ -1009,6 +1031,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "slop_phrase_topk": slop_phrase_topk,
         "proximity_topk": proximity_topk,
         "zone_topk": zone_topk,
+        "styled_topk": styled_topk,
         "bm25f_topk": bm25f_topk,
         "index_shard_stats": index_shard_stats,
         "ivf_topk": ivf_topk_q,
@@ -1537,6 +1560,31 @@ WITH toks AS (
 )
 SELECT doc_id, n_matches FROM m ORDER BY n_matches DESC, doc_id ASC LIMIT 10"""
 
+# style-weighted BM25 (styled_topk): spans pin the first 3 token
+# ordinals of every doc as Heading (weight 1.5, others 1.0); weighted tf
+# replaces tf inside the same saturation, idf/dl unchanged
+_ORACLE_STYLED_TOPK_DUCK = """
+, posx AS (
+  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+        FROM documents) t
+), wtf AS (
+  SELECT posx.doc_id, posx.term,
+         sum(CASE WHEN posx.pos < 3 THEN 1.5 ELSE 1.0 END) AS wtf
+  FROM posx JOIN q ON posx.term = q.term
+  GROUP BY posx.doc_id, posx.term
+), wscores AS (
+  SELECT wtf.doc_id,
+         sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * wtf.wtf / (wtf.wtf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ) AS score
+  FROM wtf
+  JOIN dft ON wtf.term = dft.term
+  JOIN dl ON wtf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY wtf.doc_id
+), top AS (SELECT doc_id, score FROM wscores ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
+
 _ORACLE_ZONE_TOPK_DUCK = """
 WITH body_tok AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
@@ -1978,6 +2026,8 @@ def _build_registry():
         _ORACLE_SLOP_PHRASE_DUCK)
     add("proximity_topk", eng["proximity_topk"], _ORACLE_PROXIMITY_TOPK_DUCK)
     add("zone_topk", eng["zone_topk"], _ORACLE_ZONE_TOPK_DUCK)
+    add("styled_topk", eng["styled_topk"],
+        _docs_sql("duck", _ORACLE_STYLED_TOPK_DUCK, [q_cte]))
     add("bm25f_topk", eng["bm25f_topk"], _ORACLE_BM25F_TOPK_DUCK)
     add("index_shard_stats", eng["index_shard_stats"],
         _docs_sql("duck", _ORACLE_SHARD_STATS))
@@ -2028,7 +2078,8 @@ def _build_registry():
 
 
 # round-4 new entry names (kept in the driver's 50-entry check window)
-_R04_NEW: frozenset = frozenset({"percolate_inverted_matches"})
+_R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
+                                 "styled_topk"})
 
 
 # ---------------------------------------------------------------------------

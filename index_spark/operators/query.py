@@ -1613,6 +1613,96 @@ EXPLAIN_SCHEMA = T.StructType([
 ])
 
 
+def style_weighted_search(index: DataFrame, docs: DataFrame | None,
+                          stats: dict, query: str, k: int = 10,
+                          style_weights: tuple = (1.0, 1.1, 1.25, 1.5),
+                          stem: bool = True, camel: bool = True,
+                          zone: str | None = None,
+                          style_shift: int = 2) -> DataFrame:
+    """Top-k BM25 over a STYLED positional index where each occurrence
+    contributes its style's weight instead of 1 — the ranking signal the
+    reference's 2-bit channel exists for (Heading/Bold hits weigh more,
+    /root/reference/index.h:44-60). ``style_weights[code]`` maps the
+    packed style code (functions/style.py: Normal/Italic/Bold/Heading)
+    to an occurrence weight; all-ones reproduces :func:`search` scores.
+
+    Per term, the weighted tf replaces tf inside the same saturation:
+    score = idf * wtf / (wtf + k1 * (1 - b + b * dl/avgdl)), idf and dl
+    unchanged (document frequency and length are style-independent).
+
+    Plan shape = the one-exchange scoring plan of :func:`search`
+    (term-pruned scan, map-side df aggregate + broadcast join-back,
+    per-shard vectorized kernel, TakeOrderedAndProject): the only
+    addition is decoding pos_blob's low bits and one
+    ``np.add.reduceat`` per posting run — no per-occurrence Python.
+
+    ``docs`` accepted for API symmetry (unused — lengths live in
+    dl_blob). Requires a ``style_spans`` build; on a plain positional
+    index every occurrence decodes as style 0 (weights[0], a uniform
+    scale).
+    """
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    if not qterms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    if len(style_weights) < (1 << style_shift):
+        raise ValueError(f"need {1 << style_shift} style weights")
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    w_arr = np.asarray(style_weights, dtype=np.float64)
+    mask = (1 << style_shift) - 1
+
+    hits = pin_zone(index, zone)
+    if "shard" not in hits.columns:
+        hits = hits.withColumn("shard", F.lit(0))
+    hits = hits.filter(F.col("term").isin(qterms))
+    dfs = hits.groupBy("term").agg(F.sum("df").alias("df_g"))
+    hits = hits.join(F.broadcast(dfs), "term").withColumn(
+        "idf",
+        F.log((F.lit(float(n_docs)) - F.col("df_g") + 0.5)
+              / (F.col("df_g") + 0.5) + 1.0))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame({"doc_id": [], "score": []})
+        all_d, all_s = [], []
+        # pinned ascending (term, first_doc) iteration for deterministic
+        # float accumulation across runs
+        pdf = pdf.sort_values(["term", "first_doc"])
+        for row in pdf.itertuples(index=False):
+            docs_a = np.cumsum(vb.decode(row.doc_blob).astype(np.int64))
+            tfs = vb.decode(row.tf_blob).astype(np.int64)
+            dls = vb.decode(row.dl_blob).astype(np.float64)
+            codes = (vb.decode(row.pos_blob).astype(np.int64) & mask)
+            if codes.size != int(tfs.sum()):
+                raise ValueError(
+                    "pos_blob length mismatch — style_weighted_search "
+                    "needs a positional (style_spans) build")
+            occ_w = w_arr[codes]
+            seg = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+            wtf = np.add.reduceat(occ_w, seg) if occ_w.size \
+                else np.zeros(0, np.float64)
+            c = float(row.idf) * wtf / (
+                wtf + K1 * (1.0 - B + B * dls / avgdl))
+            all_d.append(docs_a)
+            all_s.append(c)
+        d = np.concatenate(all_d)
+        s = np.concatenate(all_s)
+        if d.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        lo = int(d.min())
+        acc = np.bincount(d - lo, weights=s)
+        nz = np.flatnonzero(acc)
+        out = pd.DataFrame({"doc_id": (nz + lo).astype(np.int64),
+                            "score": acc[nz]})
+        if len(out) > k:
+            out = out.sort_values(["score", "doc_id"],
+                                  ascending=[False, True]).head(k)
+        return out
+
+    local = hits.groupBy("shard").applyInPandas(kernel, schema=TOPK_SCHEMA)
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def explain_score(index: DataFrame, stats: dict, query: str,
                   doc_ids: list[int], stem: bool = True,
                   camel: bool = True, zone: str | None = None

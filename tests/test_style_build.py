@@ -164,3 +164,60 @@ def test_styled_build_unstyled_zone_mix(spark):
                             style_shift=2))
     b = _rows(phrase_search(idx, None, "alpha beta", zone="body"))
     assert t == [(0, 1)] and b == [(0, 1)]
+
+
+def test_style_weighted_search(corpora):
+    """Style-weighted BM25: all-ones weights reproduce standard search
+    scores; heading/bold boosts match a hand-computed weighted-tf BM25
+    oracle on the same spans."""
+    import math
+
+    from index_spark.operators.query import search, style_weighted_search
+
+    idx_s, _, stats_s, _ = corpora
+    stats = stats_s["body"]
+    q = "import numpy"
+    qterms = sorted(set(tokenize(q, stem=True)))
+
+    # identity: uniform weights == plain BM25
+    ones = style_weighted_search(idx_s, None, stats, q, k=10,
+                                 style_weights=(1.0, 1.0, 1.0, 1.0),
+                                 zone="body")
+    plain = search(idx_s, None, stats, q, k=10, zone="body")
+    a = [(r["doc_id"], r["score"]) for r in ones.collect()]
+    b = [(r["doc_id"], r["score"]) for r in plain.collect()]
+    assert [x[0] for x in a] == [x[0] for x in b]
+    for (_, sa), (_, sb) in zip(a, b):
+        assert sa == pytest.approx(sb, abs=1e-9)
+
+    # hand oracle with real boosts
+    W = (1.0, 1.1, 1.25, 1.5)
+    toks = [tokenize(c, stem=True) for _, _, c in DOCS]
+    styles = [styles_from_spans(len(t), sp, shift=2)
+              for t, sp in zip(toks, SPANS)]
+    n = len(DOCS)
+    avgdl = sum(len(t) for t in toks) / n
+    dfs = {t: sum(1 for tk in toks if t in tk) for t in qterms}
+    expect = {}
+    for d in range(n):
+        sc = 0.0
+        for t in qterms:
+            if t not in toks[d]:
+                continue
+            wtf = sum(W[int(styles[d][i])]
+                      for i, tk in enumerate(toks[d]) if tk == t)
+            idf = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+            dl = len(toks[d])
+            sc += idf * wtf / (wtf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        if sc > 0:
+            expect[d] = sc
+    want = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = [(r["doc_id"], r["score"]) for r in
+           style_weighted_search(idx_s, None, stats, q, k=10,
+                                 style_weights=W, zone="body").collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
+    # heading-boosted docs outrank their plain-BM25 position when the
+    # query terms sit in styled spans (fixture doc 3 heads with numpy)
+    assert got != b
