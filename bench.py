@@ -333,10 +333,12 @@ def main() -> None:
 
     _positional_200k()
 
-    # 10b2. 200k dedup scale point (non-headline): MinHash/LSH sweep +
-    # exact sha256 keep-first over the same corpus — the dedup family's
-    # 40x companion to the 5k headline row
-    def _dedup_200k():
+    # 10b2. large-corpus dedup scale points (non-headline): MinHash/LSH
+    # over a 50k-doc slice (10x the 5k headline row — the full 200k
+    # sweep measured 677s, too heavy for a per-round bench; shingling is
+    # O(total tokens) and these docs are ~1,900 tokens) + exact sha256
+    # keep-first over the full 200k corpus
+    def _dedup_scale():
         from index_spark.operators.dedup import minhash_near_dup_pairs
 
         corpus_dir = os.environ.get("SPARK_GRAFT_200K_DIR",
@@ -346,11 +348,14 @@ def main() -> None:
                    .withColumn("doc_id", F.xxhash64("path")) \
                    .repartition(int(cpus)).persist()
         big.count()
+        slice50 = big.limit(50_000).repartition(int(cpus)).persist()
+        slice50.count()
         t0 = time.time()
-        n_pairs = minhash_near_dup_pairs(big, text_col="content",
+        n_pairs = minhash_near_dup_pairs(slice50, text_col="content",
                                          id_col="doc_id").count()
-        timings["minhash_dedup_200k"] = round(time.time() - t0, 3)
-        timings["minhash_dedup_200k_pairs"] = n_pairs
+        timings["minhash_dedup_50k"] = round(time.time() - t0, 3)
+        timings["minhash_dedup_50k_pairs"] = n_pairs
+        slice50.unpersist()
         t0 = time.time()
         (big.groupBy(F.sha2("content", 256).alias("h"))
             .agg(F.count("*").alias("n"), F.min("doc_id").alias("keep"))
@@ -358,7 +363,7 @@ def main() -> None:
         timings["exact_dedup_200k"] = round(time.time() - t0, 3)
         big.unpersist()
 
-    _dedup_200k()
+    _dedup_scale()
 
     # 10c. concurrent-query throughput at 8 vs 32 cores, each in its
     # own process/JVM (a Spark master is fixed at startup). The
@@ -407,8 +412,8 @@ def main() -> None:
                                    "restrict_query", "mlt_query",
                                    "pos_zone_build_200k",
                                    "phrase_query_200k", "zone_query_200k",
-                                   "minhash_dedup_200k",
-                                   "minhash_dedup_200k_pairs",
+                                   "minhash_dedup_50k",
+                                   "minhash_dedup_50k_pairs",
                                    "exact_dedup_200k",
                                    "concurrent_qps_8", "concurrent_qps_32",
                                    "concurrent_qps_scaling_8_to_32",
