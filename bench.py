@@ -334,10 +334,10 @@ def main() -> None:
     _positional_200k()
 
     # 10b2. large-corpus dedup scale points (non-headline): MinHash/LSH
-    # over a 50k-doc slice (10x the 5k headline row — the full 200k
-    # sweep measured 677s, too heavy for a per-round bench; shingling is
-    # O(total tokens) and these docs are ~1,900 tokens) + exact sha256
-    # keep-first over the full 200k corpus
+    # over a 20k-doc slice (4x the 5k headline row — the full 200k sweep
+    # measured 677s and a 50k slice 209s in storm windows, too heavy for
+    # a per-round bench; shingling is O(total tokens) and these docs are
+    # ~1,900 tokens) + exact sha256 keep-first over the full 200k corpus
     def _dedup_scale():
         from index_spark.operators.dedup import minhash_near_dup_pairs
 
@@ -348,13 +348,13 @@ def main() -> None:
                    .withColumn("doc_id", F.xxhash64("path")) \
                    .repartition(int(cpus)).persist()
         big.count()
-        slice50 = big.limit(50_000).repartition(int(cpus)).persist()
+        slice50 = big.limit(20_000).repartition(int(cpus)).persist()
         slice50.count()
         t0 = time.time()
         n_pairs = minhash_near_dup_pairs(slice50, text_col="content",
                                          id_col="doc_id").count()
-        timings["minhash_dedup_50k"] = round(time.time() - t0, 3)
-        timings["minhash_dedup_50k_pairs"] = n_pairs
+        timings["minhash_dedup_20k"] = round(time.time() - t0, 3)
+        timings["minhash_dedup_20k_pairs"] = n_pairs
         slice50.unpersist()
         t0 = time.time()
         (big.groupBy(F.sha2("content", 256).alias("h"))
@@ -412,8 +412,8 @@ def main() -> None:
                                    "restrict_query", "mlt_query",
                                    "pos_zone_build_200k",
                                    "phrase_query_200k", "zone_query_200k",
-                                   "minhash_dedup_50k",
-                                   "minhash_dedup_50k_pairs",
+                                   "minhash_dedup_20k",
+                                   "minhash_dedup_20k_pairs",
                                    "exact_dedup_200k",
                                    "concurrent_qps_8", "concurrent_qps_32",
                                    "concurrent_qps_scaling_8_to_32",

@@ -228,3 +228,41 @@ def test_fold_preserves_positions(spark, tiny_corpus, tmp_path):
              phrase_search(union, None, ph, k=20, stem=False).collect()]
         assert a == b, ph
     union.unpersist()
+
+
+def test_double_fold_compounds(spark, tiny_corpus, tmp_path):
+    """Two successive incremental compactions compound correctly: the
+    second fold patches stats derived from the first fold's manifest,
+    and results stay rank-identical to the chunk union."""
+    out = str(tmp_path / "doublestore")
+    ordered = tiny_corpus.sort_values(["repo", "path"]).reset_index(drop=True)
+    build_chunked(spark, spark.createDataFrame(ordered.iloc[:100]), out,
+                  docs_per_chunk=64, shard_size=SHARD)
+    compact_index(spark, out, segment_bytes=SEG)
+    ingest_batch(spark, _narrow_delta(spark), out, shard_size=SHARD)
+    m2 = compact_index(spark, out, segment_bytes=SEG)
+    assert m2["mode"] == "incremental"
+    pdf2 = pd.DataFrame({"repo": ["deltarepo2"] * 2,
+                         "path": [f"n2/{i}.py" for i in range(2)],
+                         "content": ["zzznewterm yyanother import"] * 2})
+    ingest_batch(spark, spark.createDataFrame(pdf2), out, shard_size=SHARD)
+    m3 = compact_index(spark, out, segment_bytes=SEG)
+    assert m3["mode"] == "incremental" and m3["new_chunks"] == [3]
+    merged = load_merged_index(spark, out)
+    agg = merged.agg(F.count("*").alias("rows"),
+                     F.countDistinct("term").alias("terms")).collect()[0]
+    assert (m3["rows"], m3["terms"]) == (agg["rows"], agg["terms"])
+    union = load_index(spark, out).persist()
+    stats = stats_from_index(union)
+    for q in ["import return", "zzznewterm", "yyanother import"]:
+        a = [(r["doc_id"], round(r["score"], 9)) for r in
+             search(merged, None, stats, q, k=10).collect()]
+        b = [(r["doc_id"], round(r["score"], 9)) for r in
+             search(union, None, stats, q, k=10).collect()]
+        assert a == b, q
+    d = load_dictionary(spark, out)
+    got = {(r["term"], r["df"]) for r in d.select("term", "df").collect()}
+    want = {(r["term"], r["df"]) for r in
+            dictionary_from_index(merged).select("term", "df").collect()}
+    assert got == want
+    union.unpersist()
