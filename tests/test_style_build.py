@@ -221,3 +221,25 @@ def test_style_weighted_search(corpora):
     # heading-boosted docs outrank their plain-BM25 position when the
     # query terms sit in styled spans (fixture doc 3 heads with numpy)
     assert got != b
+
+
+def test_style_weighted_search_merged_form(corpora, spark):
+    """Style-weighted scoring over the merged (shard-less) form matches
+    the sharded form exactly — weighted tfs survive blob concatenation."""
+    from index_spark.operators.merge import merge_shards
+    from index_spark.operators.query import style_weighted_search
+
+    idx_s, _, stats_s, _ = corpora
+    stats = stats_s["body"]
+    W = (1.0, 1.1, 1.25, 1.5)
+    merged = merge_shards(idx_s, segment_bytes=None).persist()
+    a = [(r["doc_id"], r["score"]) for r in
+         style_weighted_search(merged, None, stats, "import numpy", k=10,
+                               style_weights=W, zone="body").collect()]
+    b = [(r["doc_id"], r["score"]) for r in
+         style_weighted_search(idx_s, None, stats, "import numpy", k=10,
+                               style_weights=W, zone="body").collect()]
+    assert [x[0] for x in a] == [x[0] for x in b]
+    for (_, sa), (_, sb) in zip(a, b):
+        assert sa == pytest.approx(sb, abs=1e-9)
+    merged.unpersist()
