@@ -1765,7 +1765,12 @@ def _spark_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
     the 8 by pigeonhole; hamming<=3 forces >=1 equal 16-bit block of the
     4), so operator output == the all-pairs set whenever no bucket trips
     the star-pairing guard (checked at the driver's sf: max bucket 3
-    (minhash) / 44 (simhash) vs guard 64)."""
+    (minhash) / 44 (simhash) vs guard 64).
+
+    Plus the exact-n-gram hygiene tier (operators/contamination.py,
+    operators/scrub.py): benchmark decontamination, duplicated-span
+    coverage, and PII scrubbing — JVM-only plans whose oracles restate
+    gram construction / regex redaction directly in DuckDB."""
 
     def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.dedup import minhash_near_dup_pairs
@@ -1779,9 +1784,55 @@ def _spark_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return simhash_near_dup_pairs(docs, max_hamming=3)
 
+    def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # benchmark set = every 97th doc (deterministic eval split);
+        # 4-gram collision filter over the remaining training docs
+        from index_spark.operators.contamination import decontaminate
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        train = docs.filter(F.col("doc_id") % 97 != 0)
+        return decontaminate(train, bench, n=4, min_overlap=1)
+
+    def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # exact duplicated-span coverage (Lee et al. 2022), word 5-grams
+        from index_spark.operators.contamination import duplicated_spans
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return duplicated_spans(docs, n=5, min_count=2)
+
+    def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the corpus is synthetic word soup, so PII is INJECTED
+        # deterministically per doc_id (mod-7 classes: email / ipv4 /
+        # phone / untouched), then detected + redacted by the engine
+        # operators; the oracle restates injection and scrub in DuckDB
+        # and value-checks counts plus md5(scrubbed)
+        from index_spark.operators.scrub import pii_stats, scrub_pii
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        did = F.col("doc_id")
+        aug = docs.select("doc_id", F.when(did % 7 == 0, F.concat(
+            F.col("text"), F.lit(" contact user"), did.cast("string"),
+            F.lit("@example.com now")))
+            .when(did % 7 == 1, F.concat(
+                F.col("text"), F.lit(" from 10."),
+                (did % 256).cast("string"), F.lit(".0."),
+                (did % 100).cast("string"), F.lit(" host")))
+            .when(did % 7 == 2, F.concat(
+                F.col("text"), F.lit(" call +1555"),
+                (did + 1000000).cast("string"), F.lit(" today")))
+            .otherwise(F.col("text")).alias("text"))
+        stats = pii_stats(aug).drop("n_pii")
+        scrubbed = scrub_pii(aug).select(
+            "doc_id", F.md5("scrubbed").alias("scrub_md5"))
+        return stats.join(scrubbed, "doc_id")
+
     return {
         "minhash_pairs": minhash_pairs,
         "simhash_pairs": simhash_pairs,
+        "decontam_overlap": decontam_overlap,
+        "dup_span_coverage": dup_span_coverage,
+        "pii_scrub": pii_scrub,
     }
 
 
@@ -1883,6 +1934,74 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.f, b.f)) <= 3"""
+
+
+# word 4-grams via list comprehension + inclusive slicing; benchmark =
+# doc_id % 97 = 0; overlap = distinct shared grams per training doc
+# (contamination.decontaminate, n=4)
+_ORACLE_DECONTAM_DUCK = r"""
+WITH lists AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest([array_to_string(l[i:i+3], ' ') for i in range(1, greatest(len(l) - 3, 0) + 1)]) AS gram
+  FROM lists
+),
+bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+tg AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 97 <> 0),
+hits AS (SELECT tg.doc_id, count(*) AS n_overlap FROM tg JOIN bg USING (gram) GROUP BY tg.doc_id)
+SELECT l.doc_id, CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(h.n_overlap, 0) >= 1 AS contaminated
+FROM lists l LEFT JOIN hits h ON l.doc_id = h.doc_id
+WHERE l.doc_id % 97 <> 0"""
+
+
+# duplicated word 5-gram coverage: spans [pos, pos+4] of grams occurring
+# >= 2x corpus-wide, union-counted per doc (contamination.duplicated_spans)
+_ORACLE_DUPSPAN_DUCK = r"""
+WITH lists AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, unnest(range(1, greatest(len(l) - 4, 0) + 1)) AS pos, l
+  FROM lists
+),
+grams AS (SELECT doc_id, pos, array_to_string(l[pos:pos+4], ' ') AS gram FROM occ),
+dupg AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+covix AS (
+  SELECT g.doc_id, unnest(range(g.pos, g.pos + 5)) AS tok_ix
+  FROM grams g JOIN dupg USING (gram)
+),
+cov AS (SELECT doc_id, count(DISTINCT tok_ix) AS dup_tokens FROM covix GROUP BY doc_id)
+SELECT l.doc_id, CAST(len(l.l) AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CASE WHEN len(l.l) > 0 THEN round(coalesce(c.dup_tokens, 0) / len(l.l), 4) ELSE 0.0 END AS dup_ratio
+FROM lists l LEFT JOIN cov c USING (doc_id)"""
+
+
+# deterministic PII injection (mod-7 classes) + RE2-safe detection and
+# redaction, value-checked via match counts and md5 of the scrubbed text
+# (scrub.PII_PATTERNS verbatim; redaction order email -> ip -> phone)
+_ORACLE_PII_DUCK = r"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              WHEN doc_id % 7 = 1 THEN text || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' host'
+              WHEN doc_id % 7 = 2 THEN text || ' call +1555' || CAST(doc_id + 1000000 AS VARCHAR) || ' today'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '\+\d{9,13}\b')) AS BIGINT) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+           '\+\d{9,13}\b', '[PHONE]', 'g')) AS scrub_md5
+FROM aug"""
 
 
 def _build_registry():
@@ -2047,6 +2166,9 @@ def _build_registry():
     add("minhash_pairs", eng2["minhash_pairs"],
         _ORACLE_MINHASH_DUCK_TMPL.replace("{AJ}", _minhash_aj_values_sql()))
     add("simhash_pairs", eng2["simhash_pairs"], _ORACLE_SIMHASH_DUCK)
+    add("decontam_overlap", eng2["decontam_overlap"], _ORACLE_DECONTAM_DUCK)
+    add("dup_span_coverage", eng2["dup_span_coverage"], _ORACLE_DUPSPAN_DUCK)
+    add("pii_scrub", eng2["pii_scrub"], _ORACLE_PII_DUCK)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry
@@ -2079,7 +2201,8 @@ def _build_registry():
 
 # round-4 new entry names (kept in the driver's 50-entry check window)
 _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
-                                 "styled_topk"})
+                                 "styled_topk", "decontam_overlap",
+                                 "dup_span_coverage", "pii_scrub"})
 
 
 # ---------------------------------------------------------------------------

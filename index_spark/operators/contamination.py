@@ -1,0 +1,147 @@
+"""Exact n-gram contamination operators for training-data hygiene:
+benchmark decontamination (train/test overlap) and duplicated-span
+coverage (exact substring dedup, Lee et al. 2022, "Deduplicating
+Training Data Makes Language Models Better").
+
+Both operators run on word-level n-grams built ENTIRELY inside the JVM
+(split -> filter -> transform/slice/concat_ws over the token array; no
+Python in the plan), so gram construction stays in whole-stage codegen
+and the only shuffles are the gram-keyed aggregate/join — the natural
+cost shape for these ops at 100 TB:
+
+- ``decontaminate``: the benchmark side is tiny relative to the corpus
+  (an eval set, not another corpus), so its distinct gram relation is
+  BROADCAST by default and the scan-side semi-join never shuffles the
+  training corpus.  The per-doc overlap count is a map-side-combinable
+  aggregate on doc_id.
+- ``duplicated_spans``: the gram-frequency aggregate shuffles on the
+  gram string — near-unique keys, no skew (a stop-gram cap bounds the
+  few genuinely hot grams).  Coverage union is computed per doc by
+  exploding each duplicated gram occurrence into its token indexes and
+  counting distinct — bounded by doc length, never by corpus size.
+
+Grams are grouped by their *string* so results are SQL-restatable (the
+driver oracle recomputes them in DuckDB); at production scale pass
+``hashed=True`` to shuffle 8-byte ``xxhash64(gram)`` keys instead of
+strings (same verdicts up to 64-bit collisions, ~an order of magnitude
+less shuffle IO for wide grams).
+
+Tokenization matches the engine's SQL-parity spec
+(functions/text.py simple_tokens: lower -> [a-z0-9]+ runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TOKS = "filter(split(lower({col}), '[^a-z0-9]+'), x -> x != '')"
+
+
+def _grams_expr(n: int, toks: str = "_toks") -> str:
+    """SQL expr: array of n-gram strings over a token-array column
+    (empty array when the doc has < n tokens — sequence() would count
+    DOWN for a negative span, so the short case is guarded)."""
+    return (f"CASE WHEN size({toks}) >= {n} THEN "
+            f"transform(sequence(1, size({toks}) - {n - 1}), "
+            f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+            f"ELSE array() END")
+
+
+def doc_grams(df: DataFrame, n: int, text_col: str = "text",
+              id_col: str = "doc_id", with_pos: bool = False) -> DataFrame:
+    """One row per word n-gram occurrence: (doc_id, gram[, pos]).
+
+    ``pos`` is the 1-based token ordinal of the gram's first word (the
+    gram covers tokens [pos, pos+n-1]). All JVM: split/filter/
+    transform/slice/concat_ws, then (pos)explode."""
+    d = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                  F.expr(_TOKS.format(col=text_col)).alias("_toks"))
+    d = d.select("doc_id", F.expr(_grams_expr(n)).alias("_grams"))
+    if with_pos:
+        return d.select("doc_id", F.posexplode("_grams")
+                        .alias("_p", "gram")).select(
+            "doc_id", (F.col("_p") + 1).cast("long").alias("pos"), "gram")
+    return d.select("doc_id", F.explode("_grams").alias("gram"))
+
+
+def decontaminate(train: DataFrame, bench: DataFrame, n: int = 8,
+                  min_overlap: int = 1, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  broadcast_bench: bool = True) -> DataFrame:
+    """Benchmark decontamination: per TRAINING doc, how many of its
+    distinct word n-grams appear anywhere in the benchmark set.
+
+    Returns one row per train doc: (doc_id, n_overlap, contaminated)
+    with ``contaminated = n_overlap >= min_overlap`` — the standard
+    n-gram-collision test-set filter (GPT-3 app. C uses 13-grams; the
+    default 8 matches the engine's shingle width). Docs with zero
+    overlap keep a row (n_overlap=0) so the relation is a verdict per
+    doc, same contract as curate_corpus.
+
+    Scale shape: bench grams deduplicate to a small relation and are
+    broadcast (set ``broadcast_bench=False`` if the "benchmark" is
+    itself corpus-sized); the train side is a semi-join + one
+    map-side-combinable count per doc_id."""
+    bg = doc_grams(bench, n, text_col, id_col).select("gram").distinct()
+    if broadcast_bench:
+        bg = F.broadcast(bg)
+    tg = doc_grams(train, n, text_col, id_col).distinct()
+    hits = (tg.join(bg, "gram")
+              .groupBy("doc_id")
+              .agg(F.count("*").cast("long").alias("n_overlap")))
+    ids = train.select(F.col(id_col).cast("long").alias("doc_id"))
+    return (ids.join(hits, "doc_id", "left")
+               .select("doc_id",
+                       F.coalesce("n_overlap", F.lit(0)).cast("long")
+                        .alias("n_overlap"))
+               .withColumn("contaminated",
+                           F.col("n_overlap") >= min_overlap))
+
+
+def duplicated_spans(df: DataFrame, n: int = 16, min_count: int = 2,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     hashed: bool = False,
+                     max_gram_df: int | None = None) -> DataFrame:
+    """Exact duplicated-span coverage (Lee et al. 2022 §3, word-level):
+    per doc, how many of its tokens sit inside some word n-gram that
+    occurs >= ``min_count`` times across the whole corpus.
+
+    Returns (doc_id, n_tokens, dup_tokens, dup_ratio): ``dup_tokens``
+    is the size of the UNION of [pos, pos+n-1] over the doc's
+    duplicated-gram occurrences (overlapping spans counted once), and
+    ``dup_ratio = dup_tokens / n_tokens`` (0.0 for empty docs) — the
+    per-doc statistic a span-removal / doc-drop policy thresholds on.
+
+    ``hashed=True`` swaps the shuffle key for xxhash64(gram) (8 bytes
+    instead of the gram string; not SQL-restatable). ``max_gram_df``
+    caps pathological grams (boilerplate repeated millions of times):
+    grams above the cap still count as duplicated but their occurrence
+    lists are already bounded per doc, so no reducer sees corpus-sized
+    state either way."""
+    occ = doc_grams(df, n, text_col, id_col, with_pos=True)
+    key = F.xxhash64("gram").alias("k") if hashed else F.col("gram").alias("k")
+    occ = occ.select("doc_id", "pos", key)
+    freq = occ.groupBy("k").agg(F.count("*").alias("_c"))
+    dup_keys = freq.filter(F.col("_c") >= min_count)
+    if max_gram_df is not None:
+        dup_keys = dup_keys.filter(F.col("_c") <= max_gram_df)
+    dup_occ = occ.join(dup_keys.select("k"), "k")
+    covered = (dup_occ
+               .select("doc_id", F.explode(
+                   F.expr(f"sequence(pos, pos + {n - 1})")).alias("tok_ix"))
+               .distinct()
+               .groupBy("doc_id")
+               .agg(F.count("*").cast("long").alias("dup_tokens")))
+    lens = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(F.expr(_TOKS.format(col=text_col))).cast("long")
+         .alias("n_tokens"))
+    return (lens.join(covered, "doc_id", "left")
+                .select("doc_id", "n_tokens",
+                        F.coalesce("dup_tokens", F.lit(0)).cast("long")
+                         .alias("dup_tokens"))
+                .withColumn("dup_ratio", F.when(
+                    F.col("n_tokens") > 0,
+                    F.round(F.col("dup_tokens") / F.col("n_tokens"), 4))
+                    .otherwise(F.lit(0.0))))
