@@ -8,6 +8,9 @@ Round 3: the decode step is REAL for codec-free container formats —
 uncompressed 24-bit BMP, binary PPM (P6), and 8/16-bit PCM WAV are
 parsed in pure numpy (:func:`decode_media`), and their features (pixel /
 sample statistics, dimensions, sample rate) are actual decoded values.
+Round 4: resize is real too — :func:`resize_images` bilinear-resizes
+the decoded BMP/PPM pixels (align_corners=False geometry, pure numpy)
+and re-encodes PPM, Arrow-batched.
 Formats that need a real codec library (PNG/JPEG/MP4 — not available in
 this environment) still fall back to the clearly-marked deterministic
 fake; in deployment the fallback body is where PIL/libvips/ffmpeg slots
@@ -266,6 +269,98 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             })
 
     return media.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("in_w", T.IntegerType(), True),
+    T.StructField("in_h", T.IntegerType(), True),
+    T.StructField("out_w", T.IntegerType(), False),
+    T.StructField("out_h", T.IntegerType(), False),
+    # True when a real (BMP/PPM) decode produced the resize; codec
+    # formats fall back to decoded=False with a NULL payload (the
+    # deployment hook, same contract as extract_features)
+    T.StructField("decoded", T.BooleanType(), False),
+    T.StructField("mean_px", T.DoubleType(), True),
+    # resized image re-encoded as binary PPM (P6, RGB) — downstream
+    # stages re-decode it with the same pure-numpy parser
+    T.StructField("resized", T.BinaryType(), True),
+])
+
+
+def _resize_bilinear(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize, align_corners=False convention (output pixel
+    centers map to (i + 0.5) * scale - 0.5 in source coordinates, edges
+    replicate) — matches PIL/OpenCV default geometry. At an exact 2x
+    downscale this degenerates to the 2x2 box average. Pure numpy,
+    vectorized over the whole image."""
+    h, w, _ = px.shape
+    if (h, w) == (out_h, out_w):
+        return px.copy()
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0f, x0f = np.floor(ys), np.floor(xs)
+    fy = (ys - y0f)[:, None, None]
+    fx = (xs - x0f)[None, :, None]
+    y0 = np.clip(y0f.astype(np.int64), 0, h - 1)
+    y1 = np.clip(y0f.astype(np.int64) + 1, 0, h - 1)
+    x0 = np.clip(x0f.astype(np.int64), 0, w - 1)
+    x1 = np.clip(x0f.astype(np.int64) + 1, 0, w - 1)
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - fx) + p[y0][:, x1] * fx
+    bot = p[y1][:, x0] * (1 - fx) + p[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def _decode_image(payload: bytes) -> np.ndarray | None:
+    """payload -> (h, w, 3) RGB pixels for the real-decode formats
+    (BMP rows come back BGR and are flipped to RGB here)."""
+    px = _decode_bmp(payload)
+    if px is not None:
+        return px[..., ::-1]
+    return _decode_ppm(payload)
+
+
+def resize_images(media: DataFrame, out_w: int = 32,
+                  out_h: int = 32) -> DataFrame:
+    """Resize every image row to (out_w, out_h), Arrow-batched.
+
+    Real for BMP/PPM (pure-numpy decode -> bilinear -> PPM re-encode);
+    codec formats (PNG/JPEG) yield decoded=False with NULL payload —
+    in deployment PIL/libvips slots into the same mapInPandas body.
+    Non-image rows are filtered JVM-side before any Python runs."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            in_w, in_h, dec, mean_px, resized = [], [], [], [], []
+            for p in pdf["payload"]:
+                px = _decode_image(bytes(p))
+                if px is None:
+                    in_w.append(None), in_h.append(None)
+                    dec.append(False), mean_px.append(None)
+                    resized.append(None)
+                    continue
+                out = _resize_bilinear(px, out_h, out_w)
+                in_w.append(px.shape[1]), in_h.append(px.shape[0])
+                dec.append(True)
+                mean_px.append(float(out.astype(np.float64).mean()))
+                resized.append(f"P6\n{out_w} {out_h}\n255\n".encode()
+                               + out.tobytes())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "in_w": pd.array(in_w, dtype="Int32"),
+                "in_h": pd.array(in_h, dtype="Int32"),
+                "out_w": pd.array([out_w] * len(pdf), dtype="Int32"),
+                "out_h": pd.array([out_h] * len(pdf), dtype="Int32"),
+                "decoded": dec,
+                "mean_px": pd.array(mean_px, dtype="float64"),
+                "resized": resized,
+            })
+
+    return (media.where(F.col("kind") == "image")
+                 .select("media_id", "payload")
+                 .mapInPandas(fn, schema=RESIZE_SCHEMA))
 
 
 def frame_sample(media: DataFrame, every_ms: int = 500) -> DataFrame:

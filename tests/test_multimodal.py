@@ -85,3 +85,64 @@ def test_frame_sample_plumbing(spark):
     vids = media.where(F.col("kind") == "video").collect()
     exp = sum(r["duration_ms"] // 500 + 1 for r in vids)
     assert len(frames) == exp
+
+
+# ------------------------------------------------------------------ resize
+
+def test_resize_identity_is_copy():
+    _, px = mm.synth_ppm(8, 6, seed=9)
+    out = mm._resize_bilinear(px, 6, 8)
+    assert out.tobytes() == px.tobytes()
+
+
+def test_resize_constant_stays_constant():
+    px = np.full((10, 14, 3), 173, dtype=np.uint8)
+    out = mm._resize_bilinear(px, 5, 33)
+    assert out.shape == (5, 33, 3)
+    assert (out == 173).all()
+
+
+def test_resize_2x_downscale_is_box_average():
+    # align_corners=False at an exact 2x downscale samples the midpoint
+    # of each 2x2 block -> the block mean
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(8, 12, 3), dtype=np.uint8)
+    out = mm._resize_bilinear(px, 4, 6)
+    box = px.astype(np.float64).reshape(4, 2, 6, 2, 3).mean(axis=(1, 3))
+    np.testing.assert_array_equal(out, np.clip(np.rint(box), 0, 255))
+
+
+def test_resize_upscale_gradient_exact():
+    # a horizontal linear ramp upsampled 2x stays the same linear ramp
+    # (bilinear reproduces affine signals away from the replicated edge)
+    ramp = np.tile(np.arange(0, 160, 10, dtype=np.uint8)[None, :, None],
+                   (4, 1, 3))
+    out = mm._resize_bilinear(ramp, 4, 32)
+    xs = (np.arange(32) + 0.5) * 0.5 - 0.5
+    expect = np.clip(np.rint(np.interp(xs, np.arange(16),
+                                       np.arange(0, 160, 10))), 0, 255)
+    np.testing.assert_array_equal(out[2, :, 0], expect.astype(np.uint8))
+
+
+def test_resize_images_spark(spark):
+    bmp, bpx = mm.synth_bmp(16, 12, seed=1)
+    ppm, ppx = mm.synth_ppm(10, 10, seed=2)
+    rows = [
+        (1, "image", "image/bmp", 16, 12, None, bmp),
+        (2, "image", "image/ppm", 10, 10, None, ppm),
+        (3, "image", "image/png", 8, 8, None, b"\x89PNG junk"),
+        (4, "audio", "audio/wav", None, None, 1000, mm.synth_wav(100)[0]),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in
+           mm.resize_images(media, out_w=8, out_h=8).collect()}
+    assert set(got) == {1, 2, 3}  # audio filtered JVM-side
+    assert (got[1].in_w, got[1].in_h, got[1].decoded) == (16, 12, True)
+    assert (got[3].decoded, got[3].resized, got[3].mean_px) == (False, None, None)
+    # re-decode the PPM payload: roundtrip pixels and mean agree
+    for mid, src in ((1, bpx[..., ::-1]), (2, ppx)):
+        rpx = mm._decode_ppm(bytes(got[mid].resized))
+        assert rpx.shape == (8, 8, 3)
+        np.testing.assert_array_equal(rpx, mm._resize_bilinear(src, 8, 8))
+        np.testing.assert_allclose(got[mid].mean_px,
+                                   rpx.astype(np.float64).mean(), rtol=1e-12)
