@@ -231,6 +231,18 @@ def main() -> None:
         search_fuzzy(idx, ddocs, dstats, "dat tabl qury", k=10,
                      shard_size=shard_size).collect()
         timings["fuzzy_query"] = round(time.time() - t0, 3)
+        # dictionary-path variant: the production shape (compaction
+        # publishes the catalog; expansion never scans the index's term
+        # column). Catalog derivation is prepare, not query — same
+        # policy as query_prepare.
+        from index_spark.plans.dictionary import dictionary_from_index
+        dic = dictionary_from_index(idx).persist()
+        dic.count()
+        t0 = time.time()
+        search_fuzzy(idx, ddocs, dstats, "dat tabl qury", k=10,
+                     shard_size=shard_size, dictionary=dic).collect()
+        timings["fuzzy_query_dict"] = round(time.time() - t0, 3)
+        dic.unpersist()
         allow = meta.filter(F.col("source") == "src3").select("doc_id")
         t0 = time.time()
         search(idx, ddocs, dstats, "data table query", k=10,
@@ -409,6 +421,7 @@ def main() -> None:
                                    "ivf_recall_nprobe2", "build_200k",
                                    "build_200k_docs_per_sec",
                                    "facet_query", "fuzzy_query",
+                                   "fuzzy_query_dict",
                                    "restrict_query", "mlt_query",
                                    "pos_zone_build_200k",
                                    "phrase_query_200k", "zone_query_200k",

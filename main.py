@@ -137,6 +137,35 @@ def cmd_report(args) -> None:
     print(json.dumps(r.asDict()))
 
 
+def cmd_hygiene(args) -> None:
+    """Corpus-hygiene sweep over a documents parquet: curation verdicts
+    + duplicated-span coverage + PII stats (and optional benchmark
+    decontamination), written as one verdict parquet per gate."""
+    from index_spark.operators.contamination import (decontaminate,
+                                                     duplicated_spans)
+    from index_spark.operators.curate import curate_corpus
+    from index_spark.operators.scrub import pii_stats
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    summary = {}
+    cur = curate_corpus(docs, min_tokens=args.min_tokens)
+    cur.write.mode("overwrite").parquet(f"{args.out}/curation")
+    summary["curation_kept"] = cur.filter("keep").count()
+    spans = duplicated_spans(docs, n=args.span_n, min_count=2)
+    spans.write.mode("overwrite").parquet(f"{args.out}/dup_spans")
+    summary["dup_span_docs"] = spans.filter("dup_tokens > 0").count()
+    pii = pii_stats(docs)
+    pii.write.mode("overwrite").parquet(f"{args.out}/pii")
+    summary["pii_docs"] = pii.filter("n_pii > 0").count()
+    if args.bench:
+        bench = spark.read.parquet(args.bench)
+        dec = decontaminate(docs, bench, n=args.decontam_n)
+        dec.write.mode("overwrite").parquet(f"{args.out}/decontam")
+        summary["contaminated_docs"] = dec.filter("contaminated").count()
+    print(json.dumps(summary))
+
+
 def cmd_suggest(args) -> None:
     """Dictionary-backed query understanding: the catalog published by
     `compact` serves both autocompletion and spell suggestions without
@@ -338,6 +367,19 @@ def main(argv=None) -> None:
     ph.add_argument("-k", type=int, default=10)
     ph.add_argument("--no-stem", action="store_true")
     ph.set_defaults(fn=cmd_phrase)
+
+    hy = sub.add_parser("hygiene", help="curation + dup-span + PII "
+                                        "(+ optional decontamination) "
+                                        "verdict parquets for a corpus")
+    hy.add_argument("--docs", required=True,
+                    help="documents parquet (doc_id, text)")
+    hy.add_argument("--out", required=True)
+    hy.add_argument("--bench", help="benchmark parquet to decontaminate "
+                                    "against (doc_id, text)")
+    hy.add_argument("--min-tokens", type=int, default=5)
+    hy.add_argument("--span-n", type=int, default=16)
+    hy.add_argument("--decontam-n", type=int, default=8)
+    hy.set_defaults(fn=cmd_hygiene)
 
     be = sub.add_parser("bench", help="headline benchmark suite")
     be.set_defaults(fn=cmd_bench)
