@@ -80,10 +80,25 @@ def qps_worker(cores: int) -> None:
     spark.stop()
 
 
+def _host_cpu() -> tuple[int, int, int] | None:
+    """(user+nice, system, total) jiffies from /proc/stat — the run's
+    measurement-window forensics. This host has documented episodic
+    sys-storms (BENCH/machine_noise_probe.json: guest page faults go
+    5-30x; sys_frac > 0.5 means the numbers measure the host, not the
+    engine), so every bench line records its own window."""
+    try:
+        with open("/proc/stat") as f:
+            v = [int(x) for x in f.readline().split()[1:]]
+        return v[0] + v[1], v[2], sum(v)
+    except OSError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    cpu0 = _host_cpu()
 
     from pyspark.sql import functions as F
 
@@ -433,7 +448,7 @@ def main() -> None:
                                    "batch_qps_8", "batch_qps_32",
                                    "batch_qps_scaling_8_to_32")), 3)
     timings["build_docs_per_sec"] = round(n_docs / timings["build_index"], 1)
-    print(json.dumps({
+    out = {
         "metric": "index_spark headline suite wall time",
         "value": total,
         "unit": "sec",
@@ -441,7 +456,13 @@ def main() -> None:
         "sf": sf,
         "cpus": int(cpus),
         "n_docs": n_docs,
-    }))
+    }
+    cpu1 = _host_cpu()
+    if cpu0 and cpu1 and cpu1[2] > cpu0[2]:
+        d = cpu1[2] - cpu0[2]
+        out["host_user_frac"] = round((cpu1[0] - cpu0[0]) / d, 4)
+        out["host_sys_frac"] = round((cpu1[1] - cpu0[1]) / d, 4)
+    print(json.dumps(out))
     spark.stop()
 
 
