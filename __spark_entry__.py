@@ -586,6 +586,27 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                      tombstones=tomb)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def snapshot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Iceberg-style time travel over the chunk-manifest log: build a
+        # 2-chunk store, then query AS OF snapshot 0 (the state after
+        # the first chunk committed — docs 0..255 only) with
+        # snapshot-consistent stats, so idf/avgdl are the ones a reader
+        # at that snapshot saw. Oracle = BM25 over doc_id < 256.
+        import tempfile
+
+        from index_spark.operators.query import search
+        from index_spark.plans.checkpoint import (build_chunked,
+                                                  load_index, stats_as_of)
+
+        out = tempfile.mkdtemp(prefix="snapshot_entry_")
+        corpus = _parity_corpus(spark, sf_dir)
+        build_chunked(spark, corpus, out, docs_per_chunk=256,
+                      shard_size=256, stem=False, camel=False)
+        idx0 = load_index(spark, out, as_of=0)
+        top = search(idx0, None, stats_as_of(out, 0), "data table query",
+                     k=10, stem=False, camel=False, shard_size=256)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     def filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # metadata-filtered retrieval: the allow-set (docs with
         # source='src3') cogroups BY SHARD next to the hit rows — never
@@ -1004,6 +1025,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "tombstone_topk": tombstone_topk,
         "filtered_topk": filtered_topk,
         "upsert_topk": upsert_topk,
+        "snapshot_topk": snapshot_topk,
         "explain_topdoc": explain_topdoc,
         "facet_counts": facet_counts_q,
         "fuzzy_topk": fuzzy_topk,
@@ -1234,6 +1256,18 @@ _ORACLE_TOMB_TOPK = """
   WHERE doc_id NOT IN ({IDS})
   ORDER BY score DESC, doc_id ASC LIMIT 10)
 SELECT doc_id, round(score, 4) AS score FROM top"""
+
+
+def _snapshot_duck_sql() -> str:
+    """BM25 top-k over snapshot 0's doc set (chunk 0 = docs 0..255) with
+    that snapshot's own stats — the tok CTE restricts the corpus, so
+    df/avgdl/N all come out snapshot-consistent."""
+    tok = _DUCK_TOK_CTE.replace(
+        "FROM documents",
+        "FROM documents WHERE doc_id < 256")
+    return (_with(tok, _TF_CTE, _DL_CTE, _STATS_CTE, _DF_CTE,
+                  _terms_values_sql(FLAGSHIP_TERMS))
+            + _BM25_SCORE_SQL + "\n" + _ORACLE_WAND_TOPK.lstrip())
 
 
 def _vacuum_duck_sql() -> str:
@@ -2114,6 +2148,7 @@ def _build_registry():
     add("related_terms", eng["related_terms"],
         _docs_sql("duck", _ORACLE_RELATED))
     add("vacuum_topk", eng["vacuum_topk"], _vacuum_duck_sql())
+    add("snapshot_topk", eng["snapshot_topk"], _snapshot_duck_sql())
     add("percolate_dsl_matches", eng["percolate_dsl_matches"],
         _docs_sql("duck", _ORACLE_PERC_DSL))
     add("curation_verdicts", eng["curation_verdicts"],
@@ -2202,7 +2237,8 @@ def _build_registry():
 # round-4 new entry names (kept in the driver's 50-entry check window)
 _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  "styled_topk", "decontam_overlap",
-                                 "dup_span_coverage", "pii_scrub"})
+                                 "dup_span_coverage", "pii_scrub",
+                                 "snapshot_topk"})
 
 
 # ---------------------------------------------------------------------------

@@ -176,13 +176,84 @@ def load_stats(out_dir: str) -> dict:
         return json.load(f)
 
 
-def load_index(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Union of all committed chunk indexes (shard ids are global)."""
-    return spark.read.parquet(os.path.join(out_dir, "chunks", "*", "index"))
+def _snapshot_chunk_ids(out_dir: str, as_of: int) -> list[int]:
+    """Committed chunk ids making up snapshot ``as_of`` (chunks commit
+    in id order, so a snapshot is always the prefix 0..as_of)."""
+    if not chunk_is_committed(out_dir, as_of):
+        have = [m["chunk_id"] for m in lineage(out_dir)]
+        raise ValueError(f"snapshot {as_of} is not committed under "
+                         f"{out_dir} (committed: {have})")
+    return list(range(as_of + 1))
 
 
-def load_docs(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "chunks", "*", "docs"))
+def load_index(spark: SparkSession, out_dir: str,
+               as_of: int | None = None) -> DataFrame:
+    """Union of committed chunk indexes (shard ids are global).
+
+    ``as_of`` time-travels: read the store exactly as it stood after
+    chunk ``as_of`` committed (Iceberg snapshot-read semantics over the
+    hand-rolled manifest log — each ``_COMMIT.json`` is a snapshot,
+    and later chunks' files are simply not opened, so a reader is
+    isolated from concurrent appends). Pair with :func:`stats_as_of`
+    so BM25 idf/avgdl are snapshot-consistent too."""
+    if as_of is None:
+        return spark.read.parquet(
+            os.path.join(out_dir, "chunks", "*", "index"))
+    paths = [os.path.join(_chunk_dir(out_dir, cid), "index")
+             for cid in _snapshot_chunk_ids(out_dir, as_of)]
+    return spark.read.parquet(*paths)
+
+
+def load_docs(spark: SparkSession, out_dir: str,
+              as_of: int | None = None) -> DataFrame:
+    if as_of is None:
+        return spark.read.parquet(
+            os.path.join(out_dir, "chunks", "*", "docs"))
+    paths = [os.path.join(_chunk_dir(out_dir, cid), "docs")
+             for cid in _snapshot_chunk_ids(out_dir, as_of)]
+    return spark.read.parquet(*paths)
+
+
+def snapshots(out_dir: str) -> list[dict]:
+    """The store's snapshot log, oldest first: one entry per committed
+    chunk with CUMULATIVE totals (the state a reader at that snapshot
+    sees) and the manifest's commit time — the Iceberg snapshot-list
+    equivalent over the chunk manifests."""
+    out, docs, tokens, postings, bbytes = [], 0, 0, 0, 0
+    for m in lineage(out_dir):
+        docs += m["n_docs"]
+        tokens += m["n_tokens"]
+        postings += m["n_postings"]
+        bbytes += m["blob_bytes"]
+        out.append({
+            "snapshot_id": m["chunk_id"],
+            "committed_at": os.path.getmtime(
+                _commit_path(out_dir, m["chunk_id"])),
+            "doc_hi": m["doc_hi"],
+            "n_docs": docs,
+            "n_tokens": tokens,
+            "n_postings": postings,
+            "blob_bytes": bbytes,
+        })
+    return out
+
+
+def stats_as_of(out_dir: str, as_of: int) -> dict:
+    """Global stats as they stood at snapshot ``as_of`` — same math as
+    the at-rest stats.json, restricted to the snapshot's manifests, so
+    time-traveled queries score with the idf/avgdl of that moment."""
+    cids = set(_snapshot_chunk_ids(out_dir, as_of))
+    ms = [m for m in lineage(out_dir) if m["chunk_id"] in cids]
+    n_docs = sum(m["n_docs"] for m in ms)
+    n_tokens = sum(m["n_tokens"] for m in ms)
+    return {
+        "n_docs": n_docs,
+        "avgdl": (n_tokens / n_docs) if n_docs else 0.0,
+        "total_tokens": n_tokens,
+        "n_chunks": len(ms),
+        "n_postings": sum(m["n_postings"] for m in ms),
+        "blob_bytes": sum(m["blob_bytes"] for m in ms),
+    }
 
 
 DEFAULT_TERM_BUCKETS = 64  # term-hash partitions of the merged index
