@@ -141,3 +141,61 @@ def test_scrub_pii_passthrough(spark):
     df = _docs(spark, [(1, "plain text, no pii at all")])
     [row] = scrub_pii(df).collect()
     assert row.scrubbed == row.text
+
+
+# ---------------------------------------------------------------------------
+# randomized properties (brute-force references; small-vocab corpora
+# maximize gram collisions, the interesting regime)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_VOCAB = ["a", "b", "c"]
+_doc = st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12)
+_corpus = st.lists(_doc, min_size=1, max_size=8)
+
+
+def _brute_spans(texts, n, min_count):
+    from collections import Counter
+    toks = [t.split() for t in texts]
+    occ = [[(i, " ".join(ts[i:i + n])) for i in range(len(ts) - n + 1)]
+           for ts in toks]
+    freq = Counter(g for doc in occ for _, g in doc)
+    out = {}
+    for d, ts in enumerate(toks):
+        covered = set()
+        for i, g in occ[d]:
+            if freq[g] >= min_count:
+                covered.update(range(i, i + n))
+        ratio = round(len(covered) / len(ts), 4) if ts else 0.0
+        out[d] = (len(ts), len(covered), ratio)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(_corpus, st.integers(2, 4))
+def test_duplicated_spans_matches_brute_force(spark, docs, n):
+    texts = [" ".join(d) for d in docs]
+    df = _docs(spark, list(enumerate(texts)))
+    got = {r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_ratio)
+           for r in duplicated_spans(df, n=n, min_count=2).collect()}
+    assert got == _brute_spans(texts, n, 2)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_corpus, _corpus, st.integers(2, 3))
+def test_decontaminate_matches_brute_force(spark, train, bench, n):
+    ttexts = [" ".join(d) for d in train]
+    btexts = [" ".join(d) for d in bench]
+    bgrams = {" ".join(d[i:i + n]) for d in bench
+              for i in range(len(d) - n + 1)}
+    want = {}
+    for i, d in enumerate(train):
+        mine = {" ".join(d[j:j + n]) for j in range(len(d) - n + 1)}
+        k = len(mine & bgrams)
+        want[i] = (k, k >= 1)
+    got = {r.doc_id: (r.n_overlap, r.contaminated) for r in decontaminate(
+        _docs(spark, list(enumerate(ttexts))),
+        _docs(spark, list(enumerate(btexts))), n=n).collect()}
+    assert got == want
