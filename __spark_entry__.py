@@ -586,6 +586,23 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                      tombstones=tomb)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # function scoring: docs with doc_id % 5 == 0 get a 2.0
+        # multiplier (recency/authority-style), applied before any
+        # top-k cut via the shard-cogroup side-channel; the oracle
+        # reweights the full BM25 score relation the same way
+        from index_spark.operators.query import search
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        meta = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        boosts = (meta.filter(F.col("doc_id") % 5 == 0)
+                  .select(F.col("doc_id").cast("long"),
+                          F.lit(2.0).alias("boost")))
+        top = search(index, docs, stats, "data table query", k=10,
+                     stem=False, camel=False, shard_size=256,
+                     boosts=boosts)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     def snapshot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Iceberg-style time travel over the chunk-manifest log: build a
         # 2-chunk store, then query AS OF snapshot 0 (the state after
@@ -1026,6 +1043,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "filtered_topk": filtered_topk,
         "upsert_topk": upsert_topk,
         "snapshot_topk": snapshot_topk,
+        "boosted_topk": boosted_topk,
         "explain_topdoc": explain_topdoc,
         "facet_counts": facet_counts_q,
         "fuzzy_topk": fuzzy_topk,
@@ -1069,6 +1087,16 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
 _ORACLE_WAND_TOPK = """
 , top AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10)
 SELECT doc_id, round(score, 4) AS score FROM top"""
+
+# function scoring: BM25 x per-doc multiplier (2.0 for doc_id % 5 = 0),
+# reweighted BEFORE the top-k cut
+_ORACLE_BOOSTED_TOPK = """
+, btop AS (
+  SELECT doc_id,
+         score * CASE WHEN doc_id % 5 = 0 THEN 2.0 ELSE 1.0 END AS bscore
+  FROM scores
+  ORDER BY bscore DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(bscore, 4) AS score FROM btop"""
 
 # conjunctive (AND) top-k: only docs containing EVERY query term score
 _ORACLE_AND_TOPK = """
@@ -2149,6 +2177,8 @@ def _build_registry():
         _docs_sql("duck", _ORACLE_RELATED))
     add("vacuum_topk", eng["vacuum_topk"], _vacuum_duck_sql())
     add("snapshot_topk", eng["snapshot_topk"], _snapshot_duck_sql())
+    add("boosted_topk", eng["boosted_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_BOOSTED_TOPK, [q_cte]))
     add("percolate_dsl_matches", eng["percolate_dsl_matches"],
         _docs_sql("duck", _ORACLE_PERC_DSL))
     add("curation_verdicts", eng["curation_verdicts"],
@@ -2238,7 +2268,7 @@ def _build_registry():
 _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  "styled_topk", "decontam_overlap",
                                  "dup_span_coverage", "pii_scrub",
-                                 "snapshot_topk"})
+                                 "snapshot_topk", "boosted_topk"})
 
 
 # ---------------------------------------------------------------------------

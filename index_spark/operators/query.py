@@ -106,7 +106,8 @@ def _decode_lists(pdf: pd.DataFrame, avgdl: float):
 def _score_shard_exhaustive(pdf: pd.DataFrame, avgdl: float, k: int,
                             excl: list[dict] | None = None,
                             banned: np.ndarray | None = None,
-                            allowed: np.ndarray | None = None
+                            allowed: np.ndarray | None = None,
+                            boost: tuple[np.ndarray, np.ndarray] | None = None
                             ) -> pd.DataFrame:
     """Vectorized exhaustive DAAT over one shard (numpy scatter-add).
 
@@ -144,7 +145,25 @@ def _score_shard_exhaustive(pdf: pd.DataFrame, avgdl: float, k: int,
             docs_out, scores_out, excl, banned)
         if docs_out.size == 0:
             return pd.DataFrame({"doc_id": [], "score": []})
+    if boost is not None:
+        scores_out = _apply_boost(docs_out, scores_out, boost)
     return _topk_frame(docs_out, scores_out, k)
+
+
+def _apply_boost(cand: np.ndarray, scores: np.ndarray,
+                 boost: tuple[np.ndarray, np.ndarray]) -> np.ndarray:
+    """Multiply each candidate's score by its boost weight (docs absent
+    from the boost relation keep weight 1.0). ``boost`` = (sorted
+    doc_id array, aligned weights) — applied BEFORE the top-k cut, so a
+    boosted doc outside the unboosted top-k can still enter."""
+    b_ids, b_w = boost
+    if b_ids.size == 0:
+        return scores
+    pos = np.minimum(np.searchsorted(b_ids, cand), b_ids.size - 1)
+    sel = b_ids[pos] == cand
+    out = scores.copy()
+    out[sel] *= b_w[pos[sel]]
+    return out
 
 
 def _apply_exclusions(cand: np.ndarray, scores: np.ndarray,
@@ -464,7 +483,8 @@ def _score_shard_conjunctive(pdf: pd.DataFrame, avgdl: float, k: int,
                              banned: np.ndarray | None = None,
                              required: set[str] | None = None,
                              allowed: np.ndarray | None = None,
-                             groups: dict[str, tuple[int, ...]] | None = None
+                             groups: dict[str, tuple[int, ...]] | None = None,
+                             boost: tuple[np.ndarray, np.ndarray] | None = None
                              ) -> pd.DataFrame:
     """Conjunctive (AND) top-k BM25 over one shard: only docs satisfying
     ALL ``n_required`` gates score.
@@ -610,6 +630,8 @@ def _score_shard_conjunctive(pdf: pd.DataFrame, avgdl: float, k: int,
         cand, scores = _apply_exclusions(cand, scores, excl, banned)
         if cand.size == 0:
             return empty
+    if boost is not None:
+        scores = _apply_boost(cand, scores, boost)
     return _topk_frame(cand, scores, k)
 
 
@@ -648,7 +670,8 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
            exclude: str | None = None,
            tombstones: DataFrame | None = None,
            restrict: DataFrame | None = None,
-           groups: dict[str, tuple[int, ...]] | None = None) -> DataFrame:
+           groups: dict[str, tuple[int, ...]] | None = None,
+           boosts: DataFrame | None = None) -> DataFrame:
     """Top-k BM25 over the sharded index. Returns (doc_id, score).
 
     ``use_wand``: True (always WAND), False (always exhaustive), or
@@ -701,6 +724,15 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
     of that gate's terms (fuzzy-AND expansion groups; see
     :func:`search_fuzzy`). Keys must be tokenized query terms.
 
+    ``boosts``: optional (doc_id, boost) relation — function scoring
+    (recency / authority / pagerank-style multipliers): each listed
+    doc's BM25 score is multiplied by its weight before any top-k cut;
+    docs absent from the relation keep 1.0. One row per doc_id.
+    Distribution is the tombstones/restrict shard-cogroup (the boost
+    relation is never collected or broadcast); boosting forces the
+    exhaustive OR kernel since WAND's unboosted bounds could over-prune
+    docs a weight > 1 promotes.
+
     ``docs`` is accepted for API symmetry but unused — doc lengths live in
     the index (dl_blob); ``shard_size`` is only used to route
     ``tombstones`` (shard ids themselves are stored in the index).
@@ -742,7 +774,8 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
     local = _modal_local_topk(hits, qterms, xterms, mode, avgdl, k,
                               lambda pdf: _pick_scorer(pdf, use_wand),
                               tombstones, shard_size, merged_form,
-                              restrict=restrict, groups=groups)
+                              restrict=restrict, groups=groups,
+                              boosts=boosts)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -754,7 +787,8 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
                       phrases: list[list[str]] | None = None,
                       neg_phrases: list[list[str]] | None = None,
                       restrict: DataFrame | None = None,
-                      groups: dict[str, tuple[int, ...]] | None = None
+                      groups: dict[str, tuple[int, ...]] | None = None,
+                      boosts: DataFrame | None = None
                       ) -> DataFrame:
     """Per-shard local top-k under OR/AND mode, term exclusions, and
     shard-cogrouped tombstones — shared by ``search``, ``search_dsl``
@@ -781,7 +815,17 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
     the hit rows through one shared cogroup side-channel (kind 0 =
     tombstone, kind 1 = allowed), so a billion-doc filter result is
     never collected or broadcast. A shard with hit rows but no allowed
-    rows contributes nothing."""
+    rows contributes nothing.
+
+    ``boosts``: optional (doc_id, boost) relation — each listed doc's
+    final score is multiplied by its weight BEFORE the per-shard top-k
+    cut (absent docs keep 1.0), so function-scored ranking is exact.
+    Rides the same shard-cogroup side-channel as tombstones/restrict
+    (kind 2 carries the weight) — never collected or broadcast. With
+    boosts present the OR path scores exhaustively (a WAND θ computed
+    from unboosted upper bounds could prune a doc a weight > 1 would
+    have promoted); the conjunctive kernel is intersection-driven, not
+    score-pruned, so AND keeps its kernel."""
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     if phrases and mode != "and":
@@ -799,7 +843,9 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
     negp_terms = {t for ph in (neg_phrases or []) for t in ph}
 
     def score(pdf: pd.DataFrame, banned: np.ndarray | None,
-              allowed_r: np.ndarray | None = None) -> pd.DataFrame:
+              allowed_r: np.ndarray | None = None,
+              boost: tuple[np.ndarray, np.ndarray] | None = None
+              ) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id": [], "score": []})
         if allowed_r is not None and allowed_r.size == 0:
             return empty
@@ -833,7 +879,12 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
         if mode == "and":
             return _score_shard_conjunctive(spdf, avgdl, k, n_req, excl,
                                             banned, required, allowed,
-                                            groups)
+                                            groups, boost)
+        if boost is not None:
+            # exhaustive whenever boosting (see docstring); the allowed
+            # set folds in as the kernel's candidate filter
+            return _score_shard_exhaustive(spdf, avgdl, k, excl, banned,
+                                           allowed, boost)
         if allowed is not None:
             # small allow-set vs big posting mass: probe-driven kernel
             # (block-targeted, score-exact); else exhaustive + filter.
@@ -850,19 +901,27 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
         return pick(spdf)(spdf, avgdl, k)
 
     has_restrict = restrict is not None
-    if tombstones is not None or has_restrict:
+    has_boosts = boosts is not None
+    if tombstones is not None or has_restrict or has_boosts:
         shard_expr = (F.lit(0).cast("long") if merged_form
                       else F.floor(F.col("doc_id") / shard_size).cast("long"))
         sides = []
         if tombstones is not None:
             sides.append(tombstones.select(
                 shard_expr.alias("shard"), F.col("doc_id").cast("long"),
-                F.lit(0).alias("kind")))
+                F.lit(0).alias("kind"), F.lit(1.0).alias("w")))
         if has_restrict:
             sides.append(restrict.select(
                 shard_expr.alias("shard"), F.col("doc_id").cast("long"),
-                F.lit(1).alias("kind")))
-        side = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
+                F.lit(1).alias("kind"), F.lit(1.0).alias("w")))
+        if has_boosts:
+            sides.append(boosts.select(
+                shard_expr.alias("shard"), F.col("doc_id").cast("long"),
+                F.lit(2).alias("kind"),
+                F.col("boost").cast("double").alias("w")))
+        side = sides[0]
+        for s in sides[1:]:
+            side = side.unionByName(s)
 
         def fn2(key_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
             ids = s_pdf["doc_id"].to_numpy(np.int64)
@@ -870,8 +929,15 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
             banned = np.sort(ids[kinds == 0])
             allowed_r = (np.unique(ids[kinds == 1]) if has_restrict
                          else None)
+            boost = None
+            if has_boosts:
+                sel = kinds == 2
+                b_ids = ids[sel]
+                b_w = s_pdf["w"].to_numpy(np.float64)[sel]
+                order = np.argsort(b_ids, kind="stable")
+                boost = (b_ids[order], b_w[order])
             return score(key_pdf, banned if banned.size else None,
-                         allowed_r)
+                         allowed_r, boost)
 
         return hits.groupby("shard").cogroup(side.groupby("shard")) \
             .applyInPandas(fn2, schema=TOPK_SCHEMA)

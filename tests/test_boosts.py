@@ -1,0 +1,90 @@
+"""Function scoring: per-doc multiplicative boosts applied before the
+per-shard top-k cut (query.py ``boosts=``)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from index_spark.operators.build import build_index
+from index_spark.operators.query import search
+
+
+@pytest.fixture(scope="module")
+def built(spark, tiny_corpus):
+    corpus = spark.createDataFrame(tiny_corpus)
+    docs, index, stats = build_index(corpus, stem=True, shard_size=32)
+    return docs, index.persist(), stats
+
+
+def _boosts(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_id long, boost double")
+
+
+def test_all_ones_boost_is_identity(spark, built):
+    docs, index, stats = built
+    ones = _boosts(spark, [(i, 1.0) for i in range(150)])
+    plain = search(index, docs, stats, "import numpy", k=10,
+                   shard_size=32).collect()
+    boosted = search(index, docs, stats, "import numpy", k=10,
+                     shard_size=32, boosts=ones).collect()
+    assert [(r.doc_id, r.score) for r in plain] == \
+           [(r.doc_id, r.score) for r in boosted]
+    assert plain  # non-trivial
+
+
+def _full_reranked(spark, built, query, boost_map, k, **kw):
+    # brute-force oracle: unboosted scores for EVERY matching doc,
+    # reweighted driver-side, re-ranked
+    docs, index, stats = built
+    full = search(index, docs, stats, query, k=10 ** 6,
+                  shard_size=32, **kw).collect()
+    rer = sorted(((r.doc_id, r.score * boost_map.get(r.doc_id, 1.0))
+                  for r in full), key=lambda t: (-t[1], t[0]))[:k]
+    return [(d, round(s, 9)) for d, s in rer]
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_boost_matches_full_rerank(spark, built, mode):
+    docs, index, stats = built
+    # boost a spread of docs across shards, including fractional
+    # weights (demotions) — exercises both kernels' _apply_boost
+    bmap = {i: (3.0 if i % 3 == 0 else 0.25) for i in range(0, 150, 7)}
+    got = search(index, docs, stats, "import return", k=8, mode=mode,
+                 shard_size=32,
+                 boosts=_boosts(spark, list(bmap.items()))).collect()
+    want = _full_reranked(spark, built, "import return", bmap, 8, mode=mode)
+    assert [(r.doc_id, round(r.score, 9)) for r in got] == want
+    assert got
+
+
+def test_boost_promotes_outside_unboosted_topk(spark, built):
+    # the defining property: a doc OUTSIDE the unboosted top-k enters
+    # once its weight is large enough (boost applies before the cut)
+    docs, index, stats = built
+    plain = search(index, docs, stats, "import numpy", k=3,
+                   shard_size=32).collect()
+    full = search(index, docs, stats, "import numpy", k=10 ** 6,
+                  shard_size=32).collect()
+    outsider = full[10].doc_id
+    assert outsider not in {r.doc_id for r in plain}
+    got = search(index, docs, stats, "import numpy", k=3, shard_size=32,
+                 boosts=_boosts(spark, [(outsider, 1000.0)])).collect()
+    assert got[0].doc_id == outsider
+
+
+def test_boost_composes_with_tombstones_and_restrict(spark, built):
+    docs, index, stats = built
+    full = search(index, docs, stats, "import numpy", k=10 ** 6,
+                  shard_size=32).collect()
+    top, second = full[0].doc_id, full[1].doc_id
+    tomb = spark.createDataFrame([(top,)], "doc_id long")
+    # a boosted-but-tombstoned doc stays dead
+    got = search(index, docs, stats, "import numpy", k=3, shard_size=32,
+                 tombstones=tomb,
+                 boosts=_boosts(spark, [(top, 1000.0)])).collect()
+    assert top not in {r.doc_id for r in got}
+    # restrict to two docs, boost the weaker one above the stronger
+    allow = spark.createDataFrame([(top,), (second,)], "doc_id long")
+    got = search(index, docs, stats, "import numpy", k=2, shard_size=32,
+                 restrict=allow,
+                 boosts=_boosts(spark, [(second, 1000.0)])).collect()
+    assert [r.doc_id for r in got] == [second, top]
