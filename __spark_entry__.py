@@ -586,6 +586,21 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                      tombstones=tomb)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # query-time synonym expansion, group-conjunctive: a doc needs
+        # >= 1 variant of EVERY original term; every present variant
+        # scores with its own global idf ('grid' is absent from the
+        # corpus — the group stays satisfiable via table/row)
+        from index_spark.operators.query import search_synonyms
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        top = search_synonyms(index, docs, stats, "data table",
+                              {"data": ["stream"],
+                               "table": ["row", "grid"]},
+                              k=10, mode="and", stem=False, camel=False,
+                              shard_size=256)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     def boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # function scoring: docs with doc_id % 5 == 0 get a 2.0
         # multiplier (recency/authority-style), applied before any
@@ -1044,6 +1059,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "upsert_topk": upsert_topk,
         "snapshot_topk": snapshot_topk,
         "boosted_topk": boosted_topk,
+        "synonym_topk": synonym_topk,
         "explain_topdoc": explain_topdoc,
         "facet_counts": facet_counts_q,
         "fuzzy_topk": fuzzy_topk,
@@ -1097,6 +1113,25 @@ _ORACLE_BOOSTED_TOPK = """
   FROM scores
   ORDER BY bscore DESC, doc_id ASC LIMIT 10)
 SELECT doc_id, round(bscore, 4) AS score FROM btop"""
+
+# synonym-expanded group-conjunctive top-k: gate = >=1 variant of EVERY
+# original term (data|stream, table|row|grid); score = own-idf sum over
+# every present expanded term ('grid' has df 0 — satisfiable group,
+# zero contribution)
+_SYN_QX_CTE = """
+qx(term, gid) AS (SELECT * FROM (VALUES
+  ('data', 0), ('stream', 0),
+  ('table', 1), ('row', 1), ('grid', 1)) AS v(term, gid))"""
+_SYN_Q_CTE = """
+q AS (SELECT DISTINCT term FROM qx)"""
+_ORACLE_SYNONYM_TOPK = """
+, gates AS (
+  SELECT tf.doc_id, count(DISTINCT qx.gid) AS ng
+  FROM tf JOIN qx ON tf.term = qx.term GROUP BY tf.doc_id)
+, top AS (
+  SELECT s.doc_id, s.score FROM scores s JOIN gates g ON s.doc_id = g.doc_id
+  WHERE g.ng = 2 ORDER BY s.score DESC, s.doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
 
 # conjunctive (AND) top-k: only docs containing EVERY query term score
 _ORACLE_AND_TOPK = """
@@ -2179,6 +2214,9 @@ def _build_registry():
     add("snapshot_topk", eng["snapshot_topk"], _snapshot_duck_sql())
     add("boosted_topk", eng["boosted_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_BOOSTED_TOPK, [q_cte]))
+    add("synonym_topk", eng["synonym_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_SYNONYM_TOPK,
+                  [_SYN_QX_CTE, _SYN_Q_CTE]))
     add("percolate_dsl_matches", eng["percolate_dsl_matches"],
         _docs_sql("duck", _ORACLE_PERC_DSL))
     add("curation_verdicts", eng["curation_verdicts"],
@@ -2268,7 +2306,8 @@ def _build_registry():
 _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  "styled_topk", "decontam_overlap",
                                  "dup_span_coverage", "pii_scrub",
-                                 "snapshot_topk", "boosted_topk"})
+                                 "snapshot_topk", "boosted_topk",
+                                 "synonym_topk"})
 
 
 # ---------------------------------------------------------------------------

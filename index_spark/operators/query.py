@@ -1595,6 +1595,58 @@ def search_fuzzy(index: DataFrame, docs: DataFrame | None, stats: dict,
                   mode=mode, exclude=exclude, groups=groups, **kw)
 
 
+def search_synonyms(index: DataFrame, docs: DataFrame | None, stats: dict,
+                    query: str, synonyms: dict[str, list[str]], k: int = 10,
+                    stem: bool = True, camel: bool = True,
+                    shard_size: int = 4096, zone: str | None = None,
+                    mode: str = "or", exclude: str | None = None,
+                    **kw) -> DataFrame:
+    """Query-time synonym/alias expansion: each ORIGINAL query term
+    expands to itself plus its synonym set (keys and values both pass
+    through the caller's tokenizer flags, so a stemmed index gets
+    stemmed variants; a multi-word synonym contributes each token).
+
+    Scoring mirrors :func:`search_fuzzy`'s expansion contract: every
+    variant scores with its OWN global idf (Lucene's SynonymQuery
+    instead blends df across the group — an own-idf variant is what
+    keeps the semantics exactly SQL-restatable). ``mode="and"`` is
+    group-conjunctive: a doc must contain >= 1 variant of EVERY
+    original query term (OR within each synonym group). Synonyms for
+    terms not in the query are ignored; a variant shared by several
+    originals gates all of them.
+
+    Same plan as :func:`search` — the expansion is a driver-side dict
+    lookup (no extra job), then one one-exchange scoring pass."""
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    if not qterms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    exp: dict[str, set[str]] = {t: {t} for t in qterms}
+    for key, vals in synonyms.items():
+        kt = tokenize(key, stem=stem, camel=camel)
+        if len(kt) != 1:
+            raise ValueError(f"synonym key must tokenize to one term: "
+                             f"{key!r} -> {kt}")
+        if kt[0] not in exp:
+            continue
+        for v in vals:
+            exp[kt[0]].update(tokenize(v, stem=stem, camel=camel))
+    terms = sorted({t for v in exp.values() for t in v})
+    if exclude is not None:
+        exclude = " ".join(
+            sorted(set(tokenize(exclude, stem=stem, camel=camel)))) or None
+    groups = None
+    if mode == "and":
+        gids: dict[str, list[int]] = {}
+        for i, t in enumerate(qterms):
+            for v in exp[t]:
+                gids.setdefault(v, []).append(i)
+        groups = {v: tuple(g) for v, g in gids.items()}
+    return search(index, docs, stats, " ".join(terms), k=k, stem=False,
+                  camel=False, shard_size=shard_size, zone=zone,
+                  mode=mode, exclude=exclude, groups=groups, **kw)
+
+
 def complete_terms(index: DataFrame | None, prefix: str, limit: int = 10,
                    zone: str | None = None,
                    dictionary: DataFrame | None = None) -> DataFrame:

@@ -88,3 +88,56 @@ def test_boost_composes_with_tombstones_and_restrict(spark, built):
                  restrict=allow,
                  boosts=_boosts(spark, [(second, 1000.0)])).collect()
     assert [r.doc_id for r in got] == [second, top]
+
+
+# ---------------------------------------------------------------------------
+# synonym expansion (search_synonyms) — shares the built fixture
+# ---------------------------------------------------------------------------
+
+from index_spark.operators.query import search_synonyms  # noqa: E402
+
+
+def test_synonyms_or_equals_expanded_query(spark, built):
+    # OR-mode expansion is exactly a search over the expanded term set
+    docs, index, stats = built
+    got = search_synonyms(index, docs, stats, "import",
+                          {"import": ["return"]}, k=10,
+                          shard_size=32).collect()
+    want = search(index, docs, stats, "import return", k=10,
+                  shard_size=32).collect()
+    assert [(r.doc_id, r.score) for r in got] == \
+           [(r.doc_id, r.score) for r in want]
+    assert got
+
+
+def test_synonyms_and_gates_per_original_term(spark, built):
+    # a nonsense original term with a REAL synonym is satisfiable via
+    # the synonym; without the synonym the conjunction is empty
+    docs, index, stats = built
+    got = search_synonyms(index, docs, stats, "import zzqq",
+                          {"zzqq": ["return"]}, k=5, mode="and",
+                          shard_size=32).collect()
+    assert got
+    empty = search(index, docs, stats, "import zzqq", k=5, mode="and",
+                   shard_size=32).collect()
+    assert empty == []
+
+
+def test_synonyms_ignore_non_query_keys_and_stem(spark, built):
+    # synonym keys/values ride the caller's stem flag; keys not in the
+    # query are ignored (identical to the plain query)
+    docs, index, stats = built
+    got = search_synonyms(index, docs, stats, "import",
+                          {"unrelated": ["return"]}, k=5,
+                          shard_size=32).collect()
+    want = search(index, docs, stats, "import", k=5,
+                  shard_size=32).collect()
+    assert [(r.doc_id, r.score) for r in got] == \
+           [(r.doc_id, r.score) for r in want]
+
+
+def test_synonym_multiword_key_rejected(spark, built):
+    docs, index, stats = built
+    with pytest.raises(ValueError, match="one term"):
+        search_synonyms(index, docs, stats, "import",
+                        {"two words": ["x"]}, k=5, shard_size=32)
