@@ -601,6 +601,23 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                               shard_size=256)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def page2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # deep pagination: page 1's last (score, doc_id) becomes the
+        # search_after cursor; page 2 must be EXACTLY ranks 11..20 of
+        # the full ordering (oracle: OFFSET 10 LIMIT 10). The cursor
+        # equality arm is exact because kernel scores are
+        # bitwise-reproducible (pinned summation order).
+        from index_spark.operators.query import search
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        p1 = search(index, docs, stats, "data table query", k=10,
+                    stem=False, camel=False, shard_size=256).collect()
+        cursor = (float(p1[-1]["score"]), int(p1[-1]["doc_id"]))
+        p2 = search(index, docs, stats, "data table query", k=10,
+                    stem=False, camel=False, shard_size=256,
+                    after=cursor)
+        return p2.select("doc_id", F.round("score", 4).alias("score"))
+
     def boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # function scoring: docs with doc_id % 5 == 0 get a 2.0
         # multiplier (recency/authority-style), applied before any
@@ -1060,6 +1077,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "snapshot_topk": snapshot_topk,
         "boosted_topk": boosted_topk,
         "synonym_topk": synonym_topk,
+        "page2_topk": page2_topk,
         "explain_topdoc": explain_topdoc,
         "facet_counts": facet_counts_q,
         "fuzzy_topk": fuzzy_topk,
@@ -1131,6 +1149,13 @@ _ORACLE_SYNONYM_TOPK = """
 , top AS (
   SELECT s.doc_id, s.score FROM scores s JOIN gates g ON s.doc_id = g.doc_id
   WHERE g.ng = 2 ORDER BY s.score DESC, s.doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
+
+# ranks 11..20 of the full ordering — what the search_after cursor page
+# must reproduce exactly
+_ORACLE_PAGE2_TOPK = """
+, top AS (SELECT doc_id, score FROM scores
+          ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10)
 SELECT doc_id, round(score, 4) AS score FROM top"""
 
 # conjunctive (AND) top-k: only docs containing EVERY query term score
@@ -2217,6 +2242,8 @@ def _build_registry():
     add("synonym_topk", eng["synonym_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_SYNONYM_TOPK,
                   [_SYN_QX_CTE, _SYN_Q_CTE]))
+    add("page2_topk", eng["page2_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_PAGE2_TOPK, [q_cte]))
     add("percolate_dsl_matches", eng["percolate_dsl_matches"],
         _docs_sql("duck", _ORACLE_PERC_DSL))
     add("curation_verdicts", eng["curation_verdicts"],
@@ -2307,7 +2334,7 @@ _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  "styled_topk", "decontam_overlap",
                                  "dup_span_coverage", "pii_scrub",
                                  "snapshot_topk", "boosted_topk",
-                                 "synonym_topk"})
+                                 "synonym_topk", "page2_topk"})
 
 
 # ---------------------------------------------------------------------------

@@ -107,7 +107,8 @@ def _score_shard_exhaustive(pdf: pd.DataFrame, avgdl: float, k: int,
                             excl: list[dict] | None = None,
                             banned: np.ndarray | None = None,
                             allowed: np.ndarray | None = None,
-                            boost: tuple[np.ndarray, np.ndarray] | None = None
+                            boost: tuple[np.ndarray, np.ndarray] | None = None,
+                            after: tuple[float, int] | None = None
                             ) -> pd.DataFrame:
     """Vectorized exhaustive DAAT over one shard (numpy scatter-add).
 
@@ -147,6 +148,8 @@ def _score_shard_exhaustive(pdf: pd.DataFrame, avgdl: float, k: int,
             return pd.DataFrame({"doc_id": [], "score": []})
     if boost is not None:
         scores_out = _apply_boost(docs_out, scores_out, boost)
+    if after is not None:
+        docs_out, scores_out = _apply_cursor(docs_out, scores_out, after)
     return _topk_frame(docs_out, scores_out, k)
 
 
@@ -164,6 +167,18 @@ def _apply_boost(cand: np.ndarray, scores: np.ndarray,
     out = scores.copy()
     out[sel] *= b_w[pos[sel]]
     return out
+
+
+def _apply_cursor(cand: np.ndarray, scores: np.ndarray,
+                  after: tuple[float, int]
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Deep-pagination cursor: keep only docs STRICTLY after
+    ``(score, doc_id)`` in (score desc, doc_id asc) rank order. Scores
+    are bitwise-reproducible (pinned ascending-term summation), so the
+    equality arm is exact — no epsilon."""
+    s, d = after
+    keep = (scores < s) | ((scores == s) & (cand > d))
+    return cand[keep], scores[keep]
 
 
 def _apply_exclusions(cand: np.ndarray, scores: np.ndarray,
@@ -484,7 +499,8 @@ def _score_shard_conjunctive(pdf: pd.DataFrame, avgdl: float, k: int,
                              required: set[str] | None = None,
                              allowed: np.ndarray | None = None,
                              groups: dict[str, tuple[int, ...]] | None = None,
-                             boost: tuple[np.ndarray, np.ndarray] | None = None
+                             boost: tuple[np.ndarray, np.ndarray] | None = None,
+                             after: tuple[float, int] | None = None
                              ) -> pd.DataFrame:
     """Conjunctive (AND) top-k BM25 over one shard: only docs satisfying
     ALL ``n_required`` gates score.
@@ -632,6 +648,8 @@ def _score_shard_conjunctive(pdf: pd.DataFrame, avgdl: float, k: int,
             return empty
     if boost is not None:
         scores = _apply_boost(cand, scores, boost)
+    if after is not None:
+        cand, scores = _apply_cursor(cand, scores, after)
     return _topk_frame(cand, scores, k)
 
 
@@ -671,7 +689,8 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
            tombstones: DataFrame | None = None,
            restrict: DataFrame | None = None,
            groups: dict[str, tuple[int, ...]] | None = None,
-           boosts: DataFrame | None = None) -> DataFrame:
+           boosts: DataFrame | None = None,
+           after: tuple[float, int] | None = None) -> DataFrame:
     """Top-k BM25 over the sharded index. Returns (doc_id, score).
 
     ``use_wand``: True (always WAND), False (always exhaustive), or
@@ -733,6 +752,14 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
     exhaustive OR kernel since WAND's unboosted bounds could over-prune
     docs a weight > 1 promotes.
 
+    ``after``: deep-pagination cursor — pass the previous page's last
+    (score, doc_id) and only docs strictly after it in rank order
+    return (Elasticsearch search_after). Exact at any depth: scores are
+    bitwise-reproducible (pinned summation order), so the cursor's
+    equality arm needs no epsilon, and the page-N query does the same
+    one-exchange work as page 1 — no offset materialization. Applies
+    after ``boosts``; forces the exhaustive OR kernel.
+
     ``docs`` is accepted for API symmetry but unused — doc lengths live in
     the index (dl_blob); ``shard_size`` is only used to route
     ``tombstones`` (shard ids themselves are stored in the index).
@@ -775,7 +802,7 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
                               lambda pdf: _pick_scorer(pdf, use_wand),
                               tombstones, shard_size, merged_form,
                               restrict=restrict, groups=groups,
-                              boosts=boosts)
+                              boosts=boosts, after=after)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -788,7 +815,8 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
                       neg_phrases: list[list[str]] | None = None,
                       restrict: DataFrame | None = None,
                       groups: dict[str, tuple[int, ...]] | None = None,
-                      boosts: DataFrame | None = None
+                      boosts: DataFrame | None = None,
+                      after: tuple[float, int] | None = None
                       ) -> DataFrame:
     """Per-shard local top-k under OR/AND mode, term exclusions, and
     shard-cogrouped tombstones — shared by ``search``, ``search_dsl``
@@ -825,7 +853,14 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
     boosts present the OR path scores exhaustively (a WAND θ computed
     from unboosted upper bounds could prune a doc a weight > 1 would
     have promoted); the conjunctive kernel is intersection-driven, not
-    score-pruned, so AND keeps its kernel."""
+    score-pruned, so AND keeps its kernel.
+
+    ``after``: deep-pagination cursor — the (score, doc_id) of the last
+    row of the previous page; only docs strictly after it in
+    (score desc, doc_id asc) order can rank. Applied in-kernel AFTER
+    boosting and before the local cut; like boosts it forces the
+    exhaustive OR kernel (WAND would return the global top-k and prune
+    exactly the page being asked for)."""
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     if phrases and mode != "and":
@@ -879,12 +914,13 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
         if mode == "and":
             return _score_shard_conjunctive(spdf, avgdl, k, n_req, excl,
                                             banned, required, allowed,
-                                            groups, boost)
-        if boost is not None:
-            # exhaustive whenever boosting (see docstring); the allowed
-            # set folds in as the kernel's candidate filter
+                                            groups, boost, after)
+        if boost is not None or after is not None:
+            # exhaustive whenever boosting or paginating (see
+            # docstring); the allowed set folds in as the kernel's
+            # candidate filter
             return _score_shard_exhaustive(spdf, avgdl, k, excl, banned,
-                                           allowed, boost)
+                                           allowed, boost, after)
         if allowed is not None:
             # small allow-set vs big posting mass: probe-driven kernel
             # (block-targeted, score-exact); else exhaustive + filter.

@@ -141,3 +141,38 @@ def test_synonym_multiword_key_rejected(spark, built):
     with pytest.raises(ValueError, match="one term"):
         search_synonyms(index, docs, stats, "import",
                         {"two words": ["x"]}, k=5, shard_size=32)
+
+
+# ---------------------------------------------------------------------------
+# deep pagination (search_after cursor)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_after_pages_tile_the_full_ranking(spark, built, mode):
+    docs, index, stats = built
+    full = search(index, docs, stats, "import return", k=10 ** 6,
+                  shard_size=32, mode=mode).collect()
+    assert len(full) > 12
+    pages, cursor = [], None
+    for _ in range(3):
+        page = search(index, docs, stats, "import return", k=5,
+                      shard_size=32, mode=mode, after=cursor).collect()
+        pages.extend(page)
+        cursor = (page[-1].score, page[-1].doc_id)
+    assert [(r.doc_id, r.score) for r in pages] == \
+           [(r.doc_id, r.score) for r in full[:15]]
+
+
+def test_after_composes_with_boosts(spark, built):
+    # pagination over the BOOSTED ranking: page 2 continues the
+    # reweighted order, not the raw one
+    docs, index, stats = built
+    bmap = {i: 4.0 for i in range(0, 150, 11)}
+    bdf = _boosts(spark, list(bmap.items()))
+    p1 = search(index, docs, stats, "import return", k=5, shard_size=32,
+                boosts=bdf).collect()
+    p2 = search(index, docs, stats, "import return", k=5, shard_size=32,
+                boosts=bdf, after=(p1[-1].score, p1[-1].doc_id)).collect()
+    want = _full_reranked(spark, built, "import return", bmap, 10)
+    assert [(r.doc_id, round(r.score, 9)) for r in p1 + p2] == want
