@@ -1085,17 +1085,22 @@ class QueryEngine:
 
     def search(self, query: str, k: int = 10, mode: str = "or",
                exclude: str | None = None,
-               restrict: DataFrame | None = None
+               restrict: DataFrame | None = None,
+               boosts: DataFrame | None = None,
+               after: tuple[float, int] | None = None
                ) -> list[tuple[int, float]]:
         df = self.topk_df(query, k, mode=mode, exclude=exclude,
-                          restrict=restrict)
+                          restrict=restrict, boosts=boosts, after=after)
         if df is None:
             return []
         return [(int(r["doc_id"]), float(r["score"])) for r in df.collect()]
 
     def topk_df(self, query: str, k: int = 10, mode: str = "or",
                 exclude: str | None = None,
-                restrict: DataFrame | None = None) -> DataFrame | None:
+                restrict: DataFrame | None = None,
+                boosts: DataFrame | None = None,
+                after: tuple[float, int] | None = None
+                ) -> DataFrame | None:
         """The query's top-k plan as a DataFrame (None for empty/unknown
         queries) — collect() yields exactly k rows via the distributed
         TakeOrderedAndProject merge. ``mode="and"`` scores only docs
@@ -1104,7 +1109,9 @@ class QueryEngine:
         ``exclude`` is the boolean NOT clause; registered ``delete()``
         tombstones apply to every query. ``restrict`` is the (doc_id)
         allow-set of :func:`search` — metadata-filtered serving, same
-        shard-cogroup distribution.
+        shard-cogroup distribution. ``boosts`` / ``after`` are the
+        function-scoring relation and deep-pagination cursor of
+        :func:`search` (both force the exhaustive OR kernel).
         """
         if mode not in ("or", "and"):
             raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
@@ -1143,7 +1150,8 @@ class QueryEngine:
         local = _modal_local_topk(hits, sorted(idf), xterms, mode, avgdl,
                                   k, pick, self._tombstones,
                                   self.shard_size, merged_form=False,
-                                  restrict=restrict)
+                                  restrict=restrict, boosts=boosts,
+                                  after=after)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

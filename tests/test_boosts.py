@@ -176,3 +176,18 @@ def test_after_composes_with_boosts(spark, built):
                 boosts=bdf, after=(p1[-1].score, p1[-1].doc_id)).collect()
     want = _full_reranked(spark, built, "import return", bmap, 10)
     assert [(r.doc_id, round(r.score, 9)) for r in p1 + p2] == want
+
+
+def test_query_engine_boosts_and_after(spark, built):
+    # the prepared serving path honors boosts and the cursor the same
+    # as the one-shot API
+    from index_spark.operators.query import QueryEngine
+    docs, index, stats = built
+    eng = QueryEngine(index, stats, shard_size=32)
+    bmap = {i: 4.0 for i in range(0, 150, 11)}
+    bdf = _boosts(spark, list(bmap.items()))
+    p1 = eng.search("import return", k=5, boosts=bdf)
+    p2 = eng.search("import return", k=5, boosts=bdf,
+                    after=(p1[-1][1], p1[-1][0]))
+    want = _full_reranked(spark, built, "import return", bmap, 10)
+    assert [(d, round(s, 9)) for d, s in p1 + p2] == want
