@@ -601,6 +601,18 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
                               shard_size=256)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # wildcard term query 'data s*', group-conjunctive: docs with
+        # 'data' AND any s-prefixed term, every present variant scoring
+        # with its own idf (oracle restates s* as LIKE 's%')
+        from index_spark.operators.query import search_wildcard
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        top = search_wildcard(index, docs, stats, "data s*", k=10,
+                              max_expansions=64, mode="and",
+                              stem=False, camel=False, shard_size=256)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     def page2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # deep pagination: page 1's last (score, doc_id) becomes the
         # search_after cursor; page 2 must be EXACTLY ranks 11..20 of
@@ -1078,6 +1090,7 @@ def _engine_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "boosted_topk": boosted_topk,
         "synonym_topk": synonym_topk,
         "page2_topk": page2_topk,
+        "wildcard_topk": wildcard_topk,
         "explain_topdoc": explain_topdoc,
         "facet_counts": facet_counts_q,
         "fuzzy_topk": fuzzy_topk,
@@ -1143,6 +1156,22 @@ qx(term, gid) AS (SELECT * FROM (VALUES
 _SYN_Q_CTE = """
 q AS (SELECT DISTINCT term FROM qx)"""
 _ORACLE_SYNONYM_TOPK = """
+, gates AS (
+  SELECT tf.doc_id, count(DISTINCT qx.gid) AS ng
+  FROM tf JOIN qx ON tf.term = qx.term GROUP BY tf.doc_id)
+, top AS (
+  SELECT s.doc_id, s.score FROM scores s JOIN gates g ON s.doc_id = g.doc_id
+  WHERE g.ng = 2 ORDER BY s.score DESC, s.doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
+
+# wildcard group-conjunctive top-k: gate 0 = any term LIKE 's%',
+# gate 1 = 'data'; score = own-idf sum over every present variant
+_WC_QX_CTE = """
+qx AS (SELECT term, 0 AS gid FROM dft WHERE term LIKE 's%'
+       UNION ALL SELECT 'data', 1)"""
+_WC_Q_CTE = """
+q AS (SELECT DISTINCT term FROM qx)"""
+_ORACLE_WILDCARD_TOPK = """
 , gates AS (
   SELECT tf.doc_id, count(DISTINCT qx.gid) AS ng
   FROM tf JOIN qx ON tf.term = qx.term GROUP BY tf.doc_id)
@@ -2244,6 +2273,9 @@ def _build_registry():
                   [_SYN_QX_CTE, _SYN_Q_CTE]))
     add("page2_topk", eng["page2_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_PAGE2_TOPK, [q_cte]))
+    add("wildcard_topk", eng["wildcard_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_WILDCARD_TOPK,
+                  [_WC_QX_CTE, _WC_Q_CTE]))
     add("percolate_dsl_matches", eng["percolate_dsl_matches"],
         _docs_sql("duck", _ORACLE_PERC_DSL))
     add("curation_verdicts", eng["curation_verdicts"],
@@ -2334,7 +2366,8 @@ _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  "styled_topk", "decontam_overlap",
                                  "dup_span_coverage", "pii_scrub",
                                  "snapshot_topk", "boosted_topk",
-                                 "synonym_topk", "page2_topk"})
+                                 "synonym_topk", "page2_topk",
+                                 "wildcard_topk"})
 
 
 # ---------------------------------------------------------------------------

@@ -32,6 +32,7 @@ dl. idf uses the exact global df = sum of shard dfs of the term.
 from __future__ import annotations
 
 import math
+import re
 
 import numpy as np
 import pandas as pd
@@ -1683,6 +1684,97 @@ def search_synonyms(index: DataFrame, docs: DataFrame | None, stats: dict,
     if mode == "and":
         gids: dict[str, list[int]] = {}
         for i, t in enumerate(qterms):
+            for v in exp[t]:
+                gids.setdefault(v, []).append(i)
+        groups = {v: tuple(g) for v, g in gids.items()}
+    return search(index, docs, stats, " ".join(terms), k=k, stem=False,
+                  camel=False, shard_size=shard_size, zone=zone,
+                  mode=mode, exclude=exclude, groups=groups, **kw)
+
+
+def wildcard_expand(index: DataFrame | None, patterns: list[str],
+                    max_expansions: int = 32, zone: str | None = None,
+                    dictionary: DataFrame | None = None
+                    ) -> dict[str, list[str]]:
+    """Expand wildcard patterns (``*`` = any run, ``?`` = one char —
+    Lucene WildcardQuery glob syntax) to matching dictionary terms, at
+    most ``max_expansions`` per pattern (highest global df first,
+    term-ascending tiebreak — same pinned order as fuzzy expansion).
+
+    ``dictionary`` (preferred at scale): the compact term catalog.
+    Either source additionally pushes a ``StartsWith`` on the pattern's
+    literal prefix (everything before the first wildcard) — against the
+    term-sorted catalog that row-group-prunes, so ``tab*`` touches one
+    term range; a LEADING-wildcard pattern has no prefix and scans the
+    catalog's term column (millions of rows, never the sharded index's
+    billions — the documented cost of leading wildcards in every
+    engine). Terms are [a-z0-9]+ so the LIKE translation needs no
+    escaping. Only patterns x max_expansions rows reach the driver."""
+    from pyspark.sql import Window
+
+    from index_spark.operators.build import DOC_MARKER
+
+    if not patterns:
+        return {}
+    if dictionary is not None:
+        cat = pin_zone(dictionary, zone).select(
+            "term", F.col("df").alias("df_g"))
+    else:
+        cat = (pin_zone(index, zone)
+               .filter(F.col("term") != DOC_MARKER)
+               .groupBy("term").agg(F.sum("df").alias("df_g")))
+    out: dict[str, list[str]] = {}
+    for p in patterns:
+        like = p.lower().replace("*", "%").replace("?", "_")
+        cond = F.col("term").like(like)
+        prefix = re.split(r"[*?]", p.lower(), maxsplit=1)[0]
+        if prefix:
+            cond = F.col("term").startswith(prefix) & cond
+        w = Window.orderBy(F.desc("df_g"), F.asc("term"))
+        rows = (cat.filter(cond)
+                .withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") <= max_expansions)
+                .select("term").collect())
+        out[p] = sorted(r["term"] for r in rows)
+    return out
+
+
+def search_wildcard(index: DataFrame, docs: DataFrame | None, stats: dict,
+                    query: str, k: int = 10, max_expansions: int = 32,
+                    stem: bool = True, camel: bool = True,
+                    shard_size: int = 4096, zone: str | None = None,
+                    mode: str = "or", exclude: str | None = None,
+                    dictionary: DataFrame | None = None,
+                    **kw) -> DataFrame:
+    """Wildcard-aware top-k BM25: whitespace tokens containing ``*`` or
+    ``?`` expand against the term catalog (:func:`wildcard_expand`);
+    plain tokens pass through the caller's stem/camel tokenizer. Every
+    expanded variant scores with its own global idf; ``mode="and"`` is
+    group-conjunctive (>= 1 match of EVERY original token — same
+    contract as fuzzy/synonym expansion). A pattern matching nothing
+    empties an AND result, mirroring a missing literal term."""
+    spark = index.sparkSession
+    raw = [w for w in query.split() if w]
+    pats = sorted({w.lower() for w in raw if "*" in w or "?" in w})
+    lit_q = " ".join(w for w in raw if "*" not in w and "?" not in w)
+    lits = sorted(set(tokenize(lit_q, stem=stem, camel=camel)))
+    exp: dict[str, set[str]] = {t: {t} for t in lits}
+    for p, terms in wildcard_expand(index, pats, max_expansions, zone,
+                                    dictionary).items():
+        exp[p] = set(terms)
+    originals = sorted(exp)
+    terms = sorted({t for v in exp.values() for t in v})
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    if exclude is not None:
+        exclude = " ".join(
+            sorted(set(tokenize(exclude, stem=stem, camel=camel)))) or None
+    groups = None
+    if mode == "and":
+        if any(not exp[t] for t in originals):
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        gids: dict[str, list[int]] = {}
+        for i, t in enumerate(originals):
             for v in exp[t]:
                 gids.setdefault(v, []).append(i)
         groups = {v: tuple(g) for v, g in gids.items()}

@@ -191,3 +191,50 @@ def test_query_engine_boosts_and_after(spark, built):
                     after=(p1[-1][1], p1[-1][0]))
     want = _full_reranked(spark, built, "import return", bmap, 10)
     assert [(d, round(s, 9)) for d, s in p1 + p2] == want
+
+
+# ---------------------------------------------------------------------------
+# wildcard term queries (wildcard_expand / search_wildcard)
+# ---------------------------------------------------------------------------
+
+from index_spark.operators.query import (search_wildcard,  # noqa: E402
+                                         wildcard_expand)
+
+
+def test_wildcard_expand_glob_semantics(spark, built):
+    docs, index, stats = built
+    exp = wildcard_expand(index, ["im*", "?mport", "zz*", "im?ort"])
+    assert "import" in exp["im*"]
+    assert exp["?mport"] == ["import"]
+    assert exp["im?ort"] == ["import"]
+    assert exp["zz*"] == []
+
+
+def test_wildcard_expand_respects_cap_by_df(spark, built):
+    # cap keeps the HIGHEST-df matches (df desc, term asc pinned order)
+    docs, index, stats = built
+    full = wildcard_expand(index, ["*"], max_expansions=10 ** 6)["*"]
+    capped = wildcard_expand(index, ["*"], max_expansions=3)["*"]
+    assert len(capped) == 3 and set(capped) <= set(full)
+
+
+def test_search_wildcard_or_equals_expanded_search(spark, built):
+    docs, index, stats = built
+    exp = wildcard_expand(index, ["im*"])
+    got = search_wildcard(index, docs, stats, "return im*", k=10,
+                          shard_size=32).collect()
+    want = search(index, docs, stats, " ".join(["return"] + exp["im*"]),
+                  k=10, stem=False, shard_size=32).collect()
+    assert [(r.doc_id, r.score) for r in got] == \
+           [(r.doc_id, r.score) for r in want]
+    assert got
+
+
+def test_search_wildcard_and_gates_per_pattern(spark, built):
+    docs, index, stats = built
+    # a no-match pattern empties the conjunction
+    assert search_wildcard(index, docs, stats, "return zzq*", k=5,
+                           mode="and", shard_size=32).collect() == []
+    got = search_wildcard(index, docs, stats, "return im*", k=5,
+                          mode="and", shard_size=32).collect()
+    assert got
