@@ -55,7 +55,8 @@ def cmd_build(args) -> None:
 
 def cmd_query(args) -> None:
     from index_spark.operators.maintenance import load_tombstones
-    from index_spark.operators.query import search, search_fuzzy
+    from index_spark.operators.query import (search, search_fuzzy,
+                                             search_wildcard)
     from index_spark.plans.checkpoint import load_index, load_stats
 
     spark = _spark(args)
@@ -63,6 +64,28 @@ def cmd_query(args) -> None:
     stats = load_stats(args.index_dir)
     # the store's tombstone log (deletes/upserts) applies automatically
     tomb = load_tombstones(spark, args.index_dir)
+    boosts = (spark.read.parquet(args.boosts)
+              if getattr(args, "boosts", None) else None)
+    after = None
+    if getattr(args, "after", None):
+        s, d = args.after.split(",")
+        after = (float(s), int(d))
+    if "*" in args.query or "?" in args.query:
+        # glob tokens route to the wildcard path (dictionary-backed
+        # when the store has a compacted catalog)
+        from index_spark.plans.dictionary import (
+            dictionary_path,
+            load_dictionary,
+        )
+        d = (load_dictionary(spark, args.index_dir)
+             if os.path.isdir(dictionary_path(args.index_dir)) else None)
+        rows = search_wildcard(index, None, stats, args.query, k=args.k,
+                               mode=args.mode, exclude=args.exclude,
+                               tombstones=tomb, dictionary=d,
+                               boosts=boosts, after=after).collect()
+        print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]}
+                          for r in rows]))
+        return
     if args.fuzzy:
         # expand against the compacted term dictionary when the store
         # has one (plans/dictionary.py); else fall back to the index
@@ -74,11 +97,13 @@ def cmd_query(args) -> None:
              if os.path.isdir(dictionary_path(args.index_dir)) else None)
         rows = search_fuzzy(index, None, stats, args.query, k=args.k,
                             mode=args.mode, exclude=args.exclude,
-                            tombstones=tomb, dictionary=d).collect()
+                            tombstones=tomb, dictionary=d,
+                            boosts=boosts, after=after).collect()
     else:
         rows = search(index, None, stats, args.query, k=args.k,
                       mode=args.mode, exclude=args.exclude,
-                      tombstones=tomb).collect()
+                      tombstones=tomb, boosts=boosts,
+                      after=after).collect()
     print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]))
 
 
@@ -287,7 +312,15 @@ def main(argv=None) -> None:
     q.add_argument("--exclude", default=None,
                    help="boolean NOT: drop docs containing any of these terms")
     q.add_argument("--fuzzy", action="store_true",
-                   help="edit-distance-1 dictionary expansion")
+                   help="edit-distance-1 dictionary expansion (glob "
+                        "tokens */? route to the wildcard path "
+                        "automatically)")
+    q.add_argument("--boosts", default=None,
+                   help="parquet of (doc_id, boost) function-scoring "
+                        "multipliers")
+    q.add_argument("--after", default=None,
+                   help="deep-pagination cursor 'score,doc_id' (the "
+                        "previous page's last row)")
     q.set_defaults(fn=cmd_query)
 
     up = sub.add_parser("upsert", help="Iceberg-style MERGE: replace "
