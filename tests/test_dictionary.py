@@ -124,3 +124,21 @@ def test_search_fuzzy_with_dictionary_rank_identity(spark, store, built):
                          shard_size=SHARD).collect()
         assert [(r["doc_id"], r["score"]) for r in a] == \
                [(r["doc_id"], r["score"]) for r in b], (q, mode)
+
+
+def test_wildcard_expand_prunes_dictionary_scan(spark, store, built):
+    """A non-leading wildcard pushes its literal prefix as StartsWith
+    into the dictionary parquet scan (row-group pruning against the
+    term-sorted artifact); results match the index fallback."""
+    from index_spark.operators.query import wildcard_expand
+
+    _, index, _ = built
+    d = load_dictionary(spark, store)
+    for pats in (["im*"], ["re?urn"], ["s*", "zz*"]):
+        a = wildcard_expand(None, pats, dictionary=d)
+        b = wildcard_expand(index, pats)
+        assert a == b
+    plan = (d.filter(F.col("term").startswith("im")
+                     & F.col("term").like("im%"))
+            .select("term")._jdf.queryExecution().executedPlan().toString())
+    assert "StartsWith" in plan and "PushedFilters" in plan
