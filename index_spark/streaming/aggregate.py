@@ -102,3 +102,53 @@ def sessionize_stream(events: DataFrame, gap_s: int = SESSION_GAP_S,
         "_ts_epoch", F.col(ts_col).cast("timestamp").cast("double"))
     return prepared.groupBy("user_id").applyInPandasWithState(
         fn, out_type, state_type, "update", GroupStateTimeout.NoTimeout)
+
+
+def dedup_stream(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 n_groups: int = 256) -> DataFrame:
+    """Streaming exact dedup (applyInPandasWithState): keep-first by
+    content sha256 ACROSS micro-batches — the stateful form of the
+    curation tier's duplicate gate. Emits one row per NOVEL document,
+    (doc_id, content_sha); a doc whose hash was seen in any earlier
+    batch (or earlier in its own batch, lower doc_id first) emits
+    nothing — downstream stages semi-join the emitted ids to keep.
+
+    State is keyed by a hash-prefix group (``pmod(xxhash64(sha),
+    n_groups)``), so seen-hash sets spread uniformly over ``n_groups``
+    state partitions — state per group ~ distinct-docs/n_groups, and
+    ``n_groups`` is the scale-out knob (10^4+ on a big cluster). Each
+    group's state is the sorted array of its seen hashes; membership
+    per batch is one vectorized ``np.isin``. Exact by construction —
+    the bounded-memory variant (per-group Bloom filter, false-positive
+    drops) rides the same contract; at 10^12 docs you shard groups
+    until the array fits, or accept the Bloom tier.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_type = "doc_id long, content_sha string"
+    state_type = "seen array<string>"
+
+    def fn(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        (seen,) = state.get if state.exists else ([],)
+        seen_arr = np.asarray(seen, dtype=object)
+        batch = pd.concat(list(pdfs)).sort_values("doc_id")
+        # keep-first within the batch (lowest doc_id per sha)...
+        batch = batch.drop_duplicates("content_sha", keep="first")
+        # ...then against every earlier batch's state
+        novel = batch[~batch["content_sha"].isin(seen_arr)]
+        if len(novel):
+            state.update((sorted(set(seen) | set(novel["content_sha"])),))
+        yield novel[["doc_id", "content_sha"]]
+
+    prepared = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+         .alias("content_sha"),
+        F.pmod(F.xxhash64(F.sha2(F.coalesce(F.col(text_col), F.lit("")),
+                                 256)), F.lit(n_groups)).alias("_g"))
+    return prepared.groupBy("_g").applyInPandasWithState(
+        fn, out_type, state_type, "update", GroupStateTimeout.NoTimeout)

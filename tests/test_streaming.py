@@ -173,3 +173,39 @@ def test_ingest_positions_single_exchange_and_phrase(spark, tiny_corpus,
     b = [(r["doc_id"], r["n_matches"]) for r in
          phrase_search(bidx, None, phrase, stem=False).collect()]
     assert a == b and len(a) > 0
+
+
+def test_dedup_stream_keep_first_across_batches(spark, tmp_path):
+    """Stateful streaming exact-dedup: novel docs emit once; dups (in
+    the same batch or ANY earlier batch) never emit. Files arrive in
+    doc_id order, so keep-first-by-arrival == batch min-doc_id."""
+    import time as _time
+
+    from index_spark.streaming.aggregate import dedup_stream
+
+    texts = ["alpha beta", "gamma delta", "alpha beta", "epsilon",
+             "gamma delta", "alpha beta", "zeta eta", "epsilon"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "dedup_stream")
+    docs.where("doc_id < 4").coalesce(1).write.parquet(src)
+    _time.sleep(1.2)
+    docs.where("doc_id >= 4").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (dedup_stream(stream, n_groups=4).writeStream.format("memory")
+         .queryName("dedup").outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    try:
+        got = {(r["doc_id"], r["content_sha"]) for r in
+               spark.sql("SELECT * FROM dedup").collect()}
+        exp = {(r["doc_id"], r["content_sha"]) for r in spark.sql(
+            """SELECT min(doc_id) AS doc_id, content_sha FROM (
+                 SELECT doc_id, sha2(text, 256) AS content_sha FROM {d})
+               GROUP BY content_sha""", d=docs).collect()}
+        assert got == exp
+        assert {d for d, _ in got} == {0, 1, 3, 6}
+    finally:
+        q.stop()
