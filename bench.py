@@ -382,7 +382,20 @@ def main() -> None:
                                          id_col="doc_id").count()
         timings["minhash_dedup_20k"] = round(time.time() - t0, 3)
         timings["minhash_dedup_20k_pairs"] = n_pairs
-        slice50.unpersist()
+        # duplicated-span coverage (word 16-grams) on a 10k slice — the
+        # gram-keyed shuffle is the interesting cost (these docs are
+        # ~1,900 tokens, so 10k docs ~ 19M gram occurrences)
+        from index_spark.operators.contamination import duplicated_spans
+
+        slice10 = big.limit(10_000).repartition(int(cpus)).persist()
+        slice10.count()
+        t0 = time.time()
+        spans = duplicated_spans(slice10, n=16, min_count=2,
+                                 text_col="content", id_col="doc_id")
+        n_dup_docs = spans.filter("dup_tokens > 0").count()
+        timings["dup_spans_10k"] = round(time.time() - t0, 3)
+        timings["dup_spans_10k_docs"] = n_dup_docs
+        slice10.unpersist()
         t0 = time.time()
         (big.groupBy(F.sha2("content", 256).alias("h"))
             .agg(F.count("*").alias("n"), F.min("doc_id").alias("keep"))
@@ -442,6 +455,7 @@ def main() -> None:
                                    "phrase_query_200k", "zone_query_200k",
                                    "minhash_dedup_20k",
                                    "minhash_dedup_20k_pairs",
+                                   "dup_spans_10k", "dup_spans_10k_docs",
                                    "exact_dedup_200k",
                                    "concurrent_qps_8", "concurrent_qps_32",
                                    "concurrent_qps_scaling_8_to_32",
