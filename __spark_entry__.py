@@ -2155,6 +2155,175 @@ SELECT doc_id,
 FROM aug"""
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-3 surfaces: chunking, deterministic sampling, hybrid RRF,
+# field collapsing, significant terms, regex term queries
+# ---------------------------------------------------------------------------
+
+# chunk_documents(chunk_size=32, overlap=8) -> step 24
+_ORACLE_CHUNKS_DUCK = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
+      FROM t WHERE len(toks) > 0)
+SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+       CAST(len(toks[start + 1 : start + 32]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
+FROM s WHERE start = 0 OR start + 8 < len(toks)"""
+
+# sample_stratified + assign_splits: md5-threshold policy sampling. The
+# thresholds are 8-hex-digit strings (equal-length lowercase hex compares
+# identically as strings and integers) computed by the SAME helper the
+# engine uses.
+_SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_SAMPLE_DEFAULT = 0.15
+
+
+def _sample_duck_sql() -> str:
+    from index_spark.operators.sample import rate_threshold
+
+    arms = " ".join(
+        f"WHEN '{s}' THEN '{rate_threshold(r)}'"
+        for s, r in sorted(_SAMPLE_RATES.items()))
+    t1, t2 = rate_threshold(0.8), rate_threshold(0.9)
+    return f"""
+SELECT doc_id, source,
+  CASE WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 8) < '{t1}' THEN 'train'
+       WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 8) < '{t2}' THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+WHERE substr(md5(doc_id::VARCHAR || ':sample'), 1, 8) <
+      CASE source {arms} ELSE '{rate_threshold(_SAMPLE_DEFAULT)}' END"""
+
+
+# hybrid RRF: BM25 full ranking (x) cosine-vs-vec0 full ranking, both
+# ranked on 4-dp-rounded scores (id-ascending tiebreak), fused with c=60
+_ORACLE_HYBRID_TOPK = """
+, lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(score, 4) DESC, doc_id ASC) AS rank
+  FROM scores)
+, qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+, sem AS (
+  SELECT e.vec_id AS doc_id,
+         row_number() OVER (ORDER BY
+           round(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], qv.q::DOUBLE[]), p -> p[1] * p[2]))
+                 / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+                    * sqrt(list_sum(list_transform(qv.q::DOUBLE[], x -> x * x)))), 4) DESC,
+           e.vec_id ASC) AS rank
+  FROM embeddings e CROSS JOIN qv)
+, fused AS (SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM sem)
+SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf
+FROM fused GROUP BY doc_id
+ORDER BY rrf DESC, doc_id ASC LIMIT 10"""
+
+# field collapsing: best doc per source group (score desc, doc_id asc
+# within group), top-10 groups
+_ORACLE_COLLAPSE_TOPK = """
+, keyed AS (
+  SELECT s.doc_id, s.score, d.source AS group_key
+  FROM scores s JOIN documents d ON s.doc_id = d.doc_id)
+, best AS (
+  SELECT group_key, doc_id, score,
+         row_number() OVER (PARTITION BY group_key
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM keyed)
+SELECT group_key, doc_id, round(score, 4) AS score
+FROM best WHERE rn = 1
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10"""
+
+# significant terms: JLH over foreground lang='de' vs the corpus
+_ORACLE_SIGTERMS = """
+, fg AS (SELECT DISTINCT doc_id FROM documents WHERE lang = 'de')
+, nfg AS (SELECT CAST(count(*) AS DOUBLE) AS n_fg FROM fg)
+, fgd AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS fg_df
+  FROM tf JOIN fg USING (doc_id)
+  GROUP BY term HAVING count(*) >= 2)
+SELECT fgd.term, fgd.fg_df, dft.df,
+       round(((fgd.fg_df / nfg.n_fg) - (dft.df / CAST(stats.n AS DOUBLE)))
+             * ((fgd.fg_df / nfg.n_fg) / (dft.df / CAST(stats.n AS DOUBLE))),
+             6) AS jlh
+FROM fgd JOIN dft ON fgd.term = dft.term CROSS JOIN nfg CROSS JOIN stats
+ORDER BY jlh DESC, fgd.term ASC LIMIT 20"""
+
+# regex expansion: the oracle DERIVES the term set from the same anchored
+# patterns over the corpus dictionary (UNION dedups a literal that also
+# matches a pattern)
+_REGEX_Q_CTE = """
+q(term) AS (
+  SELECT term FROM dft
+  WHERE regexp_full_match(term, 'quer(y|ies)')
+     OR regexp_full_match(term, 'dat[a-z]+')
+  UNION SELECT 'table')"""
+
+
+def _r04s3_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.chunk import chunk_documents
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return chunk_documents(docs, chunk_size=32, overlap=8)
+
+    def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.sample import (
+            assign_splits,
+            sample_stratified,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        kept = sample_stratified(docs, _SAMPLE_RATES, strata_col="source",
+                                 default_rate=_SAMPLE_DEFAULT)
+        return assign_splits(kept).select("doc_id", "source", "split")
+
+    def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.hybrid import hybrid_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = [float(x) for x in
+                emb.filter("vec_id = 0").first()["embedding"]]
+        return hybrid_search(index, None, stats, emb, "data table query",
+                             qvec, k=10, window=None, stem=False,
+                             camel=False, shard_size=256)
+
+    def collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.query import collapse_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = collapse_search(index, raw, stats, "data table query",
+                              collapse="source", k=10, stem=False,
+                              camel=False, shard_size=256)
+        return out.select("group_key", "doc_id",
+                          F.round("score", 4).alias("score"))
+
+    def sig_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.analytics import significant_terms
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        fg = raw.filter(F.col("lang") == "de").select("doc_id")
+        return significant_terms(index, fg, stats["n_docs"], top=20,
+                                 min_fg_df=2, shard_size=256)
+
+    def regex_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.query import search_regex
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        top = search_regex(index, None, stats,
+                           "quer(y|ies) dat[a-z]+ table", k=10,
+                           stem=False, camel=False, shard_size=256)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    return {"doc_chunks": doc_chunks, "stratified_sample": stratified_sample,
+            "hybrid_rrf_topk": hybrid_rrf_topk, "collapse_topk": collapse_topk,
+            "significant_terms": sig_terms, "regex_topk": regex_topk}
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -2332,6 +2501,19 @@ def _build_registry():
     add("dup_span_coverage", eng2["dup_span_coverage"], _ORACLE_DUPSPAN_DUCK)
     add("pii_scrub", eng2["pii_scrub"], _ORACLE_PII_DUCK)
 
+    eng3 = _r04s3_engine_queries()
+    add("doc_chunks", eng3["doc_chunks"], _ORACLE_CHUNKS_DUCK)
+    add("stratified_sample", eng3["stratified_sample"], _sample_duck_sql())
+    add("hybrid_rrf_topk", eng3["hybrid_rrf_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_HYBRID_TOPK, [q_cte]))
+    add("collapse_topk", eng3["collapse_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_COLLAPSE_TOPK, [q_cte]))
+    add("significant_terms", eng3["significant_terms"],
+        _docs_sql("duck", _ORACLE_SIGTERMS))
+    add("regex_topk", eng3["regex_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _BODY_BM25_TOPK,
+                  [_REGEX_Q_CTE]))
+
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry
     # entries.  Front-load (a) entries that have never had a driver-side
@@ -2367,7 +2549,11 @@ _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  "dup_span_coverage", "pii_scrub",
                                  "snapshot_topk", "boosted_topk",
                                  "synonym_topk", "page2_topk",
-                                 "wildcard_topk"})
+                                 "wildcard_topk",
+                                 # session 3
+                                 "doc_chunks", "stratified_sample",
+                                 "hybrid_rrf_topk", "collapse_topk",
+                                 "significant_terms", "regex_topk"})
 
 
 # ---------------------------------------------------------------------------

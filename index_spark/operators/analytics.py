@@ -399,3 +399,60 @@ def style_histogram(index: DataFrame, style_shift: int = 2,
     return (part.groupBy("term", "style")
             .agg(F.sum("n_occurrences").alias("n_occurrences"))
             .orderBy("term", "style"))
+
+
+def significant_terms(index: DataFrame, fg_docs: DataFrame, n_docs: int,
+                      top: int = 20, min_fg_df: int = 2,
+                      zone: str | None = None,
+                      shard_size: int | None = None) -> DataFrame:
+    """Significant-terms aggregation: terms overrepresented in a
+    FOREGROUND document set relative to the whole corpus, ranked by the
+    JLH score Elasticsearch uses for the same aggregation:
+
+        fg_pct = fg_df / n_fg          bg_pct = df / n_docs
+        jlh    = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+
+    (the absolute-lift x relative-lift product — high-frequency noise
+    is damped by the first factor, rare-term noise by ``min_fg_df``).
+
+    ``fg_docs``: a (doc_id) relation defining the foreground — a query
+    match set (:func:`matching_docs`), a metadata filter, a classifier
+    verdict. Returns (term, fg_df, df, jlh), jlh desc / term asc.
+
+    Plan: global df comes from the index's df METADATA column (map-side
+    combined sum, no blob decode). Foreground term counts decode only
+    posting rows that can contain foreground docs: with ``shard_size``
+    given (sharded index), the foreground's doc-range shard ids
+    semi-join the index scan first, so a foreground clustered in few
+    shards never decodes the rest of the corpus; the decoded (term,
+    doc_id) stream then inner-joins the foreground relation — an
+    equi-join on doc_id that AQE can broadcast when the foreground is
+    small. fg counts and the df join are both partial-agg friendly; the
+    top cut is a TakeOrderedAndProject of ``top`` rows.
+    """
+    idx = pin_zone(index, zone)
+    terms_meta = (idx.filter(F.col("term") != DOC_MARKER)
+                  .groupBy("term").agg(F.sum("df").alias("df")))
+    pool = idx
+    if shard_size is not None and "shard" in idx.columns:
+        fg_shards = fg_docs.select(
+            F.floor(F.col("doc_id") / shard_size).cast("long")
+            .alias("shard")).distinct()
+        pool = idx.join(fg_shards, "shard", "left_semi")
+    posts = postings_from_index(pool)  # pool is already zone-pinned
+    fg = fg_docs.select(F.col("doc_id").cast("long").alias("doc_id")) \
+                .distinct()
+    n_fg = fg.count()
+    if n_fg == 0:
+        raise ValueError("empty foreground")
+    fg_df = (posts.join(fg, "doc_id")
+             .groupBy("term").agg(F.count("*").alias("fg_df"))
+             .filter(F.col("fg_df") >= min_fg_df))
+    fg_pct = F.col("fg_df") / F.lit(float(n_fg))
+    bg_pct = F.col("df") / F.lit(float(n_docs))
+    return (fg_df.join(terms_meta, "term")
+            .withColumn("jlh", F.round((fg_pct - bg_pct)
+                                       * (fg_pct / bg_pct), 6))
+            .select("term", "fg_df", "df", "jlh")
+            .orderBy(F.desc("jlh"), F.asc("term"))
+            .limit(top))

@@ -2181,3 +2181,182 @@ def search_many(index: DataFrame, stats: dict, queries: dict[int, str],
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (local.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k))
+
+
+def collapse_search(index: DataFrame, docs: DataFrame, stats: dict,
+                    query: str, collapse: str = "source", k: int = 10,
+                    stem: bool = True, use_wand: bool | str = "auto",
+                    shard_size: int = 4096, camel: bool = True,
+                    zone: str | None = None, mode: str = "or",
+                    exclude: str | None = None,
+                    tombstones: DataFrame | None = None,
+                    restrict: DataFrame | None = None) -> DataFrame:
+    """Field collapsing (Elasticsearch ``collapse``): rank documents by
+    BM25, keep each collapse-group's single best-scoring document, and
+    return the top-k GROUPS as (group_key, doc_id, score).
+
+    Exact at any k: group winners are computed from per-shard COMPLETE
+    match scores, not from a global top-k cut (a group's best doc may
+    rank arbitrarily deep overall). The plan stays the one-exchange
+    query shape: each doc-range shard emits all its matches (bounded by
+    ``shard_size`` docs per task — no kernel change, just k=shard
+    capacity), the k-row-per-group reduction is a map-side-combinable
+    ``max_by`` keyed on the collapse column joined from the docs
+    dimension, and only group winners reach the final tiny top-k sort.
+    At 10^12 docs the shuffled volume is (matched docs) rows of
+    (doc_id, score) into a groupBy whose partial aggregation collapses
+    each partition to <= |groups| rows before the exchange.
+
+    Ties: within a group, higher score wins, then LOWER doc_id; across
+    groups the top-k orders by (score desc, doc_id asc).
+    """
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    if not qterms:
+        return spark.createDataFrame(
+            [], T.StructType([T.StructField("group_key", T.StringType(), True)]
+                             + list(TOPK_SCHEMA.fields)))
+    xterms = sorted(set(tokenize(exclude, stem=stem, camel=camel))
+                    ) if exclude else []
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+
+    index = pin_zone(index, zone)
+    merged_form = "shard" not in index.columns
+    if merged_form:
+        index = index.withColumn("shard", F.lit(0))
+    hits = index.filter(
+        F.col("term").isin(sorted(set(qterms) | set(xterms))))
+    dfs = hits.groupBy("term").agg(F.sum("df").alias("df_g"))
+    hits = hits.join(F.broadcast(dfs), "term").withColumn(
+        "idf",
+        F.log((F.lit(float(n_docs)) - F.col("df_g") + 0.5)
+              / (F.col("df_g") + 0.5) + 1.0))
+    # keep EVERY match per shard: a doc-range shard holds <= shard_size
+    # docs, so k=shard_size is "no cut" (merged form = one logical
+    # shard covering all docs)
+    k_inner = int(n_docs) if merged_form else int(shard_size)
+    local = _modal_local_topk(hits, qterms, xterms, mode, avgdl, k_inner,
+                              lambda pdf: _pick_scorer(pdf, use_wand),
+                              tombstones, shard_size, merged_form,
+                              restrict=restrict)
+    keyed = local.join(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col(collapse).alias("group_key")),
+        "doc_id")
+    best = keyed.groupBy("group_key").agg(
+        F.max_by(F.struct(F.col("doc_id"), F.col("score")),
+                 F.struct(F.col("score"), (-F.col("doc_id")).alias("nid"))
+                 ).alias("_b"))
+    return (best.select("group_key",
+                        F.col("_b.doc_id").alias("doc_id"),
+                        F.col("_b.score").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k))
+
+
+# regex metacharacters that end a literal prefix; a quantifier after a
+# literal char means that char itself is optional/repeated, so it drops
+# out of the prefix too
+_RE_QUANT = set("*+?{")
+
+
+def _regex_literal_prefix(pat: str) -> str:
+    m = re.match(r"[a-z0-9]*", pat)
+    prefix = m.group(0) if m else ""
+    if prefix and len(prefix) < len(pat) and pat[len(prefix)] in _RE_QUANT:
+        prefix = prefix[:-1]
+    return prefix
+
+
+def regex_expand(index: DataFrame | None, patterns: list[str],
+                 max_expansions: int = 32, zone: str | None = None,
+                 dictionary: DataFrame | None = None
+                 ) -> dict[str, list[str]]:
+    """Expand regular expressions to matching dictionary terms (Lucene
+    RegexpQuery semantics: the pattern must match the WHOLE term). Same
+    catalog contract as :func:`wildcard_expand`: the compact term
+    dictionary when given, else the df-aggregated sharded index; at
+    most ``max_expansions`` terms per pattern, highest global df first
+    (term-ascending tiebreak).
+
+    The pattern's leading literal run (before the first metacharacter,
+    quantifier-aware: the prefix of ``dat*`` is ``da``) is pushed as a
+    ``StartsWith`` against the term-sorted catalog so anchored patterns
+    row-group-prune; a pattern with no literal prefix scans the
+    catalog's term column — the documented leading-wildcard cost, paid
+    against millions of dictionary rows, never the sharded index.
+    """
+    from pyspark.sql import Window
+
+    from index_spark.operators.build import DOC_MARKER
+
+    if not patterns:
+        return {}
+    if dictionary is not None:
+        cat = pin_zone(dictionary, zone).select(
+            "term", F.col("df").alias("df_g"))
+    else:
+        cat = (pin_zone(index, zone)
+               .filter(F.col("term") != DOC_MARKER)
+               .groupBy("term").agg(F.sum("df").alias("df_g")))
+    out: dict[str, list[str]] = {}
+    for p in patterns:
+        pat = p.lower()
+        re.compile(pat)  # surface a bad pattern as the caller's error
+        cond = F.col("term").rlike(f"^(?:{pat})$")
+        prefix = _regex_literal_prefix(pat)
+        if prefix:
+            cond = F.col("term").startswith(prefix) & cond
+        w = Window.orderBy(F.desc("df_g"), F.asc("term"))
+        rows = (cat.filter(cond)
+                .withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") <= max_expansions)
+                .select("term").collect())
+        out[p] = sorted(r["term"] for r in rows)
+    return out
+
+
+def search_regex(index: DataFrame, docs: DataFrame | None, stats: dict,
+                 query: str, k: int = 10, max_expansions: int = 32,
+                 stem: bool = True, camel: bool = True,
+                 shard_size: int = 4096, zone: str | None = None,
+                 mode: str = "or", exclude: str | None = None,
+                 dictionary: DataFrame | None = None,
+                 **kw) -> DataFrame:
+    """Regex-aware top-k BM25: whitespace tokens containing a regex
+    metacharacter expand against the term catalog
+    (:func:`regex_expand`, anchored whole-term match); plain tokens
+    pass through the caller's stem/camel tokenizer. Same expansion
+    contract as :func:`search_wildcard`: own-idf per variant,
+    ``mode="and"`` is group-conjunctive over original tokens, a
+    pattern matching nothing empties an AND result.
+    """
+    spark = index.sparkSession
+    raw = [w for w in query.split() if w]
+    meta = set(".[](){}|+*?^$\\")
+    pats = sorted({w.lower() for w in raw if set(w) & meta})
+    lit_q = " ".join(w for w in raw if not set(w) & meta)
+    lits = sorted(set(tokenize(lit_q, stem=stem, camel=camel)))
+    exp: dict[str, set[str]] = {t: {t} for t in lits}
+    for p, terms in regex_expand(index, pats, max_expansions, zone,
+                                 dictionary).items():
+        exp[p] = set(terms)
+    originals = sorted(exp)
+    terms = sorted({t for v in exp.values() for t in v})
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    if exclude is not None:
+        exclude = " ".join(
+            sorted(set(tokenize(exclude, stem=stem, camel=camel)))) or None
+    groups = None
+    if mode == "and":
+        if any(not exp[t] for t in originals):
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        gids: dict[str, list[int]] = {}
+        for i, t in enumerate(originals):
+            for v in exp[t]:
+                gids.setdefault(v, []).append(i)
+        groups = {v: tuple(g) for v, g in gids.items()}
+    return search(index, docs, stats, " ".join(terms), k=k, stem=False,
+                  camel=False, shard_size=shard_size, zone=zone,
+                  mode=mode, exclude=exclude, groups=groups, **kw)
