@@ -56,7 +56,7 @@ def cmd_build(args) -> None:
 def cmd_query(args) -> None:
     from index_spark.operators.maintenance import load_tombstones
     from index_spark.operators.query import (search, search_fuzzy,
-                                             search_wildcard)
+                                             search_regex, search_wildcard)
     from index_spark.plans.checkpoint import load_index, load_stats
 
     spark = _spark(args)
@@ -86,7 +86,7 @@ def cmd_query(args) -> None:
         print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]}
                           for r in rows]))
         return
-    if args.fuzzy:
+    if args.fuzzy or args.regex:
         # expand against the compacted term dictionary when the store
         # has one (plans/dictionary.py); else fall back to the index
         from index_spark.plans.dictionary import (
@@ -95,10 +95,11 @@ def cmd_query(args) -> None:
         )
         d = (load_dictionary(spark, args.index_dir)
              if os.path.isdir(dictionary_path(args.index_dir)) else None)
-        rows = search_fuzzy(index, None, stats, args.query, k=args.k,
-                            mode=args.mode, exclude=args.exclude,
-                            tombstones=tomb, dictionary=d,
-                            boosts=boosts, after=after).collect()
+        fn = search_regex if args.regex else search_fuzzy
+        rows = fn(index, None, stats, args.query, k=args.k,
+                  mode=args.mode, exclude=args.exclude,
+                  tombstones=tomb, dictionary=d,
+                  boosts=boosts, after=after).collect()
     else:
         rows = search(index, None, stats, args.query, k=args.k,
                       mode=args.mode, exclude=args.exclude,
@@ -264,6 +265,89 @@ def cmd_phrase(args) -> None:
                       for r in rows]))
 
 
+def cmd_collapse(args) -> None:
+    """Field collapsing: one best doc per group, top-k groups."""
+    from index_spark.operators.maintenance import load_tombstones
+    from index_spark.operators.query import collapse_search
+    from index_spark.plans.checkpoint import load_docs, load_index, load_stats
+
+    spark = _spark(args)
+    index = load_index(spark, args.index_dir)
+    stats = load_stats(args.index_dir)
+    docs = load_docs(spark, args.index_dir)
+    tomb = load_tombstones(spark, args.index_dir)
+    rows = collapse_search(index, docs, stats, args.query, collapse=args.by,
+                           k=args.k, mode=args.mode,
+                           tombstones=tomb).collect()
+    print(json.dumps([{args.by: r["group_key"], "doc_id": r["doc_id"],
+                       "score": r["score"]} for r in rows]))
+
+
+def cmd_sigterms(args) -> None:
+    """Significant terms (JLH) of a query's match set vs the corpus."""
+    from index_spark.operators.analytics import matching_docs, significant_terms
+    from index_spark.plans.checkpoint import load_index, load_stats
+
+    spark = _spark(args)
+    index = load_index(spark, args.index_dir)
+    stats = load_stats(args.index_dir)
+    fg = matching_docs(index, args.query, mode=args.mode)
+    rows = significant_terms(index, fg, stats["n_docs"], top=args.top,
+                             min_fg_df=args.min_fg_df).collect()
+    print(json.dumps([{"term": r["term"], "fg_df": r["fg_df"],
+                       "df": r["df"], "jlh": r["jlh"]} for r in rows]))
+
+
+def cmd_hybrid(args) -> None:
+    """Hybrid RRF: BM25 over the store (x) cosine over an embedding
+    parquet keyed by vec_id == doc_id; query vector = the --qvec-id row."""
+    from index_spark.operators.hybrid import hybrid_search
+    from index_spark.plans.checkpoint import load_index, load_stats
+
+    spark = _spark(args)
+    index = load_index(spark, args.index_dir)
+    stats = load_stats(args.index_dir)
+    emb = spark.read.parquet(args.emb)
+    qvec = [float(x) for x in emb.filter(f"vec_id = {int(args.qvec_id)}")
+            .first()["embedding"]]
+    rows = hybrid_search(index, None, stats, emb, args.query, qvec,
+                         k=args.k, window=args.window).collect()
+    print(json.dumps([{"doc_id": r["doc_id"], "rrf": r["rrf"]}
+                      for r in rows]))
+
+
+def cmd_chunk(args) -> None:
+    """Chunk a documents parquet into overlapping token windows."""
+    from index_spark.operators.chunk import chunk_documents
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    out = chunk_documents(docs, chunk_size=args.size, overlap=args.overlap,
+                          text_col=args.text_col, id_col=args.id_col)
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"chunks": spark.read.parquet(args.out).count()}))
+
+
+def cmd_sample(args) -> None:
+    """Deterministic stratified sampling + split assignment."""
+    from index_spark.operators.sample import assign_splits, sample_stratified
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    rates = json.loads(args.rates) if args.rates else {}
+    kept = sample_stratified(docs, rates, strata_col=args.strata_col,
+                             key_col=args.id_col,
+                             default_rate=args.default_rate)
+    kept = assign_splits(kept, key_col=args.id_col)
+    kept.write.mode("overwrite").parquet(args.out)
+    from pyspark.sql import functions as F
+
+    out = spark.read.parquet(args.out)
+    per = {r["split"]: r["n"] for r in
+           out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    print(json.dumps({"kept": out.count(), "by_split": per}))
+
+
 def cmd_bench(args) -> None:
     import bench
 
@@ -315,6 +399,9 @@ def main(argv=None) -> None:
                    help="edit-distance-1 dictionary expansion (glob "
                         "tokens */? route to the wildcard path "
                         "automatically)")
+    q.add_argument("--regex", action="store_true",
+                   help="tokens with regex metacharacters expand as "
+                        "anchored whole-term regexes over the dictionary")
     q.add_argument("--boosts", default=None,
                    help="parquet of (doc_id, boost) function-scoring "
                         "multipliers")
@@ -413,6 +500,58 @@ def main(argv=None) -> None:
     hy.add_argument("--span-n", type=int, default=16)
     hy.add_argument("--decontam-n", type=int, default=8)
     hy.set_defaults(fn=cmd_hygiene)
+
+    cl = sub.add_parser("collapse", help="field collapsing: best doc per "
+                                         "group, top-k groups")
+    cl.add_argument("--index-dir", required=True)
+    cl.add_argument("--query", required=True)
+    cl.add_argument("--by", default="repo")
+    cl.add_argument("-k", type=int, default=10)
+    cl.add_argument("--mode", default="or", choices=["or", "and"])
+    cl.set_defaults(fn=cmd_collapse)
+
+    st = sub.add_parser("sigterms", help="significant terms (JLH) of a "
+                                         "query's match set vs the corpus")
+    st.add_argument("--index-dir", required=True)
+    st.add_argument("--query", required=True)
+    st.add_argument("--mode", default="or", choices=["or", "and"])
+    st.add_argument("--top", type=int, default=20)
+    st.add_argument("--min-fg-df", type=int, default=2)
+    st.set_defaults(fn=cmd_sigterms)
+
+    hb = sub.add_parser("hybrid", help="RRF fusion of BM25 and "
+                                       "embedding-cosine rankings")
+    hb.add_argument("--index-dir", required=True)
+    hb.add_argument("--query", required=True)
+    hb.add_argument("--emb", required=True,
+                    help="embeddings parquet (vec_id, embedding)")
+    hb.add_argument("--qvec-id", type=int, default=0,
+                    help="vec_id whose embedding is the query vector")
+    hb.add_argument("-k", type=int, default=10)
+    hb.add_argument("--window", type=int, default=100,
+                    help="per-retriever fusion window")
+    hb.set_defaults(fn=cmd_hybrid)
+
+    ck = sub.add_parser("chunk", help="overlapping token-window chunks "
+                                      "of a documents parquet")
+    ck.add_argument("--docs", required=True)
+    ck.add_argument("--out", required=True)
+    ck.add_argument("--size", type=int, default=128)
+    ck.add_argument("--overlap", type=int, default=0)
+    ck.add_argument("--text-col", default="text")
+    ck.add_argument("--id-col", default="doc_id")
+    ck.set_defaults(fn=cmd_chunk)
+
+    sm = sub.add_parser("sample", help="deterministic stratified sampling "
+                                       "+ train/val/test splits")
+    sm.add_argument("--docs", required=True)
+    sm.add_argument("--out", required=True)
+    sm.add_argument("--rates", default=None,
+                    help='JSON {"source_value": rate, ...}')
+    sm.add_argument("--strata-col", default="source")
+    sm.add_argument("--id-col", default="doc_id")
+    sm.add_argument("--default-rate", type=float, default=1.0)
+    sm.set_defaults(fn=cmd_sample)
 
     be = sub.add_parser("bench", help="headline benchmark suite")
     be.set_defaults(fn=cmd_bench)
