@@ -142,3 +142,23 @@ def test_wildcard_expand_prunes_dictionary_scan(spark, store, built):
                      & F.col("term").like("im%"))
             .select("term")._jdf.queryExecution().executedPlan().toString())
     assert "StartsWith" in plan and "PushedFilters" in plan
+
+
+def test_regex_expand_prunes_dictionary_scan(spark, store, built):
+    """Anchored regex expansion against the catalog matches the index
+    fallback (incl. a leading-metachar pattern that cannot push a
+    prefix); the quantifier-aware literal prefix reaches PushedFilters."""
+    from index_spark.operators.query import search  # noqa: F401
+    from index_spark.operators.query import regex_expand
+
+    _, index, _ = built
+    d = load_dictionary(spark, store)
+    for pats in (["im.*"], ["re?urn"], ["import(s|ed)?", ".*s"],
+                 ["x{40}"]):
+        a = regex_expand(None, pats, dictionary=d)
+        b = regex_expand(index, pats)
+        assert a == b, pats
+    plan = (d.filter(F.col("term").startswith("im")
+                     & F.col("term").rlike("^(?:im.*)$"))
+            .select("term")._jdf.queryExecution().executedPlan().toString())
+    assert "StartsWith" in plan and "PushedFilters" in plan

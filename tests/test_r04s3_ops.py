@@ -388,3 +388,33 @@ def test_search_regex_bad_pattern_raises(spark, built):
     with pytest.raises(re.error):
         search_regex(index, docs, stats, "qu(er", k=5,
                      stem=False, camel=False, shard_size=32)
+
+
+# ------------------------------------------------------------- plan shape
+
+def test_chunk_plan_is_map_only_and_pruned(spark, tmp_path):
+    """Chunking must be a map-side explode: no exchange anywhere, and
+    the parquet scan reads ONLY (id, text) even off a wide table."""
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(0, "a b c d e f", "x", 9)],
+        "doc_id long, text string, extra string, n long"
+    ).write.parquet(p)
+    out = chunk_documents(spark.read.parquet(p), chunk_size=4, overlap=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "extra" not in plan.split("ReadSchema")[-1]
+    assert out.count() == 2
+
+
+def test_sample_plan_is_map_only(spark, tmp_path):
+    p = str(tmp_path / "docs2.parquet")
+    spark.createDataFrame([(i, f"s{i % 3}") for i in range(100)],
+                          "doc_id long, source string").write.parquet(p)
+    df = spark.read.parquet(p)
+    kept = sample_stratified(df, {"s0": 0.5}, "source", default_rate=0.1)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    out = assign_splits(kept)
+    plan2 = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan2
