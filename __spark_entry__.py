@@ -2250,6 +2250,32 @@ SELECT fgd.term, fgd.fg_df, dft.df,
 FROM fgd JOIN dft ON fgd.term = dft.term CROSS JOIN nfg CROSS JOIN stats
 ORDER BY jlh DESC, fgd.term ASC LIMIT 20"""
 
+# sequence packing (concat-and-split at seq_len=256): the oracle restates
+# the global exclusive prefix sum as one ordered window (small SF), the
+# engine computes it via the two-level group decomposition
+_ORACLE_PACK_DUCK = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS BIGINT) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, n,
+         CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start
+  FROM t),
+d AS (SELECT * FROM c WHERE n > 0),
+x AS (SELECT doc_id, n, start,
+             unnest(range(start // 256, (start + n - 1) // 256 + 1)) AS seq_id
+      FROM d)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(greatest(start, seq_id * 256) - start AS BIGINT) AS doc_off,
+       CAST(greatest(start, seq_id * 256) - seq_id * 256 AS BIGINT) AS seq_off,
+       CAST(least(start + n, (seq_id + 1) * 256)
+            - greatest(start, seq_id * 256) AS BIGINT) AS n_tokens
+FROM x"""
+
 # regex expansion: the oracle DERIVES the term set from the same anchored
 # patterns over the corpus dictionary (UNION dedups a literal that also
 # matches a pattern)
@@ -2319,9 +2345,18 @@ def _r04s3_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
                            stem=False, camel=False, shard_size=256)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.pack import pack_sequences
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # small group_size so the driver-run SF actually exercises the
+        # two-level prefix decomposition (not one degenerate group)
+        return pack_sequences(docs, seq_len=256, group_size=64)
+
     return {"doc_chunks": doc_chunks, "stratified_sample": stratified_sample,
             "hybrid_rrf_topk": hybrid_rrf_topk, "collapse_topk": collapse_topk,
-            "significant_terms": sig_terms, "regex_topk": regex_topk}
+            "significant_terms": sig_terms, "regex_topk": regex_topk,
+            "packed_sequences": packed_sequences}
 
 
 def _build_registry():
@@ -2513,6 +2548,7 @@ def _build_registry():
     add("regex_topk", eng3["regex_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _BODY_BM25_TOPK,
                   [_REGEX_Q_CTE]))
+    add("packed_sequences", eng3["packed_sequences"], _ORACLE_PACK_DUCK)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry
@@ -2553,7 +2589,8 @@ _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  # session 3
                                  "doc_chunks", "stratified_sample",
                                  "hybrid_rrf_topk", "collapse_topk",
-                                 "significant_terms", "regex_topk"})
+                                 "significant_terms", "regex_topk",
+                                 "packed_sequences"})
 
 
 # ---------------------------------------------------------------------------
