@@ -2250,6 +2250,49 @@ SELECT fgd.term, fgd.fg_df, dft.df,
 FROM fgd JOIN dft ON fgd.term = dft.term CROSS JOIN nfg CROSS JOIN stats
 ORDER BY jlh DESC, fgd.term ASC LIMIT 20"""
 
+# dis-max over zones (tie=0.3): per term the best zone's contribution +
+# tie x the rest; same two-zone construction as zone_topk
+_ORACLE_DISMAX_TOPK_DUCK = """
+WITH body_tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+), src_tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(source), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+), ztok AS (
+  SELECT 'body' AS zone, doc_id, term FROM body_tok
+  UNION ALL SELECT 'src', doc_id, term FROM src_tok
+), ztf AS (
+  SELECT zone, doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM ztok GROUP BY zone, doc_id, term
+), zdl AS (
+  SELECT zone, doc_id, CAST(count(*) AS BIGINT) AS dlen
+  FROM ztok GROUP BY zone, doc_id
+), zstats AS (
+  SELECT zone, CAST(count(*) AS BIGINT) AS n, avg(dlen) AS avgdl
+  FROM zdl GROUP BY zone
+), zdft AS (
+  SELECT zone, term, CAST(count(*) AS BIGINT) AS df
+  FROM ztf GROUP BY zone, term
+), q(term) AS (SELECT * FROM (VALUES ('data'), ('table'), ('src3')) AS v(term)),
+zw(zone, wt) AS (SELECT * FROM (VALUES ('body', CAST(1.0 AS DOUBLE)), ('src', CAST(2.0 AS DOUBLE))) AS v(zone, wt)),
+contrib AS (
+  SELECT ztf.doc_id, ztf.term,
+         zw.wt * ln((zstats.n - zdft.df + 0.5) / (zdft.df + 0.5) + 1.0)
+         * ztf.tf / (ztf.tf + 1.2 * (1.0 - 0.75 + 0.75 * zdl.dlen / zstats.avgdl)) AS c
+  FROM ztf
+  JOIN q ON ztf.term = q.term
+  JOIN zdft ON ztf.zone = zdft.zone AND ztf.term = zdft.term
+  JOIN zdl ON ztf.zone = zdl.zone AND ztf.doc_id = zdl.doc_id
+  JOIN zstats ON ztf.zone = zstats.zone
+  JOIN zw ON ztf.zone = zw.zone
+), per_term AS (
+  SELECT doc_id, term, max(c) + 0.3 * (sum(c) - max(c)) AS tc
+  FROM contrib GROUP BY doc_id, term
+), scores AS (SELECT doc_id, sum(tc) AS score FROM per_term GROUP BY doc_id),
+top AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
+
 # sequence packing (concat-and-split at seq_len=256): the oracle restates
 # the global exclusive prefix sum as one ordered window (small SF), the
 # engine computes it via the two-level group decomposition
@@ -2345,6 +2388,28 @@ def _r04s3_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
                            stem=False, camel=False, shard_size=256)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # dis_max over zones: best field wins, others at tie=0.3 — same
+        # two-zone construction as zone_topk/bm25f_topk
+        from index_spark.operators.build import build_zoned_index
+        from index_spark.operators.query import dismax_search
+
+        corpus = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.lit("corpus").alias("repo"),
+                    F.format_string("doc%08d", F.col("doc_id")).alias("path"),
+                    F.col("text").alias("content"),
+                    F.col("source").alias("src"))
+        )
+        _, index, stats = build_zoned_index(
+            corpus, [("body", "content"), ("src", "src")],
+            stem=False, camel=False, shard_size=256)
+        index = index.persist()
+        top = dismax_search(index, stats, "data table src3",
+                            {"body": 1.0, "src": 2.0}, k=10, tie=0.3,
+                            stem=False, camel=False)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.pack import pack_sequences
 
@@ -2356,7 +2421,8 @@ def _r04s3_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
     return {"doc_chunks": doc_chunks, "stratified_sample": stratified_sample,
             "hybrid_rrf_topk": hybrid_rrf_topk, "collapse_topk": collapse_topk,
             "significant_terms": sig_terms, "regex_topk": regex_topk,
-            "packed_sequences": packed_sequences}
+            "packed_sequences": packed_sequences,
+            "dismax_topk": dismax_topk}
 
 
 def _build_registry():
@@ -2549,6 +2615,7 @@ def _build_registry():
         _docs_sql("duck", _BM25_SCORE_SQL + _BODY_BM25_TOPK,
                   [_REGEX_Q_CTE]))
     add("packed_sequences", eng3["packed_sequences"], _ORACLE_PACK_DUCK)
+    add("dismax_topk", eng3["dismax_topk"], _ORACLE_DISMAX_TOPK_DUCK)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry
@@ -2590,7 +2657,7 @@ _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  "doc_chunks", "stratified_sample",
                                  "hybrid_rrf_topk", "collapse_topk",
                                  "significant_terms", "regex_topk",
-                                 "packed_sequences"})
+                                 "packed_sequences", "dismax_topk"})
 
 
 # ---------------------------------------------------------------------------

@@ -1205,6 +1205,86 @@ def zone_search(index: DataFrame, zone_stats: dict, query: str,
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def dismax_search(index: DataFrame, zone_stats: dict, query: str,
+                  zone_weights: dict[str, float], k: int = 10,
+                  tie: float = 0.0, stem: bool = True,
+                  camel: bool = True) -> DataFrame:
+    """Top-k disjunction-max over zones (Lucene DisjunctionMaxQuery /
+    dis_max): per term the BEST zone's BM25 contribution wins, other
+    zones add only ``tie`` times theirs —
+
+        score(d) = sum_t [ max_z c_z(t,d) + tie * (sum_z c_z - max_z c_z) ]
+        c_z(t,d) = w_z * idf_z(t) * tf saturation with zone z's dl/avgdl
+
+    — the "best matching field" semantics between :func:`zone_search`
+    (weighted SUM of per-zone BM25s; this scorer reduces to it at
+    tie=1.0, rank- and score-equal, pinned by test) and
+    :func:`bm25f_search` (tf-level combination). Use it when zones
+    duplicate content (title repeated in body) and summing would
+    double-count. Per-term zone accumulation runs in pinned ascending
+    (term, zone) order, so scores are reproducible across reruns.
+
+    Plan shape is ``search``'s: term+zone-pruned scan -> ONE shard
+    exchange (all zones of a doc range share a shard) -> per-shard
+    kernel combining zone rows per (term, doc) -> tiny top-k merge.
+    """
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    zones = sorted(z for z in zone_weights if z in zone_stats)
+    if not qterms or not zones:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+
+    hits = index.filter(F.col("term").isin(qterms)
+                        & F.col("zone").isin(zones))
+    dfs = hits.groupBy("zone", "term").agg(F.sum("df").alias("df_g"))
+    hits = hits.join(F.broadcast(dfs), ["zone", "term"])
+    n_map = F.create_map(*[F.lit(x) for z in zones
+                           for x in (z, float(zone_stats[z]["n_docs"]))])
+    w_map = F.create_map(*[F.lit(x) for z in zones
+                           for x in (z, float(zone_weights[z]))])
+    a_map = F.create_map(*[F.lit(x) for z in zones
+                           for x in (z, float(zone_stats[z]["avgdl"]))])
+    hits = (hits
+            .withColumn("idf", w_map[F.col("zone")] * F.log(
+                (n_map[F.col("zone")] - F.col("df_g") + 0.5)
+                / (F.col("df_g") + 0.5) + 1.0))
+            .withColumn("avgdl", a_map[F.col("zone")]))
+    tie_f = float(tie)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows_by_term: dict[str, list] = {}
+        lo, hi = None, None
+        for row in pdf.itertuples(index=False):
+            docs = np.cumsum(vb.decode(row.doc_blob).astype(np.int64))
+            tfs = vb.decode(row.tf_blob).astype(np.float64)
+            dls = vb.decode(row.dl_blob).astype(np.float64)
+            c = row.idf * tfs / (tfs + K1 * (1.0 - B + B * dls / row.avgdl))
+            rows_by_term.setdefault(row.term, []).append((row.zone, docs, c))
+            lo = int(docs[0]) if lo is None else min(lo, int(docs[0]))
+            hi = int(docs[-1]) if hi is None else max(hi, int(docs[-1]))
+        if lo is None:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        size = hi - lo + 1
+        acc = np.zeros(size, dtype=np.float64)
+        for term in sorted(rows_by_term):  # pinned (term, zone) order
+            mx = np.zeros(size, dtype=np.float64)
+            sm = np.zeros(size, dtype=np.float64)
+            for _, docs, c in sorted(rows_by_term[term],
+                                     key=lambda r: r[0]):
+                tmp = np.zeros(size, dtype=np.float64)
+                tmp[docs - lo] = c
+                sm += tmp
+                np.maximum(mx, tmp, out=mx)
+            acc += mx + tie_f * (sm - mx)
+        nzi = np.flatnonzero(acc)
+        if nzi.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        return _topk_frame(nzi + lo, acc[nzi], k)
+
+    local = hits.groupBy("shard").applyInPandas(fn, schema=TOPK_SCHEMA)
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 _UNION_DF_SCHEMA = T.StructType([
     T.StructField("term", T.StringType(), False),
     T.StructField("dfd", T.LongType(), False),

@@ -239,3 +239,95 @@ def test_bm25f_differs_from_zone_sum(zoned):
     # but at least one doc's scores must differ between the two models
     assert 4 in f and 4 in s
     assert any(abs(f[d] - s[d]) > 1e-12 for d in f if d in s)
+
+
+# ----------------------------------------------------------------- dis-max
+
+def _naive_dismax(query, weights, tie):
+    zones = {"body": [tokenize(b, stem=False) for _, b in CORPUS],
+             "zpath": [tokenize(z, stem=False) for z, _ in CORPUS]}
+    qterms = sorted(set(tokenize(query, stem=False)))
+    per = {}  # (doc, term) -> [contrib per zone]
+    for z, docs in zones.items():
+        n = len(docs)
+        avgdl = sum(len(d) for d in docs) / n
+        for t in qterms:
+            df_t = sum(1 for d in docs if t in d)
+            if df_t == 0:
+                continue
+            idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+            for i, d in enumerate(docs):
+                tf = d.count(t)
+                if tf:
+                    dl = len(d)
+                    c = weights[z] * idf * tf / (
+                        tf + K1 * (1 - B + B * dl / avgdl))
+                    per.setdefault((i, t), []).append(c)
+    scores = {}
+    for (i, _), cs in per.items():
+        scores[i] = scores.get(i, 0.0) + max(cs) + tie * (sum(cs) - max(cs))
+    return sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+
+
+@pytest.mark.parametrize("tie", [0.0, 0.3, 1.0])
+def test_dismax_matches_naive(zoned, tie):
+    from index_spark.operators.query import dismax_search
+
+    index, stats = zoned
+    for query, weights in [
+        ("data table", {"body": 1.0, "zpath": 3.0}),
+        ("data", {"body": 1.0, "zpath": 10.0}),
+        ("window util", {"body": 2.0, "zpath": 0.5}),
+    ]:
+        got = [(r["doc_id"], r["score"])
+               for r in dismax_search(index, stats, query, weights,
+                                      tie=tie, stem=False).collect()]
+        exp = _naive_dismax(query, weights, tie)
+        assert [g[0] for g in got] == [e[0] for e in exp], (query, got, exp)
+        for (_, gs), (_, es) in zip(got, exp):
+            assert abs(gs - es) < 1e-9, (query, tie, gs, es)
+
+
+def test_dismax_tie1_equals_zone_search(zoned):
+    """tie=1.0 degenerates to zone_search's weighted sum."""
+    from index_spark.operators.query import dismax_search, zone_search
+
+    index, stats = zoned
+    w = {"body": 1.0, "zpath": 3.0}
+    a = dismax_search(index, stats, "data table window", w, tie=1.0,
+                      stem=False).collect()
+    b = zone_search(index, stats, "data table window", w,
+                    stem=False).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    for ra, rb in zip(a, b):
+        assert abs(ra["score"] - rb["score"]) < 1e-9
+
+
+def test_dismax_prefers_best_field_over_sum(zoned):
+    """The defining behavior: with tie=0, a doc matching ONE zone
+    strongly can outrank a doc matching both zones weakly — and a doc
+    duplicated across zones earns no double-count."""
+    from index_spark.operators.query import dismax_search, zone_search
+
+    index, stats = zoned
+    w = {"body": 1.0, "zpath": 1.0}
+    dis = {r["doc_id"]: r["score"] for r in
+           dismax_search(index, stats, "table", w, tie=0.0,
+                         stem=False).collect()}
+    summed = {r["doc_id"]: r["score"] for r in
+              zone_search(index, stats, "table", w, stem=False).collect()}
+    # doc 2 says 'table' in BOTH zones ("gamma table" / "... table ...")
+    # -> dis-max strictly below the double-counting sum; doc 0 says it
+    # in the body only -> identical under both scorers
+    assert abs(dis[0] - summed[0]) < 1e-12
+    assert dis[2] < summed[2]
+
+
+def test_dismax_empty_cases(zoned):
+    from index_spark.operators.query import dismax_search
+
+    index, stats = zoned
+    assert dismax_search(index, stats, "", {"body": 1.0},
+                         stem=False).count() == 0
+    assert dismax_search(index, stats, "data", {"nozone": 1.0},
+                         stem=False).count() == 0
