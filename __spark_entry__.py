@@ -2250,6 +2250,19 @@ SELECT fgd.term, fgd.fg_df, dft.df,
 FROM fgd JOIN dft ON fgd.term = dft.term CROSS JOIN nfg CROSS JOIN stats
 ORDER BY jlh DESC, fgd.term ASC LIMIT 20"""
 
+# histogram facet: n_chars buckets (width 200) of docs matching
+# 'data table' (or-mode)
+_ORACLE_HIST_FACET = """
+, m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('data', 'table'))
+SELECT floor(d.n_chars / 200.0) * 200.0 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM m JOIN documents d USING (doc_id)
+GROUP BY bucket ORDER BY bucket"""
+
+# per-doc term vector: doc 42's (term, tf) rows
+_ORACLE_TERM_VECTOR = """
+SELECT term, tf FROM tf WHERE doc_id = 42 ORDER BY term"""
+
 # dis-max over zones (tie=0.3): per term the best zone's contribution +
 # tie x the rest; same two-zone construction as zone_topk
 _ORACLE_DISMAX_TOPK_DUCK = """
@@ -2410,6 +2423,20 @@ def _r04s3_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
                             stem=False, camel=False)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def hist_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.analytics import facet_histogram
+
+        _, index, _ = _parity_build(spark, sf_dir)
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return facet_histogram(index, raw, "data table", by="n_chars",
+                               bucket_width=200.0, stem=False, camel=False)
+
+    def doc_term_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.analytics import term_vector
+
+        _, index, _ = _parity_build(spark, sf_dir)
+        return term_vector(index, 42, shard_size=256)
+
     def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.pack import pack_sequences
 
@@ -2422,7 +2449,8 @@ def _r04s3_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
             "hybrid_rrf_topk": hybrid_rrf_topk, "collapse_topk": collapse_topk,
             "significant_terms": sig_terms, "regex_topk": regex_topk,
             "packed_sequences": packed_sequences,
-            "dismax_topk": dismax_topk}
+            "dismax_topk": dismax_topk, "hist_facet": hist_facet,
+            "doc_term_vector": doc_term_vector}
 
 
 def _build_registry():
@@ -2616,6 +2644,10 @@ def _build_registry():
                   [_REGEX_Q_CTE]))
     add("packed_sequences", eng3["packed_sequences"], _ORACLE_PACK_DUCK)
     add("dismax_topk", eng3["dismax_topk"], _ORACLE_DISMAX_TOPK_DUCK)
+    add("hist_facet", eng3["hist_facet"],
+        _docs_sql("duck", _ORACLE_HIST_FACET))
+    add("doc_term_vector", eng3["doc_term_vector"],
+        _docs_sql("duck", _ORACLE_TERM_VECTOR))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry
@@ -2657,7 +2689,8 @@ _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  "doc_chunks", "stratified_sample",
                                  "hybrid_rrf_topk", "collapse_topk",
                                  "significant_terms", "regex_topk",
-                                 "packed_sequences", "dismax_topk"})
+                                 "packed_sequences", "dismax_topk",
+                                 "hist_facet", "doc_term_vector"})
 
 
 # ---------------------------------------------------------------------------

