@@ -2453,6 +2453,89 @@ def _r04s3_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
             "doc_term_vector": doc_term_vector}
 
 
+# k-means oracle: Lloyd's iterations unrolled as chained CTEs (DuckDB has
+# no loops) — e is the (vec_id, pos, value) unnest of the embedding
+# column; each round is assignment (argmin of the positionally-joined
+# squared distance, ties to the lowest cluster) then update (elementwise
+# mean; an empty cluster keeps its previous centroid via the LEFT JOIN
+# coalesce).  Mirrors similarity.kmeans's deterministic contract exactly.
+_KMEANS_ITER_DUCK = """
+d{i} AS (SELECT e.vec_id, c.cluster, sum((e.v - c.v) * (e.v - c.v)) AS d2
+       FROM e JOIN c{p} c ON e.pos = c.pos GROUP BY e.vec_id, c.cluster),
+a{i} AS (SELECT vec_id, cluster FROM (
+         SELECT vec_id, cluster,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rn
+         FROM d{i}) WHERE rn = 1),
+m{i} AS (SELECT a.cluster, e.pos, avg(e.v) AS v
+       FROM a{i} a JOIN e ON a.vec_id = e.vec_id GROUP BY a.cluster, e.pos),
+c{i} AS (SELECT c.cluster, c.pos, coalesce(m.v, c.v) AS v
+       FROM c{p} c LEFT JOIN m{i} m ON c.cluster = m.cluster AND c.pos = m.pos),
+"""
+
+
+def _kmeans_duck_sql(k: int, iters: int) -> str:
+    body = "".join(_KMEANS_ITER_DUCK.format(i=i + 1, p=i)
+                   for i in range(iters))
+    return f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+c0 AS (SELECT s.cluster, e.pos, e.v FROM seeds s JOIN e ON s.vec_id = e.vec_id),
+{body}
+dfin AS (SELECT e.vec_id, c.cluster, sum((e.v - c.v) * (e.v - c.v)) AS d2
+         FROM e JOIN c{iters} c ON e.pos = c.pos GROUP BY e.vec_id, c.cluster)
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rn
+  FROM dfin) WHERE rn = 1"""
+
+
+# TF-IDF all-pairs cosine: restates similarity.tfidf_cosine_pairs's
+# documented vector space (sklearn smoothed idf, max_df=0.5 stop-term
+# prune, L2-normalized rows) over the shared tokenizer CTEs.
+_ORACLE_TFIDF_PAIRS_DUCK = f"""
+WITH {_DUCK_TOK_CTE.strip()},
+{_TF_CTE.strip()},
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+w AS (SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((1.0 + nd.n) / (dfs.df + 1.0)) + 1.0) AS w
+      FROM tf JOIN dfs ON tf.term = dfs.term CROSS JOIN nd
+      WHERE dfs.df <= 0.5 * nd.n),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+wn AS (SELECT w.doc_id, w.term, w.w / nrm.nrm AS wn
+       FROM w JOIN nrm ON w.doc_id = nrm.doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round(sum(a.wn * b.wn), 4) AS sim
+FROM wn a JOIN wn b ON a.term = b.term AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING round(sum(a.wn * b.wn), 4) >= 0.3"""
+
+
+def _r04s4_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.similarity import kmeans
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assigns, _ = kmeans(emb, k=4, iters=2)
+        return assigns.select("vec_id",
+                              F.col("cluster").cast("long").alias("cluster"))
+
+    def tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.similarity import tfidf_cosine_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs.createOrReplaceTempView("documents")
+        tf = spark.sql(_with(_SPARK_TOK_CTE, _TF_CTE)
+                       + "\nSELECT doc_id, term, tf FROM tf")
+        return tfidf_cosine_pairs(tf, docs.count(), threshold=0.3)
+
+    return {"kmeans_clusters": kmeans_clusters, "tfidf_pairs": tfidf_pairs}
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -2649,6 +2732,10 @@ def _build_registry():
     add("doc_term_vector", eng3["doc_term_vector"],
         _docs_sql("duck", _ORACLE_TERM_VECTOR))
 
+    eng4 = _r04s4_engine_queries()
+    add("kmeans_clusters", eng4["kmeans_clusters"], _kmeans_duck_sql(4, 2))
+    add("tfidf_pairs", eng4["tfidf_pairs"], _ORACLE_TFIDF_PAIRS_DUCK)
+
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry
     # entries.  Front-load (a) entries that have never had a driver-side
@@ -2690,7 +2777,9 @@ _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  "hybrid_rrf_topk", "collapse_topk",
                                  "significant_terms", "regex_topk",
                                  "packed_sequences", "dismax_topk",
-                                 "hist_facet", "doc_term_vector"})
+                                 "hist_facet", "doc_term_vector",
+                                 # session 4
+                                 "kmeans_clusters", "tfidf_pairs"})
 
 
 # ---------------------------------------------------------------------------

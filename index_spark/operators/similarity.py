@@ -142,6 +142,132 @@ def ivf_topk(bucketed: DataFrame, centroids: np.ndarray, qvec: list[float],
     )
 
 
+_KMEANS_PARTIAL_SCHEMA = T.StructType([
+    T.StructField("cluster", T.IntegerType(), False),
+    T.StructField("n", T.LongType(), False),
+    T.StructField("sums", T.ArrayType(T.DoubleType()), False),
+])
+
+
+def kmeans(emb: DataFrame, k: int = 8, iters: int = 3,
+           vec_col: str = "embedding",
+           id_col: str = "vec_id") -> tuple[DataFrame, np.ndarray]:
+    """Distributed Lloyd's k-means (Lloyd 1982) over an embedding column:
+    returns ((vec_id, cluster) assignments, final centroids).
+
+    Deterministic contract (SQL-restatable, pinned by the driver oracle):
+    initial centroids are the vectors of the ``k`` smallest ids;
+    assignment is argmin Euclidean distance with ties to the lowest
+    cluster id; the update is the float64 elementwise mean of assigned
+    vectors; an empty cluster keeps its previous centroid. ``iters``
+    assign/update rounds run, then the returned assignment is taken
+    against the final centroids.
+
+    Scale shape — the part that matters at 100 TB: each iteration is ONE
+    map pass (vectorized numpy assignment over Arrow batches) that emits
+    at most ``k`` partial rows per batch — (cluster, count, sum-vector),
+    the map-side-combine form — followed by a ``k*dim``-row shuffle and a
+    ``k*dim``-row collect. Nothing proportional to the corpus ever
+    reaches the driver, and the assignment output is a map-only plan
+    against closure-captured centroids (``k*dim`` floats). This is the
+    full-corpus complement to :func:`train_centroids`'s bounded-sample
+    trainer: use the sample trainer to seed IVF, this to converge
+    cluster structure over everything (semantic-dedup partitioning,
+    curriculum bucketing, IVF refinement)."""
+    first = (emb.orderBy(F.col(id_col).asc()).limit(k)
+                .select(vec_col).toPandas()[vec_col])
+    cents = np.stack(first.to_numpy()).astype(np.float64)
+    k = cents.shape[0]  # corpus smaller than k => fewer clusters
+    dim = cents.shape[1]
+
+    for _ in range(iters):
+        c = cents
+
+        def partials(batches, c=c):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d2, axis=1)  # ties -> lowest cluster
+                rows = [(int(ci), int((assign == ci).sum()),
+                         x[assign == ci].sum(axis=0).tolist())
+                        for ci in np.unique(assign)]
+                yield pd.DataFrame(rows, columns=["cluster", "n", "sums"])
+
+        agg = (emb.select(vec_col)
+               .mapInPandas(partials, schema=_KMEANS_PARTIAL_SCHEMA)
+               .select("cluster", "n",
+                       F.posexplode("sums").alias("pos", "v"))
+               .groupBy("cluster", "pos")
+               .agg(F.sum("v").alias("sv"), F.sum("n").alias("nt"))
+               .collect())  # bounded: k*dim rows
+        by: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in agg:
+            by.setdefault(r.cluster, {})[r.pos] = (r.sv, r.nt)
+        nxt = cents.copy()  # empty cluster keeps its centroid
+        for ci, m in by.items():
+            nxt[ci] = np.array([m[p][0] for p in range(dim)]) / m[0][1]
+        cents = nxt
+
+    final = cents
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        d2 = ((x[:, None, :] - final[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+
+    out = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                     _assign(F.col(vec_col)).alias("cluster"))
+    return out, cents
+
+
+def tfidf_cosine_pairs(tf_df: DataFrame, n_docs: int,
+                       threshold: float = 0.3,
+                       max_df_ratio: float = 0.5) -> DataFrame:
+    """All-pairs TF-IDF cosine similarity over sparse term vectors:
+    (doc_a, doc_b, sim) for pairs with round(sim, 4) >= threshold.
+
+    Vector space (documented, SQL-restatable): sklearn-style smoothed
+    idf ``ln((1+n)/(1+df)) + 1``; terms with ``df > max_df_ratio * n``
+    are dropped from the space (TfidfVectorizer's ``max_df`` — the
+    stop-term prune that also bounds the self-join fan-out, the same
+    role PPJoin's prefix filter plays in :mod:`dedup`); weights are
+    L2-normalized per doc, so similarity is the dot product over shared
+    terms.
+
+    Plan — zero UDFs, every stage codegen: df stats are a
+    map-combinable groupBy joined back ON TERM (never broadcast — the
+    term dimension is corpus-sized); norms are a groupBy(doc) joined
+    back; candidates come from the term self-equi-join (doc_a < doc_b)
+    whose partial products sum map-side on (doc_a, doc_b). Both the
+    stats join and the pair join shuffle on ``term``, so AQE reuses one
+    exchange. Fan-out per term is df² capped by ``max_df_ratio``; for
+    high thresholds at extreme scale, DIMSUM sampling (Zadeh &
+    Carlsson, 2013) drops in as the candidate stage without changing
+    this contract."""
+    n = float(n_docs)
+    dfs = (tf_df.groupBy("term").agg(F.count("*").alias("df"))
+           .where(F.col("df") <= max_df_ratio * n))
+    w = tf_df.join(dfs, "term").withColumn(
+        "w", F.col("tf").cast("double")
+        * (F.log(F.lit(1.0 + n) / (F.col("df") + 1.0)) + 1.0))
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    wn = (w.join(norms, "doc_id")
+          .select("term", "doc_id", (F.col("w") / F.col("nrm")).alias("wn")))
+    a = wn.select(F.col("doc_id").alias("doc_a"), "term",
+                  F.col("wn").alias("wa"))
+    b = wn.select(F.col("doc_id").alias("doc_b"), "term",
+                  F.col("wn").alias("wb"))
+    return (a.join(b, "term").where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.round(F.sum(F.col("wa") * F.col("wb")), 4).alias("sim"))
+            .where(F.col("sim") >= threshold)
+            .select("doc_a", "doc_b", "sim"))
+
+
 def embedding_near_dup_pairs(bucketed: DataFrame, threshold: float = 0.95,
                              vec_col: str = "embedding",
                              id_col: str = "vec_id") -> DataFrame:

