@@ -2473,7 +2473,9 @@ c{i} AS (SELECT c.cluster, c.pos, coalesce(m.v, c.v) AS v
 """
 
 
-def _kmeans_duck_sql(k: int, iters: int) -> str:
+def _kmeans_duck_ctes(k: int, iters: int) -> str:
+    """WITH-clause body ending in ``afin(vec_id, cluster)`` — the final
+    k-means assignment, reusable by downstream oracles (semantic dedup)."""
     body = "".join(_KMEANS_ITER_DUCK.format(i=i + 1, p=i)
                    for i in range(iters))
     return f"""
@@ -2487,11 +2489,35 @@ seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
 c0 AS (SELECT s.cluster, e.pos, e.v FROM seeds s JOIN e ON s.vec_id = e.vec_id),
 {body}
 dfin AS (SELECT e.vec_id, c.cluster, sum((e.v - c.v) * (e.v - c.v)) AS d2
-         FROM e JOIN c{iters} c ON e.pos = c.pos GROUP BY e.vec_id, c.cluster)
-SELECT vec_id, cluster FROM (
+         FROM e JOIN c{iters} c ON e.pos = c.pos GROUP BY e.vec_id, c.cluster),
+afin AS (SELECT vec_id, cluster FROM (
   SELECT vec_id, cluster,
          row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rn
-  FROM dfin) WHERE rn = 1"""
+  FROM dfin) WHERE rn = 1)"""
+
+
+def _kmeans_duck_sql(k: int, iters: int) -> str:
+    return _kmeans_duck_ctes(k, iters) + "\nSELECT vec_id, cluster FROM afin"
+
+
+# SemDeDup oracle: the k-means CTEs supply cluster assignments; a
+# within-cluster pair scan marks every vector whose cluster holds a
+# smaller-id vector within cosine >= threshold (keep-first, rounded at 4
+# like the engine).
+def _semantic_dedup_duck_sql(k: int, iters: int, threshold: float) -> str:
+    return _kmeans_duck_ctes(k, iters) + f""",
+prs AS (
+  SELECT y.vec_id AS vb
+  FROM afin x JOIN afin y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id
+  WHERE round(
+      list_sum(list_transform(list_zip(ex.embedding::DOUBLE[], ey.embedding::DOUBLE[]), p -> p[1] * p[2]))
+      / (sqrt(list_sum(list_transform(ex.embedding::DOUBLE[], v -> v * v)))
+         * sqrt(list_sum(list_transform(ey.embedding::DOUBLE[], v -> v * v)))), 4) >= {threshold}
+)
+SELECT a.vec_id, a.cluster, (d.vb IS NULL) AS keep
+FROM afin a LEFT JOIN (SELECT DISTINCT vb FROM prs) d ON a.vec_id = d.vb"""
 
 
 # TF-IDF all-pairs cosine: restates similarity.tfidf_cosine_pairs's
@@ -2515,6 +2541,33 @@ GROUP BY a.doc_id, b.doc_id
 HAVING round(sum(a.wn * b.wn), 4) >= 0.3"""
 
 
+# repetition_stats oracle: independent mechanism on purpose — the engine
+# computes the mode count with a map-only sort+fold inside Catalyst; the
+# oracle unnests n-grams and takes max(count) per doc.
+def _repetition_duck_sql(top_n: int, dup_n: int) -> str:
+    return f"""
+WITH toksrc AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         list_transform(range(1, greatest(len(toks) - {top_n - 2}, 1)), i -> array_to_string(toks[i:i+{top_n - 1}], ' ')) AS gt,
+         list_transform(range(1, greatest(len(toks) - {dup_n - 2}, 1)), i -> array_to_string(toks[i:i+{dup_n - 1}], ' ')) AS gd
+  FROM toksrc
+),
+et AS (SELECT doc_id, unnest(gt) AS gram FROM g),
+tt AS (SELECT doc_id, max(c) AS topc, sum(c) AS tot
+       FROM (SELECT doc_id, gram, count(*) AS c FROM et GROUP BY doc_id, gram)
+       GROUP BY doc_id)
+SELECT g.doc_id, CAST(g.n_tokens AS BIGINT) AS n_tokens,
+       coalesce(round(CAST(tt.topc AS DOUBLE) / tt.tot, 4), 0.0) AS top{top_n}_frac,
+       CASE WHEN len(gd) > 0
+            THEN round(CAST(len(gd) - len(list_distinct(gd)) AS DOUBLE) / len(gd), 4)
+            ELSE 0.0 END AS dup{dup_n}_frac
+FROM g LEFT JOIN tt ON g.doc_id = tt.doc_id"""
+
+
 def _r04s4_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.similarity import kmeans
@@ -2533,7 +2586,25 @@ def _r04s4_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
                        + "\nSELECT doc_id, term, tf FROM tf")
         return tfidf_cosine_pairs(tf, docs.count(), threshold=0.3)
 
-    return {"kmeans_clusters": kmeans_clusters, "tfidf_pairs": tfidf_pairs}
+    def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.similarity import semantic_dedup
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # threshold 0.4 (not the production 0.95) so the synthetic
+        # embeddings actually produce within-cluster drops to verify
+        return semantic_dedup(emb, k=4, iters=2, threshold=0.4)
+
+    def repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.analytics import repetition_stats
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # dup_n=3 (not Gopher's 5..10) because the synthetic corpus has
+        # no repeated 5-grams — a constant-zero column verifies nothing
+        return repetition_stats(docs, top_n=2, dup_n=3)
+
+    return {"kmeans_clusters": kmeans_clusters, "tfidf_pairs": tfidf_pairs,
+            "semantic_dedup": semantic_dedup_q,
+            "repetition_stats": repetition_q}
 
 
 def _build_registry():
@@ -2735,6 +2806,10 @@ def _build_registry():
     eng4 = _r04s4_engine_queries()
     add("kmeans_clusters", eng4["kmeans_clusters"], _kmeans_duck_sql(4, 2))
     add("tfidf_pairs", eng4["tfidf_pairs"], _ORACLE_TFIDF_PAIRS_DUCK)
+    add("semantic_dedup", eng4["semantic_dedup"],
+        _semantic_dedup_duck_sql(4, 2, 0.4))
+    add("repetition_stats", eng4["repetition_stats"],
+        _repetition_duck_sql(2, 3))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry
@@ -2779,7 +2854,8 @@ _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  "packed_sequences", "dismax_topk",
                                  "hist_facet", "doc_term_vector",
                                  # session 4
-                                 "kmeans_clusters", "tfidf_pairs"})
+                                 "kmeans_clusters", "tfidf_pairs",
+                                 "semantic_dedup", "repetition_stats"})
 
 
 # ---------------------------------------------------------------------------

@@ -527,3 +527,60 @@ def term_vector(index: DataFrame, doc_id: int,
     return (pool.mapInPandas(fn, schema=_TV_SCHEMA)
             .groupBy("term").agg(F.sum("tf").alias("tf"))
             .orderBy("term"))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", top_n: int = 2,
+                     dup_n: int = 5) -> DataFrame:
+    """Per-document repetition quality stats (Gopher quality filters,
+    Rae et al. 2021 arXiv:2112.11446 §A1.1): (doc_id, n_tokens,
+    top{top_n}_frac, dup{dup_n}_frac), rounded to 4 decimals.
+
+    - ``top{top_n}_frac``: occurrences of the single most frequent
+      top_n-gram over total top_n-gram occurrences (Gopher's "top
+      n-gram fraction"; Gopher gates n=2,3,4).
+    - ``dup{dup_n}_frac``: fraction of dup_n-gram occurrences beyond
+      each gram's first — ``(total - distinct) / total`` (Gopher's
+      "duplicate n-gram fraction", occurrence-weighted restatement;
+      Gopher gates n=5..10).
+    Documents shorter than n tokens score 0.0 for that stat.
+
+    Scale shape: the whole operator is MAP-ONLY — no explode, no
+    shuffle. The mode count comes from a per-row ``sort_array`` + a
+    Catalyst ``aggregate`` fold tracking (prev, run-length, best) over
+    the sorted grams; distinct counts come from ``array_distinct``.
+    Tokenization is the engine's SQL-parity spec (lower, split on
+    [^a-z0-9]+). Per-row cost is O(len log len) in the doc's own token
+    count — exactly what a 100-TB quality-gate pass should be."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda x: x != "")
+
+    def grams(n: int) -> str:
+        # explicit short-doc guard: sequence(1, 0) DESCENDS in Spark
+        return (f"IF(size(toks) < {n}, array(),"
+                f" transform(sequence(1, size(toks) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(toks, i, {n}))))")
+
+    mode_run = """
+aggregate(sort_array(gt),
+  struct(CAST('' AS STRING) AS prev, 0L AS run, 0L AS best),
+  (a, x) -> struct(x AS prev,
+                   IF(x = a.prev, a.run + 1L, 1L) AS run,
+                   greatest(a.best, IF(x = a.prev, a.run + 1L, 1L)) AS best),
+  a -> a.best)"""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .withColumn("gt", F.expr(grams(top_n)))
+        .withColumn("gd", F.expr(grams(dup_n)))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.when(F.size("gt") > 0,
+                   F.round(F.expr(mode_run).cast("double") / F.size("gt"), 4))
+             .otherwise(F.lit(0.0)).alias(f"top{top_n}_frac"),
+            F.when(F.size("gd") > 0,
+                   F.round((F.size("gd") - F.size(F.array_distinct("gd")))
+                           .cast("double") / F.size("gd"), 4))
+             .otherwise(F.lit(0.0)).alias(f"dup{dup_n}_frac"),
+        )
+    )

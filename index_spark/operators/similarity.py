@@ -268,6 +268,41 @@ def tfidf_cosine_pairs(tf_df: DataFrame, n_docs: int,
             .select("doc_a", "doc_b", "sim"))
 
 
+def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
+                   threshold: float = 0.95,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and dropping near-duplicates
+    WITHIN each cluster. Returns one row per input vector:
+    (vec_id, cluster, keep) — ``keep`` is false iff some SMALLER id in
+    the same cluster has round(cosine, 4) >= ``threshold`` (the engine's
+    keep-first convention, same as MinHash/SimHash dedup).
+
+    Composition, not new machinery: :func:`kmeans` supplies the
+    candidate buckets (clusters), :func:`embedding_near_dup_pairs`
+    supplies the within-bucket exact pair kernel. Scale shape: the
+    all-pairs cost is cluster-local — at corpus scale ``k`` grows so
+    cluster sizes stay bounded (SemDeDup's own recipe), candidate
+    generation never goes quadratic in the corpus, and the keep verdict
+    is a distinct + left-anti join on the pair relation's right side.
+    Cross-cluster near-dups at boundaries are missed by construction —
+    the documented SemDeDup trade (paper §3)."""
+    assigns, _ = kmeans(emb, k=k, iters=iters, vec_col=vec_col,
+                        id_col=id_col)
+    bucketed = (emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                           vec_col)
+                .join(assigns.withColumnRenamed("cluster", "bucket"),
+                      "vec_id"))
+    pairs = embedding_near_dup_pairs(bucketed, threshold=threshold,
+                                     vec_col=vec_col, id_col="vec_id")
+    dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct() \
+                   .withColumn("dup", F.lit(True))
+    return (bucketed.join(dropped, "vec_id", "left")
+            .select("vec_id", F.col("bucket").alias("cluster"),
+                    F.coalesce(~F.col("dup"), F.lit(True)).alias("keep")))
+
+
 def embedding_near_dup_pairs(bucketed: DataFrame, threshold: float = 0.95,
                              vec_col: str = "embedding",
                              id_col: str = "vec_id") -> DataFrame:

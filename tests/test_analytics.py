@@ -290,3 +290,52 @@ def test_term_vector_prunes_to_one_shard(spark, built):
                term_vector(index, 42, shard_size=SHARD_SIZE).collect())
     b = sorted(tuple(r) for r in term_vector(merged, 42).collect())
     assert a == b
+
+
+# --------------------------------------------------------- repetition stats
+
+def test_repetition_stats_hand_oracle(spark):
+    from index_spark.operators.analytics import repetition_stats
+
+    rows = [
+        # "a b a b a" -> 2-grams: [a b, b a, a b, b a] -> top2 = 2/4;
+        # 3-grams: [a b a, b a b, a b a] -> dup3 = (3-2)/3
+        (0, "a b a b a"),
+        # no repeats at all
+        (1, "one two three four five"),
+        # shorter than 3 tokens -> dup3 = 0.0; one 2-gram -> top2 = 1.0
+        (2, "x y"),
+        # single token -> both 0.0
+        (3, "solo"),
+        # empty -> both 0.0, n_tokens 0
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r.doc_id: (r.n_tokens, r.top2_frac, r.dup3_frac)
+           for r in repetition_stats(df, top_n=2, dup_n=3).collect()}
+    assert got[0] == (5, 0.5, round(1 / 3, 4))
+    assert got[1] == (5, 0.25, 0.0)
+    assert got[2] == (2, 1.0, 0.0)
+    assert got[3] == (1, 0.0, 0.0)
+    assert got[4] == (0, 0.0, 0.0)
+
+
+def test_repetition_stats_gopher_gate_example(spark):
+    from index_spark.operators.analytics import repetition_stats
+
+    # a spammy doc: one phrase looped -> both fractions near 1
+    spam = "buy cheap now " * 50
+    clean = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(0, spam), (1, clean)],
+                               "doc_id: long, text: string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[0].top2_frac > 0.3 and got[0].dup5_frac > 0.9
+    assert got[1].top2_frac < 0.02 and got[1].dup5_frac == 0.0
+
+
+def test_repetition_stats_map_only_plan(spark):
+    from index_spark.operators.analytics import repetition_stats
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id: long, text: string")
+    plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -230,6 +230,47 @@ def test_kmeans_k_larger_than_corpus(spark):
     assert got == {0: 0, 1: 1}
 
 
+# ---------------------------------------------------------- semantic dedup
+
+def test_semantic_dedup_matches_brute_force(emb):
+    from index_spark.operators.similarity import semantic_dedup
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    assign, _ = numpy_lloyds(x, k=3, iters=2)
+    xn = x / np.sqrt((x * x).sum(axis=1))[:, None]
+    cos = np.round(xn @ xn.T, 4)
+    want = {}
+    for i, vid in enumerate(ids):
+        same = (assign == assign[i]) & (ids < vid)
+        want[vid] = not bool((cos[i][same] >= 0.4).any())
+
+    out = semantic_dedup(emb, k=3, iters=2, threshold=0.4)
+    got = {r.vec_id: (r.cluster, r.keep) for r in out.collect()}
+    assert len(got) == len(ids)
+    for i, vid in enumerate(ids):
+        assert got[vid] == (assign[i], want[vid]), vid
+    assert not all(k for _, k in got.values())  # some drop happened
+
+
+def test_semantic_dedup_identical_vectors_keep_first(spark):
+    from index_spark.operators.similarity import semantic_dedup
+
+    # 10 & 11 identical (same cluster -> later dropped); 20 identical to
+    # nothing in ITS cluster
+    rows = [(10, [1.0, 0.0]), (11, [1.0, 0.0]), (12, [0.9, 0.1]),
+            (20, [-1.0, 0.0]), (21, [-0.9, -0.4])]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id: long, embedding: array<float>")
+    out = {r.vec_id: r.keep
+           for r in semantic_dedup(df, k=2, iters=2,
+                                   threshold=0.99).collect()}
+    assert out[10] is True and out[11] is False
+    assert out[20] is True and out[21] is True
+
+
 # ------------------------------------------------------ tfidf cosine pairs
 
 def numpy_tfidf_pairs(tf_rows, n_docs, threshold, max_df_ratio):
