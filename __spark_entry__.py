@@ -2607,6 +2607,104 @@ def _r04s4_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
             "repetition_stats": repetition_q}
 
 
+# dup_clusters oracle: pair generation restated (3-gram Jaccard >= 0.2 —
+# the same SQL the ngram_jaccard entry is checked against — UNION
+# 60-char-prefix star pairs), then transitive closure as a recursive CTE
+# (reach = all nodes reachable from each doc; cluster = min reachable id).
+# The engine side computes the same fixed point with alternating
+# large-star/small-star rounds, so transitivity itself is what the oracle
+# verifies.
+_ORACLE_DUP_CLUSTERS_DUCK = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+), pos AS (
+  SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS p
+  FROM toks WHERE len(l) >= 3
+), grams AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', l[p], l[p + 1], l[p + 2]) AS gram FROM pos
+), gcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+  GROUP BY g1.doc_id, g2.doc_id
+), jpairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN gcnt ca ON inter.doc_a = ca.doc_id
+  JOIN gcnt cb ON inter.doc_b = cb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (ca.n_grams + cb.n_grams - n_inter) >= 0.2
+), ppairs AS (
+  SELECT doc_a, doc_id AS doc_b FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(substr(text, 1, 60))) AS doc_a
+    FROM documents)
+  WHERE doc_id > doc_a
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jpairs
+  UNION SELECT doc_a, doc_b FROM ppairs
+), und AS (
+  SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+), reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN und e ON r.b = e.u
+)
+SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster FROM reach GROUP BY a"""
+
+
+# bigram-LM cross-entropy oracle (alpha = 1.0, self-trained): both count
+# tables and V restated from the shared tokenizer spec; inner joins are
+# exact here because the scored corpus IS the training corpus.
+_ORACLE_LM_XENT_DUCK = """
+WITH toksrc AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+), bg AS (
+  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+  FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM toksrc WHERE len(l) >= 2)
+), c12 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM bg GROUP BY w1),
+vv AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+       FROM (SELECT unnest(l) AS t FROM toksrc)),
+sc AS (
+  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         -avg(ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * vv.v))) AS xent
+  FROM bg
+  JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+  JOIN c1 ON bg.w1 = c1.w1
+  CROSS JOIN vv
+  GROUP BY bg.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(sc.xent, 4) AS xent
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"""
+
+
+def _r04s5_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.dedup import dup_clusters, ngram_jaccard_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        jac = (ngram_jaccard_pairs(docs, n=3, threshold=0.2,
+                                   text_col="text", id_col="doc_id")
+               .select("doc_a", "doc_b"))
+        pref = docs.select(F.md5(F.substring("text", 1, 60)).alias("p"),
+                           F.col("doc_id"))
+        groups = pref.groupBy("p").agg(F.min("doc_id").alias("doc_a"))
+        ppairs = (pref.join(groups, "p")
+                  .where(F.col("doc_id") > F.col("doc_a"))
+                  .select("doc_a", F.col("doc_id").alias("doc_b")))
+        return dup_clusters(docs, jac.unionByName(ppairs))
+
+    def lm_xent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.lm import bigram_lm_scores
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return bigram_lm_scores(docs, alpha=1.0)
+
+    return {"dup_clusters": dup_clusters_q, "lm_xent": lm_xent_q}
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -2811,6 +2909,10 @@ def _build_registry():
     add("repetition_stats", eng4["repetition_stats"],
         _repetition_duck_sql(2, 3))
 
+    eng5 = _r04s5_engine_queries()
+    add("dup_clusters", eng5["dup_clusters"], _ORACLE_DUP_CLUSTERS_DUCK)
+    add("lm_xent", eng5["lm_xent"], _ORACLE_LM_XENT_DUCK)
+
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry
     # entries.  Front-load (a) entries that have never had a driver-side
@@ -2855,7 +2957,9 @@ _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  "hist_facet", "doc_term_vector",
                                  # session 4
                                  "kmeans_clusters", "tfidf_pairs",
-                                 "semantic_dedup", "repetition_stats"})
+                                 "semantic_dedup", "repetition_stats",
+                                 # session 5
+                                 "dup_clusters", "lm_xent"})
 
 
 # ---------------------------------------------------------------------------

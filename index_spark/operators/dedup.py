@@ -624,3 +624,90 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, window: int = 4,
             yield pd.DataFrame({"doc_id": ids[d], "fp": f})
 
     return df.select(id_col, text_col).mapInPandas(fn, schema=out)
+
+
+# ------------------------------------------------------- duplicate clusters
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., SoCC 2014, Alg. 2): every
+    node connects its strictly-larger neighbors to the minimum of its
+    closed neighborhood.  Aggregate + join-back form — neighborhoods are
+    never collected, so a web-scale hub node costs one groupBy row, not
+    a giant array."""
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (und.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m")))
+    return (und.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round (ibid., Alg. 3) over edges already oriented
+    big->small: every node re-points itself and its smaller neighbors at
+    the minimum of its smaller neighborhood."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    repoint = (e.join(mins, "u")
+               .where(F.col("v") != F.col("m"))
+               .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    selfe = mins.select(F.col("u"), F.col("m").alias("v"))
+    return repoint.union(selfe).distinct()
+
+
+def connected_components(pairs: DataFrame, id_a: str = "doc_a",
+                         id_b: str = "doc_b",
+                         max_iters: int = 30) -> DataFrame:
+    """Minimum-label connected components over an undirected pair relation
+    -> (node, cluster) for every node that appears in a pair, where
+    cluster is the smallest node id in its component.
+
+    Alternating large-star / small-star (Kiveris, Lattanzi, Mirrokni,
+    Rastogi, Vassilvitskii, "Connected Components in MapReduce and
+    Beyond", SoCC 2014): O(log^2 n) rounds, each round two shuffles of
+    O(|E|) rows on near-uniform keys, no neighborhood materialization.
+    This is the transitive step the LSH/SimHash/Jaccard pair kernels
+    stop short of: A~B and B~C land in one duplicate cluster even when
+    A~C was never emitted as a candidate.
+
+    Each round ends in localCheckpoint to truncate the iterative plan
+    (on a real cluster: ``checkpoint()`` to reliable storage).
+    Convergence = fixed point of the edge set, detected by a 4-value
+    checksum aggregate (count / endpoint sums / xxhash64 sum), so the
+    driver never sees edge rows.
+    """
+    e = (pairs.select(F.col(id_a).cast("long").alias("a"),
+                      F.col(id_b).cast("long").alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+         .distinct())
+    prev_sig = None
+    for _ in range(max_iters):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        dec = "decimal(38,0)"  # full-range longs: sums must not overflow
+        sig = tuple(e.agg(F.count(F.lit(1)),
+                          F.sum(F.col("u").cast(dec)),
+                          F.sum(F.col("v").cast(dec)),
+                          F.sum(F.xxhash64("u", "v").cast(dec))).first())
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds")
+    return (e.select(F.col("u").alias("node"), F.col("v").alias("cluster"))
+            .union(e.select(F.col("v").alias("node"), F.col("v").alias("cluster")))
+            .distinct())
+
+
+def dup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                 id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:
+    """(doc_id, cluster) for EVERY document: transitive duplicate-cluster
+    assignment from a near-dup pair relation; docs in no pair are their
+    own singleton cluster.  Keep-first policy over clusters = keep rows
+    where cluster == doc_id."""
+    assign = connected_components(pairs, id_a=id_a, id_b=id_b)
+    return (df.select(F.col(id_col).cast("long").alias(id_col))
+            .join(assign.withColumnRenamed("node", id_col), id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("cluster"), F.col(id_col)).alias("cluster")))

@@ -1,0 +1,154 @@
+"""Connected-component duplicate clustering + bigram-LM quality gate."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from index_spark.operators.dedup import (connected_components, dup_clusters,
+                                         _large_star, _small_star)
+from index_spark.operators.lm import bigram_lm_scores, doc_bigrams
+
+
+# ------------------------------------------------------ connected components
+
+def _pairs_df(spark, edges):
+    return spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+
+def test_cc_path_graph_needs_multiple_rounds(spark):
+    # a 16-node path is the adversarial diameter case for min-label ops
+    out = connected_components(_pairs_df(
+        spark, [(i, i + 1) for i in range(1, 16)]))
+    rows = out.collect()
+    assert len(rows) == 16
+    assert all(r.cluster == 1 for r in rows)
+
+
+def test_cc_transitive_across_pair_families(spark):
+    # A~B and B~C but never A~C: transitivity is the operator's point
+    out = {r.node: r.cluster
+           for r in connected_components(_pairs_df(
+               spark, [(10, 20), (20, 30), (40, 50)])).collect()}
+    assert out == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
+
+
+def test_cc_self_loops_and_duplicate_edges_ignored(spark):
+    out = {r.node: r.cluster
+           for r in connected_components(_pairs_df(
+               spark, [(3, 3), (1, 2), (2, 1), (1, 2)])).collect()}
+    assert out == {1: 1, 2: 1}
+
+
+def test_cc_empty_pairs(spark):
+    assert connected_components(
+        _pairs_df(spark, []).where(F.lit(False))).count() == 0
+
+
+def test_cc_random_graph_matches_union_find(spark):
+    rng = random.Random(1234)
+    n = 80
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for x in range(n):
+        comp.setdefault(find(x), []).append(x)
+    in_pair = {x for a, b in edges if a != b for x in (a, b)}
+    oracle = {x: min(comp[find(x)]) for x in in_pair}
+
+    got = {r.node: r.cluster
+           for r in connected_components(_pairs_df(spark, edges)).collect()}
+    assert got == oracle
+
+
+def test_cc_star_round_is_aggregate_join_plan(spark):
+    # neighborhoods must never materialize as arrays: one star round is
+    # aggregate + join-back, so the plan has no collect_list/collect_set
+    e = _pairs_df(spark, [(2, 1), (3, 1)]).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    for step in (_large_star, _small_star):
+        plan = step(e)._jdf.queryExecution().optimizedPlan().toString()
+        assert "collect_list" not in plan and "collect_set" not in plan
+
+
+def test_dup_clusters_fills_singletons(spark):
+    docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    out = {r.doc_id: r.cluster
+           for r in dup_clusters(docs, _pairs_df(spark, [(7, 3)])).collect()}
+    assert out == {**{i: i for i in range(10)}, 7: 3}
+
+
+# ------------------------------------------------------------- bigram LM
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_doc_bigrams_adjacency(spark):
+    docs = _docs_df(spark, ["a b c", "x", ""])
+    got = sorted((r.doc_id, r.w1, r.w2) for r in doc_bigrams(docs).collect())
+    assert got == [(0, "a", "b"), (0, "b", "c")]
+
+
+def test_bigram_lm_hand_oracle(spark):
+    # corpus: "a b a b" and "a c"; bigrams: ab, ba, ab, ac
+    # c12: ab=2, ba=1, ac=1; c1: a=3, b=1; V=3 (a,b,c); alpha=1
+    docs = _docs_df(spark, ["a b a b", "a c"])
+    got = {r.doc_id: (r.n_bigrams, r.xent)
+           for r in bigram_lm_scores(docs, alpha=1.0).collect()}
+    p_ab = (2 + 1) / (3 + 3)
+    p_ba = (1 + 1) / (1 + 3)
+    p_ac = (1 + 1) / (3 + 3)
+    x0 = -(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    x1 = -math.log(p_ac)
+    assert got[0] == (3, round(x0, 4))
+    assert got[1] == (1, round(x1, 4))
+
+
+def test_bigram_lm_short_docs_null(spark):
+    docs = _docs_df(spark, ["a b", "solo", ""])
+    got = {r.doc_id: (r.n_bigrams, r.xent)
+           for r in bigram_lm_scores(docs).collect()}
+    assert got[1] == (0, None)
+    assert got[2] == (0, None)
+    assert got[0][0] == 1
+
+
+def test_bigram_lm_reference_corpus_smooths_unseen(spark):
+    # trained on reference, scored corpus has an unseen bigram ("b z"):
+    # unseen pair smooths to alpha/(c1 + alpha*V), unseen context to 1/V
+    ref = _docs_df(spark, ["a b a b"])        # c12: ab=2, ba=1; c1 a=2,b=1; V=2
+    tgt = _docs_df(spark, ["a b z"])          # bigrams: ab (seen), bz (unseen)
+    got = bigram_lm_scores(tgt, reference=ref, alpha=1.0).collect()[0]
+    p_ab = (2 + 1) / (2 + 2)
+    p_bz = (0 + 1) / (1 + 2)
+    assert got.n_bigrams == 2
+    assert got.xent == round(-(math.log(p_ab) + math.log(p_bz)) / 2, 4)
+
+
+def test_bigram_lm_flags_repetitive_doc_as_low_xent(spark):
+    # the gate's direction: a pathological repetition scores LOWER
+    # cross-entropy than natural-ish text (repetition gates pair with
+    # repetition_stats; the CCNet cut drops the HIGH tail = gibberish)
+    docs = _docs_df(spark, ["spam " * 50, "the quick brown fox jumps over"])
+    got = {r.doc_id: r.xent for r in bigram_lm_scores(docs).collect()}
+    assert got[0] < got[1]
+
+
+def test_bigram_lm_plan_has_no_python_udf(spark):
+    docs = _docs_df(spark, ["a b c d", "b c e"])
+    plan = bigram_lm_scores(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
