@@ -2680,6 +2680,59 @@ SELECT d.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
 FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"""
 
 
+# PageRank oracle: the similarity graph restated (3-gram Jaccard >= 0.2
+# pairs, symmetrized) and the power iteration UNROLLED as per-iteration
+# CTEs with the engine's pinned arithmetic contract:
+# r' = (1-d)/N + d * (sum_in r/deg + dangling/N).
+_PR_ITER_DUCK = """
+ct{i} AS (
+  SELECT e.v AS node, sum(r.r / deg.deg) AS c
+  FROM und e JOIN r{p} r ON e.u = r.node JOIN deg ON e.u = deg.u
+  GROUP BY e.v
+), dg{i} AS (
+  SELECT coalesce(sum(r.r), 0.0) AS dm
+  FROM r{p} r LEFT JOIN deg ON r.node = deg.u WHERE deg.u IS NULL
+), r{i} AS (
+  SELECT nd.node,
+         (1.0 - 0.85) / nn.n + 0.85 * (coalesce(ct.c, 0.0) + dg.dm / nn.n) AS r
+  FROM nd LEFT JOIN ct{i} ct ON nd.node = ct.node
+  CROSS JOIN dg{i} dg CROSS JOIN nn
+),"""
+
+
+def _pagerank_duck_sql(iters: int) -> str:
+    body = "".join(_PR_ITER_DUCK.format(i=i + 1, p=i) for i in range(iters))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+), pos AS (
+  SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS p
+  FROM toks WHERE len(l) >= 3
+), grams AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', l[p], l[p + 1], l[p + 2]) AS gram FROM pos
+), gcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+  GROUP BY g1.doc_id, g2.doc_id
+), jpairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN gcnt ca ON inter.doc_a = ca.doc_id
+  JOIN gcnt cb ON inter.doc_b = cb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (ca.n_grams + cb.n_grams - n_inter) >= 0.2
+), und AS (
+  SELECT doc_a AS u, doc_b AS v FROM jpairs
+  UNION SELECT doc_b AS u, doc_a AS v FROM jpairs
+), deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg FROM und GROUP BY u),
+nd AS (SELECT doc_id AS node FROM documents),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+r0 AS (SELECT nd.node, 1.0 / nn.n AS r FROM nd CROSS JOIN nn),
+{body.strip().rstrip(',')}
+SELECT node, round(r, 6) AS rank FROM r{iters}"""
+
+
 def _r04s5_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.dedup import dup_clusters, ngram_jaccard_pairs
@@ -2702,7 +2755,22 @@ def _r04s5_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return bigram_lm_scores(docs, alpha=1.0)
 
-    return {"dup_clusters": dup_clusters_q, "lm_xent": lm_xent_q}
+    def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.dedup import ngram_jaccard_pairs
+        from index_spark.operators.graph import pagerank
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2,
+                                    text_col="text", id_col="doc_id")
+        und = (pairs.select(F.col("doc_a").alias("src"),
+                            F.col("doc_b").alias("dst"))
+               .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                         F.col("doc_a").alias("dst"))))
+        nodes = docs.select(F.col("doc_id").alias("node"))
+        return pagerank(nodes, und, damping=0.85, iters=3)
+
+    return {"dup_clusters": dup_clusters_q, "lm_xent": lm_xent_q,
+            "pagerank_scores": pagerank_q}
 
 
 def _build_registry():
@@ -2912,6 +2980,7 @@ def _build_registry():
     eng5 = _r04s5_engine_queries()
     add("dup_clusters", eng5["dup_clusters"], _ORACLE_DUP_CLUSTERS_DUCK)
     add("lm_xent", eng5["lm_xent"], _ORACLE_LM_XENT_DUCK)
+    add("pagerank_scores", eng5["pagerank_scores"], _pagerank_duck_sql(3))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry
@@ -2959,7 +3028,8 @@ _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  "kmeans_clusters", "tfidf_pairs",
                                  "semantic_dedup", "repetition_stats",
                                  # session 5
-                                 "dup_clusters", "lm_xent"})
+                                 "dup_clusters", "lm_xent",
+                                 "pagerank_scores"})
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,65 @@
+"""Link analysis over document/similarity graphs.
+
+PageRank (Page, Brin, Motwani, Winograd 1999) as distributed power
+iteration — the centrality pass a curation pipeline runs over a
+similarity or link graph (canonical-representative selection, crawl
+prioritization, spam demotion).
+
+Scale shape (100 TB): ranks and degrees are node-bounded relations; each
+iteration is one shuffle join of edges against ranks on the source key
+plus one map-side-combinable groupBy on the destination key.  Dangling
+mass rides a one-row aggregate cross join (never collected).  Lineage is
+truncated per iteration with localCheckpoint (reliable ``checkpoint()``
+on a real cluster).  Fixed iteration count keeps the whole computation
+deterministic and SQL-restatable by unrolling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, damping: float = 0.85,
+             iters: int = 3, id_col: str = "node",
+             src_col: str = "src", dst_col: str = "dst",
+             round_at: int = 6) -> DataFrame:
+    """(node, rank) after ``iters`` synchronous power-iteration steps from
+    the uniform vector.  ``edges`` is directed (symmetrize upstream for an
+    undirected similarity graph); nodes with no out-edges contribute their
+    mass uniformly (standard dangling-node redistribution), so total rank
+    sums to 1 every iteration.
+
+    Pinned arithmetic contract (shared with the SQL oracle):
+    rank' = (1-d)/N + d * (sum_in contrib + dangling/N), final ranks
+    rounded at ``round_at``.
+    """
+    n = nodes.select(F.col(id_col).cast("long").alias("node")).distinct()
+    e = (edges.select(F.col(src_col).cast("long").alias("u"),
+                      F.col(dst_col).cast("long").alias("v"))
+         .distinct())
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    n_nodes = n.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+
+    ranks = (n.crossJoin(n_nodes)
+             .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("r"))
+             .localCheckpoint())
+    for _ in range(iters):
+        contrib = (e.join(ranks.withColumnRenamed("node", "u"), "u")
+                   .join(deg, "u")
+                   .groupBy(F.col("v").alias("node"))
+                   .agg(F.sum(F.col("r") / F.col("deg")).alias("c")))
+        dangling = (ranks.join(deg.withColumnRenamed("u", "node"),
+                               "node", "left_anti")
+                    .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")))
+        ranks = (n.join(contrib, "node", "left")
+                 .crossJoin(dangling).crossJoin(n_nodes)
+                 .select("node",
+                         ((1.0 - damping) / F.col("n_nodes")
+                          + damping * (F.coalesce(F.col("c"), F.lit(0.0))
+                                       + F.col("dm") / F.col("n_nodes"))
+                          ).alias("r"))
+                 .localCheckpoint())
+    return ranks.select("node", F.round("r", round_at).alias("rank"))

@@ -152,3 +152,64 @@ def test_bigram_lm_plan_has_no_python_udf(spark):
     docs = _docs_df(spark, ["a b c d", "b c e"])
     plan = bigram_lm_scores(docs)._jdf.queryExecution().optimizedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------------------- pagerank
+
+def _graph(spark):
+    from index_spark.operators.graph import pagerank
+    nodes = spark.range(0, 4).withColumnRenamed("id", "node")
+    edges = spark.createDataFrame([(0, 1), (0, 2), (1, 2), (2, 0)],
+                                  "src long, dst long")
+    return pagerank, nodes, edges
+
+
+def _numpy_pr(out, n, d=0.85, iters=3):
+    import numpy as np
+    r = np.full(n, 1 / n)
+    for _ in range(iters):
+        c = np.zeros(n)
+        dm = 0.0
+        for u, vs in out.items():
+            if not vs:
+                dm += r[u]
+            for v in vs:
+                c[v] += r[u] / len(vs)
+        # isolated nodes missing from `out` are dangling too
+        for u in range(n):
+            if u not in out:
+                dm += r[u]
+        r = (1 - d) / n + d * (c + dm / n)
+    return {i: round(float(r[i]), 6) for i in range(n)}
+
+
+def test_pagerank_hand_graph_with_dangling(spark):
+    pagerank, nodes, edges = _graph(spark)
+    got = {r.node: r.rank for r in pagerank(nodes, edges, iters=3).collect()}
+    assert got == _numpy_pr({0: [1, 2], 1: [2], 2: [0]}, 4)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    from index_spark.operators.graph import pagerank
+    nodes = spark.range(0, 5).withColumnRenamed("id", "node")
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    edges = spark.createDataFrame(cyc, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(nodes, edges, iters=4).collect()}
+    assert all(v == 0.2 for v in got.values())
+
+
+def test_pagerank_no_edges_is_uniform(spark):
+    from index_spark.operators.graph import pagerank
+    nodes = spark.range(0, 8).withColumnRenamed("id", "node")
+    edges = spark.createDataFrame([], "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(nodes, edges, iters=2).collect()}
+    # all mass dangles and redistributes uniformly: stays 1/N exactly
+    assert all(v == 0.125 for v in got.values())
+
+
+def test_pagerank_plan_stays_jvm_side(spark):
+    pagerank, nodes, edges = _graph(spark)
+    plan = (pagerank(nodes, edges, iters=1)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
