@@ -348,6 +348,71 @@ def cmd_sample(args) -> None:
     print(json.dumps({"kept": out.count(), "by_split": per}))
 
 
+def cmd_cluster(args) -> None:
+    """Transitive duplicate clusters: n-gram-Jaccard pairs (plus exact
+    prefix-star pairs) -> connected components -> (doc_id, cluster)."""
+    from pyspark.sql import functions as F
+
+    from index_spark.operators.dedup import dup_clusters, ngram_jaccard_pairs
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    pairs = ngram_jaccard_pairs(docs, n=args.n, threshold=args.threshold,
+                                text_col=args.text_col, id_col=args.id_col
+                                ).select("doc_a", "doc_b")
+    out = dup_clusters(docs, pairs, id_col=args.id_col)
+    out.write.mode("overwrite").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    n_docs = out.count()
+    n_clusters = out.select("cluster").distinct().count()
+    print(json.dumps({"docs": n_docs, "clusters": n_clusters,
+                      "dupes_droppable": n_docs - n_clusters}))
+
+
+def cmd_lmscore(args) -> None:
+    """Bigram-LM cross-entropy per doc (CCNet-style quality gate)."""
+    from index_spark.operators.lm import bigram_lm_scores
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    ref = spark.read.parquet(args.reference) if args.reference else None
+    out = bigram_lm_scores(docs, reference=ref, alpha=args.alpha,
+                           text_col=args.text_col, id_col=args.id_col)
+    out.write.mode("overwrite").parquet(args.out)
+    from pyspark.sql import functions as F
+
+    stats = (spark.read.parquet(args.out)
+             .agg(F.count("*").alias("n"),
+                  F.round(F.avg("xent"), 4).alias("mean_xent"),
+                  F.round(F.max("xent"), 4).alias("max_xent")).first())
+    print(json.dumps({"docs": stats["n"], "mean_xent": stats["mean_xent"],
+                      "max_xent": stats["max_xent"]}))
+
+
+def cmd_pagerank(args) -> None:
+    """PageRank over the symmetrized similarity graph of a corpus."""
+    from pyspark.sql import functions as F
+
+    from index_spark.operators.dedup import ngram_jaccard_pairs
+    from index_spark.operators.graph import pagerank
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    pairs = ngram_jaccard_pairs(docs, n=args.n, threshold=args.threshold,
+                                text_col=args.text_col, id_col=args.id_col)
+    und = (pairs.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
+           .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                     F.col("doc_a").alias("dst"))))
+    nodes = docs.select(F.col(args.id_col).alias("node"))
+    out = pagerank(nodes, und, damping=args.damping, iters=args.iters)
+    out.write.mode("overwrite").parquet(args.out)
+    top = [{"doc_id": r["node"], "rank": r["rank"]}
+           for r in spark.read.parquet(args.out)
+           .orderBy(F.desc("rank"), F.asc("node")).limit(5).collect()]
+    print(json.dumps({"top": top}))
+
+
 def cmd_bench(args) -> None:
     import bench
 
@@ -552,6 +617,41 @@ def main(argv=None) -> None:
     sm.add_argument("--id-col", default="doc_id")
     sm.add_argument("--default-rate", type=float, default=1.0)
     sm.set_defaults(fn=cmd_sample)
+
+    cc = sub.add_parser("cluster", help="transitive duplicate clusters "
+                                        "(connected components over "
+                                        "near-dup pairs)")
+    cc.add_argument("--docs", required=True)
+    cc.add_argument("--out", required=True)
+    cc.add_argument("--n", type=int, default=3)
+    cc.add_argument("--threshold", type=float, default=0.5)
+    cc.add_argument("--text-col", default="text")
+    cc.add_argument("--id-col", default="doc_id")
+    cc.set_defaults(fn=cmd_cluster)
+
+    lm = sub.add_parser("lmscore", help="bigram-LM cross-entropy per doc "
+                                        "(CCNet-style quality gate)")
+    lm.add_argument("--docs", required=True)
+    lm.add_argument("--out", required=True)
+    lm.add_argument("--reference", default=None,
+                    help="trusted training corpus parquet (default: "
+                         "self-trained)")
+    lm.add_argument("--alpha", type=float, default=1.0)
+    lm.add_argument("--text-col", default="text")
+    lm.add_argument("--id-col", default="doc_id")
+    lm.set_defaults(fn=cmd_lmscore)
+
+    pr = sub.add_parser("pagerank", help="PageRank centrality over the "
+                                         "similarity graph")
+    pr.add_argument("--docs", required=True)
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--n", type=int, default=3)
+    pr.add_argument("--threshold", type=float, default=0.2)
+    pr.add_argument("--damping", type=float, default=0.85)
+    pr.add_argument("--iters", type=int, default=5)
+    pr.add_argument("--text-col", default="text")
+    pr.add_argument("--id-col", default="doc_id")
+    pr.set_defaults(fn=cmd_pagerank)
 
     be = sub.add_parser("bench", help="headline benchmark suite")
     be.set_defaults(fn=cmd_bench)
