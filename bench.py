@@ -449,6 +449,13 @@ def main() -> None:
 
     _dedup_scale()
 
+    # 10b3. iterative graph/LM surfaces (non-headline): transitive
+    # duplicate clustering (large-star/small-star over the jaccard pair
+    # graph), bigram-LM scoring, and 3-iteration PageRank — all via the
+    # registry entries so the measured plan is the driver-checked plan
+    for name in ["dup_clusters", "lm_xent", "pagerank_scores"]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
     # 10c. concurrent-query throughput at 8 vs 32 cores, each in its
     # own process/JVM (a Spark master is fixed at startup). The
     # serving-relevant scaling number — single-query p95 at local[32]
@@ -507,7 +514,9 @@ def main() -> None:
                                    "batch_qps_scaling_8_to_32",
                                    "hybrid_query", "collapse_query",
                                    "sigterms_query", "regex_query",
-                                   "chunk_docs", "chunk_docs_n")), 3)
+                                   "chunk_docs", "chunk_docs_n",
+                                   "dup_clusters", "lm_xent",
+                                   "pagerank_scores")), 3)
     timings["build_docs_per_sec"] = round(n_docs / timings["build_index"], 1)
     out = {
         "metric": "index_spark headline suite wall time",
