@@ -2680,6 +2680,45 @@ SELECT d.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
 FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"""
 
 
+# BPE merge-learning oracle: the pinned contract (overlapping adjacent
+# pair counts weighted by word frequency; argmax with (count desc, lhs,
+# rhs) ties; left-to-right non-overlapping merge via SQL replace — both
+# engines resume scanning after a replacement, which IS the BPE merge
+# rule) unrolled one CTE triple per round.
+_BPE_ROUND_DUCK = """
+p{i} AS (
+  SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(freq) AS c
+  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+        FROM (SELECT freq, string_split(trim(s), ' ') AS syms FROM w{p}))
+  GROUP BY lhs, rhs
+), m{i} AS (
+  SELECT lhs, rhs, c FROM p{i} ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1
+), w{i} AS (
+  SELECT word, freq,
+         replace(s, ' ' || m.lhs || ' ' || m.rhs || ' ', ' ' || m.lhs || m.rhs || ' ') AS s
+  FROM w{p} CROSS JOIN m{i} m
+),"""
+
+
+def _bpe_duck_sql(n_merges: int) -> str:
+    rounds = "".join(_BPE_ROUND_DUCK.format(i=i + 1, p=i)
+                     for i in range(n_merges))
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS rank, lhs, rhs, "
+        f"CAST(c AS BIGINT) AS pair_count FROM m{i + 1}"
+        for i in range(n_merges))
+    return f"""
+WITH w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         ' ' || array_to_string(list_transform(range(1, length(word) + 1), i -> word[i:i]), ' ') || ' ' AS s
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+        FROM documents)
+  GROUP BY word
+),
+{rounds.strip().rstrip(',')}
+{finals}"""
+
+
 # PageRank oracle: the similarity graph restated (3-gram Jaccard >= 0.2
 # pairs, symmetrized) and the power iteration UNROLLED as per-iteration
 # CTEs with the engine's pinned arithmetic contract:
@@ -2769,8 +2808,14 @@ def _r04s5_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
         nodes = docs.select(F.col("doc_id").alias("node"))
         return pagerank(nodes, und, damping=0.85, iters=3)
 
+    def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.bpe import learn_bpe
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return learn_bpe(docs, n_merges=8)
+
     return {"dup_clusters": dup_clusters_q, "lm_xent": lm_xent_q,
-            "pagerank_scores": pagerank_q}
+            "pagerank_scores": pagerank_q, "bpe_merges": bpe_merges_q}
 
 
 def _build_registry():
@@ -2981,6 +3026,7 @@ def _build_registry():
     add("dup_clusters", eng5["dup_clusters"], _ORACLE_DUP_CLUSTERS_DUCK)
     add("lm_xent", eng5["lm_xent"], _ORACLE_LM_XENT_DUCK)
     add("pagerank_scores", eng5["pagerank_scores"], _pagerank_duck_sql(3))
+    add("bpe_merges", eng5["bpe_merges"], _bpe_duck_sql(8))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry
@@ -3029,7 +3075,7 @@ _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  "semantic_dedup", "repetition_stats",
                                  # session 5
                                  "dup_clusters", "lm_xent",
-                                 "pagerank_scores"})
+                                 "pagerank_scores", "bpe_merges"})
 
 
 # ---------------------------------------------------------------------------

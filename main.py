@@ -413,6 +413,27 @@ def cmd_pagerank(args) -> None:
     print(json.dumps({"top": top}))
 
 
+def cmd_bpe(args) -> None:
+    """Learn BPE merges over a corpus; optionally tokenize it with them."""
+    from index_spark.operators.bpe import apply_bpe, learn_bpe
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    merges = learn_bpe(docs, n_merges=args.merges, text_col=args.text_col)
+    rules = [(r["lhs"], r["rhs"]) for r in merges.collect()]
+    merges.write.mode("overwrite").parquet(f"{args.out}/merges")
+    summary = {"merges": [f"{a}+{b}" for a, b in rules]}
+    if args.tokenize:
+        toks = apply_bpe(docs, rules, text_col=args.text_col,
+                         id_col=args.id_col)
+        toks.write.mode("overwrite").parquet(f"{args.out}/tokens")
+        from pyspark.sql import functions as F
+
+        summary["total_pieces"] = (spark.read.parquet(f"{args.out}/tokens")
+                                   .agg(F.sum(F.size("tokens"))).first()[0])
+    print(json.dumps(summary))
+
+
 def cmd_bench(args) -> None:
     import bench
 
@@ -652,6 +673,16 @@ def main(argv=None) -> None:
     pr.add_argument("--text-col", default="text")
     pr.add_argument("--id-col", default="doc_id")
     pr.set_defaults(fn=cmd_pagerank)
+
+    bp = sub.add_parser("bpe", help="BPE tokenizer-vocabulary induction "
+                                    "(+ optional corpus tokenization)")
+    bp.add_argument("--docs", required=True)
+    bp.add_argument("--out", required=True)
+    bp.add_argument("--merges", type=int, default=32)
+    bp.add_argument("--tokenize", action="store_true")
+    bp.add_argument("--text-col", default="text")
+    bp.add_argument("--id-col", default="doc_id")
+    bp.set_defaults(fn=cmd_bpe)
 
     be = sub.add_parser("bench", help="headline benchmark suite")
     be.set_defaults(fn=cmd_bench)
