@@ -2719,6 +2719,36 @@ WITH w0 AS (
 {finals}"""
 
 
+# mixture rebalancing oracle: the rate formula (K = min n_s/t_s,
+# rate = t*K/n) and the md5 draw restated; t forced to DOUBLE (DuckDB
+# decimal literals would diverge from Spark's double arithmetic), and
+# the threshold floor()s BEFORE the bigint cast (DuckDB's cast rounds).
+_MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_ORACLE_MIXTURE_DUCK = f"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+), wt AS (
+  SELECT source, n_docs,
+         CASE source {' '.join(f"WHEN '{s}' THEN CAST({t!r} AS DOUBLE)"
+                               for s, t in sorted(_MIX_TARGETS.items()))}
+         END AS t
+  FROM counts
+), k AS (SELECT min(n_docs / t) AS k FROM wt WHERE t IS NOT NULL),
+rates AS (
+  SELECT source, n_docs,
+         CASE WHEN t IS NULL THEN 0.0 ELSE t * k.k / n_docs END AS rate
+  FROM wt CROSS JOIN k
+), kept AS (
+  SELECT d.source FROM documents d JOIN rates r ON d.source = r.source
+  WHERE substr(md5(d.doc_id::VARCHAR || ':mixture'), 1, 8) <
+        CASE WHEN r.rate >= 1.0 THEN 'g'
+             ELSE printf('%08x', CAST(floor(r.rate * 4294967296) AS BIGINT)) END
+), kc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY source)
+SELECT r.source, r.n_docs, round(r.rate, 6) AS rate,
+       CAST(coalesce(kc.n_kept, 0) AS BIGINT) AS n_kept
+FROM rates r LEFT JOIN kc ON r.source = kc.source"""
+
+
 # PageRank oracle: the similarity graph restated (3-gram Jaccard >= 0.2
 # pairs, symmetrized) and the power iteration UNROLLED as per-iteration
 # CTEs with the engine's pinned arithmetic contract:
@@ -2814,8 +2844,22 @@ def _r04s5_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return learn_bpe(docs, n_merges=8)
 
+    def mixture_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.sample import balance_corpus, mixture_rates
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rates = mixture_rates(docs, _MIX_TARGETS)
+        kept = balance_corpus(docs, _MIX_TARGETS)
+        kc = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+        return (rates.join(kc, "source", "left")
+                .select("source", "n_docs",
+                        F.round("rate", 6).alias("rate"),
+                        F.coalesce(F.col("n_kept"), F.lit(0))
+                        .cast("long").alias("n_kept")))
+
     return {"dup_clusters": dup_clusters_q, "lm_xent": lm_xent_q,
-            "pagerank_scores": pagerank_q, "bpe_merges": bpe_merges_q}
+            "pagerank_scores": pagerank_q, "bpe_merges": bpe_merges_q,
+            "mixture_balance": mixture_balance_q}
 
 
 def _build_registry():
@@ -3027,6 +3071,7 @@ def _build_registry():
     add("lm_xent", eng5["lm_xent"], _ORACLE_LM_XENT_DUCK)
     add("pagerank_scores", eng5["pagerank_scores"], _pagerank_duck_sql(3))
     add("bpe_merges", eng5["bpe_merges"], _bpe_duck_sql(8))
+    add("mixture_balance", eng5["mixture_balance"], _ORACLE_MIXTURE_DUCK)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry
@@ -3075,7 +3120,8 @@ _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  "semantic_dedup", "repetition_stats",
                                  # session 5
                                  "dup_clusters", "lm_xent",
-                                 "pagerank_scores", "bpe_merges"})
+                                 "pagerank_scores", "bpe_merges",
+                                 "mixture_balance"})
 
 
 # ---------------------------------------------------------------------------

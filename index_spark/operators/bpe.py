@@ -73,6 +73,10 @@ def learn_bpe(docs: DataFrame, n_merges: int = 10,
                 .first())
         if best is None:
             break
+        if not (best["lhs"].isalnum() and best["rhs"].isalnum()):
+            # unreachable under the token spec ([a-z0-9]+ words), but the
+            # symbols are spliced into a SQL literal below — never trust
+            raise ValueError(f"non-alphanumeric symbol: {best}")
         rules.append(Row(rank=rank, lhs=best["lhs"], rhs=best["rhs"],
                          pair_count=int(best["c"])))
         pat = f" {best['lhs']} {best['rhs']} "

@@ -32,6 +32,12 @@ def pagerank(nodes: DataFrame, edges: DataFrame, damping: float = 0.85,
     mass uniformly (standard dangling-node redistribution), so total rank
     sums to 1 every iteration.
 
+    Precondition: edge endpoints are drawn from ``nodes``.  An edge from
+    an unknown source is ignored (it joins no rank), but it still counts
+    toward its source's out-degree if that source IS a node — callers
+    with dirty graphs should semi-join edges to nodes on both endpoints
+    first.
+
     Pinned arithmetic contract (shared with the SQL oracle):
     rank' = (1-d)/N + d * (sum_in contrib + dangling/N), final ranks
     rounded at ``round_at``.

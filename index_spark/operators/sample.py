@@ -67,6 +67,59 @@ def sample_stratified(df: DataFrame, rates: dict[str, float],
     return df.filter(_u_hex(key_col, salt) < thr)
 
 
+def mixture_rates(df: DataFrame, targets: dict[str, float],
+                  strata_col: str = "source") -> DataFrame:
+    """(strata_col, n_docs, rate) — per-stratum keep rates for the
+    LARGEST downsample-only subset whose stratum proportions equal
+    ``targets`` (shares normalized to sum 1; strata not in the map get
+    rate 0).  K = min_s n_s/t_s is the achievable kept total, so
+    rate_s = t_s * K / n_s — the binding stratum keeps everything.
+    One count aggregate + a 1-row min cross join; nothing collected.
+    A targeted stratum absent from the data leaves the mixture
+    unachievable for that stratum (its kept share is 0); callers that
+    need a guarantee should validate the stratum catalog first."""
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    if any(t <= 0 for t in targets.values()):
+        raise ValueError("target shares must be positive")
+    tot = float(sum(targets.values()))
+    tmap = F.create_map(*[
+        lit for s, t in sorted(targets.items())
+        for lit in (F.lit(s), F.lit(float(t) / tot))])
+    counts = (df.groupBy(strata_col)
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    wt = counts.withColumn("t", tmap[F.col(strata_col)])
+    k = (wt.where(F.col("t").isNotNull())
+         .agg(F.min(F.col("n_docs") / F.col("t")).alias("k")))
+    return (wt.crossJoin(k)
+            .select(strata_col, "n_docs",
+                    F.when(F.col("t").isNull(), F.lit(0.0))
+                    .otherwise(F.col("t") * F.col("k") / F.col("n_docs"))
+                    .alias("rate")))
+
+
+# rate (double) -> 8-hex draw threshold, in pure SQL (parity-pinned with
+# the DuckDB oracle: floor() BEFORE the cast — DuckDB's double->bigint
+# cast rounds while Spark's truncates)
+_THR_SQL = ("CASE WHEN rate >= 1.0 THEN 'g' ELSE "
+            "format_string('%08x', CAST(floor(rate * 4294967296) AS BIGINT))"
+            " END")
+
+
+def balance_corpus(df: DataFrame, targets: dict[str, float],
+                   strata_col: str = "source", key_col: str = "doc_id",
+                   salt: str = "mixture") -> DataFrame:
+    """The rebalanced corpus: rows kept by the deterministic per-row
+    draw against their stratum's :func:`mixture_rates` rate.  The rate
+    relation is stratum-bounded, so it broadcast-joins; the draw is the
+    same (key, salt) contract as :func:`sample_stratified`."""
+    rates = mixture_rates(df, targets, strata_col)
+    out = df.join(F.broadcast(rates.select(strata_col, "rate")),
+                  strata_col, "inner")
+    return (out.where(_u_hex(key_col, salt) < F.expr(_THR_SQL))
+            .drop("rate"))
+
+
 def assign_splits(df: DataFrame, weights: list[tuple[str, float]]
                   | None = None, key_col: str = "doc_id",
                   salt: str = "split", out_col: str = "split") -> DataFrame:

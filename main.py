@@ -413,6 +413,28 @@ def cmd_pagerank(args) -> None:
     print(json.dumps({"top": top}))
 
 
+def cmd_mix(args) -> None:
+    """Rebalance a corpus to target domain proportions (largest
+    downsample-only subset; deterministic per-row draw)."""
+    from pyspark.sql import functions as F
+
+    from index_spark.operators.sample import balance_corpus, mixture_rates
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    targets = {k: float(v) for k, v in json.loads(args.targets).items()}
+    kept = balance_corpus(docs, targets, strata_col=args.strata_col,
+                          key_col=args.id_col)
+    kept.write.mode("overwrite").parquet(args.out)
+    rates = {r[args.strata_col]: round(r["rate"], 4)
+             for r in mixture_rates(docs, targets,
+                                    strata_col=args.strata_col).collect()}
+    per = {r[args.strata_col]: r["n"] for r in
+           spark.read.parquet(args.out).groupBy(args.strata_col)
+           .agg(F.count("*").alias("n")).collect()}
+    print(json.dumps({"rates": rates, "kept_by_stratum": per}))
+
+
 def cmd_bpe(args) -> None:
     """Learn BPE merges over a corpus; optionally tokenize it with them."""
     from index_spark.operators.bpe import apply_bpe, learn_bpe
@@ -673,6 +695,16 @@ def main(argv=None) -> None:
     pr.add_argument("--text-col", default="text")
     pr.add_argument("--id-col", default="doc_id")
     pr.set_defaults(fn=cmd_pagerank)
+
+    mx = sub.add_parser("mix", help="rebalance corpus to target domain "
+                                    "proportions (downsample-only)")
+    mx.add_argument("--docs", required=True)
+    mx.add_argument("--out", required=True)
+    mx.add_argument("--targets", required=True,
+                    help='JSON {"source_value": share, ...}')
+    mx.add_argument("--strata-col", default="source")
+    mx.add_argument("--id-col", default="doc_id")
+    mx.set_defaults(fn=cmd_mix)
 
     bp = sub.add_parser("bpe", help="BPE tokenizer-vocabulary induction "
                                     "(+ optional corpus tokenization)")

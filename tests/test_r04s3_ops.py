@@ -418,3 +418,68 @@ def test_sample_plan_is_map_only(spark, tmp_path):
     out = assign_splits(kept)
     plan2 = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan2
+
+
+# ------------------------------------------------------ mixture rebalancing
+
+def _mix_docs(spark, sizes):
+    rows = []
+    i = 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_mixture_rates_formula(spark):
+    from index_spark.operators.sample import mixture_rates
+
+    docs = _mix_docs(spark, {"a": 100, "b": 50, "c": 30})
+    # targets 60/40: K = min(100/0.6, 50/0.4) = 125
+    got = {r["source"]: (r["n_docs"], r["rate"])
+           for r in mixture_rates(docs, {"a": 0.6, "b": 0.4}).collect()}
+    assert got["a"] == (100, 0.6 * 125 / 100)
+    assert got["b"] == (50, 1.0)            # binding stratum keeps all
+    assert got["c"] == (30, 0.0)            # untargeted drops
+
+
+def test_mixture_rates_normalizes_shares(spark):
+    from index_spark.operators.sample import mixture_rates
+
+    docs = _mix_docs(spark, {"a": 10, "b": 10})
+    r1 = {r["source"]: r["rate"]
+          for r in mixture_rates(docs, {"a": 1, "b": 1}).collect()}
+    r2 = {r["source"]: r["rate"]
+          for r in mixture_rates(docs, {"a": 3, "b": 3}).collect()}
+    assert r1 == r2 == {"a": 1.0, "b": 1.0}
+
+
+def test_balance_corpus_hits_proportions(spark):
+    from index_spark.operators.sample import balance_corpus
+
+    docs = _mix_docs(spark, {"a": 4000, "b": 1000, "c": 500})
+    kept = balance_corpus(docs, {"a": 0.5, "b": 0.5}).groupBy("source").count()
+    got = {r["source"]: r["count"] for r in kept.collect()}
+    assert "c" not in got
+    assert got["b"] == 1000                  # binding: kept exactly
+    # a's rate is 0.25; the md5 draw should land within ~5 sigma
+    assert abs(got["a"] - 1000) < 150
+
+
+def test_balance_corpus_deterministic_and_validates(spark):
+    import pytest as _pytest
+
+    from index_spark.operators.sample import balance_corpus, mixture_rates
+
+    docs = _mix_docs(spark, {"a": 200, "b": 100})
+    k1 = sorted(r["doc_id"] for r in
+                balance_corpus(docs, {"a": 0.5, "b": 0.5}).collect())
+    k2 = sorted(r["doc_id"] for r in
+                balance_corpus(docs.repartition(7),
+                               {"a": 0.5, "b": 0.5}).collect())
+    assert k1 == k2                          # partitioning-invariant
+    with _pytest.raises(ValueError):
+        mixture_rates(docs, {})
+    with _pytest.raises(ValueError):
+        mixture_rates(docs, {"a": -0.1, "b": 1.1})
