@@ -2844,6 +2844,21 @@ def _r04s5_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return learn_bpe(docs, n_merges=8)
 
+    def warc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # documents -> spec-shaped WARC archive blobs -> byte-framed
+        # parse -> per-doc byte length + content hash; the oracle
+        # recomputes both straight off the table, so the whole
+        # encode/frame/parse path sits under one value check
+        from index_spark.sources.warc import build_warc_files, parse_warc
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        files = build_warc_files(docs, docs_per_file=50)
+        parsed = parse_warc(files)
+        return parsed.select(
+            F.substring("target_uri", -8, 8).cast("long").alias("doc_id"),
+            F.col("content_length").alias("n_bytes"),
+            F.md5("text").alias("text_md5"))
+
     def mixture_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.sample import balance_corpus, mixture_rates
 
@@ -2859,7 +2874,8 @@ def _r04s5_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
 
     return {"dup_clusters": dup_clusters_q, "lm_xent": lm_xent_q,
             "pagerank_scores": pagerank_q, "bpe_merges": bpe_merges_q,
-            "mixture_balance": mixture_balance_q}
+            "mixture_balance": mixture_balance_q,
+            "warc_roundtrip": warc_roundtrip_q}
 
 
 def _build_registry():
@@ -3072,6 +3088,9 @@ def _build_registry():
     add("pagerank_scores", eng5["pagerank_scores"], _pagerank_duck_sql(3))
     add("bpe_merges", eng5["bpe_merges"], _bpe_duck_sql(8))
     add("mixture_balance", eng5["mixture_balance"], _ORACLE_MIXTURE_DUCK)
+    add("warc_roundtrip", eng5["warc_roundtrip"], """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS text_md5
+FROM documents""")
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry
@@ -3121,7 +3140,7 @@ _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  # session 5
                                  "dup_clusters", "lm_xent",
                                  "pagerank_scores", "bpe_merges",
-                                 "mixture_balance"})
+                                 "mixture_balance", "warc_roundtrip"})
 
 
 # ---------------------------------------------------------------------------

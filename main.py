@@ -413,6 +413,32 @@ def cmd_pagerank(args) -> None:
     print(json.dumps({"top": top}))
 
 
+def cmd_ingest(args) -> None:
+    """Normalize a corpus from any supported format into the canonical
+    (doc_id, text, source) documents parquet."""
+    from index_spark.sources import ingest as ing
+
+    spark = _spark(args)
+    if args.format == "warc":
+        docs = ing.read_warc_docs(spark, args.path)
+    elif args.format == "jsonl":
+        docs = ing.read_jsonl_docs(spark, args.path,
+                                   text_field=args.text_field,
+                                   key_field=args.key_field)
+    elif args.format == "csv":
+        docs = ing.read_csv_docs(spark, args.path,
+                                 text_field=args.text_field,
+                                 key_field=args.key_field)
+    elif args.format == "text":
+        docs = ing.read_text_dir(spark, args.path)
+    else:  # parquet passthrough
+        docs = ing.normalize_docs(spark.read.parquet(args.path),
+                                  args.text_field, args.key_field)
+    docs.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"docs": spark.read.parquet(args.out).count(),
+                      "format": args.format}))
+
+
 def cmd_mix(args) -> None:
     """Rebalance a corpus to target domain proportions (largest
     downsample-only subset; deterministic per-row draw)."""
@@ -695,6 +721,17 @@ def main(argv=None) -> None:
     pr.add_argument("--text-col", default="text")
     pr.add_argument("--id-col", default="doc_id")
     pr.set_defaults(fn=cmd_pagerank)
+
+    ig = sub.add_parser("ingest", help="normalize warc/jsonl/csv/text/"
+                                       "parquet corpora to documents "
+                                       "parquet")
+    ig.add_argument("--path", required=True)
+    ig.add_argument("--out", required=True)
+    ig.add_argument("--format", default="jsonl",
+                    choices=["warc", "jsonl", "csv", "text", "parquet"])
+    ig.add_argument("--text-field", default="text")
+    ig.add_argument("--key-field", default="id")
+    ig.set_defaults(fn=cmd_ingest)
 
     mx = sub.add_parser("mix", help="rebalance corpus to target domain "
                                     "proportions (downsample-only)")
