@@ -72,6 +72,21 @@ def read_text_dir(spark: SparkSession, path: str, glob: str = "*.txt",
     return normalize_docs(raw, "value", "path", source=source)
 
 
+def write_docs(docs: DataFrame, out: str, fmt: str = "parquet") -> None:
+    """Canonical-relation sink: parquet (default), jsonl, or csv —
+    Spark-native distributed writers; WARC export lives in
+    sources/warc.py write_warc_dir (manifest-returning)."""
+    if fmt == "parquet":
+        docs.write.mode("overwrite").parquet(out)
+    elif fmt == "jsonl":
+        docs.write.mode("overwrite").json(out)
+    elif fmt == "csv":
+        (docs.write.mode("overwrite")
+         .option("header", "true").option("quoteAll", "true").csv(out))
+    else:
+        raise ValueError(f"unsupported sink format: {fmt}")
+
+
 def read_warc_docs(spark: SparkSession, path: str,
                    source: str = "warc") -> DataFrame:
     """WARC archives -> documents (one archive file per task; see

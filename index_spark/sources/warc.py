@@ -125,6 +125,34 @@ def parse_warc(blobs: DataFrame, payload_col: str = "payload") -> DataFrame:
     return blobs.select(payload_col).mapInPandas(fn, schema=_PARSE_SCHEMA)
 
 
+def write_warc_dir(docs: DataFrame, out_dir: str, docs_per_file: int = 50,
+                   text_col: str = "text", id_col: str = "doc_id"
+                   ) -> DataFrame:
+    """Distributed WARC sink: every task writes its own archive files
+    (``part-<file_id>.warc``) and the returned MANIFEST relation
+    (file_id, path, n_bytes) is the only thing that crosses the wire —
+    archive bytes never touch the driver.  ``out_dir`` must be
+    executor-reachable (shared filesystem on a real cluster)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    files = build_warc_files(docs, docs_per_file=docs_per_file,
+                             text_col=text_col, id_col=id_col)
+
+    def fn(it):
+        for pdf in it:
+            rows = []
+            for fid, payload in zip(pdf["file_id"], pdf["payload"]):
+                p = os.path.join(out_dir, f"part-{int(fid):08d}.warc")
+                with open(p, "wb") as f:
+                    f.write(bytes(payload))
+                rows.append((int(fid), p, len(payload)))
+            yield pd.DataFrame(rows,
+                               columns=["file_id", "path", "n_bytes"])
+
+    return files.mapInPandas(fn, "file_id long, path string, n_bytes long")
+
+
 def read_warc_dir(spark, path: str) -> DataFrame:
     """Parse every ``*.warc`` archive under ``path`` — one file per task
     (the Common Crawl parallelism unit)."""

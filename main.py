@@ -439,6 +439,26 @@ def cmd_ingest(args) -> None:
                       "format": args.format}))
 
 
+def cmd_export(args) -> None:
+    """Export a documents parquet to jsonl / csv / warc."""
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    if args.format == "warc":
+        from pyspark.sql import functions as F
+
+        from index_spark.sources.warc import write_warc_dir
+        manifest = write_warc_dir(docs, args.out,
+                                  docs_per_file=args.docs_per_file)
+        stats = manifest.agg(F.count("*").alias("files"),
+                             F.sum("n_bytes").alias("bytes")).first()
+        print(json.dumps({"files": stats["files"],
+                          "bytes": int(stats["bytes"])}))
+    else:
+        from index_spark.sources.ingest import write_docs
+        write_docs(docs, args.out, fmt=args.format)
+        print(json.dumps({"docs": docs.count(), "format": args.format}))
+
+
 def cmd_mix(args) -> None:
     """Rebalance a corpus to target domain proportions (largest
     downsample-only subset; deterministic per-row draw)."""
@@ -732,6 +752,15 @@ def main(argv=None) -> None:
     ig.add_argument("--text-field", default="text")
     ig.add_argument("--key-field", default="id")
     ig.set_defaults(fn=cmd_ingest)
+
+    ex = sub.add_parser("export", help="export documents parquet to "
+                                       "jsonl/csv/warc")
+    ex.add_argument("--docs", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--format", default="jsonl",
+                    choices=["jsonl", "csv", "warc", "parquet"])
+    ex.add_argument("--docs-per-file", type=int, default=50)
+    ex.set_defaults(fn=cmd_export)
 
     mx = sub.add_parser("mix", help="rebalance corpus to target domain "
                                     "proportions (downsample-only)")

@@ -106,3 +106,32 @@ def test_normalize_docs_id_is_partitioning_invariant(spark):
     b = {r.doc_id for r in
          normalize_docs(df.repartition(7), "t", "k").collect()}
     assert a == b and len(a) == 50
+
+
+# ------------------------------------------------------------------ sinks
+
+def test_write_warc_dir_manifest_and_roundtrip(spark, tmp_path):
+    docs = _docs(spark, [f"body {i}" for i in range(10)])
+    out = str(tmp_path / "warc")
+    from index_spark.sources.warc import write_warc_dir
+    mrows = write_warc_dir(docs, out, docs_per_file=4).collect()
+    assert len(mrows) == 3  # ceil(10/4)
+    back = read_warc_docs(spark, out)
+    assert sorted(r.text for r in back.collect()) == \
+        sorted(f"body {i}" for i in range(10))
+
+
+def test_write_docs_jsonl_roundtrip(spark, tmp_path):
+    from index_spark.sources.ingest import write_docs
+    docs = _docs(spark, ["alpha", "beta"]).withColumn("source", F.lit("x"))
+    out = str(tmp_path / "j")
+    write_docs(docs, out, fmt="jsonl")
+    back = read_jsonl_docs(spark, out, text_field="text",
+                           key_field="doc_id")
+    assert sorted(r.text for r in back.collect()) == ["alpha", "beta"]
+
+
+def test_write_docs_rejects_unknown_format(spark, tmp_path):
+    from index_spark.sources.ingest import write_docs
+    with pytest.raises(ValueError):
+        write_docs(_docs(spark, ["x"]), str(tmp_path / "o"), fmt="xml")
