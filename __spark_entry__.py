@@ -2637,7 +2637,7 @@ inter AS (
 ), ppairs AS (
   SELECT doc_a, doc_id AS doc_b FROM (
     SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(substr(text, 1, 60))) AS doc_a
-    FROM documents)
+    FROM documents WHERE text IS NOT NULL)
   WHERE doc_id > doc_a
 ), edges AS (
   SELECT doc_a AS u, doc_b AS v FROM jpairs
@@ -2682,20 +2682,21 @@ FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"""
 
 # BPE merge-learning oracle: the pinned contract (overlapping adjacent
 # pair counts weighted by word frequency; argmax with (count desc, lhs,
-# rhs) ties; left-to-right non-overlapping merge via SQL replace — both
-# engines resume scanning after a replacement, which IS the BPE merge
-# rule) unrolled one CTE triple per round.
+# rhs) ties; DOUBLE-space symbol encoding so the replace pattern takes
+# one space from each gap and the scan resumes ON the next delimiter —
+# reference BPE's left-to-right merge-and-skip) unrolled one CTE triple
+# per round.
 _BPE_ROUND_DUCK = """
 p{i} AS (
   SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(freq) AS c
   FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
-        FROM (SELECT freq, string_split(trim(s), ' ') AS syms FROM w{p}))
+        FROM (SELECT freq, list_filter(string_split(trim(s), ' '), x -> x <> '') AS syms FROM w{p}))
   GROUP BY lhs, rhs
 ), m{i} AS (
   SELECT lhs, rhs, c FROM p{i} ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1
 ), w{i} AS (
   SELECT word, freq,
-         replace(s, ' ' || m.lhs || ' ' || m.rhs || ' ', ' ' || m.lhs || m.rhs || ' ') AS s
+         replace(s, ' ' || m.lhs || '  ' || m.rhs || ' ', ' ' || m.lhs || m.rhs || ' ') AS s
   FROM w{p} CROSS JOIN m{i} m
 ),"""
 
@@ -2710,7 +2711,7 @@ def _bpe_duck_sql(n_merges: int) -> str:
     return f"""
 WITH w0 AS (
   SELECT word, CAST(count(*) AS BIGINT) AS freq,
-         ' ' || array_to_string(list_transform(range(1, length(word) + 1), i -> word[i:i]), ' ') || ' ' AS s
+         '  ' || array_to_string(list_transform(range(1, length(word) + 1), i -> word[i:i]), '  ') || '  ' AS s
   FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
         FROM documents)
   GROUP BY word
@@ -2810,8 +2811,12 @@ def _r04s5_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
         jac = (ngram_jaccard_pairs(docs, n=3, threshold=0.2,
                                    text_col="text", id_col="doc_id")
                .select("doc_a", "doc_b"))
-        pref = docs.select(F.md5(F.substring("text", 1, 60)).alias("p"),
-                           F.col("doc_id"))
+        # NULL-text docs form no pairs on EITHER side (a NULL join key
+        # never matches in Spark, but a window PARTITION BY would group
+        # all NULLs together in SQL — pin the exclusion explicitly)
+        pref = (docs.where(F.col("text").isNotNull())
+                .select(F.md5(F.substring("text", 1, 60)).alias("p"),
+                        F.col("doc_id")))
         groups = pref.groupBy("p").agg(F.min("doc_id").alias("doc_a"))
         ppairs = (pref.join(groups, "p")
                   .where(F.col("doc_id") > F.col("doc_a"))
@@ -2855,7 +2860,10 @@ def _r04s5_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
         files = build_warc_files(docs, docs_per_file=50)
         parsed = parse_warc(files)
         return parsed.select(
-            F.substring("target_uri", -8, 8).cast("long").alias("doc_id"),
+            # full numeric suffix after 'doc' — substring(-8) would
+            # truncate ids wider than the %08d minimum
+            F.regexp_extract("target_uri", r"doc(-?[0-9]+)$", 1)
+            .cast("long").alias("doc_id"),
             F.col("content_length").alias("n_bytes"),
             F.md5("text").alias("text_md5"))
 
@@ -2864,7 +2872,7 @@ def _r04s5_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         rates = mixture_rates(docs, _MIX_TARGETS)
-        kept = balance_corpus(docs, _MIX_TARGETS)
+        kept = balance_corpus(docs, _MIX_TARGETS, rates=rates)
         kc = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
         return (rates.join(kc, "source", "left")
                 .select("source", "n_docs",

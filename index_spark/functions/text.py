@@ -29,6 +29,13 @@ import pandas as pd
 
 _CAMEL_RE = re.compile(r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+# The SQL-parity tokenizer spec (simple_tokens: lower -> split on
+# [^a-z0-9]+ -> drop empties) as a Spark SQL expression template.  The
+# ONE definition every pure-SQL operator (lm, bpe, contamination, the
+# driver oracles) formats with its text column — change it here or
+# engine/oracle parity silently breaks.
+TOKENS_SQL = "filter(split(lower({col}), '[^a-z0-9]+'), x -> x != '')"
 # single-pass equivalent of camel-split + lower + [a-z0-9]+ extraction,
 # valid on ASCII text: an acronym run, a Capitalized run, or a lower run
 _FAST_RE = re.compile(

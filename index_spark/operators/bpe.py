@@ -7,15 +7,18 @@ the SQL oracle):
 
 - words: the engine's simple-token spec (lower, split [^a-z0-9]+);
   frequency = corpus occurrence count.
-- a word's symbol state is a single-space-delimited, space-padded
-  string (`" c a t "`), one symbol per char initially.
+- a word's symbol state is a DOUBLE-space-delimited, double-space-
+  padded string (`"  c  a  t  "`), one symbol per char initially.
 - per round: count EVERY adjacent symbol position weighted by word
   frequency (overlapping counts, as in the reference implementation's
   get_stats); best pair = max count, ties to (left asc, right asc);
-  merge application = left-to-right non-overlapping, exactly the
-  semantics of SQL `replace(s, ' l r ', ' lr ')` — both engines scan
-  left-to-right and resume after the replacement, so `a a a` merges to
-  `aa a`, matching BPE.
+  merge application is `replace(s, ' l  r ', ' lr ')`.  The pattern
+  takes ONE space from each double-space gap, so the scan resumes ON
+  the following delimiter and an immediately repeated pair still
+  matches: `a  a  a  a` -> `aa  aa`, exactly reference BPE's
+  left-to-right merge-and-skip.  (A single-space encoding would eat
+  the shared delimiter and silently skip every second occurrence of a
+  repeated pair — pinned by test.)
 
 Scale shape (100 TB): the state lives on the word-frequency relation
 (vocabulary-bounded, millions of rows — not the corpus), each round is
@@ -32,10 +35,10 @@ from pyspark.sql import functions as F
 
 __all__ = ["word_freqs", "learn_bpe", "apply_bpe"]
 
-_TOKS = "filter(split(lower({col}), '[^a-z0-9]+'), x -> x != '')"
-# one symbol per char, space-delimited and space-padded
-_CHARS = ("concat(' ', array_join(transform(sequence(1, length(word)), "
-          "i -> substring(word, i, 1)), ' '), ' ')")
+from index_spark.functions.text import TOKENS_SQL as _TOKS  # noqa: E402
+# one symbol per char, DOUBLE-space-delimited and double-space-padded
+_CHARS = ("concat('  ', array_join(transform(sequence(1, length(word)), "
+          "i -> substring(word, i, 1)), '  '), '  ')")
 
 
 def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -47,7 +50,7 @@ def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
-    syms = words.select("freq", F.split(F.trim("s"), " ").alias("syms"))
+    syms = words.select("freq", F.split(F.trim("s"), " +").alias("syms"))
     return (syms.where(F.size("syms") >= 2)
             .select("freq", F.explode(F.transform(
                 F.sequence(F.lit(0), F.size("syms") - 2),
@@ -79,7 +82,7 @@ def learn_bpe(docs: DataFrame, n_merges: int = 10,
             raise ValueError(f"non-alphanumeric symbol: {best}")
         rules.append(Row(rank=rank, lhs=best["lhs"], rhs=best["rhs"],
                          pair_count=int(best["c"])))
-        pat = f" {best['lhs']} {best['rhs']} "
+        pat = f" {best['lhs']}  {best['rhs']} "
         rep = f" {best['lhs']}{best['rhs']} "
         words = (words.withColumn(
                     "s", F.expr(f"replace(s, '{pat}', '{rep}')"))
@@ -100,9 +103,9 @@ def apply_bpe(df: DataFrame, merges: list[tuple[str, str]],
             raise ValueError(f"non-alphanumeric merge symbol: {(lhs, rhs)}")
     s = _CHARS.replace("word", "w")
     for lhs, rhs in merges:
-        s = f"replace({s}, ' {lhs} {rhs} ', ' {lhs}{rhs} ')"
+        s = f"replace({s}, ' {lhs}  {rhs} ', ' {lhs}{rhs} ')"
     toks = _TOKS.format(col=text_col)
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.expr(f"flatten(transform({toks}, w -> split(trim({s}), ' ')))"
+        F.expr(f"flatten(transform({toks}, w -> split(trim({s}), ' +')))"
                ).alias("tokens"))

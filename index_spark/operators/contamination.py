@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_TOKS = "filter(split(lower({col}), '[^a-z0-9]+'), x -> x != '')"
+from index_spark.functions.text import TOKENS_SQL as _TOKS  # noqa: E402
 
 
 def _grams_expr(n: int, toks: str = "_toks") -> str:

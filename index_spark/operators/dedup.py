@@ -676,6 +676,13 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a",
     checksum aggregate (count / endpoint sums / xxhash64 sum), so the
     driver never sees edge rows.
     """
+    for c in (id_a, id_b):
+        kind = dict(pairs.dtypes)[c]
+        if kind not in ("tinyint", "smallint", "int", "bigint"):
+            # cast('long') on strings yields NULLs that silently wipe
+            # every assignment — hash non-numeric ids (xxhash64) first
+            raise TypeError(
+                f"pair column {c!r} must be integral, got {kind}")
     e = (pairs.select(F.col(id_a).cast("long").alias("a"),
                       F.col(id_b).cast("long").alias("b"))
          .where(F.col("a") != F.col("b"))
@@ -706,6 +713,10 @@ def dup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     assignment from a near-dup pair relation; docs in no pair are their
     own singleton cluster.  Keep-first policy over clusters = keep rows
     where cluster == doc_id."""
+    kind = dict(df.dtypes)[id_col]
+    if kind not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(f"doc id column {id_col!r} must be integral, "
+                        f"got {kind} (hash string ids with xxhash64 first)")
     assign = connected_components(pairs, id_a=id_a, id_b=id_b)
     return (df.select(F.col(id_col).cast("long").alias(id_col))
             .join(assign.withColumnRenamed("node", id_col), id_col, "left")

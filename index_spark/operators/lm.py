@@ -29,7 +29,7 @@ __all__ = ["doc_bigrams", "bigram_lm_scores"]
 
 # SQL-parity tokenizer spec (functions/text.py simple_tokens):
 # lower -> split on [^a-z0-9]+ -> drop empties
-_TOKS = "filter(split(lower({col}), '[^a-z0-9]+'), x -> x != '')"
+from index_spark.functions.text import TOKENS_SQL as _TOKS  # noqa: E402
 
 
 def doc_bigrams(docs: DataFrame, text_col: str = "text",
@@ -56,6 +56,10 @@ def bigram_lm_scores(docs: DataFrame, reference: DataFrame | None = None,
     gating).  xent = -avg ln P(w2|w1), rounded at 4; docs with fewer than
     2 tokens score NULL with n_bigrams = 0.  Gate usage: keep docs below
     a corpus-quantile xent cut."""
+    if not alpha > 0:
+        # alpha=0 would turn unseen bigrams into log(0) = NULL, which
+        # avg() silently DROPS — junk documents would score low xent
+        raise ValueError(f"alpha must be > 0, got {alpha}")
     ref = docs if reference is None else reference
     train = doc_bigrams(ref, text_col=text_col, id_col=id_col)
     c12 = train.groupBy("w1", "w2").agg(
@@ -66,7 +70,10 @@ def bigram_lm_scores(docs: DataFrame, reference: DataFrame | None = None,
                 F.expr(_TOKS.format(col=text_col))).alias("t"))
              .agg(F.countDistinct("t").cast("double").alias("v")))
 
-    score = doc_bigrams(docs, text_col=text_col, id_col=id_col)
+    # self-scoring reuses the training bigram relation (one definition;
+    # Catalyst can reuse the exchange instead of re-tokenizing)
+    score = train if reference is None else \
+        doc_bigrams(docs, text_col=text_col, id_col=id_col)
     # left joins: a bigram / context unseen in the reference smooths to
     # count 0 (P = alpha / (c1 + alpha*V)) instead of being dropped
     per_doc = (score.join(c12, ["w1", "w2"], "left")

@@ -108,12 +108,16 @@ _THR_SQL = ("CASE WHEN rate >= 1.0 THEN 'g' ELSE "
 
 def balance_corpus(df: DataFrame, targets: dict[str, float],
                    strata_col: str = "source", key_col: str = "doc_id",
-                   salt: str = "mixture") -> DataFrame:
+                   salt: str = "mixture",
+                   rates: DataFrame | None = None) -> DataFrame:
     """The rebalanced corpus: rows kept by the deterministic per-row
     draw against their stratum's :func:`mixture_rates` rate.  The rate
     relation is stratum-bounded, so it broadcast-joins; the draw is the
-    same (key, salt) contract as :func:`sample_stratified`."""
-    rates = mixture_rates(df, targets, strata_col)
+    same (key, salt) contract as :func:`sample_stratified`.  Pass a
+    precomputed ``rates`` relation to avoid re-aggregating the corpus
+    when the caller also reports the rates."""
+    if rates is None:
+        rates = mixture_rates(df, targets, strata_col)
     out = df.join(F.broadcast(rates.select(strata_col, "rate")),
                   strata_col, "inner")
     return (out.where(_u_hex(key_col, salt) < F.expr(_THR_SQL))

@@ -100,6 +100,10 @@ def _parse_one(buf: bytes) -> list[tuple]:
         except ValueError:
             pos = hdr_end + 4
             continue  # malformed: resync at next magic
+        if clen < 0:
+            # negative length would move pos BACKWARD and loop forever
+            pos = hdr_end + 4
+            continue
         body_start = hdr_end + 4
         if body_start + clen > n:
             break  # truncated payload

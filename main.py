@@ -449,8 +449,9 @@ def cmd_export(args) -> None:
         from index_spark.sources.warc import write_warc_dir
         manifest = write_warc_dir(docs, args.out,
                                   docs_per_file=args.docs_per_file)
-        stats = manifest.agg(F.count("*").alias("files"),
-                             F.sum("n_bytes").alias("bytes")).first()
+        stats = manifest.agg(
+            F.count("*").alias("files"),
+            F.coalesce(F.sum("n_bytes"), F.lit(0)).alias("bytes")).first()
         print(json.dumps({"files": stats["files"],
                           "bytes": int(stats["bytes"])}))
     else:
@@ -469,12 +470,13 @@ def cmd_mix(args) -> None:
     spark = _spark(args)
     docs = spark.read.parquet(args.docs)
     targets = {k: float(v) for k, v in json.loads(args.targets).items()}
+    rates_df = mixture_rates(docs, targets,
+                             strata_col=args.strata_col).persist()
     kept = balance_corpus(docs, targets, strata_col=args.strata_col,
-                          key_col=args.id_col)
+                          key_col=args.id_col, rates=rates_df)
     kept.write.mode("overwrite").parquet(args.out)
     rates = {r[args.strata_col]: round(r["rate"], 4)
-             for r in mixture_rates(docs, targets,
-                                    strata_col=args.strata_col).collect()}
+             for r in rates_df.collect()}
     per = {r[args.strata_col]: r["n"] for r in
            spark.read.parquet(args.out).groupBy(args.strata_col)
            .agg(F.count("*").alias("n")).collect()}

@@ -67,6 +67,25 @@ def test_learn_bpe_overlap_semantics(spark):
     assert apply_bpe(docs, [("a", "a")]).collect()[0].tokens == ["aa", "a"]
 
 
+def test_apply_bpe_repeated_pairs_merge_like_reference(spark):
+    # the cases a single-space encoding gets WRONG: immediately repeated
+    # pairs must all merge (scan resumes on the next delimiter)
+    docs = _docs(spark, ["aaaa aaaaa abab ababab"])
+    toks = apply_bpe(docs, [("a", "a")]).collect()[0].tokens
+    assert toks == ["aa", "aa", "aa", "aa", "a",
+                    "a", "b", "a", "b", "a", "b", "a", "b", "a", "b"]
+    toks2 = apply_bpe(docs, [("a", "b")]).collect()[0].tokens
+    assert toks2 == ["a", "a", "a", "a", "a", "a", "a", "a", "a",
+                     "ab", "ab", "ab", "ab", "ab"]
+
+
+def test_learn_bpe_matches_python_reference_on_repetitions(spark):
+    texts = ["aaaa abab banana bananas", "aa ab ba anana", "banana aaaa"]
+    got = [(r.rank, r.lhs, r.rhs, r.pair_count)
+           for r in learn_bpe(_docs(spark, texts), n_merges=5).collect()]
+    assert got == _python_bpe(texts, 5)
+
+
 def test_learn_bpe_exhausts_pairs_early(spark):
     # single-char vocabulary: no adjacent pairs at all
     got = learn_bpe(_docs(spark, ["a b c a"]), n_merges=5).collect()

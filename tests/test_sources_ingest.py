@@ -135,3 +135,15 @@ def test_write_docs_rejects_unknown_format(spark, tmp_path):
     from index_spark.sources.ingest import write_docs
     with pytest.raises(ValueError):
         write_docs(_docs(spark, ["x"]), str(tmp_path / "o"), fmt="xml")
+
+
+def test_warc_negative_content_length_resyncs(spark, tmp_path):
+    # a negative Content-Length must not loop forever or emit rows
+    evil = (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+            b"WARC-Target-URI: http://x/e\r\nContent-Length: -60\r\n\r\n")
+    docs = _docs(spark, ["good doc"])
+    good = b"".join(bytes(r.payload) for r in
+                    build_warc_files(docs, docs_per_file=1).collect())
+    (tmp_path / "m.warc").write_bytes(evil + good)
+    rows = read_warc_dir(spark, str(tmp_path)).collect()
+    assert len(rows) == 1 and rows[0].text == "good doc"
