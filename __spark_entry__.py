@@ -2750,6 +2750,41 @@ SELECT r.source, r.n_docs, round(r.rate, 6) AS rate,
 FROM rates r LEFT JOIN kc ON r.source = kc.source"""
 
 
+# corpus profiling: exact length-metric quantiles (both engines pin
+# LINEAR interpolation — Spark percentile == DuckDB quantile_cont,
+# probed equal to the last ulp). Exact percentile buffers per group:
+# right for oracle parity here; at 100 TB swap percentile_approx
+# (t-digest sketch, same call shape).
+_PROFILE_SPARK = """
+WITH m AS (
+  SELECT 'n_chars' AS metric, CAST(n_chars AS DOUBLE) AS v FROM documents
+  UNION ALL
+  SELECT 'n_tokens', CAST(size(filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')) AS DOUBLE)
+  FROM documents
+)
+SELECT metric,
+       round(percentile(v, 0.25), 4) AS p25,
+       round(percentile(v, 0.5), 4) AS p50,
+       round(percentile(v, 0.75), 4) AS p75,
+       round(percentile(v, 0.95), 4) AS p95,
+       round(avg(v), 4) AS mean
+FROM m GROUP BY metric"""
+_PROFILE_DUCK = """
+WITH m AS (
+  SELECT 'n_chars' AS metric, CAST(n_chars AS DOUBLE) AS v FROM documents
+  UNION ALL
+  SELECT 'n_tokens', CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS DOUBLE)
+  FROM documents
+)
+SELECT metric,
+       round(quantile_cont(v, 0.25), 4) AS p25,
+       round(quantile_cont(v, 0.5), 4) AS p50,
+       round(quantile_cont(v, 0.75), 4) AS p75,
+       round(quantile_cont(v, 0.95), 4) AS p95,
+       round(avg(v), 4) AS mean
+FROM m GROUP BY metric"""
+
+
 # PageRank oracle: the similarity graph restated (3-gram Jaccard >= 0.2
 # pairs, symmetrized) and the power iteration UNROLLED as per-iteration
 # CTEs with the engine's pinned arithmetic contract:
@@ -3096,6 +3131,8 @@ def _build_registry():
     add("pagerank_scores", eng5["pagerank_scores"], _pagerank_duck_sql(3))
     add("bpe_merges", eng5["bpe_merges"], _bpe_duck_sql(8))
     add("mixture_balance", eng5["mixture_balance"], _ORACLE_MIXTURE_DUCK)
+    add("corpus_profile", _sql_query(["documents"], _PROFILE_SPARK),
+        _PROFILE_DUCK)
     add("warc_roundtrip", eng5["warc_roundtrip"], """
 SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS text_md5
 FROM documents""")
@@ -3148,7 +3185,8 @@ _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  # session 5
                                  "dup_clusters", "lm_xent",
                                  "pagerank_scores", "bpe_merges",
-                                 "mixture_balance", "warc_roundtrip"})
+                                 "mixture_balance", "warc_roundtrip",
+                                 "corpus_profile"})
 
 
 # ---------------------------------------------------------------------------
