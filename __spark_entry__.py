@@ -2785,6 +2785,49 @@ SELECT metric,
 FROM m GROUP BY metric"""
 
 
+# logistic-regression quality-classifier oracle: hashed features (the
+# md5-nibble bucket — the one hash both engines share), two full-batch
+# GD steps UNROLLED (w0 = 0 makes step 1's p exactly 0.5), final
+# sigmoid scores for every doc. Labels: y = (lang = 'en').
+def _lr_bucket_duck(term: str, dim: int) -> str:
+    nib = [f"(instr('0123456789abcdef', substr(md5({term}), {i}, 1)) - 1)"
+           for i in (1, 2, 3, 4)]
+    return (f"(({nib[0]} * 4096 + {nib[1]} * 256 + {nib[2]} * 16 "
+            f"+ {nib[3]}) % {dim})")
+
+
+_ORACLE_LR_QUALITY_DUCK = f"""
+WITH toksrc AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+  FROM documents
+),
+tb AS (SELECT doc_id, {_lr_bucket_duck('t', 64)} AS feat FROM toksrc),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dlen FROM tb GROUP BY doc_id),
+f AS (SELECT tb.doc_id, tb.feat, count(*) / dl.dlen AS val
+      FROM tb JOIN dl ON tb.doc_id = dl.doc_id
+      GROUP BY tb.doc_id, tb.feat, dl.dlen),
+lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END AS y FROM documents),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
+g1 AS (SELECT f.feat, sum(f.val * (0.5 - lab.y)) / nn.n AS g
+       FROM f JOIN lab ON f.doc_id = lab.doc_id CROSS JOIN nn
+       GROUP BY f.feat, nn.n),
+w1 AS (SELECT feat, 0.0 - 1.0 * g AS w FROM g1),
+m2 AS (SELECT f.doc_id, sum(f.val * coalesce(w1.w, 0.0)) AS m
+       FROM f LEFT JOIN w1 ON f.feat = w1.feat GROUP BY f.doc_id),
+p2 AS (SELECT doc_id, 1.0 / (1.0 + exp(-m)) AS p FROM m2),
+g2 AS (SELECT f.feat, sum(f.val * (p2.p - lab.y)) / nn.n AS g
+       FROM f JOIN p2 ON f.doc_id = p2.doc_id
+       JOIN lab ON f.doc_id = lab.doc_id CROSS JOIN nn
+       GROUP BY f.feat, nn.n),
+w2 AS (SELECT w1.feat, w1.w - 1.0 * g2.g AS w
+       FROM w1 JOIN g2 ON w1.feat = g2.feat),
+mf AS (SELECT f.doc_id, sum(f.val * coalesce(w2.w, 0.0)) AS m
+       FROM f LEFT JOIN w2 ON f.feat = w2.feat GROUP BY f.doc_id)
+SELECT d.doc_id, round(1.0 / (1.0 + exp(-coalesce(mf.m, 0.0))), 4) AS prob
+FROM documents d LEFT JOIN mf ON d.doc_id = mf.doc_id"""
+
+
 # PageRank oracle: the similarity graph restated (3-gram Jaccard >= 0.2
 # pairs, symmetrized) and the power iteration UNROLLED as per-iteration
 # CTEs with the engine's pinned arithmetic contract:
@@ -2915,10 +2958,25 @@ def _r04s5_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
                         F.coalesce(F.col("n_kept"), F.lit(0))
                         .cast("long").alias("n_kept")))
 
+    def lr_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.classifier import (hashed_features,
+                                                      score_logreg,
+                                                      train_logreg)
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        labels = docs.select("doc_id",
+                             F.when(F.col("lang") == "en", 1.0)
+                             .otherwise(0.0).alias("y"))
+        feats = hashed_features(docs, dim=64)
+        w = train_logreg(feats, labels, iters=2, lr=1.0)
+        return (score_logreg(docs, feats, w)
+                .select("doc_id", F.round("prob", 4).alias("prob")))
+
     return {"dup_clusters": dup_clusters_q, "lm_xent": lm_xent_q,
             "pagerank_scores": pagerank_q, "bpe_merges": bpe_merges_q,
             "mixture_balance": mixture_balance_q,
-            "warc_roundtrip": warc_roundtrip_q}
+            "warc_roundtrip": warc_roundtrip_q,
+            "lr_quality": lr_quality_q}
 
 
 def _build_registry():
@@ -3133,6 +3191,7 @@ def _build_registry():
     add("mixture_balance", eng5["mixture_balance"], _ORACLE_MIXTURE_DUCK)
     add("corpus_profile", _sql_query(["documents"], _PROFILE_SPARK),
         _PROFILE_DUCK)
+    add("lr_quality", eng5["lr_quality"], _ORACLE_LR_QUALITY_DUCK)
     add("warc_roundtrip", eng5["warc_roundtrip"], """
 SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS text_md5
 FROM documents""")
@@ -3186,7 +3245,7 @@ _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  "dup_clusters", "lm_xent",
                                  "pagerank_scores", "bpe_merges",
                                  "mixture_balance", "warc_roundtrip",
-                                 "corpus_profile"})
+                                 "corpus_profile", "lr_quality"})
 
 
 # ---------------------------------------------------------------------------

@@ -483,6 +483,29 @@ def cmd_mix(args) -> None:
     print(json.dumps({"rates": rates, "kept_by_stratum": per}))
 
 
+def cmd_classify(args) -> None:
+    """Train a hashed-BoW logistic-regression quality classifier on a
+    labeled parquet (doc_id, y) and score the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from index_spark.operators.classifier import (hashed_features,
+                                                  score_logreg, train_logreg)
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    labels = spark.read.parquet(args.labels)
+    feats = hashed_features(docs, dim=args.dim, text_col=args.text_col,
+                            id_col=args.id_col)
+    w = train_logreg(feats, labels, iters=args.iters, lr=args.lr)
+    out = score_logreg(docs, feats, w, id_col=args.id_col)
+    out.write.mode("overwrite").parquet(args.out)
+    stats = (spark.read.parquet(args.out)
+             .agg(F.count("*").alias("n"),
+                  F.round(F.avg("prob"), 4).alias("mean_prob")).first())
+    print(json.dumps({"docs": stats["n"], "mean_prob": stats["mean_prob"],
+                      "dim": args.dim, "iters": args.iters}))
+
+
 def cmd_bpe(args) -> None:
     """Learn BPE merges over a corpus; optionally tokenize it with them."""
     from index_spark.operators.bpe import apply_bpe, learn_bpe
@@ -773,6 +796,19 @@ def main(argv=None) -> None:
     mx.add_argument("--strata-col", default="source")
     mx.add_argument("--id-col", default="doc_id")
     mx.set_defaults(fn=cmd_mix)
+
+    cf = sub.add_parser("classify", help="train + apply a hashed-BoW "
+                                         "logreg quality classifier")
+    cf.add_argument("--docs", required=True)
+    cf.add_argument("--labels", required=True,
+                    help="parquet (doc_id, y) with y in {0,1}")
+    cf.add_argument("--out", required=True)
+    cf.add_argument("--dim", type=int, default=4096)
+    cf.add_argument("--iters", type=int, default=8)
+    cf.add_argument("--lr", type=float, default=1.0)
+    cf.add_argument("--text-col", default="text")
+    cf.add_argument("--id-col", default="doc_id")
+    cf.set_defaults(fn=cmd_classify)
 
     bp = sub.add_parser("bpe", help="BPE tokenizer-vocabulary induction "
                                     "(+ optional corpus tokenization)")
