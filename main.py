@@ -483,6 +483,88 @@ def cmd_mix(args) -> None:
     print(json.dumps({"rates": rates, "kept_by_stratum": per}))
 
 
+def cmd_pipeline(args) -> None:
+    """End-to-end training-data pipeline over a canonical documents
+    parquet: curation gates -> transitive near-dup keep-first ->
+    optional LM quantile gate -> optional mixture rebalance -> splits
+    -> curated documents parquet (+ optional searchable index store).
+    Every stage writes its relation under --workdir and the manifest
+    records per-stage counts."""
+    from pyspark.sql import functions as F
+
+    from index_spark.operators.curate import curate_corpus, kept
+    from index_spark.operators.dedup import (dup_clusters,
+                                             minhash_near_dup_pairs)
+    from index_spark.operators.sample import assign_splits, balance_corpus
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    wd = args.workdir
+    manifest = {"input_docs": docs.count()}
+
+    # 1. curation gates (exact dup + token/alpha stats)
+    verdicts = curate_corpus(docs, min_tokens=args.min_tokens)
+    verdicts.write.mode("overwrite").parquet(f"{wd}/curation")
+    docs = kept(docs, spark.read.parquet(f"{wd}/curation")).persist()
+    manifest["after_curation"] = docs.count()
+
+    # 2. transitive near-dup keep-first (MinHash/LSH pairs -> components)
+    pairs = minhash_near_dup_pairs(docs).select("doc_a", "doc_b")
+    clusters = dup_clusters(docs, pairs)
+    clusters.write.mode("overwrite").parquet(f"{wd}/dup_clusters")
+    winners = (spark.read.parquet(f"{wd}/dup_clusters")
+               .where(F.col("cluster") == F.col("doc_id"))
+               .select("doc_id"))
+    docs = docs.join(winners, "doc_id", "left_semi").persist()
+    manifest["after_near_dup"] = docs.count()
+
+    # 3. optional LM cross-entropy quantile gate (drops the high tail)
+    if args.lm_quantile is not None:
+        from index_spark.operators.lm import bigram_lm_scores
+
+        scores = bigram_lm_scores(docs)
+        scores.write.mode("overwrite").parquet(f"{wd}/lm_scores")
+        scores = spark.read.parquet(f"{wd}/lm_scores")
+        cut = scores.agg(F.expr(
+            f"percentile(xent, {float(args.lm_quantile)})").alias("c"))
+        keep_ids = (scores.crossJoin(cut)
+                    .where(F.col("xent").isNull() | (F.col("xent") <= F.col("c")))
+                    .select("doc_id"))
+        docs = docs.join(keep_ids, "doc_id", "left_semi").persist()
+        manifest["after_lm_gate"] = docs.count()
+
+    # 4. optional domain-mixture rebalance
+    if args.targets:
+        targets = {k: float(v) for k, v in json.loads(args.targets).items()}
+        docs = balance_corpus(docs, targets).persist()
+        manifest["after_mixture"] = docs.count()
+
+    # 5. deterministic splits + final relation
+    out = assign_splits(docs)
+    out.write.mode("overwrite").parquet(f"{wd}/documents")
+    final = spark.read.parquet(f"{wd}/documents")
+    manifest["final_docs"] = final.count()
+    manifest["by_split"] = {r["split"]: r["n"] for r in
+                            final.groupBy("split")
+                            .agg(F.count("*").alias("n")).collect()}
+
+    # 6. optional searchable index store over the curated corpus
+    if args.build_index:
+        from index_spark.plans.checkpoint import build_chunked
+
+        corpus = final.select(
+            F.col("source").alias("repo"),
+            F.format_string("doc%d", F.col("doc_id")).alias("path"),
+            F.col("text").alias("content"))
+        report = build_chunked(spark, corpus, f"{wd}/index_store",
+                               shard_size=args.shard_size)
+        manifest["index_chunks"] = report["n_chunks"]
+
+    with open(f"{wd}/pipeline.json", "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    print(json.dumps(manifest))
+
+
 def cmd_classify(args) -> None:
     """Train a hashed-BoW logistic-regression quality classifier on a
     labeled parquet (doc_id, y) and score the whole corpus."""
@@ -796,6 +878,23 @@ def main(argv=None) -> None:
     mx.add_argument("--strata-col", default="source")
     mx.add_argument("--id-col", default="doc_id")
     mx.set_defaults(fn=cmd_mix)
+
+    pl = sub.add_parser("pipeline", help="end-to-end curation pipeline: "
+                                         "gates -> near-dup clusters -> "
+                                         "LM gate -> mixture -> splits "
+                                         "(-> index store)")
+    pl.add_argument("--docs", required=True,
+                    help="canonical documents parquet (run `ingest` "
+                         "first for other formats)")
+    pl.add_argument("--workdir", required=True)
+    pl.add_argument("--min-tokens", type=int, default=5)
+    pl.add_argument("--lm-quantile", type=float, default=None,
+                    help="drop docs above this xent quantile (e.g. 0.95)")
+    pl.add_argument("--targets", default=None,
+                    help='JSON {"source_value": share, ...}')
+    pl.add_argument("--build-index", action="store_true")
+    pl.add_argument("--shard-size", type=int, default=1024)
+    pl.set_defaults(fn=cmd_pipeline)
 
     cf = sub.add_parser("classify", help="train + apply a hashed-BoW "
                                          "logreg quality classifier")
