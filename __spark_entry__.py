@@ -2958,6 +2958,34 @@ def _r04s5_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
                         F.coalesce(F.col("n_kept"), F.lit(0))
                         .cast("long").alias("n_kept")))
 
+    def events_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # engine mechanism: union-and-window carry-forward; oracle
+        # mechanism: DuckDB's NATIVE ASOF JOIN — independent on purpose.
+        # right side pre-aggregated to one row per (user, ts) so ties
+        # are deterministic in both engines.
+        from index_spark.operators.temporal import asof_join
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        clicks = (ev.where(F.col("event_type") == "click")
+                  .groupBy("user_id", "ts")
+                  .agg(F.max("value").alias("click_value")))
+        out = asof_join(ev.select("event_id", "user_id", "ts"), clicks,
+                        on="ts", by="user_id")
+        return out.select("event_id",
+                          F.round("click_value_asof", 4)
+                          .alias("last_click_value"))
+
+    def events_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.temporal import range_join
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        iv = (ev.groupBy("user_id").agg(F.min("ts").alias("start"))
+              .withColumn("end", F.col("start") + F.expr("INTERVAL 1 HOUR")))
+        joined = range_join(ev.select("event_id", "user_id", "ts"), iv,
+                            by="user_id", bucket_seconds=3600)
+        return (joined.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_first_hour")))
+
     def lr_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.classifier import (hashed_features,
                                                       score_logreg,
@@ -2976,7 +3004,9 @@ def _r04s5_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
             "pagerank_scores": pagerank_q, "bpe_merges": bpe_merges_q,
             "mixture_balance": mixture_balance_q,
             "warc_roundtrip": warc_roundtrip_q,
-            "lr_quality": lr_quality_q}
+            "lr_quality": lr_quality_q,
+            "events_asof": events_asof_q,
+            "events_range": events_range_q}
 
 
 def _build_registry():
@@ -3192,6 +3222,23 @@ def _build_registry():
     add("corpus_profile", _sql_query(["documents"], _PROFILE_SPARK),
         _PROFILE_DUCK)
     add("lr_quality", eng5["lr_quality"], _ORACLE_LR_QUALITY_DUCK)
+    add("events_asof", eng5["events_asof"], """
+WITH clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT e.event_id, round(c.click_value, 4) AS last_click_value
+FROM events e ASOF LEFT JOIN clicks c
+  ON e.user_id = c.user_id AND e.ts >= c.ts""")
+    add("events_range", eng5["events_range"], """
+WITH iv AS (
+  SELECT user_id, min(ts) AS s, min(ts) + INTERVAL 1 HOUR AS e
+  FROM events GROUP BY user_id
+)
+SELECT ev.user_id, CAST(count(*) AS BIGINT) AS n_first_hour
+FROM events ev
+JOIN iv ON ev.user_id = iv.user_id AND ev.ts >= iv.s AND ev.ts <= iv.e
+GROUP BY ev.user_id""")
     add("warc_roundtrip", eng5["warc_roundtrip"], """
 SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS text_md5
 FROM documents""")
@@ -3245,7 +3292,8 @@ _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  "dup_clusters", "lm_xent",
                                  "pagerank_scores", "bpe_merges",
                                  "mixture_balance", "warc_roundtrip",
-                                 "corpus_profile", "lr_quality"})
+                                 "corpus_profile", "lr_quality",
+                                 "events_asof", "events_range"})
 
 
 # ---------------------------------------------------------------------------
