@@ -2986,6 +2986,15 @@ def _r04s5_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
         return (joined.groupBy("user_id")
                 .agg(F.count(F.lit(1)).alias("n_first_hour")))
 
+    def events_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # one explode+aggregate pass for all granularities; the oracle
+        # computes each level independently and UNION ALLs them
+        from index_spark.operators.temporal import rollup_timeseries
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return rollup_timeseries(ev, granularities=["hour", "day"],
+                                 by=["event_type"])
+
     def lr_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.classifier import (hashed_features,
                                                       score_logreg,
@@ -3006,7 +3015,8 @@ def _r04s5_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
             "warc_roundtrip": warc_roundtrip_q,
             "lr_quality": lr_quality_q,
             "events_asof": events_asof_q,
-            "events_range": events_range_q}
+            "events_range": events_range_q,
+            "events_rollup": events_rollup_q}
 
 
 def _build_registry():
@@ -3239,6 +3249,16 @@ SELECT ev.user_id, CAST(count(*) AS BIGINT) AS n_first_hour
 FROM events ev
 JOIN iv ON ev.user_id = iv.user_id AND ev.ts >= iv.s AND ev.ts <= iv.e
 GROUP BY ev.user_id""")
+    add("events_rollup", eng5["events_rollup"], """
+SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', date_trunc('day', ts), event_type,
+       CAST(count(*) AS BIGINT),
+       round(sum(value), 4), round(avg(value), 4)
+FROM events GROUP BY 2, 3""")
     add("warc_roundtrip", eng5["warc_roundtrip"], """
 SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS text_md5
 FROM documents""")
@@ -3293,7 +3313,8 @@ _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  "pagerank_scores", "bpe_merges",
                                  "mixture_balance", "warc_roundtrip",
                                  "corpus_profile", "lr_quality",
-                                 "events_asof", "events_range"})
+                                 "events_asof", "events_range",
+                                 "events_rollup"})
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "rollup_timeseries"]
+
+
+def rollup_timeseries(events: DataFrame, ts_col: str = "ts",
+                      granularities: list[str] | None = None,
+                      by: list[str] | None = None,
+                      value_col: str = "value") -> DataFrame:
+    """Hypertable-style continuous aggregate: (granularity, bucket,
+    *by, n_events, sum_value, avg_value) for EVERY granularity in ONE
+    pass — each row explodes to its (granularity, truncated-ts) pairs
+    and a single map-side-combinable aggregate covers all levels, so k
+    granularities cost one shuffle, not k scans.  Granularities are
+    ``date_trunc`` units ('hour', 'day', 'week', ...)."""
+    grans = granularities or ["hour", "day"]
+    keys = by or []
+    pairs = F.array(*[
+        F.struct(F.lit(g).alias("granularity"),
+                 F.date_trunc(g, F.col(ts_col)).alias("bucket"))
+        for g in grans])
+    ex = events.select(*keys, value_col, F.explode(pairs).alias("gb"))
+    return (ex.groupBy("gb.granularity", "gb.bucket", *keys)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(value_col), 4).alias("sum_value"),
+                 F.round(F.avg(value_col), 4).alias("avg_value")))
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",

@@ -92,3 +92,24 @@ def test_range_join_plan_is_equi_join(spark):
     plan = (range_join(_events(spark), _intervals(spark), by="user")
             ._jdf.queryExecution().optimizedPlan().toString())
     assert "CartesianProduct" not in plan and "Cross" not in plan
+
+
+def test_rollup_timeseries_one_shuffle_all_granularities(spark):
+    from index_spark.operators.temporal import rollup_timeseries
+
+    ev = spark.createDataFrame(
+        [(1, "a", T(2024, 1, 1, 10, 5), 2.0),
+         (2, "a", T(2024, 1, 1, 10, 50), 4.0),
+         (3, "b", T(2024, 1, 2, 11, 0), 10.0)],
+        "event_id long, event_type string, ts timestamp, value double")
+    out = rollup_timeseries(ev, granularities=["hour", "day"],
+                            by=["event_type"])
+    rows = {(r.granularity, r.bucket, r.event_type):
+            (r.n_events, r.sum_value, r.avg_value) for r in out.collect()}
+    assert rows[("hour", T(2024, 1, 1, 10, 0), "a")] == (2, 6.0, 3.0)
+    assert rows[("day", T(2024, 1, 1), "a")] == (2, 6.0, 3.0)
+    assert rows[("day", T(2024, 1, 2), "b")] == (1, 10.0, 10.0)
+    # ONE aggregate covers all levels (no per-granularity Union of
+    # scans); AQE decorates the physical string, so assert logically
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 1 and "Union" not in plan
