@@ -3019,6 +3019,138 @@ def _r04s5_engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
             "events_rollup": events_rollup_q}
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-6 entries: minimum_should_match, sort-by-field, stats
+# facet, scalar-quantized ANN
+# ---------------------------------------------------------------------------
+
+_ORACLE_MSM_TOPK = """
+, nmatch AS (
+  SELECT tf.doc_id, count(DISTINCT tf.term) AS n
+  FROM tf JOIN q ON tf.term = q.term
+  GROUP BY tf.doc_id
+)
+SELECT scores.doc_id, round(scores.score, 4) AS score
+FROM scores JOIN nmatch ON scores.doc_id = nmatch.doc_id
+WHERE nmatch.n >= 2
+ORDER BY round(scores.score, 4) DESC, scores.doc_id ASC LIMIT 10"""
+
+_ORACLE_SORTED_TOPK = """
+SELECT d.doc_id, d.n_chars
+FROM documents d
+JOIN (SELECT DISTINCT tf.doc_id FROM tf JOIN q ON tf.term = q.term) m
+  ON d.doc_id = m.doc_id
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10"""
+
+_ORACLE_STATS_FACET = """
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(d.n_chars) AS BIGINT) AS min_value,
+       CAST(max(d.n_chars) AS BIGINT) AS max_value,
+       round(avg(d.n_chars), 4) AS avg_value,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_value
+FROM documents d
+JOIN (SELECT DISTINCT tf.doc_id FROM tf JOIN q ON tf.term = q.term) m
+  ON d.doc_id = m.doc_id
+GROUP BY d.lang
+ORDER BY d.lang"""
+
+# scalar-quantized ANN: codes from per-dim (lo, hi) bounds, midpoint
+# dequantization, cosine vs the vec_id=0 embedding. Every arithmetic step
+# is pinned-operand-order IEEE-754 double math, so DuckDB reproduces the
+# codes bit-for-bit; the dot-product sum order differs (array fold vs
+# group sum), absorbed by round(4) as in emb_knn.
+_ORACLE_SQ_TOPK = """
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+b AS (
+  SELECT i, min(x) AS lo, max(x) AS hi FROM v GROUP BY i
+),
+q AS (SELECT i, x AS qx FROM v WHERE vec_id = 0),
+qn AS (SELECT sqrt(sum(qx * qx)) AS nq FROM q),
+c AS (
+  SELECT v.vec_id, v.i,
+         CASE WHEN b.hi - b.lo <= 0 THEN 0
+              ELSE least(255, greatest(0,
+                   CAST(floor((v.x - b.lo) / (b.hi - b.lo) * 255) AS INTEGER)))
+         END AS code,
+         b.lo, b.hi
+  FROM v JOIN b ON v.i = b.i
+),
+dq AS (
+  SELECT vec_id, i, (code + 0.5) * ((hi - lo) / 256.0) + lo AS y FROM c
+),
+s AS (
+  SELECT dq.vec_id, sum(dq.y * q.qx) AS dot, sqrt(sum(dq.y * dq.y)) AS nv
+  FROM dq JOIN q ON dq.i = q.i
+  GROUP BY dq.vec_id
+)
+SELECT s.vec_id, round(s.dot / (s.nv * qn.nq), 4) AS cos
+FROM s CROSS JOIN qn
+ORDER BY round(s.dot / (s.nv * qn.nq), 4) DESC, s.vec_id ASC
+LIMIT 10"""
+
+
+def _r04s6_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                  DataFrame]]:
+    def msm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # minimum_should_match: docs with >= 2 of the 3 query terms rank,
+        # scored by the full BM25 sum over their present terms — the
+        # OR/AND middle ground; the exhaustive kernel tracks per-doc
+        # distinct-term counts in the same scatter-add pass
+        from index_spark.operators.query import search
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        top = search(index, docs, stats, "data table query", k=10,
+                     stem=False, camel=False, shard_size=256, min_match=2)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    def sorted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # sort-by-attribute retrieval (ES sort replacing _score): match
+        # set enumerated without scoring, attribute joined on doc_id,
+        # global cut = TakeOrderedAndProject (k-row heap per task)
+        from index_spark.operators.analytics import sort_search
+
+        _, index, _ = _parity_build(spark, sf_dir)
+        meta = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return sort_search(index, meta, "data table query", by="n_chars",
+                           k=10, stem=False, camel=False)
+
+    def stats_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # metric aggregation over the match set grouped by a category
+        # (ES stats-inside-terms): one match-set join + one
+        # map-side-combinable aggregate
+        from index_spark.operators.analytics import facet_stats
+
+        _, index, _ = _parity_build(spark, sf_dir)
+        meta = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return facet_stats(index, meta, "data table query",
+                           value="n_chars", by="lang",
+                           stem=False, camel=False)
+
+    def sq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # int8 scalar-quantized ANN (FAISS SQ8 shape): per-dim bounds ->
+        # codes (4x smaller at rest) -> midpoint-dequantized cosine
+        # top-k, everything JVM codegen; the oracle recomputes the codes
+        # bit-for-bit from the same pinned double arithmetic
+        from index_spark.operators.similarity import (quantize_bounds,
+                                                      scalar_quantize,
+                                                      sq_topk)
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        lo, hi = quantize_bounds(emb)
+        codes = scalar_quantize(emb, lo, hi)
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+                .collect()[0]["embedding"]]
+        return sq_topk(codes, lo, hi, qvec, k=10)
+
+    return {"msm_topk": msm_topk, "sorted_topk": sorted_topk,
+            "stats_facet": stats_facet, "sq_topk": sq_topk_q}
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -3263,6 +3395,15 @@ FROM events GROUP BY 2, 3""")
 SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS text_md5
 FROM documents""")
 
+    eng6 = _r04s6_engine_queries()
+    add("msm_topk", eng6["msm_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_MSM_TOPK, [q_cte]))
+    add("sorted_topk", eng6["sorted_topk"],
+        _docs_sql("duck", _ORACLE_SORTED_TOPK, [q_cte]))
+    add("stats_facet", eng6["stats_facet"],
+        _docs_sql("duck", _ORACLE_STATS_FACET, [q_cte]))
+    add("sq_topk", eng6["sq_topk"], _ORACLE_SQ_TOPK)
+
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry
     # entries.  Front-load (a) entries that have never had a driver-side
@@ -3314,7 +3455,10 @@ _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  "mixture_balance", "warc_roundtrip",
                                  "corpus_profile", "lr_quality",
                                  "events_asof", "events_range",
-                                 "events_rollup"})
+                                 "events_rollup",
+                                 # session 6
+                                 "msm_topk", "sorted_topk",
+                                 "stats_facet", "sq_topk"})
 
 
 # ---------------------------------------------------------------------------

@@ -483,6 +483,60 @@ def facet_histogram(index: DataFrame, doc_meta: DataFrame, query: str,
             .orderBy("bucket"))
 
 
+def facet_stats(index: DataFrame, doc_meta: DataFrame, query: str,
+                value: str, by: str | None = None, mode: str = "or",
+                stem: bool = True, camel: bool = True,
+                zone: str | None = None) -> DataFrame:
+    """Metric aggregation over the match set (Elasticsearch ``stats``
+    aggregation): count/min/max/avg/sum of numeric attribute ``value``
+    across the docs matching the query, optionally grouped by category
+    ``by`` (``stats`` inside a ``terms`` bucket).
+
+    Same plan family as :func:`facet_counts` — match-set decode, doc_id
+    equi-join to the attribute dimension, one map-side-combinable
+    aggregate. Output is one row (``by=None``) or one row per group,
+    ordered by group key; every statistic is a partial-combinable
+    aggregate, so the plan is two exchanges total (match-set join +
+    final agg) regardless of match-set size."""
+    m = matching_docs(index, query, mode=mode, stem=stem, camel=camel,
+                      zone=zone)
+    cols = [F.col("doc_id").cast("long"), F.col(value).alias("_v")]
+    if by is not None:
+        cols.append(F.col(by))
+    joined = m.join(doc_meta.select(*cols), "doc_id")
+    aggs = [F.count("*").alias("n_docs"),
+            F.min("_v").alias("min_value"),
+            F.max("_v").alias("max_value"),
+            F.round(F.avg("_v"), 4).alias("avg_value"),
+            F.sum("_v").alias("sum_value")]
+    if by is None:
+        return joined.agg(*aggs)
+    return joined.groupBy(by).agg(*aggs).orderBy(by)
+
+
+def sort_search(index: DataFrame, doc_meta: DataFrame, query: str,
+                by: str, k: int = 10, ascending: bool = False,
+                mode: str = "or", stem: bool = True, camel: bool = True,
+                zone: str | None = None) -> DataFrame:
+    """Top-k matching docs ordered by a document ATTRIBUTE instead of
+    relevance (Lucene/ES ``sort`` — "newest matching", "longest
+    matching"). Returns (doc_id, <by>).
+
+    Scoring is skipped entirely (the ES contract when a sort replaces
+    ``_score``): the match set enumerates via the cheap doc-stream
+    decode (:func:`matching_docs`), joins the attribute dimension on
+    doc_id, and the global cut compiles to ``TakeOrderedAndProject`` —
+    each task keeps a k-row heap over its slice of the match set and
+    the driver merges k rows per task, so a billion-doc match set
+    never sorts fully or collects. Ties break by doc_id ascending for
+    a deterministic page."""
+    m = matching_docs(index, query, mode=mode, stem=stem, camel=camel,
+                      zone=zone)
+    meta = doc_meta.select(F.col("doc_id").cast("long"), F.col(by))
+    order = [F.asc(by) if ascending else F.desc(by), F.asc("doc_id")]
+    return m.join(meta, "doc_id").orderBy(*order).limit(k)
+
+
 _TV_SCHEMA = T.StructType([
     T.StructField("term", T.StringType(), False),
     T.StructField("tf", T.LongType(), False),

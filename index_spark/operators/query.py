@@ -109,7 +109,8 @@ def _score_shard_exhaustive(pdf: pd.DataFrame, avgdl: float, k: int,
                             banned: np.ndarray | None = None,
                             allowed: np.ndarray | None = None,
                             boost: tuple[np.ndarray, np.ndarray] | None = None,
-                            after: tuple[float, int] | None = None
+                            after: tuple[float, int] | None = None,
+                            min_match: int | None = None
                             ) -> pd.DataFrame:
     """Vectorized exhaustive DAAT over one shard (numpy scatter-add).
 
@@ -120,19 +121,33 @@ def _score_shard_exhaustive(pdf: pd.DataFrame, avgdl: float, k: int,
     likewise dropped before the cut.
     ``allowed``: optional sorted doc_id allow-set (restricted search) —
     candidates outside it drop before the cut; a doc's score is
-    unchanged by the restriction (same full-query BM25 sum)."""
+    unchanged by the restriction (same full-query BM25 sum).
+    ``min_match``: minimum number of DISTINCT query terms a doc must
+    contain to rank (Lucene/ES minimum_should_match); a doc's score
+    stays the full sum over its present terms. A term split across
+    merged doc-range segment rows counts once (rows of one term cover
+    disjoint doc ranges, so a doc hits at most one of them)."""
     lists = _decode_lists(pdf, avgdl)
     if not lists:
         return pd.DataFrame({"doc_id": [], "score": []})
     lo = min(int(l[1][0]) for l in lists)
     hi = max(int(l[1][-1]) for l in lists)
     acc = np.zeros(hi - lo + 1, dtype=np.float64)
+    nmatch = (np.zeros(hi - lo + 1, dtype=np.int32)
+              if min_match is not None else None)
     for _, docs, tfs, dls, idf, _, _, l_avgdl in lists:
         acc[docs - lo] += idf * tfs / (tfs + K1 * (1.0 - B + B * dls / l_avgdl))
+        if nmatch is not None:
+            nmatch[docs - lo] += 1
     nz = np.flatnonzero(acc)
     if nz.size == 0:
         return pd.DataFrame({"doc_id": [], "score": []})
     docs_out, scores_out = nz + lo, acc[nz]
+    if nmatch is not None:
+        keep = nmatch[nz] >= min_match
+        docs_out, scores_out = docs_out[keep], scores_out[keep]
+        if docs_out.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
     if allowed is not None:
         if allowed.size == 0:
             return pd.DataFrame({"doc_id": [], "score": []})
@@ -691,7 +706,8 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
            restrict: DataFrame | None = None,
            groups: dict[str, tuple[int, ...]] | None = None,
            boosts: DataFrame | None = None,
-           after: tuple[float, int] | None = None) -> DataFrame:
+           after: tuple[float, int] | None = None,
+           min_match: int | None = None) -> DataFrame:
     """Top-k BM25 over the sharded index. Returns (doc_id, score).
 
     ``use_wand``: True (always WAND), False (always exhaustive), or
@@ -761,6 +777,19 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
     one-exchange work as page 1 — no offset materialization. Applies
     after ``boosts``; forces the exhaustive OR kernel.
 
+    ``min_match`` (mode="or" only): minimum number of DISTINCT query
+    terms a doc must contain to rank (Lucene/ES minimum_should_match —
+    the middle ground between OR and AND). A doc's score stays the
+    full BM25 sum over its present terms; ``min_match=1`` is plain OR,
+    ``min_match=len(terms)`` matches AND's result set, a value above
+    the term count returns empty (the count gate is unsatisfiable).
+    Counting is shard-local-exact: a doc's postings for all its terms
+    live in its own doc-range shard, so the shard-local distinct-term
+    count IS the doc's global count. Forces the exhaustive kernel
+    (WAND's score-bound pruning could skip a term list whose presence
+    was exactly what satisfied the count gate); composes with
+    ``exclude``/``tombstones``/``restrict``/``boosts``/``after``.
+
     ``docs`` is accepted for API symmetry but unused — doc lengths live in
     the index (dl_blob); ``shard_size`` is only used to route
     ``tombstones`` (shard ids themselves are stored in the index).
@@ -803,7 +832,8 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
                               lambda pdf: _pick_scorer(pdf, use_wand),
                               tombstones, shard_size, merged_form,
                               restrict=restrict, groups=groups,
-                              boosts=boosts, after=after)
+                              boosts=boosts, after=after,
+                              min_match=min_match)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -817,7 +847,8 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
                       restrict: DataFrame | None = None,
                       groups: dict[str, tuple[int, ...]] | None = None,
                       boosts: DataFrame | None = None,
-                      after: tuple[float, int] | None = None
+                      after: tuple[float, int] | None = None,
+                      min_match: int | None = None
                       ) -> DataFrame:
     """Per-shard local top-k under OR/AND mode, term exclusions, and
     shard-cogrouped tombstones — shared by ``search``, ``search_dsl``
@@ -869,6 +900,12 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
                          "gate the match set)")
     if groups is not None and required is not None:
         raise ValueError("groups and required are mutually exclusive")
+    if min_match is not None:
+        if mode != "or":
+            raise ValueError("min_match applies to mode='or' (mode='and' "
+                             "already requires every term)")
+        if min_match < 1:
+            raise ValueError(f"min_match must be >= 1, got {min_match}")
     if groups is not None:
         n_req = len({g for gs in groups.values() for g in gs})
     else:
@@ -916,6 +953,14 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
             return _score_shard_conjunctive(spdf, avgdl, k, n_req, excl,
                                             banned, required, allowed,
                                             groups, boost, after)
+        if min_match is not None:
+            # m-of-n gating needs per-doc term counts — the exhaustive
+            # scatter-add tracks them for free; WAND's score-bound
+            # pruning could drop a doc whose pruned terms were exactly
+            # the ones satisfying the count gate
+            return _score_shard_exhaustive(spdf, avgdl, k, excl, banned,
+                                           allowed, boost, after,
+                                           min_match)
         if boost is not None or after is not None:
             # exhaustive whenever boosting or paginating (see
             # docstring); the allowed set folds in as the kernel's

@@ -329,3 +329,94 @@ def embedding_near_dup_pairs(bucketed: DataFrame, threshold: float = 0.95,
         .where(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+def quantize_bounds(emb: DataFrame, vec_col: str = "embedding"
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension global (min, max) over an embedding column — the
+    training pass of int8 scalar quantization (FAISS ``SQ8`` family).
+
+    One posexplode + map-side-combinable min/max aggregate: the shuffle
+    carries at most ``partitions x dim`` partial rows and the collect is
+    ``dim`` rows — metadata-scale, same bounded-collect contract as
+    k-means centroids. Returns (lo, hi) float64 arrays of length dim."""
+    rows = (emb.select(F.posexplode(vec_col).alias("i", "x"))
+               .groupBy("i")
+               .agg(F.min(F.col("x").cast("double")).alias("lo"),
+                    F.max(F.col("x").cast("double")).alias("hi"))
+               .orderBy("i").collect())
+    lo = np.array([r["lo"] for r in rows], dtype=np.float64)
+    hi = np.array([r["hi"] for r in rows], dtype=np.float64)
+    return lo, hi
+
+
+def scalar_quantize(emb: DataFrame, lo: np.ndarray, hi: np.ndarray,
+                    vec_col: str = "embedding", id_col: str = "vec_id"
+                    ) -> DataFrame:
+    """Encode vectors to int8-range codes: (vec_id, codes array<int>).
+
+    ``code_i = clamp(floor((x_i - lo_i) / (hi_i - lo_i) * 255), 0, 255)``
+    (a constant dimension — ``hi == lo`` — encodes 0). Pure JVM codegen
+    (two chained ``zip_with`` against dim-bounded literal arrays, no
+    UDF): at 100 TB this is the map-only pass that shrinks a float32
+    corpus 4x, which is the difference between an in-memory and a
+    spilled ANN scan. The arithmetic is plain IEEE-754 double ops in a
+    pinned operand order, so any engine reproduces the codes bit-for-bit
+    (the driver oracle restates it in DuckDB)."""
+    lo_a = F.array(*[F.lit(float(v)) for v in lo])
+    rng_a = F.array(*[F.lit(float(h) - float(l)) for l, h in zip(lo, hi)])
+    d = F.zip_with(F.col(vec_col), lo_a, lambda x, l: x.cast("double") - l)
+    codes = F.zip_with(
+        d, rng_a,
+        lambda dv, r: F.when(r <= 0, F.lit(0)).otherwise(
+            F.least(F.lit(255), F.greatest(F.lit(0), F.floor(
+                dv / r * 255).cast("int")))))
+    return emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                      codes.alias("codes"))
+
+
+def sq_topk(codes_df: DataFrame, lo: np.ndarray, hi: np.ndarray,
+            qvec: list[float], k: int = 10, rerank: int = 0,
+            emb: DataFrame | None = None, vec_col: str = "embedding",
+            id_col: str = "vec_id") -> DataFrame:
+    """Cosine top-k over scalar-quantized codes: (vec_id, cos).
+
+    Each code dequantizes to its cell midpoint
+    ``lo_i + (code_i + 0.5) * (hi_i - lo_i) / 256`` and scores against
+    the query with the same JVM ``zip_with``/``aggregate`` arithmetic as
+    the exact path — a map-only scan over the 4x-smaller codes table.
+
+    ``rerank > 0`` is the standard two-stage serve: take the top
+    ``rerank`` candidates by quantized score (ordered by rounded score
+    then vec_id, so the cut is deterministic), join their FULL vectors
+    back from ``emb`` (a k-row-bounded equi-join), and return the exact
+    cosine top-k of that pool — quantization then costs recall only if
+    the true top-k falls outside the candidate pool."""
+    if rerank and emb is None:
+        raise ValueError("rerank > 0 needs the full-precision `emb` table")
+    # zip_with is binary; fold (codes, lo, rng) as two zips: first
+    # midpoint offset (code+0.5)*rng/256, then shift by lo per dimension
+    rng_a = F.array(*[F.lit((float(h) - float(l)) / 256.0)
+                      for l, h in zip(lo, hi)])
+    lo_a = F.array(*[F.lit(float(v)) for v in lo])
+    mid = F.zip_with(F.col("codes"), rng_a,
+                     lambda c, r: (c.cast("double") + 0.5) * r)
+    dq = F.zip_with(mid, lo_a, lambda m, l: m + l)
+    q = np.asarray(qvec, dtype=np.float64)
+    nq = float(np.sqrt((q * q).sum()))
+    q_a = F.array(*[F.lit(float(v)) for v in q])
+    dot = F.aggregate(F.zip_with(dq, q_a, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nv = F.sqrt(F.aggregate(F.transform(dq, lambda a: a * a),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    scored = codes_df.select("vec_id",
+                             F.round(dot / (nv * F.lit(nq)), 4).alias("cos"))
+    if not rerank:
+        return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+    pool = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(rerank) \
+                 .select("vec_id")
+    exact = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                       F.round(_cos_expr(vec_col, list(map(float, qvec))),
+                               4).alias("cos"))
+    return (pool.join(exact, "vec_id")
+            .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))
