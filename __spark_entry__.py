@@ -3094,6 +3094,15 @@ ORDER BY round(s.dot / (s.nv * qn.nq), 4) DESC, s.vec_id ASC
 LIMIT 10"""
 
 
+def _fim_duck_sql(rate: float = 0.5) -> str:
+    from index_spark.operators.chunk import fim_exprs
+
+    fim, sample = fim_exprs(rate=rate)
+    return (f"SELECT doc_id, {fim} AS fim, "
+            f"CASE WHEN {fim} THEN {sample} ELSE text END AS sample "
+            f"FROM documents")
+
+
 def _r04s6_engine_queries() -> dict[str, Callable[[SparkSession, str],
                                                   DataFrame]]:
     def msm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3131,6 +3140,17 @@ def _r04s6_engine_queries() -> dict[str, Callable[[SparkSession, str],
                            value="n_chars", by="lang",
                            stem=False, camel=False)
 
+    def fim_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # fill-in-the-middle training samples (PSM): deterministic md5
+        # draw picks the docs, two md5-word cuts split each into
+        # prefix/middle/suffix, re-serialized <PRE>p<SUF>s<MID>m; the
+        # oracle runs the SAME expression strings (fim_exprs) in DuckDB,
+        # value-checking draw + cuts + re-serialization
+        from index_spark.operators.chunk import fim_split
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return fim_split(docs, rate=0.5)
+
     def sq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # int8 scalar-quantized ANN (FAISS SQ8 shape): per-dim bounds ->
         # codes (4x smaller at rest) -> midpoint-dequantized cosine
@@ -3148,7 +3168,8 @@ def _r04s6_engine_queries() -> dict[str, Callable[[SparkSession, str],
         return sq_topk(codes, lo, hi, qvec, k=10)
 
     return {"msm_topk": msm_topk, "sorted_topk": sorted_topk,
-            "stats_facet": stats_facet, "sq_topk": sq_topk_q}
+            "stats_facet": stats_facet, "sq_topk": sq_topk_q,
+            "fim_samples": fim_samples}
 
 
 def _build_registry():
@@ -3403,6 +3424,7 @@ FROM documents""")
     add("stats_facet", eng6["stats_facet"],
         _docs_sql("duck", _ORACLE_STATS_FACET, [q_cte]))
     add("sq_topk", eng6["sq_topk"], _ORACLE_SQ_TOPK)
+    add("fim_samples", eng6["fim_samples"], _fim_duck_sql())
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry
@@ -3458,7 +3480,8 @@ _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  "events_rollup",
                                  # session 6
                                  "msm_topk", "sorted_topk",
-                                 "stats_facet", "sq_topk"})
+                                 "stats_facet", "sq_topk",
+                                 "fim_samples"})
 
 
 # ---------------------------------------------------------------------------

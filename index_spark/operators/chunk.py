@@ -67,3 +67,73 @@ def chunk_documents(df: DataFrame, chunk_size: int = 128, overlap: int = 0,
                    F.size("_w").cast("long").alias("n_tokens"),
                    F.array_join("_w", " ").alias("chunk_text")))
     return out
+
+
+# --------------------------------------------------------------------- FIM
+
+_FIM_HEX = "0123456789abcdef"
+
+
+def _hex_word_sql(key_expr: str, salt: str) -> str:
+    """A deterministic 32-bit uniform word from md5(key ':' salt) — the
+    dialect-shared nibble decode (``instr`` of the hex alphabet; md5 is
+    the one hash Spark and DuckDB both expose, cf.
+    ``classifier._bucket_sql``). Pure SQL string so the driver oracle
+    restates it verbatim."""
+    h = f"md5(concat({key_expr}, ':{salt}'))"
+    # bigint per nibble: the high-nibble multiplier (16^7) overflows
+    # 32-bit int arithmetic in both dialects otherwise
+    nibs = [f"cast(instr('{_FIM_HEX}', substr({h}, {i}, 1)) - 1 as bigint)"
+            for i in range(1, 9)]
+    terms = " + ".join(f"{n} * {16 ** (7 - j)}" for j, n in enumerate(nibs))
+    return f"({terms})"
+
+
+def fim_exprs(rate: float = 0.5, salt: str = "fim", text_col: str = "text",
+              id_col: str = "doc_id", pre_tok: str = "<PRE>",
+              suf_tok: str = "<SUF>", mid_tok: str = "<MID>"
+              ) -> tuple[str, str]:
+    """The (fim_predicate, fim_sample) SQL expression pair — shared
+    between :func:`fim_split` and the driver's DuckDB oracle, so the
+    value check covers the draw, the cuts, and the re-serialization
+    with one source of truth."""
+    from index_spark.operators.sample import rate_threshold
+
+    key = f"cast({id_col} as string)"
+    n = f"length({text_col})"
+    c1 = f"({_hex_word_sql(key, salt + ':c1')} % ({n} + 1))"
+    c2 = f"({_hex_word_sql(key, salt + ':c2')} % ({n} + 1))"
+    lo, hi = f"least({c1}, {c2})", f"greatest({c1}, {c2})"
+    fim = (f"substr(md5(concat({key}, ':{salt}:apply')), 1, 8)"
+           f" < '{rate_threshold(rate)}'")
+    sample = (f"concat('{pre_tok}', substr({text_col}, 1, {lo}), "
+              f"'{suf_tok}', substr({text_col}, {hi} + 1), "
+              f"'{mid_tok}', substr({text_col}, {lo} + 1, {hi} - {lo}))")
+    return fim, sample
+
+
+def fim_split(df: DataFrame, rate: float = 0.5, salt: str = "fim",
+              text_col: str = "text", id_col: str = "doc_id",
+              pre_tok: str = "<PRE>", suf_tok: str = "<SUF>",
+              mid_tok: str = "<MID>") -> DataFrame:
+    """Fill-in-the-middle training-sample construction (Bavarian et al.
+    2022, PSM form): each selected document splits at two deterministic
+    character offsets into (prefix, middle, suffix) and re-serializes as
+    ``<PRE>prefix<SUF>suffix<MID>middle`` — the middle moves to the end
+    so an autoregressive LM learns infilling; unselected documents pass
+    through unchanged (``fim=false``).
+
+    Determinism contract (the :mod:`sample` md5 policy, not RNG): the
+    apply decision is the 8-hex md5 draw vs ``rate_threshold(rate)``;
+    the two cut offsets are independent 32-bit md5 words mod
+    ``len+1`` (order-normalized, so prefix/middle/suffix tile the
+    document exactly). Reruns, engines, and partitionings agree
+    byte-for-byte; everything is a map-only catalyst expression — no
+    UDF, no shuffle, no RNG. Returns (id, fim, sample)."""
+    fim, sample = fim_exprs(rate, salt, text_col, id_col,
+                            pre_tok, suf_tok, mid_tok)
+    return df.select(
+        F.col(id_col),
+        F.expr(fim).alias("fim"),
+        F.expr(f"CASE WHEN {fim} THEN {sample} ELSE {text_col} END")
+        .alias("sample"))

@@ -1133,10 +1133,12 @@ class QueryEngine:
                exclude: str | None = None,
                restrict: DataFrame | None = None,
                boosts: DataFrame | None = None,
-               after: tuple[float, int] | None = None
+               after: tuple[float, int] | None = None,
+               min_match: int | None = None
                ) -> list[tuple[int, float]]:
         df = self.topk_df(query, k, mode=mode, exclude=exclude,
-                          restrict=restrict, boosts=boosts, after=after)
+                          restrict=restrict, boosts=boosts, after=after,
+                          min_match=min_match)
         if df is None:
             return []
         return [(int(r["doc_id"]), float(r["score"])) for r in df.collect()]
@@ -1145,7 +1147,8 @@ class QueryEngine:
                 exclude: str | None = None,
                 restrict: DataFrame | None = None,
                 boosts: DataFrame | None = None,
-                after: tuple[float, int] | None = None
+                after: tuple[float, int] | None = None,
+                min_match: int | None = None
                 ) -> DataFrame | None:
         """The query's top-k plan as a DataFrame (None for empty/unknown
         queries) — collect() yields exactly k rows via the distributed
@@ -1157,7 +1160,8 @@ class QueryEngine:
         allow-set of :func:`search` — metadata-filtered serving, same
         shard-cogroup distribution. ``boosts`` / ``after`` are the
         function-scoring relation and deep-pagination cursor of
-        :func:`search` (both force the exhaustive OR kernel).
+        :func:`search` (both force the exhaustive OR kernel);
+        ``min_match`` the m-of-n count gate (likewise exhaustive).
         """
         if mode not in ("or", "and"):
             raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
@@ -1197,7 +1201,7 @@ class QueryEngine:
                                   k, pick, self._tombstones,
                                   self.shard_size, merged_form=False,
                                   restrict=restrict, boosts=boosts,
-                                  after=after)
+                                  after=after, min_match=min_match)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

@@ -104,7 +104,8 @@ def cmd_query(args) -> None:
         rows = search(index, None, stats, args.query, k=args.k,
                       mode=args.mode, exclude=args.exclude,
                       tombstones=tomb, boosts=boosts,
-                      after=after).collect()
+                      after=after,
+                      min_match=getattr(args, "min_match", None)).collect()
     print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]))
 
 
@@ -666,6 +667,9 @@ def main(argv=None) -> None:
     q.add_argument("--boosts", default=None,
                    help="parquet of (doc_id, boost) function-scoring "
                         "multipliers")
+    q.add_argument("--min-match", type=int, default=None, dest="min_match",
+                   help="minimum_should_match: docs must contain at least "
+                        "this many distinct query terms (mode=or)")
     q.add_argument("--after", default=None,
                    help="deep-pagination cursor 'score,doc_id' (the "
                         "previous page's last row)")

@@ -232,3 +232,41 @@ def test_sq_topk_rerank_requires_emb(emb):
     codes = scalar_quantize(df, lo, hi)
     with pytest.raises(ValueError, match="full-precision"):
         sq_topk(codes, lo, hi, [0.0] * 16, rerank=10)
+
+
+# ------------------------------------------------------------- FIM samples
+
+def test_fim_tiles_reconstruct_the_document(spark):
+    from index_spark.operators.chunk import fim_split
+    rows = [(i, f"doc {i} " + "abcdefghij" * (1 + i % 5)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.fim, r.sample)
+           for r in fim_split(df, rate=1.0).collect()}
+    texts = dict(rows)
+    assert all(f for f, _ in out.values())  # rate=1.0 selects every doc
+    for d, (f, s) in out.items():
+        assert s.startswith("<PRE>")
+        pre, rest = s[len("<PRE>"):].split("<SUF>", 1)
+        suf, mid = rest.split("<MID>", 1)
+        assert pre + mid + suf == texts[d], f"doc {d} does not tile"
+
+
+def test_fim_rate_and_passthrough(spark):
+    from index_spark.operators.chunk import fim_split
+    rows = [(i, "x" * 50) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = fim_split(df, rate=0.3).collect()
+    n_fim = sum(1 for r in out if r.fim)
+    assert abs(n_fim / 1000 - 0.3) < 0.05  # md5 draw ~ uniform
+    assert all(r.sample == "x" * 50 for r in out if not r.fim)
+    # deterministic across invocations and partitionings
+    again = {r.doc_id: r.sample
+             for r in fim_split(df.repartition(7), rate=0.3).collect()}
+    assert all(again[r.doc_id] == r.sample for r in out)
+
+
+def test_fim_empty_text_still_emits(spark):
+    from index_spark.operators.chunk import fim_split
+    df = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    r = fim_split(df, rate=1.0).collect()[0]
+    assert r.fim and r.sample == "<PRE><SUF><MID>"
