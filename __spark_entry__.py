@@ -3094,6 +3094,28 @@ ORDER BY round(s.dot / (s.nv * qn.nq), 4) DESC, s.vec_id ASC
 LIMIT 10"""
 
 
+_ORACLE_RESCORED_TOPK = """
+, cand AS (
+  SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id ASC LIMIT 30
+), posx2 AS (
+  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+        FROM documents) t
+), m AS (
+  SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM posx2 p0 JOIN posx2 p1 ON p1.doc_id = p0.doc_id
+       AND p1.pos - p0.pos BETWEEN 1 AND 5
+  WHERE p0.term = 'data' AND p1.term = 'table'
+  GROUP BY p0.doc_id
+)
+SELECT cand.doc_id,
+       round(cand.score + 0.5 * ln(1 + coalesce(m.n_matches, 0)), 4) AS score
+FROM cand LEFT JOIN m ON cand.doc_id = m.doc_id
+ORDER BY round(cand.score + 0.5 * ln(1 + coalesce(m.n_matches, 0)), 4) DESC,
+         cand.doc_id ASC
+LIMIT 10"""
+
+
 def _fim_duck_sql(rate: float = 0.5) -> str:
     from index_spark.operators.chunk import fim_exprs
 
@@ -3140,6 +3162,19 @@ def _r04s6_engine_queries() -> dict[str, Callable[[SparkSession, str],
                            value="n_chars", by="lang",
                            stem=False, camel=False)
 
+    def rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES-style rescore window: BM25 top-30 candidates, positional
+        # (data, table) pair-proximity recomputed ONLY for their shards,
+        # final = bm25 + 0.5 * ln(1 + n_matches)
+        from index_spark.operators.query import rescore_search
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        top = rescore_search(index, docs, stats, "data table query",
+                             "data", "table", k=10, rescore_window=30,
+                             weight=0.5, proximity_window=5, stem=False,
+                             camel=False, shard_size=256)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     def fim_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fill-in-the-middle training samples (PSM): deterministic md5
         # draw picks the docs, two md5-word cuts split each into
@@ -3169,7 +3204,7 @@ def _r04s6_engine_queries() -> dict[str, Callable[[SparkSession, str],
 
     return {"msm_topk": msm_topk, "sorted_topk": sorted_topk,
             "stats_facet": stats_facet, "sq_topk": sq_topk_q,
-            "fim_samples": fim_samples}
+            "fim_samples": fim_samples, "rescored_topk": rescored_topk}
 
 
 def _build_registry():
@@ -3425,6 +3460,8 @@ FROM documents""")
         _docs_sql("duck", _ORACLE_STATS_FACET, [q_cte]))
     add("sq_topk", eng6["sq_topk"], _ORACLE_SQ_TOPK)
     add("fim_samples", eng6["fim_samples"], _fim_duck_sql())
+    add("rescored_topk", eng6["rescored_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_RESCORED_TOPK, [q_cte]))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry
@@ -3481,7 +3518,7 @@ _R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
                                  # session 6
                                  "msm_topk", "sorted_topk",
                                  "stats_facet", "sq_topk",
-                                 "fim_samples"})
+                                 "fim_samples", "rescored_topk"})
 
 
 # ---------------------------------------------------------------------------

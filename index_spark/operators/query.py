@@ -2196,6 +2196,63 @@ def more_like_this(index: DataFrame, docs: DataFrame | None, stats: dict,
                   **kw)
 
 
+def rescore_search(index: DataFrame, docs: DataFrame | None, stats: dict,
+                   query: str, term_a: str, term_b: str, k: int = 10,
+                   rescore_window: int = 50, weight: float = 1.0,
+                   proximity_window: int = 5, stem: bool = True,
+                   camel: bool = True, shard_size: int = 4096,
+                   **kw) -> DataFrame:
+    """Two-stage retrieval with a proximity rescore window (the
+    Elasticsearch ``rescore`` API shape): stage 1 takes the top
+    ``rescore_window`` docs by plain BM25; stage 2 recomputes only
+    those candidates with a positional pair-proximity signal and
+    returns the top-k of ``bm25 + weight * ln(1 + n_matches)``, where
+    ``n_matches`` counts ordered (term_a, term_b) position pairs within
+    ``proximity_window`` (:func:`~index_spark.operators.phrase.
+    proximity_search` semantics; requires a positional index).
+
+    Scale contract: the expensive positional pass never touches the
+    whole corpus — stage-1 candidates are a k-bounded collect (the ES
+    contract: the window is small, same order as k), their doc-range
+    shards prune the positional scan to <= ``rescore_window`` shards,
+    and the rescore join is window-bounded. The log1p saturation keeps
+    a pathological candidate with thousands of pair hits from drowning
+    the relevance score (the standard rescore-combine shape)."""
+    from index_spark.operators.phrase import proximity_search
+
+    spark = index.sparkSession
+    top = search(index, docs, stats, query, k=rescore_window, stem=stem,
+                 camel=camel, shard_size=shard_size, **kw)
+    cand = top.collect()  # bounded by rescore_window
+    if not cand:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    ids = sorted(int(r["doc_id"]) for r in cand)
+    pruned = index
+    n_shards = 1
+    if "shard" in index.columns:
+        shards = sorted({d // shard_size for d in ids})
+        n_shards = len(shards)
+        pruned = index.filter(F.col("shard").isin(shards))
+    # the positional top-k must cover every doc in the pruned shards so
+    # no candidate's count is crowded out before the join-back
+    prox = proximity_search(pruned, None, term_a, term_b,
+                            window=proximity_window,
+                            k=n_shards * shard_size, stem=stem,
+                            camel=camel, shard_size=shard_size)
+    cand_df = spark.createDataFrame(
+        [(int(r["doc_id"]), float(r["score"])) for r in cand],
+        "doc_id long, score double")
+    # ln(1 + n) over an exact integer n (not log1p: the oracle restates
+    # ln(1 + n) and the two can differ in the last ulp)
+    rescored = (cand_df.join(prox, "doc_id", "left")
+                .select("doc_id",
+                        (F.col("score") + F.lit(float(weight))
+                         * F.log(F.coalesce(F.col("n_matches"), F.lit(0))
+                                 .cast("double") + F.lit(1.0)))
+                        .alias("score")))
+    return rescored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 MULTI_TOPK_SCHEMA = T.StructType([
     T.StructField("query_id", T.LongType(), False),
     T.StructField("doc_id", T.LongType(), False),

@@ -22,7 +22,7 @@ from index_spark.operators.similarity import (
 def built(spark, tiny_corpus):
     corpus = spark.createDataFrame(tiny_corpus)
     docs, index, stats = build_index(corpus, stem=False, camel=False,
-                                     shard_size=32)
+                                     shard_size=32, positions=True)
     return tiny_corpus, docs.persist(), index.persist(), stats
 
 
@@ -270,3 +270,59 @@ def test_fim_empty_text_still_emits(spark):
     df = spark.createDataFrame([(0, "")], "doc_id long, text string")
     r = fim_split(df, rate=1.0).collect()[0]
     assert r.fim and r.sample == "<PRE><SUF><MID>"
+
+
+# ---------------------------------------------------------- rescore window
+
+def test_rescore_matches_bruteforce(built):
+    import math
+
+    from index_spark.operators.query import rescore_search
+    tiny_corpus, docs, index, stats = built
+    W, K, weight, pwin = 40, 10, 0.7, 4
+    q = "import return def"
+    base = search(index, docs, stats, q, k=W, stem=False, camel=False,
+                  shard_size=32).collect()
+    # python proximity counts over the candidates
+    def pairs(text):
+        toks = tokenize(text, stem=False, camel=False)
+        pa = [i for i, t in enumerate(toks) if t == "import"]
+        pb = [i for i, t in enumerate(toks) if t == "return"]
+        return sum(1 for a in pa for b in pb if 0 < b - a <= pwin)
+    texts = {i: r.content
+             for i, r in enumerate(tiny_corpus.itertuples(index=False))}
+    want = sorted(
+        ((r.doc_id, r.score + weight * math.log(1 + pairs(texts[r.doc_id])))
+         for r in base), key=lambda x: (-x[1], x[0]))[:K]
+    got = [(r.doc_id, r.score)
+           for r in rescore_search(index, docs, stats, q, "import",
+                                   "return", k=K, rescore_window=W,
+                                   weight=weight, proximity_window=pwin,
+                                   stem=False, camel=False,
+                                   shard_size=32).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(got, want))
+
+
+def test_rescore_weight_zero_is_plain_topk(built):
+    from index_spark.operators.query import rescore_search
+    _, docs, index, stats = built
+    q = "import return def"
+    plain = [(r.doc_id, r.score)
+             for r in search(index, docs, stats, q, k=10, stem=False,
+                             camel=False, shard_size=32).collect()]
+    rz = [(r.doc_id, r.score)
+          for r in rescore_search(index, docs, stats, q, "import",
+                                  "return", k=10, rescore_window=40,
+                                  weight=0.0, stem=False, camel=False,
+                                  shard_size=32).collect()]
+    assert rz == plain
+
+
+def test_rescore_prunes_positional_scan_to_candidate_shards(built):
+    from index_spark.operators.query import rescore_search
+    _, docs, index, stats = built
+    out = rescore_search(index, docs, stats, "import return def",
+                         "import", "return", k=5, rescore_window=8,
+                         stem=False, camel=False, shard_size=32)
+    assert out.count() == 5  # materializes end-to-end with the pruning
