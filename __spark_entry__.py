@@ -3207,6 +3207,30 @@ def _r04s6_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "fim_samples": fim_samples, "rescored_topk": rescored_topk}
 
 
+def _r04s7_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                  DataFrame]]:
+    def fuzzy_trgm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the fuzzy SCALE path: candidate generation via the trigram
+        # gram-posting artifact (plans/trigram.py) — query grams pushed
+        # as a literal IN, q-gram count filter, levenshtein verify only
+        # on the bounded candidate set; same neighborhood as the full
+        # catalog scan, so the oracle is the plain edit-distance
+        # restatement
+        from index_spark.operators.query import search_fuzzy
+        from index_spark.plans.dictionary import dictionary_from_index
+        from index_spark.plans.trigram import trigram_postings
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        trgm = trigram_postings(dictionary_from_index(index))
+        top = search_fuzzy(index, docs, stats, "filtr groupp windw", k=10,
+                           max_dist=1, max_expansions=8,
+                           stem=False, camel=False, shard_size=256,
+                           trigram=trgm)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    return {"fuzzy_trgm_topk": fuzzy_trgm_topk}
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -3462,6 +3486,11 @@ FROM documents""")
     add("fim_samples", eng6["fim_samples"], _fim_duck_sql())
     add("rescored_topk", eng6["rescored_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_RESCORED_TOPK, [q_cte]))
+
+    eng7 = _r04s7_engine_queries()
+    add("fuzzy_trgm_topk", eng7["fuzzy_trgm_topk"],
+        _docs_sql("duck", _ORACLE_FUZZY_TOPK,
+                  [_terms_values_sql(["filtr", "groupp", "windw"])]))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -257,6 +257,18 @@ def main() -> None:
         search_fuzzy(idx, ddocs, dstats, "dat tabl qury", k=10,
                      shard_size=shard_size, dictionary=dic).collect()
         timings["fuzzy_query_dict"] = round(time.time() - t0, 3)
+        # trigram-path variant: gram-posting candidate generation — the
+        # 10^9-vocabulary shape where levenshtein runs only on the gram-
+        # bounded candidate set. Artifact derivation is prepare (it is
+        # published at compaction).
+        from index_spark.plans.trigram import trigram_postings
+        trg = trigram_postings(dic).persist()
+        trg.count()
+        t0 = time.time()
+        search_fuzzy(idx, ddocs, dstats, "dat tabl qury", k=10,
+                     shard_size=shard_size, trigram=trg).collect()
+        timings["fuzzy_query_trgm"] = round(time.time() - t0, 3)
+        trg.unpersist()
         dic.unpersist()
         allow = meta.filter(F.col("source") == "src3").select("doc_id")
         t0 = time.time()
@@ -500,7 +512,7 @@ def main() -> None:
                                    "ivf_recall_nprobe2", "build_200k",
                                    "build_200k_docs_per_sec",
                                    "facet_query", "fuzzy_query",
-                                   "fuzzy_query_dict",
+                                   "fuzzy_query_dict", "fuzzy_query_trgm",
                                    "restrict_query", "mlt_query",
                                    "pos_zone_build_200k",
                                    "phrase_query_200k", "zone_query_200k",

@@ -1595,7 +1595,8 @@ def term_prefix_stats(index: DataFrame | None, prefix: str, limit: int = 20,
 def fuzzy_expand(index: DataFrame | None, qterms: list[str],
                  max_dist: int = 1, max_expansions: int = 8,
                  zone: str | None = None,
-                 dictionary: DataFrame | None = None
+                 dictionary: DataFrame | None = None,
+                 trigram: DataFrame | None = None
                  ) -> dict[str, list[str]]:
     """Expand query terms to dictionary terms within Levenshtein
     distance ``max_dist``, at most ``max_expansions`` per query term
@@ -1612,7 +1613,17 @@ def fuzzy_expand(index: DataFrame | None, qterms: list[str],
     at query time — the sharded index is never touched (``index`` may
     be None).
 
-    Plan (either source): the catalog is filtered by the exact
+    ``trigram`` (the 10^9-vocabulary scale path): the gram-posting
+    artifact from :mod:`index_spark.plans.trigram`. The catalog paths
+    above still evaluate ``levenshtein`` against EVERY term row (the
+    predicate cannot row-group-prune); the trigram path instead
+    broadcasts the query's ~|q|+2 grams, equi-joins the gram postings
+    (sorted-by-gram at rest, so the scan prunes to the probed grams),
+    applies the q-gram count filter (a proven necessary condition for
+    ``edit_distance <= d``), and runs ``levenshtein`` only on that
+    bounded candidate set — same neighborhood, pinned by test.
+
+    Plan (catalog sources): the catalog is filtered by the exact
     length-band necessary condition (|len(t)-len(q)| <= dist) and the
     JVM ``levenshtein`` predicate, so only the edit-distance
     neighborhood — a bounded set per query term — ever shuffles; the
@@ -1626,6 +1637,38 @@ def fuzzy_expand(index: DataFrame | None, qterms: list[str],
 
     if not qterms:
         return {}
+    if trigram is not None:
+        from index_spark.plans.trigram import count_filter_bound, qgrams
+
+        spark = trigram.sparkSession
+        qg = [(t, len(t), g, occ) for t in qterms for g, occ in qgrams(t)]
+        qdf_g = spark.createDataFrame(
+            qg, "qterm string, qlen int, gram string, occ int")
+        # the gram set is driver-known and tiny (~|q|+2 per term), so a
+        # literal IN predicate pushes to the parquet scan and row-group-
+        # prunes the sorted-by-gram artifact BEFORE the join runs
+        gram_lits = sorted({g for _, _, g, _ in qg})
+        pairs = (trigram.filter(F.col("gram").isin(gram_lits))
+                 .join(F.broadcast(qdf_g), ["gram", "occ"])
+                 .groupBy("qterm", "term")
+                 .agg(F.count("*").alias("n_common"),
+                      F.first("length").alias("length"),
+                      F.first("qlen").alias("qlen"),
+                      F.first("df").alias("df_g"))
+                 .filter(F.col("n_common") >=
+                         count_filter_bound(F.col("qlen"), F.col("length"),
+                                            max_dist))
+                 .filter(F.levenshtein(F.col("term"), F.col("qterm"))
+                         <= max_dist))
+        w = Window.partitionBy("qterm").orderBy(F.desc("df_g"),
+                                                F.asc("term"))
+        rows = (pairs.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= max_expansions)
+                .select("qterm", "term").collect())
+        out: dict[str, list[str]] = {t: [] for t in qterms}
+        for r in rows:
+            out[r["qterm"]].append(r["term"])
+        return out
     lens = [len(t) for t in qterms]
     near_any = None
     for t in qterms:
@@ -1670,7 +1713,8 @@ def suggest_corrections(index: DataFrame | None, query: str,
                         max_dist: int = 1,
                         stem: bool = True, camel: bool = True,
                         zone: str | None = None,
-                        dictionary: DataFrame | None = None) -> DataFrame:
+                        dictionary: DataFrame | None = None,
+                        trigram: DataFrame | None = None) -> DataFrame:
     """"Did you mean": for each query term ABSENT from the dictionary,
     the most popular dictionary term within edit distance ``max_dist``
     (df desc, term asc — the same pinned order as
@@ -1698,7 +1742,8 @@ def suggest_corrections(index: DataFrame | None, query: str,
     if not missing:
         return spark.createDataFrame([], _SUGGEST_SCHEMA)
     exp = fuzzy_expand(index, missing, max_dist=max_dist,
-                       max_expansions=1, zone=zone, dictionary=dictionary)
+                       max_expansions=1, zone=zone, dictionary=dictionary,
+                       trigram=trigram)
     best = sorted({s for v in exp.values() for s in v})
     if not best:
         dfs: dict[str, int] = {}
@@ -1721,7 +1766,8 @@ def search_fuzzy(index: DataFrame, docs: DataFrame | None, stats: dict,
                  camel: bool = True, shard_size: int = 4096,
                  zone: str | None = None, mode: str = "or",
                  exclude: str | None = None,
-                 dictionary: DataFrame | None = None, **kw) -> DataFrame:
+                 dictionary: DataFrame | None = None,
+                 trigram: DataFrame | None = None, **kw) -> DataFrame:
     """Typo-tolerant top-k BM25: each query term expands to its
     edit-distance neighborhood in the index dictionary
     (:func:`fuzzy_expand`; pass ``dictionary`` — the compacted term
@@ -1748,7 +1794,7 @@ def search_fuzzy(index: DataFrame, docs: DataFrame | None, stats: dict,
     qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
     exp = fuzzy_expand(index, qterms, max_dist=max_dist,
                        max_expansions=max_expansions, zone=zone,
-                       dictionary=dictionary)
+                       dictionary=dictionary, trigram=trigram)
     terms = sorted({t for v in exp.values() for t in v})
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)

@@ -271,7 +271,8 @@ def compact_index(spark: SparkSession, out_dir: str,
                   force: bool = False,
                   serving_table: str | None = None,
                   serving_buckets: int = 64,
-                  n_term_buckets: int = DEFAULT_TERM_BUCKETS) -> dict:
+                  n_term_buckets: int = DEFAULT_TERM_BUCKETS,
+                  trigram: bool = False) -> dict:
     """Compact every committed chunk into the merged global index under
     ``<out_dir>/merged/index/tb=<k>/`` (term-hash-partitioned) — the
     background-merge step of the index lifecycle (build chunks online,
@@ -313,6 +314,13 @@ def compact_index(spark: SparkSession, out_dir: str,
     save_serving_index`) — the point-lookup layout — in the same
     compaction pass; the table name is recorded in the manifest.
 
+    ``trigram``: additionally publish the gram-posting artifact
+    (plans/trigram.py) that bounds fuzzy/spell candidate generation.
+    It is rebuilt from the (already incremental) dictionary each
+    compaction — O(vocabulary), which is millions of rows even at
+    10^12 docs, so an incremental gram fold is not worth its
+    complexity.
+
     Returns the manifest: {"chunks", "rows", "terms", "blob_bytes",
     "mode", "skipped", "wall_s", ...} plus fold accounting
     ({"buckets_rewritten", "terms_affected", "rows_folded",
@@ -338,6 +346,23 @@ def compact_index(spark: SparkSession, out_dir: str,
             and prev.get("chunks") == chunk_ids
             and prev.get("segment_bytes") == seg_bytes
             and prev.get("n_term_buckets") == n_term_buckets):
+        from index_spark.plans.trigram import trigram_path
+
+        if trigram and not os.path.isdir(trigram_path(out_dir)):
+            # merged form is current but the gram artifact was never
+            # published — derive it from the at-rest dictionary only
+            from index_spark.plans.dictionary import load_dictionary
+            from index_spark.plans.trigram import (
+                trigram_postings,
+                write_trigram_postings,
+            )
+
+            write_trigram_postings(
+                trigram_postings(load_dictionary(spark, out_dir)), out_dir)
+            prev["trigram"] = True
+            with open(mpath + ".tmp", "w") as f:
+                json.dump(prev, f, indent=1)
+            os.rename(mpath + ".tmp", mpath)
         prev["skipped"] = True
         return prev
 
@@ -369,6 +394,24 @@ def compact_index(spark: SparkSession, out_dir: str,
         save_serving_index(back, table=serving_table,
                            n_buckets=serving_buckets)
         manifest["serving_table"] = serving_table
+    if trigram:
+        from index_spark.plans.dictionary import load_dictionary
+        from index_spark.plans.trigram import (
+            trigram_path,
+            trigram_postings,
+            write_trigram_postings,
+        )
+
+        stage = trigram_path(out_dir) + "_stage"
+        write_trigram_postings(
+            trigram_postings(load_dictionary(spark, out_dir)),
+            out_dir, path=stage)
+        if os.path.isdir(trigram_path(out_dir)):
+            import shutil
+
+            shutil.rmtree(trigram_path(out_dir))
+        os.rename(stage, trigram_path(out_dir))
+        manifest["trigram"] = True
     tmp = mpath + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)

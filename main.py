@@ -96,10 +96,20 @@ def cmd_query(args) -> None:
         d = (load_dictionary(spark, args.index_dir)
              if os.path.isdir(dictionary_path(args.index_dir)) else None)
         fn = search_regex if args.regex else search_fuzzy
+        kw = {}
+        if not args.regex:
+            # gram-bounded candidate generation when the store has the
+            # trigram artifact (plans/trigram.py)
+            from index_spark.plans.trigram import (
+                load_trigram_postings,
+                trigram_path,
+            )
+            if os.path.isdir(trigram_path(args.index_dir)):
+                kw["trigram"] = load_trigram_postings(spark, args.index_dir)
         rows = fn(index, None, stats, args.query, k=args.k,
                   mode=args.mode, exclude=args.exclude,
                   tombstones=tomb, dictionary=d,
-                  boosts=boosts, after=after).collect()
+                  boosts=boosts, after=after, **kw).collect()
     else:
         rows = search(index, None, stats, args.query, k=args.k,
                       mode=args.mode, exclude=args.exclude,
@@ -236,7 +246,8 @@ def cmd_compact(args) -> None:
     from index_spark.plans.checkpoint import compact_index
 
     spark = _spark(args)
-    report = compact_index(spark, args.index_dir, force=args.force)
+    report = compact_index(spark, args.index_dir, force=args.force,
+                           trigram=args.trigram)
     print(json.dumps(report))
 
 
@@ -736,6 +747,9 @@ def main(argv=None) -> None:
                                        "serving index (idempotent)")
     c.add_argument("--index-dir", required=True)
     c.add_argument("--force", action="store_true")
+    c.add_argument("--trigram", action="store_true",
+                   help="also publish the gram-posting artifact that "
+                        "bounds fuzzy/spell candidate generation")
     c.set_defaults(fn=cmd_compact)
 
     v = sub.add_parser("vacuum", help="physically purge deleted doc_ids")
