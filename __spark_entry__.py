@@ -3228,7 +3228,80 @@ def _r04s7_engine_queries() -> dict[str, Callable[[SparkSession, str],
                            trigram=trgm)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
-    return {"fuzzy_trgm_topk": fuzzy_trgm_topk}
+    def hll_distinct_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # engine-portable HyperLogLog (p=8): md5-nibble registers, exact
+        # scaled-integer harmonic sum — the DuckDB oracle recomputes the
+        # whole sketch from the same expression strings, value-checking
+        # hash, registers, and estimate arithmetic
+        from index_spark.operators.sketch import hll_cardinality
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        tok = docs.select(F.explode(F.expr(_SPARK_TOKS)).alias("term"))
+        est = hll_cardinality(tok, "term")
+        exact = tok.agg(F.countDistinct("term").alias("n_exact"))
+        return (est.crossJoin(exact)
+                .select("n_exact",
+                        F.round("hll_estimate", 3).alias("hll_estimate"),
+                        "n_registers_hit"))
+
+    def cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Count-Min sketch (d=4, w=64) point-queried for the exact
+        # top-20 terms: cms_est >= exact_cnt per row by construction
+        from index_spark.operators.sketch import cms_heavy_hitters
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        tok = docs.select(F.explode(F.expr(_SPARK_TOKS)).alias("term"))
+        out = cms_heavy_hitters(tok, "term", k=20)
+        return out.select("term", "exact_cnt",
+                          F.col("cms_est").cast("long").alias("cms_est"))
+
+    return {"fuzzy_trgm_topk": fuzzy_trgm_topk,
+            "hll_distinct_terms": hll_distinct_terms,
+            "cms_heavy_hitters": cms_heavy}
+
+
+def _hll_duck_sql() -> str:
+    # the oracle recomputes the ENTIRE sketch from the same expression
+    # strings the Spark operator compiles (operators/sketch.py)
+    from index_spark.operators.sketch import (
+        hll_bucket_sql,
+        hll_final_sql,
+        hll_rho_sql,
+    )
+
+    return _with(_DUCK_TOK_CTE, f"""
+nib AS (SELECT {hll_bucket_sql('term')} AS bucket,
+               {hll_rho_sql('term')} AS rho FROM tok),
+regs AS (SELECT bucket, max(rho) AS m FROM nib GROUP BY bucket),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_registers_hit,
+             sum(CAST(power(2.0, 57 - m) AS DECIMAL(38,0))) AS s_scaled
+      FROM regs),
+ex AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_exact FROM tok)""") + f"""
+SELECT ex.n_exact,
+       round({hll_final_sql('s.s_scaled', 's.n_registers_hit')}, 3) AS hll_estimate,
+       s.n_registers_hit
+FROM s CROSS JOIN ex"""
+
+
+def _cms_duck_sql() -> str:
+    from index_spark.operators.sketch import CMS_DEPTH, cms_bucket_sql
+
+    rows = ", ".join(str(j) for j in range(CMS_DEPTH))
+    return _with(_DUCK_TOK_CTE, f"""
+jj AS (SELECT unnest([{rows}]) AS j),
+exact AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM tok GROUP BY term
+          ORDER BY exact_cnt DESC, term ASC LIMIT 20),
+sk AS (SELECT jj.j AS j, {cms_bucket_sql('tok.term', 'jj.j')} AS bucket,
+              CAST(count(*) AS BIGINT) AS cnt
+       FROM tok CROSS JOIN jj GROUP BY 1, 2),
+est AS (SELECT e.term, min(sk.cnt) AS cms_est
+        FROM exact e CROSS JOIN jj
+        JOIN sk ON sk.j = jj.j AND sk.bucket = {cms_bucket_sql('e.term', 'jj.j')}
+        GROUP BY e.term)""") + """
+SELECT e.term, e.exact_cnt, CAST(est.cms_est AS BIGINT) AS cms_est
+FROM exact e JOIN est ON e.term = est.term
+ORDER BY e.exact_cnt DESC, e.term ASC"""
 
 
 def _build_registry():
@@ -3491,6 +3564,8 @@ FROM documents""")
     add("fuzzy_trgm_topk", eng7["fuzzy_trgm_topk"],
         _docs_sql("duck", _ORACLE_FUZZY_TOPK,
                   [_terms_values_sql(["filtr", "groupp", "windw"])]))
+    add("hll_distinct_terms", eng7["hll_distinct_terms"], _hll_duck_sql())
+    add("cms_heavy_hitters", eng7["cms_heavy_hitters"], _cms_duck_sql())
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry
