@@ -3255,9 +3255,53 @@ def _r04s7_engine_queries() -> dict[str, Callable[[SparkSession, str],
         return out.select("term", "exact_cnt",
                           F.col("cms_est").cast("long").alias("cms_est"))
 
+    def haschild_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # parent-child block join (ES has_child): chunk every document,
+        # index the CHUNKS as child docs, rank parents by their best
+        # chunk's BM25 (score_mode=max) with matching-children counts;
+        # parent ids ride the child path (doc%08d-%03d), so no driver
+        # state maps children back
+        from index_spark.operators.build import build_index
+        from index_spark.operators.chunk import chunk_documents
+        from index_spark.operators.query import has_child_search
+
+        docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        chunks = chunk_documents(docs_tbl, chunk_size=32, overlap=8)
+        corpus = chunks.select(
+            F.lit("chunks").alias("repo"),
+            F.format_string("doc%08d-%03d", "doc_id", "chunk_id")
+            .alias("path"),
+            F.col("chunk_text").alias("content"))
+        cdocs, cindex, cstats = build_index(corpus, stem=False,
+                                            camel=False, shard_size=256)
+        parents = cdocs.select(
+            "doc_id",
+            F.substring("path", 4, 8).cast("long").alias("parent_id"))
+        top = has_child_search(cindex, parents, cstats,
+                               "data table query", k=10, score_mode="max",
+                               stem=False, camel=False, shard_size=256)
+        return top.select("parent_id",
+                          F.round("score", 4).alias("score"),
+                          "n_children")
+
+    def top_hits_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES top_hits aggregation: best 3 docs per language in one pass
+        # over the complete per-shard match scores
+        from index_spark.operators.query import top_hits_by_group
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        meta = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = top_hits_by_group(index, meta, stats, "data table query",
+                                by="lang", per_group=3, stem=False,
+                                camel=False, shard_size=256)
+        return out.select("group_key", "rnk", "doc_id",
+                          F.round("score", 4).alias("score"))
+
     return {"fuzzy_trgm_topk": fuzzy_trgm_topk,
             "hll_distinct_terms": hll_distinct_terms,
-            "cms_heavy_hitters": cms_heavy}
+            "cms_heavy_hitters": cms_heavy,
+            "haschild_topk": haschild_topk,
+            "top_hits_facet": top_hits_facet}
 
 
 def _hll_duck_sql() -> str:
@@ -3302,6 +3346,59 @@ est AS (SELECT e.term, min(sk.cnt) AS cms_est
 SELECT e.term, e.exact_cnt, CAST(est.cms_est AS BIGINT) AS cms_est
 FROM exact e JOIN est ON e.term = est.term
 ORDER BY e.exact_cnt DESC, e.term ASC"""
+
+
+# parent-child rollup: the chunk relation (same 32/8 window spec as
+# _ORACLE_CHUNKS_DUCK) becomes the child corpus; BM25 runs over CHUNK
+# tf/dl/stats/df, then parents take max(child score) + matching-child
+# counts
+_ORACLE_HASCHILD = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
+      FROM t WHERE len(toks) > 0),
+ch AS (SELECT doc_id AS parent_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+              toks[start + 1 : start + 32] AS ctoks
+       FROM s WHERE start = 0 OR start + 8 < len(toks)),
+ctok AS (SELECT parent_id, chunk_id, unnest(ctoks) AS term FROM ch),
+ctf AS (SELECT parent_id, chunk_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM ctok GROUP BY 1, 2, 3),
+cdl AS (SELECT parent_id, chunk_id, CAST(count(*) AS BIGINT) AS dlen
+        FROM ctok GROUP BY 1, 2),
+cstats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dlen) AS avgdl FROM cdl),
+cdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ctf GROUP BY term),
+q(term) AS (SELECT * FROM (VALUES ('data'), ('table'), ('query')) v(term)),
+cscores AS (
+  SELECT ctf.parent_id, ctf.chunk_id,
+         sum( ln((cstats.n - cdf.df + 0.5) / (cdf.df + 0.5) + 1.0)
+              * ctf.tf / (ctf.tf + 1.2 * (1.0 - 0.75 + 0.75 * cdl.dlen / cstats.avgdl)) ) AS score
+  FROM ctf
+  JOIN q ON ctf.term = q.term
+  JOIN cdf ON ctf.term = cdf.term
+  JOIN cdl ON cdl.parent_id = ctf.parent_id AND cdl.chunk_id = ctf.chunk_id
+  CROSS JOIN cstats
+  GROUP BY 1, 2
+),
+roll AS (SELECT parent_id, max(score) AS score,
+                CAST(count(*) AS BIGINT) AS n_children
+         FROM cscores GROUP BY parent_id)
+SELECT parent_id, round(score, 4) AS score, n_children
+FROM roll ORDER BY score DESC, parent_id ASC LIMIT 10"""
+
+_ORACLE_TOP_HITS = """
+, ranked AS (
+  SELECT documents.lang AS group_key, scores.doc_id, scores.score,
+         row_number() OVER (PARTITION BY documents.lang
+                            ORDER BY scores.score DESC, scores.doc_id ASC)
+           AS rnk
+  FROM scores JOIN documents ON scores.doc_id = documents.doc_id
+)
+SELECT group_key, CAST(rnk AS BIGINT) AS rnk, doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rnk <= 3 ORDER BY group_key ASC, rnk ASC"""
 
 
 def _build_registry():
@@ -3566,6 +3663,9 @@ FROM documents""")
                   [_terms_values_sql(["filtr", "groupp", "windw"])]))
     add("hll_distinct_terms", eng7["hll_distinct_terms"], _hll_duck_sql())
     add("cms_heavy_hitters", eng7["cms_heavy_hitters"], _cms_duck_sql())
+    add("haschild_topk", eng7["haschild_topk"], _ORACLE_HASCHILD)
+    add("top_hits_facet", eng7["top_hits_facet"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_TOP_HITS, [q_cte]))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

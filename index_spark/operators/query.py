@@ -2415,6 +2415,41 @@ def search_many(index: DataFrame, stats: dict, queries: dict[int, str],
             .where(F.col("rank") <= k))
 
 
+def _complete_match_scores(index: DataFrame, stats: dict,
+                           qterms: list[str], exclude: str | None = None,
+                           stem: bool = True, camel: bool = True,
+                           use_wand: bool | str = "auto",
+                           shard_size: int = 4096,
+                           zone: str | None = None, mode: str = "or",
+                           tombstones: DataFrame | None = None,
+                           restrict: DataFrame | None = None) -> DataFrame:
+    """Per-shard COMPLETE match scores (doc_id, score) — no global
+    top-k cut: each doc-range shard emits all its matches (a shard
+    holds <= shard_size docs, so k=shard capacity is "no cut"). The
+    grouping consumers (collapse / has_child / per-bucket top hits)
+    aggregate these rows map-side before the single exchange."""
+    xterms = sorted(set(tokenize(exclude, stem=stem, camel=camel))
+                    ) if exclude else []
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+
+    index = pin_zone(index, zone)
+    merged_form = "shard" not in index.columns
+    if merged_form:
+        index = index.withColumn("shard", F.lit(0))
+    hits = index.filter(
+        F.col("term").isin(sorted(set(qterms) | set(xterms))))
+    dfs = hits.groupBy("term").agg(F.sum("df").alias("df_g"))
+    hits = hits.join(F.broadcast(dfs), "term").withColumn(
+        "idf",
+        F.log((F.lit(float(n_docs)) - F.col("df_g") + 0.5)
+              / (F.col("df_g") + 0.5) + 1.0))
+    k_inner = int(n_docs) if merged_form else int(shard_size)
+    return _modal_local_topk(hits, qterms, xterms, mode, avgdl, k_inner,
+                             lambda pdf: _pick_scorer(pdf, use_wand),
+                             tombstones, shard_size, merged_form,
+                             restrict=restrict)
+
+
 def collapse_search(index: DataFrame, docs: DataFrame, stats: dict,
                     query: str, collapse: str = "source", k: int = 10,
                     stem: bool = True, use_wand: bool | str = "auto",
@@ -2448,29 +2483,10 @@ def collapse_search(index: DataFrame, docs: DataFrame, stats: dict,
         return spark.createDataFrame(
             [], T.StructType([T.StructField("group_key", T.StringType(), True)]
                              + list(TOPK_SCHEMA.fields)))
-    xterms = sorted(set(tokenize(exclude, stem=stem, camel=camel))
-                    ) if exclude else []
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-
-    index = pin_zone(index, zone)
-    merged_form = "shard" not in index.columns
-    if merged_form:
-        index = index.withColumn("shard", F.lit(0))
-    hits = index.filter(
-        F.col("term").isin(sorted(set(qterms) | set(xterms))))
-    dfs = hits.groupBy("term").agg(F.sum("df").alias("df_g"))
-    hits = hits.join(F.broadcast(dfs), "term").withColumn(
-        "idf",
-        F.log((F.lit(float(n_docs)) - F.col("df_g") + 0.5)
-              / (F.col("df_g") + 0.5) + 1.0))
-    # keep EVERY match per shard: a doc-range shard holds <= shard_size
-    # docs, so k=shard_size is "no cut" (merged form = one logical
-    # shard covering all docs)
-    k_inner = int(n_docs) if merged_form else int(shard_size)
-    local = _modal_local_topk(hits, qterms, xterms, mode, avgdl, k_inner,
-                              lambda pdf: _pick_scorer(pdf, use_wand),
-                              tombstones, shard_size, merged_form,
-                              restrict=restrict)
+    local = _complete_match_scores(
+        index, stats, qterms, exclude, stem=stem, camel=camel,
+        use_wand=use_wand, shard_size=shard_size, zone=zone, mode=mode,
+        tombstones=tombstones, restrict=restrict)
     keyed = local.join(
         docs.select(F.col("doc_id").cast("long").alias("doc_id"),
                     F.col(collapse).alias("group_key")),
@@ -2484,6 +2500,110 @@ def collapse_search(index: DataFrame, docs: DataFrame, stats: dict,
                         F.col("_b.score").alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k))
+
+
+def has_child_search(index: DataFrame, child_parents: DataFrame,
+                     stats: dict, query: str, k: int = 10,
+                     score_mode: str = "max", min_children: int = 1,
+                     stem: bool = True, camel: bool = True,
+                     use_wand: bool | str = "auto", shard_size: int = 4096,
+                     zone: str | None = None, mode: str = "or",
+                     exclude: str | None = None,
+                     tombstones: DataFrame | None = None,
+                     restrict: DataFrame | None = None) -> DataFrame:
+    """Parent-child retrieval (Elasticsearch ``has_child`` / Lucene
+    block join): rank PARENT entities by their children's BM25 scores
+    against a query over the CHILD index — e.g. rank documents by their
+    best-matching chunk, or repositories by their best-matching file.
+
+    ``child_parents``: relation (doc_id, parent_id) mapping each child
+    doc of the index to its parent. ``score_mode``: how child scores
+    roll up — ``max`` (ES default, deterministic), ``sum``/``avg``
+    (float-sum over the group; round before cross-engine comparison),
+    ``none`` (score 0, pure existence). ``min_children``: parents with
+    fewer matching children are dropped (ES ``min_children``).
+
+    Exact at any k, same argument as :func:`collapse_search`: rollups
+    are computed from per-shard COMPLETE child match scores, so a
+    parent whose best child ranks arbitrarily deep still surfaces. The
+    plan is the one-exchange query shape plus one shuffle join to the
+    parent mapping and a map-side-combinable groupBy(parent) — at
+    10^12 children the exchange carries (matched children) rows
+    pre-collapsed to <= |parents| rows per partition.
+
+    Returns (parent_id, score, n_children) ordered by
+    (score desc, parent_id asc), first k rows.
+    """
+    if score_mode not in ("max", "sum", "avg", "none"):
+        raise ValueError(f"score_mode must be max|sum|avg|none, "
+                         f"got {score_mode!r}")
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    out_schema = ("parent_id long, score double, n_children long")
+    if not qterms:
+        return spark.createDataFrame([], out_schema)
+    local = _complete_match_scores(
+        index, stats, qterms, exclude, stem=stem, camel=camel,
+        use_wand=use_wand, shard_size=shard_size, zone=zone, mode=mode,
+        tombstones=tombstones, restrict=restrict)
+    keyed = local.join(
+        child_parents.select(F.col("doc_id").cast("long").alias("doc_id"),
+                             F.col("parent_id")),
+        "doc_id")
+    agg_score = {"max": F.max("score"), "sum": F.sum("score"),
+                 "avg": F.avg("score"),
+                 "none": F.lit(0.0)}[score_mode]
+    rolled = (keyed.groupBy("parent_id")
+              .agg(agg_score.alias("score"),
+                   F.count("*").alias("n_children")))
+    if min_children > 1:
+        rolled = rolled.filter(F.col("n_children") >= min_children)
+    return (rolled.select("parent_id", "score",
+                          F.col("n_children").cast("long"))
+            .orderBy(F.desc("score"), F.asc("parent_id"))
+            .limit(k))
+
+
+def top_hits_by_group(index: DataFrame, docs: DataFrame, stats: dict,
+                      query: str, by: str = "source", per_group: int = 3,
+                      stem: bool = True, camel: bool = True,
+                      use_wand: bool | str = "auto",
+                      shard_size: int = 4096, zone: str | None = None,
+                      mode: str = "or", exclude: str | None = None,
+                      tombstones: DataFrame | None = None,
+                      restrict: DataFrame | None = None) -> DataFrame:
+    """ES ``top_hits`` aggregation: for every value of the doc
+    attribute ``by``, the group's top ``per_group`` hits by BM25 —
+    "best 3 results per language / per repo" in one pass.
+
+    Generalizes :func:`collapse_search` (per_group=1) to a per-group
+    window rank over the complete per-shard match scores. The window
+    partitions by the group key — group cardinality is the attribute's
+    (bounded) domain, and each partition holds only that group's
+    MATCHES, not its corpus. Returns
+    (group_key, rnk, doc_id, score) ordered by
+    (group_key asc, rnk asc)."""
+    from pyspark.sql import Window
+
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    if not qterms:
+        return spark.createDataFrame(
+            [], "group_key string, rnk long, doc_id long, score double")
+    local = _complete_match_scores(
+        index, stats, qterms, exclude, stem=stem, camel=camel,
+        use_wand=use_wand, shard_size=shard_size, zone=zone, mode=mode,
+        tombstones=tombstones, restrict=restrict)
+    keyed = local.join(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col(by).alias("group_key")),
+        "doc_id")
+    w = Window.partitionBy("group_key").orderBy(F.desc("score"),
+                                                F.asc("doc_id"))
+    return (keyed.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= per_group)
+            .select("group_key", "rnk", "doc_id", "score")
+            .orderBy(F.asc("group_key"), F.asc("rnk")))
 
 
 # regex metacharacters that end a literal prefix; a quantifier after a

@@ -1,0 +1,116 @@
+"""Session-7 operators: parent-child retrieval (has_child_search) and
+per-group top hits (top_hits_by_group), both built on the shared
+complete-match-scores helper that also backs collapse_search.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from index_spark.operators.build import build_index
+from index_spark.operators.query import (
+    collapse_search,
+    has_child_search,
+    search,
+    top_hits_by_group,
+)
+
+SHARD = 64
+QUERY = "import data table"
+
+
+@pytest.fixture(scope="module")
+def built(spark, tiny_corpus):
+    docs, index, stats = build_index(
+        spark.createDataFrame(tiny_corpus), stem=True, shard_size=SHARD)
+    index = index.persist()
+    index.count()
+    return docs.persist(), index, stats
+
+
+@pytest.fixture(scope="module")
+def all_scores(built):
+    """Reference: complete (doc_id, score) via plain search with k=N."""
+    docs, index, stats = built
+    n = int(stats["n_docs"])
+    rows = search(index, docs, stats, QUERY, k=n, shard_size=SHARD,
+                  use_wand=False).collect()
+    return pd.DataFrame([(r["doc_id"], r["score"]) for r in rows],
+                        columns=["doc_id", "score"])
+
+
+@pytest.fixture(scope="module")
+def parents(built):
+    docs, _, _ = built
+    return docs.select("doc_id",
+                       (F.col("doc_id") / 10).cast("long")
+                       .alias("parent_id")).persist()
+
+
+def _expected_rollup(all_scores, mode):
+    g = all_scores.assign(parent_id=all_scores.doc_id // 10) \
+        .groupby("parent_id")
+    n = g.size().rename("n_children")
+    score = {"max": g.score.max(), "sum": g.score.sum(),
+             "avg": g.score.mean()}.get(mode)
+    if mode == "none":
+        score = n * 0.0
+    out = pd.concat([score.rename("score"), n], axis=1).reset_index()
+    return out.sort_values(["score", "parent_id"],
+                           ascending=[False, True])
+
+
+@pytest.mark.parametrize("mode", ["max", "sum", "avg", "none"])
+def test_has_child_matches_reference_rollup(built, parents, all_scores,
+                                            mode):
+    docs, index, stats = built
+    got = has_child_search(index, parents, stats, QUERY, k=5,
+                           score_mode=mode, shard_size=SHARD).collect()
+    exp = _expected_rollup(all_scores, mode).head(5)
+    assert [r["parent_id"] for r in got] == exp.parent_id.tolist()
+    assert [r["n_children"] for r in got] == exp.n_children.tolist()
+    for r, (_, e) in zip(got, exp.iterrows()):
+        assert abs(r["score"] - e.score) < 1e-9
+
+
+def test_has_child_min_children(built, parents, all_scores):
+    docs, index, stats = built
+    got = has_child_search(index, parents, stats, QUERY, k=100,
+                           min_children=5, shard_size=SHARD).collect()
+    exp = _expected_rollup(all_scores, "max")
+    exp = exp[exp.n_children >= 5]
+    assert {r["parent_id"] for r in got} == set(exp.parent_id)
+    assert all(r["n_children"] >= 5 for r in got)
+
+
+def test_has_child_rejects_bad_mode_and_empty_query(built, parents):
+    docs, index, stats = built
+    with pytest.raises(ValueError, match="score_mode"):
+        has_child_search(index, parents, stats, QUERY, score_mode="best")
+    assert has_child_search(index, parents, stats, "", k=5).count() == 0
+
+
+def test_top_hits_matches_reference(built, all_scores):
+    docs, index, stats = built
+    got = top_hits_by_group(index, docs, stats, QUERY, by="repo",
+                            per_group=2, shard_size=SHARD).collect()
+    meta = {r["doc_id"]: r["repo"] for r in
+            docs.select("doc_id", "repo").collect()}
+    exp = all_scores.assign(group_key=all_scores.doc_id.map(meta))
+    exp = exp.sort_values(["group_key", "score", "doc_id"],
+                          ascending=[True, False, True])
+    exp["rnk"] = exp.groupby("group_key").cumcount() + 1
+    exp = exp[exp.rnk <= 2]
+    assert [(r["group_key"], r["rnk"], r["doc_id"]) for r in got] == \
+        list(zip(exp.group_key, exp.rnk, exp.doc_id))
+
+
+def test_top_hits_per_group_one_equals_collapse(built):
+    docs, index, stats = built
+    th = top_hits_by_group(index, docs, stats, QUERY, by="repo",
+                           per_group=1, shard_size=SHARD).collect()
+    cl = collapse_search(index, docs, stats, QUERY, collapse="repo",
+                         k=1000, shard_size=SHARD).collect()
+    th_map = {r["group_key"]: (r["doc_id"], r["score"]) for r in th}
+    cl_map = {r["group_key"]: (r["doc_id"], r["score"]) for r in cl}
+    assert th_map == cl_map
