@@ -3297,11 +3297,26 @@ def _r04s7_engine_queries() -> dict[str, Callable[[SparkSession, str],
         return out.select("group_key", "rnk", "doc_id",
                           F.round("score", 4).alias("score"))
 
+    def rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # pseudo-relevance feedback: top-10 BM25 docs donate expansion
+        # terms (relevance-model weights tf/len * score), interpolated
+        # lambda=0.5 with the uniform original-query distribution, then
+        # one weighted search over the union vocabulary — the oracle
+        # unrolls all five stages in SQL
+        from index_spark.operators.query import rm3_search
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        top = rm3_search(index, docs, stats, "data table query", k=10,
+                         fb_docs=10, fb_terms=10, orig_weight=0.5,
+                         stem=False, camel=False, shard_size=256)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     return {"fuzzy_trgm_topk": fuzzy_trgm_topk,
             "hll_distinct_terms": hll_distinct_terms,
             "cms_heavy_hitters": cms_heavy,
             "haschild_topk": haschild_topk,
-            "top_hits_facet": top_hits_facet}
+            "top_hits_facet": top_hits_facet,
+            "rm3_topk": rm3_topk}
 
 
 def _hll_duck_sql() -> str:
@@ -3387,6 +3402,43 @@ roll AS (SELECT parent_id, max(score) AS score,
          FROM cscores GROUP BY parent_id)
 SELECT parent_id, round(score, 4) AS score, n_children
 FROM roll ORDER BY score DESC, parent_id ASC LIMIT 10"""
+
+# RM3 unrolled: feedback top-10 -> relevance-model term weights ->
+# top-10 expansion terms normalized -> interpolated weighted BM25.
+# |q| = 3 ('data table query'); lambda = 0.5; e0 literals pin DOUBLE
+# arithmetic (bare decimals parse as DECIMAL in both engines)
+_ORACLE_RM3 = """
+, fb AS (SELECT doc_id, score FROM scores
+         ORDER BY score DESC, doc_id ASC LIMIT 10),
+fbw AS (SELECT tf.term,
+               sum((CAST(tf.tf AS DOUBLE) / dl.dlen) * fb.score) AS wt
+        FROM tf JOIN fb ON tf.doc_id = fb.doc_id
+        JOIN dl ON dl.doc_id = tf.doc_id
+        GROUP BY tf.term),
+sel AS (SELECT term, wt FROM fbw ORDER BY wt DESC, term ASC LIMIT 10),
+z AS (SELECT sum(wt) AS z FROM sel),
+allt AS (SELECT term FROM q UNION SELECT term FROM sel),
+wts AS (SELECT allt.term,
+               (CASE WHEN q.term IS NOT NULL
+                     THEN 0.5e0 * (1.0e0 / 3.0e0) ELSE 0.0e0 END)
+             + (CASE WHEN sel.term IS NOT NULL
+                     THEN 0.5e0 * (sel.wt / z.z) ELSE 0.0e0 END) AS w
+        FROM allt LEFT JOIN q ON allt.term = q.term
+        LEFT JOIN sel ON allt.term = sel.term
+        CROSS JOIN z),
+rmsc AS (
+  SELECT tf.doc_id,
+         sum( (ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0) * wts.w)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN wts ON tf.term = wts.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM rmsc
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10"""
 
 _ORACLE_TOP_HITS = """
 , ranked AS (
@@ -3666,6 +3718,8 @@ FROM documents""")
     add("haschild_topk", eng7["haschild_topk"], _ORACLE_HASCHILD)
     add("top_hits_facet", eng7["top_hits_facet"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_TOP_HITS, [q_cte]))
+    add("rm3_topk", eng7["rm3_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_RM3, [q_cte]))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -583,6 +583,59 @@ def term_vector(index: DataFrame, doc_id: int,
             .orderBy("term"))
 
 
+_MTV_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("term", T.StringType(), False),
+    T.StructField("tf", T.LongType(), False),
+])
+
+
+def multi_term_vectors(index: DataFrame, doc_ids: list[int],
+                       shard_size: int = 4096) -> DataFrame:
+    """(doc_id, term, tf) vectors for a BOUNDED driver-known doc set —
+    the batch form of :func:`term_vector` (relevance-feedback term
+    harvesting, multi-doc termvectors API).
+
+    Same point-lookup plan, one pass for all targets: the scan prunes
+    to the targets' doc-range shards (|targets| shard ids, pushed as a
+    literal IN), and each posting row binary-searches its decoded doc
+    stream for ALL targets at once (one vectorized ``searchsorted``
+    per row), decoding tfs only at hit positions. Cost is the targets'
+    shards' posting rows at any corpus scale."""
+    ids = sorted({int(d) for d in doc_ids})
+    spark = index.sparkSession
+    if not ids:
+        return spark.createDataFrame([], _MTV_SCHEMA)
+    if "shard" in index.columns:
+        shards = sorted({d // shard_size for d in ids})
+        pool = index.filter(F.col("shard").isin(shards))
+    else:
+        pool = index
+    pool = pool.filter(F.col("term") != DOC_MARKER) \
+               .select("term", "doc_blob", "tf_blob")
+    targets = np.asarray(ids, np.int64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                docs = np.cumsum(vb.decode(row.doc_blob).astype(np.int64))
+                pos = np.searchsorted(docs, targets)
+                ok = pos < docs.size
+                ok[ok] = docs[pos[ok]] == targets[ok]
+                if ok.any():
+                    tfs = vb.decode(row.tf_blob).astype(np.int64)
+                    out.append(pd.DataFrame({
+                        "doc_id": targets[ok],
+                        "term": np.repeat(row.term, int(ok.sum())),
+                        "tf": tfs[pos[ok]]}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return (pool.mapInPandas(fn, schema=_MTV_SCHEMA)
+            .groupBy("doc_id", "term").agg(F.sum("tf").alias("tf")))
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", top_n: int = 2,
                      dup_n: int = 5) -> DataFrame:

@@ -707,7 +707,8 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
            groups: dict[str, tuple[int, ...]] | None = None,
            boosts: DataFrame | None = None,
            after: tuple[float, int] | None = None,
-           min_match: int | None = None) -> DataFrame:
+           min_match: int | None = None,
+           term_weights: dict[str, float] | None = None) -> DataFrame:
     """Top-k BM25 over the sharded index. Returns (doc_id, score).
 
     ``use_wand``: True (always WAND), False (always exhaustive), or
@@ -790,14 +791,34 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
     was exactly what satisfied the count gate); composes with
     ``exclude``/``tombstones``/``restrict``/``boosts``/``after``.
 
+    ``term_weights``: optional per-term score multipliers (weighted
+    query / RM3 expansion weights): term t's whole BM25 contribution is
+    scaled by ``term_weights[t]`` (absent terms keep 1.0). Applied by
+    scaling the term's idf BEFORE the kernels, so every kernel —
+    including WAND, whose upper bounds derive from the same scaled
+    idf — stays score-exact. Keys must be tokenized query terms;
+    weights must be positive finite.
+
     ``docs`` is accepted for API symmetry but unused — doc lengths live in
     the index (dl_blob); ``shard_size`` is only used to route
     ``tombstones`` (shard ids themselves are stored in the index).
     """
+    import math
+
     spark = index.sparkSession
     qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
     if not qterms:
         return spark.createDataFrame([], TOPK_SCHEMA)
+    if term_weights:
+        extra = set(term_weights) - set(qterms)
+        if extra:
+            raise ValueError(f"term_weights keys not in the tokenized "
+                             f"query: {sorted(extra)}")
+        bad = {t: w for t, w in term_weights.items()
+               if not (isinstance(w, (int, float)) and math.isfinite(w)
+                       and w > 0)}
+        if bad:
+            raise ValueError(f"term_weights must be positive finite: {bad}")
     if groups is not None:
         if mode != "and":
             raise ValueError("groups requires mode='and'")
@@ -827,6 +848,12 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
         "idf",
         F.log((F.lit(float(n_docs)) - F.col("df_g") + 0.5) / (F.col("df_g") + 0.5) + 1.0),
     )
+    if term_weights:
+        wmap = F.create_map(*[F.lit(x) for t_w in sorted(term_weights.items())
+                              for x in (t_w[0], float(t_w[1]))])
+        hits = hits.withColumn(
+            "idf", F.col("idf") * F.coalesce(wmap[F.col("term")],
+                                             F.lit(1.0)))
 
     local = _modal_local_topk(hits, qterms, xterms, mode, avgdl, k,
                               lambda pdf: _pick_scorer(pdf, use_wand),
@@ -2604,6 +2631,85 @@ def top_hits_by_group(index: DataFrame, docs: DataFrame, stats: dict,
             .filter(F.col("rnk") <= per_group)
             .select("group_key", "rnk", "doc_id", "score")
             .orderBy(F.asc("group_key"), F.asc("rnk")))
+
+
+def rm3_search(index: DataFrame, docs: DataFrame | None, stats: dict,
+               query: str, k: int = 10, fb_docs: int = 10,
+               fb_terms: int = 10, orig_weight: float = 0.5,
+               stem: bool = True, camel: bool = True,
+               use_wand: bool | str = "auto", shard_size: int = 4096,
+               zone: str | None = None,
+               tombstones: DataFrame | None = None,
+               restrict: DataFrame | None = None) -> DataFrame:
+    """Pseudo-relevance feedback (RM3, Lavrenko & Croft SIGIR 2001 /
+    Abdul-Jaleel et al. TREC 2004): run the query, harvest expansion
+    terms from the top ``fb_docs`` results, and re-search with an
+    interpolated weighted query — no user interaction, recall improves
+    on vocabulary-mismatch queries.
+
+    Deterministic restatable contract:
+
+      1. feedback set = BM25 top ``fb_docs`` (score desc, doc_id asc);
+      2. candidate weight w_t = sum over feedback docs of
+         (tf_{t,d} / len_d) * score_d — the relevance-model estimate
+         with the doc prior taken as the BM25 score;
+      3. expansion set = top ``fb_terms`` by (w_t desc, term asc),
+         normalized to p_t = w_t / sum(selected w);
+      4. final per-term weights interpolate the distributions
+         (lambda = ``orig_weight``): lambda * 1/|q| for original
+         terms, plus (1 - lambda) * p_t for expansion terms;
+      5. one weighted :func:`search` (``term_weights=``) over the
+         union vocabulary.
+
+    Scale shape: stage 1 is the standard one-exchange query; stage 2
+    decodes ONLY the feedback docs' shards
+    (:func:`~index_spark.operators.analytics.multi_term_vectors` — a
+    bounded IN-pruned point lookup) and collects ``fb_terms`` rows;
+    stage 5 is again the one-exchange query plan. Nothing unbounded
+    ever reaches the driver.
+    """
+    from index_spark.operators.analytics import multi_term_vectors
+
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    if not qterms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    if not 0.0 < orig_weight <= 1.0:
+        raise ValueError(f"orig_weight must be in (0, 1], "
+                         f"got {orig_weight}")
+    fb = search(index, docs, stats, query, k=fb_docs, stem=stem,
+                camel=camel, use_wand=use_wand, shard_size=shard_size,
+                zone=zone, tombstones=tombstones,
+                restrict=restrict).collect()
+    if not fb:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    fbdf = spark.createDataFrame([(int(r["doc_id"]), float(r["score"]))
+                                  for r in fb], "doc_id long, fscore double")
+    tv = multi_term_vectors(pin_zone(index, zone),
+                            [int(r["doc_id"]) for r in fb], shard_size)
+    dlen = tv.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
+    cand = (tv.join(F.broadcast(fbdf), "doc_id")
+            .join(F.broadcast(dlen), "doc_id")
+            .groupBy("term")
+            .agg(F.sum((F.col("tf").cast("double") / F.col("dlen"))
+                       * F.col("fscore")).alias("wt"))
+            .orderBy(F.desc("wt"), F.asc("term"))
+            .limit(fb_terms).collect())
+    z = sum(r["wt"] for r in cand)
+    lam = float(orig_weight)
+    weights: dict[str, float] = {}
+    for t in qterms:
+        weights[t] = lam * (1.0 / len(qterms))
+    if z > 0.0:
+        for r in cand:
+            weights[r["term"]] = (weights.get(r["term"], 0.0)
+                                  + (1.0 - lam) * (r["wt"] / z))
+    # expansion terms are dictionary tokens already — stem=False on the
+    # final pass (same contract as search_fuzzy)
+    return search(index, docs, stats, " ".join(sorted(weights)), k=k,
+                  stem=False, camel=False, use_wand=use_wand,
+                  shard_size=shard_size, zone=zone, tombstones=tombstones,
+                  restrict=restrict, term_weights=weights)
 
 
 # regex metacharacters that end a literal prefix; a quantifier after a

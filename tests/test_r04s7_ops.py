@@ -105,6 +105,86 @@ def test_top_hits_matches_reference(built, all_scores):
         list(zip(exp.group_key, exp.rnk, exp.doc_id))
 
 
+def test_term_weights_all_ones_is_identity(built):
+    docs, index, stats = built
+    a = search(index, docs, stats, QUERY, k=10, shard_size=SHARD).collect()
+    qt = sorted({r for r in ["import", "data", "tabl"]})
+    b = search(index, docs, stats, QUERY, k=10, shard_size=SHARD,
+               term_weights={t: 1.0 for t in qt}).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == \
+           [(r["doc_id"], r["score"]) for r in b]
+
+
+def test_term_weights_scale_linearly_and_wand_agrees(built):
+    docs, index, stats = built
+    base = search(index, docs, stats, "data", k=20, shard_size=SHARD,
+                  use_wand=False).collect()
+    scaled = search(index, docs, stats, "data", k=20, shard_size=SHARD,
+                    use_wand=False, term_weights={"data": 2.5}).collect()
+    wand = search(index, docs, stats, "data", k=20, shard_size=SHARD,
+                  use_wand=True, term_weights={"data": 2.5}).collect()
+    assert [r["doc_id"] for r in base] == [r["doc_id"] for r in scaled]
+    for b, s in zip(base, scaled):
+        assert abs(s["score"] - 2.5 * b["score"]) < 1e-12
+    assert [(r["doc_id"], r["score"]) for r in scaled] == \
+           [(r["doc_id"], r["score"]) for r in wand]
+
+
+def test_term_weights_validation(built):
+    docs, index, stats = built
+    with pytest.raises(ValueError, match="not in the tokenized"):
+        search(index, docs, stats, "data", term_weights={"zzz": 1.0})
+    with pytest.raises(ValueError, match="positive finite"):
+        search(index, docs, stats, "data", term_weights={"data": 0.0})
+
+
+def test_multi_term_vectors_matches_single(built):
+    from index_spark.operators.analytics import (
+        multi_term_vectors,
+        term_vector,
+    )
+
+    docs, index, stats = built
+    ids = [3, 77, 141]
+    multi = multi_term_vectors(index, ids, shard_size=SHARD).collect()
+    got = {}
+    for r in multi:
+        got.setdefault(r["doc_id"], {})[r["term"]] = r["tf"]
+    for d in ids:
+        single = {r["term"]: r["tf"]
+                  for r in term_vector(index, d, shard_size=SHARD).collect()}
+        assert got.get(d, {}) == single
+
+
+def test_rm3_uniform_weights_reduce_to_scaled_plain(built):
+    """fb_terms=0 leaves only the uniform lambda/|q| original weights:
+    ranking identical to plain search, scores scaled by lambda/|q|."""
+    from index_spark.operators.query import rm3_search
+
+    docs, index, stats = built
+    plain = search(index, docs, stats, QUERY, k=10,
+                   shard_size=SHARD).collect()
+    rm3 = rm3_search(index, docs, stats, QUERY, k=10, fb_docs=5,
+                     fb_terms=0, orig_weight=1.0,
+                     shard_size=SHARD).collect()
+    nq = 3  # import / data / tabl after stemming
+    assert [r["doc_id"] for r in rm3] == [r["doc_id"] for r in plain]
+    for p, r in zip(plain, rm3):
+        assert abs(r["score"] - p["score"] / nq) < 1e-12
+
+
+def test_rm3_expands_and_validates(built):
+    from index_spark.operators.query import rm3_search
+
+    docs, index, stats = built
+    out = rm3_search(index, docs, stats, "import data", k=10,
+                     fb_docs=5, fb_terms=8, shard_size=SHARD)
+    assert out.count() == 10
+    with pytest.raises(ValueError, match="orig_weight"):
+        rm3_search(index, docs, stats, "data", orig_weight=0.0)
+    assert rm3_search(index, docs, stats, "", k=5).count() == 0
+
+
 def test_top_hits_per_group_one_equals_collapse(built):
     docs, index, stats = built
     th = top_hits_by_group(index, docs, stats, QUERY, by="repo",
