@@ -3311,12 +3311,30 @@ def _r04s7_engine_queries() -> dict[str, Callable[[SparkSession, str],
                          stem=False, camel=False, shard_size=256)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # distance-decay function scoring (ES gauss decay): boost =
+        # 0.5 ** ((|n_chars - 500| / 300)^2), built as a map-only
+        # relation and applied through the shard-cogroup boost channel;
+        # the oracle reweights the BM25 relation with the SAME decay
+        # expression string
+        from index_spark.operators.query import decay_boosts, search
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        meta = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        boosts = decay_boosts(meta, "n_chars", origin=500.0, scale=300.0,
+                              decay=0.5, kind="gauss")
+        top = search(index, docs, stats, "data table query", k=10,
+                     stem=False, camel=False, shard_size=256,
+                     boosts=boosts)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     return {"fuzzy_trgm_topk": fuzzy_trgm_topk,
             "hll_distinct_terms": hll_distinct_terms,
             "cms_heavy_hitters": cms_heavy,
             "haschild_topk": haschild_topk,
             "top_hits_facet": top_hits_facet,
-            "rm3_topk": rm3_topk}
+            "rm3_topk": rm3_topk,
+            "decay_topk": decay_topk}
 
 
 def _hll_duck_sql() -> str:
@@ -3720,6 +3738,14 @@ FROM documents""")
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_TOP_HITS, [q_cte]))
     add("rm3_topk", eng7["rm3_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_RM3, [q_cte]))
+    from index_spark.operators.query import decay_sql as _dsql
+    _decay = _dsql("documents.n_chars", 500.0, 300.0, 0.5, kind="gauss")
+    add("decay_topk", eng7["decay_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + f"""
+SELECT scores.doc_id, round(scores.score * {_decay}, 4) AS score
+FROM scores JOIN documents ON scores.doc_id = documents.doc_id
+ORDER BY round(scores.score * {_decay}, 4) DESC, scores.doc_id ASC
+LIMIT 10""", [q_cte]))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

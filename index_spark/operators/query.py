@@ -2633,6 +2633,55 @@ def top_hits_by_group(index: DataFrame, docs: DataFrame, stats: dict,
             .orderBy(F.asc("group_key"), F.asc("rnk")))
 
 
+def decay_sql(field: str, origin: float, scale: float,
+              decay: float = 0.5, offset: float = 0.0,
+              kind: str = "gauss") -> str:
+    """SQL expression for an Elasticsearch ``function_score`` decay
+    multiplier over a numeric doc attribute — shared verbatim by
+    :func:`decay_boosts` (Spark ``F.expr``) and the DuckDB oracle.
+
+    ``gauss``:  decay ** ((d / scale)^2)
+    ``exp``:    decay ** (d / scale)
+    ``linear``: max(0, 1 - (1 - decay) * d / scale)
+    with d = max(0, |x - origin| - offset). All literals are cast to
+    DOUBLE explicitly (bare decimal literals parse as DECIMAL in both
+    dialects and switch the arithmetic engine-specific)."""
+    if kind not in ("gauss", "exp", "linear"):
+        raise ValueError(f"kind must be gauss|exp|linear, got {kind!r}")
+    if not scale > 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"decay must be in (0, 1), got {decay}")
+    o, s, dc, of = (f"CAST({float(origin)!r} AS DOUBLE)",
+                    f"CAST({float(scale)!r} AS DOUBLE)",
+                    f"CAST({float(decay)!r} AS DOUBLE)",
+                    f"CAST({float(offset)!r} AS DOUBLE)")
+    d = f"greatest(abs(CAST({field} AS DOUBLE) - {o}) - {of}, 0.0e0)"
+    if kind == "gauss":
+        return f"power({dc}, (({d}) / {s}) * (({d}) / {s}))"
+    if kind == "exp":
+        return f"power({dc}, ({d}) / {s})"
+    return f"greatest(0.0e0, 1.0e0 - (1.0e0 - {dc}) * ({d}) / {s})"
+
+
+def decay_boosts(meta: DataFrame, field: str, origin: float, scale: float,
+                 decay: float = 0.5, offset: float = 0.0,
+                 kind: str = "gauss", id_col: str = "doc_id") -> DataFrame:
+    """Distance-decay function scoring (ES ``gauss``/``exp``/``linear``
+    decay): build the (doc_id, boost) relation for :func:`search`'s
+    ``boosts=`` from a numeric doc attribute — recency, geo distance
+    proxy, authority. Docs at ``origin`` (within ``offset``) keep boost
+    1.0; at ``origin +- scale`` the boost is exactly ``decay``.
+
+    Map-only projection over the doc dimension; the result rides the
+    shard-cogroup boost side-channel, so a 10^12-row attribute table
+    never collects or broadcasts."""
+    return meta.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.expr(decay_sql(field, origin, scale, decay, offset, kind))
+        .alias("boost"))
+
+
 def rm3_search(index: DataFrame, docs: DataFrame | None, stats: dict,
                query: str, k: int = 10, fb_docs: int = 10,
                fb_terms: int = 10, orig_weight: float = 0.5,

@@ -185,6 +185,59 @@ def test_rm3_expands_and_validates(built):
     assert rm3_search(index, docs, stats, "", k=5).count() == 0
 
 
+def test_decay_boosts_pinned_values(spark):
+    from index_spark.operators.query import decay_boosts
+
+    meta = spark.createDataFrame(
+        [(0, 500.0), (1, 800.0), (2, 200.0), (3, 1100.0)],
+        "doc_id long, x double")
+    for kind, at_scale in [("gauss", 0.5), ("exp", 0.5), ("linear", 0.5)]:
+        b = {r["doc_id"]: r["boost"] for r in
+             decay_boosts(meta, "x", origin=500.0, scale=300.0,
+                          decay=0.5, kind=kind).collect()}
+        assert b[0] == 1.0                      # at origin
+        assert abs(b[1] - at_scale) < 1e-12    # exactly one scale away
+        assert abs(b[2] - at_scale) < 1e-12    # symmetric
+        assert b[3] < at_scale                 # farther decays more
+    # linear hits zero at scale/(1-decay)
+    lin = {r["doc_id"]: r["boost"] for r in
+           decay_boosts(meta, "x", origin=500.0, scale=300.0, decay=0.5,
+                        kind="linear").collect()}
+    assert lin[3] == 0.0
+
+
+def test_decay_validation():
+    from index_spark.operators.query import decay_sql
+
+    with pytest.raises(ValueError, match="kind"):
+        decay_sql("x", 0, 1, kind="step")
+    with pytest.raises(ValueError, match="scale"):
+        decay_sql("x", 0, 0.0)
+    with pytest.raises(ValueError, match="decay"):
+        decay_sql("x", 0, 1, decay=1.0)
+
+
+def test_decay_boosted_search_matches_manual(built, all_scores):
+    from index_spark.operators.query import decay_boosts, search
+
+    docs, index, stats = built
+    meta = docs.select("doc_id",
+                       (F.col("doc_id") * 7 % 997).cast("double")
+                       .alias("x"))
+    boosts = decay_boosts(meta, "x", origin=400.0, scale=250.0,
+                          decay=0.5, kind="gauss")
+    got = search(index, docs, stats, QUERY, k=10, shard_size=SHARD,
+                 boosts=boosts).collect()
+    xs = all_scores.assign(x=(all_scores.doc_id * 7 % 997).astype(float))
+    d = (xs.x - 400.0).abs().clip(lower=0.0) / 250.0
+    xs["boosted"] = xs.score * (0.5 ** (d * d))
+    exp = xs.sort_values(["boosted", "doc_id"],
+                         ascending=[False, True]).head(10)
+    assert [r["doc_id"] for r in got] == exp.doc_id.tolist()
+    for r, (_, e) in zip(got, exp.iterrows()):
+        assert abs(r["score"] - e.boosted) < 1e-9
+
+
 def test_top_hits_per_group_one_equals_collapse(built):
     docs, index, stats = built
     th = top_hits_by_group(index, docs, stats, QUERY, by="repo",
