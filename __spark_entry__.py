@@ -3328,13 +3328,29 @@ def _r04s7_engine_queries() -> dict[str, Callable[[SparkSession, str],
                      boosts=boosts)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Lee et al. 2022 exact substring REMOVAL (the rewrite the
+        # coverage entry's statistic gates): tokens covered by any
+        # corpus-duplicated word 5-gram are dropped, survivors
+        # re-serialized; value-checked per doc via counts + md5 of the
+        # rebuilt text
+        from index_spark.operators.contamination import (
+            remove_duplicated_spans,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = remove_duplicated_spans(docs, n=5, min_count=2)
+        return out.select("doc_id", "n_tokens", "kept_tokens",
+                          F.md5("clean_text").alias("clean_md5"))
+
     return {"fuzzy_trgm_topk": fuzzy_trgm_topk,
             "hll_distinct_terms": hll_distinct_terms,
             "cms_heavy_hitters": cms_heavy,
             "haschild_topk": haschild_topk,
             "top_hits_facet": top_hits_facet,
             "rm3_topk": rm3_topk,
-            "decay_topk": decay_topk}
+            "decay_topk": decay_topk,
+            "dup_span_removal": dup_span_removal}
 
 
 def _hll_duck_sql() -> str:
@@ -3457,6 +3473,39 @@ rmsc AS (
 )
 SELECT doc_id, round(score, 4) AS score FROM rmsc
 ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10"""
+
+# duplicated 5-gram REMOVAL: the coverage oracle's covered-position set
+# becomes an anti-join, survivors re-serialize via ordered string_agg
+_ORACLE_DUPSPAN_REMOVAL = r"""
+WITH lists AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, unnest(range(1, greatest(len(l) - 4, 0) + 1)) AS pos, l
+  FROM lists
+),
+grams AS (SELECT doc_id, pos, array_to_string(l[pos:pos+4], ' ') AS gram FROM occ),
+dupg AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+covix AS (
+  SELECT g.doc_id, unnest(range(g.pos, g.pos + 5)) AS tok_ix
+  FROM grams g JOIN dupg USING (gram)
+),
+cov AS (SELECT DISTINCT doc_id, tok_ix FROM covix),
+pos AS (SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS p
+        FROM lists),
+kept AS (
+  SELECT pos.doc_id, pos.tok, pos.p
+  FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.tok_ix
+  WHERE cov.doc_id IS NULL
+),
+clean AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+                 string_agg(tok, ' ' ORDER BY p) AS ct
+          FROM kept GROUP BY doc_id)
+SELECT l.doc_id, CAST(len(l.l) AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       md5(coalesce(c.ct, '')) AS clean_md5
+FROM lists l LEFT JOIN clean c USING (doc_id)"""
 
 _ORACLE_TOP_HITS = """
 , ranked AS (
@@ -3740,6 +3789,8 @@ FROM documents""")
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_RM3, [q_cte]))
     from index_spark.operators.query import decay_sql as _dsql
     _decay = _dsql("documents.n_chars", 500.0, 300.0, 0.5, kind="gauss")
+    add("dup_span_removal", eng7["dup_span_removal"],
+        _ORACLE_DUPSPAN_REMOVAL)
     add("decay_topk", eng7["decay_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + f"""
 SELECT scores.doc_id, round(scores.score * {_decay}, 4) AS score

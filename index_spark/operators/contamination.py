@@ -65,6 +65,63 @@ def doc_grams(df: DataFrame, n: int, text_col: str = "text",
     return d.select("doc_id", F.explode("_grams").alias("gram"))
 
 
+def remove_duplicated_spans(df: DataFrame, n: int = 16, min_count: int = 2,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            hashed: bool = False,
+                            max_gram_df: int | None = None) -> DataFrame:
+    """Exact duplicated-span REMOVAL (Lee et al. 2022 §4 — the rewrite
+    their coverage statistic gates): drop every token covered by a word
+    n-gram occurring >= ``min_count`` times corpus-wide, and
+    re-serialize the survivors.
+
+    Returns (doc_id, n_tokens, kept_tokens, clean_text): ``clean_text``
+    is the doc's remaining tokens joined by single spaces (the
+    normalized surface form the curation pipeline already emits);
+    ``kept_tokens = len(clean)``. Empty docs and fully-duplicated docs
+    yield ``clean_text = ''`` — pair with a min-length gate downstream.
+
+    Scale shape: same gram-frequency shuffle as
+    :func:`duplicated_spans` (near-unique keys; ``hashed=True`` for
+    8-byte shuffle keys, ``max_gram_df`` to exempt boilerplate), one
+    covered-position set per affected doc (bounded by the doc's own
+    length), and an O(len) rewrite: ``array_except`` of the position
+    range (hash-set membership, NOT a per-token linear scan over the
+    drop list) followed by constant-time gathers.
+    """
+    occ = doc_grams(df, n, text_col, id_col, with_pos=True)
+    key = F.xxhash64("gram").alias("k") if hashed else F.col("gram").alias("k")
+    occ = occ.select("doc_id", "pos", key)
+    freq = occ.groupBy("k").agg(F.count("*").alias("_c"))
+    dup_keys = freq.filter(F.col("_c") >= min_count)
+    if max_gram_df is not None:
+        dup_keys = dup_keys.filter(F.col("_c") <= max_gram_df)
+    dup_occ = occ.join(dup_keys.select("k"), "k")
+    # 1-based covered-position sets, one row per affected doc
+    drops = (dup_occ
+             .select("doc_id", F.explode(
+                 F.expr(f"sequence(pos, pos + {n - 1})")).alias("tok_ix"))
+             .distinct()
+             .groupBy("doc_id")
+             .agg(F.collect_list("tok_ix").alias("_drop")))
+    toks = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                     F.expr(_TOKS.format(col=text_col)).alias("_toks"))
+    # explicit empty guard: sequence(1, 0) DESCENDS in Spark; BIGINT
+    # bounds keep array_except's element types aligned with _drop
+    keep_expr = ("IF(size(_toks) = 0, CAST(array() AS ARRAY<BIGINT>), "
+                 "array_except(sequence(CAST(1 AS BIGINT), "
+                 "CAST(size(_toks) AS BIGINT)), _drop))")
+    return (toks.join(drops, "doc_id", "left")
+            .withColumn("_drop", F.coalesce(
+                "_drop", F.expr("CAST(array() AS ARRAY<BIGINT>)")))
+            .withColumn("_keep", F.expr(keep_expr))
+            .select(
+                "doc_id",
+                F.size("_toks").cast("long").alias("n_tokens"),
+                F.size("_keep").cast("long").alias("kept_tokens"),
+                F.expr("array_join(transform(_keep, i -> _toks[int(i) - 1]),"
+                       " ' ')").alias("clean_text")))
+
+
 def decontaminate(train: DataFrame, bench: DataFrame, n: int = 8,
                   min_overlap: int = 1, text_col: str = "text",
                   id_col: str = "doc_id",

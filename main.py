@@ -192,6 +192,14 @@ def cmd_hygiene(args) -> None:
     spans = duplicated_spans(docs, n=args.span_n, min_count=2)
     spans.write.mode("overwrite").parquet(f"{args.out}/dup_spans")
     summary["dup_span_docs"] = spans.filter("dup_tokens > 0").count()
+    if args.remove_spans:
+        from index_spark.operators.contamination import (
+            remove_duplicated_spans,
+        )
+        clean = remove_duplicated_spans(docs, n=args.span_n, min_count=2)
+        clean.write.mode("overwrite").parquet(f"{args.out}/despanned")
+        summary["despanned_docs"] = clean.filter(
+            "kept_tokens < n_tokens").count()
     pii = pii_stats(docs)
     pii.write.mode("overwrite").parquet(f"{args.out}/pii")
     summary["pii_docs"] = pii.filter("n_pii > 0").count()
@@ -778,6 +786,9 @@ def main(argv=None) -> None:
     hy.add_argument("--min-tokens", type=int, default=5)
     hy.add_argument("--span-n", type=int, default=16)
     hy.add_argument("--decontam-n", type=int, default=8)
+    hy.add_argument("--remove-spans", action="store_true",
+                    help="also write the despanned rewrite (duplicated "
+                         "spans REMOVED, Lee et al. 2022)")
     hy.set_defaults(fn=cmd_hygiene)
 
     cl = sub.add_parser("collapse", help="field collapsing: best doc per "

@@ -103,6 +103,45 @@ def test_duplicated_spans_empty_and_short(spark):
     assert got == {1: (0, 0, 0.0), 2: (2, 0, 0.0)}
 
 
+def test_remove_duplicated_spans_hand_example(spark):
+    from index_spark.operators.contamination import remove_duplicated_spans
+
+    df = _docs(spark, [
+        (1, "a b c d e p q r"),
+        (2, "z a b c d e"),
+        (3, "u v w x y"),
+    ])
+    got = {r.doc_id: (r.n_tokens, r.kept_tokens, r.clean_text)
+           for r in remove_duplicated_spans(df, n=4, min_count=2).collect()}
+    # the shared "a b c d e" run is removed, the rest survives in order
+    assert got[1] == (8, 3, "p q r")
+    assert got[2] == (6, 1, "z")
+    assert got[3] == (5, 5, "u v w x y")
+
+
+def test_remove_duplicated_spans_consistent_with_coverage(spark):
+    from index_spark.operators.contamination import remove_duplicated_spans
+
+    df = _docs(spark, [(i, t) for i, t in enumerate(
+        ["a b c d e f", "x a b c d y", "q r s t", "a b c d e f", ""])])
+    cov = {r.doc_id: (r.n_tokens, r.dup_tokens)
+           for r in duplicated_spans(df, n=4).collect()}
+    rem = {r.doc_id: (r.n_tokens, r.kept_tokens)
+           for r in remove_duplicated_spans(df, n=4).collect()}
+    assert set(cov) == set(rem)
+    for d, (nt, dup) in cov.items():
+        assert rem[d] == (nt, nt - dup)
+
+
+def test_remove_duplicated_spans_fully_duplicated_doc(spark):
+    from index_spark.operators.contamination import remove_duplicated_spans
+
+    df = _docs(spark, [(1, "a b c"), (2, "a b c")])
+    got = {r.doc_id: (r.kept_tokens, r.clean_text)
+           for r in remove_duplicated_spans(df, n=3, min_count=2).collect()}
+    assert got == {1: (0, ""), 2: (0, "")}
+
+
 def test_duplicated_spans_hashed_parity(spark):
     df = _docs(spark, [(i, t) for i, t in enumerate(
         ["a b c d e f", "x a b c d y", "q r s t", "a b c d e f"])])
