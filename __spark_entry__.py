@@ -3343,6 +3343,26 @@ def _r04s7_engine_queries() -> dict[str, Callable[[SparkSession, str],
         return out.select("doc_id", "n_tokens", "kept_tokens",
                           F.md5("clean_text").alias("clean_md5"))
 
+    def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # T5-style alpha-sampling: target shares n^alpha-normalized,
+        # largest downsample-only subset, deterministic md5 draw —
+        # rates AND achieved kept counts value-checked
+        from index_spark.operators.sample import (
+            balance_corpus,
+            temperature_rates,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rates = temperature_rates(docs, alpha=0.5)
+        kept = balance_corpus(docs, None, rates=rates, salt="temp")
+        kc = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+        return (rates.join(kc, "source", "left")
+                .select("source", "n_docs",
+                        F.round("target_share", 6).alias("target_share"),
+                        F.round("rate", 6).alias("rate"),
+                        F.coalesce(F.col("n_kept"), F.lit(0))
+                        .cast("long").alias("n_kept")))
+
     return {"fuzzy_trgm_topk": fuzzy_trgm_topk,
             "hll_distinct_terms": hll_distinct_terms,
             "cms_heavy_hitters": cms_heavy,
@@ -3350,7 +3370,8 @@ def _r04s7_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "top_hits_facet": top_hits_facet,
             "rm3_topk": rm3_topk,
             "decay_topk": decay_topk,
-            "dup_span_removal": dup_span_removal}
+            "dup_span_removal": dup_span_removal,
+            "temperature_mixture": temperature_mixture}
 
 
 def _hll_duck_sql() -> str:
@@ -3506,6 +3527,32 @@ SELECT l.doc_id, CAST(len(l.l) AS BIGINT) AS n_tokens,
        CAST(coalesce(c.kept_tokens, 0) AS BIGINT) AS kept_tokens,
        md5(coalesce(c.ct, '')) AS clean_md5
 FROM lists l LEFT JOIN clean c USING (doc_id)"""
+
+# temperature (alpha) sampling oracle: p_s ∝ n^alpha, K = min n/t,
+# rate = t*K/n, md5 ':temp' draw with floor-before-cast threshold
+_ORACLE_TEMPERATURE = """
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+), pw AS (
+  SELECT source, n_docs,
+         power(CAST(n_docs AS DOUBLE), CAST(0.5 AS DOUBLE)) AS p
+  FROM counts
+), z AS (SELECT sum(p) AS z FROM pw),
+wt AS (SELECT source, n_docs, p / z.z AS t FROM pw CROSS JOIN z),
+k AS (SELECT min(n_docs / t) AS k FROM wt),
+rates AS (
+  SELECT source, n_docs, t AS target_share, t * k.k / n_docs AS rate
+  FROM wt CROSS JOIN k
+), kept AS (
+  SELECT d.source FROM documents d JOIN rates r ON d.source = r.source
+  WHERE substr(md5(d.doc_id::VARCHAR || ':temp'), 1, 8) <
+        CASE WHEN r.rate >= 1.0 THEN 'g'
+             ELSE printf('%08x', CAST(floor(r.rate * 4294967296) AS BIGINT)) END
+), kc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY source)
+SELECT r.source, r.n_docs, round(r.target_share, 6) AS target_share,
+       round(r.rate, 6) AS rate,
+       CAST(coalesce(kc.n_kept, 0) AS BIGINT) AS n_kept
+FROM rates r LEFT JOIN kc ON r.source = kc.source"""
 
 _ORACLE_TOP_HITS = """
 , ranked AS (
@@ -3791,6 +3838,8 @@ FROM documents""")
     _decay = _dsql("documents.n_chars", 500.0, 300.0, 0.5, kind="gauss")
     add("dup_span_removal", eng7["dup_span_removal"],
         _ORACLE_DUPSPAN_REMOVAL)
+    add("temperature_mixture", eng7["temperature_mixture"],
+        _ORACLE_TEMPERATURE)
     add("decay_topk", eng7["decay_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + f"""
 SELECT scores.doc_id, round(scores.score * {_decay}, 4) AS score

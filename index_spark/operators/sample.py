@@ -106,6 +106,37 @@ _THR_SQL = ("CASE WHEN rate >= 1.0 THEN 'g' ELSE "
             " END")
 
 
+def temperature_rates(df: DataFrame, alpha: float = 0.5,
+                      strata_col: str = "source") -> DataFrame:
+    """Temperature / alpha sampling (T5 & mT5 multilingual mixing,
+    Raffel et al. 2020 §3.4.3; Conneau et al. 2020 §3): target shares
+    p_s ∝ n_s^alpha — alpha=1 keeps raw proportions, alpha→0 tends to
+    uniform, so rare strata are UP-weighted relative to their raw share
+    without ever upsampling (rates stay <= 1 by the same K = min n/t
+    construction as :func:`mixture_rates`).
+
+    Returns (strata_col, n_docs, target_share, rate): feed the rate
+    relation to :func:`balance_corpus` (``rates=``) for the
+    deterministic draw. Derivation is one count aggregate plus two
+    1-row cross joins (normalizer and K) — nothing collected, stratum
+    domain bounded."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = (df.groupBy(strata_col)
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    a = f"CAST({float(alpha)!r} AS DOUBLE)"
+    pw = counts.withColumn(
+        "_p", F.expr(f"power(CAST(n_docs AS DOUBLE), {a})"))
+    z = pw.agg(F.sum("_p").alias("_z"))
+    wt = pw.crossJoin(z).withColumn("t", F.col("_p") / F.col("_z"))
+    k = wt.agg(F.min(F.col("n_docs") / F.col("t")).alias("k"))
+    return (wt.crossJoin(k)
+            .select(strata_col, "n_docs",
+                    F.col("t").alias("target_share"),
+                    (F.col("t") * F.col("k") / F.col("n_docs"))
+                    .alias("rate")))
+
+
 def balance_corpus(df: DataFrame, targets: dict[str, float],
                    strata_col: str = "source", key_col: str = "doc_id",
                    salt: str = "mixture",

@@ -489,9 +489,20 @@ def cmd_mix(args) -> None:
 
     spark = _spark(args)
     docs = spark.read.parquet(args.docs)
-    targets = {k: float(v) for k, v in json.loads(args.targets).items()}
-    rates_df = mixture_rates(docs, targets,
-                             strata_col=args.strata_col).persist()
+    if args.alpha is not None:
+        # temperature sampling: targets derived from counts (n^alpha)
+        from index_spark.operators.sample import temperature_rates
+
+        targets = None
+        rates_df = temperature_rates(docs, alpha=args.alpha,
+                                     strata_col=args.strata_col) \
+            .drop("target_share").persist()
+    else:
+        if not args.targets:
+            raise SystemExit("mix: pass --targets JSON or --alpha")
+        targets = {k: float(v) for k, v in json.loads(args.targets).items()}
+        rates_df = mixture_rates(docs, targets,
+                                 strata_col=args.strata_col).persist()
     kept = balance_corpus(docs, targets, strata_col=args.strata_col,
                           key_col=args.id_col, rates=rates_df)
     kept.write.mode("overwrite").parquet(args.out)
@@ -902,8 +913,12 @@ def main(argv=None) -> None:
                                     "proportions (downsample-only)")
     mx.add_argument("--docs", required=True)
     mx.add_argument("--out", required=True)
-    mx.add_argument("--targets", required=True,
-                    help='JSON {"source_value": share, ...}')
+    mx.add_argument("--targets",
+                    help='JSON {"source_value": share, ...} '
+                         '(required unless --alpha)')
+    mx.add_argument("--alpha", type=float,
+                    help="temperature sampling instead of explicit "
+                         "targets: shares proportional to n^alpha")
     mx.add_argument("--strata-col", default="source")
     mx.add_argument("--id-col", default="doc_id")
     mx.set_defaults(fn=cmd_mix)

@@ -238,6 +238,53 @@ def test_decay_boosted_search_matches_manual(built, all_scores):
         assert abs(r["score"] - e.boosted) < 1e-9
 
 
+def test_temperature_rates_formula_and_extremes(spark):
+    from index_spark.operators.sample import temperature_rates
+
+    rows = ([("big", i) for i in range(900)]
+            + [("mid", i) for i in range(90)]
+            + [("rare", i) for i in range(10)])
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    # alpha=1 reproduces raw shares -> every rate is exactly 1.0
+    r1 = {r["source"]: r["rate"]
+          for r in temperature_rates(df, alpha=1.0).collect()}
+    assert all(abs(v - 1.0) < 1e-12 for v in r1.values())
+    # alpha=0.5: shares proportional to sqrt(n); the binding stratum
+    # (largest n/t ratio minimizer) keeps rate 1.0, others downsample
+    got = {r["source"]: (r["n_docs"], r["target_share"], r["rate"])
+           for r in temperature_rates(df, alpha=0.5).collect()}
+    import math
+
+    z = math.sqrt(900) + math.sqrt(90) + math.sqrt(10)
+    for s, n in [("big", 900), ("mid", 90), ("rare", 10)]:
+        assert abs(got[s][1] - math.sqrt(n) / z) < 1e-12
+    k = min(n / (math.sqrt(n) / z) for n in (900, 90, 10))
+    for s, n in [("big", 900), ("mid", 90), ("rare", 10)]:
+        assert abs(got[s][2] - (math.sqrt(n) / z) * k / n) < 1e-12
+    assert max(v[2] for v in got.values()) == pytest.approx(1.0)
+    # rare strata keep a LARGER fraction than common ones
+    assert got["rare"][2] > got["mid"][2] > got["big"][2]
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_rates(df, alpha=0.0)
+
+
+def test_temperature_balance_draw_is_deterministic(spark):
+    from index_spark.operators.sample import (
+        balance_corpus,
+        temperature_rates,
+    )
+
+    rows = [("a", i) for i in range(200)] + [("b", i + 200)
+                                             for i in range(50)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    rates = temperature_rates(df, alpha=0.5)
+    k1 = sorted(r["doc_id"] for r in
+                balance_corpus(df, None, rates=rates).collect())
+    k2 = sorted(r["doc_id"] for r in
+                balance_corpus(df, None, rates=rates).collect())
+    assert k1 == k2 and len(k1) > 0
+
+
 def test_top_hits_per_group_one_equals_collapse(built):
     docs, index, stats = built
     th = top_hits_by_group(index, docs, stats, QUERY, by="repo",
