@@ -3363,6 +3363,19 @@ def _r04s7_engine_queries() -> dict[str, Callable[[SparkSession, str],
                         F.coalesce(F.col("n_kept"), F.lit(0))
                         .cast("long").alias("n_kept")))
 
+    def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # DSIR importance log-weights: hashed unigram+bigram models of
+        # the lang='en' target slice vs the whole raw corpus; the
+        # oracle recomputes hash buckets, smoothed distributions, and
+        # per-doc sums from the same md5-nibble expression
+        from index_spark.operators.dsir import dsir_logratios
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        target = docs.filter(F.col("lang") == "en")
+        out = dsir_logratios(docs, target, n_buckets=64, alpha=1.0)
+        return out.select("doc_id", "n_feats",
+                          F.round("log_ratio", 4).alias("log_ratio"))
+
     return {"fuzzy_trgm_topk": fuzzy_trgm_topk,
             "hll_distinct_terms": hll_distinct_terms,
             "cms_heavy_hitters": cms_heavy,
@@ -3371,7 +3384,8 @@ def _r04s7_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "rm3_topk": rm3_topk,
             "decay_topk": decay_topk,
             "dup_span_removal": dup_span_removal,
-            "temperature_mixture": temperature_mixture}
+            "temperature_mixture": temperature_mixture,
+            "dsir_scores": dsir_scores}
 
 
 def _hll_duck_sql() -> str:
@@ -3553,6 +3567,53 @@ SELECT r.source, r.n_docs, round(r.target_share, 6) AS target_share,
        round(r.rate, 6) AS rate,
        CAST(coalesce(kc.n_kept, 0) AS BIGINT) AS n_kept
 FROM rates r LEFT JOIN kc ON r.source = kc.source"""
+
+def _dsir_duck_sql() -> str:
+    # hash buckets, smoothed bucket LMs, and per-doc sums all from the
+    # operator's own expression strings (operators/dsir.py)
+    from index_spark.operators.dsir import dsir_bucket_sql
+
+    b = dsir_bucket_sql("gram", 64)
+    a = "CAST(1.0 AS DOUBLE)"
+    return f"""
+WITH lists AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+),
+uni AS (SELECT doc_id, lang, unnest(l) AS gram FROM lists),
+bi AS (
+  SELECT doc_id, lang, array_to_string(l[pos:pos+1], ' ') AS gram
+  FROM (SELECT doc_id, lang, unnest(range(1, greatest(len(l) - 1, 0) + 1)) AS pos, l
+        FROM lists) s
+),
+feats AS (
+  SELECT doc_id, lang, {b} AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u
+),
+qc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM feats GROUP BY bucket),
+qt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM feats),
+pc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM feats WHERE lang = 'en' GROUP BY bucket),
+pt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM feats WHERE lang = 'en'),
+spine AS (SELECT unnest(range(64)) AS bucket),
+lp AS (SELECT spine.bucket,
+              ln((CAST(coalesce(pc.c, 0) AS DOUBLE) + {a}) /
+                 (CAST(pt.t AS DOUBLE) + {a} * 64.0e0)) AS lp
+       FROM spine LEFT JOIN pc ON spine.bucket = pc.bucket CROSS JOIN pt),
+lq AS (SELECT spine.bucket,
+              ln((CAST(coalesce(qc.c, 0) AS DOUBLE) + {a}) /
+                 (CAST(qt.t AS DOUBLE) + {a} * 64.0e0)) AS lq
+       FROM spine LEFT JOIN qc ON spine.bucket = qc.bucket CROSS JOIN qt),
+ratio AS (SELECT lp.bucket, lp.lp - lq.lq AS lr
+          FROM lp JOIN lq ON lp.bucket = lq.bucket),
+sc AS (SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+              sum(r.lr) AS log_ratio
+       FROM feats f JOIN ratio r ON f.bucket = r.bucket
+       GROUP BY f.doc_id)
+SELECT d.doc_id, CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+       round(coalesce(sc.log_ratio, 0.0), 4) AS log_ratio
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"""
+
 
 _ORACLE_TOP_HITS = """
 , ranked AS (
@@ -3840,6 +3901,7 @@ FROM documents""")
         _ORACLE_DUPSPAN_REMOVAL)
     add("temperature_mixture", eng7["temperature_mixture"],
         _ORACLE_TEMPERATURE)
+    add("dsir_scores", eng7["dsir_scores"], _dsir_duck_sql())
     add("decay_topk", eng7["decay_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + f"""
 SELECT scores.doc_id, round(scores.score * {_decay}, 4) AS score

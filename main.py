@@ -389,6 +389,27 @@ def cmd_cluster(args) -> None:
                       "dupes_droppable": n_docs - n_clusters}))
 
 
+def cmd_dsir(args) -> None:
+    """DSIR importance log-weights (target-likeness data selection)."""
+    from pyspark.sql import functions as F
+
+    from index_spark.operators.dsir import dsir_logratios
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    target = spark.read.parquet(args.target)
+    out = dsir_logratios(docs, target, n_buckets=args.buckets,
+                         alpha=args.alpha)
+    out.write.mode("overwrite").parquet(args.out)
+    stats = (spark.read.parquet(args.out)
+             .agg(F.count("*").alias("n"),
+                  F.round(F.avg("log_ratio"), 4).alias("mean_lr"),
+                  F.sum((F.col("log_ratio") > 0).cast("long"))
+                  .alias("target_like")).first())
+    print(json.dumps({"docs": stats["n"], "mean_log_ratio": stats["mean_lr"],
+                      "target_like_docs": int(stats["target_like"])}))
+
+
 def cmd_lmscore(args) -> None:
     """Bigram-LM cross-entropy per doc (CCNet-style quality gate)."""
     from index_spark.operators.lm import bigram_lm_scores
@@ -864,6 +885,16 @@ def main(argv=None) -> None:
     cc.add_argument("--text-col", default="text")
     cc.add_argument("--id-col", default="doc_id")
     cc.set_defaults(fn=cmd_cluster)
+
+    ds = sub.add_parser("dsir", help="DSIR importance log-weights: rank "
+                                     "raw docs by target-likeness")
+    ds.add_argument("--docs", required=True)
+    ds.add_argument("--target", required=True,
+                    help="target-domain documents parquet")
+    ds.add_argument("--out", required=True)
+    ds.add_argument("--buckets", type=int, default=64)
+    ds.add_argument("--alpha", type=float, default=1.0)
+    ds.set_defaults(fn=cmd_dsir)
 
     lm = sub.add_parser("lmscore", help="bigram-LM cross-entropy per doc "
                                         "(CCNet-style quality gate)")

@@ -285,6 +285,58 @@ def test_temperature_balance_draw_is_deterministic(spark):
     assert k1 == k2 and len(k1) > 0
 
 
+def _py_dsir_bucket(gram: str, n_buckets: int = 64) -> int:
+    import hashlib
+
+    h = hashlib.md5(gram.encode()).hexdigest()
+    return int(h[:2], 16) % n_buckets
+
+
+def test_dsir_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from index_spark.operators.dsir import dsir_logratios
+
+    rows = [(0, "a b c a", "en"), (1, "x y z", "xx"),
+            (2, "a b x", "en"), (3, "", "xx")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: (r["n_feats"], r["log_ratio"]) for r in
+           dsir_logratios(df, df.filter("lang = 'en'"),
+                          n_buckets=64, alpha=1.0).collect()}
+
+    def feats(text):
+        toks = [t for t in text.lower().split() if t]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    raw = Counter(_py_dsir_bucket(g) for d, t, _ in rows for g in feats(t))
+    tgt = Counter(_py_dsir_bucket(g) for d, t, lg in rows
+                  if lg == "en" for g in feats(t))
+    rt, tt = sum(raw.values()), sum(tgt.values())
+    for d, t, _ in rows:
+        fs = feats(t)
+        exp = sum(math.log((tgt[_py_dsir_bucket(g)] + 1.0) / (tt + 64.0))
+                  - math.log((raw[_py_dsir_bucket(g)] + 1.0) / (rt + 64.0))
+                  for g in fs)
+        assert got[d][0] == len(fs)
+        assert abs(got[d][1] - exp) < 1e-9, (d, got[d], exp)
+
+
+def test_dsir_self_target_is_zero_and_select(spark):
+    from index_spark.operators.dsir import dsir_logratios, dsir_select
+
+    rows = [(i, f"w{i} common text common w{i + 1}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lr = dsir_logratios(df, df).collect()
+    assert all(abs(r["log_ratio"]) < 1e-12 for r in lr)
+    sel = dsir_select(df, df.filter("doc_id < 5"), keep=5).collect()
+    assert len(sel) == 5
+    scores = [r["log_ratio"] for r in sel]
+    assert scores == sorted(scores, reverse=True)
+    with pytest.raises(ValueError, match="alpha"):
+        dsir_logratios(df, df, alpha=0.0)
+
+
 def test_top_hits_per_group_one_equals_collapse(built):
     docs, index, stats = built
     th = top_hits_by_group(index, docs, stats, QUERY, by="repo",
