@@ -250,13 +250,17 @@ def top_bigrams(corpus_with_ids: DataFrame, top: int = 20,
 
     toks = tokenized_docs(corpus_with_ids, stem=stem, camel=camel,
                           text_col=text_col)
-    pairs = toks.select(
+    # outer explode: plain explode's inferred size-filter would inline
+    # the bigram transform (tokens inside the lambda) and re-evaluate
+    # it per element — O(tokens^2) per doc
+    pairs = (toks.select(
         "doc_id",
-        F.explode(F.when(F.size("tokens") >= 2, F.transform(
+        F.explode_outer(F.when(F.size("tokens") >= 2, F.transform(
             F.sequence(F.lit(0), F.size("tokens") - 2),
             lambda i: F.concat_ws(" ", F.get("tokens", i),
                                   F.get("tokens", i + F.lit(1)))
         )).otherwise(F.array())).alias("bigram"))
+        .filter(F.col("bigram").isNotNull()))
     out = (pairs.groupBy("bigram")
            .agg(F.count("*").alias("n_occurrences"),
                 F.countDistinct("doc_id").alias("n_docs"))

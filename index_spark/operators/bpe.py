@@ -44,19 +44,21 @@ _CHARS = ("concat('  ', array_join(transform(sequence(1, length(word)), "
 def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) — corpus occurrence counts over the simple-token
     spec; the vocabulary-bounded relation all BPE rounds run on."""
-    return (docs.select(F.explode(
+    return (docs.select(F.explode_outer(
                 F.expr(_TOKS.format(col=text_col))).alias("word"))
+            .filter(F.col("word").isNotNull())
             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
     syms = words.select("freq", F.split(F.trim("s"), " +").alias("syms"))
     return (syms.where(F.size("syms") >= 2)
-            .select("freq", F.explode(F.transform(
+            .select("freq", F.explode_outer(F.transform(
                 F.sequence(F.lit(0), F.size("syms") - 2),
                 lambda i: F.struct(F.get("syms", i).alias("lhs"),
                                    F.get("syms", i + F.lit(1)).alias("rhs"))
             )).alias("p"))
+            .filter(F.col("p").isNotNull())
             .groupBy("p.lhs", "p.rhs")
             .agg(F.sum("freq").alias("c")))
 

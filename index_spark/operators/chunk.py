@@ -56,9 +56,13 @@ def chunk_documents(df: DataFrame, chunk_size: int = 128, overlap: int = 0,
                                  F.lit(step)),
                       lambda s: (s < n)
                       & ((s == 0) | (s + overlap < n)))
+    # outer explode: a plain explode's inferred size-filter re-inlines
+    # the starts expression (whose lambda references size(toks)) and
+    # re-evaluates tokenization per start offset — O(len^2/step)
     out = (df.select(F.col(id_col).cast("long").alias("doc_id"),
                      toks.alias("_toks"),
-                     F.explode(starts).alias("_start"))
+                     F.explode_outer(starts).alias("_start"))
+           .filter(F.col("_start").isNotNull())
            .select("doc_id",
                    (F.col("_start") / step).cast("long").alias("chunk_id"),
                    F.slice("_toks", F.col("_start") + 1,

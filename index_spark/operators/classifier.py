@@ -48,8 +48,9 @@ def hashed_features(docs: DataFrame, dim: int = 256, text_col: str = "text",
     """(doc_id, feat, val) — hashed bag-of-words, val = bucket token
     count / doc token count (L1-normalized tf)."""
     toks = (docs.select(F.col(id_col).alias("doc_id"),
-                        F.explode(F.expr(_TOKS.format(col=text_col)))
-                        .alias("t")))
+                        F.explode_outer(F.expr(_TOKS.format(col=text_col)))
+                        .alias("t"))
+            .filter(F.col("t").isNotNull()))
     toks = toks.withColumn("feat", F.expr(_bucket_sql("t", dim)))
     dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
     return (toks.groupBy("doc_id", "feat")

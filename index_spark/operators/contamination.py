@@ -58,11 +58,22 @@ def doc_grams(df: DataFrame, n: int, text_col: str = "text",
     d = df.select(F.col(id_col).cast("long").alias("doc_id"),
                   F.expr(_TOKS.format(col=text_col)).alias("_toks"))
     d = d.select("doc_id", F.expr(_grams_expr(n)).alias("_grams"))
+    # OUTER explode on purpose: a plain explode triggers Catalyst's
+    # InferFiltersFromGenerate, whose size(...)>0 filter substitutes the
+    # WHOLE gram expression through the projections — tokenization lands
+    # inside the transform lambda and re-evaluates PER ELEMENT, turning
+    # gram generation O(tokens^2) per doc (measured 20x on 1.5k-token
+    # docs). Outer generates infer no filter; the empty/null rows are
+    # dropped by a cheap post-generate IS NOT NULL instead.
     if with_pos:
-        return d.select("doc_id", F.posexplode("_grams")
-                        .alias("_p", "gram")).select(
-            "doc_id", (F.col("_p") + 1).cast("long").alias("pos"), "gram")
-    return d.select("doc_id", F.explode("_grams").alias("gram"))
+        return (d.select("doc_id", F.posexplode_outer("_grams")
+                         .alias("_p", "gram"))
+                .filter(F.col("gram").isNotNull())
+                .select("doc_id",
+                        (F.col("_p") + 1).cast("long").alias("pos"),
+                        "gram"))
+    return (d.select("doc_id", F.explode_outer("_grams").alias("gram"))
+            .filter(F.col("gram").isNotNull()))
 
 
 def remove_duplicated_spans(df: DataFrame, n: int = 16, min_count: int = 2,

@@ -440,13 +440,17 @@ def _doc_grams(df: DataFrame, n: int, text_col: str,
         F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
                  lambda x: x != F.lit("")).alias("toks"),
     )
-    return toks.select(
+    # outer explode: plain explode's inferred size-filter inlines the
+    # gram transform (tokenization inside the lambda) and re-evaluates
+    # it per element — O(tokens^2) per doc
+    return (toks.select(
         "doc_id",
-        F.explode(F.transform(
+        F.explode_outer(F.transform(
             F.sequence(F.lit(0), F.size("toks") - n),
             lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
-        )).alias("gram"),
-    ).where(F.size(F.split(F.col("gram"), " ")) == n).distinct()
+        )).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .where(F.size(F.split(F.col("gram"), " ")) == n).distinct())
 
 
 def _gram_prefix(grams: DataFrame, threshold: float) -> DataFrame:

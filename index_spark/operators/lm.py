@@ -37,13 +37,19 @@ def doc_bigrams(docs: DataFrame, text_col: str = "text",
     """(doc_id, w1, w2) — one row per adjacent token pair, JVM-side
     (array transform + explode, no Python)."""
     l = F.expr(_TOKS.format(col=text_col))
+    # explode_outer + IS NOT NULL, not plain explode: the inferred
+    # size()>0 filter of a plain explode substitutes the bigram
+    # transform (with tokenization inside its lambda) through the
+    # projection and re-evaluates it per element — O(tokens^2) per doc
+    # (see doc_grams in contamination.py for the measured case)
     return (docs.select(F.col(id_col).alias("doc_id"), l.alias("l"))
             .where(F.size("l") >= 2)
-            .select("doc_id", F.explode(F.transform(
+            .select("doc_id", F.explode_outer(F.transform(
                 F.sequence(F.lit(0), F.size("l") - 2),
                 lambda i: F.struct(F.get("l", i).alias("w1"),
                                    F.get("l", i + F.lit(1)).alias("w2"))
             )).alias("bg"))
+            .filter(F.col("bg").isNotNull())
             .select("doc_id", "bg.w1", "bg.w2"))
 
 
@@ -66,8 +72,9 @@ def bigram_lm_scores(docs: DataFrame, reference: DataFrame | None = None,
         F.count(F.lit(1)).cast("double").alias("c12"))
     c1 = train.groupBy("w1").agg(
         F.count(F.lit(1)).cast("double").alias("c1"))
-    vocab = (ref.select(F.explode(
+    vocab = (ref.select(F.explode_outer(
                 F.expr(_TOKS.format(col=text_col))).alias("t"))
+             .filter(F.col("t").isNotNull())
              .agg(F.countDistinct("t").cast("double").alias("v")))
 
     # self-scoring reuses the training bigram relation (one definition;

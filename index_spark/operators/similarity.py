@@ -113,7 +113,13 @@ def assign_buckets(emb: DataFrame, centroids: np.ndarray,
         top = np.argpartition(-sims, k - 1, axis=1)[:, :k].astype(np.int32)
         return pd.Series(list(top))
 
-    return emb.withColumn("bucket", F.explode(_buckets(F.col(vec_col))))
+    # outer explode: plain explode's inferred size-filter would invoke
+    # the bucket-assignment pandas UDF a second (and third) time per
+    # row; the probe array is never empty (k >= 1), so the null filter
+    # is an exact replacement
+    return (emb.withColumn("bucket",
+                           F.explode_outer(_buckets(F.col(vec_col))))
+            .filter(F.col("bucket").isNotNull()))
 
 
 def ivf_topk(bucketed: DataFrame, centroids: np.ndarray, qvec: list[float],
