@@ -3376,6 +3376,33 @@ def _r04s7_engine_queries() -> dict[str, Callable[[SparkSession, str],
         return out.select("doc_id", "n_feats",
                           F.round("log_ratio", 4).alias("log_ratio"))
 
+    def substring_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # trigram-indexed substring search (Cox/Zoekt code-search
+        # shape): candidates = docs containing every pattern trigram,
+        # verified byte-exact; result identity with the oracle's plain
+        # scan proves the gate loses nothing
+        from index_spark.operators.codesearch import (
+            build_substring_index,
+            substring_search,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        trgm = build_substring_index(docs)
+        return substring_search(docs, "data tab", trgm=trgm)
+
+    def regex_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # egrep with required-literal-run candidate gating before the
+        # exact rlike verify (regex subset shared by Java and RE2)
+        from index_spark.operators.codesearch import (
+            build_substring_index,
+            grep_search,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        trgm = build_substring_index(docs)
+        return grep_search(docs, "table[0-9a-f]* quer", regex=True,
+                           trgm=trgm)
+
     return {"fuzzy_trgm_topk": fuzzy_trgm_topk,
             "hll_distinct_terms": hll_distinct_terms,
             "cms_heavy_hitters": cms_heavy,
@@ -3385,7 +3412,9 @@ def _r04s7_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "decay_topk": decay_topk,
             "dup_span_removal": dup_span_removal,
             "temperature_mixture": temperature_mixture,
-            "dsir_scores": dsir_scores}
+            "dsir_scores": dsir_scores,
+            "substring_grep": substring_grep,
+            "regex_grep": regex_grep}
 
 
 def _hll_duck_sql() -> str:
@@ -3902,6 +3931,16 @@ FROM documents""")
     add("temperature_mixture", eng7["temperature_mixture"],
         _ORACLE_TEMPERATURE)
     add("dsir_scores", eng7["dsir_scores"], _dsir_duck_sql())
+    add("substring_grep", eng7["substring_grep"], """
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, 'data tab', ''))) / 8 AS BIGINT) AS n_occurrences
+FROM documents
+WHERE position('data tab' IN text) > 0
+ORDER BY doc_id""")
+    add("regex_grep", eng7["regex_grep"], """
+SELECT doc_id FROM documents
+WHERE regexp_matches(text, 'table[0-9a-f]* quer')
+ORDER BY doc_id""")
     add("decay_topk", eng7["decay_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + f"""
 SELECT scores.doc_id, round(scores.score * {_decay}, 4) AS score

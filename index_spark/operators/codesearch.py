@@ -1,0 +1,188 @@
+"""Trigram-indexed substring search over raw document text — "grep at
+corpus scale", the classic code-search design (R. Cox, "Regular
+Expression Matching with a Trigram Index", 2012; Google Code Search /
+Zoekt use the same shape).
+
+Token inverted indexes cannot answer substring queries: ``strcpy(``
+or ``tableName.`` cross token boundaries and the tokenizer's [a-z0-9]
+normalization destroys the bytes being grepped. The trigram index is
+the complement:
+
+  * index side: one row per DISTINCT character 3-gram per doc —
+    ``(gram, doc_id)``. Text is indexed byte-exact (no lowercasing,
+    no tokenization), so the verify step is plain ``contains``;
+  * query side: a pattern of length >= 3 must contain ALL of its
+    character trigrams, so candidates = docs containing every distinct
+    pattern gram (count gate over an IN-probed equi-join — only the
+    pattern's gram postings are read, same pushdown shape as
+    plans/trigram.py); the exact ``contains(text, pattern)`` predicate
+    then verifies candidates only;
+  * regex side: a regex's REQUIRED literal runs (literals every match
+    must contain, extracted conservatively) gate candidates the same
+    way before the ``rlike`` verify. A regex with no literal run >= 3
+    chars falls back to the full scan — same contract as Cox's
+    "trigram query = ANY".
+
+Scale shape: the index is a distinct-gram relation (bounded by
+text bytes), range-partitioned + sorted by gram at rest so the
+query-side IN-list row-group-prunes; the candidate gate is one
+map-side-combinable count; verification joins the (small) candidate
+id set back to the corpus — a semi-join, never a full-text scan.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QGRAM = 3
+
+
+def char_trigrams(s: str) -> list[str]:
+    """Driver-side distinct character trigrams of a pattern, in first-
+    occurrence order."""
+    seen: dict[str, None] = {}
+    for i in range(len(s) - QGRAM + 1):
+        seen.setdefault(s[i:i + QGRAM])
+    return list(seen)
+
+
+def build_substring_index(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """(gram, doc_id): one row per distinct character 3-gram per doc,
+    byte-exact. Outer explode (a plain explode's inferred size-filter
+    would re-evaluate the gram transform per element — the
+    InferFiltersFromGenerate trap measured in contamination.doc_grams).
+    Docs shorter than 3 chars contribute no rows (they can never match
+    a >=3-char pattern through the index; the <3 fallback scans)."""
+    grams = F.array_distinct(F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - "
+        f"{QGRAM - 1}, 0)), i -> substring({text_col}, i, {QGRAM}))"))
+    return (docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                        F.explode_outer(grams).alias("gram"))
+            .filter(F.col("gram").isNotNull()))
+
+
+def write_substring_index(trgm: DataFrame, path: str,
+                          n_partitions: int | None = None) -> None:
+    """Sorted-by-gram at rest: every file covers a contiguous gram
+    range, so a pattern's IN-list probe row-group-prunes."""
+    out = (trgm.repartitionByRange(F.col("gram"), F.col("doc_id"))
+           if n_partitions is None
+           else trgm.repartitionByRange(n_partitions, F.col("gram"),
+                                        F.col("doc_id")))
+    out.sortWithinPartitions("gram", "doc_id") \
+       .write.mode("overwrite").parquet(path)
+
+
+def substring_candidates(trgm: DataFrame, pattern: str) -> DataFrame:
+    """doc_ids containing EVERY distinct trigram of ``pattern`` — the
+    necessary-condition gate (may over-generate across gram
+    boundaries; never misses a true match). Pattern must be >= 3
+    chars."""
+    grams = char_trigrams(pattern)
+    if not grams:
+        raise ValueError(
+            f"pattern shorter than {QGRAM} chars has no trigrams; "
+            "use substring_search (it falls back to a scan)")
+    return (trgm.filter(F.col("gram").isin(grams))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("gram").alias("_n"))
+            .filter(F.col("_n") == len(grams))
+            .select("doc_id"))
+
+
+def substring_search(docs: DataFrame, pattern: str,
+                     trgm: DataFrame | None = None,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact substring (grep) match set:
+    (doc_id, n_occurrences) for every doc whose text contains
+    ``pattern`` byte-exactly.
+
+    With ``trgm`` (the at-rest gram index) and a pattern >= 3 chars,
+    only candidate docs are verified — the corpus text column is read
+    for the candidate semi-join only. Without it (or for short
+    patterns) the verify runs as a full scan filter."""
+    if not pattern:
+        raise ValueError("empty pattern")
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(text_col).alias("_t"))
+    if trgm is not None and len(pattern) >= QGRAM:
+        cand = substring_candidates(trgm, pattern)
+        d = d.join(cand, "doc_id")
+    p = F.lit(pattern)
+    return (d.filter(F.contains(F.col("_t"), p))
+            .select("doc_id",
+                    ((F.length("_t")
+                      - F.length(F.replace(F.col("_t"), p, F.lit(""))))
+                     / len(pattern)).cast("long").alias("n_occurrences"))
+            .orderBy("doc_id"))
+
+
+def regex_literal_runs(pattern: str) -> list[str]:
+    """Conservative REQUIRED literal runs of a regex: maximal runs of
+    plain characters outside classes/groups, truncated at any
+    metacharacter; a run followed by ``* ? {`` drops its last char
+    (that char is optional/repeated). Returns runs >= QGRAM chars.
+    Alternation at top level defeats the requirement entirely (either
+    branch may match), so a bare ``|`` returns []."""
+    if re.search(r"(?<!\\)\|", pattern):
+        return []
+    runs: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(pattern)
+    metas = set(".^$*+?{}[]()|\\")
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            # escaped char: literal, but class escapes (\d \w \s...)
+            # are not fixed literals — end the run
+            if i + 1 < n and pattern[i + 1] in metas:
+                cur.append(pattern[i + 1])
+                i += 2
+                continue
+            cur = []
+            i += 2
+            continue
+        if c in metas:
+            if c in "*?{" and cur:
+                cur.pop()  # the preceding char is optional/repeated
+            if cur:
+                runs.append("".join(cur))
+            cur = []
+            # skip bracket classes wholesale
+            if c == "[":
+                j = pattern.find("]", i + 1)
+                i = (j if j != -1 else n) + 1
+                continue
+            i += 1
+            continue
+        cur.append(c)
+        i += 1
+    if cur:
+        runs.append("".join(cur))
+    return [r for r in runs if len(r) >= QGRAM]
+
+
+def grep_search(docs: DataFrame, pattern: str, regex: bool = False,
+                trgm: DataFrame | None = None, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """grep/egrep over the corpus: (doc_id) rows whose text matches.
+    Literal mode delegates to :func:`substring_search`; regex mode
+    gates candidates on the pattern's required literal runs (each run
+    gives an independent all-grams condition; a doc must satisfy every
+    run) before the exact ``rlike`` verify — a regex with no >=3-char
+    literal run scans (documented Cox fallback)."""
+    if not regex:
+        return substring_search(docs, pattern, trgm, text_col,
+                                id_col).select("doc_id")
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(text_col).alias("_t"))
+    if trgm is not None:
+        for run in regex_literal_runs(pattern):
+            d = d.join(substring_candidates(trgm, run), "doc_id")
+    return (d.filter(F.col("_t").rlike(pattern))
+            .select("doc_id").orderBy("doc_id"))

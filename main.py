@@ -389,6 +389,29 @@ def cmd_cluster(args) -> None:
                       "dupes_droppable": n_docs - n_clusters}))
 
 
+def cmd_grep(args) -> None:
+    """Trigram-indexed substring/regex search over raw document text
+    (grep at corpus scale, byte-exact)."""
+    from index_spark.operators.codesearch import (
+        build_substring_index,
+        grep_search,
+        substring_search,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    trgm = build_substring_index(docs) if not args.no_index else None
+    if args.regex:
+        rows = grep_search(docs, args.pattern, regex=True,
+                           trgm=trgm).limit(args.k).collect()
+        print(json.dumps([{"doc_id": r["doc_id"]} for r in rows]))
+    else:
+        rows = substring_search(docs, args.pattern,
+                                trgm=trgm).limit(args.k).collect()
+        print(json.dumps([{"doc_id": r["doc_id"],
+                           "n": r["n_occurrences"]} for r in rows]))
+
+
 def cmd_dsir(args) -> None:
     """DSIR importance log-weights (target-likeness data selection)."""
     from pyspark.sql import functions as F
@@ -885,6 +908,16 @@ def main(argv=None) -> None:
     cc.add_argument("--text-col", default="text")
     cc.add_argument("--id-col", default="doc_id")
     cc.set_defaults(fn=cmd_cluster)
+
+    gp = sub.add_parser("grep", help="trigram-indexed substring/regex "
+                                     "search over raw text (byte-exact)")
+    gp.add_argument("--docs", required=True)
+    gp.add_argument("--regex", action="store_true")
+    gp.add_argument("--no-index", action="store_true",
+                    help="skip the trigram candidate gate (full scan)")
+    gp.add_argument("-k", type=int, default=50)
+    gp.add_argument("pattern")
+    gp.set_defaults(fn=cmd_grep)
 
     ds = sub.add_parser("dsir", help="DSIR importance log-weights: rank "
                                      "raw docs by target-likeness")
