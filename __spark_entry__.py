@@ -34,11 +34,16 @@ from pyspark.sql import functions as F
 _SPARK_TOKS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
 _DUCK_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+# OUTER + null filter: a plain LATERAL VIEW explode gets Catalyst's
+# inferred size()>0 filter, which re-evaluates the tokenization
+# expression 2x per row (see the InferFiltersFromGenerate note in
+# operators/contamination.py)
 _SPARK_TOK_CTE = f"""
 tok AS (
   SELECT doc_id, token AS term
   FROM documents
-  LATERAL VIEW explode({_SPARK_TOKS}) _t AS token
+  LATERAL VIEW OUTER explode({_SPARK_TOKS}) _t AS token
+  WHERE token IS NOT NULL
 )"""
 _DUCK_TOK_CTE = f"""
 tok AS (
