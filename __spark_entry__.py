@@ -3422,6 +3422,76 @@ def _r04s7_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "regex_grep": regex_grep}
 
 
+def _r04s8_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                  DataFrame]]:
+    def concat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Lucene addIndexes end-to-end: the corpus split by doc-id
+        # parity into two independently built stores, the second
+        # concatenated onto the first (doc-space remap = one patched
+        # varbyte per blob, plans/concat.py), then BM25 top-10 over the
+        # combined store mapped back to original ids via the docs dim.
+        # The oracle is the PLAIN corpus-wide BM25 restatement —
+        # concatenation must be invisible to scoring.
+        import tempfile
+
+        from index_spark.operators.query import search
+        from index_spark.plans.checkpoint import (
+            build_chunked,
+            load_docs,
+            load_index,
+            load_stats,
+        )
+        from index_spark.plans.concat import concat_stores
+
+        corpus = _parity_corpus(spark, sf_dir)
+        ordinal = F.substring("path", 4, 10).cast("long")
+        root = tempfile.mkdtemp(prefix="concat_entry_")
+        a, b = f"{root}/a", f"{root}/b"
+        build_chunked(spark, corpus.where(ordinal % 2 == 0), a,
+                      docs_per_chunk=256, shard_size=256,
+                      stem=False, camel=False)
+        build_chunked(spark, corpus.where(ordinal % 2 == 1), b,
+                      docs_per_chunk=256, shard_size=256,
+                      stem=False, camel=False)
+        concat_stores(spark, a, b)
+        top = search(load_index(spark, a), None, load_stats(a),
+                     "data table query", k=10,
+                     stem=False, camel=False, shard_size=256)
+        return (top.join(load_docs(spark, a), "doc_id")
+                .select(F.substring("path", 4, 10).cast("long")
+                        .alias("doc_id"),
+                        F.round("score", 4).alias("score")))
+
+    def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # CCNet/RefinedWeb line-wise boilerplate removal: docs
+        # deterministically re-wrapped into 3-token lines (the corpus
+        # has no newlines), lines appearing in >= 3 distinct docs
+        # dropped, survivors re-serialized in order; value-checked per
+        # doc via counts + md5 of the rebuilt text
+        from index_spark.operators.contamination import (
+            remove_duplicated_lines,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sp = F.split(F.col("text"), " ", -1)
+        wrapped = docs.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(sp) / F.lit(3.0)).cast("int") - 1),
+                    lambda i: F.array_join(
+                        F.slice(sp, i * F.lit(3) + F.lit(1), F.lit(3)),
+                        " ")),
+                "\n").alias("text"))
+        out = remove_duplicated_lines(wrapped, min_docs=3)
+        return out.select("doc_id", "n_lines", "n_kept", "n_dropped",
+                          F.md5("text").alias("kept_md5"))
+
+    return {"concat_topk": concat_topk, "line_dedup": line_dedup}
+
+
 def _hll_duck_sql() -> str:
     # the oracle recomputes the ENTIRE sketch from the same expression
     # strings the Spark operator compiles (operators/sketch.py)
@@ -3660,6 +3730,32 @@ _ORACLE_TOP_HITS = """
 SELECT group_key, CAST(rnk AS BIGINT) AS rnk, doc_id,
        round(score, 4) AS score
 FROM ranked WHERE rnk <= 3 ORDER BY group_key ASC, rnk ASC"""
+
+
+# line-wise dedup oracle: deterministic 3-token line wrap (the corpus
+# has no newlines), drop lines shared by >= 3 distinct docs, rebuild in
+# order; counts + md5 of the rebuilt text per doc
+_ORACLE_LINE_DEDUP = """
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+wrapped AS (
+  SELECT doc_id,
+         [array_to_string(s[(i-1)*3+1:(i-1)*3+3], ' ')
+          for i in range(1, CAST(ceil(len(s)/3.0) AS BIGINT)+1)] AS ls
+  FROM sp),
+lines AS (SELECT doc_id, unnest(ls) AS line,
+                 unnest(range(1, len(ls)+1)) AS pos FROM wrapped),
+dup AS (SELECT line FROM lines GROUP BY line
+        HAVING count(DISTINCT doc_id) >= 3),
+kept AS (SELECT l.doc_id, l.line, l.pos FROM lines l
+         WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.line = l.line)),
+reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(line, chr(10) ORDER BY pos) AS t
+        FROM kept GROUP BY doc_id)
+SELECT w.doc_id, CAST(len(w.ls) AS BIGINT) AS n_lines,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(w.ls) - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+       md5(coalesce(r.t, '')) AS kept_md5
+FROM wrapped w LEFT JOIN reb r USING (doc_id)"""
 
 
 def _build_registry():
@@ -3952,6 +4048,13 @@ SELECT scores.doc_id, round(scores.score * {_decay}, 4) AS score
 FROM scores JOIN documents ON scores.doc_id = documents.doc_id
 ORDER BY round(scores.score * {_decay}, 4) DESC, scores.doc_id ASC
 LIMIT 10""", [q_cte]))
+
+    eng8 = _r04s8_engine_queries()
+    # concat must be invisible to scoring: the oracle is the SAME plain
+    # corpus-wide BM25 top-10 that checks wand_topk
+    add("concat_topk", eng8["concat_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_WAND_TOPK, [q_cte]))
+    add("line_dedup", eng8["line_dedup"], _ORACLE_LINE_DEDUP)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

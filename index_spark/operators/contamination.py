@@ -213,3 +213,63 @@ def duplicated_spans(df: DataFrame, n: int = 16, min_count: int = 2,
                     F.col("n_tokens") > 0,
                     F.round(F.col("dup_tokens") / F.col("n_tokens"), 4))
                     .otherwise(F.lit(0.0))))
+
+
+def remove_duplicated_lines(df: DataFrame, min_docs: int = 2,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            sep: str = "\n",
+                            hashed: bool = False) -> DataFrame:
+    """Line-wise deduplication (CCNet / RefinedWeb "line-level dedup"):
+    drop every line whose EXACT text appears in >= ``min_docs`` distinct
+    documents, and re-serialize the survivors in order.  The classic
+    boilerplate filter — navigation bars, license headers, cookie
+    banners repeat verbatim across pages while real prose does not.
+
+    Returns one row per input doc: (doc_id, text, n_lines, n_kept,
+    n_dropped) where ``text`` is the kept lines re-joined with ``sep``
+    (a fully-deduplicated doc keeps its row with text = '' — pair with
+    a min-length gate downstream, same contract as
+    :func:`remove_duplicated_spans`).
+
+    Matching is exact (no trim/casefold), so the operator is
+    SQL-restatable and the driver oracle recomputes it verbatim;
+    normalize upstream if fuzzier matching is wanted.  Empty lines
+    count like any other line (blank-line runs shared by >= min_docs
+    docs are boilerplate by this definition).
+
+    Scale shape: one explode + line-keyed aggregate (near-unique keys;
+    ``hashed=True`` shuffles 8-byte xxhash64 keys instead of line
+    strings — same verdicts up to 64-bit collisions), one anti-join,
+    and a per-doc ordered reassembly bounded by the doc's own line
+    count.  No Python anywhere in the plan.
+    """
+    sp = F.split(F.col(text_col), sep, -1)
+    # OUTER explode: same InferFiltersFromGenerate O(n^2) guard as
+    # doc_grams (the split would re-evaluate per element otherwise)
+    lines = (df.select(F.col(id_col).cast("long").alias("doc_id"),
+                       F.posexplode_outer(sp).alias("pos", "line"))
+             .filter(F.col("line").isNotNull()))
+    key = F.xxhash64("line").alias("k") if hashed else F.col("line").alias("k")
+    lines = lines.select("doc_id", "pos", key, "line")
+    dup = (lines.groupBy("k")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= min_docs)
+           .select("k"))
+    kept = lines.join(dup, "k", "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_join(
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct("pos", "line"))),
+                           lambda x: x["line"]), sep).alias("_kept_text"),
+                    F.count("*").cast("long").alias("n_kept")))
+    base = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                     F.size(sp).cast("long").alias("n_lines"))
+    return (base.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("_kept_text", F.lit("")).alias(text_col),
+                    "n_lines",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                     .alias("n_kept"),
+                    (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("long").alias("n_dropped")))

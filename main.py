@@ -200,6 +200,13 @@ def cmd_hygiene(args) -> None:
         clean.write.mode("overwrite").parquet(f"{args.out}/despanned")
         summary["despanned_docs"] = clean.filter(
             "kept_tokens < n_tokens").count()
+    if args.dedup_lines:
+        from index_spark.operators.contamination import (
+            remove_duplicated_lines,
+        )
+        ld = remove_duplicated_lines(docs, min_docs=args.line_min_docs)
+        ld.write.mode("overwrite").parquet(f"{args.out}/deduped_lines")
+        summary["line_dedup_docs"] = ld.filter("n_dropped > 0").count()
     pii = pii_stats(docs)
     pii.write.mode("overwrite").parquet(f"{args.out}/pii")
     summary["pii_docs"] = pii.filter("n_pii > 0").count()
@@ -387,6 +394,29 @@ def cmd_cluster(args) -> None:
     n_clusters = out.select("cluster").distinct().count()
     print(json.dumps({"docs": n_docs, "clusters": n_clusters,
                       "dupes_droppable": n_docs - n_clusters}))
+
+
+def cmd_concat(args) -> None:
+    """Append one store's chunks onto another (Lucene addIndexes): the
+    source doc-id space shifts past the destination's — one patched
+    varbyte per posting blob, everything else byte-copied."""
+    from index_spark.plans.concat import concat_stores
+
+    spark = _spark(args)
+    print(json.dumps(concat_stores(spark, args.dst, args.src)))
+
+
+def cmd_fsck(args) -> None:
+    """Store integrity walk (the reference's index self-test, live):
+    manifests, stats, blob invariants, merged/dictionary consistency."""
+    from index_spark.plans.fsck import verify_store
+
+    spark = _spark(args)
+    report = verify_store(spark, args.index_dir,
+                          sample_rows=args.sample_rows)
+    print(json.dumps(report))
+    if not report["ok"]:
+        raise SystemExit(1)
 
 
 def cmd_grep(args) -> None:
@@ -841,6 +871,11 @@ def main(argv=None) -> None:
     hy.add_argument("--min-tokens", type=int, default=5)
     hy.add_argument("--span-n", type=int, default=16)
     hy.add_argument("--decontam-n", type=int, default=8)
+    hy.add_argument("--dedup-lines", action="store_true",
+                    help="also write the line-deduplicated rewrite "
+                         "(lines shared by >= --line-min-docs docs "
+                         "dropped — CCNet/RefinedWeb boilerplate filter)")
+    hy.add_argument("--line-min-docs", type=int, default=2)
     hy.add_argument("--remove-spans", action="store_true",
                     help="also write the despanned rewrite (duplicated "
                          "spans REMOVED, Lee et al. 2022)")
@@ -908,6 +943,19 @@ def main(argv=None) -> None:
     cc.add_argument("--text-col", default="text")
     cc.add_argument("--id-col", default="doc_id")
     cc.set_defaults(fn=cmd_cluster)
+
+    ct = sub.add_parser("concat", help="append a source store's chunks "
+                                       "onto a destination store "
+                                       "(addIndexes; doc ids remapped)")
+    ct.add_argument("--dst", required=True)
+    ct.add_argument("--src", required=True)
+    ct.set_defaults(fn=cmd_concat)
+
+    fk = sub.add_parser("fsck", help="verify store integrity: manifests, "
+                                     "stats, blob invariants, artifacts")
+    fk.add_argument("--index-dir", required=True)
+    fk.add_argument("--sample-rows", type=int, default=64)
+    fk.set_defaults(fn=cmd_fsck)
 
     gp = sub.add_parser("grep", help="trigram-indexed substring/regex "
                                      "search over raw text (byte-exact)")
