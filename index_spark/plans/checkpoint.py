@@ -196,11 +196,24 @@ def load_index(spark: SparkSession, out_dir: str,
     and later chunks' files are simply not opened, so a reader is
     isolated from concurrent appends). Pair with :func:`stats_as_of`
     so BM25 idf/avgdl are snapshot-consistent too."""
+    exp = set(expired_chunk_ids(out_dir))
     if as_of is None:
+        if exp:
+            raise ValueError(
+                f"chunks {sorted(exp)} were expired by retention "
+                "(expire_snapshots) — the chunk union no longer exists; "
+                "serve from load_merged_index()")
         return spark.read.parquet(
             os.path.join(out_dir, "chunks", "*", "index"))
+    needed = _snapshot_chunk_ids(out_dir, as_of)
+    gone = sorted(exp & set(needed))
+    if gone:
+        raise ValueError(
+            f"snapshot {as_of} needs chunks {gone} whose index data was "
+            "expired by retention — time travel below the expiry floor "
+            "is gone; serve current state from load_merged_index()")
     paths = [os.path.join(_chunk_dir(out_dir, cid), "index")
-             for cid in _snapshot_chunk_ids(out_dir, as_of)]
+             for cid in needed]
     return spark.read.parquet(*paths)
 
 
@@ -254,6 +267,97 @@ def stats_as_of(out_dir: str, as_of: int) -> dict:
         "n_postings": sum(m["n_postings"] for m in ms),
         "blob_bytes": sum(m["blob_bytes"] for m in ms),
     }
+
+
+def load_store_index(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The store's best serving relation: the merged form when it is
+    current (covers every committed chunk), else the chunk union.  A
+    store whose old chunk data was removed by retention
+    (:func:`expire_snapshots`) MUST serve from the merged form; if new
+    chunks were appended since, fold them first (``compact_index``) —
+    raised explicitly rather than silently serving a stale snapshot."""
+    chunks_dir = os.path.join(out_dir, "chunks")
+    cids = sorted(int(n) for n in os.listdir(chunks_dir)
+                  if chunk_is_committed(out_dir, int(n)))
+    mpath = os.path.join(out_dir, "merged", "_COMMIT.json")
+    mman = None
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            mman = json.load(f)
+    if mman is not None and mman.get("chunks") == cids:
+        return load_merged_index(spark, out_dir)
+    if expired_chunk_ids(out_dir):
+        raise ValueError(
+            "store has expired chunks and a stale merged form — run "
+            "compact_index to fold the appended chunks, then serve "
+            "from the merged form")
+    return load_index(spark, out_dir)
+
+
+def expired_chunk_ids(out_dir: str) -> list[int]:
+    """Chunk ids whose index data was deleted by snapshot retention."""
+    return [m["chunk_id"] for m in lineage(out_dir) if m.get("expired")]
+
+
+def expire_snapshots(out_dir: str, keep_last: int = 0) -> dict:
+    """Iceberg ``expire_snapshots`` for the chunked store: physically
+    delete chunk INDEX data that is already folded into the merged form,
+    keeping every manifest (lineage, global stats, the snapshot log) and
+    every per-chunk ``docs`` dim (the doc dimension of record — doc_id →
+    repo/path lookups survive expiry).
+
+    Requires the merged form to cover EVERY committed chunk (compact
+    first): expiry never deletes the only copy of a posting.
+    ``keep_last`` retains the newest K chunks' index data, so time
+    travel via ``load_index(as_of=...)`` keeps working down to the
+    expiry floor; below it readers get a ValueError pointing at the
+    merged form.  After expiry the store stays fully live for appends:
+    new chunks commit normally and :func:`compact_index` folds them
+    incrementally (the fold reads only NEW chunk data + affected merged
+    partitions); only a structural FULL re-merge becomes impossible and
+    raises.
+
+    At 100 TB this is the difference between storage tracking the live
+    index (merged form + recent deltas) and storage tracking corpus
+    age (every chunk ever built, forever).
+    """
+    import shutil
+
+    lin = lineage(out_dir)
+    if not lin:
+        raise ValueError(f"no committed chunks under {out_dir}")
+    cids = [m["chunk_id"] for m in lin]
+    mpath = os.path.join(out_dir, "merged", "_COMMIT.json")
+    if not os.path.exists(mpath):
+        raise ValueError("store has no merged form — compact_index "
+                         "before expiring snapshots")
+    with open(mpath) as f:
+        mman = json.load(f)
+    if mman.get("chunks") != cids:
+        raise ValueError(
+            f"merged form covers chunks {mman.get('chunks')} but "
+            f"committed={cids} — compact_index before expiring "
+            "(expiry never deletes the only copy of any posting)")
+    victims = cids if keep_last <= 0 else cids[:-keep_last]
+    expired, freed = [], 0
+    for m in lin:
+        if m["chunk_id"] not in victims or m.get("expired"):
+            continue
+        ipath = os.path.join(_chunk_dir(out_dir, m["chunk_id"]), "index")
+        if os.path.isdir(ipath):
+            freed += sum(os.path.getsize(os.path.join(r, f))
+                         for r, _, fs in os.walk(ipath) for f in fs)
+            shutil.rmtree(ipath)
+        man = dict(m)
+        man["expired"] = True
+        cpath = _commit_path(out_dir, m["chunk_id"])
+        with open(cpath + ".tmp", "w") as f:
+            json.dump(man, f, indent=1)
+        os.rename(cpath + ".tmp", cpath)
+        expired.append(m["chunk_id"])
+    return {"expired": expired,
+            "retained": [c for c in cids if c not in victims],
+            "index_bytes_freed": freed}
 
 
 DEFAULT_TERM_BUCKETS = 64  # term-hash partitions of the merged index
@@ -380,6 +484,14 @@ def compact_index(spark: SparkSession, out_dir: str,
             new_ids=chunk_ids[len(prev["chunks"]):],
             seg_bytes=seg_bytes, n_term_buckets=n_term_buckets)
     else:
+        exp = expired_chunk_ids(out_dir)
+        if exp:
+            raise ValueError(
+                f"full re-merge needs chunks {exp} whose index data was "
+                "expired by retention (expire_snapshots) — only "
+                "incremental folds with the current segment_bytes/"
+                "n_term_buckets remain possible; rebuild from the "
+                "corpus to restructure")
         manifest = _full_merge(spark, out_dir, chunk_ids,
                                seg_bytes, n_term_buckets)
     manifest["chunks"] = chunk_ids

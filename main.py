@@ -57,10 +57,12 @@ def cmd_query(args) -> None:
     from index_spark.operators.maintenance import load_tombstones
     from index_spark.operators.query import (search, search_fuzzy,
                                              search_regex, search_wildcard)
-    from index_spark.plans.checkpoint import load_index, load_stats
+    from index_spark.plans.checkpoint import load_store_index, load_stats
 
     spark = _spark(args)
-    index = load_index(spark, args.index_dir)
+    # merged form when current (or when retention removed chunk data),
+    # chunk union otherwise
+    index = load_store_index(spark, args.index_dir)
     stats = load_stats(args.index_dir)
     # the store's tombstone log (deletes/upserts) applies automatically
     tomb = load_tombstones(spark, args.index_dir)
@@ -404,6 +406,15 @@ def cmd_concat(args) -> None:
 
     spark = _spark(args)
     print(json.dumps(concat_stores(spark, args.dst, args.src)))
+
+
+def cmd_expire(args) -> None:
+    """Iceberg-style snapshot retention: delete chunk index data already
+    folded into the merged form (manifests and docs dims survive)."""
+    from index_spark.plans.checkpoint import expire_snapshots
+
+    print(json.dumps(expire_snapshots(args.index_dir,
+                                      keep_last=args.keep_last)))
 
 
 def cmd_fsck(args) -> None:
@@ -950,6 +961,15 @@ def main(argv=None) -> None:
     ct.add_argument("--dst", required=True)
     ct.add_argument("--src", required=True)
     ct.set_defaults(fn=cmd_concat)
+
+    ex = sub.add_parser("expire", help="snapshot retention: delete chunk "
+                                       "index data already folded into "
+                                       "the merged form")
+    ex.add_argument("--index-dir", required=True)
+    ex.add_argument("--keep-last", type=int, default=0,
+                    help="retain the newest K chunks' index data "
+                         "(time-travel floor)")
+    ex.set_defaults(fn=cmd_expire)
 
     fk = sub.add_parser("fsck", help="verify store integrity: manifests, "
                                      "stats, blob invariants, artifacts")
