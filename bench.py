@@ -468,6 +468,44 @@ def main() -> None:
     for name in ["dup_clusters", "lm_xent", "pagerank_scores"]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
+    # 10b4. store lifecycle (session 8, non-headline): two half-corpus
+    # chunked stores, concat (one patched varbyte per blob), incremental
+    # fold of the imported chunks, snapshot expiry — the full
+    # addIndexes -> compact -> expire path at sf0.1
+    def _store_lifecycle():
+        import shutil
+        import tempfile
+
+        from index_spark.plans.checkpoint import (
+            build_chunked,
+            compact_index,
+            expire_snapshots,
+        )
+        from index_spark.plans.concat import concat_stores
+
+        root = tempfile.mkdtemp(prefix="bench_lifecycle_")
+        a, b = f"{root}/a", f"{root}/b"
+        half = F.pmod(F.xxhash64("path"), F.lit(2))
+        t0 = time.time()
+        build_chunked(spark, corpus.where(half == 0), a,
+                      docs_per_chunk=2048, shard_size=shard_size)
+        build_chunked(spark, corpus.where(half == 1), b,
+                      docs_per_chunk=2048, shard_size=shard_size)
+        compact_index(spark, a)
+        timings["lifecycle_build_compact"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        concat_stores(spark, a, b)
+        timings["lifecycle_concat"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        compact_index(spark, a)  # incremental fold of the imported chunks
+        timings["lifecycle_fold"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        expire_snapshots(a, keep_last=1)
+        timings["lifecycle_expire"] = round(time.time() - t0, 3)
+        shutil.rmtree(root, ignore_errors=True)
+
+    _store_lifecycle()
+
     # 10c. concurrent-query throughput at 8 vs 32 cores, each in its
     # own process/JVM (a Spark master is fixed at startup). The
     # serving-relevant scaling number — single-query p95 at local[32]
@@ -528,7 +566,10 @@ def main() -> None:
                                    "sigterms_query", "regex_query",
                                    "chunk_docs", "chunk_docs_n",
                                    "dup_clusters", "lm_xent",
-                                   "pagerank_scores")), 3)
+                                   "pagerank_scores",
+                                   "lifecycle_build_compact",
+                                   "lifecycle_concat", "lifecycle_fold",
+                                   "lifecycle_expire")), 3)
     timings["build_docs_per_sec"] = round(n_docs / timings["build_index"], 1)
     out = {
         "metric": "index_spark headline suite wall time",
