@@ -243,7 +243,12 @@ def remove_duplicated_lines(df: DataFrame, min_docs: int = 2,
     and a per-doc ordered reassembly bounded by the doc's own line
     count.  No Python anywhere in the plan.
     """
-    sp = F.split(F.col(text_col), sep, -1)
+    import re as _re
+
+    # ``sep`` is a LITERAL separator: F.split takes a Java regex, so
+    # escape it — an unescaped "|" would split on the regex alternation
+    # while array_join re-joins literally, corrupting the rebuild
+    sp = F.split(F.col(text_col), _re.escape(sep), -1)
     # OUTER explode: same InferFiltersFromGenerate O(n^2) guard as
     # doc_grams (the split would re-evaluate per element otherwise)
     lines = (df.select(F.col(id_col).cast("long").alias("doc_id"),
@@ -263,8 +268,10 @@ def remove_duplicated_lines(df: DataFrame, min_docs: int = 2,
                                F.struct("pos", "line"))),
                            lambda x: x["line"]), sep).alias("_kept_text"),
                     F.count("*").cast("long").alias("n_kept")))
+    # size(split(NULL)) is -1, not 0 — a NULL-text doc has zero lines
     base = df.select(F.col(id_col).cast("long").alias("doc_id"),
-                     F.size(sp).cast("long").alias("n_lines"))
+                     F.when(F.col(text_col).isNull(), F.lit(0))
+                      .otherwise(F.size(sp)).cast("long").alias("n_lines"))
     return (base.join(rebuilt, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("_kept_text", F.lit("")).alias(text_col),

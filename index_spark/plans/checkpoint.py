@@ -176,6 +176,16 @@ def load_stats(out_dir: str) -> dict:
         return json.load(f)
 
 
+def _committed_chunk_ids(out_dir: str) -> list[int]:
+    """Committed chunk ids — a cheap existence scan (no manifest parse),
+    fit for the hot read path."""
+    chunks_dir = os.path.join(out_dir, "chunks")
+    if not os.path.isdir(chunks_dir):
+        return []
+    return sorted(int(n) for n in os.listdir(chunks_dir)
+                  if n.isdigit() and chunk_is_committed(out_dir, int(n)))
+
+
 def _snapshot_chunk_ids(out_dir: str, as_of: int) -> list[int]:
     """Committed chunk ids making up snapshot ``as_of`` (chunks commit
     in id order, so a snapshot is always the prefix 0..as_of)."""
@@ -203,15 +213,20 @@ def load_index(spark: SparkSession, out_dir: str,
                 f"chunks {sorted(exp)} were expired by retention "
                 "(expire_snapshots) — the chunk union no longer exists; "
                 "serve from load_merged_index()")
-        return spark.read.parquet(
-            os.path.join(out_dir, "chunks", "*", "index"))
-    needed = _snapshot_chunk_ids(out_dir, as_of)
-    gone = sorted(exp & set(needed))
-    if gone:
-        raise ValueError(
-            f"snapshot {as_of} needs chunks {gone} whose index data was "
-            "expired by retention — time travel below the expiry floor "
-            "is gone; serve current state from load_merged_index()")
+        needed = _committed_chunk_ids(out_dir)
+    else:
+        needed = _snapshot_chunk_ids(out_dir, as_of)
+        gone = sorted(exp & set(needed))
+        if gone:
+            raise ValueError(
+                f"snapshot {as_of} needs chunks {gone} whose index data "
+                "was expired by retention — time travel below the expiry "
+                "floor is gone; serve current state from "
+                "load_merged_index()")
+    # explicit committed paths, never a chunks/*/ glob: an uncommitted
+    # chunk dir (crash mid-build/mid-concat before its _COMMIT.json) must
+    # stay invisible to readers, and a missing committed dir must fail
+    # loudly instead of silently narrowing the union
     paths = [os.path.join(_chunk_dir(out_dir, cid), "index")
              for cid in needed]
     return spark.read.parquet(*paths)
@@ -219,11 +234,10 @@ def load_index(spark: SparkSession, out_dir: str,
 
 def load_docs(spark: SparkSession, out_dir: str,
               as_of: int | None = None) -> DataFrame:
-    if as_of is None:
-        return spark.read.parquet(
-            os.path.join(out_dir, "chunks", "*", "docs"))
+    needed = (_committed_chunk_ids(out_dir) if as_of is None
+              else _snapshot_chunk_ids(out_dir, as_of))
     paths = [os.path.join(_chunk_dir(out_dir, cid), "docs")
-             for cid in _snapshot_chunk_ids(out_dir, as_of)]
+             for cid in needed]
     return spark.read.parquet(*paths)
 
 
@@ -276,9 +290,7 @@ def load_store_index(spark: SparkSession, out_dir: str) -> DataFrame:
     (:func:`expire_snapshots`) MUST serve from the merged form; if new
     chunks were appended since, fold them first (``compact_index``) —
     raised explicitly rather than silently serving a stale snapshot."""
-    chunks_dir = os.path.join(out_dir, "chunks")
-    cids = sorted(int(n) for n in os.listdir(chunks_dir)
-                  if chunk_is_committed(out_dir, int(n)))
+    cids = _committed_chunk_ids(out_dir)
     mpath = os.path.join(out_dir, "merged", "_COMMIT.json")
     mman = None
     if os.path.exists(mpath):
@@ -294,9 +306,22 @@ def load_store_index(spark: SparkSession, out_dir: str) -> DataFrame:
     return load_index(spark, out_dir)
 
 
+def _retention_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "retention.json")
+
+
 def expired_chunk_ids(out_dir: str) -> list[int]:
-    """Chunk ids whose index data was deleted by snapshot retention."""
-    return [m["chunk_id"] for m in lineage(out_dir) if m.get("expired")]
+    """Chunk ids whose index data was deleted by snapshot retention.
+
+    Read from the store-level ``retention.json`` marker (one small file)
+    rather than scanning every chunk manifest — this sits on the hot
+    read path (:func:`load_index`), where an O(n_chunks) driver-side
+    JSON scan per query would be a real cost at 10^4+ chunks."""
+    p = _retention_path(out_dir)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return list(json.load(f).get("expired", []))
 
 
 def expire_snapshots(out_dir: str, keep_last: int = 0) -> dict:
@@ -341,20 +366,40 @@ def expire_snapshots(out_dir: str, keep_last: int = 0) -> dict:
     victims = cids if keep_last <= 0 else cids[:-keep_last]
     expired, freed = [], 0
     for m in lin:
-        if m["chunk_id"] not in victims or m.get("expired"):
+        if m["chunk_id"] not in victims:
             continue
+        cpath = _commit_path(out_dir, m["chunk_id"])
+        if not m.get("expired"):
+            # MARK FIRST, delete second: a crash in between leaves a
+            # loudly-flagged chunk (readers raise, fsck reports the
+            # leftover data) instead of a silently partial index; the
+            # delete below also runs for already-marked chunks, so a
+            # re-run completes an interrupted expiry.  The manifest
+            # mtime is the snapshot log's committed_at — preserve it.
+            mtime = os.path.getmtime(cpath)
+            man = dict(m)
+            man["expired"] = True
+            with open(cpath + ".tmp", "w") as f:
+                json.dump(man, f, indent=1)
+            os.utime(cpath + ".tmp", (mtime, mtime))
+            os.rename(cpath + ".tmp", cpath)
+            expired.append(m["chunk_id"])
         ipath = os.path.join(_chunk_dir(out_dir, m["chunk_id"]), "index")
         if os.path.isdir(ipath):
             freed += sum(os.path.getsize(os.path.join(r, f))
                          for r, _, fs in os.walk(ipath) for f in fs)
             shutil.rmtree(ipath)
-        man = dict(m)
-        man["expired"] = True
-        cpath = _commit_path(out_dir, m["chunk_id"])
-        with open(cpath + ".tmp", "w") as f:
-            json.dump(man, f, indent=1)
-        os.rename(cpath + ".tmp", cpath)
-        expired.append(m["chunk_id"])
+    # store-level marker LAST (the cheap hot-path source of truth); it
+    # is the union of everything ever expired.  A crash before this
+    # point leaves manifests marked expired but the marker stale —
+    # verify_store reconciles (manifest flags are re-read there), and
+    # re-running expire_snapshots rewrites the marker.
+    all_expired = sorted({m["chunk_id"] for m in lineage(out_dir)
+                          if m.get("expired")})
+    rp = _retention_path(out_dir)
+    with open(rp + ".tmp", "w") as f:
+        json.dump({"expired": all_expired}, f, indent=1)
+    os.rename(rp + ".tmp", rp)
     return {"expired": expired,
             "retained": [c for c in cids if c not in victims],
             "index_bytes_freed": freed}

@@ -163,6 +163,23 @@ def concat_stores(spark: SparkSession, dst_dir: str, src_dir: str) -> dict:
         appended.append(next_id)
         n_docs += int(m["n_docs"])
         next_id += 1
+    # the source's tombstone log (delete_docs/upsert_docs) is part of
+    # its logical state: remap it by the same offset and append it to
+    # the destination's log, else logically-deleted source docs (or the
+    # stale pre-upsert versions) would resurrect in the combined store
+    from index_spark.operators.maintenance import (
+        delete_docs,
+        load_tombstones,
+    )
+
+    n_tombstones = 0
+    src_tomb = load_tombstones(spark, src_dir)
+    if src_tomb is not None:
+        n_tombstones = delete_docs(
+            spark, dst_dir,
+            src_tomb.withColumn("doc_id", F.col("doc_id") + F.lit(offset)),
+            tag="concat")
     cp._write_global_stats(dst_dir)
     return {"chunks_appended": len(appended), "chunk_ids": appended,
-            "doc_offset": offset, "n_docs": n_docs}
+            "doc_offset": offset, "n_docs": n_docs,
+            "tombstones_carried": n_tombstones}

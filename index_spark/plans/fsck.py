@@ -97,6 +97,7 @@ def verify_store(spark: SparkSession, out_dir: str,
 
     prev_hi = 0
     shard_size = None
+    expired_seen: set = set()
     from index_spark.plans.checkpoint import _chunk_dir
 
     for cid in cids:
@@ -115,12 +116,15 @@ def verify_store(spark: SparkSession, out_dir: str,
                           f"(expected lo {want_lo})")
         prev_hi = man["doc_hi"]
         if man.get("expired"):
+            expired_seen.add(cid)
             # retention removed this chunk's index data (its postings
             # live on in the merged form); the docs dim remains the
             # dimension of record and must still be whole
             if os.path.isdir(os.path.join(cdir, "index")):
                 errors.append(f"chunk {cid}: marked expired but index "
-                              "data is still present")
+                              "data is still present (interrupted "
+                              "expiry — re-run expire_snapshots to "
+                              "finish the deletion)")
             try:
                 nd = spark.read.parquet(os.path.join(cdir, "docs")).count()
                 if nd != man["n_docs"]:
@@ -164,13 +168,18 @@ def verify_store(spark: SparkSession, out_dir: str,
             errors.append(f"merged form built from chunks "
                           f"{mman.get('chunks')} but committed={cids} "
                           "(stale — rerun compact_index)")
-        merged = spark.read.parquet(os.path.join(mdir, "index"))
-        if "tb" in merged.columns:
-            merged = merged.drop("tb")
-        probe = [r["term"] for r in
-                 merged.filter(F.col("term") != DOC_MARKER)
-                 .select("term").distinct().orderBy("term")
-                 .limit(sample_rows).collect()]
+        try:
+            merged = spark.read.parquet(os.path.join(mdir, "index"))
+            if "tb" in merged.columns:
+                merged = merged.drop("tb")
+            probe = [r["term"] for r in
+                     merged.filter(F.col("term") != DOC_MARKER)
+                     .select("term").distinct().orderBy("term")
+                     .limit(sample_rows).collect()]
+        except Exception as ex:  # unreadable merged IS the finding
+            errors.append(f"merged: index unreadable: {ex}")
+            checks["merged_readable"] = False
+            probe = []
         mdf: dict = {}
         if probe:
             mdf = {r["term"]: r["s"] for r in
@@ -182,7 +191,8 @@ def verify_store(spark: SparkSession, out_dir: str,
         # data; retention (expire_snapshots) may have removed some — the
         # merged form is then the only copy and the check has no
         # independent source to compare against
-        if probe and not (set(expired_chunk_ids(out_dir)) & set(mcids)):
+        exp_all = set(expired_chunk_ids(out_dir)) | expired_seen
+        if probe and not (exp_all & set(mcids)):
             union = spark.read.parquet(
                 *[os.path.join(_chunk_dir(out_dir, c), "index")
                   for c in mcids])
@@ -194,37 +204,55 @@ def verify_store(spark: SparkSession, out_dir: str,
             for t in bad[:5]:
                 errors.append(f"merged: term {t!r} df={mdf.get(t)} but "
                               f"chunk union says {udf_.get(t)}")
-        msample = (merged.filter(F.col("term") != DOC_MARKER)
-                   .orderBy("term").limit(sample_rows).collect())
-        merrs: list = []
-        _decode_check(msample, shard_size or 0, merrs, "merged")
-        # merged segments span doc ranges wider than one shard, so the
-        # shard-range containment check does not apply there; every other
-        # blob invariant (entry counts, ascending ids, tf >= 1) does.
-        errors.extend(e for e in merrs if "escape shard range" not in e)
+        if probe:
+            msample = (merged.filter(F.col("term") != DOC_MARKER)
+                       .orderBy("term").limit(sample_rows).collect())
+            merrs: list = []
+            _decode_check(msample, shard_size or 0, merrs, "merged")
+            # merged segments span doc ranges wider than one shard, so
+            # the shard-range containment check does not apply there;
+            # every other blob invariant (entry counts, ascending ids,
+            # tf >= 1) does.
+            errors.extend(e for e in merrs
+                          if "escape shard range" not in e)
         from index_spark.plans.dictionary import dictionary_path
         if os.path.isdir(dictionary_path(out_dir)) and probe:
-            d = spark.read.parquet(dictionary_path(out_dir))
-            ddf = {r["term"]: r["df"] for r in
-                   d.filter(F.col("term").isin(probe)).collect()}
-            bad = [t for t in probe
-                   if t in ddf and ddf[t] != mdf.get(t)]
-            checks["dictionary_matches_merged"] = not bad
-            for t in bad[:5]:
-                errors.append(f"dictionary: term {t!r} df={ddf[t]} but "
-                              f"merged says {mdf.get(t)}")
+            try:
+                d = spark.read.parquet(dictionary_path(out_dir))
+                # a zoned dictionary has one row per (zone, term) —
+                # aggregate like the merged probe so the comparison is
+                # df summed across zones on BOTH sides
+                ddf = {r["term"]: r["s"] for r in
+                       d.filter(F.col("term").isin(probe))
+                       .groupBy("term").agg(F.sum("df").alias("s"))
+                       .collect()}
+                bad = [t for t in probe
+                       if t in ddf and ddf[t] != mdf.get(t)]
+                checks["dictionary_matches_merged"] = not bad
+                for t in bad[:5]:
+                    errors.append(f"dictionary: term {t!r} df={ddf[t]} "
+                                  f"but merged says {mdf.get(t)}")
+            except Exception as ex:
+                errors.append(f"dictionary: unreadable: {ex}")
+                checks["dictionary_matches_merged"] = False
         from index_spark.plans.trigram import QGRAM_N, trigram_path
         if os.path.isdir(trigram_path(out_dir)) and probe:
-            t3 = spark.read.parquet(trigram_path(out_dir))
-            cnt = {r["term"]: r["n"] for r in
-                   t3.filter(F.col("term").isin(probe))
-                   .groupBy("term").agg(F.count("*").alias("n")).collect()}
-            bad = [t for t in probe
-                   if t in cnt and cnt[t] != len(t) + QGRAM_N - 1]
-            checks["trigram_gram_counts"] = not bad
-            for t in bad[:5]:
-                errors.append(f"trigram: term {t!r} has {cnt[t]} gram "
-                              f"rows, expected {len(t) + QGRAM_N - 1}")
+            try:
+                t3 = spark.read.parquet(trigram_path(out_dir))
+                cnt = {r["term"]: r["n"] for r in
+                       t3.filter(F.col("term").isin(probe))
+                       .groupBy("term").agg(F.count("*").alias("n"))
+                       .collect()}
+                bad = [t for t in probe
+                       if t in cnt and cnt[t] != len(t) + QGRAM_N - 1]
+                checks["trigram_gram_counts"] = not bad
+                for t in bad[:5]:
+                    errors.append(f"trigram: term {t!r} has {cnt[t]} "
+                                  f"gram rows, expected "
+                                  f"{len(t) + QGRAM_N - 1}")
+            except Exception as ex:
+                errors.append(f"trigram: unreadable: {ex}")
+                checks["trigram_gram_counts"] = False
 
     checks["blob_invariants"] = not any(
         "decodes" in e or "ascending" in e or "escape" in e or "tf < 1" in e

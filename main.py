@@ -57,14 +57,20 @@ def cmd_query(args) -> None:
     from index_spark.operators.maintenance import load_tombstones
     from index_spark.operators.query import (search, search_fuzzy,
                                              search_regex, search_wildcard)
-    from index_spark.plans.checkpoint import load_store_index, load_stats
+    from index_spark.plans.checkpoint import (lineage, load_store_index,
+                                              load_stats)
 
     spark = _spark(args)
     # merged form when current (or when retention removed chunk data),
     # chunk union otherwise
     index = load_store_index(spark, args.index_dir)
     stats = load_stats(args.index_dir)
-    # the store's tombstone log (deletes/upserts) applies automatically
+    # the store's tombstone log (deletes/upserts) applies automatically;
+    # tombstones cogroup BY SHARD, so the build's shard_size (recorded
+    # in every chunk manifest) must reach the kernels — the default
+    # would silently mis-route deletes on stores built with any other
+    # size
+    shard_size = int(lineage(args.index_dir)[0]["shard_size"])
     tomb = load_tombstones(spark, args.index_dir)
     boosts = (spark.read.parquet(args.boosts)
               if getattr(args, "boosts", None) else None)
@@ -84,7 +90,8 @@ def cmd_query(args) -> None:
         rows = search_wildcard(index, None, stats, args.query, k=args.k,
                                mode=args.mode, exclude=args.exclude,
                                tombstones=tomb, dictionary=d,
-                               boosts=boosts, after=after).collect()
+                               boosts=boosts, after=after,
+                               shard_size=shard_size).collect()
         print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]}
                           for r in rows]))
         return
@@ -111,12 +118,13 @@ def cmd_query(args) -> None:
         rows = fn(index, None, stats, args.query, k=args.k,
                   mode=args.mode, exclude=args.exclude,
                   tombstones=tomb, dictionary=d,
-                  boosts=boosts, after=after, **kw).collect()
+                  boosts=boosts, after=after,
+                  shard_size=shard_size, **kw).collect()
     else:
         rows = search(index, None, stats, args.query, k=args.k,
                       mode=args.mode, exclude=args.exclude,
                       tombstones=tomb, boosts=boosts,
-                      after=after,
+                      after=after, shard_size=shard_size,
                       min_match=getattr(args, "min_match", None)).collect()
     print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]))
 
