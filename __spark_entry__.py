@@ -3489,7 +3489,27 @@ def _r04s8_engine_queries() -> dict[str, Callable[[SparkSession, str],
         return out.select("doc_id", "n_lines", "n_kept", "n_dropped",
                           F.md5("text").alias("kept_md5"))
 
-    return {"concat_topk": concat_topk, "line_dedup": line_dedup}
+    def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # product quantization (Jégou et al. 2011): per-subspace Lloyd's
+        # codebooks (same pinned k-means contract as kmeans_clusters),
+        # PQ codes, and an ADC Euclidean top-10 for the query vector
+        # vec_id=0 — codebooks, codes, AND the ADC distances are all
+        # value-checked by the SQL restatement
+        from index_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cb = pq_train(emb, m=4, k=4, iters=2)
+        q = emb.filter(F.col("vec_id") == 0) \
+               .select("embedding").collect()[0][0]
+        return pq_topk(pq_encode(emb, cb), cb,
+                       [float(v) for v in q], k=10)
+
+    return {"concat_topk": concat_topk, "line_dedup": line_dedup,
+            "pq_adc_topk": pq_adc_topk}
 
 
 def _hll_duck_sql() -> str:
@@ -3730,6 +3750,70 @@ _ORACLE_TOP_HITS = """
 SELECT group_key, CAST(rnk AS BIGINT) AS rnk, doc_id,
        round(score, 4) AS score
 FROM ranked WHERE rnk <= 3 ORDER BY group_key ASC, rnk ASC"""
+
+
+# product-quantization oracle: per-subspace Lloyd's restated over the
+# long-form (vec_id, pos, sub, v) relation — distances group by
+# (vec_id, sub, cluster), assignments rank per (vec_id, sub), updates
+# join back through (vec_id, sub) so each subspace's means stay local;
+# the ADC stage recomputes the query LUT and sums each vector's m cells
+_PQ_ITER_DUCK = """
+pd{i} AS (SELECT e.vec_id, e.sub, c.cluster,
+                 sum((e.v - c.v) * (e.v - c.v)) AS d2
+       FROM es e JOIN pc{p} c ON e.pos = c.pos
+       GROUP BY e.vec_id, e.sub, c.cluster),
+pa{i} AS (SELECT vec_id, sub, cluster FROM (
+         SELECT vec_id, sub, cluster,
+                row_number() OVER (PARTITION BY vec_id, sub
+                                   ORDER BY d2 ASC, cluster ASC) AS rn
+         FROM pd{i}) WHERE rn = 1),
+pm{i} AS (SELECT a.cluster, e.pos, avg(e.v) AS v
+       FROM pa{i} a JOIN es e ON a.vec_id = e.vec_id AND a.sub = e.sub
+       GROUP BY a.cluster, e.pos),
+pc{i} AS (SELECT c.cluster, c.pos, coalesce(m.v, c.v) AS v
+       FROM pc{p} c LEFT JOIN pm{i} m
+       ON c.cluster = m.cluster AND c.pos = m.pos),
+"""
+
+
+def _pq_duck_sql(m: int, k: int, iters: int, dim: int) -> str:
+    dsub = dim // m
+    body = "".join(_PQ_ITER_DUCK.format(i=i + 1, p=i)
+                   for i in range(iters))
+    return f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+es AS (SELECT vec_id, pos, pos // {dsub} AS sub, v FROM e),
+seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+pc0 AS (SELECT s.cluster, e.pos, e.v
+        FROM seeds s JOIN e ON s.vec_id = e.vec_id),
+{body}
+pdfin AS (SELECT e.vec_id, e.sub, c.cluster,
+                 sum((e.v - c.v) * (e.v - c.v)) AS d2
+          FROM es e JOIN pc{iters} c ON e.pos = c.pos
+          GROUP BY e.vec_id, e.sub, c.cluster),
+pafin AS (SELECT vec_id, sub, cluster FROM (
+  SELECT vec_id, sub, cluster,
+         row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY d2 ASC, cluster ASC) AS rn
+  FROM pdfin) WHERE rn = 1),
+q AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings WHERE vec_id = 0),
+lut AS (SELECT c.pos // {dsub} AS sub, c.cluster,
+               sum((q.v - c.v) * (q.v - c.v)) AS d2
+        FROM pc{iters} c JOIN q ON c.pos = q.pos
+        GROUP BY c.pos // {dsub}, c.cluster),
+adc AS (SELECT a.vec_id, sum(l.d2) AS d2
+        FROM pafin a JOIN lut l
+        ON a.sub = l.sub AND a.cluster = l.cluster
+        GROUP BY a.vec_id)
+SELECT vec_id, round(d2, 4) AS approx_d2
+FROM adc ORDER BY d2 ASC, vec_id ASC LIMIT 10"""
 
 
 # line-wise dedup oracle: deterministic 3-token line wrap (the corpus
@@ -4055,6 +4139,7 @@ LIMIT 10""", [q_cte]))
     add("concat_topk", eng8["concat_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_WAND_TOPK, [q_cte]))
     add("line_dedup", eng8["line_dedup"], _ORACLE_LINE_DEDUP)
+    add("pq_adc_topk", eng8["pq_adc_topk"], _pq_duck_sql(4, 4, 2, 64))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -426,3 +426,153 @@ def sq_topk(codes_df: DataFrame, lo: np.ndarray, hi: np.ndarray,
                                4).alias("cos"))
     return (pool.join(exact, "vec_id")
             .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))
+
+
+_PQ_PARTIAL_SCHEMA = T.StructType([
+    T.StructField("sub", T.IntegerType(), False),
+    T.StructField("cluster", T.IntegerType(), False),
+    T.StructField("n", T.LongType(), False),
+    T.StructField("sums", T.ArrayType(T.DoubleType()), False),
+])
+
+
+def pq_train(emb: DataFrame, m: int = 4, k: int = 8, iters: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id"
+             ) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011, FAISS ``PQ``):
+    the vector space splits into ``m`` contiguous subspaces and each
+    learns its own ``k``-centroid Lloyd's codebook. Returns float64
+    ``(m, k, dim/m)``.
+
+    Same deterministic contract as :func:`kmeans`, per subspace (the
+    driver oracle restates it in SQL): seeds are the ``k`` smallest
+    ids' subvectors, argmin ties go to the lowest cluster, updates are
+    float64 means, an empty cluster keeps its centroid.
+
+    Scale shape: ALL ``m`` subspace trainings fuse into ONE map pass
+    per iteration — each Arrow batch emits at most ``m*k`` partial rows
+    (sub, cluster, count, sum-vector) — followed by an ``m*k*dim/m``-row
+    shuffle + collect. Nothing corpus-sized reaches the driver."""
+    first = (emb.orderBy(F.col(id_col).asc()).limit(k)
+                .select(vec_col).toPandas()[vec_col])
+    seeds = np.stack(first.to_numpy()).astype(np.float64)
+    k_eff, dim = seeds.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    cents = seeds.reshape(k_eff, m, dsub).transpose(1, 0, 2).copy()
+
+    for _ in range(iters):
+        c = cents
+
+        def partials(batches, c=c):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                xs = x.reshape(len(x), m, dsub)
+                rows = []
+                for s in range(m):
+                    d2 = ((xs[:, s, None, :] - c[s][None, :, :]) ** 2
+                          ).sum(axis=2)
+                    assign = np.argmin(d2, axis=1)  # ties -> lowest
+                    rows.extend(
+                        (s, int(ci), int((assign == ci).sum()),
+                         xs[assign == ci, s].sum(axis=0).tolist())
+                        for ci in np.unique(assign))
+                yield pd.DataFrame(
+                    rows, columns=["sub", "cluster", "n", "sums"])
+
+        agg = (emb.select(vec_col)
+               .mapInPandas(partials, schema=_PQ_PARTIAL_SCHEMA)
+               .select("sub", "cluster", "n",
+                       F.posexplode("sums").alias("pos", "v"))
+               .groupBy("sub", "cluster", "pos")
+               .agg(F.sum("v").alias("sv"), F.sum("n").alias("nt"))
+               .collect())  # bounded: m*k*dsub rows
+        by: dict = {}
+        for r in agg:
+            by.setdefault((r.sub, r.cluster), {})[r.pos] = (r.sv, r.nt)
+        nxt = cents.copy()  # empty cluster keeps its centroid
+        for (s, ci), mm in by.items():
+            nxt[s, ci] = (np.array([mm[p][0] for p in range(dsub)])
+                          / mm[0][1])
+        cents = nxt
+    return cents
+
+
+def pq_encode(emb: DataFrame, codebooks: np.ndarray,
+              vec_col: str = "embedding", id_col: str = "vec_id"
+              ) -> DataFrame:
+    """Encode vectors to PQ codes: (vec_id, codes array<int>, one code
+    per subspace — ``m`` bytes of payload per vector at rest, a 32x
+    shrink for float32/m=dim/8). Map-only Arrow pass; argmin ties to
+    the lowest cluster (the training contract)."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = cb.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _enc(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        xs = x.reshape(len(x), m, dsub)
+        out = np.empty((len(x), m), np.int32)
+        for s in range(m):
+            d2 = ((xs[:, s, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+            out[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    return emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                      _enc(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(codes_df: DataFrame, codebooks: np.ndarray,
+            qvec: list[float], k: int = 10, rerank: int = 0,
+            emb: DataFrame | None = None, vec_col: str = "embedding",
+            id_col: str = "vec_id") -> DataFrame:
+    """Euclidean top-k over PQ codes via the asymmetric distance
+    computation (ADC): (vec_id, approx_d2).
+
+    The query is NOT quantized — a driver-side ``m x k`` lookup table
+    holds the exact squared distance from each query subvector to each
+    codebook centroid, and a vector's approximate distance is the sum
+    of its ``m`` table cells. The scan is pure JVM codegen — the LUT
+    rides as a nested array literal and ``zip_with`` pairs each code
+    with its subspace's row (``element_at`` does the cell lookup), so
+    scoring is map-only with no shuffle before the top-k cut. At 100 TB
+    that is a full-corpus scan over ``m`` bytes per vector with zero
+    Python and zero exchanges.
+
+    ``rerank > 0``: two-stage serve — top ``rerank`` ADC candidates
+    (deterministic cut: exact approx_d2 then vec_id), exact distances
+    joined back from ``emb`` (candidate-bounded), exact top-k of the
+    pool. Same contract as :func:`sq_topk`."""
+    if rerank and emb is None:
+        raise ValueError("rerank > 0 needs the full-precision `emb` table")
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, kk, dsub = cb.shape
+    q = np.asarray(qvec, dtype=np.float64)
+    if q.shape[0] != m * dsub:
+        raise ValueError(f"query dim {q.shape[0]} != m*dsub {m * dsub}")
+    qs = q.reshape(m, dsub)
+    lut = ((qs[:, None, :] - cb) ** 2).sum(axis=2)  # (m, k)
+    lut_a = F.array(*[F.array(*[F.lit(float(lut[s, c])) for c in range(kk)])
+                      for s in range(m)])
+    cell = F.zip_with(F.col("codes"), lut_a,
+                      lambda code, row: F.element_at(row, code + 1))
+    d2 = F.aggregate(cell, F.lit(0.0), lambda acc, x: acc + x)
+    scored = codes_df.select(F.col("vec_id"), d2.alias("_d2"))
+    if not rerank:
+        return (scored.orderBy(F.asc("_d2"), F.asc("vec_id")).limit(k)
+                .select("vec_id", F.round("_d2", 4).alias("approx_d2")))
+    pool = (scored.orderBy(F.asc("_d2"), F.asc("vec_id")).limit(rerank)
+            .select("vec_id"))
+    qa = F.array(*[F.lit(float(v)) for v in q])
+    exact = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.aggregate(F.zip_with(F.col(vec_col), qa,
+                               lambda a, b: (a.cast("double") - b)
+                               * (a.cast("double") - b)),
+                    F.lit(0.0), lambda acc, x: acc + x).alias("_d2"))
+    return (pool.join(exact, "vec_id")
+            .orderBy(F.asc("_d2"), F.asc("vec_id")).limit(k)
+            .select("vec_id", F.round("_d2", 4).alias("d2")))
