@@ -3508,8 +3508,22 @@ def _r04s8_engine_queries() -> dict[str, Callable[[SparkSession, str],
         return pq_topk(pq_encode(emb, cb), cb,
                        [float(v) for v in q], k=10)
 
+    def filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # filtered vector search (vector-DB "knn + metadata filter"):
+        # exact cosine top-10 over ONLY label=3 vectors — the allow-set
+        # semi-joins BEFORE the scoring arithmetic (pre-filter, so the
+        # top-k is exact over the filtered population)
+        from index_spark.operators.similarity import cosine_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") == 0) \
+               .select("embedding").collect()[0][0]
+        allow = emb.filter(F.col("label") == 3).select("vec_id")
+        return cosine_topk(emb, [float(v) for v in q], k=10,
+                           restrict=allow)
+
     return {"concat_topk": concat_topk, "line_dedup": line_dedup,
-            "pq_adc_topk": pq_adc_topk}
+            "pq_adc_topk": pq_adc_topk, "filtered_knn": filtered_knn}
 
 
 def _hll_duck_sql() -> str:
@@ -4140,6 +4154,18 @@ LIMIT 10""", [q_cte]))
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_WAND_TOPK, [q_cte]))
     add("line_dedup", eng8["line_dedup"], _ORACLE_LINE_DEDUP)
     add("pq_adc_topk", eng8["pq_adc_topk"], _pq_duck_sql(4, 4, 2, 64))
+    add("filtered_knn", eng8["filtered_knn"], """
+WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], qv.q::DOUBLE[]), p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+                * sqrt(list_sum(list_transform(qv.q::DOUBLE[], x -> x * x)))), 4) AS cos
+FROM embeddings e CROSS JOIN qv
+WHERE e.label = 3
+ORDER BY round(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], qv.q::DOUBLE[]), p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+                * sqrt(list_sum(list_transform(qv.q::DOUBLE[], x -> x * x)))), 4) DESC, e.vec_id ASC
+LIMIT 10""")
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

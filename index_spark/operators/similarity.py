@@ -42,10 +42,28 @@ def _cos_expr(vec_col: str, qvec: list[float]) -> F.Column:
 
 
 def cosine_topk(emb: DataFrame, qvec: list[float], k: int = 10,
-                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Exact brute-force cosine top-k: (vec_id, cos)."""
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                restrict: DataFrame | None = None) -> DataFrame:
+    """Exact brute-force cosine top-k: (vec_id, cos).
+
+    ``restrict``: optional (vec_id) allow-set — FILTERED vector search
+    (the vector-DB "knn + metadata filter"): compute any predicate on
+    the metadata side, pass its ids here. The allow-set applies as a
+    SEMI join BEFORE the O(dim) scoring arithmetic, so a selective
+    filter prunes the scan instead of the result — pre-filtering, not
+    post-filtering, which also means the top-k is exact over the
+    filtered population (a post-filter of an unfiltered top-k can
+    return < k survivors). IVF composes the same way: semi-join the
+    bucketed codes relation before the probe."""
+    src = emb
+    if restrict is not None:
+        allow = restrict.select(F.col("vec_id").cast("long").alias("_rid")) \
+                        .distinct()
+        src = emb.join(allow,
+                       emb[id_col].cast("long") == allow["_rid"],
+                       "semi")
     return (
-        emb.select(F.col(id_col).alias("vec_id"),
+        src.select(F.col(id_col).alias("vec_id"),
                    F.round(_cos_expr(vec_col, qvec), 4).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)

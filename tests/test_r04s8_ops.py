@@ -90,3 +90,30 @@ def test_no_python_in_plan(spark, line_docs):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_filtered_knn_prefilters(spark):
+    import numpy as np
+    import pandas as pd
+
+    from index_spark.operators.similarity import cosine_topk
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(40, 8)
+    pdf = pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                        "embedding": [v.astype("float32").tolist()
+                                      for v in x]})
+    emb = spark.createDataFrame(pdf)
+    allow = emb.filter("vec_id % 2 = 0").select("vec_id")
+    got = cosine_topk(emb, x[0].tolist(), k=5, restrict=allow).collect()
+    ids = [r["vec_id"] for r in got]
+    assert len(ids) == 5 and all(i % 2 == 0 for i in ids)
+    # exact over the filtered population: matches numpy on evens only
+    # (float32 storage: the reference sees the same rounded values; the
+    # query stays the caller's float64 list, as passed to the engine)
+    xs = x.astype("float32").astype("float64")
+    q = x[0] / np.linalg.norm(x[0])
+    cos = (xs / np.linalg.norm(xs, axis=1, keepdims=True)) @ q
+    evens = np.arange(0, 40, 2)
+    want = evens[np.lexsort((evens, -np.round(cos[evens], 4)))][:5]
+    assert ids == list(want)
