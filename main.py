@@ -406,6 +406,43 @@ def cmd_cluster(args) -> None:
                       "dupes_droppable": n_docs - n_clusters}))
 
 
+def cmd_knn(args) -> None:
+    """Vector search over an embeddings parquet: exact cosine (default,
+    optionally metadata-filtered), IVF-probed, int8-scalar-quantized,
+    or product-quantized ADC — the four serving tiers of the ANN
+    family, one flag apart."""
+    from pyspark.sql import functions as F
+
+    from index_spark.operators import similarity as sim
+
+    spark = _spark(args)
+    emb = spark.read.parquet(args.emb)
+    q = [float(v) for v in
+         emb.filter(F.col("vec_id") == args.query_id)
+            .select("embedding").collect()[0][0]]
+    restrict = emb.filter(args.filter).select("vec_id") if args.filter \
+        else None
+    if args.method == "exact":
+        out = sim.cosine_topk(emb, q, k=args.k, restrict=restrict)
+    elif args.method == "ivf":
+        cents = sim.train_centroids(emb, n_buckets=args.buckets)
+        bucketed = sim.assign_buckets(emb, cents)
+        out = sim.ivf_topk(bucketed, cents, q, k=args.k,
+                           nprobe=args.nprobe)
+    elif args.method == "sq":
+        lo, hi = sim.quantize_bounds(emb)
+        codes = sim.scalar_quantize(emb, lo, hi)
+        out = sim.sq_topk(codes, lo, hi, q, k=args.k,
+                          rerank=args.rerank, emb=emb if args.rerank
+                          else None)
+    else:  # pq
+        cb = sim.pq_train(emb, m=args.m, k=args.codebook_k)
+        out = sim.pq_topk(sim.pq_encode(emb, cb), cb, q, k=args.k,
+                          rerank=args.rerank, emb=emb if args.rerank
+                          else None)
+    print(json.dumps([r.asDict() for r in out.collect()]))
+
+
 def cmd_concat(args) -> None:
     """Append one store's chunks onto another (Lucene addIndexes): the
     source doc-id space shifts past the destination's — one patched
@@ -962,6 +999,28 @@ def main(argv=None) -> None:
     cc.add_argument("--text-col", default="text")
     cc.add_argument("--id-col", default="doc_id")
     cc.set_defaults(fn=cmd_cluster)
+
+    kn = sub.add_parser("knn", help="vector search: exact / filtered / "
+                                    "ivf / sq8 / pq-adc top-k")
+    kn.add_argument("--emb", required=True,
+                    help="embeddings parquet (vec_id, embedding, ...)")
+    kn.add_argument("--query-id", type=int, default=0,
+                    help="vec_id whose embedding is the query")
+    kn.add_argument("-k", type=int, default=10)
+    kn.add_argument("--method", default="exact",
+                    choices=["exact", "ivf", "sq", "pq"])
+    kn.add_argument("--filter", help="SQL predicate over the embeddings "
+                                     "table (pre-filter allow-set), "
+                                     "e.g. \"label = 3\"")
+    kn.add_argument("--buckets", type=int, default=16)
+    kn.add_argument("--nprobe", type=int, default=4)
+    kn.add_argument("--m", type=int, default=4,
+                    help="pq subspaces")
+    kn.add_argument("--codebook-k", type=int, default=16,
+                    help="pq centroids per subspace")
+    kn.add_argument("--rerank", type=int, default=0,
+                    help="exact rerank pool for sq/pq")
+    kn.set_defaults(fn=cmd_knn)
 
     ct = sub.add_parser("concat", help="append a source store's chunks "
                                        "onto a destination store "
