@@ -3526,6 +3526,34 @@ def _r04s8_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "pq_adc_topk": pq_adc_topk, "filtered_knn": filtered_knn}
 
 
+def _r04s9_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                  DataFrame]]:
+    def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # FAISS IVF,PQ end-to-end: coarse k-means quantizer (the pinned
+        # deterministic kmeans contract), PQ codebooks, the one-map-pass
+        # index build (bucket + codes computed together), then an
+        # nprobe=2 pruned ADC top-10 for query vec_id=0 — coarse
+        # assignment, probe selection, codes, AND the pruned distances
+        # are all value-checked by the SQL restatement
+        from index_spark.operators.similarity import (
+            ivf_pq_index,
+            ivf_pq_topk,
+            kmeans,
+            pq_train,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _, cents = kmeans(emb, k=4, iters=2)
+        cb = pq_train(emb, m=4, k=4, iters=2)
+        idx = ivf_pq_index(emb, cents, cb)
+        q = emb.filter(F.col("vec_id") == 0) \
+               .select("embedding").collect()[0][0]
+        return ivf_pq_topk(idx, cents, cb, [float(v) for v in q],
+                           k=10, nprobe=2)
+
+    return {"ivfpq_topk": ivfpq_topk}
+
+
 def _hll_duck_sql() -> str:
     # the oracle recomputes the ENTIRE sketch from the same expression
     # strings the Spark operator compiles (operators/sketch.py)
@@ -3825,6 +3853,74 @@ lut AS (SELECT c.pos // {dsub} AS sub, c.cluster,
 adc AS (SELECT a.vec_id, sum(l.d2) AS d2
         FROM pafin a JOIN lut l
         ON a.sub = l.sub AND a.cluster = l.cluster
+        GROUP BY a.vec_id)
+SELECT vec_id, round(d2, 4) AS approx_d2
+FROM adc ORDER BY d2 ASC, vec_id ASC LIMIT 10"""
+
+
+def _ivfpq_duck_sql(kc_iters: int, m: int, k: int, iters: int,
+                    dim: int, nprobe: int) -> str:
+    """FAISS ``IVF,PQ`` fully restated: the coarse quantizer is the
+    pinned k-means contract (``_KMEANS_ITER_DUCK`` chain, k = the PQ k so
+    one seeds CTE serves both), bucket assignment is argmax dot(x, c)
+    (norm-invariant per vector, so the engine's normalized-x cosine
+    argmax restates without the norm), probe selection is the top-nprobe
+    clusters by dot(q, c) with ties to the lower id, and the ADC sum runs
+    only over vectors whose bucket is probed — coarse assignment, probe
+    set, PQ codes, and the pruned distances are all value-checked."""
+    dsub = dim // m
+    kbody = "".join(_KMEANS_ITER_DUCK.format(i=i + 1, p=i)
+                    for i in range(kc_iters))
+    pbody = "".join(_PQ_ITER_DUCK.format(i=i + 1, p=i)
+                    for i in range(iters))
+    return f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+es AS (SELECT vec_id, pos, pos // {dsub} AS sub, v FROM e),
+seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+c0 AS (SELECT s.cluster, e.pos, e.v FROM seeds s JOIN e ON s.vec_id = e.vec_id),
+{kbody}
+pc0 AS (SELECT s.cluster, e.pos, e.v FROM seeds s JOIN e ON s.vec_id = e.vec_id),
+{pbody}
+pdfin AS (SELECT e.vec_id, e.sub, c.cluster,
+                 sum((e.v - c.v) * (e.v - c.v)) AS d2
+          FROM es e JOIN pc{iters} c ON e.pos = c.pos
+          GROUP BY e.vec_id, e.sub, c.cluster),
+pafin AS (SELECT vec_id, sub, cluster FROM (
+  SELECT vec_id, sub, cluster,
+         row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY d2 ASC, cluster ASC) AS rn
+  FROM pdfin) WHERE rn = 1),
+bdot AS (SELECT e.vec_id, c.cluster, sum(e.v * c.v) AS dot
+         FROM e JOIN c{kc_iters} c ON e.pos = c.pos
+         GROUP BY e.vec_id, c.cluster),
+bkt AS (SELECT vec_id, cluster AS bucket FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dot DESC, cluster ASC) AS rn
+  FROM bdot) WHERE rn = 1),
+q AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings WHERE vec_id = 0),
+pdot AS (SELECT c.cluster, sum(q.v * c.v) AS dot
+         FROM c{kc_iters} c JOIN q ON c.pos = q.pos
+         GROUP BY c.cluster),
+probe AS (SELECT cluster FROM (
+  SELECT cluster, row_number() OVER (ORDER BY dot DESC, cluster ASC) AS rn
+  FROM pdot) WHERE rn <= {nprobe}),
+lut AS (SELECT c.pos // {dsub} AS sub, c.cluster,
+               sum((q.v - c.v) * (q.v - c.v)) AS d2
+        FROM pc{iters} c JOIN q ON c.pos = q.pos
+        GROUP BY c.pos // {dsub}, c.cluster),
+adc AS (SELECT a.vec_id, sum(l.d2) AS d2
+        FROM pafin a
+        JOIN bkt b ON a.vec_id = b.vec_id
+        JOIN probe p ON b.bucket = p.cluster
+        JOIN lut l ON a.sub = l.sub AND a.cluster = l.cluster
         GROUP BY a.vec_id)
 SELECT vec_id, round(d2, 4) AS approx_d2
 FROM adc ORDER BY d2 ASC, vec_id ASC LIMIT 10"""
@@ -4166,6 +4262,10 @@ ORDER BY round(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], qv.q::DOU
              / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
                 * sqrt(list_sum(list_transform(qv.q::DOUBLE[], x -> x * x)))), 4) DESC, e.vec_id ASC
 LIMIT 10""")
+
+    eng9 = _r04s9_engine_queries()
+    add("ivfpq_topk", eng9["ivfpq_topk"],
+        _ivfpq_duck_sql(kc_iters=2, m=4, k=4, iters=2, dim=64, nprobe=2))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

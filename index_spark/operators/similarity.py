@@ -594,3 +594,99 @@ def pq_topk(codes_df: DataFrame, codebooks: np.ndarray,
     return (pool.join(exact, "vec_id")
             .orderBy(F.asc("_d2"), F.asc("vec_id")).limit(k)
             .select("vec_id", F.round("_d2", 4).alias("d2")))
+
+
+def _adc_d2_expr(codebooks: np.ndarray, qvec: list[float]) -> F.Column:
+    """ADC squared distance over a ``codes`` column as a pure JVM
+    expression: the m x k query LUT rides as a nested array literal,
+    ``zip_with`` pairs each code with its subspace's row,
+    ``element_at`` does the cell lookup (see :func:`pq_topk`)."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, kk, dsub = cb.shape
+    q = np.asarray(qvec, dtype=np.float64)
+    if q.shape[0] != m * dsub:
+        raise ValueError(f"query dim {q.shape[0]} != m*dsub {m * dsub}")
+    lut = ((q.reshape(m, dsub)[:, None, :] - cb) ** 2).sum(axis=2)
+    lut_a = F.array(*[F.array(*[F.lit(float(lut[s, c])) for c in range(kk)])
+                      for s in range(m)])
+    cell = F.zip_with(F.col("codes"), lut_a,
+                      lambda code, row: F.element_at(row, code + 1))
+    return F.aggregate(cell, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ivf_pq_index(emb: DataFrame, centroids: np.ndarray,
+                 codebooks: np.ndarray, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """The FAISS ``IVF,PQ`` at-rest table in ONE Arrow pass:
+    (vec_id, bucket, codes) — coarse bucket assignment (cosine-nearest
+    centroid, :func:`assign_buckets`' metric) and PQ codes computed
+    together, so the 100-TB index build is a single map-only scan of
+    the float corpus. Write it ``partitionBy("bucket")`` and the probe
+    filter prunes partitions at serve time."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = cb.shape
+
+    def _index(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)
+            bucket = np.argmax(xn @ cents.T, axis=1).astype(np.int32)
+            xs = x.reshape(len(x), m, dsub)
+            codes = np.empty((len(x), m), np.int32)
+            for s in range(m):
+                d2 = ((xs[:, s, None, :] - cb[s][None, :, :]) ** 2).sum(2)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].astype("int64"),
+                "bucket": bucket,
+                "codes": list(codes)})
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("codes", T.ArrayType(T.IntegerType()), False),
+    ])
+    return emb.select(id_col, vec_col).mapInPandas(_index, schema=schema)
+
+
+def ivf_pq_topk(index_df: DataFrame, centroids: np.ndarray,
+                codebooks: np.ndarray, qvec: list[float], k: int = 10,
+                nprobe: int = 4, rerank: int = 0,
+                emb: DataFrame | None = None,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """FAISS ``IVF,PQ`` serving: probe the ``nprobe`` cosine-nearest
+    coarse buckets (same metric as the build assignment), then ADC over
+    ONLY those buckets' codes — a bucket-pruned, map-only, JVM-codegen
+    scan over m ints per vector. ``nprobe >= n_buckets`` degenerates to
+    :func:`pq_topk` exactly (how the driver oracle value-checks it;
+    pruned recall is measured, not oracled). ``rerank``: exact top-k of
+    the deterministic top-``rerank`` ADC pool, joined from ``emb``."""
+    if rerank and emb is None:
+        raise ValueError("rerank > 0 needs the full-precision `emb` table")
+    cents = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(qvec, dtype=np.float64)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    order = np.argsort(-(cents @ qn), kind="stable")
+    probe = [int(b) for b in order[: min(nprobe, len(cents))]]
+    pruned = index_df.filter(F.col("bucket").isin(probe))
+    scored = pruned.select(F.col("vec_id"),
+                           _adc_d2_expr(codebooks, qvec).alias("_d2"))
+    if not rerank:
+        return (scored.orderBy(F.asc("_d2"), F.asc("vec_id")).limit(k)
+                .select("vec_id", F.round("_d2", 4).alias("approx_d2")))
+    pool = (scored.orderBy(F.asc("_d2"), F.asc("vec_id")).limit(rerank)
+            .select("vec_id"))
+    qa = F.array(*[F.lit(float(v)) for v in q])
+    exact = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.aggregate(F.zip_with(F.col(vec_col), qa,
+                               lambda a, b: (a.cast("double") - b)
+                               * (a.cast("double") - b)),
+                    F.lit(0.0), lambda acc, x: acc + x).alias("_d2"))
+    return (pool.join(exact, "vec_id")
+            .orderBy(F.asc("_d2"), F.asc("vec_id")).limit(k)
+            .select("vec_id", F.round("_d2", 4).alias("d2")))

@@ -6,7 +6,13 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from index_spark.operators.similarity import pq_encode, pq_topk, pq_train
+from index_spark.operators.similarity import (
+    ivf_pq_index,
+    ivf_pq_topk,
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
 
 M, K, ITERS = 4, 6, 2
 N, DIM = 120, 16
@@ -107,6 +113,102 @@ def test_adc_scan_is_jvm_only(spark, emb, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+NB = 4  # coarse buckets for the IVF,PQ tests
+
+
+@pytest.fixture(scope="module")
+def coarse(vecs):
+    # deterministic coarse centroids: the 4 cluster centers the synthetic
+    # data was drawn around would be ideal; first-NB rows are enough
+    return vecs[:NB].copy()
+
+
+def _np_buckets(x, cents):
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)
+    return np.argmax(xn @ cents.T, axis=1)
+
+
+def test_ivf_pq_index_matches_numpy(spark, emb, vecs, coarse):
+    x = vecs.astype(np.float32).astype(np.float64)
+    cb = pq_train(emb, m=M, k=K, iters=ITERS)
+    rows = {r["vec_id"]: (r["bucket"], list(r["codes"]))
+            for r in ivf_pq_index(emb, coarse, cb).collect()}
+    want_b = _np_buckets(x, coarse)
+    want_c = _np_encode(x, cb)
+    assert len(rows) == N
+    for i in range(N):
+        assert rows[i][0] == want_b[i]
+        assert rows[i][1] == list(want_c[i])
+
+
+def test_ivf_pq_full_probe_equals_pq_topk(spark, emb, vecs, coarse):
+    # nprobe >= n_buckets degenerates to plain ADC over everything
+    x = vecs.astype(np.float32).astype(np.float64)
+    cb = pq_train(emb, m=M, k=K, iters=ITERS)
+    idx = ivf_pq_index(emb, coarse, cb)
+    q = x[3].tolist()
+    got = ivf_pq_topk(idx, coarse, cb, q, k=10, nprobe=NB).collect()
+    want = pq_topk(pq_encode(emb, cb), cb, q, k=10).collect()
+    assert [(r["vec_id"], r["approx_d2"]) for r in got] == \
+           [(r["vec_id"], r["approx_d2"]) for r in want]
+
+
+def test_ivf_pq_pruned_probe_matches_numpy_restriction(spark, emb, vecs,
+                                                       coarse):
+    x = vecs.astype(np.float32).astype(np.float64)
+    cb = pq_train(emb, m=M, k=K, iters=ITERS)
+    idx = ivf_pq_index(emb, coarse, cb)
+    q = x[3]
+    qn = q / np.linalg.norm(q)
+    probe = set(np.argsort(-(coarse @ qn), kind="stable")[:2])
+    mask = np.isin(_np_buckets(x, coarse), list(probe))
+    lut = ((q.reshape(M, 1, DIM // M) - cb) ** 2).sum(2)
+    approx = lut[np.arange(M)[None, :], _np_encode(x, cb)].sum(axis=1)
+    ids = np.arange(N)[mask]
+    order = ids[np.lexsort((ids, approx[mask]))][:10]
+    got = ivf_pq_topk(idx, coarse, cb, q.tolist(), k=10, nprobe=2).collect()
+    assert [r["vec_id"] for r in got] == list(order)
+    np.testing.assert_allclose([r["approx_d2"] for r in got],
+                               np.round(approx[order], 4), atol=1e-4)
+
+
+def test_ivf_pq_rerank_exact_distances(spark, emb, vecs, coarse):
+    x = vecs.astype(np.float32).astype(np.float64)
+    cb = pq_train(emb, m=M, k=K, iters=ITERS)
+    idx = ivf_pq_index(emb, coarse, cb)
+    q = x[3]
+    got = ivf_pq_topk(idx, coarse, cb, q.tolist(), k=5, nprobe=NB,
+                      rerank=40, emb=emb).collect()
+    exact = np.round(((x - q) ** 2).sum(axis=1), 4)
+    order = np.lexsort((np.arange(N), exact))[:5]
+    assert [r["vec_id"] for r in got] == list(order)
+    np.testing.assert_allclose([r["d2"] for r in got], exact[order],
+                               atol=1e-4)
+
+
+def test_ivf_pq_serving_plan_jvm_only_and_pruned(spark, emb, vecs, coarse,
+                                                 tmp_path):
+    # the ADC scan over the stored (bucket, codes) table must be pure
+    # codegen with the probe filter pushed to the parquet scan
+    cb = pq_train(emb, m=M, k=K, iters=1)
+    p = str(tmp_path / "ivfpq")
+    ivf_pq_index(emb, coarse, cb).write.partitionBy("bucket").parquet(p)
+    idx = spark.read.parquet(p)
+    df = ivf_pq_topk(idx, coarse, cb, [0.0] * DIM, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # partition pruning: the bucket filter appears as a partition filter
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_ivf_pq_guards(spark, emb, coarse):
+    cb = pq_train(emb, m=M, k=4, iters=1)
+    idx = ivf_pq_index(emb, coarse, cb)
+    with pytest.raises(ValueError, match="rerank"):
+        ivf_pq_topk(idx, coarse, cb, [0.0] * DIM, rerank=10)
 
 
 def test_guards(spark, emb):
