@@ -17,17 +17,21 @@ while true; do
   if [ "$GOOD" = "True" ]; then
     BENCH=$(python bench.py 2>/dev/null | tail -1)
     POST=$(python BENCH/window_probe.py 2>/dev/null | tail -1)
-    python - "$PRE" "$BENCH" "$POST" "$ATTEMPT" <<'EOF'
+    # a capture whose window degraded mid-run goes to the forensics
+    # file; OUT only ever holds a post-good capture (a bad attempt must
+    # not clobber a good one)
+    POSTGOOD=$(echo "$POST" | python -c "import json,sys; print(json.load(sys.stdin)['good_window'])" 2>/dev/null)
+    DEST=BENCH/bench_last_attempt_r04.json
+    if [ "$POSTGOOD" = "True" ]; then DEST="$OUT"; fi
+    python - "$PRE" "$BENCH" "$POST" "$ATTEMPT" "$DEST" <<'EOF'
 import json, sys
-pre, bench, post, attempt = sys.argv[1:5]
+pre, bench, post, attempt, dest = sys.argv[1:6]
 rec = {"attempt": int(attempt), "pre_probe": json.loads(pre),
        "bench": json.loads(bench), "post_probe": json.loads(post)}
-with open("BENCH/bench_quiet_r04.json", "w") as f:
+with open(dest, "w") as f:
     json.dump(rec, f, indent=1)
-print("captured")
+print("captured ->", dest)
 EOF
-    # accept only if the window STAYED quiet through the run
-    POSTGOOD=$(echo "$POST" | python -c "import json,sys; print(json.load(sys.stdin)['good_window'])" 2>/dev/null)
     if [ "$POSTGOOD" = "True" ]; then
       echo "[bench_watch] quiet-window bench captured at attempt $ATTEMPT"
       exit 0

@@ -3551,7 +3551,41 @@ def _r04s9_engine_queries() -> dict[str, Callable[[SparkSession, str],
         return ivf_pq_topk(idx, cents, cb, [float(v) for v in q],
                            k=10, nprobe=2)
 
-    return {"ivfpq_topk": ivfpq_topk}
+    def lmd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # LM-Dirichlet query likelihood (Zhai & Lafferty 2001) over the
+        # blob engine — the alternative similarity module next to BM25
+        from index_spark.operators.query import lm_dirichlet_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        top = lm_dirichlet_search(index, stats, "data table query",
+                                  mu=2000.0, k=10, stem=False, camel=False)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    def histogram_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES histogram aggregation over the match set (numeric buckets)
+        from index_spark.operators.analytics import facet_histogram
+
+        docs_meta = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _, index, _ = _parity_build(spark, sf_dir)
+        return facet_histogram(index, docs_meta, "data table query",
+                               by="n_chars", bucket_width=200.0,
+                               stem=False, camel=False)
+
+    def upsampled_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # deterministic fractional-epoch upsampling (Pile-style mixture
+        # weights > 1) — every emitted (doc, copy) row is value-checked
+        from index_spark.operators.sample import upsample_corpus
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                    .select("doc_id", "lang")
+        out = upsample_corpus(docs, {"de": 2.5, "fr": 0.4},
+                              strata_col="lang", key_col="doc_id",
+                              salt="epoch", default_rate=1.0)
+        return out.select("doc_id", "lang", "copy")
+
+    return {"ivfpq_topk": ivfpq_topk, "lmd_topk": lmd_topk,
+            "histogram_facet": histogram_facet,
+            "upsampled_copies": upsampled_copies}
 
 
 def _hll_duck_sql() -> str:
@@ -3952,6 +3986,59 @@ SELECT w.doc_id, CAST(len(w.ls) AS BIGINT) AS n_lines,
 FROM wrapped w LEFT JOIN reb r USING (doc_id)"""
 
 
+# LM-Dirichlet restatement (operators/query.py lm_dirichlet_search):
+# per matched (doc, term) ln(1 + tf/(mu*p_w)) + ln(mu/(dl+mu)) with
+# p_w = cf_w / C over the SAME tok/tf/dl CTEs the BM25 oracle uses —
+# collection stats (cf, C) and the score sum are all value-checked
+_LMD_SCORE_SQL = """
+, cft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term)
+, coll AS (SELECT CAST(sum(dlen) AS DOUBLE) AS c FROM dl)
+, scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + tf.tf / (2000.0 * (cft.cf / coll.c)))
+              + ln(2000.0 / (dl.dlen + 2000.0)) ) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN cft ON tf.term = cft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN coll
+  GROUP BY tf.doc_id
+)"""
+
+_BODY_LMD_TOPK = """
+SELECT doc_id, round(score, 4) AS score FROM scores
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10"""
+
+# ES histogram aggregation over the match set: bucket = floor(v/i)*i,
+# occupied buckets only (min_doc_count=1 form)
+_BODY_HISTOGRAM_FACET = """
+, m AS (SELECT DISTINCT doc_id FROM tok
+        WHERE term IN ('data', 'table', 'query'))
+SELECT floor(documents.n_chars / 200.0) * 200.0 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM m JOIN documents ON m.doc_id = documents.doc_id
+GROUP BY 1 ORDER BY bucket"""
+
+# fractional-epoch upsampling (operators/sample.py upsample_corpus):
+# n = floor(rate) + [md5 draw < frac-threshold], every (doc, copy) row
+# restated — the draw, the floor/frac split, and the series expansion
+# are all value-checked
+_UPSAMPLE_DUCK_SQL = """
+WITH r AS (SELECT doc_id, lang,
+  CASE lang WHEN 'de' THEN 2.5 WHEN 'fr' THEN 0.4 ELSE 1.0 END AS rate
+  FROM documents),
+n AS (SELECT doc_id, lang,
+  CAST(floor(rate) AS BIGINT)
+  + CASE WHEN substr(md5(doc_id || ':epoch'), 1, 8)
+          < printf('%08x', CAST(floor((rate - floor(rate)) * 4294967296)
+                                AS BIGINT))
+     THEN 1 ELSE 0 END AS n
+  FROM r)
+SELECT doc_id, lang,
+       CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS copy
+FROM n WHERE n >= 1"""
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -4266,6 +4353,11 @@ LIMIT 10""")
     eng9 = _r04s9_engine_queries()
     add("ivfpq_topk", eng9["ivfpq_topk"],
         _ivfpq_duck_sql(kc_iters=2, m=4, k=4, iters=2, dim=64, nprobe=2))
+    add("lmd_topk", eng9["lmd_topk"],
+        _docs_sql("duck", _LMD_SCORE_SQL + _BODY_LMD_TOPK, [q_cte]))
+    add("histogram_facet", eng9["histogram_facet"],
+        _docs_sql("duck", _BODY_HISTOGRAM_FACET))
+    add("upsampled_copies", eng9["upsampled_copies"], _UPSAMPLE_DUCK_SQL)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -155,6 +155,54 @@ def balance_corpus(df: DataFrame, targets: dict[str, float],
             .drop("rate"))
 
 
+def upsample_corpus(df: DataFrame, rates: dict[str, float],
+                    strata_col: str = "source", key_col: str = "doc_id",
+                    salt: str = "epoch",
+                    default_rate: float = 1.0) -> DataFrame:
+    """Deterministic UP-sampling — fractional epoch weighting (the
+    GPT-3 / Pile mixture form: "wikipedia x 3.4 epochs, commoncrawl x
+    0.44"): each row emits ``floor(rate)`` copies plus one more iff its
+    draw < frac(rate), so a stratum's expected multiplicity is exactly
+    its rate. Complements the downsample-only :func:`mixture_rates`
+    family for targets that EXCEED a stratum's raw share.
+
+    Output = input columns + ``copy`` (0-based replica ordinal, so
+    downstream shuffles/splits can key on (key, copy)). The draw is the
+    shared md5 policy — reproducible across engines and partitionings;
+    the whole operator is a map-only catalyst expression (literal rate
+    map + guarded sequence explode), no shuffle, no RNG. Rates < 1
+    degenerate to :func:`sample_stratified` (0 or 1 copies); rate 0
+    drops the stratum.
+    """
+    if any(r < 0 for r in rates.values()) or default_rate < 0:
+        raise ValueError("rates must be non-negative")
+    if rates:
+        rmap = F.create_map(*[
+            lit for s, r in sorted(rates.items())
+            for lit in (F.lit(s), F.lit(float(r)))])
+        rate = F.coalesce(rmap[F.col(strata_col)],
+                          F.lit(float(default_rate)))
+    else:
+        rate = F.lit(float(default_rate))
+    base = F.floor(rate).cast("long")
+    # frac(rate) -> 8-hex threshold, computed in SQL so the oracle
+    # restates it verbatim (floor BEFORE the cast, cf. _THR_SQL)
+    frac_thr = F.format_string(
+        "%08x", F.floor((rate - F.floor(rate)) * F.lit(2.0 ** 32))
+        .cast("bigint"))
+    n = base + F.when(_u_hex(key_col, salt) < frac_thr, F.lit(1)) \
+               .otherwise(F.lit(0))
+    # guarded sequence: sequence(0, -1) would DESCEND in Spark, so n=0
+    # maps to NULL and the outer explode's null row is filtered (outer
+    # to dodge InferFiltersFromGenerate re-evaluation, cf. chunk.py)
+    copies = F.explode_outer(
+        F.when(n >= 1, F.sequence(F.lit(0), (n - 1).cast("int")))
+    ).alias("copy")
+    return (df.select("*", copies)
+            .filter(F.col("copy").isNotNull())
+            .withColumn("copy", F.col("copy").cast("long")))
+
+
 def assign_splits(df: DataFrame, weights: list[tuple[str, float]]
                   | None = None, key_col: str = "doc_id",
                   salt: str = "split", out_col: str = "split") -> DataFrame:

@@ -120,6 +120,18 @@ def cmd_query(args) -> None:
                   tombstones=tomb, dictionary=d,
                   boosts=boosts, after=after,
                   shard_size=shard_size, **kw).collect()
+    elif getattr(args, "similarity", "bm25") == "lmd":
+        # LM-Dirichlet query likelihood — the alternative similarity
+        # module; OR-mode only (no exclude/boost/paging composition)
+        from index_spark.operators.query import lm_dirichlet_search
+
+        if args.mode != "or" or args.exclude or boosts is not None \
+                or after is not None or getattr(args, "min_match", None):
+            raise SystemExit("--similarity lmd supports plain OR queries "
+                             "(no --mode and/--exclude/--boosts/--after/"
+                             "--min-match)")
+        rows = lm_dirichlet_search(index, stats, args.query, mu=args.mu,
+                                   k=args.k, tombstones=tomb).collect()
     else:
         rows = search(index, None, stats, args.query, k=args.k,
                       mode=args.mode, exclude=args.exclude,
@@ -827,6 +839,12 @@ def main(argv=None) -> None:
     q.add_argument("--boosts", default=None,
                    help="parquet of (doc_id, boost) function-scoring "
                         "multipliers")
+    q.add_argument("--similarity", choices=["bm25", "lmd"], default="bm25",
+                   help="ranking function: BM25 (default) or LM-Dirichlet "
+                        "query likelihood")
+    q.add_argument("--mu", type=float, default=2000.0,
+                   help="Dirichlet smoothing parameter (with "
+                        "--similarity lmd)")
     q.add_argument("--min-match", type=int, default=None, dest="min_match",
                    help="minimum_should_match: docs must contain at least "
                         "this many distinct query terms (mode=or)")
