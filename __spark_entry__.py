@@ -3583,9 +3583,21 @@ def _r04s9_engine_queries() -> dict[str, Callable[[SparkSession, str],
                               salt="epoch", default_rate=1.0)
         return out.select("doc_id", "lang", "copy")
 
+    def shuffled_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # deterministic per-epoch corpus reshuffle — the full
+        # permutation (two-level distributed prefix sum) value-checked
+        # against a single global row_number restatement
+        from index_spark.operators.sample import shuffle_order
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                    .select("doc_id")
+        return shuffle_order(docs, key_col="doc_id", salt="epoch1") \
+            .select("doc_id", "ord")
+
     return {"ivfpq_topk": ivfpq_topk, "lmd_topk": lmd_topk,
             "histogram_facet": histogram_facet,
-            "upsampled_copies": upsampled_copies}
+            "upsampled_copies": upsampled_copies,
+            "shuffled_ordinals": shuffled_ordinals}
 
 
 def _hll_duck_sql() -> str:
@@ -4358,6 +4370,12 @@ LIMIT 10""")
     add("histogram_facet", eng9["histogram_facet"],
         _docs_sql("duck", _BODY_HISTOGRAM_FACET))
     add("upsampled_copies", eng9["upsampled_copies"], _UPSAMPLE_DUCK_SQL)
+    add("shuffled_ordinals", eng9["shuffled_ordinals"], """
+SELECT doc_id,
+       CAST(row_number() OVER (
+              ORDER BY substr(md5(doc_id || ':epoch1'), 1, 8), doc_id)
+            - 1 AS BIGINT) AS ord
+FROM documents""")
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -203,6 +203,48 @@ def upsample_corpus(df: DataFrame, rates: dict[str, float],
             .withColumn("copy", F.col("copy").cast("long")))
 
 
+def shuffle_order(df: DataFrame, key_col: str = "doc_id",
+                  salt: str = "shuffle", out_col: str = "ord",
+                  group_nibbles: int = 3) -> DataFrame:
+    """Deterministic global permutation ordinal — the per-epoch corpus
+    reshuffle pretraining loaders need (vary ``salt`` per epoch, e.g.
+    ``"epoch3"``): adds ``out_col`` = the row's 0-based rank under
+    ascending (md5 draw, key). Reproducible across reruns, engines, and
+    partitionings — unlike ``orderBy(rand())``.
+
+    Scale shape: a single unpartitioned ``row_number`` window over the
+    corpus is not a plan at 10^12 rows. The rank is a two-level prefix
+    sum keyed by the DRAW ITSELF (cf. ``pack.pack_sequences``): rows
+    group by the draw's first ``group_nibbles`` hex digits (16^g
+    near-uniform groups — the draw is the hash, so group sizes are
+    balanced by construction); per-group counts aggregate map-side; the
+    exclusive prefix runs over the SMALL group relation (the only
+    unpartitioned window — one row per group); within-group ranks are
+    windows partitioned by group. Lexicographic hex order makes
+    (group, draw) order equal draw order, so the result is exactly
+    ``row_number() OVER (ORDER BY draw, key) - 1`` — how the DuckDB
+    oracle restates it."""
+    if not 1 <= group_nibbles <= 6:
+        raise ValueError(f"group_nibbles must be in [1, 6], "
+                         f"got {group_nibbles}")
+    from pyspark.sql import Window
+
+    d = df.withColumn("_u", _u_hex(key_col, salt)) \
+          .withColumn("_g", F.substring("_u", 1, group_nibbles))
+    counts = d.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    wg = (Window.orderBy("_g")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    goff = counts.withColumn(
+        "_goff", F.coalesce(F.sum("_n").over(wg), F.lit(0)).cast("long")) \
+        .select("_g", "_goff")
+    wd = Window.partitionBy("_g").orderBy("_u", F.col(key_col))
+    return (d.join(goff, "_g")
+            .withColumn(out_col,
+                        (F.col("_goff") + F.row_number().over(wd) - 1)
+                        .cast("long"))
+            .drop("_u", "_g", "_goff"))
+
+
 def assign_splits(df: DataFrame, weights: list[tuple[str, float]]
                   | None = None, key_col: str = "doc_id",
                   salt: str = "split", out_col: str = "split") -> DataFrame:

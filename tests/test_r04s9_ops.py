@@ -186,3 +186,49 @@ def test_upsample_plan_is_map_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------------- global shuffle
+
+def test_shuffle_order_is_the_md5_permutation(spark):
+    from index_spark.operators.sample import shuffle_order
+
+    ids = list(range(700))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.ord for r in
+           shuffle_order(df, key_col="doc_id", salt="e1").collect()}
+    want_order = sorted(ids, key=lambda i: (_u_hex(i, "e1"), i))
+    assert got == {d: o for o, d in enumerate(want_order)}
+    # ordinals are a permutation of 0..n-1
+    assert sorted(got.values()) == list(range(700))
+
+
+def test_shuffle_order_partitioning_invariant_and_salted(spark):
+    from index_spark.operators.sample import shuffle_order
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    a = {r.doc_id: r.ord for r in
+         shuffle_order(df, salt="e1").collect()}
+    b = {r.doc_id: r.ord for r in
+         shuffle_order(df.repartition(13), salt="e1").collect()}
+    assert a == b  # layout-independent
+    c = {r.doc_id: r.ord for r in
+         shuffle_order(df, salt="e2").collect()}
+    assert a != c  # a different epoch is a different permutation
+    assert sorted(c.values()) == list(range(300))
+    with pytest.raises(ValueError, match="group_nibbles"):
+        shuffle_order(df, group_nibbles=0)
+
+
+def test_shuffle_order_no_global_window_over_rows(spark):
+    # the only unpartitioned window must run over the GROUP relation
+    # (bounded by 16^g rows), never over the full corpus: every Window
+    # whose ordering mentions the draw column must be partitioned
+    from index_spark.operators.sample import shuffle_order
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    plan = shuffle_order(df)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "_u" in line and "row_number" in line:
+            assert "partitionBy" in line.replace(" ", "") or \
+                   "PartitionSpec" in line or "_g" in line
