@@ -3561,16 +3561,6 @@ def _r04s9_engine_queries() -> dict[str, Callable[[SparkSession, str],
                                   mu=2000.0, k=10, stem=False, camel=False)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
-    def histogram_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # ES histogram aggregation over the match set (numeric buckets)
-        from index_spark.operators.analytics import facet_histogram
-
-        docs_meta = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        _, index, _ = _parity_build(spark, sf_dir)
-        return facet_histogram(index, docs_meta, "data table query",
-                               by="n_chars", bucket_width=200.0,
-                               stem=False, camel=False)
-
     def upsampled_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
         # deterministic fractional-epoch upsampling (Pile-style mixture
         # weights > 1) — every emitted (doc, copy) row is value-checked
@@ -3595,7 +3585,6 @@ def _r04s9_engine_queries() -> dict[str, Callable[[SparkSession, str],
             .select("doc_id", "ord")
 
     return {"ivfpq_topk": ivfpq_topk, "lmd_topk": lmd_topk,
-            "histogram_facet": histogram_facet,
             "upsampled_copies": upsampled_copies,
             "shuffled_ordinals": shuffled_ordinals}
 
@@ -4021,16 +4010,6 @@ _BODY_LMD_TOPK = """
 SELECT doc_id, round(score, 4) AS score FROM scores
 ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10"""
 
-# ES histogram aggregation over the match set: bucket = floor(v/i)*i,
-# occupied buckets only (min_doc_count=1 form)
-_BODY_HISTOGRAM_FACET = """
-, m AS (SELECT DISTINCT doc_id FROM tok
-        WHERE term IN ('data', 'table', 'query'))
-SELECT floor(documents.n_chars / 200.0) * 200.0 AS bucket,
-       CAST(count(*) AS BIGINT) AS n_docs
-FROM m JOIN documents ON m.doc_id = documents.doc_id
-GROUP BY 1 ORDER BY bucket"""
-
 # fractional-epoch upsampling (operators/sample.py upsample_corpus):
 # n = floor(rate) + [md5 draw < frac-threshold], every (doc, copy) row
 # restated — the draw, the floor/frac split, and the series expansion
@@ -4367,8 +4346,6 @@ LIMIT 10""")
         _ivfpq_duck_sql(kc_iters=2, m=4, k=4, iters=2, dim=64, nprobe=2))
     add("lmd_topk", eng9["lmd_topk"],
         _docs_sql("duck", _LMD_SCORE_SQL + _BODY_LMD_TOPK, [q_cte]))
-    add("histogram_facet", eng9["histogram_facet"],
-        _docs_sql("duck", _BODY_HISTOGRAM_FACET))
     add("upsampled_copies", eng9["upsampled_copies"], _UPSAMPLE_DUCK_SQL)
     add("shuffled_ordinals", eng9["shuffled_ordinals"], """
 SELECT doc_id,

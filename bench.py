@@ -280,6 +280,13 @@ def main() -> None:
         more_like_this(idx, ddocs, dstats, cwi, 42, k=10,
                        shard_size=shard_size).collect()
         timings["mlt_query"] = round(time.time() - t0, 3)
+        # LM-Dirichlet similarity module (session 9) — same flagship
+        # query, alternative ranking function
+        from index_spark.operators.query import lm_dirichlet_search
+        t0 = time.time()
+        lm_dirichlet_search(idx, dstats, "data table query",
+                            k=10).collect()
+        timings["lmd_query"] = round(time.time() - t0, 3)
 
     _extras()
 
@@ -552,6 +559,7 @@ def main() -> None:
                                    "facet_query", "fuzzy_query",
                                    "fuzzy_query_dict", "fuzzy_query_trgm",
                                    "restrict_query", "mlt_query",
+                                   "lmd_query",
                                    "pos_zone_build_200k",
                                    "phrase_query_200k", "zone_query_200k",
                                    "minhash_dedup_20k",
