@@ -1170,6 +1170,18 @@ class QueryEngine:
             return []
         return [(int(r["doc_id"]), float(r["score"])) for r in df.collect()]
 
+    def lmd_topk_df(self, query: str, k: int = 10,
+                    mu: float = 2000.0) -> DataFrame:
+        """LM-Dirichlet ranking over the prepared index — the
+        alternative similarity module as a serving-path method
+        (:func:`lm_dirichlet_search`; OR-mode, registered tombstones
+        apply). The prepared shard partitioning satisfies the kernel's
+        ``groupBy('shard')`` just like the BM25 scorers, so the
+        per-query exchange disappears here too."""
+        return lm_dirichlet_search(self.index, self.stats, query, mu=mu,
+                                   k=k, stem=self.stem, camel=self.camel,
+                                   tombstones=self._tombstones)
+
     def topk_df(self, query: str, k: int = 10, mode: str = "or",
                 exclude: str | None = None,
                 restrict: DataFrame | None = None,

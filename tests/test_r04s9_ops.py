@@ -232,3 +232,21 @@ def test_shuffle_order_no_global_window_over_rows(spark):
         if "Window" in line and "_u" in line and "row_number" in line:
             assert "partitionBy" in line.replace(" ", "") or \
                    "PartitionSpec" in line or "_g" in line
+
+
+def test_engine_lmd_parity_with_oneshot(spark, built):
+    # the serving-path method returns the one-shot path's exact result
+    from index_spark.operators.query import QueryEngine
+
+    tiny_corpus, _, index, stats = built
+    eng = QueryEngine(index, stats, stem=False, camel=False,
+                      shard_size=32).prepare()
+    try:
+        got = [(r.doc_id, r.score) for r in
+               eng.lmd_topk_df(QUERY, k=10, mu=MU).collect()]
+        want = [(r.doc_id, r.score) for r in
+                lm_dirichlet_search(index, stats, QUERY, mu=MU, k=10,
+                                    stem=False, camel=False).collect()]
+        assert got == want
+    finally:
+        eng.release()
