@@ -3897,10 +3897,12 @@ def _ivfpq_duck_sql(kc_iters: int, m: int, k: int, iters: int,
                     dim: int, nprobe: int) -> str:
     """FAISS ``IVF,PQ`` fully restated: the coarse quantizer is the
     pinned k-means contract (``_KMEANS_ITER_DUCK`` chain, k = the PQ k so
-    one seeds CTE serves both), bucket assignment is argmax dot(x, c)
-    (norm-invariant per vector, so the engine's normalized-x cosine
-    argmax restates without the norm), probe selection is the top-nprobe
-    clusters by dot(q, c) with ties to the lower id, and the ADC sum runs
+    one seeds CTE serves both), bucket assignment is argmax
+    dot(x, c)/||c|| — the vector norm is argmax-invariant and drops out,
+    the CENTROID norm does not (the engine normalizes centroids, so raw
+    dot would bias toward large-norm k-means centroids) — probe
+    selection is the top-nprobe clusters by dot(q, c)/||c|| with ties to
+    the lower id, and the ADC sum runs
     only over vectors whose bucket is probed — coarse assignment, probe
     set, PQ codes, and the pruned distances are all value-checked."""
     dsub = dim // m
@@ -3930,14 +3932,17 @@ pafin AS (SELECT vec_id, sub, cluster FROM (
          row_number() OVER (PARTITION BY vec_id, sub
                             ORDER BY d2 ASC, cluster ASC) AS rn
   FROM pdfin) WHERE rn = 1),
+cn AS (SELECT cluster, greatest(sqrt(sum(v * v)), 1e-12) AS nrm
+       FROM c{kc_iters} GROUP BY cluster),
 bdot AS (SELECT e.vec_id, c.cluster, sum(e.v * c.v) AS dot
          FROM e JOIN c{kc_iters} c ON e.pos = c.pos
          GROUP BY e.vec_id, c.cluster),
 bkt AS (SELECT vec_id, cluster AS bucket FROM (
-  SELECT vec_id, cluster,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY dot DESC, cluster ASC) AS rn
-  FROM bdot) WHERE rn = 1),
+  SELECT b.vec_id, b.cluster,
+         row_number() OVER (PARTITION BY b.vec_id
+                            ORDER BY b.dot / n.nrm DESC,
+                                     b.cluster ASC) AS rn
+  FROM bdot b JOIN cn n ON b.cluster = n.cluster) WHERE rn = 1),
 q AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
              CAST(unnest(embedding) AS DOUBLE) AS v
       FROM embeddings WHERE vec_id = 0),
@@ -3945,8 +3950,10 @@ pdot AS (SELECT c.cluster, sum(q.v * c.v) AS dot
          FROM c{kc_iters} c JOIN q ON c.pos = q.pos
          GROUP BY c.cluster),
 probe AS (SELECT cluster FROM (
-  SELECT cluster, row_number() OVER (ORDER BY dot DESC, cluster ASC) AS rn
-  FROM pdot) WHERE rn <= {nprobe}),
+  SELECT p.cluster,
+         row_number() OVER (ORDER BY p.dot / n.nrm DESC,
+                            p.cluster ASC) AS rn
+  FROM pdot p JOIN cn n ON p.cluster = n.cluster) WHERE rn <= {nprobe}),
 lut AS (SELECT c.pos // {dsub} AS sub, c.cluster,
                sum((q.v - c.v) * (q.v - c.v)) AS d2
         FROM pc{iters} c JOIN q ON c.pos = q.pos

@@ -1095,6 +1095,8 @@ class QueryEngine:
         from collections import OrderedDict
         self._df_cache: OrderedDict[str, int] = OrderedDict()
         self._df_cache_max = 262_144
+        # same LRU policy for global cf (the LM-Dirichlet stats)
+        self._cf_cache: OrderedDict[str, int] = OrderedDict()
         self._prepared = False
 
     def prepare(self, num_partitions: int | None = None) -> "QueryEngine":
@@ -1170,17 +1172,42 @@ class QueryEngine:
             return []
         return [(int(r["doc_id"]), float(r["score"])) for r in df.collect()]
 
+    def _ensure_cf(self, terms: list[str]) -> None:
+        missing = []
+        for t in terms:
+            if t in self._cf_cache:
+                self._cf_cache.move_to_end(t)
+            else:
+                missing.append(t)
+        if not missing:
+            return
+        rows = (self.index.filter(F.col("term").isin(missing))
+                .groupBy("term").agg(F.sum("cf").alias("cf")).collect())
+        for r in rows:
+            self._cf_cache[r["term"]] = int(r["cf"])
+        for t in missing:
+            self._cf_cache.setdefault(t, 0)
+        while len(self._cf_cache) > self._df_cache_max:
+            self._cf_cache.popitem(last=False)
+
     def lmd_topk_df(self, query: str, k: int = 10,
                     mu: float = 2000.0) -> DataFrame:
         """LM-Dirichlet ranking over the prepared index — the
         alternative similarity module as a serving-path method
         (:func:`lm_dirichlet_search`; OR-mode, registered tombstones
-        apply). The prepared shard partitioning satisfies the kernel's
-        ``groupBy('shard')`` just like the BM25 scorers, so the
-        per-query exchange disappears here too."""
+        apply). Global cfs come from the engine's LRU (one tiny
+        aggregate per batch of UNSEEN terms, like the BM25 df cache —
+        no per-query stats job), and the prepared shard partitioning
+        satisfies the kernel's ``groupBy('shard')`` just like the BM25
+        scorers, so the per-query exchange disappears here too."""
+        qterms = sorted(set(tokenize(query, stem=self.stem,
+                                     camel=self.camel)))
+        if qterms:
+            self._ensure_cf(qterms)
+        cf = {t: self._cf_cache[t] for t in qterms}
         return lm_dirichlet_search(self.index, self.stats, query, mu=mu,
                                    k=k, stem=self.stem, camel=self.camel,
-                                   tombstones=self._tombstones)
+                                   tombstones=self._tombstones, cf=cf)
 
     def topk_df(self, query: str, k: int = 10, mode: str = "or",
                 exclude: str | None = None,
@@ -2886,7 +2913,8 @@ def search_regex(index: DataFrame, docs: DataFrame | None, stats: dict,
 def lm_dirichlet_search(index: DataFrame, stats: dict, query: str,
                         mu: float = 2000.0, k: int = 10, stem: bool = True,
                         camel: bool = True, zone: str | None = None,
-                        tombstones: DataFrame | None = None) -> DataFrame:
+                        tombstones: DataFrame | None = None,
+                        cf: dict[str, int] | None = None) -> DataFrame:
     """Top-k query-likelihood ranking with Dirichlet-prior smoothing
     (Zhai & Lafferty, SIGIR 2001) — the alternative similarity module
     search engines offer next to BM25 (Lucene's
@@ -2926,15 +2954,22 @@ def lm_dirichlet_search(index: DataFrame, stats: dict, query: str,
     index = pin_zone(index, zone)
     if "shard" not in index.columns:
         index = index.withColumn("shard", F.lit(0))
-    hits = (index.filter(F.col("term").isin(qterms))
-            .select("shard", "term", "cf",
-                    "doc_blob", "tf_blob", "dl_blob"))
-    # global cf per matched term: <= |q| rows ever reach the driver
-    p_w = {r["term"]: float(r["cf"]) / c_total
-           for r in hits.groupBy("term").agg(F.sum("cf").alias("cf"))
-                        .collect()}
+    matched = index.filter(F.col("term").isin(qterms))
+    if cf is not None:
+        # caller-supplied global cfs (QueryEngine's LRU) — no stats job
+        p_w = {t: float(v) / c_total for t, v in cf.items()
+               if t in qterms and v > 0}
+    else:
+        # global cf per matched term: <= |q| rows ever reach the driver
+        p_w = {r["term"]: float(r["cf"]) / c_total
+               for r in matched.select("term", "cf").groupBy("term")
+                               .agg(F.sum("cf").alias("cf")).collect()}
     if not p_w:
         return spark.createDataFrame([], TOPK_SCHEMA)
+    # the scoring kernel reads only the blobs — cf stays out of the
+    # Arrow batches
+    hits = matched.filter(F.col("term").isin(sorted(p_w))) \
+                  .select("shard", "term", "doc_blob", "tf_blob", "dl_blob")
     ln_mu = float(np.log(mu))
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -157,8 +157,8 @@ def balance_corpus(df: DataFrame, targets: dict[str, float],
 
 def upsample_corpus(df: DataFrame, rates: dict[str, float],
                     strata_col: str = "source", key_col: str = "doc_id",
-                    salt: str = "epoch",
-                    default_rate: float = 1.0) -> DataFrame:
+                    salt: str = "epoch", default_rate: float = 1.0,
+                    out_col: str = "copy") -> DataFrame:
     """Deterministic UP-sampling — fractional epoch weighting (the
     GPT-3 / Pile mixture form: "wikipedia x 3.4 epochs, commoncrawl x
     0.44"): each row emits ``floor(rate)`` copies plus one more iff its
@@ -166,7 +166,7 @@ def upsample_corpus(df: DataFrame, rates: dict[str, float],
     its rate. Complements the downsample-only :func:`mixture_rates`
     family for targets that EXCEED a stratum's raw share.
 
-    Output = input columns + ``copy`` (0-based replica ordinal, so
+    Output = input columns + ``out_col`` (0-based replica ordinal, so
     downstream shuffles/splits can key on (key, copy)). The draw is the
     shared md5 policy — reproducible across engines and partitionings;
     the whole operator is a map-only catalyst expression (literal rate
@@ -176,6 +176,9 @@ def upsample_corpus(df: DataFrame, rates: dict[str, float],
     """
     if any(r < 0 for r in rates.values()) or default_rate < 0:
         raise ValueError("rates must be non-negative")
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists; "
+                         f"pass out_col=")
     if rates:
         rmap = F.create_map(*[
             lit for s, r in sorted(rates.items())
@@ -197,10 +200,10 @@ def upsample_corpus(df: DataFrame, rates: dict[str, float],
     # to dodge InferFiltersFromGenerate re-evaluation, cf. chunk.py)
     copies = F.explode_outer(
         F.when(n >= 1, F.sequence(F.lit(0), (n - 1).cast("int")))
-    ).alias("copy")
+    ).alias(out_col)
     return (df.select("*", copies)
-            .filter(F.col("copy").isNotNull())
-            .withColumn("copy", F.col("copy").cast("long")))
+            .filter(F.col(out_col).isNotNull())
+            .withColumn(out_col, F.col(out_col).cast("long")))
 
 
 def shuffle_order(df: DataFrame, key_col: str = "doc_id",
@@ -227,6 +230,10 @@ def shuffle_order(df: DataFrame, key_col: str = "doc_id",
     if not 1 <= group_nibbles <= 6:
         raise ValueError(f"group_nibbles must be in [1, 6], "
                          f"got {group_nibbles}")
+    for c in (out_col, "_u", "_g", "_goff"):
+        if c in df.columns:
+            raise ValueError(f"column {c!r} already exists on the input"
+                             + ("; pass out_col=" if c == out_col else ""))
     from pyspark.sql import Window
 
     d = df.withColumn("_u", _u_hex(key_col, salt)) \

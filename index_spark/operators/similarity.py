@@ -571,14 +571,8 @@ def pq_topk(codes_df: DataFrame, codebooks: np.ndarray,
     q = np.asarray(qvec, dtype=np.float64)
     if q.shape[0] != m * dsub:
         raise ValueError(f"query dim {q.shape[0]} != m*dsub {m * dsub}")
-    qs = q.reshape(m, dsub)
-    lut = ((qs[:, None, :] - cb) ** 2).sum(axis=2)  # (m, k)
-    lut_a = F.array(*[F.array(*[F.lit(float(lut[s, c])) for c in range(kk)])
-                      for s in range(m)])
-    cell = F.zip_with(F.col("codes"), lut_a,
-                      lambda code, row: F.element_at(row, code + 1))
-    d2 = F.aggregate(cell, F.lit(0.0), lambda acc, x: acc + x)
-    scored = codes_df.select(F.col("vec_id"), d2.alias("_d2"))
+    scored = codes_df.select(F.col("vec_id"),
+                             _adc_d2_expr(cb, qvec).alias("_d2"))
     if not rerank:
         return (scored.orderBy(F.asc("_d2"), F.asc("vec_id")).limit(k)
                 .select("vec_id", F.round("_d2", 4).alias("approx_d2")))
@@ -622,8 +616,16 @@ def ivf_pq_index(emb: DataFrame, centroids: np.ndarray,
     centroid, :func:`assign_buckets`' metric) and PQ codes computed
     together, so the 100-TB index build is a single map-only scan of
     the float corpus. Write it ``partitionBy("bucket")`` and the probe
-    filter prunes partitions at serve time."""
+    filter prunes partitions at serve time.
+
+    Centroids are L2-normalized here, so the assignment is TRUE cosine
+    nearest (``assign_buckets``' metric) whether the caller passes
+    :func:`train_centroids` output (already unit-norm) or :func:`kmeans`
+    output (raw Euclidean means — an unnormalized argmax-dot would bias
+    buckets toward large-norm centroids)."""
     cents = np.asarray(centroids, dtype=np.float64)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True) \
+        .clip(min=1e-12)
     cb = np.asarray(codebooks, dtype=np.float64)
     m, _, dsub = cb.shape
 
@@ -664,29 +666,17 @@ def ivf_pq_topk(index_df: DataFrame, centroids: np.ndarray,
     scan over m ints per vector. ``nprobe >= n_buckets`` degenerates to
     :func:`pq_topk` exactly (how the driver oracle value-checks it;
     pruned recall is measured, not oracled). ``rerank``: exact top-k of
-    the deterministic top-``rerank`` ADC pool, joined from ``emb``."""
-    if rerank and emb is None:
-        raise ValueError("rerank > 0 needs the full-precision `emb` table")
+    the deterministic top-``rerank`` ADC pool, joined from ``emb``.
+    Probe selection normalizes centroids like :func:`ivf_pq_index`, so
+    probe order is cosine order regardless of centroid norms; scoring
+    after the bucket filter IS :func:`pq_topk`."""
     cents = np.asarray(centroids, dtype=np.float64)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True) \
+        .clip(min=1e-12)
     q = np.asarray(qvec, dtype=np.float64)
     qn = q / max(float(np.linalg.norm(q)), 1e-12)
     order = np.argsort(-(cents @ qn), kind="stable")
     probe = [int(b) for b in order[: min(nprobe, len(cents))]]
     pruned = index_df.filter(F.col("bucket").isin(probe))
-    scored = pruned.select(F.col("vec_id"),
-                           _adc_d2_expr(codebooks, qvec).alias("_d2"))
-    if not rerank:
-        return (scored.orderBy(F.asc("_d2"), F.asc("vec_id")).limit(k)
-                .select("vec_id", F.round("_d2", 4).alias("approx_d2")))
-    pool = (scored.orderBy(F.asc("_d2"), F.asc("vec_id")).limit(rerank)
-            .select("vec_id"))
-    qa = F.array(*[F.lit(float(v)) for v in q])
-    exact = emb.select(
-        F.col(id_col).cast("long").alias("vec_id"),
-        F.aggregate(F.zip_with(F.col(vec_col), qa,
-                               lambda a, b: (a.cast("double") - b)
-                               * (a.cast("double") - b)),
-                    F.lit(0.0), lambda acc, x: acc + x).alias("_d2"))
-    return (pool.join(exact, "vec_id")
-            .orderBy(F.asc("_d2"), F.asc("vec_id")).limit(k)
-            .select("vec_id", F.round("_d2", 4).alias("d2")))
+    return pq_topk(pruned, codebooks, qvec, k=k, rerank=rerank, emb=emb,
+                   vec_col=vec_col, id_col=id_col)

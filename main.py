@@ -78,6 +78,13 @@ def cmd_query(args) -> None:
     if getattr(args, "after", None):
         s, d = args.after.split(",")
         after = (float(s), int(d))
+    if getattr(args, "similarity", "bm25") == "lmd" and (
+            args.fuzzy or args.regex
+            or "*" in args.query or "?" in args.query):
+        # the expansion paths rank with BM25 — fail loudly rather than
+        # silently returning BM25 scores under a --similarity lmd flag
+        raise SystemExit("--similarity lmd supports plain term queries "
+                         "(no --fuzzy/--regex/wildcards)")
     if "*" in args.query or "?" in args.query:
         # glob tokens route to the wildcard path (dictionary-backed
         # when the store has a compacted catalog)

@@ -125,9 +125,13 @@ def coarse(vecs):
     return vecs[:NB].copy()
 
 
+def _np_norm(cents):
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True).clip(min=1e-12)
+
+
 def _np_buckets(x, cents):
     xn = x / np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)
-    return np.argmax(xn @ cents.T, axis=1)
+    return np.argmax(xn @ _np_norm(cents).T, axis=1)
 
 
 def test_ivf_pq_index_matches_numpy(spark, emb, vecs, coarse):
@@ -162,7 +166,7 @@ def test_ivf_pq_pruned_probe_matches_numpy_restriction(spark, emb, vecs,
     idx = ivf_pq_index(emb, coarse, cb)
     q = x[3]
     qn = q / np.linalg.norm(q)
-    probe = set(np.argsort(-(coarse @ qn), kind="stable")[:2])
+    probe = set(np.argsort(-(_np_norm(coarse) @ qn), kind="stable")[:2])
     mask = np.isin(_np_buckets(x, coarse), list(probe))
     lut = ((q.reshape(M, 1, DIM // M) - cb) ** 2).sum(2)
     approx = lut[np.arange(M)[None, :], _np_encode(x, cb)].sum(axis=1)
@@ -202,6 +206,28 @@ def test_ivf_pq_serving_plan_jvm_only_and_pruned(spark, emb, vecs, coarse,
     assert "ArrowEvalPython" not in plan
     # partition pruning: the bucket filter appears as a partition filter
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_ivf_pq_assignment_ignores_centroid_norms(spark):
+    # a large-norm centroid at 60 degrees must not beat a small-norm
+    # centroid the vector is exactly aligned with: assignment is cosine,
+    # not raw dot (kmeans() centroids are unnormalized Euclidean means)
+    x = np.zeros(DIM)
+    x[0] = 1.0
+    one = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.array([0], dtype=np.int64),
+        "embedding": [x.astype(np.float32).tolist()]}))
+    c0 = np.zeros(DIM)
+    c0[0] = 0.1                       # aligned, tiny norm
+    c1 = np.zeros(DIM)
+    c1[0], c1[1] = 5.0, 8.66          # ~60 degrees, big norm
+    cb = np.zeros((M, K, DIM // M))
+    row = ivf_pq_index(one, np.stack([c0, c1]), cb).collect()[0]
+    assert row["bucket"] == 0
+    # probe order for the same query prefers the aligned centroid too
+    got = ivf_pq_topk(ivf_pq_index(one, np.stack([c0, c1]), cb),
+                      np.stack([c0, c1]), cb, x.tolist(), k=1, nprobe=1)
+    assert got.collect()[0]["vec_id"] == 0
 
 
 def test_ivf_pq_guards(spark, emb, coarse):

@@ -250,3 +250,42 @@ def test_engine_lmd_parity_with_oneshot(spark, built):
         assert got == want
     finally:
         eng.release()
+
+
+def test_upsample_and_shuffle_out_col_guards(spark):
+    from index_spark.operators.sample import shuffle_order
+
+    df = spark.createDataFrame([(1, "x", 9)],
+                               "doc_id long, src string, copy long")
+    with pytest.raises(ValueError, match="already exists"):
+        upsample_corpus(df, {"x": 2.0}, strata_col="src")
+    renamed = upsample_corpus(df, {"x": 2.0}, strata_col="src",
+                              out_col="rep")
+    assert renamed.columns == ["doc_id", "src", "copy", "rep"]
+    assert renamed.count() == 2
+    df2 = spark.createDataFrame([(1, 0)], "doc_id long, ord long")
+    with pytest.raises(ValueError, match="already exists"):
+        shuffle_order(df2)
+    assert "ord2" in shuffle_order(df2, out_col="ord2").columns
+
+
+def test_engine_lmd_cf_cache(spark, built):
+    # the cf LRU means repeated queries run no stats job and stay exact
+    from index_spark.operators.query import QueryEngine
+
+    tiny_corpus, _, index, stats = built
+    eng = QueryEngine(index, stats, stem=False, camel=False,
+                      shard_size=32)
+    want = [(r.doc_id, r.score) for r in
+            lm_dirichlet_search(index, stats, QUERY, mu=MU, k=10,
+                                stem=False, camel=False).collect()]
+    first = [(r.doc_id, r.score) for r in
+             eng.lmd_topk_df(QUERY, k=10, mu=MU).collect()]
+    assert first == want
+    cached = dict(eng._cf_cache)
+    again = [(r.doc_id, r.score) for r in
+             eng.lmd_topk_df(QUERY, k=10, mu=MU).collect()]
+    assert again == want and dict(eng._cf_cache) == cached
+    # absent terms cache as 0 and still return empty
+    assert eng.lmd_topk_df("zzzabsent", k=5, mu=MU).count() == 0
+    assert eng._cf_cache["zzzabsent"] == 0
