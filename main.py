@@ -454,11 +454,18 @@ def cmd_knn(args) -> None:
         out = sim.sq_topk(codes, lo, hi, q, k=args.k,
                           rerank=args.rerank, emb=emb if args.rerank
                           else None)
-    else:  # pq
+    elif args.method == "pq":
         cb = sim.pq_train(emb, m=args.m, k=args.codebook_k)
         out = sim.pq_topk(sim.pq_encode(emb, cb), cb, q, k=args.k,
                           rerank=args.rerank, emb=emb if args.rerank
                           else None)
+    else:  # ivfpq: the composite billion-vector recipe
+        _, cents = sim.kmeans(emb, k=args.buckets, iters=2)
+        cb = sim.pq_train(emb, m=args.m, k=args.codebook_k)
+        idx = sim.ivf_pq_index(emb, cents, cb)
+        out = sim.ivf_pq_topk(idx, cents, cb, q, k=args.k,
+                              nprobe=args.nprobe, rerank=args.rerank,
+                              emb=emb if args.rerank else None)
     print(json.dumps([r.asDict() for r in out.collect()]))
 
 
@@ -1033,7 +1040,7 @@ def main(argv=None) -> None:
                     help="vec_id whose embedding is the query")
     kn.add_argument("-k", type=int, default=10)
     kn.add_argument("--method", default="exact",
-                    choices=["exact", "ivf", "sq", "pq"])
+                    choices=["exact", "ivf", "sq", "pq", "ivfpq"])
     kn.add_argument("--filter", help="SQL predicate over the embeddings "
                                      "table (pre-filter allow-set), "
                                      "e.g. \"label = 3\"")
