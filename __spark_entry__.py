@@ -3573,6 +3573,33 @@ def _r04s9_engine_queries() -> dict[str, Callable[[SparkSession, str],
                               salt="epoch", default_rate=1.0)
         return out.select("doc_id", "lang", "copy")
 
+    def grep_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # grep -n (the code-search result shape): corpus re-wrapped
+        # into 3-token lines (the testdata has no newlines — same
+        # deterministic wrap as line_dedup), candidates gram-pruned
+        # through the substring trigram index, every matching
+        # (doc, line_no, line) row value-checked
+        from index_spark.operators.codesearch import (
+            build_substring_index,
+            grep_lines,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sp = F.split(F.col("text"), " ", -1)
+        wrapped = docs.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(sp) / F.lit(3.0)).cast("int") - 1),
+                    lambda i: F.array_join(
+                        F.slice(sp, i * F.lit(3) + F.lit(1), F.lit(3)),
+                        " ")),
+                "\n").alias("text"))
+        trgm = build_substring_index(wrapped)
+        return grep_lines(wrapped, "data", trgm=trgm)
+
     def shuffled_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
         # deterministic per-epoch corpus reshuffle — the full
         # permutation (two-level distributed prefix sum) value-checked
@@ -3586,7 +3613,8 @@ def _r04s9_engine_queries() -> dict[str, Callable[[SparkSession, str],
 
     return {"ivfpq_topk": ivfpq_topk, "lmd_topk": lmd_topk,
             "upsampled_copies": upsampled_copies,
-            "shuffled_ordinals": shuffled_ordinals}
+            "shuffled_ordinals": shuffled_ordinals,
+            "grep_lines": grep_lines_q}
 
 
 def _hll_duck_sql() -> str:
@@ -4360,6 +4388,18 @@ SELECT doc_id,
               ORDER BY substr(md5(doc_id || ':epoch1'), 1, 8), doc_id)
             - 1 AS BIGINT) AS ord
 FROM documents""")
+    add("grep_lines", eng9["grep_lines"], """
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+wrapped AS (
+  SELECT doc_id,
+         [array_to_string(s[(i-1)*3+1:(i-1)*3+3], ' ')
+          for i in range(1, CAST(ceil(len(s)/3.0) AS BIGINT)+1)] AS ls
+  FROM sp),
+lines AS (SELECT doc_id, unnest(ls) AS line,
+                 unnest(range(1, len(ls)+1)) AS line_no FROM wrapped)
+SELECT doc_id, CAST(line_no AS BIGINT) AS line_no, line
+FROM lines WHERE contains(line, 'data')
+ORDER BY doc_id, line_no""")
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -186,3 +186,41 @@ def grep_search(docs: DataFrame, pattern: str, regex: bool = False,
             d = d.join(substring_candidates(trgm, run), "doc_id")
     return (d.filter(F.col("_t").rlike(pattern))
             .select("doc_id").orderBy("doc_id"))
+
+
+def grep_lines(docs: DataFrame, pattern: str, regex: bool = False,
+               trgm: DataFrame | None = None, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """``grep -n`` over the corpus: (doc_id, line_no, line) for every
+    LINE matching the pattern — the code-search result shape (Zoekt /
+    Sourcegraph return line matches, not documents; ``line_no`` is
+    1-based).
+
+    Candidate docs gate through the trigram index exactly like
+    :func:`grep_search` — a line match implies a doc match, so
+    doc-level gram pruning is lossless — and only candidates' text
+    splits into lines (outer posexplode, the InferFiltersFromGenerate
+    guard) before the exact per-line predicate verifies. At corpus
+    scale the expensive part (line explode + predicate) therefore runs
+    over the gram-pruned candidate set, not the corpus; patterns too
+    short for the gram gate (< 3 chars, or a regex with no >=3-char
+    literal run) scan — the documented Cox fallback."""
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(text_col).alias("_t"))
+    if trgm is not None:
+        if regex:
+            for run in regex_literal_runs(pattern):
+                d = d.join(substring_candidates(trgm, run), "doc_id")
+        elif len(pattern) >= QGRAM:
+            d = d.join(substring_candidates(trgm, pattern), "doc_id")
+    lines = (d.select("doc_id",
+                      F.posexplode_outer(F.split("_t", "\n", -1))
+                      .alias("_p", "line"))
+             .filter(F.col("line").isNotNull()))
+    pred = (F.col("line").rlike(pattern) if regex
+            else F.col("line").contains(pattern))
+    return (lines.filter(pred)
+            .select("doc_id",
+                    (F.col("_p") + 1).cast("long").alias("line_no"),
+                    "line")
+            .orderBy("doc_id", "line_no"))

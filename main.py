@@ -513,6 +513,14 @@ def cmd_grep(args) -> None:
     spark = _spark(args)
     docs = spark.read.parquet(args.docs)
     trgm = build_substring_index(docs) if not args.no_index else None
+    if args.lines:
+        from index_spark.operators.codesearch import grep_lines
+
+        rows = grep_lines(docs, args.pattern, regex=args.regex,
+                          trgm=trgm).limit(args.k).collect()
+        print(json.dumps([{"doc_id": r["doc_id"], "line_no": r["line_no"],
+                           "line": r["line"]} for r in rows]))
+        return
     if args.regex:
         rows = grep_search(docs, args.pattern, regex=True,
                            trgm=trgm).limit(args.k).collect()
@@ -1082,6 +1090,9 @@ def main(argv=None) -> None:
     gp.add_argument("--regex", action="store_true")
     gp.add_argument("--no-index", action="store_true",
                     help="skip the trigram candidate gate (full scan)")
+    gp.add_argument("--lines", action="store_true",
+                    help="grep -n output: (doc_id, line_no, line) per "
+                         "matching line")
     gp.add_argument("-k", type=int, default=50)
     gp.add_argument("pattern")
     gp.set_defaults(fn=cmd_grep)

@@ -107,3 +107,65 @@ def test_candidate_gate_prunes(corpus, trgm):
              .select("doc_id").collect()}
     assert truth <= cand
     assert len(cand) < corpus.count()
+
+
+# ------------------------------------------------------------ grep -n
+
+@pytest.fixture(scope="module")
+def multiline(spark):
+    rng = random.Random(11)
+    words = ["data", "table", "strcpy(", "SELECT *", "x += 1;", "beta"]
+    rows = []
+    for i in range(120):
+        lines = [" ".join(rng.choice(words) for _ in range(rng.randint(1, 5)))
+                 for _ in range(rng.randint(0, 6))]
+        rows.append((i, "\n".join(lines)))
+    rows += [(120, ""), (121, "data\n\ndata")]  # empty doc, empty line
+    df = spark.createDataFrame(rows, "doc_id long, text string").persist()
+    df.count()
+    return df
+
+
+def _grep_n_oracle(rows, pattern, regex=False):
+    import re as _re
+    out = []
+    for doc_id, text in rows:
+        for no, line in enumerate(text.split("\n"), start=1):
+            hit = (_re.search(pattern, line) if regex
+                   else pattern in line)
+            if hit:
+                out.append((doc_id, no, line))
+    return sorted(out)
+
+
+def test_grep_lines_matches_python_grep(multiline):
+    from index_spark.operators.codesearch import grep_lines
+
+    rows = [(r.doc_id, r.text) for r in multiline.collect()]
+    trgm = build_substring_index(multiline)
+    for pat in ["data", "strcpy(", "ab"]:
+        got = sorted((r.doc_id, r.line_no, r.line) for r in
+                     grep_lines(multiline, pat, trgm=trgm).collect())
+        assert got == _grep_n_oracle(rows, pat), pat
+        # identical without the gram gate (fallback path)
+        ungated = sorted((r.doc_id, r.line_no, r.line) for r in
+                         grep_lines(multiline, pat).collect())
+        assert ungated == got, pat
+
+
+def test_grep_lines_regex_and_line_numbering(multiline):
+    from index_spark.operators.codesearch import grep_lines
+
+    rows = [(r.doc_id, r.text) for r in multiline.collect()]
+    trgm = build_substring_index(multiline)
+    pat = r"data\s+table"
+    got = sorted((r.doc_id, r.line_no, r.line) for r in
+                 grep_lines(multiline, pat, regex=True,
+                            trgm=trgm).collect())
+    assert got == _grep_n_oracle(rows, pat, regex=True)
+    # the doc with a leading/blank line numbers from 1 and skips the
+    # empty line for a non-empty pattern
+    d121 = sorted((r.line_no, r.line) for r in
+                  grep_lines(multiline, "data").collect()
+                  if r.doc_id == 121)
+    assert d121 == [(1, "data"), (3, "data")]
