@@ -8,11 +8,22 @@
 # sides. Stops after the first quiet-window capture.
 cd "$(dirname "$0")/.." || exit 1
 OUT=BENCH/bench_quiet_r04.json
+# sys_frac gates the HOST pathology; the docs/s floor additionally
+# rejects windows where concurrent user-space load (e.g. a test-suite
+# run) would contention-slow the bench without raising sys time.
+# Quiet-window probes historically land 6.5-8k docs/s; storms 0.9-2k.
+MIN_DPS=${MIN_DPS:-5500}
+goodprobe() {
+  echo "$1" | python -c "
+import json, sys
+r = json.load(sys.stdin)
+print(r['good_window'] and r['docs_per_sec'] >= $MIN_DPS)" 2>/dev/null
+}
 ATTEMPT=0
 while true; do
   ATTEMPT=$((ATTEMPT + 1))
   PRE=$(python BENCH/window_probe.py 2>/dev/null | tail -1)
-  GOOD=$(echo "$PRE" | python -c "import json,sys; print(json.load(sys.stdin)['good_window'])" 2>/dev/null)
+  GOOD=$(goodprobe "$PRE")
   echo "[bench_watch] attempt $ATTEMPT pre-probe: $PRE"
   if [ "$GOOD" = "True" ]; then
     BENCH=$(python bench.py 2>/dev/null | tail -1)
@@ -20,7 +31,7 @@ while true; do
     # a capture whose window degraded mid-run goes to the forensics
     # file; OUT only ever holds a post-good capture (a bad attempt must
     # not clobber a good one)
-    POSTGOOD=$(echo "$POST" | python -c "import json,sys; print(json.load(sys.stdin)['good_window'])" 2>/dev/null)
+    POSTGOOD=$(goodprobe "$POST")
     DEST=BENCH/bench_last_attempt_r04.json
     if [ "$POSTGOOD" = "True" ]; then DEST="$OUT"; fi
     python - "$PRE" "$BENCH" "$POST" "$ATTEMPT" "$DEST" <<'EOF'
