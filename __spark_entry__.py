@@ -3600,6 +3600,28 @@ def _r04s9_engine_queries() -> dict[str, Callable[[SparkSession, str],
         trgm = build_substring_index(wrapped)
         return grep_lines(wrapped, "data", trgm=trgm)
 
+    def fielded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Lucene query_string field syntax: each zone:term pair scores
+        # with its zone's own BM25 statistics; src:src3 scopes to the
+        # source zone, bare terms hit the body default
+        from index_spark.operators.build import build_zoned_index
+        from index_spark.operators.query import fielded_search
+
+        corpus = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.lit("corpus").alias("repo"),
+                    F.format_string("doc%08d", F.col("doc_id")).alias("path"),
+                    F.col("text").alias("content"),
+                    F.col("source").alias("src"))
+        )
+        _, index, stats = build_zoned_index(
+            corpus, [("body", "content"), ("src", "src")],
+            stem=False, camel=False, shard_size=256)
+        top = fielded_search(index.persist(), stats,
+                             "src:src3 data table", k=10,
+                             default_zone="body", stem=False, camel=False)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     def shuffled_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
         # deterministic per-epoch corpus reshuffle — the full
         # permutation (two-level distributed prefix sum) value-checked
@@ -3614,7 +3636,7 @@ def _r04s9_engine_queries() -> dict[str, Callable[[SparkSession, str],
     return {"ivfpq_topk": ivfpq_topk, "lmd_topk": lmd_topk,
             "upsampled_copies": upsampled_copies,
             "shuffled_ordinals": shuffled_ordinals,
-            "grep_lines": grep_lines_q}
+            "grep_lines": grep_lines_q, "fielded_topk": fielded_topk}
 
 
 def _hll_duck_sql() -> str:
@@ -4045,6 +4067,47 @@ _BODY_LMD_TOPK = """
 SELECT doc_id, round(score, 4) AS score FROM scores
 ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10"""
 
+# fielded search (operators/query.py fielded_search): each (zone, term)
+# pair scores with ITS zone's BM25 stats; the pair relation replaces
+# zone_topk's q x zw cross product — per-pair df, N, avgdl, and the sum
+# are all value-checked
+_ORACLE_FIELDED_TOPK_DUCK = """
+WITH body_tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+), src_tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(source), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+), ztok AS (
+  SELECT 'body' AS zone, doc_id, term FROM body_tok
+  UNION ALL SELECT 'src', doc_id, term FROM src_tok
+), ztf AS (
+  SELECT zone, doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM ztok GROUP BY zone, doc_id, term
+), zdl AS (
+  SELECT zone, doc_id, CAST(count(*) AS BIGINT) AS dlen
+  FROM ztok GROUP BY zone, doc_id
+), zstats AS (
+  SELECT zone, CAST(count(*) AS BIGINT) AS n, avg(dlen) AS avgdl
+  FROM zdl GROUP BY zone
+), zdft AS (
+  SELECT zone, term, CAST(count(*) AS BIGINT) AS df
+  FROM ztf GROUP BY zone, term
+), qp(zone, term) AS (SELECT * FROM (VALUES
+  ('src', 'src3'), ('body', 'data'), ('body', 'table')) AS v(zone, term)),
+scores AS (
+  SELECT ztf.doc_id,
+         sum( ln((zstats.n - zdft.df + 0.5) / (zdft.df + 0.5) + 1.0)
+              * ztf.tf / (ztf.tf + 1.2 * (1.0 - 0.75 + 0.75 * zdl.dlen / zstats.avgdl)) ) AS score
+  FROM ztf
+  JOIN qp ON ztf.zone = qp.zone AND ztf.term = qp.term
+  JOIN zdft ON ztf.zone = zdft.zone AND ztf.term = zdft.term
+  JOIN zdl ON ztf.zone = zdl.zone AND ztf.doc_id = zdl.doc_id
+  JOIN zstats ON ztf.zone = zstats.zone
+  GROUP BY ztf.doc_id
+), top AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
+
 # fractional-epoch upsampling (operators/sample.py upsample_corpus):
 # n = floor(rate) + [md5 draw < frac-threshold], every (doc, copy) row
 # restated — the draw, the floor/frac split, and the series expansion
@@ -4388,6 +4451,7 @@ SELECT doc_id,
               ORDER BY substr(md5(doc_id || ':epoch1'), 1, 8), doc_id)
             - 1 AS BIGINT) AS ord
 FROM documents""")
+    add("fielded_topk", eng9["fielded_topk"], _ORACLE_FIELDED_TOPK_DUCK)
     add("grep_lines", eng9["grep_lines"], """
 WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
 wrapped AS (

@@ -3002,3 +3002,97 @@ def lm_dirichlet_search(index: DataFrame, stats: dict, query: str,
             tombstones.select(F.col("doc_id").cast("long").alias("doc_id")),
             "doc_id", "left_anti")
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+# ------------------------------------------------------- fielded queries
+
+def parse_fielded(q: str, zones: set[str], default_zone: str,
+                  stem: bool = True, camel: bool = True
+                  ) -> list[tuple[str, str]]:
+    """(zone, term) pairs from Lucene query_string field syntax:
+    ``title:spark body:shuffle join`` — a ``zone:`` prefix scopes the
+    token, unprefixed tokens hit ``default_zone``. A colon whose prefix
+    is NOT a known zone raises (loud, naming the zones — same contract
+    as :func:`pin_zone`; plain queries with incidental colons belong on
+    :func:`search`, whose tokenizer strips them). Multi-token text
+    after a prefix (``title:big_data``) scopes every produced token."""
+    if default_zone not in zones:
+        raise ValueError(f"unknown default zone {default_zone!r} "
+                         f"(zones: {sorted(zones)})")
+    pairs: set[tuple[str, str]] = set()
+    for w in q.split():
+        if ":" in w:
+            z, rest = w.split(":", 1)
+            if z not in zones:
+                raise ValueError(f"unknown zone {z!r} in fielded query "
+                                 f"(zones: {sorted(zones)})")
+            pairs.update((z, t)
+                         for t in tokenize(rest, stem=stem, camel=camel))
+        else:
+            pairs.update((default_zone, t)
+                         for t in tokenize(w, stem=stem, camel=camel))
+    return sorted(pairs)
+
+
+def fielded_search(index: DataFrame, zone_stats: dict, query: str,
+                   k: int = 10, default_zone: str = "body",
+                   mode: str = "or", stem: bool = True,
+                   camel: bool = True,
+                   use_wand: bool | str = "auto") -> DataFrame:
+    """Fielded top-k BM25 over a zoned index — the query_string field
+    syntax every Lucene engine serves: each (zone, term) pair scores
+    with ITS zone's own BM25 statistics (df, N, avgdl) and a doc's
+    score sums its matched pairs. ``mode='and'`` scores only docs
+    matching EVERY pair (each pair is one conjunctive gate).
+
+    Composition, not new machinery: the pair relation replaces
+    :func:`zone_search`'s query-terms x zones cross product, rows
+    relabel ``term -> zone:term`` so the kernels treat each pair as an
+    independent scoring unit (WAND upper-bound grouping and the
+    conjunctive group gates both key on it), and per-row idf/avgdl
+    carry each zone's statistics exactly as in :func:`zone_search`.
+    Plan shape is ``search``'s: pair-pruned scan (a bounded
+    disjunction of (zone, term) equalities — both columns push to the
+    parquet scan) -> ONE shard exchange (all zones of a doc range
+    share a shard, so cross-zone conjunction is shard-locally exact)
+    -> per-shard kernel -> distributed top-k."""
+    spark = index.sparkSession
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    if "zone" not in index.columns:
+        raise ValueError("fielded_search needs a zoned index "
+                         "(build_zoned_index)")
+    pairs = parse_fielded(query, set(zone_stats), default_zone,
+                          stem=stem, camel=camel)
+    if not pairs:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    from functools import reduce
+    from operator import or_
+    cond = reduce(or_, [(F.col("zone") == z) & (F.col("term") == t)
+                        for z, t in pairs])
+    hits = index.filter(cond)
+    # per-(zone, term) global df via aggregate + broadcast join-back
+    dfs = hits.groupBy("zone", "term").agg(F.sum("df").alias("df_g"))
+    hits = hits.join(F.broadcast(dfs), ["zone", "term"])
+    zones = sorted({z for z, _ in pairs})
+    n_map = F.create_map(*[F.lit(x) for z in zones
+                           for x in (z, float(zone_stats[z]["n_docs"]))])
+    a_map = F.create_map(*[F.lit(x) for z in zones
+                           for x in (z, float(zone_stats[z]["avgdl"]))])
+    hits = (hits
+            .withColumn("idf", F.log(
+                (n_map[F.col("zone")] - F.col("df_g") + 0.5)
+                / (F.col("df_g") + 0.5) + 1.0))
+            .withColumn("avgdl", a_map[F.col("zone")])
+            .withColumn("term", F.concat_ws(":", "zone", "term")))
+    n_pairs = len(pairs)
+
+    if mode == "or":
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _pick_scorer(pdf, use_wand)(pdf, 0.0, k)
+    else:
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _score_shard_conjunctive(pdf, 0.0, k, n_pairs)
+
+    local = hits.groupBy("shard").applyInPandas(fn, schema=TOPK_SCHEMA)
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

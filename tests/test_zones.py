@@ -331,3 +331,98 @@ def test_dismax_empty_cases(zoned):
                          stem=False).count() == 0
     assert dismax_search(index, stats, "data", {"nozone": 1.0},
                          stem=False).count() == 0
+
+
+# ------------------------------------------------------- fielded queries
+
+def _naive_fielded(pairs, mode="or"):
+    zones = {"body": [tokenize(b, stem=False) for _, b in CORPUS],
+             "zpath": [tokenize(z, stem=False) for z, _ in CORPUS]}
+    scores: dict[int, float] = {}
+    matched: dict[int, int] = {}
+    for z, t in sorted(set(pairs)):
+        docs = zones[z]
+        n = len(docs)
+        avgdl = sum(len(d) for d in docs) / n
+        df_t = sum(1 for d in docs if t in d)
+        if df_t == 0:
+            continue
+        idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+        for i, d in enumerate(docs):
+            tf = d.count(t)
+            if tf:
+                dl = len(d)
+                scores[i] = scores.get(i, 0.0) + idf * tf / (
+                    tf + K1 * (1 - B + B * dl / avgdl))
+                matched[i] = matched.get(i, 0) + 1
+    if mode == "and":
+        scores = {i: s for i, s in scores.items()
+                  if matched.get(i, 0) == len(set(pairs))}
+    return sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+
+
+def test_fielded_matches_hand_oracle(zoned):
+    from index_spark.operators.query import fielded_search
+
+    index, stats = zoned
+    got = [(r.doc_id, r.score) for r in
+           fielded_search(index, stats, "zpath:data table", k=10,
+                          default_zone="body", stem=False).collect()]
+    want = _naive_fielded([("zpath", "data"), ("body", "table")])
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, g), (_, w) in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-9)
+
+
+def test_fielded_and_mode_gates_on_every_pair(zoned):
+    from index_spark.operators.query import fielded_search
+
+    index, stats = zoned
+    # doc 1 has zpath "beta data" AND body "scan ..."; doc 4 matches
+    # only the zpath pair — AND must keep 1 and drop 4
+    pairs = [("zpath", "data"), ("body", "scan")]
+    got = [(r.doc_id, r.score) for r in
+           fielded_search(index, stats, "zpath:data scan", k=10,
+                          default_zone="body", mode="and",
+                          stem=False).collect()]
+    want = _naive_fielded(pairs, mode="and")
+    assert [d for d, _ in got] == [d for d, _ in want] and got
+    for (_, g), (_, w) in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-9)
+    # AND is a strict subset of OR with identical surviving scores
+    osc = dict(_naive_fielded(pairs))
+    for d, s in want:
+        assert s == pytest.approx(osc[d], rel=1e-12)
+
+
+def test_fielded_all_default_equals_zone_pinned_search(zoned):
+    from index_spark.operators.query import fielded_search, search
+
+    index, stats = zoned
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           fielded_search(index, stats, "data table", k=10,
+                          default_zone="body", stem=False).collect()]
+    want = [(r.doc_id, round(r.score, 9)) for r in
+            search(index, None, stats["body"], "data table", k=10,
+                   stem=False, zone="body", shard_size=4).collect()]
+    assert got == want
+
+
+def test_fielded_guards(zoned, spark):
+    from index_spark.operators.build import build_index
+    from index_spark.operators.query import fielded_search
+
+    index, stats = zoned
+    with pytest.raises(ValueError, match="unknown zone"):
+        fielded_search(index, stats, "title:data", stem=False)
+    with pytest.raises(ValueError, match="unknown default zone"):
+        fielded_search(index, stats, "data", default_zone="nope",
+                       stem=False)
+    with pytest.raises(ValueError, match="mode"):
+        fielded_search(index, stats, "data", mode="not", stem=False)
+    assert fielded_search(index, stats, "", stem=False).count() == 0
+    flat = spark.createDataFrame([("r", "p", "data table")],
+                                 ["repo", "path", "content"])
+    _, fidx, fstats = build_index(flat, stem=False, shard_size=4)
+    with pytest.raises(ValueError, match="zoned"):
+        fielded_search(fidx, {"body": fstats}, "data", stem=False)
