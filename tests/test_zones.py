@@ -426,3 +426,20 @@ def test_fielded_guards(zoned, spark):
     _, fidx, fstats = build_index(flat, stem=False, shard_size=4)
     with pytest.raises(ValueError, match="zoned"):
         fielded_search(fidx, {"body": fstats}, "data", stem=False)
+
+
+def test_fielded_kernel_choice_is_score_invariant(zoned):
+    # forced WAND and forced exhaustive agree pair-for-pair (the pair
+    # relabeling must keep per-term upper bounds and per-row avgdl
+    # coherent inside the pruning kernel)
+    from index_spark.operators.query import fielded_search
+
+    index, stats = zoned
+    kw = dict(k=10, default_zone="body", stem=False)
+    a = [(r.doc_id, round(r.score, 9)) for r in
+         fielded_search(index, stats, "zpath:data table query",
+                        use_wand=True, **kw).collect()]
+    b = [(r.doc_id, round(r.score, 9)) for r in
+         fielded_search(index, stats, "zpath:data table query",
+                        use_wand=False, **kw).collect()]
+    assert a == b and a
