@@ -226,7 +226,12 @@ def shuffle_order(df: DataFrame, key_col: str = "doc_id",
     windows partitioned by group. Lexicographic hex order makes
     (group, draw) order equal draw order, so the result is exactly
     ``row_number() OVER (ORDER BY draw, key) - 1`` — how the DuckDB
-    oracle restates it."""
+    oracle restates it.
+
+    Sizing: each group's rank window sorts within one task, so pick
+    ``group_nibbles`` such that corpus_rows / 16^g fits a task (g=3 →
+    4,096 groups serves up to ~10^9 rows; g=6 → 16.7M groups serves
+    10^12+ while the group relation still windows in one small task)."""
     if not 1 <= group_nibbles <= 6:
         raise ValueError(f"group_nibbles must be in [1, 6], "
                          f"got {group_nibbles}")
