@@ -3639,6 +3639,242 @@ def _r04s9_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "grep_lines": grep_lines_q, "fielded_topk": fielded_topk}
 
 
+def _r04s10_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                   DataFrame]]:
+    def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Gopher quality battery (Rae et al. 2021 §A1.1): the corpus is
+        # deterministically decorated so every rule has signal — 3-token
+        # line wrap, bullet prefix on 0-based line 4k+2, '...' suffix on
+        # line 5k+3, (doc_id % 4) trailing ' #' pads — then every metric
+        # AND the pinned first-failing-gate verdict are value-checked
+        from index_spark.operators.curate import gopher_quality
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sp = F.split(F.col("text"), " ", -1)
+        n = F.ceil(F.size(sp) / F.lit(3.0)).cast("int")
+        wrapped = docs.select(
+            "doc_id",
+            F.concat(
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), n - 1),
+                        lambda i: F.concat(
+                            F.when(i % 4 == 2, F.lit("- "))
+                             .otherwise(F.lit("")),
+                            F.array_join(
+                                F.slice(sp, i * F.lit(3) + F.lit(1),
+                                        F.lit(3)), " "),
+                            F.when(i % 5 == 3, F.lit("..."))
+                             .otherwise(F.lit("")))),
+                    "\n"),
+                F.expr("repeat(' #', CAST(doc_id % 4 AS INT))"))
+            .alias("text"))
+        return gopher_quality(wrapped, min_words=20, min_stopwords=1)
+
+    def srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # banded sign-random-projection LSH over the embedding column
+        # (Charikar 2002): candidates = pairs sharing >= 1 of four
+        # 4-bit band buckets, then exact cosine >= 0.3 — the signature
+        # bits, banding, candidate join, AND the verified cosines are
+        # all value-checked by the SQL restatement over the identical
+        # deterministic md5-derived Rademacher planes
+        from index_spark.operators.similarity import srp_near_dup_pairs
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = srp_near_dup_pairs(emb, n_planes=16, band_bits=4,
+                                 threshold=0.3)
+        return out.orderBy("vec_a", "vec_b")
+
+    def hybrid_combmnz(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # CombMNZ score fusion (Fox & Shaw 1994): min-max-normalized
+        # BM25 and cosine scores summed and weighted by retriever
+        # agreement — the score-based sibling of hybrid_rrf_topk
+        from index_spark.operators.hybrid import comb_fuse
+        from index_spark.operators.query import search
+        from index_spark.operators.similarity import _cos_expr
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = [float(x) for x in
+                emb.filter("vec_id = 0").first()["embedding"]]
+        lex = search(index, None, stats, "data table query",
+                     k=stats["n_docs"], stem=False, camel=False,
+                     shard_size=256) \
+            .select("doc_id", F.round("score", 4).alias("score"))
+        sem = emb.select(F.col("vec_id").cast("long").alias("doc_id"),
+                         F.round(_cos_expr("embedding", qvec), 4)
+                          .alias("score"))
+        return comb_fuse([lex, sem], k=10, method="mnz")
+
+    return {"gopher_quality": gopher_quality_q,
+            "srp_near_dup": srp_near_dup,
+            "hybrid_combmnz": hybrid_combmnz}
+
+
+# Gopher battery oracle: the identical deterministic decoration (wrap /
+# bullets / ellipses / '#' pads) rebuilt in DuckDB, every metric
+# restated (duplicate-line stats via an independent unnest + group-by
+# mechanism instead of the engine's sorted fold), and the pinned gate
+# order as one CASE
+_ORACLE_GOPHER = r"""
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+wrapped AS (
+  SELECT doc_id,
+    [ (CASE WHEN (i-1) % 4 = 2 THEN '- ' ELSE '' END)
+      || array_to_string(s[(i-1)*3+1:(i-1)*3+3], ' ')
+      || (CASE WHEN (i-1) % 5 = 3 THEN '...' ELSE '' END)
+      for i in range(1, CAST(ceil(len(s)/3.0) AS BIGINT)+1) ] AS ls
+  FROM sp),
+txt AS (SELECT doc_id,
+  array_to_string(ls, chr(10)) || repeat(' #', CAST(doc_id % 4 AS INT))
+    AS text
+  FROM wrapped),
+base AS (
+ SELECT doc_id, text,
+   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w,
+   list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS l,
+   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS t
+ FROM txt),
+lines AS (SELECT doc_id, unnest(l) AS line FROM base),
+lstat AS (
+ SELECT doc_id,
+   CAST(sum(cnt - 1) AS BIGINT) AS dupc,
+   CAST(sum((cnt - 1) * length(line)) AS BIGINT) AS dupch,
+   CAST(sum(cnt) AS BIGINT) AS nl,
+   CAST(sum(cnt * length(line)) AS BIGINT) AS lch
+ FROM (SELECT doc_id, line, count(*) AS cnt FROM lines
+       GROUP BY doc_id, line)
+ GROUP BY doc_id),
+m AS (
+ SELECT b.doc_id,
+   CAST(len(w) AS BIGINT) AS n_words,
+   CASE WHEN len(w) > 0 THEN round(
+     CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+       / len(w), 4) ELSE 0.0 END AS mean_word_len,
+   CASE WHEN len(w) > 0 THEN round(
+     ((length(text) - length(replace(text, '#', '')))
+      + (length(text) - length(replace(text, '...', ''))) / 3.0)
+       / len(w), 4) ELSE 0.0 END AS symbol_ratio,
+   CASE WHEN len(l) > 0 THEN round(
+     CAST(len(list_filter(l, x -> regexp_matches(ltrim(x), '^[-*•]')))
+          AS DOUBLE) / len(l), 4) ELSE 0.0 END AS bullet_frac,
+   CASE WHEN len(l) > 0 THEN round(
+     CAST(len(list_filter(l,
+              x -> regexp_matches(rtrim(x), '(\.\.\.|…)$')))
+          AS DOUBLE) / len(l), 4) ELSE 0.0 END AS ellipsis_frac,
+   CASE WHEN len(w) > 0 THEN round(
+     CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+          AS DOUBLE) / len(w), 4) ELSE 0.0 END AS alpha_word_frac,
+   CAST(len(list_intersect(list_distinct(t),
+        ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+     AS n_stopwords,
+   CASE WHEN coalesce(s.nl, 0) > 0
+        THEN round(CAST(s.dupc AS DOUBLE) / s.nl, 4)
+        ELSE 0.0 END AS dup_line_frac,
+   CASE WHEN coalesce(s.lch, 0) > 0
+        THEN round(CAST(s.dupch AS DOUBLE) / s.lch, 4)
+        ELSE 0.0 END AS dup_line_char_frac
+ FROM base b LEFT JOIN lstat s USING (doc_id))
+SELECT *,
+  CASE WHEN n_words < 20 THEN 'too_few_words'
+       WHEN n_words > 100000 THEN 'too_many_words'
+       WHEN mean_word_len < 3.0 THEN 'short_words'
+       WHEN mean_word_len > 10.0 THEN 'long_words'
+       WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+       WHEN bullet_frac > 0.9 THEN 'bullet_lines'
+       WHEN ellipsis_frac > 0.3 THEN 'ellipsis_lines'
+       WHEN alpha_word_frac < 0.8 THEN 'low_alpha_words'
+       WHEN n_stopwords < 1 THEN 'few_stopwords'
+       WHEN dup_line_frac > 0.3 THEN 'dup_lines'
+       WHEN dup_line_char_frac > 0.2 THEN 'dup_line_chars'
+       ELSE 'ok' END AS reason,
+  (CASE WHEN n_words < 20 THEN 'too_few_words'
+       WHEN n_words > 100000 THEN 'too_many_words'
+       WHEN mean_word_len < 3.0 THEN 'short_words'
+       WHEN mean_word_len > 10.0 THEN 'long_words'
+       WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+       WHEN bullet_frac > 0.9 THEN 'bullet_lines'
+       WHEN ellipsis_frac > 0.3 THEN 'ellipsis_lines'
+       WHEN alpha_word_frac < 0.8 THEN 'low_alpha_words'
+       WHEN n_stopwords < 1 THEN 'few_stopwords'
+       WHEN dup_line_frac > 0.3 THEN 'dup_lines'
+       WHEN dup_line_char_frac > 0.2 THEN 'dup_line_chars'
+       ELSE 'ok' END) = 'ok' AS keep
+FROM m ORDER BY doc_id"""
+
+
+def _srp_duck_sql(n_planes: int = 16, band_bits: int = 4,
+                  threshold: float = 0.3, dim: int = 64) -> str:
+    """SRP-LSH restatement with the engine's identical deterministic
+    Rademacher planes embedded as literals (srp_signs is pure md5 —
+    both sides compute the same ±1 matrix)."""
+    from index_spark.operators.similarity import srp_signs
+
+    signs = srp_signs(dim, n_planes)
+    rows = ", ".join(
+        "({}, [{}])".format(
+            p, ", ".join(f"{s:.1f}" for s in signs[p]))
+        for p in range(n_planes))
+    return f"""
+WITH planes(p, signs) AS (SELECT * FROM (VALUES {rows})),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bits AS (
+  SELECT v.vec_id, pl.p,
+         CASE WHEN list_dot_product(v.e, pl.signs) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM v CROSS JOIN planes pl),
+bands AS (
+  SELECT vec_id, p // {band_bits} AS band,
+         CAST(sum(bit * (1 << (p % {band_bits}))) AS INT) AS band_val
+  FROM bits GROUP BY vec_id, p // {band_bits}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val
+  WHERE a.vec_id < b.vec_id),
+pairs AS (
+  SELECT c.vec_a, c.vec_b,
+         round(list_dot_product(va.e, vb.e)
+               / (sqrt(list_dot_product(va.e, va.e))
+                  * sqrt(list_dot_product(vb.e, vb.e))), 4) AS cos
+  FROM cand c
+  JOIN v va ON va.vec_id = c.vec_a
+  JOIN v vb ON vb.vec_id = c.vec_b)
+SELECT vec_a, vec_b, cos FROM pairs
+WHERE cos >= {threshold}
+ORDER BY vec_a, vec_b"""
+
+
+# CombMNZ fusion oracle: min-max normalize the (rounded) BM25 and
+# cosine score sets over their own windows, sum, multiply by the
+# number of retrievers each doc appears in
+_ORACLE_COMBMNZ = """
+, lexn AS (SELECT doc_id, round(score, 4) AS s FROM scores)
+, lexmm AS (SELECT min(s) AS lo, max(s) AS hi FROM lexn)
+, lex AS (
+  SELECT doc_id, CASE WHEN hi > lo THEN (s - lo) / (hi - lo)
+                      ELSE 1.0 END AS norm
+  FROM lexn CROSS JOIN lexmm)
+, qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
+, semn AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.embedding::DOUBLE[], qv.q)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv.q, qv.q))), 4) AS s
+  FROM embeddings e CROSS JOIN qv)
+, semmm AS (SELECT min(s) AS lo, max(s) AS hi FROM semn)
+, sem AS (
+  SELECT doc_id, CASE WHEN hi > lo THEN (s - lo) / (hi - lo)
+                      ELSE 1.0 END AS norm
+  FROM semn CROSS JOIN semmm)
+, u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+SELECT doc_id, round(sum(norm) * count(norm), 6) AS fused
+FROM u GROUP BY doc_id
+ORDER BY fused DESC, doc_id ASC LIMIT 10"""
+
+
 def _hll_duck_sql() -> str:
     # the oracle recomputes the ENTIRE sketch from the same expression
     # strings the Spark operator compiles (operators/sketch.py)
@@ -4464,6 +4700,12 @@ lines AS (SELECT doc_id, unnest(ls) AS line,
 SELECT doc_id, CAST(line_no AS BIGINT) AS line_no, line
 FROM lines WHERE contains(line, 'data')
 ORDER BY doc_id, line_no""")
+
+    eng10 = _r04s10_engine_queries()
+    add("gopher_quality", eng10["gopher_quality"], _ORACLE_GOPHER)
+    add("srp_near_dup", eng10["srp_near_dup"], _srp_duck_sql())
+    add("hybrid_combmnz", eng10["hybrid_combmnz"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_COMBMNZ, [q_cte]))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -77,3 +77,175 @@ def kept(docs: DataFrame, verdicts: DataFrame,
     keep_ids = verdicts.filter(F.col("keep")).select("doc_id")
     return docs.join(keep_ids, docs[id_col] == keep_ids["doc_id"],
                      "left_semi")
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+GOPHER_REASONS = (
+    "too_few_words", "too_many_words", "short_words", "long_words",
+    "symbol_ratio", "bullet_lines", "ellipsis_lines", "low_alpha_words",
+    "few_stopwords", "dup_lines", "dup_line_chars", "ok")
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   max_bullet_frac: float = 0.9,
+                   max_ellipsis_frac: float = 0.3,
+                   min_alpha_word_frac: float = 0.8,
+                   min_stopwords: int = 2,
+                   max_dup_line_frac: float = 0.3,
+                   max_dup_line_char_frac: float = 0.2,
+                   stopwords: tuple[str, ...] = GOPHER_STOPWORDS
+                   ) -> DataFrame:
+    """Gopher quality-rule battery (Rae et al. 2021, arXiv:2112.11446
+    §A1.1) — the word-shape / line-shape / stopword gates that complete
+    :func:`index_spark.operators.analytics.repetition_stats` (the
+    n-gram repetition half of the same appendix) into a per-document
+    keep/drop verdict.
+
+    Returns one row per doc: (doc_id, n_words, mean_word_len,
+    symbol_ratio, bullet_frac, ellipsis_frac, alpha_word_frac,
+    n_stopwords, dup_line_frac, dup_line_char_frac, keep, reason) with
+    all fractions rounded to 4 decimals and ``reason`` the FIRST
+    failing gate in the pinned :data:`GOPHER_REASONS` order.
+
+    Definitions (each SQL-restatable, so the whole battery sits under
+    one DuckDB oracle):
+
+    - *words* are whitespace runs (Gopher's unit — punctuation stays
+      attached); *lines* are ``\\n`` splits with blank lines dropped;
+      *stopword hits* count DISTINCT members of ``stopwords`` present
+      in the engine-tokenized (lower, [a-z0-9]+) token set.
+    - ``symbol_ratio`` = (occurrences of '#' + occurrences of '...')
+      per word (Gopher's symbol-to-word ratio).
+    - ``bullet_frac`` / ``ellipsis_frac`` = fraction of lines starting
+      with a bullet ('-', '*', or U+2022) / ending with '...' or
+      U+2026, after trimming.
+    - ``dup_line_frac`` = occurrences beyond each line's first, over
+      all lines (the occurrence-weighted restatement used by
+      ``repetition_stats``); ``dup_line_char_frac`` weights those
+      beyond-first occurrences by character length over total line
+      characters.
+
+    Scale shape: the whole battery is MAP-ONLY — every metric is a
+    per-row Catalyst expression (split / filter / aggregate folds), no
+    explode, no shuffle, whole-stage codegen end to end. Per-row cost
+    is O(len log len) in the doc's own line count (one ``sort_array``
+    for the duplicate-line folds). That is exactly the cost shape a
+    100-TB first-pass gate needs: one scan, predicate-prunable, and
+    embarrassingly parallel at any executor count.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(txt, r"\s+"), lambda x: x != "")
+    lines = F.filter(F.split(txt, "\n"),
+                     lambda x: F.trim(x) != "")
+    toks = F.filter(F.split(F.lower(txt), "[^a-z0-9]+"),
+                    lambda x: x != "")
+
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        words.alias("_w"), lines.alias("_l"), toks.alias("_t"),
+        txt.alias("_x"))
+
+    n_words = F.size("_w").cast("long")
+    n_lines = F.size("_l").cast("long")
+    # mean word length over whitespace words
+    word_chars = F.aggregate(
+        "_w", F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x).cast("long"))
+    mean_wl = F.when(n_words > 0,
+                     F.round(word_chars / n_words, 4)).otherwise(F.lit(0.0))
+    # '#' and '...' occurrence counts via length deltas (no regex scan)
+    n_hash = F.length("_x") - F.length(F.expr("replace(_x, '#', '')"))
+    n_ell = (F.length("_x")
+             - F.length(F.expr("replace(_x, '...', '')"))) / F.lit(3)
+    symbol_ratio = F.when(n_words > 0, F.round(
+        (n_hash + n_ell) / n_words, 4)).otherwise(F.lit(0.0))
+
+    bullet = F.size(F.filter(
+        "_l", lambda x: F.ltrim(x).rlike("^[-*•]")))
+    ellipsis = F.size(F.filter(
+        "_l", lambda x: F.rtrim(x).rlike("(\\.\\.\\.|…)$")))
+    bullet_frac = F.when(n_lines > 0,
+                         F.round(bullet / n_lines, 4)).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(n_lines > 0, F.round(
+        ellipsis / n_lines, 4)).otherwise(F.lit(0.0))
+
+    alpha_words = F.size(F.filter("_w", lambda x: x.rlike("[a-zA-Z]")))
+    alpha_frac = F.when(n_words > 0, F.round(
+        alpha_words / n_words, 4)).otherwise(F.lit(0.0))
+
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.array_intersect(F.array_distinct("_t"), stop_arr)) \
+              .cast("long")
+
+    # duplicate-line folds over the sorted line array: beyond-first
+    # occurrence count and its char-length-weighted variant in one
+    # O(n log n) per-row pass (prev-tracking fold, no explode)
+    dup_cnt = F.expr("""
+aggregate(sort_array(_l),
+  struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS c,
+         CAST(false AS BOOLEAN) AS seen),
+  (a, x) -> struct(x AS prev,
+                   a.c + IF(a.seen AND x = a.prev, CAST(1 AS BIGINT),
+                            CAST(0 AS BIGINT)) AS c,
+                   true AS seen),
+  a -> a.c)""")
+    dup_chars = F.expr("""
+aggregate(sort_array(_l),
+  struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS c,
+         CAST(false AS BOOLEAN) AS seen),
+  (a, x) -> struct(x AS prev,
+                   a.c + IF(a.seen AND x = a.prev,
+                            CAST(length(x) AS BIGINT),
+                            CAST(0 AS BIGINT)) AS c,
+                   true AS seen),
+  a -> a.c)""")
+    line_chars = F.aggregate(
+        "_l", F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x).cast("long"))
+    dup_line_frac = F.when(n_lines > 0, F.round(
+        dup_cnt / n_lines, 4)).otherwise(F.lit(0.0))
+    dup_char_frac = F.when(line_chars > 0, F.round(
+        dup_chars / line_chars, 4)).otherwise(F.lit(0.0))
+
+    d = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_char_frac.alias("dup_line_char_frac"))
+
+    reason = (
+        F.when(F.col("n_words") < min_words, F.lit("too_few_words"))
+         .when(F.col("n_words") > max_words, F.lit("too_many_words"))
+         .when(F.col("mean_word_len") < min_mean_word_len,
+               F.lit("short_words"))
+         .when(F.col("mean_word_len") > max_mean_word_len,
+               F.lit("long_words"))
+         .when(F.col("symbol_ratio") > max_symbol_ratio,
+               F.lit("symbol_ratio"))
+         .when(F.col("bullet_frac") > max_bullet_frac,
+               F.lit("bullet_lines"))
+         .when(F.col("ellipsis_frac") > max_ellipsis_frac,
+               F.lit("ellipsis_lines"))
+         .when(F.col("alpha_word_frac") < min_alpha_word_frac,
+               F.lit("low_alpha_words"))
+         .when(F.col("n_stopwords") < min_stopwords,
+               F.lit("few_stopwords"))
+         .when(F.col("dup_line_frac") > max_dup_line_frac,
+               F.lit("dup_lines"))
+         .when(F.col("dup_line_char_frac") > max_dup_line_char_frac,
+               F.lit("dup_line_chars"))
+         .otherwise(F.lit("ok")))
+    return (d.withColumn("reason", reason)
+             .withColumn("keep", F.col("reason") == "ok"))

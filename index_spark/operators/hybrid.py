@@ -85,3 +85,43 @@ def hybrid_search(index: DataFrame, docs: DataFrame | None, stats: dict,
         lex = lex.withColumn("score", F.round("score", round_scores))
         sem = sem.withColumn("score", F.round("score", round_scores))
     return rrf_fuse([lex, sem], k=k, c=c)
+
+
+def comb_fuse(rankings: list[DataFrame], k: int = 10,
+              method: str = "sum", id_col: str = "doc_id",
+              score_col: str = "score") -> DataFrame:
+    """CombSUM / CombMNZ score fusion (Fox & Shaw, TREC-2 1994) —
+    the score-based alternative to :func:`rrf_fuse`. Returns
+    (doc_id, fused) top-k, fused desc / doc_id asc.
+
+    Each ranking's scores are min-max normalized to [0, 1] over its
+    own window (a degenerate window where min == max normalizes to
+    1.0); CombSUM sums the normalized scores, CombMNZ additionally
+    multiplies by the number of rankings the doc appears in (rewarding
+    retriever agreement). Same bounded-window scale contract as
+    :func:`rrf_fuse`: inputs are top-N relations, so the unpartitioned
+    min/max window and the fuse groupBy run over ≤ N × #rankings rows.
+    """
+    if method not in ("sum", "mnz"):
+        raise ValueError(f"method must be 'sum' or 'mnz', got {method!r}")
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    w = Window.partitionBy(F.lit(1))
+    normed = []
+    for r in rankings:
+        s = F.col(score_col).cast("double")
+        lo, hi = F.min(s).over(w), F.max(s).over(w)
+        normed.append(
+            r.select(F.col(id_col).cast("long").alias("doc_id"),
+                     F.when(hi > lo, (s - lo) / (hi - lo))
+                      .otherwise(F.lit(1.0)).alias("norm")))
+    allr = normed[0]
+    for r in normed[1:]:
+        allr = allr.unionByName(r)
+    fused = F.sum("norm")
+    if method == "mnz":
+        fused = fused * F.count("norm")
+    return (allr.groupBy("doc_id")
+            .agg(F.round(fused, 6).alias("fused"))
+            .orderBy(F.desc("fused"), F.asc("doc_id"))
+            .limit(k))

@@ -680,3 +680,115 @@ def ivf_pq_topk(index_df: DataFrame, centroids: np.ndarray,
     pruned = index_df.filter(F.col("bucket").isin(probe))
     return pq_topk(pruned, codebooks, qvec, k=k, rerank=rerank, emb=emb,
                    vec_col=vec_col, id_col=id_col)
+
+
+# ------------------------------------------------------------- SRP-LSH
+
+def srp_signs(dim: int, n_planes: int, seed: str = "srp") -> np.ndarray:
+    """Deterministic Rademacher (±1) hyperplanes for sign-random-
+    projection LSH (Charikar, STOC 2002 — the same family as SimHash,
+    here over a DENSE embedding column instead of a sparse term
+    vector). Component (p, d) is +1 iff the first hex nibble of
+    md5("{seed}:{p}:{d}") is < 8 — no RNG, so signatures are
+    reproducible across engines/partitionings and SQL-restatable
+    (DuckDB computes the identical md5)."""
+    import hashlib
+
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            out[p, d] = 1.0 if int(h[0], 16) < 8 else -1.0
+    return out
+
+
+def srp_signatures(emb: DataFrame, n_planes: int = 16, band_bits: int = 4,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   seed: str = "srp") -> DataFrame:
+    """(vec_id, band, band_val) — banded sign-random-projection
+    signature rows, the LSH bucket keys for :func:`srp_near_dup_pairs`.
+
+    Bit p = [dot(v, plane_p) >= 0]; planes are the deterministic
+    Rademacher vectors of :func:`srp_signs`; bits group into
+    ``n_planes / band_bits`` bands of ``band_bits`` bits (band value =
+    little-endian bit pack). Two vectors at angle θ agree on a bit
+    with probability 1 − θ/π, so near-duplicates collide in ≥1 band
+    with high probability while the candidate join stays bucket-local.
+
+    Scale shape: the signature pass is MAP-ONLY JVM codegen (one
+    ``aggregate``/``zip_with`` fold per plane over literal sign
+    arrays — no Python, no shuffle), then a bounded ×n_bands explode.
+    This is the embedding analogue of the term-MinHash banding in
+    operators/dedup.py, and the scale path past the k-means-bucket
+    trade of :func:`semantic_dedup` (k-means buckets miss
+    cross-cluster boundary pairs; SRP bands are position-free)."""
+    if n_planes % band_bits != 0:
+        raise ValueError("n_planes must be a multiple of band_bits")
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty embedding relation")
+    dim = first["d"]  # bounded one-row action, like the centroid seeds
+    signs = srp_signs(dim, n_planes, seed=seed)
+
+    def dot(p: int) -> F.Column:
+        lits = F.array(*[F.lit(float(s)) for s in signs[p]])
+        return F.aggregate(
+            F.zip_with(vec_col, lits, lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    n_bands = n_planes // band_bits
+    bits = [F.when(dot(p) >= 0, F.lit(1)).otherwise(F.lit(0))
+            for p in range(n_planes)]
+    bands = []
+    for b in range(n_bands):
+        val = F.lit(0)
+        for i in range(band_bits):
+            val = val + bits[b * band_bits + i] * F.lit(1 << i)
+        bands.append(F.struct(F.lit(b).alias("band"),
+                              val.cast("int").alias("band_val")))
+    return (emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                       F.explode(F.array(*bands)).alias("bb"))
+            .select("vec_id", F.col("bb.band").alias("band"),
+                    F.col("bb.band_val").alias("band_val")))
+
+
+def srp_near_dup_pairs(emb: DataFrame, n_planes: int = 16,
+                       band_bits: int = 4, threshold: float = 0.9,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       seed: str = "srp") -> DataFrame:
+    """(vec_a, vec_b, cos) — embedding near-duplicate pairs via banded
+    SRP-LSH candidate generation + exact cosine verification.
+
+    Candidates are pairs sharing ≥1 (band, band_val) bucket (an
+    equi-join on the signature relation — never all-pairs); the exact
+    cosine then filters to round(cos, 4) >= ``threshold``. Like every
+    LSH family, pairs colliding in NO band are missed by construction
+    (raise ``n_planes`` / lower ``band_bits`` to trade cost for
+    recall)."""
+    sigs = srp_signatures(emb, n_planes=n_planes, band_bits=band_bits,
+                          vec_col=vec_col, id_col=id_col, seed=seed)
+    vecs = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                      F.col(vec_col).alias("_v"))
+    cand = (sigs.alias("a").join(sigs.alias("b"), ["band", "band_val"])
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"))
+            .dropDuplicates(["vec_a", "vec_b"]))
+    pairs = (cand
+             .join(vecs.withColumnRenamed("vec_id", "vec_a")
+                       .withColumnRenamed("_v", "va"), "vec_a")
+             .join(vecs.withColumnRenamed("vec_id", "vec_b")
+                       .withColumnRenamed("_v", "vb"), "vec_b"))
+    dot = F.aggregate(F.zip_with("va", "vb",
+                                 lambda a, b: a.cast("double") * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(
+        F.transform("va", lambda a: a.cast("double") * a),
+        F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(
+        F.transform("vb", lambda a: a.cast("double") * a),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return (pairs.withColumn("cos", F.round(dot / (na * nb), 4))
+            .where(F.col("cos") >= threshold)
+            .select("vec_a", "vec_b", "cos"))

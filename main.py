@@ -236,6 +236,12 @@ def cmd_hygiene(args) -> None:
         ld = remove_duplicated_lines(docs, min_docs=args.line_min_docs)
         ld.write.mode("overwrite").parquet(f"{args.out}/deduped_lines")
         summary["line_dedup_docs"] = ld.filter("n_dropped > 0").count()
+    if args.gopher:
+        from index_spark.operators.curate import gopher_quality
+
+        gq = gopher_quality(docs, min_words=args.min_words)
+        gq.write.mode("overwrite").parquet(f"{args.out}/gopher")
+        summary["gopher_kept"] = gq.filter("keep").count()
     pii = pii_stats(docs)
     pii.write.mode("overwrite").parquet(f"{args.out}/pii")
     summary["pii_docs"] = pii.filter("n_pii > 0").count()
@@ -975,6 +981,13 @@ def main(argv=None) -> None:
     hy.add_argument("--remove-spans", action="store_true",
                     help="also write the despanned rewrite (duplicated "
                          "spans REMOVED, Lee et al. 2022)")
+    hy.add_argument("--gopher", action="store_true",
+                    help="also write the Gopher quality-rule battery "
+                         "verdicts (Rae et al. 2021 §A1.1: word-shape, "
+                         "symbol/bullet/ellipsis, stopword, and "
+                         "duplicate-line gates)")
+    hy.add_argument("--min-words", type=int, default=50,
+                    help="Gopher word-count floor (with --gopher)")
     hy.set_defaults(fn=cmd_hygiene)
 
     cl = sub.add_parser("collapse", help="field collapsing: best doc per "

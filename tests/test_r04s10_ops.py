@@ -1,0 +1,256 @@
+"""Round-4 session-10 surfaces: the Gopher quality-rule battery,
+SRP-LSH embedding near-dup, and CombSUM/CombMNZ rank fusion — each
+pinned against a hand-computed reference."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from index_spark.operators.curate import gopher_quality
+
+
+# ---------------------------------------------------------------- gopher
+
+DOCS = [
+    # 0: clean English-ish doc — passes every gate (thresholds relaxed
+    # below so its 12 words clear the floor)
+    (0, "the quick brown fox jumps over that lazy dog have with energy"),
+    # 1: bullet lines (3/4 bulleted)
+    (1, "- the alpha item\n- the beta item\n- the gamma item\n"
+        "the closing words have arrived"),
+    # 2: ellipsis endings (2/3) — lines long enough that the two '...'
+    # stay under the symbol-ratio gate (which would otherwise fire
+    # first; ellipses count as symbols too, per Gopher)
+    (2, "the story begins with many long words in this opening line"
+        " today...\nthe story continues with many long words in the"
+        " middle line today...\nthe story ends with that"),
+    # 3: duplicate lines ('same line here' x3 of 4)
+    (3, "same line here\nsame line here\nsame line here\n"
+        "the different with that have line"),
+    # 4: symbol-heavy (# and ...)
+    (4, "the code # has # many # hashes ... and ... more ... with that"),
+    # 5: few stopwords
+    (5, "quantum flux capacitor resonance matrix inversion theorem proof"),
+    # 6: numeric soup — low alpha-word fraction
+    (6, "123 456 789 101 112 131 415 161 718 the 192 021 222 324 252 6"),
+    # 7: empty text
+    (7, ""),
+    # 8: NULL text
+    (8, None),
+]
+
+
+@pytest.fixture(scope="module")
+def gq(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = gopher_quality(df, min_words=5, max_words=100,
+                         min_stopwords=2, min_mean_word_len=2.0,
+                         max_mean_word_len=10.0, max_bullet_frac=0.5)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_gopher_clean_doc_keeps(gq):
+    r = gq[0]
+    assert r["keep"] and r["reason"] == "ok"
+    assert r["n_words"] == 12
+    assert r["n_stopwords"] == 4  # the, that, have, with
+    assert r["dup_line_frac"] == 0.0
+
+
+def test_gopher_bullet_lines(gq):
+    r = gq[1]
+    assert r["reason"] == "bullet_lines"
+    assert r["bullet_frac"] == 0.75
+
+
+def test_gopher_ellipsis_lines(gq):
+    r = gq[2]
+    assert r["reason"] == "ellipsis_lines"
+    assert r["ellipsis_frac"] == round(2 / 3, 4)
+
+
+def test_gopher_dup_lines(gq):
+    r = gq[3]
+    # 4 lines, 'same line here' occurs 3x -> 2 beyond-first
+    assert r["dup_line_frac"] == 0.5
+    # dup chars = 2*14 = 28 over total 14*3 + len(line4)=33 -> 75
+    assert r["dup_line_char_frac"] == round(28 / 75, 4)
+    assert r["reason"] == "dup_lines"
+
+
+def test_gopher_symbol_ratio(gq):
+    r = gq[4]
+    # 3 '#' + 3 '...' over 15 whitespace words
+    assert r["symbol_ratio"] == round(6 / 15, 4)
+    assert r["reason"] == "symbol_ratio"
+
+
+def test_gopher_stopword_gate(gq):
+    assert gq[5]["reason"] == "few_stopwords"
+    assert gq[5]["n_stopwords"] == 0
+
+
+def test_gopher_alpha_words(gq):
+    r = gq[6]
+    assert r["alpha_word_frac"] == round(1 / 16, 4)
+    assert r["reason"] == "low_alpha_words"
+
+
+def test_gopher_empty_and_null(gq):
+    for i in (7, 8):
+        r = gq[i]
+        assert r["n_words"] == 0 and r["reason"] == "too_few_words"
+        assert r["mean_word_len"] == 0.0
+        assert r["dup_line_char_frac"] == 0.0
+
+
+def test_gopher_map_only_plan(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = gopher_quality(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # one scan, zero shuffles
+
+
+# ----------------------------------------------------------- SRP-LSH
+
+def _rand_vecs(n, dim, seed=7):
+    rng = np.random.RandomState(seed)
+    v = rng.normal(size=(n, dim))
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def srp_emb(spark):
+    base = _rand_vecs(40, 16)
+    rows, vid = [], 0
+    vecs = {}
+    for i in range(40):
+        rows.append((vid, [float(x) for x in base[i]]))
+        vecs[vid] = base[i]
+        vid += 1
+    # planted near-dups: tiny perturbations of vectors 0..4
+    rng = np.random.RandomState(99)
+    for i in range(5):
+        p = base[i] + 0.01 * rng.normal(size=16)
+        p = p / np.linalg.norm(p)
+        rows.append((vid, [float(x) for x in p]))
+        vecs[vid] = p
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, vecs
+
+
+def test_srp_signs_deterministic():
+    from index_spark.operators.similarity import srp_signs
+
+    a = srp_signs(16, 8, seed="srp")
+    b = srp_signs(16, 8, seed="srp")
+    assert (a == b).all() and set(np.unique(a)) <= {-1.0, 1.0}
+    c = srp_signs(16, 8, seed="other")
+    assert (a != c).any()
+
+
+def test_srp_finds_planted_neighbors(srp_emb):
+    from index_spark.operators.similarity import srp_near_dup_pairs
+
+    df, vecs = srp_emb
+    out = srp_near_dup_pairs(df, n_planes=16, band_bits=4,
+                             threshold=0.95).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in out}
+    # every planted pair (i, 40+i) has cos ~0.9999 — with 4 bands of
+    # 4 bits over near-identical vectors all bands agree
+    for i in range(5):
+        assert (i, 40 + i) in got
+    # every reported pair really is above threshold (exact verify ran)
+    for r in out:
+        a, b = vecs[r["vec_a"]], vecs[r["vec_b"]]
+        cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert round(cos, 4) >= 0.95
+        assert abs(round(cos, 4) - r["cos"]) < 1e-9
+
+
+def test_srp_candidates_are_band_local(srp_emb):
+    """The pair relation never goes all-pairs: every reported pair
+    shares at least one band value (recomputed from the signatures)."""
+    from index_spark.operators.similarity import (
+        srp_near_dup_pairs,
+        srp_signatures,
+    )
+
+    df, _ = srp_emb
+    sigs = srp_signatures(df, n_planes=16, band_bits=4)
+    bands = {}
+    for r in sigs.collect():
+        bands.setdefault(r["vec_id"], set()).add((r["band"], r["band_val"]))
+    out = srp_near_dup_pairs(df, n_planes=16, band_bits=4,
+                             threshold=0.5).collect()
+    assert out
+    for r in out:
+        assert bands[r["vec_a"]] & bands[r["vec_b"]]
+
+
+def test_srp_plan_no_cartesian(srp_emb):
+    from index_spark.operators.similarity import srp_near_dup_pairs
+
+    df, _ = srp_emb
+    plan = srp_near_dup_pairs(df, n_planes=16, band_bits=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------- CombSUM / CombMNZ
+
+R1 = [(1, 10.0), (2, 8.0), (3, 6.0), (4, 4.0)]
+R2 = [(3, 0.9), (1, 0.5), (5, 0.3)]
+
+
+def _minmax(rows):
+    lo = min(s for _, s in rows)
+    hi = max(s for _, s in rows)
+    return {d: (s - lo) / (hi - lo) if hi > lo else 1.0 for d, s in rows}
+
+
+def _comb_oracle(method):
+    n1, n2 = _minmax(R1), _minmax(R2)
+    docs = set(n1) | set(n2)
+    out = {}
+    for d in docs:
+        parts = [m[d] for m in (n1, n2) if d in m]
+        s = sum(parts)
+        out[d] = round(s * len(parts) if method == "mnz" else s, 6)
+    return out
+
+
+@pytest.mark.parametrize("method", ["sum", "mnz"])
+def test_comb_fuse_matches_hand_oracle(spark, method):
+    from index_spark.operators.hybrid import comb_fuse
+
+    r1 = spark.createDataFrame(R1, "doc_id long, score double")
+    r2 = spark.createDataFrame(R2, "doc_id long, score double")
+    out = comb_fuse([r1, r2], k=10, method=method).collect()
+    oracle = _comb_oracle(method)
+    assert {r["doc_id"]: r["fused"] for r in out} == oracle
+    # ordering: fused desc, doc_id asc
+    exp = sorted(oracle, key=lambda d: (-oracle[d], d))
+    assert [r["doc_id"] for r in out] == exp
+
+
+def test_comb_mnz_rewards_agreement(spark):
+    from index_spark.operators.hybrid import comb_fuse
+
+    r1 = spark.createDataFrame(R1, "doc_id long, score double")
+    r2 = spark.createDataFrame(R2, "doc_id long, score double")
+    mnz = {r["doc_id"]: r["fused"]
+           for r in comb_fuse([r1, r2], k=10, method="mnz").collect()}
+    # doc 3 appears in both rankings; doc 2 only in one with a higher
+    # single-ranking normalized score — MNZ puts 3 above 2
+    assert mnz[3] > mnz[2]
+
+
+def test_comb_fuse_single_ranking_is_identity_order(spark):
+    from index_spark.operators.hybrid import comb_fuse
+
+    r1 = spark.createDataFrame(R1, "doc_id long, score double")
+    out = comb_fuse([r1], k=10, method="sum").collect()
+    assert [r["doc_id"] for r in out] == [1, 2, 3, 4]
