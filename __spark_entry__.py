@@ -3706,9 +3706,58 @@ def _r04s10_engine_queries() -> dict[str, Callable[[SparkSession, str],
                           .alias("score"))
         return comb_fuse([lex, sem], k=10, method="mnz")
 
+    def spanfirst_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Lucene SpanFirstQuery: exact-phrase matches whose first token
+        # sits at ordinal < 12, counted per doc — the start gate is a
+        # key mask inside the positional shard kernel
+        from index_spark.operators.phrase import span_first_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        return span_first_search(index, stats, "data table",
+                                 max_start=12, k=10, stem=False,
+                                 camel=False, shard_size=256)
+
+    def hard_negs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # DPR-style hard-negative mining: per query the top-scored run
+        # docs whose containment grade is < 3 distinct query terms
+        # (unjudged = rel 0) — run, qrels, anti-join, and ranks all
+        # value-checked
+        from index_spark.operators.evaluate import hard_negatives
+        from index_spark.operators.query import search_many
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        queries = {qid: " ".join(terms) for qid, terms in QUERYSET}
+        run = search_many(index, stats, queries, k=10,
+                          stem=False, camel=False) \
+            .select("query_id", "doc_id",
+                    F.round("score", 4).alias("score"))
+        _register(spark, sf_dir, ["documents"])
+        qrels = spark.sql(
+            _with(_SPARK_TOK_CTE, _queryset_values_sql())
+            + """ SELECT q.query_id, tok.doc_id,
+                     CAST(count(DISTINCT tok.term) AS DOUBLE) AS rel
+                  FROM tok JOIN q ON tok.term = q.term
+                  GROUP BY q.query_id, tok.doc_id""")
+        return hard_negatives(run, qrels, n_neg=5, min_rel=3.0)
+
+    def facet_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES percentiles aggregation: exact linear-interpolation
+        # quartiles of n_chars across the match set, per lang bucket
+        from index_spark.operators.analytics import facet_percentiles
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        meta = raw.select("doc_id", "n_chars", "lang")
+        return facet_percentiles(index, meta, "data table query",
+                                 "n_chars", by="lang", stem=False,
+                                 camel=False)
+
     return {"gopher_quality": gopher_quality_q,
             "srp_near_dup": srp_near_dup,
-            "hybrid_combmnz": hybrid_combmnz}
+            "hybrid_combmnz": hybrid_combmnz,
+            "spanfirst_topk": spanfirst_topk,
+            "hard_negatives": hard_negs,
+            "facet_percentiles": facet_pctl}
 
 
 # Gopher battery oracle: the identical deterministic decoration (wrap /
@@ -3873,6 +3922,67 @@ _ORACLE_COMBMNZ = """
 SELECT doc_id, round(sum(norm) * count(norm), 6) AS fused
 FROM u GROUP BY doc_id
 ORDER BY fused DESC, doc_id ASC LIMIT 10"""
+
+
+# SpanFirst restatement: the exact-phrase position join with the
+# match-start gate p0.pos < 12
+_ORACLE_SPANFIRST_DUCK = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos FROM toks
+), m AS (
+  SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM pos p0 JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+  WHERE p0.term = 'data' AND p1.term = 'table' AND p0.pos < 12
+  GROUP BY p0.doc_id
+)
+SELECT doc_id, n_matches FROM m ORDER BY n_matches DESC, doc_id ASC LIMIT 10"""
+
+# hard negatives: the queryset BM25 ranked run, anti-joined against
+# docs containing >= 2 distinct query terms, top-5 per query
+_ORACLE_HARD_NEG = """
+, qscores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC) AS rank
+  FROM qscores
+), rels AS (
+  SELECT q.query_id, tf.doc_id
+  FROM tf JOIN q ON tf.term = q.term
+  GROUP BY q.query_id, tf.doc_id
+  HAVING count(DISTINCT tf.term) >= 3
+), neg AS (
+  SELECT r.query_id, r.doc_id, r.score,
+         row_number() OVER (PARTITION BY r.query_id
+                            ORDER BY r.score DESC, r.doc_id ASC) AS neg_rank
+  FROM ranked r
+  LEFT JOIN rels ON rels.query_id = r.query_id AND rels.doc_id = r.doc_id
+  WHERE r.rank <= 10 AND rels.doc_id IS NULL
+)
+SELECT query_id, doc_id, CAST(neg_rank AS BIGINT) AS neg_rank, score
+FROM neg WHERE neg_rank <= 5 ORDER BY query_id, neg_rank"""
+
+# percentiles facet: quantile_cont matches Spark's exact percentile
+# linear interpolation (pinned by the corpus_profile entry)
+_ORACLE_FACET_PCTL = """
+, m AS (SELECT DISTINCT tf.doc_id FROM tf JOIN q ON tf.term = q.term)
+SELECT d.lang,
+       round(quantile_cont(d.n_chars, 0.25), 4) AS p25,
+       round(quantile_cont(d.n_chars, 0.50), 4) AS p50,
+       round(quantile_cont(d.n_chars, 0.75), 4) AS p75
+FROM m JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang"""
 
 
 def _hll_duck_sql() -> str:
@@ -4706,6 +4816,11 @@ ORDER BY doc_id, line_no""")
     add("srp_near_dup", eng10["srp_near_dup"], _srp_duck_sql())
     add("hybrid_combmnz", eng10["hybrid_combmnz"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_COMBMNZ, [q_cte]))
+    add("spanfirst_topk", eng10["spanfirst_topk"], _ORACLE_SPANFIRST_DUCK)
+    add("hard_negatives", eng10["hard_negatives"],
+        _docs_sql("duck", _ORACLE_HARD_NEG, [qs_cte]))
+    add("facet_percentiles", eng10["facet_percentiles"],
+        _docs_sql("duck", _ORACLE_FACET_PCTL, [q_cte]))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -695,3 +695,34 @@ aggregate(sort_array(gt),
              .otherwise(F.lit(0.0)).alias(f"dup{dup_n}_frac"),
         )
     )
+
+
+def facet_percentiles(index: DataFrame, doc_meta: DataFrame, query: str,
+                      value: str, by: str | None = None,
+                      percentiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+                      mode: str = "or", stem: bool = True,
+                      camel: bool = True, zone: str | None = None,
+                      approx: bool = False) -> DataFrame:
+    """Percentile aggregation over the match set (Elasticsearch
+    ``percentiles`` aggregation): exact linear-interpolation quantiles
+    of numeric attribute ``value`` across the docs matching the query,
+    optionally per category ``by``. Output columns p<pct> (e.g. p25,
+    p50, p75), rounded to 4 decimals.
+
+    ``approx=True`` swaps Spark's exact ``percentile`` for
+    ``percentile_approx`` (t-digest sketch) — the 100-TB form, where an
+    exact percentile's per-group sort is the wrong cost shape; the
+    exact default matches DuckDB's ``quantile_cont`` for oracles
+    (same linear interpolation, pinned by the corpus_profile entry)."""
+    m = matching_docs(index, query, mode=mode, stem=stem, camel=camel,
+                      zone=zone)
+    cols = [F.col("doc_id").cast("long"), F.col(value).alias("_v")]
+    if by is not None:
+        cols.append(F.col(by))
+    joined = m.join(doc_meta.select(*cols), "doc_id")
+    fn = "percentile_approx" if approx else "percentile"
+    aggs = [F.round(F.expr(f"{fn}(_v, {p!r})"), 4)
+             .alias(f"p{int(p * 100)}") for p in percentiles]
+    if by is None:
+        return joined.agg(*aggs)
+    return joined.groupBy(by).agg(*aggs).orderBy(by)

@@ -81,3 +81,36 @@ def ranking_metrics(results: DataFrame, qrels: DataFrame,
                               F.col("dcg") / F.col("idcg"))
                        .otherwise(0.0), 6).alias("ndcg")))
     return out.orderBy("query_id")
+
+
+def hard_negatives(run: DataFrame, qrels: DataFrame, n_neg: int = 5,
+                   min_rel: float = 1.0) -> DataFrame:
+    """Hard-negative mining for retriever training (the DPR /
+    sentence-transformers recipe, Karpukhin et al. 2020 §3.2): the
+    top-scored documents a first-stage ranker retrieves that are NOT
+    relevant — the informative negatives a dual-encoder trains
+    against, far harder than random negatives.
+
+    ``run``: (query_id, doc_id, score) from a bounded top-k retrieval
+    (e.g. ``search_many``); ``qrels``: (query_id, doc_id, rel).
+    Returns (query_id, doc_id, neg_rank, score): per query the
+    ``n_neg`` highest-scored run docs whose judgment has
+    rel < ``min_rel`` (unjudged docs count as rel=0 — the standard
+    pooling assumption), neg_rank 1-based by score desc / doc_id asc.
+
+    Scale shape: one left-anti join of the run against the relevant
+    qrels slice, then a rank window partitioned by query_id — the run
+    is k-bounded per query by contract (same as
+    :func:`ranking_metrics`), so no unbounded-key window."""
+    rel = (qrels.filter(F.col("rel").cast("double") >= min_rel)
+           .select("query_id", "doc_id"))
+    neg = run.select("query_id", F.col("doc_id").cast("long").alias("doc_id"),
+                     F.col("score").cast("double").alias("score")) \
+             .join(rel, ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+    return (neg.withColumn("neg_rank",
+                           F.row_number().over(w).cast("long"))
+            .filter(F.col("neg_rank") <= n_neg)
+            .select("query_id", "doc_id", "neg_rank", "score")
+            .orderBy("query_id", "neg_rank"))

@@ -80,8 +80,12 @@ def _term_occurrences(rows, style_shift: int = 0
 
 
 def _phrase_shard(pdf: pd.DataFrame, qterms: list[str],
-                  style_shift: int = 0) -> pd.DataFrame:
-    """Vectorized m-way phrase intersection over one shard's rows."""
+                  style_shift: int = 0,
+                  max_start: int | None = None) -> pd.DataFrame:
+    """Vectorized m-way phrase intersection over one shard's rows.
+    ``max_start`` keeps only matches whose first-term ordinal is
+    < max_start (the SpanFirst gate — applied on the intersected keys,
+    whose position component IS the match start)."""
     empty = pd.DataFrame({"doc_id": np.empty(0, np.int64),
                           "n_matches": np.empty(0, np.int64)})
     groups: dict[str, list] = {}
@@ -106,6 +110,10 @@ def _phrase_shard(pdf: pd.DataFrame, qterms: list[str],
         k = (docs[ok] - doc_min) * pos_cap + adj[ok]
         keys = k if keys is None else np.intersect1d(keys, k,
                                                      assume_unique=True)
+        if keys.size == 0:
+            return empty
+    if max_start is not None:
+        keys = keys[keys % pos_cap < max_start]
         if keys.size == 0:
             return empty
     match_docs = keys // pos_cap + doc_min
@@ -326,3 +334,36 @@ def proximity_search(index: DataFrame, stats: dict | None, term_a: str,
 
     return _local_positional_topk(index, hits, kernel, k, tombstones,
                                   shard_size)
+
+
+def span_first_search(index: DataFrame, stats: dict | None, phrase: str,
+                      max_start: int = 10, k: int = 10,
+                      stem: bool = True, camel: bool = True,
+                      zone: str | None = None,
+                      tombstones: DataFrame | None = None,
+                      shard_size: int = 4096,
+                      style_shift: int = 0) -> DataFrame:
+    """Lucene ``SpanFirstQuery``: top-k docs where the phrase (or a
+    single term — a 1-term phrase) matches with its FIRST token at
+    ordinal < ``max_start``; (doc_id, n_matches) counts only those
+    early matches. The "term appears in the opening of the document"
+    query — title-ish boosts on unzoned corpora, lead-paragraph
+    filters.
+
+    Same one-exchange positional plan as :func:`phrase_search`; the
+    start gate is a vectorized mask on the intersected match keys
+    inside the shard kernel (the key's position component is the match
+    start), so pruning costs nothing extra."""
+    if max_start < 1:
+        raise ValueError("max_start must be >= 1")
+    spark = index.sparkSession
+    qterms = tokenize(phrase, stem=stem, camel=camel)
+    if not qterms:
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    hits = _zone_pinned(index, zone)
+    hits = hits.filter(F.col("term").isin(sorted(set(qterms))))
+    return _local_positional_topk(
+        index, hits,
+        lambda pdf: _phrase_shard(pdf, qterms, style_shift,
+                                  max_start=max_start),
+        k, tombstones, shard_size)

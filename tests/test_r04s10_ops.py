@@ -254,3 +254,135 @@ def test_comb_fuse_single_ranking_is_identity_order(spark):
     r1 = spark.createDataFrame(R1, "doc_id long, score double")
     out = comb_fuse([r1], k=10, method="sum").collect()
     assert [r["doc_id"] for r in out] == [1, 2, 3, 4]
+
+
+# ------------------------------------------------------ span_first
+
+SPAN_DOCS = [
+    ("r", "a", "x y z data table w"),       # phrase start at 3
+    ("r", "b", "data table data table"),    # starts at 0 and 2
+    ("r", "c", "w w w w w w w w data table"),  # start at 8
+    ("r", "d", "no match here"),
+]
+
+
+@pytest.fixture(scope="module")
+def span_built(spark):
+    from index_spark.operators.build import build_index
+
+    corpus = spark.createDataFrame(
+        SPAN_DOCS, "repo string, path string, content string")
+    docs, index, stats = build_index(corpus, stem=False, camel=False,
+                                     positions=True, shard_size=16)
+    return index.persist(), stats
+
+
+def test_span_first_gates_by_start(span_built):
+    from index_spark.operators.phrase import span_first_search
+
+    index, stats = span_built
+    out = {r["doc_id"]: r["n_matches"]
+           for r in span_first_search(index, stats, "data table",
+                                      max_start=4, stem=False,
+                                      camel=False).collect()}
+    assert out == {0: 1, 1: 2}  # doc c's start-8 match gated out
+    first = {r["doc_id"]: r["n_matches"]
+             for r in span_first_search(index, stats, "data table",
+                                        max_start=1, stem=False,
+                                        camel=False).collect()}
+    assert first == {1: 1}  # only the pos-0 match
+
+
+def test_span_first_wide_gate_equals_phrase(span_built):
+    from index_spark.operators.phrase import (
+        phrase_search,
+        span_first_search,
+    )
+
+    index, stats = span_built
+    a = sorted(map(tuple, phrase_search(
+        index, stats, "data table", stem=False, camel=False).collect()))
+    b = sorted(map(tuple, span_first_search(
+        index, stats, "data table", max_start=10_000, stem=False,
+        camel=False).collect()))
+    assert a == b
+
+
+def test_span_first_validates(span_built):
+    from index_spark.operators.phrase import span_first_search
+
+    index, stats = span_built
+    with pytest.raises(ValueError, match="max_start"):
+        span_first_search(index, stats, "data table", max_start=0)
+
+
+# --------------------------------------------------- hard negatives
+
+def test_hard_negatives_hand_case(spark):
+    from index_spark.operators.evaluate import hard_negatives
+
+    run = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 4.0), (1, 12, 3.0), (1, 14, 2.0),
+         (2, 10, 2.0), (2, 13, 1.0)],
+        "query_id long, doc_id long, score double")
+    qrels = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 12, 0.0), (2, 13, 2.0)],
+        "query_id long, doc_id long, rel double")
+    out = [tuple(r) for r in hard_negatives(run, qrels, n_neg=2).collect()]
+    # q1: doc 10 relevant (rel>=1) -> excluded; 11 unjudged and 12
+    # judged-irrelevant are the hardest two; 14 cut by n_neg
+    # q2: doc 13 relevant -> excluded; 10 unjudged -> negative
+    assert out == [(1, 11, 1, 4.0), (1, 12, 2, 3.0), (2, 10, 1, 2.0)]
+
+
+def test_hard_negatives_min_rel_grades(spark):
+    from index_spark.operators.evaluate import hard_negatives
+
+    run = spark.createDataFrame([(1, 10, 5.0), (1, 11, 4.0)],
+                                "query_id long, doc_id long, score double")
+    qrels = spark.createDataFrame([(1, 10, 1.0), (1, 11, 2.0)],
+                                  "query_id long, doc_id long, rel double")
+    # min_rel=2: the rel=1 doc counts as a (hard) negative
+    out = [tuple(r) for r in
+           hard_negatives(run, qrels, n_neg=5, min_rel=2.0).collect()]
+    assert out == [(1, 10, 1, 5.0)]
+
+
+# ------------------------------------------------ facet percentiles
+
+def test_facet_percentiles_linear_interpolation(spark):
+    from index_spark.operators.build import build_index
+    from index_spark.operators.analytics import facet_percentiles
+
+    corpus = spark.createDataFrame(
+        [("r", f"d{i}", "data common") for i in range(5)]
+        + [("r", "d9", "unmatched text")],
+        "repo string, path string, content string")
+    docs, index, stats = build_index(corpus, stem=False, camel=False,
+                                     shard_size=16)
+    # doc ids 0..4 match 'data'; attribute values 10,20,30,40,50
+    meta = spark.createDataFrame(
+        [(i, (i + 1) * 10) for i in range(6)], "doc_id long, v long")
+    row = facet_percentiles(index, meta, "data", "v", stem=False,
+                            camel=False).collect()[0]
+    assert (row["p25"], row["p50"], row["p75"]) == (20.0, 30.0, 40.0)
+    q = facet_percentiles(index, meta, "data", "v",
+                          percentiles=(0.1,), stem=False,
+                          camel=False).collect()[0]
+    assert q["p10"] == float(np.percentile([10, 20, 30, 40, 50], 10))
+
+
+def test_facet_percentiles_approx_runs(spark):
+    from index_spark.operators.build import build_index
+    from index_spark.operators.analytics import facet_percentiles
+
+    corpus = spark.createDataFrame(
+        [("r", f"d{i}", "data common") for i in range(5)],
+        "repo string, path string, content string")
+    docs, index, stats = build_index(corpus, stem=False, camel=False,
+                                     shard_size=16)
+    meta = spark.createDataFrame(
+        [(i, (i + 1) * 10) for i in range(5)], "doc_id long, v long")
+    row = facet_percentiles(index, meta, "data", "v", approx=True,
+                            stem=False, camel=False).collect()[0]
+    assert 10 <= row["p50"] <= 50  # t-digest sketch: sanity bound only
