@@ -3752,12 +3752,27 @@ def _r04s10_engine_queries() -> dict[str, Callable[[SparkSession, str],
                                  "n_chars", by="lang", stem=False,
                                  camel=False)
 
+    def cardinality_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES cardinality-inside-terms aggregation: distinct sources per
+        # lang across the match set via the engine-portable HLL sketch
+        # — registers, correction branch, AND the exact validation
+        # column are all value-checked
+        from index_spark.operators.analytics import facet_cardinality
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        meta = raw.select("doc_id", "source", "lang")
+        return facet_cardinality(index, meta, "data table query",
+                                 "source", "lang", stem=False,
+                                 camel=False)
+
     return {"gopher_quality": gopher_quality_q,
             "srp_near_dup": srp_near_dup,
             "hybrid_combmnz": hybrid_combmnz,
             "spanfirst_topk": spanfirst_topk,
             "hard_negatives": hard_negs,
-            "facet_percentiles": facet_pctl}
+            "facet_percentiles": facet_pctl,
+            "cardinality_facet": cardinality_facet}
 
 
 # Gopher battery oracle: the identical deterministic decoration (wrap /
@@ -3983,6 +3998,35 @@ SELECT d.lang,
        round(quantile_cont(d.n_chars, 0.75), 4) AS p75
 FROM m JOIN documents d USING (doc_id)
 GROUP BY d.lang ORDER BY d.lang"""
+
+
+def _facet_card_duck_sql() -> str:
+    # grouped HLL over the match set: registers recomputed from the
+    # same expression strings the Spark operator compiles
+    from index_spark.operators.sketch import (
+        hll_bucket_sql,
+        hll_final_sql,
+        hll_rho_sql,
+    )
+
+    return f"""
+, mset AS (SELECT DISTINCT tf.doc_id FROM tf JOIN q ON tf.term = q.term)
+, j AS (SELECT d.lang, d.source AS v
+        FROM mset JOIN documents d USING (doc_id))
+, nib AS (SELECT lang, {hll_bucket_sql('v')} AS bucket,
+                 {hll_rho_sql('v')} AS rho FROM j)
+, regs AS (SELECT lang, bucket, max(rho) AS m
+           FROM nib GROUP BY lang, bucket)
+, s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_registers_hit,
+               sum(CAST(power(2.0, 57 - m) AS DECIMAL(38,0))) AS s_scaled
+        FROM regs GROUP BY lang)
+, ex AS (SELECT lang, CAST(count(DISTINCT v) AS BIGINT) AS n_exact
+         FROM j GROUP BY lang)
+SELECT s.lang, ex.n_exact,
+       round({hll_final_sql('s.s_scaled', 's.n_registers_hit')}, 3)
+         AS hll_estimate,
+       s.n_registers_hit
+FROM s JOIN ex USING (lang) ORDER BY lang"""
 
 
 def _hll_duck_sql() -> str:
@@ -4821,6 +4865,8 @@ ORDER BY doc_id, line_no""")
         _docs_sql("duck", _ORACLE_HARD_NEG, [qs_cte]))
     add("facet_percentiles", eng10["facet_percentiles"],
         _docs_sql("duck", _ORACLE_FACET_PCTL, [q_cte]))
+    add("cardinality_facet", eng10["cardinality_facet"],
+        _docs_sql("duck", _facet_card_duck_sql(), [q_cte]))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -726,3 +726,39 @@ def facet_percentiles(index: DataFrame, doc_meta: DataFrame, query: str,
     if by is None:
         return joined.agg(*aggs)
     return joined.groupBy(by).agg(*aggs).orderBy(by)
+
+
+def facet_cardinality(index: DataFrame, doc_meta: DataFrame, query: str,
+                      value: str, by: str, mode: str = "or",
+                      stem: bool = True, camel: bool = True,
+                      zone: str | None = None,
+                      exact: bool = True) -> DataFrame:
+    """Count-distinct aggregation over the match set (Elasticsearch
+    ``cardinality`` inside a ``terms`` bucket): per ``by`` group, the
+    approximate number of distinct ``value`` attributes across the
+    docs matching the query, via the engine-portable HLL sketch
+    (operators/sketch.py — reproducible registers, value-checkable by
+    an independent engine). Returns (by, [n_exact,] hll_estimate,
+    n_registers_hit), estimate rounded to 3 decimals, ordered by group.
+
+    ``exact=True`` adds the true per-group distinct count next to the
+    estimate (the validation column — drop it at 10-TB+ match sets,
+    where the exact count's full shuffle of distinct pairs is the cost
+    the sketch exists to avoid; the sketch itself exchanges <= 256
+    register rows per group)."""
+    from index_spark.operators.sketch import hll_cardinality_by
+
+    m = matching_docs(index, query, mode=mode, stem=stem, camel=camel,
+                      zone=zone)
+    joined = m.join(doc_meta.select(F.col("doc_id").cast("long"),
+                                    F.col(value).alias("_v"),
+                                    F.col(by)), "doc_id")
+    sk = hll_cardinality_by(joined, "_v", by) \
+        .withColumn("hll_estimate", F.round("hll_estimate", 3))
+    if not exact:
+        return sk
+    ex = joined.groupBy(by).agg(
+        F.countDistinct("_v").cast("long").alias("n_exact"))
+    return (sk.join(ex, by)
+            .select(by, "n_exact", "hll_estimate", "n_registers_hit")
+            .orderBy(by))

@@ -189,3 +189,27 @@ def cms_heavy_hitters(df: DataFrame, col: str, k: int = 20,
     return (exact.join(est, "term")
             .select("term", "exact_cnt", "cms_est")
             .orderBy(F.desc("exact_cnt"), F.asc("term")))
+
+
+def hll_cardinality_by(df: DataFrame, col: str, by: str) -> DataFrame:
+    """Per-group portable HLL count-distinct: one row per ``by`` value,
+    ``(by, hll_estimate, n_registers_hit)`` — the grouped form of
+    :func:`hll_cardinality` (ES ``cardinality`` inside a ``terms``
+    bucket). Same scale shape: partial register maxima combine
+    map-side, the exchange carries <= m rows per (partition, group),
+    and group sketches union by register max — so per-shard sketches
+    roll up exactly like the reference's per-chunk stats."""
+    regs = (df.select(F.col(by),
+                      F.expr(hll_bucket_sql(col)).alias("bucket"),
+                      F.expr(hll_rho_sql(col)).alias("rho"))
+            .groupBy(by, "bucket").agg(F.max("rho").alias("m")))
+    agg = regs.groupBy(by).agg(
+        F.count("*").alias("n_registers_hit"),
+        F.sum(F.expr(f"CAST(power(2.0, {_RHO_MAX} - m) AS DECIMAL(38,0))")
+              ).alias("s_scaled"))
+    return (agg.select(
+        F.col(by),
+        F.expr(hll_final_sql("s_scaled", "n_registers_hit"))
+        .alias("hll_estimate"),
+        F.col("n_registers_hit").cast("long"))
+        .orderBy(by))

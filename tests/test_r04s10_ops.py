@@ -386,3 +386,43 @@ def test_facet_percentiles_approx_runs(spark):
     row = facet_percentiles(index, meta, "data", "v", approx=True,
                             stem=False, camel=False).collect()[0]
     assert 10 <= row["p50"] <= 50  # t-digest sketch: sanity bound only
+
+
+# -------------------------------------------------- cardinality facet
+
+def test_hll_cardinality_by_groups(spark):
+    from index_spark.operators.sketch import hll_cardinality_by
+
+    rows = [("g1", f"v{i}") for i in range(30)] \
+        + [("g2", f"v{i}") for i in range(3)] * 4  # duplicates collapse
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r["g"]: r for r in hll_cardinality_by(df, "v", "g").collect()}
+    # linear-counting regime: estimate within 15% of truth, and
+    # repetitions do not move the register state
+    assert abs(out["g1"]["hll_estimate"] - 30) / 30 < 0.15
+    assert abs(out["g2"]["hll_estimate"] - 3) / 3 < 0.15
+    assert out["g2"]["n_registers_hit"] <= 3
+
+
+def test_facet_cardinality_exact_column(spark):
+    from index_spark.operators.build import build_index
+    from index_spark.operators.analytics import facet_cardinality
+
+    corpus = spark.createDataFrame(
+        [("r", f"d{i}", "data common") for i in range(6)]
+        + [("r", "d9", "unmatched")],
+        "repo string, path string, content string")
+    docs, index, stats = build_index(corpus, stem=False, camel=False,
+                                     shard_size=16)
+    meta = spark.createDataFrame(
+        [(0, "s1", "en"), (1, "s1", "en"), (2, "s2", "en"),
+         (3, "s1", "de"), (4, "s2", "de"), (5, "s3", "de"),
+         (6, "s9", "zz")],  # unmatched doc's group must not appear
+        "doc_id long, v string, lang string")
+    out = {r["lang"]: r for r in facet_cardinality(
+        index, meta, "data", "v", "lang", stem=False,
+        camel=False).collect()}
+    assert set(out) == {"en", "de"}
+    assert out["en"]["n_exact"] == 2 and out["de"]["n_exact"] == 3
+    for r in out.values():  # tiny sets: sketch ~= truth
+        assert abs(r["hll_estimate"] - r["n_exact"]) / r["n_exact"] < 0.1
