@@ -152,3 +152,117 @@ def dedup_stream(docs: DataFrame, text_col: str = "text",
                                  256)), F.lit(n_groups)).alias("_g"))
     return prepared.groupBy("_g").applyInPandasWithState(
         fn, out_type, state_type, "update", GroupStateTimeout.NoTimeout)
+
+
+def near_dup_stream(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    min_equal: int | None = None,
+                    max_bucket: int = 64) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate discovery
+    (applyInPandasWithState): the stateful form of
+    ``dedup.minhash_near_dup_pairs`` — emits verified pairs
+    (doc_a, doc_b, n_equal) with >= ``min_equal`` (default 57) of 64
+    equal signature bytes, across micro-batches, as documents arrive.
+
+    Shape: the signature pass is the SAME batch-vectorized Arrow kernel
+    as the batch path (``signatures_df`` — stateless, so it runs on a
+    stream unchanged); band keys explode to (band_id, band_hash) rows
+    and the state groups are the LSH BUCKETS themselves. Each bucket's
+    state is its members' (ids, concatenated signatures); a batch's new
+    members compare against the stored block and each other in two
+    vectorized byte-equality passes — never per-row Python.
+
+    Contracts and bounds:
+    - A pair colliding in several bands emits once per band (and never
+      twice for the same band): consumers ``dropDuplicates([doc_a,
+      doc_b])`` — the same pre-verify dedup the batch kernel does,
+      which a per-bucket stateful operator cannot do globally.
+    - State per bucket caps at ``max_bucket`` members (the streaming
+      form of the batch kernel's giant-bucket guard): later arrivals
+      in an oversized bucket still compare against the stored members
+      (so keep-first dedup still links every loser to an early keeper)
+      but are not stored — the full pair listing inside pathological
+      buckets is intentionally not enumerated, exactly like the batch
+      star-pairing trade.
+    - Bucket state is bounded (<= max_bucket * 72 bytes), groups are
+      near-uniform FNV band hashes, so state scales out with
+      ``spark.sql.shuffle.partitions`` like any keyed state store.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from index_spark.operators.dedup import (
+        NUM_SIMILARITY,
+        SIGNATURE_SIZE,
+        signatures_df,
+    )
+
+    thresh = NUM_SIMILARITY if min_equal is None else min_equal
+    out_type = "doc_a long, doc_b long, n_equal int"
+    state_type = "ids array<long>, sigs binary"
+
+    def fn(key, pdfs, state):
+        ids, blob = state.get if state.exists else ([], b"")
+        stored_ids = np.asarray(ids, dtype=np.int64)
+        stored = np.frombuffer(blob, dtype=np.uint8) \
+            .reshape(-1, SIGNATURE_SIZE)
+        batch = pd.concat(list(pdfs)).sort_values("doc_id") \
+            .drop_duplicates("doc_id")
+        # a doc re-arriving in a later batch is already a bucket member
+        batch = batch[~batch["doc_id"].isin(stored_ids)]
+        if not len(batch):
+            yield pd.DataFrame({"doc_a": [], "doc_b": [],
+                                "n_equal": []}).astype(
+                {"doc_a": np.int64, "doc_b": np.int64,
+                 "n_equal": np.int32})
+            return
+        new_ids = batch["doc_id"].to_numpy(np.int64)
+        new = np.frombuffer(b"".join(batch["sig"]), dtype=np.uint8) \
+            .reshape(-1, SIGNATURE_SIZE)
+        a_l, b_l, n_l = [], [], []
+
+        def cross(ia, sa, ib, sb):
+            eq = (sa[:, None, :] == sb[None, :, :]).sum(-1)
+            hit = np.argwhere(eq >= thresh)
+            if hit.size:
+                x, y = ia[hit[:, 0]], ib[hit[:, 1]]
+                a_l.append(np.minimum(x, y))
+                b_l.append(np.maximum(x, y))
+                n_l.append(eq[hit[:, 0], hit[:, 1]])
+
+        # the cap splits the batch: members that FIT become bucket
+        # members (full pairing); overflow only links to members —
+        # later-vs-later pairs in an oversized bucket are not
+        # enumerated (the batch kernel's star-pairing trade, streamed)
+        room = max(0, max_bucket - stored.shape[0])
+        kept, over = new[:room], new[room:]
+        kept_ids, over_ids = new_ids[:room], new_ids[room:]
+        if stored.shape[0]:
+            cross(stored_ids, stored, new_ids, new)
+        if kept.shape[0] > 1:
+            eq = (kept[:, None, :] == kept[None, :, :]).sum(-1)
+            iu = np.triu_indices(kept.shape[0], k=1)
+            ok = eq[iu] >= thresh
+            if ok.any():
+                a_l.append(kept_ids[iu[0][ok]])
+                b_l.append(kept_ids[iu[1][ok]])
+                n_l.append(eq[iu][ok])
+        if kept.shape[0] and over.shape[0]:
+            cross(kept_ids, kept, over_ids, over)
+        if kept.shape[0]:
+            state.update((
+                [int(x) for x in np.concatenate([stored_ids, kept_ids])],
+                stored.tobytes() + kept.tobytes()))
+        yield pd.DataFrame({
+            "doc_a": np.concatenate(a_l) if a_l else np.empty(0, np.int64),
+            "doc_b": np.concatenate(b_l) if b_l else np.empty(0, np.int64),
+            "n_equal": (np.concatenate(n_l).astype(np.int32)
+                        if n_l else np.empty(0, np.int32))})
+
+    sigs = signatures_df(docs, text_col=text_col, id_col=id_col)
+    bands = sigs.select(
+        "doc_id", "sig",
+        F.posexplode("bands").alias("band_id", "band_hash"))
+    return bands.groupBy("band_id", "band_hash").applyInPandasWithState(
+        fn, out_type, state_type, "update", GroupStateTimeout.NoTimeout)

@@ -426,3 +426,89 @@ def test_facet_cardinality_exact_column(spark):
     assert out["en"]["n_exact"] == 2 and out["de"]["n_exact"] == 3
     for r in out.values():  # tiny sets: sketch ~= truth
         assert abs(r["hll_estimate"] - r["n_exact"]) / r["n_exact"] < 0.1
+
+
+# --------------------------------------------- streaming near-dup (LSH)
+
+def _near_dup_texts():
+    """Docs with planted near-duplicates: long word sequences where the
+    dup differs by one trailing word (>= 57/64 sig agreement), plus
+    unrelated docs."""
+    base = " ".join(f"w{i}" for i in range(40))
+    other = " ".join(f"x{i}" for i in range(40))
+    return [
+        base,                       # 0
+        other,                      # 1
+        base + " tail",             # 2: near-dup of 0
+        " ".join(f"y{i}" for i in range(30)),  # 3
+        other + " extra",           # 4: near-dup of 1
+        base,                       # 5: exact dup of 0
+    ]
+
+
+def test_near_dup_stream_matches_batch(spark, tmp_path):
+    import time as _time
+
+    from index_spark.operators.dedup import minhash_near_dup_pairs
+    from index_spark.streaming.aggregate import near_dup_stream
+
+    rows = [(i, t) for i, t in enumerate(_near_dup_texts())]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "ndstream")
+    docs.where("doc_id < 3").coalesce(1).write.parquet(src)
+    _time.sleep(1.2)
+    docs.where("doc_id >= 3").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (near_dup_stream(stream).writeStream.format("memory")
+         .queryName("ndpairs").outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    try:
+        got = {(r["doc_a"], r["doc_b"], r["n_equal"]) for r in
+               spark.sql("SELECT DISTINCT * FROM ndpairs").collect()}
+        exp = {(r["doc_a"], r["doc_b"], r["n_equal"]) for r in
+               minhash_near_dup_pairs(docs).collect()}
+        assert got == exp and len(exp) >= 3
+        # the planted pairs are present (0-2 and 0-5 span batches)
+        pairs = {(a, b) for a, b, _ in got}
+        assert {(0, 2), (1, 4), (0, 5), (2, 5)} <= pairs
+    finally:
+        q.stop()
+
+
+def test_near_dup_stream_bucket_cap(spark, tmp_path):
+    """max_bucket=2: arrivals beyond the cap still link to the stored
+    early members (keep-first survives) but aren't stored, so
+    later-vs-later pairs inside the oversized bucket are not
+    enumerated — the batch star-pairing trade, streamed."""
+    import time as _time
+
+    from index_spark.streaming.aggregate import near_dup_stream
+
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame([(i, base) for i in range(4)],
+                                 "doc_id long, text string")
+    src = str(tmp_path / "ndcap")
+    docs.where("doc_id < 2").coalesce(1).write.parquet(src)
+    _time.sleep(1.2)
+    docs.where("doc_id >= 2").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (near_dup_stream(stream, max_bucket=2).writeStream
+         .format("memory").queryName("ndcap").outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    try:
+        pairs = {(r["doc_a"], r["doc_b"]) for r in
+                 spark.sql("SELECT DISTINCT doc_a, doc_b FROM ndcap")
+                 .collect()}
+        # every later doc links to a stored early member...
+        for loser in (1, 2, 3):
+            assert any(a < loser and b == loser for a, b in pairs)
+        # ...but the un-stored 2-3 pair is not enumerated
+        assert (2, 3) not in pairs
+    finally:
+        q.stop()
