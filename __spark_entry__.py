@@ -3766,13 +3766,34 @@ def _r04s10_engine_queries() -> dict[str, Callable[[SparkSession, str],
                                  "source", "lang", stem=False,
                                  camel=False)
 
+    def doc_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # per-doc keyword extraction: top-3 terms by tf*ln(n/df) — the
+        # postings decode, the metadata-only df aggregate, and the
+        # per-doc rank window are all value-checked
+        from index_spark.operators.analytics import doc_keywords
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        return doc_keywords(index, stats["n_docs"], top=3)
+
+    def srp_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # binary-signature ANN: hamming distance between 16-plane SRP
+        # bitmasks and the query's, exact-cosine rerank of the top-50
+        from index_spark.operators.similarity import srp_hamming_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = [float(x) for x in
+             emb.filter("vec_id = 0").first()["embedding"]]
+        return srp_hamming_topk(emb, q, k=10, n_planes=16, rerank=50)
+
     return {"gopher_quality": gopher_quality_q,
             "srp_near_dup": srp_near_dup,
             "hybrid_combmnz": hybrid_combmnz,
             "spanfirst_topk": spanfirst_topk,
             "hard_negatives": hard_negs,
             "facet_percentiles": facet_pctl,
-            "cardinality_facet": cardinality_facet}
+            "cardinality_facet": cardinality_facet,
+            "doc_keywords": doc_keywords_q,
+            "srp_hamming_topk": srp_hamming}
 
 
 # Gopher battery oracle: the identical deterministic decoration (wrap /
@@ -3998,6 +4019,61 @@ SELECT d.lang,
        round(quantile_cont(d.n_chars, 0.75), 4) AS p75
 FROM m JOIN documents d USING (doc_id)
 GROUP BY d.lang ORDER BY d.lang"""
+
+
+# per-doc keywords: tf*ln(n/df) per (doc, term), top-3 per doc
+_ORACLE_DOC_KEYWORDS = """
+, scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(stats.n AS DOUBLE) / dft.df), 4) AS score
+  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats
+), ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS kw_rank
+  FROM scored
+)
+SELECT doc_id, term, score, CAST(kw_rank AS BIGINT) AS kw_rank
+FROM ranked WHERE kw_rank <= 3 ORDER BY doc_id, kw_rank"""
+
+
+def _srp_hamming_duck_sql(n_planes: int = 16, k: int = 10,
+                          rerank: int = 50, dim: int = 64) -> str:
+    """Binary-ANN restatement: bitmasks from the identical sign
+    literals, hamming via xor + bit_count, exact-cosine rerank."""
+    from index_spark.operators.similarity import srp_signs
+
+    signs = srp_signs(dim, n_planes)
+    rows = ", ".join(
+        "({}, [{}])".format(
+            p, ", ".join(f"{s:.1f}" for s in signs[p]))
+        for p in range(n_planes))
+    return f"""
+WITH planes(p, signs) AS (SELECT * FROM (VALUES {rows})),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bits AS (
+  SELECT v.vec_id, pl.p,
+         CASE WHEN list_dot_product(v.e, pl.signs) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM v CROSS JOIN planes pl),
+masks AS (
+  SELECT vec_id, CAST(sum(bit * (1::BIGINT << p)) AS BIGINT) AS m
+  FROM bits GROUP BY vec_id),
+qm AS (SELECT m AS q FROM masks WHERE vec_id = 0),
+ham AS (
+  SELECT vec_id, CAST(bit_count(xor(m, q)) AS BIGINT) AS hamming
+  FROM masks CROSS JOIN qm),
+cand AS (SELECT * FROM ham ORDER BY hamming ASC, vec_id ASC
+         LIMIT {rerank}),
+qv AS (SELECT e AS q FROM v WHERE vec_id = 0),
+scored AS (
+  SELECT c.vec_id, c.hamming,
+         round(list_dot_product(v.e, qv.q)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(qv.q, qv.q))), 4) AS cos
+  FROM cand c JOIN v USING (vec_id) CROSS JOIN qv)
+SELECT vec_id, hamming, cos FROM scored
+ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
 
 
 def _facet_card_duck_sql() -> str:
@@ -4867,6 +4943,10 @@ ORDER BY doc_id, line_no""")
         _docs_sql("duck", _ORACLE_FACET_PCTL, [q_cte]))
     add("cardinality_facet", eng10["cardinality_facet"],
         _docs_sql("duck", _facet_card_duck_sql(), [q_cte]))
+    add("doc_keywords", eng10["doc_keywords"],
+        _docs_sql("duck", _ORACLE_DOC_KEYWORDS))
+    add("srp_hamming_topk", eng10["srp_hamming_topk"],
+        _srp_hamming_duck_sql())
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

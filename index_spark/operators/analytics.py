@@ -29,7 +29,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -762,3 +762,34 @@ def facet_cardinality(index: DataFrame, doc_meta: DataFrame, query: str,
     return (sk.join(ex, by)
             .select(by, "n_exact", "hll_estimate", "n_registers_hit")
             .orderBy(by))
+
+
+def doc_keywords(index: DataFrame, n_docs: int, top: int = 3,
+                 zone: str | None = None) -> DataFrame:
+    """Per-document keyword extraction: the ``top`` terms of every doc
+    by tf·idf (idf = ln(n_docs / df), score rounded to 4 decimals) —
+    the standard "tags for every document" pipeline pass (ES
+    significant-text per doc, labeling corpora before clustering).
+    Returns (doc_id, term, score, kw_rank), kw_rank 1-based by score
+    desc / term asc.
+
+    Plan: the postings decode (one mapInPandas over index rows) joins
+    the global df aggregate (metadata-only — summed from the stored
+    per-row ``df`` column, no blob decode), then one rank window
+    partitioned by doc_id — per-partition cardinality is the doc's own
+    distinct-term count, so the window is doc-length-bounded, never
+    corpus-bounded."""
+    posts = postings_from_index(index, zone)
+    dfg = (pin_zone(index, zone).filter(F.col("term") != DOC_MARKER)
+           .groupBy("term").agg(F.sum("df").alias("_df")))
+    scored = (posts.join(dfg, "term")
+              .withColumn("score", F.round(
+                  F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("_df")),
+                  4)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"),
+                                             F.asc("term"))
+    return (scored.withColumn("kw_rank",
+                              F.row_number().over(w).cast("long"))
+            .filter(F.col("kw_rank") <= top)
+            .select("doc_id", "term", "score", "kw_rank")
+            .orderBy("doc_id", "kw_rank"))

@@ -792,3 +792,77 @@ def srp_near_dup_pairs(emb: DataFrame, n_planes: int = 16,
     return (pairs.withColumn("cos", F.round(dot / (na * nb), 4))
             .where(F.col("cos") >= threshold)
             .select("vec_a", "vec_b", "cos"))
+
+
+def srp_bits_df(emb: DataFrame, n_planes: int = 16,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                seed: str = "srp") -> DataFrame:
+    """(vec_id, bits) — the SRP signature packed into ONE little-endian
+    integer bitmask per vector (bit p = [dot(v, plane_p) >= 0]); the
+    at-rest form of a binary embedding index (8 bytes per vector at
+    n_planes <= 64). Map-only JVM codegen, like
+    :func:`srp_signatures`."""
+    if not 1 <= n_planes <= 63:
+        raise ValueError("n_planes must be in 1..63 for a long bitmask")
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty embedding relation")
+    signs = srp_signs(first["d"], n_planes, seed=seed)
+
+    def dot(p: int) -> F.Column:
+        lits = F.array(*[F.lit(float(s)) for s in signs[p]])
+        return F.aggregate(
+            F.zip_with(vec_col, lits, lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    bits = F.lit(0).cast("long")
+    for p in range(n_planes):
+        bits = bits + F.when(dot(p) >= 0,
+                             F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long"))
+    return emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                      bits.alias("bits"))
+
+
+def srp_hamming_topk(emb: DataFrame, qvec: list[float], k: int = 10,
+                     n_planes: int = 16, vec_col: str = "embedding",
+                     id_col: str = "vec_id", seed: str = "srp",
+                     rerank: int | None = None) -> DataFrame:
+    """Binary-signature ANN (FAISS ``IndexBinaryFlat`` shape): rank by
+    hamming distance between each vector's SRP bitmask and the query's
+    — E[hamming] = n_planes·θ/π, so hamming order approximates angular
+    order at 1 bit per plane. Returns (vec_id, hamming) top-k (hamming
+    asc, vec_id asc), or (vec_id, hamming, cos) when ``rerank=c``:
+    exact cosine re-orders the top-c hamming candidates (the standard
+    binary-prefilter + exact-rerank serving stack).
+
+    Plan: bitmask scan is map-only codegen, the distance is one
+    ``bit_count(bits ^ q)`` per row (no per-dimension arithmetic at
+    query time — the point of a binary index), and the cut is
+    TakeOrderedAndProject."""
+    import hashlib  # noqa: F401  (srp_signs uses it; keep import local)
+
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty embedding relation")
+    signs = srp_signs(first["d"], n_planes, seed=seed)
+    q = np.asarray(qvec, dtype=np.float64)
+    qbits = 0
+    for p in range(n_planes):
+        if float(signs[p] @ q) >= 0:
+            qbits |= 1 << p
+    scored = (srp_bits_df(emb.select(F.col(id_col), F.col(vec_col)),
+                          n_planes=n_planes, vec_col=vec_col,
+                          id_col=id_col, seed=seed)
+              .select("vec_id",
+                      F.bit_count(F.col("bits").bitwiseXOR(
+                          F.lit(qbits).cast("long"))).cast("long")
+                      .alias("hamming")))
+    if rerank is None:
+        return scored.orderBy(F.asc("hamming"), F.asc("vec_id")).limit(k)
+    cand = scored.orderBy(F.asc("hamming"), F.asc("vec_id")).limit(rerank)
+    vecs = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                      F.round(_cos_expr(vec_col, [float(x) for x in qvec]),
+                              4).alias("cos"))
+    return (cand.join(vecs, "vec_id")
+            .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))

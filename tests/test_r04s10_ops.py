@@ -512,3 +512,63 @@ def test_near_dup_stream_bucket_cap(spark, tmp_path):
         assert (2, 3) not in pairs
     finally:
         q.stop()
+
+
+# --------------------------------------------- keywords / binary ANN
+
+def test_doc_keywords_hand_oracle(spark):
+    from index_spark.operators.build import build_index
+    from index_spark.operators.analytics import doc_keywords
+
+    corpus = spark.createDataFrame(
+        [("r", "a", "rare rare common shared"),
+         ("r", "b", "common shared shared"),
+         ("r", "c", "common lonely")],
+        "repo string, path string, content string")
+    docs, index, stats = build_index(corpus, stem=False, camel=False,
+                                     shard_size=16)
+    out = {(r["doc_id"], r["kw_rank"]): (r["term"], r["score"])
+           for r in doc_keywords(index, stats["n_docs"], top=2).collect()}
+    # doc 0: rare tf=2 df=1 -> 2*ln(3); shared tf=1 df=2 -> ln(1.5);
+    # common tf=1 df=3 -> 0
+    assert out[(0, 1)] == ("rare", round(2 * math.log(3), 4))
+    assert out[(0, 2)] == ("shared", round(math.log(1.5), 4))
+    # doc 1: shared tf=2 beats common (idf 0)
+    assert out[(1, 1)][0] == "shared"
+    # doc 2: lonely df=1 tops; common idf=0 scores 0.0
+    assert out[(2, 1)] == ("lonely", round(math.log(3), 4))
+    assert out[(2, 2)] == ("common", 0.0)
+
+
+def test_srp_hamming_exact_match_and_rerank(spark, srp_emb):
+    from index_spark.operators.similarity import srp_hamming_topk
+
+    df, vecs = srp_emb
+    q = [float(x) for x in vecs[0]]
+    top = srp_hamming_topk(df, q, k=5, n_planes=16).collect()
+    # the query vector itself and its planted near-dup have hamming 0
+    assert top[0]["vec_id"] == 0 and top[0]["hamming"] == 0
+    assert {r["vec_id"] for r in top if r["hamming"] == 0} >= {0, 40}
+    rr = srp_hamming_topk(df, q, k=3, n_planes=16, rerank=20).collect()
+    assert rr[0]["vec_id"] == 0 and rr[0]["cos"] == 1.0
+    assert rr[1]["vec_id"] == 40  # exact rerank puts the near-dup next
+    # cos order is non-increasing after rerank
+    assert all(rr[i]["cos"] >= rr[i + 1]["cos"] for i in range(len(rr) - 1))
+
+
+def test_srp_bits_match_signatures(spark, srp_emb):
+    """The packed bitmask agrees bit-for-bit with the banded
+    signature relation (same planes, two independent packings)."""
+    from index_spark.operators.similarity import (
+        srp_bits_df,
+        srp_signatures,
+    )
+
+    df, _ = srp_emb
+    bits = {r["vec_id"]: r["bits"]
+            for r in srp_bits_df(df, n_planes=16).collect()}
+    sig = {}
+    for r in srp_signatures(df, n_planes=16, band_bits=4).collect():
+        sig[r["vec_id"]] = sig.get(r["vec_id"], 0) \
+            | (r["band_val"] << (4 * r["band"]))
+    assert bits == sig
