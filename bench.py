@@ -468,6 +468,47 @@ def main() -> None:
 
     _dedup_scale()
 
+    # 10b2s10. session-10 surfaces (non-headline): the Gopher gate
+    # battery over the 200k corpus (map-only — the zero-shuffle quality
+    # pass a 100-TB first-pass filter runs; throughput is the signal),
+    # SRP-LSH near-dup pairs over the sf embeddings, and a binary
+    # (hamming) ANN query with exact rerank
+    def _s10_scale():
+        from index_spark.operators.curate import gopher_quality
+        from index_spark.operators.similarity import (
+            srp_hamming_topk,
+            srp_near_dup_pairs,
+        )
+
+        corpus_dir = os.environ.get("SPARK_GRAFT_200K_DIR",
+                                    "/tmp/bench_corpus200k")
+        big = spark.read.parquet(f"{corpus_dir}/corpus.parquet")                    .select(F.xxhash64("path").alias("doc_id"),
+                           F.col("content").alias("text"))                    .repartition(int(cpus)).persist()
+        n_big = big.count()
+        t0 = time.time()
+        gq = gopher_quality(big)
+        n_kept = gq.filter("keep").count()
+        dt = time.time() - t0
+        timings["gopher_200k"] = round(dt, 3)
+        timings["gopher_200k_docs_per_sec"] = round(n_big / dt, 1)
+        timings["gopher_200k_kept"] = n_kept
+        big.unpersist()
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+        emb.count()
+        t0 = time.time()
+        n_pairs = srp_near_dup_pairs(emb, n_planes=16, band_bits=4,
+                                     threshold=0.3).count()
+        timings["srp_near_dup"] = round(time.time() - t0, 3)
+        timings["srp_near_dup_pairs"] = n_pairs
+        qv = [float(x) for x in
+              emb.filter("vec_id = 0").first()["embedding"]]
+        t0 = time.time()
+        srp_hamming_topk(emb, qv, k=10, rerank=50).collect()
+        timings["srp_hamming_query"] = round(time.time() - t0, 3)
+        emb.unpersist()
+
+    _s10_scale()
+
     # 10b3. iterative graph/LM surfaces (non-headline): transitive
     # duplicate clustering (large-star/small-star over the jaccard pair
     # graph), bigram-LM scoring, and 3-iteration PageRank — all via the
