@@ -3785,6 +3785,18 @@ def _r04s10_engine_queries() -> dict[str, Callable[[SparkSession, str],
              emb.filter("vec_id = 0").first()["embedding"]]
         return srp_hamming_topk(emb, q, k=10, n_planes=16, rerank=50)
 
+    def mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # MMR diversification (Carbonell & Goldstein 1998): greedy
+        # lam*rel - (1-lam)*max-sim over a 20-vector cosine window —
+        # the window, the pairwise similarity matrix, AND all five
+        # greedy picks are value-checked by the unrolled restatement
+        from index_spark.operators.similarity import mmr_rerank
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = [float(x) for x in
+             emb.filter("vec_id = 0").first()["embedding"]]
+        return mmr_rerank(emb, q, k=5, window=20, lam=0.7)
+
     return {"gopher_quality": gopher_quality_q,
             "srp_near_dup": srp_near_dup,
             "hybrid_combmnz": hybrid_combmnz,
@@ -3793,7 +3805,8 @@ def _r04s10_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "facet_percentiles": facet_pctl,
             "cardinality_facet": cardinality_facet,
             "doc_keywords": doc_keywords_q,
-            "srp_hamming_topk": srp_hamming}
+            "srp_hamming_topk": srp_hamming,
+            "mmr_topk": mmr_topk}
 
 
 # Gopher battery oracle: the identical deterministic decoration (wrap /
@@ -4074,6 +4087,54 @@ scored AS (
   FROM cand c JOIN v USING (vec_id) CROSS JOIN qv)
 SELECT vec_id, hamming, cos FROM scored
 ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
+
+
+def _mmr_duck_sql(k: int = 5, window: int = 20,
+                  lam: float = 0.7) -> str:
+    """MMR greedy selection UNROLLED as k pick stages (the same
+    bounded-window contract as the Spark operator: relevance round 4,
+    pairwise sims round 6, identical IEEE lam arithmetic — ``e0``
+    literals pin DOUBLE, not DECIMAL)."""
+    lam_s = f"{lam}e0"
+    parts = [f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+qv AS (SELECT e AS q FROM v WHERE vec_id = 0),
+rel AS (
+  SELECT vec_id,
+         round(list_dot_product(e, qv.q)
+               / (sqrt(list_dot_product(e, e))
+                  * sqrt(list_dot_product(qv.q, qv.q))), 4) AS rel
+  FROM v CROSS JOIN qv
+  ORDER BY rel DESC, vec_id ASC LIMIT {window}),
+w AS (SELECT v.vec_id, v.e FROM v JOIN rel USING (vec_id)),
+sims AS (
+  SELECT a.vec_id AS sa, b.vec_id AS sb,
+         round(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
+  FROM w a JOIN w b ON a.vec_id <> b.vec_id),
+p1 AS (SELECT vec_id, rel, rel AS m FROM rel
+       ORDER BY rel DESC, vec_id ASC LIMIT 1),
+s1 AS (SELECT vec_id FROM p1)"""]
+    for i in range(2, k + 1):
+        parts.append(f""",
+r{i} AS (
+  SELECT c.vec_id, c.rel,
+         {lam_s} * c.rel - (1.0e0 - {lam_s}) * max(s.sim) AS m
+  FROM rel c
+  JOIN sims s ON s.sa = c.vec_id
+             AND s.sb IN (SELECT vec_id FROM s{i - 1})
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM s{i - 1})
+  GROUP BY c.vec_id, c.rel),
+p{i} AS (SELECT vec_id, rel, m FROM r{i}
+         ORDER BY m DESC, vec_id ASC LIMIT 1),
+s{i} AS (SELECT vec_id FROM s{i - 1}
+         UNION ALL SELECT vec_id FROM p{i})""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT vec_id, CAST({i} AS BIGINT) AS mmr_rank, rel, "
+        f"round(m, 6) AS mmr_score FROM p{i}" for i in range(1, k + 1))
+    parts.append(f"\n{finals}\nORDER BY mmr_rank")
+    return "".join(parts)
 
 
 def _facet_card_duck_sql() -> str:
@@ -4947,6 +5008,7 @@ ORDER BY doc_id, line_no""")
         _docs_sql("duck", _ORACLE_DOC_KEYWORDS))
     add("srp_hamming_topk", eng10["srp_hamming_topk"],
         _srp_hamming_duck_sql())
+    add("mmr_topk", eng10["mmr_topk"], _mmr_duck_sql())
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -866,3 +866,74 @@ def srp_hamming_topk(emb: DataFrame, qvec: list[float], k: int = 10,
                               4).alias("cos"))
     return (cand.join(vecs, "vec_id")
             .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))
+
+
+def mmr_rerank(emb: DataFrame, qvec: list[float], k: int = 5,
+               window: int = 20, lam: float = 0.7,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               restrict: DataFrame | None = None) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein, SIGIR 1998) — the "don't return five copies of the same
+    result" rerank: greedily select k results maximizing
+
+        mmr(c) = lam * rel(c) - (1 - lam) * max_{s in selected} sim(c, s)
+
+    where rel = cosine(query, c) and sim = cosine(c, s). Returns
+    (vec_id, mmr_rank, rel, mmr_score); the first pick's score is its
+    relevance (empty selected set), ties break vec_id-ascending.
+
+    Scale contract (the Vespa/ES second-phase-rerank shape): ALL O(dim)
+    arithmetic is distributed JVM codegen — the relevance window is
+    :func:`cosine_topk` (round 4) and the pairwise similarity matrix is
+    a window-local self-join (round 6, <= window² rows). Only the
+    greedy selection — pure comparisons plus one multiply-subtract per
+    candidate per step over the ROUNDED bounded matrix — runs on the
+    driver, which is what makes the whole rerank SQL-restatable
+    value-for-value (identical IEEE ops on identical rounded inputs).
+    Never feed an unbounded relation: ``window`` bounds the collect."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    if k > window:
+        raise ValueError("k must be <= window")
+    rel_df = cosine_topk(emb, qvec, k=window, vec_col=vec_col,
+                         id_col=id_col, restrict=restrict)
+    w = (emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                    F.col(vec_col).alias("_v"))
+         .join(rel_df.select("vec_id"), "vec_id", "semi"))
+    a = w.select(F.col("vec_id").alias("_a"), F.col("_v").alias("_va"))
+    b = w.select(F.col("vec_id").alias("_b"), F.col("_v").alias("_vb"))
+    dot = F.aggregate(F.zip_with("_va", "_vb",
+                                 lambda x, y: x.cast("double") * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(
+        F.transform("_va", lambda x: x.cast("double") * x),
+        F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(
+        F.transform("_vb", lambda x: x.cast("double") * x),
+        F.lit(0.0), lambda acc, x: acc + x))
+    sims = (a.join(b, F.col("_a") != F.col("_b"))
+            .select(F.col("_a"), F.col("_b"),
+                    F.round(dot / (na * nb), 6).alias("_sim")))
+
+    rel = {r["vec_id"]: r["cos"] for r in rel_df.collect()}  # <= window
+    sim = {(r["_a"], r["_b"]): r["_sim"]
+           for r in sims.collect()}  # <= window^2
+    remaining = sorted(rel)
+    selected: list[tuple[int, float]] = []
+    for _ in range(min(k, len(remaining))):
+        if not selected:
+            pick = max(remaining, key=lambda c: (rel[c], -c))
+            score = rel[pick]
+        else:
+            def mmr(c):
+                worst = max(sim[(c, s)] for s, _ in selected)
+                return lam * rel[c] - (1.0 - lam) * worst
+            pick = max(remaining, key=lambda c: (mmr(c), -c))
+            score = mmr(pick)
+        selected.append((pick, score))
+        remaining.remove(pick)
+    spark = emb.sparkSession
+    rows = [(int(v), i + 1, float(rel[v]), round(float(s), 6))
+            for i, (v, s) in enumerate(selected)]
+    return spark.createDataFrame(
+        rows, "vec_id long, mmr_rank long, rel double, mmr_score double")

@@ -572,3 +572,50 @@ def test_srp_bits_match_signatures(spark, srp_emb):
         sig[r["vec_id"]] = sig.get(r["vec_id"], 0) \
             | (r["band_val"] << (4 * r["band"]))
     assert bits == sig
+
+
+# ------------------------------------------------- MMR diversification
+
+def test_mmr_diversifies_redundant_window(spark):
+    """Three near-identical vectors top the relevance window; MMR keeps
+    one and promotes the diverse vector a pure-relevance top-3 would
+    cut."""
+    from index_spark.operators.similarity import mmr_rerank
+
+    import numpy as np
+    q = np.zeros(8); q[0] = 1.0
+    a = np.zeros(8); a[0] = 0.98; a[1] = 0.199     # rel ~0.98, clones
+    d = np.zeros(8); d[0] = 0.60; d[2] = 0.80      # rel 0.6, orthogonal-ish
+    rows = [(0, [float(x) for x in a]),
+            (1, [float(x) for x in a]),
+            (2, [float(x) for x in a]),
+            (3, [float(x) for x in d])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = [r["vec_id"] for r in
+           mmr_rerank(emb, [float(x) for x in q], k=3, window=4,
+                      lam=0.5).collect()]
+    # pick 1 = best rel (vec 0); pick 2 = the diverse vec 3 (clones of
+    # 0 are penalized by sim ~1.0); pick 3 = a clone
+    assert out[0] == 0 and out[1] == 3 and out[2] in (1, 2)
+
+
+def test_mmr_lam_one_is_pure_relevance(spark):
+    from index_spark.operators.similarity import cosine_topk, mmr_rerank
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+    mmr = [r["vec_id"] for r in
+           mmr_rerank(emb, q, k=5, window=20, lam=1.0).collect()]
+    rel = [r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()]
+    assert mmr == rel
+
+
+def test_mmr_validates(spark):
+    from index_spark.operators.similarity import mmr_rerank
+
+    emb = spark.createDataFrame([(0, [1.0, 0.0])],
+                                "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(emb, [1.0, 0.0], lam=1.5)
+    with pytest.raises(ValueError, match="window"):
+        mmr_rerank(emb, [1.0, 0.0], k=10, window=5)
