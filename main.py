@@ -434,8 +434,8 @@ def cmd_cluster(args) -> None:
 def cmd_knn(args) -> None:
     """Vector search over an embeddings parquet: exact cosine (default,
     optionally metadata-filtered), IVF-probed, int8-scalar-quantized,
-    or product-quantized ADC — the four serving tiers of the ANN
-    family, one flag apart."""
+    product-quantized ADC, binary SRP-hamming, or MMR-diversified —
+    the serving tiers of the ANN family, one flag apart."""
     from pyspark.sql import functions as F
 
     from index_spark.operators import similarity as sim
@@ -465,6 +465,13 @@ def cmd_knn(args) -> None:
         out = sim.pq_topk(sim.pq_encode(emb, cb), cb, q, k=args.k,
                           rerank=args.rerank, emb=emb if args.rerank
                           else None)
+    elif args.method == "binary":
+        out = sim.srp_hamming_topk(emb, q, k=args.k,
+                                   n_planes=args.planes,
+                                   rerank=args.rerank or None)
+    elif args.method == "mmr":
+        out = sim.mmr_rerank(emb, q, k=args.k, window=args.window,
+                             lam=args.lam, restrict=restrict)
     else:  # ivfpq: the composite billion-vector recipe
         _, cents = sim.kmeans(emb, k=args.buckets, iters=2)
         cb = sim.pq_train(emb, m=args.m, k=args.codebook_k)
@@ -473,6 +480,24 @@ def cmd_knn(args) -> None:
                               nprobe=args.nprobe, rerank=args.rerank,
                               emb=emb if args.rerank else None)
     print(json.dumps([r.asDict() for r in out.collect()]))
+
+
+def cmd_keywords(args) -> None:
+    """Per-document tf-idf keywords from a built store (labeling a
+    corpus before clustering / dataset cards)."""
+    from index_spark.operators.analytics import doc_keywords
+    from index_spark.plans.checkpoint import load_stats, load_store_index
+
+    spark = _spark(args)
+    index = load_store_index(spark, args.index_dir)
+    stats = load_stats(args.index_dir)
+    out = doc_keywords(index, stats["n_docs"], top=args.top,
+                       zone=args.zone)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"rows": out.count(), "out": args.out}))
+    else:
+        print(json.dumps([r.asDict() for r in out.limit(30).collect()]))
 
 
 def cmd_concat(args) -> None:
@@ -1054,14 +1079,16 @@ def main(argv=None) -> None:
     cc.set_defaults(fn=cmd_cluster)
 
     kn = sub.add_parser("knn", help="vector search: exact / filtered / "
-                                    "ivf / sq8 / pq-adc top-k")
+                                    "ivf / sq8 / pq-adc / binary-hamming "
+                                    "/ mmr-diversified top-k")
     kn.add_argument("--emb", required=True,
                     help="embeddings parquet (vec_id, embedding, ...)")
     kn.add_argument("--query-id", type=int, default=0,
                     help="vec_id whose embedding is the query")
     kn.add_argument("-k", type=int, default=10)
     kn.add_argument("--method", default="exact",
-                    choices=["exact", "ivf", "sq", "pq", "ivfpq"])
+                    choices=["exact", "ivf", "sq", "pq", "ivfpq",
+                             "binary", "mmr"])
     kn.add_argument("--filter", help="SQL predicate over the embeddings "
                                      "table (pre-filter allow-set), "
                                      "e.g. \"label = 3\"")
@@ -1072,8 +1099,23 @@ def main(argv=None) -> None:
     kn.add_argument("--codebook-k", type=int, default=16,
                     help="pq centroids per subspace")
     kn.add_argument("--rerank", type=int, default=0,
-                    help="exact rerank pool for sq/pq")
+                    help="exact rerank pool for sq/pq/binary")
+    kn.add_argument("--planes", type=int, default=16,
+                    help="SRP planes for --method binary")
+    kn.add_argument("--window", type=int, default=50,
+                    help="relevance window for --method mmr")
+    kn.add_argument("--lam", type=float, default=0.7,
+                    help="MMR relevance weight (1.0 = pure relevance)")
     kn.set_defaults(fn=cmd_knn)
+
+    kwp = sub.add_parser("keywords", help="per-doc tf-idf keywords "
+                                          "from a built store")
+    kwp.add_argument("--index-dir", required=True)
+    kwp.add_argument("--top", type=int, default=3)
+    kwp.add_argument("--zone")
+    kwp.add_argument("--out", help="write parquet instead of printing "
+                                   "the first 30 rows")
+    kwp.set_defaults(fn=cmd_keywords)
 
     ct = sub.add_parser("concat", help="append a source store's chunks "
                                        "onto a destination store "
