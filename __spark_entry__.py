@@ -3785,6 +3785,19 @@ def _r04s10_engine_queries() -> dict[str, Callable[[SparkSession, str],
              emb.filter("vec_id = 0").first()["embedding"]]
         return srp_hamming_topk(emb, q, k=10, n_planes=16, rerank=50)
 
+    def phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # phrase "did you mean": whole-query corrections ranked by the
+        # add-alpha bigram LM — candidate generation (pinned fuzzy
+        # order), the LM counts, and the cross-product scoring are all
+        # value-checked
+        from index_spark.operators.query import suggest_phrase
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return suggest_phrase(index, raw, "dat tabl", k=5, max_dist=2,
+                              max_expansions=3, alpha=0.5, stem=False,
+                              camel=False)
+
     def mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # MMR diversification (Carbonell & Goldstein 1998): greedy
         # lam*rel - (1-lam)*max-sim over a 20-vector cosine window —
@@ -3806,7 +3819,8 @@ def _r04s10_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "cardinality_facet": cardinality_facet,
             "doc_keywords": doc_keywords_q,
             "srp_hamming_topk": srp_hamming,
-            "mmr_topk": mmr_topk}
+            "mmr_topk": mmr_topk,
+            "phrase_suggest": phrase_suggest}
 
 
 # Gopher battery oracle: the identical deterministic decoration (wrap /
@@ -4087,6 +4101,67 @@ scored AS (
   FROM cand c JOIN v USING (vec_id) CROSS JOIN qv)
 SELECT vec_id, hamming, cos FROM scored
 ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
+
+
+def _phrase_suggest_duck_sql(qterms: list[str], c: int = 3,
+                             k: int = 5, alpha: float = 0.5,
+                             max_dist: int = 2) -> str:
+    """Phrase-suggester restatement: per-position fuzzy candidates
+    (df desc / term asc over the levenshtein neighborhood — the pinned
+    fuzzy_expand order), the cross product, and the add-alpha bigram-LM
+    score (``e0`` literals pin DOUBLE)."""
+    a = f"{alpha}e0"
+    n = len(qterms)
+    cands = []
+    for i, q in enumerate(qterms):
+        cands.append(f"""
+, cand{i} AS (
+  SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+  FROM dft WHERE levenshtein(term, '{q}') <= {max_dist})""")
+    cross = " CROSS JOIN ".join(
+        f"(SELECT term AS w{i} FROM cand{i} WHERE rn <= {c}) c{i}"
+        for i in range(n))
+    phrase_expr = " || ' ' || ".join(f"w{i}" for i in range(n))
+    changed = " + ".join(
+        f"(CASE WHEN w{i} <> '{qterms[i]}' THEN 1 ELSE 0 END)"
+        for i in range(n))
+    uni_joins = "\n".join(
+        f"  LEFT JOIN uni u{i} ON u{i}.term = w{i}" for i in range(n))
+    bi_joins = "\n".join(
+        f"  LEFT JOIN big b{i} ON b{i}.a = w{i} AND b{i}.b = w{i + 1}"
+        for i in range(n - 1))
+    score = (f"ln((coalesce(u0.c, 0) + {a}) / (tot.n + {a} * tot.v))"
+             + "".join(
+                 f"\n         + ln((coalesce(b{i}.c, 0) + {a})"
+                 f" / (coalesce(u{i}.c, 0) + {a} * tot.v))"
+                 for i in range(n - 1)))
+    return f"""
+, toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents)
+, pos AS (SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS p
+          FROM toks)
+, tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT term) AS BIGINT) AS v FROM tok)
+, uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok
+          GROUP BY term)
+, big AS (SELECT p0.term AS a, p1.term AS b,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM pos p0 JOIN pos p1
+            ON p1.doc_id = p0.doc_id AND p1.p = p0.p + 1
+          GROUP BY p0.term, p1.term){"".join(cands)}
+, phrases AS (SELECT * FROM {cross})
+, scored AS (
+  SELECT {phrase_expr} AS phrase,
+         round({score}, 6) AS logp,
+         CAST({changed} AS BIGINT) AS n_changed
+  FROM phrases CROSS JOIN tot
+{uni_joins}
+{bi_joins})
+SELECT phrase, logp, n_changed FROM scored
+ORDER BY logp DESC, phrase ASC LIMIT {k}"""
 
 
 def _mmr_duck_sql(k: int = 5, window: int = 20,
@@ -5009,6 +5084,8 @@ ORDER BY doc_id, line_no""")
     add("srp_hamming_topk", eng10["srp_hamming_topk"],
         _srp_hamming_duck_sql())
     add("mmr_topk", eng10["mmr_topk"], _mmr_duck_sql())
+    add("phrase_suggest", eng10["phrase_suggest"],
+        _docs_sql("duck", _phrase_suggest_duck_sql(["dat", "tabl"])))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

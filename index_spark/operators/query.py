@@ -3096,3 +3096,100 @@ def fielded_search(index: DataFrame, zone_stats: dict, query: str,
 
     local = hits.groupBy("shard").applyInPandas(fn, schema=TOPK_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def suggest_phrase(index: DataFrame | None, corpus: DataFrame,
+                   query: str, k: int = 3, max_dist: int = 1,
+                   max_expansions: int = 3, alpha: float = 0.5,
+                   stem: bool = True, camel: bool = True,
+                   zone: str | None = None,
+                   dictionary: DataFrame | None = None,
+                   trigram: DataFrame | None = None,
+                   text_col: str = "text") -> DataFrame:
+    """Phrase "did you mean" (the Lucene PhraseSuggester shape): rank
+    whole-query corrections by an add-alpha bigram language model over
+    the corpus, instead of correcting terms independently — "dat tabl"
+    should propose "data table" because that BIGRAM is frequent, even
+    when each term has several equally-near unigram neighbors.
+
+    Candidates per query position are :func:`fuzzy_expand`'s pinned
+    top-``max_expansions`` dictionary terms within ``max_dist`` (edit
+    distance 0 keeps the original term in its own candidate list when
+    it exists). Candidate phrases are the positions' cross product
+    (bounded by max_expansions^len — keep both small), scored
+
+        ln((c(w1)+a)/(N+aV)) + sum_i ln((c(w_i,w_i+1)+a)/(c(w_i)+aV))
+
+    with token counts c(.) from the SQL-parity tokenizer over
+    ``corpus`` (the same add-alpha convention as
+    ``lm.bigram_lm_scores``). Returns (phrase, logp, n_changed) top-k
+    by logp desc / phrase asc, logp rounded to 6.
+
+    Scale shape: candidate generation is the dictionary/trigram fuzzy
+    path (bounded rows); the LM counts are two map-combinable
+    aggregates PRUNED to the candidate vocabulary / candidate adjacent
+    pairs before the shuffle; the cross product and the final scoring
+    arithmetic run on the driver over those bounded collected counts —
+    pure comparisons and ln over exact integers, which keeps the whole
+    suggester SQL-restatable value-for-value."""
+    from itertools import product
+
+    from index_spark.functions.text import TOKENS_SQL
+
+    spark = corpus.sparkSession
+    out_schema = "phrase string, logp double, n_changed long"
+    qterms = tokenize(query, stem=stem, camel=camel)
+    if not qterms:
+        return spark.createDataFrame([], out_schema)
+    if len(qterms) > 4:
+        raise ValueError("suggest_phrase supports <= 4 query terms "
+                         "(the candidate cross product is exponential)")
+    exp = fuzzy_expand(index, sorted(set(qterms)), max_dist=max_dist,
+                       max_expansions=max_expansions, zone=zone,
+                       dictionary=dictionary, trigram=trigram)
+    cand_lists = [exp.get(t, []) for t in qterms]
+    if any(not c for c in cand_lists):
+        return spark.createDataFrame([], out_schema)
+    vocab = sorted({w for c in cand_lists for w in c})
+
+    toks = F.expr(TOKENS_SQL.format(col=text_col))
+    t = corpus.select(toks.alias("t"))
+    # totals: N tokens, V distinct terms (one combinable aggregate)
+    tot = t.select(F.explode_outer("t").alias("w")) \
+           .filter(F.col("w").isNotNull()) \
+           .agg(F.count("*").alias("n"),
+                F.countDistinct("w").alias("v")).collect()[0]
+    n_total, v_size = int(tot["n"]), int(tot["v"])
+    uni = {r["w"]: int(r["c"]) for r in
+           t.select(F.explode_outer("t").alias("w"))
+            .filter(F.col("w").isin(vocab))
+            .groupBy("w").agg(F.count("*").alias("c")).collect()}
+    pairs_wanted = {(a, b) for c1, c2 in zip(cand_lists, cand_lists[1:])
+                    for a in c1 for b in c2}
+    bi: dict[tuple[str, str], int] = {}
+    if pairs_wanted:
+        lefts = sorted({a for a, _ in pairs_wanted})
+        bg = F.expr("transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i - 1] AS w1, t[i] AS w2))")
+        bi_rows = (t.filter(F.size("t") >= 2)
+                   .select(F.explode_outer(bg).alias("b"))
+                   .filter(F.col("b.w1").isin(lefts)
+                           & F.col("b.w2").isin(vocab))
+                   .groupBy("b.w1", "b.w2")
+                   .agg(F.count("*").alias("c")).collect())
+        bi = {(r["w1"], r["w2"]): int(r["c"]) for r in bi_rows
+              if (r["w1"], r["w2"]) in pairs_wanted}
+
+    import math as _math
+
+    rows = []
+    for combo in product(*cand_lists):
+        lp = _math.log((uni.get(combo[0], 0) + alpha)
+                       / (n_total + alpha * v_size))
+        for a, b in zip(combo, combo[1:]):
+            lp += _math.log((bi.get((a, b), 0) + alpha)
+                            / (uni.get(a, 0) + alpha * v_size))
+        changed = sum(1 for w, q0 in zip(combo, qterms) if w != q0)
+        rows.append((" ".join(combo), round(lp, 6), changed))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(rows[:k], out_schema)

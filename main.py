@@ -276,6 +276,20 @@ def cmd_suggest(args) -> None:
         rows = suggest_corrections(idx, args.query, dictionary=d).collect()
         out["suggest"] = [{"qterm": r["qterm"], "suggestion": r["suggestion"],
                            "df": r["df"]} for r in rows]
+    if args.phrase:
+        # whole-query corrections via the bigram LM (needs the corpus
+        # text for adjacency counts — the store keeps dims, not text)
+        if not args.corpus:
+            raise SystemExit("--phrase needs --corpus (documents parquet "
+                             "with a text column)")
+        from index_spark.operators.query import suggest_phrase
+
+        corpus = spark.read.parquet(args.corpus)
+        rows = suggest_phrase(idx, corpus, args.phrase, k=args.top,
+                              max_dist=args.max_dist,
+                              dictionary=d).collect()
+        out["phrase"] = [{"phrase": r["phrase"], "logp": r["logp"],
+                          "n_changed": r["n_changed"]} for r in rows]
     print(json.dumps(out))
 
 
@@ -954,6 +968,12 @@ def main(argv=None) -> None:
     sg.add_argument("--index-dir", required=True)
     sg.add_argument("--prefix", help="autocomplete this prefix")
     sg.add_argument("--query", help="spell-suggest absent terms of this query")
+    sg.add_argument("--phrase", help="bigram-LM whole-query correction "
+                                     "(phrase 'did you mean')")
+    sg.add_argument("--corpus", help="documents parquet for --phrase "
+                                     "adjacency counts")
+    sg.add_argument("--max-dist", type=int, default=1,
+                    help="edit-distance radius for --phrase candidates")
     sg.add_argument("--top", type=int, default=10)
     sg.set_defaults(fn=cmd_suggest)
 

@@ -619,3 +619,79 @@ def test_mmr_validates(spark):
         mmr_rerank(emb, [1.0, 0.0], lam=1.5)
     with pytest.raises(ValueError, match="window"):
         mmr_rerank(emb, [1.0, 0.0], k=10, window=5)
+
+
+# --------------------------------------------------- phrase suggester
+
+def test_suggest_phrase_prefers_frequent_bigram(spark):
+    """'grean tee' — 'green' and 'great' are both distance-1 unigram
+    neighbors of 'grean', and 'great' is MORE frequent as a unigram;
+    the bigram LM still picks 'green tea' because that pair dominates
+    the adjacency counts (the reason a phrase suggester exists)."""
+    from index_spark.operators.build import build_index
+    from index_spark.operators.query import suggest_phrase
+
+    texts = (["green tea"] * 6
+             + ["great war", "great war", "great wall",
+                "great scott", "great again", "great again",
+                "great again"])  # 'great' cf=7 > 'green' cf=6
+    corpus = spark.createDataFrame(
+        [("r", f"d{i}", t) for i, t in enumerate(texts)],
+        "repo string, path string, content string")
+    docs, index, stats = build_index(corpus, stem=False, camel=False,
+                                     shard_size=32)
+    docs_tbl = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    out = suggest_phrase(index, docs_tbl, "grean tee", k=3, max_dist=2,
+                         max_expansions=3, stem=False,
+                         camel=False).collect()
+    assert out[0]["phrase"] == "green tea"
+    assert out[0]["n_changed"] == 2
+    # scores strictly ordered, 6-dp rounded
+    lps = [r["logp"] for r in out]
+    assert lps == sorted(lps, reverse=True)
+
+
+def test_suggest_phrase_hand_logp(spark):
+    """Pin the add-alpha arithmetic on a 3-doc corpus."""
+    import math
+
+    from index_spark.operators.build import build_index
+    from index_spark.operators.query import suggest_phrase
+
+    texts = ["aa bb", "aa bb", "aa cc"]
+    corpus = spark.createDataFrame(
+        [("r", f"d{i}", t) for i, t in enumerate(texts)],
+        "repo string, path string, content string")
+    docs, index, stats = build_index(corpus, stem=False, camel=False,
+                                     shard_size=32)
+    docs_tbl = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    out = suggest_phrase(index, docs_tbl, "aa bb", k=1, max_dist=1,
+                         max_expansions=1, alpha=0.5, stem=False,
+                         camel=False).collect()[0]
+    # N=6 tokens, V=3, c(aa)=3, c(aa bb)=2
+    exp = (math.log((3 + 0.5) / (6 + 0.5 * 3))
+           + math.log((2 + 0.5) / (3 + 0.5 * 3)))
+    assert out["phrase"] == "aa bb" and out["n_changed"] == 0
+    assert out["logp"] == round(exp, 6)
+
+
+def test_suggest_phrase_edges(spark):
+    from index_spark.operators.build import build_index
+    from index_spark.operators.query import suggest_phrase
+
+    corpus = spark.createDataFrame(
+        [("r", "d0", "alpha beta")],
+        "repo string, path string, content string")
+    docs, index, stats = build_index(corpus, stem=False, camel=False,
+                                     shard_size=32)
+    docs_tbl = spark.createDataFrame([(0, "alpha beta")],
+                                     "doc_id long, text string")
+    # a position with NO candidates empties the suggestion set
+    out = suggest_phrase(index, docs_tbl, "alpha zzzzzzzzz", k=3,
+                         max_dist=1, stem=False, camel=False)
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="4 query terms"):
+        suggest_phrase(index, docs_tbl, "a b c d e", stem=False,
+                       camel=False)
