@@ -721,8 +721,12 @@ def facet_percentiles(index: DataFrame, doc_meta: DataFrame, query: str,
         cols.append(F.col(by))
     joined = m.join(doc_meta.select(*cols), "doc_id")
     fn = "percentile_approx" if approx else "percentile"
-    aggs = [F.round(F.expr(f"{fn}(_v, {p!r})"), 4)
-             .alias(f"p{int(p * 100)}") for p in percentiles]
+    names = [f"p{round(p * 100)}" for p in percentiles]
+    if len(set(names)) < len(names):
+        raise ValueError(f"percentiles collide at integer-percent "
+                         f"column names: {names}")
+    aggs = [F.round(F.expr(f"{fn}(_v, {p!r})"), 4).alias(n)
+            for p, n in zip(percentiles, names)]
     if by is None:
         return joined.agg(*aggs)
     return joined.groupBy(by).agg(*aggs).orderBy(by)
@@ -750,9 +754,13 @@ def facet_cardinality(index: DataFrame, doc_meta: DataFrame, query: str,
 
     m = matching_docs(index, query, mode=mode, stem=stem, camel=camel,
                       zone=zone)
+    # NULL attributes count in NEITHER side: countDistinct skips NULLs,
+    # and md5(NULL)'s all-NULL nibbles would otherwise become a real
+    # register (inflating the sketch by exactly one "value" per group)
     joined = m.join(doc_meta.select(F.col("doc_id").cast("long"),
                                     F.col(value).alias("_v"),
-                                    F.col(by)), "doc_id")
+                                    F.col(by)), "doc_id") \
+              .filter(F.col("_v").isNotNull())
     sk = hll_cardinality_by(joined, "_v", by) \
         .withColumn("hll_estimate", F.round("hll_estimate", 3))
     if not exact:

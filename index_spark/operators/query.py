@@ -3120,18 +3120,25 @@ def suggest_phrase(index: DataFrame | None, corpus: DataFrame,
 
         ln((c(w1)+a)/(N+aV)) + sum_i ln((c(w_i,w_i+1)+a)/(c(w_i)+aV))
 
-    with token counts c(.) from the SQL-parity tokenizer over
-    ``corpus`` (the same add-alpha convention as
-    ``lm.bigram_lm_scores``). Returns (phrase, logp, n_changed) top-k
-    by logp desc / phrase asc, logp rounded to 6.
+    with token counts c(.) over ``corpus`` tokenized with the CALLER's
+    ``stem``/``camel`` flags — the LM counts must live in the same
+    token space as the dictionary candidates, or a stemmed store's
+    candidates would all score the bare smoothing constant (the
+    add-alpha convention itself matches ``lm.bigram_lm_scores``).
+    stem=False + camel=False is the SQL-parity spec the driver oracle
+    restates; the stemmed path runs the engine tokenizer Arrow-batched.
+    Returns (phrase, logp, n_changed) top-k by logp desc / phrase asc,
+    logp rounded to 6.
 
     Scale shape: candidate generation is the dictionary/trigram fuzzy
-    path (bounded rows); the LM counts are two map-combinable
-    aggregates PRUNED to the candidate vocabulary / candidate adjacent
-    pairs before the shuffle; the cross product and the final scoring
-    arithmetic run on the driver over those bounded collected counts —
-    pure comparisons and ln over exact integers, which keeps the whole
-    suggester SQL-restatable value-for-value."""
+    path (bounded rows); the token relation is cached so the three
+    count aggregates (totals, candidate unigrams, candidate bigrams —
+    each map-combinable, the latter two PRUNED to the candidate
+    vocabulary / adjacent pairs before the shuffle) tokenize the corpus
+    once; the cross product and the final scoring arithmetic run on
+    the driver over those bounded collected counts — pure comparisons
+    and ln over exact integers, which keeps the whole suggester
+    SQL-restatable value-for-value."""
     from itertools import product
 
     from index_spark.functions.text import TOKENS_SQL
@@ -3152,8 +3159,19 @@ def suggest_phrase(index: DataFrame | None, corpus: DataFrame,
         return spark.createDataFrame([], out_schema)
     vocab = sorted({w for c in cand_lists for w in c})
 
-    toks = F.expr(TOKENS_SQL.format(col=text_col))
-    t = corpus.select(toks.alias("t"))
+    if stem or camel:
+        # engine tokenizer (Arrow-batched) — same token space as the
+        # dictionary the candidates came from
+        @F.pandas_udf("array<string>")
+        def _tok(texts: pd.Series) -> pd.Series:
+            return texts.map(
+                lambda s: tokenize(s or "", stem=stem, camel=camel))
+
+        t = corpus.select(_tok(F.col(text_col)).alias("t"))
+    else:
+        t = corpus.select(
+            F.expr(TOKENS_SQL.format(col=text_col)).alias("t"))
+    t = t.persist()  # three bounded aggregates, one tokenize pass
     # totals: N tokens, V distinct terms (one combinable aggregate)
     tot = t.select(F.explode_outer("t").alias("w")) \
            .filter(F.col("w").isNotNull()) \
@@ -3179,6 +3197,8 @@ def suggest_phrase(index: DataFrame | None, corpus: DataFrame,
                    .agg(F.count("*").alias("c")).collect())
         bi = {(r["w1"], r["w2"]): int(r["c"]) for r in bi_rows
               if (r["w1"], r["w2"]) in pairs_wanted}
+
+    t.unpersist()
 
     import math as _math
 

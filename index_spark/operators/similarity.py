@@ -327,6 +327,22 @@ def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
                     F.coalesce(~F.col("dup"), F.lit(True)).alias("keep")))
 
 
+def _pair_cos_expr(va: str, vb: str, digits: int) -> F.Column:
+    """round(cosine(va, vb), digits) as a pure JVM fold over two vector
+    columns — the ONE pairwise-cosine expression every pair kernel
+    (k-means-bucket, SRP-band, MMR sim matrix) shares, so a policy
+    change (zero-norm guard, cast) lands everywhere at once."""
+    dot = F.aggregate(F.zip_with(va, vb, lambda a, b: a.cast("double") * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(
+        F.transform(va, lambda a: a.cast("double") * a),
+        F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(
+        F.transform(vb, lambda a: a.cast("double") * a),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return F.round(dot / (na * nb), digits)
+
+
 def embedding_near_dup_pairs(bucketed: DataFrame, threshold: float = 0.95,
                              vec_col: str = "embedding",
                              id_col: str = "vec_id") -> DataFrame:
@@ -342,14 +358,8 @@ def embedding_near_dup_pairs(bucketed: DataFrame, threshold: float = 0.95,
                         F.col(vec_col).alias("vb"))
     pairs = l.join(r, "bucket").where(F.col("vec_a") < F.col("vec_b")) \
              .dropDuplicates(["vec_a", "vec_b"])  # multi-assign overlap
-    dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a.cast("double") * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform("va", lambda a: a.cast("double") * a),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform("vb", lambda a: a.cast("double") * a),
-                            F.lit(0.0), lambda acc, x: acc + x))
     return (
-        pairs.withColumn("cos", F.round(dot / (na * nb), 4))
+        pairs.withColumn("cos", _pair_cos_expr("va", "vb", 4))
         .where(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
@@ -780,34 +790,30 @@ def srp_near_dup_pairs(emb: DataFrame, n_planes: int = 16,
                        .withColumnRenamed("_v", "va"), "vec_a")
              .join(vecs.withColumnRenamed("vec_id", "vec_b")
                        .withColumnRenamed("_v", "vb"), "vec_b"))
-    dot = F.aggregate(F.zip_with("va", "vb",
-                                 lambda a, b: a.cast("double") * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(
-        F.transform("va", lambda a: a.cast("double") * a),
-        F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(
-        F.transform("vb", lambda a: a.cast("double") * a),
-        F.lit(0.0), lambda acc, x: acc + x))
-    return (pairs.withColumn("cos", F.round(dot / (na * nb), 4))
+    return (pairs.withColumn("cos", _pair_cos_expr("va", "vb", 4))
             .where(F.col("cos") >= threshold)
             .select("vec_a", "vec_b", "cos"))
 
 
 def srp_bits_df(emb: DataFrame, n_planes: int = 16,
                 vec_col: str = "embedding", id_col: str = "vec_id",
-                seed: str = "srp") -> DataFrame:
+                seed: str = "srp",
+                _signs: np.ndarray | None = None) -> DataFrame:
     """(vec_id, bits) — the SRP signature packed into ONE little-endian
     integer bitmask per vector (bit p = [dot(v, plane_p) >= 0]); the
-    at-rest form of a binary embedding index (8 bytes per vector at
-    n_planes <= 64). Map-only JVM codegen, like
-    :func:`srp_signatures`."""
+    at-rest form of a binary embedding index (one signed long, so up to
+    63 planes). Map-only JVM codegen, like :func:`srp_signatures`.
+    ``_signs``: a precomputed plane matrix (callers that already probed
+    the dimension skip the one-row probe and the md5 regeneration)."""
     if not 1 <= n_planes <= 63:
         raise ValueError("n_planes must be in 1..63 for a long bitmask")
-    first = emb.select(F.size(vec_col).alias("d")).first()
-    if first is None:
-        raise ValueError("empty embedding relation")
-    signs = srp_signs(first["d"], n_planes, seed=seed)
+    if _signs is not None:
+        signs = _signs
+    else:
+        first = emb.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("empty embedding relation")
+        signs = srp_signs(first["d"], n_planes, seed=seed)
 
     def dot(p: int) -> F.Column:
         lits = F.array(*[F.lit(float(s)) for s in signs[p]])
@@ -827,7 +833,8 @@ def srp_bits_df(emb: DataFrame, n_planes: int = 16,
 def srp_hamming_topk(emb: DataFrame, qvec: list[float], k: int = 10,
                      n_planes: int = 16, vec_col: str = "embedding",
                      id_col: str = "vec_id", seed: str = "srp",
-                     rerank: int | None = None) -> DataFrame:
+                     rerank: int | None = None,
+                     restrict: DataFrame | None = None) -> DataFrame:
     """Binary-signature ANN (FAISS ``IndexBinaryFlat`` shape): rank by
     hamming distance between each vector's SRP bitmask and the query's
     — E[hamming] = n_planes·θ/π, so hamming order approximates angular
@@ -836,24 +843,28 @@ def srp_hamming_topk(emb: DataFrame, qvec: list[float], k: int = 10,
     exact cosine re-orders the top-c hamming candidates (the standard
     binary-prefilter + exact-rerank serving stack).
 
+    ``restrict``: optional (vec_id) allow-set, semi-joined BEFORE the
+    bitmask scan (pre-filter, same contract as :func:`cosine_topk`).
+
     Plan: bitmask scan is map-only codegen, the distance is one
     ``bit_count(bits ^ q)`` per row (no per-dimension arithmetic at
     query time — the point of a binary index), and the cut is
     TakeOrderedAndProject."""
-    import hashlib  # noqa: F401  (srp_signs uses it; keep import local)
-
-    first = emb.select(F.size(vec_col).alias("d")).first()
-    if first is None:
-        raise ValueError("empty embedding relation")
-    signs = srp_signs(first["d"], n_planes, seed=seed)
+    signs = srp_signs(len(qvec), n_planes, seed=seed)
     q = np.asarray(qvec, dtype=np.float64)
     qbits = 0
     for p in range(n_planes):
         if float(signs[p] @ q) >= 0:
             qbits |= 1 << p
-    scored = (srp_bits_df(emb.select(F.col(id_col), F.col(vec_col)),
+    src = emb
+    if restrict is not None:
+        allow = restrict.select(F.col("vec_id").cast("long")
+                                .alias("_rid")).distinct()
+        src = emb.join(allow, emb[id_col].cast("long") == allow["_rid"],
+                       "semi")
+    scored = (srp_bits_df(src.select(F.col(id_col), F.col(vec_col)),
                           n_planes=n_planes, vec_col=vec_col,
-                          id_col=id_col, seed=seed)
+                          id_col=id_col, seed=seed, _signs=signs)
               .select("vec_id",
                       F.bit_count(F.col("bits").bitwiseXOR(
                           F.lit(qbits).cast("long"))).cast("long")
@@ -902,18 +913,9 @@ def mmr_rerank(emb: DataFrame, qvec: list[float], k: int = 5,
          .join(rel_df.select("vec_id"), "vec_id", "semi"))
     a = w.select(F.col("vec_id").alias("_a"), F.col("_v").alias("_va"))
     b = w.select(F.col("vec_id").alias("_b"), F.col("_v").alias("_vb"))
-    dot = F.aggregate(F.zip_with("_va", "_vb",
-                                 lambda x, y: x.cast("double") * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(
-        F.transform("_va", lambda x: x.cast("double") * x),
-        F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(
-        F.transform("_vb", lambda x: x.cast("double") * x),
-        F.lit(0.0), lambda acc, x: acc + x))
     sims = (a.join(b, F.col("_a") != F.col("_b"))
             .select(F.col("_a"), F.col("_b"),
-                    F.round(dot / (na * nb), 6).alias("_sim")))
+                    _pair_cos_expr("_va", "_vb", 6).alias("_sim")))
 
     rel = {r["vec_id"]: r["cos"] for r in rel_df.collect()}  # <= window
     sim = {(r["_a"], r["_b"]): r["_sim"]

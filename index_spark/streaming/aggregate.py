@@ -173,10 +173,15 @@ def near_dup_stream(docs: DataFrame, text_col: str = "text",
     vectorized byte-equality passes — never per-row Python.
 
     Contracts and bounds:
-    - A pair colliding in several bands emits once per band (and never
-      twice for the same band): consumers ``dropDuplicates([doc_a,
-      doc_b])`` — the same pre-verify dedup the batch kernel does,
-      which a per-bucket stateful operator cannot do globally.
+    - A pair colliding in several bands emits once per band: consumers
+      ``dropDuplicates([doc_a, doc_b])`` — the same pre-verify dedup
+      the batch kernel does, which a per-bucket stateful operator
+      cannot do globally. Within one band, STORED members never re-pair
+      (re-delivered ids are filtered against the stored set); an
+      at-least-once source re-delivering an OVERFLOW doc (arrived after
+      the bucket cap, so not stored) re-emits its member pairs — the
+      price of bounding state, absorbed by the same consumer
+      dropDuplicates.
     - State per bucket caps at ``max_bucket`` members (the streaming
       form of the batch kernel's giant-bucket guard): later arrivals
       in an oversized bucket still compare against the stored members

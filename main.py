@@ -482,7 +482,8 @@ def cmd_knn(args) -> None:
     elif args.method == "binary":
         out = sim.srp_hamming_topk(emb, q, k=args.k,
                                    n_planes=args.planes,
-                                   rerank=args.rerank or None)
+                                   rerank=args.rerank or None,
+                                   restrict=restrict)
     elif args.method == "mmr":
         out = sim.mmr_rerank(emb, q, k=args.k, window=args.window,
                              lam=args.lam, restrict=restrict)

@@ -695,3 +695,84 @@ def test_suggest_phrase_edges(spark):
     with pytest.raises(ValueError, match="4 query terms"):
         suggest_phrase(index, docs_tbl, "a b c d e", stem=False,
                        camel=False)
+
+
+# ------------------------------------------- session-10 review fixes
+
+def test_suggest_phrase_stemmed_store(spark):
+    """Review fix: on a stem-built store the LM counts must live in the
+    SAME (stemmed) token space as the dictionary candidates — before
+    the fix every candidate scored the bare smoothing constant and the
+    'best' suggestion was alphabetical."""
+    from index_spark.operators.build import build_index
+    from index_spark.operators.query import suggest_phrase
+
+    texts = ["running tables"] * 5 + ["runtime tackle"]
+    corpus = spark.createDataFrame(
+        [("r", f"d{i}", t) for i, t in enumerate(texts)],
+        "repo string, path string, content string")
+    docs, index, stats = build_index(corpus, stem=True, camel=False,
+                                     shard_size=32)
+    docs_tbl = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    out = suggest_phrase(index, docs_tbl, "ru tabl", k=2, max_dist=1,
+                         max_expansions=3, stem=True,
+                         camel=False).collect()
+    # 'run tabl' (the stems of the dominant bigram) wins with a REAL
+    # count-backed score, not the unseen-smoothing constant (the
+    # pre-fix bug: stemmed candidates had zero unstemmed counts, so
+    # every phrase scored the identical constant)
+    assert out[0]["phrase"] == "run tabl"
+    assert out[0]["n_changed"] == 1
+
+
+def test_srp_hamming_restrict(spark, srp_emb):
+    """Review fix: the binary ANN honors a pre-filter allow-set."""
+    from index_spark.operators.similarity import srp_hamming_topk
+
+    df, vecs = srp_emb
+    allow = spark.createDataFrame([(i,) for i in range(20)],
+                                  "vec_id long")
+    q = [float(x) for x in vecs[0]]
+    out = srp_hamming_topk(df, q, k=10, restrict=allow).collect()
+    assert out and all(r["vec_id"] < 20 for r in out)
+    # planted dup 40 is outside the allow-set and must not appear
+    assert 40 not in {r["vec_id"] for r in out}
+
+
+def test_facet_percentiles_name_collision_raises(spark):
+    from index_spark.operators.build import build_index
+    from index_spark.operators.analytics import facet_percentiles
+
+    corpus = spark.createDataFrame([("r", "d0", "data")],
+                                   "repo string, path string, content string")
+    docs, index, stats = build_index(corpus, stem=False, camel=False,
+                                     shard_size=16)
+    meta = spark.createDataFrame([(0, 1)], "doc_id long, v long")
+    with pytest.raises(ValueError, match="collide"):
+        facet_percentiles(index, meta, "data", "v",
+                          percentiles=(0.99, 0.994), stem=False,
+                          camel=False)
+
+
+def test_facet_cardinality_null_values_excluded(spark):
+    """Review fix: NULL attributes count in neither the sketch nor the
+    exact column (a NULL used to inflate the register count by 1)."""
+    from index_spark.operators.build import build_index
+    from index_spark.operators.analytics import facet_cardinality
+
+    corpus = spark.createDataFrame(
+        [("r", f"d{i}", "data word") for i in range(4)],
+        "repo string, path string, content string")
+    docs, index, stats = build_index(corpus, stem=False, camel=False,
+                                     shard_size=16)
+    meta = spark.createDataFrame(
+        [(0, "s1", "en"), (1, None, "en"), (2, None, "zz"),
+         (3, None, "zz")],
+        "doc_id long, v string, lang string")
+    out = {r["lang"]: r for r in facet_cardinality(
+        index, meta, "data", "v", "lang", stem=False,
+        camel=False).collect()}
+    assert out["en"]["n_exact"] == 1
+    assert out["en"]["n_registers_hit"] == 1  # no NULL register
+    assert "zz" not in out  # all-NULL group disappears entirely
