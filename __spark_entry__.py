@@ -3785,6 +3785,26 @@ def _r04s10_engine_queries() -> dict[str, Callable[[SparkSession, str],
              emb.filter("vec_id = 0").first()["embedding"]]
         return srp_hamming_topk(emb, q, k=10, n_planes=16, rerank=50)
 
+    def spannear_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Lucene SpanNear(inOrder=false): unordered within-5 pairs of
+        # 'data'/'table' — both directed kernel passes value-checked
+        # against the single |diff| BETWEEN 1 AND 5 join
+        from index_spark.operators.phrase import proximity_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        return proximity_search(index, stats, "data", "table", window=5,
+                                k=10, stem=False, camel=False,
+                                shard_size=256, ordered=False)
+
+    def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Efraimidis-Spirakis weighted sampling without replacement:
+        # top-50 by ln(u)/w with the md5-policy draw, weight = n_chars
+        # — draws, keys, and the cut are all value-checked
+        from index_spark.operators.sample import weighted_sample
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return weighted_sample(docs, "n_chars", k=50, salt="ws")
+
     def phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # phrase "did you mean": whole-query corrections ranked by the
         # add-alpha bigram LM — candidate generation (pinned fuzzy
@@ -3820,7 +3840,9 @@ def _r04s10_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "doc_keywords": doc_keywords_q,
             "srp_hamming_topk": srp_hamming,
             "mmr_topk": mmr_topk,
-            "phrase_suggest": phrase_suggest}
+            "phrase_suggest": phrase_suggest,
+            "spannear_topk": spannear_topk,
+            "weighted_sample": weighted_sample_q}
 
 
 # Gopher battery oracle: the identical deterministic decoration (wrap /
@@ -4101,6 +4123,43 @@ scored AS (
   FROM cand c JOIN v USING (vec_id) CROSS JOIN qv)
 SELECT vec_id, hamming, cos FROM scored
 ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
+
+
+# unordered span-near: each |diff|-bounded pair once
+_ORACLE_SPANNEAR_DUCK = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos FROM toks
+), m AS (
+  SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM pos p0 JOIN pos p1 ON p1.doc_id = p0.doc_id
+       AND abs(p1.pos - p0.pos) BETWEEN 1 AND 5
+  WHERE p0.term = 'data' AND p1.term = 'table'
+  GROUP BY p0.doc_id
+)
+SELECT doc_id, n_matches FROM m
+ORDER BY n_matches DESC, doc_id ASC LIMIT 10"""
+
+
+def _weighted_sample_duck_sql(k: int = 50, salt: str = "ws") -> str:
+    """E-S draw restatement: the identical md5-nibble uniform and
+    ln(u)/w key (e0 literals pin DOUBLE)."""
+    hexd = "0123456789abcdef"
+    h = f"md5(doc_id || ':{salt}')"
+    v = " + ".join(
+        f"(instr('{hexd}', substr({h}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}.0e0"
+        for i in range(8))
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         round(ln((({v}) + 0.5e0) / 4294967296.0e0)
+               / CAST(n_chars AS DOUBLE), 6) AS es_key
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, weight, es_key FROM keyed
+ORDER BY es_key DESC, doc_id ASC LIMIT {k}"""
 
 
 def _phrase_suggest_duck_sql(qterms: list[str], c: int = 3,
@@ -5086,6 +5145,9 @@ ORDER BY doc_id, line_no""")
     add("mmr_topk", eng10["mmr_topk"], _mmr_duck_sql())
     add("phrase_suggest", eng10["phrase_suggest"],
         _docs_sql("duck", _phrase_suggest_duck_sql(["dat", "tabl"])))
+    add("spannear_topk", eng10["spannear_topk"], _ORACLE_SPANNEAR_DUCK)
+    add("weighted_sample", eng10["weighted_sample"],
+        _weighted_sample_duck_sql())
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -304,13 +304,20 @@ def proximity_search(index: DataFrame, stats: dict | None, term_a: str,
                      zone: str | None = None,
                      tombstones: DataFrame | None = None,
                      shard_size: int = 4096,
-                     style_shift: int = 0) -> DataFrame:
+                     style_shift: int = 0,
+                     ordered: bool = True) -> DataFrame:
     """Top-k within-window co-occurrence: (doc_id, n_matches) where
     n_matches counts ordered position pairs with ``0 < pos(term_b) -
     pos(term_a) <= window`` — the proximity generalization of phrase
     adjacency (window=1 over two terms == the phrase count). Same
     one-exchange plan shape as phrase_search; ``tombstones`` as there.
-    """
+
+    ``ordered=False`` is Lucene ``SpanNearQuery(inOrder=false)``: each
+    unordered pair with ``1 <= |pos diff| <= window`` counts once —
+    computed as the two directed passes summed (their sign-disjoint
+    windows cannot double-count a pair). For ``term_a == term_b`` the
+    directed count already enumerates each unordered pair once, so the
+    flag is a no-op there."""
     spark = index.sparkSession
     ta = tokenize(term_a, stem=stem, camel=camel)
     tb = tokenize(term_b, stem=stem, camel=camel)
@@ -330,6 +337,17 @@ def proximity_search(index: DataFrame, stats: dict | None, term_a: str,
         d0, p0 = _term_occurrences(groups[ta], style_shift)
         d1, p1 = _term_occurrences(groups[tb], style_shift)
         docs, cnt = _pair_window_counts(d0, p0, d1, p1, window)
+        if not ordered and ta != tb:
+            docs_r, cnt_r = _pair_window_counts(d1, p1, d0, p0, window)
+            merged: dict[int, int] = {
+                int(d): int(c) for d, c in zip(docs, cnt)}
+            for d, c in zip(docs_r, cnt_r):
+                merged[int(d)] = merged.get(int(d), 0) + int(c)
+            ud = np.fromiter(sorted(merged), np.int64, count=len(merged))
+            return pd.DataFrame({
+                "doc_id": ud,
+                "n_matches": np.fromiter((merged[int(d)] for d in ud),
+                                         np.int64, count=ud.size)})
         return pd.DataFrame({"doc_id": docs, "n_matches": cnt})
 
     return _local_positional_topk(index, hits, kernel, k, tombstones,

@@ -284,3 +284,40 @@ def assign_splits(df: DataFrame, weights: list[tuple[str, float]]
     for name, thr in reversed(arms):
         expr = F.when(u < F.lit(thr), F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def weighted_sample(df: DataFrame, weight_col: str, k: int,
+                    key_col: str = "doc_id",
+                    salt: str = "ws") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006): take the k rows maximizing
+    ``u^(1/w)`` — equivalently ``ln(u)/w`` — where u is a uniform draw
+    and w the row's weight. The inclusion distribution matches
+    sequential weighted draws without replacement; a doubled weight
+    doubles a row's first-draw odds.
+
+    The draw is the engine's md5 policy: u = (v + 0.5) / 2^32 with v
+    the first 8 md5 nibbles of ``key:salt`` — no RNG, reproducible
+    across engines/partitionings, same-key rows keep the same draw
+    under any rate/k change (supersets nest like
+    :func:`sample_stratified`). Rows with weight <= 0 are excluded
+    (the E-S contract requires positive weights).
+
+    Output (key, weight, es_key) with es_key = round(ln(u)/w, 6),
+    ranked es_key desc / key asc; the cut compiles to
+    TakeOrderedAndProject — map-only before the k-row heap merge, no
+    corpus sort, no collect."""
+    hexd = "0123456789abcdef"
+    h = (f"md5(concat(cast({key_col} as string), ':', '{salt}'))")
+    v = " + ".join(
+        f"(instr('{hexd}', substr({h}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}.0e0"
+        for i in range(8))
+    u = f"(({v}) + 0.5e0) / 4294967296.0e0"
+    w = F.col(weight_col).cast("double")
+    return (df.filter(w > 0)
+            .select(F.col(key_col),
+                    w.alias("weight"),
+                    F.round(F.expr(f"ln({u})") / w, 6).alias("es_key"))
+            .orderBy(F.desc("es_key"), F.asc(key_col))
+            .limit(k))

@@ -776,3 +776,62 @@ def test_facet_cardinality_null_values_excluded(spark):
     assert out["en"]["n_exact"] == 1
     assert out["en"]["n_registers_hit"] == 1  # no NULL register
     assert "zz" not in out  # all-NULL group disappears entirely
+
+
+# ----------------------------------- unordered span-near / weighted sample
+
+def test_proximity_unordered_counts(spark, span_built):
+    """'table data' (reverse order) matches only with ordered=False."""
+    from index_spark.operators.phrase import proximity_search
+
+    index, stats = span_built
+    # corpus doc 0: 'x y z data table w' — 'table' precedes 'data'
+    # nowhere, so ordered table->data finds nothing there
+    fwd = {r["doc_id"]: r["n_matches"] for r in proximity_search(
+        index, stats, "table", "data", window=3, stem=False,
+        camel=False).collect()}
+    both = {r["doc_id"]: r["n_matches"] for r in proximity_search(
+        index, stats, "table", "data", window=3, stem=False,
+        camel=False, ordered=False).collect()}
+    rev = {r["doc_id"]: r["n_matches"] for r in proximity_search(
+        index, stats, "data", "table", window=3, stem=False,
+        camel=False).collect()}
+    # unordered = directed(a,b) + directed(b,a), per doc
+    for d in set(fwd) | set(rev):
+        assert both.get(d, 0) == fwd.get(d, 0) + rev.get(d, 0)
+    assert 0 in both and 0 not in fwd  # reverse-only doc appears
+
+
+def test_weighted_sample_properties(spark):
+    from index_spark.operators.sample import weighted_sample
+
+    rows = [(i, (i % 5) + 1) for i in range(200)] + [(900, 0), (901, -3)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_sample(df, "w", k=30, salt="t")
+    got = out.collect()
+    assert len(got) == 30
+    ids = [r["doc_id"] for r in got]
+    assert 900 not in ids and 901 not in ids  # non-positive excluded
+    # deterministic: same call, same sample
+    again = [r["doc_id"] for r in weighted_sample(df, "w", k=30,
+                                                  salt="t").collect()]
+    assert ids == again
+    # keys ordered desc; k=10 is a prefix of k=30 (nesting)
+    keys = [r["es_key"] for r in got]
+    assert keys == sorted(keys, reverse=True)
+    top10 = [r["doc_id"] for r in weighted_sample(df, "w", k=10,
+                                                  salt="t").collect()]
+    assert top10 == ids[:10]
+
+
+def test_weighted_sample_biases_toward_weight(spark):
+    """Over many keys, heavy rows (w=10) should dominate light rows
+    (w=1) in the sample — a distributional sanity check."""
+    from index_spark.operators.sample import weighted_sample
+
+    rows = [(i, 10 if i < 500 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [r["doc_id"] for r in weighted_sample(df, "w", k=100,
+                                                salt="b").collect()]
+    heavy = sum(1 for i in got if i < 500)
+    assert heavy > 75  # E[heavy] ~ 91 of 100; far above parity
