@@ -329,14 +329,27 @@ def cmd_vacuum(args) -> None:
 
 
 def cmd_phrase(args) -> None:
-    from index_spark.operators.phrase import phrase_search
+    from index_spark.operators.phrase import (
+        phrase_search,
+        sloppy_phrase_search,
+        span_first_search,
+    )
     from index_spark.plans.checkpoint import load_index, load_stats
 
     spark = _spark(args)
     index = load_index(spark, args.index_dir)
     stats = load_stats(args.index_dir)
-    rows = phrase_search(index, stats, args.phrase, k=args.k,
-                         stem=not args.no_stem).collect()
+    if args.max_start:
+        rows = span_first_search(index, stats, args.phrase, k=args.k,
+                                 max_start=args.max_start,
+                                 stem=not args.no_stem).collect()
+    elif args.slop > 1:
+        rows = sloppy_phrase_search(index, stats, args.phrase, k=args.k,
+                                    gap=args.slop,
+                                    stem=not args.no_stem).collect()
+    else:
+        rows = phrase_search(index, stats, args.phrase, k=args.k,
+                             stem=not args.no_stem).collect()
     print(json.dumps([{"doc_id": r["doc_id"], "n_matches": r["n_matches"]}
                       for r in rows]))
 
@@ -1006,6 +1019,11 @@ def main(argv=None) -> None:
     ph.add_argument("--phrase", required=True)
     ph.add_argument("-k", type=int, default=10)
     ph.add_argument("--no-stem", action="store_true")
+    ph.add_argument("--slop", type=int, default=1,
+                    help="ordered gap bound (1 = exact phrase)")
+    ph.add_argument("--max-start", type=int, default=0,
+                    help="SpanFirst: only matches starting before "
+                         "this token ordinal")
     ph.set_defaults(fn=cmd_phrase)
 
     hy = sub.add_parser("hygiene", help="curation + dup-span + PII "
