@@ -4789,6 +4789,277 @@ SELECT doc_id, lang,
 FROM n WHERE n >= 1"""
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-11 entries
+# ---------------------------------------------------------------------------
+
+# LM Jelinek-Mercer restatement (query.py lm_jelinek_mercer_search):
+# per matched (doc, term) ln(1 + ((1-lam)*tf/dl) / (lam*p_w)) with
+# p_w = cf_w / C, lam = 0.1 — collection stats and the sum value-checked
+_LMJM_SCORE_SQL = """
+, cft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term)
+, coll AS (SELECT CAST(sum(dlen) AS DOUBLE) AS c FROM dl)
+, scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (0.9 * tf.tf / dl.dlen) / (0.1 * (cft.cf / coll.c))) ) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN cft ON tf.term = cft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN coll
+  GROUP BY tf.doc_id
+)"""
+
+# Lucene ClassicSimilarity restatement (query.py classic_search):
+# coord(d) * sum sqrt(tf) * (1 + ln(N/(df+1)))^2 / sqrt(dl) with
+# coord = matched/|q| (|q| = 3 flagship terms; count(*) over the joined
+# tf rows IS the matched-term count, one row per (doc, term))
+_CLASSIC_SCORE_SQL = """
+, scores AS (
+  SELECT tf.doc_id,
+         sum( sqrt(tf.tf) * pow(1.0 + ln(stats.n / (dft.df + 1.0)), 2)
+              / sqrt(dl.dlen) )
+         * (CAST(count(*) AS DOUBLE) / 3.0) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)"""
+
+# deterministic pseudo-code decoration for the symbol entries: five
+# definition sites (def/class/func/function/struct) built from each
+# doc's first five tokens — shared shape between the Spark entry and
+# the DuckDB oracle so regexp extraction is value-checked end to end
+_SYMBOL_DECOR_DUCK = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+), d AS (
+  SELECT doc_id,
+         'def ' || l[1] || '(a):' || chr(10) || '    pass' || chr(10)
+         || 'class ' || l[2] || ':' || chr(10) || '    pass' || chr(10)
+         || 'func ' || l[3] || '(x int) {' || chr(10) || '}' || chr(10)
+         || 'function ' || l[4] || '(y) {' || chr(10) || '}' || chr(10)
+         || 'struct ' || l[5] || ' {' || chr(10) || '}' AS code
+  FROM t WHERE len(l) >= 5
+)"""
+
+
+def _symbol_m_cte() -> str:
+    """The per-pattern extraction CTE, built from the operator's own
+    SYMBOL_PATTERNS so the oracle and engine share one pattern list."""
+    from index_spark.operators.codesearch import SYMBOL_PATTERNS
+
+    arms = [
+        f"SELECT doc_id, '{kind}' AS kind, "
+        f"unnest(regexp_extract_all(code, '{rx}', 1)) AS symbol FROM d"
+        for kind, rx in SYMBOL_PATTERNS
+    ]
+    return ", m AS (\n  " + "\n  UNION ALL ".join(arms) + "\n)"
+
+
+def _symbol_defs_duck_sql() -> str:
+    return (_SYMBOL_DECOR_DUCK + _symbol_m_cte() + """
+SELECT doc_id, kind, symbol, CAST(count(*) AS BIGINT) AS n_defs
+FROM m GROUP BY doc_id, kind, symbol""")
+
+
+def _symbol_topk_duck_sql() -> str:
+    # kind weights pinned to codesearch.SYMBOL_KIND_WEIGHTS
+    return (_SYMBOL_DECOR_DUCK + _symbol_m_cte() + """
+, sym AS (SELECT doc_id, kind, symbol, CAST(count(*) AS BIGINT) AS n_defs
+          FROM m GROUP BY doc_id, kind, symbol)
+SELECT doc_id,
+       round(sum((CASE kind WHEN 'class' THEN 3.0 WHEN 'struct' THEN 3.0
+                  ELSE 2.0 END) * n_defs), 4) AS score
+FROM sym WHERE lower(symbol) IN ('data', 'table')
+GROUP BY doc_id
+ORDER BY round(sum((CASE kind WHEN 'class' THEN 3.0 WHEN 'struct' THEN 3.0
+                    ELSE 2.0 END) * n_defs), 4) DESC, doc_id ASC
+LIMIT 10""")
+
+
+def _import_edges_duck_sql() -> str:
+    from index_spark.operators.codesearch import IMPORT_PATTERNS
+
+    arms = [
+        "SELECT src, unnest(regexp_extract_all(code, "
+        f"'{rx}', 1)) AS dst FROM d"
+        for rx in IMPORT_PATTERNS
+    ]
+    return ("""
+WITH d AS (
+  SELECT source AS src,
+         'import mod' || (doc_id % 17) || chr(10) || 'x = 1' || chr(10)
+         || 'from mod' || ((doc_id * 7 + 3) % 17) || ' import helper' AS code
+  FROM documents
+), e AS (
+  """ + "\n  UNION ALL ".join(arms) + """
+)
+SELECT DISTINCT src, dst FROM e WHERE dst <> src""")
+
+
+def _t5_spans_duck_sql(rate: float, salt: str) -> str:
+    """Full restatement of chunk.span_corrupt: per-position md5 draws,
+    maximal-run span grouping via lag + running sum, sentinel
+    re-serialization for input AND target, zero-token docs pinned to
+    empty strings."""
+    from index_spark.operators.sample import rate_threshold
+
+    thr = rate_threshold(rate)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS l
+  FROM documents
+), pos AS (SELECT doc_id, l, unnest(range(len(l))) AS p FROM toks),
+t AS (
+  SELECT doc_id, p, l[p + 1] AS term,
+         CASE WHEN substr(md5(doc_id || ':' || p || ':{salt}'), 1, 8)
+              < '{thr}' THEN 1 ELSE 0 END AS msk
+  FROM pos
+), s AS (
+  SELECT *, CASE WHEN msk = 1 AND coalesce(
+              lag(msk) OVER (PARTITION BY doc_id ORDER BY p), 0) = 0
+            THEN 1 ELSE 0 END AS st
+  FROM t
+), sid AS (
+  SELECT *, sum(st) OVER (PARTITION BY doc_id ORDER BY p) - 1 AS span
+  FROM s
+), pieces AS (
+  SELECT doc_id, p, msk, st,
+         CASE WHEN msk = 0 THEN term
+              WHEN st = 1 THEN '<extra_id_' || span || '>' END AS ip,
+         CASE WHEN msk = 1 THEN
+           CASE WHEN st = 1 THEN '<extra_id_' || span || '> ' || term
+                ELSE term END END AS tp
+  FROM sid
+), agg AS (
+  SELECT doc_id,
+         coalesce(string_agg(ip, ' ' ORDER BY p) FILTER (ip IS NOT NULL), '') AS input_text,
+         coalesce(string_agg(tp, ' ' ORDER BY p) FILTER (tp IS NOT NULL), '') AS target_text,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(msk) AS BIGINT) AS n_masked,
+         CAST(sum(st) AS BIGINT) AS n_spans
+  FROM pieces GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_masked, 0) AS n_masked,
+       coalesce(a.n_spans, 0) AS n_spans,
+       coalesce(a.input_text, '') AS input_text,
+       coalesce(a.target_text, '') AS target_text
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+_ORACLE_COMPOSITE_FACET = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE lang IS NOT NULL AND source IS NOT NULL
+  AND (lang > 'en' OR (lang = 'en' AND source > 'src12'))
+GROUP BY lang, source
+ORDER BY lang ASC, source ASC
+LIMIT 15"""
+
+
+def _r04s11_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                   DataFrame]]:
+    def lmjm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # LM Jelinek-Mercer query likelihood (Zhai & Lafferty 2001) —
+        # the long-query similarity module next to LM-Dirichlet
+        from index_spark.operators.query import lm_jelinek_mercer_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        top = lm_jelinek_mercer_search(index, stats, "data table query",
+                                       lam=0.1, k=10, stem=False,
+                                       camel=False)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    def classic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Lucene pre-6.0 ClassicSimilarity (practical TF-IDF) — the
+        # third similarity module; coord + idf^2 + length norm all
+        # value-checked
+        from index_spark.operators.query import classic_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        top = classic_search(index, stats, "data table query", k=10,
+                             stem=False, camel=False)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    def _decorated_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.codesearch import extract_symbols
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                        lambda x: x != "")
+        el = lambda i: F.element_at(F.col("l"), i)  # noqa: E731
+        code = F.concat(
+            F.lit("def "), el(1), F.lit("(a):\n    pass\nclass "), el(2),
+            F.lit(":\n    pass\nfunc "), el(3), F.lit("(x int) {\n}\n"
+                                                      "function "), el(4),
+            F.lit("(y) {\n}\nstruct "), el(5), F.lit(" {\n}"))
+        d = (docs.select("doc_id", toks.alias("l"))
+             .filter(F.size("l") >= 5)
+             .select("doc_id", code.alias("code")))
+        return extract_symbols(d, text_col="code")
+
+    def symbol_defs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ctags-lite definition extraction over a deterministically
+        # decorated pseudo-code corpus — every (doc, kind, symbol,
+        # n_defs) row value-checked against the SAME regex family
+        # re-run by DuckDB (independent regex engines agreeing)
+        return _decorated_symbols(spark, sf_dir)
+
+    def symbol_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # symbol-definition ranking (Zoekt-style type:symbol search):
+        # kind-weighted definition counts, class/struct above function
+        from index_spark.operators.codesearch import symbol_search
+
+        syms = _decorated_symbols(spark, sf_dir)
+        top = symbol_search(syms, "data table", k=10)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    def import_edges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # repo-level import-graph extraction: deterministic
+        # import/from lines, (?m) anchored patterns, distinct edges
+        from index_spark.operators.codesearch import import_edges
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        code = F.concat(
+            F.lit("import mod"), (F.col("doc_id") % 17).cast("string"),
+            F.lit("\nx = 1\nfrom mod"),
+            ((F.col("doc_id") * 7 + 3) % 17).cast("string"),
+            F.lit(" import helper"))
+        d = docs.select(F.col("source").alias("repo"), code.alias("text"))
+        return import_edges(d)
+
+    def composite_facet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES composite aggregation: page AFTER the ('en', 'src12')
+        # cursor over (lang, source) buckets — the cursor filter, the
+        # bucket counts, and the page cut are all value-checked
+        from index_spark.operators.analytics import composite_facet
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return composite_facet(docs, ["lang", "source"], size=15,
+                               after=("en", "src12"))
+
+    def t5_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # T5 span corruption: per-position md5 draws, maximal-run
+        # sentinel spans, input AND target serialization value-checked
+        from index_spark.operators.chunk import span_corrupt
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return span_corrupt(docs, rate=0.3, salt="t5")
+
+    return {"lmjm_topk": lmjm_topk, "classic_topk": classic_topk,
+            "symbol_defs": symbol_defs, "symbol_topk": symbol_topk,
+            "import_edges": import_edges_q,
+            "composite_facet": composite_facet_q, "t5_spans": t5_spans}
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -5148,6 +5419,18 @@ ORDER BY doc_id, line_no""")
     add("spannear_topk", eng10["spannear_topk"], _ORACLE_SPANNEAR_DUCK)
     add("weighted_sample", eng10["weighted_sample"],
         _weighted_sample_duck_sql())
+
+    eng11 = _r04s11_engine_queries()
+    add("lmjm_topk", eng11["lmjm_topk"],
+        _docs_sql("duck", _LMJM_SCORE_SQL + _BODY_LMD_TOPK, [q_cte]))
+    add("classic_topk", eng11["classic_topk"],
+        _docs_sql("duck", _CLASSIC_SCORE_SQL + _BODY_LMD_TOPK, [q_cte]))
+    add("symbol_defs", eng11["symbol_defs"], _symbol_defs_duck_sql())
+    add("symbol_topk", eng11["symbol_topk"], _symbol_topk_duck_sql())
+    add("import_edges", eng11["import_edges"], _import_edges_duck_sql())
+    add("composite_facet", eng11["composite_facet"],
+        _ORACLE_COMPOSITE_FACET)
+    add("t5_spans", eng11["t5_spans"], _t5_spans_duck_sql(0.3, "t5"))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

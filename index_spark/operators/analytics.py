@@ -801,3 +801,42 @@ def doc_keywords(index: DataFrame, n_docs: int, top: int = 3,
             .filter(F.col("kw_rank") <= top)
             .select("doc_id", "term", "score", "kw_rank")
             .orderBy("doc_id", "kw_rank"))
+
+
+def composite_facet(df: DataFrame, keys: list[str], size: int = 10,
+                    after: tuple | None = None) -> DataFrame:
+    """Paginated multi-key bucket aggregation (Elasticsearch
+    ``composite`` aggregation): distinct key tuples with their doc
+    counts, ordered by the keys ascending, returning the first ``size``
+    buckets STRICTLY AFTER the ``after`` cursor (the previous page's
+    last key tuple). None = first page.
+
+    This is how bucket aggregations paginate at scale: a terms facet
+    with 10^8 buckets can't return them all, and OFFSET pagination
+    re-aggregates everything it skips. The after-key form is a pushed
+    range predicate — buckets before the cursor are FILTERED, not
+    computed and discarded, and each page is one combinable aggregate
+    + TakeOrderedAndProject over the survivors (no global sort, no
+    window). Cursor comparison is lexicographic over the key tuple:
+    (k1 > a1) OR (k1 = a1 AND k2 > a2) OR ... — NULL keys are excluded
+    (same as ES, whose composite sources skip missing by default).
+    """
+    if not keys:
+        raise ValueError("composite_facet needs at least one key column")
+    out = df
+    for c in keys:
+        out = out.filter(F.col(c).isNotNull())
+    if after is not None:
+        if len(after) != len(keys):
+            raise ValueError(f"after cursor has {len(after)} values for "
+                             f"{len(keys)} keys")
+        cond = F.lit(False)
+        eq = F.lit(True)
+        for c, v in zip(keys, after):
+            cond = cond | (eq & (F.col(c) > F.lit(v)))
+            eq = eq & (F.col(c) == F.lit(v))
+        out = out.filter(cond)
+    return (out.groupBy(*keys)
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .orderBy(*[F.asc(c) for c in keys])
+            .limit(size))

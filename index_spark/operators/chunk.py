@@ -141,3 +141,108 @@ def fim_split(df: DataFrame, rate: float = 0.5, salt: str = "fim",
         F.expr(fim).alias("fim"),
         F.expr(f"CASE WHEN {fim} THEN {sample} ELSE {text_col} END")
         .alias("sample"))
+
+
+# ------------------------------------------------- T5 span corruption
+
+def span_corrupt(df: DataFrame, rate: float = 0.15, salt: str = "t5",
+                 text_col: str = "text", id_col: str = "doc_id"
+                 ) -> DataFrame:
+    """T5-style span-corruption training-sample construction (Raffel et
+    al., JMLR 2020 §3.1.4) — the denoising counterpart of
+    :func:`fim_split`: masked token spans are replaced by sentinel
+    tokens in the input, and the target enumerates each sentinel
+    followed by the tokens it hid.
+
+    Determinism contract (the :mod:`sample` md5 policy, no RNG): token
+    position ``i`` of a document masks iff
+    ``substr(md5('{doc_id}:{i}:{salt}'), 1, 8) <
+    rate_threshold(rate)`` — per-token independent draws, so the
+    expected corruption rate is ``rate`` and maximal runs of masked
+    positions form the spans (geometric span lengths, vs the paper's
+    fixed mean-3; documented divergence that keeps every draw
+    SQL-restatable). Span ordinal K (0-based, in document order) gets
+    sentinel ``<extra_id_K>``:
+
+        input_text  = tokens with each masked run -> '<extra_id_K>'
+        target_text = for each span: '<extra_id_K>' + its tokens
+
+    both joined with single spaces; no trailing sentinel is appended
+    (divergence from the paper's closing ``<extra_id_N>``, documented).
+    Tokenization is the SQL-parity spec (lower -> [a-z0-9]+ runs).
+    Returns (doc_id, n_tokens, n_masked, n_spans, input_text,
+    target_text); 0-token documents emit zeros and empty strings.
+
+    Scale shape: tokenization and every mask draw are map-only JVM
+    codegen (md5 inside a ``transform`` lambda). Only the span
+    grouping — a per-document prefix scan, which Catalyst has no
+    linear-time expression for (an expression fold over arrays copies
+    its accumulator: O(len^2)) — runs in ONE vectorized Arrow pass
+    (cumsum over the precomputed boolean mask). No shuffle anywhere:
+    the operator is a mapInPandas over scan partitions."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from index_spark.operators.sample import rate_threshold
+
+    if not 0.0 < rate < 1.0:
+        raise ValueError(f"rate must be in (0, 1), got {rate}")
+    thr = rate_threshold(rate)
+    toks = F.coalesce(
+        F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                 lambda x: x != ""),
+        F.array().cast("array<string>"))
+    did = F.col(id_col).cast("long")
+    n = F.size(toks)
+    # per-position draws, JVM-side: sequence() infers a NEGATIVE step
+    # when start > stop, so clamp the bound and filter i < n
+    idx = F.filter(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
+                   lambda i: i < n)
+    msk = F.transform(
+        idx,
+        lambda i: F.substring(
+            F.md5(F.concat(did.cast("string"), F.lit(":"),
+                           i.cast("string"), F.lit(":" + salt))),
+            1, 8) < F.lit(thr))
+    prepared = df.select(did.alias("doc_id"), toks.alias("toks"),
+                         msk.alias("msk"))
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("n_masked", T.LongType()),
+        T.StructField("n_spans", T.LongType()),
+        T.StructField("input_text", T.StringType()),
+        T.StructField("target_text", T.StringType()),
+    ])
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                t = list(row.toks)
+                m = np.asarray(row.msk, dtype=bool)
+                if not t:
+                    out.append((row.doc_id, 0, 0, 0, "", ""))
+                    continue
+                prev = np.concatenate(([False], m[:-1]))
+                starts = m & ~prev
+                sid = np.cumsum(starts) - 1  # span ordinal at each pos
+                inp, tgt = [], []
+                for i, tok in enumerate(t):
+                    if not m[i]:
+                        inp.append(tok)
+                    elif starts[i]:
+                        s = f"<extra_id_{sid[i]}>"
+                        inp.append(s)
+                        tgt.append(s)
+                        tgt.append(tok)
+                    else:
+                        tgt.append(tok)
+                out.append((row.doc_id, len(t), int(m.sum()),
+                            int(starts.sum()), " ".join(inp),
+                            " ".join(tgt)))
+            yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    return prepared.mapInPandas(fn, schema=schema)

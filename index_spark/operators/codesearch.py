@@ -224,3 +224,147 @@ def grep_lines(docs: DataFrame, pattern: str, regex: bool = False,
                     (F.col("_p") + 1).cast("long").alias("line_no"),
                     "line")
             .orderBy("doc_id", "line_no"))
+
+
+# ------------------------------------------------------------- symbols
+
+# ctags-lite definition patterns: (kind, regex with the symbol in
+# group 1). Kept to syntax shared by Java regex (Spark) and RE2-style
+# engines (DuckDB) — no backrefs, no lookbehind — so an oracle can
+# restate extraction with the SAME pattern strings. Order is the
+# emission order for equal symbols of different kinds.
+SYMBOL_PATTERNS: list[tuple[str, str]] = [
+    # python / coffeescript-style
+    ("function", r"\bdef\s+([A-Za-z_][A-Za-z0-9_]*)\s*\("),
+    # js / ts / php
+    ("function", r"\bfunction\s+([A-Za-z_][A-Za-z0-9_]*)\s*\("),
+    # go (plain and method-receiver forms)
+    ("function", r"\bfunc\s+(?:\([^)]*\)\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*\("),
+    # python / java / scala / js classes
+    ("class", r"\bclass\s+([A-Za-z_][A-Za-z0-9_]*)"),
+    # c / go / rust structs
+    ("struct", r"\bstruct\s+([A-Za-z_][A-Za-z0-9_]*)"),
+]
+
+
+def extract_symbols(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    patterns: list[tuple[str, str]] | None = None
+                    ) -> DataFrame:
+    """Regex symbol-definition extraction — the ctags pass behind
+    Zoekt/Sourcegraph symbol search (``type:symbol`` queries), reduced
+    to the shared-regex kinds above. Returns one row per distinct
+    (doc, kind, symbol) with its occurrence count:
+    ``(doc_id, kind, symbol, n_defs)``.
+
+    Scale shape: extraction is MAP-ONLY JVM codegen —
+    ``regexp_extract_all`` per pattern, each wrapped into (kind,
+    symbol) structs, concatenated, then ONE outer explode (plain
+    explode's inferred size-filter re-evaluates the concat per element
+    — the InferFiltersFromGenerate trap). The count is one combinable
+    aggregate on (doc, kind, symbol); at 10^12 files nothing shuffles
+    except the (bounded, defs-per-file) symbol rows themselves."""
+    pats = SYMBOL_PATTERNS if patterns is None else patterns
+
+    def _tag(kind: str):
+        # a 2-arg transform lambda would receive (element, INDEX) —
+        # bind the kind via closure, not a default parameter
+        return lambda s: F.struct(F.lit(kind).alias("kind"),
+                                  s.alias("symbol"))
+
+    arrays = [
+        F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(1)),
+            _tag(kind))
+        for kind, rx in pats
+    ]
+    exploded = (docs
+                .select(F.col(id_col).cast("long").alias("doc_id"),
+                        F.explode_outer(F.concat(*arrays)).alias("s"))
+                .filter(F.col("s").isNotNull()))
+    return (exploded
+            .groupBy("doc_id", F.col("s.kind").alias("kind"),
+                     F.col("s.symbol").alias("symbol"))
+            .agg(F.count("*").cast("long").alias("n_defs")))
+
+
+SYMBOL_KIND_WEIGHTS = {"class": 3.0, "struct": 3.0, "function": 2.0}
+
+
+def symbol_search(symbols: DataFrame, query: str, k: int = 10,
+                  weights: dict[str, float] | None = None,
+                  prefix: bool = False) -> DataFrame:
+    """Rank documents by symbol-DEFINITION matches — the code-search
+    ranking rule that a file defining ``parse_config`` beats files
+    merely mentioning it (Zoekt scores symbol matches above content
+    matches). Query tokens match symbols exactly (or as prefixes with
+    ``prefix=True``, the IDE go-to-symbol form); each matching
+    definition contributes its kind's weight (class/struct above
+    function — a type definition is the stronger navigation target):
+
+        score(d) = sum over matching (kind, symbol) defs:
+                   weight(kind) * n_defs
+
+    Matching is case-insensitive on the symbol (queries are typed
+    lowercase; definitions aren't). Scale shape: the symbol relation
+    is the small derived artifact (defs-per-file rows, not tokens);
+    the match predicate is a bounded disjunction pushed to its scan,
+    prefix mode stays a ``StartsWith`` push; one combinable aggregate
+    + TakeOrderedAndProject."""
+    w = SYMBOL_KIND_WEIGHTS if weights is None else weights
+    toks = [t for t in query.lower().split() if t]
+    if not toks:
+        spark = symbols.sparkSession
+        return spark.createDataFrame(
+            [], "doc_id long, score double")
+    sym = F.lower(F.col("symbol"))
+    if prefix:
+        cond = F.lit(False)
+        for t in toks:
+            cond = cond | sym.startswith(t)
+    else:
+        cond = sym.isin(toks)
+    wmap = F.create_map(*[F.lit(x) for kv in w.items() for x in kv])
+    matched = symbols.filter(cond)
+    return (matched
+            .withColumn("_w", F.coalesce(wmap[F.col("kind")], F.lit(1.0)))
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("_w") * F.col("n_defs")).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k))
+
+
+# --------------------------------------------------------- import graph
+
+IMPORT_PATTERNS: list[str] = [
+    # python "import a.b" / java "import a.b.C;" (group = first segment)
+    r"(?m)^\s*import\s+([A-Za-z_][A-Za-z0-9_]*)",
+    # python "from a.b import x"
+    r"(?m)^\s*from\s+([A-Za-z_][A-Za-z0-9_]*)",
+]
+
+
+def import_edges(docs: DataFrame, repo_col: str = "repo",
+                 text_col: str = "text",
+                 patterns: list[str] | None = None) -> DataFrame:
+    """Repo-level dependency edges from import statements — the
+    extraction behind dependency-graph ranking (a Sourcegraph-style
+    "repos that import you" signal). Each document contributes its
+    containing repo as the edge source and every imported TOP-LEVEL
+    module name as a destination; self-imports drop; output is the
+    DISTINCT ``(src, dst)`` edge relation, ready for
+    :func:`index_spark.operators.graph.pagerank` (rank repos by who
+    imports them) or reverse-dependency queries.
+
+    Scale shape: map-only ``regexp_extract_all`` + one outer explode
+    (InferFiltersFromGenerate guard), then a distinct on the edge pair
+    — the only shuffle, over edge rows (imports-per-file, not tokens)."""
+    pats = IMPORT_PATTERNS if patterns is None else patterns
+    arrays = [F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(1))
+              for rx in pats]
+    return (docs
+            .select(F.col(repo_col).alias("src"),
+                    F.explode_outer(F.concat(*arrays)).alias("dst"))
+            .filter(F.col("dst").isNotNull())
+            .filter(F.col("dst") != F.col("src"))
+            .distinct())

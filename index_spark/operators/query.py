@@ -3004,6 +3004,161 @@ def lm_dirichlet_search(index: DataFrame, stats: dict, query: str,
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def lm_jelinek_mercer_search(index: DataFrame, stats: dict, query: str,
+                             lam: float = 0.1, k: int = 10,
+                             stem: bool = True, camel: bool = True,
+                             zone: str | None = None,
+                             tombstones: DataFrame | None = None,
+                             cf: dict[str, int] | None = None) -> DataFrame:
+    """Top-k query likelihood with Jelinek-Mercer (linear-interpolation)
+    smoothing — Lucene's ``LMJelinekMercerSimilarity``, the similarity
+    Zhai & Lafferty (SIGIR 2001) recommend for LONG / verbose queries
+    (Dirichlet for short keyword ones).
+
+    Scoring contract (matched-terms-only, join-for-join restatable):
+    per matched (doc, term)
+
+        ln(1 + ((1 - lam) * tf / dl) / (lam * p_w)),   p_w = cf_w / C
+
+    summed over the doc's matched query terms. ``lam`` in (0, 1):
+    small lam trusts the document model, lam -> 1 the collection.
+    Summation order pinned (ascending term, ascending doc id) —
+    bitwise-reproducible like :func:`lm_dirichlet_search`, whose plan
+    shape (pushed term scan, bounded metadata cf aggregate, shard-local
+    Arrow kernel, distributed top-k) this shares exactly.
+    """
+    spark = index.sparkSession
+    if not (0.0 < lam < 1.0):
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    if not qterms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    c_total = float(stats.get("total_tokens") or 0)
+    if c_total <= 0:
+        raise ValueError("stats['total_tokens'] must be positive "
+                         "(zoned index: pass the pinned zone's stats)")
+    index = pin_zone(index, zone)
+    if "shard" not in index.columns:
+        index = index.withColumn("shard", F.lit(0))
+    matched = index.filter(F.col("term").isin(qterms))
+    if cf is not None:
+        p_w = {t: float(v) / c_total for t, v in cf.items()
+               if t in qterms and v > 0}
+    else:
+        p_w = {r["term"]: float(r["cf"]) / c_total
+               for r in matched.select("term", "cf").groupBy("term")
+                               .agg(F.sum("cf").alias("cf")).collect()}
+    if not p_w:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    hits = matched.filter(F.col("term").isin(sorted(p_w))) \
+                  .select("shard", "term", "doc_blob", "tf_blob", "dl_blob")
+    one_m = 1.0 - lam
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        per_term: dict[str, list[tuple]] = {}
+        for row in pdf.itertuples(index=False):
+            docs = np.cumsum(vb.decode(row.doc_blob).astype(np.int64))
+            tfs = vb.decode(row.tf_blob).astype(np.float64)
+            dls = vb.decode(row.dl_blob).astype(np.float64)
+            per_term.setdefault(row.term, []).append((docs, tfs, dls))
+        all_docs, parts = [], []
+        for t in sorted(per_term):  # pinned summation order
+            p = p_w[t]
+            for docs, tfs, dls in per_term[t]:
+                all_docs.append(docs)
+                parts.append(np.log1p((one_m * tfs / dls) / (lam * p)))
+        docs = np.concatenate(all_docs)
+        part = np.concatenate(parts)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        score = np.zeros(uniq.size, np.float64)
+        np.add.at(score, inv, part)
+        return pd.DataFrame({"doc_id": uniq, "score": score})
+
+    scored = hits.groupBy("shard").applyInPandas(fn, schema=TOPK_SCHEMA)
+    if tombstones is not None:
+        scored = scored.join(
+            tombstones.select(F.col("doc_id").cast("long").alias("doc_id")),
+            "doc_id", "left_anti")
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def classic_search(index: DataFrame, stats: dict, query: str,
+                   k: int = 10, stem: bool = True, camel: bool = True,
+                   zone: str | None = None,
+                   tombstones: DataFrame | None = None) -> DataFrame:
+    """Top-k ranking under Lucene's pre-6.0 default ``ClassicSimilarity``
+    (the practical TF-IDF vector-space model, Salton 1975 as Lucene
+    shipped it) — the third similarity module next to BM25 and the LM
+    family, for parity with engines whose scores users still compare
+    against.
+
+    Scoring contract (pinned so the oracle restates it exactly):
+
+        score(d) = coord(d) * sum_t  sqrt(tf) * idf_t^2 / sqrt(dl)
+        idf_t    = 1 + ln(N / (df_t + 1))
+        coord(d) = |matched query terms in d| / |query terms|
+
+    queryNorm (a rank-invariant global constant in Lucene) is pinned
+    to 1 and documented out. df_t is the GLOBAL df summed over the
+    term's segment metadata rows — a bounded aggregate, no blob decode.
+    Every (doc, term) posting lives in exactly one segment row under
+    the doc-range merge protocol, so the kernel's per-doc contribution
+    count IS the matched-term count and coord is shard-locally exact.
+    Plan shape is :func:`lm_dirichlet_search`'s.
+    """
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    if not qterms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    n_docs = float(stats.get("n_docs") or 0)
+    if n_docs <= 0:
+        raise ValueError("stats['n_docs'] must be positive "
+                         "(zoned index: pass the pinned zone's stats)")
+    index = pin_zone(index, zone)
+    if "shard" not in index.columns:
+        index = index.withColumn("shard", F.lit(0))
+    matched = index.filter(F.col("term").isin(qterms))
+    # global df per matched term: <= |q| metadata rows reach the driver
+    idf2 = {r["term"]: (1.0 + np.log(n_docs / (float(r["df"]) + 1.0))) ** 2
+            for r in matched.select("term", "df").groupBy("term")
+                            .agg(F.sum("df").alias("df")).collect()}
+    if not idf2:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    coord_den = float(len(qterms))
+    hits = matched.filter(F.col("term").isin(sorted(idf2))) \
+                  .select("shard", "term", "doc_blob", "tf_blob", "dl_blob")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        per_term: dict[str, list[tuple]] = {}
+        for row in pdf.itertuples(index=False):
+            docs = np.cumsum(vb.decode(row.doc_blob).astype(np.int64))
+            tfs = vb.decode(row.tf_blob).astype(np.float64)
+            dls = vb.decode(row.dl_blob).astype(np.float64)
+            per_term.setdefault(row.term, []).append((docs, tfs, dls))
+        all_docs, parts = [], []
+        for t in sorted(per_term):  # pinned summation order
+            w = idf2[t]
+            for docs, tfs, dls in per_term[t]:
+                all_docs.append(docs)
+                parts.append(np.sqrt(tfs) * w / np.sqrt(dls))
+        docs = np.concatenate(all_docs)
+        part = np.concatenate(parts)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        score = np.zeros(uniq.size, np.float64)
+        np.add.at(score, inv, part)
+        nmatch = np.zeros(uniq.size, np.float64)
+        np.add.at(nmatch, inv, 1.0)  # one contribution per matched term
+        return pd.DataFrame({"doc_id": uniq,
+                             "score": score * (nmatch / coord_den)})
+
+    scored = hits.groupBy("shard").applyInPandas(fn, schema=TOPK_SCHEMA)
+    if tombstones is not None:
+        scored = scored.join(
+            tombstones.select(F.col("doc_id").cast("long").alias("doc_id")),
+            "doc_id", "left_anti")
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 # ------------------------------------------------------- fielded queries
 
 def parse_fielded(q: str, zones: set[str], default_zone: str,

@@ -78,12 +78,12 @@ def cmd_query(args) -> None:
     if getattr(args, "after", None):
         s, d = args.after.split(",")
         after = (float(s), int(d))
-    if getattr(args, "similarity", "bm25") == "lmd" and (
-            args.fuzzy or args.regex
-            or "*" in args.query or "?" in args.query):
+    sim = getattr(args, "similarity", "bm25")
+    if sim != "bm25" and (args.fuzzy or args.regex
+                          or "*" in args.query or "?" in args.query):
         # the expansion paths rank with BM25 — fail loudly rather than
-        # silently returning BM25 scores under a --similarity lmd flag
-        raise SystemExit("--similarity lmd supports plain term queries "
+        # silently returning BM25 scores under a non-BM25 flag
+        raise SystemExit(f"--similarity {sim} supports plain term queries "
                          "(no --fuzzy/--regex/wildcards)")
     if "*" in args.query or "?" in args.query:
         # glob tokens route to the wildcard path (dictionary-backed
@@ -127,18 +127,32 @@ def cmd_query(args) -> None:
                   tombstones=tomb, dictionary=d,
                   boosts=boosts, after=after,
                   shard_size=shard_size, **kw).collect()
-    elif getattr(args, "similarity", "bm25") == "lmd":
-        # LM-Dirichlet query likelihood — the alternative similarity
-        # module; OR-mode only (no exclude/boost/paging composition)
-        from index_spark.operators.query import lm_dirichlet_search
+    elif sim != "bm25":
+        # alternative similarity modules (LM-Dirichlet / Jelinek-Mercer
+        # query likelihood, Lucene ClassicSimilarity TF-IDF); OR-mode
+        # only (no exclude/boost/paging composition)
+        from index_spark.operators.query import (
+            classic_search,
+            lm_dirichlet_search,
+            lm_jelinek_mercer_search,
+        )
 
         if args.mode != "or" or args.exclude or boosts is not None \
                 or after is not None or getattr(args, "min_match", None):
-            raise SystemExit("--similarity lmd supports plain OR queries "
-                             "(no --mode and/--exclude/--boosts/--after/"
-                             "--min-match)")
-        rows = lm_dirichlet_search(index, stats, args.query, mu=args.mu,
-                                   k=args.k, tombstones=tomb).collect()
+            raise SystemExit(f"--similarity {sim} supports plain OR "
+                             "queries (no --mode and/--exclude/--boosts/"
+                             "--after/--min-match)")
+        if sim == "lmd":
+            rows = lm_dirichlet_search(index, stats, args.query,
+                                       mu=args.mu, k=args.k,
+                                       tombstones=tomb).collect()
+        elif sim == "jm":
+            rows = lm_jelinek_mercer_search(index, stats, args.query,
+                                            lam=args.lam, k=args.k,
+                                            tombstones=tomb).collect()
+        else:  # classic
+            rows = classic_search(index, stats, args.query, k=args.k,
+                                  tombstones=tomb).collect()
     else:
         rows = search(index, None, stats, args.query, k=args.k,
                       mode=args.mode, exclude=args.exclude,
@@ -591,6 +605,27 @@ def cmd_grep(args) -> None:
                            "n": r["n_occurrences"]} for r in rows]))
 
 
+def cmd_symbols(args) -> None:
+    """ctags-lite symbol-definition extraction / kind-weighted symbol
+    search over raw document text."""
+    from index_spark.operators.codesearch import extract_symbols, symbol_search
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    syms = extract_symbols(docs, text_col=args.text_col)
+    if args.query:
+        rows = symbol_search(syms, args.query, k=args.k,
+                             prefix=args.prefix).collect()
+        print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]}
+                          for r in rows]))
+    else:
+        rows = (syms.orderBy("doc_id", "kind", "symbol")
+                .limit(args.k).collect())
+        print(json.dumps([{"doc_id": r["doc_id"], "kind": r["kind"],
+                           "symbol": r["symbol"], "n_defs": r["n_defs"]}
+                          for r in rows]))
+
+
 def cmd_dsir(args) -> None:
     """DSIR importance log-weights (target-likeness data selection)."""
     from pyspark.sql import functions as F
@@ -920,12 +955,16 @@ def main(argv=None) -> None:
     q.add_argument("--boosts", default=None,
                    help="parquet of (doc_id, boost) function-scoring "
                         "multipliers")
-    q.add_argument("--similarity", choices=["bm25", "lmd"], default="bm25",
+    q.add_argument("--similarity", choices=["bm25", "lmd", "jm", "classic"],
+                   default="bm25",
                    help="ranking function: BM25 (default) or LM-Dirichlet "
                         "query likelihood")
     q.add_argument("--mu", type=float, default=2000.0,
                    help="Dirichlet smoothing parameter (with "
                         "--similarity lmd)")
+    q.add_argument("--lam", type=float, default=0.1,
+                   help="Jelinek-Mercer interpolation weight (with "
+                        "--similarity jm)")
     q.add_argument("--min-match", type=int, default=None, dest="min_match",
                    help="minimum_should_match: docs must contain at least "
                         "this many distinct query terms (mode=or)")
@@ -1190,6 +1229,18 @@ def main(argv=None) -> None:
     gp.add_argument("-k", type=int, default=50)
     gp.add_argument("pattern")
     gp.set_defaults(fn=cmd_grep)
+
+    sy = sub.add_parser("symbols", help="ctags-lite symbol extraction / "
+                                        "kind-weighted symbol search")
+    sy.add_argument("--docs", required=True)
+    sy.add_argument("--text-col", default="text", dest="text_col")
+    sy.add_argument("--query", default=None,
+                    help="rank docs by symbol-definition matches "
+                         "(omit to list extracted symbols)")
+    sy.add_argument("--prefix", action="store_true",
+                    help="prefix symbol matching (go-to-symbol style)")
+    sy.add_argument("-k", type=int, default=50)
+    sy.set_defaults(fn=cmd_symbols)
 
     ds = sub.add_parser("dsir", help="DSIR importance log-weights: rank "
                                      "raw docs by target-likeness")
