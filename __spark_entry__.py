@@ -4964,6 +4964,91 @@ GROUP BY lang, source
 ORDER BY lang ASC, source ASC
 LIMIT 15"""
 
+# grep -C 1 over the 3-token line wrap: the match set, its +-1 line
+# windows, and the is_match split all restated via an EXISTS range
+# probe (independent mechanism vs the engine's explode + equi-join)
+_ORACLE_GREP_CONTEXT = """
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+wrapped AS (
+  SELECT doc_id,
+         [array_to_string(s[(i-1)*3+1:(i-1)*3+3], ' ')
+          for i in range(1, CAST(ceil(len(s)/3.0) AS BIGINT)+1)] AS ls
+  FROM sp),
+lines AS (SELECT doc_id, unnest(ls) AS line,
+                 unnest(range(1, len(ls)+1)) AS line_no FROM wrapped),
+matches AS (SELECT doc_id, line_no FROM lines
+            WHERE contains(line, 'vector'))
+SELECT l.doc_id, CAST(l.line_no AS BIGINT) AS line_no, l.line,
+       contains(l.line, 'vector') AS is_match
+FROM lines l
+WHERE EXISTS (SELECT 1 FROM matches m
+              WHERE m.doc_id = l.doc_id
+                AND abs(l.line_no - m.line_no) <= 1)
+ORDER BY l.doc_id, l.line_no"""
+
+# curriculum bucketing: the lm_xent relation re-derived, exact
+# quartile boundaries via quantile_cont (interpolation parity with
+# Spark's percentile pinned by corpus_profile), strictly-greater
+# comparisons, NULL xent -> NULL bucket
+_ORACLE_CURRICULUM = """
+WITH toksrc AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+), bg AS (
+  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+  FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM toksrc WHERE len(l) >= 2)
+), c12 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM bg GROUP BY w1),
+vv AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+       FROM (SELECT unnest(l) AS t FROM toksrc)),
+sc AS (
+  SELECT bg.doc_id, -avg(ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * vv.v))) AS xent
+  FROM bg
+  JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+  JOIN c1 ON bg.w1 = c1.w1
+  CROSS JOIN vv
+  GROUP BY bg.doc_id
+), sr AS (
+  SELECT d.doc_id, round(sc.xent, 4) AS xent
+  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+), bounds AS (
+  SELECT quantile_cont(xent, [0.25, 0.5, 0.75]) AS b
+  FROM sr WHERE xent IS NOT NULL
+)
+SELECT sr.doc_id, sr.xent,
+       CASE WHEN sr.xent IS NULL THEN NULL ELSE
+         CAST((CASE WHEN sr.xent > b[1] THEN 1 ELSE 0 END)
+              + (CASE WHEN sr.xent > b[2] THEN 1 ELSE 0 END)
+              + (CASE WHEN sr.xent > b[3] THEN 1 ELSE 0 END) AS BIGINT)
+       END AS bucket
+FROM sr CROSS JOIN bounds"""
+
+
+def _repo_pagerank_duck_sql(iters: int) -> str:
+    """PageRank over the decorated import graph, edges restated
+    ARITHMETICALLY (the regex extraction itself is the import_edges
+    entry's check — this oracle derives the same edges independently),
+    node ids via the pinned suffix mapping srcN -> N, modK -> 1000+K,
+    iterations unrolled with the shared _PR_ITER_DUCK template."""
+    body = "".join(_PR_ITER_DUCK.format(i=i + 1, p=i) for i in range(iters))
+    return f"""
+WITH eraw AS (
+  SELECT source AS src, 'mod' || (doc_id % 17) AS dst FROM documents
+  UNION
+  SELECT source AS src, 'mod' || ((doc_id * 7 + 3) % 17) AS dst
+  FROM documents
+), und AS (
+  SELECT DISTINCT CAST(substr(src, 4) AS BIGINT) AS u,
+         1000 + CAST(substr(dst, 4) AS BIGINT) AS v
+  FROM eraw WHERE dst <> src
+), deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg FROM und GROUP BY u),
+nd AS (SELECT DISTINCT u AS node FROM und
+       UNION SELECT DISTINCT v FROM und),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+r0 AS (SELECT nd.node, 1.0 / nn.n AS r FROM nd CROSS JOIN nn),
+{body.strip().rstrip(',')}
+SELECT node, round(r, 6) AS rank FROM r{iters}"""
+
 
 def _r04s11_engine_queries() -> dict[str, Callable[[SparkSession, str],
                                                    DataFrame]]:
@@ -5022,9 +5107,7 @@ def _r04s11_engine_queries() -> dict[str, Callable[[SparkSession, str],
         top = symbol_search(syms, "data table", k=10)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
-    def import_edges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # repo-level import-graph extraction: deterministic
-        # import/from lines, (?m) anchored patterns, distinct edges
+    def _decorated_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.codesearch import import_edges
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -5035,6 +5118,59 @@ def _r04s11_engine_queries() -> dict[str, Callable[[SparkSession, str],
             F.lit(" import helper"))
         d = docs.select(F.col("source").alias("repo"), code.alias("text"))
         return import_edges(d)
+
+    def import_edges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # repo-level import-graph extraction: deterministic
+        # import/from lines, (?m) anchored patterns, distinct edges
+        return _decorated_imports(spark, sf_dir)
+
+    def repo_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # dependency-graph ranking: the regex-extracted import edges
+        # feed the distributed PageRank (2 unrolled iterations in the
+        # oracle; edges re-derived ARITHMETICALLY there, so extraction
+        # and iteration are checked by independent mechanisms)
+        from index_spark.operators.graph import pagerank
+
+        e = _decorated_imports(spark, sf_dir).select(
+            F.substring("src", 4, 10).cast("long").alias("src"),
+            (F.lit(1000) + F.substring("dst", 4, 10).cast("long"))
+            .alias("dst"))
+        nodes = (e.select(F.col("src").alias("node"))
+                 .union(e.select(F.col("dst").alias("node")))
+                 .distinct())
+        return pagerank(nodes, e, iters=2).select("node", "rank")
+
+    def grep_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # grep -C 1: the 3-token line wrap (same as grep_lines), match
+        # windows exploded + equi-joined vs the oracle's EXISTS probe
+        from index_spark.operators.codesearch import grep_lines
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sp = F.split(F.col("text"), " ", -1)
+        wrapped = docs.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(sp) / F.lit(3.0)).cast("int") - 1),
+                    lambda i: F.array_join(
+                        F.slice(sp, i * F.lit(3) + F.lit(1), F.lit(3)),
+                        " ")),
+                "\n").alias("text"))
+        return grep_lines(wrapped, "vector", context=1)
+
+    def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # perplexity-bucketed curriculum: the lm_xent scores cut into
+        # exact quartiles — boundaries, tie direction, and NULL
+        # propagation all value-checked
+        from index_spark.operators.lm import bigram_lm_scores
+        from index_spark.operators.sample import quantile_buckets
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        scores = bigram_lm_scores(docs, alpha=1.0)
+        out = quantile_buckets(scores, "xent", n_buckets=4, round_at=4)
+        return out.select("doc_id", "xent", "bucket")
 
     def composite_facet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ES composite aggregation: page AFTER the ('en', 'src12')
@@ -5056,7 +5192,9 @@ def _r04s11_engine_queries() -> dict[str, Callable[[SparkSession, str],
 
     return {"lmjm_topk": lmjm_topk, "classic_topk": classic_topk,
             "symbol_defs": symbol_defs, "symbol_topk": symbol_topk,
-            "import_edges": import_edges_q,
+            "import_edges": import_edges_q, "repo_pagerank": repo_pagerank,
+            "grep_context": grep_context,
+            "curriculum_buckets": curriculum_buckets,
             "composite_facet": composite_facet_q, "t5_spans": t5_spans}
 
 
@@ -5431,6 +5569,11 @@ ORDER BY doc_id, line_no""")
     add("composite_facet", eng11["composite_facet"],
         _ORACLE_COMPOSITE_FACET)
     add("t5_spans", eng11["t5_spans"], _t5_spans_duck_sql(0.3, "t5"))
+    add("repo_pagerank", eng11["repo_pagerank"],
+        _repo_pagerank_duck_sql(2))
+    add("grep_context", eng11["grep_context"], _ORACLE_GREP_CONTEXT)
+    add("curriculum_buckets", eng11["curriculum_buckets"],
+        _ORACLE_CURRICULUM)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -190,11 +190,13 @@ def grep_search(docs: DataFrame, pattern: str, regex: bool = False,
 
 def grep_lines(docs: DataFrame, pattern: str, regex: bool = False,
                trgm: DataFrame | None = None, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id", context: int = 0) -> DataFrame:
     """``grep -n`` over the corpus: (doc_id, line_no, line) for every
     LINE matching the pattern — the code-search result shape (Zoekt /
     Sourcegraph return line matches, not documents; ``line_no`` is
-    1-based).
+    1-based). ``context=N`` is ``grep -C N``: lines within N of a
+    match also emit, with an ``is_match`` column separating hits from
+    context (a context line that itself matches reports is_match).
 
     Candidate docs gate through the trigram index exactly like
     :func:`grep_search` — a line match implies a doc match, so
@@ -204,7 +206,13 @@ def grep_lines(docs: DataFrame, pattern: str, regex: bool = False,
     scale the expensive part (line explode + predicate) therefore runs
     over the gram-pruned candidate set, not the corpus; patterns too
     short for the gram gate (< 3 chars, or a regex with no >=3-char
-    literal run) scan — the documented Cox fallback."""
+    literal run) scan — the documented Cox fallback.
+
+    Context shape: the match set explodes to its (2N+1)-line windows
+    (bounded fan-out) and equi-joins back to the line relation on
+    (doc_id, line_no) — a semi-join distinct, never a theta/range join
+    (the :func:`index_spark.operators.temporal.range_join` bucket
+    trick, degenerate here because windows are integer-bounded)."""
     d = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                     F.col(text_col).alias("_t"))
     if trgm is not None:
@@ -216,13 +224,25 @@ def grep_lines(docs: DataFrame, pattern: str, regex: bool = False,
     lines = (d.select("doc_id",
                       F.posexplode_outer(F.split("_t", "\n", -1))
                       .alias("_p", "line"))
-             .filter(F.col("line").isNotNull()))
+             .filter(F.col("line").isNotNull())
+             .select("doc_id",
+                     (F.col("_p") + 1).cast("long").alias("line_no"),
+                     "line"))
     pred = (F.col("line").rlike(pattern) if regex
             else F.col("line").contains(pattern))
-    return (lines.filter(pred)
-            .select("doc_id",
-                    (F.col("_p") + 1).cast("long").alias("line_no"),
-                    "line")
+    if context < 0:
+        raise ValueError(f"context must be >= 0, got {context}")
+    if context == 0:
+        return lines.filter(pred).orderBy("doc_id", "line_no")
+    matches = lines.filter(pred).select("doc_id", "line_no")
+    wanted = (matches
+              .select("doc_id",
+                      F.explode(F.sequence(
+                          F.greatest(F.col("line_no") - context, F.lit(1)),
+                          F.col("line_no") + context)).alias("line_no"))
+              .distinct())
+    return (lines.join(wanted, ["doc_id", "line_no"])
+            .select("doc_id", "line_no", "line", pred.alias("is_match"))
             .orderBy("doc_id", "line_no"))
 
 

@@ -321,3 +321,50 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
                     F.round(F.expr(f"ln({u})") / w, 6).alias("es_key"))
             .orderBy(F.desc("es_key"), F.asc(key_col))
             .limit(k))
+
+
+def quantile_buckets(df: DataFrame, value_col: str, n_buckets: int = 4,
+                     out_col: str = "bucket", round_at: int | None = None,
+                     approx: bool = False) -> DataFrame:
+    """Assign each row its corpus-quantile bucket over ``value_col`` —
+    the curriculum/stratification primitive (perplexity-bucketed
+    curricula order training data easy-to-hard; quality-quantile gates
+    keep the best X%). Bucket k in [0, n_buckets) holds rows with
+    value in the (k/n, (k+1)/n] quantile band:
+
+        bucket = sum over boundaries b_k (k = 1..n-1, the k/n exact
+                 linear-interpolation quantiles of the non-NULL
+                 values) of [value > b_k]
+
+    so ties AT a boundary take the lower bucket (pinned; restatable
+    with DuckDB's ``quantile_cont``, whose interpolation matches
+    Spark's ``percentile`` to the last ulp — probed by the
+    corpus_profile entry). ``round_at`` pre-rounds values before BOTH
+    the boundary computation and the comparison (callers bucketing a
+    score an oracle must reproduce should round at the score's own
+    output precision). NULL values get a NULL bucket.
+
+    NOT a window: ntile() would be one global sort over the corpus.
+    The boundaries are ONE bounded aggregate row (n_buckets-1
+    doubles); assignment is a map-only literal-comparison chain.
+    ``approx=True`` swaps percentile for percentile_approx (t-digest)
+    — the 100-TB form, trading oracle-exactness for a sketch."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
+    v = F.col(value_col).cast("double")
+    if round_at is not None:
+        v = F.round(v, round_at)
+    probs = ", ".join(f"{k / n_buckets!r}" for k in range(1, n_buckets))
+    fn = "percentile_approx" if approx else "percentile"
+    row = (df.select(v.alias("_v")).where(F.col("_v").isNotNull())
+           .agg(F.expr(f"{fn}(_v, array({probs}))").alias("b"))
+           .collect()[0])
+    bounds = list(row["b"] or [])
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(v > F.lit(float(b)), 1).otherwise(0)
+    return df.withColumn(
+        out_col,
+        F.when(v.isNotNull(), bucket.cast("long")).otherwise(F.lit(None)))

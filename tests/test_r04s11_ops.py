@@ -326,3 +326,62 @@ def test_span_corrupt_roundtrip_and_determinism(spark, tiny_corpus):
     again = span_corrupt(docs.repartition(7), rate=0.25, salt="rt") \
         .collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+# ------------------------------------------------------ grep context
+
+def test_grep_context_windows(spark):
+    from index_spark.operators.codesearch import grep_lines
+
+    docs = spark.createDataFrame(
+        [(0, "hit one\nplain a\nplain b\nhit two\nplain c"),
+         (1, "plain\nplain\nplain"),
+         (2, "hit at top\nplain")],
+        "doc_id long, text string")
+    got = [(r.doc_id, r.line_no, r.is_match)
+           for r in grep_lines(docs, "hit", context=1).collect()]
+    # doc 0: windows around lines 1 and 4 (union, no duplicates);
+    # doc 1: no matches, nothing; doc 2: window clamps at line 1
+    assert got == [(0, 1, True), (0, 2, False), (0, 3, False),
+                   (0, 4, True), (0, 5, False),
+                   (2, 1, True), (2, 2, False)]
+    # context=0 keeps the original 3-column match-only shape
+    plain = grep_lines(docs, "hit")
+    assert plain.columns == ["doc_id", "line_no", "line"]
+    assert plain.count() == 3
+    with pytest.raises(ValueError, match="context"):
+        grep_lines(docs, "hit", context=-1)
+
+
+# -------------------------------------------------- quantile buckets
+
+def test_quantile_buckets_hand_example(spark):
+    from index_spark.operators.sample import quantile_buckets
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 9)]
+                               + [(9, None)],
+                               "doc_id long, v double")
+    got = {r.doc_id: r.bucket
+           for r in quantile_buckets(df, "v", n_buckets=4).collect()}
+    # quartile boundaries of 1..8 are 2.75 / 4.5 / 6.25
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3,
+                   9: None}
+
+
+def test_quantile_buckets_ties_and_validation(spark):
+    from index_spark.operators.sample import quantile_buckets
+
+    const = spark.createDataFrame([(i, 5.0) for i in range(6)],
+                                  "doc_id long, v double")
+    got = {r.bucket for r in
+           quantile_buckets(const, "v", n_buckets=4).collect()}
+    assert got == {0}  # boundary ties take the LOWER bucket
+    with pytest.raises(ValueError, match="n_buckets"):
+        quantile_buckets(const, "v", n_buckets=1)
+    with pytest.raises(ValueError, match="already exists"):
+        quantile_buckets(const, "v", out_col="v")
+    # bucket assignment is map-only once boundaries are known: the
+    # output plan carries no exchange
+    out = quantile_buckets(const, "v", n_buckets=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
