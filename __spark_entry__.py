@@ -5024,6 +5024,33 @@ SELECT sr.doc_id, sr.xent,
 FROM sr CROSS JOIN bounds"""
 
 
+# Matryoshka serving restated: 16-dim truncated cosine ranking, the
+# deterministic (tcos, id) top-40 candidate cut, full-dim exact rerank
+_ORACLE_MRL_TOPK = """
+WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+tr AS (
+  SELECT e.vec_id, e.embedding, qv.q,
+         round(list_sum(list_transform(
+                 list_zip((e.embedding[1:16])::DOUBLE[], (qv.q[1:16])::DOUBLE[]),
+                 p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform((e.embedding[1:16])::DOUBLE[], x -> x * x)))
+                  * sqrt(list_sum(list_transform((qv.q[1:16])::DOUBLE[], x -> x * x)))),
+               4) AS tcos
+  FROM embeddings e CROSS JOIN qv
+), cand AS (SELECT * FROM tr ORDER BY tcos DESC, vec_id ASC LIMIT 40),
+rr AS (
+  SELECT vec_id,
+         round(list_sum(list_transform(
+                 list_zip(embedding::DOUBLE[], q::DOUBLE[]),
+                 p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+                  * sqrt(list_sum(list_transform(q::DOUBLE[], x -> x * x)))),
+               4) AS cos
+  FROM cand
+)
+SELECT vec_id, cos FROM rr ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+
 def _repo_pagerank_duck_sql(iters: int) -> str:
     """PageRank over the decorated import graph, edges restated
     ARITHMETICALLY (the regex extraction itself is the import_edges
@@ -5172,6 +5199,18 @@ def _r04s11_engine_queries() -> dict[str, Callable[[SparkSession, str],
         out = quantile_buckets(scores, "xent", n_buckets=4, round_at=4)
         return out.select("doc_id", "xent", "bucket")
 
+    def mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Matryoshka truncated-dimension serving: 16-dim first pass,
+        # top-40 candidates, full-dim exact rerank — the truncated
+        # ranking, the candidate cut, and the rerank all value-checked
+        from index_spark.operators.similarity import mrl_topk as mrl
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") == 0) \
+               .select("embedding").collect()[0][0]
+        return mrl(emb, [float(v) for v in q], dim=16, k=10,
+                   rerank_candidates=40)
+
     def composite_facet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ES composite aggregation: page AFTER the ('en', 'src12')
         # cursor over (lang, source) buckets — the cursor filter, the
@@ -5193,7 +5232,7 @@ def _r04s11_engine_queries() -> dict[str, Callable[[SparkSession, str],
     return {"lmjm_topk": lmjm_topk, "classic_topk": classic_topk,
             "symbol_defs": symbol_defs, "symbol_topk": symbol_topk,
             "import_edges": import_edges_q, "repo_pagerank": repo_pagerank,
-            "grep_context": grep_context,
+            "grep_context": grep_context, "mrl_topk": mrl_topk,
             "curriculum_buckets": curriculum_buckets,
             "composite_facet": composite_facet_q, "t5_spans": t5_spans}
 
@@ -5574,6 +5613,7 @@ ORDER BY doc_id, line_no""")
     add("grep_context", eng11["grep_context"], _ORACLE_GREP_CONTEXT)
     add("curriculum_buckets", eng11["curriculum_buckets"],
         _ORACLE_CURRICULUM)
+    add("mrl_topk", eng11["mrl_topk"], _ORACLE_MRL_TOPK)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -939,3 +939,53 @@ def mmr_rerank(emb: DataFrame, qvec: list[float], k: int = 5,
             for i, (v, s) in enumerate(selected)]
     return spark.createDataFrame(
         rows, "vec_id long, mmr_rank long, rel double, mmr_score double")
+
+
+# ------------------------------------------------- Matryoshka serving
+
+def mrl_topk(emb: DataFrame, qvec: list[float], dim: int, k: int = 10,
+             rerank_candidates: int = 0, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Matryoshka-style truncated-dimension serving (Kusupati et al.,
+    NeurIPS 2022 — MRL embeddings nest lower-dimensional
+    representations in their prefixes): rank by cosine over the FIRST
+    ``dim`` dimensions only, the cheap first pass every
+    adaptive-retrieval stack runs; with ``rerank_candidates = c > 0``,
+    the truncated pass keeps its top-c (deterministic (cos4, id)
+    cut, the sq_topk/pq_topk rerank contract) and the FULL-dimension
+    exact cosine reranks those c rows to the final top-k.
+
+    Scale shape: the truncated pass reads ``dim/full_dim`` of the
+    vector bytes per row when embeddings are stored dimension-sliced
+    (here: slice() inside the fold, arithmetic drops by the same
+    ratio); both passes are map-only JVM folds + TakeOrderedAndProject
+    — no exchange, no UDF; the rerank's O(full_dim) arithmetic runs on
+    c rows, not the corpus. Returns (vec_id, cos) — cos is the
+    truncated cosine without rerank, the full cosine with."""
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
+    if not qvec:
+        raise ValueError("qvec must be non-empty")
+    qt = [float(x) for x in qvec[:dim]]
+    sliced = F.slice(F.col(vec_col), 1, dim)
+    dot = F.aggregate(
+        F.zip_with(sliced, F.array(*[F.lit(x) for x in qt]),
+                   lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    nv = F.sqrt(F.aggregate(
+        F.transform(sliced, lambda a: a.cast("double") * a),
+        F.lit(0.0), lambda acc, x: acc + x))
+    nq = float(np.sqrt(np.sum(np.asarray(qt, dtype=np.float64) ** 2)))
+    tcos = F.round(dot / (nv * F.lit(nq)), 4)
+    first = (emb.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("_v"),
+                        tcos.alias("cos"))
+             .orderBy(F.desc("cos"), F.asc("vec_id")))
+    if rerank_candidates <= 0:
+        return first.select("vec_id", "cos").limit(k)
+    cand = first.limit(max(rerank_candidates, k))
+    full = [float(x) for x in qvec]
+    return (cand.select("vec_id",
+                        F.round(_cos_expr("_v", full), 4).alias("cos"))
+            .orderBy(F.desc("cos"), F.asc("vec_id"))
+            .limit(k))

@@ -514,6 +514,9 @@ def cmd_knn(args) -> None:
     elif args.method == "mmr":
         out = sim.mmr_rerank(emb, q, k=args.k, window=args.window,
                              lam=args.lam, restrict=restrict)
+    elif args.method == "mrl":
+        out = sim.mrl_topk(emb, q, dim=args.dim, k=args.k,
+                           rerank_candidates=args.rerank)
     else:  # ivfpq: the composite billion-vector recipe
         _, cents = sim.kmeans(emb, k=args.buckets, iters=2)
         cb = sim.pq_train(emb, m=args.m, k=args.codebook_k)
@@ -1166,7 +1169,7 @@ def main(argv=None) -> None:
     kn.add_argument("-k", type=int, default=10)
     kn.add_argument("--method", default="exact",
                     choices=["exact", "ivf", "sq", "pq", "ivfpq",
-                             "binary", "mmr"])
+                             "binary", "mmr", "mrl"])
     kn.add_argument("--filter", help="SQL predicate over the embeddings "
                                      "table (pre-filter allow-set), "
                                      "e.g. \"label = 3\"")
@@ -1177,7 +1180,9 @@ def main(argv=None) -> None:
     kn.add_argument("--codebook-k", type=int, default=16,
                     help="pq centroids per subspace")
     kn.add_argument("--rerank", type=int, default=0,
-                    help="exact rerank pool for sq/pq/binary")
+                    help="exact rerank pool for sq/pq/binary/mrl")
+    kn.add_argument("--dim", type=int, default=16,
+                    help="truncated prefix dims for --method mrl")
     kn.add_argument("--planes", type=int, default=16,
                     help="SRP planes for --method binary")
     kn.add_argument("--window", type=int, default=50,

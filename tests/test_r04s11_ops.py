@@ -385,3 +385,39 @@ def test_quantile_buckets_ties_and_validation(spark):
     out = quantile_buckets(const, "v", n_buckets=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------- Matryoshka serving
+
+def test_mrl_topk_rerank_fixes_truncated_order(spark):
+    from index_spark.operators.similarity import mrl_topk
+
+    # prefix (dim=2) ranks doc 2 above doc 1; the full 4-dim cosine
+    # reverses them — rerank must surface the true order
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.9, 0.0]),   # weak prefix, strong suffix
+            (2, [1.0, 0.0, -1.0, 0.0])]  # perfect prefix, bad suffix
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [1.0, 0.0, 0.9, 0.0]
+    trunc = [r.vec_id for r in
+             mrl_topk(emb, q, dim=2, k=3).collect()]
+    assert trunc[0] in (0, 2) and trunc == sorted(
+        trunc, key=lambda d: trunc.index(d))  # truncated pass ignores dims 3+
+    rer = [r.vec_id for r in
+           mrl_topk(emb, q, dim=2, k=3, rerank_candidates=3).collect()]
+    assert rer[0] == 1  # full-dim winner surfaces after rerank
+    # truncated cosine values match a numpy slice computation
+    import numpy as np
+    got = {r.vec_id: r.cos for r in mrl_topk(emb, q, dim=2, k=3).collect()}
+    for vid, v in rows:
+        a, b = np.asarray(v[:2]), np.asarray(q[:2])
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert got[vid] == pytest.approx(round(want, 4), abs=1e-9)
+    with pytest.raises(ValueError, match="dim"):
+        mrl_topk(emb, q, dim=0)
+    with pytest.raises(ValueError, match="qvec"):
+        mrl_topk(emb, [], dim=2)
+    # both passes are JVM folds — no Python in the plan
+    plan = mrl_topk(emb, q, dim=2, k=3, rerank_candidates=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
