@@ -509,6 +509,51 @@ def main() -> None:
 
     _s10_scale()
 
+    # 10b2s11. session-11 surfaces (non-headline): ctags-lite symbol
+    # extraction over the 200k pseudo-code corpus (map-only
+    # regexp_extract_all — the zero-shuffle pass a code-search indexer
+    # runs per file; docs/sec is the signal), T5 span corruption over
+    # the sf documents (JVM md5 draws + one Arrow span pass), and a
+    # Matryoshka truncated+rerank ANN query
+    def _s11_scale():
+        from index_spark.operators.chunk import span_corrupt
+        from index_spark.operators.codesearch import extract_symbols
+        from index_spark.operators.similarity import mrl_topk
+
+        corpus_dir = os.environ.get("SPARK_GRAFT_200K_DIR",
+                                    "/tmp/bench_corpus200k")
+        big = spark.read.parquet(f"{corpus_dir}/corpus.parquet") \
+                   .select(F.xxhash64("path").alias("doc_id"),
+                           F.col("content").alias("text")) \
+                   .repartition(int(cpus)).persist()
+        n_big = big.count()
+        t0 = time.time()
+        n_syms = extract_symbols(big).count()
+        dt = time.time() - t0
+        timings["symbols_200k"] = round(dt, 3)
+        timings["symbols_200k_docs_per_sec"] = round(n_big / dt, 1)
+        timings["symbols_200k_defs"] = n_syms
+        big.unpersist()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+        n_docs = docs.count()
+        t0 = time.time()
+        span_corrupt(docs, rate=0.15, salt="bench") \
+            .agg(F.sum("n_masked")).collect()
+        dt = time.time() - t0
+        timings["t5_corrupt"] = round(dt, 3)
+        timings["t5_corrupt_docs_per_sec"] = round(n_docs / dt, 1)
+        docs.unpersist()
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+        emb.count()
+        qv = [float(x) for x in
+              emb.filter("vec_id = 0").first()["embedding"]]
+        t0 = time.time()
+        mrl_topk(emb, qv, dim=16, k=10, rerank_candidates=50).collect()
+        timings["mrl_query"] = round(time.time() - t0, 3)
+        emb.unpersist()
+
+    _s11_scale()
+
     # 10b3. iterative graph/LM surfaces (non-headline): transitive
     # duplicate clustering (large-star/small-star over the jaccard pair
     # graph), bigram-LM scoring, and 3-iteration PageRank — all via the

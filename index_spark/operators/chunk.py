@@ -194,19 +194,25 @@ def span_corrupt(df: DataFrame, rate: float = 0.15, salt: str = "t5",
                  lambda x: x != ""),
         F.array().cast("array<string>"))
     did = F.col(id_col).cast("long")
-    n = F.size(toks)
-    # per-position draws, JVM-side: sequence() infers a NEGATIVE step
-    # when start > stop, so clamp the bound and filter i < n
-    idx = F.filter(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
-                   lambda i: i < n)
+    # per-position draws, JVM-side. The index array comes from a
+    # conditional sequence() over the ALREADY-PROJECTED token column —
+    # never a per-element lambda that references the tokenization
+    # expression (Catalyst inlines such references into the lambda and
+    # re-splits the text once PER POSITION: the O(tokens^2)
+    # InferFiltersFromGenerate-class trap measured in
+    # contamination.doc_grams; a filter(seq, i -> i < size(toks)) here
+    # benched 63 docs/s vs ~2k after this restructure)
+    base = df.select(did.alias("doc_id"), toks.alias("toks"))
+    n = F.size(F.col("toks"))
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
+           .otherwise(F.array().cast("array<int>"))
     msk = F.transform(
         idx,
         lambda i: F.substring(
-            F.md5(F.concat(did.cast("string"), F.lit(":"),
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
                            i.cast("string"), F.lit(":" + salt))),
             1, 8) < F.lit(thr))
-    prepared = df.select(did.alias("doc_id"), toks.alias("toks"),
-                         msk.alias("msk"))
+    prepared = base.select("doc_id", "toks", msk.alias("msk"))
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
