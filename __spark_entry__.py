@@ -5024,6 +5024,44 @@ SELECT sr.doc_id, sr.xent,
 FROM sr CROSS JOIN bounds"""
 
 
+# interval join (the stream-stream enrichment plan, batch form):
+# views x purchases within 1 hour on the same user, delay included
+_ORACLE_INTERVAL_JOIN = """
+WITH v AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'view'),
+p AS (SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase')
+SELECT v.user_id, v.ts AS l_ts, p.ts AS r_ts,
+       CAST(floor(epoch(p.ts) - epoch(v.ts)) AS BIGINT) AS delay_s,
+       v.event_id AS l_event_id, p.event_id AS r_event_id,
+       p.value AS r_value
+FROM v JOIN p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR"""
+
+
+# ES pipeline aggregations restated: the hourly rollup re-derived,
+# then derivative / cumulative sum / trailing-3 moving average as
+# explicit window frames over the same (event_type, bucket) order
+_ORACLE_EVENTS_PIPELINE = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         round(sum(value), 4) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket, sum_value,
+       round(sum_value - lag(sum_value) OVER
+             (PARTITION BY event_type ORDER BY bucket), 4) AS derivative,
+       round(sum(sum_value) OVER
+             (PARTITION BY event_type ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS cumulative,
+       round(avg(sum_value) OVER
+             (PARTITION BY event_type ORDER BY bucket
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+FROM b"""
+
+
 # Matryoshka serving restated: 16-dim truncated cosine ranking, the
 # deterministic (tcos, id) top-40 candidate cut, full-dim exact rerank
 _ORACLE_MRL_TOPK = """
@@ -5211,6 +5249,38 @@ def _r04s11_engine_queries() -> dict[str, Callable[[SparkSession, str],
         return mrl(emb, [float(v) for v in q], dim=16, k=10,
                    rerank_candidates=40)
 
+    def events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES pipeline aggregations (derivative / cumulative_sum /
+        # moving_avg) over the hourly per-type rollup — one window
+        # pass, every column value-checked
+        from index_spark.operators.temporal import (
+            pipeline_aggs,
+            rollup_timeseries,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        hourly = rollup_timeseries(ev, granularities=["hour"],
+                                   by=["event_type"])
+        out = pipeline_aggs(hourly, value_col="sum_value",
+                            by=["event_type"], window=3)
+        return out.select("event_type", "bucket", "sum_value",
+                          "derivative", "cumulative", "moving_avg")
+
+    def events_interval_join(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+        # the stream-stream enrichment plan on its batch form (Kappa
+        # parity: stream == batch is pytest-pinned; the VALUES are
+        # driver-checked here) — views x purchases within 1 hour
+        from index_spark.streaming.aggregate import interval_join_stream
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        views = ev.where("event_type = 'view'") \
+                  .select("user_id", "ts", "event_id")
+        buys = ev.where("event_type = 'purchase'") \
+                 .select("user_id", "ts", "event_id", "value")
+        return interval_join_stream(views, buys, left_vals=["event_id"],
+                                    right_vals=["event_id", "value"])
+
     def composite_facet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ES composite aggregation: page AFTER the ('en', 'src12')
         # cursor over (lang, source) buckets — the cursor filter, the
@@ -5233,6 +5303,8 @@ def _r04s11_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "symbol_defs": symbol_defs, "symbol_topk": symbol_topk,
             "import_edges": import_edges_q, "repo_pagerank": repo_pagerank,
             "grep_context": grep_context, "mrl_topk": mrl_topk,
+            "events_pipeline": events_pipeline,
+            "events_interval_join": events_interval_join,
             "curriculum_buckets": curriculum_buckets,
             "composite_facet": composite_facet_q, "t5_spans": t5_spans}
 
@@ -5614,6 +5686,10 @@ ORDER BY doc_id, line_no""")
     add("curriculum_buckets", eng11["curriculum_buckets"],
         _ORACLE_CURRICULUM)
     add("mrl_topk", eng11["mrl_topk"], _ORACLE_MRL_TOPK)
+    add("events_pipeline", eng11["events_pipeline"],
+        _ORACLE_EVENTS_PIPELINE)
+    add("events_interval_join", eng11["events_interval_join"],
+        _ORACLE_INTERVAL_JOIN)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -109,3 +109,41 @@ def range_join(events: DataFrame, intervals: DataFrame, ts_col: str = "ts",
     return (joined.where((F.col(ts_col) >= F.col(start_col))
                          & (F.col(ts_col) <= F.col(end_col)))
             .drop("_b"))
+
+
+def pipeline_aggs(buckets: DataFrame, value_col: str = "sum_value",
+                  ts_col: str = "bucket", by: list[str] | None = None,
+                  window: int = 3) -> DataFrame:
+    """Elasticsearch pipeline aggregations over a bucketed time series
+    (the output shape of :func:`rollup_timeseries` or a
+    date-histogram facet): per time bucket, in one pass —
+
+      * ``derivative``   — value minus the previous bucket's value
+        (NULL for each series' first bucket, ES semantics),
+      * ``cumulative``   — running sum from the series start,
+      * ``moving_avg``   — mean of the trailing ``window`` buckets
+        (including the current one; partial windows average what
+        exists, ES ``moving_fn`` default).
+
+    All three are ONE window pass partitioned by the ``by`` keys and
+    ordered by bucket time. Scale note: the window partitions by the
+    series keys — a time-bucketed series is bounded by the time range
+    (buckets, not events), so per-partition state stays small; an
+    unkeyed call (``by=None``) puts the whole bucket relation in one
+    partition and is only for bounded rollups — pass the category
+    keys at scale."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    keys = by or []
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(ts_col)
+    v = F.col(value_col).cast("double")
+    return (buckets
+            .withColumn("derivative",
+                        F.round(v - F.lag(v, 1).over(w), 4))
+            .withColumn("cumulative",
+                        F.round(F.sum(v).over(
+                            w.rowsBetween(Window.unboundedPreceding, 0)),
+                            4))
+            .withColumn("moving_avg",
+                        F.round(F.avg(v).over(
+                            w.rowsBetween(-(window - 1), 0)), 4)))

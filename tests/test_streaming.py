@@ -209,3 +209,47 @@ def test_dedup_stream_keep_first_across_batches(spark, tmp_path):
         assert {d for d, _ in got} == {0, 1, 3, 6}
     finally:
         q.stop()
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (views enriched with the
+    purchases that follow within 1 hour) == the same plan on the batch
+    DataFrames over the same closed input."""
+    import shutil
+
+    from index_spark.streaming.aggregate import interval_join_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    views = events.where("event_type = 'view'") \
+                  .select("user_id", "ts", "event_id")
+    buys = events.where("event_type = 'purchase'") \
+                 .select("user_id", "ts", "event_id", "value")
+
+    exp = {tuple(map(str, r)) for r in
+           interval_join_stream(views, buys, left_vals=["event_id"],
+                                right_vals=["event_id", "value"])
+           .collect()}
+    assert len(exp) > 0
+
+    lsrc, rsrc = str(tmp_path / "views"), str(tmp_path / "buys")
+    # two files per side so each stream sees multiple splits
+    views.where("event_id % 2 = 0").write.parquet(lsrc)
+    views.where("event_id % 2 = 1").write.mode("append").parquet(lsrc)
+    buys.where("event_id % 2 = 0").write.parquet(rsrc)
+    buys.where("event_id % 2 = 1").write.mode("append").parquet(rsrc)
+
+    lst = spark.readStream.schema(views.schema).parquet(lsrc)
+    rst = spark.readStream.schema(buys.schema).parquet(rsrc)
+    joined = interval_join_stream(lst, rst, left_vals=["event_id"],
+                                  right_vals=["event_id", "value"])
+    q = (joined.writeStream.format("memory").queryName("ivjoin")
+         .outputMode("append").trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(180)
+        got = {tuple(map(str, r)) for r in
+               spark.sql("SELECT * FROM ivjoin").collect()}
+        assert got == exp
+    finally:
+        q.stop()
+        shutil.rmtree(lsrc, ignore_errors=True)
+        shutil.rmtree(rsrc, ignore_errors=True)
