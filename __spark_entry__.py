@@ -5089,6 +5089,182 @@ rr AS (
 SELECT vec_id, cos FROM rr ORDER BY cos DESC, vec_id ASC LIMIT 10"""
 
 
+# deterministic synthetic points: every event gets a (lat, lon) from
+# pure BIGINT arithmetic on event_id (identical in both engines), so geo
+# entries need no external data and stay value-checkable
+_GEO_PTS_DUCK = """
+pts AS (
+  SELECT event_id, value,
+         ((event_id * 2654435761) % 1800000) / 10000.0 - 90.0 AS lat,
+         ((event_id * 2246822519) % 3600000) / 10000.0 - 180.0 AS lon
+  FROM events
+)"""
+
+# geo_distance restated: the pinned haversine association (see
+# operators/geo.py haversine_km), radius test and ordering both on the
+# ROUNDED distance so boundary/tie behavior is engine-independent
+_ORACLE_GEO_DISTANCE = f"""
+WITH {_GEO_PTS_DUCK.strip()},
+d AS (
+  SELECT event_id,
+         round(2 * 6371.0088 * asin(sqrt(
+             sin(radians(37.7749 - lat) / 2) * sin(radians(37.7749 - lat) / 2)
+             + cos(radians(lat)) * cos(radians(37.7749))
+             * sin(radians(-122.4194 - lon) / 2)
+             * sin(radians(-122.4194 - lon) / 2))), 4) AS dist_km
+  FROM pts
+)
+SELECT event_id, dist_km FROM d
+WHERE dist_km <= 3000.0
+ORDER BY dist_km ASC, event_id ASC LIMIT 20"""
+
+
+def _geo_grid_duck_sql(precision: int) -> str:
+    """geohash_grid restated: the closed-form quantize + bit-interleave
+    + base32 encoding re-derived by DuckDB integer arithmetic (the CTE
+    chain comes from the SAME generator the pytest suite pins against a
+    textbook interval-halving encoder), then the grid count/avg."""
+    from index_spark.operators.geo import geohash_duck_ctes
+
+    gh = geohash_duck_ctes("lat", "lon", precision, "pts",
+                           keep="event_id, value")
+    return f"""
+WITH {_GEO_PTS_DUCK.strip()},{gh.strip()}
+SELECT cell, CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 4) AS avg_value
+FROM gh_cells GROUP BY cell
+ORDER BY n DESC, cell ASC LIMIT 30"""
+
+
+# rank_feature (additive static-signal clause) restated over the shared
+# BM25 scores CTE: saturation(n_chars, pivot=200) * weight 2.0 added to
+# every COMPLETE match score before the top-k cut
+_ORACLE_RANK_FEATURE = """
+, rf AS (
+  SELECT s.doc_id,
+         s.score + 2.0 * (d.n_chars / (d.n_chars + 200.0)) AS score
+  FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM rf
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10"""
+
+
+_HITS_ITER_DUCK = """
+a{i}raw AS (
+  SELECT und.v AS node, sum(h.s) AS raw
+  FROM und JOIN h{p} h ON und.u = h.node GROUP BY und.v
+), a{i}n AS (SELECT sqrt(sum(raw * raw)) AS nrm FROM a{i}raw),
+a{i} AS (
+  SELECT nd.node, coalesce(r.raw, 0.0) / a{i}n.nrm AS s
+  FROM nd LEFT JOIN a{i}raw r ON nd.node = r.node CROSS JOIN a{i}n
+), h{i}raw AS (
+  SELECT und.u AS node, sum(a.s) AS raw
+  FROM und JOIN a{i} a ON und.v = a.node GROUP BY und.u
+), h{i}n AS (SELECT sqrt(sum(raw * raw)) AS nrm FROM h{i}raw),
+h{i} AS (
+  SELECT nd.node, coalesce(r.raw, 0.0) / h{i}n.nrm AS s
+  FROM nd LEFT JOIN h{i}raw r ON nd.node = r.node CROSS JOIN h{i}n
+),"""
+
+
+def _repo_hits_duck_sql(iters: int) -> str:
+    """HITS over the decorated import graph: edges restated
+    arithmetically (same independent derivation as the pagerank
+    oracle), iterations unrolled with the pinned h=1 start and
+    L2-normalized half-steps."""
+    body = "".join(_HITS_ITER_DUCK.format(i=i + 1, p=i)
+                   for i in range(iters))
+    return f"""
+WITH eraw AS (
+  SELECT source AS src, 'mod' || (doc_id % 17) AS dst FROM documents
+  UNION
+  SELECT source AS src, 'mod' || ((doc_id * 7 + 3) % 17) AS dst
+  FROM documents
+), und AS (
+  SELECT DISTINCT CAST(substr(src, 4) AS BIGINT) AS u,
+         1000 + CAST(substr(dst, 4) AS BIGINT) AS v
+  FROM eraw WHERE dst <> src
+), nd AS (SELECT DISTINCT u AS node FROM und
+          UNION SELECT DISTINCT v FROM und),
+h0 AS (SELECT node, 1.0 AS s FROM nd),
+{body.strip().rstrip(',')}
+SELECT h.node, round(h.s, 6) AS hub, round(a.s, 6) AS auth
+FROM h{iters} h JOIN a{iters} a ON h.node = a.node"""
+
+
+def _r04s12_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                   DataFrame]]:
+    def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return ev.select(
+            "event_id", "value",
+            (((F.col("event_id") * 2654435761) % 1800000) / 10000.0
+             - 90.0).alias("lat"),
+            (((F.col("event_id") * 2246822519) % 3600000) / 10000.0
+             - 180.0).alias("lon"))
+
+    def geo_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # geo_distance query + distance sort: nearest 20 synthetic
+        # points to San Francisco within 3,000 km — the haversine, the
+        # radius boundary, and the tie order all value-checked
+        from index_spark.operators.geo import geo_distance_topk
+
+        return geo_distance_topk(_geo_points(spark, sf_dir),
+                                 37.7749, -122.4194, k=20,
+                                 radius_km=3000.0)
+
+    def geo_grid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # geohash_grid aggregation at precision 4: the closed-form
+        # base32 geohash (quantize + bit-interleave, pure codegen) and
+        # the per-cell count/avg re-derived by DuckDB integer arithmetic
+        from index_spark.operators.geo import geohash_grid
+
+        return geohash_grid(_geo_points(spark, sf_dir), precision=4,
+                            value_col="value", limit=30)
+
+    def repo_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # HITS hubs/authorities over the decorated import graph — the
+        # link-analysis complement to repo_pagerank (importers and
+        # imported are different populations; HITS scores them apart)
+        from index_spark.operators.codesearch import import_edges
+        from index_spark.operators.graph import hits
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        code = F.concat(
+            F.lit("import mod"), (F.col("doc_id") % 17).cast("string"),
+            F.lit("\nx = 1\nfrom mod"),
+            ((F.col("doc_id") * 7 + 3) % 17).cast("string"),
+            F.lit(" import helper"))
+        ed = import_edges(
+            docs.select(F.col("source").alias("repo"),
+                        code.alias("text")))
+        e = ed.select(
+            F.substring("src", 4, 10).cast("long").alias("src"),
+            (F.lit(1000) + F.substring("dst", 4, 10).cast("long"))
+            .alias("dst"))
+        return hits(e, iters=2).select("node", "hub", "auth")
+
+    def rank_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES rank_feature: BM25 + additive saturation(n_chars) — the
+        # complete-match-scores path (a doc outside the BM25 top-k can
+        # enter on its feature), joined feature, and the combine all
+        # value-checked
+        from index_spark.operators.query import rank_feature_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        feats = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.col("n_chars").alias("feature"))
+        top = rank_feature_search(index, None, stats, "data table query",
+                                  feats, fn="saturation", pivot=200.0,
+                                  weight=2.0, k=10, stem=False,
+                                  camel=False, shard_size=256)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    return {"geo_distance_topk": geo_distance_q,
+            "geo_grid_facet": geo_grid_q, "repo_hits": repo_hits_q,
+            "rank_feature_topk": rank_feature_topk}
+
+
 def _repo_pagerank_duck_sql(iters: int) -> str:
     """PageRank over the decorated import graph, edges restated
     ARITHMETICALLY (the regex extraction itself is the import_edges
@@ -5690,6 +5866,14 @@ ORDER BY doc_id, line_no""")
         _ORACLE_EVENTS_PIPELINE)
     add("events_interval_join", eng11["events_interval_join"],
         _ORACLE_INTERVAL_JOIN)
+
+    eng12 = _r04s12_engine_queries()
+    add("geo_distance_topk", eng12["geo_distance_topk"],
+        _ORACLE_GEO_DISTANCE)
+    add("geo_grid_facet", eng12["geo_grid_facet"], _geo_grid_duck_sql(4))
+    add("repo_hits", eng12["repo_hits"], _repo_hits_duck_sql(2))
+    add("rank_feature_topk", eng12["rank_feature_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_RANK_FEATURE, [q_cte]))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

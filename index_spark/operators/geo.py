@@ -1,0 +1,191 @@
+"""Geo search over point columns — the Elasticsearch geo surface
+(``geo_distance`` query/sort, ``geo_bounding_box`` filter,
+``geohash_grid`` aggregation) re-expressed as pure Spark SQL
+expressions.
+
+Everything here is JVM-side codegen: the haversine distance is plain
+trigonometry over double columns, and the geohash is integer bit
+arithmetic (quantize → interleave → base32), so geo predicates ride
+whole-stage codegen and partition pruning like any other column — no
+UDF, no geometry library.
+
+Scale shape (100 TB of points): a distance query is a map-only filter
+plus a k-row TakeOrdered; a grid aggregation is one map-side-combinable
+groupBy on a low-cardinality cell key (at precision p there are at most
+32^p cells).  For repeated radius queries over a static corpus, store
+``geohash_col`` as a partition/bucket column: a radius predicate then
+prunes to the cells intersecting the circle (the classic geohash
+cell-prefix index), the same pruning shape the term dictionary uses for
+prefixes.
+
+The geohash layout is the standard public one (Niemeyer 2008, as used
+by Elasticsearch/Lucene): bits alternate longitude-first, 5 bits per
+base32 character over the alphabet ``0123456789bcdefghjkmnpqrstuvwxyz``.
+Quantizing via ``floor((v - min)/span * 2^bits)`` is bit-identical to
+the textbook interval-halving loop, which is what makes the encoding a
+closed-form SQL expression instead of an iterative UDF.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["haversine_km", "geo_bounding_box", "geo_distance_topk",
+           "geohash_col", "geohash_grid", "geohash_duck_ctes"]
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
+_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column,
+                 lon2: Column) -> Column:
+    """Great-circle distance in km between two (lat, lon) degree pairs.
+
+    Pinned arithmetic contract (shared with the SQL oracle restatement):
+    ``2R * asin(sqrt(sin^2(dphi/2) + cos(phi1) cos(phi2) sin^2(dlam/2)))``
+    evaluated in exactly this association, so an independent engine
+    computing the same expression agrees to double precision.
+    """
+    dphi = F.radians(lat2 - lat1) / 2.0
+    dlam = F.radians(lon2 - lon1) / 2.0
+    a = (F.sin(dphi) * F.sin(dphi)
+         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+         * F.sin(dlam) * F.sin(dlam))
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def geo_bounding_box(points: DataFrame, lat_min: float, lat_max: float,
+                     lon_min: float, lon_max: float,
+                     lat_col: str = "lat", lon_col: str = "lon"
+                     ) -> DataFrame:
+    """``geo_bounding_box`` filter: rows whose point falls inside the
+    [lat_min, lat_max] x [lon_min, lon_max] box (inclusive edges, ES
+    semantics). Map-only; the range predicates push to the scan."""
+    return points.where(
+        (F.col(lat_col) >= F.lit(float(lat_min)))
+        & (F.col(lat_col) <= F.lit(float(lat_max)))
+        & (F.col(lon_col) >= F.lit(float(lon_min)))
+        & (F.col(lon_col) <= F.lit(float(lon_max))))
+
+
+def geo_distance_topk(points: DataFrame, qlat: float, qlon: float,
+                      k: int = 10, radius_km: float | None = None,
+                      lat_col: str = "lat", lon_col: str = "lon",
+                      id_col: str = "event_id", round_at: int = 4
+                      ) -> DataFrame:
+    """``geo_distance`` query + distance sort: the ``k`` points nearest
+    to (qlat, qlon), optionally only those within ``radius_km``.
+    Returns (id, dist_km) ascending by (dist_km, id).
+
+    The radius test and the ordering both use the ROUNDED distance
+    (``round_at`` decimals) so the boundary and tie behavior are exactly
+    restatable by an independent engine — last-ulp trig differences
+    cannot flip a row in or out.
+    """
+    d = F.round(haversine_km(F.col(lat_col), F.col(lon_col),
+                             F.lit(float(qlat)), F.lit(float(qlon))),
+                round_at)
+    out = points.select(F.col(id_col), d.alias("dist_km"))
+    if radius_km is not None:
+        out = out.where(F.col("dist_km") <= F.lit(float(radius_km)))
+    return out.orderBy(F.asc("dist_km"), F.asc(id_col)).limit(k)
+
+
+def _bit_plan(precision: int) -> tuple[int, int, int]:
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in 1..12, got {precision}")
+    total = 5 * precision
+    lon_bits = (total + 1) // 2  # longitude gets the extra bit
+    lat_bits = total // 2
+    return total, lon_bits, lat_bits
+
+
+def geohash_col(lat: Column, lon: Column, precision: int = 6) -> Column:
+    """Base32 geohash string of a (lat, lon) degree pair at ``precision``
+    characters — closed-form quantize + bit-interleave, pure codegen.
+
+    Points exactly on the north pole / antimeridian edge clamp into the
+    last cell (the encoder's half-open intervals made closed at the top),
+    matching the reference interval-halving encoders.
+    """
+    total, lon_bits, lat_bits = _bit_plan(precision)
+    lon_q = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0)
+                * F.lit(float(1 << lon_bits))).cast("long"),
+        F.lit((1 << lon_bits) - 1))
+    lat_q = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0)
+                * F.lit(float(1 << lat_bits))).cast("long"),
+        F.lit((1 << lat_bits) - 1))
+    parts = []
+    for i in range(lon_bits):  # lon occupies even positions from the MSB
+        parts.append(F.shiftleft(
+            F.shiftright(lon_q, lon_bits - 1 - i).bitwiseAND(F.lit(1)),
+            total - 1 - 2 * i))
+    for i in range(lat_bits):
+        parts.append(F.shiftleft(
+            F.shiftright(lat_q, lat_bits - 1 - i).bitwiseAND(F.lit(1)),
+            total - 2 - 2 * i))
+    code = reduce(lambda a, b: a + b, parts)
+    chars = [
+        F.substring(F.lit(_B32),
+                    (F.shiftright(code, total - 5 * (j + 1))
+                     .bitwiseAND(F.lit(31)) + F.lit(1)).cast("int"),
+                    F.lit(1))
+        for j in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_grid(points: DataFrame, precision: int = 4,
+                 lat_col: str = "lat", lon_col: str = "lon",
+                 value_col: str | None = None, limit: int | None = None
+                 ) -> DataFrame:
+    """``geohash_grid`` aggregation: bucket points by geohash cell and
+    count them (plus the mean of ``value_col`` when given). Returns
+    (cell, n[, avg_value]) ordered by (n desc, cell asc) — the ES
+    bucket order with a deterministic tiebreak.
+
+    One map-side-combinable groupBy on a <= 32^precision-cardinality
+    key; the cell expression itself is codegen (no UDF), so this is the
+    same plan shape as any low-cardinality terms aggregation.
+    """
+    cell = geohash_col(F.col(lat_col), F.col(lon_col), precision)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None:
+        aggs.append(F.round(F.avg(F.col(value_col)), 4).alias("avg_value"))
+    out = (points.groupBy(cell.alias("cell")).agg(*aggs)
+           .orderBy(F.desc("n"), F.asc("cell")))
+    return out.limit(limit) if limit is not None else out
+
+
+def geohash_duck_ctes(lat_expr: str, lon_expr: str, precision: int,
+                      source: str, keep: str = "*") -> str:
+    """The same geohash as :func:`geohash_col`, emitted as a DuckDB CTE
+    chain — the oracle restatement an independent engine runs to
+    value-check the Spark encoding. Returns CTE text (no leading WITH)
+    defining ``gh_cells`` = ``SELECT {keep}, cell FROM {source}``, with
+    the quantization and the interleaved code each computed once in an
+    intermediate CTE rather than inlined per character."""
+    total, lon_bits, lat_bits = _bit_plan(precision)
+    lon_q = (f"least(CAST(floor((({lon_expr}) + 180.0) / 360.0 * "
+             f"{float(1 << lon_bits)!r}) AS BIGINT), {(1 << lon_bits) - 1})")
+    lat_q = (f"least(CAST(floor((({lat_expr}) + 90.0) / 180.0 * "
+             f"{float(1 << lat_bits)!r}) AS BIGINT), {(1 << lat_bits) - 1})")
+    parts = [f"(((lonq >> {lon_bits - 1 - i}) & 1) << {total - 1 - 2 * i})"
+             for i in range(lon_bits)]
+    parts += [f"(((latq >> {lat_bits - 1 - i}) & 1) << {total - 2 - 2 * i})"
+              for i in range(lat_bits)]
+    chars = [f"substr('{_B32}', CAST(((code >> {total - 5 * (j + 1)}) & 31) "
+             f"AS INT) + 1, 1)" for j in range(precision)]
+    return f"""
+gh_q AS (
+  SELECT {keep}, {lon_q} AS lonq, {lat_q} AS latq FROM {source}
+), gh_code AS (
+  SELECT {keep}, {' + '.join(parts)} AS code FROM gh_q
+), gh_cells AS (
+  SELECT {keep}, {' || '.join(chars)} AS cell FROM gh_code
+)"""

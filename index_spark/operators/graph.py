@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "hits"]
 
 
 def pagerank(nodes: DataFrame, edges: DataFrame, damping: float = 0.85,
@@ -69,3 +69,65 @@ def pagerank(nodes: DataFrame, edges: DataFrame, damping: float = 0.85,
                           ).alias("r"))
                  .localCheckpoint())
     return ranks.select("node", F.round("r", round_at).alias("rank"))
+
+
+def hits(edges: DataFrame, iters: int = 2, src_col: str = "src",
+         dst_col: str = "dst", round_at: int = 6) -> DataFrame:
+    """Kleinberg HITS (hubs and authorities, JACM 1999) as synchronous
+    power iteration over a directed edge relation — the link-analysis
+    complement to :func:`pagerank` (PageRank ranks endorsement mass;
+    HITS separates "points at good pages" from "is pointed at by good
+    hubs", the right split for dependency graphs where importers and
+    imported live in different populations).
+
+    Returns (node, hub, auth) for every edge endpoint, rounded at
+    ``round_at``.
+
+    Pinned arithmetic contract (shared with the SQL oracle): start
+    h = 1 on every node; each iteration computes
+    ``auth(v) = sum_{u->v} hub(u)`` then L2-normalizes auth, then
+    ``hub(u) = sum_{u->v} auth(v)`` then L2-normalizes hub; endpoints
+    with no in-edges (resp. out-edges) carry 0.  ``edges`` must be
+    non-empty (the norms are then positive).
+
+    Scale shape: identical to :func:`pagerank` — each half-step is one
+    shuffle join of edges against a node-bounded score relation plus a
+    map-side-combinable groupBy; the L2 norm is a one-row aggregate
+    riding a cross join (never collected); lineage truncated per
+    iteration with localCheckpoint.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = (edges.select(F.col(src_col).cast("long").alias("u"),
+                      F.col(dst_col).cast("long").alias("v"))
+         .distinct())
+    n = (e.select(F.col("u").alias("node"))
+         .union(e.select(F.col("v").alias("node")))
+         .distinct())
+    h = n.select("node", F.lit(1.0).alias("s")).localCheckpoint()
+    a = None
+    for _ in range(iters):
+        araw = (e.join(h.withColumnRenamed("node", "u"), "u")
+                .groupBy(F.col("v").alias("node"))
+                .agg(F.sum("s").alias("raw")))
+        anorm = araw.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw")))
+                         .alias("nrm"))
+        a = (n.join(araw, "node", "left").crossJoin(anorm)
+             .select("node",
+                     (F.coalesce(F.col("raw"), F.lit(0.0))
+                      / F.col("nrm")).alias("s"))
+             .localCheckpoint())
+        hraw = (e.join(a.withColumnRenamed("node", "v"), "v")
+                .groupBy(F.col("u").alias("node"))
+                .agg(F.sum("s").alias("raw")))
+        hnorm = hraw.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw")))
+                         .alias("nrm"))
+        h = (n.join(hraw, "node", "left").crossJoin(hnorm)
+             .select("node",
+                     (F.coalesce(F.col("raw"), F.lit(0.0))
+                      / F.col("nrm")).alias("s"))
+             .localCheckpoint())
+    return (h.withColumnRenamed("s", "hub")
+            .join(a.withColumnRenamed("s", "auth"), "node")
+            .select("node", F.round("hub", round_at).alias("hub"),
+                    F.round("auth", round_at).alias("auth")))

@@ -3368,3 +3368,62 @@ def suggest_phrase(index: DataFrame | None, corpus: DataFrame,
         rows.append((" ".join(combo), round(lp, 6), changed))
     rows.sort(key=lambda r: (-r[1], r[0]))
     return spark.createDataFrame(rows[:k], out_schema)
+
+
+def rank_feature_search(index: DataFrame, docs: DataFrame | None,
+                        stats: dict, query: str, features: DataFrame,
+                        feature_col: str = "feature",
+                        fn: str = "saturation", pivot: float = 1.0,
+                        scaling: float = 1.0, exponent: float = 1.0,
+                        weight: float = 1.0, k: int = 10,
+                        stem: bool = True, camel: bool = True,
+                        shard_size: int = 4096, **kw) -> DataFrame:
+    """``rank_feature`` query (the Elasticsearch static-signal should
+    clause): BM25 relevance plus an ADDITIVE monotone transform of a
+    per-document numeric feature — page quality, freshness score,
+    inbound-link count.  ``features`` is a (doc_id, feature) relation;
+    a document with no feature row contributes 0 (ES: the clause simply
+    doesn't match), so the join is a left join and never drops a
+    relevance match.
+
+        saturation: w * f / (f + pivot)
+        log:        w * ln(scaling + f)
+        sigmoid:    w * f^exp / (f^exp + pivot^exp)
+
+    Unlike multiplicative ``boosts=`` (which ride the scoring kernel —
+    a boost can only rescale matches), the additive form must see the
+    COMPLETE match set before the cut: a mid-relevance doc with a huge
+    feature can enter the top-k from arbitrarily deep, so scores come
+    from :func:`_complete_match_scores` (per-shard full match scores,
+    no global cut) joined against the feature relation and only then
+    top-k'd.  At 10^12 docs the joined volume is (matched docs) rows
+    against a doc-keyed feature dimension — a plain shuffle join on
+    doc_id, map-side combinable nowhere needed because both sides are
+    already per-doc.
+    """
+    spark = index.sparkSession
+    if fn not in ("saturation", "log", "sigmoid"):
+        raise ValueError(f"fn must be saturation|log|sigmoid, got {fn!r}")
+    if fn in ("saturation", "sigmoid") and pivot <= 0:
+        raise ValueError(f"pivot must be > 0, got {pivot}")
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    if not qterms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    local = _complete_match_scores(index, stats, qterms, stem=stem,
+                                   camel=camel, shard_size=shard_size,
+                                   **kw)
+    f = F.col("_feat").cast("double")
+    if fn == "saturation":
+        contrib = f / (f + F.lit(float(pivot)))
+    elif fn == "log":
+        contrib = F.log(F.lit(float(scaling)) + f)
+    else:
+        fp = F.pow(f, F.lit(float(exponent)))
+        contrib = fp / (fp + F.lit(float(pivot) ** float(exponent)))
+    feat = features.select(F.col("doc_id").cast("long").alias("doc_id"),
+                           F.col(feature_col).alias("_feat"))
+    scored = (local.join(feat, "doc_id", "left")
+              .select("doc_id",
+                      (F.col("score") + F.lit(float(weight))
+                       * F.coalesce(contrib, F.lit(0.0))).alias("score")))
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

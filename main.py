@@ -694,6 +694,29 @@ def cmd_pagerank(args) -> None:
     print(json.dumps({"top": top}))
 
 
+def cmd_geo(args) -> None:
+    """Geo search over a points parquet: --near 'lat,lon' runs a
+    geo_distance top-k (optionally radius-bounded); --grid N runs a
+    geohash_grid aggregation at precision N."""
+    from index_spark.operators.geo import geo_distance_topk, geohash_grid
+
+    spark = _spark(args)
+    pts = spark.read.parquet(args.points)
+    if args.near:
+        qlat, qlon = (float(x) for x in args.near.split(","))
+        out = geo_distance_topk(pts, qlat, qlon, k=args.k,
+                                radius_km=args.radius,
+                                lat_col=args.lat_col, lon_col=args.lon_col,
+                                id_col=args.id_col)
+        print(json.dumps({"hits": [r.asDict() for r in out.collect()]}))
+    elif args.grid:
+        out = geohash_grid(pts, precision=args.grid, lat_col=args.lat_col,
+                           lon_col=args.lon_col, limit=args.k)
+        print(json.dumps({"cells": [r.asDict() for r in out.collect()]}))
+    else:
+        raise SystemExit("geo: pass --near 'lat,lon' or --grid PRECISION")
+
+
 def cmd_ingest(args) -> None:
     """Normalize a corpus from any supported format into the canonical
     (doc_id, text, source) documents parquet."""
@@ -1280,6 +1303,20 @@ def main(argv=None) -> None:
     pr.add_argument("--text-col", default="text")
     pr.add_argument("--id-col", default="doc_id")
     pr.set_defaults(fn=cmd_pagerank)
+
+    geo = sub.add_parser("geo", help="geo_distance top-k / geohash_grid "
+                                     "aggregation over a points parquet")
+    geo.add_argument("--points", required=True)
+    geo.add_argument("--near", help="query point as 'lat,lon'")
+    geo.add_argument("--radius", type=float, default=None,
+                     help="max distance in km for --near")
+    geo.add_argument("--grid", type=int, default=None,
+                     help="geohash_grid precision (1..12)")
+    geo.add_argument("--k", type=int, default=10)
+    geo.add_argument("--lat-col", default="lat")
+    geo.add_argument("--lon-col", default="lon")
+    geo.add_argument("--id-col", default="doc_id")
+    geo.set_defaults(fn=cmd_geo)
 
     ig = sub.add_parser("ingest", help="normalize warc/jsonl/csv/text/"
                                        "parquet corpora to documents "
