@@ -5119,6 +5119,31 @@ WHERE dist_km <= 3000.0
 ORDER BY dist_km ASC, event_id ASC LIMIT 20"""
 
 
+# geo_distance rings aggregation restated: same pinned haversine, ring
+# membership via CASE over the ROUNDED distance (boundaries
+# engine-independent), half-open [lo, hi) rings
+_ORACLE_GEO_RINGS = f"""
+WITH {_GEO_PTS_DUCK.strip()},
+d AS (
+  SELECT round(2 * 6371.0088 * asin(sqrt(
+             sin(radians(37.7749 - lat) / 2) * sin(radians(37.7749 - lat) / 2)
+             + cos(radians(lat)) * cos(radians(37.7749))
+             * sin(radians(-122.4194 - lon) / 2)
+             * sin(radians(-122.4194 - lon) / 2))), 4) AS dist_km
+  FROM pts
+)
+SELECT CASE WHEN dist_km < 2000.0 THEN '*-2000'
+            WHEN dist_km < 8000.0 THEN '2000-8000'
+            ELSE '8000-*' END AS ring,
+       CASE WHEN dist_km < 2000.0 THEN 0.0
+            WHEN dist_km < 8000.0 THEN 2000.0 ELSE 8000.0 END AS from_km,
+       CASE WHEN dist_km < 2000.0 THEN 2000.0
+            WHEN dist_km < 8000.0 THEN 8000.0
+            ELSE CAST(NULL AS DOUBLE) END AS to_km,
+       CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY 1, 2, 3 ORDER BY from_km"""
+
+
 def _geo_grid_duck_sql(precision: int) -> str:
     """geohash_grid restated: the closed-form quantize + bit-interleave
     + base32 encoding re-derived by DuckDB integer arithmetic (the CTE
@@ -5260,9 +5285,18 @@ def _r04s12_engine_queries() -> dict[str, Callable[[SparkSession, str],
                                   camel=False, shard_size=256)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def geo_rings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # geo_distance aggregation (ES distance rings): ring labels,
+        # bounds, and counts over the same pinned haversine
+        from index_spark.operators.geo import geo_distance_facet
+
+        return geo_distance_facet(_geo_points(spark, sf_dir),
+                                  37.7749, -122.4194, [2000.0, 8000.0])
+
     return {"geo_distance_topk": geo_distance_q,
             "geo_grid_facet": geo_grid_q, "repo_hits": repo_hits_q,
-            "rank_feature_topk": rank_feature_topk}
+            "rank_feature_topk": rank_feature_topk,
+            "geo_rings_facet": geo_rings_q}
 
 
 def _repo_pagerank_duck_sql(iters: int) -> str:
@@ -5874,6 +5908,7 @@ ORDER BY doc_id, line_no""")
     add("repo_hits", eng12["repo_hits"], _repo_hits_duck_sql(2))
     add("rank_feature_topk", eng12["rank_feature_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_RANK_FEATURE, [q_cte]))
+    add("geo_rings_facet", eng12["geo_rings_facet"], _ORACLE_GEO_RINGS)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

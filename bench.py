@@ -554,6 +554,39 @@ def main() -> None:
 
     _s11_scale()
 
+    # 10b2s12. session-12 geo surfaces (non-headline): geohash_grid over
+    # 2M synthetic points (codegen cell key + map-side-combinable count)
+    # and a 1,500 km radius query exact vs covering-cell pruned — the
+    # pruned/unpruned ratio is the scan-width win a cell-partitioned
+    # table gets as partition pruning
+    def _geo_scale():
+        from index_spark.operators.geo import geo_distance_topk, geohash_grid
+
+        n_pts = 2_000_000
+        pts = spark.range(0, n_pts).select(
+            F.col("id").alias("event_id"),
+            (((F.col("id") * 2654435761) % 1800000) / 10000.0
+             - 90.0).alias("lat"),
+            (((F.col("id") * 2246822519) % 3600000) / 10000.0
+             - 180.0).alias("lon")).persist()
+        pts.count()
+        t0 = time.time()
+        geohash_grid(pts, precision=5).count()
+        dt = time.time() - t0
+        timings["geo_grid_2m"] = round(dt, 3)
+        timings["geo_grid_2m_pts_per_sec"] = round(n_pts / dt, 1)
+        t0 = time.time()
+        geo_distance_topk(pts, 37.7749, -122.4194, k=100,
+                          radius_km=1500.0).collect()
+        timings["geo_radius_2m"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        geo_distance_topk(pts, 37.7749, -122.4194, k=100,
+                          radius_km=1500.0, prune_precision=2).collect()
+        timings["geo_radius_2m_pruned"] = round(time.time() - t0, 3)
+        pts.unpersist()
+
+    _geo_scale()
+
     # 10b3. iterative graph/LM surfaces (non-headline): transitive
     # duplicate clustering (large-star/small-star over the jaccard pair
     # graph), bigram-LM scoring, and 3-iteration PageRank — all via the
@@ -636,34 +669,16 @@ def main() -> None:
     # sub-timings of other entries don't double-count into the total
     # build_200k reports separately (one-off scale row, not part of the
     # round-over-round sf0.1 headline total); recall is a ratio not a time
-    total = round(sum(v for k, v in timings.items()
-                      if k not in ("query_p95", "query_mean", "query_prepare",
-                                   "phrase_query", "zone_query",
-                                   "query_oneshot", "queryset_batch",
-                                   "ivf_recall_nprobe2", "build_200k",
-                                   "build_200k_docs_per_sec",
-                                   "facet_query", "fuzzy_query",
-                                   "fuzzy_query_dict", "fuzzy_query_trgm",
-                                   "restrict_query", "mlt_query",
-                                   "lmd_query",
-                                   "pos_zone_build_200k",
-                                   "phrase_query_200k", "zone_query_200k",
-                                   "minhash_dedup_20k",
-                                   "minhash_dedup_20k_pairs",
-                                   "dup_spans_10k", "dup_spans_10k_docs",
-                                   "exact_dedup_200k",
-                                   "concurrent_qps_8", "concurrent_qps_32",
-                                   "concurrent_qps_scaling_8_to_32",
-                                   "batch_qps_8", "batch_qps_32",
-                                   "batch_qps_scaling_8_to_32",
-                                   "hybrid_query", "collapse_query",
-                                   "sigterms_query", "regex_query",
-                                   "chunk_docs", "chunk_docs_n",
-                                   "dup_clusters", "lm_xent",
-                                   "pagerank_scores",
-                                   "lifecycle_build_compact",
-                                   "lifecycle_concat", "lifecycle_fold",
-                                   "lifecycle_expire")), 3)
+    # the headline total is a WHITELIST sum (the round-over-round keys
+    # shared since BENCH_r02) — every other key is a non-headline scale
+    # point, sub-timing, count, or ratio and reports separately; a
+    # whitelist can't silently inflate when new keys land (the blacklist
+    # form briefly let session-10/11 keys leak into the total)
+    headline = ("build_index", "wand_query_set", "minhash_dedup",
+                "phrase_build_query", "zone_build_query", "bm25_queryset",
+                "term_stats", "ngram_jaccard", "emb_knn", "tpch_q1",
+                "tpch_q3", "events_hourly", "ivf_topk_recall")
+    total = round(sum(v for k, v in timings.items() if k in headline), 3)
     timings["build_docs_per_sec"] = round(n_docs / timings["build_index"], 1)
     out = {
         "metric": "index_spark headline suite wall time",

@@ -28,13 +28,15 @@ closed-form SQL expression instead of an iterative UDF.
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["haversine_km", "geo_bounding_box", "geo_distance_topk",
-           "geohash_col", "geohash_grid", "geohash_duck_ctes"]
+           "geohash_col", "geohash_grid", "geohash_duck_ctes",
+           "covering_cells", "geo_distance_facet"]
 
 EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
 _B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
@@ -74,8 +76,9 @@ def geo_bounding_box(points: DataFrame, lat_min: float, lat_max: float,
 def geo_distance_topk(points: DataFrame, qlat: float, qlon: float,
                       k: int = 10, radius_km: float | None = None,
                       lat_col: str = "lat", lon_col: str = "lon",
-                      id_col: str = "event_id", round_at: int = 4
-                      ) -> DataFrame:
+                      id_col: str = "event_id", round_at: int = 4,
+                      cell_col: str | None = None,
+                      prune_precision: int | None = None) -> DataFrame:
     """``geo_distance`` query + distance sort: the ``k`` points nearest
     to (qlat, qlon), optionally only those within ``radius_km``.
     Returns (id, dist_km) ascending by (dist_km, id).
@@ -84,11 +87,33 @@ def geo_distance_topk(points: DataFrame, qlat: float, qlon: float,
     (``round_at`` decimals) so the boundary and tie behavior are exactly
     restatable by an independent engine — last-ulp trig differences
     cannot flip a row in or out.
+
+    Scale path: with ``radius_km`` set and ``cell_col`` naming a stored
+    :func:`geohash_col` column (``prune_precision`` = its precision),
+    the query first filters to :func:`covering_cells` of the circle —
+    on a table PARTITIONED by that column the literal IN-list becomes a
+    partition filter and only intersecting cells are scanned; the exact
+    haversine test keeps results identical (pytest-pinned). Passing
+    ``prune_precision`` without ``cell_col`` computes the cell on the
+    fly (no partition pruning, but the same covering-set semantics).
     """
+    if cell_col is not None and prune_precision is None:
+        raise ValueError("cell_col requires prune_precision (the "
+                         "precision the stored cells were encoded at)")
+    out = points
+    if prune_precision is not None:
+        if radius_km is None:
+            raise ValueError("prune_precision requires radius_km")
+        cells = covering_cells(qlat, qlon, float(radius_km),
+                               prune_precision)
+        cell = (F.col(cell_col) if cell_col is not None
+                else geohash_col(F.col(lat_col), F.col(lon_col),
+                                 prune_precision))
+        out = out.where(cell.isin(cells))
     d = F.round(haversine_km(F.col(lat_col), F.col(lon_col),
                              F.lit(float(qlat)), F.lit(float(qlon))),
                 round_at)
-    out = points.select(F.col(id_col), d.alias("dist_km"))
+    out = out.select(F.col(id_col), d.alias("dist_km"))
     if radius_km is not None:
         out = out.where(F.col("dist_km") <= F.lit(float(radius_km)))
     return out.orderBy(F.asc("dist_km"), F.asc(id_col)).limit(k)
@@ -189,3 +214,124 @@ gh_q AS (
 ), gh_cells AS (
   SELECT {keep}, {' || '.join(chars)} AS cell FROM gh_code
 )"""
+
+
+def covering_cells(qlat: float, qlon: float, radius_km: float,
+                   precision: int, max_cells: int = 4096) -> list[str]:
+    """The geohash cells (at ``precision``) that together cover the
+    radius-``radius_km`` circle around (qlat, qlon) — the pruning set a
+    radius query pushes into a ``cell IN (...)`` predicate so a corpus
+    PARTITIONED/bucketed by :func:`geohash_col` scans only the
+    intersecting cells (the classic geohash prefix index; at 100 TB of
+    points this is the difference between a full scan and touching a
+    handful of partitions).
+
+    Conservative by construction: the circle's lat/lon bounding box is
+    padded by one cell on every side, so every point within the radius
+    is guaranteed to land in a returned cell (over-coverage only costs
+    scan width; the exact haversine filter downstream keeps results
+    exact). Caps that reach a pole or wrap the antimeridian fall back
+    to full longitude coverage / modular wrapping. Raises when the set
+    would exceed ``max_cells`` — lower the precision instead of
+    shipping a megacell literal into the plan.
+    """
+    if radius_km < 0:
+        raise ValueError(f"radius_km must be >= 0, got {radius_km}")
+    total, lon_bits, lat_bits = _bit_plan(precision)
+    nlat, nlon = 1 << lat_bits, 1 << lon_bits
+    ang = radius_km / EARTH_RADIUS_KM
+    dlat = math.degrees(ang)
+    lat_lo, lat_hi = qlat - dlat, qlat + dlat
+    pole = lat_lo <= -90.0 or lat_hi >= 90.0 or ang >= math.pi / 2
+    lat_lo, lat_hi = max(lat_lo, -90.0), min(lat_hi, 90.0)
+
+    def _lat_idx(lat: float) -> int:
+        return min(int((lat + 90.0) / 180.0 * nlat), nlat - 1)
+
+    i_lo = max(_lat_idx(lat_lo) - 1, 0)
+    i_hi = min(_lat_idx(lat_hi) + 1, nlat - 1)
+
+    if pole:
+        j_range = range(nlon)
+    else:
+        # max longitude deviation of a spherical cap occurs at the
+        # latitude in range closest to a pole (smallest cosine)
+        min_cos = min(math.cos(math.radians(lat_lo)),
+                      math.cos(math.radians(lat_hi)))
+        s = math.sin(ang) / max(min_cos, 1e-12)
+        if s >= 1.0:
+            j_range = range(nlon)
+        else:
+            dlon = math.degrees(math.asin(s))
+            j_lo = int(math.floor((qlon - dlon + 180.0) / 360.0 * nlon)) - 1
+            j_hi = int(math.floor((qlon + dlon + 180.0) / 360.0 * nlon)) + 1
+            if j_hi - j_lo + 1 >= nlon:
+                j_range = range(nlon)
+            else:
+                j_range = range(j_lo, j_hi + 1)  # wrapped modulo below
+
+    n_cells = (i_hi - i_lo + 1) * len(j_range)
+    if n_cells > max_cells:
+        raise ValueError(
+            f"covering set would be {n_cells} cells (> {max_cells}); "
+            f"use a coarser precision than {precision}")
+    cells = set()
+    for i in range(i_lo, i_hi + 1):
+        for j in j_range:
+            cells.add(_encode_quantized(i, j % nlon, precision))
+    return sorted(cells)
+
+
+def _encode_quantized(lat_q: int, lon_q: int, precision: int) -> str:
+    """base32 geohash from already-quantized cell indices — the same
+    bit interleave as :func:`geohash_col`, driver-side."""
+    total, lon_bits, lat_bits = _bit_plan(precision)
+    code = 0
+    for i in range(lon_bits):
+        code |= ((lon_q >> (lon_bits - 1 - i)) & 1) << (total - 1 - 2 * i)
+    for i in range(lat_bits):
+        code |= ((lat_q >> (lat_bits - 1 - i)) & 1) << (total - 2 - 2 * i)
+    return "".join(_B32[(code >> (total - 5 * (j + 1))) & 31]
+                   for j in range(precision))
+
+
+def geo_distance_facet(points: DataFrame, qlat: float, qlon: float,
+                       edges_km: list[float], lat_col: str = "lat",
+                       lon_col: str = "lon", round_at: int = 4
+                       ) -> DataFrame:
+    """``geo_distance`` aggregation (ES distance rings): bucket points
+    by haversine distance from (qlat, qlon) into the half-open rings
+    [0, e1), [e1, e2), ..., [en, inf) and count each ring. Returns
+    (ring, from_km, to_km, n) ordered by from_km; ``to_km`` is NULL for
+    the open outer ring. Empty rings are omitted (ES keeps them; a
+    LEFT JOIN against the ring table restores them if needed).
+
+    One map-side-combinable groupBy on a |edges|+1-cardinality key —
+    the same plan shape as a histogram facet. Ring membership tests the
+    ROUNDED distance so boundaries are engine-independent.
+    """
+    edges = sorted(float(e) for e in edges_km)
+    if not edges or edges[0] <= 0:
+        raise ValueError("edges_km must be non-empty and positive")
+    d = F.round(haversine_km(F.col(lat_col), F.col(lon_col),
+                             F.lit(float(qlat)), F.lit(float(qlon))),
+                round_at)
+    ring = F.when(d < F.lit(edges[0]),
+                  F.lit(f"*-{edges[0]:g}"))
+    for lo, hi in zip(edges, edges[1:]):
+        ring = ring.when(d < F.lit(hi), F.lit(f"{lo:g}-{hi:g}"))
+    ring = ring.otherwise(F.lit(f"{edges[-1]:g}-*"))
+    frm = F.when(d < F.lit(edges[0]), F.lit(0.0))
+    for lo, hi in zip(edges, edges[1:]):
+        frm = frm.when(d < F.lit(hi), F.lit(lo))
+    frm = frm.otherwise(F.lit(edges[-1]))
+    to = F.when(d < F.lit(edges[0]), F.lit(edges[0]))
+    for lo, hi in zip(edges, edges[1:]):
+        to = to.when(d < F.lit(hi), F.lit(hi))
+    to = to.otherwise(F.lit(None).cast("double"))
+    return (points
+            .select(ring.alias("ring"), frm.alias("from_km"),
+                    to.alias("to_km"))
+            .groupBy("ring", "from_km", "to_km")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.asc("from_km")))

@@ -278,16 +278,26 @@ def interval_join_stream(left: DataFrame, right: DataFrame,
                          left_vals: list[str] | None = None,
                          right_vals: list[str] | None = None,
                          max_delay: str = "1 hour",
-                         watermark: str = "2 hours") -> DataFrame:
+                         watermark: str = "2 hours",
+                         how: str = "inner") -> DataFrame:
     """Watermarked stream-stream interval join — the canonical
     streaming enrichment (attribute each left event to the right
     events that follow it within ``max_delay`` on the same key:
-    impressions x clicks, views x purchases). Inner join on
+    impressions x clicks, views x purchases). Join on
 
         l.key = r.key AND l.ts <= r.ts <= l.ts + max_delay
 
     Returns (key, l_ts, r_ts, delay_s, l_<left_vals...>,
     r_<right_vals...>).
+
+    ``how='left_outer'`` keeps unmatched left events with NULL right
+    columns — the unattributed-impressions form of the same plan (an
+    impression with no conversion is a row you report on, not one you
+    drop). On a stream, an unmatched left row emits only once the
+    watermark passes l.ts + max_delay (the join must be SURE no match
+    can still arrive — standard outer stream-stream semantics), so a
+    closed input's trailing horizon stays buffered until a later event
+    (or stream end in a subsequent trigger) advances the watermark.
 
     Kappa parity: the SAME plan serves batch DataFrames (no watermark
     node) and streams — the tests pin stream == batch on a closed
@@ -297,6 +307,8 @@ def interval_join_stream(left: DataFrame, right: DataFrame,
     state is O(events in the delay+lateness horizon), never the full
     history — the property that makes a stream-stream join runnable
     forever at 100-TB/day rates."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner|left_outer, got {how!r}")
     lv = left_vals or []
     rv = right_vals or []
 
@@ -318,6 +330,6 @@ def interval_join_stream(left: DataFrame, right: DataFrame,
     # read one second high)
     delay = F.expr("(unix_micros(r_ts) - unix_micros(l_ts)) "
                    "div 1000000").alias("delay_s")
-    return (l.join(r, cond)
+    return (l.join(r, cond, how)
             .select(F.col("l_k").alias(key_col), "l_ts", "r_ts", delay,
                     *[f"l_{c}" for c in lv], *[f"r_{c}" for c in rv]))

@@ -239,3 +239,132 @@ def test_pipeline_aggs_frames(spark):
     assert got[("b", 1)] == (None, 5.0, 5.0)
     with pytest.raises(ValueError):
         pipeline_aggs(df, value_col="v", ts_col="bucket", window=0)
+
+
+# ---------------------------------------------------------------------------
+# covering-cell pruning, distance rings, left-outer interval join
+# ---------------------------------------------------------------------------
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_covering_cells_superset_property(spark):
+    """Every point within the radius falls in a covering cell —
+    checked by brute force over a dense grid, including an
+    antimeridian-wrapping query and a pole-reaching one."""
+    from index_spark.operators.geo import covering_cells
+
+    grid = [(la / 2.0, lo / 2.0) for la in range(-178, 179, 7)
+            for lo in range(-358, 359, 11)]
+    for qlat, qlon, r, p in [(37.7749, -122.4194, 900.0, 3),
+                             (0.0, 179.9, 700.0, 3),     # wraps +/-180
+                             (88.5, 10.0, 400.0, 2),      # reaches pole
+                             (-45.0, 60.0, 2500.0, 2)]:
+        cells = set(covering_cells(qlat, qlon, r, p))
+        for la, lo in grid:
+            dist = EARTH_R * 2 * math.asin(math.sqrt(
+                math.sin(math.radians(qlat - la) / 2) ** 2
+                + math.cos(math.radians(la)) * math.cos(math.radians(qlat))
+                * math.sin(math.radians(qlon - lo) / 2) ** 2))
+            if dist <= r:
+                assert _ref_geohash(la, lo, p) in cells, \
+                    (qlat, qlon, r, p, la, lo, dist)
+
+
+EARTH_R = 6371.0088
+
+
+def test_covering_cells_bounds_and_cap(spark):
+    from index_spark.operators.geo import covering_cells
+
+    with pytest.raises(ValueError):
+        covering_cells(0.0, 0.0, -1.0, 3)
+    with pytest.raises(ValueError):
+        covering_cells(0.0, 0.0, 500.0, 8, max_cells=4)
+    # a whole-planet radius covers every cell at precision 1
+    assert len(covering_cells(0.0, 0.0, 21000.0, 1)) == 32
+
+
+def test_geo_distance_topk_pruned_equals_exact_and_prunes_partitions(
+        spark, tmp_path):
+    from index_spark.operators.geo import geo_distance_topk, geohash_col
+
+    pts = spark.range(0, 4000).select(
+        F.col("id").alias("event_id"),
+        (((F.col("id") * 2654435761) % 1800000) / 10000.0 - 90.0
+         ).alias("lat"),
+        (((F.col("id") * 2246822519) % 3600000) / 10000.0 - 180.0
+         ).alias("lon"))
+    stored = pts.withColumn("cell", geohash_col(F.col("lat"),
+                                                F.col("lon"), 2))
+    path = str(tmp_path / "geo_pts")
+    stored.write.partitionBy("cell").parquet(path)
+    on_disk = spark.read.parquet(path)
+
+    exact = geo_distance_topk(on_disk, 37.7749, -122.4194, k=50,
+                              radius_km=1500.0).collect()
+    pruned_q = geo_distance_topk(on_disk, 37.7749, -122.4194, k=50,
+                                 radius_km=1500.0, cell_col="cell",
+                                 prune_precision=2)
+    assert pruned_q.collect() == exact
+    plan = _plan(pruned_q)
+    assert "PartitionFilters: [cell" in plan.replace("#", " #").replace(
+        "cell #", "cell#") or "cell IN" in plan
+    # on-the-fly pruning (no stored column) is also identical
+    fly = geo_distance_topk(on_disk.drop("cell"), 37.7749, -122.4194,
+                            k=50, radius_km=1500.0, prune_precision=2)
+    assert fly.collect() == exact
+    with pytest.raises(ValueError):
+        geo_distance_topk(on_disk, 0, 0, cell_col="cell")
+    with pytest.raises(ValueError):
+        geo_distance_topk(on_disk, 0, 0, prune_precision=2)
+
+
+def test_geo_distance_facet_rings(spark):
+    from index_spark.operators.geo import geo_distance_facet
+
+    pts = spark.createDataFrame(
+        [(37.7749, -122.4194),   # 0 km
+         (34.0522, -118.2437),   # ~559 km
+         (47.6062, -122.3321),   # ~1,093 km
+         (51.5074, -0.1278)],    # ~8,616 km
+        "lat double, lon double")
+    got = [(r["ring"], r["from_km"], r["to_km"], r["n"]) for r in
+           geo_distance_facet(pts, 37.7749, -122.4194,
+                              [500.0, 2000.0]).collect()]
+    assert got == [("*-500", 0.0, 500.0, 1), ("500-2000", 500.0, 2000.0, 2),
+                   ("2000-*", 2000.0, None, 1)]
+    with pytest.raises(ValueError):
+        geo_distance_facet(pts, 0, 0, [])
+    with pytest.raises(ValueError):
+        geo_distance_facet(pts, 0, 0, [-1.0, 10.0])
+
+
+def test_interval_join_left_outer_batch(spark):
+    from index_spark.streaming.aggregate import interval_join_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    views = events.where("event_type = 'view'") \
+                  .select("user_id", "ts", "event_id")
+    buys = events.where("event_type = 'purchase'") \
+                 .select("user_id", "ts", "event_id", "value")
+    inner = interval_join_stream(views, buys, left_vals=["event_id"],
+                                 right_vals=["event_id", "value"])
+    outer = interval_join_stream(views, buys, left_vals=["event_id"],
+                                 right_vals=["event_id", "value"],
+                                 how="left_outer")
+    n_views = views.count()
+    matched_views = inner.select("l_event_id").distinct().count()
+    rows = outer.collect()
+    # every view appears; unmatched ones exactly once with NULL right
+    null_rows = [r for r in rows if r["r_ts"] is None]
+    assert len(null_rows) == n_views - matched_views
+    assert all(r["delay_s"] is None and r["r_value"] is None
+               for r in null_rows)
+    matched = [tuple(map(str, r)) for r in rows if r["r_ts"] is not None]
+    assert sorted(matched) == sorted(tuple(map(str, r))
+                                     for r in inner.collect())
+    with pytest.raises(ValueError):
+        interval_join_stream(views, buys, how="full")

@@ -253,3 +253,54 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
         q.stop()
         shutil.rmtree(lsrc, ignore_errors=True)
         shutil.rmtree(rsrc, ignore_errors=True)
+
+
+def test_interval_join_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream interval join: an unmatched view emits
+    with NULL right columns once the watermark passes view.ts +
+    max_delay (a later sentinel event advances it)."""
+    import shutil
+
+    from index_spark.streaming.aggregate import interval_join_stream
+
+    lsrc, rsrc = str(tmp_path / "v"), str(tmp_path / "p")
+    # user 1's view converts; user 2's never does; the far-future
+    # sentinel (user 99) pushes the watermark past both + delay
+    views = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100), (2, "2024-01-01 10:05:00", 101)],
+        "user_id long, ts string, event_id long")
+    buys = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00", 200, 9.5)],
+        "user_id long, ts string, event_id long, value double")
+    sent_v = spark.createDataFrame(
+        [(99, "2024-01-02 10:00:00", 900)],
+        "user_id long, ts string, event_id long")
+    sent_p = spark.createDataFrame(
+        [(99, "2024-01-02 10:00:01", 901, 1.0)],
+        "user_id long, ts string, event_id long, value double")
+    views.write.parquet(lsrc)
+    sent_v.write.mode("append").parquet(lsrc)
+    buys.write.parquet(rsrc)
+    sent_p.write.mode("append").parquet(rsrc)
+
+    lst = (spark.readStream.schema(views.schema)
+           .option("maxFilesPerTrigger", 1).parquet(lsrc))
+    rst = (spark.readStream.schema(buys.schema)
+           .option("maxFilesPerTrigger", 1).parquet(rsrc))
+    joined = interval_join_stream(lst, rst, left_vals=["event_id"],
+                                  right_vals=["event_id", "value"],
+                                  how="left_outer")
+    q = (joined.writeStream.format("memory").queryName("ivjoin_lo")
+         .outputMode("append").trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(180)
+        got = {(r["user_id"], r["l_event_id"], r["r_event_id"],
+                r["delay_s"]) for r in
+               spark.sql("SELECT * FROM ivjoin_lo").collect()}
+    finally:
+        q.stop()
+        shutil.rmtree(lsrc, ignore_errors=True)
+        shutil.rmtree(rsrc, ignore_errors=True)
+    assert (1, 100, 200, 1800) in got          # the conversion
+    assert (2, 101, None, None) in got         # the unmatched view
+    assert (99, 900, 901, 1) in got            # the sentinel pair
