@@ -5299,6 +5299,71 @@ def _r04s12_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "geo_rings_facet": geo_rings_q}
 
 
+# terms_set restated: same BM25 relation, gated by a per-doc threshold
+# (1 + doc_id % 3) against the distinct matched-term count
+_ORACLE_TERMS_SET_TOPK = """
+, nmatch AS (
+  SELECT tf.doc_id, count(DISTINCT tf.term) AS n
+  FROM tf JOIN q ON tf.term = q.term
+  GROUP BY tf.doc_id
+)
+SELECT scores.doc_id, round(scores.score, 4) AS score
+FROM scores JOIN nmatch ON scores.doc_id = nmatch.doc_id
+WHERE nmatch.n >= 1 + scores.doc_id % 3
+ORDER BY round(scores.score, 4) DESC, scores.doc_id ASC LIMIT 10"""
+
+# adjacency_matrix restated: each singleton / pair bucket as a
+# conditional count; zero buckets omitted, keys ascending (names in a
+# pair key sort ascending — the ES convention the operator pins)
+_ORACLE_ADJ_FACET = """
+WITH f AS (
+  SELECT (lang = 'en') AS f_en,
+         (n_chars > 300) AS f_long,
+         (source = 'src1') AS f_s1
+  FROM documents
+), c AS (
+  SELECT 'en' AS key, CAST(count(*) FILTER (WHERE f_en) AS BIGINT) AS doc_count FROM f
+  UNION ALL SELECT 'long', CAST(count(*) FILTER (WHERE f_long) AS BIGINT) FROM f
+  UNION ALL SELECT 's1', CAST(count(*) FILTER (WHERE f_s1) AS BIGINT) FROM f
+  UNION ALL SELECT 'en&long', CAST(count(*) FILTER (WHERE f_en AND f_long) AS BIGINT) FROM f
+  UNION ALL SELECT 'en&s1', CAST(count(*) FILTER (WHERE f_en AND f_s1) AS BIGINT) FROM f
+  UNION ALL SELECT 'long&s1', CAST(count(*) FILTER (WHERE f_long AND f_s1) AS BIGINT) FROM f
+)
+SELECT key, doc_count FROM c WHERE doc_count > 0 ORDER BY key"""
+
+
+def _r04s13_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                   DataFrame]]:
+    def terms_set_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES terms_set: each doc gated by its OWN minimum_should_match
+        # value (here 1 + doc_id % 3, standing in for a stored
+        # required_matches field), delivered shard-cogrouped (kind 3)
+        # — never collected or broadcast
+        from index_spark.operators.query import search
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        meta = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        req = meta.select("doc_id",
+                          (F.lit(1) + F.col("doc_id") % 3)
+                          .alias("required"))
+        top = search(index, docs, stats, "data table query", k=10,
+                     stem=False, camel=False, shard_size=256,
+                     min_match_df=req)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    def adjacency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES adjacency_matrix: singleton + pairwise filter-intersection
+        # counts in one codegen pass + one bounded-cardinality exchange
+        from index_spark.operators.analytics import adjacency_matrix
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return adjacency_matrix(docs, {"en": "lang = 'en'",
+                                       "long": "n_chars > 300",
+                                       "s1": "source = 'src1'"})
+
+    return {"terms_set_topk": terms_set_q, "adjacency_facet": adjacency_q}
+
+
 def _repo_pagerank_duck_sql(iters: int) -> str:
     """PageRank over the decorated import graph, edges restated
     ARITHMETICALLY (the regex extraction itself is the import_edges
@@ -5909,6 +5974,12 @@ ORDER BY doc_id, line_no""")
     add("rank_feature_topk", eng12["rank_feature_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_RANK_FEATURE, [q_cte]))
     add("geo_rings_facet", eng12["geo_rings_facet"], _ORACLE_GEO_RINGS)
+
+    eng13 = _r04s13_engine_queries()
+    add("terms_set_topk", eng13["terms_set_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_TERMS_SET_TOPK,
+                  [q_cte]))
+    add("adjacency_facet", eng13["adjacency_facet"], _ORACLE_ADJ_FACET)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -840,3 +840,43 @@ def composite_facet(df: DataFrame, keys: list[str], size: int = 10,
             .agg(F.count("*").cast("long").alias("n_docs"))
             .orderBy(*[F.asc(c) for c in keys])
             .limit(size))
+
+
+def adjacency_matrix(df: DataFrame, filters: dict[str, str],
+                     sep: str = "&") -> DataFrame:
+    """Pairwise filter-intersection counts (the Elasticsearch
+    ``adjacency_matrix`` aggregation): given named boolean filters
+    {name: SQL predicate}, return one row per filter and per unordered
+    filter pair with the number of rows matching BOTH — the co-occurrence
+    matrix behind "how many docs are tagged A and B" dashboards.
+    Returns (key, doc_count) with ES's key convention: singletons are
+    the filter name, intersections ``a&b`` with names in ascending
+    order; empty buckets are omitted; rows ordered by key ascending.
+
+    Plan: each row evaluates every predicate once into a compact
+    matched-names array (pure codegen — no join against a filter
+    relation), then the array explodes into its <= n(n+1)/2 ordered
+    pairs and one map-side-combinable groupBy counts them. At 100 TB
+    the cost is the scan + a |filters|^2-bounded fan-out per matching
+    row and a <= n^2-cardinality exchange — never a row x filter join.
+    ES caps the same blow-up at 100 filters; so does this."""
+    if not filters:
+        raise ValueError("adjacency_matrix needs at least one filter")
+    if len(filters) > 100:
+        raise ValueError(f"too many filters ({len(filters)} > 100) — "
+                         f"the pair fan-out is quadratic in filters")
+    bad = sorted(n for n in filters if sep in n)
+    if bad:
+        raise ValueError(f"filter names must not contain {sep!r}: {bad}")
+    names = sorted(filters)
+    matched = F.array_compact(F.array(*[
+        F.when(F.expr(filters[n]), F.lit(n)) for n in names]))
+    m = df.select(matched.alias("m")).where(F.size("m") > 0)
+    pairs = (m.select(F.explode("m").alias("a"), "m")
+              .select("a", F.explode("m").alias("b"))
+              .where(F.col("a") <= F.col("b")))
+    key = F.when(F.col("a") == F.col("b"), F.col("a")) \
+           .otherwise(F.concat_ws(sep, "a", "b"))
+    return (pairs.groupBy(key.alias("key"))
+            .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+            .orderBy(F.asc("key")))

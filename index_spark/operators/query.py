@@ -110,7 +110,8 @@ def _score_shard_exhaustive(pdf: pd.DataFrame, avgdl: float, k: int,
                             allowed: np.ndarray | None = None,
                             boost: tuple[np.ndarray, np.ndarray] | None = None,
                             after: tuple[float, int] | None = None,
-                            min_match: int | None = None
+                            min_match: int | None = None,
+                            req: tuple[np.ndarray, np.ndarray] | None = None
                             ) -> pd.DataFrame:
     """Vectorized exhaustive DAAT over one shard (numpy scatter-add).
 
@@ -126,7 +127,11 @@ def _score_shard_exhaustive(pdf: pd.DataFrame, avgdl: float, k: int,
     contain to rank (Lucene/ES minimum_should_match); a doc's score
     stays the full sum over its present terms. A term split across
     merged doc-range segment rows counts once (rows of one term cover
-    disjoint doc ranges, so a doc hits at most one of them)."""
+    disjoint doc ranges, so a doc hits at most one of them).
+    ``req``: per-doc thresholds (ES ``terms_set`` with
+    ``minimum_should_match_field``) as (sorted doc_ids, required) —
+    a doc ranks only if listed AND its distinct-term count >= its own
+    required value; exclusive with ``min_match``."""
     lists = _decode_lists(pdf, avgdl)
     if not lists:
         return pd.DataFrame({"doc_id": [], "score": []})
@@ -134,7 +139,7 @@ def _score_shard_exhaustive(pdf: pd.DataFrame, avgdl: float, k: int,
     hi = max(int(l[1][-1]) for l in lists)
     acc = np.zeros(hi - lo + 1, dtype=np.float64)
     nmatch = (np.zeros(hi - lo + 1, dtype=np.int32)
-              if min_match is not None else None)
+              if min_match is not None or req is not None else None)
     for _, docs, tfs, dls, idf, _, _, l_avgdl in lists:
         acc[docs - lo] += idf * tfs / (tfs + K1 * (1.0 - B + B * dls / l_avgdl))
         if nmatch is not None:
@@ -143,8 +148,18 @@ def _score_shard_exhaustive(pdf: pd.DataFrame, avgdl: float, k: int,
     if nz.size == 0:
         return pd.DataFrame({"doc_id": [], "score": []})
     docs_out, scores_out = nz + lo, acc[nz]
-    if nmatch is not None:
+    if min_match is not None:
         keep = nmatch[nz] >= min_match
+        docs_out, scores_out = docs_out[keep], scores_out[keep]
+        if docs_out.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+    elif req is not None:
+        r_ids, r_vals = req
+        nm_out = nmatch[nz]
+        if r_ids.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        pos = np.minimum(np.searchsorted(r_ids, docs_out), r_ids.size - 1)
+        keep = (r_ids[pos] == docs_out) & (nm_out >= r_vals[pos])
         docs_out, scores_out = docs_out[keep], scores_out[keep]
         if docs_out.size == 0:
             return pd.DataFrame({"doc_id": [], "score": []})
@@ -708,6 +723,7 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
            boosts: DataFrame | None = None,
            after: tuple[float, int] | None = None,
            min_match: int | None = None,
+           min_match_df: DataFrame | None = None,
            term_weights: dict[str, float] | None = None) -> DataFrame:
     """Top-k BM25 over the sharded index. Returns (doc_id, score).
 
@@ -791,6 +807,21 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
     was exactly what satisfied the count gate); composes with
     ``exclude``/``tombstones``/``restrict``/``boosts``/``after``.
 
+    ``min_match_df`` (mode="or" only, exclusive with ``min_match``):
+    per-doc thresholds — a (doc_id, required) relation giving each
+    doc its OWN minimum distinct-term count (the Elasticsearch
+    ``terms_set`` query with ``minimum_should_match_field``: "match
+    this skill-list doc if >= its required_matches of the query skills
+    are present"). Docs absent from the relation never rank (the
+    relation IS the eligible population — pass required=0 rows to make
+    a doc unconditionally eligible); listed docs rank iff their
+    distinct matched-term count >= their required value, scored by the
+    full BM25 sum over present terms. Distribution is the tombstones/
+    restrict shard-cogroup side-channel (kind 3 carries the
+    threshold) — the relation is never collected or broadcast, and the
+    count gate is shard-local-exact for the same doc-range reason as
+    ``min_match``. Forces the exhaustive kernel.
+
     ``term_weights``: optional per-term score multipliers (weighted
     query / RM3 expansion weights): term t's whole BM25 contribution is
     scaled by ``term_weights[t]`` (absent terms keep 1.0). Applied by
@@ -860,7 +891,7 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
                               tombstones, shard_size, merged_form,
                               restrict=restrict, groups=groups,
                               boosts=boosts, after=after,
-                              min_match=min_match)
+                              min_match=min_match, req_counts=min_match_df)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -875,7 +906,8 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
                       groups: dict[str, tuple[int, ...]] | None = None,
                       boosts: DataFrame | None = None,
                       after: tuple[float, int] | None = None,
-                      min_match: int | None = None
+                      min_match: int | None = None,
+                      req_counts: DataFrame | None = None
                       ) -> DataFrame:
     """Per-shard local top-k under OR/AND mode, term exclusions, and
     shard-cogrouped tombstones — shared by ``search``, ``search_dsl``
@@ -933,6 +965,12 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
                              "already requires every term)")
         if min_match < 1:
             raise ValueError(f"min_match must be >= 1, got {min_match}")
+    if req_counts is not None:
+        if mode != "or":
+            raise ValueError("req_counts (terms_set) applies to mode='or'")
+        if min_match is not None:
+            raise ValueError("req_counts and min_match are mutually "
+                             "exclusive (per-doc vs global threshold)")
     if groups is not None:
         n_req = len({g for gs in groups.values() for g in gs})
     else:
@@ -944,7 +982,8 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
 
     def score(pdf: pd.DataFrame, banned: np.ndarray | None,
               allowed_r: np.ndarray | None = None,
-              boost: tuple[np.ndarray, np.ndarray] | None = None
+              boost: tuple[np.ndarray, np.ndarray] | None = None,
+              req: tuple[np.ndarray, np.ndarray] | None = None
               ) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id": [], "score": []})
         if allowed_r is not None and allowed_r.size == 0:
@@ -988,6 +1027,12 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
             return _score_shard_exhaustive(spdf, avgdl, k, excl, banned,
                                            allowed, boost, after,
                                            min_match)
+        if req is not None:
+            # per-doc m-of-n (terms_set): same exhaustive-count rationale
+            # as min_match — WAND could prune a term whose presence
+            # satisfied a doc's own threshold
+            return _score_shard_exhaustive(spdf, avgdl, k, excl, banned,
+                                           allowed, boost, after, req=req)
         if boost is not None or after is not None:
             # exhaustive whenever boosting or paginating (see
             # docstring); the allowed set folds in as the kernel's
@@ -1011,7 +1056,8 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
 
     has_restrict = restrict is not None
     has_boosts = boosts is not None
-    if tombstones is not None or has_restrict or has_boosts:
+    has_req = req_counts is not None
+    if tombstones is not None or has_restrict or has_boosts or has_req:
         shard_expr = (F.lit(0).cast("long") if merged_form
                       else F.floor(F.col("doc_id") / shard_size).cast("long"))
         sides = []
@@ -1028,6 +1074,11 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
                 shard_expr.alias("shard"), F.col("doc_id").cast("long"),
                 F.lit(2).alias("kind"),
                 F.col("boost").cast("double").alias("w")))
+        if has_req:
+            sides.append(req_counts.select(
+                shard_expr.alias("shard"), F.col("doc_id").cast("long"),
+                F.lit(3).alias("kind"),
+                F.col("required").cast("double").alias("w")))
         side = sides[0]
         for s in sides[1:]:
             side = side.unionByName(s)
@@ -1045,8 +1096,15 @@ def _modal_local_topk(hits: DataFrame, qterms: list[str], xterms: list[str],
                 b_w = s_pdf["w"].to_numpy(np.float64)[sel]
                 order = np.argsort(b_ids, kind="stable")
                 boost = (b_ids[order], b_w[order])
+            req = None
+            if has_req:
+                sel = kinds == 3
+                r_ids = ids[sel]
+                r_w = s_pdf["w"].to_numpy(np.float64)[sel].astype(np.int64)
+                order = np.argsort(r_ids, kind="stable")
+                req = (r_ids[order], r_w[order])
             return score(key_pdf, banned if banned.size else None,
-                         allowed_r, boost)
+                         allowed_r, boost, req)
 
         return hits.groupby("shard").cogroup(side.groupby("shard")) \
             .applyInPandas(fn2, schema=TOPK_SCHEMA)

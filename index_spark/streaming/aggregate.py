@@ -333,3 +333,34 @@ def interval_join_stream(left: DataFrame, right: DataFrame,
     return (l.join(r, cond, how)
             .select(F.col("l_k").alias(key_col), "l_ts", "r_ts", delay,
                     *[f"l_{c}" for c in lv], *[f"r_{c}" for c in rv]))
+
+
+def dedup_stream(events: DataFrame, keys: list[str], ts_col: str = "ts",
+                 delay: str = "1 hour") -> DataFrame:
+    """Exactly-once event deduplication within a watermark horizon —
+    the stream-ingest hygiene gate (at-least-once sources re-deliver;
+    downstream counts must not double). First arrival per key wins;
+    re-deliveries within ``delay`` of the watermark are dropped.
+
+    Streaming form: ``withWatermark(ts_col, delay)`` +
+    ``dropDuplicatesWithinWatermark(keys)`` — state holds one entry
+    per DISTINCT key seen in the horizon and entries expire as the
+    watermark advances, so memory is O(keys per horizon), never the
+    full history (the property that keeps the gate runnable forever;
+    plain ``dropDuplicates`` on a stream would accrete state without
+    bound). A duplicate arriving later than ``delay`` after its
+    original passes — the horizon is the documented contract, sized to
+    the source's re-delivery window, exactly like late-data loss in
+    windowed aggregation.
+
+    Batch form (Kappa parity): ``dropDuplicates(keys)`` over the same
+    plan inputs. Parity is over the KEY SET — which physical duplicate
+    row survives is engine-chosen on both forms, so project the keys
+    (or treat non-key columns as per-key-constant) when comparing."""
+    if not keys:
+        raise ValueError("dedup_stream needs at least one key column")
+    out = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if out.isStreaming:
+        return (out.withWatermark(ts_col, delay)
+                .dropDuplicatesWithinWatermark(keys))
+    return out.dropDuplicates(keys)

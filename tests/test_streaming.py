@@ -304,3 +304,36 @@ def test_interval_join_stream_left_outer_emits_unmatched(spark, tmp_path):
     assert (1, 100, 200, 1800) in got          # the conversion
     assert (2, 101, None, None) in got         # the unmatched view
     assert (99, 900, 901, 1) in got            # the sentinel pair
+
+
+def test_dedup_stream_drops_cross_batch_redelivery(spark, tmp_path):
+    """A key re-delivered in a LATER micro-batch (within the horizon)
+    is dropped; distinct keys all pass exactly once."""
+    import shutil
+
+    from index_spark.streaming.aggregate import dedup_stream
+
+    src = str(tmp_path / "ev")
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:10")],
+        "event_id long, ts string")
+    b2 = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00"),   # re-delivery of key 1
+         (3, "2024-01-01 10:06:00")],
+        "event_id long, ts string")
+    b1.write.parquet(src)
+    b2.write.mode("append").parquet(src)
+
+    st = (spark.readStream.schema(b1.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src))
+    out = dedup_stream(st, ["event_id"], delay="30 minutes")
+    q = (out.writeStream.format("memory").queryName("dedup_st")
+         .outputMode("append").trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+        got = sorted(r.event_id for r in
+                     spark.sql("SELECT event_id FROM dedup_st").collect())
+    finally:
+        q.stop()
+        shutil.rmtree(src, ignore_errors=True)
+    assert got == [1, 2, 3]
