@@ -335,12 +335,16 @@ def interval_join_stream(left: DataFrame, right: DataFrame,
                     *[f"l_{c}" for c in lv], *[f"r_{c}" for c in rv]))
 
 
-def dedup_stream(events: DataFrame, keys: list[str], ts_col: str = "ts",
+def dedup_events_stream(events: DataFrame, keys: list[str], ts_col: str = "ts",
                  delay: str = "1 hour") -> DataFrame:
     """Exactly-once event deduplication within a watermark horizon —
     the stream-ingest hygiene gate (at-least-once sources re-deliver;
     downstream counts must not double). First arrival per key wins;
     re-deliveries within ``delay`` of the watermark are dropped.
+    Complements :func:`dedup_stream` (the CONTENT-hash keep-first doc
+    gate with custom grouped state): this is the KEY-based form on
+    Spark's built-in bounded-state operator, for event streams whose
+    identity is already a column.
 
     Streaming form: ``withWatermark(ts_col, delay)`` +
     ``dropDuplicatesWithinWatermark(keys)`` — state holds one entry
@@ -358,7 +362,7 @@ def dedup_stream(events: DataFrame, keys: list[str], ts_col: str = "ts",
     row survives is engine-chosen on both forms, so project the keys
     (or treat non-key columns as per-key-constant) when comparing."""
     if not keys:
-        raise ValueError("dedup_stream needs at least one key column")
+        raise ValueError("dedup_events_stream needs at least one key column")
     out = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if out.isStreaming:
         return (out.withWatermark(ts_col, delay)

@@ -140,14 +140,14 @@ def test_adjacency_matrix_validation(spark):
 
 # ------------------------------------------------------- dedup (batch)
 
-def test_dedup_stream_batch_form(spark):
-    from index_spark.streaming.aggregate import dedup_stream
+def test_dedup_events_stream_batch_form(spark):
+    from index_spark.streaming.aggregate import dedup_events_stream
 
     ev = spark.createDataFrame(
         [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:00:05"),
          (2, "2024-01-01 10:01:00")],
         "event_id long, ts string")
-    out = dedup_stream(ev, ["event_id"], delay="10 minutes")
+    out = dedup_events_stream(ev, ["event_id"], delay="10 minutes")
     assert sorted(r.event_id for r in out.collect()) == [1, 2]
     with pytest.raises(ValueError, match="at least one"):
-        dedup_stream(ev, [])
+        dedup_events_stream(ev, [])

@@ -306,12 +306,12 @@ def test_interval_join_stream_left_outer_emits_unmatched(spark, tmp_path):
     assert (99, 900, 901, 1) in got            # the sentinel pair
 
 
-def test_dedup_stream_drops_cross_batch_redelivery(spark, tmp_path):
+def test_dedup_events_stream_drops_cross_batch_redelivery(spark, tmp_path):
     """A key re-delivered in a LATER micro-batch (within the horizon)
     is dropped; distinct keys all pass exactly once."""
     import shutil
 
-    from index_spark.streaming.aggregate import dedup_stream
+    from index_spark.streaming.aggregate import dedup_events_stream
 
     src = str(tmp_path / "ev")
     b1 = spark.createDataFrame(
@@ -326,7 +326,7 @@ def test_dedup_stream_drops_cross_batch_redelivery(spark, tmp_path):
 
     st = (spark.readStream.schema(b1.schema)
           .option("maxFilesPerTrigger", 1).parquet(src))
-    out = dedup_stream(st, ["event_id"], delay="30 minutes")
+    out = dedup_events_stream(st, ["event_id"], delay="30 minutes")
     q = (out.writeStream.format("memory").queryName("dedup_st")
          .outputMode("append").trigger(availableNow=True).start())
     try:
