@@ -5584,6 +5584,538 @@ def _r04s11_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "composite_facet": composite_facet_q, "t5_spans": t5_spans}
 
 
+# ---------------------------------------------------------------------------
+# session 14: matrix/string stats, rare_terms, geotile/polygon geo,
+# match_phrase_prefix, diversified sampler, serial_diff, funnel, retention
+# ---------------------------------------------------------------------------
+
+# ES matrix_stats restated: every moment as an independent DuckDB
+# aggregate (count/avg/var_samp/covar_samp/corr), laid out in the same
+# (field, other) long form
+_ORACLE_MATRIX_STATS = """
+WITH s AS (
+  SELECT count(CAST(user_id AS DOUBLE)) AS n_u,
+         avg(CAST(user_id AS DOUBLE)) AS m_u,
+         var_samp(CAST(user_id AS DOUBLE)) AS v_u,
+         count(value) AS n_v, avg(value) AS m_v, var_samp(value) AS v_v,
+         covar_samp(CAST(user_id AS DOUBLE), value) AS c_uv,
+         corr(CAST(user_id AS DOUBLE), value) AS r_uv
+  FROM events
+)
+SELECT 'user_id' AS field, 'user_id' AS other,
+       CAST(n_u AS BIGINT) AS "count", round(m_u, 4) AS mean,
+       round(v_u, 4) AS variance, round(v_u, 4) AS covariance,
+       round(1.0, 4) AS correlation FROM s
+UNION ALL SELECT 'user_id', 'value', CAST(n_u AS BIGINT), round(m_u, 4),
+       round(v_u, 4), round(c_uv, 4), round(r_uv, 4) FROM s
+UNION ALL SELECT 'value', 'user_id', CAST(n_v AS BIGINT), round(m_v, 4),
+       round(v_v, 4), round(c_uv, 4), round(r_uv, 4) FROM s
+UNION ALL SELECT 'value', 'value', CAST(n_v AS BIGINT), round(m_v, 4),
+       round(v_v, 4), round(v_v, 4), round(1.0, 4) FROM s
+ORDER BY field, other"""
+
+# ES string_stats restated: length moments plus the Shannon entropy of
+# the pooled character distribution (chars via substr over an index
+# unnest — an independent spelling of Spark's split-explode)
+_ORACLE_STRING_STATS = """
+WITH lens AS (
+  SELECT CAST(count(text) AS BIGINT) AS "count",
+         CAST(min(length(text)) AS BIGINT) AS min_length,
+         CAST(max(length(text)) AS BIGINT) AS max_length,
+         round(avg(length(text)), 4) AS avg_length
+  FROM documents
+), cgrp AS (
+  SELECT substr(text, CAST(u AS INT) + 1, 1) AS ch,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM (SELECT text, unnest(range(length(text))) AS u FROM documents)
+  GROUP BY 1
+), ent AS (
+  SELECT round(-sum(n * log2(n)) / sum(n) + log2(sum(n)), 4) AS entropy
+  FROM cgrp
+)
+SELECT lens.*, ent.entropy FROM lens CROSS JOIN ent"""
+
+# rare_terms restated: global df from the (term, doc) relation
+_BODY_RARE_TERMS = """
+SELECT term, CAST(count(*) AS BIGINT) AS doc_count
+FROM tf GROUP BY term HAVING count(*) <= 100
+ORDER BY doc_count ASC, term ASC LIMIT 100"""
+
+# match_phrase_prefix restated: fixed slot 'data' + last slot drawn
+# from the ascending-term capped expansion set of 'tab%' (the Lucene
+# max_expansions cap), adjacency via the positions relation
+_ORACLE_PHRASE_PREFIX_DUCK = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos FROM toks
+), vars AS (
+  SELECT DISTINCT term FROM pos WHERE term LIKE 'tab%'
+  ORDER BY term ASC LIMIT 50
+), m AS (
+  SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM pos p0
+  JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+  JOIN vars ON p1.term = vars.term
+  WHERE p0.term = 'data'
+  GROUP BY p0.doc_id
+)
+SELECT doc_id, n_matches FROM m
+ORDER BY n_matches DESC, doc_id ASC LIMIT 10"""
+
+
+def _diversified_duck_sql(max_per_key: int = 3, n: int = 20,
+                          salt: str = "divsample") -> str:
+    """diversified_sampler restatement: the identical md5-prefix draw,
+    per-diversify-key rank, then the overall best-n cut."""
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         substr(md5(doc_id || ':{salt}'), 1, 8) AS draw
+  FROM documents
+), rk AS (
+  SELECT doc_id, source, draw,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY draw ASC, doc_id ASC) AS r
+  FROM keyed
+), cut AS (
+  SELECT doc_id, source FROM rk WHERE r <= {max_per_key}
+  ORDER BY draw ASC, doc_id ASC LIMIT {n}
+)
+SELECT doc_id, source FROM cut ORDER BY doc_id ASC"""
+
+
+# serial_diff restated: the hourly rollup re-derived, then the lag-2
+# difference per event_type series
+_ORACLE_SERIAL_DIFF = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         round(sum(value), 4) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket, sum_value,
+       round(sum_value - lag(sum_value, 2) OVER
+             (PARTITION BY event_type ORDER BY bucket), 4) AS serial_diff
+FROM b"""
+
+# ordered funnel restated: per-step earliest-completion frontiers as
+# chained min-aggregates; the 48-hour horizon anchors at step 0
+_ORACLE_FUNNEL = """
+WITH s0 AS (
+  SELECT user_id AS u, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), s1 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t1, any_value(s0.t0) AS t0
+  FROM events e JOIN s0 ON e.user_id = s0.u
+  WHERE e.event_type = 'view' AND e.ts >= s0.t0
+    AND e.ts <= s0.t0 + INTERVAL 48 HOUR
+  GROUP BY 1
+), s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'purchase' AND e.ts >= s1.t1
+    AND e.ts <= s1.t0 + INTERVAL 48 HOUR
+  GROUP BY 1
+)
+SELECT CAST(step_idx AS INT) AS step_idx, step,
+       CAST(n_users AS BIGINT) AS n_users
+FROM (VALUES (0, 'signup', (SELECT count(*) FROM s0)),
+             (1, 'view', (SELECT count(*) FROM s1)),
+             (2, 'purchase', (SELECT count(*) FROM s2)))
+     v(step_idx, step, n_users)
+ORDER BY step_idx"""
+
+# cohort retention restated: first-period cohorts, week offsets via
+# floor(day-diff / 7) (Spark's non-negative int cast == floor)
+_ORACLE_RETENTION = """
+WITH pe AS (
+  SELECT user_id AS u, date_trunc('week', ts) AS p
+  FROM events
+), f AS (
+  SELECT u, min(p) AS cohort FROM pe GROUP BY 1
+)
+SELECT f.cohort, CAST(floor(date_diff('day', f.cohort, pe.p) / 7.0) AS INT)
+         AS "offset",
+       CAST(count(DISTINCT pe.u) AS BIGINT) AS n_users
+FROM pe JOIN f ON pe.u = f.u
+WHERE date_diff('day', f.cohort, pe.p) >= 0
+  AND floor(date_diff('day', f.cohort, pe.p) / 7.0) <= 4
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+# the polygon every session-14 geo entry pins: a triangle over the
+# north-east Pacific / North America quadrant
+_S14_POLYGON = [(50.0, -130.0), (15.0, -100.0), (55.0, -60.0)]
+
+
+def _r04s14_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                   DataFrame]]:
+    def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return ev.select(
+            "event_id", "value",
+            (((F.col("event_id") * 2654435761) % 1800000) / 10000.0
+             - 90.0).alias("lat"),
+            (((F.col("event_id") * 2246822519) % 3600000) / 10000.0
+             - 180.0).alias("lon"))
+
+    def matrix_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES matrix_stats: all per-field and pairwise moments in ONE
+        # fused aggregate pass (count/mean/variance/covariance/
+        # correlation, sample semantics) — every cell value-checked
+        # against DuckDB's independent moment aggregates
+        from index_spark.operators.analytics import matrix_stats
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return matrix_stats(ev, ["user_id", "value"])
+
+    def string_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES string_stats (+ show_distribution's entropy): length
+        # moments fused, character entropy via an alphabet-bounded
+        # groupBy (exchange <= |alphabet| rows per partition)
+        from index_spark.operators.analytics import string_stats
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return string_stats(docs, "text")
+
+    def rare_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES rare_terms: the df-ascending long tail off the index
+        # dictionary metadata (per-shard df summed; no blob decode)
+        from index_spark.operators.analytics import rare_terms
+
+        _, index, _ = _parity_build(spark, sf_dir)
+        return rare_terms(index, max_doc_count=100, limit=100)
+
+    def geotile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES geotile_grid: Web-Mercator z/x/y cells at zoom 5, count +
+        # avg(value) per cell — the closed-form slippy-map arithmetic
+        # re-derived by DuckDB
+        from index_spark.operators.geo import geotile_grid
+
+        return geotile_grid(_geo_points(spark, sf_dir), zoom=5,
+                            value_col="value", limit=30)
+
+    def geo_polygon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES geo_polygon query: even-odd ray casting unrolled to pure
+        # codegen, restated edge-for-edge in DuckDB
+        from index_spark.operators.geo import geo_polygon_filter
+
+        pts = geo_polygon_filter(_geo_points(spark, sf_dir), _S14_POLYGON)
+        return (pts.select("event_id", F.round("lat", 4).alias("lat"),
+                           F.round("lon", 4).alias("lon"))
+                .orderBy("event_id"))
+
+    def phrase_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES match_phrase_prefix: exact phrase with the last analyzed
+        # token as a prefix, expansion set capped at max_expansions in
+        # ascending term order (the Lucene cap), last slot matched as a
+        # term SET inside the positional kernel
+        from index_spark.operators.phrase import match_phrase_prefix
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        return match_phrase_prefix(index, stats, "data tab", k=10,
+                                   max_expansions=50, stem=False,
+                                   camel=False, shard_size=256)
+
+    def diversified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES diversified_sampler: at most 3 rows per source by the
+        # shared md5 draw, overall best-20 draws kept
+        from index_spark.operators.sample import diversified_sample
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = diversified_sample(docs.select("doc_id", "source"),
+                                 key_col="doc_id",
+                                 diversify_col="source",
+                                 max_per_key=3, n=20)
+        return out.orderBy("doc_id")
+
+    def serial_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES serial_diff pipeline agg: lag-2 difference per event_type
+        # over the hourly rollup (lag-1 == derivative is already the
+        # events_pipeline entry; lag-2 exercises the general lag)
+        from index_spark.operators.temporal import (
+            rollup_timeseries,
+            serial_diff,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        hourly = rollup_timeseries(ev, granularities=["hour"],
+                                   by=["event_type"])
+        out = serial_diff(hourly, value_col="sum_value",
+                          by=["event_type"], lag=2)
+        return out.select("event_type", "bucket", "sum_value",
+                          "serial_diff")
+
+    def funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ordered funnel: signup -> view -> purchase within 48h of
+        # signup; per-step user counts (chained earliest-completion
+        # frontiers, len(steps)-1 key shuffles)
+        from index_spark.operators.temporal import funnel
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = funnel(ev, ["signup", "view", "purchase"],
+                     horizon="48 hours")
+        return out.select("step_idx", "step", "n_users") \
+                  .orderBy("step_idx")
+
+    def retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # weekly cohort retention, offsets 0..4 — two map-side
+        # aggregates + one join-back on the per-user first period
+        from index_spark.operators.temporal import retention_cohorts
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return retention_cohorts(ev, granularity="week", max_offset=4)
+
+    return {"matrix_stats": matrix_stats_q, "string_stats": string_stats_q,
+            "rare_terms": rare_terms_q, "geotile_facet": geotile_q,
+            "geo_polygon_hits": geo_polygon_q,
+            "phrase_prefix_topk": phrase_prefix_q,
+            "diversified_docs": diversified_q,
+            "events_serial_diff": serial_diff_q,
+            "events_funnel": funnel_q, "events_retention": retention_q}
+
+
+# ---------------------------------------------------------------------------
+# session 15: top_hits, percentile_ranks, geo centroid/bounds, gap-filled
+# date_histogram, has_child/has_parent, PCA top component
+# ---------------------------------------------------------------------------
+
+_ORACLE_TOP_HITS_META = """
+WITH r AS (
+  SELECT lang, n_chars, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS hit_rank
+  FROM documents
+)
+SELECT lang, n_chars, doc_id, CAST(hit_rank AS INT) AS hit_rank
+FROM r WHERE hit_rank <= 2 ORDER BY lang, hit_rank"""
+
+_ORACLE_PCTL_RANKS = """
+WITH w AS (
+  SELECT count(value) AS n,
+         count(*) FILTER (WHERE value <= 10.0) AS le0,
+         count(*) FILTER (WHERE value <= 50.0) AS le1,
+         count(*) FILTER (WHERE value <= 200.0) AS le2
+  FROM events
+)
+SELECT 10.0 AS value, round(100.0 * le0 / n, 4) AS pct_rank FROM w
+UNION ALL SELECT 50.0, round(100.0 * le1 / n, 4) FROM w
+UNION ALL SELECT 200.0, round(100.0 * le2 / n, 4) FROM w
+ORDER BY value"""
+
+_S15_PTS_DUCK = """
+pts AS (
+  SELECT event_type,
+         ((event_id * 2654435761) % 1800000) / 10000.0 - 90.0 AS lat,
+         ((event_id * 2246822519) % 3600000) / 10000.0 - 180.0 AS lon
+  FROM events
+)"""
+
+_ORACLE_GEO_CENTROID = f"""
+WITH {_S15_PTS_DUCK.strip()}
+SELECT event_type, round(avg(lat), 4) AS centroid_lat,
+       round(avg(lon), 4) AS centroid_lon,
+       CAST(count(*) AS BIGINT) AS n
+FROM pts GROUP BY 1 ORDER BY 1"""
+
+_ORACLE_GEO_BOUNDS = f"""
+WITH {_S15_PTS_DUCK.strip()}
+SELECT event_type, round(max(lat), 4) AS top, round(min(lat), 4) AS bottom,
+       round(min(lon), 4) AS "left", round(max(lon), 4) AS "right"
+FROM pts GROUP BY 1 ORDER BY 1"""
+
+# gap-filled date_histogram restated: the complete hourly axis from the
+# global bounds x the distinct key relation, left-joined to the counts
+_ORACLE_GAP_HIST = """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS doc_count
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi
+  FROM events
+), axis AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+), keys AS (SELECT DISTINCT event_type FROM events)
+SELECT k.event_type, a.bucket, coalesce(c.doc_count, 0) AS doc_count
+FROM axis a CROSS JOIN keys k
+LEFT JOIN c ON c.event_type = k.event_type AND c.bucket = a.bucket
+ORDER BY k.event_type, a.bucket"""
+
+# has_child restated: the complete BM25 match relation grouped by the
+# parent key (max + child count), top-5 parents
+_ORACLE_HAS_CHILD = """
+, ps AS (
+  SELECT d.source, round(max(s.score), 4) AS score,
+         CAST(count(*) AS BIGINT) AS n_children
+  FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+  GROUP BY d.source
+)
+SELECT source, score, n_children FROM ps
+ORDER BY score DESC, source ASC LIMIT 5"""
+
+_ORACLE_HAS_PARENT = """
+WITH ps AS (
+  SELECT source, round(avg(n_chars), 4) AS score
+  FROM documents GROUP BY 1
+)
+SELECT d.source, d.doc_id, ps.score
+FROM documents d JOIN ps USING (source)
+ORDER BY ps.score DESC, d.doc_id ASC LIMIT 10"""
+
+# PCA top component restated: the 64x64 sample covariance from centered
+# products, 3 power-iteration mat-vecs from the fixed 1/8 start, L2
+# normalization each step, largest-|loading| sign convention, Rayleigh
+# eigenvalue — every stage an independent DuckDB re-derivation
+_ORACLE_PCA = """
+WITH x AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), xi AS (
+  SELECT vec_id, unnest(range(1, len(e) + 1)) AS i, unnest(e) AS ei FROM x
+), mu AS (
+  SELECT i, avg(ei) AS m FROM xi GROUP BY i
+), cx AS (
+  SELECT xi.vec_id, xi.i, xi.ei - mu.m AS c FROM xi JOIN mu USING (i)
+), cov AS (
+  SELECT a.i, b.i AS j,
+         sum(a.c * b.c) / (SELECT count(*) - 1 FROM x) AS c
+  FROM cx a JOIN cx b ON a.vec_id = b.vec_id GROUP BY 1, 2
+), w1 AS (
+  SELECT i, sum(c) * 0.125 AS w FROM cov GROUP BY i
+), v1 AS (
+  SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w1) AS v FROM w1
+), w2 AS (
+  SELECT cov.i, sum(cov.c * v1.v) AS w FROM cov JOIN v1 ON cov.j = v1.i
+  GROUP BY 1
+), v2 AS (
+  SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w2) AS v FROM w2
+), w3 AS (
+  SELECT cov.i, sum(cov.c * v2.v) AS w FROM cov JOIN v2 ON cov.j = v2.i
+  GROUP BY 1
+), v3 AS (
+  SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w3) AS v FROM w3
+), sgn AS (
+  SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s FROM v3
+  ORDER BY abs(v) DESC, i ASC LIMIT 1
+), wr AS (
+  SELECT cov.i, sum(cov.c * v3.v) AS w FROM cov JOIN v3 ON cov.j = v3.i
+  GROUP BY 1
+), eig AS (
+  SELECT sum(v3.v * wr.w) AS e FROM v3 JOIN wr ON v3.i = wr.i
+)
+SELECT CAST(v3.i AS INT) AS dim, round(v3.v * sgn.s, 4) AS loading,
+       round(eig.e, 4) AS eigval
+FROM v3 CROSS JOIN sgn CROSS JOIN eig ORDER BY dim"""
+
+
+def _r04s15_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                   DataFrame]]:
+    def top_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES top_hits over a plain METADATA relation (the generic-
+        # relation form; the match-score engine form is the existing
+        # top_hits_facet entry via query.top_hits_by_group): the 2
+        # longest docs per lang,
+        # ties broken ascending doc_id — rank, tiebreak, and page all
+        # value-checked
+        from index_spark.operators.analytics import top_hits
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return top_hits(docs.select("lang", "doc_id", "n_chars"),
+                        by="lang", sort_col="n_chars", n=2,
+                        cols=["doc_id"])
+
+    def pctl_ranks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES percentile_ranks (exact CDF form): one fused conditional-
+        # count pass over events.value
+        from index_spark.operators.analytics import percentile_ranks
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return percentile_ranks(ev, "value", [10.0, 50.0, 200.0])
+
+    def _typed_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return ev.select(
+            "event_type",
+            (((F.col("event_id") * 2654435761) % 1800000) / 10000.0
+             - 90.0).alias("lat"),
+            (((F.col("event_id") * 2246822519) % 3600000) / 10000.0
+             - 180.0).alias("lon"))
+
+    def geo_centroid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.geo import geo_centroid
+
+        return geo_centroid(_typed_points(spark, sf_dir),
+                            by="event_type")
+
+    def geo_bounds_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.geo import geo_bounds
+
+        return geo_bounds(_typed_points(spark, sf_dir), by="event_type")
+
+    def gap_hist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES date_histogram with min_doc_count=0: the complete hourly
+        # axis per event_type, empty buckets emitted as zero — the
+        # sequence() axis is bounded by time-range/interval, never by
+        # corpus size
+        from index_spark.operators.temporal import date_histogram
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return date_histogram(ev, interval="hour", by=["event_type"],
+                              min_doc_count=0)
+
+    def has_child_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES has_child over a PRE-SCORED child relation (the generic-
+        # relation form of query.has_child_search, which owns the
+        # index path — see the haschild_topk chunk entry): sources
+        # ranked by their best-scoring matching child doc — complete
+        # match scores (a parent can win on a deep child), one
+        # parent-key aggregate
+        from index_spark.operators.nested import has_child_search
+        from index_spark.operators.query import _complete_match_scores
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        child = _complete_match_scores(index, stats, FLAGSHIP_TERMS,
+                                       stem=False, camel=False,
+                                       shard_size=256)
+        meta = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                    .select("doc_id", "source")
+        kids = child.join(meta, "doc_id")
+        parents = meta.select("source").distinct()
+        return has_child_search(parents, kids, parent_col="source",
+                                score_mode="max", k=5)
+
+    def has_parent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES has_parent (score=true): child docs inherit their source's
+        # score (avg n_chars standing in for a parent relevance score)
+        from index_spark.operators.nested import has_parent_search
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pscores = docs.groupBy("source").agg(
+            F.round(F.avg("n_chars"), 4).alias("score"))
+        kids = docs.select("source", "doc_id")
+        return has_parent_search(kids, pscores, parent_col="source",
+                                 k=10)
+
+    def pca_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # top principal component: one distributed moment pass
+        # (d^2+d+1 partials), fixed-start power iteration — loadings,
+        # sign convention, and Rayleigh eigenvalue all value-checked
+        from index_spark.operators.similarity import pca_top_component
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return pca_top_component(emb, iters=3)
+
+    return {"top_hits_meta": top_hits_q, "percentile_ranks": pctl_ranks_q,
+            "geo_centroid_facet": geo_centroid_q,
+            "geo_bounds_facet": geo_bounds_q,
+            "events_gap_hist": gap_hist_q,
+            "has_child_scores_topk": has_child_q,
+            "has_parent_topk": has_parent_q,
+            "pca_component": pca_q}
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -5980,6 +6512,44 @@ ORDER BY doc_id, line_no""")
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_TERMS_SET_TOPK,
                   [q_cte]))
     add("adjacency_facet", eng13["adjacency_facet"], _ORACLE_ADJ_FACET)
+
+    from index_spark.operators.geo import geotile_duck_expr, polygon_duck_expr
+
+    eng14 = _r04s14_engine_queries()
+    add("matrix_stats", eng14["matrix_stats"], _ORACLE_MATRIX_STATS)
+    add("string_stats", eng14["string_stats"], _ORACLE_STRING_STATS)
+    add("rare_terms", eng14["rare_terms"],
+        _docs_sql("duck", _BODY_RARE_TERMS))
+    add("geotile_facet", eng14["geotile_facet"], f"""
+WITH {_GEO_PTS_DUCK.strip()}
+SELECT {geotile_duck_expr('lat', 'lon', 5)} AS cell,
+       CAST(count(*) AS BIGINT) AS n, round(avg(value), 4) AS avg_value
+FROM pts GROUP BY 1 ORDER BY n DESC, cell ASC LIMIT 30""")
+    add("geo_polygon_hits", eng14["geo_polygon_hits"], f"""
+WITH {_GEO_PTS_DUCK.strip()}
+SELECT event_id, round(lat, 4) AS lat, round(lon, 4) AS lon
+FROM pts WHERE {polygon_duck_expr('lat', 'lon', _S14_POLYGON)}
+ORDER BY event_id""")
+    add("phrase_prefix_topk", eng14["phrase_prefix_topk"],
+        _ORACLE_PHRASE_PREFIX_DUCK)
+    add("diversified_docs", eng14["diversified_docs"],
+        _diversified_duck_sql())
+    add("events_serial_diff", eng14["events_serial_diff"],
+        _ORACLE_SERIAL_DIFF)
+    add("events_funnel", eng14["events_funnel"], _ORACLE_FUNNEL)
+    add("events_retention", eng14["events_retention"], _ORACLE_RETENTION)
+
+    eng15 = _r04s15_engine_queries()
+    add("top_hits_meta", eng15["top_hits_meta"], _ORACLE_TOP_HITS_META)
+    add("percentile_ranks", eng15["percentile_ranks"], _ORACLE_PCTL_RANKS)
+    add("geo_centroid_facet", eng15["geo_centroid_facet"],
+        _ORACLE_GEO_CENTROID)
+    add("geo_bounds_facet", eng15["geo_bounds_facet"], _ORACLE_GEO_BOUNDS)
+    add("events_gap_hist", eng15["events_gap_hist"], _ORACLE_GAP_HIST)
+    add("has_child_scores_topk", eng15["has_child_scores_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_HAS_CHILD, [q_cte]))
+    add("has_parent_topk", eng15["has_parent_topk"], _ORACLE_HAS_PARENT)
+    add("pca_component", eng15["pca_component"], _ORACLE_PCA)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

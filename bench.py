@@ -560,7 +560,11 @@ def main() -> None:
     # pruned/unpruned ratio is the scan-width win a cell-partitioned
     # table gets as partition pruning
     def _geo_scale():
-        from index_spark.operators.geo import geo_distance_topk, geohash_grid
+        from index_spark.operators.geo import (
+            geo_distance_topk,
+            geohash_grid,
+            geotile_grid,
+        )
 
         n_pts = 2_000_000
         pts = spark.range(0, n_pts).select(
@@ -583,9 +587,27 @@ def main() -> None:
         geo_distance_topk(pts, 37.7749, -122.4194, k=100,
                           radius_km=1500.0, prune_precision=2).collect()
         timings["geo_radius_2m_pruned"] = round(time.time() - t0, 3)
+        # session 14: Web-Mercator geotile_grid over the same 2M points
+        # (pure-codegen z/x/y key, one bounded-key exchange)
+        t0 = time.time()
+        geotile_grid(pts, zoom=7).count()
+        timings["geotile_grid_2m"] = round(time.time() - t0, 3)
         pts.unpersist()
 
     _geo_scale()
+
+    # 10b2s14. session-14 surfaces (non-headline), via the registry so
+    # the measured plan is the driver-checked plan: one-pass moment
+    # matrix, pooled character entropy, funnel frontiers, weekly
+    # retention cohorts, capped phrase-prefix expansion
+    for name in ["matrix_stats", "string_stats", "events_funnel",
+                 "events_retention", "phrase_prefix_topk"]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    # 10b2s15. session-15 surfaces (non-headline): gap-filled
+    # date_histogram, parent-child join query, one-pass PCA moments
+    for name in ["events_gap_hist", "has_child_scores_topk", "pca_component"]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # 10b3. iterative graph/LM surfaces (non-headline): transitive
     # duplicate clustering (large-star/small-star over the jaccard pair

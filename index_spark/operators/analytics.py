@@ -880,3 +880,153 @@ def adjacency_matrix(df: DataFrame, filters: dict[str, str],
     return (pairs.groupBy(key.alias("key"))
             .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
             .orderBy(F.asc("key")))
+
+
+def matrix_stats(df: DataFrame, cols: list[str],
+                 round_at: int = 4) -> DataFrame:
+    """ES ``matrix_stats`` aggregation: per-field count/mean/variance
+    plus pairwise covariance and correlation over numeric columns, in
+    ONE aggregate pass (every statistic is a map-side-combinable
+    moment — Spark fuses all of them into a single partial+final
+    aggregation, so 100 TB costs one scan and one 1-row exchange).
+    Returns the long form: one row per ordered (field, other) pair —
+    (field, other, count, mean, variance, covariance, correlation) —
+    ordered by (field, other); the diagonal rows carry
+    covariance = variance and correlation = 1. Sample (n-1) semantics
+    throughout, matching ES and SQL var_samp/covar_samp/corr."""
+    if len(cols) < 2:
+        raise ValueError("matrix_stats needs at least 2 columns")
+    aggs = []
+    for a in cols:
+        ca = F.col(a).cast("double")
+        aggs += [F.count(ca).alias(f"n_{a}"),
+                 F.avg(ca).alias(f"mean_{a}"),
+                 F.var_samp(ca).alias(f"var_{a}")]
+        for b in cols:
+            cb = F.col(b).cast("double")
+            aggs += [F.covar_samp(ca, cb).alias(f"cov_{a}_{b}"),
+                     F.corr(ca, cb).alias(f"corr_{a}_{b}")]
+    wide = df.agg(*aggs)
+    spark = df.sparkSession
+    pairs = spark.createDataFrame(
+        [(a, b) for a in cols for b in cols], "field string, other string")
+    n = F.when(F.lit(True), F.lit(None).cast("bigint"))
+    for a in cols:
+        n = F.when(F.col("field") == a, F.col(f"n_{a}")).otherwise(n)
+    mean = F.lit(None).cast("double")
+    var = F.lit(None).cast("double")
+    cov = F.lit(None).cast("double")
+    cor = F.lit(None).cast("double")
+    for a in cols:
+        mean = F.when(F.col("field") == a, F.col(f"mean_{a}")) \
+            .otherwise(mean)
+        var = F.when(F.col("field") == a, F.col(f"var_{a}")).otherwise(var)
+        for b in cols:
+            p = (F.col("field") == a) & (F.col("other") == b)
+            cov = F.when(p, F.col(f"cov_{a}_{b}")).otherwise(cov)
+            cor = F.when(p, F.col(f"corr_{a}_{b}")).otherwise(cor)
+    return (pairs.crossJoin(wide)
+            .select("field", "other", n.alias("count"),
+                    F.round(mean, round_at).alias("mean"),
+                    F.round(var, round_at).alias("variance"),
+                    F.round(cov, round_at).alias("covariance"),
+                    F.round(cor, round_at).alias("correlation"))
+            .orderBy("field", "other"))
+
+
+def string_stats(df: DataFrame, col: str = "text",
+                 round_at: int = 4) -> DataFrame:
+    """ES ``string_stats`` aggregation (with ``show_distribution``'s
+    entropy): count, min/max/avg length, and the Shannon entropy (bits)
+    of the CHARACTER distribution across all values. One row out.
+
+    Scale shape: lengths are one fused aggregate; the entropy needs the
+    per-character counts — an explode to one row per character, but the
+    groupBy key is alphabet-bounded so the exchange after the map-side
+    combine is tiny (<= |alphabet| rows per partition). The final
+    entropy folds the bounded char relation."""
+    c = F.col(col)
+    lens = df.agg(
+        F.count(c).alias("count"),
+        F.min(F.length(c)).cast("long").alias("min_length"),
+        F.max(F.length(c)).cast("long").alias("max_length"),
+        F.round(F.avg(F.length(c)), round_at).alias("avg_length"))
+    chars = (df.select(F.explode(F.split(c, "")).alias("ch"))
+             .where(F.length("ch") > 0)
+             .groupBy("ch").agg(F.count(F.lit(1)).alias("n")))
+    ent = chars.agg(
+        F.round(
+            -F.sum(F.col("n") * F.log2(F.col("n"))) / F.sum("n")
+            + F.log2(F.sum("n")), round_at).alias("entropy"))
+    return lens.crossJoin(ent)
+
+
+def rare_terms(index: DataFrame, max_doc_count: int = 1,
+               zone: str | None = None, limit: int | None = None,
+               exclude_marker: bool = True) -> DataFrame:
+    """ES ``rare_terms`` aggregation over the index dictionary: terms
+    whose GLOBAL document frequency is <= ``max_doc_count``, ordered by
+    (df asc, term asc) — the long tail a ``terms`` agg's top-N order
+    can never surface. Metadata-only: sums the per-shard ``df`` column,
+    no posting blob is ever decoded."""
+    from index_spark.operators.build import DOC_MARKER
+    from index_spark.operators.query import pin_zone
+
+    idx = pin_zone(index, zone) if zone is not None else index
+    if exclude_marker:
+        idx = idx.filter(F.col("term") != DOC_MARKER)
+    out = (idx.groupBy("term").agg(F.sum("df").alias("doc_count"))
+           .where(F.col("doc_count") <= max_doc_count)
+           .orderBy(F.asc("doc_count"), F.asc("term")))
+    return out.limit(limit) if limit is not None else out
+
+
+def top_hits(df: DataFrame, by: str, sort_col: str, n: int = 3,
+             desc: bool = True, cols: list[str] | None = None
+             ) -> DataFrame:
+    """ES ``top_hits`` sub-aggregation: the top ``n`` rows of every
+    ``by`` bucket under the (sort_col, tiebreak-by-all-projected-cols)
+    order.  Ties beyond ``sort_col`` break on the projected columns
+    ascending so the page is engine-independent.
+
+    Scale shape: ONE shuffle on the bucket key; ``row_number`` keeps a
+    single running counter per bucket (never materializes a global
+    sort), and rows past ``n`` are dropped before any further exchange.
+    """
+    from pyspark.sql import Window
+
+    keep = cols or [c for c in df.columns if c not in (by, sort_col)]
+    s = F.col(sort_col).desc() if desc else F.col(sort_col).asc()
+    w = Window.partitionBy(by).orderBy(s, *[F.asc(c) for c in keep])
+    return (df.select(by, sort_col, *keep)
+            .withColumn("hit_rank", F.row_number().over(w))
+            .where(F.col("hit_rank") <= n)
+            .orderBy(F.asc(by), F.asc("hit_rank")))
+
+
+def percentile_ranks(df: DataFrame, col: str, values: list[float],
+                     round_at: int = 4) -> DataFrame:
+    """ES ``percentile_ranks`` aggregation, exact CDF form: for each
+    probe value v, ``100 * count(x <= v) / count(x)``.  (ES
+    approximates from a t-digest; at Spark scale the exact conditional
+    counts are one fused map-side-combinable aggregate pass — there is
+    nothing to approximate.)  Returns (value, pct_rank) ordered by
+    value."""
+    if not values:
+        raise ValueError("percentile_ranks needs at least one value")
+    c = F.col(col).cast("double")
+    aggs = [F.count(c).alias("_n")]
+    vals = sorted(set(float(v) for v in values))
+    for i, v in enumerate(vals):
+        aggs.append(F.count(F.when(c <= v, 1)).alias(f"_le_{i}"))
+    wide = df.agg(*aggs)
+    spark = df.sparkSession
+    probes = spark.createDataFrame([(v,) for v in vals], "value double")
+    rank = F.lit(None).cast("double")
+    for i, v in enumerate(vals):
+        rank = F.when(F.col("value") == v,
+                      F.lit(100.0) * F.col(f"_le_{i}") / F.col("_n")) \
+                .otherwise(rank)
+    return (probes.crossJoin(wide)
+            .select("value", F.round(rank, round_at).alias("pct_rank"))
+            .orderBy("value"))

@@ -335,3 +335,176 @@ def geo_distance_facet(points: DataFrame, qlat: float, qlon: float,
             .groupBy("ring", "from_km", "to_km")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.asc("from_km")))
+
+
+# --------------------------------------------------------------- geotile
+
+_MERC_LAT_MAX = 85.05112878  # Web-Mercator latitude clamp (EPSG:3857)
+
+
+def geotile_xy(lat: Column, lon: Column, zoom: int) -> tuple[Column,
+                                                             Column]:
+    """Web-Mercator tile indices (x, y) at ``zoom`` — the standard
+    slippy-map / ES ``geotile_grid`` layout: ``x = floor((lon+180)/360
+    * 2^z)``, ``y = floor((1 - asinh(tan(lat))/pi) / 2 * 2^z)``, with
+    latitude clamped to +-85.05112878 and indices clamped to
+    [0, 2^z - 1]. Pure codegen trigonometry — no UDF."""
+    if not 0 <= zoom <= 29:
+        raise ValueError("zoom must be in [0, 29]")
+    n = float(1 << zoom)
+    hi = F.lit(1 << zoom) - 1
+    lat_c = F.greatest(F.least(lat, F.lit(_MERC_LAT_MAX)),
+                       F.lit(-_MERC_LAT_MAX))
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    x = F.greatest(F.least(x, hi), F.lit(0)).cast("long")
+    rad = F.radians(lat_c)
+    # asinh(tan(lat)) spelled with ln (DuckDB-restatable 1:1)
+    merc = F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad))
+    y = F.floor((F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0)
+                * F.lit(n))
+    y = F.greatest(F.least(y, hi), F.lit(0)).cast("long")
+    return x, y
+
+
+def geotile_col(lat: Column, lon: Column, zoom: int) -> Column:
+    """``geotile_grid`` cell key ``"z/x/y"`` (the ES bucket key)."""
+    x, y = geotile_xy(lat, lon, zoom)
+    return F.concat_ws("/", F.lit(str(zoom)), x.cast("string"),
+                       y.cast("string"))
+
+
+def geotile_grid(points: DataFrame, zoom: int = 6,
+                 lat_col: str = "lat", lon_col: str = "lon",
+                 value_col: str | None = None, limit: int | None = None
+                 ) -> DataFrame:
+    """ES ``geotile_grid`` aggregation: bucket points by Web-Mercator
+    tile and count (plus mean of ``value_col`` when given). Returns
+    (cell, n[, avg_value]) ordered by (n desc, cell asc).
+
+    Same 100-TB shape as :func:`geohash_grid`: the cell key is closed-
+    form codegen, the aggregation one map-side-combinable groupBy on a
+    <= 4^zoom-cardinality key."""
+    cell = geotile_col(F.col(lat_col), F.col(lon_col), zoom)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None:
+        aggs.append(F.round(F.avg(F.col(value_col)), 4).alias("avg_value"))
+    out = (points.groupBy(cell.alias("cell")).agg(*aggs)
+           .orderBy(F.desc("n"), F.asc("cell")))
+    return out.limit(limit) if limit is not None else out
+
+
+def geotile_duck_expr(lat_expr: str, lon_expr: str, zoom: int) -> str:
+    """The same ``z/x/y`` key as :func:`geotile_col` as a DuckDB SQL
+    expression — the independent restatement oracles run."""
+    n = float(1 << zoom)
+    hi = (1 << zoom) - 1
+    lat_c = (f"greatest(least({lat_expr}, {_MERC_LAT_MAX}), "
+             f"-{_MERC_LAT_MAX})")
+    x = (f"greatest(least(CAST(floor((({lon_expr}) + 180.0) / 360.0 * "
+         f"{n!r}) AS BIGINT), {hi}), 0)")
+    y = (f"greatest(least(CAST(floor((1.0 - ln(tan(radians({lat_c})) + "
+         f"1.0 / cos(radians({lat_c}))) / pi()) / 2.0 * {n!r}) "
+         f"AS BIGINT), {hi}), 0)")
+    return f"'{zoom}' || '/' || CAST({x} AS VARCHAR) || '/' || CAST({y} AS VARCHAR)"
+
+
+# --------------------------------------------------------------- polygon
+
+def point_in_polygon(lat: Column, lon: Column,
+                     polygon: list[tuple[float, float]]) -> Column:
+    """Even-odd (ray-casting) point-in-polygon test as a pure codegen
+    boolean — the ES ``geo_polygon`` query predicate. ``polygon`` is a
+    bounded list of (lat, lon) vertices (closing edge implied), treated
+    planar in (lon, lat) space exactly like the classic Lucene/ES
+    geo_polygon filter; it is NOT antimeridian-aware (split such
+    polygons into two, as ES requires).
+
+    The crossing count unrolls to one CASE expression per edge summed
+    JVM-side (polygons are query constants, so the bounded unroll keeps
+    the whole predicate inside whole-stage codegen — the same trick as
+    the ring facet), making the exact same arithmetic restatable by an
+    independent SQL engine."""
+    if len(polygon) < 3:
+        raise ValueError("polygon needs at least 3 vertices")
+    crossings = None
+    m = len(polygon)
+    for i in range(m):
+        y1, x1 = (float(v) for v in polygon[i])
+        y2, x2 = (float(v) for v in polygon[(i + 1) % m])
+        if y1 == y2:
+            continue  # horizontal edge: never crosses a horizontal ray
+        straddles = (F.lit(y1) > lat) != (F.lit(y2) > lat)
+        x_at = (F.lit(x2 - x1) * (lat - F.lit(y1)) / F.lit(y2 - y1)
+                + F.lit(x1))
+        c = F.when(straddles & (lon < x_at), F.lit(1)).otherwise(F.lit(0))
+        crossings = c if crossings is None else crossings + c
+    if crossings is None:
+        raise ValueError("polygon is degenerate (all edges horizontal)")
+    return crossings % F.lit(2) == F.lit(1)
+
+
+def geo_polygon_filter(points: DataFrame,
+                       polygon: list[tuple[float, float]],
+                       lat_col: str = "lat", lon_col: str = "lon"
+                       ) -> DataFrame:
+    """ES ``geo_polygon`` query: rows whose point falls inside
+    ``polygon``. Map-only codegen filter — at 100 TB this is a plain
+    pushed predicate scan (pre-filter by the polygon's bounding box
+    against a cell partition column for pruning, as with radius
+    queries)."""
+    return points.filter(point_in_polygon(F.col(lat_col), F.col(lon_col),
+                                          polygon))
+
+
+def polygon_duck_expr(lat_expr: str, lon_expr: str,
+                      polygon: list[tuple[float, float]]) -> str:
+    """The same even-odd test as :func:`point_in_polygon` as a DuckDB
+    boolean expression (independent restatement for oracles)."""
+    terms = []
+    m = len(polygon)
+    for i in range(m):
+        y1, x1 = (float(v) for v in polygon[i])
+        y2, x2 = (float(v) for v in polygon[(i + 1) % m])
+        if y1 == y2:
+            continue
+        terms.append(
+            f"(CASE WHEN (({y1!r} > ({lat_expr})) <> ({y2!r} > ({lat_expr})))"
+            f" AND (({lon_expr}) < ({x2 - x1!r}) * (({lat_expr}) - {y1!r})"
+            f" / ({y2 - y1!r}) + {x1!r}) THEN 1 ELSE 0 END)")
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+# ------------------------------------------------------ centroid / bounds
+
+def geo_centroid(points: DataFrame, by: str | None = None,
+                 lat_col: str = "lat", lon_col: str = "lon",
+                 round_at: int = 4) -> DataFrame:
+    """ES ``geo_centroid`` aggregation: the arithmetic mean of lat and
+    lon per bucket (the documented ES semantics — planar averaging, not
+    spherical), plus the point count.  One map-side-combinable
+    aggregate; with ``by`` the exchange is bounded by the bucket-key
+    cardinality.  Returns ([by,] centroid_lat, centroid_lon, n)."""
+    aggs = [F.round(F.avg(F.col(lat_col)), round_at).alias("centroid_lat"),
+            F.round(F.avg(F.col(lon_col)), round_at).alias("centroid_lon"),
+            F.count(F.lit(1)).alias("n")]
+    if by is None:
+        return points.agg(*aggs)
+    return points.groupBy(by).agg(*aggs).orderBy(F.asc(by))
+
+
+def geo_bounds(points: DataFrame, by: str | None = None,
+               lat_col: str = "lat", lon_col: str = "lon",
+               round_at: int = 4) -> DataFrame:
+    """ES ``geo_bounds`` aggregation (``wrap_longitude=false`` planar
+    form): the tightest lat/lon envelope per bucket —
+    (top = max lat, bottom = min lat, left = min lon, right = max lon).
+    Same one-pass fused min/max aggregate shape as
+    :func:`geo_centroid`."""
+    la, lo = F.col(lat_col), F.col(lon_col)
+    aggs = [F.round(F.max(la), round_at).alias("top"),
+            F.round(F.min(la), round_at).alias("bottom"),
+            F.round(F.min(lo), round_at).alias("left"),
+            F.round(F.max(lo), round_at).alias("right")]
+    if by is None:
+        return points.agg(*aggs)
+    return points.groupBy(by).agg(*aggs).orderBy(F.asc(by))

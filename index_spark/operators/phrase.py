@@ -385,3 +385,115 @@ def span_first_search(index: DataFrame, stats: dict | None, phrase: str,
         lambda pdf: _phrase_shard(pdf, qterms, style_shift,
                                   max_start=max_start),
         k, tombstones, shard_size)
+
+
+def _phrase_prefix_shard(pdf: pd.DataFrame, fixed: list[str],
+                         variants: list[str],
+                         style_shift: int = 0) -> pd.DataFrame:
+    """Phrase intersection where the LAST slot matches ANY of
+    ``variants`` (the prefix expansions): fixed slots intersect exactly
+    as in ``_phrase_shard``; the last slot's occurrence set is the
+    union over variants present in this shard. Distinct variants are
+    distinct terms, so their (doc, pos) occurrences are disjoint — the
+    union stays duplicate-free and the m-way sorted intersection is
+    unchanged."""
+    empty = pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                          "n_matches": np.empty(0, np.int64)})
+    groups: dict[str, list] = {}
+    for r in pdf.itertuples(index=False):
+        groups.setdefault(r.term, []).append(r)
+    if any(t not in groups for t in fixed):
+        return empty
+    present = [v for v in variants if v in groups]
+    if not present:
+        return empty
+    decoded = {t: _term_occurrences(rs, style_shift)
+               for t, rs in groups.items() if t in fixed or t in present}
+    vdocs = np.concatenate([decoded[v][0] for v in present])
+    vpos = np.concatenate([decoded[v][1] for v in present])
+
+    doc_min = min(int(d.min()) for d, _ in decoded.values())
+    m = len(fixed) + 1
+    pos_cap = max(int(p.max()) for _, p in decoded.values()) + m + 2
+
+    keys: np.ndarray | None = None
+    for i, t in enumerate(fixed):
+        docs, pos = decoded[t]
+        adj = pos - i
+        ok = adj >= 0
+        k = (docs[ok] - doc_min) * pos_cap + adj[ok]
+        keys = k if keys is None else np.intersect1d(keys, k,
+                                                     assume_unique=True)
+        if keys.size == 0:
+            return empty
+    last_i = len(fixed)
+    adj = vpos - last_i
+    ok = adj >= 0
+    vk = (vdocs[ok] - doc_min) * pos_cap + adj[ok]
+    vk.sort()
+    keys = vk if keys is None else np.intersect1d(keys, vk,
+                                                  assume_unique=True)
+    if keys.size == 0:
+        return empty
+    match_docs = keys // pos_cap + doc_min
+    ud, cnt = np.unique(match_docs, return_counts=True)
+    return pd.DataFrame({"doc_id": ud.astype(np.int64),
+                         "n_matches": cnt.astype(np.int64)})
+
+
+def expand_prefix(index: DataFrame, prefix: str,
+                  max_expansions: int = 50,
+                  dictionary: DataFrame | None = None,
+                  zone: str | None = None) -> list[str]:
+    """The bounded prefix-expansion term set (Lucene order: ascending
+    term, first ``max_expansions``). Prefers the compact ``dictionary``
+    artifact (millions of rows, StartsWith row-group-pruned); falls
+    back to distinct terms of the sharded index metadata (also sorted
+    at rest, so StartsWith prunes there too). Driver-side result is
+    bounded by max_expansions."""
+    from index_spark.operators.query import pin_zone
+
+    if not prefix:
+        raise ValueError("empty prefix")
+    src = dictionary if dictionary is not None else pin_zone(index, zone)
+    rows = (src.filter(F.col("term").startswith(prefix))
+            .select("term").distinct()
+            .orderBy(F.asc("term")).limit(max_expansions).collect())
+    return [r.term for r in rows]
+
+
+def match_phrase_prefix(index: DataFrame, stats: dict | None,
+                        phrase: str, k: int = 10,
+                        max_expansions: int = 50, stem: bool = True,
+                        camel: bool = True, zone: str | None = None,
+                        dictionary: DataFrame | None = None,
+                        tombstones: DataFrame | None = None,
+                        shard_size: int = 4096,
+                        style_shift: int = 0) -> DataFrame:
+    """ES/Lucene ``match_phrase_prefix``: an exact phrase whose LAST
+    analyzed token is a prefix — "data tab" matches "... data table ..."
+    via the expansion set {terms starting with "tab"}, capped at
+    ``max_expansions`` in ascending term order (the Lucene cap and
+    order; a hot prefix silently matching the whole dictionary is the
+    failure mode the cap exists for). Returns (doc_id, n_matches)
+    ranked like ``phrase_search``.
+
+    Plan: one bounded expansion lookup (dictionary-preferred,
+    StartsWith-pruned) + the phrase kernel with the last slot as a term
+    SET — still a single exchange of term-pruned rows, the expansions
+    only widen the ``isin`` filter."""
+    spark = index.sparkSession
+    qterms = tokenize(phrase, stem=stem, camel=camel)
+    if not qterms:
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    fixed, prefix = qterms[:-1], qterms[-1]
+    variants = expand_prefix(index, prefix, max_expansions=max_expansions,
+                             dictionary=dictionary, zone=zone)
+    if not variants:
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    hits = _zone_pinned(index, zone)
+    hits = hits.filter(F.col("term").isin(sorted(set(fixed) | set(variants))))
+    return _local_positional_topk(
+        index, hits,
+        lambda pdf: _phrase_prefix_shard(pdf, fixed, variants, style_shift),
+        k, tombstones, shard_size)

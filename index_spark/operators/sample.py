@@ -368,3 +368,33 @@ def quantile_buckets(df: DataFrame, value_col: str, n_buckets: int = 4,
     return df.withColumn(
         out_col,
         F.when(v.isNotNull(), bucket.cast("long")).otherwise(F.lit(None)))
+
+
+def diversified_sample(df: DataFrame, key_col: str, diversify_col: str,
+                       max_per_key: int = 1, n: int | None = None,
+                       salt: str = "divsample") -> DataFrame:
+    """ES ``diversified_sampler`` aggregation: a deterministic sample
+    that admits at most ``max_per_key`` rows per ``diversify_col``
+    value, then (optionally) keeps the overall ``n`` best draws.
+    Selection order is the shared md5 draw on ``key_col`` (ascending
+    hex — the corpus-wide sampling policy every sampler here pins), so
+    the result is layout-independent and restatable by any SQL engine.
+
+    Scale shape: one window partitioned by the diversify key (rank
+    within key, state bounded by max_per_key per key) and, when ``n``
+    is set, a k-row TakeOrdered — never a global sort materialized."""
+    from pyspark.sql import Window
+
+    if max_per_key < 1:
+        raise ValueError(f"max_per_key must be >= 1, got {max_per_key}")
+    draw = _u_hex(key_col, salt)
+    w = Window.partitionBy(diversify_col).orderBy(
+        F.col("_draw").asc(), F.col(key_col).asc())
+    out = (df.withColumn("_draw", draw)
+           .withColumn("_rk", F.row_number().over(w))
+           .where(F.col("_rk") <= max_per_key)
+           .drop("_rk"))
+    if n is not None:
+        out = out.orderBy(F.col("_draw").asc(),
+                          F.col(key_col).asc()).limit(n)
+    return out.drop("_draw")

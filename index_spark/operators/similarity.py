@@ -989,3 +989,71 @@ def mrl_topk(emb: DataFrame, qvec: list[float], dim: int, k: int = 10,
                         F.round(_cos_expr("_v", full), 4).alias("cos"))
             .orderBy(F.desc("cos"), F.asc("vec_id"))
             .limit(k))
+
+
+_PCA_PARTIAL_SCHEMA = T.StructType([
+    T.StructField("idx", T.LongType(), False),
+    T.StructField("val", T.DoubleType(), False),
+])
+
+
+def pca_top_component(emb: DataFrame, vec_col: str = "embedding",
+                      iters: int = 3, round_at: int = 4) -> DataFrame:
+    """Top principal component of the embedding cloud via ONE
+    distributed pass + driver-side power iteration — the corpus-level
+    "dominant direction" statistic (drift monitoring, whitening,
+    anisotropy checks for the ANN family).
+
+    Distributed shape: each Arrow batch reduces to (1 + d + d²) moment
+    partials — count, Σx, and the flattened Gram Σxxᵀ — emitted as
+    (idx, val) rows and summed by ONE bounded groupBy (≤ batches·d²
+    rows into d²+d+1 out), so the driver collects exactly d²+d+1
+    doubles no matter the corpus size.  The d×d covariance
+    ``(G − s·sᵀ/n)/(n−1)`` (sample semantics) then takes ``iters``
+    power-iteration mat-vecs from the fixed start ``1/√d`` — all
+    driver-side numpy on a tiny matrix, fully deterministic (no random
+    init).  Sign convention: the component with the largest |loading|
+    (lowest dim on ties) is made positive.
+
+    Returns (dim 1-based, loading, eigval) — eigval is the Rayleigh
+    quotient vᵀCv after the final iteration, the variance captured by
+    the component."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    d = emb.select(F.size(vec_col).alias("d")).first()["d"]
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            vals = np.concatenate(
+                [[float(len(x))], x.sum(axis=0), (x.T @ x).ravel()])
+            yield pd.DataFrame({
+                "idx": np.arange(vals.size, dtype=np.int64),
+                "val": vals})
+
+    moments = (emb.select(vec_col)
+               .mapInPandas(partials, schema=_PCA_PARTIAL_SCHEMA)
+               .groupBy("idx").agg(F.sum("val").alias("val"))
+               .collect())
+    flat = np.zeros(1 + d + d * d)
+    for r in moments:
+        flat[r.idx] = r.val
+    n, s, g = flat[0], flat[1:1 + d], flat[1 + d:].reshape(d, d)
+    if n < 2:
+        raise ValueError("pca_top_component needs at least 2 rows")
+    cov = (g - np.outer(s, s) / n) / (n - 1.0)
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(iters):
+        w = cov @ v
+        v = w / np.linalg.norm(w)
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    eig = float(v @ cov @ v)
+    spark = emb.sparkSession
+    rows = [(i + 1, round(float(v[i]), round_at), round(eig, round_at))
+            for i in range(d)]
+    return spark.createDataFrame(
+        rows, "dim int, loading double, eigval double")

@@ -147,3 +147,172 @@ def pipeline_aggs(buckets: DataFrame, value_col: str = "sum_value",
             .withColumn("moving_avg",
                         F.round(F.avg(v).over(
                             w.rowsBetween(-(window - 1), 0)), 4)))
+
+
+def serial_diff(buckets: DataFrame, value_col: str = "sum_value",
+                ts_col: str = "bucket", by: list[str] | None = None,
+                lag: int = 1) -> DataFrame:
+    """ES ``serial_diff`` pipeline aggregation: ``value - value[t-lag]``
+    per series (NULL for each series' first ``lag`` buckets). Same
+    one-window-pass shape and scale note as :func:`pipeline_aggs`."""
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    keys = by or []
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(ts_col)
+    v = F.col(value_col).cast("double")
+    return buckets.withColumn("serial_diff",
+                              F.round(v - F.lag(v, lag).over(w), 4))
+
+
+def funnel(events: DataFrame, steps: list[str], ts_col: str = "ts",
+           user_col: str = "user_id", type_col: str = "event_type",
+           horizon: str | None = None) -> DataFrame:
+    """Ordered funnel analysis: for each step_i, how many users reached
+    steps[0..i] IN ORDER — each step's event at-or-after the user's
+    earliest completion time of the previous step (and, with
+    ``horizon`` e.g. ``'24 hours'``, within that interval of the
+    FIRST step). Returns (step_idx, step, n_users, conversion) with
+    conversion = n_users / step-0 users, ordered by step_idx.
+
+    Distributed shape: step 0 is one map-side-combinable min-aggregate
+    keyed by user; each later step is an equi-join of the (bounded,
+    one-row-per-qualifying-user) frontier against that step's events
+    plus another min-aggregate — len(steps)-1 shuffles on the user key,
+    never a per-user sort or collected timeline. Greedy earliest-
+    completion is the standard funnel semantics (if a user can complete
+    step i at several times, the earliest maximizes what can follow
+    within a horizon that anchors at step 0)."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    u, t = F.col(user_col), F.col(ts_col).cast("timestamp")
+    frontier = (events.where(F.col(type_col) == steps[0])
+                .groupBy(u.alias("user"))
+                .agg(F.min(t).alias("t0"))
+                .withColumn("t_prev", F.col("t0")))
+    if horizon is not None:
+        frontier = frontier.withColumn(
+            "t_max", F.col("t0") + F.expr(f"INTERVAL {horizon}"))
+    # persist each frontier: it is one row per still-qualifying user and
+    # the next step's count would otherwise recompute the whole chain
+    stages = [frontier.persist()]
+    for step in steps[1:]:
+        ev = events.where(F.col(type_col) == step).select(
+            u.alias("user"), t.alias("t_ev"))
+        cond = F.col("t_ev") >= F.col("t_prev")
+        if horizon is not None:
+            cond = cond & (F.col("t_ev") <= F.col("t_max"))
+        prev = stages[-1]
+        nxt = (ev.join(prev, "user").where(cond)
+               .groupBy("user").agg(F.min("t_ev").alias("t_next")))
+        frontier = (nxt.join(prev.drop("t_prev"), "user")
+                    .select("user", "t0",
+                            F.col("t_next").alias("t_prev"),
+                            *(["t_max"] if horizon is not None else [])))
+        stages.append(frontier.persist())
+    counts = [s.count() for s in stages]
+    for s in stages:
+        s.unpersist()
+    spark = events.sparkSession
+    base = counts[0]
+    rows = [(i, s, int(c), round(c / base, 4) if base else None)
+            for i, (s, c) in enumerate(zip(steps, counts))]
+    return spark.createDataFrame(
+        rows, "step_idx int, step string, n_users bigint, conversion double")
+
+
+def retention_cohorts(events: DataFrame, ts_col: str = "ts",
+                      user_col: str = "user_id",
+                      granularity: str = "week",
+                      max_offset: int | None = None) -> DataFrame:
+    """Cohort retention: users are cohorted by the period of their
+    FIRST event; each (cohort, period-offset) cell counts the distinct
+    users of that cohort active in that later period. Returns
+    (cohort, offset, n_users) ordered by (cohort, offset); offset 0 is
+    the cohort size.
+
+    Two map-side-combinable aggregates and one broadcast-size join-back
+    of the per-user first-period relation (one row per user) — no
+    windows over unbounded keys. ``granularity``: 'day' | 'week' |
+    'month' (date_trunc units)."""
+    if granularity not in ("day", "week", "month"):
+        raise ValueError(f"unsupported granularity: {granularity}")
+    u, t = F.col(user_col), F.col(ts_col).cast("timestamp")
+    period = F.date_trunc(granularity, t)
+    per_event = events.select(u.alias("user"), period.alias("p"))
+    first = per_event.groupBy("user").agg(F.min("p").alias("cohort"))
+    div = {"day": 1, "week": 7, "month": None}[granularity]
+    joined = per_event.join(first, "user")
+    if granularity == "month":
+        off = (F.months_between(F.col("p"), F.col("cohort"))
+               .cast("int"))
+    else:
+        off = (F.datediff(F.col("p"), F.col("cohort")) / F.lit(div)) \
+            .cast("int")
+    cells = (joined.select(F.col("cohort"), off.alias("offset"), "user")
+             .where(F.col("offset") >= 0))
+    if max_offset is not None:
+        cells = cells.where(F.col("offset") <= max_offset)
+    return (cells.groupBy("cohort", "offset")
+            .agg(F.countDistinct("user").alias("n_users"))
+            .orderBy("cohort", "offset"))
+
+
+def date_histogram(events: DataFrame, interval: str = "hour",
+                   ts_col: str = "ts", by: list[str] | None = None,
+                   value_col: str | None = None,
+                   min_doc_count: int = 1,
+                   extended_bounds: tuple[str, str] | None = None
+                   ) -> DataFrame:
+    """ES ``date_histogram`` with the two behaviors the plain rollup
+    lacks: ``min_doc_count=0`` emits EMPTY buckets, and
+    ``extended_bounds=(lo, hi)`` (ISO timestamps) forces the bucket
+    axis to cover [lo, hi] even past the data.  Returns
+    ([*by,] bucket, doc_count[, sum_value]) ordered by (*by, bucket).
+
+    Scale shape: counts are one map-side-combinable aggregate.  The
+    gap-fill axis is generated with ``sequence()`` from ONE row (the
+    global min/max — a 1-row aggregate, or the literal bounds), so its
+    cost is bounded by time-range/interval — independent of corpus
+    size; per-``by`` axes come from cross-joining the tiny bucket axis
+    with the distinct (bounded-cardinality) key relation, then a left
+    join back to the counts.  ``interval``: a ``date_trunc`` unit
+    ('hour', 'day', 'week', ...)."""
+    if interval not in ("minute", "hour", "day", "week", "month"):
+        raise ValueError(f"unsupported interval: {interval}")
+    keys = by or []
+    t = F.date_trunc(interval, F.col(ts_col).cast("timestamp"))
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 4).alias("sum_value"))
+    counts = events.groupBy(*keys, t.alias("bucket")).agg(*aggs)
+    if min_doc_count >= 1 and extended_bounds is None:
+        out = counts.filter(F.col("doc_count") >= min_doc_count)
+        return out.orderBy(*keys, "bucket")
+
+    # gap-fill: the complete bucket axis from one bounds row
+    spark = events.sparkSession
+    step = (F.expr("INTERVAL 1 WEEK") if interval == "week"
+            else F.expr(f"INTERVAL 1 {interval.upper()}"))
+    if extended_bounds is not None:
+        lo, hi = extended_bounds
+        bounds = spark.sql(
+            f"SELECT date_trunc('{interval}', timestamp'{lo}') AS lo, "
+            f"date_trunc('{interval}', timestamp'{hi}') AS hi")
+    else:
+        bounds = events.agg(
+            F.date_trunc(interval, F.min(F.col(ts_col).cast("timestamp")))
+            .alias("lo"),
+            F.date_trunc(interval, F.max(F.col(ts_col).cast("timestamp")))
+            .alias("hi"))
+    axis = bounds.select(
+        F.explode(F.sequence("lo", "hi", step)).alias("bucket"))
+    if keys:
+        axis = axis.crossJoin(events.select(*keys).distinct())
+    filled = (axis.join(counts, [*keys, "bucket"], "left")
+              .withColumn("doc_count",
+                          F.coalesce("doc_count", F.lit(0))))
+    if value_col is not None:
+        filled = filled.withColumn(
+            "sum_value", F.coalesce("sum_value", F.lit(0.0)))
+    return (filled.filter(F.col("doc_count") >= min_doc_count)
+            .orderBy(*keys, "bucket"))
