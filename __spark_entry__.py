@@ -6116,6 +6116,184 @@ def _r04s15_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "pca_component": pca_q}
 
 
+# ---------------------------------------------------------------------------
+# session 16: boosting / pinned / distance_feature queries,
+# auto_date_histogram, stats_bucket
+# ---------------------------------------------------------------------------
+
+# boosting restated: positive BM25, demoted by 0.2x where a negative-
+# term match EXISTS; the cut happens after the multiply
+_ORACLE_BOOSTING = """
+, demoted AS (
+  SELECT s.doc_id,
+         round(CASE WHEN EXISTS (SELECT 1 FROM tf n
+                                 WHERE n.doc_id = s.doc_id
+                                   AND n.term = 'join')
+                    THEN s.score * 0.2 ELSE s.score END, 4) AS score
+  FROM scores s
+)
+SELECT doc_id, score FROM demoted
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+# pinned restated: pins occupy ranks 1..p in the given order (organic
+# score carried for transparency, 0 when unmatched), organic fill
+# excludes the pins
+_ORACLE_PINNED = """
+, pins AS (
+  SELECT * FROM (VALUES (CAST(42 AS BIGINT), 1),
+                        (CAST(7 AS BIGINT), 2)) p(doc_id, pin)
+), pinned AS (
+  SELECT p.pin AS rank, p.doc_id,
+         coalesce(round(s.score, 4), 0.0) AS score, TRUE AS pinned
+  FROM pins p LEFT JOIN scores s ON s.doc_id = p.doc_id
+), organic AS (
+  SELECT 2 + row_number() OVER (ORDER BY round(score, 4) DESC,
+                                doc_id ASC) AS rank,
+         doc_id, round(score, 4) AS score, FALSE AS pinned
+  FROM scores WHERE doc_id NOT IN (SELECT doc_id FROM pins)
+  ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 8
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, score, pinned FROM pinned
+UNION ALL
+SELECT CAST(rank AS INT), doc_id, score, pinned FROM organic
+ORDER BY rank"""
+
+# distance_feature restated: BM25 + boost*pivot/(pivot + haversine to
+# San Francisco) over per-doc points re-derived from doc_id
+_ORACLE_DISTANCE_FEATURE = """
+, pts AS (
+  SELECT doc_id,
+         ((doc_id * 2654435761) % 1800000) / 10000.0 - 90.0 AS lat,
+         ((doc_id * 2246822519) % 3600000) / 10000.0 - 180.0 AS lon
+  FROM documents
+), scored AS (
+  SELECT s.doc_id,
+         round(s.score + 2.0 * 1000.0 / (1000.0
+             + 2 * 6371.0088 * asin(sqrt(
+                 sin(radians(37.7749 - p.lat) / 2)
+                 * sin(radians(37.7749 - p.lat) / 2)
+                 + cos(radians(p.lat)) * cos(radians(37.7749))
+                 * sin(radians(-122.4194 - p.lon) / 2)
+                 * sin(radians(-122.4194 - p.lon) / 2)))), 4) AS score
+  FROM scores s JOIN pts p ON s.doc_id = p.doc_id
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+# auto_date_histogram restated: the same epoch-seconds ladder choice
+# (minute/hour/day/week/month), then the rollup at the chosen interval
+_ORACLE_AUTO_HIST = """
+WITH b AS (
+  SELECT epoch(max(ts)) - epoch(min(ts)) AS span FROM events
+), ch AS (
+  SELECT CASE WHEN span / 60.0 + 1 <= 40 THEN 'minute'
+              WHEN span / 3600.0 + 1 <= 40 THEN 'hour'
+              WHEN span / 86400.0 + 1 <= 40 THEN 'day'
+              WHEN span / 604800.0 + 1 <= 40 THEN 'week'
+              ELSE 'month' END AS g
+  FROM b
+), cand AS (
+  SELECT 'minute' AS g, date_trunc('minute', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS doc_count FROM events GROUP BY 1, 2
+  UNION ALL SELECT 'hour', date_trunc('hour', ts),
+         CAST(count(*) AS BIGINT) FROM events GROUP BY 1, 2
+  UNION ALL SELECT 'day', date_trunc('day', ts),
+         CAST(count(*) AS BIGINT) FROM events GROUP BY 1, 2
+  UNION ALL SELECT 'week', date_trunc('week', ts),
+         CAST(count(*) AS BIGINT) FROM events GROUP BY 1, 2
+  UNION ALL SELECT 'month', date_trunc('month', ts),
+         CAST(count(*) AS BIGINT) FROM events GROUP BY 1, 2
+)
+SELECT cand.g AS interval, bucket, doc_count
+FROM cand JOIN ch ON cand.g = ch.g ORDER BY bucket"""
+
+# extended_stats_bucket restated over the hourly per-type rollup
+# (population variance/stddev — the ES semantics for this agg)
+_ORACLE_STATS_BUCKET = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         round(sum(value), 4) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(count(sum_value) AS BIGINT) AS "count",
+       round(min(sum_value), 4) AS "min", round(max(sum_value), 4) AS "max",
+       round(avg(sum_value), 4) AS avg, round(sum(sum_value), 4) AS sum,
+       round(var_pop(sum_value), 4) AS variance,
+       round(stddev_pop(sum_value), 4) AS std_deviation
+FROM b"""
+
+
+def _r04s16_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                   DataFrame]]:
+    def boosting_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES boosting query: 'data table query' demoted 0.2x where the
+        # doc also matches 'join' — demotion (not exclusion) after the
+        # complete-score multiply, so demoted docs can still place
+        from index_spark.operators.query import boosting_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        return boosting_search(index, stats, "data table query", "join",
+                               negative_boost=0.2, k=10, stem=False,
+                               camel=False, shard_size=256, round_at=4)
+
+    def pinned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES pinned query: ids [42, 7] promoted to ranks 1-2 in the
+        # given order (unconditionally, carrying their organic score),
+        # organic BM25 fill excluding the pins
+        from index_spark.operators.query import pinned_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        return pinned_search(index, stats, "data table query", [42, 7],
+                             k=10, stem=False, camel=False,
+                             shard_size=256, round_at=4)
+
+    def distance_feature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES distance_feature: BM25 + 2*pivot/(pivot+km to San
+        # Francisco) over per-doc synthetic points — additive proximity
+        # over complete scores, left join keeps feature-less matches
+        from index_spark.operators.query import distance_feature_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        feats = docs.select(
+            "doc_id",
+            (((F.col("doc_id") * 2654435761) % 1800000) / 10000.0
+             - 90.0).alias("lat"),
+            (((F.col("doc_id") * 2246822519) % 3600000) / 10000.0
+             - 180.0).alias("lon"))
+        return distance_feature_search(
+            index, stats, "data table query", feats, kind="geo",
+            origin=(37.7749, -122.4194), pivot=1000.0, boost=2.0, k=10,
+            stem=False, camel=False, shard_size=256, round_at=4)
+
+    def auto_hist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES auto_date_histogram: the pinned minute->month ladder picks
+        # 'day' for the ~30-day events span at target 40 — the choice
+        # itself rides the output and is value-checked
+        from index_spark.operators.temporal import auto_date_histogram
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return auto_date_histogram(ev, target_buckets=40)
+
+    def stats_bucket_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES extended_stats_bucket: one summary row over the hourly
+        # rollup's sum_value buckets (population variance/stddev)
+        from index_spark.operators.temporal import (
+            rollup_timeseries,
+            stats_bucket,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        hourly = rollup_timeseries(ev, granularities=["hour"],
+                                   by=["event_type"])
+        return stats_bucket(hourly, value_col="sum_value", extended=True)
+
+    return {"boosting_topk": boosting_q, "pinned_topk": pinned_q,
+            "distance_feature_topk": distance_feature_q,
+            "events_auto_hist": auto_hist_q,
+            "events_stats_bucket": stats_bucket_q}
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -6550,6 +6728,18 @@ ORDER BY event_id""")
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_HAS_CHILD, [q_cte]))
     add("has_parent_topk", eng15["has_parent_topk"], _ORACLE_HAS_PARENT)
     add("pca_component", eng15["pca_component"], _ORACLE_PCA)
+
+    eng16 = _r04s16_engine_queries()
+    add("boosting_topk", eng16["boosting_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_BOOSTING, [q_cte]))
+    add("pinned_topk", eng16["pinned_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_PINNED, [q_cte]))
+    add("distance_feature_topk", eng16["distance_feature_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_DISTANCE_FEATURE,
+                  [q_cte]))
+    add("events_auto_hist", eng16["events_auto_hist"], _ORACLE_AUTO_HIST)
+    add("events_stats_bucket", eng16["events_stats_bucket"],
+        _ORACLE_STATS_BUCKET)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -606,7 +606,8 @@ def main() -> None:
 
     # 10b2s15. session-15 surfaces (non-headline): gap-filled
     # date_histogram, parent-child join query, one-pass PCA moments
-    for name in ["events_gap_hist", "has_child_scores_topk", "pca_component"]:
+    for name in ["events_gap_hist", "has_child_scores_topk", "pca_component",
+                 "boosting_topk", "distance_feature_topk"]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # 10b3. iterative graph/LM surfaces (non-headline): transitive

@@ -3485,3 +3485,158 @@ def rank_feature_search(index: DataFrame, docs: DataFrame | None,
                       (F.col("score") + F.lit(float(weight))
                        * F.coalesce(contrib, F.lit(0.0))).alias("score")))
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def boosting_search(index: DataFrame, stats: dict, positive: str,
+                    negative: str, negative_boost: float = 0.5,
+                    k: int = 10, stem: bool = True, camel: bool = True,
+                    shard_size: int = 4096, zone: str | None = None,
+                    round_at: int | None = None, **kw) -> DataFrame:
+    """``boosting`` query (the Elasticsearch demotion clause): documents
+    are ranked by the POSITIVE query's BM25, and any document that also
+    matches the NEGATIVE query keeps its rank eligibility but has its
+    score multiplied by ``negative_boost`` (0 < nb < 1 demotes — unlike
+    ``exclude=``, which removes).
+
+    Plan: complete positive match scores (the demotion can pull a
+    top-ranked doc below position k, so the cut must happen after the
+    multiply — same completeness argument as :func:`rank_feature_search`)
+    left-joined against the negative MATCH SET from
+    ``analytics.matching_docs`` (doc streams only — strictly cheaper
+    than scoring the negative query).  Both sides are doc_id relations;
+    one shuffle join, then the k-row TakeOrdered."""
+    from index_spark.operators.analytics import matching_docs
+
+    if not 0.0 <= negative_boost <= 1.0:
+        raise ValueError(
+            f"negative_boost must be in [0, 1], got {negative_boost}")
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(positive, stem=stem, camel=camel)))
+    if not qterms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    local = _complete_match_scores(index, stats, qterms, stem=stem,
+                                   camel=camel, shard_size=shard_size,
+                                   zone=zone, **kw)
+    neg = matching_docs(index, negative, mode="or", stem=stem,
+                        camel=camel, zone=zone) \
+        .withColumn("_neg", F.lit(True))
+    sc = F.when(F.col("_neg"),
+                F.col("score") * F.lit(float(negative_boost))) \
+          .otherwise(F.col("score"))
+    if round_at is not None:  # rank on rounded scores (oracle parity)
+        sc = F.round(sc, round_at)
+    out = local.join(neg, "doc_id", "left").select("doc_id",
+                                                   sc.alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def pinned_search(index: DataFrame, stats: dict, query: str,
+                  pinned_ids: list[int], k: int = 10, stem: bool = True,
+                  camel: bool = True, shard_size: int = 4096,
+                  zone: str | None = None, round_at: int | None = None,
+                  **kw) -> DataFrame:
+    """``pinned`` query (Elasticsearch search-result promotion): the
+    ``pinned_ids`` occupy ranks 1..p in the GIVEN order (whether or not
+    they match organically — ES pins unconditionally), then organic
+    BM25 matches fill the remaining k−p ranks, excluding the pins.
+    Returns (rank, doc_id, score, pinned); a pinned doc keeps its
+    organic score for transparency (0.0 when it doesn't match).
+
+    Plan: complete match scores once; the pin list is a bounded query
+    constant (broadcast literal relation), so pins resolve with one
+    broadcast join, organics with one anti-join + k-row TakeOrdered.
+    The final rank is a row_number over ≤ k rows (single bounded
+    partition — k is a query constant)."""
+    from pyspark.sql import Window
+
+    if not pinned_ids:
+        raise ValueError("pinned_ids must be non-empty")
+    if len(set(pinned_ids)) != len(pinned_ids):
+        raise ValueError("pinned_ids must be distinct")
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    local = (_complete_match_scores(index, stats, qterms, stem=stem,
+                                    camel=camel, shard_size=shard_size,
+                                    zone=zone, **kw)
+             if qterms else spark.createDataFrame([], TOPK_SCHEMA))
+    if round_at is not None:  # rank on rounded scores (oracle parity)
+        local = local.select("doc_id", F.round("score", round_at)
+                             .alias("score"))
+    pins = spark.createDataFrame(
+        [(int(d), i + 1) for i, d in enumerate(pinned_ids)],
+        "doc_id long, _pin int")
+    p = len(pinned_ids)
+    pinned_part = (pins.join(local, "doc_id", "left")
+                   .select("doc_id",
+                           F.coalesce("score", F.lit(0.0)).alias("score"),
+                           F.col("_pin"), F.lit(True).alias("pinned")))
+    n_org = max(k - p, 0)
+    organic = (local.join(F.broadcast(pins.select("doc_id")),
+                          "doc_id", "left_anti")
+               .orderBy(F.desc("score"), F.asc("doc_id")).limit(n_org)
+               .select("doc_id", "score", F.lit(None).cast("int")
+                       .alias("_pin"), F.lit(False).alias("pinned")))
+    u = pinned_part.unionByName(organic)
+    w = Window.orderBy(F.asc_nulls_last("_pin"), F.desc("score"),
+                       F.asc("doc_id"))
+    return (u.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("rank", "doc_id", "score", "pinned")
+            .orderBy("rank"))
+
+
+def distance_feature_search(index: DataFrame, stats: dict, query: str,
+                            features: DataFrame, kind: str = "geo",
+                            origin=None, pivot: float = 1.0,
+                            boost: float = 1.0, k: int = 10,
+                            stem: bool = True, camel: bool = True,
+                            shard_size: int = 4096,
+                            zone: str | None = None,
+                            round_at: int | None = None,
+                            **kw) -> DataFrame:
+    """``distance_feature`` query (Elasticsearch): BM25 relevance plus
+    an additive proximity boost ``boost · pivot / (pivot + dist)``
+    toward an origin — geo (``kind='geo'``, ``features`` =
+    (doc_id, lat, lon), ``origin`` = (lat, lon), ``pivot`` in km via
+    the pinned haversine) or date (``kind='date'``, ``features`` =
+    (doc_id, ts), ``origin`` = ISO timestamp string, ``pivot`` in
+    seconds).  A document without a feature row gets no contribution
+    (the clause simply doesn't match — ES semantics), so the join is a
+    left join and never drops a relevance match.
+
+    Same completeness-before-cut argument and plan as
+    :func:`rank_feature_search`: complete match scores, one doc-keyed
+    shuffle join against the feature dimension, k-row TakeOrdered."""
+    from index_spark.operators.geo import haversine_km
+
+    if kind not in ("geo", "date"):
+        raise ValueError(f"kind must be geo|date, got {kind!r}")
+    if pivot <= 0:
+        raise ValueError(f"pivot must be > 0, got {pivot}")
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    if not qterms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    local = _complete_match_scores(index, stats, qterms, stem=stem,
+                                   camel=camel, shard_size=shard_size,
+                                   zone=zone, **kw)
+    if kind == "geo":
+        olat, olon = (float(v) for v in origin)
+        feats = features.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            haversine_km(F.lit(olat), F.lit(olon),
+                         F.col("lat"), F.col("lon")).alias("_dist"))
+    else:
+        feats = features.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.abs(F.unix_timestamp(F.col("ts").cast("timestamp"))
+                  - F.unix_timestamp(F.lit(origin).cast("timestamp")))
+            .cast("double").alias("_dist"))
+    contrib = (F.lit(float(boost)) * F.lit(float(pivot))
+               / (F.lit(float(pivot)) + F.col("_dist")))
+    sc = F.col("score") + F.coalesce(contrib, F.lit(0.0))
+    if round_at is not None:  # rank on rounded scores (oracle parity)
+        sc = F.round(sc, round_at)
+    scored = local.join(feats, "doc_id", "left").select("doc_id",
+                                                        sc.alias("score"))
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -316,3 +316,68 @@ def date_histogram(events: DataFrame, interval: str = "hour",
             "sum_value", F.coalesce("sum_value", F.lit(0.0)))
     return (filled.filter(F.col("doc_count") >= min_doc_count)
             .orderBy(*keys, "bucket"))
+
+
+# ES auto_date_histogram interval ladder: (date_trunc unit, seconds per
+# bucket — months use the mean Gregorian month, the choice only has to
+# be pinned and restatable)
+AUTO_HIST_LADDER = [("minute", 60.0), ("hour", 3600.0),
+                    ("day", 86400.0), ("week", 604800.0),
+                    ("month", 2629800.0)]
+
+
+def auto_date_histogram(events: DataFrame, target_buckets: int = 100,
+                        ts_col: str = "ts",
+                        by: list[str] | None = None) -> DataFrame:
+    """ES ``auto_date_histogram``: pick the COARSEST-necessary interval
+    from the pinned ladder (minute → hour → day → week → month) such
+    that ``span / interval + 1 <= target_buckets``, then bucket-count
+    at that interval.  Returns ([*by,] interval, bucket, doc_count)
+    ordered by (*by, bucket) — the chosen interval rides along so the
+    choice itself is value-checked.
+
+    Scale shape: the choice needs only the global (min, max) timestamp
+    — ONE 1-row aggregate collected (bounded at any corpus size); the
+    histogram is then the usual map-side-combinable groupBy.  The
+    choice rule is plain arithmetic on epoch seconds, so an independent
+    SQL engine re-derives the same interval."""
+    if target_buckets < 1:
+        raise ValueError(
+            f"target_buckets must be >= 1, got {target_buckets}")
+    keys = by or []
+    t = F.col(ts_col).cast("timestamp")
+    row = events.agg(F.min(t).alias("lo"), F.max(t).alias("hi")).first()
+    if row.lo is None:
+        raise ValueError("auto_date_histogram needs at least one row")
+    span_s = (row.hi - row.lo).total_seconds()
+    interval = AUTO_HIST_LADDER[-1][0]
+    for g, size in AUTO_HIST_LADDER:
+        if span_s / size + 1.0 <= target_buckets:
+            interval = g
+            break
+    return (events.groupBy(*keys,
+                           F.date_trunc(interval, t).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .select(*keys, F.lit(interval).alias("interval"), "bucket",
+                    "doc_count")
+            .orderBy(*keys, "bucket"))
+
+
+def stats_bucket(buckets: DataFrame, value_col: str = "sum_value",
+                 extended: bool = False, round_at: int = 4) -> DataFrame:
+    """ES ``stats_bucket`` / ``extended_stats_bucket`` sibling pipeline
+    aggregation: one summary row over a sibling aggregation's bucket
+    VALUES — count/min/max/avg/sum, plus population variance and
+    std_deviation when ``extended`` (ES uses population semantics
+    here, unlike matrix_stats' sample semantics).  One fused aggregate
+    over the (bounded) bucket relation."""
+    v = F.col(value_col).cast("double")
+    aggs = [F.count(v).alias("count"),
+            F.round(F.min(v), round_at).alias("min"),
+            F.round(F.max(v), round_at).alias("max"),
+            F.round(F.avg(v), round_at).alias("avg"),
+            F.round(F.sum(v), round_at).alias("sum")]
+    if extended:
+        aggs += [F.round(F.var_pop(v), round_at).alias("variance"),
+                 F.round(F.stddev_pop(v), round_at).alias("std_deviation")]
+    return buckets.agg(*aggs)
