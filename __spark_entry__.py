@@ -6294,6 +6294,371 @@ def _r04s16_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "events_stats_bucket": stats_bucket_q}
 
 
+# ---------------------------------------------------------------------------
+# session 17: ES pipeline aggs (bucket_script/selector/sort, normalize,
+# moving_percentiles, cumulative_cardinality), metric aggs (weighted_avg,
+# MAD, boxplot, t_test, range, filters), match_bool_prefix, span_not
+# ---------------------------------------------------------------------------
+
+_DAILY_ROLLUP_DUCK = """
+r AS (
+  SELECT 'day' AS granularity, date_trunc('day', ts) AS bucket,
+         event_type, CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 4) AS sum_value,
+         round(avg(value), 4) AS avg_value
+  FROM events GROUP BY 2, 3)"""
+
+_ORACLE_BUCKET_SCRIPT = """
+WITH """ + _DAILY_ROLLUP_DUCK + """
+, s AS (
+  SELECT *, round(sum_value / n_events, 4) AS avg_per_event
+  FROM r WHERE n_events >= 5
+)
+SELECT * FROM s
+ORDER BY avg_per_event DESC, event_type ASC, bucket ASC LIMIT 20"""
+
+_ORACLE_NORMALIZE = """
+WITH """ + _DAILY_ROLLUP_DUCK + """
+SELECT granularity, bucket, event_type, n_events, sum_value, avg_value,
+       round((sum_value - min(sum_value) OVER w)
+             / (max(sum_value) OVER w - min(sum_value) OVER w), 4)
+         AS rescale_0_1,
+       round(sum_value / sum(sum_value) OVER w, 4) AS percent_of_sum,
+       round((sum_value - avg(sum_value) OVER w)
+             / stddev_pop(sum_value) OVER w, 4) AS z_score
+FROM r WINDOW w AS (PARTITION BY event_type)
+ORDER BY event_type, bucket"""
+
+_ORACLE_MOVING_MEDIAN = """
+WITH r AS (
+  SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket,
+         event_type, CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 4) AS sum_value,
+         round(avg(value), 4) AS avg_value
+  FROM events GROUP BY 2, 3)
+SELECT granularity, bucket, event_type, n_events, sum_value, avg_value,
+       round(quantile_cont(sum_value, 0.5) OVER w6, 4) AS p50,
+       round(quantile_cont(sum_value, 0.9) OVER w6, 4) AS p90
+FROM r WINDOW w6 AS (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+ORDER BY event_type, bucket"""
+
+_ORACLE_CUM_CARDINALITY = """
+WITH fs AS (
+  SELECT event_type, user_id,
+         min(date_trunc('day', ts)) AS bucket
+  FROM events GROUP BY 1, 2
+), pb AS (
+  SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS new_keys
+  FROM fs GROUP BY 1, 2
+)
+SELECT event_type, bucket, new_keys,
+       CAST(sum(new_keys) OVER (PARTITION BY event_type ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cumulative_distinct
+FROM pb ORDER BY event_type, bucket"""
+
+_ORACLE_WEIGHTED_AVG = """
+SELECT event_type,
+       round(sum(value * (user_id % 7 + 1))
+             / sum(user_id % 7 + 1), 4) AS weighted_avg,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+_ORACLE_MAD = """
+WITH med AS (
+  SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS m
+  FROM documents GROUP BY lang
+)
+SELECT d.lang,
+       round(quantile_cont(abs(d.n_chars - med.m), 0.5), 4) AS mad,
+       round(min(med.m), 4) AS median
+FROM documents d JOIN med USING (lang)
+GROUP BY d.lang ORDER BY d.lang"""
+
+_ORACLE_BOXPLOT = """
+WITH q AS (
+  SELECT event_type, min(value) AS mn,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.50) AS q2,
+         quantile_cont(value, 0.75) AS q3,
+         max(value) AS mx
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       round(min(q.mn), 4) AS "min", round(min(q.q1), 4) AS q1,
+       round(min(q.q2), 4) AS q2, round(min(q.q3), 4) AS q3,
+       round(min(q.mx), 4) AS "max",
+       round(min(CASE WHEN e.value >= q.q1 - 1.5 * (q.q3 - q.q1)
+                      THEN e.value END), 4) AS lower,
+       round(max(CASE WHEN e.value <= q.q3 + 1.5 * (q.q3 - q.q1)
+                      THEN e.value END), 4) AS upper
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type"""
+
+_ORACLE_TTEST = """
+WITH m AS (
+  SELECT count(CASE WHEN event_type = 'click' THEN 1 END) AS n_a,
+         count(CASE WHEN event_type = 'error' THEN 1 END) AS n_b,
+         avg(CASE WHEN event_type = 'click' THEN value END) AS mean_a,
+         avg(CASE WHEN event_type = 'error' THEN value END) AS mean_b,
+         var_samp(CASE WHEN event_type = 'click' THEN value END) AS va,
+         var_samp(CASE WHEN event_type = 'error' THEN value END) AS vb
+  FROM events
+)
+SELECT round((mean_a - mean_b) / sqrt(va / n_a + vb / n_b), 4) AS t_stat,
+       round(pow(va / n_a + vb / n_b, 2)
+             / (pow(va / n_a, 2) / (n_a - 1)
+                + pow(vb / n_b, 2) / (n_b - 1)), 4) AS dof,
+       round(mean_a, 4) AS mean_a, round(mean_b, 4) AS mean_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+FROM m"""
+
+_ORACLE_RANGE_AGG = """
+SELECT lang, '*-300' AS range,
+       CAST(count(CASE WHEN n_chars < 300 THEN 1 END) AS BIGINT)
+         AS doc_count
+FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, '300-600' AS range,
+       CAST(count(CASE WHEN n_chars >= 300 AND n_chars < 600 THEN 1 END)
+            AS BIGINT) AS doc_count
+FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, '600-*' AS range,
+       CAST(count(CASE WHEN n_chars >= 600 THEN 1 END) AS BIGINT)
+         AS doc_count
+FROM documents GROUP BY lang
+ORDER BY lang, range"""
+
+_ORACLE_FILTERS_AGG = """
+WITH f AS (
+  SELECT event_type = 'error' AS errors,
+         value > 50 AS big_value,
+         event_type = 'click' AND value <= 50 AS small_clicks,
+         value
+  FROM events
+)
+SELECT 'errors' AS filter,
+       CAST(count(CASE WHEN errors THEN 1 END) AS BIGINT) AS doc_count,
+       round(sum(CASE WHEN errors THEN value END), 4) AS sum_value
+FROM f
+UNION ALL
+SELECT 'big_value',
+       CAST(count(CASE WHEN big_value THEN 1 END) AS BIGINT),
+       round(sum(CASE WHEN big_value THEN value END), 4) FROM f
+UNION ALL
+SELECT 'small_clicks',
+       CAST(count(CASE WHEN small_clicks THEN 1 END) AS BIGINT),
+       round(sum(CASE WHEN small_clicks THEN value END), 4) FROM f
+UNION ALL
+SELECT '_other_',
+       CAST(count(CASE WHEN NOT (coalesce(errors, FALSE)
+                                 OR coalesce(big_value, FALSE)
+                                 OR coalesce(small_clicks, FALSE))
+                       THEN 1 END) AS BIGINT),
+       round(sum(CASE WHEN NOT (coalesce(errors, FALSE)
+                                OR coalesce(big_value, FALSE)
+                                OR coalesce(small_clicks, FALSE))
+                      THEN value END), 4) FROM f
+ORDER BY filter"""
+
+# match_bool_prefix restated: BM25 over the fixed term(s) full-outer
+# the prefix clause's constant-score match set (same ascending-term
+# LIMIT-50 expansion cap as the engine)
+_ORACLE_BOOL_PREFIX = """
+, exp AS (
+  SELECT term FROM dft WHERE term LIKE 'tab%'
+  ORDER BY term ASC LIMIT 50
+), pfx AS (
+  SELECT DISTINCT tf.doc_id FROM tf JOIN exp ON tf.term = exp.term
+), combined AS (
+  SELECT coalesce(s.doc_id, p.doc_id) AS doc_id,
+         round(coalesce(s.score, 0)
+               + CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0 END, 4)
+           AS score
+  FROM scores s FULL OUTER JOIN pfx p ON s.doc_id = p.doc_id
+)
+SELECT doc_id, score FROM combined
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+# span_not restated: include-phrase starts with no exclude occurrence
+# in [start - pre, start + m - 1 + post]
+_ORACLE_SPANNOT_DUCK = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos FROM toks
+), inc AS (
+  SELECT p0.doc_id, p0.pos
+  FROM pos p0 JOIN pos p1 ON p1.doc_id = p0.doc_id
+       AND p1.pos = p0.pos + 1
+  WHERE p0.term = 'data' AND p1.term = 'table'
+), sur AS (
+  SELECT i.doc_id, i.pos FROM inc i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pos e
+    WHERE e.doc_id = i.doc_id AND e.term = 'query'
+      AND e.pos BETWEEN i.pos - 3 AND i.pos + 1 + 3)
+), m AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM sur GROUP BY doc_id
+)
+SELECT doc_id, n_matches FROM m
+ORDER BY n_matches DESC, doc_id ASC LIMIT 10"""
+
+
+def _r04s17_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                   DataFrame]]:
+    def bucket_script_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES bucket_script + bucket_selector + bucket_sort chained over
+        # the daily rollup; trailing sort keys pin the LIMIT under ties
+        from index_spark.operators.temporal import (
+            bucket_script_pipeline,
+            rollup_timeseries,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        daily = rollup_timeseries(ev, granularities=["day"],
+                                  by=["event_type"])
+        return bucket_script_pipeline(
+            daily, script={"avg_per_event": "sum_value / n_events"},
+            selector="n_events >= 5",
+            sort_by=[("avg_per_event", "desc"), ("event_type", "asc"),
+                     ("bucket", "asc")],
+            size=20)
+
+    def normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES normalize pipeline agg: three methods in one window pass
+        from index_spark.operators.temporal import (
+            normalize_buckets,
+            rollup_timeseries,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        daily = rollup_timeseries(ev, granularities=["day"],
+                                  by=["event_type"])
+        return normalize_buckets(
+            daily, value_col="sum_value", by=["event_type"],
+            methods=["rescale_0_1", "percent_of_sum", "z-score"])
+
+    def moving_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES moving_percentiles (exact form): trailing-6 p50/p90 over
+        # the hourly rollup per event_type
+        from index_spark.operators.temporal import (
+            moving_percentiles,
+            rollup_timeseries,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        hourly = rollup_timeseries(ev, granularities=["hour"],
+                                   by=["event_type"])
+        return moving_percentiles(hourly, value_col="sum_value",
+                                  window=6, percents=[0.5, 0.9],
+                                  by=["event_type"])
+
+    def cum_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES cumulative_cardinality, exact first-seen decomposition:
+        # running distinct users per event_type by day
+        from index_spark.operators.temporal import cumulative_cardinality
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return cumulative_cardinality(ev, key_col="user_id",
+                                      interval="day", by=["event_type"])
+
+    def weighted_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES weighted_avg: value weighted by the deterministic
+        # (user_id % 7 + 1) weight
+        from index_spark.operators.analytics import weighted_avg
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        wev = ev.withColumn(
+            "w", (F.col("user_id") % 7 + 1).cast("double"))
+        return weighted_avg(wev, "value", "w", by=["event_type"])
+
+    def mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES median_absolute_deviation (exact percentile form) of
+        # n_chars per lang
+        from index_spark.operators.analytics import (
+            median_absolute_deviation,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return median_absolute_deviation(docs, "n_chars", by=["lang"])
+
+    def boxplot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES boxplot: exact quartiles + Tukey whiskers per event_type
+        from index_spark.operators.analytics import boxplot_agg
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return boxplot_agg(ev, "value", by=["event_type"])
+
+    def ttest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES t_test (Welch): click vs error event values, one fused
+        # conditional-aggregate pass
+        from index_spark.operators.analytics import t_test_agg
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return t_test_agg(ev, "value", "event_type", "click", "error")
+
+    def range_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES range agg: half-open n_chars buckets per lang, one fused
+        # conditional-count pass then the ES bucket unpivot
+        from index_spark.operators.analytics import range_facet
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return range_facet(docs, "n_chars",
+                           [(None, 300.0), (300.0, 600.0), (600.0, None)],
+                           by=["lang"])
+
+    def filters_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES filters agg: three named predicates + the _other_ bucket,
+        # all in ONE conditional-aggregate scan
+        from index_spark.operators.analytics import filters_facet
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return filters_facet(
+            ev,
+            {"errors": "event_type = 'error'",
+             "big_value": "value > 50",
+             "small_clicks": "event_type = 'click' AND value <= 50"},
+            value_col="value", other_bucket=True)
+
+    def bool_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES match_bool_prefix 'data tab': BM25('data') + the pinned
+        # +1.0 constant-score prefix clause over the 'tab%' expansions
+        from index_spark.operators.query import match_bool_prefix_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        return match_bool_prefix_search(index, stats, "data tab", k=10,
+                                        max_expansions=50, stem=False,
+                                        camel=False, shard_size=256,
+                                        round_at=4)
+
+    def spannot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Lucene SpanNot: 'data table' matches surviving a 'query'
+        # occurrence within 3 tokens of either end
+        from index_spark.operators.phrase import span_not_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        return span_not_search(index, stats, "data table", "query",
+                               pre=3, post=3, k=10, stem=False,
+                               camel=False, shard_size=256)
+
+    return {"events_bucket_script": bucket_script_q,
+            "events_normalize": normalize_q,
+            "events_moving_median": moving_median_q,
+            "events_cum_cardinality": cum_card_q,
+            "weighted_avg_facet": weighted_avg_q,
+            "mad_facet": mad_q, "boxplot_facet": boxplot_q,
+            "ttest_metric": ttest_q, "range_agg_facet": range_agg_q,
+            "filters_agg_facet": filters_agg_q,
+            "bool_prefix_topk": bool_prefix_q,
+            "spannot_topk": spannot_q}
+
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -6740,6 +7105,27 @@ ORDER BY event_id""")
     add("events_auto_hist", eng16["events_auto_hist"], _ORACLE_AUTO_HIST)
     add("events_stats_bucket", eng16["events_stats_bucket"],
         _ORACLE_STATS_BUCKET)
+
+    eng17 = _r04s17_engine_queries()
+    add("events_bucket_script", eng17["events_bucket_script"],
+        _ORACLE_BUCKET_SCRIPT)
+    add("events_normalize", eng17["events_normalize"], _ORACLE_NORMALIZE)
+    add("events_moving_median", eng17["events_moving_median"],
+        _ORACLE_MOVING_MEDIAN)
+    add("events_cum_cardinality", eng17["events_cum_cardinality"],
+        _ORACLE_CUM_CARDINALITY)
+    add("weighted_avg_facet", eng17["weighted_avg_facet"],
+        _ORACLE_WEIGHTED_AVG)
+    add("mad_facet", eng17["mad_facet"], _ORACLE_MAD)
+    add("boxplot_facet", eng17["boxplot_facet"], _ORACLE_BOXPLOT)
+    add("ttest_metric", eng17["ttest_metric"], _ORACLE_TTEST)
+    add("range_agg_facet", eng17["range_agg_facet"], _ORACLE_RANGE_AGG)
+    add("filters_agg_facet", eng17["filters_agg_facet"],
+        _ORACLE_FILTERS_AGG)
+    add("bool_prefix_topk", eng17["bool_prefix_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_BOOL_PREFIX,
+                  [_terms_values_sql(["data"])]))
+    add("spannot_topk", eng17["spannot_topk"], _ORACLE_SPANNOT_DUCK)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

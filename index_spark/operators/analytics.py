@@ -1030,3 +1030,213 @@ def percentile_ranks(df: DataFrame, col: str, values: list[float],
     return (probes.crossJoin(wide)
             .select("value", F.round(rank, round_at).alias("pct_rank"))
             .orderBy("value"))
+
+
+def weighted_avg(df: DataFrame, value_col: str, weight_col: str,
+                 by: list[str] | None = None,
+                 round_at: int = 4) -> DataFrame:
+    """ES ``weighted_avg`` aggregation: ``sum(value*weight) /
+    sum(weight)`` per bucket.  Rows where either side is NULL are
+    skipped entirely (the ES default ``missing``-less behavior: a
+    document missing value OR weight contributes nothing to either
+    sum).  One map-side-combinable aggregate."""
+    keys = by or []
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    ok = v.isNotNull() & w.isNotNull()
+    out = (df.groupBy(*keys)
+           .agg(F.round(F.sum(F.when(ok, v * w)) /
+                        F.sum(F.when(ok, w)), round_at)
+                .alias("weighted_avg"),
+                F.count(F.when(ok, F.lit(1))).alias("doc_count")))
+    return out.orderBy(*keys) if keys else out
+
+
+def median_absolute_deviation(df: DataFrame, col: str,
+                              by: list[str] | None = None,
+                              round_at: int = 4) -> DataFrame:
+    """ES ``median_absolute_deviation`` aggregation, exact form:
+    ``median(|x - median(x)|)`` per bucket.  ES approximates over
+    t-digests; this pins exact linear-interpolation percentiles
+    (Spark ``percentile`` == DuckDB ``quantile_cont``) so independent
+    engines agree bit-for-bit at any scale.
+
+    Two aggregate passes by construction (the inner median must
+    complete before deviations exist); the per-bucket median travels
+    back via a broadcast-size relation (one row per bucket), never a
+    wide shuffle."""
+    keys = by or []
+    v = F.col(col).cast("double")
+    med = df.groupBy(*keys).agg(F.percentile(v, F.lit(0.5)).alias("_med"))
+    joined = (df.join(F.broadcast(med), on=keys) if keys
+              else df.crossJoin(F.broadcast(med)))
+    dev = F.abs(v - F.col("_med"))
+    out = (joined.groupBy(*keys)
+           .agg(F.round(F.percentile(dev, F.lit(0.5)), round_at)
+                .alias("mad"),
+                F.round(F.any_value(F.col("_med")), round_at)
+                .alias("median")))
+    return out.orderBy(*keys) if keys else out
+
+
+def boxplot_agg(df: DataFrame, col: str, by: list[str] | None = None,
+                round_at: int = 4) -> DataFrame:
+    """ES ``boxplot`` aggregation, exact form: per bucket — min, q1,
+    q2 (median), q3, max, and the Tukey whiskers ES reports (``lower``
+    / ``upper``: the nearest actual values inside q1-1.5·IQR /
+    q3+1.5·IQR).  Quartiles pin exact linear interpolation (ES uses
+    t-digest); whiskers need the fence before they can clip, so they
+    ride a second conditional min/max over the same relation — the
+    fences travel back as a one-row-per-bucket broadcast."""
+    keys = by or []
+    v = F.col(col).cast("double")
+    q = (df.groupBy(*keys)
+         .agg(F.min(v).alias("min"),
+              F.percentile(v, F.lit(0.25)).alias("q1"),
+              F.percentile(v, F.lit(0.50)).alias("q2"),
+              F.percentile(v, F.lit(0.75)).alias("q3"),
+              F.max(v).alias("max")))
+    joined = (df.join(F.broadcast(q), on=keys) if keys
+              else df.crossJoin(F.broadcast(q)))
+    iqr = F.col("q3") - F.col("q1")
+    lo_fence = F.col("q1") - 1.5 * iqr
+    hi_fence = F.col("q3") + 1.5 * iqr
+    out = (joined.groupBy(*keys)
+           .agg(*[F.round(F.any_value(F.col(c)), round_at).alias(c)
+                  for c in ("min", "q1", "q2", "q3", "max")],
+                F.round(F.min(F.when(v >= lo_fence, v)), round_at)
+                .alias("lower"),
+                F.round(F.max(F.when(v <= hi_fence, v)), round_at)
+                .alias("upper")))
+    return out.orderBy(*keys) if keys else out
+
+
+def t_test_agg(df: DataFrame, value_col: str, group_col: str,
+               group_a: str, group_b: str,
+               kind: str = "heteroscedastic",
+               round_at: int = 4) -> DataFrame:
+    """ES ``t_test`` aggregation (unpaired): Welch's t
+    (``heteroscedastic``, the ES default) or pooled-variance Student's
+    t (``homoscedastic``) between the ``value_col`` populations where
+    ``group_col`` equals ``group_a`` vs ``group_b``.  Returns one row:
+    (t_stat, dof, mean_a, mean_b, n_a, n_b) — t uses sample variance,
+    Welch dof via Welch–Satterthwaite.  ES reports a p-value from
+    these; the (t, dof) pair is the engine-checkable statistic, the
+    CDF lookup is presentation.
+
+    ONE fused conditional aggregate over the relation (count/avg/
+    var_samp per side in the same pass) — a single map-side-combinable
+    pass, one 1-row result."""
+    if kind not in ("heteroscedastic", "homoscedastic"):
+        raise ValueError(f"kind must be heteroscedastic|homoscedastic, "
+                         f"got {kind!r}")
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    va = F.when(g == group_a, v)
+    vbv = F.when(g == group_b, v)
+    agg = df.agg(
+        F.count(va).alias("n_a"), F.count(vbv).alias("n_b"),
+        F.avg(va).alias("mean_a"), F.avg(vbv).alias("mean_b"),
+        F.var_samp(va).alias("var_a"), F.var_samp(vbv).alias("var_b"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    va_, vb_ = F.col("var_a"), F.col("var_b")
+    diff = F.col("mean_a") - F.col("mean_b")
+    if kind == "heteroscedastic":
+        se2 = va_ / na + vb_ / nb
+        t = diff / F.sqrt(se2)
+        dof = (se2 * se2) / ((va_ / na) * (va_ / na) / (na - 1)
+                             + (vb_ / nb) * (vb_ / nb) / (nb - 1))
+    else:
+        sp2 = (((na - 1) * va_ + (nb - 1) * vb_) / (na + nb - 2))
+        t = diff / F.sqrt(sp2 * (1.0 / na + 1.0 / nb))
+        dof = na + nb - 2
+    return agg.select(
+        F.round(t, round_at).alias("t_stat"),
+        F.round(dof, round_at).alias("dof"),
+        F.round(F.col("mean_a"), round_at).alias("mean_a"),
+        F.round(F.col("mean_b"), round_at).alias("mean_b"),
+        "n_a", "n_b")
+
+
+def range_facet(df: DataFrame, col: str,
+                ranges: list[tuple[float | None, float | None]],
+                value_col: str | None = None,
+                by: list[str] | None = None,
+                round_at: int = 4) -> DataFrame:
+    """ES ``range`` aggregation: explicit [from, to) buckets (ES
+    half-open semantics: ``from`` inclusive, ``to`` exclusive; None =
+    unbounded), labeled the ES way ("a-b", "*-b", "a-*").  Buckets may
+    overlap in ES; a doc lands in EVERY range it satisfies, so each
+    range is an independent conditional count — ONE fused aggregate
+    pass over the relation, no explode, no shuffle beyond the groupBy
+    keys.  Optional ``value_col`` adds a per-range sum."""
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    keys = by or []
+    v = F.col(col).cast("double")
+    aggs = []
+    for lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (v >= float(lo))
+        if hi is not None:
+            cond = cond & (v < float(hi))
+        label = (f"{'*' if lo is None else format(lo, 'g')}"
+                 f"-{'*' if hi is None else format(hi, 'g')}")
+        aggs.append(F.count(F.when(cond, F.lit(1)))
+                    .alias(f"count:{label}"))
+        if value_col is not None:
+            aggs.append(F.round(
+                F.sum(F.when(cond, F.col(value_col).cast("double"))),
+                round_at).alias(f"sum:{label}"))
+    wide = df.groupBy(*keys).agg(*aggs)
+    # unpivot to the ES bucket shape: one row per (keys, range)
+    pairs = []
+    for lo, hi in ranges:
+        label = (f"{'*' if lo is None else format(lo, 'g')}"
+                 f"-{'*' if hi is None else format(hi, 'g')}")
+        fields = [F.lit(label).alias("range"),
+                  F.col(f"`count:{label}`").alias("doc_count")]
+        if value_col is not None:
+            fields.append(F.col(f"`sum:{label}`").alias("sum_value"))
+        pairs.append(F.struct(*fields))
+    out = (wide.select(*keys, F.explode(F.array(*pairs)).alias("b"))
+           .select(*keys, "b.*"))
+    return out.orderBy(*keys, "range") if keys else out.orderBy("range")
+
+
+def filters_facet(df: DataFrame, filters: dict[str, str],
+                  value_col: str | None = None,
+                  other_bucket: bool = False,
+                  round_at: int = 4) -> DataFrame:
+    """ES ``filters`` aggregation: one bucket per NAMED predicate
+    (plain SQL expressions), each counted independently (a doc can
+    land in several — ES filters buckets are not exclusive), plus an
+    optional ``_other_`` bucket for docs matching none.  ONE fused
+    conditional-aggregate pass, like :func:`range_facet` — N filters
+    cost one scan, not N."""
+    if not filters:
+        raise ValueError("filters must be non-empty")
+    conds = {name: F.expr(expr) for name, expr in filters.items()}
+    if other_bucket:
+        none_match = F.lit(True)
+        for c in conds.values():
+            none_match = none_match & ~F.coalesce(c, F.lit(False))
+        conds = {**conds, "_other_": none_match}
+    aggs = []
+    for name, c in conds.items():
+        aggs.append(F.count(F.when(c, F.lit(1))).alias(f"count:{name}"))
+        if value_col is not None:
+            aggs.append(F.round(
+                F.sum(F.when(c, F.col(value_col).cast("double"))),
+                round_at).alias(f"sum:{name}"))
+    wide = df.agg(*aggs)
+    pairs = []
+    for name in conds:
+        fields = [F.lit(name).alias("filter"),
+                  F.col(f"`count:{name}`").alias("doc_count")]
+        if value_col is not None:
+            fields.append(F.col(f"`sum:{name}`").alias("sum_value"))
+        pairs.append(F.struct(*fields))
+    return (wide.select(F.explode(F.array(*pairs)).alias("b"))
+            .select("b.*").orderBy("filter"))

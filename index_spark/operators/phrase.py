@@ -497,3 +497,101 @@ def match_phrase_prefix(index: DataFrame, stats: dict | None,
         index, hits,
         lambda pdf: _phrase_prefix_shard(pdf, fixed, variants, style_shift),
         k, tombstones, shard_size)
+
+
+def _span_not_shard(pdf: pd.DataFrame, inc_terms: list[str],
+                    exc_terms: list[str], pre: int, post: int,
+                    style_shift: int = 0) -> pd.DataFrame:
+    """Vectorized SpanNot over one shard's rows: include-phrase
+    occurrences (the ``_phrase_shard`` m-way intersection) survive iff
+    NO exclude-term occurrence lies within [start - pre,
+    start + m - 1 + post].  The exclusion test is two searchsorteds
+    over the exclude occurrences in the same composite key space — no
+    per-match loop."""
+    empty = pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                          "n_matches": np.empty(0, np.int64)})
+    groups: dict[str, list] = {}
+    for r in pdf.itertuples(index=False):
+        groups.setdefault(r.term, []).append(r)
+    if any(t not in groups for t in inc_terms):
+        return empty
+    present_exc = [t for t in exc_terms if t in groups]
+    decoded = {t: _term_occurrences(rs, style_shift)
+               for t, rs in groups.items()
+               if t in inc_terms or t in present_exc}
+
+    m = len(inc_terms)
+    doc_min = min(int(d.min()) for d, _ in decoded.values())
+    # headroom covers the match footprint AND the post window so an
+    # exclusion probe key can never spill into the next doc's block
+    pos_cap = (max(int(p.max()) for _, p in decoded.values())
+               + m + post + 2)
+
+    keys: np.ndarray | None = None
+    for i, t in enumerate(inc_terms):
+        docs, pos = decoded[t]
+        adj = pos - i
+        ok = adj >= 0
+        kk = (docs[ok] - doc_min) * pos_cap + adj[ok]
+        keys = kk if keys is None else np.intersect1d(kk, keys,
+                                                      assume_unique=True)
+        if keys.size == 0:
+            return empty
+    if present_exc:
+        ek = np.concatenate([
+            (decoded[t][0] - doc_min) * pos_cap + decoded[t][1]
+            for t in present_exc])
+        ek.sort()
+        s = keys % pos_cap
+        d = keys // pos_cap
+        lo = d * pos_cap + np.maximum(s - pre, 0)
+        hi = d * pos_cap + np.minimum(s + m - 1 + post, pos_cap - 1)
+        has_exc = (np.searchsorted(ek, lo, side="left")
+                   < np.searchsorted(ek, hi, side="right"))
+        keys = keys[~has_exc]
+        if keys.size == 0:
+            return empty
+    match_docs = keys // pos_cap + doc_min
+    ud, cnt = np.unique(match_docs, return_counts=True)
+    return pd.DataFrame({"doc_id": ud.astype(np.int64),
+                         "n_matches": cnt.astype(np.int64)})
+
+
+def span_not_search(index: DataFrame, stats: dict | None, include: str,
+                    exclude: str, pre: int = 0, post: int = 0,
+                    k: int = 10, stem: bool = True, camel: bool = True,
+                    zone: str | None = None,
+                    tombstones: DataFrame | None = None,
+                    shard_size: int = 4096,
+                    style_shift: int = 0) -> DataFrame:
+    """Lucene ``SpanNotQuery``: top-k docs by count of INCLUDE-phrase
+    occurrences that do NOT have an EXCLUDE-term occurrence nearby —
+    within ``pre`` positions before the match start or ``post``
+    positions after the match end (pre = post = 0 is pure overlap,
+    impossible for disjoint terms, so callers normally pass a
+    tolerance).  "data table, but not when 'query' is within 3 tokens"
+    — negative context filtering that plain ``exclude=`` (whole-doc
+    NOT) can't express.  A doc with n include matches and one poisoned
+    match still scores n−1.
+
+    Same one-exchange positional plan as :func:`phrase_search`; the
+    exclude terms only widen the term-pruned ``isin`` scan, and the
+    not-gate is two vectorized searchsorteds inside the shard kernel."""
+    if pre < 0 or post < 0:
+        raise ValueError("pre and post must be >= 0")
+    spark = index.sparkSession
+    inc_terms = tokenize(include, stem=stem, camel=camel)
+    exc_terms = sorted(set(tokenize(exclude, stem=stem, camel=camel)))
+    if not inc_terms:
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    if not exc_terms:
+        raise ValueError("span_not needs a non-empty exclude clause — "
+                         "use phrase_search for the bare include")
+    hits = _zone_pinned(index, zone)
+    hits = hits.filter(
+        F.col("term").isin(sorted(set(inc_terms) | set(exc_terms))))
+    return _local_positional_topk(
+        index, hits,
+        lambda pdf: _span_not_shard(pdf, inc_terms, exc_terms, pre, post,
+                                    style_shift),
+        k, tombstones, shard_size)

@@ -3640,3 +3640,66 @@ def distance_feature_search(index: DataFrame, stats: dict, query: str,
     scored = local.join(feats, "doc_id", "left").select("doc_id",
                                                         sc.alias("score"))
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def match_bool_prefix_search(index: DataFrame, stats: dict, query: str,
+                             k: int = 10, max_expansions: int = 50,
+                             stem: bool = True, camel: bool = True,
+                             shard_size: int = 4096,
+                             zone: str | None = None,
+                             dictionary: DataFrame | None = None,
+                             round_at: int | None = None,
+                             **kw) -> DataFrame:
+    """ES ``match_bool_prefix``: the analyzed terms become bool SHOULD
+    clauses — every term but the last as a scored term query, the last
+    as a PREFIX query.  Unlike ``match_phrase_prefix`` there is NO
+    position requirement; "data tab" matches a doc with "table" and
+    "data" anywhere, in any order.  Lucene rewrites the prefix clause
+    constant-score (the default ``CONSTANT_SCORE_REWRITE`` for
+    multi-term queries in a bool context), so its contribution is
+    pinned at +1.0 for any doc containing ≥1 expansion; the fixed
+    terms contribute their usual BM25.
+
+    Plan: complete BM25 scores for the fixed terms (one term-pruned
+    pass), the prefix clause as a bounded expansion lookup
+    (dictionary-preferred, StartsWith-pruned — the
+    :func:`~index_spark.operators.phrase.expand_prefix` path) feeding a
+    doc-stream-only match-set decode, one doc_id full-outer join, then
+    the k-row TakeOrdered.  Nothing here scales with corpus size except
+    the term-pruned posting reads."""
+    from index_spark.operators.analytics import matching_docs
+    from index_spark.operators.phrase import expand_prefix
+
+    spark = index.sparkSession
+    qterms = tokenize(query, stem=stem, camel=camel)
+    if not qterms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    fixed, prefix = sorted(set(qterms[:-1])), qterms[-1]
+    variants = expand_prefix(index, prefix,
+                             max_expansions=max_expansions,
+                             dictionary=dictionary, zone=zone)
+    scored = _complete_match_scores(index, stats, fixed, stem=stem,
+                                    camel=camel, shard_size=shard_size,
+                                    zone=zone, **kw) if fixed else None
+    # expansions are already analyzed index terms ([a-z0-9]+ runs), so
+    # the stem=False/camel=False tokenize inside matching_docs is the
+    # identity on them
+    pref = (matching_docs(index, " ".join(variants), mode="or",
+                          stem=False, camel=False, zone=zone)
+            .withColumn("_pfx", F.lit(True))) if variants else None
+    if scored is None and pref is None:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    if scored is None:
+        out = pref.select("doc_id", F.lit(1.0).alias("score"))
+    elif pref is None:
+        out = scored
+    else:
+        out = (scored.join(pref, "doc_id", "full")
+               .select("doc_id",
+                       (F.coalesce(F.col("score"), F.lit(0.0))
+                        + F.when(F.col("_pfx"), F.lit(1.0))
+                        .otherwise(F.lit(0.0))).alias("score")))
+    sc = (F.round(F.col("score"), round_at) if round_at is not None
+          else F.col("score"))
+    return (out.select("doc_id", sc.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))

@@ -381,3 +381,189 @@ def stats_bucket(buckets: DataFrame, value_col: str = "sum_value",
         aggs += [F.round(F.var_pop(v), round_at).alias("variance"),
                  F.round(F.stddev_pop(v), round_at).alias("std_deviation")]
     return buckets.agg(*aggs)
+
+
+def bucket_script_pipeline(buckets: DataFrame,
+                           script: dict[str, str] | None = None,
+                           selector: str | None = None,
+                           sort_by: str | list[tuple[str, str]] | None
+                           = None,
+                           ascending: bool = False,
+                           size: int | None = None,
+                           round_at: int = 4) -> DataFrame:
+    """ES ``bucket_script`` + ``bucket_selector`` + ``bucket_sort``
+    pipeline aggregations over a bucketed relation (the output shape of
+    :func:`rollup_timeseries` / a date-histogram facet):
+
+      * ``script``   — {new_col: SQL expression over the bucket's
+        metric columns} (ES bucket_script; expressions are plain
+        Catalyst SQL, e.g. ``"sum_value / n_events"``),
+      * ``selector`` — boolean SQL expression; buckets where it is
+        false/NULL are dropped (ES bucket_selector),
+      * ``sort_by`` + ``size`` — order the surviving buckets and keep
+        the first ``size`` (ES bucket_sort truncation).  ``sort_by``
+        is a column name (direction from ``ascending``) or, like ES's
+        multi-field bucket_sort, a list of (column, 'asc'|'desc')
+        pairs — a trailing unique key makes the truncation
+        deterministic under value ties.
+
+    Scale shape: scripts and the selector are row-local codegen over
+    the (time-bounded) bucket relation — no shuffle; the sort+size is
+    a global top-k (TakeOrderedAndProject), never a full sort at rest.
+    Numeric script outputs are rounded to ``round_at`` so independent
+    engines agree."""
+    out = buckets
+    for name, expr in (script or {}).items():
+        c = F.expr(expr)
+        out = out.withColumn(
+            name, F.round(c.cast("double"), round_at))
+    if selector is not None:
+        out = out.filter(F.expr(selector))
+    if sort_by is not None:
+        if isinstance(sort_by, str):
+            keys = [F.col(sort_by).asc() if ascending
+                    else F.col(sort_by).desc()]
+        else:
+            bad = [d for _, d in sort_by if d not in ("asc", "desc")]
+            if bad:
+                raise ValueError(f"sort direction must be asc|desc, "
+                                 f"got {bad}")
+            keys = [F.col(c).asc() if d == "asc" else F.col(c).desc()
+                    for c, d in sort_by]
+        out = out.orderBy(*keys)
+        if size is not None:
+            out = out.limit(size)
+    elif size is not None:
+        raise ValueError("size requires sort_by (ES bucket_sort "
+                         "truncates a SORTED bucket list)")
+    return out
+
+
+# ES normalize-agg methods: name -> (needs, formula).  Documented
+# semantics from the ES normalize pipeline aggregation: `mean` is
+# (x - mean) / (max - min) (ES's documented definition, not a z-score).
+NORMALIZE_METHODS = ("rescale_0_1", "rescale_0_100", "percent_of_sum",
+                     "mean", "z-score", "softmax")
+
+
+def normalize_buckets(buckets: DataFrame, value_col: str = "sum_value",
+                      methods: list[str] | None = None,
+                      ts_col: str = "bucket",
+                      by: list[str] | None = None,
+                      round_at: int = 4) -> DataFrame:
+    """ES ``normalize`` pipeline aggregation: per series (the ``by``
+    keys), rescale each bucket's value by a whole-series statistic.
+    One column per requested method, all methods in ONE window pass
+    (unbounded frame over the series — the per-series state is the
+    handful of running aggregates, and a time-bucketed series is
+    bounded by the time axis, not the corpus).
+
+    Methods (ES definitions): ``rescale_0_1`` (x-min)/(max-min),
+    ``rescale_0_100``, ``percent_of_sum`` x/sum, ``mean``
+    (x-mean)/(max-min), ``z-score`` (x-mean)/pop_stddev, ``softmax``
+    e^x/sum(e^x) (computed max-shifted for overflow safety —
+    mathematically identical)."""
+    ms = methods or ["rescale_0_1"]
+    bad = [m for m in ms if m not in NORMALIZE_METHODS]
+    if bad:
+        raise ValueError(f"unknown normalize methods {bad}; "
+                         f"pick from {NORMALIZE_METHODS}")
+    keys = by or []
+    w = (Window.partitionBy(*[F.col(k) for k in keys])
+         .orderBy(ts_col)
+         .rowsBetween(Window.unboundedPreceding,
+                      Window.unboundedFollowing))
+    v = F.col(value_col).cast("double")
+    mn, mx = F.min(v).over(w), F.max(v).over(w)
+    mean, sd = F.avg(v).over(w), F.stddev_pop(v).over(w)
+    total = F.sum(v).over(w)
+    # softmax needs sum(exp(v - series_max)) — a window aggregate over
+    # another window's output, so the max materializes as a column
+    # first (Spark forbids nested window expressions; the planner still
+    # fuses both Window operators over the same partitioning into one
+    # exchange)
+    out = buckets
+    if "softmax" in ms:
+        out = (out.withColumn("_smax", mx)
+               .withColumn("_expsum",
+                           F.sum(F.exp(v - F.col("_smax"))).over(w)))
+    formulas = {
+        "rescale_0_1": (v - mn) / (mx - mn),
+        "rescale_0_100": (v - mn) / (mx - mn) * 100.0,
+        "percent_of_sum": v / total,
+        "mean": (v - mean) / (mx - mn),
+        "z-score": (v - mean) / sd,
+        "softmax": (F.exp(v - F.col("_smax")) / F.col("_expsum")),
+    }
+    for m in ms:
+        col = m.replace("-", "_")
+        out = out.withColumn(col, F.round(formulas[m], round_at))
+    if "softmax" in ms:
+        out = out.drop("_smax", "_expsum")
+    return out.orderBy(*keys, ts_col)
+
+
+def moving_percentiles(buckets: DataFrame, value_col: str = "sum_value",
+                       window: int = 5,
+                       percents: list[float] | None = None,
+                       ts_col: str = "bucket",
+                       by: list[str] | None = None,
+                       round_at: int = 4) -> DataFrame:
+    """ES ``moving_percentiles`` pipeline aggregation, exact form: for
+    each bucket, the requested percentiles of the TRAILING ``window``
+    buckets (including the current one; partial leading windows use
+    what exists — ES shift=0 default).  ES computes these over t-digest
+    sketches; over a bounded bucket axis the exact percentile is both
+    cheaper and engine-restatable, so this pins exact linear
+    interpolation (Spark ``percentile`` == DuckDB ``quantile_cont``).
+
+    One window pass per series; the frame holds ``window`` values, so
+    per-row state is O(window) regardless of corpus size."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    ps = percents or [0.5]
+    keys = by or []
+    w = (Window.partitionBy(*[F.col(k) for k in keys]).orderBy(ts_col)
+         .rowsBetween(-(window - 1), 0))
+    v = F.col(value_col).cast("double")
+    out = buckets
+    for p in ps:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percent must be in [0, 1], got {p}")
+        col = f"p{int(round(p * 100)):02d}"
+        out = out.withColumn(
+            col, F.round(F.percentile(v, F.lit(p)).over(w), round_at))
+    return out.orderBy(*keys, ts_col)
+
+
+def cumulative_cardinality(events: DataFrame, key_col: str = "user_id",
+                           interval: str = "day", ts_col: str = "ts",
+                           by: list[str] | None = None) -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline aggregation, exact form:
+    per series, the running count of DISTINCT ``key_col`` values seen
+    up to and including each time bucket (the "total unique users by
+    day N" question ES answers with a cardinality agg + this
+    pipeline).  Also emits ``new_keys`` — the bucket's first-seen
+    count (the incremental_cardinality derivative ES users compute
+    from it).
+
+    Exact and distributed via the first-seen decomposition: a key
+    contributes to the cumulative count exactly at its FIRST bucket,
+    so  (1) groupBy (series, key) -> min bucket  (map-side-combinable
+    min, one shuffle on the natural key),  (2) count first-seen rows
+    per bucket,  (3) running sum over the bounded bucket axis.  No
+    distinct-over-growing-prefix rescans, no HLL approximation, and
+    per-window state in step 3 is one number."""
+    keys = by or []
+    bucket = F.date_trunc(interval, F.col(ts_col).cast("timestamp"))
+    first_seen = (events
+                  .groupBy(*keys, F.col(key_col).alias("_k"))
+                  .agg(F.min(bucket).alias("bucket")))
+    per_bucket = (first_seen.groupBy(*keys, "bucket")
+                  .agg(F.count(F.lit(1)).alias("new_keys")))
+    w = (Window.partitionBy(*[F.col(k) for k in keys]).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (per_bucket
+            .withColumn("cumulative_distinct",
+                        F.sum("new_keys").over(w))
+            .orderBy(*keys, "bucket"))
