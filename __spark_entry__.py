@@ -6659,6 +6659,181 @@ def _r04s17_engine_queries() -> dict[str, Callable[[SparkSession, str],
 
 
 
+# ---------------------------------------------------------------------------
+# session 17b: intervals, span_or, span_containing/within, search_after,
+# script_score
+# ---------------------------------------------------------------------------
+
+_POS_CTE_DUCK = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos FROM toks
+)"""
+
+# ordered intervals restated as the greedy chain: each link is the MIN
+# next-term position after the previous link (correlated min
+# subqueries), gap gate on (last - first) - (m - 1)
+_ORACLE_INTERVALS_DUCK = _POS_CTE_DUCK + """
+, c1 AS (
+  SELECT p0.doc_id, p0.pos AS s,
+         (SELECT min(p1.pos) FROM pos p1
+          WHERE p1.doc_id = p0.doc_id AND p1.term = 'table'
+            AND p1.pos > p0.pos) AS q1
+  FROM pos p0 WHERE p0.term = 'data'
+), c2 AS (
+  SELECT doc_id, s,
+         (SELECT min(p2.pos) FROM pos p2
+          WHERE p2.doc_id = c1.doc_id AND p2.term = 'query'
+            AND p2.pos > c1.q1) AS q2
+  FROM c1 WHERE q1 IS NOT NULL
+), m AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM c2 WHERE q2 IS NOT NULL AND q2 - s - 2 <= 8
+  GROUP BY doc_id
+)
+SELECT doc_id, n_matches FROM m
+ORDER BY n_matches DESC, doc_id ASC LIMIT 10"""
+
+_ORACLE_SPANOR_DUCK = _POS_CTE_DUCK + """
+, ph AS (
+  SELECT p0.doc_id, count(*) AS c
+  FROM pos p0 JOIN pos p1 ON p1.doc_id = p0.doc_id
+       AND p1.pos = p0.pos + 1
+  WHERE p0.term = 'data' AND p1.term = 'table'
+  GROUP BY p0.doc_id
+), tm AS (
+  SELECT doc_id, count(*) AS c FROM pos WHERE term = 'spark'
+  GROUP BY doc_id
+), u AS (
+  SELECT coalesce(ph.doc_id, tm.doc_id) AS doc_id,
+         coalesce(ph.c, 0) + coalesce(tm.c, 0) AS n
+  FROM ph FULL OUTER JOIN tm ON ph.doc_id = tm.doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_matches FROM u
+ORDER BY n_matches DESC, doc_id ASC LIMIT 10"""
+
+_SPAN_PAIRS_DUCK = """
+, sp AS (
+  SELECT a.doc_id, least(a.pos, b.pos) AS s, greatest(a.pos, b.pos) AS e
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id
+       AND abs(b.pos - a.pos) BETWEEN 1 AND 6
+  WHERE a.term = 'data' AND b.term = 'table'
+)"""
+
+_ORACLE_SPANCONTAINING_DUCK = _POS_CTE_DUCK + _SPAN_PAIRS_DUCK + """
+, m AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM sp
+  WHERE EXISTS (SELECT 1 FROM pos q
+                WHERE q.doc_id = sp.doc_id AND q.term = 'query'
+                  AND q.pos BETWEEN sp.s AND sp.e)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_matches FROM m
+ORDER BY n_matches DESC, doc_id ASC LIMIT 10"""
+
+_ORACLE_SPANWITHIN_DUCK = _POS_CTE_DUCK + _SPAN_PAIRS_DUCK + """
+, m AS (
+  SELECT q.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM pos q
+  WHERE q.term = 'query'
+    AND EXISTS (SELECT 1 FROM sp
+                WHERE sp.doc_id = q.doc_id
+                  AND q.pos BETWEEN sp.s AND sp.e)
+  GROUP BY q.doc_id
+)
+SELECT doc_id, n_matches FROM m
+ORDER BY n_matches DESC, doc_id ASC LIMIT 10"""
+
+_ORACLE_SEARCH_AFTER = """
+, r AS (SELECT doc_id, round(score, 4) AS score FROM scores)
+SELECT doc_id, score FROM r
+WHERE score < 0.5 OR (score = 0.5 AND doc_id > 0)
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+_ORACLE_SCRIPT_SCORE = """
+, r AS (
+  SELECT s.doc_id,
+         round(s.score * ln(1 + d.n_chars / 100.0), 4) AS score
+  FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT doc_id, score FROM r
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+
+def _r04s17b_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                    DataFrame]]:
+    def intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES intervals (ordered match, max_gaps=8): greedy minimal
+        # chains data -> table -> query
+        from index_spark.operators.phrase import intervals_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        return intervals_search(index, stats, "data table query",
+                                max_gaps=8, k=10, stem=False,
+                                camel=False, shard_size=256)
+
+    def spanor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Lucene SpanOr: phrase 'data table' union term 'spark'
+        from index_spark.operators.phrase import span_or_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        return span_or_search(index, stats, ["data table", "spark"],
+                              k=10, stem=False, camel=False,
+                              shard_size=256)
+
+    def spancontaining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Lucene SpanContaining: data~table pairs (slop 6) holding a
+        # 'query' occurrence inside the window
+        from index_spark.operators.phrase import span_containing_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        return span_containing_search(index, stats, "data", "table",
+                                      "query", slop=6, k=10, stem=False,
+                                      camel=False, shard_size=256)
+
+    def spanwithin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Lucene SpanWithin: 'query' occurrences sitting inside a
+        # data~table pair window (each occurrence counted once)
+        from index_spark.operators.phrase import span_within_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        return span_within_search(index, stats, "query", "data",
+                                  "table", slop=6, k=10, stem=False,
+                                  camel=False, shard_size=256)
+
+    def search_after_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES search_after: the page strictly after cursor (0.5, 0) in
+        # (score desc, doc_id asc) order
+        from index_spark.operators.query import search_after
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        return search_after(index, stats, "data table query",
+                            (0.5, 0), k=10, stem=False, camel=False,
+                            shard_size=256, round_at=4)
+
+    def script_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES script_score: organic BM25 rescaled by a length feature
+        from index_spark.operators.query import script_score_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        feats = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select("doc_id", "n_chars")
+        return script_score_search(index, stats, "data table", feats,
+                                   "score * ln(1 + n_chars / 100.0)",
+                                   k=10, stem=False, camel=False,
+                                   shard_size=256, round_at=4)
+
+    return {"intervals_topk": intervals_q, "spanor_topk": spanor_q,
+            "spancontaining_topk": spancontaining_q,
+            "spanwithin_topk": spanwithin_q,
+            "search_after_topk": search_after_q,
+            "script_score_topk": script_score_q}
+
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -7126,6 +7301,21 @@ ORDER BY event_id""")
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_BOOL_PREFIX,
                   [_terms_values_sql(["data"])]))
     add("spannot_topk", eng17["spannot_topk"], _ORACLE_SPANNOT_DUCK)
+
+    eng17b = _r04s17b_engine_queries()
+    add("intervals_topk", eng17b["intervals_topk"],
+        _ORACLE_INTERVALS_DUCK)
+    add("spanor_topk", eng17b["spanor_topk"], _ORACLE_SPANOR_DUCK)
+    add("spancontaining_topk", eng17b["spancontaining_topk"],
+        _ORACLE_SPANCONTAINING_DUCK)
+    add("spanwithin_topk", eng17b["spanwithin_topk"],
+        _ORACLE_SPANWITHIN_DUCK)
+    add("search_after_topk", eng17b["search_after_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_SEARCH_AFTER,
+                  [_terms_values_sql(FLAGSHIP_TERMS)]))
+    add("script_score_topk", eng17b["script_score_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_SCRIPT_SCORE,
+                  [_terms_values_sql(["data", "table"])]))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -595,3 +595,311 @@ def span_not_search(index: DataFrame, stats: dict | None, include: str,
         lambda pdf: _span_not_shard(pdf, inc_terms, exc_terms, pre, post,
                                     style_shift),
         k, tombstones, shard_size)
+
+
+def intervals_search(index: DataFrame, stats: dict | None, query: str,
+                     max_gaps: int = 0, k: int = 10, stem: bool = True,
+                     camel: bool = True, zone: str | None = None,
+                     tombstones: DataFrame | None = None,
+                     shard_size: int = 4096,
+                     style_shift: int = 0) -> DataFrame:
+    """ES ``intervals`` query, ordered ``match`` rule: the analyzed
+    terms must appear IN ORDER with at most ``max_gaps`` total
+    non-query tokens between the first and the last (max_gaps=0 is the
+    exact phrase; the phrase kernel stays the fast path for that).
+    Returns (doc_id, n_matches) where n_matches counts first-term
+    occurrences that BEGIN a valid ordered chain — the greedy
+    minimal-chain convention: from each start, each subsequent term
+    takes its EARLIEST occurrence after the previous link, which is
+    optimal for chain existence (any valid chain implies the greedy
+    one fits), so the count is exactly "starts with a match", a
+    deterministic engine-restatable pinning of Lucene's
+    minimal-interval semantics.
+
+    Same one-exchange positional plan as :func:`phrase_search`; the
+    chain walk is one vectorized searchsorted per query term over the
+    shard's occurrence arrays — no per-start loop."""
+    if max_gaps < 0:
+        raise ValueError(f"max_gaps must be >= 0, got {max_gaps}")
+    spark = index.sparkSession
+    qterms = tokenize(query, stem=stem, camel=camel)
+    if len(qterms) < 2:
+        raise ValueError("intervals needs >= 2 analyzed terms — use "
+                         "search for a single term")
+    hits = _zone_pinned(index, zone)
+    hits = hits.filter(F.col("term").isin(sorted(set(qterms))))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                              "n_matches": np.empty(0, np.int64)})
+        groups: dict[str, list] = {}
+        for r in pdf.itertuples(index=False):
+            groups.setdefault(r.term, []).append(r)
+        if any(t not in groups for t in qterms):
+            return empty
+        decoded = {t: _term_occurrences(rs, style_shift)
+                   for t, rs in groups.items()}
+        m = len(qterms)
+        doc_min = min(int(d.min()) for d, _ in decoded.values())
+        pos_cap = (max(int(p.max()) for _, p in decoded.values())
+                   + max_gaps + m + 2)
+        keyed = {}
+        for t in set(qterms):
+            docs, pos = decoded[t]
+            kk = (docs - doc_min) * pos_cap + pos
+            kk.sort()
+            keyed[t] = kk
+        start = keyed[qterms[0]]
+        cur = start
+        for t in qterms[1:]:
+            kt = keyed[t]
+            idx = np.searchsorted(kt, cur, side="right")
+            ok = idx < kt.size
+            nxt = kt[np.minimum(idx, kt.size - 1)]
+            # the next link must stay inside the same doc block
+            ok &= (nxt // pos_cap) == (cur // pos_cap)
+            start, cur = start[ok], nxt[ok]
+            if start.size == 0:
+                return empty
+        ok = (cur - start) - (m - 1) <= max_gaps
+        start = start[ok]
+        if start.size == 0:
+            return empty
+        match_docs = start // pos_cap + doc_min
+        ud, cnt = np.unique(match_docs, return_counts=True)
+        return pd.DataFrame({"doc_id": ud.astype(np.int64),
+                             "n_matches": cnt.astype(np.int64)})
+
+    return _local_positional_topk(index, hits, kernel, k, tombstones,
+                                  shard_size)
+
+
+def _clause_match_keys(decoded: dict, clause: list[str],
+                       pos_cap: int, doc_min: int) -> np.ndarray:
+    """One span_or clause's match-start composite keys: a 1-term
+    clause's occurrences, or the m-way phrase intersection (the
+    ``_phrase_shard`` key walk) for multi-term clauses.  Empty array
+    when any clause term is absent from this shard."""
+    if any(t not in decoded for t in clause):
+        return np.empty(0, np.int64)
+    keys: np.ndarray | None = None
+    for i, t in enumerate(clause):
+        docs, pos = decoded[t]
+        adj = pos - i
+        ok = adj >= 0
+        kk = (docs[ok] - doc_min) * pos_cap + adj[ok]
+        kk.sort()
+        keys = kk if keys is None else np.intersect1d(keys, kk,
+                                                      assume_unique=True)
+        if keys.size == 0:
+            break
+    return keys
+
+
+def span_or_search(index: DataFrame, stats: dict | None,
+                   clauses: list[str], k: int = 10, stem: bool = True,
+                   camel: bool = True, zone: str | None = None,
+                   tombstones: DataFrame | None = None,
+                   shard_size: int = 4096,
+                   style_shift: int = 0) -> DataFrame:
+    """Lucene ``SpanOrQuery``: the union of span clauses — each clause
+    a term or an exact phrase — ranked by total match count
+    (doc_id, n_matches = Σ per-clause matches).  Distinct clauses
+    starting at the same position both count (the Lucene union keeps
+    them; phrase starts are distinct positions within a clause by
+    construction).
+
+    One exchange: all clauses' terms share a single term-pruned
+    ``isin`` scan and each shard decodes every term once — c clauses
+    cost one pass, not c."""
+    spark = index.sparkSession
+    qclauses = [tokenize(c, stem=stem, camel=camel) for c in clauses]
+    qclauses = [c for c in qclauses if c]
+    if not qclauses:
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    all_terms = sorted({t for c in qclauses for t in c})
+    hits = _zone_pinned(index, zone)
+    hits = hits.filter(F.col("term").isin(all_terms))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                              "n_matches": np.empty(0, np.int64)})
+        groups: dict[str, list] = {}
+        for r in pdf.itertuples(index=False):
+            groups.setdefault(r.term, []).append(r)
+        decoded = {t: _term_occurrences(rs, style_shift)
+                   for t, rs in groups.items()}
+        if not decoded:
+            return empty
+        mmax = max(len(c) for c in qclauses)
+        doc_min = min(int(d.min()) for d, _ in decoded.values())
+        pos_cap = (max(int(p.max()) for _, p in decoded.values())
+                   + mmax + 2)
+        per_doc: dict[int, int] = {}
+        for clause in qclauses:
+            keys = _clause_match_keys(decoded, clause, pos_cap, doc_min)
+            if keys.size == 0:
+                continue
+            docs = keys // pos_cap + doc_min
+            ud, cnt = np.unique(docs, return_counts=True)
+            for d, c in zip(ud, cnt):
+                per_doc[int(d)] = per_doc.get(int(d), 0) + int(c)
+        if not per_doc:
+            return empty
+        ud = np.fromiter(sorted(per_doc), np.int64, count=len(per_doc))
+        return pd.DataFrame({
+            "doc_id": ud,
+            "n_matches": np.fromiter((per_doc[int(d)] for d in ud),
+                                     np.int64, count=ud.size)})
+
+    return _local_positional_topk(index, hits, kernel, k, tombstones,
+                                  shard_size)
+
+
+def _near_pair_spans(ka: np.ndarray, kb: np.ndarray, slop: int,
+                     pos_cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """All unordered near-pair spans between two DISTINCT terms'
+    composite-key occurrence arrays: pairs with ``1 <= |pos diff| <=
+    slop`` in the same doc block, returned as (start_key, end_key)
+    arrays.  Vectorized: per b-occurrence the a-window resolves with
+    two searchsorteds, then one repeat/arange expansion."""
+    lo_i = np.searchsorted(ka, kb - slop, side="left")
+    hi_i = np.searchsorted(ka, kb + slop, side="right")
+    cnt = hi_i - lo_i
+    keep = cnt > 0
+    if not keep.any():
+        e = np.empty(0, np.int64)
+        return e, e
+    kb_k, lo_k, cnt_k = kb[keep], lo_i[keep], cnt[keep]
+    # grouped arange: indices of each b's matching a-occurrences
+    total = int(cnt_k.sum())
+    offs = np.concatenate(([0], np.cumsum(cnt_k)[:-1]))
+    idx = np.arange(total) - np.repeat(offs, cnt_k) + np.repeat(lo_k,
+                                                                cnt_k)
+    a_k = ka[idx]
+    b_k = np.repeat(kb_k, cnt_k)
+    # same doc block only (the slop window can cross block edges)
+    ok = (a_k // pos_cap) == (b_k // pos_cap)
+    a_k, b_k = a_k[ok], b_k[ok]
+    return np.minimum(a_k, b_k), np.maximum(a_k, b_k)
+
+
+def _span_pair_gate(index: DataFrame, term_a: str, term_b: str,
+                    little: str, slop: int, k: int, stem: bool,
+                    camel: bool, zone: str | None,
+                    tombstones: DataFrame | None, shard_size: int,
+                    style_shift: int, mode: str) -> DataFrame:
+    """Shared kernel for span_containing / span_within over a
+    near-pair big span: enumerate unordered (term_a, term_b) pairs
+    within ``slop``, then gate on the little term's occurrences —
+    ``mode='containing'`` counts BIG spans holding >= 1 little
+    occurrence (endpoints inclusive); ``mode='within'`` counts LITTLE
+    occurrences covered by >= 1 big span (each little occurrence
+    counts once however many spans cover it)."""
+    spark = index.sparkSession
+    ta = tokenize(term_a, stem=stem, camel=camel)
+    tb = tokenize(term_b, stem=stem, camel=camel)
+    tl = tokenize(little, stem=stem, camel=camel)
+    if not (len(ta) == len(tb) == len(tl) == 1):
+        raise ValueError("span big/little clauses must each analyze "
+                         "to exactly one term")
+    ta, tb, tl = ta[0], tb[0], tl[0]
+    if ta == tb:
+        raise ValueError("the near-pair terms must be distinct")
+    if slop < 1:
+        raise ValueError(f"slop must be >= 1, got {slop}")
+    hits = _zone_pinned(index, zone)
+    hits = hits.filter(F.col("term").isin(sorted({ta, tb, tl})))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                              "n_matches": np.empty(0, np.int64)})
+        groups: dict[str, list] = {}
+        for r in pdf.itertuples(index=False):
+            groups.setdefault(r.term, []).append(r)
+        if any(t not in groups for t in (ta, tb, tl)):
+            return empty
+        decoded = {t: _term_occurrences(rs, style_shift)
+                   for t, rs in groups.items()}
+        doc_min = min(int(d.min()) for d, _ in decoded.values())
+        pos_cap = (max(int(p.max()) for _, p in decoded.values())
+                   + slop + 2)
+
+        def keyed(t: str) -> np.ndarray:
+            docs, pos = decoded[t]
+            kk = (docs - doc_min) * pos_cap + pos
+            kk.sort()
+            return kk
+
+        ka, kb, kl = keyed(ta), keyed(tb), keyed(tl)
+        s, e = _near_pair_spans(ka, kb, slop, pos_cap)
+        if s.size == 0:
+            return empty
+        if mode == "containing":
+            has = (np.searchsorted(kl, s, side="left")
+                   < np.searchsorted(kl, e, side="right"))
+            kept = s[has]
+            if kept.size == 0:
+                return empty
+            match_docs = kept // pos_cap + doc_min
+        else:  # within: little occurrences covered by >= 1 span
+            order = np.argsort(s, kind="stable")
+            s_sorted, e_sorted = s[order], e[order]
+            reach = np.maximum.accumulate(e_sorted)
+            j = np.searchsorted(s_sorted, kl, side="right") - 1
+            covered = (j >= 0) & (reach[np.maximum(j, 0)] >= kl)
+            kept = kl[covered]
+            if kept.size == 0:
+                return empty
+            match_docs = kept // pos_cap + doc_min
+        ud, cnt = np.unique(match_docs, return_counts=True)
+        return pd.DataFrame({"doc_id": ud.astype(np.int64),
+                             "n_matches": cnt.astype(np.int64)})
+
+    return _local_positional_topk(index, hits, kernel, k, tombstones,
+                                  shard_size)
+
+
+def span_containing_search(index: DataFrame, stats: dict | None,
+                           term_a: str, term_b: str, little: str,
+                           slop: int = 5, k: int = 10,
+                           stem: bool = True, camel: bool = True,
+                           zone: str | None = None,
+                           tombstones: DataFrame | None = None,
+                           shard_size: int = 4096,
+                           style_shift: int = 0) -> DataFrame:
+    """Lucene ``SpanContainingQuery``: BIG spans — unordered
+    (term_a, term_b) near-pairs within ``slop`` — that CONTAIN at
+    least one occurrence of ``little`` (endpoints inclusive).
+    (doc_id, n_matches) counts qualifying big spans.  "data near
+    table, with query mentioned inside the window" — context-anchored
+    co-occurrence that plain proximity can't express.
+
+    One exchange of the three terms' term-pruned rows; pair
+    enumeration is slop-bounded (≤ 2·slop pairs per occurrence), and
+    the containment gate is two searchsorteds."""
+    return _span_pair_gate(index, term_a, term_b, little, slop, k, stem,
+                           camel, zone, tombstones, shard_size,
+                           style_shift, "containing")
+
+
+def span_within_search(index: DataFrame, stats: dict | None,
+                       little: str, term_a: str, term_b: str,
+                       slop: int = 5, k: int = 10, stem: bool = True,
+                       camel: bool = True, zone: str | None = None,
+                       tombstones: DataFrame | None = None,
+                       shard_size: int = 4096,
+                       style_shift: int = 0) -> DataFrame:
+    """Lucene ``SpanWithinQuery``: LITTLE spans (occurrences of
+    ``little``) that sit inside at least one BIG span — an unordered
+    (term_a, term_b) near-pair within ``slop``.  The dual of
+    :func:`span_containing_search`: n_matches counts little
+    occurrences (each once, however many big spans cover it), so a doc
+    where 'query' appears 3× inside data∼table windows scores 3.
+
+    The coverage test is interval stabbing without a join: spans
+    sorted by start, running max of ends, one searchsorted per little
+    occurrence — O((pairs + little) log pairs) per shard."""
+    return _span_pair_gate(index, term_a, term_b, little, slop, k, stem,
+                           camel, zone, tombstones, shard_size,
+                           style_shift, "within")
