@@ -6834,6 +6834,92 @@ def _r04s17b_engine_queries() -> dict[str, Callable[[SparkSession, str],
 
 
 
+# ---------------------------------------------------------------------------
+# session 17c: Damerau fuzzy (Lucene transpositions), ES index_phrases
+# ---------------------------------------------------------------------------
+
+# Damerau fuzzy restated: the expansion CTE swaps levenshtein for
+# damerau_levenshtein (same length band, df-desc/term-asc rank, cap 8)
+_ORACLE_FUZZY_DL = """
+, cand AS (
+  SELECT d.term, d.df, q.term AS qterm
+  FROM dft d JOIN q ON abs(length(d.term) - length(q.term)) <= 1
+   AND damerau_levenshtein(d.term, q.term) <= 1
+), q2 AS (
+  SELECT DISTINCT term FROM (
+    SELECT term, row_number() OVER (
+      PARTITION BY qterm ORDER BY df DESC, term ASC) AS rn
+    FROM cand) r WHERE rn <= 8
+), fscores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q2 ON tf.term = q2.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+), top AS (SELECT doc_id, score FROM fscores ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
+
+# index_phrases restated: the shingle term's tf IS the adjacent-pair
+# count, so the oracle is the plain adjacency count
+_ORACLE_INDEXED_PHRASE = _POS_CTE_DUCK + """
+, m AS (
+  SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM pos p0 JOIN pos p1 ON p1.doc_id = p0.doc_id
+       AND p1.pos = p0.pos + 1
+  WHERE p0.term = 'data' AND p1.term = 'table'
+  GROUP BY p0.doc_id
+)
+SELECT doc_id, n_matches FROM m
+ORDER BY n_matches DESC, doc_id ASC LIMIT 10"""
+
+_SHINGLE_CACHE: dict = {}
+
+
+def _shingle_build(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _SHINGLE_CACHE:
+        from index_spark.operators.build import build_index
+        from index_spark.operators.phrase import shingle_corpus
+
+        corpus = shingle_corpus(_parity_corpus(spark, sf_dir))
+        docs, index, stats = build_index(corpus, stem=False, camel=False,
+                                         shard_size=256)
+        _SHINGLE_CACHE[sf_dir] = (docs, index.persist(), stats)
+    return _SHINGLE_CACHE[sf_dir]
+
+
+def _r04s17c_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                    DataFrame]]:
+    def fuzzy_dl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Lucene default fuzziness (transpositions): 'tabel' reaches
+        # 'table' at DL 1 (invisible to plain levenshtein <= 1)
+        from index_spark.operators.query import search_fuzzy
+        from index_spark.plans.dictionary import dictionary_from_index
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        top = search_fuzzy(index, docs, stats, "tabel dat", k=10,
+                           max_dist=1, max_expansions=8,
+                           transpositions=True, stem=False, camel=False,
+                           shard_size=256,
+                           dictionary=dictionary_from_index(index))
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    def indexed_phrase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES index_phrases: the bigram phrase as ONE shingle-term
+        # lookup against a shingle_corpus build
+        from index_spark.operators.phrase import indexed_phrase_search
+
+        _, index, stats = _shingle_build(spark, sf_dir)
+        return indexed_phrase_search(index, stats, "data table", k=10)
+
+    return {"fuzzy_dl_topk": fuzzy_dl_q,
+            "indexed_phrase_topk": indexed_phrase_q}
+
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -7316,6 +7402,13 @@ ORDER BY event_id""")
     add("script_score_topk", eng17b["script_score_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_SCRIPT_SCORE,
                   [_terms_values_sql(["data", "table"])]))
+
+    eng17c = _r04s17c_engine_queries()
+    add("fuzzy_dl_topk", eng17c["fuzzy_dl_topk"],
+        _docs_sql("duck", _ORACLE_FUZZY_DL,
+                  [_terms_values_sql(["dat", "tabel"])]))
+    add("indexed_phrase_topk", eng17c["indexed_phrase_topk"],
+        _ORACLE_INDEXED_PHRASE)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

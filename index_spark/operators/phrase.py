@@ -903,3 +903,92 @@ def span_within_search(index: DataFrame, stats: dict | None,
     return _span_pair_gate(index, term_a, term_b, little, slop, k, stem,
                            camel, zone, tombstones, shard_size,
                            style_shift, "within")
+
+
+# --------------------------------------------------------------------------
+# ES `index_phrases`: index-time bigram shingles so 2-token phrase
+# queries become single-term lookups (no positional intersection at all)
+# --------------------------------------------------------------------------
+
+_FNV64_OFFSET = 14695981039346656037
+_FNV64_PRIME = 1099511628211
+
+
+def phrase_term(a: str, b: str) -> str:
+    """The shingle term for an adjacent token pair: FNV-1a 64 of
+    ``a + '\\x00' + b`` as 16 lowercase hex chars — a pure [a-z0-9]+
+    token, so it flows through the standard analyzer unchanged.  A
+    64-bit space makes cross-pair collisions negligible (~n²/2⁶⁵), and
+    a collision only ever ADDS a candidate, mirroring ES's acceptance
+    of analyzer-level shingle collisions."""
+    h = _FNV64_OFFSET
+    for byte in (a + "\x00" + b).encode():
+        h = (h ^ byte) * _FNV64_PRIME % (1 << 64)
+    return format(h, "016x")
+
+
+def shingle_corpus(corpus: DataFrame, text_col: str = "content",
+                   stem: bool = False, camel: bool = False) -> DataFrame:
+    """ES ``index_phrases: true`` build-side transform: replace each
+    document's text with the space-joined shingle terms of its adjacent
+    analyzed-token pairs, ready for a NORMAL :func:`~index_spark.
+    operators.build.build_index` run (no positions needed) — the
+    resulting index maps each bigram to a posting list whose tf IS the
+    per-doc adjacent-pair count.
+
+    Arrow-batched mapInPandas, one pass; the downstream build is
+    unchanged, so the shingle index shares every lifecycle feature
+    (merge, compaction, serving tables) with the primary index."""
+    from index_spark.functions.text import tokenize as tok
+
+    schema = corpus.schema
+
+    def fn(batches):
+        for pdf in batches:
+            shingled = []
+            for txt in pdf[text_col]:
+                toks = tok(txt or "", stem=stem, camel=camel)
+                shingled.append(" ".join(
+                    phrase_term(a, b) for a, b in zip(toks, toks[1:])))
+            pdf = pdf.copy()
+            pdf[text_col] = shingled
+            yield pdf
+
+    return corpus.mapInPandas(fn, schema)
+
+
+def indexed_phrase_search(index: DataFrame, stats: dict | None,
+                          phrase: str, k: int = 10, stem: bool = False,
+                          camel: bool = False,
+                          shard_size: int = 4096) -> DataFrame:
+    """Query side of ES ``index_phrases``: a 2-token phrase against a
+    :func:`shingle_corpus`-built index is ONE term lookup — the
+    shingle term's tf is exactly the adjacent-pair count, so
+    (doc_id, n_matches) matches :func:`phrase_search` on a positional
+    index with no position decode, no intersection, and a term-pruned
+    scan of a single posting list.  This is the ES fast path and, like
+    ES, it only accelerates bigrams — longer phrases raise (run them
+    against the positional index).
+
+    Plan: one ``isin`` posting-list read + an Arrow batch decode of
+    (doc deltas, tfs) + the k-row TakeOrdered."""
+    from index_spark.functions.text import tokenize as tok
+
+    spark = index.sparkSession
+    qterms = tok(phrase, stem=stem, camel=camel)
+    if len(qterms) != 2:
+        raise ValueError("index_phrases accelerates exactly 2-token "
+                         "phrases; use phrase_search for others")
+    t = phrase_term(qterms[0], qterms[1])
+    hits = index.filter(F.col("term") == t) \
+        .select("doc_blob", "tf_blob")
+
+    def fn(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                docs = np.cumsum(vb.decode(r.doc_blob).astype(np.int64))
+                tfs = vb.decode(r.tf_blob).astype(np.int64)
+                yield pd.DataFrame({"doc_id": docs, "n_matches": tfs})
+
+    out = hits.mapInPandas(fn, PHRASE_SCHEMA)
+    return out.orderBy(F.desc("n_matches"), F.asc("doc_id")).limit(k)

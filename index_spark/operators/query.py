@@ -1716,11 +1716,50 @@ def term_prefix_stats(index: DataFrame | None, prefix: str, limit: int = 20,
             .orderBy(F.asc("term")).limit(limit))
 
 
+def damerau_distance(a: str, b: str) -> int:
+    """Unrestricted Damerau–Levenshtein distance (Lowrance–Wagner): the
+    Levenshtein edits plus adjacent transposition at cost 1, with NO
+    edited-substring restriction — the metric DuckDB's
+    ``damerau_levenshtein`` computes, so oracles restate it exactly.
+    (Lucene's fuzzy automaton uses the restricted OSA variant; the two
+    coincide everywhere at distance ≤ 1 and differ only when an edited
+    substring is edited again.)"""
+    la, lb = len(a), len(b)
+    maxd = la + lb
+    h = [[maxd] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        h[i + 1][1] = i
+    for j in range(lb + 1):
+        h[1][j + 1] = j
+    last_row: dict[str, int] = {}
+    for i in range(1, la + 1):
+        last_col = 0
+        for j in range(1, lb + 1):
+            k = last_row.get(b[j - 1], 0)
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            h[i + 1][j + 1] = min(
+                h[i][j] + cost,          # substitute / match
+                h[i + 1][j] + 1,         # insert
+                h[i][j + 1] + 1,         # delete
+                h[k][last_col] + (i - k - 1) + 1 + (j - last_col - 1))
+            if cost == 0:
+                last_col = j
+        last_row[a[i - 1]] = i
+    return h[la + 1][lb + 1]
+
+
+@F.pandas_udf(T.IntegerType())
+def _damerau_udf(t: pd.Series, q: pd.Series) -> pd.Series:
+    return pd.Series([damerau_distance(a, b) for a, b in zip(t, q)],
+                     dtype="int32")
+
+
 def fuzzy_expand(index: DataFrame | None, qterms: list[str],
                  max_dist: int = 1, max_expansions: int = 8,
                  zone: str | None = None,
                  dictionary: DataFrame | None = None,
-                 trigram: DataFrame | None = None
+                 trigram: DataFrame | None = None,
+                 transpositions: bool = False
                  ) -> dict[str, list[str]]:
     """Expand query terms to dictionary terms within Levenshtein
     distance ``max_dist``, at most ``max_expansions`` per query term
@@ -1754,13 +1793,28 @@ def fuzzy_expand(index: DataFrame | None, qterms: list[str],
     query-term relation is broadcast into a nested-loop join (it is
     |query| rows). The per-query-term rank is a window over that bounded
     candidate set, and only qterms x max_expansions rows reach the
-    driver."""
+    driver.
+
+    ``transpositions=True`` matches by unrestricted Damerau–Levenshtein
+    (:func:`damerau_distance` — Lucene's default fuzziness treats an
+    adjacent swap as ONE edit): the cheap JVM prefilters widen to the
+    provable bound (a transposition costs 2 plain-Levenshtein edits, so
+    DL ≤ d ⇒ lev ≤ 2d; the length band is unchanged), then the exact DL
+    gate runs as an Arrow-batched UDF over only that bounded candidate
+    set."""
     from pyspark.sql import Window
 
     from index_spark.operators.build import DOC_MARKER
 
     if not qterms:
         return {}
+    lev_bound = 2 * max_dist if transpositions else max_dist
+
+    def _exact_gate(pairs_df):
+        if not transpositions:
+            return pairs_df
+        return pairs_df.filter(
+            _damerau_udf(F.col("term"), F.col("qterm")) <= max_dist)
     if trigram is not None:
         from index_spark.plans.trigram import count_filter_bound, qgrams
 
@@ -1781,9 +1835,10 @@ def fuzzy_expand(index: DataFrame | None, qterms: list[str],
                       F.first("df").alias("df_g"))
                  .filter(F.col("n_common") >=
                          count_filter_bound(F.col("qlen"), F.col("length"),
-                                            max_dist))
+                                            lev_bound))
                  .filter(F.levenshtein(F.col("term"), F.col("qterm"))
-                         <= max_dist))
+                         <= lev_bound))
+        pairs = _exact_gate(pairs)
         w = Window.partitionBy("qterm").orderBy(F.desc("df_g"),
                                                 F.asc("term"))
         rows = (pairs.withColumn("rn", F.row_number().over(w))
@@ -1796,7 +1851,7 @@ def fuzzy_expand(index: DataFrame | None, qterms: list[str],
     lens = [len(t) for t in qterms]
     near_any = None
     for t in qterms:
-        c = F.levenshtein(F.col("term"), F.lit(t)) <= max_dist
+        c = F.levenshtein(F.col("term"), F.lit(t)) <= lev_bound
         near_any = c if near_any is None else (near_any | c)
     if dictionary is not None:
         spark = dictionary.sparkSession
@@ -1813,9 +1868,9 @@ def fuzzy_expand(index: DataFrame | None, qterms: list[str],
         cand = (index.filter((F.col("term") != DOC_MARKER) & band & near_any)
                 .groupBy("term").agg(F.sum("df").alias("df_g")))
     qdf = spark.createDataFrame([(t,) for t in qterms], "qterm string")
-    pairs = cand.join(
+    pairs = _exact_gate(cand.join(
         F.broadcast(qdf),
-        F.levenshtein(F.col("term"), F.col("qterm")) <= max_dist)
+        F.levenshtein(F.col("term"), F.col("qterm")) <= lev_bound))
     w = Window.partitionBy("qterm").orderBy(F.desc("df_g"), F.asc("term"))
     rows = (pairs.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= max_expansions)
@@ -1891,7 +1946,8 @@ def search_fuzzy(index: DataFrame, docs: DataFrame | None, stats: dict,
                  zone: str | None = None, mode: str = "or",
                  exclude: str | None = None,
                  dictionary: DataFrame | None = None,
-                 trigram: DataFrame | None = None, **kw) -> DataFrame:
+                 trigram: DataFrame | None = None,
+                 transpositions: bool = False, **kw) -> DataFrame:
     """Typo-tolerant top-k BM25: each query term expands to its
     edit-distance neighborhood in the index dictionary
     (:func:`fuzzy_expand`; pass ``dictionary`` — the compacted term
@@ -1912,13 +1968,18 @@ def search_fuzzy(index: DataFrame, docs: DataFrame | None, stats: dict,
     (the inner search runs stem=False because expanded terms are already
     dictionary tokens — exclusions must not skip stemming with it).
 
+    ``transpositions=True`` expands by Damerau–Levenshtein (an adjacent
+    swap = ONE edit, Lucene's default fuzziness) — see
+    :func:`fuzzy_expand`.
+
     Two jobs total: the bounded dictionary-expansion lookup, then the
     one-exchange scoring plan of :func:`search`."""
     spark = index.sparkSession
     qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
     exp = fuzzy_expand(index, qterms, max_dist=max_dist,
                        max_expansions=max_expansions, zone=zone,
-                       dictionary=dictionary, trigram=trigram)
+                       dictionary=dictionary, trigram=trigram,
+                       transpositions=transpositions)
     terms = sorted({t for v in exp.values() for t in v})
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
