@@ -3731,6 +3731,13 @@ def match_bool_prefix_search(index: DataFrame, stats: dict, query: str,
     from index_spark.operators.analytics import matching_docs
     from index_spark.operators.phrase import expand_prefix
 
+    if kw.get("mode") == "and":
+        # ES operator=and makes every clause required INCLUDING the
+        # prefix; the optional-prefix combine below would silently relax
+        # it (the fuzzy mode='and' lesson) — implement when needed
+        raise ValueError("match_bool_prefix supports mode='or' only: "
+                         "with operator=and ES requires the prefix "
+                         "clause too, which this combine does not model")
     spark = index.sparkSession
     qterms = tokenize(query, stem=stem, camel=camel)
     if not qterms:
@@ -3826,6 +3833,11 @@ def script_score_search(index: DataFrame, stats: dict, query: str,
                                    camel=camel, shard_size=shard_size,
                                    zone=zone, **kw)
     if features is not None:
+        clash = [c for c in features.columns if c == "score"]
+        if clash:
+            raise ValueError("features must not carry a 'score' column "
+                             "— it would shadow the organic score the "
+                             "script references")
         local = local.join(features, "doc_id", "left")
     sc = F.expr(script).cast("double")
     if round_at is not None:

@@ -487,12 +487,17 @@ def normalize_buckets(buckets: DataFrame, value_col: str = "sum_value",
         out = (out.withColumn("_smax", mx)
                .withColumn("_expsum",
                            F.sum(F.exp(v - F.col("_smax"))).over(w)))
+    # a constant series has max == min (and stddev 0): pin the
+    # range-scaled methods to 0.0 there instead of NULL/inf so single-
+    # bucket series stay well-defined (same CASE in any oracle)
+    rng = F.when(mx != mn, mx - mn)
     formulas = {
-        "rescale_0_1": (v - mn) / (mx - mn),
-        "rescale_0_100": (v - mn) / (mx - mn) * 100.0,
+        "rescale_0_1": F.coalesce((v - mn) / rng, F.lit(0.0)),
+        "rescale_0_100": F.coalesce((v - mn) / rng * 100.0, F.lit(0.0)),
         "percent_of_sum": v / total,
-        "mean": (v - mean) / (mx - mn),
-        "z-score": (v - mean) / sd,
+        "mean": F.coalesce((v - mean) / rng, F.lit(0.0)),
+        "z-score": F.coalesce((v - mean) / F.when(sd != 0.0, sd),
+                              F.lit(0.0)),
         "softmax": (F.exp(v - F.col("_smax")) / F.col("_expsum")),
     }
     for m in ms:

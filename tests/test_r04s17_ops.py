@@ -282,3 +282,27 @@ def test_span_not_requires_exclude(positional_ix):
     with pytest.raises(ValueError, match="exclude"):
         span_not_search(index, stats, "data table", "", stem=False,
                         camel=False)
+
+
+def test_normalize_constant_series_pinned_zero(spark):
+    from index_spark.operators.temporal import normalize_buckets
+
+    rows = [("c", f"2024-01-0{i+1}", 7.0) for i in range(3)]
+    df = spark.createDataFrame(rows, "key string, bucket string, "
+                                     "sum_value double") \
+        .withColumn("bucket", F.to_timestamp("bucket"))
+    out = normalize_buckets(df, value_col="sum_value", by=["key"],
+                            methods=["rescale_0_1", "mean",
+                                     "z-score"]).collect()
+    for r in out:  # constant series: range/stddev are 0 -> pinned 0.0
+        assert r.rescale_0_1 == 0.0 and r.mean == 0.0
+        assert r["z_score"] == 0.0
+
+
+def test_match_bool_prefix_rejects_and_mode(positional_ix):
+    from index_spark.operators.query import match_bool_prefix_search
+
+    docs, index, stats = positional_ix
+    with pytest.raises(ValueError, match="mode='or' only"):
+        match_bool_prefix_search(index, stats, "data tab", mode="and",
+                                 stem=False, camel=False)

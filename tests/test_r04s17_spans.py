@@ -227,3 +227,13 @@ def test_script_score_missing_feature_null(span_ix):
                               stem=False, camel=False, shard_size=16,
                               round_at=4).collect()
     assert len(out) >= 2  # featureless docs still rank via coalesce
+
+
+def test_script_score_rejects_score_feature(span_ix):
+    from index_spark.operators.query import script_score_search
+
+    docs, index, stats = span_ix
+    feats = docs.select("doc_id", F.lit(1.0).alias("score"))
+    with pytest.raises(ValueError, match="'score' column"):
+        script_score_search(index, stats, "data", feats, "score * 2",
+                            stem=False, camel=False)
