@@ -6920,6 +6920,95 @@ def _r04s17c_engine_queries() -> dict[str, Callable[[SparkSession, str],
 
 
 
+# ---------------------------------------------------------------------------
+# session 17d: frequent_item_sets (pairs), top_metrics, rate agg
+# ---------------------------------------------------------------------------
+
+_ORACLE_FREQ_PAIRS = """
+WITH ti AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) || '_'
+         || strftime(date_trunc('day', ts), '%Y%m%d') AS t,
+         event_type AS i
+  FROM events
+), n AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS n_txn FROM ti),
+fi AS (
+  SELECT i FROM ti GROUP BY i
+  HAVING count(*) >= 0.1 * (SELECT n_txn FROM n)
+), pr AS (SELECT ti.t, ti.i FROM ti JOIN fi USING (i)),
+pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b,
+         CAST(count(*) AS BIGINT) AS doc_count
+  FROM pr a JOIN pr b ON a.t = b.t AND a.i < b.i
+  GROUP BY a.i, b.i
+)
+SELECT item_a, item_b, doc_count,
+       round(doc_count / (SELECT n_txn FROM n), 4) AS support
+FROM pairs
+WHERE doc_count / (SELECT n_txn FROM n) >= 0.1
+ORDER BY support DESC, item_a ASC, item_b ASC LIMIT 10"""
+
+_ORACLE_TOP_METRICS = """
+WITH r AS (
+  SELECT lang, n_chars, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT lang, round(CAST(n_chars AS DOUBLE), 4) AS sort,
+       round(CAST(doc_id AS DOUBLE), 4) AS doc_id
+FROM r WHERE rn = 1 ORDER BY lang"""
+
+_ORACLE_RATE = """
+WITH g AS (
+  SELECT event_type, date_trunc('week', ts) AS bucket,
+         CAST(count(*) AS DOUBLE) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket, round(total, 4) AS total,
+       round(total / ((epoch(bucket + INTERVAL 1 WEEK)
+                       - epoch(bucket)) / 86400.0), 4) AS rate_per_day
+FROM g ORDER BY event_type, bucket"""
+
+
+def _r04s17d_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                    DataFrame]]:
+    def freq_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES frequent_item_sets (pair level): baskets = (user, day),
+        # items = event types; Apriori prune then txn self-join
+        from index_spark.operators.analytics import frequent_item_pairs
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        tx = ev.select(
+            F.concat(F.col("user_id").cast("string"), F.lit("_"),
+                     F.date_format(F.date_trunc("day", "ts"),
+                                   "yyyyMMdd")).alias("txn"),
+            "event_type")
+        return frequent_item_pairs(tx, "txn", "event_type",
+                                   min_support=0.1, size=10)
+
+    def top_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES top_metrics: per lang the doc_id metric at max n_chars
+        # (first-metric asc tiebreak pins engine-independent ties)
+        from index_spark.operators.analytics import top_metrics
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return top_metrics(docs, "lang", "n_chars", ["doc_id"])
+
+    def rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES rate agg: weekly buckets scaled to per-day rates (actual
+        # bucket span, the ES calendar rule)
+        from index_spark.operators.analytics import rate_agg
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return rate_agg(ev, unit="day", interval="week",
+                        by=["event_type"])
+
+    return {"frequent_pairs": freq_pairs_q,
+            "top_metrics_facet": top_metrics_q,
+            "events_rate": rate_q}
+
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -7409,6 +7498,12 @@ ORDER BY event_id""")
                   [_terms_values_sql(["dat", "tabel"])]))
     add("indexed_phrase_topk", eng17c["indexed_phrase_topk"],
         _ORACLE_INDEXED_PHRASE)
+
+    eng17d = _r04s17d_engine_queries()
+    add("frequent_pairs", eng17d["frequent_pairs"], _ORACLE_FREQ_PAIRS)
+    add("top_metrics_facet", eng17d["top_metrics_facet"],
+        _ORACLE_TOP_METRICS)
+    add("events_rate", eng17d["events_rate"], _ORACLE_RATE)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

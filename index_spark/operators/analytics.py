@@ -1240,3 +1240,108 @@ def filters_facet(df: DataFrame, filters: dict[str, str],
         pairs.append(F.struct(*fields))
     return (wide.select(F.explode(F.array(*pairs)).alias("b"))
             .select("b.*").orderBy("filter"))
+
+
+def frequent_item_pairs(df: DataFrame, txn_col: str, item_col: str,
+                        min_support: float = 0.1,
+                        size: int = 10) -> DataFrame:
+    """ES ``frequent_item_sets`` aggregation, pair form (Apriori level
+    2 — ES's own FP-growth caps the set size; pairs are the level
+    analysts read): co-occurring DISTINCT item pairs across
+    transactions with support ≥ ``min_support`` (fraction of all
+    transactions containing both), top ``size`` by (support desc,
+    items asc).
+
+    Distributed Apriori shape: (1) dedupe to the distinct
+    (transaction, item) relation — one groupBy; (2) count items,
+    prune below min_support (the Apriori monotonicity cut: a pair
+    can't beat a support its items don't reach) and BROADCAST the
+    bounded frequent-item set; (3) self-join the pruned relation on
+    the transaction key (a < b, so each pair once); (4) count pairs,
+    filter, top-k.  The self-join's per-transaction fan-out is
+    |frequent items in txn|² — bounded by the support prune, the
+    reason Apriori survives at scale where a naive all-pairs join
+    would not."""
+    if not 0.0 < min_support <= 1.0:
+        raise ValueError(
+            f"min_support must be in (0, 1], got {min_support}")
+    t, it = F.col(txn_col), F.col(item_col)
+    txn_items = df.select(t.alias("_t"), it.alias("_i")).distinct()
+    n_txn = txn_items.select("_t").distinct().count()
+    floor = min_support * n_txn
+    freq = (txn_items.groupBy("_i")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= floor)
+            .select("_i"))
+    pruned = txn_items.join(F.broadcast(freq), "_i").select("_t", "_i")
+    a = pruned.select("_t", F.col("_i").alias("item_a"))
+    b = pruned.select("_t", F.col("_i").alias("item_b"))
+    pairs = (a.join(b, "_t")
+             .filter(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count(F.lit(1)).alias("doc_count")))
+    ratio = F.col("doc_count") / F.lit(float(n_txn))
+    out = (pairs
+           .filter(ratio >= min_support)  # unrounded, oracle-identical
+           .withColumn("support", F.round(ratio, 4))
+           .orderBy(F.desc("support"), F.asc("item_a"),
+                    F.asc("item_b"))
+           .limit(size))
+    return out
+
+
+def top_metrics(df: DataFrame, by: str, sort_col: str,
+                metric_cols: list[str], ascending: bool = False,
+                round_at: int = 4) -> DataFrame:
+    """ES ``top_metrics`` aggregation: per bucket, the metric columns
+    of the single row with the best ``sort_col`` (max by default, min
+    with ``ascending``); deterministic under sort ties via the first
+    metric column as tiebreak.  One bucket-key window pass with rows
+    past rank 1 dropped map-side (same shape as ``top_hits`` n=1, but
+    returning a metric row, the ES distinction)."""
+    if not metric_cols:
+        raise ValueError("metric_cols must be non-empty")
+    s = F.col(sort_col)
+    order = [s.asc() if ascending else s.desc()] + \
+        [F.col(c).asc() for c in metric_cols]
+    w = Window.partitionBy(by).orderBy(*order)
+    out = (df.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1)
+           .select(by, F.round(s.cast("double"), round_at).alias("sort"),
+                   *[F.round(F.col(c).cast("double"), round_at)
+                     .alias(c) for c in metric_cols]))
+    return out.orderBy(by)
+
+
+def rate_agg(events: DataFrame, unit: str = "day",
+             interval: str = "month", ts_col: str = "ts",
+             value_col: str | None = None,
+             by: list[str] | None = None,
+             round_at: int = 4) -> DataFrame:
+    """ES ``rate`` aggregation: per date-histogram bucket, the event
+    count (or sum of ``value_col``) RE-SCALED to a per-``unit`` rate —
+    rate = bucket_total / (bucket_span / unit_span), with the ES
+    calendar rule pinned to the bucket's ACTUAL span (a 31-day month
+    divides by 31 when unit='day').  One groupBy; the span arithmetic
+    is row-local on the bucket timestamp."""
+    units_s = {"second": 1.0, "minute": 60.0, "hour": 3600.0,
+               "day": 86400.0, "week": 604800.0}
+    if unit not in units_s:
+        raise ValueError(f"unit must be one of {sorted(units_s)}, "
+                         f"got {unit!r}")
+    keys = by or []
+    t = F.col(ts_col).cast("timestamp")
+    bucket = F.date_trunc(interval, t)
+    agg = (F.sum(F.col(value_col).cast("double")) if value_col
+           else F.count(F.lit(1)).cast("double"))
+    grouped = (events.groupBy(*keys, bucket.alias("bucket"))
+               .agg(agg.alias("_total")))
+    nxt = F.col("bucket") + F.expr(f"INTERVAL 1 {interval}")
+    span_s = F.unix_timestamp(nxt) - F.unix_timestamp(F.col("bucket"))
+    rate = F.col("_total") / (span_s / F.lit(units_s[unit]))
+    return (grouped.select(*keys, "bucket",
+                           F.round(F.col("_total"), round_at)
+                           .alias("total"),
+                           F.round(rate, round_at)
+                           .alias(f"rate_per_{unit}"))
+            .orderBy(*keys, "bucket"))

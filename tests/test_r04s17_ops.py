@@ -306,3 +306,67 @@ def test_match_bool_prefix_rejects_and_mode(positional_ix):
     with pytest.raises(ValueError, match="mode='or' only"):
         match_bool_prefix_search(index, stats, "data tab", mode="and",
                                  stem=False, camel=False)
+
+
+# ------------------------------------------- frequent item sets / metrics
+
+def test_frequent_item_pairs_support(spark):
+    from index_spark.operators.analytics import frequent_item_pairs
+
+    rows = [(1, "a"), (1, "b"), (1, "b"),   # dup (1,b) must not inflate
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"),
+            (4, "c")]
+    df = spark.createDataFrame(rows, "txn int, item string")
+    out = {(r.item_a, r.item_b): (r.doc_count, r.support)
+           for r in frequent_item_pairs(df, "txn", "item",
+                                        min_support=0.5).collect()}
+    # 4 transactions; (a,b) in 2 -> 0.5 passes; (a,c) in 1 -> pruned
+    assert out == {("a", "b"): (2, 0.5)}
+    with pytest.raises(ValueError, match="min_support"):
+        frequent_item_pairs(df, "txn", "item", min_support=0.0)
+
+
+def test_frequent_item_pairs_apriori_prune(spark):
+    from index_spark.operators.analytics import frequent_item_pairs
+
+    # 'z' appears once (support .25 < .5): Apriori prunes it before the
+    # self-join, so no z-pair can appear even as doc_count >= 1
+    rows = [(1, "a"), (1, "z"), (2, "a"), (3, "a"), (4, "a")]
+    df = spark.createDataFrame(rows, "txn int, item string")
+    out = frequent_item_pairs(df, "txn", "item",
+                              min_support=0.25).collect()
+    assert {(r.item_a, r.item_b) for r in out} == {("a", "z")}
+    out2 = frequent_item_pairs(df, "txn", "item",
+                               min_support=0.5).collect()
+    assert out2 == []
+
+
+def test_top_metrics_best_row(spark):
+    from index_spark.operators.analytics import top_metrics
+
+    rows = [("x", 1.0, 10.0), ("x", 5.0, 20.0), ("x", 3.0, 30.0),
+            ("y", 2.0, 40.0)]
+    df = spark.createDataFrame(rows, "k string, s double, m double")
+    out = {r.k: (r.sort, r.m) for r in top_metrics(
+        df, "k", "s", ["m"]).collect()}
+    assert out == {"x": (5.0, 20.0), "y": (2.0, 40.0)}
+    lo = {r.k: (r.sort, r.m) for r in top_metrics(
+        df, "k", "s", ["m"], ascending=True).collect()}
+    assert lo["x"] == (1.0, 10.0)
+
+
+def test_rate_agg_actual_span(spark):
+    from index_spark.operators.analytics import rate_agg
+
+    # 3 events in January (31 days), 1 in February (29 days, 2024)
+    rows = [("2024-01-05", 1.0), ("2024-01-10", 1.0),
+            ("2024-01-20", 1.0), ("2024-02-10", 1.0)]
+    ev = spark.createDataFrame(rows, "ts string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r.bucket)[:7]: r.rate_per_day for r in rate_agg(
+        ev, unit="day", interval="month").collect()}
+    assert out["2024-01"] == round(3 / 31, 4)
+    assert out["2024-02"] == round(1 / 29, 4)
+    with pytest.raises(ValueError, match="unit"):
+        rate_agg(ev, unit="fortnight")
