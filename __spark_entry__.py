@@ -7009,6 +7009,44 @@ def _r04s17d_engine_queries() -> dict[str, Callable[[SparkSession, str],
 
 
 
+# ---------------------------------------------------------------------------
+# session 17e: native session_window sessionization
+# ---------------------------------------------------------------------------
+
+_ORACLE_SESSION_WINDOW = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+), m AS (
+  SELECT *, CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+                 THEN 1 ELSE 0 END AS brk FROM o
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid FROM m
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 1800 SECOND AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
+
+def _r04s17e_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                    DataFrame]]:
+    def session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Spark native session_window (30-min gap): per-user session
+        # rows, end = last event + gap; the oracle restates sessions as
+        # gaps-and-islands
+        from index_spark.operators.temporal import session_window_agg
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return session_window_agg(ev, gap_s=1800, by=["user_id"])
+
+    return {"events_session_window": session_window_q}
+
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -7504,6 +7542,10 @@ ORDER BY event_id""")
     add("top_metrics_facet", eng17d["top_metrics_facet"],
         _ORACLE_TOP_METRICS)
     add("events_rate", eng17d["events_rate"], _ORACLE_RATE)
+
+    eng17e = _r04s17e_engine_queries()
+    add("events_session_window", eng17e["events_session_window"],
+        _ORACLE_SESSION_WINDOW)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

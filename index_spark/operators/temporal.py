@@ -572,3 +572,41 @@ def cumulative_cardinality(events: DataFrame, key_col: str = "user_id",
             .withColumn("cumulative_distinct",
                         F.sum("new_keys").over(w))
             .orderBy(*keys, "bucket"))
+
+
+def session_window_agg(events: DataFrame, gap_s: int = 1800,
+                       ts_col: str = "ts",
+                       by: list[str] | None = None,
+                       value_col: str | None = "value",
+                       round_at: int = 4) -> DataFrame:
+    """Per-session aggregation via Spark's NATIVE ``session_window``
+    (the built-in scale path — state lives in the JVM's streaming-safe
+    session operator, no Python, merges sessions map-side): one row
+    per (keys, session) with the session bounds, event count, and
+    optional value sum.  A session closes after ``gap_s`` seconds of
+    inactivity; Spark's convention (pinned): ``session_end`` = last
+    event + gap.
+
+    The custom ``applyInPandasWithState`` sessionizer
+    (streaming/aggregate.py) keeps running per-user COUNTERS; this
+    built-in form materializes the SESSIONS themselves — both shapes
+    are needed, and this one is pure Catalyst.  Restatable: sessions
+    are gaps-and-islands (lag + running sum of breaks) in any SQL
+    engine."""
+    if gap_s < 1:
+        raise ValueError(f"gap_s must be >= 1, got {gap_s}")
+    keys = by or []
+    t = F.col(ts_col).cast("timestamp")
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(F.col(value_col).cast("double")),
+                            round_at).alias("sum_value"))
+    sw = F.session_window(t, f"{gap_s} seconds")
+    return (events.groupBy(*keys, sw.alias("sw"))
+            .agg(*aggs)
+            .select(*keys,
+                    F.col("sw.start").alias("session_start"),
+                    F.col("sw.end").alias("session_end"),
+                    "n_events",
+                    *(["sum_value"] if value_col is not None else []))
+            .orderBy(*keys, "session_start"))

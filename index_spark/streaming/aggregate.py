@@ -368,3 +368,26 @@ def dedup_events_stream(events: DataFrame, keys: list[str], ts_col: str = "ts",
         return (out.withWatermark(ts_col, delay)
                 .dropDuplicatesWithinWatermark(keys))
     return out.dropDuplicates(keys)
+
+
+def sessionize_window_stream(events: DataFrame, gap_s: int = SESSION_GAP_S,
+                             ts_col: str = "ts",
+                             watermark: str = "1 hour") -> DataFrame:
+    """Streaming sessionization on Spark's NATIVE ``session_window``
+    (vs :func:`sessionize_stream`'s custom Python state): watermarked
+    event time, per-user session rows (start, end = last event + gap,
+    n_events) emitted when the watermark passes the session's close —
+    append mode, so every emitted row is FINAL (exactly the late-data
+    contract a downstream sink wants).  State is JVM-side and merges
+    adjacent micro-batch sessions automatically; no Python worker in
+    the loop."""
+    t = F.col(ts_col).cast("timestamp")
+    return (events.withColumn("_t", t)
+            .withWatermark("_t", watermark)
+            .groupBy(F.col("user_id"),
+                     F.session_window(F.col("_t"), f"{gap_s} seconds")
+                     .alias("sw"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.col("sw.start").alias("session_start"),
+                    F.col("sw.end").alias("session_end"), "n_events"))
