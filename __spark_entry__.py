@@ -7047,6 +7047,30 @@ def _r04s17e_engine_queries() -> dict[str, Callable[[SparkSession, str],
 
 
 
+# ---------------------------------------------------------------------------
+# session 17f: bloom-prefiltered decontamination
+# ---------------------------------------------------------------------------
+
+def _r04s17f_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                    DataFrame]]:
+    def bloom_decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the Bloom-prefiltered form of decontam_overlap: verdicts are
+        # EXACT (the bloom only prunes the join input; false positives
+        # die in the exact semi-join), so the oracle is the same
+        # exact-overlap restatement
+        from index_spark.operators.contamination import (
+            bloom_decontaminate,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        train = docs.filter(F.col("doc_id") % 97 != 0)
+        return bloom_decontaminate(train, bench, n=4, min_overlap=1)
+
+    return {"bloom_decontam": bloom_decontam_q}
+
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -7546,6 +7570,10 @@ ORDER BY event_id""")
     eng17e = _r04s17e_engine_queries()
     add("events_session_window", eng17e["events_session_window"],
         _ORACLE_SESSION_WINDOW)
+
+    eng17f = _r04s17f_engine_queries()
+    add("bloom_decontam", eng17f["bloom_decontam"],
+        _ORACLE_DECONTAM_DUCK)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

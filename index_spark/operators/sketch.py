@@ -39,8 +39,11 @@ registers, and the estimate arithmetic bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _HEX = "0123456789abcdef"
 
@@ -213,3 +216,66 @@ def hll_cardinality_by(df: DataFrame, col: str, by: str) -> DataFrame:
         .alias("hll_estimate"),
         F.col("n_registers_hit").cast("long"))
         .orderBy(by))
+
+
+BLOOM_M_BITS = 1 << 23          # 1 MiB of bits
+BLOOM_K = 5
+
+
+def _bloom_pos_cols(col: str, m_bits: int, k: int):
+    """The k probe positions as JVM codegen columns — xxhash64 with k
+    distinct integer seeds, folded into [0, m_bits).  Hashing stays
+    JVM-side so build and probe agree bit-for-bit with no Python in
+    the hash path."""
+    return [(F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits)))
+            .alias(f"_p{i}") for i in range(k)]
+
+
+def bloom_bits(df: DataFrame, col: str, m_bits: int = BLOOM_M_BITS,
+               k: int = BLOOM_K) -> np.ndarray:
+    """Distributed Bloom-filter build: one uint64 bit-array over the
+    DISTINCT values of ``col``.  Shape: k probe positions per value
+    (JVM xxhash64), explode, fold each position to its (word, bit),
+    ONE map-side-combinable ``bit_or`` groupBy, and a collect bounded
+    by m_bits/64 rows (131,072 for the 2^23 default — ~2 MB at the
+    driver REGARDLESS of input cardinality).  The returned array
+    broadcasts to executors inside an Arrow UDF closure at ~1 MiB —
+    the whole point vs broadcasting the value set itself."""
+    if m_bits & (m_bits - 1) or m_bits < 64:
+        raise ValueError("m_bits must be a power of two >= 64")
+    pos = df.select(F.explode(F.array(
+        *_bloom_pos_cols(col, m_bits, k))).alias("_pos"))
+    words = (pos.select((F.col("_pos") / 64).cast("long").alias("_w"),
+                        F.expr("shiftleft(1L, cast(_pos % 64 as int))")
+                        .alias("_b"))
+             .groupBy("_w").agg(F.bit_or("_b").alias("_bits")))
+    arr = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in words.collect():
+        arr[int(r._w)] = np.uint64(r._bits & ((1 << 64) - 1))
+    return arr
+
+
+def bloom_maybe_filter(df: DataFrame, col: str, bits: np.ndarray,
+                       k: int = BLOOM_K) -> DataFrame:
+    """Rows of ``df`` whose ``col`` MAY be in the Bloom set (all k bits
+    set; false positives possible, false negatives not).  Probe
+    positions are the same JVM xxhash64 columns as the build; the bit
+    lookups run vectorized in one Arrow-batched UDF over the
+    closure-broadcast array."""
+    m_bits = bits.size * 64
+    b = bits  # closure capture -> shipped once per executor
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(*pos: pd.Series) -> pd.Series:
+        ok = np.ones(len(pos[0]), dtype=bool)
+        for p in pos:
+            pv = p.to_numpy(dtype=np.int64)
+            ok &= ((b[pv >> 6] >> (pv & 63).astype(np.uint64))
+                   & np.uint64(1)).astype(bool)
+        return pd.Series(ok)
+
+    pos_cols = _bloom_pos_cols(col, m_bits, k)
+    out = df.select("*", *pos_cols)
+    probe_cols = [F.col(f"_p{i}") for i in range(k)]
+    return (out.filter(probe(*probe_cols))
+            .drop(*[f"_p{i}" for i in range(k)]))
