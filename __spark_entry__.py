@@ -7071,6 +7071,54 @@ def _r04s17f_engine_queries() -> dict[str, Callable[[SparkSession, str],
 
 
 
+# ---------------------------------------------------------------------------
+# session 17g: query_string boolean grammar
+# ---------------------------------------------------------------------------
+
+# (data AND table) OR (scan NOT filter), Lucene flat-boolean scoring:
+# AND sums both children; the right disjunct scores 'scan' for docs
+# without 'filter'; disjuncts coalesce-sum
+_ORACLE_QUERY_STRING = """
+, pts AS (
+  SELECT tf.term, tf.doc_id,
+         ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+           * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) AS s
+  FROM tf JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN ('data', 'table', 'scan', 'filter')
+), ab AS (
+  SELECT a.doc_id, a.s + b.s AS s
+  FROM pts a JOIN pts b ON b.doc_id = a.doc_id AND b.term = 'table'
+  WHERE a.term = 'data'
+), c AS (
+  SELECT p.doc_id, p.s FROM pts p
+  WHERE p.term = 'scan'
+    AND NOT EXISTS (SELECT 1 FROM pts f
+                    WHERE f.doc_id = p.doc_id AND f.term = 'filter')
+), u AS (
+  SELECT coalesce(ab.doc_id, c.doc_id) AS doc_id,
+         round(coalesce(ab.s, 0) + coalesce(c.s, 0), 4) AS score
+  FROM ab FULL OUTER JOIN c ON ab.doc_id = c.doc_id
+)
+SELECT doc_id, score FROM u ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+
+def _r04s17g_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                    DataFrame]]:
+    def query_string_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # full Lucene boolean grammar over the per-term BM25 relation
+        from index_spark.operators.query import query_string_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        return query_string_search(
+            index, stats, "(data AND table) OR (scan NOT filter)",
+            k=10, stem=False, camel=False, round_at=4)
+
+    return {"query_string_topk": query_string_q}
+
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -7574,6 +7622,10 @@ ORDER BY event_id""")
     eng17f = _r04s17f_engine_queries()
     add("bloom_decontam", eng17f["bloom_decontam"],
         _ORACLE_DECONTAM_DUCK)
+
+    eng17g = _r04s17g_engine_queries()
+    add("query_string_topk", eng17g["query_string_topk"],
+        _docs_sql("duck", _ORACLE_QUERY_STRING))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

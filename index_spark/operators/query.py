@@ -3844,3 +3844,192 @@ def script_score_search(index: DataFrame, stats: dict, query: str,
         sc = F.round(sc, round_at)
     return (local.select("doc_id", sc.alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+_QS_TOKENS = re.compile(r"\(|\)|\bAND\b|\bOR\b|\bNOT\b|[^\s()]+")
+
+
+def parse_query_string(q: str, stem: bool = True,
+                       camel: bool = True) -> tuple:
+    """Parse the Lucene/ES ``query_string`` boolean grammar — ``AND``,
+    ``OR``, ``NOT``, parentheses, implicit OR between adjacent atoms
+    (the ES ``default_operator``) — into a nested AST of
+    ``('term', t) | ('and', [children]) | ('or', [children]) |
+    ('not', child)``.  Operator keywords are UPPERCASE-only (Lucene's
+    rule: lowercase and/or/not are search terms).  Precedence: NOT >
+    AND > OR; a bare token analyzes through the standard tokenizer (a
+    token that analyzes to several terms forms an OR group)."""
+    toks = _QS_TOKENS.findall(q)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_or():
+        nodes = [parse_and()]
+        while True:
+            t = peek()
+            if t == "OR":
+                take()
+                nodes.append(parse_and())
+            elif t is not None and t not in (")", "AND", "OR"):
+                nodes.append(parse_and())  # adjacency = default OR
+            else:
+                break
+        return nodes[0] if len(nodes) == 1 else ("or", nodes)
+
+    def parse_and():
+        nodes = [parse_not()]
+        while peek() == "AND":
+            take()
+            nodes.append(parse_not())
+        return nodes[0] if len(nodes) == 1 else ("and", nodes)
+
+    def parse_not():
+        if peek() == "NOT":
+            take()
+            return ("not", parse_not())
+        return parse_atom()
+
+    def parse_atom():
+        t = peek()
+        if t is None:
+            raise ValueError(f"query_string ended early: {q!r}")
+        if t == "(":
+            take()
+            node = parse_or()
+            if peek() != ")":
+                raise ValueError(f"unbalanced parens in {q!r}")
+            take()
+            return node
+        if t in (")", "AND", "OR"):
+            raise ValueError(f"misplaced {t!r} in {q!r}")
+        take()
+        terms = tokenize(t, stem=stem, camel=camel)
+        if not terms:
+            raise ValueError(f"token {t!r} analyzes to nothing")
+        if len(terms) == 1:
+            return ("term", terms[0])
+        return ("or", [("term", w) for w in terms])
+
+    node = parse_or()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in {q!r}")
+    return node
+
+
+def _qs_leaf_terms(node) -> set[str]:
+    kind = node[0]
+    if kind == "term":
+        return {node[1]}
+    if kind == "not":
+        return _qs_leaf_terms(node[1])
+    return set().union(*(_qs_leaf_terms(c) for c in node[1]))
+
+
+def per_term_scores(index: DataFrame, stats: dict,
+                    terms: list[str],
+                    zone: str | None = None) -> DataFrame:
+    """The (term, doc_id, score) BM25 contribution relation for a term
+    set — the generic-composition substrate the boolean evaluator
+    joins over.  Term-pruned decode (only the probed posting lists are
+    read), df from index metadata (one broadcast), doc lengths from
+    the '%' table joined by doc_id.  The fused shard kernels remain
+    the hot path for flat queries; this relation exists for arbitrary
+    boolean shapes where per-clause match sets must compose."""
+    from index_spark.operators.analytics import postings_from_index
+    from index_spark.operators.build import doclens_from_index
+
+    src = pin_zone(index, zone)
+    hits = src.filter(F.col("term").isin(sorted(set(terms))))
+    tv = postings_from_index(hits)
+    dfs = hits.groupBy("term").agg(F.sum("df").alias("df_g"))
+    dl = doclens_from_index(src)
+    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    idf = F.log((F.lit(n_docs) - F.col("df_g") + 0.5)
+                / (F.col("df_g") + 0.5) + 1.0)
+    tfn = (F.col("tf").cast("double")
+           / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len")
+                                  / F.lit(avgdl))))
+    return (tv.join(F.broadcast(dfs), "term")
+            .join(dl, "doc_id")
+            .select("term", "doc_id", (idf * tfn).alias("score")))
+
+
+def query_string_search(index: DataFrame, stats: dict, q: str,
+                        k: int = 10, stem: bool = True,
+                        camel: bool = True, zone: str | None = None,
+                        round_at: int | None = None) -> DataFrame:
+    """Lucene/ES ``query_string`` query: full boolean grammar —
+    ``(data AND table) OR (scan NOT filter)`` — evaluated as
+    compositional DataFrame algebra over the per-term BM25 relation.
+    Lucene scoring semantics pinned: a clause contributes its matched
+    children's BM25 sum; an AND's children all contribute; an OR
+    contributes whichever children matched; ``NOT`` is filter-only
+    (contributes no score) and applies at its boolean level as a
+    MUST_NOT anti-join — Lucene's flat-boolean rule, so ``a NOT b``
+    (= SHOULD a, MUST_NOT b) and ``a AND NOT b`` both work.  A level
+    with ONLY negated children is unsatisfiable-by-composition and
+    raises, as Lucene's parser does.
+
+    Plan: one term-pruned posting decode feeds every leaf; each AND is
+    a doc_id inner join (score sum), each OR a full-outer join
+    (coalesced sum), each NOT one anti-join — all equi-joins on
+    doc_id, so Catalyst/AQE plan and reorder them; depth is bounded by
+    the query, never the corpus."""
+    spark = index.sparkSession
+    ast = parse_query_string(q, stem=stem, camel=camel)
+    terms = sorted(_qs_leaf_terms(ast))
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    S = per_term_scores(index, stats, terms, zone=zone)
+
+    def eval_node(node) -> tuple[str, DataFrame]:
+        kind = node[0]
+        if kind == "term":
+            return ("scored", S.filter(F.col("term") == node[1])
+                    .select("doc_id", "score"))
+        if kind == "not":
+            tag, child = eval_node(node[1])
+            if tag != "scored":
+                raise ValueError("NOT NOT is not supported — rewrite "
+                                 "the query")
+            return ("negated", child.select("doc_id"))
+        children = [eval_node(c) for c in node[1]]
+        pos = [df for tag, df in children if tag == "scored"]
+        neg = [df for tag, df in children if tag == "negated"]
+        if not pos:
+            raise ValueError("a boolean level needs at least one "
+                             "non-negated clause (Lucene's rule)")
+        acc = pos[0]
+        for nxt in pos[1:]:
+            if kind == "and":
+                acc = (acc.join(nxt.withColumnRenamed("score", "_s2"),
+                                "doc_id")
+                       .select("doc_id", (F.col("score")
+                                          + F.col("_s2"))
+                               .alias("score")))
+            else:
+                acc = (acc.join(nxt.withColumnRenamed("score", "_s2"),
+                                "doc_id", "full")
+                       .select("doc_id",
+                               (F.coalesce("score", F.lit(0.0))
+                                + F.coalesce("_s2", F.lit(0.0)))
+                               .alias("score")))
+        for nset in neg:
+            acc = acc.join(nset, "doc_id", "left_anti")
+        return ("scored", acc)
+
+    tag, out = eval_node(ast)
+    if tag != "scored":
+        raise ValueError("query is pure negation — nothing to rank")
+    sc = (F.round(F.col("score"), round_at) if round_at is not None
+          else F.col("score"))
+    return (out.select("doc_id", sc.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
