@@ -655,6 +655,74 @@ def main() -> None:
 
     _store_lifecycle()
 
+    # 10d. session-17 surface scale points (non-headline): the boolean
+    # query_string evaluator, the span/interval positional family, and
+    # the decontam pair.  decontam_bloom REPORTS SLOWER than exact at
+    # sf<=0.1 — the bloom build/probe overhead only amortizes when the
+    # bench-gram broadcast would be large (its win is the fixed ~1 MiB
+    # executor footprint at 10^8 bench grams, not small-SF latency)
+    def _s17_scale():
+        from index_spark.operators.build import build_index, release_build
+        from index_spark.operators.contamination import (
+            bloom_decontaminate,
+            decontaminate,
+        )
+        from index_spark.operators.phrase import (
+            intervals_search,
+            span_containing_search,
+            span_not_search,
+        )
+        from index_spark.operators.query import (
+            match_bool_prefix_search,
+            query_string_search,
+        )
+
+        _, pindex, pstats = build_index(corpus, stem=False, camel=False,
+                                        positions=True,
+                                        shard_size=shard_size)
+        pindex = pindex.persist()
+        pindex.count()
+        t0 = time.time()
+        query_string_search(pindex, pstats,
+                            "(data AND table) OR (scan NOT filter)",
+                            k=10, stem=False, camel=False).collect()
+        timings["query_string"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        intervals_search(pindex, pstats, "data table query",
+                         max_gaps=8, k=10, stem=False, camel=False,
+                         shard_size=shard_size).collect()
+        timings["intervals_query"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        span_not_search(pindex, pstats, "data table", "query", pre=3,
+                        post=3, k=10, stem=False, camel=False,
+                        shard_size=shard_size).collect()
+        timings["span_not_query"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        span_containing_search(pindex, pstats, "data", "table",
+                               "query", slop=6, k=10, stem=False,
+                               camel=False,
+                               shard_size=shard_size).collect()
+        timings["span_containing_query"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        match_bool_prefix_search(pindex, pstats, "data tab", k=10,
+                                 stem=False, camel=False,
+                                 shard_size=shard_size).collect()
+        timings["bool_prefix_query"] = round(time.time() - t0, 3)
+        docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bench_split = docs_tbl.filter(F.col("doc_id") % 97 == 0)
+        train_split = docs_tbl.filter(F.col("doc_id") % 97 != 0)
+        t0 = time.time()
+        decontaminate(train_split, bench_split, n=4).filter(
+            "contaminated").count()
+        timings["decontam_exact"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        bloom_decontaminate(train_split, bench_split, n=4).filter(
+            "contaminated").count()
+        timings["decontam_bloom"] = round(time.time() - t0, 3)
+        release_build(pindex)
+
+    _s17_scale()
+
     # 10c. concurrent-query throughput at 8 vs 32 cores, each in its
     # own process/JVM (a Spark master is fixed at startup). The
     # serving-relevant scaling number — single-query p95 at local[32]
