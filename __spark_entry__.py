@@ -7119,6 +7119,167 @@ def _r04s17g_engine_queries() -> dict[str, Callable[[SparkSession, str],
 
 
 
+# ---------------------------------------------------------------------------
+# session 17h: precision/recall/AP eval, sibling bucket aggs, fuzzy
+# prefix_length
+# ---------------------------------------------------------------------------
+
+_ORACLE_PRECISION_EVAL = """
+, qscores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+), res AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM qscores QUALIFY rank <= 10
+), qrels AS (
+  SELECT q.query_id, tok.doc_id,
+         CAST(count(DISTINCT tok.term) AS DOUBLE) AS rel
+  FROM tok JOIN q ON tok.term = q.term
+  GROUP BY q.query_id, tok.doc_id
+), hits AS (
+  SELECT r.query_id, r.rank,
+         CASE WHEN coalesce(qr.rel, 0) > 0 THEN 1 ELSE 0 END AS isrel
+  FROM res r LEFT JOIN qrels qr
+    ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
+), cum AS (
+  SELECT query_id, rank, isrel,
+         sum(isrel) OVER (PARTITION BY query_id ORDER BY rank
+                          ROWS UNBOUNDED PRECEDING) AS cr
+  FROM hits
+), nrel AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+  FROM qrels WHERE rel > 0 GROUP BY query_id
+), perq AS (
+  SELECT query_id, CAST(sum(isrel) AS BIGINT) AS n_rel_ret,
+         sum(CASE WHEN isrel = 1 THEN CAST(cr AS DOUBLE) / rank END)
+           AS apn
+  FROM cum GROUP BY query_id
+)
+SELECT p.query_id, coalesce(n.n_rel, 0) AS n_rel, p.n_rel_ret,
+       round(p.n_rel_ret / 10.0, 6) AS p_at_k,
+       round(CASE WHEN n.n_rel > 0
+                  THEN CAST(p.n_rel_ret AS DOUBLE) / n.n_rel
+                  ELSE 0 END, 6) AS r_at_k,
+       round(CASE WHEN n.n_rel > 0 THEN coalesce(p.apn, 0) / n.n_rel
+                  ELSE 0 END, 6) AS ap
+FROM perq p LEFT JOIN nrel n USING (query_id)
+ORDER BY p.query_id"""
+
+_ORACLE_SIBLING_BUCKET = """
+WITH r AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket,
+         round(sum(value), 4) AS sum_value
+  FROM events GROUP BY 1, 2
+), keyed AS (
+  SELECT sum_value,
+         event_type || '|'
+           || CAST(CAST(bucket AS TIMESTAMP) AS VARCHAR) AS k
+  FROM r
+)
+SELECT round((SELECT max(sum_value) FROM keyed), 4) AS max_value,
+       (SELECT k FROM keyed ORDER BY sum_value DESC, k ASC LIMIT 1)
+         AS max_keys,
+       round((SELECT min(sum_value) FROM keyed), 4) AS min_value,
+       (SELECT k FROM keyed ORDER BY sum_value ASC, k ASC LIMIT 1)
+         AS min_keys,
+       round((SELECT quantile_cont(sum_value, 0.5) FROM keyed), 4)
+         AS p50,
+       round((SELECT quantile_cont(sum_value, 0.9) FROM keyed), 4)
+         AS p90"""
+
+# fuzzy with Lucene prefix_length=1: the expansion predicate gains the
+# first-char equality (the StartsWith prune the engine pushes to the
+# sorted-at-rest catalog scan)
+_ORACLE_FUZZY_PREFIX = """
+, cand AS (
+  SELECT d.term, d.df, q.term AS qterm
+  FROM dft d JOIN q ON abs(length(d.term) - length(q.term)) <= 1
+   AND substr(d.term, 1, 1) = substr(q.term, 1, 1)
+   AND levenshtein(d.term, q.term) <= 1
+), q2 AS (
+  SELECT DISTINCT term FROM (
+    SELECT term, row_number() OVER (
+      PARTITION BY qterm ORDER BY df DESC, term ASC) AS rn
+    FROM cand) r WHERE rn <= 8
+), fscores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q2 ON tf.term = q2.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+), top AS (SELECT doc_id, score FROM fscores ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
+
+
+def _r04s17h_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                    DataFrame]]:
+    def precision_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # trec_eval-style P@10 / R@10 / AP of the batch query-set run
+        # against containment qrels (rel = # distinct query terms)
+        from index_spark.operators.evaluate import (
+            precision_recall_metrics,
+        )
+        from index_spark.operators.query import search_many
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        queries = {qid: " ".join(terms) for qid, terms in QUERYSET}
+        res = search_many(index, stats, queries, k=10,
+                          stem=False, camel=False)
+        _register(spark, sf_dir, ["documents"])
+        qrels = spark.sql(
+            _with(_SPARK_TOK_CTE, _queryset_values_sql())
+            + """ SELECT q.query_id, tok.doc_id,
+                     CAST(count(DISTINCT tok.term) AS DOUBLE) AS rel
+                  FROM tok JOIN q ON tok.term = q.term
+                  GROUP BY q.query_id, tok.doc_id""")
+        return precision_recall_metrics(res, qrels, k=10)
+
+    def sibling_bucket_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES max_bucket/min_bucket (+ keys) and percentiles_bucket in
+        # one fused aggregate over the daily rollup
+        from index_spark.operators.temporal import (
+            rollup_timeseries,
+            sibling_bucket_aggs,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        daily = rollup_timeseries(ev, granularities=["day"],
+                                  by=["event_type"])
+        return sibling_bucket_aggs(daily, keys=["event_type", "bucket"],
+                                   percents=[0.5, 0.9])
+
+    def fuzzy_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Lucene FuzzyQuery prefix_length=1: first char exact, so the
+        # sorted catalog scan StartsWith-prunes before levenshtein
+        from index_spark.operators.query import search_fuzzy
+        from index_spark.plans.dictionary import dictionary_from_index
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        top = search_fuzzy(index, docs, stats, "dat tabl query", k=10,
+                           max_dist=1, max_expansions=8,
+                           prefix_length=1, stem=False, camel=False,
+                           shard_size=256,
+                           dictionary=dictionary_from_index(index))
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    return {"precision_eval": precision_eval_q,
+            "events_sibling_bucket": sibling_bucket_q,
+            "fuzzy_prefix_topk": fuzzy_prefix_q}
+
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -7626,6 +7787,15 @@ ORDER BY event_id""")
     eng17g = _r04s17g_engine_queries()
     add("query_string_topk", eng17g["query_string_topk"],
         _docs_sql("duck", _ORACLE_QUERY_STRING))
+
+    eng17h = _r04s17h_engine_queries()
+    add("precision_eval", eng17h["precision_eval"],
+        _docs_sql("duck", _ORACLE_PRECISION_EVAL, [qs_cte]))
+    add("events_sibling_bucket", eng17h["events_sibling_bucket"],
+        _ORACLE_SIBLING_BUCKET)
+    add("fuzzy_prefix_topk", eng17h["fuzzy_prefix_topk"],
+        _docs_sql("duck", _ORACLE_FUZZY_PREFIX,
+                  [_terms_values_sql(["dat", "tabl", "query"])]))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

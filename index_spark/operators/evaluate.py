@@ -114,3 +114,57 @@ def hard_negatives(run: DataFrame, qrels: DataFrame, n_neg: int = 5,
             .filter(F.col("neg_rank") <= n_neg)
             .select("query_id", "doc_id", "neg_rank", "score")
             .orderBy("query_id", "neg_rank"))
+
+
+def precision_recall_metrics(results: DataFrame, qrels: DataFrame,
+                             k: int = 10) -> DataFrame:
+    """The set-based IR metrics completing :func:`ranking_metrics`
+    (which covers RR/nDCG): per query — precision@k, recall@k, and
+    average precision (AP@k, the per-query MAP summand: mean over
+    relevant RETRIEVED ranks of precision-at-that-rank, divided by
+    total relevant, the trec_eval definition).  Binary relevance:
+    rel > 0 counts.  Returns (query_id, n_rel, n_rel_ret, p_at_k,
+    r_at_k, ap), 6-decimal rounds.
+
+    One join + two bounded aggregates (per-query state is the ≤ k
+    retrieved rows); the running precision inside AP is a window over
+    those same ≤ k rows — bounded by the cut, never the corpus."""
+    from pyspark.sql import Window
+
+    res = results.select("query_id", "doc_id",
+                         F.col("rank").cast("long").alias("rank")) \
+        .filter(F.col("rank") <= k)
+    qr = qrels.select("query_id", "doc_id",
+                      (F.col("rel").cast("double") > 0).alias("_isrel"))
+    n_rel = (qr.filter("_isrel").groupBy("query_id")
+             .agg(F.count(F.lit(1)).alias("n_rel")))
+    j = (res.join(qr, ["query_id", "doc_id"], "left")
+         .withColumn("_isrel",
+                     F.coalesce(F.col("_isrel"), F.lit(False))))
+    w = (Window.partitionBy("query_id").orderBy("rank")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    j = j.withColumn("_cumrel",
+                     F.sum(F.col("_isrel").cast("long")).over(w))
+    per_q = j.groupBy("query_id").agg(
+        F.sum(F.col("_isrel").cast("long")).alias("n_rel_ret"),
+        F.sum(F.when(F.col("_isrel"),
+                     F.col("_cumrel") / F.col("rank"))).alias("_ap_num"))
+    qids = results.select("query_id").distinct()
+    out = (qids.join(per_q, "query_id", "left")
+           .join(n_rel, "query_id", "left")
+           .select(
+               "query_id",
+               F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
+               F.coalesce("n_rel_ret", F.lit(0)).cast("long")
+               .alias("n_rel_ret"),
+               F.round(F.coalesce("n_rel_ret", F.lit(0))
+                       / F.lit(float(k)), 6).alias("p_at_k"),
+               F.round(F.when(F.col("n_rel") > 0,
+                              F.coalesce("n_rel_ret", F.lit(0))
+                              / F.col("n_rel")).otherwise(0.0), 6)
+               .alias("r_at_k"),
+               F.round(F.when(F.col("n_rel") > 0,
+                              F.coalesce("_ap_num", F.lit(0.0))
+                              / F.col("n_rel")).otherwise(0.0), 6)
+               .alias("ap")))
+    return out.orderBy("query_id")

@@ -1759,7 +1759,8 @@ def fuzzy_expand(index: DataFrame | None, qterms: list[str],
                  zone: str | None = None,
                  dictionary: DataFrame | None = None,
                  trigram: DataFrame | None = None,
-                 transpositions: bool = False
+                 transpositions: bool = False,
+                 prefix_length: int = 0
                  ) -> dict[str, list[str]]:
     """Expand query terms to dictionary terms within Levenshtein
     distance ``max_dist``, at most ``max_expansions`` per query term
@@ -1795,6 +1796,15 @@ def fuzzy_expand(index: DataFrame | None, qterms: list[str],
     candidate set, and only qterms x max_expansions rows reach the
     driver.
 
+    ``prefix_length`` (Lucene ``FuzzyQuery`` prefix_length): the first
+    N characters must match EXACTLY — candidates outside the prefix are
+    never edit-distance-tested, and because the catalog and the sharded
+    term metadata are both sorted by term at rest, the StartsWith
+    predicate ROW-GROUP-PRUNES the scan (with prefix_length=0 the
+    ``levenshtein`` predicate must read every term row — the reason ES
+    recommends 1–2 at scale).  A query term shorter than
+    prefix_length cannot fuzz (exact-only), same as Lucene.
+
     ``transpositions=True`` matches by unrestricted Damerau–Levenshtein
     (:func:`damerau_distance` — Lucene's default fuzziness treats an
     adjacent swap as ONE edit): the cheap JVM prefilters widen to the
@@ -1808,9 +1818,22 @@ def fuzzy_expand(index: DataFrame | None, qterms: list[str],
 
     if not qterms:
         return {}
+    if prefix_length < 0:
+        raise ValueError(
+            f"prefix_length must be >= 0, got {prefix_length}")
     lev_bound = 2 * max_dist if transpositions else max_dist
 
+    def _prefix_pair_ok():
+        # per candidate pair: first prefix_length chars equal; a query
+        # term shorter than the prefix matches exactly only
+        return F.when(F.length("qterm") < prefix_length,
+                      F.col("term") == F.col("qterm")) \
+            .otherwise(F.col("term").substr(1, prefix_length)
+                       == F.col("qterm").substr(1, prefix_length))
+
     def _exact_gate(pairs_df):
+        if prefix_length:
+            pairs_df = pairs_df.filter(_prefix_pair_ok())
         if not transpositions:
             return pairs_df
         return pairs_df.filter(
@@ -1852,6 +1875,12 @@ def fuzzy_expand(index: DataFrame | None, qterms: list[str],
     near_any = None
     for t in qterms:
         c = F.levenshtein(F.col("term"), F.lit(t)) <= lev_bound
+        if prefix_length:
+            # sorted-at-rest term columns: StartsWith row-group-prunes
+            # the scan before any levenshtein evaluates
+            c = c & (F.col("term").startswith(t[:prefix_length])
+                     if len(t) >= prefix_length
+                     else (F.col("term") == t))
         near_any = c if near_any is None else (near_any | c)
     if dictionary is not None:
         spark = dictionary.sparkSession
@@ -1947,7 +1976,8 @@ def search_fuzzy(index: DataFrame, docs: DataFrame | None, stats: dict,
                  exclude: str | None = None,
                  dictionary: DataFrame | None = None,
                  trigram: DataFrame | None = None,
-                 transpositions: bool = False, **kw) -> DataFrame:
+                 transpositions: bool = False,
+                 prefix_length: int = 0, **kw) -> DataFrame:
     """Typo-tolerant top-k BM25: each query term expands to its
     edit-distance neighborhood in the index dictionary
     (:func:`fuzzy_expand`; pass ``dictionary`` — the compacted term
@@ -1979,7 +2009,8 @@ def search_fuzzy(index: DataFrame, docs: DataFrame | None, stats: dict,
     exp = fuzzy_expand(index, qterms, max_dist=max_dist,
                        max_expansions=max_expansions, zone=zone,
                        dictionary=dictionary, trigram=trigram,
-                       transpositions=transpositions)
+                       transpositions=transpositions,
+                       prefix_length=prefix_length)
     terms = sorted({t for v in exp.values() for t in v})
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)

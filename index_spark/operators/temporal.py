@@ -610,3 +610,42 @@ def session_window_agg(events: DataFrame, gap_s: int = 1800,
                     "n_events",
                     *(["sum_value"] if value_col is not None else []))
             .orderBy(*keys, "session_start"))
+
+
+def sibling_bucket_aggs(buckets: DataFrame,
+                        value_col: str = "sum_value",
+                        keys: list[str] | None = None,
+                        percents: list[float] | None = None,
+                        round_at: int = 4) -> DataFrame:
+    """The remaining ES sibling pipeline aggregations in one fused pass
+    over a bucket relation: ``max_bucket`` / ``min_bucket`` (the
+    extreme VALUE plus the bucket KEYS that attain it — ES returns the
+    key list; ties pinned to the lexicographically-first key row) and
+    ``percentiles_bucket`` (exact linear-interpolation percentiles of
+    the bucket values).  Returns one row:
+    (max_value, max_keys, min_value, min_keys, p50, ...).
+
+    One aggregate over the (bounded) bucket relation: extremes via
+    ``min_by``/``max_by`` over a struct ordered by (value, keys) —
+    no second scan, no window."""
+    ks = keys or []
+    ps = percents or [0.5]
+    v = F.col(value_col).cast("double")
+    key_str = (F.concat_ws("|", *[F.col(k).cast("string") for k in ks])
+               if ks else F.lit(""))
+    # extremes via min_by over (±value, key) structs: struct ordering
+    # is lexicographic, so ties deterministically take the smallest key
+    aggs = [
+        F.round(F.max(v), round_at).alias("max_value"),
+        F.min_by(key_str, F.struct((-v).alias("nv"), key_str.alias("k")))
+        .alias("max_keys"),
+        F.round(F.min(v), round_at).alias("min_value"),
+        F.min_by(key_str, F.struct(v.alias("v"), key_str.alias("k")))
+        .alias("min_keys"),
+    ]
+    for p in ps:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percent must be in [0, 1], got {p}")
+        aggs.append(F.round(F.percentile(v, F.lit(p)), round_at)
+                    .alias(f"p{int(round(p * 100)):02d}"))
+    return buckets.agg(*aggs)

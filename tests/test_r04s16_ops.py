@@ -139,3 +139,19 @@ def test_stats_bucket_extended(spark):
     assert r.variance == 3.5
     assert abs(r.std_deviation - 3.5 ** 0.5) < 1e-4
     assert "variance" not in stats_bucket(b).columns
+
+
+def test_sibling_bucket_aggs_extremes_and_ties(spark):
+    from pyspark.sql import functions as F
+
+    from index_spark.operators.temporal import sibling_bucket_aggs
+
+    rows = [("a", 1.0), ("b", 5.0), ("c", 5.0), ("d", 2.0)]
+    df = spark.createDataFrame(rows, "k string, sum_value double")
+    out = sibling_bucket_aggs(df, keys=["k"],
+                              percents=[0.5]).collect()[0]
+    assert out.max_value == 5.0 and out.max_keys == "b"  # tie -> first
+    assert out.min_value == 1.0 and out.min_keys == "a"
+    assert out.p50 == 3.5
+    with pytest.raises(ValueError, match="percent"):
+        sibling_bucket_aggs(df, percents=[2.0])

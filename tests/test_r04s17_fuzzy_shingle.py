@@ -135,3 +135,27 @@ def test_phrase_term_is_analyzer_safe():
     assert tokenize(t, stem=False, camel=False) == [t]
     assert phrase_term("data", "table") == t          # deterministic
     assert phrase_term("dat", "atable") != t          # separator matters
+
+
+def test_fuzzy_prefix_length_prunes(fuzzy_ix):
+    from index_spark.operators.query import fuzzy_expand
+    from index_spark.plans.dictionary import dictionary_from_index
+
+    docs, index, stats = fuzzy_ix
+    dic = dictionary_from_index(index)
+    # 'sable' is lev-1 from 'stable' and 'table'; prefix_length=1
+    # keeps only the s-candidates
+    free = fuzzy_expand(None, ["sable"], max_dist=1, dictionary=dic)
+    pinned = fuzzy_expand(None, ["sable"], max_dist=1, dictionary=dic,
+                          prefix_length=1)
+    assert set(free["sable"]) == {"stable", "table"}
+    assert pinned == {"sable": ["stable"]}
+    # index path agrees
+    assert fuzzy_expand(index, ["sable"], max_dist=1,
+                        prefix_length=1) == {"sable": ["stable"]}
+    # a query term shorter than the prefix is exact-only
+    short = fuzzy_expand(None, ["a"], max_dist=1, dictionary=dic,
+                         prefix_length=2)
+    assert short == {"a": ["a"]}
+    with pytest.raises(ValueError, match="prefix_length"):
+        fuzzy_expand(None, ["x"], dictionary=dic, prefix_length=-1)
