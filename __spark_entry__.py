@@ -6660,8 +6660,7 @@ def _r04s17_engine_queries() -> dict[str, Callable[[SparkSession, str],
 
 
 # ---------------------------------------------------------------------------
-# session 17b: intervals, span_or, span_containing/within, search_after,
-# script_score
+# session 17b: intervals, span_or, span_containing/within, script_score
 # ---------------------------------------------------------------------------
 
 _POS_CTE_DUCK = """
@@ -6747,12 +6746,6 @@ _ORACLE_SPANWITHIN_DUCK = _POS_CTE_DUCK + _SPAN_PAIRS_DUCK + """
 SELECT doc_id, n_matches FROM m
 ORDER BY n_matches DESC, doc_id ASC LIMIT 10"""
 
-_ORACLE_SEARCH_AFTER = """
-, r AS (SELECT doc_id, round(score, 4) AS score FROM scores)
-SELECT doc_id, score FROM r
-WHERE score < 0.5 OR (score = 0.5 AND doc_id > 0)
-ORDER BY score DESC, doc_id ASC LIMIT 10"""
-
 _ORACLE_SCRIPT_SCORE = """
 , r AS (
   SELECT s.doc_id,
@@ -6804,16 +6797,6 @@ def _r04s17b_engine_queries() -> dict[str, Callable[[SparkSession, str],
                                   "table", slop=6, k=10, stem=False,
                                   camel=False, shard_size=256)
 
-    def search_after_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # ES search_after: the page strictly after cursor (0.5, 0) in
-        # (score desc, doc_id asc) order
-        from index_spark.operators.query import search_after
-
-        _, index, stats = _parity_build(spark, sf_dir)
-        return search_after(index, stats, "data table query",
-                            (0.5, 0), k=10, stem=False, camel=False,
-                            shard_size=256, round_at=4)
-
     def script_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ES script_score: organic BM25 rescaled by a length feature
         from index_spark.operators.query import script_score_search
@@ -6829,7 +6812,6 @@ def _r04s17b_engine_queries() -> dict[str, Callable[[SparkSession, str],
     return {"intervals_topk": intervals_q, "spanor_topk": spanor_q,
             "spancontaining_topk": spancontaining_q,
             "spanwithin_topk": spanwithin_q,
-            "search_after_topk": search_after_q,
             "script_score_topk": script_score_q}
 
 
@@ -7756,9 +7738,6 @@ ORDER BY event_id""")
         _ORACLE_SPANCONTAINING_DUCK)
     add("spanwithin_topk", eng17b["spanwithin_topk"],
         _ORACLE_SPANWITHIN_DUCK)
-    add("search_after_topk", eng17b["search_after_topk"],
-        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_SEARCH_AFTER,
-                  [_terms_values_sql(FLAGSHIP_TERMS)]))
     add("script_score_topk", eng17b["script_score_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_SCRIPT_SCORE,
                   [_terms_values_sql(["data", "table"])]))

@@ -3804,39 +3804,6 @@ def match_bool_prefix_search(index: DataFrame, stats: dict, query: str,
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
 
-def search_after(index: DataFrame, stats: dict, query: str,
-                 after: tuple[float, int], k: int = 10,
-                 stem: bool = True, camel: bool = True,
-                 shard_size: int = 4096, zone: str | None = None,
-                 round_at: int | None = None, **kw) -> DataFrame:
-    """ES ``search_after`` cursor pagination: the next ``k`` results
-    strictly after the cursor ``(score, doc_id)`` in the total sort
-    order (score desc, doc_id asc) — the deep-pagination form that,
-    unlike from/size offsets, never materializes the skipped prefix as
-    a bigger top-k.  The cursor compare uses the ROUNDED score when
-    ``round_at`` is set, matching the rounded ranking (a cursor taken
-    from page N's last row then reproduces page N+1 exactly).
-
-    Plan: complete match scores with the cursor predicate applied
-    BEFORE the k-row TakeOrdered — each shard emits only post-cursor
-    rows, so page depth costs filtering, not a k·depth heap."""
-    spark = index.sparkSession
-    a_score, a_doc = float(after[0]), int(after[1])
-    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
-    if not qterms:
-        return spark.createDataFrame([], TOPK_SCHEMA)
-    local = _complete_match_scores(index, stats, qterms, stem=stem,
-                                   camel=camel, shard_size=shard_size,
-                                   zone=zone, **kw)
-    sc = (F.round(F.col("score"), round_at) if round_at is not None
-          else F.col("score"))
-    local = local.select("doc_id", sc.alias("score"))
-    cursor = (F.col("score") < a_score) | \
-        ((F.col("score") == a_score) & (F.col("doc_id") > a_doc))
-    return (local.filter(cursor)
-            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
-
-
 def script_score_search(index: DataFrame, stats: dict, query: str,
                         features: DataFrame | None, script: str,
                         k: int = 10, stem: bool = True,

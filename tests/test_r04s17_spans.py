@@ -1,5 +1,5 @@
 """Round-4 session-17b surface: intervals query, span_or,
-span_containing / span_within, search_after pagination, script_score."""
+span_containing / span_within, script_score."""
 
 import math
 
@@ -176,23 +176,6 @@ def test_span_pair_validation(span_ix):
                                slop=0)
     with pytest.raises(ValueError, match="one term"):
         span_containing_search(index, stats, "data table", "x", "q")
-
-
-# ----------------------------------------------------------- search_after
-
-def test_search_after_continues_page(span_ix):
-    from index_spark.operators.query import search, search_after
-
-    docs, index, stats = span_ix
-    full = search(index, docs, stats, "data table", k=6, stem=False,
-                  camel=False, shard_size=16).collect()
-    full = [(r.doc_id, round(r.score, 4)) for r in full]
-    page1, rest = full[:2], full[2:]
-    cursor = (page1[-1][1], page1[-1][0])
-    page2 = search_after(index, stats, "data table", cursor, k=4,
-                         stem=False, camel=False, shard_size=16,
-                         round_at=4).collect()
-    assert [(r.doc_id, r.score) for r in page2] == rest
 
 
 # ----------------------------------------------------------- script_score
