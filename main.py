@@ -85,6 +85,24 @@ def cmd_query(args) -> None:
         # silently returning BM25 scores under a non-BM25 flag
         raise SystemExit(f"--similarity {sim} supports plain term queries "
                          "(no --fuzzy/--regex/wildcards)")
+    if getattr(args, "qs", False):
+        # Lucene query_string boolean grammar -> the compositional
+        # join-algebra evaluator (no boosts/paging/similarity
+        # composition; plain-term flags belong to the flat path)
+        from index_spark.operators.query import query_string_search
+
+        if (args.fuzzy or args.regex or args.exclude or args.mode != "or"
+                or boosts is not None or after is not None
+                or sim != "bm25"):
+            raise SystemExit("--qs composes the boolean grammar only — "
+                             "drop --fuzzy/--regex/--exclude/--mode/"
+                             "--boosts/--after/--similarity (express "
+                             "them in the query string)")
+        rows = query_string_search(index, stats, args.query,
+                                   k=args.k).collect()
+        print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]}
+                          for r in rows]))
+        return
     if "*" in args.query or "?" in args.query:
         # glob tokens route to the wildcard path (dictionary-backed
         # when the store has a compacted catalog)
@@ -997,6 +1015,10 @@ def main(argv=None) -> None:
     q.add_argument("--after", default=None,
                    help="deep-pagination cursor 'score,doc_id' (the "
                         "previous page's last row)")
+    q.add_argument("--qs", action="store_true",
+                   help="parse --query as the Lucene query_string "
+                        "boolean grammar (AND/OR/NOT, parens; "
+                        "UPPERCASE keywords)")
     q.set_defaults(fn=cmd_query)
 
     up = sub.add_parser("upsert", help="Iceberg-style MERGE: replace "

@@ -84,3 +84,24 @@ def test_query_string_pure_negation_raises(qs_ix):
     with pytest.raises(ValueError, match="NOT NOT"):
         query_string_search(index, stats, "data NOT NOT table",
                             stem=False, camel=False)
+
+
+def test_cli_qs_flag(spark, tiny_corpus, tmp_path, capsys):
+    from main import main
+
+    import json as _json
+
+    from index_spark.plans.checkpoint import build_chunked
+
+    ordered = tiny_corpus.sort_values(["repo", "path"]) \
+        .reset_index(drop=True)
+    out = str(tmp_path / "qs_store")
+    build_chunked(spark, spark.createDataFrame(ordered), out,
+                  docs_per_chunk=64, shard_size=128)
+    main(["--cores", "8", "query", "--index-dir", out,
+          "--query", "import AND return", "-k", "5", "--qs"])
+    rows = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rows and all("doc_id" in r and "score" in r for r in rows)
+    with pytest.raises(SystemExit, match="boolean grammar"):
+        main(["--cores", "8", "query", "--index-dir", out,
+              "--query", "import AND return", "--qs", "--mode", "and"])
