@@ -7262,6 +7262,39 @@ def _r04s17h_engine_queries() -> dict[str, Callable[[SparkSession, str],
 
 
 
+# ---------------------------------------------------------------------------
+# session 17i: MultiPhraseQuery
+# ---------------------------------------------------------------------------
+
+_ORACLE_MULTIPHRASE = _POS_CTE_DUCK + """
+, m AS (
+  SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM pos p0 JOIN pos p1 ON p1.doc_id = p0.doc_id
+       AND p1.pos = p0.pos + 1
+  WHERE p0.term = 'data' AND p1.term IN ('table', 'query')
+  GROUP BY p0.doc_id
+)
+SELECT doc_id, n_matches FROM m
+ORDER BY n_matches DESC, doc_id ASC LIMIT 10"""
+
+
+def _r04s17i_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                    DataFrame]]:
+    def multiphrase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Lucene MultiPhraseQuery: "data (table|query)" — slot 2 is a
+        # term set, both adjacencies count
+        from index_spark.operators.phrase import multi_phrase_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        return multi_phrase_search(index, stats,
+                                   [["data"], ["table", "query"]],
+                                   k=10, stem=False, camel=False,
+                                   shard_size=256)
+
+    return {"multiphrase_topk": multiphrase_q}
+
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -7775,6 +7808,10 @@ ORDER BY event_id""")
     add("fuzzy_prefix_topk", eng17h["fuzzy_prefix_topk"],
         _docs_sql("duck", _ORACLE_FUZZY_PREFIX,
                   [_terms_values_sql(["dat", "tabl", "query"])]))
+
+    eng17i = _r04s17i_engine_queries()
+    add("multiphrase_topk", eng17i["multiphrase_topk"],
+        _ORACLE_MULTIPHRASE)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

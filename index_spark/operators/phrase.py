@@ -992,3 +992,79 @@ def indexed_phrase_search(index: DataFrame, stats: dict | None,
 
     out = hits.mapInPandas(fn, PHRASE_SCHEMA)
     return out.orderBy(F.desc("n_matches"), F.asc("doc_id")).limit(k)
+
+
+def multi_phrase_search(index: DataFrame, stats: dict | None,
+                        slots: list[list[str] | str], k: int = 10,
+                        stem: bool = True, camel: bool = True,
+                        zone: str | None = None,
+                        tombstones: DataFrame | None = None,
+                        shard_size: int = 4096,
+                        style_shift: int = 0) -> DataFrame:
+    """Lucene ``MultiPhraseQuery`` (the synonym-graph phrase): an exact
+    phrase where EACH slot matches any of its alternative terms —
+    ``[["data"], ["table", "index"]]`` matches "data table" and
+    "data index" occurrences alike; (doc_id, n_matches) counts all
+    combined starts.  Per-slot alternatives are distinct terms, so
+    their occurrence sets are disjoint and the m-way sorted
+    intersection is unchanged (the ``match_phrase_prefix`` argument,
+    generalized to every slot).
+
+    One exchange: all slots' terms share a single term-pruned ``isin``
+    scan; a slot whose alternatives are all absent from a doc range
+    ends that range's intersection immediately."""
+    spark = index.sparkSession
+    qslots: list[list[str]] = []
+    for s in slots:
+        alts = [s] if isinstance(s, str) else list(s)
+        terms: list[str] = []
+        for a in alts:
+            toks = tokenize(a, stem=stem, camel=camel)
+            if len(toks) != 1:
+                raise ValueError(f"slot alternative {a!r} must analyze "
+                                 "to exactly one term")
+            terms.append(toks[0])
+        if not terms:
+            raise ValueError("empty slot")
+        qslots.append(sorted(set(terms)))
+    if len(qslots) < 2:
+        raise ValueError("multi_phrase needs >= 2 slots — a 1-slot "
+                         "query is a plain term/terms query")
+    all_terms = sorted({t for s in qslots for t in s})
+    hits = _zone_pinned(index, zone)
+    hits = hits.filter(F.col("term").isin(all_terms))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                              "n_matches": np.empty(0, np.int64)})
+        groups: dict[str, list] = {}
+        for r in pdf.itertuples(index=False):
+            groups.setdefault(r.term, []).append(r)
+        if any(all(t not in groups for t in s) for s in qslots):
+            return empty
+        decoded = {t: _term_occurrences(rs, style_shift)
+                   for t, rs in groups.items()}
+        m = len(qslots)
+        doc_min = min(int(d.min()) for d, _ in decoded.values())
+        pos_cap = (max(int(p.max()) for _, p in decoded.values())
+                   + m + 2)
+        keys: np.ndarray | None = None
+        for i, slot in enumerate(qslots):
+            present = [t for t in slot if t in decoded]
+            docs = np.concatenate([decoded[t][0] for t in present])
+            pos = np.concatenate([decoded[t][1] for t in present])
+            adj = pos - i
+            ok = adj >= 0
+            kk = (docs[ok] - doc_min) * pos_cap + adj[ok]
+            kk.sort()
+            keys = kk if keys is None else np.intersect1d(
+                keys, kk, assume_unique=True)
+            if keys.size == 0:
+                return empty
+        match_docs = keys // pos_cap + doc_min
+        ud, cnt = np.unique(match_docs, return_counts=True)
+        return pd.DataFrame({"doc_id": ud.astype(np.int64),
+                             "n_matches": cnt.astype(np.int64)})
+
+    return _local_positional_topk(index, hits, kernel, k, tombstones,
+                                  shard_size)

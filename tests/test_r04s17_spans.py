@@ -220,3 +220,36 @@ def test_script_score_rejects_score_feature(span_ix):
     with pytest.raises(ValueError, match="'score' column"):
         script_score_search(index, stats, "data", feats, "score * 2",
                             stem=False, camel=False)
+
+
+def test_multi_phrase_alternatives(spark):
+    from index_spark.operators.build import build_index
+    from index_spark.operators.phrase import (
+        multi_phrase_search,
+        phrase_search,
+    )
+
+    corpus = spark.createDataFrame(
+        [("r", "d0", "data table rows"),
+         ("r", "d1", "data index rows"),
+         ("r", "d2", "data rows table"),     # not adjacent
+         ("r", "d3", "data table data index")],
+        "repo string, path string, content string")
+    docs, index, stats = build_index(corpus, stem=False, camel=False,
+                                     positions=True, shard_size=16)
+    out = {r.doc_id: r.n_matches for r in multi_phrase_search(
+        index, stats, [["data"], ["table", "index"]], k=10,
+        stem=False, camel=False, shard_size=16).collect()}
+    assert out == {0: 1, 1: 1, 3: 2}
+    # single-alternative slots degrade to the exact phrase kernel
+    ref = {(r.doc_id, r.n_matches) for r in phrase_search(
+        index, stats, "data table", k=10, stem=False, camel=False,
+        shard_size=16).collect()}
+    got = {(r.doc_id, r.n_matches) for r in multi_phrase_search(
+        index, stats, ["data", "table"], k=10, stem=False,
+        camel=False, shard_size=16).collect()}
+    assert got == ref
+    with pytest.raises(ValueError, match=">= 2 slots"):
+        multi_phrase_search(index, stats, [["data"]])
+    with pytest.raises(ValueError, match="one term"):
+        multi_phrase_search(index, stats, [["data table"], ["rows"]])
