@@ -7295,6 +7295,49 @@ def _r04s17i_engine_queries() -> dict[str, Callable[[SparkSession, str],
 
 
 
+# ---------------------------------------------------------------------------
+# session 17j: geo_line track aggregation
+# ---------------------------------------------------------------------------
+
+_ORACLE_GEO_LINE = """
+WITH p AS (
+  SELECT user_id, ts,
+         ((event_id * 2654435761) % 1800000) / 10000.0 - 90.0 AS lat,
+         ((event_id * 2246822519) % 3600000) / 10000.0 - 180.0 AS lon
+  FROM events
+), r AS (
+  SELECT user_id,
+         printf('%.4f', lon) || ' ' || printf('%.4f', lat) AS pt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, lat, lon) AS rn
+  FROM p
+)
+SELECT user_id, string_agg(pt, ';' ORDER BY rn) AS line,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM r WHERE rn <= 20 GROUP BY user_id ORDER BY user_id"""
+
+
+def _r04s17j_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                    DataFrame]]:
+    def geo_line_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES geo_line: per-user track of the first 20 synthetic points
+        # in event-time order, printf-serialized so both engines emit
+        # identical strings
+        from index_spark.operators.geo import geo_line
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pts = ev.select(
+            "user_id", "ts",
+            (((F.col("event_id") * 2654435761) % 1800000) / 10000.0
+             - 90.0).alias("lat"),
+            (((F.col("event_id") * 2246822519) % 3600000) / 10000.0
+             - 180.0).alias("lon"))
+        return geo_line(pts, by="user_id", sort_col="ts", size=20)
+
+    return {"geo_line_tracks": geo_line_q}
+
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -7812,6 +7855,9 @@ ORDER BY event_id""")
     eng17i = _r04s17i_engine_queries()
     add("multiphrase_topk", eng17i["multiphrase_topk"],
         _ORACLE_MULTIPHRASE)
+
+    eng17j = _r04s17j_engine_queries()
+    add("geo_line_tracks", eng17j["geo_line_tracks"], _ORACLE_GEO_LINE)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -1329,6 +1329,11 @@ def rate_agg(events: DataFrame, unit: str = "day",
     if unit not in units_s:
         raise ValueError(f"unit must be one of {sorted(units_s)}, "
                          f"got {unit!r}")
+    intervals = ("minute", "hour", "day", "week", "month", "quarter",
+                 "year")
+    if interval not in intervals:  # goes into an INTERVAL literal
+        raise ValueError(f"interval must be one of {intervals}, "
+                         f"got {interval!r}")
     keys = by or []
     t = F.col(ts_col).cast("timestamp")
     bucket = F.date_trunc(interval, t)

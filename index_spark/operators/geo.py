@@ -508,3 +508,41 @@ def geo_bounds(points: DataFrame, by: str | None = None,
     if by is None:
         return points.agg(*aggs)
     return points.groupBy(by).agg(*aggs).orderBy(F.asc(by))
+
+
+def geo_line(points: DataFrame, lat_col: str = "lat",
+             lon_col: str = "lon", sort_col: str = "ts",
+             by: str | None = None, size: int = 100,
+             round_at: int = 4) -> DataFrame:
+    """ES ``geo_line`` aggregation: per bucket, the track — points
+    ordered by ``sort_col``, truncated to the FIRST ``size`` (the ES
+    cap), serialized as ``"lon lat;lon lat;..."`` (engine-neutral
+    string form, so an independent SQL engine restates it
+    byte-for-byte).  One bucket-key window pass; rows past the cap
+    drop before the string fold, so per-bucket state is ≤ size
+    points."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    from pyspark.sql import Window
+
+    keys = [by] if by else []
+    w = Window.partitionBy(*keys).orderBy(F.asc(sort_col),
+                                          F.asc(lat_col), F.asc(lon_col))
+    # %.Nf formatting (not round+cast): double->string casting drifts
+    # into scientific notation near zero ("1.0E-4"), printf doesn't —
+    # and both engines format the same double to the same digits
+    fmt = f"%.{round_at}f"
+    pt = F.concat_ws(
+        " ",
+        F.format_string(fmt, F.col(lon_col).cast("double")),
+        F.format_string(fmt, F.col(lat_col).cast("double")))
+    ranked = (points.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= size))
+    out = (ranked.groupBy(*keys)
+           .agg(F.concat_ws(
+               ";", F.array_sort(F.collect_list(
+                   F.struct(F.col("_rn").alias("rn"),
+                            pt.alias("pt")))).getField("pt"))
+               .alias("line"),
+               F.count(F.lit(1)).alias("n_points")))
+    return out.orderBy(*keys) if keys else out

@@ -155,3 +155,21 @@ def test_sibling_bucket_aggs_extremes_and_ties(spark):
     assert out.p50 == 3.5
     with pytest.raises(ValueError, match="percent"):
         sibling_bucket_aggs(df, percents=[2.0])
+
+
+def test_geo_line_order_and_cap(spark):
+    from pyspark.sql import functions as F
+
+    from index_spark.operators.geo import geo_line
+
+    rows = [("a", 3, 10.0, 20.0), ("a", 1, 11.0, 21.0),
+            ("a", 2, 12.0, 22.0), ("b", 1, 1.0, 2.0)]
+    df = spark.createDataFrame(rows, "k string, ts int, lat double, "
+                                     "lon double")
+    out = {r.k: (r.line, r.n_points) for r in geo_line(
+        df, by="k", sort_col="ts", size=2, round_at=1).collect()}
+    # sort by ts, cap at 2, lon-lat order
+    assert out["a"] == ("21.0 11.0;22.0 12.0", 2)
+    assert out["b"] == ("2.0 1.0", 1)
+    with pytest.raises(ValueError, match="size"):
+        geo_line(df, size=0)
