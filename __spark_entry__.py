@@ -7338,6 +7338,203 @@ def _r04s17j_engine_queries() -> dict[str, Callable[[SparkSession, str],
 
 
 
+# ---------------------------------------------------------------------------
+# session 18: common_terms / terms-lookup / function_score /
+# cross_fields / combined_fields
+# ---------------------------------------------------------------------------
+
+# CommonTermsQuery, cutoff 0.5: 'dup' (df ratio ~0.05) is the only
+# low-frequency term, so it selects the candidate set and 'scan'/'table'
+# (common, ~0.78) only ADD score to docs already containing 'dup'
+_ORACLE_COMMON_TERMS = """
+, pts AS (
+  SELECT tf.term, tf.doc_id,
+         ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+           * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) AS s,
+         dft.df, stats.n
+  FROM tf JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+), low AS (
+  SELECT doc_id, sum(s) AS s FROM pts WHERE df <= 0.5 * n GROUP BY doc_id
+), high AS (
+  SELECT doc_id, sum(s) AS s FROM pts WHERE df > 0.5 * n GROUP BY doc_id
+), u AS (
+  SELECT low.doc_id, round(low.s + coalesce(high.s, 0), 4) AS score
+  FROM low LEFT JOIN high ON low.doc_id = high.doc_id
+)
+SELECT doc_id, score FROM u ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+# terms lookup from doc 7's top-5 terms (tf desc, term asc); score =
+# number of distinct lookup terms present (constant-score SHOULD sum)
+_ORACLE_TERMS_LOOKUP = """
+, lk AS (
+  SELECT term FROM tf WHERE doc_id = 7 ORDER BY tf DESC, term ASC LIMIT 5
+), m AS (SELECT DISTINCT tf.doc_id, tf.term FROM tf JOIN lk ON tf.term = lk.term)
+SELECT doc_id, CAST(count(*) AS DOUBLE) AS score FROM m GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+# function_score: BM25('data table') * (ln1p(0.01*n_chars) +
+# 0.5 * LCG(doc_id, seed 7)); the LCG is the pinned portable hash
+_ORACLE_FUNCTION_SCORE = """
+, sc AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ) AS s
+  FROM tf JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats GROUP BY tf.doc_id
+), f AS (
+  SELECT sc.doc_id,
+         sc.s * ( ln(d.n_chars * 0.01 + 1.0)
+                  + 0.5 * (CAST(((d.doc_id % 4294967296) * 1103515245 + 7) % 4294967296 AS DOUBLE) / 4294967296.0) ) AS score
+  FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM f
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10"""
+
+_ZONED_CTE_DUCK = """
+WITH body_tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+), src_tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(source), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+), ztok AS (
+  SELECT 'body' AS zone, doc_id, term FROM body_tok
+  UNION ALL SELECT 'src', doc_id, term FROM src_tok
+), ztf AS (
+  SELECT zone, doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM ztok GROUP BY zone, doc_id, term
+), zdl AS (
+  SELECT zone, doc_id, CAST(count(*) AS BIGINT) AS dlen FROM ztok GROUP BY zone, doc_id
+), zstats AS (SELECT zone, avg(dlen) AS avgdl FROM zdl GROUP BY zone),
+zdft AS (SELECT zone, term, CAST(count(*) AS BIGINT) AS df FROM ztf GROUP BY zone, term),
+nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM zdl),
+q(term) AS (SELECT * FROM (VALUES ('data'), ('table'), ('src3')) v(term)),
+zw(zone, wt) AS (SELECT * FROM (VALUES ('body', CAST(1.0 AS DOUBLE)), ('src', CAST(2.0 AS DOUBLE))) v(zone, wt))"""
+
+# cross_fields: blended df = max over zones, idf over any-zone N;
+# per (doc, term) dismax with tie_breaker 0.1, summed over terms
+_ORACLE_CROSS_FIELDS = _ZONED_CTE_DUCK + """
+, bdf AS (SELECT term, max(df) AS df FROM zdft JOIN q USING (term) GROUP BY term),
+pts AS (
+  SELECT ztf.doc_id, ztf.term,
+         zw.wt * ln((nn.n - bdf.df + 0.5) / (bdf.df + 0.5) + 1.0)
+           * ztf.tf / (ztf.tf + 1.2 * (1.0 - 0.75 + 0.75 * zdl.dlen / zstats.avgdl)) AS s
+  FROM ztf JOIN q ON ztf.term = q.term
+  JOIN bdf ON ztf.term = bdf.term
+  JOIN zdl ON ztf.zone = zdl.zone AND ztf.doc_id = zdl.doc_id
+  JOIN zstats ON ztf.zone = zstats.zone
+  JOIN zw ON ztf.zone = zw.zone CROSS JOIN nn
+), pt AS (
+  SELECT doc_id, term, max(s) + 0.1 * (sum(s) - max(s)) AS s
+  FROM pts GROUP BY doc_id, term
+), sc AS (SELECT doc_id, sum(s) AS score FROM pt GROUP BY doc_id),
+top AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
+
+# combined_fields: one merged pseudo-field — tf* = sum_z w_z*tf_z,
+# dl* = sum_z w_z*dl_z, avgdl* = avg(dl*), doc-level df
+_ORACLE_COMBINED_FIELDS = _ZONED_CTE_DUCK + """
+, ddf AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM ztok JOIN q USING (term) GROUP BY term),
+wdl AS (
+  SELECT zdl.doc_id, sum(zw.wt * zdl.dlen) AS wdl
+  FROM zdl JOIN zw ON zdl.zone = zw.zone GROUP BY zdl.doc_id
+), cavg AS (SELECT avg(wdl) AS avgdl FROM wdl),
+wtf AS (
+  SELECT ztf.doc_id, ztf.term, sum(zw.wt * ztf.tf) AS wtf
+  FROM ztf JOIN q ON ztf.term = q.term JOIN zw ON ztf.zone = zw.zone
+  GROUP BY ztf.doc_id, ztf.term
+), sc AS (
+  SELECT wtf.doc_id,
+         sum( ln((nn.n - ddf.df + 0.5) / (ddf.df + 0.5) + 1.0)
+              * wtf.wtf / (wtf.wtf + 1.2 * (1.0 - 0.75 + 0.75 * wdl.wdl / cavg.avgdl)) ) AS score
+  FROM wtf JOIN ddf ON wtf.term = ddf.term
+  JOIN wdl ON wtf.doc_id = wdl.doc_id
+  CROSS JOIN cavg CROSS JOIN nn
+  GROUP BY wtf.doc_id
+), top AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
+
+
+def _r04s18_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                   DataFrame]]:
+    def common_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.query import common_terms_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        return common_terms_search(index, stats, "dup scan table",
+                                   cutoff_frequency=0.5, k=10,
+                                   stem=False, camel=False, round_at=4)
+
+    def terms_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.query import terms_lookup_search
+
+        _, index, _ = _parity_build(spark, sf_dir)
+        cw = _parity_corpus(spark, sf_dir).withColumn(
+            "doc_id",
+            F.regexp_extract("path", r"doc(\d+)", 1).cast("long"))
+        return terms_lookup_search(index, cw, 7, top_terms=5, k=10,
+                                   stem=False, camel=False)
+
+    def function_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.query import function_score_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        feats = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                 .select("doc_id", "n_chars"))
+        return function_score_search(
+            index, stats, "data table",
+            [{"kind": "field_value_factor", "field": "n_chars",
+              "factor": 0.01, "modifier": "ln1p", "missing": 1.0},
+             {"kind": "random_score", "seed": 7, "weight": 0.5}],
+            features=feats, boost_mode="multiply", score_mode="sum",
+            k=10, stem=False, camel=False, round_at=4)
+
+    def _zoned_build(spark: SparkSession, sf_dir: str):
+        from index_spark.operators.build import build_zoned_index
+
+        corpus = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.lit("corpus").alias("repo"),
+                    F.format_string("doc%08d", F.col("doc_id")).alias("path"),
+                    F.col("text").alias("content"),
+                    F.col("source").alias("src"))
+        )
+        _, index, stats = build_zoned_index(
+            corpus, [("body", "content"), ("src", "src")],
+            stem=False, camel=False, shard_size=256)
+        return index.persist(), stats
+
+    def cross_fields_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.query import cross_fields_search
+
+        index, stats = _zoned_build(spark, sf_dir)
+        top = cross_fields_search(index, stats, "data table src3",
+                                  {"body": 1.0, "src": 2.0}, k=10,
+                                  tie_breaker=0.1,
+                                  stem=False, camel=False)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    def combined_fields_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.query import combined_fields_search
+
+        index, stats = _zoned_build(spark, sf_dir)
+        top = combined_fields_search(index, stats, "data table src3",
+                                     {"body": 1.0, "src": 2.0}, k=10,
+                                     stem=False, camel=False)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    return {"common_terms_topk": common_terms_q,
+            "terms_lookup_topk": terms_lookup_q,
+            "function_score_topk": function_score_q,
+            "cross_fields_topk": cross_fields_q,
+            "combined_fields_topk": combined_fields_q}
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -7858,6 +8055,20 @@ ORDER BY event_id""")
 
     eng17j = _r04s17j_engine_queries()
     add("geo_line_tracks", eng17j["geo_line_tracks"], _ORACLE_GEO_LINE)
+
+    eng18 = _r04s18_engine_queries()
+    add("common_terms_topk", eng18["common_terms_topk"],
+        _docs_sql("duck", _ORACLE_COMMON_TERMS,
+                  [_terms_values_sql(["dup", "scan", "table"])]))
+    add("terms_lookup_topk", eng18["terms_lookup_topk"],
+        _docs_sql("duck", _ORACLE_TERMS_LOOKUP))
+    add("function_score_topk", eng18["function_score_topk"],
+        _docs_sql("duck", _ORACLE_FUNCTION_SCORE,
+                  [_terms_values_sql(["data", "table"])]))
+    add("cross_fields_topk", eng18["cross_fields_topk"],
+        _ORACLE_CROSS_FIELDS)
+    add("combined_fields_topk", eng18["combined_fields_topk"],
+        _ORACLE_COMBINED_FIELDS)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

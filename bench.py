@@ -723,6 +723,17 @@ def main() -> None:
 
     _s17_scale()
 
+    # 10e. session-18 surface scale points (non-headline), via the
+    # registry so the measured plan is the driver-checked plan:
+    # CommonTermsQuery (rare-selects combine), terms lookup
+    # (constant-score membership), function_score (fvf + LCG random),
+    # cross_fields (blended-df dismax), combined_fields (merged
+    # pseudo-field BM25)
+    for name in ["common_terms_topk", "terms_lookup_topk",
+                 "function_score_topk", "cross_fields_topk",
+                 "combined_fields_topk"]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
     # 10c. concurrent-query throughput at 8 vs 32 cores, each in its
     # own process/JVM (a Spark master is fixed at startup). The
     # serving-relevant scaling number — single-query p95 at local[32]

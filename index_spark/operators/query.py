@@ -4031,3 +4031,431 @@ def query_string_search(index: DataFrame, stats: dict, q: str,
           else F.col("score"))
     return (out.select("doc_id", sc.alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def common_terms_search(index: DataFrame, stats: dict, query: str,
+                        cutoff_frequency: float = 0.01, k: int = 10,
+                        stem: bool = True, camel: bool = True,
+                        zone: str | None = None,
+                        round_at: int | None = None) -> DataFrame:
+    """Lucene ``CommonTermsQuery`` (the ES ``common`` terms query /
+    ``cutoff_frequency`` on match): query terms split by document
+    frequency at ``cutoff_frequency * N`` — LOW-frequency terms select
+    the candidate set (OR over low terms, each scoring BM25), while
+    HIGH-frequency ("common") terms never select on their own: their
+    BM25 contribution is added only to documents already matched by a
+    low-frequency term.  If every term is common, the query degrades
+    to a plain OR over all of them (Lucene's rule — otherwise a
+    stopword-only query would match nothing).
+
+    Plan: one bounded df aggregate over the query terms (<= |terms|
+    rows to the driver — the classification input), then the shared
+    per-term BM25 relation split into two doc-keyed aggregates joined
+    low-side-outer.  Everything after the term-pruned posting decode
+    is JVM codegen; no posting list is read twice."""
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    if not qterms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    n_docs = float(stats["n_docs"])
+    src = pin_zone(index, zone)
+    dfs = (src.filter(F.col("term").isin(qterms))
+           .groupBy("term").agg(F.sum("df").alias("df_g")).collect())
+    df_map = {r["term"]: int(r["df_g"]) for r in dfs}
+    rare = sorted(t for t in qterms
+                  if df_map.get(t, 0) <= cutoff_frequency * n_docs)
+    common = sorted(t for t in qterms if t in df_map and t not in rare)
+    if not df_map:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    S = per_term_scores(index, stats, sorted(df_map), zone=zone)
+    if not rare:
+        out = (S.groupBy("doc_id").agg(F.sum("score").alias("score")))
+    else:
+        low = (S.filter(F.col("term").isin(rare))
+               .groupBy("doc_id").agg(F.sum("score").alias("score")))
+        if common:
+            high = (S.filter(F.col("term").isin(common))
+                    .groupBy("doc_id").agg(F.sum("score").alias("_hs")))
+            out = (low.join(high, "doc_id", "left")
+                   .select("doc_id",
+                           (F.col("score")
+                            + F.coalesce("_hs", F.lit(0.0)))
+                           .alias("score")))
+        else:
+            out = low
+    sc = (F.round(F.col("score"), round_at) if round_at is not None
+          else F.col("score"))
+    return (out.select("doc_id", sc.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def terms_lookup_search(index: DataFrame, corpus_with_ids: DataFrame,
+                        lookup_doc_id: int, top_terms: int = 5,
+                        k: int = 10, stem: bool = True,
+                        camel: bool = True,
+                        zone: str | None = None) -> DataFrame:
+    """ES ``terms`` query with *terms lookup*: the term set comes from
+    another document's field instead of the request body.  The lookup
+    document's ``top_terms`` highest-tf terms (tf desc, term asc —
+    pinned order) become one constant-score terms filter; each matched
+    distinct lookup term contributes exactly 1.0 (Lucene's
+    constant-score rewrite of a terms query scores the number of
+    matching clauses under a bool SHOULD), so ``score`` = |lookup
+    terms present in the doc|.
+
+    Plan: one pushdown point-read of the lookup row (bounded by one
+    document at any corpus scale — the more_like_this shape), then a
+    term-pruned doc-stream decode and one distinct+count aggregate.
+    No tf/dl decode: matching is membership-only."""
+    from collections import Counter
+
+    spark = index.sparkSession
+    rows = (corpus_with_ids.filter(F.col("doc_id") == int(lookup_doc_id))
+            .select("content").collect())
+    if not rows:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    tf = Counter(tokenize(rows[0]["content"], stem=stem, camel=camel))
+    terms = sorted(t for _, t in
+                   sorted(((-n, t) for t, n in tf.items()))[:top_terms])
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    from index_spark.operators.analytics import postings_from_index
+
+    hits = pin_zone(index, zone).filter(F.col("term").isin(terms))
+    matched = (postings_from_index(hits)
+               .select("term", "doc_id").distinct())
+    return (matched.groupBy("doc_id")
+            .agg(F.count("*").cast("double").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def function_score_search(index: DataFrame, stats: dict, query: str,
+                          functions: list[dict],
+                          features: DataFrame | None = None,
+                          boost_mode: str = "multiply",
+                          score_mode: str = "sum", k: int = 10,
+                          stem: bool = True, camel: bool = True,
+                          shard_size: int = 4096,
+                          zone: str | None = None,
+                          round_at: int | None = None,
+                          **kw) -> DataFrame:
+    """ES ``function_score`` query: per-doc function values combine
+    under ``score_mode`` (``sum``/``multiply``/``max``) into one
+    factor, which combines with the organic BM25 under ``boost_mode``
+    (``multiply``/``sum``/``replace``).  Supported functions:
+
+    - ``{"kind": "field_value_factor", "field", "factor", "modifier"
+      ("none"|"ln1p"|"sqrt"), "missing", "weight"}`` — a column of
+      ``features`` (doc_id-keyed), ES's fvf formula
+      ``modifier(factor * value)``; missing rows take ``missing``.
+    - ``{"kind": "random_score", "seed", "weight"}`` — deterministic
+      per-doc pseudo-random in [0,1): an LCG hash of doc_id,
+      ``((doc_id * 1103515245 + seed) mod 2^32) / 2^32`` (multiplier
+      bounded so the product stays in int64 for doc_id < 2^32; ES
+      leaves the hash implementation-defined, this one is pinned so
+      any SQL engine reproduces it).
+    - ``{"kind": "weight", "weight"}`` — a constant factor.
+
+    Each function's value multiplies its ``weight`` (ES semantics).
+    Plan: complete match scores (functions can reorder, so the cut
+    follows the rescale), ONE doc-keyed left join for features, then
+    row-local JVM codegen for every function — the script never
+    leaves the JVM."""
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    if not qterms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    local = _complete_match_scores(index, stats, qterms, stem=stem,
+                                   camel=camel, shard_size=shard_size,
+                                   zone=zone, **kw)
+    needs_features = any(f["kind"] == "field_value_factor"
+                         for f in functions)
+    if needs_features:
+        if features is None:
+            raise ValueError("field_value_factor requires a features "
+                             "relation (doc_id-keyed)")
+        if "score" in features.columns:
+            raise ValueError("features must not carry a 'score' column")
+        local = local.join(features, "doc_id", "left")
+
+    cols = []
+    for fn in functions:
+        kind = fn["kind"]
+        w = F.lit(float(fn.get("weight", 1.0)))
+        if kind == "field_value_factor":
+            v = (F.coalesce(F.col(fn["field"]).cast("double"),
+                            F.lit(float(fn.get("missing", 1.0))))
+                 * F.lit(float(fn.get("factor", 1.0))))
+            mod = fn.get("modifier", "none")
+            if mod == "ln1p":
+                v = F.log(v + F.lit(1.0))
+            elif mod == "sqrt":
+                v = F.sqrt(v)
+            elif mod != "none":
+                raise ValueError(f"unknown modifier {mod!r}")
+            cols.append(w * v)
+        elif kind == "random_score":
+            seed = int(fn.get("seed", 0))
+            h = F.pmod(F.pmod(F.col("doc_id"), F.lit(4294967296))
+                       * F.lit(1103515245) + F.lit(seed),
+                       F.lit(4294967296))
+            cols.append(w * (h.cast("double") / F.lit(4294967296.0)))
+        elif kind == "weight":
+            cols.append(w)
+        else:
+            raise ValueError(f"unknown function kind {kind!r}")
+    if not cols:
+        raise ValueError("function_score needs at least one function")
+    if score_mode == "sum":
+        fv = cols[0]
+        for c in cols[1:]:
+            fv = fv + c
+    elif score_mode == "multiply":
+        fv = cols[0]
+        for c in cols[1:]:
+            fv = fv * c
+    elif score_mode == "max":
+        fv = F.greatest(*cols) if len(cols) > 1 else cols[0]
+    else:
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    if boost_mode == "multiply":
+        sc = F.col("score") * fv
+    elif boost_mode == "sum":
+        sc = F.col("score") + fv
+    elif boost_mode == "replace":
+        sc = fv
+    else:
+        raise ValueError(f"unknown boost_mode {boost_mode!r}")
+    if round_at is not None:
+        sc = F.round(sc, round_at)
+    return (local.select("doc_id", sc.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def cross_fields_search(index: DataFrame, zone_stats: dict, query: str,
+                        zone_weights: dict[str, float], k: int = 10,
+                        tie_breaker: float = 0.0, stem: bool = True,
+                        camel: bool = True, k1: float = K1,
+                        b: float = B) -> DataFrame:
+    """ES ``multi_match`` type ``cross_fields``: treats the fields as
+    one big field *term-wise* — each query term must only appear in
+    SOME field, and scores with BLENDED statistics (Lucene
+    ``BlendedTermQuery``): df_blend(t) = max over zones of the
+    per-zone df, idf over N = |docs present in any zone|.  Per term
+    and doc the per-zone contributions
+    ``w_z * idf_blend * tf_z / (tf_z + k1*(1-b+b*dl_z/avgdl_z))``
+    combine dismax-style: the best zone wins, the others add
+    ``tie_breaker`` times their value; per-doc score sums over terms.
+    (Contrast: :func:`dismax_search` dismaxes whole per-zone BM25
+    queries; cross_fields dismaxes PER TERM with shared idf — the
+    difference Lucene introduced the blending for: a term common in
+    one field and rare in another no longer gets an inflated idf from
+    the field it is rare in.)
+
+    Plan: one bounded per-(zone, term) df aggregate from row metadata
+    (<= |terms| x |zones| rows), one tiny doc-union job over the '%'
+    marker rows for N, then ONE shard-grouped scoring kernel — the
+    standard one-exchange query shape; only per-shard top-k rows
+    merge globally."""
+    from index_spark.operators.build import DOC_MARKER
+
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    zones = sorted(z for z in zone_weights if z in zone_stats)
+    if not qterms or not zones:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+
+    zsel = index.filter(F.col("zone").isin(zones))
+    hits = zsel.filter(F.col("term").isin(qterms))
+    zdfs = (hits.groupBy("zone", "term").agg(F.sum("df").alias("df_z"))
+            .collect())
+    blend: dict[str, int] = {}
+    for r in zdfs:
+        blend[r["term"]] = max(blend.get(r["term"], 0), int(r["df_z"]))
+    if not blend:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+
+    markers = (zsel.filter(F.col("term") == DOC_MARKER)
+               .select("shard", "term", "doc_blob"))
+
+    def union_docs(pdf: pd.DataFrame) -> pd.DataFrame:
+        docs = [np.cumsum(vb.decode(blob).astype(np.int64))
+                for blob in pdf["doc_blob"]]
+        n = np.unique(np.concatenate(docs)).size if docs else 0
+        return pd.DataFrame({"term": [DOC_MARKER], "dfd": [n]})
+
+    n_docs = sum(r["dfd"] for r in markers.groupBy("shard")
+                 .applyInPandas(union_docs, _UNION_DF_SCHEMA).collect())
+    if n_docs == 0:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    idf_map = {t: math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               for t, df in blend.items()}
+    zw = {z: float(zone_weights[z]) for z in zones}
+    zavg = {z: float(zone_stats[z]["avgdl"]) for z in zones}
+    tb = float(tie_breaker)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+        lo, hi = None, None
+        for row in pdf.itertuples(index=False):
+            docs = np.cumsum(vb.decode(row.doc_blob).astype(np.int64))
+            tfs = vb.decode(row.tf_blob).astype(np.float64)
+            dls = vb.decode(row.dl_blob).astype(np.float64)
+            az = zavg[row.zone]
+            idf = idf_map.get(row.term)
+            if idf is None:
+                continue
+            contrib = (zw[row.zone] * idf * tfs
+                       / (tfs + k1 * ((1.0 - b) + b * dls / az)))
+            by_term.setdefault(row.term, []).append((docs, contrib))
+            lo = int(docs[0]) if lo is None else min(lo, int(docs[0]))
+            hi = int(docs[-1]) if hi is None else max(hi, int(docs[-1]))
+        if lo is None:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        span = hi - lo + 1
+        acc = np.zeros(span, dtype=np.float64)
+        for term in sorted(by_term):  # pinned ascending-term sum order
+            best = np.zeros(span, dtype=np.float64)
+            tot = np.zeros(span, dtype=np.float64)
+            for docs, contrib in by_term[term]:
+                idx = docs - lo
+                tot[idx] += contrib
+                np.maximum.at(best, idx, contrib)
+            nz = tot > 0.0
+            acc[nz] += best[nz] + tb * (tot[nz] - best[nz])
+        nzi = np.flatnonzero(acc)
+        if nzi.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        return _topk_frame(nzi + lo, acc[nzi], k)
+
+    local = hits.groupBy("shard").applyInPandas(score, schema=TOPK_SCHEMA)
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+_CFIELD_STATS_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType(), False),
+    T.StructField("dfd", T.LongType(), False),
+    T.StructField("wdl", T.DoubleType(), False),
+])
+
+
+def combined_fields_search(index: DataFrame, zone_stats: dict,
+                           query: str,
+                           zone_weights: dict[str, float], k: int = 10,
+                           stem: bool = True, camel: bool = True,
+                           k1: float = K1, b: float = B) -> DataFrame:
+    """ES ``combined_fields`` query: score as if the fields were ONE
+    merged pseudo-field whose term frequencies are the weighted sum of
+    the per-field frequencies (weights are per-field boosts; ES
+    requires >= 1) — the principled term-centric alternative to
+    cross_fields, derived from BM25F with a shared length
+    normalization:
+
+        tf*(t,d)  = sum_z  w_z * tf_z(t,d)
+        dl*(d)    = sum_z  w_z * dl_z(d)
+        avgdl*    = mean over docs of dl*
+        score(d)  = sum_t idf_doc(t) * tf* / (tf* + k1*(1-b+b*dl*/avgdl*))
+
+    with doc-level idf (df = docs containing t in ANY zone, N = docs
+    in any zone) — exactly BM25 over the concatenation-with-repeats
+    corpus, which is what ES documents.
+
+    Plan mirrors :func:`bm25f_search`'s two jobs: (1) one shard-grouped
+    pass over the query terms' doc streams + the '%' marker rows
+    computing doc-level df per term AND (N, sum of dl*) — small rows
+    only; (2) one shard-grouped scoring kernel where marker rows
+    rebuild dl* per doc and posting rows accumulate tf* — one
+    exchange, per-shard top-k, tiny global merge."""
+    from index_spark.operators.build import DOC_MARKER
+
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    zones = sorted(z for z in zone_weights if z in zone_stats)
+    if not qterms or not zones:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    zw = {z: float(zone_weights[z]) for z in zones}
+
+    zsel = index.filter(F.col("zone").isin(zones))
+    hits = zsel.filter(F.col("term").isin(qterms))
+    pool = (zsel.filter(F.col("term").isin(qterms + [DOC_MARKER]))
+            .select("shard", "zone", "term", "doc_blob", "tf_blob"))
+
+    def stats_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        terms, dfds, wdls = [], [], []
+        for term, grp in pdf.groupby("term", sort=False):
+            if term == DOC_MARKER:
+                acc: dict[int, float] = {}
+                seen = []
+                for row in grp.itertuples(index=False):
+                    docs = np.cumsum(
+                        vb.decode(row.doc_blob).astype(np.int64))
+                    dls = vb.decode(row.tf_blob).astype(np.float64)
+                    seen.append(docs)
+                    w = zw[row.zone]
+                    for d, dl in zip(docs.tolist(), dls.tolist()):
+                        acc[d] = acc.get(d, 0.0) + w * dl
+                terms.append(term)
+                dfds.append(np.unique(np.concatenate(seen)).size
+                            if seen else 0)
+                wdls.append(float(sum(acc.values())))
+            else:
+                docs = [np.cumsum(vb.decode(blob).astype(np.int64))
+                        for blob in grp["doc_blob"]]
+                terms.append(term)
+                dfds.append(np.unique(np.concatenate(docs)).size)
+                wdls.append(0.0)
+        return pd.DataFrame({"term": terms,
+                             "dfd": np.asarray(dfds, np.int64),
+                             "wdl": np.asarray(wdls, np.float64)})
+
+    agg = (pool.groupBy("shard")
+           .applyInPandas(stats_fn, _CFIELD_STATS_SCHEMA)
+           .groupBy("term").agg(F.sum("dfd").alias("dfd"),
+                                F.sum("wdl").alias("wdl")).collect())
+    dfd = {r["term"]: int(r["dfd"]) for r in agg}
+    wdl_tot = sum(float(r["wdl"]) for r in agg)
+    n_docs = dfd.pop(DOC_MARKER, 0)
+    if not dfd or n_docs == 0:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    avgdl_c = wdl_tot / n_docs
+    idf_map = {t: math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               for t, df in dfd.items()}
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        post: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+        marks: list[tuple[np.ndarray, np.ndarray, float]] = []
+        lo, hi = None, None
+        for row in pdf.itertuples(index=False):
+            docs = np.cumsum(vb.decode(row.doc_blob).astype(np.int64))
+            vals = vb.decode(row.tf_blob).astype(np.float64)
+            if row.term == DOC_MARKER:
+                marks.append((docs, vals, zw[row.zone]))
+            else:
+                post.setdefault(row.term, []).append(
+                    (docs, zw[row.zone] * vals))
+            lo = int(docs[0]) if lo is None else min(lo, int(docs[0]))
+            hi = int(docs[-1]) if hi is None else max(hi, int(docs[-1]))
+        if lo is None or not post:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        span = hi - lo + 1
+        wdl = np.zeros(span, dtype=np.float64)
+        for docs, dls, w in marks:
+            wdl[docs - lo] += w * dls
+        denom_dl = k1 * ((1.0 - b) + b * wdl / avgdl_c)
+        acc = np.zeros(span, dtype=np.float64)
+        for term in sorted(post):  # pinned ascending-term sum order
+            idf = idf_map.get(term)
+            if idf is None:
+                continue
+            wtf = np.zeros(span, dtype=np.float64)
+            for docs, wtfs in post[term]:
+                wtf[docs - lo] += wtfs
+            nz = wtf > 0.0
+            acc[nz] += idf * wtf[nz] / (wtf[nz] + denom_dl[nz])
+        nzi = np.flatnonzero(acc)
+        if nzi.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        return _topk_frame(nzi + lo, acc[nzi], k)
+
+    local = pool.groupBy("shard").applyInPandas(score, schema=TOPK_SCHEMA)
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
