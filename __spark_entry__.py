@@ -7535,6 +7535,165 @@ def _r04s18_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "combined_fields_topk": combined_fields_q}
 
 
+# ---------------------------------------------------------------------------
+# session 18b: linear retriever, multi_terms / date_range aggs, ERR@k
+# ---------------------------------------------------------------------------
+
+# ES linear retriever: min-max-normalized weighted fusion (lex 0.7,
+# sem 0.3) — the weighted CombSUM; degenerate windows normalize to 1.0
+_ORACLE_HYBRID_LINEAR = """
+, lexn AS (SELECT doc_id, round(score, 4) AS s FROM scores)
+, lexmm AS (SELECT min(s) AS lo, max(s) AS hi FROM lexn)
+, lex AS (
+  SELECT doc_id, 0.7 * (CASE WHEN hi > lo THEN (s - lo) / (hi - lo)
+                             ELSE 1.0 END) AS norm
+  FROM lexn CROSS JOIN lexmm)
+, qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
+, semn AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.embedding::DOUBLE[], qv.q)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv.q, qv.q))), 4) AS s
+  FROM embeddings e CROSS JOIN qv)
+, semmm AS (SELECT min(s) AS lo, max(s) AS hi FROM semn)
+, sem AS (
+  SELECT doc_id, 0.3 * (CASE WHEN hi > lo THEN (s - lo) / (hi - lo)
+                             ELSE 1.0 END) AS norm
+  FROM semn CROSS JOIN semmm)
+, u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+SELECT doc_id, round(sum(norm), 6) AS fused
+FROM u GROUP BY doc_id
+ORDER BY fused DESC, doc_id ASC LIMIT 10"""
+
+_ORACLE_MULTI_TERMS = """
+SELECT event_type, user_id % 7 AS ubucket,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type, user_id % 7
+ORDER BY doc_count DESC, event_type ASC, ubucket ASC LIMIT 10"""
+
+_ORACLE_DATE_RANGE = """
+WITH b(rng, lo, hi) AS (
+  SELECT * FROM (VALUES
+    ('*-2024-01-10', NULL, TIMESTAMP '2024-01-10'),
+    ('2024-01-10-2024-01-20', TIMESTAMP '2024-01-10', TIMESTAMP '2024-01-20'),
+    ('2024-01-20-*', TIMESTAMP '2024-01-20', NULL)) v(rng, lo, hi)
+)
+SELECT b.rng AS range,
+       CAST(count(CASE WHEN (b.lo IS NULL OR e.ts >= b.lo)
+                        AND (b.hi IS NULL OR e.ts < b.hi)
+                       THEN 1 END) AS BIGINT) AS doc_count,
+       round(sum(CASE WHEN (b.lo IS NULL OR e.ts >= b.lo)
+                       AND (b.hi IS NULL OR e.ts < b.hi)
+                      THEN e.value END), 4) AS sum_value
+FROM events e CROSS JOIN b
+GROUP BY b.rng ORDER BY range"""
+
+# ERR@10 (Chapelle 2009): cascade model over the ranked queryset run;
+# grades = containment counts, g_max from the whole qrels relation
+_ORACLE_ERR_EVAL = """
+, qscores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+), res AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM qscores QUALIFY rank <= 10
+), qrels AS (
+  SELECT q.query_id, tok.doc_id,
+         CAST(count(DISTINCT tok.term) AS DOUBLE) AS rel
+  FROM tok JOIN q ON tok.term = q.term
+  GROUP BY q.query_id, tok.doc_id
+), gmax AS (SELECT max(rel) AS g FROM qrels),
+j AS (
+  SELECT res.query_id, res.rank,
+         (pow(2.0, coalesce(qr.rel, 0)) - 1.0) / pow(2.0, gmax.g) AS r
+  FROM res LEFT JOIN qrels qr
+    ON res.query_id = qr.query_id AND res.doc_id = qr.doc_id
+  CROSS JOIN gmax
+), jp AS (
+  SELECT query_id, rank, r,
+         coalesce(product(1.0 - r) OVER (
+             PARTITION BY query_id ORDER BY rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1.0) AS stop
+  FROM j
+)
+SELECT query_id, round(sum(r / rank * stop), 6) AS err
+FROM jp GROUP BY query_id ORDER BY query_id"""
+
+
+def _r04s18b_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                    DataFrame]]:
+    def hybrid_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the ES "linear retriever": per-retriever min-max normalize,
+        # weighted sum (lexical 0.7, semantic 0.3)
+        from index_spark.operators.hybrid import comb_fuse
+        from index_spark.operators.query import search
+        from index_spark.operators.similarity import _cos_expr
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = [float(x) for x in
+                emb.filter("vec_id = 0").first()["embedding"]]
+        lex = search(index, None, stats, "data table query",
+                     k=stats["n_docs"], stem=False, camel=False,
+                     shard_size=256) \
+            .select("doc_id", F.round("score", 4).alias("score"))
+        sem = emb.select(F.col("vec_id").cast("long").alias("doc_id"),
+                         F.round(_cos_expr("embedding", qvec), 4)
+                          .alias("score"))
+        return comb_fuse([lex, sem], k=10, method="sum",
+                         weights=[0.7, 0.3])
+
+    def multi_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.analytics import multi_terms_facet
+
+        ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+              .withColumn("ubucket", F.col("user_id") % 7))
+        return multi_terms_facet(ev, ["event_type", "ubucket"],
+                                 size=10, value_col="value")
+
+    def date_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.temporal import date_range_facet
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return date_range_facet(
+            ev, [(None, "2024-01-10"),
+                 ("2024-01-10", "2024-01-20"),
+                 ("2024-01-20", None)], value_col="value")
+
+    def err_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ERR@10 of the batch query-set run against containment qrels
+        from index_spark.operators.evaluate import err_metric
+        from index_spark.operators.query import search_many
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        queries = {qid: " ".join(terms) for qid, terms in QUERYSET}
+        res = search_many(index, stats, queries, k=10,
+                          stem=False, camel=False)
+        _register(spark, sf_dir, ["documents"])
+        qrels = spark.sql(
+            _with(_SPARK_TOK_CTE, _queryset_values_sql())
+            + """ SELECT q.query_id, tok.doc_id,
+                     CAST(count(DISTINCT tok.term) AS DOUBLE) AS rel
+                  FROM tok JOIN q ON tok.term = q.term
+                  GROUP BY q.query_id, tok.doc_id""")
+        return err_metric(res, qrels, k=10)
+
+    return {"hybrid_linear_topk": hybrid_linear_q,
+            "events_multi_terms": multi_terms_q,
+            "events_date_range": date_range_q,
+            "err_eval": err_eval_q}
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -8069,6 +8228,17 @@ ORDER BY event_id""")
         _ORACLE_CROSS_FIELDS)
     add("combined_fields_topk", eng18["combined_fields_topk"],
         _ORACLE_COMBINED_FIELDS)
+
+    eng18b = _r04s18b_engine_queries()
+    add("hybrid_linear_topk", eng18b["hybrid_linear_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_HYBRID_LINEAR,
+                  [q_cte]))
+    add("events_multi_terms", eng18b["events_multi_terms"],
+        _ORACLE_MULTI_TERMS)
+    add("events_date_range", eng18b["events_date_range"],
+        _ORACLE_DATE_RANGE)
+    add("err_eval", eng18b["err_eval"],
+        _docs_sql("duck", _ORACLE_ERR_EVAL, [_queryset_values_sql()]))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -734,6 +734,12 @@ def main() -> None:
                  "combined_fields_topk"]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
+    # 10f. session-18b surfaces (non-headline): weighted linear fusion,
+    # composite-key terms agg, date_range buckets, ERR@10
+    for name in ["hybrid_linear_topk", "events_multi_terms",
+                 "events_date_range", "err_eval"]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
     # 10c. concurrent-query throughput at 8 vs 32 cores, each in its
     # own process/JVM (a Spark master is fixed at startup). The
     # serving-relevant scaling number — single-query p95 at local[32]

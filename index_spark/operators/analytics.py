@@ -1350,3 +1350,24 @@ def rate_agg(events: DataFrame, unit: str = "day",
                            F.round(rate, round_at)
                            .alias(f"rate_per_{unit}"))
             .orderBy(*keys, "bucket"))
+
+
+def multi_terms_facet(df: DataFrame, keys: list[str], size: int = 10,
+                      value_col: str | None = None,
+                      round_at: int = 4) -> DataFrame:
+    """ES ``multi_terms`` aggregation: buckets keyed by the COMPOSITE
+    of several fields (the terms agg generalized to key tuples),
+    ordered doc_count desc with the key tuple ascending as the pinned
+    tiebreak, truncated to ``size``.  One groupBy + a k-row
+    TakeOrdered — the compound key shuffles exactly like a single
+    terms agg; optional ``value_col`` adds a per-bucket sum."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(F.col(value_col).cast("double")),
+                            round_at).alias("sum_value"))
+    out = df.groupBy(*keys).agg(*aggs)
+    return (out.orderBy(F.desc("doc_count"),
+                        *[F.asc(k) for k in keys])
+            .limit(size))

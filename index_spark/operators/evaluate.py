@@ -168,3 +168,54 @@ def precision_recall_metrics(results: DataFrame, qrels: DataFrame,
                               / F.col("n_rel")).otherwise(0.0), 6)
                .alias("ap")))
     return out.orderBy("query_id")
+
+
+def err_metric(results: DataFrame, qrels: DataFrame, k: int = 10,
+               max_grade: float | None = None) -> DataFrame:
+    """Expected Reciprocal Rank at k (Chapelle et al., CIKM 2009) —
+    the cascade-model graded metric ES exposes through the
+    ``rank_eval`` API:
+
+        R_i    = (2^rel_i - 1) / 2^g_max
+        ERR@k  = sum_{i <= k}  R_i / i * prod_{j < i} (1 - R_j)
+
+    ``g_max`` defaults to the maximum grade over the WHOLE qrels
+    relation (ES's ``maximum_relevance``); pass ``max_grade`` to pin
+    it.  Unjudged retrieved docs take rel = 0 (R = 0 — they never
+    stop the cascade).
+
+    One join + one bounded window per query (<= k rows of state): the
+    prefix product is a windowed ``product`` aggregate over the
+    shifted frame, so no per-rank rescans.  Returns (query_id, err),
+    6-decimal rounds, ordered by query_id."""
+    res = results.select("query_id", "doc_id",
+                         F.col("rank").cast("long").alias("rank")) \
+        .filter(F.col("rank") <= k)
+    qr = qrels.select("query_id", "doc_id",
+                      F.col("rel").cast("double").alias("rel"))
+    if max_grade is None:
+        row = qr.agg(F.max("rel")).collect()[0][0]
+        max_grade = float(row) if row is not None else 0.0
+    if max_grade <= 0:
+        qids = results.select("query_id").distinct()
+        return (qids.select("query_id", F.lit(0.0).alias("err"))
+                .orderBy("query_id"))
+    denom = float(2.0 ** max_grade)
+    j = (res.join(qr, ["query_id", "doc_id"], "left")
+         .withColumn("_r", (F.pow(F.lit(2.0),
+                                  F.coalesce("rel", F.lit(0.0)))
+                            - 1.0) / F.lit(denom)))
+    w = (Window.partitionBy("query_id").orderBy("rank")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    j = j.withColumn("_stop",
+                     F.coalesce(F.product(1.0 - F.col("_r")).over(w),
+                                F.lit(1.0)))
+    per_q = (j.groupBy("query_id")
+             .agg(F.sum(F.col("_r") / F.col("rank") * F.col("_stop"))
+                  .alias("_err")))
+    qids = results.select("query_id").distinct()
+    return (qids.join(per_q, "query_id", "left")
+            .select("query_id",
+                    F.round(F.coalesce("_err", F.lit(0.0)), 6)
+                    .alias("err"))
+            .orderBy("query_id"))

@@ -89,10 +89,16 @@ def hybrid_search(index: DataFrame, docs: DataFrame | None, stats: dict,
 
 def comb_fuse(rankings: list[DataFrame], k: int = 10,
               method: str = "sum", id_col: str = "doc_id",
-              score_col: str = "score") -> DataFrame:
+              score_col: str = "score",
+              weights: list[float] | None = None) -> DataFrame:
     """CombSUM / CombMNZ score fusion (Fox & Shaw, TREC-2 1994) —
     the score-based alternative to :func:`rrf_fuse`. Returns
     (doc_id, fused) top-k, fused desc / doc_id asc.
+
+    ``weights`` (one per ranking) turns CombSUM into the ES "linear
+    retriever": each ranking's min-max-normalized score multiplies its
+    weight before the sum (weights compose with ``method='mnz'`` too,
+    where the appearance count still counts rankings, not weight).
 
     Each ranking's scores are min-max normalized to [0, 1] over its
     own window (a degenerate window where min == max normalizes to
@@ -106,15 +112,18 @@ def comb_fuse(rankings: list[DataFrame], k: int = 10,
         raise ValueError(f"method must be 'sum' or 'mnz', got {method!r}")
     if not rankings:
         raise ValueError("need at least one ranking")
+    if weights is not None and len(weights) != len(rankings):
+        raise ValueError("weights must match rankings 1:1")
     w = Window.partitionBy(F.lit(1))
     normed = []
-    for r in rankings:
+    for i, r in enumerate(rankings):
         s = F.col(score_col).cast("double")
         lo, hi = F.min(s).over(w), F.max(s).over(w)
+        wt = F.lit(float(weights[i]) if weights is not None else 1.0)
         normed.append(
             r.select(F.col(id_col).cast("long").alias("doc_id"),
-                     F.when(hi > lo, (s - lo) / (hi - lo))
-                      .otherwise(F.lit(1.0)).alias("norm")))
+                     (wt * F.when(hi > lo, (s - lo) / (hi - lo))
+                      .otherwise(F.lit(1.0))).alias("norm")))
     allr = normed[0]
     for r in normed[1:]:
         allr = allr.unionByName(r)

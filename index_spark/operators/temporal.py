@@ -649,3 +649,48 @@ def sibling_bucket_aggs(buckets: DataFrame,
         aggs.append(F.round(F.percentile(v, F.lit(p)), round_at)
                     .alias(f"p{int(round(p * 100)):02d}"))
     return buckets.agg(*aggs)
+
+
+def date_range_facet(events: DataFrame, ranges: list[tuple[str | None,
+                                                           str | None]],
+                     ts_col: str = "ts",
+                     value_col: str | None = None,
+                     by: list[str] | None = None,
+                     round_at: int = 4) -> DataFrame:
+    """ES ``date_range`` aggregation: explicit half-open [from, to)
+    DATE buckets (``from`` inclusive, ``to`` exclusive, None =
+    unbounded), labeled the ES way ("from-to" with '*' for open
+    ends).  Same fused shape as the numeric ``range`` agg: buckets may
+    overlap, each is an independent conditional count in ONE aggregate
+    pass; optional ``value_col`` adds a per-range sum.  Bounds are ISO
+    timestamp strings parsed once as literals (no per-row parsing)."""
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    keys = by or []
+    ts = F.col(ts_col)
+    aggs, labels = [], []
+    for lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (ts >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            cond = cond & (ts < F.lit(hi).cast("timestamp"))
+        label = f"{lo or '*'}-{hi or '*'}"
+        labels.append(label)
+        aggs.append(F.count(F.when(cond, F.lit(1)))
+                    .alias(f"count:{label}"))
+        if value_col is not None:
+            aggs.append(F.round(
+                F.sum(F.when(cond, F.col(value_col).cast("double"))),
+                round_at).alias(f"sum:{label}"))
+    wide = events.groupBy(*keys).agg(*aggs)
+    pairs = []
+    for label in labels:
+        fields = [F.lit(label).alias("range"),
+                  F.col(f"`count:{label}`").alias("doc_count")]
+        if value_col is not None:
+            fields.append(F.col(f"`sum:{label}`").alias("sum_value"))
+        pairs.append(F.struct(*fields))
+    out = (wide.select(*keys, F.explode(F.array(*pairs)).alias("b"))
+           .select(*keys, "b.*"))
+    return out.orderBy(*keys, "range") if keys else out.orderBy("range")

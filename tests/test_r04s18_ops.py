@@ -302,3 +302,96 @@ def test_combined_fields_single_zone_is_bm25(spark):
                stem=False, camel=False).collect()
     assert {r.doc_id: round(r.score, 9) for r in a} == \
            {r.doc_id: round(r.score, 9) for r in b}
+
+
+# ----------------------------------------------------------------- ERR@k
+
+def test_err_metric_hand_computed(spark):
+    from index_spark.operators.evaluate import err_metric
+
+    res = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)],
+        "query_id long, doc_id long, rank long")
+    qrels = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 12, 2.0), (2, 99, 2.0)],
+        "query_id long, doc_id long, rel double")
+    out = {r.query_id: r.err
+           for r in err_metric(res, qrels, k=10).collect()}
+    # g_max = 2 -> R(rel=1) = 1/4, R(rel=2) = 3/4, unjudged R = 0
+    r1, r3 = 0.25, 0.75
+    want1 = r1 / 1 + 0.0 / 2 + (1 - r1) * (1 - 0.0) * r3 / 3
+    assert out[1] == pytest.approx(round(want1, 6))
+    assert out[2] == 0.0  # no judged doc retrieved
+
+
+def test_err_metric_rank_cut_and_pinned_gmax(spark):
+    from index_spark.operators.evaluate import err_metric
+
+    res = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank long")
+    qrels = spark.createDataFrame(
+        [(1, 11, 1.0)], "query_id long, doc_id long, rel double")
+    # k=1 cuts the only relevant doc away
+    out = err_metric(res, qrels, k=1).collect()
+    assert out[0].err == 0.0
+    # pinned max_grade overrides the data-derived one
+    out2 = err_metric(res, qrels, k=10, max_grade=3.0).collect()
+    assert out2[0].err == pytest.approx(round((1.0 / 8.0) / 2, 6))
+
+
+# ------------------------------------------------------------- date_range
+
+def test_date_range_facet_half_open_and_overlap(spark):
+    from index_spark.operators.temporal import date_range_facet
+
+    ev = spark.createDataFrame(
+        [("2024-01-05 00:00:00", 1.0), ("2024-01-10 00:00:00", 2.0),
+         ("2024-01-15 12:00:00", 4.0)],
+        "ts string, value double").withColumn("ts", F.to_timestamp("ts"))
+    out = {r.range: (r.doc_count, r.sum_value)
+           for r in date_range_facet(
+               ev, [(None, "2024-01-10"), ("2024-01-10", None),
+                    ("2024-01-01", "2024-01-31")],
+               value_col="value").collect()}
+    # boundary row (Jan 10 midnight) is EXCLUDED from *-2024-01-10 and
+    # INCLUDED in 2024-01-10-*; the wide range overlaps everything
+    assert out["*-2024-01-10"] == (1, 1.0)
+    assert out["2024-01-10-*"] == (2, 6.0)
+    assert out["2024-01-01-2024-01-31"] == (3, 7.0)
+    with pytest.raises(ValueError, match="ranges"):
+        date_range_facet(ev, [])
+
+
+# ------------------------------------------------------------ multi_terms
+
+def test_multi_terms_facet_order_and_size(spark):
+    from index_spark.operators.analytics import multi_terms_facet
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0)] * 3 + [("a", 2, 2.0)] * 3 + [("b", 1, 5.0)],
+        "k1 string, k2 int, value double")
+    out = multi_terms_facet(df, ["k1", "k2"], size=2,
+                            value_col="value").collect()
+    # both (a,1) and (a,2) have count 3 -> tie breaks on the key tuple
+    assert [(r.k1, r.k2, r.doc_count, r.sum_value) for r in out] == \
+           [("a", 1, 3, 3.0), ("a", 2, 3, 6.0)]
+    with pytest.raises(ValueError, match="keys"):
+        multi_terms_facet(df, [])
+
+
+# -------------------------------------------------------- linear fusion
+
+def test_comb_fuse_weights(spark):
+    from index_spark.operators.hybrid import comb_fuse
+
+    a = spark.createDataFrame([(1, 10.0), (2, 0.0)],
+                              "doc_id long, score double")
+    b = spark.createDataFrame([(2, 4.0), (3, 2.0), (4, 0.0)],
+                              "doc_id long, score double")
+    out = {r.doc_id: r.fused
+           for r in comb_fuse([a, b], k=10, method="sum",
+                              weights=[0.7, 0.3]).collect()}
+    # a normalizes to {1: 1.0, 2: 0.0}; b to {2: 1.0, 3: 0.5, 4: 0.0}
+    assert out == {1: 0.7, 2: 0.3, 3: 0.15, 4: 0.0}
+    with pytest.raises(ValueError, match="weights"):
+        comb_fuse([a, b], weights=[1.0])
