@@ -7694,6 +7694,54 @@ def _r04s18b_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "err_eval": err_eval_q}
 
 
+# ---------------------------------------------------------------------------
+# session 19: TermRangeQuery, SpanMultiTermQueryWrapper
+# ---------------------------------------------------------------------------
+
+# Lucene TermRangeQuery ['s','t') under the constant-score boolean
+# rewrite: score = distinct in-range terms the doc contains
+_ORACLE_TERM_RANGE = _POS_CTE_DUCK + """
+SELECT doc_id, CAST(count(DISTINCT term) AS DOUBLE) AS score
+FROM pos WHERE term >= 's' AND term < 't'
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+# SpanMultiTermQueryWrapper: "data s*" — slot 2 is the prefix
+# expansion (6 catalog terms at this SF, far under the 50-term cap, so
+# the oracle needs no expansion ranking)
+_ORACLE_SPAN_MULTI = _POS_CTE_DUCK + """
+, m AS (
+  SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM pos p0 JOIN pos p1 ON p1.doc_id = p0.doc_id
+       AND p1.pos = p0.pos + 1
+  WHERE p0.term = 'data' AND p1.term LIKE 's%'
+  GROUP BY p0.doc_id
+)
+SELECT doc_id, n_matches FROM m
+ORDER BY n_matches DESC, doc_id ASC LIMIT 10"""
+
+
+def _r04s19_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                   DataFrame]]:
+    def term_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.query import term_range_search
+
+        _, index, _ = _parity_build(spark, sf_dir)
+        return term_range_search(index, "s", "t", k=10)
+
+    def span_multi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.phrase import span_multi_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        return span_multi_search(index, stats,
+                                 ["data", {"prefix": "s"}], k=10,
+                                 stem=False, camel=False,
+                                 shard_size=256)
+
+    return {"term_range_topk": term_range_q,
+            "span_multi_topk": span_multi_q}
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -8239,6 +8287,10 @@ ORDER BY event_id""")
         _ORACLE_DATE_RANGE)
     add("err_eval", eng18b["err_eval"],
         _docs_sql("duck", _ORACLE_ERR_EVAL, [_queryset_values_sql()]))
+
+    eng19 = _r04s19_engine_queries()
+    add("term_range_topk", eng19["term_range_topk"], _ORACLE_TERM_RANGE)
+    add("span_multi_topk", eng19["span_multi_topk"], _ORACLE_SPAN_MULTI)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

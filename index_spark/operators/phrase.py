@@ -1000,7 +1000,8 @@ def multi_phrase_search(index: DataFrame, stats: dict | None,
                         zone: str | None = None,
                         tombstones: DataFrame | None = None,
                         shard_size: int = 4096,
-                        style_shift: int = 0) -> DataFrame:
+                        style_shift: int = 0,
+                        pre_analyzed: bool = False) -> DataFrame:
     """Lucene ``MultiPhraseQuery`` (the synonym-graph phrase): an exact
     phrase where EACH slot matches any of its alternative terms —
     ``[["data"], ["table", "index"]]`` matches "data table" and
@@ -1012,13 +1013,25 @@ def multi_phrase_search(index: DataFrame, stats: dict | None,
 
     One exchange: all slots' terms share a single term-pruned ``isin``
     scan; a slot whose alternatives are all absent from a doc range
-    ends that range's intersection immediately."""
+    ends that range's intersection immediately.
+
+    ``pre_analyzed=True`` takes slot alternatives as INDEX terms
+    verbatim (no analyzer pass) — the contract multi-term rewrites
+    need: :func:`span_multi_search` expands a pattern against the term
+    catalog, whose entries are already analyzed, and re-analyzing a
+    stemmed term can double-stem it."""
     spark = index.sparkSession
     qslots: list[list[str]] = []
     for s in slots:
         alts = [s] if isinstance(s, str) else list(s)
         terms: list[str] = []
         for a in alts:
+            if pre_analyzed:
+                if not a or " " in a:
+                    raise ValueError(f"pre-analyzed alternative {a!r} "
+                                     "must be one non-empty term")
+                terms.append(a)
+                continue
             toks = tokenize(a, stem=stem, camel=camel)
             if len(toks) != 1:
                 raise ValueError(f"slot alternative {a!r} must analyze "
@@ -1068,3 +1081,93 @@ def multi_phrase_search(index: DataFrame, stats: dict | None,
 
     return _local_positional_topk(index, hits, kernel, k, tombstones,
                                   shard_size)
+
+
+def expand_prefix_terms(index: DataFrame | None, prefix: str,
+                        max_expansions: int = 50,
+                        zone: str | None = None,
+                        dictionary: DataFrame | None = None) -> list[str]:
+    """Multi-term rewrite expansion: the ``max_expansions``
+    highest-docFreq index terms starting with ``prefix`` (df desc,
+    term asc — Lucene's ``TopTermsSpanBooleanQueryRewrite`` order,
+    ties pinned).  Prefers the compact term catalog published by
+    compaction (``plans/dictionary.py``) — a pruned ``StartsWith``
+    scan of millions of rows; falls back to a map-side-combinable
+    aggregate over the index term metadata (blobs never read).  The
+    result is bounded by ``max_expansions``, so the driver list is as
+    small as any query's term set."""
+    from index_spark.operators.build import DOC_MARKER
+
+    if dictionary is not None:
+        from index_spark.operators.query import pin_zone
+
+        cat = (pin_zone(dictionary, zone)
+               .filter(F.col("term").startswith(prefix))
+               .select("term", "df"))
+    else:
+        if index is None:
+            raise ValueError("need an index or a dictionary to expand")
+        cat = (_zone_pinned(index, zone)
+               .filter(F.col("term").startswith(prefix)
+                       & (F.col("term") != DOC_MARKER))
+               .groupBy("term").agg(F.sum("df").alias("df")))
+    rows = (cat.orderBy(F.desc("df"), F.asc("term"))
+            .limit(int(max_expansions)).collect())
+    return sorted(r["term"] for r in rows)
+
+
+def span_multi_search(index: DataFrame, stats: dict | None,
+                      slots: list, k: int = 10, stem: bool = True,
+                      camel: bool = True, zone: str | None = None,
+                      max_expansions: int = 50,
+                      tombstones: DataFrame | None = None,
+                      shard_size: int = 4096,
+                      dictionary: DataFrame | None = None,
+                      style_shift: int = 0) -> DataFrame:
+    """Lucene ``SpanMultiTermQueryWrapper`` inside an ordered
+    adjacent span (the general ``match_phrase_prefix``): a phrase
+    where any slot may be a multi-term pattern —
+    ``["data", {"prefix": "tab"}]`` matches "data table", "data tabs",
+    … for every catalog term under the prefix.  Each pattern slot
+    rewrites to its top-``max_expansions`` expansion
+    (:func:`expand_prefix_terms`, df-desc Lucene order) and the whole
+    query evaluates as ONE :func:`multi_phrase_search` — a single
+    term-pruned scan and one positional intersection, not one query
+    per expanded term.
+
+    Literal slots (strings / lists of strings) pass through the
+    analyzer as usual; expanded terms are already index terms and
+    bypass it (``pre_analyzed`` contract).  A pattern with zero
+    catalog expansions matches nothing (Lucene's empty-rewrite
+    behavior)."""
+    spark = index.sparkSession
+    qslots: list[list[str]] = []
+    for s in slots:
+        if isinstance(s, dict):
+            if set(s) != {"prefix"}:
+                raise ValueError(f"unsupported pattern slot {s!r} — "
+                                 "only {'prefix': ...} is defined")
+            exp = expand_prefix_terms(index, str(s["prefix"]),
+                                      max_expansions=max_expansions,
+                                      zone=zone, dictionary=dictionary)
+            if not exp:
+                return spark.createDataFrame(
+                    [], T.StructType([
+                        T.StructField("doc_id", T.LongType()),
+                        T.StructField("n_matches", T.LongType())]))
+            qslots.append(exp)
+            continue
+        alts = [s] if isinstance(s, str) else list(s)
+        terms: list[str] = []
+        for a in alts:
+            toks = tokenize(a, stem=stem, camel=camel)
+            if len(toks) != 1:
+                raise ValueError(f"slot alternative {a!r} must analyze "
+                                 "to exactly one term")
+            terms.append(toks[0])
+        qslots.append(sorted(set(terms)))
+    return multi_phrase_search(index, stats, qslots, k=k, zone=zone,
+                               tombstones=tombstones,
+                               shard_size=shard_size,
+                               style_shift=style_shift,
+                               pre_analyzed=True)

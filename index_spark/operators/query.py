@@ -4459,3 +4459,43 @@ def combined_fields_search(index: DataFrame, zone_stats: dict,
 
     local = pool.groupBy("shard").applyInPandas(score, schema=TOPK_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def term_range_search(index: DataFrame, lo: str | None, hi: str | None,
+                      k: int = 10, include_lower: bool = True,
+                      include_upper: bool = False,
+                      zone: str | None = None) -> DataFrame:
+    """Lucene ``TermRangeQuery`` under the constant-score boolean
+    rewrite: every distinct index term lexicographically inside
+    ``[lo, hi)`` (bounds configurable, ``None`` = open end) is a
+    1.0-scoring SHOULD clause, so ``score`` = number of distinct
+    in-range terms the doc contains — Lucene's
+    ``CONSTANT_SCORE_BLENDED/BOOLEAN`` rewrite of a multi-term query,
+    which never materializes the term set on the coordinator.
+
+    Plan shape (the reason a term RANGE is cheap here): both build
+    kernels emit term-string-sorted rows per shard batch, so the range
+    predicate hits parquet row-group min/max on ``term`` before any
+    decode — the scan reads only row groups overlapping the range.
+    Matching is membership-only (doc-stream decode; tf/dl never read);
+    the aggregate is a map-side-combinable distinct+count.  No term
+    list ever reaches the driver, so there is no Lucene
+    ``maxClauseCount`` analog to trip at scale."""
+    from index_spark.operators.analytics import postings_from_index
+    from index_spark.operators.build import DOC_MARKER
+
+    if lo is None and hi is None:
+        raise ValueError("term_range_search needs at least one bound")
+    pred = F.col("term") != DOC_MARKER
+    if lo is not None:
+        pred &= (F.col("term") >= lo) if include_lower else \
+            (F.col("term") > lo)
+    if hi is not None:
+        pred &= (F.col("term") <= hi) if include_upper else \
+            (F.col("term") < hi)
+    hits = pin_zone(index, zone).filter(pred)
+    matched = (postings_from_index(hits)
+               .select("term", "doc_id").distinct())
+    return (matched.groupBy("doc_id")
+            .agg(F.count("*").cast("double").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
