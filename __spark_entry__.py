@@ -7721,6 +7721,33 @@ SELECT doc_id, n_matches FROM m
 ORDER BY n_matches DESC, doc_id ASC LIMIT 10"""
 
 
+# ES simple_query_string "(data + table) | s*": AND-sum of the two
+# term scores, full-outer-OR'd with the s* prefix clause's constant
+# 1.0 per matching doc (constant_score multi-term rewrite; 6 catalog
+# expansions at this SF, under the 50 cap)
+_ORACLE_SIMPLE_QS = """
+, pts AS (
+  SELECT tf.term, tf.doc_id,
+         ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+           * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) AS s
+  FROM tf JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN ('data', 'table')
+), ab AS (
+  SELECT a.doc_id, a.s + b.s AS s
+  FROM pts a JOIN pts b ON b.doc_id = a.doc_id AND b.term = 'table'
+  WHERE a.term = 'data'
+), pf AS (
+  SELECT DISTINCT doc_id, 1.0 AS s FROM tf WHERE term LIKE 's%'
+), u AS (
+  SELECT coalesce(ab.doc_id, pf.doc_id) AS doc_id,
+         round(coalesce(ab.s, 0) + coalesce(pf.s, 0), 4) AS score
+  FROM ab FULL OUTER JOIN pf ON ab.doc_id = pf.doc_id
+)
+SELECT doc_id, score FROM u ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+
 def _r04s19_engine_queries() -> dict[str, Callable[[SparkSession, str],
                                                    DataFrame]]:
     def term_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7738,8 +7765,20 @@ def _r04s19_engine_queries() -> dict[str, Callable[[SparkSession, str],
                                  stem=False, camel=False,
                                  shard_size=256)
 
+    def simple_qs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES simple_query_string: lenient grammar + prefix clause
+        from index_spark.operators.query import (
+            simple_query_string_search,
+        )
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        return simple_query_string_search(
+            index, stats, "(data + table) | s*", k=10,
+            stem=False, camel=False, round_at=4)
+
     return {"term_range_topk": term_range_q,
-            "span_multi_topk": span_multi_q}
+            "span_multi_topk": span_multi_q,
+            "simple_qs_topk": simple_qs_q}
 
 
 def _build_registry():
@@ -8291,6 +8330,8 @@ ORDER BY event_id""")
     eng19 = _r04s19_engine_queries()
     add("term_range_topk", eng19["term_range_topk"], _ORACLE_TERM_RANGE)
     add("span_multi_topk", eng19["span_multi_topk"], _ORACLE_SPAN_MULTI)
+    add("simple_qs_topk", eng19["simple_qs_topk"],
+        _docs_sql("duck", _ORACLE_SIMPLE_QS))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

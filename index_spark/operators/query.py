@@ -3926,9 +3926,22 @@ def _qs_leaf_terms(node) -> set[str]:
     kind = node[0]
     if kind == "term":
         return {node[1]}
+    if kind == "prefix":
+        return set()
     if kind == "not":
         return _qs_leaf_terms(node[1])
     return set().union(*(_qs_leaf_terms(c) for c in node[1]))
+
+
+def _qs_leaf_prefixes(node) -> set[str]:
+    kind = node[0]
+    if kind == "prefix":
+        return {node[1]}
+    if kind == "term":
+        return set()
+    if kind == "not":
+        return _qs_leaf_prefixes(node[1])
+    return set().union(*(_qs_leaf_prefixes(c) for c in node[1]))
 
 
 def per_term_scores(index: DataFrame, stats: dict,
@@ -3987,12 +4000,35 @@ def query_string_search(index: DataFrame, stats: dict, q: str,
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
     S = per_term_scores(index, stats, terms, zone=zone)
+    out = _eval_bool_ast(S, ast)
+    sc = (F.round(F.col("score"), round_at) if round_at is not None
+          else F.col("score"))
+    return (out.select("doc_id", sc.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
+
+def _eval_bool_ast(S: DataFrame, ast,
+                   prefix_sets: dict[str, DataFrame] | None = None
+                   ) -> DataFrame:
+    """Shared boolean-AST evaluator over the per-term BM25 relation
+    ``S`` (term, doc_id, score): each AND is a doc_id inner join
+    (score sum), each OR a full-outer join (coalesced sum), each NOT
+    one anti-join — all equi-joins on doc_id, so Catalyst/AQE plan and
+    reorder them.  ``prefix_sets`` supplies (doc_id)-frames for
+    ``('prefix', p)`` leaves, which contribute a constant 1.0 per
+    matching doc (ES/Lucene's constant_score multi-term rewrite)."""
     def eval_node(node) -> tuple[str, DataFrame]:
         kind = node[0]
         if kind == "term":
             return ("scored", S.filter(F.col("term") == node[1])
                     .select("doc_id", "score"))
+        if kind == "prefix":
+            docset = (prefix_sets or {}).get(node[1])
+            if docset is None:
+                raise ValueError(f"no expansion for prefix {node[1]!r}")
+            return ("scored",
+                    docset.select("doc_id",
+                                  F.lit(1.0).alias("score")))
         if kind == "not":
             tag, child = eval_node(node[1])
             if tag != "scored":
@@ -4027,10 +4063,7 @@ def query_string_search(index: DataFrame, stats: dict, q: str,
     tag, out = eval_node(ast)
     if tag != "scored":
         raise ValueError("query is pure negation — nothing to rank")
-    sc = (F.round(F.col("score"), round_at) if round_at is not None
-          else F.col("score"))
-    return (out.select("doc_id", sc.alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+    return out
 
 
 def common_terms_search(index: DataFrame, stats: dict, query: str,
@@ -4498,4 +4531,218 @@ def term_range_search(index: DataFrame, lo: str | None, hi: str | None,
                .select("term", "doc_id").distinct())
     return (matched.groupBy("doc_id")
             .agg(F.count("*").cast("double").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+_SQS_TOKENS = re.compile(r"\(|\)|\||\+|[^\s()|+]+")
+
+
+def parse_simple_query_string(q: str, default_operator: str = "or",
+                              stem: bool = True,
+                              camel: bool = True):
+    """Parse the ES ``simple_query_string`` grammar — flags
+    ``AND|OR|NOT|PREFIX|PRECEDENCE``: ``+`` joins clauses
+    conjunctively, ``|`` disjunctively, a leading ``-`` negates the
+    next atom (token or parenthesized group), ``(...)`` groups,
+    trailing ``*`` makes a prefix leaf, and bare adjacency applies
+    ``default_operator``.  The PHRASE flag is not enabled: quotes are
+    stripped and their tokens join at the current level (exactly what
+    ES does when PHRASE is excluded from ``flags``) — exact phrases
+    are first-class elsewhere (``search_dsl`` / ``phrase_search`` /
+    ``multi_phrase_search``).
+
+    LENIENT by contract, like ES: unbalanced parens, dangling
+    operators, empty groups, and operator runs are repaired or
+    dropped, never raised.  Returns the same AST grammar as
+    :func:`parse_query_string` (``term``/``and``/``or``/``not``) plus
+    ``('prefix', text)`` leaves (prefix text is lowercased and
+    UNstemmed — stemming would change the prefix bytes), or ``None``
+    when nothing analyzable remains.  Precedence pinned:
+    ``-`` > ``+`` > ``|``; adjacency joins at the default operator's
+    level."""
+    if default_operator not in ("or", "and"):
+        raise ValueError("default_operator must be 'or' or 'and'")
+    toks = _SQS_TOKENS.findall(q.replace('"', " "))
+    # lenient paren repair: drop unmatched closers, then unmatched openers
+    fixed: list[str] = []
+    depth = 0
+    for t in toks:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            if depth == 0:
+                continue
+            depth -= 1
+        fixed.append(t)
+    while depth > 0:  # close dangling groups at end-of-query
+        fixed.append(")")
+        depth -= 1
+    toks = fixed
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def at_atom() -> bool:
+        t = peek()
+        return t is not None and t not in (")", "|", "+")
+
+    def parse_or():
+        nodes = [parse_and()]
+        while True:
+            t = peek()
+            if t == "|":
+                take()
+                if not at_atom():  # dangling '|' — drop it
+                    continue
+                nxt = parse_and()
+                if nxt is not None:
+                    nodes.append(nxt)
+            elif default_operator == "or" and at_atom():
+                nxt = parse_and()
+                if nxt is not None:
+                    nodes.append(nxt)
+            else:
+                break
+        nodes = [n for n in nodes if n is not None]
+        if not nodes:
+            return None
+        return nodes[0] if len(nodes) == 1 else ("or", nodes)
+
+    def parse_and():
+        nodes = [parse_unary()]
+        while True:
+            t = peek()
+            if t == "+":
+                take()
+                if not at_atom():  # dangling '+' — drop it
+                    continue
+                nodes.append(parse_unary())
+            elif default_operator == "and" and at_atom():
+                nodes.append(parse_unary())
+            else:
+                break
+        nodes = [n for n in nodes if n is not None]
+        if not nodes:
+            return None
+        return nodes[0] if len(nodes) == 1 else ("and", nodes)
+
+    def parse_unary():
+        t = peek()
+        if t is None or t in (")", "|", "+"):
+            return None
+        if t == "(":
+            take()
+            node = parse_or()
+            if peek() == ")":
+                take()
+            return node
+        take()
+        neg = 0
+        while t.startswith("-"):
+            neg += 1
+            t = t[1:]
+        if not t:  # bare '-' run: negate the next atom if any
+            node = parse_unary() if at_atom() or peek() == "(" else None
+            if node is None:
+                return None
+            return ("not", node) if neg % 2 else node
+        node = _sqs_atom(t, stem=stem, camel=camel)
+        if node is None:
+            return None
+        return ("not", node) if neg % 2 else node
+
+    def join_default(nodes):
+        if not nodes:
+            return None
+        if len(nodes) == 1:
+            return nodes[0]
+        return (default_operator, nodes)
+
+    def _sqs_atom(t: str, stem: bool, camel: bool):
+        is_prefix = t.endswith("*")
+        t = t.rstrip("*")
+        if not t:
+            return None  # bare '*' — lenient drop (no match_all leaf)
+        if is_prefix:
+            # prefix text: analyzer minus stemming (prefix bytes are
+            # literal); a multi-token fragment keeps its tail as the
+            # prefix, leading tokens join at the default operator
+            parts = tokenize(t, stem=False, camel=camel)
+            if not parts:
+                return None
+            lead = []
+            for w in parts[:-1]:
+                lead.extend(tokenize(w, stem=stem, camel=camel))
+            nodes = [("term", w) for w in lead]
+            nodes.append(("prefix", parts[-1]))
+            return join_default(nodes)
+        terms = tokenize(t, stem=stem, camel=camel)
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return ("term", terms[0])
+        return join_default([("term", w) for w in terms])
+
+    node = parse_or()
+    # leniency backstop: trailing garbage is ignored by construction
+    return node
+
+
+def simple_query_string_search(index: DataFrame, stats: dict, q: str,
+                               k: int = 10,
+                               default_operator: str = "or",
+                               stem: bool = True, camel: bool = True,
+                               zone: str | None = None,
+                               max_expansions: int = 50,
+                               dictionary: DataFrame | None = None,
+                               round_at: int | None = None) -> DataFrame:
+    """ES ``simple_query_string`` query: the lenient end-user grammar
+    (``+ | - ( ) *``) evaluated on the same compositional join algebra
+    as :func:`query_string_search` — one term-pruned per-term BM25
+    relation feeds every term leaf; each ``*`` prefix leaf rewrites
+    against the term catalog (:func:`expand_prefix_terms`, bounded by
+    ``max_expansions``) into a membership doc set contributing a
+    constant 1.0 per doc (Lucene's constant_score multi-term rewrite).
+    Unparseable fragments are repaired or dropped, never raised — the
+    ES contract for this query.  A query that is pure negation (or
+    analyzes to nothing) returns no rows."""
+    from index_spark.operators.analytics import postings_from_index
+    from index_spark.operators.phrase import expand_prefix_terms
+
+    spark = index.sparkSession
+    ast = parse_simple_query_string(q, default_operator=default_operator,
+                                    stem=stem, camel=camel)
+    if ast is None:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    terms = sorted(_qs_leaf_terms(ast))
+    prefixes = sorted(_qs_leaf_prefixes(ast))
+    S = per_term_scores(index, stats, terms, zone=zone) if terms else \
+        spark.createDataFrame(
+            [], "term string, doc_id long, score double")
+    prefix_sets: dict[str, DataFrame] = {}
+    for p in prefixes:
+        exp = expand_prefix_terms(index, p, max_expansions=max_expansions,
+                                  zone=zone, dictionary=dictionary)
+        if exp:
+            hits = pin_zone(index, zone).filter(F.col("term").isin(exp))
+            prefix_sets[p] = (postings_from_index(hits)
+                              .select("doc_id").distinct())
+        else:  # empty rewrite matches nothing (Lucene)
+            prefix_sets[p] = spark.createDataFrame([], "doc_id long")
+    try:
+        out = _eval_bool_ast(S, ast, prefix_sets)
+    except ValueError:
+        # pure negation — ES would match-all-minus; we pin no-rows
+        # (consistent with query_string_search's Lucene rule)
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    sc = (F.round(F.col("score"), round_at) if round_at is not None
+          else F.col("score"))
+    return (out.select("doc_id", sc.alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))

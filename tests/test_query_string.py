@@ -105,3 +105,68 @@ def test_cli_qs_flag(spark, tiny_corpus, tmp_path, capsys):
     with pytest.raises(SystemExit, match="boolean grammar"):
         main(["--cores", "8", "query", "--index-dir", out,
               "--query", "import AND return", "--qs", "--mode", "and"])
+
+
+# ------------------------------------------------------- simple_query_string
+
+
+def test_sqs_parse_grammar_and_leniency():
+    from index_spark.operators.query import parse_simple_query_string as p
+
+    assert p("data + table | scan", stem=False, camel=False) == \
+        ("or", [("and", [("term", "data"), ("term", "table")]),
+                ("term", "scan")])
+    # leading '-' negates the next atom, including a group
+    assert p("data -(scan | merge)", stem=False, camel=False) == \
+        ("or", [("term", "data"),
+                ("not", ("or", [("term", "scan"), ("term", "merge")]))])
+    # PHRASE flag off: quotes strip, tokens join at the default op
+    assert p('"data table" -scan', stem=False, camel=False) == \
+        ("or", [("term", "data"), ("term", "table"),
+                ("not", ("term", "scan"))])
+    # trailing '*' is a prefix leaf (unstemmed text)
+    assert p("ta* + data", stem=False, camel=False) == \
+        ("and", [("prefix", "ta"), ("term", "data")])
+    # default_operator=and: adjacency joins conjunctively
+    assert p("a b", default_operator="and", stem=False, camel=False) == \
+        ("and", [("term", "a"), ("term", "b")])
+    # leniency: broken operators/parens never raise
+    assert p("(((", stem=False, camel=False) is None
+    assert p(")a(", stem=False, camel=False) == ("term", "a")
+    assert p("+ | -", stem=False, camel=False) is None
+    assert p("a + ", stem=False, camel=False) == ("term", "a")
+
+
+def test_sqs_match_sets_and_score_parity(qs_ix):
+    from index_spark.operators.query import (
+        query_string_search,
+        simple_query_string_search,
+    )
+
+    docs, index, stats = qs_ix
+    # same boolean as the query_string test, in simple syntax
+    got = {r.doc_id for r in simple_query_string_search(
+        index, stats, "(data + table) | (scan -filter)", k=10,
+        stem=False, camel=False).collect()}
+    assert got == {0, 1, 2}
+    # equal-AST queries score identically across the two grammars
+    a = simple_query_string_search(index, stats, "data + table", k=10,
+                                   stem=False, camel=False).collect()
+    b = query_string_search(index, stats, "data AND table", k=10,
+                            stem=False, camel=False).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_sqs_prefix_constant_score(qs_ix):
+    from index_spark.operators.query import simple_query_string_search
+
+    docs, index, stats = qs_ix
+    # ta* expands to {table}; docs 0,1 match at constant 1.0
+    out = {r.doc_id: r.score for r in simple_query_string_search(
+        index, stats, "ta*", k=10, stem=False, camel=False).collect()}
+    assert out == {0: 1.0, 1: 1.0}
+    # empty rewrite matches nothing; pure negation matches nothing
+    assert simple_query_string_search(
+        index, stats, "zz*", stem=False, camel=False).count() == 0
+    assert simple_query_string_search(
+        index, stats, "-data", stem=False, camel=False).count() == 0
