@@ -7781,6 +7781,126 @@ def _r04s19_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "simple_qs_topk": simple_qs_q}
 
 
+# ---------------------------------------------------------------------------
+# session 19b: categorize_text, random_sampler, variable_width_histogram,
+# sharded terms agg with doc_count_error_upper_bound
+# ---------------------------------------------------------------------------
+
+# log lines synthesized from events, templated (digit tokens -> <num>):
+# exactly one template per event_type at any SF
+_ORACLE_LOG_TEMPLATES = """
+WITH lines AS (
+  SELECT event_type || ' user ' || CAST(user_id AS VARCHAR)
+         || ' value ' || printf('%.2f', value) AS text
+  FROM events
+), toks AS (
+  SELECT list_transform(
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')[1:8],
+           x -> CASE WHEN regexp_matches(x, '[0-9]') THEN '<num>'
+                     ELSE x END) AS l
+  FROM lines
+)
+SELECT array_to_string(l, ' ') AS template,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM toks GROUP BY template
+ORDER BY doc_count DESC, template ASC LIMIT 20"""
+
+# Knuth multiplicative-hash draw at p=0.1, estimates scaled by 1/p
+_ORACLE_RANDOM_SAMPLER = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS sampled_count,
+       round(count(*) / 0.1, 4) AS est_count,
+       round(sum(value) / 0.1, 4) AS est_sum
+FROM events
+WHERE (event_id * 2654435761) % 4294967296 < 429496729
+GROUP BY event_type ORDER BY event_type"""
+
+_ORACLE_VAR_WIDTH_HIST = """
+WITH r AS (
+  SELECT value, ntile(5) OVER (ORDER BY value, event_id) AS bucket
+  FROM events
+)
+SELECT bucket, min(value) AS min_val, max(value) AS max_val,
+       round(avg(value), 4) AS avg_val,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM r GROUP BY bucket ORDER BY bucket"""
+
+# the ES terms-agg distributed protocol: per-shard top-3 by count,
+# merged sums + worst-case undercount from non-reporting shards
+_ORACLE_TERMS_SHARD_ERROR = """
+WITH base AS (
+  SELECT event_type AS key, event_id % 4 AS shard FROM events
+), pc AS (
+  SELECT shard, key, count(*) AS cnt FROM base GROUP BY shard, key
+), rk AS (
+  SELECT shard, key, cnt,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY cnt DESC, key ASC) AS rn,
+         count(*) OVER (PARTITION BY shard) AS nk
+  FROM pc
+), tops AS (
+  SELECT * FROM rk WHERE rn <= 3
+), sm AS (
+  SELECT shard, CASE WHEN max(nk) > 3 THEN min(cnt) ELSE 0 END AS shard_min
+  FROM tops GROUP BY shard
+), tot AS (
+  SELECT sum(shard_min) AS t FROM sm
+), merged AS (
+  SELECT key, sum(cnt) AS doc_count, sum(sm.shard_min) AS covered
+  FROM tops JOIN sm USING (shard) GROUP BY key
+)
+SELECT key AS event_type, CAST(doc_count AS BIGINT) AS doc_count,
+       CAST(t - covered AS BIGINT) AS doc_count_error_upper_bound
+FROM merged CROSS JOIN tot
+ORDER BY doc_count DESC, key ASC LIMIT 5"""
+
+
+def _r04s19b_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                    DataFrame]]:
+    def log_templates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.analytics import categorize_text
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        lines = ev.select(F.concat(
+            F.col("event_type"), F.lit(" user "),
+            F.col("user_id").cast("string"), F.lit(" value "),
+            F.format_string("%.2f", F.col("value"))).alias("text"))
+        return categorize_text(lines, max_tokens=8, top=20)
+
+    def random_sampler_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.sample import random_sampler_agg
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = random_sampler_agg(ev, "event_id", "event_type", 0.1,
+                                 value_col="value")
+        return out.select("event_type", "sampled_count",
+                          F.round("est_count", 4).alias("est_count"),
+                          F.round("est_sum", 4).alias("est_sum"))
+
+    def var_width_hist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.analytics import (
+            variable_width_histogram,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return variable_width_histogram(ev, "value", buckets=5,
+                                        key_col="event_id", round_at=4)
+
+    def terms_shard_error_q(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+        from index_spark.operators.analytics import terms_facet_sharded
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return terms_facet_sharded(ev, "event_type", "event_id",
+                                   n_shards=4, size=5, shard_size=3)
+
+    return {"log_templates": log_templates_q,
+            "random_sampler_facet": random_sampler_q,
+            "var_width_hist": var_width_hist_q,
+            "terms_shard_error": terms_shard_error_q}
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -8332,6 +8452,15 @@ ORDER BY event_id""")
     add("span_multi_topk", eng19["span_multi_topk"], _ORACLE_SPAN_MULTI)
     add("simple_qs_topk", eng19["simple_qs_topk"],
         _docs_sql("duck", _ORACLE_SIMPLE_QS))
+
+    eng19b = _r04s19b_engine_queries()
+    add("log_templates", eng19b["log_templates"], _ORACLE_LOG_TEMPLATES)
+    add("random_sampler_facet", eng19b["random_sampler_facet"],
+        _ORACLE_RANDOM_SAMPLER)
+    add("var_width_hist", eng19b["var_width_hist"],
+        _ORACLE_VAR_WIDTH_HIST)
+    add("terms_shard_error", eng19b["terms_shard_error"],
+        _ORACLE_TERMS_SHARD_ERROR)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -1371,3 +1371,109 @@ def multi_terms_facet(df: DataFrame, keys: list[str], size: int = 10,
     return (out.orderBy(F.desc("doc_count"),
                         *[F.asc(k) for k in keys])
             .limit(size))
+
+
+def categorize_text(df: DataFrame, text_col: str = "text",
+                    max_tokens: int = 8, top: int = 20) -> DataFrame:
+    """ES ``categorize_text`` aggregation, deterministically restated:
+    a document's category TEMPLATE is its first ``max_tokens`` analyzer
+    tokens with every digit-bearing token replaced by ``<num>`` (the
+    drain-style log-templating rule — variable fields in machine logs
+    are overwhelmingly numeric); buckets are (template, doc_count),
+    count desc / template asc, first ``top``.  ES's own categorizer is
+    an online token-tree whose buckets depend on encounter order —
+    unusable as a distributed-correctness target — so the template
+    rule is pinned instead, keeping the aggregation one shuffle-free
+    map + a map-side-combinable count at any corpus size (pure
+    codegen: split/slice/transform/array_join, no UDF)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""))
+    head = F.slice(toks, 1, int(max_tokens))
+    tmpl = F.array_join(
+        F.transform(head, lambda x: F.when(x.rlike("[0-9]"),
+                                           F.lit("<num>")).otherwise(x)),
+        " ")
+    return (df.select(tmpl.alias("template"))
+            .groupBy("template")
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("template"))
+            .limit(int(top)))
+
+
+def variable_width_histogram(df: DataFrame, value_col: str,
+                             buckets: int = 5,
+                             key_col: str | None = None,
+                             round_at: int | None = None) -> DataFrame:
+    """ES ``variable_width_histogram``, deterministically restated as
+    equal-frequency clustering: rows sort by (value, key) and split
+    into ``buckets`` ntiles; each bucket reports min/max/avg/count.
+    ES's agg is a one-pass streaming clusterer whose centroids depend
+    on shard encounter order — not a distributed-correctness target —
+    so the rank-based rule is pinned (same spirit: bucket widths adapt
+    to density).
+
+    Scale note: ``ntile`` over an unpartitioned window is a single
+    sort — exact and fine to ~10^8 rows; at full corpus scale swap the
+    boundary step for ``percentile_approx`` + a broadcast range join
+    (the aggregate below is unchanged)."""
+    order = [F.col(value_col).asc()]
+    if key_col is not None:
+        order.append(F.col(key_col).asc())
+    w = Window.orderBy(*order)
+    avg = F.avg(value_col)
+    if round_at is not None:
+        avg = F.round(avg, round_at)
+    return (df.select(value_col, *( [key_col] if key_col else [] ))
+            .withColumn("bucket", F.ntile(int(buckets)).over(w))
+            .groupBy("bucket")
+            .agg(F.min(value_col).alias("min_val"),
+                 F.max(value_col).alias("max_val"),
+                 avg.alias("avg_val"),
+                 F.count("*").alias("doc_count"))
+            .orderBy("bucket"))
+
+
+def terms_facet_sharded(df: DataFrame, key_col: str, shard_key: str,
+                        n_shards: int = 4, size: int = 5,
+                        shard_size: int = 3) -> DataFrame:
+    """The ES ``terms`` aggregation's DISTRIBUTED protocol, made
+    first-class: every shard returns only its local top ``shard_size``
+    keys by count (count desc, key asc — ties pinned); the coordinator
+    sums what it received and reports, per merged key, ES's
+    ``doc_count_error_upper_bound`` — the worst-case undercount, equal
+    to the sum over NON-reporting shards of that shard's smallest
+    returned count (a key absent from a shard's top-K can hide at most
+    just under that cutoff there).  A shard that returned ALL its keys
+    (fewer distinct keys than ``shard_size``) contributes 0 error —
+    nothing can hide in an exhausted shard (ES's rule).
+
+    This is the aggregation shape that makes top-N facets cheap at
+    1000 executors — per-shard partial top-K bounds what shuffles to
+    the coordinator — and the error bound is what makes the
+    approximation honest.  Shards are pinned as
+    ``pmod(shard_key, n_shards)`` so any engine reproduces the exact
+    routing (on a real cluster it is the natural data partition)."""
+    base = df.select(F.col(key_col).alias("key"),
+                     F.pmod(F.col(shard_key), F.lit(int(n_shards)))
+                     .cast("long").alias("shard"))
+    pc = base.groupBy("shard", "key").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("key"))
+    rk = (pc.withColumn("rn", F.row_number().over(w))
+          .withColumn("nk", F.count("*").over(Window.partitionBy("shard"))))
+    tops = rk.filter(F.col("rn") <= int(shard_size))
+    sm = (tops.groupBy("shard")
+          .agg(F.when(F.max("nk") > int(shard_size), F.min("cnt"))
+               .otherwise(F.lit(0)).alias("shard_min")))
+    tot = sm.agg(F.sum("shard_min").alias("_tot"))
+    merged = (tops.join(sm, "shard")
+              .groupBy("key")
+              .agg(F.sum("cnt").alias("doc_count"),
+                   F.sum("shard_min").alias("_covered")))
+    return (merged.crossJoin(F.broadcast(tot))
+            .select(F.col("key").alias(key_col),
+                    F.col("doc_count").cast("long").alias("doc_count"),
+                    (F.col("_tot") - F.col("_covered")).cast("long")
+                    .alias("doc_count_error_upper_bound"))
+            .orderBy(F.desc("doc_count"), F.asc(key_col))
+            .limit(int(size)))

@@ -398,3 +398,33 @@ def diversified_sample(df: DataFrame, key_col: str, diversify_col: str,
         out = out.orderBy(F.col("_draw").asc(),
                           F.col(key_col).asc()).limit(n)
     return out.drop("_draw")
+
+
+def random_sampler_agg(df: DataFrame, key_col: str, group_col: str,
+                       probability: float, value_col: str | None = None,
+                       seed: int = 0) -> DataFrame:
+    """ES ``random_sampler`` aggregation: compute aggregates over a
+    random subset and scale the results back up by ``1/probability``.
+    The draw is pinned as a Knuth multiplicative hash of ``key_col``
+    (``(key * 2654435761 + seed) mod 2^32 < p * 2^32``) instead of
+    ES's implementation-defined per-shard PRNG, so any engine —
+    including the SQL oracle — reproduces the exact subset; the hash
+    is uniform enough that the estimator behaves like ES's.
+
+    Returns per group: ``sampled_count`` (rows actually aggregated),
+    ``est_count`` and — when ``value_col`` is given — ``est_sum``
+    (the 1/p-scaled estimates).  One filtered map-side-combinable
+    aggregate: the subset never materializes, rows fail the hash gate
+    inside the scan, so cost scales with p at any corpus size."""
+    if not (0.0 < probability <= 1.0):
+        raise ValueError("probability must be in (0, 1]")
+    thresh = int(probability * 4294967296.0)
+    gate = ((F.col(key_col).cast("long") * F.lit(2654435761)
+             + F.lit(int(seed))) % F.lit(4294967296) < F.lit(thresh))
+    aggs = [F.count("*").alias("sampled_count"),
+            (F.count("*") / F.lit(probability)).alias("est_count")]
+    if value_col is not None:
+        aggs.append((F.sum(value_col) / F.lit(probability))
+                    .alias("est_sum"))
+    return (df.filter(gate).groupBy(group_col).agg(*aggs)
+            .orderBy(group_col))

@@ -134,3 +134,79 @@ def test_span_multi_literal_only_degrades_to_multi_phrase(pos_ix):
                             k=10, stem=False, camel=False,
                             shard_size=16).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# -------------------------------------------------- session-19 analytics
+
+
+def test_categorize_text_templates(spark):
+    from index_spark.operators.analytics import categorize_text
+
+    rows = [("error user 87 connect failed code 500 retry now extra",),
+            ("error user 12 connect failed code 404 retry now",),
+            ("view page 3 ok",),
+            ("view page 44 ok",),
+            ("signup new user welcome",)]
+    df = spark.createDataFrame(rows, "text string")
+    out = {r["template"]: r["doc_count"]
+           for r in categorize_text(df, max_tokens=8).collect()}
+    assert out == {
+        "error user <num> connect failed code <num> retry": 2,
+        "view page <num> ok": 2,
+        "signup new user welcome": 1,
+    }
+
+
+def test_variable_width_histogram_ntiles(spark):
+    from index_spark.operators.analytics import variable_width_histogram
+
+    df = spark.createDataFrame([(float(i), i) for i in range(1, 11)],
+                               "v double, k int")
+    out = variable_width_histogram(df, "v", buckets=3, key_col="k",
+                                   round_at=4).collect()
+    got = [(r["bucket"], r["min_val"], r["max_val"], r["doc_count"])
+           for r in out]
+    assert got == [(1, 1.0, 4.0, 4), (2, 5.0, 7.0, 3), (3, 8.0, 10.0, 3)]
+    assert abs(out[0]["avg_val"] - 2.5) < 1e-9
+
+
+def test_terms_facet_sharded_error_bounds(spark):
+    from index_spark.operators.analytics import terms_facet_sharded
+
+    # 2 shards via id % 2; shard 0 keys: a×3 b×2 c×1, shard 1: b×3 d×1
+    rows = [("a", 0), ("a", 2), ("a", 4), ("b", 6), ("b", 8), ("c", 10),
+            ("b", 1), ("b", 3), ("b", 5), ("d", 7)]
+    df = spark.createDataFrame(rows, "key string, id long")
+    out = {r["key"]: (r["doc_count"], r["doc_count_error_upper_bound"])
+           for r in terms_facet_sharded(df, "key", "id", n_shards=2,
+                                        size=5, shard_size=2).collect()}
+    # shard 0 returns a:3, b:2 (c hidden; shard_min=2, 3 keys > 2)
+    # shard 1 returns b:3, d:1 (exhausted: 2 keys = shard_size -> 0 err)
+    # merged: a=3 (absent from shard1 tops, err 0), b=5 (both, err 0),
+    #         d=1 (absent from shard0 tops, err 2)
+    assert out == {"a": (3, 0), "b": (5, 0), "d": (1, 2)}
+
+
+def test_random_sampler_agg_pinned_hash(spark):
+    from index_spark.operators.sample import random_sampler_agg
+
+    rows = [(i, "g" if i % 2 else "h", float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    p = 0.25
+    out = {r["g"]: (r["sampled_count"], r["est_count"], r["est_sum"])
+           for r in random_sampler_agg(df, "id", "g", p,
+                                       value_col="v").collect()}
+    thresh = int(p * 4294967296)
+    exp = {}
+    for i, g, v in rows:
+        if (i * 2654435761) % 4294967296 < thresh:
+            c, s = exp.get(g, (0, 0.0))
+            exp[g] = (c + 1, s + v)
+    assert set(out) == set(exp)
+    for g, (c, s) in exp.items():
+        assert out[g][0] == c
+        assert abs(out[g][1] - c / p) < 1e-9
+        assert abs(out[g][2] - s / p) < 1e-6
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        random_sampler_agg(df, "id", "g", 0.0)
