@@ -7781,6 +7781,59 @@ def _r04s19_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "simple_qs_topk": simple_qs_q}
 
 
+# phonetic sounds-like search: the pinned portable soundex
+# (functions/phonetic.py spec) restated from scratch — translate,
+# adjacent-collapse via generate_series (RE2 has no backreferences),
+# zero-strip, pad — then the fuzzy-family expansion + BM25 sum with
+# per-variant idf
+_ORACLE_SOUNDS_LIKE = """
+, allt AS (
+  SELECT term FROM dft UNION SELECT term FROM q
+), cl AS (
+  SELECT term, regexp_replace(term, '[^a-z]', '', 'g') AS s FROM allt
+), cd AS (
+  SELECT term, s,
+         translate(s, 'abcdefghijklmnopqrstuvwxyz',
+                      '01230120022455012623010202') AS c
+  FROM cl WHERE length(s) > 0
+), cpos AS (
+  SELECT term, s, c, unnest(range(1, length(c) + 1)) AS i FROM cd
+), ded AS (
+  SELECT term, min(s) AS s, string_agg(c[i], '' ORDER BY i) AS d
+  FROM cpos
+  WHERE i = 1 OR c[i] != c[i-1]
+  GROUP BY term
+), keyed AS (
+  SELECT term,
+         substr(rpad(upper(s[1]) || replace(substr(d, 2), '0', ''),
+                     4, '0'), 1, 4) AS pkey
+  FROM ded
+), qk AS (
+  SELECT DISTINCT k.pkey FROM q JOIN keyed k ON k.term = q.term
+), cand AS (
+  SELECT DISTINCT kd.pkey, d.term, d.df
+  FROM dft d JOIN keyed kd ON kd.term = d.term
+  JOIN qk ON kd.pkey = qk.pkey
+), q2 AS (
+  SELECT DISTINCT term FROM (
+    SELECT term, row_number() OVER (
+      PARTITION BY pkey ORDER BY df DESC, term ASC) AS rn
+    FROM cand) r WHERE rn <= 8
+), fscores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q2 ON tf.term = q2.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+), top AS (SELECT doc_id, score FROM fscores
+           ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
+
+
 # ---------------------------------------------------------------------------
 # session 19b: categorize_text, random_sampler, variable_width_histogram,
 # sharded terms agg with doc_count_error_upper_bound
@@ -7895,10 +7948,22 @@ def _r04s19b_engine_queries() -> dict[str, Callable[[SparkSession, str],
         return terms_facet_sharded(ev, "event_type", "event_id",
                                    n_shards=4, size=5, shard_size=3)
 
+    def sounds_like_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # phonetic query: both misspellings land on catalog terms
+        # (tabel -> table via T140, scann -> scan via S500)
+        from index_spark.operators.query import sounds_like_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        top = sounds_like_search(index, None, stats, "tabel scann",
+                                 k=10, stem=False, camel=False,
+                                 shard_size=256)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     return {"log_templates": log_templates_q,
             "random_sampler_facet": random_sampler_q,
             "var_width_hist": var_width_hist_q,
-            "terms_shard_error": terms_shard_error_q}
+            "terms_shard_error": terms_shard_error_q,
+            "sounds_like_topk": sounds_like_q}
 
 
 def _build_registry():
@@ -8461,6 +8526,9 @@ ORDER BY event_id""")
         _ORACLE_VAR_WIDTH_HIST)
     add("terms_shard_error", eng19b["terms_shard_error"],
         _ORACLE_TERMS_SHARD_ERROR)
+    add("sounds_like_topk", eng19b["sounds_like_topk"],
+        _docs_sql("duck", _ORACLE_SOUNDS_LIKE,
+                  [_terms_values_sql(["tabel", "scann"])]))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -4746,3 +4746,93 @@ def simple_query_string_search(index: DataFrame, stats: dict, q: str,
           else F.col("score"))
     return (out.select("doc_id", sc.alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def phonetic_expand(index: DataFrame | None, qterms: list[str],
+                    max_expansions: int = 8, zone: str | None = None,
+                    dictionary: DataFrame | None = None
+                    ) -> dict[str, list[str]]:
+    """Per query term, the catalog terms sharing its phonetic key
+    (``functions/phonetic.py`` pinned soundex) — the expansion behind
+    ``sounds_like_search``, Lucene ``PhoneticFilter`` semantics.  Kept
+    to the ``max_expansions`` highest-df terms per key (df desc, term
+    asc — the fuzzy family's pinned order).
+
+    Catalog shape exactly like :func:`fuzzy_expand`: prefers the
+    compacted dictionary (millions of rows, blob-free); the key
+    expression is row-local codegen, so the scan is one cheap pass —
+    and compaction can persist the key as a catalog column to make it
+    a hash-prunable equi-join at very large vocabularies."""
+    from index_spark.functions.phonetic import phonetic_key, phonetic_key_py
+    from index_spark.operators.build import DOC_MARKER
+
+    from pyspark.sql import Window
+
+    keys = {t: phonetic_key_py(t) for t in qterms}
+    want = sorted({k for k in keys.values() if k})
+    if not want:
+        return {t: [] for t in qterms}
+    if dictionary is not None:
+        cat = pin_zone(dictionary, zone).select("term", "df")
+    else:
+        if index is None:
+            raise ValueError("need an index or a dictionary to expand")
+        cat = (pin_zone(index, zone)
+               .filter(F.col("term") != DOC_MARKER)
+               .groupBy("term").agg(F.sum("df").alias("df")))
+    cat = cat.withColumn("pkey", phonetic_key(F.col("term"))) \
+             .filter(F.col("pkey").isin(want))
+    w = Window.partitionBy("pkey").orderBy(F.desc("df"), F.asc("term"))
+    rows = (cat.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= int(max_expansions))
+            .select("pkey", "term").collect())
+    by_key: dict[str, list[str]] = {}
+    for r in rows:
+        by_key.setdefault(r["pkey"], []).append(r["term"])
+    return {t: sorted(by_key.get(keys[t], [])) if keys[t] else []
+            for t in qterms}
+
+
+def sounds_like_search(index: DataFrame, docs: DataFrame | None,
+                       stats: dict, query: str, k: int = 10,
+                       max_expansions: int = 8, stem: bool = True,
+                       camel: bool = True, shard_size: int = 4096,
+                       zone: str | None = None, mode: str = "or",
+                       exclude: str | None = None,
+                       dictionary: DataFrame | None = None,
+                       **kw) -> DataFrame:
+    """Phonetic ("sounds-like") top-k BM25: each query term expands to
+    its soundex-key neighborhood in the term catalog
+    (:func:`phonetic_expand`), then ONE search runs over the distinct
+    expanded terms, each variant scored with its own global idf —
+    exactly the :func:`search_fuzzy` composition with the edit-distance
+    neighborhood swapped for the phonetic one (Lucene's
+    ``PhoneticFilter`` + query-time analysis chain).
+
+    ``mode="and"`` is group-conjunctive like fuzzy: a doc must contain
+    at least one variant of EVERY original term.  ``exclude`` is
+    tokenized HERE with the caller's stem/camel flags (the inner
+    search runs stem=False on pre-analyzed expansions).  Two jobs: the
+    bounded catalog expansion, then the one-exchange scoring plan."""
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    exp = phonetic_expand(index, qterms, max_expansions=max_expansions,
+                          zone=zone, dictionary=dictionary)
+    terms = sorted({t for v in exp.values() for t in v})
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    if exclude is not None:
+        exclude = " ".join(
+            sorted(set(tokenize(exclude, stem=stem, camel=camel)))) or None
+    groups = None
+    if mode == "and":
+        if any(not exp.get(t) for t in qterms):
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        gids: dict[str, list[int]] = {}
+        for i, t in enumerate(qterms):
+            for v in exp[t]:
+                gids.setdefault(v, []).append(i)
+        groups = {v: tuple(g) for v, g in gids.items()}
+    return search(index, docs, stats, " ".join(terms), k=k, stem=False,
+                  camel=False, shard_size=shard_size, zone=zone,
+                  mode=mode, exclude=exclude, groups=groups, **kw)

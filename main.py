@@ -79,7 +79,8 @@ def cmd_query(args) -> None:
         s, d = args.after.split(",")
         after = (float(s), int(d))
     sim = getattr(args, "similarity", "bm25")
-    if sim != "bm25" and (args.fuzzy or args.regex
+    phonetic = getattr(args, "phonetic", False)
+    if sim != "bm25" and (args.fuzzy or args.regex or phonetic
                           or "*" in args.query or "?" in args.query):
         # the expansion paths rank with BM25 — fail loudly rather than
         # silently returning BM25 scores under a non-BM25 flag
@@ -91,13 +92,13 @@ def cmd_query(args) -> None:
         # composition; plain-term flags belong to the flat path)
         from index_spark.operators.query import query_string_search
 
-        if (args.fuzzy or args.regex or args.exclude or args.mode != "or"
-                or boosts is not None or after is not None
-                or sim != "bm25"):
+        if (args.fuzzy or args.regex or phonetic or args.exclude
+                or args.mode != "or" or boosts is not None
+                or after is not None or sim != "bm25"):
             raise SystemExit("--qs composes the boolean grammar only — "
-                             "drop --fuzzy/--regex/--exclude/--mode/"
-                             "--boosts/--after/--similarity (express "
-                             "them in the query string)")
+                             "drop --fuzzy/--regex/--phonetic/--exclude/"
+                             "--mode/--boosts/--after/--similarity "
+                             "(express them in the query string)")
         rows = query_string_search(index, stats, args.query,
                                    k=args.k).collect()
         print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]}
@@ -117,6 +118,24 @@ def cmd_query(args) -> None:
                                tombstones=tomb, dictionary=d,
                                boosts=boosts, after=after,
                                shard_size=shard_size).collect()
+        print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]}
+                          for r in rows]))
+        return
+    if phonetic:
+        # soundex-key dictionary expansion (functions/phonetic.py)
+        from index_spark.operators.query import sounds_like_search
+        from index_spark.plans.dictionary import (
+            dictionary_path,
+            load_dictionary,
+        )
+        d = (load_dictionary(spark, args.index_dir)
+             if os.path.isdir(dictionary_path(args.index_dir)) else None)
+        rows = sounds_like_search(index, None, stats, args.query,
+                                  k=args.k, mode=args.mode,
+                                  exclude=args.exclude, tombstones=tomb,
+                                  dictionary=d, boosts=boosts,
+                                  after=after,
+                                  shard_size=shard_size).collect()
         print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]}
                           for r in rows]))
         return
@@ -996,6 +1015,9 @@ def main(argv=None) -> None:
     q.add_argument("--regex", action="store_true",
                    help="tokens with regex metacharacters expand as "
                         "anchored whole-term regexes over the dictionary")
+    q.add_argument("--phonetic", action="store_true",
+                   help="sounds-like: soundex-key dictionary expansion "
+                        "(functions/phonetic.py pinned spec)")
     q.add_argument("--boosts", default=None,
                    help="parquet of (doc_id, boost) function-scoring "
                         "multipliers")

@@ -210,3 +210,49 @@ def test_random_sampler_agg_pinned_hash(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         random_sampler_agg(df, "id", "g", 0.0)
+
+
+# -------------------------------------------------- session-19 phonetic
+
+
+def test_phonetic_key_vectors_and_column_parity(spark):
+    from index_spark.functions.phonetic import phonetic_key, phonetic_key_py
+
+    # classic published soundex vectors (Russell core, no H/W rule)
+    assert phonetic_key_py("robert") == "R163"
+    assert phonetic_key_py("rupert") == "R163"
+    assert phonetic_key_py("tymczak") == "T522"
+    assert phonetic_key_py("pfister") == "P236"
+    assert phonetic_key_py("table") == phonetic_key_py("tabel") == "T140"
+    assert phonetic_key_py("123") is None
+    words = ["robert", "rupert", "tymczak", "pfister", "table",
+             "tabel", "ashcraft", "a", "x123y", "42"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r["w"]: r["k"]
+           for r in df.select("w", phonetic_key("w").alias("k")).collect()}
+    assert got == {w: phonetic_key_py(w) for w in words}
+
+
+def test_phonetic_expand_and_sounds_like(pos_ix):
+    from index_spark.operators.query import (
+        phonetic_expand,
+        search,
+        sounds_like_search,
+    )
+
+    _, index, stats = pos_ix
+    exp = phonetic_expand(index, ["tabel", "scann", "123"])
+    assert exp["tabel"] == ["table"]     # T140 neighborhood
+    assert exp["scann"] == ["scan"]      # S500
+    assert exp["123"] == []              # no key
+    out = sounds_like_search(index, None, stats, "tabel", k=10,
+                             stem=False, camel=False,
+                             shard_size=16).collect()
+    ref = search(index, None, stats, "table", k=10, stem=False,
+                 camel=False, shard_size=16).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, ref))
+    # group-conjunctive: docs must contain a variant of BOTH terms
+    both = {r.doc_id for r in sounds_like_search(
+        index, None, stats, "tabel merje", k=10, mode="and",
+        stem=False, camel=False, shard_size=16).collect()}
+    assert both == set()  # 'merje' -> M620 = merge; no doc has both?
