@@ -7834,6 +7834,20 @@ _ORACLE_SOUNDS_LIKE = """
 SELECT doc_id, round(score, 4) AS score FROM top"""
 
 
+# ES sparse_vector: dot product of the query feature map with pinned
+# ln(1+tf) doc impacts — no idf, no doc-length statistics
+_ORACLE_SPARSE_VECTOR = """
+, qw(term, w) AS (SELECT * FROM (VALUES ('data', 2.0), ('table', 1.0),
+                                        ('scan', 0.5)) AS v(term, w)
+), s AS (
+  SELECT tf.doc_id, sum(qw.w * ln(1.0 + tf.tf)) AS score
+  FROM tf JOIN qw ON tf.term = qw.term
+  GROUP BY tf.doc_id
+), top AS (SELECT doc_id, score FROM s
+           ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
+
+
 # ---------------------------------------------------------------------------
 # session 19b: categorize_text, random_sampler, variable_width_histogram,
 # sharded terms agg with doc_count_error_upper_bound
@@ -7948,6 +7962,15 @@ def _r04s19b_engine_queries() -> dict[str, Callable[[SparkSession, str],
         return terms_facet_sharded(ev, "event_type", "event_id",
                                    n_shards=4, size=5, shard_size=3)
 
+    def sparse_vector_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # learned-sparse dot product: pinned ln(1+tf) doc impacts
+        from index_spark.operators.query import sparse_vector_search
+
+        _, index, _ = _parity_build(spark, sf_dir)
+        return sparse_vector_search(
+            index, None, {"data": 2.0, "table": 1.0, "scan": 0.5},
+            k=10, round_at=4)
+
     def sounds_like_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # phonetic query: both misspellings land on catalog terms
         # (tabel -> table via T140, scann -> scan via S500)
@@ -7963,7 +7986,8 @@ def _r04s19b_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "random_sampler_facet": random_sampler_q,
             "var_width_hist": var_width_hist_q,
             "terms_shard_error": terms_shard_error_q,
-            "sounds_like_topk": sounds_like_q}
+            "sounds_like_topk": sounds_like_q,
+            "sparse_vector_topk": sparse_vector_q}
 
 
 def _build_registry():
@@ -8529,6 +8553,8 @@ ORDER BY event_id""")
     add("sounds_like_topk", eng19b["sounds_like_topk"],
         _docs_sql("duck", _ORACLE_SOUNDS_LIKE,
                   [_terms_values_sql(["tabel", "scann"])]))
+    add("sparse_vector_topk", eng19b["sparse_vector_topk"],
+        _docs_sql("duck", _ORACLE_SPARSE_VECTOR))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -740,6 +740,18 @@ def main() -> None:
                  "events_date_range", "err_eval"]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
+    # 10g. session-19 surfaces (non-headline): TermRangeQuery
+    # (row-group-pruned range scan), SpanMultiTermQueryWrapper
+    # (prefix-expanded phrase), simple_query_string (lenient grammar +
+    # constant-score prefix), phonetic sounds-like, categorize_text
+    # templates, random_sampler scaled agg, variable-width histogram,
+    # sharded terms agg with error bounds
+    for name in ["term_range_topk", "span_multi_topk", "simple_qs_topk",
+                 "sounds_like_topk", "log_templates",
+                 "random_sampler_facet", "var_width_hist",
+                 "terms_shard_error", "sparse_vector_topk"]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
     # 10c. concurrent-query throughput at 8 vs 32 cores, each in its
     # own process/JVM (a Spark master is fixed at startup). The
     # serving-relevant scaling number — single-query p95 at local[32]

@@ -4836,3 +4836,41 @@ def sounds_like_search(index: DataFrame, docs: DataFrame | None,
     return search(index, docs, stats, " ".join(terms), k=k, stem=False,
                   camel=False, shard_size=shard_size, zone=zone,
                   mode=mode, exclude=exclude, groups=groups, **kw)
+
+
+def sparse_vector_search(index: DataFrame, stats: dict | None,
+                         query_weights: dict[str, float], k: int = 10,
+                         zone: str | None = None,
+                         round_at: int | None = None) -> DataFrame:
+    """ES ``sparse_vector`` query (the learned-sparse / ELSER serving
+    shape): the query is a sparse feature map ``{token: weight}``; a
+    doc scores the dot product of the query map with its own sparse
+    features.  Doc-side feature weights are pinned to the sublinear
+    impact ``ln(1 + tf)`` derived from the index itself (the classic
+    SPLADE-family impact; a model-produced weight column would slot in
+    identically as a third blob).
+
+    Plan: exactly the BM25 scan shape — term-pruned columnar decode of
+    only the query tokens' posting lists, then one
+    map-side-combinable weighted sum per doc; scoring needs no global
+    statistics, so there is no idf broadcast at all.  ES's optional
+    ``prune`` heuristic (drop query tokens whose df is a large
+    multiple of the average — they cost the most and discriminate the
+    least) is the caller's choice here: filter ``query_weights``
+    against the term catalog before calling."""
+    from index_spark.operators.analytics import postings_from_index
+
+    spark = index.sparkSession
+    terms = sorted(query_weights)
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    wmap = F.create_map(*[F.lit(x) for t in terms
+                          for x in (t, float(query_weights[t]))])
+    hits = pin_zone(index, zone).filter(F.col("term").isin(terms))
+    posts = postings_from_index(hits)
+    score = F.sum(wmap[F.col("term")]
+                  * F.log(F.lit(1.0) + F.col("tf")))
+    if round_at is not None:
+        score = F.round(score, round_at)
+    return (posts.groupBy("doc_id").agg(score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))

@@ -256,3 +256,25 @@ def test_phonetic_expand_and_sounds_like(pos_ix):
         index, None, stats, "tabel merje", k=10, mode="and",
         stem=False, camel=False, shard_size=16).collect()}
     assert both == set()  # 'merje' -> M620 = merge; no doc has both?
+
+
+def test_sparse_vector_dot_product(pos_ix):
+    import math
+
+    from index_spark.operators.query import sparse_vector_search
+
+    _, index, _ = pos_ix
+    w = {"data": 2.0, "table": 1.0, "scan": 0.5}
+    out = {r["doc_id"]: r["score"]
+           for r in sparse_vector_search(index, None, w, k=10).collect()}
+    exp = {}
+    for i, t in TEXTS:
+        toks = t.split()
+        s = sum(wt * math.log(1 + toks.count(term))
+                for term, wt in w.items() if term in toks)
+        if s:
+            exp[i] = s
+    assert set(out) == set(exp)
+    for d in exp:
+        assert abs(out[d] - exp[d]) < 1e-9
+    assert sparse_vector_search(index, None, {}, k=10).count() == 0
