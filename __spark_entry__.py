@@ -7834,6 +7834,54 @@ _ORACLE_SOUNDS_LIKE = """
 SELECT doc_id, round(score, 4) AS score FROM top"""
 
 
+# ES fuzziness AUTO: per-query-term distance by length band
+# (<3 exact, <6 one edit, else two) — 'a' probes exact, 'dat' expands
+# at d=1, 'custmer' at d=2; per-variant idf BM25 sum as in fuzzy
+_ORACLE_FUZZY_AUTO = """
+, cand AS (
+  SELECT d.term, d.df, q.term AS qterm
+  FROM dft d JOIN q ON levenshtein(d.term, q.term) <=
+    CASE WHEN length(q.term) < 3 THEN 0
+         WHEN length(q.term) < 6 THEN 1 ELSE 2 END
+), q2 AS (
+  SELECT DISTINCT term FROM (
+    SELECT term, row_number() OVER (
+      PARTITION BY qterm ORDER BY df DESC, term ASC) AS rn
+    FROM cand) r WHERE rn <= 8
+), fscores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q2 ON tf.term = q2.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+), top AS (SELECT doc_id, score FROM fscores
+           ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
+
+# collapse with inner_hits: top-5 groups by best doc, each group's
+# top-3 matches
+_ORACLE_COLLAPSE_INNER = """
+, keyed AS (
+  SELECT s.doc_id, s.score, d.source AS group_key
+  FROM scores s JOIN documents d ON s.doc_id = d.doc_id)
+, rk AS (
+  SELECT group_key, doc_id, score,
+         row_number() OVER (PARTITION BY group_key
+                            ORDER BY score DESC, doc_id ASC) AS inner_rank
+  FROM keyed)
+, win AS (
+  SELECT group_key FROM rk WHERE inner_rank = 1
+  ORDER BY score DESC, doc_id ASC LIMIT 5)
+SELECT rk.group_key, CAST(inner_rank AS INTEGER) AS inner_rank,
+       doc_id, round(score, 4) AS score
+FROM rk JOIN win USING (group_key)
+WHERE inner_rank <= 3"""
+
+
 # ES sparse_vector: dot product of the query feature map with pinned
 # ln(1+tf) doc impacts — no idf, no doc-length statistics
 _ORACLE_SPARSE_VECTOR = """
@@ -7971,6 +8019,28 @@ def _r04s19b_engine_queries() -> dict[str, Callable[[SparkSession, str],
             index, None, {"data": 2.0, "table": 1.0, "scan": 0.5},
             k=10, round_at=4)
 
+    def fuzzy_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES default fuzziness AUTO: three length bands in one query
+        from index_spark.operators.query import search_fuzzy
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        top = search_fuzzy(index, None, stats, "a dat custmer", k=10,
+                           max_dist="auto", stem=False, camel=False,
+                           shard_size=256)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    def collapse_inner_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.query import collapse_inner_hits
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = collapse_inner_hits(index, raw, stats, "data table query",
+                                  collapse="source", k=5, inner_size=3,
+                                  stem=False, camel=False,
+                                  shard_size=256)
+        return out.select("group_key", "inner_rank", "doc_id",
+                          F.round("score", 4).alias("score"))
+
     def sounds_like_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # phonetic query: both misspellings land on catalog terms
         # (tabel -> table via T140, scann -> scan via S500)
@@ -7987,7 +8057,9 @@ def _r04s19b_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "var_width_hist": var_width_hist_q,
             "terms_shard_error": terms_shard_error_q,
             "sounds_like_topk": sounds_like_q,
-            "sparse_vector_topk": sparse_vector_q}
+            "sparse_vector_topk": sparse_vector_q,
+            "fuzzy_auto_topk": fuzzy_auto_q,
+            "collapse_inner_topk": collapse_inner_q}
 
 
 def _build_registry():
@@ -8555,6 +8627,12 @@ ORDER BY event_id""")
                   [_terms_values_sql(["tabel", "scann"])]))
     add("sparse_vector_topk", eng19b["sparse_vector_topk"],
         _docs_sql("duck", _ORACLE_SPARSE_VECTOR))
+    add("fuzzy_auto_topk", eng19b["fuzzy_auto_topk"],
+        _docs_sql("duck", _ORACLE_FUZZY_AUTO,
+                  [_terms_values_sql(["a", "dat", "custmer"])]))
+    add("collapse_inner_topk", eng19b["collapse_inner_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_COLLAPSE_INNER,
+                  [q_cte]))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -749,7 +749,8 @@ def main() -> None:
     for name in ["term_range_topk", "span_multi_topk", "simple_qs_topk",
                  "sounds_like_topk", "log_templates",
                  "random_sampler_facet", "var_width_hist",
-                 "terms_shard_error", "sparse_vector_topk"]:
+                 "terms_shard_error", "sparse_vector_topk",
+                 "fuzzy_auto_topk", "collapse_inner_topk"]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # 10c. concurrent-query throughput at 8 vs 32 cores, each in its

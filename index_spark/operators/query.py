@@ -1968,8 +1968,17 @@ def suggest_corrections(index: DataFrame | None, query: str,
     return spark.createDataFrame(rows, _SUGGEST_SCHEMA)
 
 
+def auto_fuzziness(term: str, low: int = 3, high: int = 6) -> int:
+    """ES ``fuzziness: AUTO[:low,high]`` (the ES default): terms
+    shorter than ``low`` must match exactly, terms shorter than
+    ``high`` allow one edit, longer terms allow two — short strings
+    are mostly distinct words, not typos."""
+    n = len(term)
+    return 0 if n < low else (1 if n < high else 2)
+
+
 def search_fuzzy(index: DataFrame, docs: DataFrame | None, stats: dict,
-                 query: str, k: int = 10, max_dist: int = 1,
+                 query: str, k: int = 10, max_dist: int | str = 1,
                  max_expansions: int = 8, stem: bool = True,
                  camel: bool = True, shard_size: int = 4096,
                  zone: str | None = None, mode: str = "or",
@@ -2002,15 +2011,33 @@ def search_fuzzy(index: DataFrame, docs: DataFrame | None, stats: dict,
     swap = ONE edit, Lucene's default fuzziness) — see
     :func:`fuzzy_expand`.
 
+    ``max_dist="auto"`` applies ES's default length-banded fuzziness
+    (:func:`auto_fuzziness`): terms group by their AUTO distance and
+    expand per group — at most three bounded catalog lookups (d=0 is
+    an exact-presence probe), then still ONE scoring search.
+
     Two jobs total: the bounded dictionary-expansion lookup, then the
     one-exchange scoring plan of :func:`search`."""
     spark = index.sparkSession
     qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
-    exp = fuzzy_expand(index, qterms, max_dist=max_dist,
-                       max_expansions=max_expansions, zone=zone,
-                       dictionary=dictionary, trigram=trigram,
-                       transpositions=transpositions,
-                       prefix_length=prefix_length)
+    if max_dist == "auto":
+        byd: dict[int, list[str]] = {}
+        for t in qterms:
+            byd.setdefault(auto_fuzziness(t), []).append(t)
+        exp = {}
+        for d, ts in sorted(byd.items()):
+            exp.update(fuzzy_expand(index, ts, max_dist=d,
+                                    max_expansions=max_expansions,
+                                    zone=zone, dictionary=dictionary,
+                                    trigram=trigram,
+                                    transpositions=transpositions,
+                                    prefix_length=prefix_length))
+    else:
+        exp = fuzzy_expand(index, qterms, max_dist=max_dist,
+                           max_expansions=max_expansions, zone=zone,
+                           dictionary=dictionary, trigram=trigram,
+                           transpositions=transpositions,
+                           prefix_length=prefix_length)
     terms = sorted({t for v in exp.values() for t in v})
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
@@ -4874,3 +4901,58 @@ def sparse_vector_search(index: DataFrame, stats: dict | None,
         score = F.round(score, round_at)
     return (posts.groupBy("doc_id").agg(score.alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def collapse_inner_hits(index: DataFrame, docs: DataFrame, stats: dict,
+                        query: str, collapse: str = "source",
+                        k: int = 10, inner_size: int = 3,
+                        stem: bool = True,
+                        use_wand: bool | str = "auto",
+                        shard_size: int = 4096, camel: bool = True,
+                        zone: str | None = None, mode: str = "or",
+                        exclude: str | None = None,
+                        tombstones: DataFrame | None = None,
+                        restrict: DataFrame | None = None) -> DataFrame:
+    """ES ``collapse`` with ``inner_hits``: the top-k collapse groups
+    (ranked by their best document, exactly :func:`collapse_search`'s
+    order) each return their own top-``inner_size`` matching documents
+    as (group_key, inner_rank, doc_id, score).
+
+    Same one-exchange complete-scores plan as collapse_search, plus
+    ONE group-keyed window for the per-group rank — the window's
+    partition count is the group cardinality (a real dimension:
+    source/host/repo), never the corpus, and rows past ``inner_size``
+    drop before the winners join.  The k winning groups are a bounded
+    relation, so the final join broadcasts."""
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    out_schema = T.StructType([
+        T.StructField("group_key", T.StringType(), True),
+        T.StructField("inner_rank", T.IntegerType(), False),
+    ] + list(TOPK_SCHEMA.fields))
+    if not qterms:
+        return spark.createDataFrame([], out_schema)
+    from pyspark.sql import Window
+
+    local = _complete_match_scores(
+        index, stats, qterms, exclude, stem=stem, camel=camel,
+        use_wand=use_wand, shard_size=shard_size, zone=zone, mode=mode,
+        tombstones=tombstones, restrict=restrict)
+    keyed = local.join(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col(collapse).alias("group_key")),
+        "doc_id")
+    wg = Window.partitionBy("group_key").orderBy(F.desc("score"),
+                                                 F.asc("doc_id"))
+    ranked = (keyed.withColumn("inner_rank", F.row_number().over(wg))
+              .filter(F.col("inner_rank") <= int(inner_size)))
+    winners = (ranked.filter(F.col("inner_rank") == 1)
+               .select("group_key",
+                       F.col("score").alias("_best_score"),
+                       F.col("doc_id").alias("_best_doc"))
+               .orderBy(F.desc("_best_score"), F.asc("_best_doc"))
+               .limit(k))
+    return (ranked.join(F.broadcast(winners), "group_key")
+            .orderBy(F.desc("_best_score"), F.asc("_best_doc"),
+                     F.asc("inner_rank"))
+            .select("group_key", "inner_rank", "doc_id", "score"))

@@ -278,3 +278,38 @@ def test_sparse_vector_dot_product(pos_ix):
     for d in exp:
         assert abs(out[d] - exp[d]) < 1e-9
     assert sparse_vector_search(index, None, {}, k=10).count() == 0
+
+
+def test_collapse_inner_hits_consistency(spark, pos_ix):
+    from index_spark.operators.query import (
+        collapse_inner_hits,
+        collapse_search,
+    )
+
+    _, index, stats = pos_ix
+    # group dimension: parity of doc_id
+    dim = spark.createDataFrame(
+        [(i, f"g{i % 2}") for i, _ in TEXTS], "doc_id long, grp string")
+    inner = collapse_inner_hits(index, dim, stats, "data table",
+                                collapse="grp", k=5, inner_size=2,
+                                stem=False, camel=False,
+                                shard_size=16).collect()
+    flat = collapse_search(index, dim, stats, "data table",
+                           collapse="grp", k=5, stem=False, camel=False,
+                           shard_size=16).collect()
+    # rank-1 inner hits ARE the collapse winners (same groups/scores)
+    rank1 = {(r["group_key"], r["doc_id"], round(r["score"], 6))
+             for r in inner if r["inner_rank"] == 1}
+    assert rank1 == {(r["group_key"], r["doc_id"], round(r["score"], 6))
+                     for r in flat}
+    # within a group: ranks contiguous from 1, scores non-increasing
+    by_g = {}
+    for r in inner:
+        by_g.setdefault(r["group_key"], []).append(r)
+    for g, rows in by_g.items():
+        rows.sort(key=lambda r: r["inner_rank"])
+        assert [r["inner_rank"] for r in rows] == \
+            list(range(1, len(rows) + 1))
+        assert len(rows) <= 2
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
