@@ -7882,6 +7882,37 @@ FROM rk JOIN win USING (group_key)
 WHERE inner_rank <= 3"""
 
 
+# ES extended_stats over the match set: everything from the three
+# partial sums (n, sum v, sum v^2); variance pinned to the naive form
+_ORACLE_EXT_STATS = """
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(d.n_chars) AS BIGINT) AS min_value,
+       CAST(max(d.n_chars) AS BIGINT) AS max_value,
+       round(sum(d.n_chars) / count(*), 4) AS avg_value,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_value,
+       CAST(sum(d.n_chars * d.n_chars) AS BIGINT) AS sum_of_squares,
+       round(sum(d.n_chars * d.n_chars) / count(*)
+             - (sum(d.n_chars) / count(*)) * (sum(d.n_chars) / count(*)),
+             4) AS variance,
+       round(sqrt(sum(d.n_chars * d.n_chars) / count(*)
+             - (sum(d.n_chars) / count(*)) * (sum(d.n_chars) / count(*))),
+             4) AS std_deviation,
+       round(sum(d.n_chars) / count(*)
+             + 2.0 * sqrt(sum(d.n_chars * d.n_chars) / count(*)
+               - (sum(d.n_chars) / count(*)) * (sum(d.n_chars) / count(*))),
+             4) AS std_upper,
+       round(sum(d.n_chars) / count(*)
+             - 2.0 * sqrt(sum(d.n_chars * d.n_chars) / count(*)
+               - (sum(d.n_chars) / count(*)) * (sum(d.n_chars) / count(*))),
+             4) AS std_lower
+FROM documents d
+JOIN (SELECT DISTINCT tf.doc_id FROM tf JOIN q ON tf.term = q.term) m
+  ON d.doc_id = m.doc_id
+GROUP BY d.lang
+ORDER BY d.lang"""
+
+
 # ES sparse_vector: dot product of the query feature map with pinned
 # ln(1+tf) doc impacts — no idf, no doc-length statistics
 _ORACLE_SPARSE_VECTOR = """
@@ -8019,6 +8050,15 @@ def _r04s19b_engine_queries() -> dict[str, Callable[[SparkSession, str],
             index, None, {"data": 2.0, "table": 1.0, "scan": 0.5},
             k=10, round_at=4)
 
+    def ext_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.analytics import facet_extended_stats
+
+        _, index, _ = _parity_build(spark, sf_dir)
+        meta = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return facet_extended_stats(index, meta, "data table query",
+                                    value="n_chars", by="lang",
+                                    sigma=2.0, stem=False, camel=False)
+
     def fuzzy_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ES default fuzziness AUTO: three length bands in one query
         from index_spark.operators.query import search_fuzzy
@@ -8059,7 +8099,8 @@ def _r04s19b_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "sounds_like_topk": sounds_like_q,
             "sparse_vector_topk": sparse_vector_q,
             "fuzzy_auto_topk": fuzzy_auto_q,
-            "collapse_inner_topk": collapse_inner_q}
+            "collapse_inner_topk": collapse_inner_q,
+            "extended_stats_facet": ext_stats_q}
 
 
 def _build_registry():
@@ -8633,6 +8674,8 @@ ORDER BY event_id""")
     add("collapse_inner_topk", eng19b["collapse_inner_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_COLLAPSE_INNER,
                   [q_cte]))
+    add("extended_stats_facet", eng19b["extended_stats_facet"],
+        _docs_sql("duck", _ORACLE_EXT_STATS, [q_cte]))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

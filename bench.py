@@ -750,7 +750,8 @@ def main() -> None:
                  "sounds_like_topk", "log_templates",
                  "random_sampler_facet", "var_width_hist",
                  "terms_shard_error", "sparse_vector_topk",
-                 "fuzzy_auto_topk", "collapse_inner_topk"]:
+                 "fuzzy_auto_topk", "collapse_inner_topk",
+                 "extended_stats_facet"]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # 10c. concurrent-query throughput at 8 vs 32 cores, each in its

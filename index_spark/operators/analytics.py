@@ -1477,3 +1477,47 @@ def terms_facet_sharded(df: DataFrame, key_col: str, shard_key: str,
                     .alias("doc_count_error_upper_bound"))
             .orderBy(F.desc("doc_count"), F.asc(key_col))
             .limit(int(size)))
+
+
+def facet_extended_stats(index: DataFrame, doc_meta: DataFrame,
+                         query: str, value: str, by: str | None = None,
+                         sigma: float = 2.0, mode: str = "or",
+                         stem: bool = True, camel: bool = True,
+                         zone: str | None = None,
+                         round_at: int = 4) -> DataFrame:
+    """ES ``extended_stats`` aggregation over the match set: the
+    ``stats`` block plus sum_of_squares, population variance /
+    std_deviation, and the ``std_deviation_bounds`` band
+    (avg ± sigma·std).  Variance is PINNED to the naive-sums form
+    ``sos/n − avg²`` — every statistic is then a pure function of the
+    three partial-combinable sums (n, Σv, Σv²), so the plan is the
+    same two exchanges as :func:`facet_stats` at any match-set size,
+    and any SQL engine restates the arithmetic bit-for-bit (streaming
+    Welford implementations differ in last-ulp; rounding pins the
+    rest)."""
+    m = matching_docs(index, query, mode=mode, stem=stem, camel=camel,
+                      zone=zone)
+    cols = [F.col("doc_id").cast("long"), F.col(value).alias("_v")]
+    if by is not None:
+        cols.append(F.col(by))
+    joined = m.join(doc_meta.select(*cols), "doc_id")
+    n = F.count("*")
+    s = F.sum("_v")
+    sos = F.sum(F.col("_v") * F.col("_v"))
+    avg = s / n
+    var = sos / n - avg * avg
+    std = F.sqrt(var)
+    r = round_at
+    aggs = [n.alias("n_docs"),
+            F.min("_v").alias("min_value"),
+            F.max("_v").alias("max_value"),
+            F.round(avg, r).alias("avg_value"),
+            F.sum("_v").alias("sum_value"),
+            F.round(sos, r).alias("sum_of_squares"),
+            F.round(var, r).alias("variance"),
+            F.round(std, r).alias("std_deviation"),
+            F.round(avg + sigma * std, r).alias("std_upper"),
+            F.round(avg - sigma * std, r).alias("std_lower")]
+    if by is None:
+        return joined.agg(*aggs)
+    return joined.groupBy(by).agg(*aggs).orderBy(by)

@@ -313,3 +313,27 @@ def test_collapse_inner_hits_consistency(spark, pos_ix):
         assert len(rows) <= 2
         scores = [r["score"] for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_facet_extended_stats_vs_python(spark, pos_ix):
+    import math
+
+    from index_spark.operators.analytics import facet_extended_stats
+
+    _, index, _ = pos_ix
+    meta = spark.createDataFrame(
+        [(i, len(t), "g") for i, t in TEXTS],
+        "doc_id long, n_ch long, grp string")
+    out = facet_extended_stats(index, meta, "data", value="n_ch",
+                               by="grp", sigma=2.0, stem=False,
+                               camel=False).collect()
+    assert len(out) == 1
+    r = out[0]
+    vals = [len(t) for i, t in TEXTS if "data" in t.split()]
+    n = len(vals)
+    avg = sum(vals) / n
+    var = sum(v * v for v in vals) / n - avg * avg
+    assert r["n_docs"] == n
+    assert r["sum_of_squares"] == sum(v * v for v in vals)
+    assert abs(r["variance"] - round(var, 4)) < 1e-9
+    assert abs(r["std_upper"] - round(avg + 2 * math.sqrt(var), 4)) < 1e-9
