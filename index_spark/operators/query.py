@@ -4800,15 +4800,18 @@ def phonetic_expand(index: DataFrame | None, qterms: list[str],
     if not want:
         return {t: [] for t in qterms}
     if dictionary is not None:
-        cat = pin_zone(dictionary, zone).select("term", "df")
+        cat = pin_zone(dictionary, zone)
+        if "pkey" not in cat.columns:  # pre-phonetic-column catalogs
+            cat = cat.withColumn("pkey", phonetic_key(F.col("term")))
+        cat = cat.select("term", "df", "pkey")
     else:
         if index is None:
             raise ValueError("need an index or a dictionary to expand")
         cat = (pin_zone(index, zone)
                .filter(F.col("term") != DOC_MARKER)
-               .groupBy("term").agg(F.sum("df").alias("df")))
-    cat = cat.withColumn("pkey", phonetic_key(F.col("term"))) \
-             .filter(F.col("pkey").isin(want))
+               .groupBy("term").agg(F.sum("df").alias("df"))
+               .withColumn("pkey", phonetic_key(F.col("term"))))
+    cat = cat.filter(F.col("pkey").isin(want))
     w = Window.partitionBy("pkey").orderBy(F.desc("df"), F.asc("term"))
     rows = (cat.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= int(max_expansions))

@@ -739,6 +739,12 @@ def _fold_new_chunks(spark: SparkSession, out_dir: str, prev: dict,
 
     # 7. incremental dictionary: recompute ONLY the affected terms' rows
     old_dict = load_dictionary(spark, out_dir)
+    if "pkey" not in old_dict.columns:
+        # catalog written before the phonetic column existed: backfill
+        # so the union schema matches (row-local codegen, no reshuffle)
+        from index_spark.functions.phonetic import phonetic_key
+
+        old_dict = old_dict.withColumn("pkey", phonetic_key(F.col("term")))
     new_rows = dictionary_from_index(
         post.join(F.broadcast(dterms), gcols, "semi"))
     dict_stage = dictionary_path(out_dir) + "_stage"

@@ -41,12 +41,17 @@ def dictionary_from_index(index: DataFrame) -> DataFrame:
     metadata columns only — blobs are pruned from the scan."""
     from index_spark.operators.build import DOC_MARKER
 
+    from index_spark.functions.phonetic import phonetic_key
+
     gcols = ["zone", "term"] if "zone" in index.columns else ["term"]
     return (index.filter(F.col("term") != DOC_MARKER)
             .groupBy(*gcols)
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"),
                  F.count("*").alias("n_segs"))
-            .withColumn("length", F.length("term")))
+            .withColumn("length", F.length("term"))
+            # the phonetic catalog column: sounds-like expansion becomes
+            # a stored-column equi-filter instead of per-row compute
+            .withColumn("pkey", phonetic_key(F.col("term"))))
 
 
 def dictionary_path(out_dir: str) -> str:

@@ -52,7 +52,7 @@ def test_compaction_publishes_dictionary(spark, store, built):
     df/cf sums matching an independent aggregate over the sharded index."""
     _, index, _ = built
     d = load_dictionary(spark, store).persist()
-    assert set(d.columns) == {"term", "df", "cf", "n_segs", "length"}
+    assert set(d.columns) == {"term", "df", "cf", "n_segs", "length", "pkey"}
     # term-distinct, no doc marker
     assert d.count() == d.select("term").distinct().count()
     assert d.filter(F.col("term") == DOC_MARKER).count() == 0
