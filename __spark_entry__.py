@@ -8103,6 +8103,317 @@ def _r04s19b_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "extended_stats_facet": ext_stats_q}
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-20 entries: highlighting, late-interaction maxsim,
+# change-point detection, C4 battery, significant_text, ip_prefix,
+# bucket_correlation
+# ---------------------------------------------------------------------------
+
+# two pinned 8-dim query vectors (dyadic rationals — exact doubles in
+# every engine)
+_MAXSIM_Q = [
+    [0.5, -0.25, 0.125, 0.75, -0.5, 0.25, 0.0625, -0.125],
+    [-0.5, 0.5, 0.25, -0.25, 0.125, -0.0625, 0.75, 0.5],
+]
+
+
+def _maxsim_oracle_sql() -> str:
+    # score = sum over query vecs of max over the 8 contiguous 8-dim
+    # sub-vectors of the dot product — dots unrolled left-assoc exactly
+    # like the Spark zip_with/aggregate fold
+    dots = []
+    for qi, qv in enumerate(_MAXSIM_Q):
+        terms = " + ".join(
+            f"({x!r}) * CAST(e[8*j+{i + 1}] AS DOUBLE)"
+            for i, x in enumerate(qv))
+        dots.append(f"({terms}) AS d{qi}")
+    maxes = ", ".join(f"max(d{i}) AS m{i}" for i in range(len(_MAXSIM_Q)))
+    total = " + ".join(f"m{i}" for i in range(len(_MAXSIM_Q)))
+    return f"""
+WITH tv AS (
+  SELECT vec_id, embedding AS e, unnest(range(0, 8)) AS j
+  FROM embeddings
+), dots AS (
+  SELECT vec_id, {', '.join(dots)} FROM tv
+), mx AS (
+  SELECT vec_id, {maxes} FROM dots GROUP BY vec_id
+)
+SELECT vec_id, round({total}, 4) AS score
+FROM mx ORDER BY score DESC, vec_id ASC LIMIT 10"""
+
+
+_HL_TERMS_SQL = "['data', 'table', 'query']"
+_ORACLE_HIGHLIGHT = f"""
+, topk AS (
+  SELECT doc_id, round(score, 4) AS score FROM scores
+  ORDER BY score DESC, doc_id ASC LIMIT 5
+), htok AS (
+  SELECT d.doc_id, t.score,
+         list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tk
+  FROM documents d JOIN topk t ON d.doc_id = t.doc_id
+), wins AS (
+  SELECT doc_id, score, tk,
+         unnest(range(0, CAST(ceil(len(tk) / 16.0) AS BIGINT))) AS win
+  FROM htok
+), frag AS (
+  SELECT doc_id, score, win, tk[win*16+1 : win*16+16] AS ft FROM wins
+), scored AS (
+  SELECT doc_id, score, win,
+         len(list_filter(ft, x -> list_contains({_HL_TERMS_SQL}, x)))
+           AS hits,
+         array_to_string(list_transform(ft,
+           x -> CASE WHEN list_contains({_HL_TERMS_SQL}, x)
+                     THEN '<em>' || x || '</em>' ELSE x END), ' ')
+           AS fragment
+  FROM frag
+), kept AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY hits DESC, win ASC) AS rk
+  FROM scored WHERE hits > 0
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY win ASC)
+            AS INT) AS frag_no,
+       CAST(hits AS BIGINT) AS hits, fragment
+FROM kept WHERE rk <= 2
+ORDER BY doc_id, frag_no"""
+
+_ORACLE_CHANGE_POINT = """
+WITH b AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket, sum(value) AS v
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT event_type, bucket, v,
+         row_number() OVER w AS i,
+         sum(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS csum,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         lead(bucket, 1) OVER w AS nxt
+  FROM b
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+), med AS (
+  SELECT event_type, quantile_cont(v, 0.5) AS med FROM b GROUP BY 1
+), tot AS (
+  SELECT event_type, csum AS tot FROM o WHERE i = n
+), splits AS (
+  SELECT o.event_type, o.nxt, o.n,
+         csum / i AS ml, (tot.tot - csum) / (n - i) AS mr,
+         abs(csum / i - (tot.tot - csum) / (n - i))
+           * sqrt(CAST(i AS DOUBLE) * (n - i) / n) AS stat,
+         row_number() OVER (PARTITION BY o.event_type ORDER BY
+           abs(csum / i - (tot.tot - csum) / (n - i))
+             * sqrt(CAST(i AS DOUBLE) * (n - i) / n) DESC, i ASC) AS rk
+  FROM o JOIN tot ON o.event_type = tot.event_type
+  WHERE i >= 3 AND i <= n - 3
+), spikes AS (
+  SELECT o.event_type, o.bucket, o.v - med.med AS dev,
+         row_number() OVER (PARTITION BY o.event_type
+                            ORDER BY abs(o.v - med.med) DESC, i ASC) AS rk
+  FROM o JOIN med ON o.event_type = med.event_type
+)
+SELECT s.event_type, CAST(s.n AS BIGINT) AS n_buckets,
+       s.nxt AS step_at, round(s.stat, 4) AS step_stat,
+       round(s.ml, 4) AS step_mean_before,
+       round(s.mr, 4) AS step_mean_after,
+       p.bucket AS spike_at, round(p.dev, 4) AS spike_stat
+FROM splits s JOIN spikes p ON s.event_type = p.event_type
+WHERE s.rk = 1 AND p.rk = 1
+ORDER BY s.event_type"""
+
+# deterministic multi-line decoration (dialect-shared expression: the
+# Spark entry runs it via selectExpr, the oracle inlines it verbatim)
+_C4_DECO_EXPR = (
+    "concat(substr(text, 1, 60),"
+    " CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END, chr(10),"
+    " substr(text, 61, 60), '.', chr(10),"
+    " 'tiny line.', chr(10),"
+    " substr(text, 121, 60),"
+    " CASE WHEN doc_id % 3 = 0 THEN '?' ELSE ' trailing words' END,"
+    " chr(10),"
+    " CASE WHEN doc_id % 7 = 0 THEN"
+    " 'lorem ipsum dolor sit amet consectetur adipiscing elit.'"
+    " WHEN doc_id % 11 = 0 THEN"
+    " 'this line mentions a { brace character in code.'"
+    " WHEN doc_id % 5 = 0 THEN"
+    " 'beware the javascript warning line that c4 always drops.'"
+    " ELSE 'every good document needs a proper closing sentence here.'"
+    " END)")
+
+_ORACLE_C4 = f"""
+WITH deco AS (
+  SELECT doc_id, {_C4_DECO_EXPR} AS text FROM documents
+), l AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)),
+                     x -> trim(x) <> '') AS lines
+  FROM deco
+), k AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, x ->
+           regexp_matches(rtrim(x), '(\\.|!|\\?|")$')
+           AND len(list_filter(regexp_split_to_array(trim(x), '\\s+'),
+                               w -> w <> '')) >= 5
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM l
+), s AS (
+  SELECT doc_id, text, len(lines) AS n_lines, len(kept) AS n_kept_lines,
+         coalesce(array_to_string(kept, chr(10)), '') AS kt
+  FROM k
+), v AS (
+  SELECT doc_id, n_lines, n_kept_lines, kt,
+         (length(kt) - length(replace(kt, '.', '')))
+         + (length(kt) - length(replace(kt, '!', '')))
+         + (length(kt) - length(replace(kt, '?', ''))) AS n_sentences,
+         CASE WHEN contains(lower(text), 'lorem ipsum')
+                THEN 'banned:lorem ipsum'
+              WHEN contains(lower(text), '{{')
+                THEN 'banned:{{'
+              WHEN (length(kt) - length(replace(kt, '.', '')))
+                   + (length(kt) - length(replace(kt, '!', '')))
+                   + (length(kt) - length(replace(kt, '?', ''))) < 3
+                THEN 'too_few_sentences'
+              ELSE 'ok' END AS reason
+  FROM s
+)
+SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_kept_lines AS BIGINT) AS n_kept_lines,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       reason = 'ok' AS keep, reason,
+       md5(CASE WHEN reason = 'ok' THEN kt ELSE '' END) AS clean_md5
+FROM v ORDER BY doc_id"""
+
+_ORACLE_SIG_TEXT = """
+WITH first AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+), base AS (
+  SELECT d.doc_id, d.text, d.lang = 'de' AS fg
+  FROM documents d JOIN first USING (doc_id)
+), nn AS (
+  SELECT count(*) AS n_tot, count(*) FILTER (fg) AS n_fg FROM base
+), btok AS (
+  SELECT doc_id, fg,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM base
+), t AS (
+  SELECT term, count(DISTINCT doc_id) AS df,
+         count(DISTINCT CASE WHEN fg THEN doc_id END) AS fg_df
+  FROM btok GROUP BY term
+  HAVING count(DISTINCT CASE WHEN fg THEN doc_id END) >= 2
+)
+SELECT term, CAST(fg_df AS BIGINT) AS fg_df, CAST(df AS BIGINT) AS df,
+       round((fg_df / CAST(n_fg AS DOUBLE)
+              - df / CAST(n_tot AS DOUBLE))
+             * ((fg_df / CAST(n_fg AS DOUBLE))
+                / (df / CAST(n_tot AS DOUBLE))), 6) AS jlh
+FROM t CROSS JOIN nn
+ORDER BY jlh DESC, term ASC LIMIT 15"""
+
+_ORACLE_IP_PREFIX = """
+WITH ips AS (
+  SELECT (user_id * 2654435761) % 4294967296 AS ip FROM events
+), nets AS (
+  SELECT (ip >> 20) << 20 AS net, CAST(count(*) AS BIGINT) AS n_rows
+  FROM ips GROUP BY 1
+)
+SELECT CAST((net & 4278190080) // 16777216 AS VARCHAR) || '.' ||
+       CAST((net & 16711680) // 65536 AS VARCHAR) || '.' ||
+       CAST((net & 65280) // 256 AS VARCHAR) || '.' ||
+       CAST(net & 255 AS VARCHAR) || '/12' AS prefix,
+       n_rows
+FROM nets ORDER BY net"""
+
+_ORACLE_BUCKET_CORR = """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS bucket, count(*) AS v
+  FROM events GROUP BY 1
+), r AS (
+  SELECT CAST(v AS DOUBLE) AS v,
+         row_number() OVER (ORDER BY bucket) - 1 AS i
+  FROM b
+)
+SELECT round(corr(v, CAST((i * 37) % 11 AS DOUBLE)), 6) AS correlation
+FROM r"""
+
+
+def _r04s20_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                   DataFrame]]:
+    def highlight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.query import highlight, search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        top = search(index, None, stats, "data table query", k=5,
+                     stem=False, camel=False, shard_size=256)
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = highlight(top.select("doc_id",
+                                   F.round("score", 4).alias("score")),
+                        raw, "data table query", fragment_size=16,
+                        n_fragments=2, text_col="text")
+        return out
+
+    def maxsim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.similarity import (
+            maxsim_topk, reshape_token_vectors,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        tv = reshape_token_vectors(emb, 8)
+        return maxsim_topk(tv, _MAXSIM_Q, k=10)
+
+    def change_point_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.temporal import change_point
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        b = (ev.groupBy("event_type",
+                        F.date_trunc("day", F.col("ts")).alias("bucket"))
+             .agg(F.sum("value").alias("v")))
+        return change_point(b, value_col="v", order_col="bucket",
+                            by="event_type", min_buffer=3)
+
+    def c4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.curate import c4_quality
+
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        deco = raw.selectExpr("doc_id", f"{_C4_DECO_EXPR} AS text")
+        out = c4_quality(deco)
+        return out.select(
+            "doc_id", "n_lines", "n_kept_lines", "n_sentences", "keep",
+            "reason", F.md5("clean_text").alias("clean_md5"))
+
+    def sig_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.analytics import significant_text
+
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return significant_text(raw, "lang = 'de'", top=15, min_fg_df=2)
+
+    def ip_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.analytics import ip_prefix_facet
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ips = ev.select(
+            ((F.col("user_id") * 2654435761) % 4294967296).alias("ip"))
+        return ip_prefix_facet(ips, "ip", prefix_length=12)
+
+    def bucket_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.analytics import bucket_correlation
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        b = (ev.groupBy(F.date_trunc("day", F.col("ts")).alias("bucket"))
+             .agg(F.count(F.lit(1)).alias("n_events")))
+        n = b.count()
+        curve = [float((i * 37) % 11) for i in range(n)]
+        return bucket_correlation(b, curve, value_col="n_events")
+
+    return {"highlight_topk": highlight_q,
+            "maxsim_topk": maxsim_q,
+            "events_change_point": change_point_q,
+            "c4_quality": c4_q,
+            "significant_text": sig_text_q,
+            "ip_prefix_facet": ip_prefix_q,
+            "bucket_correlation": bucket_corr_q}
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -8676,6 +8987,18 @@ ORDER BY event_id""")
                   [q_cte]))
     add("extended_stats_facet", eng19b["extended_stats_facet"],
         _docs_sql("duck", _ORACLE_EXT_STATS, [q_cte]))
+
+    eng20 = _r04s20_engine_queries()
+    add("highlight_topk", eng20["highlight_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_HIGHLIGHT, [q_cte]))
+    add("maxsim_topk", eng20["maxsim_topk"], _maxsim_oracle_sql())
+    add("events_change_point", eng20["events_change_point"],
+        _ORACLE_CHANGE_POINT)
+    add("c4_quality", eng20["c4_quality"], _ORACLE_C4)
+    add("significant_text", eng20["significant_text"], _ORACLE_SIG_TEXT)
+    add("ip_prefix_facet", eng20["ip_prefix_facet"], _ORACLE_IP_PREFIX)
+    add("bucket_correlation", eng20["bucket_correlation"],
+        _ORACLE_BUCKET_CORR)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

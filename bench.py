@@ -754,6 +754,15 @@ def main() -> None:
                  "extended_stats_facet"]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
+    # 10h. session-20 surfaces (non-headline): unified highlighting,
+    # late-interaction maxsim, change-point detection, the C4 battery,
+    # significant_text with duplicate-text filtering, ip_prefix agg,
+    # bucket_correlation pipeline agg
+    for name in ["highlight_topk", "maxsim_topk", "events_change_point",
+                 "c4_quality", "significant_text", "ip_prefix_facet",
+                 "bucket_correlation"]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
     # 10c. concurrent-query throughput at 8 vs 32 cores, each in its
     # own process/JVM (a Spark master is fixed at startup). The
     # serving-relevant scaling number — single-query p95 at local[32]

@@ -1521,3 +1521,132 @@ def facet_extended_stats(index: DataFrame, doc_meta: DataFrame,
     if by is None:
         return joined.agg(*aggs)
     return joined.groupBy(by).agg(*aggs).orderBy(by)
+
+
+def significant_text(docs: DataFrame, fg_predicate: str,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     top: int = 20, min_fg_df: int = 2,
+                     filter_duplicate_text: bool = True) -> DataFrame:
+    """ES ``significant_text`` aggregation — :func:`significant_terms`
+    re-pointed at RAW text (no index required), with ES's
+    ``filter_duplicate_text`` de-duplication: exact duplicate texts
+    (sha256 keep-first by id) count ONCE, so boilerplate/mirror pages
+    cannot manufacture significance. Foreground = rows satisfying the
+    ``fg_predicate`` SQL expression (evaluated after dedup — the
+    sampled-hits analog).
+
+    Same JLH score and tie order as ``significant_terms``; doc-level
+    df (distinct docs containing the term, fg and bg alike). Returns
+    (term, fg_df, df, jlh).
+
+    Plan: dedup = one hash groupBy (min_by id); tokenize/explode +
+    two conditional doc-level aggregates fused in one pass (fg_df via
+    count-if over the predicate flag); no second scan, no window. The
+    top cut is a TakeOrderedAndProject.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       txt.alias("_x"),
+                       F.expr(fg_predicate).cast("boolean").alias("_fg"))
+    if filter_duplicate_text:
+        first = (base.groupBy(F.sha2("_x", 256).alias("_h"))
+                 .agg(F.min("doc_id").alias("doc_id")))
+        base = base.join(first, "doc_id", "left_semi")
+    counts = base.agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("_fg")).alias("nfg")).collect()[0]
+    n_tot, n_fg = counts["n"], counts["nfg"]
+    if n_fg == 0:
+        raise ValueError("empty foreground")
+    toks = F.filter(F.split(F.lower(F.col("_x")), "[^a-z0-9]+"),
+                    lambda x: x != "")
+    terms = (base
+             .select("doc_id", "_fg",
+                     F.explode_outer(toks).alias("term"))
+             .filter(F.col("term").isNotNull())
+             .groupBy("term")
+             .agg(F.count_distinct("doc_id").alias("df"),
+                  F.count_distinct(
+                      F.when(F.col("_fg"), F.col("doc_id")))
+                  .alias("fg_df"))
+             .filter(F.col("fg_df") >= int(min_fg_df)))
+    fg_pct = F.col("fg_df") / F.lit(float(n_fg))
+    bg_pct = F.col("df") / F.lit(float(n_tot))
+    return (terms
+            .withColumn("jlh", F.round((fg_pct - bg_pct)
+                                       * (fg_pct / bg_pct), 6))
+            .select("term", "fg_df", "df", "jlh")
+            .orderBy(F.desc("jlh"), F.asc("term"))
+            .limit(top))
+
+
+def ip_prefix_facet(df: DataFrame, ip_col: str, prefix_length: int = 16,
+                    min_doc_count: int = 1) -> DataFrame:
+    """ES ``ip_prefix`` aggregation over IPv4 addresses stored as
+    unsigned 32-bit integers (the at-rest form a 100-TB event table
+    wants — 4 bytes, range-prunable; dotted strings parse once at
+    ingest, never per query).
+
+    Buckets rows by the ``prefix_length``-bit network prefix; emits the
+    dotted CIDR label the ES agg returns. One map-side-combinable
+    groupBy on a codegen'd integer key — no UDF, no string parsing in
+    the aggregate path.
+
+    Returns (prefix, n_rows) ordered by the numeric prefix ascending.
+    """
+    if not 1 <= int(prefix_length) <= 32:
+        raise ValueError("prefix_length must be in 1..32")
+    p = int(prefix_length)
+    ip = F.col(ip_col).cast("long")
+    net = (F.shiftleft(F.shiftright(ip, 32 - p), 32 - p)
+           if p < 32 else ip)
+    octets = F.concat_ws(
+        ".",
+        ((F.col("_net").bitwiseAND(F.lit(0xFF000000))) / F.lit(2**24))
+        .cast("long").cast("string"),
+        ((F.col("_net").bitwiseAND(F.lit(0x00FF0000))) / F.lit(2**16))
+        .cast("long").cast("string"),
+        ((F.col("_net").bitwiseAND(F.lit(0x0000FF00))) / F.lit(2**8))
+        .cast("long").cast("string"),
+        (F.col("_net").bitwiseAND(F.lit(0x000000FF)))
+        .cast("string"))
+    return (df.select(net.alias("_net"))
+            .groupBy("_net").agg(F.count("*").alias("n_rows"))
+            .filter(F.col("n_rows") >= int(min_doc_count))
+            .select(F.concat(octets, F.lit(f"/{p}")).alias("prefix"),
+                    "n_rows", F.col("_net").alias("_o"))
+            .orderBy(F.asc("_o"))
+            .drop("_o"))
+
+
+def bucket_correlation(buckets: DataFrame, curve: list[float],
+                       order_col: str = "bucket",
+                       value_col: str = "n_events",
+                       round_at: int = 6) -> DataFrame:
+    """ES ``bucket_correlation`` pipeline aggregation — Pearson
+    correlation between a sibling aggregation's per-bucket counts (in
+    bucket order) and a caller-supplied indicator ``curve`` of the same
+    length (the ES use case: correlate a term's date-histogram counts
+    against a known event profile).
+
+    The bucket relation is BOUNDED (one row per bucket); the curve
+    joins positionally via one ``posexplode`` of the literal array and
+    a row_number over the ordered buckets, then a single ``corr``
+    aggregate. Raises if the lengths disagree (ES requires equal
+    lengths too).
+    """
+    n = buckets.count()
+    if n != len(curve):
+        raise ValueError(
+            f"curve length {len(curve)} != bucket count {n}")
+    w = Window.orderBy(F.asc(order_col))
+    ranked = buckets.select(
+        F.col(value_col).cast("double").alias("_v"),
+        F.row_number().over(w).alias("_i"))
+    lit_curve = F.array(*[F.lit(float(x)) for x in curve])
+    curve_df = (buckets.sparkSession.range(1)
+                .select(F.posexplode(lit_curve).alias("_p", "_c"))
+                .select((F.col("_p") + 1).alias("_i"), "_c"))
+    return (ranked.join(curve_df, "_i")
+            .agg(F.round(F.corr("_v", "_c"), round_at)
+                 .alias("correlation")))

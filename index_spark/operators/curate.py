@@ -249,3 +249,93 @@ aggregate(sort_array(_l),
          .otherwise(F.lit("ok")))
     return (d.withColumn("reason", reason)
              .withColumn("keep", F.col("reason") == "ok"))
+
+
+def c4_quality(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               min_line_words: int = 5,
+               min_sentences: int = 3,
+               terminal_chars: tuple[str, ...] = (".", "!", "?", '"'),
+               banned_substrings: tuple[str, ...] = ("lorem ipsum", "{"),
+               line_drop_substrings: tuple[str, ...] = ("javascript",)
+               ) -> DataFrame:
+    """C4 cleaning battery (Raffel et al. 2020, arXiv:1910.10683 §2.2)
+    — the LINE-level filter that produced the C4 corpus, completing
+    :func:`gopher_quality`'s document-shape gates with C4's
+    sentence-shape gates:
+
+    - a line is KEPT iff (after trimming) it ends in a terminal
+      punctuation mark (``terminal_chars``), has at least
+      ``min_line_words`` whitespace words, and its lowercase form
+      contains none of ``line_drop_substrings`` (C4 drops the
+      JavaScript-warning lines);
+    - the document is DROPPED if its lowercase text contains any of
+      ``banned_substrings`` (C4's "lorem ipsum" / curly-brace code
+      gates), or if fewer than ``min_sentences`` sentences survive in
+      the kept lines (sentences = occurrences of '.', '!', '?' in the
+      kept text — the pinned, restatable stand-in for C4's English
+      sentence splitter);
+    - ``clean_text`` = the kept lines re-joined with ``\\n`` (empty
+      when the doc is dropped, so downstream builds can consume the
+      column directly).
+
+    Returns (doc_id, n_lines, n_kept_lines, n_sentences, keep, reason,
+    clean_text); ``reason`` is the first failing gate in pinned order
+    (banned substring gates in ``banned_substrings`` order, then
+    ``too_few_sentences``, else ``ok``).
+
+    Scale shape: MAP-ONLY like the Gopher battery — lines split, gate,
+    count, and re-join as per-row Catalyst folds (no explode, no
+    shuffle, no Python); a 100-TB first-pass clean is one
+    embarrassingly parallel scan.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(txt)
+    lines = F.filter(F.split(txt, "\n"), lambda x: F.trim(x) != "")
+
+    term = "|".join("\\" + c if c in ".!?\\" else c
+                    for c in terminal_chars)
+    # a line survives C4's three conditions
+    def _kept(x):
+        cond = F.rtrim(x).rlike(f"({term})$")
+        cond = cond & (F.size(F.filter(F.split(F.trim(x), r"\s+"),
+                                       lambda w: w != ""))
+                       >= int(min_line_words))
+        for s in line_drop_substrings:
+            cond = cond & ~F.lower(x).contains(s.lower())
+        return cond
+
+    kept = F.filter(lines, _kept)
+    kept_text = F.array_join(kept, "\n")
+
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        low.alias("_low"),
+        kept_text.alias("_kept"))
+    # sentences = '.', '!', '?' occurrences in the kept text (length
+    # deltas — no regex scan)
+    n_sentences = sum(
+        (F.length("_kept")
+         - F.length(F.expr(f"replace(_kept, '{c}', '')")))
+        for c in (".", "!", "?")).cast("long")
+    d = d.withColumn("n_sentences", n_sentences)
+
+    chain = None
+    for s in banned_substrings:
+        esc = s.replace("'", "''")
+        cond = F.col("_low").contains(s.lower())
+        label = F.lit(f"banned:{esc}")
+        chain = F.when(cond, label) if chain is None \
+            else chain.when(cond, label)
+    chain = (chain.when(F.col("n_sentences") < int(min_sentences),
+                        F.lit("too_few_sentences"))
+             .otherwise(F.lit("ok")))
+    return (d.withColumn("reason", chain)
+             .withColumn("keep", F.col("reason") == "ok")
+             .select("doc_id", "n_lines", "n_kept_lines", "n_sentences",
+                     "keep", "reason",
+                     F.when(F.col("reason") == "ok",
+                            F.col("_kept")).otherwise(F.lit(""))
+                     .alias("clean_text")))

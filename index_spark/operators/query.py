@@ -4959,3 +4959,91 @@ def collapse_inner_hits(index: DataFrame, docs: DataFrame, stats: dict,
             .orderBy(F.desc("_best_score"), F.asc("_best_doc"),
                      F.asc("inner_rank"))
             .select("group_key", "inner_rank", "doc_id", "score"))
+
+
+def highlight(topk: DataFrame, corpus_with_ids: DataFrame, query: str,
+              stem: bool = False, camel: bool = False,
+              fragment_size: int = 16, n_fragments: int = 3,
+              pre_tag: str = "<em>", post_tag: str = "</em>",
+              text_col: str = "content") -> DataFrame:
+    """Multi-fragment highlighting for a top-k result page — the ES
+    ``highlight`` API (unified highlighter) re-expressed over the
+    analyzer's token stream.
+
+    Pinned contract (deterministic and restatable in any SQL dialect,
+    unlike Lucene's passage-break heuristics):
+
+    - the document's analyzed tokens (``lower`` → ``[a-z0-9]+`` runs in
+      SQL-parity mode) tile into consecutive ``fragment_size``-token
+      windows;
+    - a window's score is its query-term occurrence count; windows with
+      zero hits are never emitted;
+    - the ``n_fragments`` best windows win by (hits desc, window asc)
+      and are emitted in DOCUMENT order (``frag_no`` = 1.. in position
+      order, the unified highlighter's default);
+    - fragment text = the window's tokens joined by single spaces, each
+      query-term token wrapped ``pre_tag``/``post_tag``.
+
+    Plan shape: the k-row top-k relation broadcasts into the corpus
+    scan (exactly k documents' text is read at any corpus scale); the
+    tokenize / window-score / wrap pipeline is pure whole-stage-codegen
+    (``split``/``slice``/``filter``/``transform``/``array_join`` — no
+    Python, no extra exchange); the only per-doc fan-out is one row per
+    token window, bounded by doc length / ``fragment_size`` over k
+    docs. The final per-doc rank is a window over ≤ k partitions.
+
+    Returns (doc_id, score, frag_no, hits, fragment).
+    """
+    from pyspark.sql import Window
+
+    if fragment_size < 1 or n_fragments < 1:
+        raise ValueError("fragment_size and n_fragments must be >= 1")
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    out_schema = ("doc_id long, score double, frag_no int, hits long, "
+                  "fragment string")
+    if not qterms:
+        return topk.sparkSession.createDataFrame([], out_schema)
+    qset = F.array(*[F.lit(t) for t in qterms])
+    fs = int(fragment_size)
+
+    if stem or camel:
+        # highlighting wraps the analyzed token stream; the JVM-side
+        # expression pipeline implements only the SQL-parity analyzer
+        # (stemmed/camel surfaces live in the Arrow tokenizer — use
+        # snippets() for stemmed indexes, which matches literal text)
+        raise ValueError("highlight supports the SQL-parity analyzer "
+                         "only (stem=False, camel=False); use snippets()"
+                         " for stemmed indexes")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda x: x != "")
+    joined = (corpus_with_ids.join(F.broadcast(topk), "doc_id")
+              .select("doc_id", "score", toks.alias("_toks")))
+    n_win = F.ceil(F.size(F.col("_toks")) / fs).cast("int")
+    # guard: sequence(0, -1) DESCENDS in Spark, so a token-less doc must
+    # produce an empty window array (explode then emits no rows)
+    seq = F.when(F.size(F.col("_toks")) > 0,
+                 F.sequence(F.lit(0), n_win - 1)) \
+           .otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+    wins = (joined
+            .select("doc_id", "score", "_toks",
+                    F.explode(seq).alias("win")))
+    frag_toks = F.slice(F.col("_toks"), F.col("win") * fs + 1, fs)
+    hits = F.size(F.filter(frag_toks,
+                           lambda t: F.array_contains(qset, t)))
+    wrapped = F.array_join(
+        F.transform(frag_toks,
+                    lambda t: F.when(F.array_contains(qset, t),
+                                     F.concat(F.lit(pre_tag), t,
+                                              F.lit(post_tag)))
+                    .otherwise(t)), " ")
+    scored = (wins.select("doc_id", "score", "win",
+                          hits.cast("long").alias("hits"),
+                          wrapped.alias("fragment"))
+              .filter(F.col("hits") > 0))
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("win"))
+    kept = (scored.withColumn("_rk", F.row_number().over(wd))
+            .filter(F.col("_rk") <= int(n_fragments)))
+    wo = Window.partitionBy("doc_id").orderBy(F.asc("win"))
+    return (kept.withColumn("frag_no", F.row_number().over(wo))
+            .select("doc_id", "score", "frag_no", "hits", "fragment")
+            .orderBy(F.asc("doc_id"), F.asc("frag_no")))

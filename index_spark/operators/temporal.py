@@ -694,3 +694,93 @@ def date_range_facet(events: DataFrame, ranges: list[tuple[str | None,
     out = (wide.select(*keys, F.explode(F.array(*pairs)).alias("b"))
            .select(*keys, "b.*"))
     return out.orderBy(*keys, "range") if keys else out.orderBy("range")
+
+
+def change_point(buckets: DataFrame, value_col: str = "sum_value",
+                 order_col: str = "bucket",
+                 by: str | None = None,
+                 min_buffer: int = 2,
+                 round_at: int = 4) -> DataFrame:
+    """ES ``change_point`` pipeline aggregation — locate the most likely
+    STEP change and the strongest SPIKE/DIP in a bucketed series, with
+    pinned deterministic statistics (ES's ml-backed detector mixes
+    several tests with library-defined p-values; ours are restatable in
+    any SQL dialect):
+
+    - **step**: for every split after ordinal i (1-based, ``min_buffer``
+      <= i <= n - min_buffer), the standardized mean shift
+      ``|mean(1..i) - mean(i+1..n)| * sqrt(i * (n - i) / n)``; the
+      change point is the FIRST bucket of the right segment at the
+      maximizing split (ties -> earliest split).
+    - **spike/dip**: the bucket maximizing ``|x - median|`` (ties ->
+      earliest bucket), signed: positive = spike, negative = dip. The
+      statistic is the raw deviation; callers normalize by the series'
+      MAD if a scale-free score is wanted (kept raw so an exact-median
+      oracle restates it bit-for-bit).
+
+    Input is a BOUNDED bucket relation (a rollup / date-histogram
+    output — one row per bucket, thousands at most), optionally one
+    series per ``by`` key. Plan shape: one window pass per series for
+    the prefix sums (partitioned by the series key — never a corpus
+    window), one exact-median aggregate join-back, and a 1-row-per-
+    series argmin; everything after the (bounded) rollup is metadata
+    scale at 100 TB.
+
+    Returns one row per series: (by?, n_buckets, step_at, step_stat,
+    step_mean_before, step_mean_after, spike_at, spike_stat). Series
+    with fewer than ``2 * min_buffer`` buckets have no admissible split
+    and are omitted.
+    """
+    if min_buffer < 1:
+        raise ValueError("min_buffer must be >= 1")
+    keys = [by] if by else []
+    v = F.col(value_col).cast("double")
+    part = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    w_ord = part.orderBy(F.asc("_ord"))
+    w_all = (part.orderBy(F.asc("_ord"))
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    base = (buckets
+            .select(*keys, F.col(order_col).alias("_ord"), v.alias("_v"))
+            .withColumn("_i", F.row_number().over(w_ord))
+            .withColumn("_csum", F.sum("_v").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+            .withColumn("_n", F.count("_v").over(w_all))
+            .withColumn("_tot", F.sum("_v").over(w_all))
+            .withColumn("_med", F.expr("percentile(_v, 0.5)").over(w_all))
+            .withColumn("_next", F.lead("_ord", 1).over(w_ord)))
+
+    n, i = F.col("_n"), F.col("_i")
+    mean_l = F.col("_csum") / i
+    mean_r = (F.col("_tot") - F.col("_csum")) / (n - i)
+    stat = (F.abs(mean_l - mean_r)
+            * F.sqrt(i.cast("double") * (n - i) / n))
+    splits = (base
+              .filter((i >= int(min_buffer)) & (i <= n - int(min_buffer)))
+              .withColumn("_stat", stat)
+              .withColumn("_ml", mean_l).withColumn("_mr", mean_r))
+    w_step = part.orderBy(F.desc("_stat"), F.asc("_i"))
+    # step_at = first bucket of the RIGHT segment (the _next ordinal,
+    # computed on the UNFILTERED series so the last allowed split still
+    # has a right-segment head)
+    steps = (splits
+             .withColumn("_rk", F.row_number().over(w_step))
+             .filter(F.col("_rk") == 1)
+             .select(*keys,
+                     F.col("_n").alias("n_buckets"),
+                     F.col("_next").alias("step_at"),
+                     F.round("_stat", round_at).alias("step_stat"),
+                     F.round("_ml", round_at).alias("step_mean_before"),
+                     F.round("_mr", round_at).alias("step_mean_after")))
+    w_spike = part.orderBy(F.desc(F.abs(F.col("_v") - F.col("_med"))),
+                           F.asc("_i"))
+    spikes = (base.withColumn("_rk", F.row_number().over(w_spike))
+              .filter(F.col("_rk") == 1)
+              .select(*keys, F.col("_ord").alias("spike_at"),
+                      F.round(F.col("_v") - F.col("_med"),
+                              round_at).alias("spike_stat")))
+    out = steps.join(spikes, keys) if keys else steps.crossJoin(spikes)
+    order = [F.asc(by)] if by else [F.asc("step_at")]
+    return out.orderBy(*order).select(
+        *keys, "n_buckets", "step_at", "step_stat", "step_mean_before",
+        "step_mean_after", "spike_at", "spike_stat")
