@@ -8337,6 +8337,128 @@ SELECT round(corr(v, CAST((i * 37) % 11 AS DOUBLE)), 6) AS correlation
 FROM r"""
 
 
+# DFR IneL2: tfn = tf * log2(1 + avgdl/dl); score = tfn/(tfn+1) *
+# log2((N+1)/(df+0.5)) summed over matched query terms
+_ORACLE_DFR = """
+, scr AS (
+  SELECT tf.doc_id,
+         sum( (tf.tf * (ln(1.0 + stats.avgdl / dl.dlen) / ln(2.0)))
+              / (tf.tf * (ln(1.0 + stats.avgdl / dl.dlen) / ln(2.0))
+                 + 1.0)
+              * (ln((stats.n + 1.0) / (dft.df + 0.5)) / ln(2.0)) )
+           AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scr
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+# char-trigram Naive Bayes lang-id: add-1 smoothing over the corpus
+# trigram vocabulary, per-doc argmax of rounded log-posterior
+_ORACLE_LANGID_NB = """
+WITH base AS (
+  SELECT doc_id, lang, substr(lower(text), 1, 200) AS s FROM documents
+), g AS (
+  SELECT doc_id, lang,
+         substr(s, CAST(unnest(range(1, greatest(length(s) - 1, 1)))
+                        AS INT), 3) AS gram
+  FROM base
+), cnt AS (
+  SELECT lang, gram, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2
+), tot AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS tot FROM g GROUP BY 1
+), vocab AS (
+  SELECT CAST(count(DISTINCT gram) AS DOUBLE) AS v FROM g
+), pri AS (
+  SELECT lang AS cand,
+         ln(count(*) / (SELECT CAST(count(*) AS DOUBLE)
+                        FROM documents)) AS ln_prior
+  FROM documents GROUP BY lang
+), sc AS (
+  SELECT g.doc_id, p.cand,
+         p.ln_prior
+         + sum(ln((coalesce(c.c, 0) + 1.0) / (t.tot + 1.0 * vocab.v)))
+           AS score
+  FROM g
+  CROSS JOIN pri p
+  JOIN tot t ON t.lang = p.cand
+  CROSS JOIN vocab
+  LEFT JOIN cnt c ON c.lang = p.cand AND c.gram = g.gram
+  GROUP BY g.doc_id, p.cand, p.ln_prior, t.tot, vocab.v
+), ranked AS (
+  SELECT doc_id, cand, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(score, 6) DESC, cand ASC)
+           AS rk
+  FROM sc
+)
+SELECT b.doc_id, b.lang AS label, r.cand AS pred, r.score
+FROM ranked r JOIN base b ON r.doc_id = b.doc_id
+WHERE r.rk = 1 ORDER BY b.doc_id"""
+
+_ORACLE_HEAPS = """
+WITH w AS (
+  SELECT max(doc_id) // 16 + 1 AS width FROM documents
+), g AS (
+  SELECT doc_id // w.width AS bucket, doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents CROSS JOIN w
+), tok_per AS (
+  SELECT bucket, count(*) AS n_toks FROM g GROUP BY bucket
+), new_per AS (
+  SELECT f.first_doc // w.width AS bucket, count(*) AS n_new
+  FROM (SELECT term, min(doc_id) AS first_doc FROM g GROUP BY term) f
+  CROSS JOIN w GROUP BY 1
+), curve AS (
+  SELECT sum(t.n_toks) OVER (ORDER BY t.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         sum(coalesce(n.n_new, 0)) OVER (ORDER BY t.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_v
+  FROM tok_per t LEFT JOIN new_per n ON t.bucket = n.bucket
+), pts AS (
+  SELECT ln(CAST(cum_n AS DOUBLE)) AS x, ln(CAST(cum_v AS DOUBLE)) AS y
+  FROM curve WHERE cum_n > 0 AND cum_v > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       round(regr_slope(y, x), 6) AS beta,
+       round(exp(regr_intercept(y, x)), 6) AS k_coef
+FROM pts"""
+
+# grok: the compiled regex literal is pinned here AND asserted equal to
+# grok_compile's output inside the Spark entry, so both engines run the
+# same pattern by construction
+_GROK_LOG_PATTERN = ("%{WORD:etype} user %{NUMBER:uid} value "
+                     "%{NUMBER:val} ip %{IP:addr}")
+_GROK_LOG_REGEX = (r"^(\w+) user (-?\d+(?:\.\d+)?) value "
+                   r"(-?\d+(?:\.\d+)?) ip ((?:\d{1,3}\.){3}\d{1,3})$")
+
+_ORACLE_GROK = f"""
+WITH lines AS (
+  SELECT event_id,
+         event_type || ' user ' || CAST(user_id AS VARCHAR)
+         || ' value ' || printf('%.2f', value)
+         || ' ip 10.' || CAST(user_id % 256 AS VARCHAR) || '.0.1'
+           AS text
+  FROM events
+)
+SELECT event_id,
+       regexp_matches(text, '{_GROK_LOG_REGEX}') AS grok_matched,
+       CASE WHEN regexp_matches(text, '{_GROK_LOG_REGEX}') THEN
+         regexp_extract(text, '{_GROK_LOG_REGEX}', 1) END AS etype,
+       CASE WHEN regexp_matches(text, '{_GROK_LOG_REGEX}') THEN
+         regexp_extract(text, '{_GROK_LOG_REGEX}', 2) END AS uid,
+       CASE WHEN regexp_matches(text, '{_GROK_LOG_REGEX}') THEN
+         regexp_extract(text, '{_GROK_LOG_REGEX}', 3) END AS val,
+       CASE WHEN regexp_matches(text, '{_GROK_LOG_REGEX}') THEN
+         regexp_extract(text, '{_GROK_LOG_REGEX}', 4) END AS addr
+FROM lines ORDER BY event_id"""
+
+
 def _r04s20_engine_queries() -> dict[str, Callable[[SparkSession, str],
                                                    DataFrame]]:
     def highlight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8405,13 +8527,58 @@ def _r04s20_engine_queries() -> dict[str, Callable[[SparkSession, str],
         curve = [float((i * 37) % 11) for i in range(n)]
         return bucket_correlation(b, curve, value_col="n_events")
 
+    def dfr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.query import dfr_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        top = dfr_search(index, stats, "data table query", c=1.0, k=10,
+                         stem=False, camel=False)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    def langid_nb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.analytics import langid_nb
+
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return langid_nb(raw, max_chars=200, alpha=1.0)
+
+    def heaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.analytics import heaps_law
+
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return heaps_law(raw, n_buckets=16)
+
+    def grok_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.scrub import grok_compile, grok_parse
+
+        # pin: the compiled regex IS the oracle's literal
+        regex, fields = grok_compile(_GROK_LOG_PATTERN)
+        assert regex == _GROK_LOG_REGEX, (regex, _GROK_LOG_REGEX)
+        assert fields == ["etype", "uid", "val", "addr"]
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        lines = ev.select(
+            "event_id",
+            F.concat(F.col("event_type"), F.lit(" user "),
+                     F.col("user_id").cast("string"), F.lit(" value "),
+                     F.format_string("%.2f", F.col("value")),
+                     F.lit(" ip 10."),
+                     (F.col("user_id") % 256).cast("string"),
+                     F.lit(".0.1")).alias("text"))
+        return (grok_parse(lines, _GROK_LOG_PATTERN)
+                .select("event_id", "grok_matched", "etype", "uid",
+                        "val", "addr")
+                .orderBy("event_id"))
+
     return {"highlight_topk": highlight_q,
             "maxsim_topk": maxsim_q,
             "events_change_point": change_point_q,
             "c4_quality": c4_q,
             "significant_text": sig_text_q,
             "ip_prefix_facet": ip_prefix_q,
-            "bucket_correlation": bucket_corr_q}
+            "bucket_correlation": bucket_corr_q,
+            "dfr_topk": dfr_q,
+            "langid_nb": langid_nb_q,
+            "heaps_fit": heaps_q,
+            "grok_fields": grok_q}
 
 
 def _build_registry():
@@ -8999,6 +9166,11 @@ ORDER BY event_id""")
     add("ip_prefix_facet", eng20["ip_prefix_facet"], _ORACLE_IP_PREFIX)
     add("bucket_correlation", eng20["bucket_correlation"],
         _ORACLE_BUCKET_CORR)
+    add("dfr_topk", eng20["dfr_topk"],
+        _docs_sql("duck", _ORACLE_DFR, [q_cte]))
+    add("langid_nb", eng20["langid_nb"], _ORACLE_LANGID_NB)
+    add("heaps_fit", eng20["heaps_fit"], _ORACLE_HEAPS)
+    add("grok_fields", eng20["grok_fields"], _ORACLE_GROK)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -760,7 +760,8 @@ def main() -> None:
     # bucket_correlation pipeline agg
     for name in ["highlight_topk", "maxsim_topk", "events_change_point",
                  "c4_quality", "significant_text", "ip_prefix_facet",
-                 "bucket_correlation"]:
+                 "bucket_correlation", "dfr_topk", "langid_nb",
+                 "heaps_fit", "grok_fields"]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # 10c. concurrent-query throughput at 8 vs 32 cores, each in its

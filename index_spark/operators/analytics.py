@@ -1650,3 +1650,144 @@ def bucket_correlation(buckets: DataFrame, curve: list[float],
     return (ranked.join(curve_df, "_i")
             .agg(F.round(F.corr("_v", "_c"), round_at)
                  .alias("correlation")))
+
+
+def langid_nb(docs: DataFrame, label_col: str = "lang",
+              text_col: str = "text", id_col: str = "doc_id",
+              max_chars: int = 200, alpha: float = 1.0,
+              round_at: int = 6) -> DataFrame:
+    """Char-trigram Naive Bayes language identifier — the trainable
+    upgrade of the heuristic lang-id gate (the cld3/fastText-style
+    character-n-gram profile classifier, trained here on the corpus's
+    own labels and scoring every row; split train/apply by passing a
+    labeled slice as ``docs`` and joining predictions back).
+
+    Pinned model (restatable in any SQL dialect):
+
+    - features: all character trigrams (with multiplicity) of
+      ``substr(lower(text), 1, max_chars)``;
+    - ``p(g | l) = (c(g, l) + alpha) / (tot_l + alpha * V)`` with V =
+      corpus-wide distinct trigram count (add-alpha smoothing —
+      unseen grams hit the same denominator);
+    - ``score(d, l) = ln(n_l / n) + sum over d's gram occurrences of
+      ln p(g | l)``, rounded at ``round_at`` BEFORE the argmax;
+    - prediction = max score, ties to the lexicographically smallest
+      label.
+
+    Returns (doc_id, label, pred, score). Scale shape: the model is a
+    (labels x vocab)-bounded relation built by one map-side-combinable
+    aggregate; scoring fans each gram occurrence out by |labels| (a
+    broadcast-joinable dimension), sums per (doc, label), and ranks
+    with a window partitioned by doc_id whose partitions hold exactly
+    |labels| rows — never a corpus-wide window.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    s = F.substring(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    1, int(max_chars))
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       F.col(label_col).alias("label"),
+                       s.alias("_s"))
+    g = (base
+         .select("doc_id", "label",
+                 F.explode_outer(F.when(
+                     F.length("_s") >= 3,
+                     F.expr("transform(sequence(1, length(_s) - 2), "
+                            "i -> substr(_s, i, 3))"))).alias("gram"))
+         .filter(F.col("gram").isNotNull()))
+
+    cnt = g.groupBy("label", "gram").agg(F.count("*").alias("c"))
+    tot = g.groupBy("label").agg(F.count("*").alias("tot"))
+    v = g.select("gram").distinct().count()
+    n_by = {r["label"]: r["n"] for r in
+            base.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    n_all = float(sum(n_by.values()))
+    if not n_by:
+        raise ValueError("empty corpus")
+    labels = docs.sparkSession.createDataFrame(
+        [(lb, float(np.log(n / n_all))) for lb, n in sorted(n_by.items())],
+        "cand string, ln_prior double")
+
+    av = float(alpha) * float(v)
+    scored = (g.crossJoin(F.broadcast(labels))
+              .join(F.broadcast(tot.withColumnRenamed("label", "cand")),
+                    "cand")
+              .join(F.broadcast(cnt
+                                .withColumnRenamed("label", "cand")),
+                    ["cand", "gram"], "left")
+              .groupBy("doc_id", "cand", "ln_prior")
+              .agg(F.sum(F.log((F.coalesce(F.col("c"), F.lit(0))
+                                + F.lit(float(alpha)))
+                               / (F.col("tot") + F.lit(av))))
+                   .alias("_ll"))
+              .select("doc_id", "cand",
+                      F.round(F.col("ln_prior") + F.col("_ll"),
+                              round_at).alias("score")))
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("score"),
+                                              F.asc("cand"))
+    pred = (scored.withColumn("_rk", F.row_number().over(wd))
+            .filter(F.col("_rk") == 1)
+            .select("doc_id", F.col("cand").alias("pred"), "score"))
+    return (base.select("doc_id", "label").join(pred, "doc_id")
+            .select("doc_id", "label", "pred", "score")
+            .orderBy("doc_id"))
+
+
+def heaps_law(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", n_buckets: int = 32,
+              round_at: int = 6) -> DataFrame:
+    """Heaps'-law fit of the corpus's vocabulary growth — V(N) ≈ K·N^β
+    (Heaps 1978), the profiling statistic that sizes a term dictionary
+    / predicts how the index's distinct-term count scales to 100 TB
+    before you build it.
+
+    Pinned construction: docs partition into ``n_buckets`` contiguous
+    doc-id ranges of width ``floor(max_id / n_buckets) + 1``; per
+    bucket, token count and NEW-term count (terms whose global
+    first-seen doc falls in the bucket — one ``min(doc_id)`` aggregate
+    per term, the cumulative-cardinality decomposition, no prefix
+    rescans); running sums over the bounded bucket axis give the
+    (N_i, V_i) growth curve; β and ln K come from ordinary least
+    squares of ln V on ln N (``regr_slope`` / ``regr_intercept`` — both
+    engines compute the same covariance ratio).
+
+    Returns one row: (n_points, beta, k_coef). Scale shape: two
+    map-side-combinable aggregates over the token stream, a window
+    over ≤ ``n_buckets`` rows, and a 1-row regression aggregate —
+    corpus-size-independent memory everywhere.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col),
+                                               F.lit(""))),
+                            "[^a-z0-9]+"), lambda x: x != "")
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       toks.alias("_t"))
+    max_id = base.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    if max_id is None:
+        raise ValueError("empty corpus")
+    width = int(max_id) // int(n_buckets) + 1
+    g = (base.select((F.col("doc_id") / width).cast("long")
+                     .alias("bucket"), "doc_id",
+                     F.explode_outer("_t").alias("term"))
+         .filter(F.col("term").isNotNull()))
+    tok_per = g.groupBy("bucket").agg(F.count("*").alias("n_toks"))
+    new_per = (g.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+               .select((F.col("first_doc") / width).cast("long")
+                       .alias("bucket"))
+               .groupBy("bucket").agg(F.count("*").alias("n_new")))
+    w = (Window.orderBy(F.asc("bucket"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    curve = (tok_per.join(new_per, "bucket", "left")
+             .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+             .select("bucket",
+                     F.sum("n_toks").over(w).alias("cum_n"),
+                     F.sum("n_new").over(w).alias("cum_v"))
+             .filter((F.col("cum_n") > 0) & (F.col("cum_v") > 0))
+             .select(F.log(F.col("cum_n").cast("double")).alias("x"),
+                     F.log(F.col("cum_v").cast("double")).alias("y")))
+    return (curve.agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.round(F.expr("regr_slope(y, x)"), round_at).alias("beta"),
+        F.round(F.exp(F.expr("regr_intercept(y, x)")),
+                round_at).alias("k_coef")))

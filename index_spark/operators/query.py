@@ -5047,3 +5047,82 @@ def highlight(topk: DataFrame, corpus_with_ids: DataFrame, query: str,
     return (kept.withColumn("frag_no", F.row_number().over(wo))
             .select("doc_id", "score", "frag_no", "hits", "fragment")
             .orderBy(F.asc("doc_id"), F.asc("frag_no")))
+
+
+def dfr_search(index: DataFrame, stats: dict, query: str,
+               c: float = 1.0, k: int = 10, stem: bool = True,
+               camel: bool = True, zone: str | None = None,
+               tombstones: DataFrame | None = None) -> DataFrame:
+    """Top-k ranking under the Divergence-From-Randomness framework
+    (Amati & van Rijsbergen, TOIS 2002) in Lucene's classic
+    ``DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH2)``
+    configuration ("IneL2" family with the I(n) basic model) — the
+    fourth similarity module next to BM25, Classic, and the LM pair.
+
+    Scoring contract (pinned so the oracle restates it exactly):
+
+        tfn      = tf * log2(1 + c * avgdl / dl)          (H2)
+        score(d) = sum_t  tfn / (tfn + 1)                  (L)
+                          * log2((N + 1) / (df_t + 0.5))   (I(n))
+
+    summed over the doc's matched query terms (matched-terms-only, the
+    Lucene convention). df_t is the GLOBAL df summed from the term's
+    segment metadata rows — a bounded aggregate, no blob decode — and
+    N/avgdl come from ``stats``. Plan shape is
+    :func:`lm_dirichlet_search`'s: term filter pushed to the scan,
+    shard-local decode of matched rows only (dl rides in ``dl_blob``),
+    pinned ascending-term summation, k-row TakeOrderedAndProject.
+    """
+    spark = index.sparkSession
+    if c <= 0:
+        raise ValueError(f"c must be positive, got {c}")
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    if not qterms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    n_docs = float(stats.get("n_docs") or 0)
+    avgdl = float(stats.get("avgdl") or 0)
+    if n_docs <= 0 or avgdl <= 0:
+        raise ValueError("stats['n_docs'] and stats['avgdl'] must be "
+                         "positive (zoned index: pass the pinned "
+                         "zone's stats)")
+    index = pin_zone(index, zone)
+    if "shard" not in index.columns:
+        index = index.withColumn("shard", F.lit(0))
+    matched = index.filter(F.col("term").isin(qterms))
+    ln2 = float(np.log(2.0))
+    w = {r["term"]: np.log((n_docs + 1.0) / (float(r["df"]) + 0.5)) / ln2
+         for r in matched.select("term", "df").groupBy("term")
+                         .agg(F.sum("df").alias("df")).collect()}
+    if not w:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    hits = matched.filter(F.col("term").isin(sorted(w))) \
+                  .select("shard", "term", "doc_blob", "tf_blob", "dl_blob")
+    c_avgdl = float(c) * avgdl
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        per_term: dict[str, list[tuple]] = {}
+        for row in pdf.itertuples(index=False):
+            docs = np.cumsum(vb.decode(row.doc_blob).astype(np.int64))
+            tfs = vb.decode(row.tf_blob).astype(np.float64)
+            dls = vb.decode(row.dl_blob).astype(np.float64)
+            per_term.setdefault(row.term, []).append((docs, tfs, dls))
+        all_docs, parts = [], []
+        for t in sorted(per_term):  # pinned summation order
+            wt = w[t]
+            for docs, tfs, dls in per_term[t]:
+                all_docs.append(docs)
+                tfn = tfs * (np.log1p(c_avgdl / dls) / ln2)
+                parts.append(tfn / (tfn + 1.0) * wt)
+        docs = np.concatenate(all_docs)
+        part = np.concatenate(parts)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        score = np.zeros(uniq.size, np.float64)
+        np.add.at(score, inv, part)
+        return pd.DataFrame({"doc_id": uniq, "score": score})
+
+    scored = hits.groupBy("shard").applyInPandas(fn, schema=TOPK_SCHEMA)
+    if tombstones is not None:
+        scored = scored.join(
+            tombstones.select(F.col("doc_id").cast("long").alias("doc_id")),
+            "doc_id", "left_anti")
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -391,3 +391,24 @@ def sessionize_window_stream(events: DataFrame, gap_s: int = SESSION_GAP_S,
             .select("user_id",
                     F.col("sw.start").alias("session_start"),
                     F.col("sw.end").alias("session_end"), "n_events"))
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame,
+                  keys: list[str] | str = "user_id",
+                  how: str = "left") -> DataFrame:
+    """Stream-static enrichment join — the ES ingest ``enrich``
+    processor / dimension-lookup stage of a streaming pipeline: each
+    micro-batch's events equi-join a STATIC dimension relation (user
+    profile, repo metadata, geo table).
+
+    Spark's stream-static join needs no watermark and keeps no state —
+    the static side is (re)planned per micro-batch, so a small
+    dimension broadcasts and the stream stays one map-side pass; the
+    SAME call on two batch frames produces the identical plan (Kappa
+    parity, pinned by test). ``how`` is ``left`` (keep unmatched
+    events, NULL attributes — the enrich-processor default) or
+    ``inner``."""
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return events.join(F.broadcast(dim), keys, how)
