@@ -8581,6 +8581,250 @@ def _r04s20_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "grok_fields": grok_q}
 
 
+# ---------------------------------------------------------------------------
+# session 21: DFI / IB / Axiomatic similarities, BBQ asymmetric ANN,
+# RBP, Zipf fit, context-filtered completion
+# ---------------------------------------------------------------------------
+
+# DFI (Lucene DFISimilarity, standardized measure): expected tf under
+# independence e = ((cf+1)/(T+1))*dl; contribution log2(m+1) gated to
+# zero at tf <= e
+_ORACLE_DFI = """
+, cft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term)
+, ctot AS (SELECT CAST(sum(dlen) AS DOUBLE) AS t FROM dl)
+, scr AS (
+  SELECT tf.doc_id,
+         sum(CASE WHEN tf.tf > ((cft.cf + 1.0) / (ctot.t + 1.0)) * dl.dlen
+              THEN ln( (tf.tf - ((cft.cf + 1.0) / (ctot.t + 1.0)) * dl.dlen)
+                       / sqrt(((cft.cf + 1.0) / (ctot.t + 1.0)) * dl.dlen)
+                       + 1.0) / ln(2.0)
+              ELSE 0.0 END) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN cft ON tf.term = cft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN ctot
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scr
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+# IB (Lucene IBSimilarity, DistributionLL + LambdaDF + H2 c=1):
+# ln((tfn + lambda) / lambda) with tfn = tf*log2(1 + avgdl/dl)
+_ORACLE_IB = """
+, scr AS (
+  SELECT tf.doc_id,
+         sum( ln( (tf.tf * (ln(1.0 + stats.avgdl / dl.dlen) / ln(2.0))
+                   + (dft.df + 1.0) / (stats.n + 1.0))
+                  / ((dft.df + 1.0) / (stats.n + 1.0)) ) ) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scr
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+# Axiomatic F2EXP (Lucene AxiomaticF2EXP, s=0.5, k=0.35)
+_ORACLE_AXIOMATIC = """
+, scr AS (
+  SELECT tf.doc_id,
+         sum( pow((stats.n + 1.0) / dft.df, 0.35)
+              * tf.tf / (tf.tf + 0.5 + 0.5 * dl.dlen / stats.avgdl) )
+           AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scr
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+# RBP@10 p=0.8 of the BM25 query-set run against containment qrels
+# (the err_eval construction with the RBP user model)
+_ORACLE_RBP_EVAL = """
+, qscores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+), res AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM qscores QUALIFY rank <= 10
+), qrels AS (
+  SELECT q.query_id, tok.doc_id,
+         CAST(count(DISTINCT tok.term) AS DOUBLE) AS rel
+  FROM tok JOIN q ON tok.term = q.term
+  GROUP BY q.query_id, tok.doc_id
+), j AS (
+  SELECT res.query_id, res.rank, coalesce(qr.rel, 0.0) AS rel
+  FROM res LEFT JOIN qrels qr
+    ON res.query_id = qr.query_id AND res.doc_id = qr.doc_id
+)
+SELECT query_id,
+       round((1.0 - 0.8) * sum(CASE WHEN rel > 0 THEN pow(0.8, rank - 1)
+                                ELSE 0.0 END), 6) AS rbp,
+       round(pow(0.8, 10), 6) AS residual
+FROM j GROUP BY query_id ORDER BY query_id"""
+
+# Zipf fit over the top-64 terms: rank by (cf desc, term asc), OLS of
+# ln cf on ln rank
+_ORACLE_ZIPF = """
+, cfr AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY term
+  ORDER BY cf DESC, term ASC LIMIT 64
+), rk AS (
+  SELECT row_number() OVER (ORDER BY cf DESC, term ASC) AS rank, cf
+  FROM cfr
+), curve AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cf AS DOUBLE)) AS y
+  FROM rk
+)
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       round(-regr_slope(y, x), 6) AS s_exp,
+       round(exp(regr_intercept(y, x)), 6) AS c_coef
+FROM curve"""
+
+# context-filtered completion: per-(lang, term) df catalog, score =
+# max over matched contexts of df * boost (the ES most-significant-
+# context rule), prefix 's', contexts en/de/fr
+_ORACLE_CTX_SUGGEST = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), cat AS (
+  SELECT lang, term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY lang, term
+)
+SELECT term,
+       round(max(df * CASE lang WHEN 'de' THEN 2.5 WHEN 'en' THEN 1.0
+                                WHEN 'fr' THEN 0.5 END), 4) AS score
+FROM cat
+WHERE term LIKE 's%' AND lang IN ('de', 'en', 'fr')
+GROUP BY term
+ORDER BY score DESC, term ASC LIMIT 15"""
+
+# BBQ asymmetric 1-bit ANN: est = round((l1/d)*sum(sign(x_i)*q_i)
+# / (norm*qnorm), 6) ranks the oversampled candidates (cut 5*k=50),
+# exact cosine rescores; query vector = vec_id 0
+_ORACLE_BBQ = """
+WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+qn AS (SELECT sqrt(list_sum(list_transform(q, x -> x * x))) AS qnorm FROM qv),
+c AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(e.embedding::DOUBLE[], x -> abs(x))) AS l1,
+         sqrt(list_sum(list_transform(e.embedding::DOUBLE[],
+                                      x -> x * x))) AS norm,
+         list_sum(list_transform(list_zip(e.embedding::DOUBLE[], qv.q),
+                                 p -> CASE WHEN p[1] >= 0 THEN p[2]
+                                      ELSE -p[2] END)) AS sdot
+  FROM embeddings e CROSS JOIN qv
+), est AS (
+  SELECT c.vec_id,
+         round((c.l1 / 64.0) * c.sdot / (c.norm * qn.qnorm), 6) AS est
+  FROM c CROSS JOIN qn
+), cand AS (
+  SELECT vec_id, est FROM est ORDER BY est DESC, vec_id ASC LIMIT 50
+)
+SELECT cand.vec_id, cand.est,
+       round(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], qv.q),
+                                     p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[],
+                                             x -> x * x)))
+                * qn.qnorm), 4) AS cos
+FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+CROSS JOIN qv CROSS JOIN qn
+ORDER BY cos DESC, cand.vec_id ASC LIMIT 10"""
+
+
+def _r04s21_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                   DataFrame]]:
+    def dfi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.query import dfi_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        top = dfi_search(index, stats, "data table query", k=10,
+                         stem=False, camel=False)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    def ib_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.query import ib_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        top = ib_search(index, stats, "data table query",
+                        distribution="ll", lam="df", c=1.0, k=10,
+                        stem=False, camel=False)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    def axiomatic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.query import axiomatic_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        top = axiomatic_search(index, stats, "data table query",
+                               variant="f2exp", k=10, stem=False,
+                               camel=False)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    def bbq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.similarity import bbq_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = [float(x) for x in
+                emb.filter("vec_id = 0").first()["embedding"]]
+        return bbq_topk(emb, qvec, k=10, oversample=5)
+
+    def rbp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.evaluate import rbp_metric
+        from index_spark.operators.query import search_many
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        queries = {qid: " ".join(terms) for qid, terms in QUERYSET}
+        res = search_many(index, stats, queries, k=10,
+                          stem=False, camel=False)
+        _register(spark, sf_dir, ["documents"])
+        qrels = spark.sql(
+            _with(_SPARK_TOK_CTE, _queryset_values_sql())
+            + """ SELECT q.query_id, tok.doc_id,
+                     CAST(count(DISTINCT tok.term) AS DOUBLE) AS rel
+                  FROM tok JOIN q ON tok.term = q.term
+                  GROUP BY q.query_id, tok.doc_id""")
+        return rbp_metric(res, qrels, k=10, p=0.8)
+
+    def zipf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.analytics import zipf_law
+
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return zipf_law(raw, top_n=64)
+
+    def ctx_suggest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.query import (completion_catalog,
+                                                 context_suggest)
+
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cat = completion_catalog(raw, "lang")
+        return context_suggest(cat, "s",
+                               {"en": 1.0, "de": 2.5, "fr": 0.5},
+                               size=15)
+
+    return {"dfi_topk": dfi_q, "ib_topk": ib_q,
+            "axiomatic_topk": axiomatic_q, "bbq_topk": bbq_q,
+            "rbp_eval": rbp_q, "zipf_fit": zipf_q,
+            "context_suggest": ctx_suggest_q}
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -9171,6 +9415,21 @@ ORDER BY event_id""")
     add("langid_nb", eng20["langid_nb"], _ORACLE_LANGID_NB)
     add("heaps_fit", eng20["heaps_fit"], _ORACLE_HEAPS)
     add("grok_fields", eng20["grok_fields"], _ORACLE_GROK)
+
+    eng21 = _r04s21_engine_queries()
+    add("dfi_topk", eng21["dfi_topk"],
+        _docs_sql("duck", _ORACLE_DFI, [q_cte]))
+    add("ib_topk", eng21["ib_topk"],
+        _docs_sql("duck", _ORACLE_IB, [q_cte]))
+    add("axiomatic_topk", eng21["axiomatic_topk"],
+        _docs_sql("duck", _ORACLE_AXIOMATIC, [q_cte]))
+    add("bbq_topk", eng21["bbq_topk"], _ORACLE_BBQ)
+    add("rbp_eval", eng21["rbp_eval"],
+        _docs_sql("duck", _ORACLE_RBP_EVAL, [_queryset_values_sql()]))
+    add("zipf_fit", eng21["zipf_fit"],
+        _docs_sql("duck", _ORACLE_ZIPF, []))
+    add("context_suggest", eng21["context_suggest"],
+        _ORACLE_CTX_SUGGEST)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -764,6 +764,13 @@ def main() -> None:
                  "heaps_fit", "grok_fields"]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
+    # 10i. session-21 surfaces (non-headline): the DFI / IB / Axiomatic
+    # similarity modules, BBQ asymmetric 1-bit ANN, RBP evaluation,
+    # Zipf rank-frequency fit, context-filtered completion
+    for name in ["dfi_topk", "ib_topk", "axiomatic_topk", "bbq_topk",
+                 "rbp_eval", "zipf_fit", "context_suggest"]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
     # 10c. concurrent-query throughput at 8 vs 32 cores, each in its
     # own process/JVM (a Spark master is fixed at startup). The
     # serving-relevant scaling number — single-query p95 at local[32]

@@ -1791,3 +1791,49 @@ def heaps_law(docs: DataFrame, text_col: str = "text",
         F.round(F.expr("regr_slope(y, x)"), round_at).alias("beta"),
         F.round(F.exp(F.expr("regr_intercept(y, x)")),
                 round_at).alias("k_coef")))
+
+
+def zipf_law(docs: DataFrame, text_col: str = "text",
+             top_n: int = 256, skip: int = 0,
+             round_at: int = 6) -> DataFrame:
+    """Zipf's-law fit of the corpus term-frequency distribution —
+    f(r) ~ C * r^(-s) (Zipf 1949) — :func:`heaps_law`'s companion
+    profiling statistic: the rank-frequency exponent predicts posting-
+    list skew (how hot the hot terms are), which sizes the hot-term
+    salting / segmented-merge strategy before a 100-TB build.
+
+    Pinned construction: global cf per term (one map-side-combinable
+    aggregate over the token stream); terms rank by (cf desc, term asc)
+    — the term tiebreak makes the rank assignment engine-independent —
+    the top ``top_n`` ranks after dropping the first ``skip`` (the
+    classic fit excludes the flattened head when function words
+    dominate); s and ln C come from OLS of ln cf on ln rank
+    (``regr_slope`` / ``regr_intercept``). Returns one row:
+    (n_points, s_exp, c_coef) with s_exp = -slope (positive for a
+    Zipfian corpus).
+
+    Scale shape: one aggregate + one ``top_n``-row ordered cut + a
+    1-row regression — the window never sees more than ``top_n + skip``
+    rows because the cut happens first via LIMIT."""
+    if top_n < 2:
+        raise ValueError("top_n must be >= 2")
+    if skip < 0:
+        raise ValueError("skip must be >= 0")
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col),
+                                               F.lit(""))),
+                            "[^a-z0-9]+"), lambda x: x != "")
+    cf = (docs.select(F.explode_outer(toks).alias("term"))
+          .filter(F.col("term").isNotNull())
+          .groupBy("term").agg(F.count("*").alias("cf"))
+          .orderBy(F.desc("cf"), F.asc("term"))
+          .limit(skip + top_n))
+    w = Window.orderBy(F.desc("cf"), F.asc("term"))
+    curve = (cf.select(F.row_number().over(w).alias("rank"), "cf")
+             .filter(F.col("rank") > skip)
+             .select(F.log(F.col("rank").cast("double")).alias("x"),
+                     F.log(F.col("cf").cast("double")).alias("y")))
+    return (curve.agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.round(-F.expr("regr_slope(y, x)"), round_at).alias("s_exp"),
+        F.round(F.exp(F.expr("regr_intercept(y, x)")),
+                round_at).alias("c_coef")))

@@ -219,3 +219,38 @@ def err_metric(results: DataFrame, qrels: DataFrame, k: int = 10,
                     F.round(F.coalesce("_err", F.lit(0.0)), 6)
                     .alias("err"))
             .orderBy("query_id"))
+
+
+def rbp_metric(results: DataFrame, qrels: DataFrame, k: int = 10,
+               p: float = 0.8) -> DataFrame:
+    """Rank-Biased Precision at depth k (Moffat & Zobel, TOIS 2008) —
+    the user-model metric completing :func:`ranking_metrics` (RR/nDCG),
+    :func:`precision_recall_metrics` (P/R/AP) and :func:`err_metric`:
+    a user inspects rank i+1 with persistence ``p``, so
+
+        rbp      = (1 - p) * sum_{i<=k} [rel_i > 0] * p^(i-1)
+        residual = p^k        (the mass an evaluation truncated at k
+                               cannot observe — RBP's upper-bound gap)
+
+    Binary relevance (rel > 0), unjudged = non-relevant, 6-decimal
+    rounds, one row per query ordered by query_id. A query whose
+    retrieved set has no judged-relevant doc scores rbp=0 rather than
+    dropping. One join + one bounded aggregate over the <= k retrieved
+    rows per query — never the corpus."""
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"persistence p must be in (0, 1), got {p}")
+    res = results.select("query_id", "doc_id",
+                         F.col("rank").cast("long").alias("rank")) \
+        .filter(F.col("rank") <= k)
+    qr = qrels.select("query_id", "doc_id",
+                      (F.col("rel").cast("double") > 0).alias("_isrel"))
+    j = (res.join(qr, ["query_id", "doc_id"], "left")
+         .withColumn("_isrel", F.coalesce(F.col("_isrel"),
+                                          F.lit(False))))
+    gain = F.when(F.col("_isrel"),
+                  F.pow(F.lit(float(p)), F.col("rank") - 1)) \
+            .otherwise(F.lit(0.0))
+    return (j.groupBy("query_id")
+            .agg(F.round((1.0 - p) * F.sum(gain), 6).alias("rbp"),
+                 F.round(F.lit(float(p) ** k), 6).alias("residual"))
+            .orderBy("query_id"))

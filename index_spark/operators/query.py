@@ -5126,3 +5126,280 @@ def dfr_search(index: DataFrame, stats: dict, query: str,
             tombstones.select(F.col("doc_id").cast("long").alias("doc_id")),
             "doc_id", "left_anti")
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _termwise_topk(index: DataFrame, stats: dict, query: str,
+                   make_weights, part_fn, k: int, stem: bool,
+                   camel: bool, zone: str | None,
+                   tombstones: DataFrame | None) -> DataFrame:
+    """Shared matched-terms-only scoring kernel for the per-term
+    similarity modules (DFI / IB / Axiomatic — same plan shape as
+    :func:`dfr_search`): term filter pushed to the scan, one bounded
+    per-term metadata aggregate (df/cf rows, never blobs) feeding
+    ``make_weights(rows) -> {term: weight_tuple}``, then shard-local
+    decode of matched rows only with ``part_fn(weights[t], tfs, dls)``
+    returning each posting's score contribution; pinned ascending-term
+    summation, k-row TakeOrderedAndProject. Exactly one exchange of
+    (doc_id, score) rows; doc lengths ride in ``dl_blob``."""
+    spark = index.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    if not qterms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    index = pin_zone(index, zone)
+    if "shard" not in index.columns:
+        index = index.withColumn("shard", F.lit(0))
+    matched = index.filter(F.col("term").isin(qterms))
+    meta = matched.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")).collect()
+    w = make_weights(meta)
+    if not w:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    hits = matched.filter(F.col("term").isin(sorted(w))) \
+                  .select("shard", "term", "doc_blob", "tf_blob", "dl_blob")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        per_term: dict[str, list[tuple]] = {}
+        for row in pdf.itertuples(index=False):
+            docs = np.cumsum(vb.decode(row.doc_blob).astype(np.int64))
+            tfs = vb.decode(row.tf_blob).astype(np.float64)
+            dls = vb.decode(row.dl_blob).astype(np.float64)
+            per_term.setdefault(row.term, []).append((docs, tfs, dls))
+        all_docs, parts = [], []
+        for t in sorted(per_term):  # pinned summation order
+            for docs, tfs, dls in per_term[t]:
+                all_docs.append(docs)
+                parts.append(part_fn(w[t], tfs, dls))
+        docs = np.concatenate(all_docs)
+        part = np.concatenate(parts)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        score = np.zeros(uniq.size, np.float64)
+        np.add.at(score, inv, part)
+        return pd.DataFrame({"doc_id": uniq, "score": score})
+
+    scored = hits.groupBy("shard").applyInPandas(fn, schema=TOPK_SCHEMA)
+    if tombstones is not None:
+        scored = scored.join(
+            tombstones.select(F.col("doc_id").cast("long").alias("doc_id")),
+            "doc_id", "left_anti")
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def dfi_search(index: DataFrame, stats: dict, query: str,
+               measure: str = "standardized", k: int = 10,
+               stem: bool = True, camel: bool = True,
+               zone: str | None = None,
+               tombstones: DataFrame | None = None) -> DataFrame:
+    """Top-k under Divergence From Independence (Kocabas, Dincer &
+    Karaoglan, Inf. Retrieval 2014; Lucene ``DFISimilarity``) — the
+    fifth similarity module next to BM25/Classic/LM/DFR. Non-parametric:
+    no tunables, just how far the observed tf diverges from the tf
+    expected under term/document independence.
+
+    Scoring contract (pinned so the oracle restates it exactly):
+
+        expected(t, d) = (cf_t + 1) * dl_d / (T + 1)
+        contribution   = 0                        if tf <= expected
+                       = log2(measure + 1)        otherwise
+        standardized: (tf - e) / sqrt(e)     [Lucene default]
+        saturated:    (tf - e) / e
+        chisquared:   (tf - e)^2 / e
+
+    T = total tokens in the collection (``stats['total_tokens']``),
+    cf_t the GLOBAL collection frequency summed from segment metadata
+    rows. Matched-terms-only, the Lucene convention; docs at or below
+    the independence expectation contribute exactly zero (Lucene's
+    "divergence from independence is non-negative" gate). Plan shape:
+    :func:`dfr_search` (one exchange, blob decode only for matched
+    rows)."""
+    if measure not in ("standardized", "saturated", "chisquared"):
+        raise ValueError(f"unknown independence measure: {measure!r}")
+    t_total = float(stats.get("total_tokens") or 0)
+    if t_total <= 0:
+        raise ValueError("stats['total_tokens'] must be positive "
+                         "(zoned index: pass the pinned zone's stats)")
+    ln2 = float(np.log(2.0))
+
+    def make_weights(meta):
+        # weight = (cf + 1) / (T + 1): the per-token expectation rate
+        return {r["term"]: (float(r["cf"]) + 1.0) / (t_total + 1.0)
+                for r in meta}
+
+    def part(rate, tfs, dls):
+        e = rate * dls
+        if measure == "standardized":
+            m = (tfs - e) / np.sqrt(e)
+        elif measure == "saturated":
+            m = (tfs - e) / e
+        else:
+            m = (tfs - e) ** 2 / e
+        return np.where(tfs > e, np.log1p(np.maximum(m, 0.0)) / ln2, 0.0)
+
+    return _termwise_topk(index, stats, query, make_weights, part, k,
+                          stem, camel, zone, tombstones)
+
+
+def ib_search(index: DataFrame, stats: dict, query: str,
+              distribution: str = "ll", lam: str = "df", c: float = 1.0,
+              k: int = 10, stem: bool = True, camel: bool = True,
+              zone: str | None = None,
+              tombstones: DataFrame | None = None) -> DataFrame:
+    """Top-k under the Information-Based framework (Clinchant &
+    Gaussier, SIGIR 2010; Lucene ``IBSimilarity``) — the sixth
+    similarity module. Information gain of observing tfn occurrences
+    under a power-law (LL) or smoothed power-law (SPL) frequency
+    distribution with a per-term burstiness parameter lambda.
+
+    Scoring contract (pinned so the oracle restates it exactly):
+
+        tfn       = tf * log2(1 + c * avgdl / dl)          (H2)
+        lambda_t  = (df_t + 1) / (N + 1)      [lam='df']
+                  = (cf_t + 1) / (N + 1)      [lam='ttf']
+        LL:  contribution = ln((tfn + lambda) / lambda)
+        SPL: contribution = -ln((lambda^(tfn/(tfn+1)) - lambda)
+                                / (1 - lambda))
+
+    df_t/cf_t are GLOBAL sums from segment metadata; N/avgdl from
+    ``stats``. Matched-terms-only; plan shape :func:`dfr_search`.
+    LL is well-defined for any lambda > 0 (a corpus-wide term has
+    df = N, lambda = 1, contribution ln(tfn + 1)); SPL's
+    (lambda^x - lambda)/(1 - lambda) degenerates at lambda >= 1, so
+    SPL callers get a loud error there rather than NaN scores."""
+    if distribution not in ("ll", "spl"):
+        raise ValueError(f"unknown distribution: {distribution!r}")
+    if lam not in ("df", "ttf"):
+        raise ValueError(f"unknown lambda: {lam!r}")
+    if c <= 0:
+        raise ValueError(f"c must be positive, got {c}")
+    n_docs = float(stats.get("n_docs") or 0)
+    avgdl = float(stats.get("avgdl") or 0)
+    if n_docs <= 0 or avgdl <= 0:
+        raise ValueError("stats['n_docs'] and stats['avgdl'] must be "
+                         "positive (zoned index: pass the pinned "
+                         "zone's stats)")
+    ln2 = float(np.log(2.0))
+    c_avgdl = float(c) * avgdl
+
+    def make_weights(meta):
+        out = {}
+        for r in meta:
+            base = float(r["df"]) if lam == "df" else float(r["cf"])
+            lv = (base + 1.0) / (n_docs + 1.0)
+            if lv >= 1.0 and distribution == "spl":
+                raise ValueError(
+                    f"lambda >= 1 for term {r['term']!r} "
+                    f"(lam={lam!r}): SPL degenerates")
+            out[r["term"]] = lv
+        return out
+
+    def part(lv, tfs, dls):
+        tfn = tfs * (np.log1p(c_avgdl / dls) / ln2)
+        if distribution == "ll":
+            return np.log((tfn + lv) / lv)
+        return -np.log((np.power(lv, tfn / (tfn + 1.0)) - lv) / (1.0 - lv))
+
+    return _termwise_topk(index, stats, query, make_weights, part, k,
+                          stem, camel, zone, tombstones)
+
+
+def axiomatic_search(index: DataFrame, stats: dict, query: str,
+                     variant: str = "f2exp", s: float = 0.5,
+                     kexp: float = 0.35, k: int = 10, stem: bool = True,
+                     camel: bool = True, zone: str | None = None,
+                     tombstones: DataFrame | None = None) -> DataFrame:
+    """Top-k under the axiomatic retrieval framework (Fang & Zhai,
+    SIGIR 2005; Lucene ``AxiomaticF2EXP`` / ``AxiomaticF2LOG``) — the
+    seventh similarity module: scoring functions DERIVED from retrieval
+    constraints (TFC/TDC/LNC) rather than a probabilistic model.
+
+    Scoring contract (pinned so the oracle restates it exactly):
+
+        tfln = tf / (tf + s + s * dl / avgdl)
+        F2EXP: contribution = ((N + 1) / df_t)^kexp       * tfln
+        F2LOG: contribution = ln((N + 1) / df_t)          * tfln
+
+    with Lucene's defaults s=0.5, kexp=0.35. df_t is the GLOBAL df
+    summed from segment metadata; N/avgdl from ``stats``.
+    Matched-terms-only; plan shape :func:`dfr_search`."""
+    if variant not in ("f2exp", "f2log"):
+        raise ValueError(f"unknown axiomatic variant: {variant!r}")
+    if s <= 0:
+        raise ValueError(f"s must be positive, got {s}")
+    n_docs = float(stats.get("n_docs") or 0)
+    avgdl = float(stats.get("avgdl") or 0)
+    if n_docs <= 0 or avgdl <= 0:
+        raise ValueError("stats['n_docs'] and stats['avgdl'] must be "
+                         "positive (zoned index: pass the pinned "
+                         "zone's stats)")
+
+    def make_weights(meta):
+        out = {}
+        for r in meta:
+            ratio = (n_docs + 1.0) / float(r["df"])
+            out[r["term"]] = (ratio ** float(kexp) if variant == "f2exp"
+                              else float(np.log(ratio)))
+        return out
+
+    def part(idf, tfs, dls):
+        return idf * tfs / (tfs + s + s * dls / avgdl)
+
+    return _termwise_topk(index, stats, query, make_weights, part, k,
+                          stem, camel, zone, tombstones)
+
+
+def completion_catalog(docs: DataFrame, context_col: str,
+                       text_col: str = "text") -> DataFrame:
+    """Build the context-aware completion catalog (the ES completion-
+    suggester's at-rest form with CATEGORY CONTEXTS): one row per
+    (context, term) with the term's df within that context as its
+    suggestion weight. Surface forms — no stemming — because
+    completions echo back what users typed.
+
+    One map-side-combinable aggregate over the token stream; at 100 TB
+    the result is |contexts| x |vocab| rows (millions), a broadcast-
+    sized dimension the suggest path scans instead of the corpus."""
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col),
+                                               F.lit(""))),
+                            "[^a-z0-9]+"), lambda x: x != "")
+    return (docs.select(F.col(context_col).alias("context"),
+                        F.col("doc_id"),
+                        F.explode_outer(toks).alias("term"))
+            .filter(F.col("term").isNotNull())
+            .groupBy("context", "term")
+            .agg(F.countDistinct("doc_id").alias("df")))
+
+
+def context_suggest(catalog: DataFrame, prefix: str,
+                    contexts: dict[str, float], size: int = 10
+                    ) -> DataFrame:
+    """Context-filtered completion (the ES completion suggester's
+    category-contexts query): candidates are catalog terms starting
+    with ``prefix`` whose context is in the query's context set;
+    each candidate scores
+
+        score = max over matched contexts of (df * boost)
+
+    — the ES rule that when a suggestion matches several query contexts
+    the most significant (highest-boosting) one wins, not their sum.
+    Returns (term, score) top-``size`` by (score desc, term asc),
+    4-decimal rounds.
+
+    Plan: ``StartsWith`` prunes row groups of the term-sorted catalog,
+    the context filter is an IN over a literal set, the boost applies
+    via a broadcast-sized CASE, and the cut is TakeOrderedAndProject —
+    no corpus access, no join."""
+    if not contexts:
+        raise ValueError("contexts must be non-empty "
+                         "(use term_prefix_stats for uncontexted "
+                         "prefix walks)")
+    if not prefix:
+        raise ValueError("prefix must be non-empty")
+    boost = F.lit(None).cast("double")
+    for ctx, b in sorted(contexts.items()):
+        boost = F.when(F.col("context") == ctx,
+                       F.lit(float(b))).otherwise(boost)
+    return (catalog
+            .filter(F.col("term").startswith(prefix)
+                    & F.col("context").isin(sorted(contexts)))
+            .select("term", (F.col("df") * boost).alias("_s"))
+            .groupBy("term").agg(F.round(F.max("_s"), 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("term")).limit(size))

@@ -1125,3 +1125,115 @@ def maxsim_topk(tokvecs: DataFrame, query_vecs: list[list[float]],
                            F.round(score, round_at).alias("score"))
             .orderBy(F.desc("score"), F.asc("vec_id"))
             .limit(k))
+
+
+def bbq_encode(emb: DataFrame, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """1-bit-per-dimension binary quantization of an embedding relation
+    — the at-rest form of a "better binary quantization" (BBQ /
+    RaBitQ-style, Gao & Long, SIGMOD 2024) vector index: per vector,
+    the SIGN BIT of every component packed 32 dims per long word, plus
+    the two scalar correction factors the asymmetric estimator needs.
+
+    Returns (vec_id, words: array<long>, l1: double, norm: double)
+    where bit j of words[w] = [x_{32w+j} >= 0], l1 = sum |x_i|,
+    norm = ||x||_2. Unlike :func:`srp_bits_df` (random hyperplanes,
+    symmetric hamming), the bits live in the ORIGINAL basis so the
+    float query can score them asymmetrically with no decode.
+
+    Map-only JVM codegen — at 100 TB this is a projection, d/8 bytes +
+    16 bytes per vector at rest (32x smaller than float32)."""
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty embedding relation")
+    d = int(first["d"])
+    words = []
+    for w in range((d + 31) // 32):
+        bits = F.lit(0).cast("long")
+        for j in range(min(32, d - 32 * w)):
+            bits = bits + F.when(
+                F.element_at(F.col(vec_col), 32 * w + j + 1) >= 0,
+                F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long"))
+        words.append(bits)
+    absum = F.aggregate(
+        F.transform(F.col(vec_col), lambda a: F.abs(a.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    sqsum = F.aggregate(
+        F.transform(F.col(vec_col), lambda a: a.cast("double") * a),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                      F.array(*words).alias("words"),
+                      absum.alias("l1"),
+                      F.sqrt(sqsum).alias("norm"))
+
+
+def bbq_topk(emb: DataFrame, qvec: list[float], k: int = 10,
+             oversample: int = 5, vec_col: str = "embedding",
+             id_col: str = "vec_id",
+             restrict: DataFrame | None = None,
+             codes: DataFrame | None = None) -> DataFrame:
+    """Asymmetric binary-quantized ANN (the Elasticsearch-8.16 "BBQ"
+    serving shape): the float query scores each vector's 1-bit code
+    directly — no symmetric hashing of the query — then the top
+    ``oversample * k`` estimated candidates are rescored with exact
+    cosine over the raw vectors.
+
+    Pinned estimator (the classic 1-bit reconstruction x_hat =
+    (||x||_1 / d) * sign(x), so any SQL engine restates it):
+
+        dot_hat = (l1 / d) * sum_i q_i * (2*bit_i - 1)
+        est     = round(dot_hat / (norm * ||q||), 6)
+
+    Candidates rank by (est desc, vec_id asc) — the 6-decimal round is
+    part of the contract so the cut is reproducible across engines —
+    and the final answer is (vec_id, est, cos) top-k by exact cosine
+    (4-decimal, vec_id tiebreak). ``restrict``: optional (vec_id)
+    allow-set semi-joined BEFORE the code scan (pre-filter, the
+    :func:`cosine_topk` contract). ``codes``: a precomputed
+    :func:`bbq_encode` relation (the at-rest index; when absent the
+    codes derive inline from ``emb``).
+
+    Plan: code scan is map-only codegen over d/32 long words; only
+    oversample*k candidate rows join back to the float vectors, so at
+    100 TB the raw-vector relation is touched for a few dozen rows per
+    query instead of scanned."""
+    d = len(qvec)
+    q = np.asarray(qvec, dtype=np.float64)
+    qnorm = float(np.sqrt(q @ q))
+    if qnorm == 0:
+        raise ValueError("zero query vector")
+    src = emb
+    if restrict is not None:
+        allow = restrict.select(F.col("vec_id").cast("long")
+                                .alias("_rid")).distinct()
+        src = emb.join(allow, emb[id_col].cast("long") == allow["_rid"],
+                       "semi")
+    if codes is None:
+        codes = bbq_encode(src.select(F.col(id_col), F.col(vec_col)),
+                           vec_col=vec_col, id_col=id_col)
+    elif restrict is not None:
+        codes = codes.join(
+            restrict.select(F.col("vec_id").cast("long").alias("_rid"))
+                    .distinct(),
+            codes["vec_id"] == F.col("_rid"), "semi")
+    # sum_i q_i * (2*bit_i - 1), emitted in ascending-i literal order so
+    # the oracle's identical term order reproduces the float sum
+    sdot = F.lit(0.0)
+    for i in range(d):
+        w, j = divmod(i, 32)
+        bit = F.shiftright(F.element_at("words", w + 1), j) \
+               .bitwiseAND(F.lit(1).cast("long"))
+        sdot = sdot + F.when(bit == 1, F.lit(float(q[i]))) \
+                       .otherwise(F.lit(-float(q[i])))
+    est = F.round((F.col("l1") / F.lit(float(d))) * sdot
+                  / (F.col("norm") * F.lit(qnorm)), 6)
+    cand = (codes.select("vec_id", est.alias("est"))
+            .orderBy(F.desc("est"), F.asc("vec_id"))
+            .limit(int(oversample) * k))
+    vecs = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                      F.round(_cos_expr(vec_col,
+                                        [float(x) for x in qvec]), 4)
+                       .alias("cos"))
+    return (cand.join(vecs, "vec_id")
+            .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))
