@@ -8750,6 +8750,152 @@ CROSS JOIN qv CROSS JOIN qn
 ORDER BY cos DESC, cand.vec_id ASC LIMIT 10"""
 
 
+# Lucene-fidelity BM25: dl enters through the SmallFloat one-byte norm
+# codec (quantize = ((dl >> (bits-4)) & 7 | 8) << (bits-4) for dl >= 8,
+# bits = length(bin(dl))); avgdl stays exact
+_ORACLE_LOSSY_BM25 = """
+, dlq AS (
+  SELECT doc_id,
+         CASE WHEN dlen < 8 THEN dlen
+              ELSE ((((dlen >> (length(bin(dlen)) - 4)) & 7) | 8)
+                    << (length(bin(dlen)) - 4)) END AS dlqv
+  FROM dl
+)
+, scr AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlq.dlqv / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dlq ON tf.doc_id = dlq.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scr
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+# significant_terms with the chi_square heuristic (ES NXY contingency
+# with the background_is_superset subtraction), same fg as _ORACLE_SIGTERMS
+_ORACLE_SIG_CHI2 = """
+, fg AS (SELECT DISTINCT doc_id FROM documents WHERE lang = 'de')
+, nfg AS (SELECT CAST(count(*) AS DOUBLE) AS n_fg FROM fg)
+, fgd AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS fg_df
+  FROM tf JOIN fg USING (doc_id)
+  GROUP BY term HAVING count(*) >= 2)
+, cells AS (
+  SELECT fgd.term, fgd.fg_df, dft.df,
+         CAST(fgd.fg_df AS DOUBLE) AS n11,
+         nfg.n_fg - fgd.fg_df AS n10,
+         CAST(dft.df AS DOUBLE) - fgd.fg_df AS n01,
+         (CAST(stats.n AS DOUBLE) - nfg.n_fg)
+           - (CAST(dft.df AS DOUBLE) - fgd.fg_df) AS n00,
+         CAST(stats.n AS DOUBLE) AS nn
+  FROM fgd JOIN dft ON fgd.term = dft.term
+  CROSS JOIN nfg CROSS JOIN stats)
+SELECT term, fg_df, df,
+       round(CASE WHEN (n11 + n01) * (n11 + n10) * (n10 + n00) * (n01 + n00) > 0
+             THEN nn * pow(n11 * n00 - n10 * n01, 2)
+                  / ((n11 + n01) * (n11 + n10) * (n10 + n00) * (n01 + n00))
+             ELSE 0.0 END, 6) AS chi2
+FROM cells ORDER BY chi2 DESC, term ASC LIMIT 20"""
+
+# missing agg over events: v = value when >= 50 (deterministic NULL
+# injection), bucketed by event_type
+_ORACLE_MISSING = """
+SELECT event_type AS bucket,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(count(CASE WHEN value >= 50 THEN value END) AS BIGINT)
+         AS value_count,
+       CAST(sum(CASE WHEN value >= 50 THEN 0 ELSE 1 END) AS BIGINT)
+         AS missing
+FROM events GROUP BY event_type ORDER BY bucket"""
+
+# Rocchio PRF: feedback window = top r+nr by 6dp-rounded cosine
+# (vec_id tiebreak), q' = q + 0.75*mean(rel) - 0.15*mean(nonrel),
+# final exact cosine top-k under q'
+_ORACLE_ROCCHIO = """
+WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+qn AS (SELECT sqrt(list_sum(list_transform(q, x -> x * x))) AS qnorm FROM qv),
+ranked AS (
+  SELECT e.vec_id,
+         round(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], qv.q),
+                                       p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[],
+                                               x -> x * x)))
+                  * qn.qnorm), 6) AS c
+  FROM embeddings e CROSS JOIN qv CROSS JOIN qn
+), win AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY c DESC, vec_id ASC) AS rk
+  FROM ranked QUALIFY rk <= 10
+), vdim AS (
+  SELECT e.vec_id, generate_subscripts(e.embedding, 1) AS i,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x
+  FROM embeddings e
+), relavg AS (
+  SELECT i, avg(x) AS ra FROM vdim JOIN win USING (vec_id)
+  WHERE win.rk <= 5 GROUP BY i
+), nonavg AS (
+  SELECT i, avg(x) AS na FROM vdim JOIN win USING (vec_id)
+  WHERE win.rk > 5 GROUP BY i
+), qdim AS (
+  SELECT generate_subscripts(q, 1) AS i, CAST(unnest(q) AS DOUBLE) AS qx
+  FROM qv
+), q2 AS (
+  SELECT qdim.i, 1.0 * qdim.qx + 0.75 * relavg.ra - 0.15 * nonavg.na AS q2x
+  FROM qdim JOIN relavg ON qdim.i = relavg.i
+  JOIN nonavg ON qdim.i = nonavg.i
+), q2n AS (SELECT sqrt(sum(q2x * q2x)) AS n2 FROM q2)
+SELECT v.vec_id,
+       round(sum(v.x * q2.q2x)
+             / (sqrt(sum(v.x * v.x)) * q2n.n2), 4) AS cos
+FROM vdim v JOIN q2 ON v.i = q2.i CROSS JOIN q2n
+GROUP BY v.vec_id, q2n.n2
+ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+
+def _r04s21b_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                    DataFrame]]:
+    def lossy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.query import bm25_lossy_search
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        top = bm25_lossy_search(index, stats, "data table query", k=10,
+                                stem=False, camel=False)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    def sig_chi2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.analytics import significant_terms
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        fg = raw.filter(F.col("lang") == "de").select("doc_id")
+        return significant_terms(index, fg, stats["n_docs"], top=20,
+                                 min_fg_df=2, shard_size=256,
+                                 heuristic="chi_square")
+
+    def missing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.analytics import missing_facet
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev = ev.withColumn("v", F.when(F.col("value") >= 50,
+                                       F.col("value")))
+        return missing_facet(ev, "v", by="event_type")
+
+    def rocchio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.similarity import rocchio_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = [float(x) for x in
+                emb.filter("vec_id = 0").first()["embedding"]]
+        return rocchio_topk(emb, qvec, k=10, r=5, nr=5)
+
+    return {"lucene_norms_topk": lossy_q, "sig_chi2_terms": sig_chi2_q,
+            "missing_facet": missing_q, "rocchio_topk": rocchio_q}
+
+
 def _r04s21_engine_queries() -> dict[str, Callable[[SparkSession, str],
                                                    DataFrame]]:
     def dfi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9430,6 +9576,14 @@ ORDER BY event_id""")
         _docs_sql("duck", _ORACLE_ZIPF, []))
     add("context_suggest", eng21["context_suggest"],
         _ORACLE_CTX_SUGGEST)
+
+    eng21b = _r04s21b_engine_queries()
+    add("lucene_norms_topk", eng21b["lucene_norms_topk"],
+        _docs_sql("duck", _ORACLE_LOSSY_BM25, [q_cte]))
+    add("sig_chi2_terms", eng21b["sig_chi2_terms"],
+        _docs_sql("duck", _ORACLE_SIG_CHI2))
+    add("missing_facet", eng21b["missing_facet"], _ORACLE_MISSING)
+    add("rocchio_topk", eng21b["rocchio_topk"], _ORACLE_ROCCHIO)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

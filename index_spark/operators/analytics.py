@@ -408,7 +408,8 @@ def style_histogram(index: DataFrame, style_shift: int = 2,
 def significant_terms(index: DataFrame, fg_docs: DataFrame, n_docs: int,
                       top: int = 20, min_fg_df: int = 2,
                       zone: str | None = None,
-                      shard_size: int | None = None) -> DataFrame:
+                      shard_size: int | None = None,
+                      heuristic: str = "jlh") -> DataFrame:
     """Significant-terms aggregation: terms overrepresented in a
     FOREGROUND document set relative to the whole corpus, ranked by the
     JLH score Elasticsearch uses for the same aggregation:
@@ -418,6 +419,24 @@ def significant_terms(index: DataFrame, fg_docs: DataFrame, n_docs: int,
 
     (the absolute-lift x relative-lift product — high-frequency noise
     is damped by the first factor, rare-term noise by ``min_fg_df``).
+
+    ``heuristic`` selects the ES scoring heuristic — "jlh" (default,
+    score column ``jlh``), "chi_square" (column ``chi2``) or
+    "mutual_information" (column ``mi``). The latter two build the
+    2x2 contingency table with ES's ``background_is_superset``
+    adjustment (the foreground counts are subtracted from the
+    background so the cells are disjoint):
+
+        n11 = fg_df              n10 = n_fg - fg_df
+        n01 = df - fg_df         n00 = (N - n_fg) - n01
+        chi2 = N * (n11*n00 - n10*n01)^2
+               / ((n11+n01)(n11+n10)(n10+n00)(n01+n00))   [0 if a
+                                                           margin is 0]
+        mi   = sum over cells of (nxy/N) * log2(N*nxy / (rx * cy)),
+               zero-count cells contributing 0
+
+    Both are pure row-local arithmetic over the same (fg_df, df) join —
+    the plan is heuristic-independent.
 
     ``fg_docs``: a (doc_id) relation defining the foreground — a query
     match set (:func:`matching_docs`), a metadata filter, a classifier
@@ -452,13 +471,43 @@ def significant_terms(index: DataFrame, fg_docs: DataFrame, n_docs: int,
     fg_df = (posts.join(fg, "doc_id")
              .groupBy("term").agg(F.count("*").alias("fg_df"))
              .filter(F.col("fg_df") >= min_fg_df))
-    fg_pct = F.col("fg_df") / F.lit(float(n_fg))
-    bg_pct = F.col("df") / F.lit(float(n_docs))
-    return (fg_df.join(terms_meta, "term")
-            .withColumn("jlh", F.round((fg_pct - bg_pct)
-                                       * (fg_pct / bg_pct), 6))
-            .select("term", "fg_df", "df", "jlh")
-            .orderBy(F.desc("jlh"), F.asc("term"))
+    joined = fg_df.join(terms_meta, "term")
+    if heuristic == "jlh":
+        fg_pct = F.col("fg_df") / F.lit(float(n_fg))
+        bg_pct = F.col("df") / F.lit(float(n_docs))
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        col = "jlh"
+    elif heuristic in ("chi_square", "mutual_information"):
+        n = F.lit(float(n_docs))
+        n11 = F.col("fg_df").cast("double")
+        n10 = F.lit(float(n_fg)) - n11
+        n01 = F.col("df").cast("double") - n11
+        n00 = (n - F.lit(float(n_fg))) - n01
+        if heuristic == "chi_square":
+            denom = (n11 + n01) * (n11 + n10) * (n10 + n00) * (n01 + n00)
+            score = F.when(
+                denom > 0,
+                n * F.pow(n11 * n00 - n10 * n01, 2) / denom) \
+                .otherwise(F.lit(0.0))
+            col = "chi2"
+        else:
+            r1, r0 = n11 + n10, n01 + n00
+            c1, c0 = n11 + n01, n10 + n00
+
+            def cell(nxy, rm, cm):
+                return F.when(nxy > 0, (nxy / n)
+                              * F.log2(n * nxy / (rm * cm))) \
+                        .otherwise(F.lit(0.0))
+
+            score = cell(n11, r1, c1) + cell(n10, r1, c0) \
+                + cell(n01, r0, c1) + cell(n00, r0, c0)
+            col = "mi"
+    else:
+        raise ValueError(f"unknown heuristic: {heuristic!r}")
+    return (joined
+            .withColumn(col, F.round(score, 6))
+            .select("term", "fg_df", "df", col)
+            .orderBy(F.desc(col), F.asc("term"))
             .limit(top))
 
 
@@ -1837,3 +1886,26 @@ def zipf_law(docs: DataFrame, text_col: str = "text",
         F.round(-F.expr("regr_slope(y, x)"), round_at).alias("s_exp"),
         F.round(F.exp(F.expr("regr_intercept(y, x)")),
                 round_at).alias("c_coef")))
+
+
+def missing_facet(df: DataFrame, field: str, by: str | None = None
+                  ) -> DataFrame:
+    """The ES ``missing`` aggregation: how many documents LACK a value
+    for a field — the data-quality counterpart of ``value_count``
+    (missing + value_count = doc_count, pinned here by returning all
+    three). ``by``: optional bucket column (the agg nested under a
+    terms agg); without it one global row (``bucket`` = NULL-free
+    literal '_all').
+
+    One conditional aggregate, map-side combinable; at 100 TB this is
+    a scan + partial agg, no shuffle beyond the |buckets|-row final
+    combine."""
+    if field not in df.columns:
+        raise ValueError(f"unknown field: {field!r}")
+    key = (F.col(by).cast("string") if by is not None
+           else F.lit("_all")).alias("bucket")
+    out = (df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.count(field).alias("value_count"),
+        F.sum(F.col(field).isNull().cast("long")).alias("missing")))
+    return out.orderBy("bucket")

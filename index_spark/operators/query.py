@@ -5403,3 +5403,46 @@ def context_suggest(catalog: DataFrame, prefix: str,
             .select("term", (F.col("df") * boost).alias("_s"))
             .groupBy("term").agg(F.round(F.max("_s"), 4).alias("score"))
             .orderBy(F.desc("score"), F.asc("term")).limit(size))
+
+
+def bm25_lossy_search(index: DataFrame, stats: dict, query: str,
+                      k: int = 10, stem: bool = True, camel: bool = True,
+                      zone: str | None = None,
+                      tombstones: DataFrame | None = None) -> DataFrame:
+    """Lucene-fidelity BM25: identical to :func:`search`'s scoring
+    contract EXCEPT that the document length enters through Lucene's
+    lossy one-byte norm codec (``SmallFloat.intToByte4`` — see
+    functions/norms.py):
+
+        dl_q     = byte4ToInt(intToByte4(dl))     (4 significant bits)
+        score(d) = sum_t ln(1 + (N - df + 0.5)/(df + 0.5))
+                         * tf / (tf + k1*(1 - b + b * dl_q / avgdl))
+
+    k1=1.2, b=0.75; avgdl stays the EXACT collection mean
+    (Lucene computes avgFieldLength from sumTotalTermFreq/docCount,
+    not from the decoded norms). Docs shorter than 16 tokens score
+    identically to :func:`search`; longer docs floor to their
+    quantization bucket, which is exactly where Lucene and textbook
+    BM25 diverge — this kernel is the parity target when validating
+    against a real Lucene/ES run. Plan shape: :func:`dfr_search`
+    (one exchange)."""
+    from index_spark.functions.norms import quantize_norms_np
+
+    n_docs = float(stats.get("n_docs") or 0)
+    avgdl = float(stats.get("avgdl") or 0)
+    if n_docs <= 0 or avgdl <= 0:
+        raise ValueError("stats['n_docs'] and stats['avgdl'] must be "
+                         "positive (zoned index: pass the pinned "
+                         "zone's stats)")
+
+    def make_weights(meta):
+        return {r["term"]: math.log(1.0 + (n_docs - float(r["df"]) + 0.5)
+                                    / (float(r["df"]) + 0.5))
+                for r in meta}
+
+    def part(idf, tfs, dls):
+        dlq = quantize_norms_np(dls).astype(np.float64)
+        return idf * tfs / (tfs + K1 * (1.0 - B + B * dlq / avgdl))
+
+    return _termwise_topk(index, stats, query, make_weights, part, k,
+                          stem, camel, zone, tombstones)

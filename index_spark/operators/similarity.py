@@ -1237,3 +1237,53 @@ def bbq_topk(emb: DataFrame, qvec: list[float], k: int = 10,
                        .alias("cos"))
     return (cand.join(vecs, "vec_id")
             .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))
+
+
+def rocchio_topk(emb: DataFrame, qvec: list[float], k: int = 10,
+                 r: int = 5, nr: int = 5, alpha: float = 1.0,
+                 beta: float = 0.75, gamma: float = 0.15,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Rocchio pseudo-relevance feedback over the embedding relation
+    (Rocchio 1971; the vector-space analog of the RM3 lexical PRF in
+    operators/query.py): run the query once, treat the top ``r`` hits
+    as pseudo-relevant and the NEXT ``nr`` (ranks r+1..r+nr) as
+    pseudo-non-relevant, move the query
+
+        q' = alpha*q + beta*mean(rel) - gamma*mean(nonrel)
+
+    and return the exact cosine top-k under q'. Classic PRF sets
+    gamma=0; the rank-window negative set makes gamma>0 restatable
+    without judgments.
+
+    Pinned selection contract: the feedback window ranks by cosine
+    ROUNDED to 6 decimals (vec_id tiebreak) so the rel/nonrel sets are
+    reproducible across engines; q' itself is computed driver-side
+    from the r+nr collected vectors (bounded rows — never the corpus)
+    and re-enters the scan as literals, so the final pass is the same
+    map-only codegen as :func:`cosine_topk`. Two scans total."""
+    if r < 1 or nr < 0:
+        raise ValueError("need r >= 1 pseudo-relevant and nr >= 0 "
+                         "pseudo-non-relevant docs")
+    window = (emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                         F.col(vec_col).alias("_v"),
+                         F.round(_cos_expr(vec_col, qvec), 6)
+                          .alias("_c"))
+              .orderBy(F.desc("_c"), F.asc("vec_id"))
+              .limit(r + nr)
+              .collect())
+    if len(window) < r:
+        raise ValueError(f"feedback window has {len(window)} rows, "
+                         f"need at least r={r}")
+    q = np.asarray(qvec, dtype=np.float64)
+    rel = np.asarray([row["_v"] for row in window[:r]], dtype=np.float64)
+    q2 = alpha * q + beta * rel.mean(axis=0)
+    non = window[r:r + nr]
+    if non:
+        nonrel = np.asarray([row["_v"] for row in non], dtype=np.float64)
+        q2 = q2 - gamma * nonrel.mean(axis=0)
+    if not np.any(q2):
+        raise ValueError("feedback collapsed the query to the zero "
+                         "vector; lower gamma")
+    return cosine_topk(emb, [float(x) for x in q2], k=k,
+                       vec_col=vec_col, id_col=id_col)

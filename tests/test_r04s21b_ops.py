@@ -1,0 +1,220 @@
+"""Session-21b operators: Lucene SmallFloat lossy norms + BM25 parity
+kernel, significant_terms chi_square/mutual_information heuristics,
+missing aggregation, Rocchio pseudo-relevance feedback."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# SmallFloat codec
+# ---------------------------------------------------------------------------
+
+def test_smallfloat_pinned_vectors():
+    from index_spark.functions.norms import (byte4_to_int, int_to_byte4,
+                                             quantize_norm)
+
+    # 0..15 round-trip exactly
+    for i in range(16):
+        assert quantize_norm(i) == i
+    # lossy floors above 4 significant bits
+    assert quantize_norm(17) == 16
+    assert quantize_norm(19) == 18
+    assert quantize_norm(31) == 30
+    assert quantize_norm(1000) == 960
+    # powers of two are exact at any magnitude
+    for e in range(3, 30):
+        assert quantize_norm(1 << e) == 1 << e
+    # encode/decode structure
+    assert int_to_byte4(8) == 8 and byte4_to_int(8) == 8
+    assert int_to_byte4(16) == 16 and byte4_to_int(16) == 16
+    with pytest.raises(ValueError):
+        int_to_byte4(-1)
+    with pytest.raises(ValueError):
+        byte4_to_int(256)
+
+
+def test_smallfloat_monotone_and_vectorized():
+    from index_spark.functions.norms import quantize_norm, quantize_norms_np
+
+    xs = np.arange(0, 5000)
+    q = quantize_norms_np(xs.astype(np.float64))
+    scalar = np.array([quantize_norm(int(i)) for i in xs])
+    assert (q == scalar).all()
+    assert (np.diff(q) >= 0).all()          # monotone
+    assert (q <= xs).all()                  # floors, never rounds up
+    with pytest.raises(ValueError):
+        quantize_norms_np(np.array([-1.0]))
+
+
+# ---------------------------------------------------------------------------
+# lossy-norm BM25
+# ---------------------------------------------------------------------------
+
+def _tiny_index(spark, texts):
+    from index_spark.operators.build import build_index
+
+    corpus = spark.createDataFrame(
+        [("r", f"doc{i:04d}", t) for i, t in enumerate(texts)],
+        "repo string, path string, content string")
+    return build_index(corpus, stem=False, camel=False, shard_size=64)
+
+
+def test_bm25_lossy_equals_exact_below_16_tokens(spark):
+    from index_spark.operators.query import bm25_lossy_search, search
+
+    texts = ["data table scan", "data data filter sort",
+             "table merge", "data table agg window group"]
+    docs, index, stats = _tiny_index(spark, texts)
+    a = {r.doc_id: r.score for r in bm25_lossy_search(
+        index, stats, "data table", k=10, stem=False,
+        camel=False).collect()}
+    b = {r.doc_id: r.score for r in search(
+        index, docs, stats, "data table", k=10, stem=False,
+        camel=False, shard_size=64).collect()}
+    assert set(a) == set(b)
+    for d in a:
+        assert a[d] == pytest.approx(b[d], abs=1e-9)
+
+
+def test_bm25_lossy_quantizes_long_docs(spark):
+    from index_spark.functions.norms import quantize_norm
+    from index_spark.operators.query import bm25_lossy_search
+
+    # doc0: 17 tokens (dl quantizes 17 -> 16); doc1: short
+    texts = ["data " + "pad " * 16, "data x"]
+    _, index, stats = _tiny_index(spark, texts)
+    out = {r.doc_id: r.score for r in bm25_lossy_search(
+        index, stats, "data", k=10, stem=False, camel=False).collect()}
+    n, avgdl = 2.0, (17 + 2) / 2.0
+    idf = np.log(1.0 + (n - 2 + 0.5) / (2 + 0.5))
+    for d, dl in ((0, 17), (1, 2)):
+        dlq = quantize_norm(dl)
+        assert dlq == (16 if d == 0 else 2)
+        want = idf * 1.0 / (1.0 + 1.2 * (1 - 0.75 + 0.75 * dlq / avgdl))
+        assert out[d] == pytest.approx(want, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# significant_terms heuristics
+# ---------------------------------------------------------------------------
+
+def _sig_fixture(spark):
+    texts = ["apple banana", "apple cherry", "banana cherry",
+             "cherry date", "date egg", "egg fig"]
+    docs, index, stats = _tiny_index(spark, texts)
+    fg = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    return index, fg, stats
+
+
+def test_significant_chi_square_hand_table(spark):
+    from index_spark.operators.analytics import significant_terms
+
+    index, fg, stats = _sig_fixture(spark)
+    out = {r.term: r for r in significant_terms(
+        index, fg, stats["n_docs"], top=20, min_fg_df=2,
+        heuristic="chi_square").collect()}
+    # 'apple': fg_df=2, df=2, n_fg=2, N=6
+    # n11=2 n10=0 n01=0 n00=4 -> chi2 = 6*(2*4)^2 / (2*2*4*4) = 6.0
+    assert out["apple"].chi2 == pytest.approx(6.0)
+    assert out["apple"].fg_df == 2 and out["apple"].df == 2
+
+
+def test_significant_mutual_information_hand_table(spark):
+    from index_spark.operators.analytics import significant_terms
+
+    index, fg, stats = _sig_fixture(spark)
+    out = {r.term: r for r in significant_terms(
+        index, fg, stats["n_docs"], top=20, min_fg_df=2,
+        heuristic="mutual_information").collect()}
+    # apple cells: n11=2 n10=0 n01=0 n00=4, margins r1=2 r0=4 c1=2 c0=4
+    want = (2 / 6) * np.log2(6 * 2 / (2 * 2)) \
+        + (4 / 6) * np.log2(6 * 4 / (4 * 4))
+    assert out["apple"].mi == pytest.approx(round(want, 6))
+    with pytest.raises(ValueError, match="heuristic"):
+        significant_terms(index, fg, stats["n_docs"], heuristic="gnd")
+
+
+def test_significant_jlh_unchanged(spark):
+    from index_spark.operators.analytics import significant_terms
+
+    index, fg, stats = _sig_fixture(spark)
+    out = significant_terms(index, fg, stats["n_docs"], top=5,
+                            min_fg_df=2)
+    assert out.columns == ["term", "fg_df", "df", "jlh"]
+    top = out.collect()[0]
+    # apple: fg_pct=1, bg_pct=2/6 -> jlh = (1 - 1/3) * 3 = 2.0
+    assert top.term == "apple" and top.jlh == pytest.approx(2.0)
+
+
+# ---------------------------------------------------------------------------
+# missing agg
+# ---------------------------------------------------------------------------
+
+def test_missing_facet(spark):
+    from index_spark.operators.analytics import missing_facet
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", 2.0), ("b", None), ("b", None)],
+        "grp string, v double")
+    out = {r.bucket: r for r in missing_facet(df, "v", by="grp").collect()}
+    assert out["a"].missing == 1 and out["a"].value_count == 1
+    assert out["b"].missing == 2 and out["b"].value_count == 1
+    assert all(r.missing + r.value_count == r.doc_count
+               for r in out.values())
+    g = missing_facet(df, "v").collect()
+    assert len(g) == 1 and g[0].bucket == "_all" and g[0].missing == 3
+    with pytest.raises(ValueError, match="unknown field"):
+        missing_facet(df, "nope")
+
+
+# ---------------------------------------------------------------------------
+# Rocchio
+# ---------------------------------------------------------------------------
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+
+
+def test_rocchio_matches_manual_q2(spark):
+    from index_spark.operators.similarity import (cosine_topk,
+                                                  rocchio_topk)
+
+    rng = np.random.RandomState(23)
+    vecs = rng.randn(40, 16)
+    emb = _emb_df(spark, vecs)
+    q = [float(x) for x in vecs[4]]
+    got = [(r.vec_id, r.cos) for r in
+           rocchio_topk(emb, q, k=6, r=3, nr=2).collect()]
+    # manual: rank by round(cos, 6) on float32-at-rest vectors
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    qd = np.asarray(q)
+    cos = v32 @ qd / (np.linalg.norm(v32, axis=1) * np.linalg.norm(qd))
+    order = sorted(range(40), key=lambda i: (-round(cos[i], 6), i))
+    rel, non = order[:3], order[3:5]
+    q2 = 1.0 * qd + 0.75 * v32[rel].mean(axis=0) \
+        - 0.15 * v32[non].mean(axis=0)
+    want = [(r.vec_id, r.cos) for r in
+            cosine_topk(emb, [float(x) for x in q2], k=6).collect()]
+    assert got == want
+
+
+def test_rocchio_pulls_toward_relevant_cluster(spark):
+    from index_spark.operators.similarity import rocchio_topk
+
+    # cluster A around +e0, cluster B around +e1; query between, nearer A
+    rng = np.random.RandomState(29)
+    a = np.eye(8)[0] + 0.05 * rng.randn(10, 8)
+    b = np.eye(8)[1] + 0.05 * rng.randn(10, 8)
+    emb = _emb_df(spark, np.vstack([a, b]))
+    q = [0.8, 0.6, 0, 0, 0, 0, 0, 0]
+    out = [r.vec_id for r in
+           rocchio_topk(emb, q, k=10, r=5, nr=0, gamma=0.0).collect()]
+    assert set(out) == set(range(10))   # all of cluster A after feedback
+    with pytest.raises(ValueError, match="r >= 1"):
+        rocchio_topk(emb, q, r=0)
+    with pytest.raises(ValueError, match="window has"):
+        rocchio_topk(_emb_df(spark, a[:2]), [1.0] * 8, r=5)
