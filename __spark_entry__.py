@@ -8856,6 +8856,116 @@ GROUP BY v.vec_id, q2n.n2
 ORDER BY cos DESC, vec_id ASC LIMIT 10"""
 
 
+# LTR features: per-(query, matched-doc) BM25 / tf / coverage / idf
+# statistics over the query set
+_ORACLE_LTR = """
+, qn AS (SELECT query_id, CAST(count(*) AS DOUBLE) AS nq
+         FROM q GROUP BY query_id)
+SELECT q.query_id, tf.doc_id,
+       round(sum(ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                 * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl))), 4) AS bm25,
+       CAST(sum(tf.tf) AS BIGINT) AS sum_tf,
+       CAST(count(*) AS BIGINT) AS n_matched,
+       round(count(*) / qn.nq, 6) AS coverage,
+       round(sum(ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)),
+             6) AS sum_idf,
+       round(max(ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)),
+             6) AS max_idf,
+       CAST(max(dl.dlen) AS BIGINT) AS dl
+FROM tf JOIN q ON tf.term = q.term
+JOIN dft ON tf.term = dft.term
+JOIN dl ON tf.doc_id = dl.doc_id
+JOIN qn ON q.query_id = qn.query_id
+CROSS JOIN stats
+GROUP BY q.query_id, tf.doc_id, qn.nq
+ORDER BY q.query_id, tf.doc_id"""
+
+# RBO@10 p=0.9 between the BM25 query-set ranking (run A) and the
+# raw-tf ranking (run B)
+_ORACLE_RBO_EVAL = """
+, qscores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+), res_a AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM qscores QUALIFY rank <= 10
+), res_b AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id ASC) AS rank
+  FROM (SELECT q.query_id, tf.doc_id, sum(tf.tf) AS s
+        FROM tf JOIN q ON tf.term = q.term
+        GROUP BY q.query_id, tf.doc_id)
+  QUALIFY rank <= 10
+), shared AS (
+  SELECT a.query_id, greatest(a.rank, b.rank) AS m
+  FROM res_a a JOIN res_b b USING (query_id, doc_id)
+), depths AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS d)
+, xd AS (
+  SELECT s.query_id, d.d, CAST(count(*) AS BIGINT) AS x
+  FROM shared s JOIN depths d ON s.m <= d.d GROUP BY 1, 2
+), grid AS (
+  SELECT q2.query_id, d.d
+  FROM (SELECT DISTINCT query_id FROM res_a
+        UNION SELECT query_id FROM res_b) q2
+  CROSS JOIN depths d
+)
+SELECT grid.query_id,
+       round((1.0 - 0.9) * sum(pow(0.9, grid.d - 1)
+                               * coalesce(xd.x, 0) / grid.d), 6) AS rbo,
+       round(max(CASE WHEN grid.d = 10 THEN coalesce(xd.x, 0) END)
+             / 10.0, 6) AS overlap_at_k
+FROM grid LEFT JOIN xd
+  ON grid.query_id = xd.query_id AND grid.d = xd.d
+GROUP BY grid.query_id ORDER BY grid.query_id"""
+
+# run B for the Spark side of rbo_eval: raw-tf ranking restated over
+# the shared tok/tf CTEs
+_RBO_RUN_B_SQL = """
+SELECT query_id, doc_id, rank FROM (
+  SELECT q.query_id, tf.doc_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY sum(tf.tf) DESC, tf.doc_id ASC)
+           AS rank
+  FROM tf JOIN q ON tf.term = q.term
+  GROUP BY q.query_id, tf.doc_id)
+WHERE rank <= 10"""
+
+
+def _r04s21c_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                    DataFrame]]:
+    def ltr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.ltr import ltr_features
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        queries = {qid: " ".join(terms) for qid, terms in QUERYSET}
+        return ltr_features(index, stats, queries, stem=False,
+                            camel=False)
+
+    def rbo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.evaluate import rbo_metric
+        from index_spark.operators.query import search_many
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        queries = {qid: " ".join(terms) for qid, terms in QUERYSET}
+        run_a = search_many(index, stats, queries, k=10,
+                            stem=False, camel=False)
+        _register(spark, sf_dir, ["documents"])
+        run_b = spark.sql(_docs_sql("spark", _RBO_RUN_B_SQL,
+                                    [_queryset_values_sql()]))
+        return rbo_metric(run_a, run_b, k=10, p=0.9)
+
+    return {"ltr_features": ltr_q, "rbo_eval": rbo_q}
+
+
 def _r04s21b_engine_queries() -> dict[str, Callable[[SparkSession, str],
                                                     DataFrame]]:
     def lossy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9584,6 +9694,12 @@ ORDER BY event_id""")
         _docs_sql("duck", _ORACLE_SIG_CHI2))
     add("missing_facet", eng21b["missing_facet"], _ORACLE_MISSING)
     add("rocchio_topk", eng21b["rocchio_topk"], _ORACLE_ROCCHIO)
+
+    eng21c = _r04s21c_engine_queries()
+    add("ltr_features", eng21c["ltr_features"],
+        _docs_sql("duck", _ORACLE_LTR, [qs_cte]))
+    add("rbo_eval", eng21c["rbo_eval"],
+        _docs_sql("duck", _ORACLE_RBO_EVAL, [qs_cte]))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

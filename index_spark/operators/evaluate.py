@@ -254,3 +254,56 @@ def rbp_metric(results: DataFrame, qrels: DataFrame, k: int = 10,
             .agg(F.round((1.0 - p) * F.sum(gain), 6).alias("rbp"),
                  F.round(F.lit(float(p) ** k), 6).alias("residual"))
             .orderBy("query_id"))
+
+
+def rbo_metric(run_a: DataFrame, run_b: DataFrame, k: int = 10,
+               p: float = 0.9) -> DataFrame:
+    """Rank-Biased Overlap between two rankings (Webber, Moffat &
+    Zobel, TOIS 2010) — the top-weighted rank-similarity metric for
+    comparing two engines / two configurations on the same query set
+    (e.g. this engine vs the reference, exact vs quantized norms).
+
+    Pinned contract — the truncated prefix form at depth ``k``:
+
+        X_d  = |A[:d] n B[:d]|          (shared docs at depth d)
+        rbo  = (1 - p) * sum_{d=1..k} p^(d-1) * X_d / d
+        overlap_at_k = X_k / k
+
+    Inputs: (query_id, doc_id, rank) each, rank 1-based; ranks beyond
+    ``k`` are ignored. Identical prefixes give rbo = 1 - p^k (the
+    truncated maximum); disjoint ones 0. 6-decimal rounds, one row per
+    query (a query present in either run scores — no silent drops).
+
+    Plan: one equi-join on (query_id, doc_id) — a shared doc enters
+    X_d for every d >= max(rank_a, rank_b) — then a k-row literal
+    depth relation joins per query (k*|queries| rows total) and one
+    bounded aggregate; nothing scales with the corpus."""
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"persistence p must be in (0, 1), got {p}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = run_a.sparkSession
+    a = run_a.select("query_id", "doc_id",
+                     F.col("rank").cast("long").alias("rank_a")) \
+        .filter(F.col("rank_a") <= k)
+    b = run_b.select("query_id", "doc_id",
+                     F.col("rank").cast("long").alias("rank_b")) \
+        .filter(F.col("rank_b") <= k)
+    shared = (a.join(b, ["query_id", "doc_id"])
+              .select("query_id",
+                      F.greatest("rank_a", "rank_b").alias("m")))
+    qs = (a.select("query_id").union(b.select("query_id")).distinct())
+    depths = spark.range(1, k + 1).select(F.col("id").alias("d"))
+    x = (shared.join(depths, shared["m"] <= depths["d"])
+         .groupBy("query_id", "d")
+         .agg(F.count(F.lit(1)).alias("x")))
+    grid = qs.crossJoin(depths)
+    per_d = (grid.join(x, ["query_id", "d"], "left")
+             .withColumn("x", F.coalesce("x", F.lit(0))))
+    term = F.pow(F.lit(float(p)), F.col("d") - 1) * F.col("x") \
+        / F.col("d")
+    return (per_d.groupBy("query_id")
+            .agg(F.round((1.0 - p) * F.sum(term), 6).alias("rbo"),
+                 F.round(F.max(F.when(F.col("d") == k, F.col("x")))
+                         / float(k), 6).alias("overlap_at_k"))
+            .orderBy("query_id"))

@@ -218,3 +218,80 @@ def test_rocchio_pulls_toward_relevant_cluster(spark):
         rocchio_topk(emb, q, r=0)
     with pytest.raises(ValueError, match="window has"):
         rocchio_topk(_emb_df(spark, a[:2]), [1.0] * 8, r=5)
+
+
+# ---------------------------------------------------------------------------
+# LTR features
+# ---------------------------------------------------------------------------
+
+def test_ltr_features_match_search_and_hand_counts(spark):
+    from index_spark.operators.ltr import ltr_features
+    from index_spark.operators.query import search
+
+    texts = ["data table scan join", "data data data filter",
+             "table sort merge", "group agg window data table"]
+    docs, index, stats = _tiny_index(spark, texts)
+    feats = ltr_features(index, stats, {0: "data table", 1: "merge"},
+                         stem=False, camel=False).collect()
+    f0 = {r.doc_id: r for r in feats if r.query_id == 0}
+    top = {r.doc_id: r.score for r in search(
+        index, docs, stats, "data table", k=10, stem=False,
+        camel=False, shard_size=64).collect()}
+    assert set(f0) == set(top)                  # candidates = matched
+    for d, r in f0.items():
+        assert r.bm25 == pytest.approx(round(top[d], 4), abs=2e-4)
+    # doc0 "data table scan join": tf(data)=1 tf(table)=1
+    assert f0[0].sum_tf == 2 and f0[0].n_matched == 2
+    assert f0[0].coverage == 1.0 and f0[0].dl == 4
+    # doc1 "data data data filter": only 'data'
+    assert f0[1].sum_tf == 3 and f0[1].n_matched == 1
+    assert f0[1].coverage == 0.5
+    n, df_data = 4.0, 3.0
+    idf = np.log(1.0 + (n - df_data + 0.5) / (df_data + 0.5))
+    assert f0[1].sum_idf == pytest.approx(round(idf, 6))
+    assert f0[1].max_idf == pytest.approx(round(idf, 6))
+    f1 = {r.doc_id: r for r in feats if r.query_id == 1}
+    assert set(f1) == {2} and f1[2].n_matched == 1
+
+
+def test_ltr_oov_terms_count_in_coverage(spark):
+    from index_spark.operators.ltr import ltr_features
+
+    _, index, stats = _tiny_index(spark, ["data table", "filter x"])
+    feats = {r.doc_id: r for r in ltr_features(
+        index, stats, {7: "data zzzmissing"}, stem=False,
+        camel=False).collect()}
+    assert feats[0].coverage == 0.5             # 1 of 2 query terms
+    assert ltr_features(index, stats, {1: ""}, stem=False,
+                        camel=False).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# RBO
+# ---------------------------------------------------------------------------
+
+def _run_df(spark, rows):
+    return spark.createDataFrame(rows, "query_id int, doc_id int, rank int")
+
+
+def test_rbo_hand_example_and_bounds(spark):
+    from index_spark.operators.evaluate import rbo_metric
+
+    a = _run_df(spark, [(0, 1, 1), (0, 2, 2), (0, 3, 3)])
+    b = _run_df(spark, [(0, 2, 1), (0, 1, 2), (0, 3, 3)])
+    out = rbo_metric(a, b, k=3, p=0.5).collect()[0]
+    # X = [0, 2, 3] -> 0.5*(0 + 0.5*1 + 0.25*1) = 0.375
+    assert out.rbo == pytest.approx(0.375)
+    assert out.overlap_at_k == pytest.approx(1.0)
+    # identical prefixes -> truncated max 1 - p^k
+    same = rbo_metric(a, a, k=3, p=0.5).collect()[0]
+    assert same.rbo == pytest.approx(1 - 0.5 ** 3)
+    # disjoint -> 0; query present in only one run still scores
+    c = _run_df(spark, [(0, 9, 1), (0, 8, 2), (0, 7, 3), (1, 5, 1)])
+    dis = {r.query_id: r for r in rbo_metric(a, c, k=3, p=0.5).collect()}
+    assert dis[0].rbo == 0.0 and dis[1].rbo == 0.0
+    assert dis[0].overlap_at_k == 0.0
+    with pytest.raises(ValueError, match="persistence"):
+        rbo_metric(a, b, p=0.0)
+    with pytest.raises(ValueError, match="k must"):
+        rbo_metric(a, b, k=0)
