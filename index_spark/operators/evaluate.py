@@ -307,3 +307,116 @@ def rbo_metric(run_a: DataFrame, run_b: DataFrame, k: int = 10,
                  F.round(F.max(F.when(F.col("d") == k, F.col("x")))
                          / float(k), 6).alias("overlap_at_k"))
             .orderBy("query_id"))
+
+
+def _tdi_coin(query_id: int, rnd: int, seed: int) -> bool:
+    """Pinned fair coin for team-draft round ``rnd``: True = team A
+    picks first. Same portable LCG family as function_score's
+    random_score (query.py) so any engine reproduces the draft."""
+    h = (query_id * 1103515245 + 12345 * rnd + seed) % 4294967296
+    return h < 2147483648
+
+
+def team_draft_interleave(run_a: DataFrame, run_b: DataFrame,
+                          k: int = 10, seed: int = 0) -> DataFrame:
+    """Team-draft interleaving (Radlinski, Kurup & Joachims, CIKM
+    2008) — the online-evaluation primitive: merge two rankings into
+    ONE list to show users, remembering which team contributed each
+    position so clicks credit a side (:func:`team_draft_credit`).
+
+    Per query and round r = 0, 1, ...: a pinned coin (:func:`_tdi_coin`
+    — deterministic, so the same (query, seed) always serves the same
+    list) decides which team picks first; each team then appends its
+    highest-ranked document not already in the interleaved list, until
+    ``k`` positions are filled or both rankings are exhausted.
+
+    Inputs: (query_id, doc_id, rank) each. Returns (query_id, pos,
+    doc_id, team) with pos 1-based and team 'a'/'b'.
+
+    Plan: ranks are capped at 2k before the draft (a team can be
+    blocked at most k times, so depth 2k suffices), the union is
+    grouped per query_id and drafted in a BOUNDED <= 4k-row pandas
+    kernel — per-query state never scales with the corpus — and the
+    output is <= k rows per query. Sequential drafting is inherent to
+    the protocol; the parallelism axis is queries, which is the axis
+    an interleaving experiment actually has."""
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cap = 2 * k
+    a = run_a.select("query_id", "doc_id",
+                     F.col("rank").cast("long").alias("rank"),
+                     F.lit("a").alias("team")).filter(F.col("rank") <= cap)
+    b = run_b.select("query_id", "doc_id",
+                     F.col("rank").cast("long").alias("rank"),
+                     F.lit("b").alias("team")).filter(F.col("rank") <= cap)
+    both = a.unionByName(b)
+    schema = T.StructType([
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("pos", T.LongType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("team", T.StringType(), False),
+    ])
+
+    def draft(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        ranks = {}
+        for t in ("a", "b"):
+            sub = pdf[pdf["team"] == t].sort_values("rank")
+            ranks[t] = [int(d) for d in sub["doc_id"]]
+        chosen: list[tuple] = []
+        in_list: set = set()
+        ptr = {"a": 0, "b": 0}
+
+        def pick(t: str) -> bool:
+            lst = ranks[t]
+            while ptr[t] < len(lst) and lst[ptr[t]] in in_list:
+                ptr[t] += 1
+            if ptr[t] >= len(lst):
+                return False
+            d = lst[ptr[t]]
+            in_list.add(d)
+            chosen.append((qid, len(chosen) + 1, d, t))
+            return True
+
+        rnd = 0
+        while len(chosen) < k:
+            first = "a" if _tdi_coin(qid, rnd, seed) else "b"
+            second = "b" if first == "a" else "a"
+            got_first = pick(first) if len(chosen) < k else False
+            got_second = pick(second) if len(chosen) < k else False
+            if not got_first and not got_second:
+                break
+            rnd += 1
+        return pd.DataFrame(chosen,
+                            columns=["query_id", "pos", "doc_id",
+                                     "team"])
+
+    return (both.groupBy("query_id").applyInPandas(draft, schema=schema)
+            .orderBy("query_id", "pos"))
+
+
+def team_draft_credit(interleaved: DataFrame, clicks: DataFrame
+                      ) -> DataFrame:
+    """Click-credit attribution for a team-draft experiment: join the
+    interleaved list against observed clicks (query_id, doc_id), count
+    clicked positions per team, and call the per-query winner ('a',
+    'b', or 'tie' — including the no-clicks case, the TDI convention).
+    Two bounded joins; rows per query <= k."""
+    cl = clicks.select("query_id", "doc_id").distinct() \
+               .withColumn("_c", F.lit(1))
+    j = (interleaved.join(cl, ["query_id", "doc_id"], "left")
+         .withColumn("_c", F.coalesce("_c", F.lit(0))))
+    out = (j.groupBy("query_id").agg(
+        F.sum(F.when(F.col("team") == "a", F.col("_c"))
+              .otherwise(F.lit(0))).alias("clicks_a"),
+        F.sum(F.when(F.col("team") == "b", F.col("_c"))
+              .otherwise(F.lit(0))).alias("clicks_b")))
+    return (out.withColumn(
+        "winner",
+        F.when(F.col("clicks_a") > F.col("clicks_b"), F.lit("a"))
+         .when(F.col("clicks_b") > F.col("clicks_a"), F.lit("b"))
+         .otherwise(F.lit("tie")))
+        .orderBy("query_id"))

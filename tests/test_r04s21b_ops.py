@@ -295,3 +295,63 @@ def test_rbo_hand_example_and_bounds(spark):
         rbo_metric(a, b, p=0.0)
     with pytest.raises(ValueError, match="k must"):
         rbo_metric(a, b, k=0)
+
+
+# ---------------------------------------------------------------------------
+# team-draft interleaving
+# ---------------------------------------------------------------------------
+
+def test_team_draft_disjoint_alternates_by_coin(spark):
+    from index_spark.operators.evaluate import (_tdi_coin,
+                                                team_draft_interleave)
+
+    a = _run_df(spark, [(0, 10, 1), (0, 11, 2), (0, 12, 3)])
+    b = _run_df(spark, [(0, 20, 1), (0, 21, 2), (0, 22, 3)])
+    out = team_draft_interleave(a, b, k=6, seed=0).collect()
+    assert [r.pos for r in out] == [1, 2, 3, 4, 5, 6]
+    # disjoint runs: round r contributes (first, second) by the coin
+    expect = []
+    pa, pb = [10, 11, 12], [20, 21, 22]
+    ia = ib = 0
+    for rnd in range(3):
+        order = ("a", "b") if _tdi_coin(0, rnd, 0) else ("b", "a")
+        for t in order:
+            if t == "a":
+                expect.append((pa[ia], "a")); ia += 1
+            else:
+                expect.append((pb[ib], "b")); ib += 1
+    assert [(r.doc_id, r.team) for r in out] == expect
+    # teams contribute equally on disjoint runs
+    assert sum(1 for r in out if r.team == "a") == 3
+
+
+def test_team_draft_skips_duplicates_and_exhausts(spark):
+    from index_spark.operators.evaluate import team_draft_interleave
+
+    # identical rankings: every doc appears ONCE, teams still alternate
+    a = _run_df(spark, [(0, 1, 1), (0, 2, 2), (0, 3, 3)])
+    out = team_draft_interleave(a, a, k=10, seed=0).collect()
+    assert [r.doc_id for r in out] == [1, 2, 3]      # no dup, stops
+    assert len({r.doc_id for r in out}) == 3
+    # k caps the list
+    b = _run_df(spark, [(0, 9, 1), (0, 8, 2), (0, 7, 3)])
+    capped = team_draft_interleave(a, b, k=2, seed=0).collect()
+    assert len(capped) == 2
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must"):
+        team_draft_interleave(a, b, k=0)
+
+
+def test_team_draft_credit(spark):
+    from index_spark.operators.evaluate import (team_draft_credit,
+                                                team_draft_interleave)
+
+    a = _run_df(spark, [(0, 10, 1), (0, 11, 2), (1, 30, 1)])
+    b = _run_df(spark, [(0, 20, 1), (0, 21, 2), (1, 40, 1)])
+    il = team_draft_interleave(a, b, k=4, seed=0)
+    clicks = spark.createDataFrame([(0, 10), (0, 11), (0, 20)],
+                                   "query_id int, doc_id int")
+    out = {r.query_id: r for r in team_draft_credit(il, clicks).collect()}
+    assert out[0].clicks_a == 2 and out[0].clicks_b == 1
+    assert out[0].winner == "a"
+    assert out[1].clicks_a == 0 and out[1].winner == "tie"
