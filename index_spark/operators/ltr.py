@@ -136,12 +136,12 @@ def ltr_features(index: DataFrame, stats: dict,
             frames.append(pd.DataFrame({
                 "query_id": np.full(uniq.size, qid, np.int64),
                 "doc_id": uniq,
-                "bm25": np.round(bm25, 4),
+                "bm25": bm25,
                 "sum_tf": sum_tf,
                 "n_matched": n_m,
-                "coverage": np.round(n_m / float(len(terms)), 6),
-                "sum_idf": np.round(sum_idf, 6),
-                "max_idf": np.round(max_idf, 6),
+                "coverage": n_m / float(len(terms)),
+                "sum_idf": sum_idf,
+                "max_idf": max_idf,
                 "dl": dl_out,
             }))
         if not frames:
@@ -151,5 +151,14 @@ def ltr_features(index: DataFrame, stats: dict,
                  for f in LTR_SCHEMA.fields})
         return pd.concat(frames, ignore_index=True)
 
+    # rounds happen JVM-side (F.round, half-away like the SQL oracles);
+    # np.round is banker's rounding and would diverge at exact halves
     return (hits.groupBy("shard").applyInPandas(fn, schema=LTR_SCHEMA)
+            .select("query_id", "doc_id",
+                    F.round("bm25", 4).alias("bm25"),
+                    "sum_tf", "n_matched",
+                    F.round("coverage", 6).alias("coverage"),
+                    F.round("sum_idf", 6).alias("sum_idf"),
+                    F.round("max_idf", 6).alias("max_idf"),
+                    "dl")
             .orderBy("query_id", "doc_id"))
