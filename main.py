@@ -169,7 +169,12 @@ def cmd_query(args) -> None:
         # query likelihood, Lucene ClassicSimilarity TF-IDF); OR-mode
         # only (no exclude/boost/paging composition)
         from index_spark.operators.query import (
+            axiomatic_search,
+            bm25_lossy_search,
             classic_search,
+            dfi_search,
+            dfr_search,
+            ib_search,
             lm_dirichlet_search,
             lm_jelinek_mercer_search,
         )
@@ -187,6 +192,21 @@ def cmd_query(args) -> None:
             rows = lm_jelinek_mercer_search(index, stats, args.query,
                                             lam=args.lam, k=args.k,
                                             tombstones=tomb).collect()
+        elif sim == "dfr":
+            rows = dfr_search(index, stats, args.query, k=args.k,
+                              tombstones=tomb).collect()
+        elif sim == "dfi":
+            rows = dfi_search(index, stats, args.query, k=args.k,
+                              tombstones=tomb).collect()
+        elif sim == "ib":
+            rows = ib_search(index, stats, args.query, k=args.k,
+                             tombstones=tomb).collect()
+        elif sim == "axiomatic":
+            rows = axiomatic_search(index, stats, args.query, k=args.k,
+                                    tombstones=tomb).collect()
+        elif sim == "lossy":
+            rows = bm25_lossy_search(index, stats, args.query,
+                                     k=args.k, tombstones=tomb).collect()
         else:  # classic
             rows = classic_search(index, stats, args.query, k=args.k,
                                   tombstones=tomb).collect()
@@ -1021,7 +1041,9 @@ def main(argv=None) -> None:
     q.add_argument("--boosts", default=None,
                    help="parquet of (doc_id, boost) function-scoring "
                         "multipliers")
-    q.add_argument("--similarity", choices=["bm25", "lmd", "jm", "classic"],
+    q.add_argument("--similarity",
+                   choices=["bm25", "lmd", "jm", "classic", "dfr",
+                            "dfi", "ib", "axiomatic", "lossy"],
                    default="bm25",
                    help="ranking function: BM25 (default) or LM-Dirichlet "
                         "query likelihood")
