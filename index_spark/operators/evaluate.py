@@ -312,8 +312,12 @@ def rbo_metric(run_a: DataFrame, run_b: DataFrame, k: int = 10,
 def _tdi_coin(query_id: int, rnd: int, seed: int) -> bool:
     """Pinned fair coin for team-draft round ``rnd``: True = team A
     picks first. Same portable LCG family as function_score's
-    random_score (query.py) so any engine reproduces the draft."""
-    h = (query_id * 1103515245 + 12345 * rnd + seed) % 4294967296
+    random_score (query.py) so any engine reproduces the draft; the
+    round (and seed) pass THROUGH the multiplier — an additive-only
+    round term would shift h by a few thousand out of 2^32 and almost
+    never flip the top-bit coin within a draft."""
+    h = ((query_id * 4096 + rnd + seed) * 1103515245 + 12345) \
+        % 4294967296
     return h < 2147483648
 
 

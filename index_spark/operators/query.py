@@ -5128,7 +5128,7 @@ def dfr_search(index: DataFrame, stats: dict, query: str,
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
-def _termwise_topk(index: DataFrame, stats: dict, query: str,
+def _termwise_topk(index: DataFrame, query: str,
                    make_weights, part_fn, k: int, stem: bool,
                    camel: bool, zone: str | None,
                    tombstones: DataFrame | None) -> DataFrame:
@@ -5234,7 +5234,7 @@ def dfi_search(index: DataFrame, stats: dict, query: str,
             m = (tfs - e) ** 2 / e
         return np.where(tfs > e, np.log1p(np.maximum(m, 0.0)) / ln2, 0.0)
 
-    return _termwise_topk(index, stats, query, make_weights, part, k,
+    return _termwise_topk(index, query, make_weights, part, k,
                           stem, camel, zone, tombstones)
 
 
@@ -5297,7 +5297,7 @@ def ib_search(index: DataFrame, stats: dict, query: str,
             return np.log((tfn + lv) / lv)
         return -np.log((np.power(lv, tfn / (tfn + 1.0)) - lv) / (1.0 - lv))
 
-    return _termwise_topk(index, stats, query, make_weights, part, k,
+    return _termwise_topk(index, query, make_weights, part, k,
                           stem, camel, zone, tombstones)
 
 
@@ -5342,7 +5342,7 @@ def axiomatic_search(index: DataFrame, stats: dict, query: str,
     def part(idf, tfs, dls):
         return idf * tfs / (tfs + s + s * dls / avgdl)
 
-    return _termwise_topk(index, stats, query, make_weights, part, k,
+    return _termwise_topk(index, query, make_weights, part, k,
                           stem, camel, zone, tombstones)
 
 
@@ -5444,5 +5444,5 @@ def bm25_lossy_search(index: DataFrame, stats: dict, query: str,
         dlq = quantize_norms_np(dls).astype(np.float64)
         return idf * tfs / (tfs + K1 * (1.0 - B + B * dlq / avgdl))
 
-    return _termwise_topk(index, stats, query, make_weights, part, k,
+    return _termwise_topk(index, query, make_weights, part, k,
                           stem, camel, zone, tombstones)

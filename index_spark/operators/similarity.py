@@ -872,10 +872,14 @@ def srp_hamming_topk(emb: DataFrame, qvec: list[float], k: int = 10,
     if rerank is None:
         return scored.orderBy(F.asc("hamming"), F.asc("vec_id")).limit(k)
     cand = scored.orderBy(F.asc("hamming"), F.asc("vec_id")).limit(rerank)
+    # join FIRST, cosine after — same reasoning as bbq_topk: keep the
+    # O(d) exact rerank on the c candidate rows, not the whole relation
     vecs = emb.select(F.col(id_col).cast("long").alias("vec_id"),
-                      F.round(_cos_expr(vec_col, [float(x) for x in qvec]),
-                              4).alias("cos"))
+                      F.col(vec_col).alias("_vv"))
     return (cand.join(vecs, "vec_id")
+            .select("vec_id", "hamming",
+                    F.round(_cos_expr("_vv", [float(x) for x in qvec]),
+                            4).alias("cos"))
             .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))
 
 
@@ -1231,11 +1235,15 @@ def bbq_topk(emb: DataFrame, qvec: list[float], k: int = 10,
     cand = (codes.select("vec_id", est.alias("est"))
             .orderBy(F.desc("est"), F.asc("vec_id"))
             .limit(int(oversample) * k))
+    # join FIRST, cosine after: the O(d) exact arithmetic runs on the
+    # oversample*k joined rows only, never the full relation (a
+    # pre-join projection would be evaluated for every vector)
     vecs = emb.select(F.col(id_col).cast("long").alias("vec_id"),
-                      F.round(_cos_expr(vec_col,
-                                        [float(x) for x in qvec]), 4)
-                       .alias("cos"))
+                      F.col(vec_col).alias("_vv"))
     return (cand.join(vecs, "vec_id")
+            .select("vec_id", "est",
+                    F.round(_cos_expr("_vv", [float(x) for x in qvec]),
+                            4).alias("cos"))
             .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))
 
 

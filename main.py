@@ -1045,8 +1045,12 @@ def main(argv=None) -> None:
                    choices=["bm25", "lmd", "jm", "classic", "dfr",
                             "dfi", "ib", "axiomatic", "lossy"],
                    default="bm25",
-                   help="ranking function: BM25 (default) or LM-Dirichlet "
-                        "query likelihood")
+                   help="ranking function: bm25 (default), lmd "
+                        "(LM-Dirichlet), jm (LM-Jelinek-Mercer), "
+                        "classic (TF-IDF), dfr (IneL2), dfi "
+                        "(independence), ib (information-based), "
+                        "axiomatic (F2EXP), lossy (BM25 with Lucene "
+                        "SmallFloat one-byte norms)")
     q.add_argument("--mu", type=float, default=2000.0,
                    help="Dirichlet smoothing parameter (with "
                         "--similarity lmd)")

@@ -323,6 +323,11 @@ def test_team_draft_disjoint_alternates_by_coin(spark):
     assert [(r.doc_id, r.team) for r in out] == expect
     # teams contribute equally on disjoint runs
     assert sum(1 for r in out if r.team == "a") == 3
+    # the coin actually varies: across rounds of a draft AND with seed
+    coins = [_tdi_coin(0, rnd, 0) for rnd in range(20)]
+    assert len(set(coins)) == 2
+    assert any(_tdi_coin(q, 0, 0) != _tdi_coin(q, 0, 1)
+               for q in range(8))
 
 
 def test_team_draft_skips_duplicates_and_exhausts(spark):
