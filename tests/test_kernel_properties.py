@@ -98,3 +98,45 @@ def test_sloppy_phrase_random_probes(random_pos_index):
                    stem=False).collect()]
         assert got == _naive_sloppy(texts, phrase, gap, k=1000), \
             (phrase, gap)
+
+
+# ---------------------------------------------------------------------------
+# SmallFloat norm codec properties (session 21)
+# ---------------------------------------------------------------------------
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=300, deadline=None)
+def test_smallfloat_props(i):
+    from index_spark.functions.norms import int_to_byte4, quantize_norm
+
+    b = int_to_byte4(i)
+    q = quantize_norm(i)
+    assert 0 <= b <= 0xFF
+    assert q <= i                       # floors, never rounds up
+    assert quantize_norm(q) == q        # idempotent (fixed point)
+    if q >= 8:
+        # at most 4 significant bits survive
+        shift = q.bit_length() - 4
+        assert (q >> shift) << shift == q
+    # loss strictly under one unit in the 4th significant bit
+    assert i - q < (1 << max(i.bit_length() - 4, 0))
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 2))
+@settings(max_examples=200, deadline=None)
+def test_smallfloat_monotone_pairs(i):
+    from index_spark.functions.norms import quantize_norm
+
+    assert quantize_norm(i) <= quantize_norm(i + 1)
+
+
+def test_tdi_coin_is_balanced():
+    from index_spark.operators.evaluate import _tdi_coin
+
+    flips = [_tdi_coin(q, r, 0) for q in range(200) for r in range(10)]
+    frac = sum(flips) / len(flips)
+    assert 0.45 < frac < 0.55
+    # and varies within single drafts for most queries
+    varied = sum(len({_tdi_coin(q, r, 0) for r in range(10)}) == 2
+                 for q in range(200))
+    assert varied > 150
