@@ -8940,6 +8940,48 @@ SELECT query_id, doc_id, rank FROM (
 WHERE rank <= 10"""
 
 
+# champion lists: per-term top-8 postings by (tf desc, doc_id asc),
+# exact BM25 over the pruned relation only
+_ORACLE_CHAMPIONS = """
+, ch AS (
+  SELECT term, doc_id, tf FROM (
+    SELECT tf.term, tf.doc_id, tf.tf,
+           row_number() OVER (PARTITION BY tf.term
+                              ORDER BY tf.tf DESC, tf.doc_id ASC) AS rk
+    FROM tf) WHERE rk <= 8
+)
+, scr AS (
+  SELECT ch.doc_id,
+         round(sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * ch.tf / (ch.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ), 4) AS score
+  FROM ch JOIN q ON ch.term = q.term
+  JOIN dft ON ch.term = dft.term
+  JOIN dl ON ch.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY ch.doc_id
+)
+SELECT doc_id, score FROM scr
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+# Good-Turing frequency-of-frequencies: classes r <= 1024 with the raw
+# r* estimator ((r+1) n_{r+1} / n_r, class r+1 = 1025 kept for the lead)
+_ORACLE_GOOD_TURING = """
+, cfr AS (SELECT term, CAST(count(*) AS BIGINT) AS cf
+          FROM tok GROUP BY term)
+, tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS t FROM cfr)
+, nr AS (SELECT cf AS r, CAST(count(*) AS BIGINT) AS n_r
+         FROM cfr GROUP BY cf HAVING cf <= 1025)
+, led AS (SELECT r, n_r,
+                 lead(n_r) OVER (ORDER BY r) AS nxt,
+                 lead(r) OVER (ORDER BY r) AS nxt_r
+          FROM nr)
+SELECT CAST(r AS BIGINT) AS r, n_r,
+       round(CASE WHEN nxt_r = r + 1 THEN (r + 1.0) * nxt / n_r END,
+             6) AS r_star,
+       round(r * n_r / tot.t, 6) AS mass_frac
+FROM led CROSS JOIN tot WHERE r <= 1024 ORDER BY r"""
+
+
 def _r04s21c_engine_queries() -> dict[str, Callable[[SparkSession, str],
                                                     DataFrame]]:
     def ltr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8963,7 +9005,27 @@ def _r04s21c_engine_queries() -> dict[str, Callable[[SparkSession, str],
                                     [_queryset_values_sql()]))
         return rbo_metric(run_a, run_b, k=10, p=0.9)
 
-    return {"ltr_features": ltr_q, "rbo_eval": rbo_q}
+    def champion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.query import (build_champion_lists,
+                                                 search_champions)
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        ch = build_champion_lists(index, n=8)
+        # search_champions already reports 4dp scores (pinned cut)
+        return search_champions(ch, stats, "data table query", k=10,
+                                stem=False, camel=False)
+
+    def good_turing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.analytics import good_turing
+
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # synthetic sf-corpus vocab is small and frequent (min cf ~26
+        # at sf0.01), so the class cap must span real frequencies
+        return good_turing(raw, max_r=1024)
+
+    return {"ltr_features": ltr_q, "rbo_eval": rbo_q,
+            "champion_topk": champion_q,
+            "freq_of_freqs": good_turing_q}
 
 
 def _r04s21b_engine_queries() -> dict[str, Callable[[SparkSession, str],
@@ -9700,6 +9762,10 @@ ORDER BY event_id""")
         _docs_sql("duck", _ORACLE_LTR, [qs_cte]))
     add("rbo_eval", eng21c["rbo_eval"],
         _docs_sql("duck", _ORACLE_RBO_EVAL, [qs_cte]))
+    add("champion_topk", eng21c["champion_topk"],
+        _docs_sql("duck", _ORACLE_CHAMPIONS, [q_cte]))
+    add("freq_of_freqs", eng21c["freq_of_freqs"],
+        _docs_sql("duck", _ORACLE_GOOD_TURING, []))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -770,7 +770,8 @@ def main() -> None:
     for name in ["dfi_topk", "ib_topk", "axiomatic_topk", "bbq_topk",
                  "rbp_eval", "zipf_fit", "context_suggest",
                  "lucene_norms_topk", "sig_chi2_terms", "missing_facet",
-                 "rocchio_topk", "ltr_features", "rbo_eval"]:
+                 "rocchio_topk", "ltr_features", "rbo_eval",
+                 "champion_topk", "freq_of_freqs"]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # 10c. concurrent-query throughput at 8 vs 32 cores, each in its

@@ -1909,3 +1909,61 @@ def missing_facet(df: DataFrame, field: str, by: str | None = None
         F.count(field).alias("value_count"),
         F.sum(F.col(field).isNull().cast("long")).alias("missing")))
     return out.orderBy("bucket")
+
+
+def good_turing(docs: DataFrame, text_col: str = "text",
+                max_r: int = 16, round_at: int = 6) -> DataFrame:
+    """Good–Turing frequency-of-frequencies profile (Good 1953; the
+    Gale & Sampson 1995 presentation) — the third corpus-law profiler
+    next to :func:`heaps_law` and :func:`zipf_law`: how many DISTINCT
+    terms occur exactly r times, the smoothed count r* the estimator
+    assigns them, and each class's share of the token mass. n_1/N is
+    the Turing estimate of UNSEEN-species mass — what a 100-TB crawl
+    still hasn't shown you, the number that says whether the term
+    dictionary has converged.
+
+    Returns one row per frequency class r = 1..``max_r``:
+
+        (r, n_r, r_star, mass_frac)
+        r_star    = (r + 1) * n_{r+1} / n_r   (NULL when n_{r+1}
+                                               is absent — the raw
+                                               estimator's gap)
+        mass_frac = r * n_r / N               (N = total tokens)
+
+    ordered by r. Plan: one token aggregate (cf per term), one
+    |vocab|-row aggregate to frequency classes, a lead() window over
+    <= max_r rows — corpus-size-independent memory past the first
+    combine."""
+    if max_r < 1:
+        raise ValueError(f"max_r must be >= 1, got {max_r}")
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col),
+                                               F.lit(""))),
+                            "[^a-z0-9]+"), lambda x: x != "")
+    cf = (docs.select(F.explode_outer(toks).alias("term"))
+          .filter(F.col("term").isNotNull())
+          .groupBy("term").agg(F.count("*").alias("cf")))
+    total = cf.agg(F.sum("cf").alias("t")).collect()[0]["t"]
+    if not total:
+        raise ValueError("empty corpus")
+    # keep class max_r+1 through the window so r = max_r still gets
+    # its r* from the real n_{r+1}; drop it in the final select
+    nr = (cf.groupBy(F.col("cf").alias("r"))
+          .agg(F.count("*").alias("n_r"))
+          .filter(F.col("r") <= max_r + 1))
+    w = Window.orderBy(F.asc("r"))
+    nxt = F.lead("n_r").over(w)
+    nxt_r = F.lead("r").over(w)
+    # lead() pairs adjacent ROWS; r+1 may be an empty class (no term
+    # occurs exactly r+1 times), in which case n_{r+1} = 0 -> NULL gap
+    r_star = F.when(nxt_r == F.col("r") + 1,
+                    (F.col("r") + 1.0) * nxt / F.col("n_r"))
+    # window first (over classes up to max_r+1), cut after — Catalyst
+    # cannot push a non-partition-key filter below the window, so the
+    # lead() at r = max_r still sees the real n_{r+1}
+    full = nr.select(
+        F.col("r").cast("long").alias("r"),
+        F.col("n_r").cast("long").alias("n_r"),
+        F.round(r_star, round_at).alias("r_star"),
+        F.round(F.col("r") * F.col("n_r") / F.lit(float(total)),
+                round_at).alias("mass_frac"))
+    return full.filter(F.col("r") <= max_r).orderBy("r")

@@ -5446,3 +5446,107 @@ def bm25_lossy_search(index: DataFrame, stats: dict, query: str,
 
     return _termwise_topk(index, query, make_weights, part, k,
                           stem, camel, zone, tombstones)
+
+
+CHAMPION_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("tf", T.LongType(), False),
+    T.StructField("dl", T.LongType(), False),
+])
+
+
+def build_champion_lists(index: DataFrame, n: int = 32,
+                         zone: str | None = None) -> DataFrame:
+    """Champion lists (a.k.a. static index pruning / top-docs lists —
+    Manning et al., IIR §7.1.3; Ntoulas & Cho, SIGIR 2007): for every
+    term, the ``n`` postings with the highest tf (doc_id-asc
+    tiebreak) plus the term's GLOBAL df — a compaction-time companion
+    relation that serves approximate top-k from a tiny fraction of the
+    index (:func:`search_champions`).
+
+    Returns (term, df, doc_id, tf, dl), at most ``n`` rows per term.
+
+    Scale shape: each index ROW contributes only its own top-``n``
+    candidates from inside the Arrow decode kernel (a map-side
+    pre-cut: a hot term with thousands of segment rows ships
+    n*rows candidates, never its full posting list), then one window
+    per term over those survivors makes the cut global; df is the
+    usual metadata-only aggregate broadcast back. Build-time cost, so
+    the window over the pre-cut relation is acceptable — the query
+    path never touches the full index."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    index = pin_zone(index, zone)
+    from index_spark.operators.build import DOC_MARKER
+
+    terms = index.filter(F.col("term") != DOC_MARKER)
+    dfg = terms.groupBy("term").agg(F.sum("df").alias("df"))
+
+    def fn(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                docs = np.cumsum(vb.decode(row.doc_blob)
+                                 .astype(np.int64))
+                tfs = vb.decode(row.tf_blob).astype(np.int64)
+                dls = vb.decode(row.dl_blob).astype(np.int64)
+                if docs.size > n:
+                    # row-local pre-cut: top-n by (tf desc, doc asc)
+                    order = np.lexsort((docs, -tfs))[:n]
+                    docs, tfs, dls = docs[order], tfs[order], dls[order]
+                yield pd.DataFrame({
+                    "term": np.repeat(row.term, docs.size),
+                    "doc_id": docs, "tf": tfs, "dl": dls})
+
+    cand = (terms.select("term", "doc_blob", "tf_blob", "dl_blob")
+            .mapInPandas(fn, schema=CHAMPION_SCHEMA))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term").orderBy(F.desc("tf"),
+                                           F.asc("doc_id"))
+    return (cand.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= n).drop("_r")
+            .join(dfg, "term")
+            .select("term", "df", "doc_id", "tf", "dl"))
+
+
+def search_champions(champions: DataFrame, stats: dict, query: str,
+                     k: int = 10, stem: bool = True,
+                     camel: bool = True) -> DataFrame:
+    """Approximate top-k BM25 over the champion relation ONLY — the
+    serving half of :func:`build_champion_lists`. Scores are the exact
+    BM25 contributions of the champion postings (idf from the stored
+    global df, the usual k1=1.2 / b=0.75 contract), so a doc's score
+    is exact iff all its matched postings are champions; docs whose
+    postings were pruned score lower or drop — the documented
+    approximation of the technique.
+
+    Plan: PURE JVM codegen end to end (no Python, no blob decode at
+    query time): term filter pushes to the champion scan (<= n rows
+    per query term reach the aggregate), one groupBy(doc_id) partial
+    sum, k-row TakeOrderedAndProject. The whole query touches
+    |q| * n rows regardless of corpus size — that is the point.
+
+    Scores are reported at 4-decimal precision and the cut orders by
+    (rounded score desc, doc_id asc): a groupBy sum has no pinned
+    addend order, so ranking raw floats would make the k-th row
+    engine-dependent at the ulp level."""
+    spark = champions.sparkSession
+    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    if not qterms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    n_docs = float(stats.get("n_docs") or 0)
+    avgdl = float(stats.get("avgdl") or 0)
+    if n_docs <= 0 or avgdl <= 0:
+        raise ValueError("stats['n_docs'] and stats['avgdl'] must be "
+                         "positive")
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    part = idf * tf / (tf + K1 * (1.0 - B + B * dl / F.lit(avgdl)))
+    return (champions.filter(F.col("term").isin(qterms))
+            .select("doc_id", part.alias("_p"))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("_p"), 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))

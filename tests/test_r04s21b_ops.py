@@ -360,3 +360,89 @@ def test_team_draft_credit(spark):
     assert out[0].clicks_a == 2 and out[0].clicks_b == 1
     assert out[0].winner == "a"
     assert out[1].clicks_a == 0 and out[1].winner == "tie"
+
+
+# ---------------------------------------------------------------------------
+# champion lists
+# ---------------------------------------------------------------------------
+
+def test_champion_build_prunes_per_term(spark):
+    from index_spark.operators.query import build_champion_lists
+
+    texts = ["data data data x", "data data y", "data z", "w data"]
+    _, index, stats = _tiny_index(spark, texts)
+    ch = build_champion_lists(index, n=2)
+    rows = sorted(
+        [(r.term, r.doc_id, r.tf, r.df, r.dl)
+         for r in ch.filter("term = 'data'").collect()])
+    # df(data)=4 but only top-2 postings survive: doc0 tf=3, doc1 tf=2
+    assert rows == [("data", 0, 3, 4, 4), ("data", 1, 2, 4, 3)]
+    # singleton terms keep their single posting
+    assert ch.filter("term = 'z'").count() == 1
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n must"):
+        build_champion_lists(index, n=0)
+
+
+def test_champion_search_matches_full_bm25_when_unpruned(spark):
+    from index_spark.operators.query import (build_champion_lists,
+                                             search, search_champions)
+
+    texts = ["data table scan", "data data filter", "table merge",
+             "agg data table window"]
+    docs, index, stats = _tiny_index(spark, texts)
+    ch = build_champion_lists(index, n=64)     # no pruning
+    a = {r.doc_id: r.score for r in search_champions(
+        ch, stats, "data table", k=10, stem=False,
+        camel=False).collect()}
+    b = {r.doc_id: r.score for r in search(
+        index, docs, stats, "data table", k=10, stem=False,
+        camel=False, shard_size=64).collect()}
+    assert set(a) == set(b)
+    for d in a:
+        # champion scores are reported at 4dp (pinned cut)
+        assert a[d] == pytest.approx(b[d], abs=5e-5)
+
+
+def test_champion_search_drops_pruned_postings(spark):
+    from index_spark.operators.query import (build_champion_lists,
+                                             search_champions)
+
+    # 'data' tf: doc0=3, doc1=2, doc2=1 -> n=2 prunes doc2's posting
+    texts = ["data data data", "data data x", "data y"]
+    _, index, stats = _tiny_index(spark, texts)
+    ch = build_champion_lists(index, n=2)
+    out = {r.doc_id: r.score for r in search_champions(
+        ch, stats, "data", k=10, stem=False, camel=False).collect()}
+    assert set(out) == {0, 1}          # doc2 pruned entirely for 'data'
+    assert search_champions(ch, stats, "", stem=False,
+                            camel=False).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing
+# ---------------------------------------------------------------------------
+
+def test_good_turing_hand_classes(spark):
+    from index_spark.operators.analytics import good_turing
+
+    # cf: a,b,c = 1 (n_1=3); d = 2 (n_2=1); e = 3 (n_3=1); N = 8
+    docs = spark.createDataFrame(
+        [(0, "a b c d d e e e")], "doc_id long, text string")
+    out = {r.r: r for r in good_turing(docs, max_r=16).collect()}
+    assert out[1].n_r == 3 and out[2].n_r == 1 and out[3].n_r == 1
+    assert out[1].r_star == pytest.approx(round(2 * 1 / 3, 6))
+    assert out[2].r_star == pytest.approx(3.0)
+    assert out[3].r_star is None                  # no n_4 class
+    assert out[1].mass_frac == pytest.approx(0.375)
+    assert out[3].mass_frac == pytest.approx(0.375)
+    # boundary: r = max_r still sees the real n_{r+1}
+    b = {r.r: r for r in good_turing(docs, max_r=2).collect()}
+    assert set(b) == {1, 2}
+    assert b[2].r_star == pytest.approx(3.0)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_r"):
+        good_turing(docs, max_r=0)
+    empty = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="empty corpus"):
+        good_turing(empty)
