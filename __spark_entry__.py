@@ -7892,19 +7892,19 @@ SELECT d.lang,
        round(sum(d.n_chars) / count(*), 4) AS avg_value,
        CAST(sum(d.n_chars) AS BIGINT) AS sum_value,
        CAST(sum(d.n_chars * d.n_chars) AS BIGINT) AS sum_of_squares,
-       round(sum(d.n_chars * d.n_chars) / count(*)
-             - (sum(d.n_chars) / count(*)) * (sum(d.n_chars) / count(*)),
+       round(greatest(sum(d.n_chars * d.n_chars) / count(*)
+             - (sum(d.n_chars) / count(*)) * (sum(d.n_chars) / count(*)), 0.0),
              4) AS variance,
-       round(sqrt(sum(d.n_chars * d.n_chars) / count(*)
-             - (sum(d.n_chars) / count(*)) * (sum(d.n_chars) / count(*))),
+       round(sqrt(greatest(sum(d.n_chars * d.n_chars) / count(*)
+             - (sum(d.n_chars) / count(*)) * (sum(d.n_chars) / count(*)), 0.0)),
              4) AS std_deviation,
        round(sum(d.n_chars) / count(*)
-             + 2.0 * sqrt(sum(d.n_chars * d.n_chars) / count(*)
-               - (sum(d.n_chars) / count(*)) * (sum(d.n_chars) / count(*))),
+             + 2.0 * sqrt(greatest(sum(d.n_chars * d.n_chars) / count(*)
+               - (sum(d.n_chars) / count(*)) * (sum(d.n_chars) / count(*)), 0.0)),
              4) AS std_upper,
        round(sum(d.n_chars) / count(*)
-             - 2.0 * sqrt(sum(d.n_chars * d.n_chars) / count(*)
-               - (sum(d.n_chars) / count(*)) * (sum(d.n_chars) / count(*))),
+             - 2.0 * sqrt(greatest(sum(d.n_chars * d.n_chars) / count(*)
+               - (sum(d.n_chars) / count(*)) * (sum(d.n_chars) / count(*)), 0.0)),
              4) AS std_lower
 FROM documents d
 JOIN (SELECT DISTINCT tf.doc_id FROM tf JOIN q ON tf.term = q.term) m
@@ -7959,7 +7959,7 @@ SELECT event_type,
        round(count(*) / 0.1, 4) AS est_count,
        round(sum(value) / 0.1, 4) AS est_sum
 FROM events
-WHERE (event_id * 2654435761) % 4294967296 < 429496729
+WHERE ((event_id % 2147483648) * 2654435761) % 4294967296 < 429496729
 GROUP BY event_type ORDER BY event_type"""
 
 _ORACLE_VAR_WIDTH_HIST = """

@@ -1543,7 +1543,9 @@ def facet_extended_stats(index: DataFrame, doc_meta: DataFrame,
     same two exchanges as :func:`facet_stats` at any match-set size,
     and any SQL engine restates the arithmetic bit-for-bit (streaming
     Welford implementations differ in last-ulp; rounding pins the
-    rest)."""
+    rest). The naive form can round to a tiny NEGATIVE value on
+    near-constant groups, so variance clamps at 0 (the same clamp ES
+    applies) — otherwise std_deviation and both bounds would be NaN."""
     m = matching_docs(index, query, mode=mode, stem=stem, camel=camel,
                       zone=zone)
     cols = [F.col("doc_id").cast("long"), F.col(value).alias("_v")]
@@ -1554,7 +1556,7 @@ def facet_extended_stats(index: DataFrame, doc_meta: DataFrame,
     s = F.sum("_v")
     sos = F.sum(F.col("_v") * F.col("_v"))
     avg = s / n
-    var = sos / n - avg * avg
+    var = F.greatest(sos / n - avg * avg, F.lit(0.0))
     std = F.sqrt(var)
     r = round_at
     aggs = [n.alias("n_docs"),
@@ -1723,7 +1725,11 @@ def langid_nb(docs: DataFrame, label_col: str = "lang",
     - prediction = max score, ties to the lexicographically smallest
       label.
 
-    Returns (doc_id, label, pred, score). Scale shape: the model is a
+    Returns (doc_id, label, pred, score). Docs whose truncated text
+    yields NO trigram (fewer than 3 characters, or NULL) have no
+    evidence to score and are ABSENT from the result — join back
+    against the corpus and default such rows (e.g. to the majority
+    prior) if a total labeling is required. Scale shape: the model is a
     (labels x vocab)-bounded relation built by one map-side-combinable
     aggregate; scoring fans each gram occurrence out by |labels| (a
     broadcast-joinable dimension), sums per (doc, label), and ranks

@@ -18,6 +18,8 @@ that runs on EVERY doc first.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -293,8 +295,9 @@ def c4_quality(docs: DataFrame, text_col: str = "text",
     low = F.lower(txt)
     lines = F.filter(F.split(txt, "\n"), lambda x: F.trim(x) != "")
 
-    term = "|".join("\\" + c if c in ".!?\\" else c
-                    for c in terminal_chars)
+    # re.escape every terminal char: a bare ')', '*' or '[' would
+    # build an invalid (or silently wrong) line-keep regex
+    term = "|".join(re.escape(c) for c in terminal_chars)
     # a line survives C4's three conditions
     def _kept(x):
         cond = F.rtrim(x).rlike(f"({term})$")
@@ -322,16 +325,15 @@ def c4_quality(docs: DataFrame, text_col: str = "text",
         for c in (".", "!", "?")).cast("long")
     d = d.withColumn("n_sentences", n_sentences)
 
-    chain = None
-    for s in banned_substrings:
+    # innermost-out CASE build: sentence gate + ok default first, then
+    # banned substrings wrap in reverse so the FIRST tuple entry wins;
+    # an empty banned_substrings tuple (gates disabled) still works
+    chain = F.when(F.col("n_sentences") < int(min_sentences),
+                   F.lit("too_few_sentences")).otherwise(F.lit("ok"))
+    for s in reversed(banned_substrings):
         esc = s.replace("'", "''")
-        cond = F.col("_low").contains(s.lower())
-        label = F.lit(f"banned:{esc}")
-        chain = F.when(cond, label) if chain is None \
-            else chain.when(cond, label)
-    chain = (chain.when(F.col("n_sentences") < int(min_sentences),
-                        F.lit("too_few_sentences"))
-             .otherwise(F.lit("ok")))
+        chain = F.when(F.col("_low").contains(s.lower()),
+                       F.lit(f"banned:{esc}")).otherwise(chain)
     return (d.withColumn("reason", chain)
              .withColumn("keep", F.col("reason") == "ok")
              .select("doc_id", "n_lines", "n_kept_lines", "n_sentences",

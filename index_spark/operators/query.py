@@ -4436,7 +4436,6 @@ def combined_fields_search(index: DataFrame, zone_stats: dict,
     zw = {z: float(zone_weights[z]) for z in zones}
 
     zsel = index.filter(F.col("zone").isin(zones))
-    hits = zsel.filter(F.col("term").isin(qterms))
     pool = (zsel.filter(F.col("term").isin(qterms + [DOC_MARKER]))
             .select("shard", "zone", "term", "doc_blob", "tf_blob"))
 

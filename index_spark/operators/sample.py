@@ -406,10 +406,14 @@ def random_sampler_agg(df: DataFrame, key_col: str, group_col: str,
     """ES ``random_sampler`` aggregation: compute aggregates over a
     random subset and scale the results back up by ``1/probability``.
     The draw is pinned as a Knuth multiplicative hash of ``key_col``
-    (``(key * 2654435761 + seed) mod 2^32 < p * 2^32``) instead of
-    ES's implementation-defined per-shard PRNG, so any engine —
-    including the SQL oracle — reproduces the exact subset; the hash
-    is uniform enough that the estimator behaves like ES's.
+    (``(pmod(key, 2^31) * 2654435761 + seed) pmod 2^32 < p * 2^32``)
+    instead of ES's implementation-defined per-shard PRNG, so any
+    engine — including the SQL oracle — reproduces the exact subset;
+    the hash is uniform enough that the estimator behaves like ES's.
+    The inner ``pmod(·, 2^31)`` bounds the product inside int64 (no
+    silent wrap for huge keys) and the outer ``pmod`` keeps the gate
+    non-negative for negative keys — a sign-following ``%`` would
+    admit every negative hash with probability 1.
 
     Returns per group: ``sampled_count`` (rows actually aggregated),
     ``est_count`` and — when ``value_col`` is given — ``est_sum``
@@ -419,8 +423,10 @@ def random_sampler_agg(df: DataFrame, key_col: str, group_col: str,
     if not (0.0 < probability <= 1.0):
         raise ValueError("probability must be in (0, 1]")
     thresh = int(probability * 4294967296.0)
-    gate = ((F.col(key_col).cast("long") * F.lit(2654435761)
-             + F.lit(int(seed))) % F.lit(4294967296) < F.lit(thresh))
+    gate = (F.pmod(F.pmod(F.col(key_col).cast("long"),
+                          F.lit(2147483648)) * F.lit(2654435761)
+                   + F.lit(int(seed)),
+                   F.lit(4294967296)) < F.lit(thresh))
     aggs = [F.count("*").alias("sampled_count"),
             (F.count("*") / F.lit(probability)).alias("est_count")]
     if value_col is not None:

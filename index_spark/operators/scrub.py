@@ -97,6 +97,13 @@ def grok_compile(pattern: str) -> tuple[str, list[str]]:
         fields.append(field)
         pos = m.end()
     out.append(_lit_escape(pattern[pos:]))
+    bare = re.search(r"%\{[A-Za-z0-9_]+\}", pattern)
+    if bare:
+        # without this check a field-less ref would be silently
+        # regex-escaped into literal text and the pattern could never
+        # match a real line
+        raise ValueError(f"grok reference {bare.group(0)} has no "
+                         "field name (use %{NAME:field})")
     if not fields:
         raise ValueError("grok pattern captures no fields")
     if len(set(fields)) != len(fields):

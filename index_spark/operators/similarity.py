@@ -1072,11 +1072,17 @@ def reshape_token_vectors(emb: DataFrame, n_tokens: int,
     late-interaction (multi-vector) index stores per document.
 
     Pure Catalyst (``transform`` over a ``sequence`` of slice starts),
-    map-only. Raises if ``dim`` is not divisible by ``n_tokens`` (checked
-    lazily per row via the slice arithmetic; the caller pins dims).
+    map-only. Raises if the probed ``dim`` is not divisible by
+    ``n_tokens`` — integer slice arithmetic would otherwise silently
+    DROP the trailing ``dim mod n_tokens`` components of every vector.
     """
     if n_tokens < 1:
         raise ValueError("n_tokens must be >= 1")
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is not None and int(first["d"]) % n_tokens != 0:
+        raise ValueError(
+            f"dim {first['d']} not divisible by n_tokens {n_tokens}: "
+            "the reshape would silently truncate trailing components")
     sub = (F.size(F.col(vec_col)) / n_tokens).cast("int")
     tok_vecs = F.transform(
         F.sequence(F.lit(0), F.lit(int(n_tokens)) - 1),

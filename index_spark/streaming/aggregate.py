@@ -395,7 +395,8 @@ def sessionize_window_stream(events: DataFrame, gap_s: int = SESSION_GAP_S,
 
 def enrich_stream(events: DataFrame, dim: DataFrame,
                   keys: list[str] | str = "user_id",
-                  how: str = "left") -> DataFrame:
+                  how: str = "left",
+                  broadcast: bool = True) -> DataFrame:
     """Stream-static enrichment join — the ES ingest ``enrich``
     processor / dimension-lookup stage of a streaming pipeline: each
     micro-batch's events equi-join a STATIC dimension relation (user
@@ -407,8 +408,12 @@ def enrich_stream(events: DataFrame, dim: DataFrame,
     SAME call on two batch frames produces the identical plan (Kappa
     parity, pinned by test). ``how`` is ``left`` (keep unmatched
     events, NULL attributes — the enrich-processor default) or
-    ``inner``."""
+    ``inner``. ``broadcast=False`` drops the hint for a dimension too
+    large to broadcast (multi-GB profile tables) and lets the
+    optimizer pick the join strategy per micro-batch instead of
+    forcing a build-side OOM."""
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
     keys = [keys] if isinstance(keys, str) else list(keys)
-    return events.join(F.broadcast(dim), keys, how)
+    d = F.broadcast(dim) if broadcast else dim
+    return events.join(d, keys, how)

@@ -122,6 +122,11 @@ def cmd_query(args) -> None:
                           for r in rows]))
         return
     if phonetic:
+        if args.fuzzy or args.regex:
+            # one expansion mode at a time — silent precedence would
+            # return phonetic results under a --fuzzy flag
+            raise SystemExit("--phonetic cannot combine with "
+                             "--fuzzy/--regex; pick one expansion mode")
         # soundex-key dictionary expansion (functions/phonetic.py)
         from index_spark.operators.query import sounds_like_search
         from index_spark.plans.dictionary import (
