@@ -1390,7 +1390,11 @@ def rate_agg(events: DataFrame, unit: str = "day",
            else F.count(F.lit(1)).cast("double"))
     grouped = (events.groupBy(*keys, bucket.alias("bucket"))
                .agg(agg.alias("_total")))
-    nxt = F.col("bucket") + F.expr(f"INTERVAL 1 {interval}")
+    # Spark's interval grammar has no QUARTER unit (date_trunc does) —
+    # a quarter is exactly three calendar months
+    step = ("INTERVAL 3 month" if interval == "quarter"
+            else f"INTERVAL 1 {interval}")
+    nxt = F.col("bucket") + F.expr(step)
     span_s = F.unix_timestamp(nxt) - F.unix_timestamp(F.col("bucket"))
     rate = F.col("_total") / (span_s / F.lit(units_s[unit]))
     return (grouped.select(*keys, "bucket",

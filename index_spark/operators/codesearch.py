@@ -208,11 +208,12 @@ def grep_lines(docs: DataFrame, pattern: str, regex: bool = False,
     short for the gram gate (< 3 chars, or a regex with no >=3-char
     literal run) scan — the documented Cox fallback.
 
-    Context shape: the match set explodes to its (2N+1)-line windows
-    (bounded fan-out) and equi-joins back to the line relation on
-    (doc_id, line_no) — a semi-join distinct, never a theta/range join
-    (the :func:`index_spark.operators.temporal.range_join` bucket
-    trick, degenerate here because windows are integer-bounded)."""
+    Context shape: line numbers are DENSE per doc (every line emits),
+    so "within N lines of a match" is a per-doc window —
+    ``max(is_match) over rowsBetween(-N, N)`` — ONE pass over the
+    line relation with no self-join, no distinct, and the predicate
+    evaluated exactly once per line (the join formulation re-scanned
+    the exploded relation on both sides)."""
     d = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                     F.col(text_col).alias("_t"))
     if trgm is not None:
@@ -234,15 +235,16 @@ def grep_lines(docs: DataFrame, pattern: str, regex: bool = False,
         raise ValueError(f"context must be >= 0, got {context}")
     if context == 0:
         return lines.filter(pred).orderBy("doc_id", "line_no")
-    matches = lines.filter(pred).select("doc_id", "line_no")
-    wanted = (matches
-              .select("doc_id",
-                      F.explode(F.sequence(
-                          F.greatest(F.col("line_no") - context, F.lit(1)),
-                          F.col("line_no") + context)).alias("line_no"))
-              .distinct())
-    return (lines.join(wanted, ["doc_id", "line_no"])
-            .select("doc_id", "line_no", "line", pred.alias("is_match"))
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("doc_id").orderBy("line_no")
+         .rowsBetween(-context, context))
+    tagged = lines.withColumn("is_match", pred)
+    return (tagged
+            .withColumn("_near",
+                        F.max(F.col("is_match").cast("int")).over(w))
+            .filter(F.col("_near") == 1)
+            .select("doc_id", "line_no", "line", "is_match")
             .orderBy("doc_id", "line_no"))
 
 

@@ -313,7 +313,11 @@ def bloom_decontaminate(train: DataFrame, bench: DataFrame, n: int = 8,
     bits = bloom_bits(bg, "gram", m_bits=m_bits, k=k)
     tg = doc_grams(train, n, text_col, id_col).distinct()
     cand = bloom_maybe_filter(tg, "gram", bits, k=k)
-    hits = (cand.join(F.broadcast(bg), "gram")
+    # NO broadcast hint on the exact verify join: the whole point of
+    # the bloom tier is that the benchmark gram relation is too large
+    # to ship to every executor — shuffle both (small) sides on gram
+    # and let AQE pick; only bloom-positive grams reach this join
+    hits = (cand.join(bg, "gram")
             .groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_overlap")))
     ids = train.select(F.col(id_col).cast("long").alias("doc_id"))

@@ -970,6 +970,11 @@ def mrl_topk(emb: DataFrame, qvec: list[float], dim: int, k: int = 10,
         raise ValueError(f"dim must be positive, got {dim}")
     if not qvec:
         raise ValueError("qvec must be non-empty")
+    if dim > len(qvec):
+        # zip_with would NULL-pad the shorter side and every cosine
+        # would fold to NULL — k arbitrary rows instead of an error
+        raise ValueError(f"dim {dim} exceeds query dimension "
+                         f"{len(qvec)}")
     qt = [float(x) for x in qvec[:dim]]
     sliced = F.slice(F.col(vec_col), 1, dim)
     dot = F.aggregate(

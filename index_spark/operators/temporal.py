@@ -290,20 +290,29 @@ def date_histogram(events: DataFrame, interval: str = "hour",
         return out.orderBy(*keys, "bucket")
 
     # gap-fill: the complete bucket axis from one bounds row
-    spark = events.sparkSession
     step = (F.expr("INTERVAL 1 WEEK") if interval == "week"
             else F.expr(f"INTERVAL 1 {interval.upper()}"))
+    data_bounds = events.agg(
+        F.date_trunc(interval, F.min(F.col(ts_col).cast("timestamp")))
+        .alias("dlo"),
+        F.date_trunc(interval, F.max(F.col(ts_col).cast("timestamp")))
+        .alias("dhi"))
     if extended_bounds is not None:
+        # ES extended_bounds only EXTENDS the axis — it never clips
+        # data buckets (that is the separate hard_bounds option), so
+        # the axis is the union of the literal and data ranges;
+        # least/greatest skip the NULLs an empty relation produces
         lo, hi = extended_bounds
-        bounds = spark.sql(
-            f"SELECT date_trunc('{interval}', timestamp'{lo}') AS lo, "
-            f"date_trunc('{interval}', timestamp'{hi}') AS hi")
+        bounds = data_bounds.select(
+            F.least(F.col("dlo"),
+                    F.expr(f"date_trunc('{interval}', "
+                           f"timestamp'{lo}')")).alias("lo"),
+            F.greatest(F.col("dhi"),
+                       F.expr(f"date_trunc('{interval}', "
+                              f"timestamp'{hi}')")).alias("hi"))
     else:
-        bounds = events.agg(
-            F.date_trunc(interval, F.min(F.col(ts_col).cast("timestamp")))
-            .alias("lo"),
-            F.date_trunc(interval, F.max(F.col(ts_col).cast("timestamp")))
-            .alias("hi"))
+        bounds = data_bounds.select(F.col("dlo").alias("lo"),
+                                    F.col("dhi").alias("hi"))
     axis = bounds.select(
         F.explode(F.sequence("lo", "hi", step)).alias("bucket"))
     if keys:

@@ -94,11 +94,17 @@ def cmd_query(args) -> None:
 
         if (args.fuzzy or args.regex or phonetic or args.exclude
                 or args.mode != "or" or boosts is not None
-                or after is not None or sim != "bm25"):
+                or after is not None or sim != "bm25"
+                or getattr(args, "min_match", None)):
             raise SystemExit("--qs composes the boolean grammar only — "
                              "drop --fuzzy/--regex/--phonetic/--exclude/"
-                             "--mode/--boosts/--after/--similarity "
-                             "(express them in the query string)")
+                             "--mode/--boosts/--after/--similarity/"
+                             "--min-match (express them in the query "
+                             "string)")
+        if "*" in args.query or "?" in args.query:
+            # the grammar tokenizer would silently strip glob chars
+            raise SystemExit("--qs does not expand wildcards; drop "
+                             "--qs to use the wildcard route")
         rows = query_string_search(index, stats, args.query,
                                    k=args.k).collect()
         print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]}

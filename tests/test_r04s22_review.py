@@ -105,3 +105,54 @@ def test_enrich_stream_broadcast_knob(spark):
         sorted((r.user_id, r.seg) for r in plain.collect())
     assert "broadcast" in hinted._jdf.queryExecution().optimizedPlan() \
         .toString().lower() or True    # hint presence is optimizer-level
+
+
+def test_rate_agg_quarter_interval(spark):
+    from index_spark.operators.analytics import rate_agg
+
+    ev = spark.createDataFrame(
+        [("2024-02-15 00:00:00", 10.0), ("2024-05-01 00:00:00", 20.0)],
+        "ts string, value double")
+    out = {str(r.bucket): r for r in
+           rate_agg(ev, unit="day", interval="quarter").collect()}
+    # Q1-2024 spans 91 days: rate = 1 event / 91 days
+    q1 = out["2024-01-01 00:00:00"]
+    assert q1.total == 1.0
+    assert q1.rate_per_day == pytest.approx(round(1 / 91.0, 4))
+
+
+def test_date_histogram_extended_bounds_extends_not_clips(spark):
+    from index_spark.operators.temporal import date_histogram
+
+    rows = [("2024-01-01 00:10:00",), ("2024-01-01 07:20:00",)]
+    ev = spark.createDataFrame(rows, "ts string")
+    out = date_histogram(
+        ev, interval="hour", min_doc_count=0,
+        extended_bounds=("2024-01-01 03:00:00", "2024-01-01 05:00:00"))
+    got = {str(r.bucket): r.doc_count for r in out.collect()}
+    # axis = union of data range (00..07) and bounds (03..05): the
+    # hour-07 data bucket must NOT vanish (ES extended_bounds never
+    # clips; clipping is hard_bounds)
+    assert got["2024-01-01 07:00:00"] == 1
+    assert got["2024-01-01 00:00:00"] == 1
+    assert len(got) == 8 and sum(got.values()) == 2
+
+
+def test_mrl_rejects_dim_beyond_query(spark):
+    from index_spark.operators.similarity import mrl_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 32)], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="exceeds query dimension"):
+        mrl_topk(emb, [1.0] * 16, dim=32)
+
+
+def test_grep_context_window_semantics(spark):
+    from index_spark.operators.codesearch import grep_lines
+
+    docs = spark.createDataFrame(
+        [(0, "aa\nbb\nneedle\ncc\ndd\nee")], "doc_id long, text string")
+    out = [(r.line_no, r.line, r.is_match)
+           for r in grep_lines(docs, "needle", context=1).collect()]
+    assert out == [(2, "bb", False), (3, "needle", True),
+                   (4, "cc", False)]
