@@ -8751,14 +8751,16 @@ ORDER BY cos DESC, cand.vec_id ASC LIMIT 10"""
 
 
 # Lucene-fidelity BM25: dl enters through the SmallFloat one-byte norm
-# codec (quantize = ((dl >> (bits-4)) & 7 | 8) << (bits-4) for dl >= 8,
-# bits = length(bin(dl))); avgdl stays exact
+# codec — dl < 24 exact (NUM_FREE_VALUES), else 24 + inner 4-significant-
+# bit float of x = dl-24 (x < 8 exact, else ((x >> s) & 7 | 8) << s with
+# s = length(bin(x)) - 4); avgdl stays exact
 _ORACLE_LOSSY_BM25 = """
 , dlq AS (
   SELECT doc_id,
-         CASE WHEN dlen < 8 THEN dlen
-              ELSE ((((dlen >> (length(bin(dlen)) - 4)) & 7) | 8)
-                    << (length(bin(dlen)) - 4)) END AS dlqv
+         CASE WHEN dlen < 24 THEN dlen
+              WHEN dlen - 24 < 8 THEN dlen
+              ELSE 24 + (((((dlen - 24) >> (length(bin(dlen - 24)) - 4)) & 7) | 8)
+                         << (length(bin(dlen - 24)) - 4)) END AS dlqv
   FROM dl
 )
 , scr AS (

@@ -478,11 +478,30 @@ def significant_terms(index: DataFrame, fg_docs: DataFrame, n_docs: int,
         score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
         col = "jlh"
     elif heuristic in ("chi_square", "mutual_information"):
+        if n_fg > n_docs:
+            raise ValueError(
+                f"n_docs ({n_docs}) must cover the foreground "
+                f"({n_fg} docs): the background must be a superset")
         n = F.lit(float(n_docs))
         n11 = F.col("fg_df").cast("double")
         n10 = F.lit(float(n_fg)) - n11
         n01 = F.col("df").cast("double") - n11
         n00 = (n - F.lit(float(n_fg))) - n01
+        # background-is-superset row guards (the ES contract): an
+        # n_docs inconsistent with the df relation (e.g. a pinned-zone
+        # doc count against all-zone dfs) drives contingency cells
+        # negative — chi2 then scores 0 or garbage silently and MI
+        # takes log of a negative — fail loudly instead
+        n01 = F.when(n01 < 0, F.raise_error(F.concat(
+            F.lit("term '"), F.col("term"),
+            F.lit("' has df < fg_df: foreground and background "
+                  "df come from different corpora")))) \
+            .otherwise(n01)
+        n00 = F.when(n00 < 0, F.raise_error(F.concat(
+            F.lit("term '"), F.col("term"),
+            F.lit(f"' has n_fg + df - fg_df > n_docs ({n_docs}): "
+                  "n_docs does not cover the background corpus")))) \
+            .otherwise(n00)
         if heuristic == "chi_square":
             denom = (n11 + n01) * (n11 + n10) * (n10 + n00) * (n01 + n00)
             score = F.when(
@@ -1952,14 +1971,21 @@ def good_turing(docs: DataFrame, text_col: str = "text",
     cf = (docs.select(F.explode_outer(toks).alias("term"))
           .filter(F.col("term").isNotNull())
           .groupBy("term").agg(F.count("*").alias("cf")))
-    total = cf.agg(F.sum("cf").alias("t")).collect()[0]["t"]
+    # materialize the (tiny, vocab-bounded) class relation ONCE — the
+    # eager localCheckpoint runs the corpus scan a single time; both
+    # the driver-side total and the returned lineage read the
+    # checkpoint instead of recomputing the dominant aggregate
+    nr_all = (cf.groupBy(F.col("cf").alias("r"))
+              .agg(F.count("*").alias("n_r"))
+              .localCheckpoint())
+    row = nr_all.agg(F.sum(F.col("r") * F.col("n_r")).alias("t")) \
+                .collect()[0]
+    total = row["t"]
     if not total:
         raise ValueError("empty corpus")
     # keep class max_r+1 through the window so r = max_r still gets
     # its r* from the real n_{r+1}; drop it in the final select
-    nr = (cf.groupBy(F.col("cf").alias("r"))
-          .agg(F.count("*").alias("n_r"))
-          .filter(F.col("r") <= max_r + 1))
+    nr = nr_all.filter(F.col("r") <= max_r + 1)
     w = Window.orderBy(F.asc("r"))
     nxt = F.lead("n_r").over(w)
     nxt_r = F.lead("r").over(w)

@@ -313,12 +313,33 @@ def _tdi_coin(query_id: int, rnd: int, seed: int) -> bool:
     """Pinned fair coin for team-draft round ``rnd``: True = team A
     picks first. Same portable LCG family as function_score's
     random_score (query.py) so any engine reproduces the draft; the
-    round (and seed) pass THROUGH the multiplier — an additive-only
-    round term would shift h by a few thousand out of 2^32 and almost
-    never flip the top-bit coin within a draft."""
-    h = ((query_id * 4096 + rnd + seed) * 1103515245 + 12345) \
+    round passes THROUGH the multiplier — an additive-only round term
+    would shift h by a few thousand out of 2^32 and almost never flip
+    the top-bit coin within a draft.  The seed is avalanched with
+    splitmix32 and XOR-mixed into the state BEFORE the multiplier (not
+    added to the round slot, which would make seed s round r equal
+    seed 0 round r+s — round-shifted, fully correlated
+    "re-randomizations"; and a single-multiply Knuth hash left ~69%
+    top-bit agreement between seeds).  XORing out splitmix32(0) makes
+    seed 0 the exact identity, so seed-0 drafts are unchanged.  Pure
+    shift/xor/multiply — restatable in any SQL engine."""
+    sh = _splitmix32(seed) ^ 2462723854       # splitmix32(0)
+    h = (((query_id * 4096 + rnd) ^ sh) * 1103515245 + 12345) \
         % 4294967296
     return h < 2147483648
+
+
+def _splitmix32(x: int) -> int:
+    """32-bit splitmix finalizer (public domain; Steele et al. 2014
+    'Fast Splittable Pseudorandom Number Generators', 32-bit constants
+    per the widely-used murmur3-finalizer variant)."""
+    m = 4294967296
+    x = (x + 0x9E3779B9) % m
+    x ^= x >> 16
+    x = (x * 0x85EBCA6B) % m
+    x ^= x >> 13
+    x = (x * 0xC2B2AE35) % m
+    return x ^ (x >> 16)
 
 
 def team_draft_interleave(run_a: DataFrame, run_b: DataFrame,

@@ -161,4 +161,9 @@ def ltr_features(index: DataFrame, stats: dict,
                     F.round("sum_idf", 6).alias("sum_idf"),
                     F.round("max_idf", 6).alias("max_idf"),
                     "dl")
-            .orderBy("query_id", "doc_id"))
+            # partition-local order only: the feature relation is
+            # unbounded (every query x matching doc), and a global
+            # orderBy would total-sort it through one extra exchange
+            # before it streams to the feature store — callers that
+            # need a global order sort the (small) slice they take
+            .sortWithinPartitions("query_id", "doc_id"))

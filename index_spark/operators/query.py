@@ -5483,7 +5483,12 @@ def build_champion_lists(index: DataFrame, n: int = 32,
     dfg = terms.groupBy("term").agg(F.sum("df").alias("df"))
 
     def fn(batches):
+        # one output frame per ARROW BATCH, not per index row — a
+        # per-row yield pays DataFrame construction + Arrow
+        # serialization once per (term, segment) row and becomes
+        # allocation-bound on million-row indexes
         for pdf in batches:
+            t_out, d_out, tf_out, dl_out = [], [], [], []
             for row in pdf.itertuples(index=False):
                 docs = np.cumsum(vb.decode(row.doc_blob)
                                  .astype(np.int64))
@@ -5493,9 +5498,16 @@ def build_champion_lists(index: DataFrame, n: int = 32,
                     # row-local pre-cut: top-n by (tf desc, doc asc)
                     order = np.lexsort((docs, -tfs))[:n]
                     docs, tfs, dls = docs[order], tfs[order], dls[order]
+                t_out.append(np.repeat(row.term, docs.size))
+                d_out.append(docs)
+                tf_out.append(tfs)
+                dl_out.append(dls)
+            if t_out:
                 yield pd.DataFrame({
-                    "term": np.repeat(row.term, docs.size),
-                    "doc_id": docs, "tf": tfs, "dl": dls})
+                    "term": np.concatenate(t_out),
+                    "doc_id": np.concatenate(d_out),
+                    "tf": np.concatenate(tf_out),
+                    "dl": np.concatenate(dl_out)})
 
     cand = (terms.select("term", "doc_blob", "tf_blob", "dl_blob")
             .mapInPandas(fn, schema=CHAMPION_SCHEMA))

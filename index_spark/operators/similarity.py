@@ -1218,6 +1218,25 @@ def bbq_topk(emb: DataFrame, qvec: list[float], k: int = 10,
     qnorm = float(np.sqrt(q @ q))
     if qnorm == 0:
         raise ValueError("zero query vector")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if oversample < 1:
+        raise ValueError(f"oversample must be >= 1, got {oversample}")
+    # dimension guard (the mrl_topk pattern): a mismatched query would
+    # read a bit subset in the estimator and NULL-pad the exact-cosine
+    # zip_with in the rerank — k arbitrary rows instead of an error
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty embedding relation")
+    if int(first["d"]) != d:
+        raise ValueError(f"query dimension {d} != embedding dimension "
+                         f"{int(first['d'])}")
+    if codes is not None:
+        cw = codes.select(F.size("words").alias("nw")).first()
+        if cw is not None and int(cw["nw"]) != (d + 31) // 32:
+            raise ValueError(
+                f"codes were encoded at a different dimension: "
+                f"{int(cw['nw'])} words != {(d + 31) // 32} expected")
     src = emb
     if restrict is not None:
         allow = restrict.select(F.col("vec_id").cast("long")

@@ -114,12 +114,16 @@ def test_smallfloat_props(i):
     assert 0 <= b <= 0xFF
     assert q <= i                       # floors, never rounds up
     assert quantize_norm(q) == q        # idempotent (fixed point)
-    if q >= 8:
-        # at most 4 significant bits survive
-        shift = q.bit_length() - 4
-        assert (q >> shift) << shift == q
-    # loss strictly under one unit in the 4th significant bit
-    assert i - q < (1 << max(i.bit_length() - 4, 0))
+    if q < 24:
+        assert q == i                   # NUM_FREE_VALUES: exact
+    elif q - 24 >= 8:
+        # at most 4 significant bits of the offset value survive
+        x = q - 24
+        shift = x.bit_length() - 4
+        assert (x >> shift) << shift == x
+    # loss strictly under one unit in the 4th significant bit of i-24
+    assert i - q < (1 << max((i - 24).bit_length() - 4, 0) if i >= 24
+                    else 1)
 
 
 @given(st.integers(min_value=0, max_value=2**31 - 2))
@@ -140,3 +144,25 @@ def test_tdi_coin_is_balanced():
     varied = sum(len({_tdi_coin(q, r, 0) for r in range(10)}) == 2
                  for q in range(200))
     assert varied > 150
+
+
+def test_tdi_coin_seeds_are_independent():
+    from index_spark.operators.evaluate import _tdi_coin
+
+    # the regression: seed s must NOT reproduce seed 0's sequence
+    # shifted by s rounds (the old additive mixing did exactly that)
+    shifted_eq = sum(_tdi_coin(q, r, 1) == _tdi_coin(q, r + 1, 0)
+                     for q in range(200) for r in range(10))
+    assert shifted_eq < 1500        # ~half under independence, was 2000
+    # each seed still yields a balanced, per-draft-varying coin
+    for seed in (1, 7, 12345):
+        flips = [_tdi_coin(q, r, seed)
+                 for q in range(200) for r in range(10)]
+        assert 0.45 < sum(flips) / len(flips) < 0.55
+    # agreement between two seeds' full sequences is near-chance
+    agree = sum(_tdi_coin(q, r, 0) == _tdi_coin(q, r, 1)
+                for q in range(200) for r in range(10))
+    assert 800 < agree < 1200
+    # seed 0 is the exact pre-splitmix identity (pinned drafts hold)
+    assert _tdi_coin(5, 3, 0) == (((5 * 4096 + 3) * 1103515245 + 12345)
+                                  % 4294967296 < 2147483648)

@@ -252,6 +252,31 @@ def test_bbq_restrict_and_validation(spark):
         bbq_topk(emb, [0.0] * 16)
 
 
+def test_bbq_guards_dim_k_oversample(spark):
+    from index_spark.operators.similarity import bbq_encode, bbq_topk
+
+    rng = np.random.RandomState(19)
+    vecs = rng.randn(10, 16)
+    emb = _emb_df(spark, vecs)
+    q16 = [float(x) for x in vecs[0]]
+    # dimension mismatch fails loudly instead of NULL-padded cosines
+    with pytest.raises(ValueError, match="dimension"):
+        bbq_topk(emb, q16[:8], k=3)
+    with pytest.raises(ValueError, match="dimension"):
+        bbq_topk(emb, q16 + [1.0], k=3)
+    # codes encoded at a different dim are rejected before the scan
+    codes64 = bbq_encode(_emb_df(spark, rng.randn(10, 64)))
+    with pytest.raises(ValueError, match="different dimension"):
+        bbq_topk(emb, q16, k=3, codes=codes64)
+    # k / oversample typos raise instead of returning empty
+    with pytest.raises(ValueError, match="k must be"):
+        bbq_topk(emb, q16, k=0)
+    with pytest.raises(ValueError, match="oversample"):
+        bbq_topk(emb, q16, k=3, oversample=0)
+    with pytest.raises(ValueError, match="empty embedding"):
+        bbq_topk(emb.filter("vec_id < 0"), q16, k=3)
+
+
 def test_bbq_precomputed_codes_path(spark):
     from index_spark.operators.similarity import bbq_encode, bbq_topk
 

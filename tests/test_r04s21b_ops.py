@@ -15,20 +15,27 @@ def test_smallfloat_pinned_vectors():
     from index_spark.functions.norms import (byte4_to_int, int_to_byte4,
                                              quantize_norm)
 
-    # 0..15 round-trip exactly
-    for i in range(16):
+    # 0..40 round-trip exactly: 0..23 are NUM_FREE_VALUES, 24..40 land
+    # in the inner codec's exact range (x = i-24 <= 16)
+    for i in range(41):
         assert quantize_norm(i) == i
-    # lossy floors above 4 significant bits
-    assert quantize_norm(17) == 16
-    assert quantize_norm(19) == 18
-    assert quantize_norm(31) == 30
-    assert quantize_norm(1000) == 960
-    # powers of two are exact at any magnitude
-    for e in range(3, 30):
+    # first lossy value and floors above 24 + 4 significant bits
+    assert quantize_norm(41) == 40
+    assert quantize_norm(43) == 42
+    assert quantize_norm(63) == 60     # 24 + q4(39) = 24 + 36
+    assert quantize_norm(1000) == 984     # Lucene: 24 + int4(976) = 984
+    assert quantize_norm(2048) == 1944
+    # powers of two are NOT exact above 128 (x = 2^e - 24 needs > 4 bits)
+    for e in range(3, 8):
         assert quantize_norm(1 << e) == 1 << e
+    assert quantize_norm(256) == 248
     # encode/decode structure
     assert int_to_byte4(8) == 8 and byte4_to_int(8) == 8
     assert int_to_byte4(16) == 16 and byte4_to_int(16) == 16
+    assert int_to_byte4(24) == 24 and byte4_to_int(24) == 24
+    # byte 255 decodes to Lucene's max bucket: 24 + ((7|8) << 27)
+    assert byte4_to_int(255) == 24 + (15 << 27)
+    assert int_to_byte4(2**31 - 1) == 255
     with pytest.raises(ValueError):
         int_to_byte4(-1)
     with pytest.raises(ValueError):
@@ -82,16 +89,17 @@ def test_bm25_lossy_quantizes_long_docs(spark):
     from index_spark.functions.norms import quantize_norm
     from index_spark.operators.query import bm25_lossy_search
 
-    # doc0: 17 tokens (dl quantizes 17 -> 16); doc1: short
-    texts = ["data " + "pad " * 16, "data x"]
+    # doc0: 41 tokens (dl quantizes 41 -> 40, the first lossy bucket);
+    # doc1: short
+    texts = ["data " + "pad " * 40, "data x"]
     _, index, stats = _tiny_index(spark, texts)
     out = {r.doc_id: r.score for r in bm25_lossy_search(
         index, stats, "data", k=10, stem=False, camel=False).collect()}
-    n, avgdl = 2.0, (17 + 2) / 2.0
+    n, avgdl = 2.0, (41 + 2) / 2.0
     idf = np.log(1.0 + (n - 2 + 0.5) / (2 + 0.5))
-    for d, dl in ((0, 17), (1, 2)):
+    for d, dl in ((0, 41), (1, 2)):
         dlq = quantize_norm(dl)
-        assert dlq == (16 if d == 0 else 2)
+        assert dlq == (40 if d == 0 else 2)
         want = idf * 1.0 / (1.0 + 1.2 * (1 - 0.75 + 0.75 * dlq / avgdl))
         assert out[d] == pytest.approx(want, abs=1e-9)
 
@@ -119,6 +127,26 @@ def test_significant_chi_square_hand_table(spark):
     # n11=2 n10=0 n01=0 n00=4 -> chi2 = 6*(2*4)^2 / (2*2*4*4) = 6.0
     assert out["apple"].chi2 == pytest.approx(6.0)
     assert out["apple"].fg_df == 2 and out["apple"].df == 2
+
+
+def test_significant_nxy_rejects_inconsistent_n_docs(spark):
+    from index_spark.operators.analytics import significant_terms
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    index, fg, stats = _sig_fixture(spark)
+    # n_docs understating the corpus: cherry (df=3, fg_df=1) with
+    # n_docs=2 drives n00 = 2-2-3+1 = -2 — silently scored 0 (chi2) or
+    # NaN-logged (MI) before; must fail loudly
+    for heuristic in ("chi_square", "mutual_information"):
+        with pytest.raises((Py4JJavaError, PySparkException),
+                           match="does not cover"):
+            significant_terms(index, fg, 2, top=20, min_fg_df=1,
+                              heuristic=heuristic).collect()
+    # n_fg > n_docs is rejected before any job runs
+    with pytest.raises(ValueError, match="superset"):
+        significant_terms(index, fg, 1, top=20, min_fg_df=2,
+                          heuristic="chi_square")
 
 
 def test_significant_mutual_information_hand_table(spark):
