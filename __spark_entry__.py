@@ -9145,6 +9145,147 @@ def _r04s21_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "context_suggest": ctx_suggest_q}
 
 
+# Synchronous label propagation unrolled: per iteration, count
+# neighbor labels, argmax by (count desc, label asc), isolated nodes
+# keep their label (same contract as graph.label_propagation)
+_LP_ITER_DUCK = """
+c{i} AS (
+  SELECT e.u, l.label, CAST(count(*) AS BIGINT) AS c
+  FROM und e JOIN l{p} l ON e.v = l.node
+  GROUP BY e.u, l.label
+), b{i} AS (
+  SELECT u, label FROM (
+    SELECT u, label,
+           row_number() OVER (PARTITION BY u
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM c{i})
+  WHERE rn = 1
+), l{i} AS (
+  SELECT l.node, coalesce(b.label, l.label) AS label
+  FROM l{p} l LEFT JOIN b{i} b ON l.node = b.u
+),"""
+
+# 3-gram Jaccard >= 0.2 similarity graph, symmetrized — the same
+# fixture graph (and the same CTE text) as _pagerank_duck_sql
+_JACCARD_UND_DUCK = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+), pos AS (
+  SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS p
+  FROM toks WHERE len(l) >= 3
+), grams AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', l[p], l[p + 1], l[p + 2]) AS gram FROM pos
+), gcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+  GROUP BY g1.doc_id, g2.doc_id
+), jpairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN gcnt ca ON inter.doc_a = ca.doc_id
+  JOIN gcnt cb ON inter.doc_b = cb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (ca.n_grams + cb.n_grams - n_inter) >= 0.2
+), und AS (
+  SELECT doc_a AS u, doc_b AS v FROM jpairs
+  UNION SELECT doc_b AS u, doc_a AS v FROM jpairs
+),"""
+
+
+def _lp_duck_sql(iters: int) -> str:
+    body = "".join(_LP_ITER_DUCK.format(i=i + 1, p=i) for i in range(iters))
+    return f"""{_JACCARD_UND_DUCK}
+l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+{body.strip().rstrip(',')}
+SELECT node, label FROM l{iters} ORDER BY node"""
+
+
+# ES moving_fn over the hourly rollup: trailing-6 EXCLUSIVE frame
+# (shift=0 excludes the current bucket), ewma seeded with the oldest
+# frame value (list_reduce's fold IS the ES loop), linearWeightedAvg
+# weights 1..n ascending
+_ORACLE_MOVING_FN = """
+WITH r AS (
+  SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket,
+         event_type, CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 4) AS sum_value,
+         round(avg(value), 4) AS avg_value
+  FROM events GROUP BY 2, 3),
+win AS (
+  SELECT granularity, bucket, event_type, n_events, sum_value, avg_value,
+         list(CAST(sum_value AS DOUBLE))
+           OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS l
+  FROM r)
+SELECT granularity, bucket, event_type, n_events, sum_value, avg_value,
+       round(CASE WHEN len(l) > 0
+                  THEN list_reduce(l, (acc, x) -> x * 0.3 + acc * 0.7)
+             END, 6) AS ewma,
+       round(CASE WHEN len(l) > 0
+                  THEN list_sum(list_transform(
+                         list_zip(l, range(1, len(l) + 1)),
+                         p -> p[1] * p[2]))
+                       / (len(l) * (len(l) + 1) / 2.0)
+             END, 6) AS linear
+FROM win ORDER BY event_type, bucket"""
+
+# DrillSideways: each constrained dim counts with its OWN filter
+# removed and the other filters applied; top 10 per dim by
+# (n_docs desc, value asc)
+_ORACLE_DRILL_SIDEWAYS = """
+WITH cells AS (
+  SELECT 'lang' AS dim, lang AS value, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents WHERE source = 'src18' AND lang IS NOT NULL
+  GROUP BY lang
+  UNION ALL
+  SELECT 'source', source, CAST(count(*) AS BIGINT)
+  FROM documents WHERE lang = 'en' AND source IS NOT NULL
+  GROUP BY source
+), ranked AS (
+  SELECT dim, value, n_docs,
+         row_number() OVER (PARTITION BY dim
+                            ORDER BY n_docs DESC, value ASC) AS rn
+  FROM cells)
+SELECT dim, value, n_docs FROM ranked WHERE rn <= 10
+ORDER BY dim, n_docs DESC, value"""
+
+
+def _r04s23_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                   DataFrame]]:
+    def lp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.dedup import ngram_jaccard_pairs
+        from index_spark.operators.graph import label_propagation
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2,
+                                    text_col="text", id_col="doc_id")
+        nodes = docs.select(F.col("doc_id").alias("node"))
+        return label_propagation(nodes, pairs, iters=3)
+
+    def moving_fn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.temporal import (moving_fn,
+                                                    rollup_timeseries)
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        hourly = rollup_timeseries(ev, granularities=["hour"],
+                                   by=["event_type"])
+        out = moving_fn(hourly, value_col="sum_value", window=6,
+                        fn="ewma", alpha=0.3, by=["event_type"])
+        return moving_fn(out, value_col="sum_value", window=6,
+                         fn="linear", by=["event_type"])
+
+    def drill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from index_spark.operators.analytics import drill_sideways
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return drill_sideways(docs, {"lang": "en", "source": "src18"},
+                              top=10)
+
+    return {"lp_communities": lp_q, "events_ewma": moving_fn_q,
+            "drill_sideways_facet": drill_q}
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -9768,6 +9909,12 @@ ORDER BY event_id""")
         _docs_sql("duck", _ORACLE_CHAMPIONS, [q_cte]))
     add("freq_of_freqs", eng21c["freq_of_freqs"],
         _docs_sql("duck", _ORACLE_GOOD_TURING, []))
+
+    eng23 = _r04s23_engine_queries()
+    add("lp_communities", eng23["lp_communities"], _lp_duck_sql(3))
+    add("events_ewma", eng23["events_ewma"], _ORACLE_MOVING_FN)
+    add("drill_sideways_facet", eng23["drill_sideways_facet"],
+        _ORACLE_DRILL_SIDEWAYS)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -2003,3 +2003,54 @@ def good_turing(docs: DataFrame, text_col: str = "text",
         F.round(F.col("r") * F.col("n_r") / F.lit(float(total)),
                 round_at).alias("mass_frac"))
     return full.filter(F.col("r") <= max_r).orderBy("r")
+
+
+def drill_sideways(df: DataFrame, filters: dict[str, object],
+                   facet_cols: list[str] | None = None,
+                   top: int | None = None) -> DataFrame:
+    """Lucene ``DrillSideways`` faceting (lucene/facet
+    ``DrillSideways.search``): given a drill-down with constraints on
+    several dimensions, return for EACH dimension the facet counts
+    computed with that dimension's own constraint REMOVED and all other
+    constraints applied — the counts a UI shows next to the sibling
+    values of every selected filter ("lang: en (120) | de (41) ..."
+    while source=src18 stays applied).  ``facet_cols`` adds
+    unconstrained dimensions, which count under ALL filters (plain
+    drill-down facets).
+
+    Returns (dim, value, n_docs), NULL dimension values skipped (the
+    :func:`missing_facet` concern), ordered by (dim, n_docs desc,
+    value); ``top`` keeps the ``top`` heaviest values per dimension.
+
+    Scale shape: ONE scan — each row emits at most one (dim, value)
+    struct per dimension through a filtered array + explode (no
+    k-scans-for-k-dims union), then one map-side-combinable groupBy;
+    the optional per-dim cut windows over #dims partitions of
+    value-cardinality rows, never over docs."""
+    if not filters:
+        raise ValueError("filters must name at least one dimension")
+    dims = list(filters) + [c for c in (facet_cols or [])
+                            if c not in filters]
+    arms = []
+    for dim in dims:
+        cond = F.lit(True)
+        for c, v in filters.items():
+            if c != dim:
+                cond = cond & (F.col(c) == F.lit(v))
+        cond = cond & F.col(dim).isNotNull()
+        arms.append(F.when(cond, F.struct(
+            F.lit(dim).alias("dim"),
+            F.col(dim).cast("string").alias("value"))))
+    cells = F.filter(F.array(*arms), lambda x: x.isNotNull())
+    out = (df.select(F.explode(cells).alias("s"))
+           .groupBy(F.col("s.dim").alias("dim"),
+                    F.col("s.value").alias("value"))
+           .agg(F.count(F.lit(1)).alias("n_docs")))
+    if top is not None:
+        if top < 1:
+            raise ValueError(f"top must be >= 1, got {top}")
+        w = Window.partitionBy("dim").orderBy(F.desc("n_docs"),
+                                              F.asc("value"))
+        out = (out.withColumn("_r", F.row_number().over(w))
+               .filter(F.col("_r") <= top).drop("_r"))
+    return out.orderBy("dim", F.desc("n_docs"), "value")

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "hits"]
+__all__ = ["pagerank", "hits", "label_propagation"]
 
 
 def pagerank(nodes: DataFrame, edges: DataFrame, damping: float = 0.85,
@@ -131,3 +131,68 @@ def hits(edges: DataFrame, iters: int = 2, src_col: str = "src",
             .join(a.withColumnRenamed("s", "auth"), "node")
             .select("node", F.round("hub", round_at).alias("hub"),
                     F.round("auth", round_at).alias("auth")))
+
+
+def label_propagation(nodes: DataFrame, pairs: DataFrame, iters: int = 3,
+                      id_a: str = "doc_a", id_b: str = "doc_b",
+                      id_col: str = "node") -> DataFrame:
+    """Synchronous label propagation (Raghavan, Albert & Kumara, Phys.
+    Rev. E 2007) over an undirected pair relation -> (node, label):
+    community detection for duplicate/similarity graphs — the soft
+    complement to :func:`index_spark.operators.dedup.connected_components`
+    (components merge through ANY bridge; LP lets a weak bridge keep two
+    dense groups apart).
+
+    Pinned deterministic contract (so a SQL engine restates it by
+    unrolling iterations):
+
+        label_0(v)   = v
+        label_t+1(u) = the label carried by the most neighbors of u at
+                       step t (ties -> SMALLEST label); a node with no
+                       neighbors keeps its label
+
+    — synchronous updates, fixed ``iters`` (the classic async
+    random-order variant is not reproducible across engines).
+
+    Scale shape: per iteration ONE shuffle join of the edge relation
+    against the node-bounded label relation plus one map-side-combinable
+    groupBy on (node, label); the argmax is a ``max(struct(count,
+    -label, label))`` aggregate, never a window over an unbounded key.
+    Lineage truncated per iteration with localCheckpoint (reliable
+    ``checkpoint()`` on a real cluster).
+
+    Precondition: integral node ids (hash strings with xxhash64
+    upstream — a silent cast-to-NULL would wipe assignments, the
+    :func:`connected_components` contract).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    for c, df_ in ((id_a, pairs), (id_b, pairs), (id_col, nodes)):
+        kind = dict(df_.dtypes)[c]
+        if kind not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"column {c!r} must be integral, got {kind}")
+    und = (pairs.select(F.col(id_a).cast("long").alias("u"),
+                        F.col(id_b).cast("long").alias("v"))
+           .where(F.col("u") != F.col("v")))
+    nbr = (und.union(und.select(F.col("v").alias("u"),
+                                F.col("u").alias("v")))
+           .distinct())
+    lab = nodes.select(F.col(id_col).cast("long").alias("node"),
+                       F.col(id_col).cast("long").alias("label"))
+    for _ in range(iters):
+        cnt = (nbr.join(lab.withColumnRenamed("node", "v"), "v")
+               .groupBy(F.col("u"), F.col("label"))
+               .agg(F.count(F.lit(1)).alias("c")))
+        # argmax by (count desc, label asc) as a lexicographic struct
+        # max — map-side combinable, no per-node window
+        best = (cnt.groupBy(F.col("u").alias("node"))
+                .agg(F.max(F.struct(F.col("c"),
+                                    (-F.col("label")).alias("neg"),
+                                    F.col("label"))).alias("m"))
+                .select("node", F.col("m.label").alias("new_label")))
+        lab = (lab.join(best, "node", "left")
+               .select("node", F.coalesce("new_label", "label")
+                       .alias("label"))
+               .localCheckpoint())
+    return lab.select("node", "label")

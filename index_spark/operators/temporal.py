@@ -550,6 +550,75 @@ def moving_percentiles(buckets: DataFrame, value_col: str = "sum_value",
     return out.orderBy(*keys, ts_col)
 
 
+def moving_fn(buckets: DataFrame, value_col: str = "sum_value",
+              window: int = 5, fn: str = "unweighted_avg",
+              alpha: float = 0.3, shift: int = 0,
+              ts_col: str = "bucket", by: list[str] | None = None,
+              round_at: int = 6, out_col: str | None = None) -> DataFrame:
+    """ES ``moving_fn`` pipeline aggregation: slide a ``window``-bucket
+    frame along each series and evaluate one of the stock
+    ``MovingFunctions`` on it.  Unlike :func:`moving_percentiles` (which
+    pins the ES shift=0-INCLUSIVE percentile contract this repo
+    documented), this follows the ES ``moving_fn`` frame exactly:
+    ``shift=0`` positions the window on the ``window`` buckets BEFORE
+    the current one (excluding it), ``shift=1`` slides it one bucket
+    right to include the current bucket.  An empty frame (the first
+    bucket at shift=0) yields NULL, the ES gap behavior.
+
+    Supported ``fn`` (ES MovingFunctions, same arithmetic):
+
+    * ``min`` / ``max`` / ``sum`` / ``unweighted_avg`` / ``stddev``
+      (population, as ES computes it) — pure JVM window aggregates.
+    * ``linear`` — linearWeightedAvg: weights 1..n ascending over the
+      frame (latest bucket heaviest), sum(w*v)/sum(w).
+    * ``ewma`` — exponentially weighted moving average seeded with the
+      OLDEST frame value then folded left: acc = v*alpha +
+      acc*(1-alpha) (exactly ES's loop, which DuckDB's seeded
+      ``list_reduce`` reproduces).
+
+    The positional functions collect the frame with ``collect_list``
+    over the ordered window — frame order IS series order, the
+    load-bearing assumption both engines share.  Per-row state is
+    O(window); one exchange per ``by`` series, none when the input is
+    already bucketed per series."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if not 0 <= shift <= window:
+        raise ValueError(f"shift must be in [0, window], got {shift}")
+    keys = by or []
+    w = (Window.partitionBy(*[F.col(k) for k in keys]).orderBy(ts_col)
+         .rowsBetween(shift - window, shift - 1))
+    v = F.col(value_col).cast("double")
+    simple = {"min": F.min, "max": F.max, "sum": F.sum,
+              "unweighted_avg": F.avg, "stddev": F.stddev_pop}
+    if fn in simple:
+        agg = simple[fn](v).over(w)
+    elif fn in ("linear", "ewma"):
+        arr = F.collect_list(v).over(w)
+        n = F.size(arr)
+        if fn == "linear":
+            wsum = F.aggregate(
+                F.zip_with(arr, F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                           lambda a, i: a * i.cast("double")),
+                F.lit(0.0), lambda acc, x: acc + x)
+            agg = F.when(n > 0,
+                         wsum / (n.cast("double") * (n + 1) / 2.0))
+        else:
+            if not 0.0 < alpha <= 1.0:
+                raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+            folded = F.aggregate(
+                F.slice(arr, 2, F.greatest(n - 1, F.lit(0))),
+                F.element_at(arr, F.lit(1)),
+                lambda acc, x: x * F.lit(float(alpha))
+                + acc * F.lit(1.0 - float(alpha)))
+            agg = F.when(n > 0, folded)
+    else:
+        raise ValueError(f"unknown fn: {fn!r} (expected one of "
+                         f"{sorted(simple) + ['linear', 'ewma']})")
+    return (buckets.withColumn(out_col or fn, F.round(agg, round_at))
+            .orderBy(*keys, ts_col))
+
+
 def cumulative_cardinality(events: DataFrame, key_col: str = "user_id",
                            interval: str = "day", ts_col: str = "ts",
                            by: list[str] | None = None) -> DataFrame:

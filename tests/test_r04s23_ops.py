@@ -1,0 +1,189 @@
+"""Session-23 operators: label propagation, ES moving_fn models,
+Lucene DrillSideways faceting."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------------
+
+def _lp(spark, pairs, n_nodes, iters=4):
+    from index_spark.operators.graph import label_propagation
+
+    nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+    p = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    return {r.node: r.label
+            for r in label_propagation(nodes, p, iters=iters).collect()}
+
+
+def test_lp_two_triangles_stay_apart(spark):
+    # two triangles bridged by one edge: a component merge the LP
+    # majority vote must NOT make (the connected_components contrast)
+    out = _lp(spark, [(0, 1), (1, 2), (0, 2),
+                      (3, 4), (4, 5), (3, 5), (2, 3)], 6)
+    assert out[0] == out[1] == out[2]
+    assert out[3] == out[4] == out[5]
+    assert out[0] != out[3]
+
+
+def test_lp_synchronous_hand_trace(spark):
+    # path 0-1-2, one iteration, synchronous from label=id:
+    #   node0 nbrs {1} -> 1 ; node1 nbrs {0,2} tie -> min 0
+    #   node2 nbrs {1} -> 1 ; node3 isolated keeps 3
+    out = _lp(spark, [(0, 1), (1, 2)], 4, iters=1)
+    assert out == {0: 1, 1: 0, 2: 1, 3: 3}
+
+
+def test_lp_tie_breaks_to_smallest_label(spark):
+    # node 2's neighbors carry labels {0, 1} with equal counts -> 0
+    out = _lp(spark, [(0, 2), (1, 2)], 3, iters=1)
+    assert out[2] == 0
+
+
+def test_lp_validation_and_plan(spark):
+    from index_spark.operators.graph import label_propagation
+
+    nodes = spark.range(3).select(F.col("id").alias("node"))
+    pairs = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="iters"):
+        label_propagation(nodes, pairs, iters=0)
+    spairs = spark.createDataFrame([("a", "b")],
+                                   "doc_a string, doc_b string")
+    with pytest.raises(TypeError, match="integral"):
+        label_propagation(nodes, spairs)
+    # the argmax is an aggregate, not a per-node window
+    plan = label_propagation(nodes, pairs, iters=1) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# moving_fn
+# ---------------------------------------------------------------------------
+
+def _series(spark):
+    rows = [("a", i, float(v))
+            for i, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6])] + \
+           [("b", i, float(v)) for i, v in enumerate([2, 7, 1, 8])]
+    return spark.createDataFrame(rows,
+                                 "k string, bucket int, sum_value double")
+
+
+def test_moving_fn_ewma_hand_values(spark):
+    from index_spark.operators.temporal import moving_fn
+
+    out = {(r.k, r.bucket): r.ewma for r in moving_fn(
+        _series(spark), window=3, fn="ewma", alpha=0.3,
+        by=["k"]).collect()}
+    # shift=0 excludes the current bucket: first frame is empty
+    assert out[("a", 0)] is None
+    assert out[("a", 1)] == 3.0           # seeded with the only value
+    assert out[("a", 2)] == 2.4           # 1*.3 + 3*.7
+    assert out[("a", 3)] == 2.88          # 4*.3 + 2.4*.7
+    assert out[("b", 1)] == 2.0
+
+
+def test_moving_fn_linear_hand_values(spark):
+    from index_spark.operators.temporal import moving_fn
+
+    out = {(r.k, r.bucket): r.linear for r in moving_fn(
+        _series(spark), window=3, fn="linear", by=["k"]).collect()}
+    assert out[("a", 0)] is None
+    assert out[("a", 2)] == pytest.approx(round((3 * 1 + 1 * 2) / 3, 6))
+    assert out[("a", 4)] == pytest.approx((1 * 1 + 4 * 2 + 1 * 3) / 6)
+
+
+def test_moving_fn_shift_includes_current(spark):
+    from index_spark.operators.temporal import moving_fn
+
+    out = {(r.k, r.bucket): r.sum for r in moving_fn(
+        _series(spark), window=2, fn="sum", shift=1,
+        by=["k"]).collect()}
+    # shift=1 frame = [current-1, current]
+    assert out[("a", 0)] == 3.0
+    assert out[("a", 1)] == 4.0
+    assert out[("a", 2)] == 5.0
+
+
+def test_moving_fn_simple_fns_and_stddev(spark):
+    from index_spark.operators.temporal import moving_fn
+
+    out = {(r.k, r.bucket): (r.min, r2.max, r3.stddev)
+           for r, r2, r3 in zip(
+        moving_fn(_series(spark), window=3, fn="min",
+                  by=["k"]).collect(),
+        moving_fn(_series(spark), window=3, fn="max",
+                  by=["k"]).collect(),
+        moving_fn(_series(spark), window=3, fn="stddev",
+                  by=["k"]).collect())}
+    assert out[("a", 3)] == (1.0, 4.0,
+                             pytest.approx(1.247219, abs=1e-6))
+    assert out[("a", 0)] == (None, None, None)
+
+
+def test_moving_fn_validation(spark):
+    from index_spark.operators.temporal import moving_fn
+
+    s = _series(spark)
+    with pytest.raises(ValueError, match="window"):
+        moving_fn(s, window=0)
+    with pytest.raises(ValueError, match="shift"):
+        moving_fn(s, window=3, shift=4)
+    with pytest.raises(ValueError, match="alpha"):
+        moving_fn(s, window=3, fn="ewma", alpha=0.0)
+    with pytest.raises(ValueError, match="unknown fn"):
+        moving_fn(s, window=3, fn="holt_winters_seasonal")
+
+
+# ---------------------------------------------------------------------------
+# drill_sideways
+# ---------------------------------------------------------------------------
+
+def _dims(spark):
+    return spark.createDataFrame(
+        [("en", "w"), ("en", "w"), ("en", "x"), ("de", "w"),
+         ("de", "x"), ("fr", "w"), (None, "w")],
+        "lang string, source string")
+
+
+def test_drill_sideways_hand_counts(spark):
+    from index_spark.operators.analytics import drill_sideways
+
+    out = {(r.dim, r.value): r.n_docs for r in drill_sideways(
+        _dims(spark), {"lang": "en", "source": "w"}).collect()}
+    # lang counts under source=w only (own filter removed, NULL skipped)
+    assert out[("lang", "en")] == 2
+    assert out[("lang", "de")] == 1
+    assert out[("lang", "fr")] == 1
+    assert ("lang", None) not in out
+    # source counts under lang=en only
+    assert out[("source", "w")] == 2
+    assert out[("source", "x")] == 1
+    assert len(out) == 5
+
+
+def test_drill_sideways_top_and_facet_cols(spark):
+    from index_spark.operators.analytics import drill_sideways
+
+    df = _dims(spark).withColumn(
+        "tier", F.when(F.col("source") == "w", "hot").otherwise("cold"))
+    rows = drill_sideways(df, {"lang": "en", "source": "w"},
+                          facet_cols=["tier"], top=1).collect()
+    by_dim = {r.dim: (r.value, r.n_docs) for r in rows}
+    # top=1 per dim; lang ties (de=1, fr=1) below en=2
+    assert by_dim["lang"] == ("en", 2)
+    assert by_dim["source"] == ("w", 2)
+    # unconstrained dim counts under ALL filters (lang=en AND source=w)
+    assert by_dim["tier"] == ("hot", 2)
+    assert len(rows) == 3
+
+
+def test_drill_sideways_validation(spark):
+    from index_spark.operators.analytics import drill_sideways
+
+    with pytest.raises(ValueError, match="at least one"):
+        drill_sideways(_dims(spark), {})
+    with pytest.raises(ValueError, match="top"):
+        drill_sideways(_dims(spark), {"lang": "en"}, top=0)
