@@ -1174,6 +1174,12 @@ SELECT doc_id, round(score, 4) AS score FROM top"""
 _WC_QX_CTE = """
 qx AS (SELECT term, 0 AS gid FROM dft WHERE term LIKE 's%'
        UNION ALL SELECT 'data', 1)"""
+
+# LEADING-wildcard (suffix) group-conjunctive top-k — '*er' served by
+# the rterm-sorted reversed catalog, same LIKE semantics for the oracle
+_WC_SUFFIX_QX_CTE = """
+qx AS (SELECT term, 0 AS gid FROM dft WHERE term LIKE '%er'
+       UNION ALL SELECT 'data', 1)"""
 _WC_Q_CTE = """
 q AS (SELECT DISTINCT term FROM qx)"""
 _ORACLE_WILDCARD_TOPK = """
@@ -9282,8 +9288,23 @@ def _r04s23_engine_queries() -> dict[str, Callable[[SparkSession, str],
         return drill_sideways(docs, {"lang": "en", "source": "src18"},
                               top=10)
 
+    def suffix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # leading-wildcard term query 'data *er' through the reversed
+        # (rterm) catalog route — the Solr ReversedWildcardFilter
+        # serving shape; oracle restates '*er' as LIKE '%er'
+        from index_spark.operators.query import search_wildcard
+        from index_spark.plans.dictionary import dictionary_from_index
+
+        docs, index, stats = _parity_build(spark, sf_dir)
+        d = dictionary_from_index(index)
+        top = search_wildcard(index, docs, stats, "data *er", k=10,
+                              max_expansions=64, mode="and",
+                              stem=False, camel=False, shard_size=256,
+                              dictionary=d, rdictionary=d)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     return {"lp_communities": lp_q, "events_ewma": moving_fn_q,
-            "drill_sideways_facet": drill_q}
+            "drill_sideways_facet": drill_q, "suffix_topk": suffix_q}
 
 
 def _build_registry():
@@ -9915,6 +9936,9 @@ ORDER BY event_id""")
     add("events_ewma", eng23["events_ewma"], _ORACLE_MOVING_FN)
     add("drill_sideways_facet", eng23["drill_sideways_facet"],
         _ORACLE_DRILL_SIDEWAYS)
+    add("suffix_topk", eng23["suffix_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_WILDCARD_TOPK,
+                  [_WC_SUFFIX_QX_CTE, _WC_Q_CTE]))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

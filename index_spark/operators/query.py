@@ -2112,7 +2112,8 @@ def search_synonyms(index: DataFrame, docs: DataFrame | None, stats: dict,
 
 def wildcard_expand(index: DataFrame | None, patterns: list[str],
                     max_expansions: int = 32, zone: str | None = None,
-                    dictionary: DataFrame | None = None
+                    dictionary: DataFrame | None = None,
+                    rdictionary: DataFrame | None = None
                     ) -> dict[str, list[str]]:
     """Expand wildcard patterns (``*`` = any run, ``?`` = one char —
     Lucene WildcardQuery glob syntax) to matching dictionary terms, at
@@ -2123,11 +2124,17 @@ def wildcard_expand(index: DataFrame | None, patterns: list[str],
     Either source additionally pushes a ``StartsWith`` on the pattern's
     literal prefix (everything before the first wildcard) — against the
     term-sorted catalog that row-group-prunes, so ``tab*`` touches one
-    term range; a LEADING-wildcard pattern has no prefix and scans the
-    catalog's term column (millions of rows, never the sharded index's
-    billions — the documented cost of leading wildcards in every
-    engine). Terms are [a-z0-9]+ so the LIKE translation needs no
-    escaping. Only patterns x max_expansions rows reach the driver."""
+    term range.  A LEADING-wildcard pattern has no prefix: without
+    ``rdictionary`` it scans the catalog's term column (millions of
+    rows, never the sharded index's billions — the classic documented
+    cost of leading wildcards); WITH ``rdictionary`` (the rterm-sorted
+    companion projection compaction publishes,
+    :func:`~index_spark.plans.dictionary.load_reversed_dictionary` —
+    the Solr ReversedWildcardFilter trade) a pattern with a literal
+    SUFFIX (``*ing``) pushes ``StartsWith`` on the stored ``rterm``
+    column instead and row-group-prunes symmetrically.  Terms are
+    [a-z0-9]+ so the LIKE translation needs no escaping. Only
+    patterns x max_expansions rows reach the driver."""
     from pyspark.sql import Window
 
     from index_spark.operators.build import DOC_MARKER
@@ -2141,15 +2148,25 @@ def wildcard_expand(index: DataFrame | None, patterns: list[str],
         cat = (pin_zone(index, zone)
                .filter(F.col("term") != DOC_MARKER)
                .groupBy("term").agg(F.sum("df").alias("df_g")))
+    rcat = None
+    if rdictionary is not None:
+        rcat = pin_zone(rdictionary, zone).select(
+            "term", F.col("df").alias("df_g"), "rterm")
     out: dict[str, list[str]] = {}
     for p in patterns:
         like = p.lower().replace("*", "%").replace("?", "_")
         cond = F.col("term").like(like)
         prefix = re.split(r"[*?]", p.lower(), maxsplit=1)[0]
+        src = cat
         if prefix:
             cond = F.col("term").startswith(prefix) & cond
+        else:
+            suffix = re.split(r"[*?]", p.lower())[-1]
+            if suffix and rcat is not None:
+                src = rcat
+                cond = F.col("rterm").startswith(suffix[::-1]) & cond
         w = Window.orderBy(F.desc("df_g"), F.asc("term"))
-        rows = (cat.filter(cond)
+        rows = (src.filter(cond)
                 .withColumn("_r", F.row_number().over(w))
                 .filter(F.col("_r") <= max_expansions)
                 .select("term").collect())
@@ -2163,9 +2180,11 @@ def search_wildcard(index: DataFrame, docs: DataFrame | None, stats: dict,
                     shard_size: int = 4096, zone: str | None = None,
                     mode: str = "or", exclude: str | None = None,
                     dictionary: DataFrame | None = None,
+                    rdictionary: DataFrame | None = None,
                     **kw) -> DataFrame:
     """Wildcard-aware top-k BM25: whitespace tokens containing ``*`` or
-    ``?`` expand against the term catalog (:func:`wildcard_expand`);
+    ``?`` expand against the term catalog (:func:`wildcard_expand`;
+    ``rdictionary`` accelerates leading-wildcard suffix patterns);
     plain tokens pass through the caller's stem/camel tokenizer. Every
     expanded variant scores with its own global idf; ``mode="and"`` is
     group-conjunctive (>= 1 match of EVERY original token — same
@@ -2178,7 +2197,7 @@ def search_wildcard(index: DataFrame, docs: DataFrame | None, stats: dict,
     lits = sorted(set(tokenize(lit_q, stem=stem, camel=camel)))
     exp: dict[str, set[str]] = {t: {t} for t in lits}
     for p, terms in wildcard_expand(index, pats, max_expansions, zone,
-                                    dictionary).items():
+                                    dictionary, rdictionary).items():
         exp[p] = set(terms)
     originals = sorted(exp)
     terms = sorted({t for v in exp.values() for t in v})

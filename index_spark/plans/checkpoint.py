@@ -745,6 +745,11 @@ def _fold_new_chunks(spark: SparkSession, out_dir: str, prev: dict,
         from index_spark.functions.phonetic import phonetic_key
 
         old_dict = old_dict.withColumn("pkey", phonetic_key(F.col("term")))
+    if "rterm" not in old_dict.columns:
+        # catalog written before the reversed-term column existed:
+        # backfill (row-local) so the union schema matches and the
+        # reversed projection publishes complete
+        old_dict = old_dict.withColumn("rterm", F.reverse(F.col("term")))
     new_rows = dictionary_from_index(
         post.join(F.broadcast(dterms), gcols, "semi"))
     dict_stage = dictionary_path(out_dir) + "_stage"
@@ -754,6 +759,16 @@ def _fold_new_chunks(spark: SparkSession, out_dir: str, prev: dict,
         out_dir, path=dict_stage)
     shutil.rmtree(dictionary_path(out_dir))
     os.rename(dict_stage, dictionary_path(out_dir))
+    # the rterm-sorted companion stages alongside and swaps second (a
+    # reader caught between the two renames sees a current main catalog
+    # and a one-rewrite-old reversed projection — same rows either way
+    # for every term outside this fold's delta)
+    from index_spark.plans.dictionary import reversed_dictionary_path
+
+    rpath = reversed_dictionary_path(out_dir)
+    if os.path.isdir(rpath):
+        shutil.rmtree(rpath)
+    os.rename(dict_stage + "_r", rpath)
 
     dmerged.unpersist()
     dterms.unpersist()

@@ -51,31 +51,55 @@ def dictionary_from_index(index: DataFrame) -> DataFrame:
             .withColumn("length", F.length("term"))
             # the phonetic catalog column: sounds-like expansion becomes
             # a stored-column equi-filter instead of per-row compute
-            .withColumn("pkey", phonetic_key(F.col("term"))))
+            .withColumn("pkey", phonetic_key(F.col("term")))
+            # the reversed term: a LEADING-wildcard pattern with a
+            # literal suffix ('*ing') becomes a StartsWith on rterm —
+            # prunable against the rterm-sorted companion projection
+            # (the Solr ReversedWildcardFilter idea)
+            .withColumn("rterm", F.reverse(F.col("term"))))
 
 
 def dictionary_path(out_dir: str) -> str:
     return os.path.join(out_dir, "dictionary")
 
 
+def reversed_dictionary_path(out_dir: str) -> str:
+    """The rterm-sorted companion projection's directory: always the
+    main catalog directory + ``_r`` (staging paths stay paired)."""
+    return dictionary_path(out_dir) + "_r"
+
+
 def write_dictionary(dictionary: DataFrame, out_dir: str,
                      n_partitions: int | None = None,
-                     path: str | None = None) -> None:
+                     path: str | None = None,
+                     reversed_too: bool = True) -> None:
     """Publish the catalog sorted-by-term at rest. Range partitioning
     keeps each output file a contiguous term range (tight row-group
     min/max for StartsWith pruning); ``n_partitions`` defaults to
     Spark's range-partition estimate. ``path`` overrides the target
     directory (staging for an atomic swap when the current catalog is
-    an input of the rewrite)."""
-    parts = [F.col("term")]
-    if "zone" in dictionary.columns:
-        parts = [F.col("zone"), F.col("term")]
-    out = (dictionary.repartitionByRange(*parts)
-           if n_partitions is None
-           else dictionary.repartitionByRange(n_partitions, *parts))
-    (out.sortWithinPartitions(*parts)
-        .write.mode("overwrite")
-        .parquet(path or dictionary_path(out_dir)))
+    an input of the rewrite).
+
+    ``reversed_too``: additionally publish the SAME rows range-
+    partitioned + sorted by ``rterm`` under ``<path>_r`` — the
+    projection that makes leading-wildcard suffix scans
+    (``rterm StartsWith``) row-group-prune.  Two sort orders cannot
+    share one file set; duplicating a millions-row catalog is the
+    same trade Solr's ReversedWildcardFilter makes in-index."""
+    zoned = "zone" in dictionary.columns
+
+    def publish(parts: list, target: str) -> None:
+        out = (dictionary.repartitionByRange(*parts)
+               if n_partitions is None
+               else dictionary.repartitionByRange(n_partitions, *parts))
+        (out.sortWithinPartitions(*parts)
+            .write.mode("overwrite").parquet(target))
+
+    main = path or dictionary_path(out_dir)
+    zcol = [F.col("zone")] if zoned else []
+    publish(zcol + [F.col("term")], main)
+    if reversed_too and "rterm" in dictionary.columns:
+        publish(zcol + [F.col("rterm")], main + "_r")
 
 
 def load_dictionary(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -84,4 +108,15 @@ def load_dictionary(spark: SparkSession, out_dir: str) -> DataFrame:
     if not os.path.isdir(p):
         raise FileNotFoundError(
             f"no dictionary under {p} — run compact_index first")
+    return spark.read.parquet(p)
+
+
+def load_reversed_dictionary(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The rterm-sorted companion projection; raises if the store's
+    catalog predates it (re-run compact_index with force=True)."""
+    p = reversed_dictionary_path(out_dir)
+    if not os.path.isdir(p):
+        raise FileNotFoundError(
+            f"no reversed dictionary under {p} — re-run compact_index "
+            "(force=True) to publish it")
     return spark.read.parquet(p)

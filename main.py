@@ -116,12 +116,18 @@ def cmd_query(args) -> None:
         from index_spark.plans.dictionary import (
             dictionary_path,
             load_dictionary,
+            load_reversed_dictionary,
+            reversed_dictionary_path,
         )
         d = (load_dictionary(spark, args.index_dir)
              if os.path.isdir(dictionary_path(args.index_dir)) else None)
+        rd = (load_reversed_dictionary(spark, args.index_dir)
+              if os.path.isdir(reversed_dictionary_path(args.index_dir))
+              else None)
         rows = search_wildcard(index, None, stats, args.query, k=args.k,
                                mode=args.mode, exclude=args.exclude,
                                tombstones=tomb, dictionary=d,
+                               rdictionary=rd,
                                boosts=boosts, after=after,
                                shard_size=shard_size).collect()
         print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]}

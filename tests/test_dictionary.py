@@ -52,7 +52,8 @@ def test_compaction_publishes_dictionary(spark, store, built):
     df/cf sums matching an independent aggregate over the sharded index."""
     _, index, _ = built
     d = load_dictionary(spark, store).persist()
-    assert set(d.columns) == {"term", "df", "cf", "n_segs", "length", "pkey"}
+    assert set(d.columns) == {"term", "df", "cf", "n_segs",
+                              "length", "pkey", "rterm"}
     # term-distinct, no doc marker
     assert d.count() == d.select("term").distinct().count()
     assert d.filter(F.col("term") == DOC_MARKER).count() == 0
@@ -162,3 +163,80 @@ def test_regex_expand_prunes_dictionary_scan(spark, store, built):
                      & F.col("term").rlike("^(?:im.*)$"))
             .select("term")._jdf.queryExecution().executedPlan().toString())
     assert "StartsWith" in plan and "PushedFilters" in plan
+
+
+def test_reversed_dictionary_suffix_pruning_and_identity(spark, store,
+                                                         built):
+    """Leading-wildcard suffix patterns route to the rterm-sorted
+    companion projection: results identical to the index fallback and
+    the plain-catalog scan; the reversed suffix reaches PushedFilters
+    as a StartsWith on the stored rterm column."""
+    from index_spark.operators.query import search_wildcard, wildcard_expand
+    from index_spark.plans.dictionary import load_reversed_dictionary
+
+    _, index, stats = built
+    d = load_dictionary(spark, store)
+    rd = load_reversed_dictionary(spark, store)
+    # same rows, two sort orders
+    assert rd.count() == d.count()
+    assert "rterm" in rd.columns
+    for pats in (["*s"], ["*urn"], ["*s", "im*"], ["*zzz"], ["?mport"]):
+        a = wildcard_expand(None, pats, dictionary=d, rdictionary=rd)
+        b = wildcard_expand(index, pats)
+        c = wildcard_expand(None, pats, dictionary=d)
+        assert a == b == c, pats
+    # rterm-sorted at rest: each file's rterm range is contiguous
+    import pyarrow.parquet as pq
+    from index_spark.plans.dictionary import reversed_dictionary_path
+    import glob as _glob
+    ranges = []
+    for f in sorted(_glob.glob(reversed_dictionary_path(store)
+                               + "/*.parquet")):
+        col = pq.read_table(f, columns=["rterm"])["rterm"].to_pylist()
+        assert col == sorted(col), f
+        if col:
+            ranges.append((col[0], col[-1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    plan = (rd.filter(F.col("rterm").startswith("nru")
+                      & F.col("term").like("%urn"))
+            .select("term")._jdf.queryExecution().executedPlan().toString())
+    assert "StartsWith" in plan and "PushedFilters" in plan
+    # end-to-end: suffix search with the reversed catalog ranks
+    # identically to the index-fallback route
+    docs, index, stats = built
+    a = search_wildcard(index, docs, stats, "import *urn", k=10,
+                        mode="and", dictionary=d, rdictionary=rd,
+                        shard_size=SHARD).collect()
+    b = search_wildcard(index, docs, stats, "import *urn", k=10,
+                        mode="and", shard_size=SHARD).collect()
+    assert [(r.doc_id, r.score) for r in a] == \
+        [(r.doc_id, r.score) for r in b]
+
+
+def test_incremental_compaction_keeps_reversed_projection(spark,
+                                                          tiny_corpus,
+                                                          tmp_path):
+    """After an incremental fold, the reversed projection carries
+    exactly the main catalog's rows (term, df) with rterm =
+    reverse(term)."""
+    from index_spark.plans.dictionary import load_reversed_dictionary
+    from index_spark.streaming.ingest import ingest_batch
+
+    out = str(tmp_path / "store")
+    ordered = tiny_corpus.sort_values(["repo", "path"]).reset_index(drop=True)
+    head, tail = ordered.iloc[:96], ordered.iloc[96:128]
+    build_chunked(spark, spark.createDataFrame(head), out,
+                  docs_per_chunk=48, shard_size=SHARD)
+    compact_index(spark, out, segment_bytes=512)
+    ingest_batch(spark, spark.createDataFrame(tail), out,
+                 shard_size=SHARD)
+    m = compact_index(spark, out, segment_bytes=512)
+    assert m["mode"] == "incremental"
+    d = load_dictionary(spark, out).select("term", "df", "rterm")
+    rd = load_reversed_dictionary(spark, out).select("term", "df", "rterm")
+    a = sorted((r.term, r.df, r.rterm) for r in d.collect())
+    b = sorted((r.term, r.df, r.rterm) for r in rd.collect())
+    assert a == b
+    assert all(rt == t[::-1] for t, _, rt in a)
