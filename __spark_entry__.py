@@ -9199,6 +9199,42 @@ inter AS (
 ),"""
 
 
+# Personalized PageRank unrolled: teleport vector = 1/|seeds| on the
+# seed set, 0 elsewhere; rank' = (1-d)*p + d*(contrib + dangling*p);
+# iteration 0 starts FROM the teleport vector
+_PPR_ITER_DUCK = """
+ct{i} AS (
+  SELECT e.v AS node, sum(r.r / deg.deg) AS c
+  FROM und e JOIN r{p} r ON e.u = r.node JOIN deg ON e.u = deg.u
+  GROUP BY e.v
+), dg{i} AS (
+  SELECT coalesce(sum(r.r), 0.0) AS dm
+  FROM r{p} r LEFT JOIN deg ON r.node = deg.u WHERE deg.u IS NULL
+), r{i} AS (
+  SELECT pv.node,
+         (1.0 - 0.85) * pv.p + 0.85 * (coalesce(ct.c, 0.0) + dg.dm * pv.p) AS r
+  FROM pv LEFT JOIN ct{i} ct ON pv.node = ct.node
+  CROSS JOIN dg{i} dg
+),"""
+
+
+def _ppr_duck_sql(iters: int) -> str:
+    body = "".join(_PPR_ITER_DUCK.format(i=i + 1, p=i)
+                   for i in range(iters))
+    return f"""{_JACCARD_UND_DUCK}
+deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg FROM und GROUP BY u),
+seeds AS (SELECT DISTINCT doc_id AS node FROM documents WHERE lang = 'de'),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),
+pv AS (SELECT d.doc_id AS node,
+              CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n
+                   ELSE 0.0 END AS p
+       FROM documents d LEFT JOIN seeds s ON d.doc_id = s.node
+       CROSS JOIN ns),
+r0 AS (SELECT node, p AS r FROM pv),
+{body.strip().rstrip(',')}
+SELECT node, round(r, 6) AS rank FROM r{iters}"""
+
+
 def _lp_duck_sql(iters: int) -> str:
     body = "".join(_LP_ITER_DUCK.format(i=i + 1, p=i) for i in range(iters))
     return f"""{_JACCARD_UND_DUCK}
@@ -9303,8 +9339,29 @@ def _r04s23_engine_queries() -> dict[str, Callable[[SparkSession, str],
                               dictionary=d, rdictionary=d)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def ppr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # personalized PageRank: restarts land on the German docs —
+        # every doc ranked by similarity-graph proximity to that seed
+        # set (same 3-gram jaccard graph as pagerank_scores)
+        from index_spark.operators.dedup import ngram_jaccard_pairs
+        from index_spark.operators.graph import pagerank
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2,
+                                    text_col="text", id_col="doc_id")
+        und = (pairs.select(F.col("doc_a").alias("src"),
+                            F.col("doc_b").alias("dst"))
+               .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                         F.col("doc_a").alias("dst"))))
+        nodes = docs.select(F.col("doc_id").alias("node"))
+        seeds = (docs.filter(F.col("lang") == "de")
+                 .select(F.col("doc_id").alias("node")))
+        return pagerank(nodes, und, damping=0.85, iters=3,
+                        teleport=seeds)
+
     return {"lp_communities": lp_q, "events_ewma": moving_fn_q,
-            "drill_sideways_facet": drill_q, "suffix_topk": suffix_q}
+            "drill_sideways_facet": drill_q, "suffix_topk": suffix_q,
+            "ppr_scores": ppr_q}
 
 
 def _build_registry():
@@ -9939,6 +9996,7 @@ ORDER BY event_id""")
     add("suffix_topk", eng23["suffix_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_WILDCARD_TOPK,
                   [_WC_SUFFIX_QX_CTE, _WC_Q_CTE]))
+    add("ppr_scores", eng23["ppr_scores"], _ppr_duck_sql(3))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -25,12 +25,21 @@ __all__ = ["pagerank", "hits", "label_propagation"]
 def pagerank(nodes: DataFrame, edges: DataFrame, damping: float = 0.85,
              iters: int = 3, id_col: str = "node",
              src_col: str = "src", dst_col: str = "dst",
-             round_at: int = 6) -> DataFrame:
+             round_at: int = 6,
+             teleport: DataFrame | None = None) -> DataFrame:
     """(node, rank) after ``iters`` synchronous power-iteration steps from
-    the uniform vector.  ``edges`` is directed (symmetrize upstream for an
+    the teleport vector.  ``edges`` is directed (symmetrize upstream for an
     undirected similarity graph); nodes with no out-edges contribute their
-    mass uniformly (standard dangling-node redistribution), so total rank
-    sums to 1 every iteration.
+    mass to the teleport vector (standard dangling-node redistribution),
+    so total rank sums to 1 every iteration.
+
+    ``teleport``: optional (``id_col``) seed relation — PERSONALIZED
+    PageRank (Haveliwala, WWW 2002; Page et al. 1999 §6): restarts land
+    uniformly on the SEED SET instead of the whole graph, ranking every
+    node by proximity to the seeds (related-document expansion,
+    topic-conditioned authority, spam-neighborhood scoring).  ``None``
+    keeps the classic uniform vector.  Seeds outside ``nodes`` are
+    ignored; an empty intersection raises.
 
     Precondition: edge endpoints are drawn from ``nodes``.  An edge from
     an unknown source is ignored (it joins no rank), but it still counts
@@ -39,8 +48,10 @@ def pagerank(nodes: DataFrame, edges: DataFrame, damping: float = 0.85,
     first.
 
     Pinned arithmetic contract (shared with the SQL oracle):
-    rank' = (1-d)/N + d * (sum_in contrib + dangling/N), final ranks
-    rounded at ``round_at``.
+    rank' = (1-d)*p + d * (sum_in contrib + dangling*p) with
+    p = 1/N (uniform) or 1/|seeds| on the seed set and 0 elsewhere,
+    final ranks rounded at ``round_at``.  The teleport vector is a
+    node-bounded column, never a collected set.
     """
     n = nodes.select(F.col(id_col).cast("long").alias("node")).distinct()
     e = (edges.select(F.col(src_col).cast("long").alias("u"),
@@ -49,9 +60,50 @@ def pagerank(nodes: DataFrame, edges: DataFrame, damping: float = 0.85,
     deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("double").alias("deg"))
     n_nodes = n.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
 
-    ranks = (n.crossJoin(n_nodes)
-             .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("r"))
-             .localCheckpoint())
+    if teleport is None:
+        # classic uniform vector — keep the EXACT pinned expression
+        # ((1-d)/N, dm/N: single-rounded divisions) so existing oracle
+        # hashes stay bitwise-stable
+        ranks = (n.crossJoin(n_nodes)
+                 .select("node", (F.lit(1.0) / F.col("n_nodes"))
+                         .alias("r"))
+                 .localCheckpoint())
+        for _ in range(iters):
+            contrib = (e.join(ranks.withColumnRenamed("node", "u"), "u")
+                       .join(deg, "u")
+                       .groupBy(F.col("v").alias("node"))
+                       .agg(F.sum(F.col("r") / F.col("deg")).alias("c")))
+            dangling = (ranks.join(deg.withColumnRenamed("u", "node"),
+                                   "node", "left_anti")
+                        .agg(F.coalesce(F.sum("r"), F.lit(0.0))
+                             .alias("dm")))
+            ranks = (n.join(contrib, "node", "left")
+                     .crossJoin(dangling).crossJoin(n_nodes)
+                     .select("node",
+                             ((1.0 - damping) / F.col("n_nodes")
+                              + damping * (F.coalesce(F.col("c"),
+                                                      F.lit(0.0))
+                                           + F.col("dm")
+                                           / F.col("n_nodes"))
+                              ).alias("r"))
+                     .localCheckpoint())
+        return ranks.select("node", F.round("r", round_at).alias("rank"))
+
+    seeds = (teleport.select(F.col(id_col).cast("long")
+                             .alias("node")).distinct()
+             .join(n, "node", "semi"))
+    n_seeds = seeds.agg(F.count(F.lit(1)).cast("double")
+                        .alias("n_seeds"))
+    if seeds.first() is None:
+        raise ValueError("teleport set shares no node with the graph")
+    pvec = (n.join(seeds.withColumn("_s", F.lit(1)), "node", "left")
+            .crossJoin(n_seeds)
+            .select("node",
+                    F.when(F.col("_s").isNotNull(),
+                           F.lit(1.0) / F.col("n_seeds"))
+                    .otherwise(F.lit(0.0)).alias("p"))
+            .localCheckpoint())
+    ranks = pvec.select("node", F.col("p").alias("r"))
     for _ in range(iters):
         contrib = (e.join(ranks.withColumnRenamed("node", "u"), "u")
                    .join(deg, "u")
@@ -60,12 +112,12 @@ def pagerank(nodes: DataFrame, edges: DataFrame, damping: float = 0.85,
         dangling = (ranks.join(deg.withColumnRenamed("u", "node"),
                                "node", "left_anti")
                     .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")))
-        ranks = (n.join(contrib, "node", "left")
-                 .crossJoin(dangling).crossJoin(n_nodes)
+        ranks = (pvec.join(contrib, "node", "left")
+                 .crossJoin(dangling)
                  .select("node",
-                         ((1.0 - damping) / F.col("n_nodes")
+                         ((1.0 - damping) * F.col("p")
                           + damping * (F.coalesce(F.col("c"), F.lit(0.0))
-                                       + F.col("dm") / F.col("n_nodes"))
+                                       + F.col("dm") * F.col("p"))
                           ).alias("r"))
                  .localCheckpoint())
     return ranks.select("node", F.round("r", round_at).alias("rank"))

@@ -213,3 +213,73 @@ def test_pagerank_plan_stays_jvm_side(spark):
     plan = (pagerank(nodes, edges, iters=1)
             ._jdf.queryExecution().optimizedPlan().toString())
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------- personalized pagerank
+
+def _numpy_ppr(out, n, seeds, d=0.85, iters=3):
+    import numpy as np
+    p = np.zeros(n)
+    p[list(seeds)] = 1 / len(seeds)
+    r = p.copy()
+    for _ in range(iters):
+        c = np.zeros(n)
+        dm = 0.0
+        for u in range(n):
+            vs = out.get(u, [])
+            if not vs:
+                dm += r[u]
+            for v in vs:
+                c[v] += r[u] / len(vs)
+        r = (1 - d) * p + d * (c + dm * p)
+    return {i: round(float(r[i]), 6) for i in range(n)}
+
+
+def test_ppr_hand_graph_with_dangling_and_seed_restart(spark):
+    from index_spark.operators.graph import pagerank
+    nodes = spark.range(0, 4).withColumnRenamed("id", "node")
+    edges = spark.createDataFrame([(0, 1), (0, 2), (1, 2), (2, 0)],
+                                  "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.rank for r in pagerank(
+        nodes, edges, iters=3, teleport=seeds).collect()}
+    assert got == _numpy_ppr({0: [1, 2], 1: [2], 2: [0]}, 4, [0])
+    # node 3 is disconnected from the seed: rank exactly 0
+    assert got[3] == 0.0
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_ppr_two_seeds_and_mass_conservation(spark):
+    from index_spark.operators.graph import pagerank
+    nodes = spark.range(0, 5).withColumnRenamed("id", "node")
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    edges = spark.createDataFrame(cyc, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (3,)], "node long")
+    got = {r.node: r.rank for r in pagerank(
+        nodes, edges, iters=3, teleport=seeds).collect()}
+    want = _numpy_ppr({i: [(i + 1) % 5] for i in range(5)}, 5, [1, 3])
+    # node 0's exact value 0.0541875 sits ON the 6-decimal round-half
+    # boundary (Spark HALF_UP vs Python banker's): tolerance compare
+    for i in want:
+        assert abs(got[i] - want[i]) <= 1.5e-6, (i, got[i], want[i])
+    # rounded-at-6 values: per-node drift can stack, not exactly 1.0
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+    # seed-adjacent nodes outrank the far node
+    assert got[1] > got[0] and got[3] > got[0]
+
+
+def test_ppr_seed_validation(spark):
+    from index_spark.operators.graph import pagerank
+    nodes = spark.range(0, 3).withColumnRenamed("id", "node")
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    # seeds entirely outside the node set: loud failure
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="teleport"):
+        pagerank(nodes, edges, teleport=spark.createDataFrame(
+            [(99,)], "node long"))
+    # unknown seeds are dropped, known ones kept
+    seeds = spark.createDataFrame([(0,), (99,)], "node long")
+    got = {r.node: r.rank for r in pagerank(
+        nodes, edges, iters=2, teleport=seeds).collect()}
+    want = _numpy_ppr({0: [1]}, 3, [0], iters=2)
+    assert got == want
