@@ -328,3 +328,44 @@ def bloom_decontaminate(train: DataFrame, bench: DataFrame, n: int = 8,
            .withColumn("contaminated",
                        F.col("n_overlap") >= min_overlap))
     return out
+
+
+def fuzzy_decontaminate(train: DataFrame, bench: DataFrame, n: int = 3,
+                        threshold: float = 0.5, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        mode: str = "auto") -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: per TRAIN doc, the
+    maximum token n-gram Jaccard to ANY benchmark doc at or above
+    ``threshold`` — the fuzzy companion to :func:`decontaminate`'s
+    exact n-gram collision test, which misses a benchmark item that
+    was lightly paraphrased or reformatted into the crawl.
+
+    Returns one row per train doc (the verdict-per-doc contract of
+    the hygiene tier): (doc_id, bench_id, jaccard, contaminated) —
+    ``bench_id`` the argmax-J benchmark doc (ties -> smallest id) and
+    ``jaccard`` its similarity when ``contaminated``, NULL otherwise
+    (pairs below threshold are never generated, so sub-threshold
+    maxima are unknowable by design — that is what keeps the join
+    bounded).
+
+    Scale shape: candidate generation is the PPJoin-prefix R-S
+    similarity join (:func:`~index_spark.operators.dedup.
+    cross_jaccard_pairs` — shared-order prefix filtering, no quadratic
+    stop-gram join); the per-doc argmax is a lexicographic struct-max
+    aggregate, never a window over train docs."""
+    from index_spark.operators.dedup import cross_jaccard_pairs
+
+    pairs = cross_jaccard_pairs(train, bench, n=n, threshold=threshold,
+                                text_col=text_col, id_col=id_col,
+                                mode=mode)
+    best = (pairs.groupBy(F.col("left_id").alias("doc_id"))
+            .agg(F.max(F.struct(F.col("jaccard"),
+                                (-F.col("right_id")).alias("neg"),
+                                F.col("right_id").alias("bench_id")))
+                 .alias("m"))
+            .select("doc_id", F.col("m.bench_id").alias("bench_id"),
+                    F.col("m.jaccard").alias("jaccard")))
+    ids = train.select(F.col(id_col).cast("long").alias("doc_id"))
+    return (ids.join(best, "doc_id", "left")
+            .select("doc_id", "bench_id", "jaccard")
+            .withColumn("contaminated", F.col("jaccard").isNotNull()))

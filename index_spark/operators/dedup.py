@@ -726,3 +726,108 @@ def dup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             .join(assign.withColumnRenamed("node", id_col), id_col, "left")
             .select(id_col,
                     F.coalesce(F.col("cluster"), F.col(id_col)).alias("cluster")))
+
+
+def cross_jaccard_pairs(left: DataFrame, right: DataFrame, n: int = 3,
+                        threshold: float = 0.5, text_col: str = "text",
+                        id_col: str = "doc_id", mode: str = "auto",
+                        naive_max_join_rows: float = 5e7) -> DataFrame:
+    """R-S token n-gram Jaccard similarity join: (left_id, right_id,
+    jaccard) for every cross-relation pair with J >= threshold — the
+    two-corpus form of :func:`ngram_jaccard_pairs` (train-vs-benchmark
+    fuzzy decontamination, crawl-vs-crawl overlap audits).  EXACT in
+    every mode.
+
+    Modes mirror the self-join kernel:
+
+    - ``"naive"``: direct gram equi-join (Σ_g df_L(g)·df_R(g) rows).
+    - ``"prefix"``: PPJoin prefix filtering under ONE total order
+      shared by both sides — gram df is computed over the UNION of the
+      two gram relations (the prefix-intersection proof needs a shared
+      order, nothing else), so a stop-gram common to both corpora
+      cannot induce a quadratic join; verification is
+      ``array_intersect`` per candidate pair.
+    - ``"auto"``: the cross-df statistic Σ df_L·df_R picks the plan.
+
+    Candidate generation runs at threshold − 5e-5 so a pair whose true
+    J rounds UP into ``round(j, 4) >= threshold`` is never pruned
+    (same boundary contract as the self-join)."""
+    from pyspark.sql import Window as W
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    lg = _doc_grams(left, n, text_col, id_col).persist()
+    rg = _doc_grams(right, n, text_col, id_col).persist()
+    caches = [lg, rg]
+    try:
+        if mode == "auto":
+            ldf = lg.groupBy("gram").agg(F.count("*").alias("dl"))
+            rdf = rg.groupBy("gram").agg(F.count("*").alias("dr"))
+            row = (ldf.join(rdf, "gram")
+                   .agg(F.sum(F.col("dl") * F.col("dr")).alias("j"))
+                   .collect()[0])
+            mode = ("naive" if int(row["j"] or 0) <= naive_max_join_rows
+                    else "prefix")
+        lc = lg.groupBy("doc_id").agg(F.count("*").alias("ga"))
+        rc = rg.groupBy("doc_id").agg(F.count("*").alias("gb"))
+        if mode == "naive":
+            inter = (lg.alias("l").join(rg.alias("r"), "gram")
+                     .groupBy(F.col("l.doc_id").alias("left_id"),
+                              F.col("r.doc_id").alias("right_id"))
+                     .agg(F.count("*").alias("n_inter")))
+            scored = (inter
+                      .join(lc.select(F.col("doc_id").alias("left_id"),
+                                      "ga"), "left_id")
+                      .join(rc.select(F.col("doc_id").alias("right_id"),
+                                      "gb"), "right_id"))
+        elif mode == "prefix":
+            t = max(threshold - 5e-5, 0.0)
+            # one shared order: df over the union of both gram relations
+            gdf = (lg.select("gram").unionAll(rg.select("gram"))
+                   .groupBy("gram").agg(F.count("*").alias("gdf")))
+
+            def side_prefix(g):
+                w_doc = W.partitionBy("doc_id")
+                ranked = (g.join(gdf, "gram")
+                          .withColumn("n_grams",
+                                      F.count("*").over(w_doc))
+                          .withColumn("rn", F.row_number().over(
+                              w_doc.orderBy("gdf", "gram"))))
+                plen = (F.col("n_grams")
+                        - F.ceil(F.col("n_grams") * F.lit(t)
+                                 - F.lit(1e-9)) + 1)
+                return (ranked.where(F.col("rn") <= plen)
+                        .select("doc_id", "gram"))
+
+            cand = (side_prefix(lg).alias("l")
+                    .join(side_prefix(rg).alias("r"), "gram")
+                    .select(F.col("l.doc_id").alias("left_id"),
+                            F.col("r.doc_id").alias("right_id"))
+                    .dropDuplicates(["left_id", "right_id"]))
+            lsets = lg.groupBy("doc_id").agg(
+                F.collect_list("gram").alias("aset"),
+                F.count("*").alias("ga"))
+            rsets = rg.groupBy("doc_id").agg(
+                F.collect_list("gram").alias("bset"),
+                F.count("*").alias("gb"))
+            scored = (cand
+                      .join(lsets.select(F.col("doc_id").alias("left_id"),
+                                         "aset", "ga"), "left_id")
+                      .join(rsets.select(F.col("doc_id").alias("right_id"),
+                                         "bset", "gb"), "right_id")
+                      .withColumn("n_inter",
+                                  F.size(F.array_intersect("aset", "bset"))
+                                  .cast("long")))
+        else:
+            raise ValueError(f"unknown mode: {mode!r}")
+        out = (scored
+               .withColumn("jaccard", F.round(
+                   F.col("n_inter")
+                   / (F.col("ga") + F.col("gb") - F.col("n_inter")), 4))
+               .where(F.col("jaccard") >= threshold)
+               .select("left_id", "right_id", "jaccard"))
+        out = out.localCheckpoint()
+        return out
+    finally:
+        for c in caches:
+            c.unpersist()

@@ -187,3 +187,73 @@ def test_drill_sideways_validation(spark):
         drill_sideways(_dims(spark), {})
     with pytest.raises(ValueError, match="top"):
         drill_sideways(_dims(spark), {"lang": "en"}, top=0)
+
+
+# ---------------------------------------------------------------------------
+# cross-relation jaccard + fuzzy decontamination
+# ---------------------------------------------------------------------------
+
+def _tb(spark):
+    train = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "completely different content entirely here now"),
+         (2, "the quick brown fox leaps over the lazy dog"),
+         (3, None)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today"),
+         (101, "unrelated benchmark question about chemistry"),
+         # exact duplicate of bench 100's overlap region under a
+         # SMALLER id: argmax ties break to the smallest bench id
+         (99, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string")
+    return train, bench
+
+
+def test_cross_jaccard_modes_agree(spark):
+    from index_spark.operators.dedup import cross_jaccard_pairs
+
+    train, bench = _tb(spark)
+    got = {}
+    for m in ("naive", "prefix"):
+        got[m] = sorted((r.left_id, r.right_id, r.jaccard) for r in
+                        cross_jaccard_pairs(train, bench, n=3,
+                                            threshold=0.3,
+                                            mode=m).collect())
+    assert got["naive"] == got["prefix"]
+    assert (0, 99, 0.875) in got["naive"] and (0, 100, 0.875) in got["naive"]
+    assert (2, 100, 0.3636) in got["naive"]
+    # sub-threshold and NULL-text pairs never appear
+    assert all(lid != 1 and lid != 3 for lid, _, _ in got["naive"])
+    with pytest.raises(ValueError, match="threshold"):
+        cross_jaccard_pairs(train, bench, threshold=0.0)
+
+
+def test_cross_jaccard_same_ids_are_distinct_relations(spark):
+    from index_spark.operators.dedup import cross_jaccard_pairs
+
+    a = spark.createDataFrame([(5, "alpha beta gamma delta epsilon")],
+                              "doc_id long, text string")
+    b = spark.createDataFrame([(5, "alpha beta gamma delta epsilon")],
+                              "doc_id long, text string")
+    got = cross_jaccard_pairs(a, b, n=3, threshold=0.5).collect()
+    # (5, 5) is a legitimate cross pair — no self-pair suppression
+    assert [(r.left_id, r.right_id, r.jaccard) for r in got] == \
+        [(5, 5, 1.0)]
+
+
+def test_fuzzy_decontaminate_verdicts_and_tiebreak(spark):
+    from index_spark.operators.contamination import fuzzy_decontaminate
+
+    train, bench = _tb(spark)
+    out = {r.doc_id: (r.bench_id, r.jaccard, r.contaminated)
+           for r in fuzzy_decontaminate(train, bench, n=3,
+                                        threshold=0.3).collect()}
+    # doc 0 ties between bench 99 and 100 at J=0.875 -> smallest wins
+    assert out[0] == (99, 0.875, True)
+    # bench 99 duplicates bench 100, so doc 2 ties too -> 99 again
+    assert out[2] == (99, 0.3636, True)
+    # clean and NULL-text docs keep a row with a False verdict
+    assert out[1] == (None, None, False)
+    assert out[3] == (None, None, False)
+    assert len(out) == 4
