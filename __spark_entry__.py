@@ -9315,8 +9315,31 @@ SELECT granularity, bucket, event_type, n_events, sum_value, avg_value,
                          list_zip(l, range(1, len(l) + 1)),
                          p -> p[1] * p[2]))
                        / (len(l) * (len(l) + 1) / 2.0)
-             END, 6) AS linear
+             END, 6) AS linear,
+       round(__HOLT_CASE__, 6) AS holt
 FROM win ORDER BY event_type, bucket"""
+
+
+def _holt_case_sql(window: int, alpha: float, beta: float) -> str:
+    """Unrolled Holt double-exponential smoothing over a bounded frame
+    list ``l`` (CASE per frame length; ≤ window fold steps textually
+    expanded).  DuckDB 1.0's ``list_reduce`` mis-evaluates struct
+    accumulators whose fields reference each other asymmetrically
+    (iteration 2+ recomputes ``b`` against a stale state — verified
+    with a minimal repro), so the oracle expands the recurrence
+    instead; re-evaluating a shared subexpression cannot change its
+    value, so the expansion is bitwise-equal to the sequential fold
+    Spark runs."""
+    a, ca = repr(float(alpha)), repr(1.0 - float(alpha))
+    bt, cbt = repr(float(beta)), repr(1.0 - float(beta))
+    s, b = "l[2]", "(l[2] - l[1])"
+    arms = ["WHEN 1 THEN l[1]", "WHEN 2 THEN l[2]"]
+    for k in range(3, window + 1):
+        s_new = f"({a} * l[{k}] + {ca} * ({s} + {b}))"
+        b = f"({bt} * ({s_new} - {s}) + {cbt} * {b})"
+        s = s_new
+        arms.append(f"WHEN {k} THEN {s}")
+    return "CASE len(l) " + " ".join(arms) + " END"
 
 # DrillSideways: each constrained dim counts with its OWN filter
 # removed and the other filters applied; top 10 per dim by
@@ -9360,8 +9383,11 @@ def _r04s23_engine_queries() -> dict[str, Callable[[SparkSession, str],
                                    by=["event_type"])
         out = moving_fn(hourly, value_col="sum_value", window=6,
                         fn="ewma", alpha=0.3, by=["event_type"])
+        out = moving_fn(out, value_col="sum_value", window=6,
+                        fn="linear", by=["event_type"])
         return moving_fn(out, value_col="sum_value", window=6,
-                         fn="linear", by=["event_type"])
+                         fn="holt", alpha=0.3, beta=0.1,
+                         by=["event_type"])
 
     def drill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from index_spark.operators.analytics import drill_sideways
@@ -10051,7 +10077,9 @@ ORDER BY event_id""")
 
     eng23 = _r04s23_engine_queries()
     add("lp_communities", eng23["lp_communities"], _lp_duck_sql(3))
-    add("events_ewma", eng23["events_ewma"], _ORACLE_MOVING_FN)
+    add("events_ewma", eng23["events_ewma"],
+        _ORACLE_MOVING_FN.replace("__HOLT_CASE__",
+                                  _holt_case_sql(6, 0.3, 0.1)))
     add("drill_sideways_facet", eng23["drill_sideways_facet"],
         _ORACLE_DRILL_SIDEWAYS)
     add("suffix_topk", eng23["suffix_topk"],

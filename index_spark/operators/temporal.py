@@ -552,7 +552,7 @@ def moving_percentiles(buckets: DataFrame, value_col: str = "sum_value",
 
 def moving_fn(buckets: DataFrame, value_col: str = "sum_value",
               window: int = 5, fn: str = "unweighted_avg",
-              alpha: float = 0.3, shift: int = 0,
+              alpha: float = 0.3, beta: float = 0.1, shift: int = 0,
               ts_col: str = "bucket", by: list[str] | None = None,
               round_at: int = 6, out_col: str | None = None) -> DataFrame:
     """ES ``moving_fn`` pipeline aggregation: slide a ``window``-bucket
@@ -575,6 +575,14 @@ def moving_fn(buckets: DataFrame, value_col: str = "sum_value",
       OLDEST frame value then folded left: acc = v*alpha +
       acc*(1-alpha) (exactly ES's loop, which DuckDB's seeded
       ``list_reduce`` reproduces).
+    * ``holt`` — double exponential smoothing (Holt 1957; the ES holt
+      model's standard formulation): state seeded s=v2, b=v2-v1 after
+      the first two frame values, then s' = alpha*v + (1-alpha)*(s+b),
+      b' = beta*(s'-s) + (1-beta)*b; returns the final smoothed s
+      (a one-value frame returns that value). The two-state fold runs
+      as a struct accumulator in both engines (DuckDB: list_reduce
+      over a struct-lifted frame), same op order, so the 6-dp round
+      matches bitwise.
 
     The positional functions collect the frame with ``collect_list``
     over the ordered window — frame order IS series order, the
@@ -593,6 +601,33 @@ def moving_fn(buckets: DataFrame, value_col: str = "sum_value",
               "unweighted_avg": F.avg, "stddev": F.stddev_pop}
     if fn in simple:
         agg = simple[fn](v).over(w)
+    elif fn == "holt":
+        if not 0.0 < alpha <= 1.0:
+            raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+        if not 0.0 < beta <= 1.0:
+            raise ValueError(f"beta must be in (0, 1], got {beta}")
+        arr = F.collect_list(v).over(w)
+        n = F.size(arr)
+        a, ca = float(alpha), 1.0 - float(alpha)
+        bt, cbt = float(beta), 1.0 - float(beta)
+        v1, v2 = F.element_at(arr, 1), F.element_at(arr, 2)
+        init = F.struct(v2.alias("s"), (v2 - v1).alias("b"))
+        tail = F.transform(
+            F.slice(arr, 3, F.greatest(n - 2, F.lit(0))),
+            lambda x: F.struct(x.alias("s"), F.lit(0.0).alias("b")))
+        # s' appears twice (also inside b') on BOTH engines — the
+        # doubled computation keeps the op sequence identical to the
+        # DuckDB struct fold, which has no let-binding either
+        folded = F.aggregate(
+            tail, init,
+            lambda acc, e: F.struct(
+                (F.lit(a) * e["s"]
+                 + F.lit(ca) * (acc["s"] + acc["b"])).alias("s"),
+                (F.lit(bt) * ((F.lit(a) * e["s"]
+                               + F.lit(ca) * (acc["s"] + acc["b"]))
+                              - acc["s"])
+                 + F.lit(cbt) * acc["b"]).alias("b")))
+        agg = F.when(n == 1, v1).when(n >= 2, folded["s"])
     elif fn in ("linear", "ewma"):
         arr = F.collect_list(v).over(w)
         n = F.size(arr)
@@ -614,7 +649,7 @@ def moving_fn(buckets: DataFrame, value_col: str = "sum_value",
             agg = F.when(n > 0, folded)
     else:
         raise ValueError(f"unknown fn: {fn!r} (expected one of "
-                         f"{sorted(simple) + ['linear', 'ewma']})")
+                         f"{sorted(simple) + ['linear', 'ewma', 'holt']})")
     return (buckets.withColumn(out_col or fn, F.round(agg, round_at))
             .orderBy(*keys, ts_col))
 

@@ -123,6 +123,30 @@ def test_moving_fn_simple_fns_and_stddev(spark):
     assert out[("a", 0)] == (None, None, None)
 
 
+def test_moving_fn_holt_matches_python_reference(spark):
+    from index_spark.operators.temporal import moving_fn
+
+    def holt(vals, a, b):
+        if not vals:
+            return None
+        if len(vals) == 1:
+            return round(vals[0], 6)
+        s, bb = vals[1], vals[1] - vals[0]
+        for x in vals[2:]:
+            s2 = a * x + (1 - a) * (s + bb)
+            bb = b * (s2 - s) + (1 - b) * bb
+            s = s2
+        return round(s, 6)
+
+    out = {(r.k, r.bucket): r.holt for r in moving_fn(
+        _series(spark), window=4, fn="holt", alpha=0.3, beta=0.2,
+        by=["k"]).collect()}
+    a_vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    for i in range(8):
+        frame = a_vals[max(0, i - 4):i]
+        assert out[("a", i)] == holt(frame, 0.3, 0.2), (i, frame)
+
+
 def test_moving_fn_validation(spark):
     from index_spark.operators.temporal import moving_fn
 
@@ -133,6 +157,8 @@ def test_moving_fn_validation(spark):
         moving_fn(s, window=3, shift=4)
     with pytest.raises(ValueError, match="alpha"):
         moving_fn(s, window=3, fn="ewma", alpha=0.0)
+    with pytest.raises(ValueError, match="beta"):
+        moving_fn(s, window=3, fn="holt", beta=1.5)
     with pytest.raises(ValueError, match="unknown fn"):
         moving_fn(s, window=3, fn="holt_winters_seasonal")
 
