@@ -9362,6 +9362,44 @@ SELECT dim, value, n_docs FROM ranked WHERE rn <= 10
 ORDER BY dim, n_docs DESC, value"""
 
 
+def _word_break_oracle(query: str, min_part_len: int = 2,
+                       top: int = 3) -> str:
+    """Word-break restatement for a FIXED query string: split
+    candidates enumerated as VALUES (every position; the dictionary
+    join does the filtering), combine candidates as adjacent-pair
+    concatenations; rank (score desc, pos asc), top per token."""
+    toks = [t for t in query.lower().split() if t]
+    svals, cvals = [], []
+    for t in dict.fromkeys(toks):
+        for i in range(min_part_len, len(t) - min_part_len + 1):
+            svals.append(f"('{t}', {i}, '{t[:i]} {t[i:]}', "
+                         f"'{t[:i]}', '{t[i:]}')")
+    for a, b in zip(toks, toks[1:]):
+        cvals.append(f"('{a} {b}', '{a}{b}')")
+    return f"""
+, cand(qterm, pos, sug, lp, rp) AS (SELECT * FROM (VALUES
+  {', '.join(svals)}) AS v(qterm, pos, sug, lp, rp))
+, ccand(qterm, cp) AS (SELECT * FROM (VALUES
+  {', '.join(cvals)}) AS v(qterm, cp))
+, sp AS (
+  SELECT c.qterm, c.sug, CAST(dl.df + dr.df AS BIGINT) AS score, c.pos
+  FROM cand c JOIN dft dl ON c.lp = dl.term
+              JOIN dft dr ON c.rp = dr.term
+  WHERE c.qterm NOT IN (SELECT term FROM dft))
+, spr AS (
+  SELECT qterm, sug AS suggestion, 'split' AS kind, score FROM (
+    SELECT qterm, sug, score,
+           row_number() OVER (PARTITION BY qterm
+                              ORDER BY score DESC, pos ASC) AS rn
+    FROM sp) WHERE rn <= {top})
+, cb AS (
+  SELECT c.qterm, dft.term AS suggestion, 'combine' AS kind,
+         CAST(dft.df AS BIGINT) AS score
+  FROM ccand c JOIN dft ON c.cp = dft.term)
+SELECT qterm, suggestion, kind, score FROM spr
+UNION ALL SELECT qterm, suggestion, kind, score FROM cb"""
+
+
 def _r04s23_engine_queries() -> dict[str, Callable[[SparkSession, str],
                                                    DataFrame]]:
     def lp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9446,9 +9484,19 @@ def _r04s23_engine_queries() -> dict[str, Callable[[SparkSession, str],
         return pagerank(nodes, und, damping=0.85, iters=3,
                         teleport=seeds)
 
+    def word_break_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Lucene WordBreakSpellChecker: 'datatable'/'sortkey' split
+        # into dictionary terms, 'win dow' combines into 'window'
+        from index_spark.operators.query import suggest_word_breaks
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        return suggest_word_breaks(index, "datatable sortkey win dow",
+                                   stem=False, camel=False)
+
     return {"lp_communities": lp_q, "events_ewma": moving_fn_q,
             "drill_sideways_facet": drill_q, "suffix_topk": suffix_q,
-            "ppr_scores": ppr_q, "fuzzy_decontam": fuzzy_decontam_q}
+            "ppr_scores": ppr_q, "fuzzy_decontam": fuzzy_decontam_q,
+            "word_break_suggest": word_break_q}
 
 
 def _build_registry():
@@ -10088,6 +10136,9 @@ ORDER BY event_id""")
     add("ppr_scores", eng23["ppr_scores"], _ppr_duck_sql(3))
     add("fuzzy_decontam", eng23["fuzzy_decontam"],
         _ORACLE_FUZZY_DECONTAM)
+    add("word_break_suggest", eng23["word_break_suggest"],
+        _docs_sql("duck",
+                  _word_break_oracle("datatable sortkey win dow"), []))
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -1968,6 +1968,100 @@ def suggest_corrections(index: DataFrame | None, query: str,
     return spark.createDataFrame(rows, _SUGGEST_SCHEMA)
 
 
+_WORDBREAK_SCHEMA = T.StructType([
+    T.StructField("qterm", T.StringType(), False),
+    T.StructField("suggestion", T.StringType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("score", T.LongType(), False),
+])
+
+
+def suggest_word_breaks(index: DataFrame | None, query: str,
+                        min_part_len: int = 2, top: int = 3,
+                        stem: bool = True, camel: bool = True,
+                        zone: str | None = None,
+                        dictionary: DataFrame | None = None) -> DataFrame:
+    """Word-break spell checking (Lucene ``WordBreakSpellChecker``):
+    for each raw query token ABSENT from the dictionary, SPLIT
+    suggestions — every split position whose two halves both resolve
+    to dictionary terms, ranked by summed global df (ties -> earliest
+    split); and for each ADJACENT raw token pair, a COMBINE suggestion
+    when their concatenation resolves to a dictionary term (score =
+    its df).  "datatable" -> "data table"; "win dow" -> "window".
+
+    Returns (qterm, suggestion, kind, score): kind ``split`` has the
+    space-joined halves as the suggestion, kind ``combine`` has the
+    concatenation and the space-joined pair as ``qterm``; at most
+    ``top`` split rows per token.  Halves/concatenations probe the
+    catalog THROUGH the caller's stem/camel tokenizer (a stemmed index
+    stores stemmed halves).
+
+    Scale shape: candidates are query-bounded (|tokens| x token
+    length); ONE ``isin``-pruned catalog scan resolves every probe's
+    df, then ranking is driver-side over the bounded candidate set —
+    the same two-bounded-jobs contract as :func:`suggest_corrections`.
+    """
+    if min_part_len < 1:
+        raise ValueError(f"min_part_len must be >= 1, got {min_part_len}")
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    cat = dictionary if dictionary is not None else index
+    spark = cat.sparkSession
+    raw = [t for t in re.split(r"[^a-z0-9]+", query.lower()) if t]
+    if not raw:
+        return spark.createDataFrame([], _WORDBREAK_SCHEMA)
+
+    def probe(text: str) -> str | None:
+        toks = tokenize(text, stem=stem, camel=camel)
+        return toks[0] if len(toks) == 1 else None
+
+    splits: list[tuple[str, int, str, str, str, str]] = []
+    for t in dict.fromkeys(raw):
+        for i in range(min_part_len, len(t) - min_part_len + 1):
+            left, right = t[:i], t[i:]
+            lp, rp = probe(left), probe(right)
+            if lp and rp:
+                splits.append((t, i, left, right, lp, rp))
+    combines: list[tuple[str, str, str]] = []
+    for a, b in zip(raw, raw[1:]):
+        cp = probe(a + b)
+        if cp:
+            combines.append((a, b, cp))
+    probes = ({p for s in splits for p in (s[4], s[5])}
+              | {c[2] for c in combines}
+              | {probe(t) for t in raw if probe(t)})
+    if not probes:
+        return spark.createDataFrame([], _WORDBREAK_SCHEMA)
+    zcat = pin_zone(cat, zone)
+    if dictionary is not None:
+        dfs = {r["term"]: int(r["df"]) for r in
+               zcat.filter(F.col("term").isin(sorted(probes)))
+               .select("term", "df").collect()}
+    else:
+        from index_spark.operators.build import DOC_MARKER
+
+        dfs = {r["term"]: int(r["df_g"]) for r in
+               zcat.filter(F.col("term") != DOC_MARKER)
+               .filter(F.col("term").isin(sorted(probes)))
+               .groupBy("term").agg(F.sum("df").alias("df_g")).collect()}
+    rows: list[tuple[str, str, str, int]] = []
+    per_term: dict[str, list[tuple[int, int, str]]] = {}
+    for t, i, left, right, lp, rp in splits:
+        if dfs.get(probe(t)) is not None:
+            continue            # token is known: no split suggestions
+        if lp in dfs and rp in dfs:
+            per_term.setdefault(t, []).append(
+                (dfs[lp] + dfs[rp], i, f"{left} {right}"))
+    for t, cands in per_term.items():
+        cands.sort(key=lambda c: (-c[0], c[1]))
+        rows.extend((t, sug, "split", score)
+                    for score, _, sug in cands[:top])
+    for a, b, cp in combines:
+        if cp in dfs:
+            rows.append((f"{a} {b}", cp, "combine", dfs[cp]))
+    return spark.createDataFrame(rows, _WORDBREAK_SCHEMA)
+
+
 def auto_fuzziness(term: str, low: int = 3, high: int = 6) -> int:
     """ES ``fuzziness: AUTO[:low,high]`` (the ES default): terms
     shorter than ``low`` must match exactly, terms shorter than

@@ -283,3 +283,67 @@ def test_fuzzy_decontaminate_verdicts_and_tiebreak(spark):
     assert out[1] == (None, None, False)
     assert out[3] == (None, None, False)
     assert len(out) == 4
+
+
+# ---------------------------------------------------------------------------
+# word-break suggester
+# ---------------------------------------------------------------------------
+
+def _wb_index(spark):
+    from index_spark.operators.build import build_index
+
+    corpus = spark.createDataFrame(
+        [("r", f"d{i}", "data table row scan sort key window stream "
+          + ("sort key " if i < 3 else ""))
+         for i in range(4)], "repo string, path string, content string")
+    return build_index(corpus, stem=False, camel=False, shard_size=64)
+
+
+def test_word_breaks_split_and_combine(spark):
+    from index_spark.operators.query import suggest_word_breaks
+
+    _, index, _ = _wb_index(spark)
+    out = {(r.qterm, r.kind): (r.suggestion, r.score)
+           for r in suggest_word_breaks(
+               index, "datatable sortkey win dow xqzj",
+               stem=False, camel=False).collect()}
+    assert out[("datatable", "split")][0] == "data table"
+    assert out[("sortkey", "split")][0] == "sort key"
+    assert out[("win dow", "combine")] == ("window", 4)
+    # unknown with no valid split yields nothing
+    assert not any(q == "xqzj" for q, _ in out)
+    # known tokens produce no split rows
+    assert not any(q == "window" for q, _ in out)
+
+
+def test_word_breaks_ranking_and_guards(spark):
+    from index_spark.operators.query import suggest_word_breaks
+
+    _, index, _ = _wb_index(spark)
+    # 'sortkey': only one valid split; with min_part_len=1 more split
+    # points probe but halves like 's'+'ortkey' are not dictionary
+    # terms, so the ranking stays deterministic
+    rows = suggest_word_breaks(index, "sortkey", min_part_len=1,
+                               stem=False, camel=False).collect()
+    assert [r.suggestion for r in rows] == ["sort key"]
+    with pytest.raises(ValueError, match="min_part_len"):
+        suggest_word_breaks(index, "x", min_part_len=0)
+    with pytest.raises(ValueError, match="top"):
+        suggest_word_breaks(index, "x", top=0)
+    assert suggest_word_breaks(index, "  ", stem=False,
+                               camel=False).count() == 0
+
+
+def test_word_breaks_dictionary_path_identity(spark):
+    from index_spark.operators.query import suggest_word_breaks
+    from index_spark.plans.dictionary import dictionary_from_index
+
+    _, index, _ = _wb_index(spark)
+    d = dictionary_from_index(index)
+    a = sorted(map(tuple, suggest_word_breaks(
+        index, "datatable win dow", stem=False,
+        camel=False).collect()))
+    b = sorted(map(tuple, suggest_word_breaks(
+        None, "datatable win dow", stem=False, camel=False,
+        dictionary=d).collect()))
+    assert a == b and a
