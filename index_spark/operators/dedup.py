@@ -453,8 +453,11 @@ def _doc_grams(df: DataFrame, n: int, text_col: str,
         .where(F.size(F.split(F.col("gram"), " ")) == n).distinct())
 
 
-def _gram_prefix(grams: DataFrame, threshold: float) -> DataFrame:
+def _gram_prefix(grams: DataFrame, threshold: float,
+                 gdf: DataFrame | None = None) -> DataFrame:
     """Each doc's PREFIX grams under the global (df asc, gram) order.
+    ``gdf``: optional precomputed (gram, gdf) relation — the R-S join
+    passes the UNION-side df so both relations share one total order.
 
     Prefix-filtering principle (Chaudhuri et al. ICDE'06 / PPJoin):
     J(a,b) >= t implies |a ∩ b| >= ceil(t·max(|a|,|b|)) (since the union
@@ -473,7 +476,8 @@ def _gram_prefix(grams: DataFrame, threshold: float) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    gdf = grams.groupBy("gram").agg(F.count("*").alias("gdf"))
+    if gdf is None:
+        gdf = grams.groupBy("gram").agg(F.count("*").alias("gdf"))
     w_doc = W.partitionBy("doc_id")
     ranked = (grams.join(gdf, "gram")
               .withColumn("n_grams", F.count("*").over(w_doc))
@@ -752,8 +756,6 @@ def cross_jaccard_pairs(left: DataFrame, right: DataFrame, n: int = 3,
     Candidate generation runs at threshold − 5e-5 so a pair whose true
     J rounds UP into ``round(j, 4) >= threshold`` is never pruned
     (same boundary contract as the self-join)."""
-    from pyspark.sql import Window as W
-
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     lg = _doc_grams(left, n, text_col, id_col).persist()
@@ -782,25 +784,16 @@ def cross_jaccard_pairs(left: DataFrame, right: DataFrame, n: int = 3,
                                       "gb"), "right_id"))
         elif mode == "prefix":
             t = max(threshold - 5e-5, 0.0)
-            # one shared order: df over the union of both gram relations
+            # one shared order: df over the union of both gram
+            # relations, fed to the SAME prefix kernel as the
+            # self-join (one source of truth for the prefix-length /
+            # boundary-epsilon contract)
             gdf = (lg.select("gram").unionAll(rg.select("gram"))
                    .groupBy("gram").agg(F.count("*").alias("gdf")))
-
-            def side_prefix(g):
-                w_doc = W.partitionBy("doc_id")
-                ranked = (g.join(gdf, "gram")
-                          .withColumn("n_grams",
-                                      F.count("*").over(w_doc))
-                          .withColumn("rn", F.row_number().over(
-                              w_doc.orderBy("gdf", "gram"))))
-                plen = (F.col("n_grams")
-                        - F.ceil(F.col("n_grams") * F.lit(t)
-                                 - F.lit(1e-9)) + 1)
-                return (ranked.where(F.col("rn") <= plen)
-                        .select("doc_id", "gram"))
-
-            cand = (side_prefix(lg).alias("l")
-                    .join(side_prefix(rg).alias("r"), "gram")
+            cand = (_gram_prefix(lg, t, gdf=gdf)
+                    .select("doc_id", "gram").alias("l")
+                    .join(_gram_prefix(rg, t, gdf=gdf)
+                          .select("doc_id", "gram").alias("r"), "gram")
                     .select(F.col("l.doc_id").alias("left_id"),
                             F.col("r.doc_id").alias("right_id"))
                     .dropDuplicates(["left_id", "right_id"]))

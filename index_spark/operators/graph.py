@@ -89,9 +89,13 @@ def pagerank(nodes: DataFrame, edges: DataFrame, damping: float = 0.85,
                      .localCheckpoint())
         return ranks.select("node", F.round("r", round_at).alias("rank"))
 
+    # materialize the (node-bounded) seed set once: the emptiness
+    # probe, the membership join, and the n_seeds aggregate would each
+    # re-run the distinct + semi-join subtree otherwise
     seeds = (teleport.select(F.col(id_col).cast("long")
                              .alias("node")).distinct()
-             .join(n, "node", "semi"))
+             .join(n, "node", "semi")
+             .localCheckpoint())
     n_seeds = seeds.agg(F.count(F.lit(1)).cast("double")
                         .alias("n_seeds"))
     if seeds.first() is None:
@@ -230,8 +234,12 @@ def label_propagation(nodes: DataFrame, pairs: DataFrame, iters: int = 3,
     nbr = (und.union(und.select(F.col("v").alias("u"),
                                 F.col("u").alias("v")))
            .distinct())
-    lab = nodes.select(F.col(id_col).cast("long").alias("node"),
-                       F.col(id_col).cast("long").alias("label"))
+    # distinct: a duplicate node id would double that node's vote in
+    # every neighbor's argmax AND duplicate its output rows (pagerank's
+    # node normalization, same contract)
+    lab = (nodes.select(F.col(id_col).cast("long").alias("node"))
+           .distinct()
+           .select("node", F.col("node").alias("label")))
     for _ in range(iters):
         cnt = (nbr.join(lab.withColumnRenamed("node", "v"), "v")
                .groupBy(F.col("u"), F.col("label"))

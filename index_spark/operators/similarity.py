@@ -1180,7 +1180,13 @@ def bbq_encode(emb: DataFrame, vec_col: str = "embedding",
     return emb.select(F.col(id_col).cast("long").alias("vec_id"),
                       F.array(*words).alias("words"),
                       absum.alias("l1"),
-                      F.sqrt(sqsum).alias("norm"))
+                      F.sqrt(sqsum).alias("norm"),
+                      # stored encode dimension: word count alone
+                      # cannot distinguish dims within the same
+                      # 32-dim word (8-dim vs 16-dim codes both pack
+                      # one word) — the serve-path ragged guard
+                      # checks this column
+                      F.size(F.col(vec_col)).cast("int").alias("dim"))
 
 
 def bbq_topk(emb: DataFrame, qvec: list[float], k: int = 10,
@@ -1224,7 +1230,10 @@ def bbq_topk(emb: DataFrame, qvec: list[float], k: int = 10,
         raise ValueError(f"oversample must be >= 1, got {oversample}")
     # dimension guard (the mrl_topk pattern): a mismatched query would
     # read a bit subset in the estimator and NULL-pad the exact-cosine
-    # zip_with in the rerank — k arbitrary rows instead of an error
+    # zip_with in the rerank — k arbitrary rows instead of an error.
+    # The first() probes catch the whole-relation mismatch cheaply;
+    # RAGGED relations (later rows at a different dim) are caught by
+    # the row-level raise_error guards on the scan and rerank below.
     first = emb.select(F.size(vec_col).alias("d")).first()
     if first is None:
         raise ValueError("empty embedding relation")
@@ -1232,11 +1241,18 @@ def bbq_topk(emb: DataFrame, qvec: list[float], k: int = 10,
         raise ValueError(f"query dimension {d} != embedding dimension "
                          f"{int(first['d'])}")
     if codes is not None:
-        cw = codes.select(F.size("words").alias("nw")).first()
-        if cw is not None and int(cw["nw"]) != (d + 31) // 32:
-            raise ValueError(
-                f"codes were encoded at a different dimension: "
-                f"{int(cw['nw'])} words != {(d + 31) // 32} expected")
+        if "dim" in codes.columns:
+            cw = codes.select("dim").first()
+            if cw is not None and int(cw["dim"]) != d:
+                raise ValueError(
+                    f"codes were encoded at a different dimension: "
+                    f"{int(cw['dim'])} != {d} expected")
+        else:
+            cw = codes.select(F.size("words").alias("nw")).first()
+            if cw is not None and int(cw["nw"]) != (d + 31) // 32:
+                raise ValueError(
+                    f"codes were encoded at a different dimension: "
+                    f"{int(cw['nw'])} words != {(d + 31) // 32} expected")
     src = emb
     if restrict is not None:
         allow = restrict.select(F.col("vec_id").cast("long")
@@ -1262,7 +1278,25 @@ def bbq_topk(emb: DataFrame, qvec: list[float], k: int = 10,
                        .otherwise(F.lit(-float(q[i])))
     est = F.round((F.col("l1") / F.lit(float(d))) * sdot
                   / (F.col("norm") * F.lit(qnorm)), 6)
-    cand = (codes.select("vec_id", est.alias("est"))
+    nwords = (d + 31) // 32
+    # row-level ragged guard: prefer the stored encode dim (exact);
+    # codes written before that column existed fall back to the word
+    # count, which only catches mismatches crossing a 32-dim boundary
+    if "dim" in codes.columns:
+        ragged = F.col("dim") != d
+        detail = F.col("dim").cast("string")
+        expect = f" dims, expected {d}"
+    else:
+        ragged = F.size("words") != nwords
+        detail = F.size("words").cast("string")
+        expect = f" words, expected {nwords}"
+    ragged_code = F.when(
+        ragged,
+        F.raise_error(F.concat(
+            F.lit("ragged codes relation: row with "), detail,
+            F.lit(expect)))) \
+        .otherwise(est)
+    cand = (codes.select("vec_id", ragged_code.alias("est"))
             .orderBy(F.desc("est"), F.asc("vec_id"))
             .limit(int(oversample) * k))
     # join FIRST, cosine after: the O(d) exact arithmetic runs on the
@@ -1270,10 +1304,15 @@ def bbq_topk(emb: DataFrame, qvec: list[float], k: int = 10,
     # pre-join projection would be evaluated for every vector)
     vecs = emb.select(F.col(id_col).cast("long").alias("vec_id"),
                       F.col(vec_col).alias("_vv"))
+    cosv = F.when(
+        F.size("_vv") != d,
+        F.raise_error(F.concat(
+            F.lit("ragged embedding relation: row with "),
+            F.size("_vv").cast("string"),
+            F.lit(f" dims, expected {d}")))) \
+        .otherwise(F.round(_cos_expr("_vv", [float(x) for x in qvec]), 4))
     return (cand.join(vecs, "vec_id")
-            .select("vec_id", "est",
-                    F.round(_cos_expr("_vv", [float(x) for x in qvec]),
-                            4).alias("cos"))
+            .select("vec_id", "est", cosv.alias("cos"))
             .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))
 
 

@@ -593,6 +593,14 @@ def moving_fn(buckets: DataFrame, value_col: str = "sum_value",
         raise ValueError(f"window must be >= 1, got {window}")
     if not 0 <= shift <= window:
         raise ValueError(f"shift must be in [0, window], got {shift}")
+    target = out_col or fn
+    if target in buckets.columns:
+        # withColumn would silently REPLACE an existing column — two
+        # passes of the same model with different parameters would
+        # drop the first result without a signal
+        raise ValueError(
+            f"output column {target!r} already exists — pass out_col= "
+            "to keep both results")
     keys = by or []
     w = (Window.partitionBy(*[F.col(k) for k in keys]).orderBy(ts_col)
          .rowsBetween(shift - window, shift - 1))
@@ -650,7 +658,7 @@ def moving_fn(buckets: DataFrame, value_col: str = "sum_value",
     else:
         raise ValueError(f"unknown fn: {fn!r} (expected one of "
                          f"{sorted(simple) + ['linear', 'ewma', 'holt']})")
-    return (buckets.withColumn(out_col or fn, F.round(agg, round_at))
+    return (buckets.withColumn(target, F.round(agg, round_at))
             .orderBy(*keys, ts_col))
 
 

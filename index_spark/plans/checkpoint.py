@@ -757,18 +757,29 @@ def _fold_new_chunks(spark: SparkSession, out_dir: str, prev: dict,
         old_dict.join(F.broadcast(dterms), gcols, "anti")
                 .unionByName(new_rows),
         out_dir, path=dict_stage)
-    shutil.rmtree(dictionary_path(out_dir))
-    os.rename(dict_stage, dictionary_path(out_dir))
+
+    def swap_dir(stage: str, target: str) -> None:
+        # rename-aside, rename-in, delete-aside: the unavailable
+        # window is two renames (microseconds), not a full rmtree of
+        # the old catalog; a crash inside it leaves <target>_old on
+        # disk for recovery (and the next fold clears it)
+        old = target + "_old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(target):
+            os.rename(target, old)
+        os.rename(stage, target)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    swap_dir(dict_stage, dictionary_path(out_dir))
     # the rterm-sorted companion stages alongside and swaps second (a
-    # reader caught between the two renames sees a current main catalog
+    # reader caught between the two swaps sees a current main catalog
     # and a one-rewrite-old reversed projection — same rows either way
     # for every term outside this fold's delta)
     from index_spark.plans.dictionary import reversed_dictionary_path
 
-    rpath = reversed_dictionary_path(out_dir)
-    if os.path.isdir(rpath):
-        shutil.rmtree(rpath)
-    os.rename(dict_stage + "_r", rpath)
+    swap_dir(dict_stage + "_r", reversed_dictionary_path(out_dir))
 
     dmerged.unpersist()
     dterms.unpersist()

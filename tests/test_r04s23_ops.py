@@ -347,3 +347,64 @@ def test_word_breaks_dictionary_path_identity(spark):
         None, "datatable win dow", stem=False, camel=False,
         dictionary=d).collect()))
     assert a == b and a
+
+
+# ---------------------------------------------------------------------------
+# session-23 review-pass regressions
+# ---------------------------------------------------------------------------
+
+def test_lp_duplicate_node_ids_are_normalized(spark):
+    from index_spark.operators.graph import label_propagation
+
+    pairs = spark.createDataFrame([(0, 2), (1, 2)],
+                                  "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(0,), (1,), (2,), (1,)], "node long")
+    out = label_propagation(nodes, pairs, iters=1).collect()
+    # one row per node; node 1's duplicate must not double its vote
+    assert len(out) == 3
+    got = {r.node: r.label for r in out}
+    assert got[2] == 0            # tie {0, 1} -> min, not 1-by-weight
+
+
+def test_moving_fn_refuses_silent_column_overwrite(spark):
+    from index_spark.operators.temporal import moving_fn
+
+    rows = [("a", i, float(i)) for i in range(4)]
+    s = spark.createDataFrame(rows, "k string, bucket int, sum_value double")
+    once = moving_fn(s, window=2, fn="ewma", alpha=0.3, by=["k"])
+    with pytest.raises(ValueError, match="already exists"):
+        moving_fn(once, window=2, fn="ewma", alpha=0.5, by=["k"])
+    # out_col= keeps both
+    both = moving_fn(once, window=2, fn="ewma", alpha=0.5, by=["k"],
+                     out_col="ewma5")
+    assert {"ewma", "ewma5"} <= set(both.columns)
+
+
+def test_bbq_ragged_relation_fails_loudly(spark):
+    import numpy as np
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+    from index_spark.operators.similarity import bbq_topk
+
+    from index_spark.operators.similarity import bbq_encode
+
+    rng = np.random.RandomState(23)
+    good = [(i, [float(x) for x in rng.randn(16)]) for i in range(6)]
+    short = [(6, [float(x) for x in rng.randn(8)])]
+    emb = spark.createDataFrame(good + short,
+                                "vec_id long, embedding array<float>")
+    q = good[0][1]
+    # inline-encode path: the encoder's element_at reads past the
+    # 8-dim row — loud Spark error, never silent NULL ranking
+    with pytest.raises((Py4JJavaError, PySparkException)):
+        bbq_topk(emb, q, k=3, oversample=3).collect()
+    # precomputed-codes path: first codes row is 16-dim so the driver
+    # probe passes; the row-level scan guard catches the 1-word row
+    emb16 = spark.createDataFrame(good,
+                                  "vec_id long, embedding array<float>")
+    emb8 = spark.createDataFrame(short,
+                                 "vec_id long, embedding array<float>")
+    codes = bbq_encode(emb16).unionByName(bbq_encode(emb8))
+    with pytest.raises((Py4JJavaError, PySparkException),
+                       match="ragged codes"):
+        bbq_topk(emb16, q, k=3, oversample=3, codes=codes).collect()
