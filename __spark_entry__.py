@@ -9289,6 +9289,34 @@ SELECT d.doc_id, best.bid AS bench_id, best.jac AS jaccard,
 FROM documents d LEFT JOIN best ON d.doc_id = best.tid
 ORDER BY d.doc_id"""
 
+# CJKAnalyzer bigram stream over deterministically-injected CJK text:
+# maximal Han/Kana/Hangul runs -> overlapping character bigrams
+# (isolated chars stay unigrams), per-doc term counts.  substr is
+# character-based in both engines; range(1, len) == sequence(1, len-1)
+_ORACLE_CJK_BIGRAMS = """
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+                concat(coalesce(text, ''), ' ',
+                       CASE doc_id % 3 WHEN 0 THEN '数据库系统'
+                            WHEN 1 THEN '分布式检索 索引'
+                            ELSE '倒排索引压缩' END)
+              ELSE text END AS text
+  FROM documents
+), runs AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[一-鿿぀-ゟ゠-ヿ가-힯]+')) AS run
+  FROM inj
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN length(run) = 1 THEN [run]
+              ELSE list_transform(range(1, length(run)),
+                                  i -> substr(run, i, 2)) END AS g
+  FROM runs
+), terms AS (SELECT doc_id, unnest(g) AS term FROM grams)
+SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+FROM terms GROUP BY doc_id, term ORDER BY doc_id, term"""
+
 # ES moving_fn over the hourly rollup: trailing-6 EXCLUSIVE frame
 # (shift=0 excludes the current bucket), ewma seeded with the oldest
 # frame value (list_reduce's fold IS the ES loop), linearWeightedAvg
@@ -9484,6 +9512,25 @@ def _r04s23_engine_queries() -> dict[str, Callable[[SparkSession, str],
         return pagerank(nodes, und, damping=0.85, iters=3,
                         teleport=seeds)
 
+    def cjk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the corpus is ASCII, so CJK text is INJECTED
+        # deterministically (the pii_scrub pattern): every 5th doc
+        # gets one of three fixed phrases by doc_id % 3, then the
+        # CJKAnalyzer bigram stream is counted per doc
+        from index_spark.functions.text import cjk_term_counts
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ph = (F.when(F.col("doc_id") % 3 == 0, F.lit("数据库系统"))
+              .when(F.col("doc_id") % 3 == 1, F.lit("分布式检索 索引"))
+              .otherwise(F.lit("倒排索引压缩")))
+        injected = docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.coalesce(F.col("text"), F.lit("")),
+                            F.lit(" "), ph))
+            .otherwise(F.col("text")))
+        return cjk_term_counts(injected).orderBy("doc_id", "term")
+
     def word_break_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Lucene WordBreakSpellChecker: 'datatable'/'sortkey' split
         # into dictionary terms, 'win dow' combines into 'window'
@@ -9496,7 +9543,8 @@ def _r04s23_engine_queries() -> dict[str, Callable[[SparkSession, str],
     return {"lp_communities": lp_q, "events_ewma": moving_fn_q,
             "drill_sideways_facet": drill_q, "suffix_topk": suffix_q,
             "ppr_scores": ppr_q, "fuzzy_decontam": fuzzy_decontam_q,
-            "word_break_suggest": word_break_q}
+            "word_break_suggest": word_break_q,
+            "cjk_bigram_counts": cjk_q}
 
 
 def _build_registry():
@@ -10139,6 +10187,8 @@ ORDER BY event_id""")
     add("word_break_suggest", eng23["word_break_suggest"],
         _docs_sql("duck",
                   _word_break_oracle("datatable sortkey win dow"), []))
+    add("cjk_bigram_counts", eng23["cjk_bigram_counts"],
+        _ORACLE_CJK_BIGRAMS)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

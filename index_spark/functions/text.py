@@ -426,3 +426,51 @@ def simple_tokens(text: str) -> list[str]:
     Equivalent DuckDB SQL: list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
     """
     return [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+
+
+# ---------------------------------------------------------------------------
+# CJK bigram tokenization (Lucene CJKAnalyzer)
+# ---------------------------------------------------------------------------
+
+#: Combined Han + Hiragana + Katakana + Hangul class.  CJK scripts have
+#: no whitespace word boundaries, so the [a-z0-9] tokenizer silently
+#: DROPS these runs; the classic recall-preserving treatment (Lucene
+#: ``CJKAnalyzer`` / ES ``cjk_bigram`` token filter) indexes every
+#: overlapping character bigram instead.  The class is a literal
+#: codepoint range shared verbatim with the DuckDB oracles (both
+#: engines' regex handles unicode ranges identically — pinned by test).
+CJK_CLASS = "[一-鿿぀-ゟ゠-ヿ가-힯]"
+
+
+def cjk_bigrams_expr(col):
+    """Array-of-terms Column: every overlapping character bigram of
+    each maximal CJK run in ``col`` (a run of length 1 emits its single
+    character — the isolated-unigram rule).  Pure Catalyst
+    (regexp_extract_all + transform + substr) — no UDF, no shuffle;
+    ``substr`` is character-based in both Spark and DuckDB, so the
+    SQL restatement is mechanical."""
+    from pyspark.sql import functions as F
+
+    runs = F.regexp_extract_all(col, F.lit(CJK_CLASS + "+"), 0)
+    return F.flatten(F.transform(
+        runs,
+        lambda r: F.when(F.length(r) == 1, F.array(r)).otherwise(
+            F.transform(F.sequence(F.lit(1), F.length(r) - 1),
+                        lambda i: F.substr(r, i, F.lit(2))))))
+
+
+def cjk_term_counts(df, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """(doc_id, term, tf) over the CJK bigram terms of each document —
+    the per-doc postings shape of :func:`cjk_bigrams_expr`.  Docs with
+    no CJK text produce no rows.  One explode + one map-side-combinable
+    groupBy; integrates with the engine as a SECONDARY token stream
+    (index CJK bigrams alongside the [a-z0-9] stream, the CJKAnalyzer
+    composition) rather than changing the pinned latin tokenizer."""
+    from pyspark.sql import functions as F
+
+    return (df.select(F.col(id_col).cast("long").alias("doc_id"),
+                      F.explode(cjk_bigrams_expr(F.col(text_col)))
+                      .alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf")))

@@ -408,3 +408,42 @@ def test_bbq_ragged_relation_fails_loudly(spark):
     with pytest.raises((Py4JJavaError, PySparkException),
                        match="ragged codes"):
         bbq_topk(emb16, q, k=3, oversample=3, codes=codes).collect()
+
+
+# ---------------------------------------------------------------------------
+# CJK bigram tokenization
+# ---------------------------------------------------------------------------
+
+def test_cjk_bigrams_analyzer_semantics(spark):
+    from index_spark.functions.text import cjk_term_counts
+
+    df = spark.createDataFrame(
+        [(0, "hello 数据库系统 world"),       # one 5-char han run
+         (1, "检索 x 索"),                    # run + isolated unigram
+         (2, "plain ascii only"),             # no rows
+         (3, "データベース 시스템"),           # katakana (incl. chōonpu) + hangul
+         (4, None),                           # NULL text: no rows
+         (5, "数据 数据")],                   # repeated bigram -> tf 2
+        "doc_id long, text string")
+    out = {(r.doc_id, r.term): r.tf
+           for r in cjk_term_counts(df).collect()}
+    assert out[(0, "数据")] == 1 and out[(0, "系统")] == 1
+    assert out[(0, "据库")] == 1 and out[(0, "库系")] == 1
+    assert sum(1 for d, _ in out if d == 0) == 4   # 5 chars -> 4 bigrams
+    assert out[(1, "检索")] == 1 and out[(1, "索")] == 1
+    assert not any(d in (2, 4) for d, _ in out)
+    assert out[(3, "デー")] == 1 and out[(3, "ース")] == 1
+    assert out[(3, "시스")] == 1 and out[(3, "스템")] == 1
+    # bigrams never span separate runs (no cross-script or
+    # cross-whitespace pairs)
+    assert (3, "ス시") not in out and (5, "据数") not in out
+    assert out[(5, "数据")] == 2
+
+
+def test_cjk_bigrams_plan_is_pure_catalyst(spark):
+    from index_spark.functions.text import cjk_term_counts
+
+    df = spark.createDataFrame([(0, "数据库")], "doc_id long, text string")
+    plan = cjk_term_counts(df)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
