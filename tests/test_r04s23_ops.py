@@ -447,3 +447,27 @@ def test_cjk_bigrams_plan_is_pure_catalyst(spark):
     plan = cjk_term_counts(df)._jdf.queryExecution() \
         .optimizedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cross_jaccard_randomized_mode_equivalence(spark):
+    # seeded randomized sweep: prefix filtering must be EXACT (never
+    # lose an above-threshold pair) on corpora with heavy stop-gram
+    # overlap — the adversarial case for the shared-order prefix
+    import random
+
+    from index_spark.operators.dedup import cross_jaccard_pairs
+
+    rng = random.Random(2023)
+    vocab = ["the", "data", "big", "fast", "slow", "row", "col"]
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+    left = spark.createDataFrame(
+        [(i, doc()) for i in range(25)], "doc_id long, text string")
+    right = spark.createDataFrame(
+        [(i, doc()) for i in range(20)], "doc_id long, text string")
+    for t in (0.2, 0.5, 0.8):
+        a = sorted(map(tuple, cross_jaccard_pairs(
+            left, right, n=2, threshold=t, mode="naive").collect()))
+        b = sorted(map(tuple, cross_jaccard_pairs(
+            left, right, n=2, threshold=t, mode="prefix").collect()))
+        assert a == b, t
