@@ -9317,6 +9317,66 @@ WITH inj AS (
 SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
 FROM terms GROUP BY doc_id, term ORDER BY doc_id, term"""
 
+# Mixed-analyzer BM25 over the latin+CJK-bigram union stream: tf =
+# latin token counts UNION bigram counts, dl = combined stream length,
+# n over ALL docs (empty docs count), query = 'data' + the 4 bigrams
+# of 数据库系统
+_ORACLE_CJK_TOPK = """
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+                concat(coalesce(text, ''), ' ',
+                       CASE doc_id % 3 WHEN 0 THEN '数据库系统'
+                            WHEN 1 THEN '分布式检索 索引'
+                            ELSE '倒排索引压缩' END)
+              ELSE text END AS text
+  FROM documents
+), latc AS (
+  SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text),
+                                                        '[^a-z0-9]+'),
+                                  x -> x <> '')) AS t
+        FROM inj)
+  GROUP BY doc_id, t
+), runs AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[一-鿿぀-ゟ゠-ヿ가-힯]+')) AS run
+  FROM inj
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN length(run) = 1 THEN [run]
+              ELSE list_transform(range(1, length(run)),
+                                  i -> substr(run, i, 2)) END AS g
+  FROM runs
+), cjkc AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(g) AS term FROM grams)
+  GROUP BY doc_id, term
+), tf AS (SELECT * FROM latc UNION ALL SELECT * FROM cjkc),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dlen
+       FROM tf GROUP BY doc_id),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+st AS (SELECT nn.n AS n,
+              (SELECT coalesce(sum(tf), 0) FROM tf) / nn.n AS avgdl
+       FROM nn),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY term),
+q(term) AS (SELECT * FROM (VALUES ('data'), ('数据'), ('据库'),
+                                  ('库系'), ('系统')) AS v(term)),
+scr AS (
+  SELECT tf.doc_id,
+         sum( ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75
+                                        + 0.75 * dl.dlen / st.avgdl)) )
+           AS score
+  FROM tf JOIN q USING (term) JOIN dft USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scr
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
 # ES moving_fn over the hourly rollup: trailing-6 EXCLUSIVE frame
 # (shift=0 excludes the current bucket), ewma seeded with the oldest
 # frame value (list_reduce's fold IS the ES loop), linearWeightedAvg
@@ -9531,6 +9591,33 @@ def _r04s23_engine_queries() -> dict[str, Callable[[SparkSession, str],
             .otherwise(F.col("text")))
         return cjk_term_counts(injected).orderBy("doc_id", "term")
 
+    def cjk_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the full mixed-analyzer serving path: build_cjk_index over
+        # the injected corpus, search_cjk with a mixed query — every
+        # blob/query kernel downstream of the union stream is exercised
+        from index_spark.operators.build import build_cjk_index
+        from index_spark.operators.query import search_cjk
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ph = (F.when(F.col("doc_id") % 3 == 0, F.lit("数据库系统"))
+              .when(F.col("doc_id") % 3 == 1, F.lit("分布式检索 索引"))
+              .otherwise(F.lit("倒排索引压缩")))
+        inj = docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.coalesce(F.col("text"), F.lit("")),
+                            F.lit(" "), ph))
+            .otherwise(F.col("text")))
+        corpus = inj.select(
+            F.lit("corpus").alias("repo"),
+            F.format_string("doc%08d", F.col("doc_id")).alias("path"),
+            F.col("text").alias("content"))
+        d, index, stats = build_cjk_index(corpus, stem=False,
+                                          camel=False, shard_size=256)
+        top = search_cjk(index, d, stats, "数据库系统 data", k=10,
+                         stem=False, camel=False, shard_size=256)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     def word_break_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Lucene WordBreakSpellChecker: 'datatable'/'sortkey' split
         # into dictionary terms, 'win dow' combines into 'window'
@@ -9544,7 +9631,7 @@ def _r04s23_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "drill_sideways_facet": drill_q, "suffix_topk": suffix_q,
             "ppr_scores": ppr_q, "fuzzy_decontam": fuzzy_decontam_q,
             "word_break_suggest": word_break_q,
-            "cjk_bigram_counts": cjk_q}
+            "cjk_bigram_counts": cjk_q, "cjk_topk": cjk_topk_q}
 
 
 def _build_registry():
@@ -10189,6 +10276,7 @@ ORDER BY event_id""")
                   _word_break_oracle("datatable sortkey win dow"), []))
     add("cjk_bigram_counts", eng23["cjk_bigram_counts"],
         _ORACLE_CJK_BIGRAMS)
+    add("cjk_topk", eng23["cjk_topk"], _ORACLE_CJK_TOPK)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry

@@ -474,3 +474,23 @@ def cjk_term_counts(df, text_col: str = "text",
                       .alias("term"))
             .groupBy("doc_id", "term")
             .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+
+
+_CJK_RUN_RE = re.compile("[一-鿿぀-ゟ゠-ヿ가-힯]+")
+
+
+def cjk_query_terms(query: str, stem: bool = True,
+                    camel: bool = True) -> list[str]:
+    """Mixed-analyzer query tokenization: the latin tokens of
+    :func:`tokenize` PLUS the CJK bigrams of every CJK run (isolated
+    chars stay unigrams) — the query-side twin of
+    :func:`cjk_bigrams_expr`, for searching an index built by
+    ``build_cjk_index``.  Sorted-distinct."""
+    lat = tokenize(query, stem=stem, camel=camel)
+    cjk: list[str] = []
+    for r in _CJK_RUN_RE.findall(query):
+        if len(r) == 1:
+            cjk.append(r)
+        else:
+            cjk.extend(r[i:i + 2] for i in range(len(r) - 1))
+    return sorted(set(lat) | set(cjk))

@@ -1159,3 +1159,45 @@ def release_build(index: DataFrame) -> None:
             df.unpersist()
         except Exception:
             pass
+
+
+def build_cjk_index(corpus: DataFrame, stem: bool = True,
+                    camel: bool = True,
+                    shard_size: int = DEFAULT_SHARD_SIZE):
+    """Mixed-analyzer build: the latin token stream UNION the CJK
+    bigram stream (:func:`~index_spark.functions.text.cjk_bigrams_expr`
+    — Lucene CJKAnalyzer composition) -> the same sharded blob index
+    as :func:`build_index`, so every query kernel works unchanged;
+    queries tokenize with :func:`~index_spark.functions.text.
+    cjk_query_terms` (``search(qterms=...)`` / :func:`~index_spark.
+    operators.query.search_cjk`).
+
+    Per-doc length = latin tokens + CJK bigram occurrences (each
+    bigram is one token position, the analyzer-composition length), so
+    BM25's length normalization sees the full stream.  Plan shape is
+    the two-stage build: the CJK stream is one extra map-side
+    projection + the shared groupBy(shard) — no new wide shuffle
+    beyond the standard non-fused plan's.
+    """
+    from index_spark.functions.text import cjk_term_counts
+
+    with_ids = assign_doc_ids(corpus)
+    latin = doc_term_counts(with_ids, stem=stem, camel=camel)
+    cjk = cjk_term_counts(with_ids, text_col="content",
+                          id_col="doc_id")
+    cjk_len = cjk.groupBy("doc_id").agg(F.sum("tf").alias("_cl"))
+    lat_len = latin.groupBy("doc_id").agg(F.first("doc_len").alias("_ll"))
+    dl = (lat_len.join(cjk_len, "doc_id", "left")
+          .select("doc_id",
+                  (F.col("_ll") + F.coalesce("_cl", F.lit(0)))
+                  .alias("doc_len")))
+    counts = (latin.drop("doc_len")
+              .unionByName(cjk)
+              .join(dl, "doc_id")
+              .persist())
+    doclens = doc_lengths(counts)
+    stats = stats_from_doclens(doclens)
+    index = build_sharded_index(counts, shard_size=shard_size)
+    docs = with_ids.select("doc_id", "repo", "path").join(doclens, "doc_id")
+    index._build_caches = [counts]
+    return docs, index, stats

@@ -724,8 +724,15 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
            after: tuple[float, int] | None = None,
            min_match: int | None = None,
            min_match_df: DataFrame | None = None,
-           term_weights: dict[str, float] | None = None) -> DataFrame:
+           term_weights: dict[str, float] | None = None,
+           qterms: list[str] | None = None) -> DataFrame:
     """Top-k BM25 over the sharded index. Returns (doc_id, score).
+
+    ``qterms``: pre-tokenized query terms — the custom-analyzer hook
+    (e.g. :func:`cjk_query_terms` for a mixed latin+CJK-bigram index,
+    whose terms a whitespace re-tokenization would drop). When given,
+    ``query``/``stem``/``camel`` are ignored for the positive terms;
+    ``exclude`` still tokenizes as a string.
 
     ``use_wand``: True (always WAND), False (always exhaustive), or
     "auto" — per shard, exhaustive below AUTO_WAND_MIN_POSTINGS postings,
@@ -837,7 +844,8 @@ def search(index: DataFrame, docs: DataFrame | None, stats: dict, query: str,
     import math
 
     spark = index.sparkSession
-    qterms = sorted(set(tokenize(query, stem=stem, camel=camel)))
+    qterms = sorted(set(qterms if qterms is not None
+                        else tokenize(query, stem=stem, camel=camel)))
     if not qterms:
         return spark.createDataFrame([], TOPK_SCHEMA)
     if term_weights:
@@ -5674,3 +5682,22 @@ def search_champions(champions: DataFrame, stats: dict, query: str,
             .groupBy("doc_id")
             .agg(F.round(F.sum("_p"), 4).alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def search_cjk(index: DataFrame, docs: DataFrame | None, stats: dict,
+               query: str, k: int = 10, stem: bool = True,
+               camel: bool = True, **kw) -> DataFrame:
+    """Top-k BM25 over a mixed latin+CJK-bigram index
+    (:func:`~index_spark.operators.build.build_cjk_index`): the query
+    tokenizes with the SAME analyzer composition
+    (:func:`~index_spark.functions.text.cjk_query_terms` — latin
+    tokens plus CJK run bigrams), then delegates to :func:`search`
+    via the pre-tokenized ``qterms`` hook.  All of search's knobs
+    (mode/exclude/tombstones/restrict/boosts/after/...) pass through.
+    """
+    from index_spark.functions.text import cjk_query_terms
+
+    return search(index, docs, stats, query, k=k, stem=stem,
+                  camel=camel,
+                  qterms=cjk_query_terms(query, stem=stem, camel=camel),
+                  **kw)

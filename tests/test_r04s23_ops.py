@@ -471,3 +471,84 @@ def test_cross_jaccard_randomized_mode_equivalence(spark):
         b = sorted(map(tuple, cross_jaccard_pairs(
             left, right, n=2, threshold=t, mode="prefix").collect()))
         assert a == b, t
+
+
+# ---------------------------------------------------------------------------
+# mixed latin+CJK index + search
+# ---------------------------------------------------------------------------
+
+def _cjk_corpus(spark):
+    return spark.createDataFrame(
+        [("r", "d0", "data table 数据库系统 row"),
+         ("r", "d1", "data row scan 检索 join"),
+         ("r", "d2", "plain ascii data table"),
+         ("r", "d3", "数据库 检索 系统")],
+        "repo string, path string, content string")
+
+
+def test_build_cjk_index_lengths_and_ranking(spark):
+    from index_spark.operators.build import build_cjk_index
+    from index_spark.operators.query import search_cjk
+
+    docs, index, stats = build_cjk_index(_cjk_corpus(spark),
+                                         stem=False, camel=False,
+                                         shard_size=64)
+    # hand lengths: d0 3+4, d1 4+1, d2 4+0, d3 0+4 -> total 20
+    assert stats["n_docs"] == 4 and stats["total_tokens"] == 20
+    assert stats["avgdl"] == 5.0
+    dls = {r.doc_id: r.doc_len for r in docs.collect()}
+    assert dls == {0: 7, 1: 5, 2: 4, 3: 4}
+    out = [r.doc_id for r in search_cjk(
+        index, docs, stats, "数据库 table", k=4,
+        stem=False, camel=False).collect()]
+    # d0 has both streams' terms; d1 has neither 数据库 bigram nor table
+    assert out[0] == 0 and 1 not in out
+    got_and = [r.doc_id for r in search_cjk(
+        index, docs, stats, "数据库 table", k=4, stem=False,
+        camel=False, mode="and").collect()]
+    assert got_and == [0]
+
+
+def test_build_cjk_equals_plain_build_on_ascii_corpus(spark):
+    from index_spark.operators.build import build_cjk_index, build_index
+    from index_spark.operators.query import search
+
+    corpus = spark.createDataFrame(
+        [("r", f"d{i}", t) for i, t in enumerate(
+            ["data table scan", "data data filter sort",
+             "table merge", "data table agg window group"])],
+        "repo string, path string, content string")
+    d1, i1, s1 = build_cjk_index(corpus, stem=False, camel=False,
+                                 shard_size=64)
+    d2, i2, s2 = build_index(corpus, stem=False, camel=False,
+                             shard_size=64, fused=False)
+    assert s1 == s2
+    a = [(r.doc_id, r.score) for r in search(
+        i1, d1, s1, "data table", k=10, stem=False, camel=False,
+        shard_size=64).collect()]
+    b = [(r.doc_id, r.score) for r in search(
+        i2, d2, s2, "data table", k=10, stem=False, camel=False,
+        shard_size=64).collect()]
+    assert a == b and a
+
+
+def test_cjk_query_terms_and_qterms_hook(spark):
+    from index_spark.functions.text import cjk_query_terms
+    from index_spark.operators.build import build_cjk_index
+    from index_spark.operators.query import search
+
+    assert cjk_query_terms("数据库 DataTable", stem=False,
+                           camel=False) == \
+        ["datatable", "据库", "数据"]
+    assert cjk_query_terms("数据库 DataTable", stem=False,
+                           camel=True) == \
+        ["data", "table", "据库", "数据"]
+    assert cjk_query_terms("索") == ["索"]
+    # the qterms hook bypasses string tokenization entirely
+    docs, index, stats = build_cjk_index(_cjk_corpus(spark),
+                                         stem=False, camel=False,
+                                         shard_size=64)
+    direct = [r.doc_id for r in search(
+        index, docs, stats, "", qterms=["数据", "据库"], k=4,
+        shard_size=64).collect()]
+    assert set(direct) == {0, 3}
