@@ -9463,12 +9463,12 @@ def _word_break_oracle(query: str, min_part_len: int = 2,
             svals.append(f"('{t}', {i}, '{t[:i]} {t[i:]}', "
                          f"'{t[:i]}', '{t[i:]}')")
     for a, b in zip(toks, toks[1:]):
-        cvals.append(f"('{a} {b}', '{a}{b}')")
+        cvals.append(f"('{a} {b}', '{a}{b}', '{a}', '{b}')")
     return f"""
 , cand(qterm, pos, sug, lp, rp) AS (SELECT * FROM (VALUES
   {', '.join(svals)}) AS v(qterm, pos, sug, lp, rp))
-, ccand(qterm, cp) AS (SELECT * FROM (VALUES
-  {', '.join(cvals)}) AS v(qterm, cp))
+, ccand(qterm, cp, la, rb) AS (SELECT * FROM (VALUES
+  {', '.join(cvals)}) AS v(qterm, cp, la, rb))
 , sp AS (
   SELECT c.qterm, c.sug, CAST(dl.df + dr.df AS BIGINT) AS score, c.pos
   FROM cand c JOIN dft dl ON c.lp = dl.term
@@ -9481,9 +9481,13 @@ def _word_break_oracle(query: str, min_part_len: int = 2,
                               ORDER BY score DESC, pos ASC) AS rn
     FROM sp) WHERE rn <= {top})
 , cb AS (
+  -- SUGGEST_WHEN_NOT_IN_INDEX gate (mirrors the operator): a combine
+  -- only fires when at least one constituent token is absent
   SELECT c.qterm, dft.term AS suggestion, 'combine' AS kind,
          CAST(dft.df AS BIGINT) AS score
-  FROM ccand c JOIN dft ON c.cp = dft.term)
+  FROM ccand c JOIN dft ON c.cp = dft.term
+  WHERE c.la NOT IN (SELECT term FROM dft)
+     OR c.rb NOT IN (SELECT term FROM dft))
 SELECT qterm, suggestion, kind, score FROM spr
 UNION ALL SELECT qterm, suggestion, kind, score FROM cb"""
 

@@ -47,8 +47,8 @@ LTR_SCHEMA = T.StructType([
 
 def ltr_features(index: DataFrame, stats: dict,
                  queries: dict[int, str], stem: bool = True,
-                 camel: bool = True, zone: str | None = None
-                 ) -> DataFrame:
+                 camel: bool = True, zone: str | None = None,
+                 order_global: bool = False) -> DataFrame:
     """Per-(query, candidate-doc) LTR features over the sharded index.
 
     Candidates: docs matching >= 1 query term (the standard first-stage
@@ -65,7 +65,13 @@ def ltr_features(index: DataFrame, stats: dict,
 
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)) with GLOBAL df from the
     segment metadata (bounded aggregate, no blob decode). Each term
-    row decodes ONCE even when several queries share the term."""
+    row decodes ONCE even when several queries share the term.
+
+    Rows come back sorted (query_id, doc_id) WITHIN each partition
+    only; the feature relation is unbounded and a global total sort
+    would cost an extra exchange before it streams to the feature
+    store. Pass ``order_global=True`` for the pre-r4 globally-ordered
+    contract (one extra range exchange)."""
     spark = index.sparkSession
     qterms: dict[int, list[str]] = {}
     for qid, qtext in queries.items():
@@ -153,17 +159,19 @@ def ltr_features(index: DataFrame, stats: dict,
 
     # rounds happen JVM-side (F.round, half-away like the SQL oracles);
     # np.round is banker's rounding and would diverge at exact halves
-    return (hits.groupBy("shard").applyInPandas(fn, schema=LTR_SCHEMA)
-            .select("query_id", "doc_id",
-                    F.round("bm25", 4).alias("bm25"),
-                    "sum_tf", "n_matched",
-                    F.round("coverage", 6).alias("coverage"),
-                    F.round("sum_idf", 6).alias("sum_idf"),
-                    F.round("max_idf", 6).alias("max_idf"),
-                    "dl")
-            # partition-local order only: the feature relation is
-            # unbounded (every query x matching doc), and a global
-            # orderBy would total-sort it through one extra exchange
-            # before it streams to the feature store — callers that
-            # need a global order sort the (small) slice they take
-            .sortWithinPartitions("query_id", "doc_id"))
+    out = (hits.groupBy("shard").applyInPandas(fn, schema=LTR_SCHEMA)
+           .select("query_id", "doc_id",
+                   F.round("bm25", 4).alias("bm25"),
+                   "sum_tf", "n_matched",
+                   F.round("coverage", 6).alias("coverage"),
+                   F.round("sum_idf", 6).alias("sum_idf"),
+                   F.round("max_idf", 6).alias("max_idf"),
+                   "dl"))
+    if order_global:
+        return out.orderBy("query_id", "doc_id")
+    # partition-local order only: the feature relation is unbounded
+    # (every query x matching doc), and a global orderBy would
+    # total-sort it through one extra exchange before it streams to
+    # the feature store — callers that need a global order sort the
+    # (small) slice they take, or pass order_global=True
+    return out.sortWithinPartitions("query_id", "doc_id")

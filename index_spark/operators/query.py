@@ -2065,7 +2065,12 @@ def suggest_word_breaks(index: DataFrame | None, query: str,
         rows.extend((t, sug, "split", score)
                     for score, _, sug in cands[:top])
     for a, b, cp in combines:
-        if cp in dfs:
+        # Lucene WordBreakSpellChecker's SUGGEST_WHEN_NOT_IN_INDEX
+        # default, mirrored from the split path: only suggest a combine
+        # when at least one constituent is absent from the catalog (two
+        # valid dictionary words side by side are not a typo)
+        if cp in dfs and (dfs.get(probe(a)) is None
+                          or dfs.get(probe(b)) is None):
             rows.append((f"{a} {b}", cp, "combine", dfs[cp]))
     return spark.createDataFrame(rows, _WORDBREAK_SCHEMA)
 
@@ -5540,8 +5545,9 @@ def bm25_lossy_search(index: DataFrame, stats: dict, query: str,
 
     k1=1.2, b=0.75; avgdl stays the EXACT collection mean
     (Lucene computes avgFieldLength from sumTotalTermFreq/docCount,
-    not from the decoded norms). Docs shorter than 16 tokens score
-    identically to :func:`search`; longer docs floor to their
+    not from the decoded norms). Docs no longer than 40 tokens score
+    identically to :func:`search` (the codec's NUM_FREE_VALUES exact
+    range; 41 is the first lossy value); longer docs floor to their
     quantization bucket, which is exactly where Lucene and textbook
     BM25 diverge — this kernel is the parity target when validating
     against a real Lucene/ES run. Plan shape: :func:`dfr_search`

@@ -761,8 +761,13 @@ def _fold_new_chunks(spark: SparkSession, out_dir: str, prev: dict,
     def swap_dir(stage: str, target: str) -> None:
         # rename-aside, rename-in, delete-aside: the unavailable
         # window is two renames (microseconds), not a full rmtree of
-        # the old catalog; a crash inside it leaves <target>_old on
-        # disk for recovery (and the next fold clears it)
+        # the old catalog
+        from index_spark.plans.dictionary import heal_swapped_dir
+
+        # self-heal first: a prior crash between the two renames left
+        # no live catalog but an intact <target>_old (load_dictionary
+        # heals the same way on the read side)
+        heal_swapped_dir(target)
         old = target + "_old"
         if os.path.isdir(old):
             shutil.rmtree(old)

@@ -102,9 +102,24 @@ def write_dictionary(dictionary: DataFrame, out_dir: str,
         publish(zcol + [F.col("rterm")], main + "_r")
 
 
+def heal_swapped_dir(target: str) -> bool:
+    """Self-heal the fold's rename-aside crash window: the atomic
+    catalog swap is rename(target, target_old); rename(stage, target);
+    rmtree(target_old).  A crash between the first two renames leaves
+    NO live directory but an intact ``<target>_old`` — restore it so
+    readers (and the next fold) never see a missing catalog.  Returns
+    True when a restore happened."""
+    old = target + "_old"
+    if not os.path.isdir(target) and os.path.isdir(old):
+        os.rename(old, target)
+        return True
+    return False
+
+
 def load_dictionary(spark: SparkSession, out_dir: str) -> DataFrame:
     """The published term catalog; raises if compaction never wrote one."""
     p = dictionary_path(out_dir)
+    heal_swapped_dir(p)
     if not os.path.isdir(p):
         raise FileNotFoundError(
             f"no dictionary under {p} — run compact_index first")
@@ -115,6 +130,7 @@ def load_reversed_dictionary(spark: SparkSession, out_dir: str) -> DataFrame:
     """The rterm-sorted companion projection; raises if the store's
     catalog predates it (re-run compact_index with force=True)."""
     p = reversed_dictionary_path(out_dir)
+    heal_swapped_dir(p)
     if not os.path.isdir(p):
         raise FileNotFoundError(
             f"no reversed dictionary under {p} — re-run compact_index "

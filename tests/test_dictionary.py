@@ -240,3 +240,39 @@ def test_incremental_compaction_keeps_reversed_projection(spark,
     b = sorted((r.term, r.df, r.rterm) for r in rd.collect())
     assert a == b
     assert all(rt == t[::-1] for t, _, rt in a)
+
+
+def test_crash_window_self_heal(spark, store):
+    """A crash between swap_dir's two renames leaves <target>_old as
+    the only copy.  load_dictionary / load_reversed_dictionary must
+    restore it transparently (same rows), and heal_swapped_dir must
+    not fire when a live catalog exists."""
+    import os
+    import shutil
+
+    from index_spark.plans.dictionary import (dictionary_path,
+                                              heal_swapped_dir,
+                                              load_reversed_dictionary,
+                                              reversed_dictionary_path)
+
+    before = sorted((r.term, r.df) for r in
+                    load_dictionary(spark, store)
+                    .select("term", "df").collect())
+
+    p = dictionary_path(store)
+    os.rename(p, p + "_old")                    # simulated crash state
+    healed = sorted((r.term, r.df) for r in
+                    load_dictionary(spark, store)
+                    .select("term", "df").collect())
+    assert healed == before
+    assert os.path.isdir(p) and not os.path.isdir(p + "_old")
+
+    rp = reversed_dictionary_path(store)
+    os.rename(rp, rp + "_old")
+    load_reversed_dictionary(spark, store).count()
+    assert os.path.isdir(rp) and not os.path.isdir(rp + "_old")
+
+    # live catalog + stale _old: heal must NOT clobber the live copy
+    shutil.copytree(p, p + "_old")
+    assert heal_swapped_dir(p) is False
+    shutil.rmtree(p + "_old")
