@@ -9638,6 +9638,122 @@ def _r04s23_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "cjk_bigram_counts": cjk_q, "cjk_topk": cjk_topk_q}
 
 
+# ---------------------------------------------------------------------------
+# round-5: HTML zone + link extraction (the reference's real ingest —
+# Index::addDocument over HtmlParser zones, /root/reference/index.cpp:112-162;
+# markers index.h:320-326).  Pages are synthesized DETERMINISTICALLY from the
+# documents table by sources/html.py:synthesize_pages' pinned template, so the
+# oracles restate the zones/links directly from the raw columns — the engine
+# must parse back exactly what the template injected.
+# ---------------------------------------------------------------------------
+
+# link relation: row 0 = intra-host link to doc_id+1 ('#1' in the
+# reference's key space), row 1 = cross-host link to ext{doc_id%7} ('#0')
+_ORACLE_HTML_LINKS = """
+WITH l1 AS (
+  SELECT 'http://' || source || '.example.com/doc' || doc_id AS src,
+         'http://' || source || '.example.com/doc' || (doc_id + 1) AS dst,
+         'intra ' || lang AS anchor_text,
+         CAST(0 AS BIGINT) AS link_pos, TRUE AS same_host
+  FROM documents
+), l2 AS (
+  SELECT 'http://' || source || '.example.com/doc' || doc_id AS src,
+         'http://ext' || (doc_id % 7) || '.example.org/p' AS dst,
+         'extra link' AS anchor_text,
+         CAST(1 AS BIGINT) AS link_pos, FALSE AS same_host
+  FROM documents)
+SELECT src, dst, anchor_text, link_pos, same_host FROM l1
+UNION ALL SELECT src, dst, anchor_text, link_pos, same_host FROM l2"""
+
+# zone-weighted BM25 over the four parsed HTML zones (source pinned to
+# 'corpus' in the fixture so engine doc_ids coincide with table doc_ids);
+# zone texts reconstructed from the synthesis template, NOT by parsing
+_ORACLE_HTML_ZONE_TOPK = """
+WITH zraw AS (
+  SELECT doc_id,
+         'doc ' || doc_id || ' ' || lang AS title,
+         'corpus heading' AS head,
+         'corpus heading ' || regexp_replace(text, '[<>"&]', ' ', 'g')
+           || ' intra ' || lang || ' extra link' AS body,
+         'intra ' || lang || ' extra link' AS anchor
+  FROM documents
+), ztok AS (
+  SELECT 'title' AS zone, doc_id, unnest(list_filter(regexp_split_to_array(lower(title), '[^a-z0-9]+'), x -> x <> '')) AS term FROM zraw
+  UNION ALL SELECT 'head', doc_id, unnest(list_filter(regexp_split_to_array(lower(head), '[^a-z0-9]+'), x -> x <> '')) FROM zraw
+  UNION ALL SELECT 'body', doc_id, unnest(list_filter(regexp_split_to_array(lower(body), '[^a-z0-9]+'), x -> x <> '')) FROM zraw
+  UNION ALL SELECT 'anchor', doc_id, unnest(list_filter(regexp_split_to_array(lower(anchor), '[^a-z0-9]+'), x -> x <> '')) FROM zraw
+), ztf AS (
+  SELECT zone, doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM ztok GROUP BY zone, doc_id, term
+), zdl AS (
+  SELECT zone, doc_id, CAST(count(*) AS BIGINT) AS dlen
+  FROM ztok GROUP BY zone, doc_id
+), zstats AS (
+  SELECT zone, CAST(count(*) AS BIGINT) AS n, avg(dlen) AS avgdl
+  FROM zdl GROUP BY zone
+), zdft AS (
+  SELECT zone, term, CAST(count(*) AS BIGINT) AS df
+  FROM ztf GROUP BY zone, term
+), q(term) AS (SELECT * FROM (VALUES ('data'), ('heading'), ('en')) AS v(term)),
+zw(zone, wt) AS (SELECT * FROM (VALUES
+  ('title', CAST(2.0 AS DOUBLE)), ('head', CAST(1.5 AS DOUBLE)),
+  ('body', CAST(1.0 AS DOUBLE)), ('anchor', CAST(1.5 AS DOUBLE))) AS v(zone, wt)),
+scores AS (
+  SELECT ztf.doc_id,
+         sum( zw.wt * ln((zstats.n - zdft.df + 0.5) / (zdft.df + 0.5) + 1.0)
+              * ztf.tf / (ztf.tf + 1.2 * (1.0 - 0.75 + 0.75 * zdl.dlen / zstats.avgdl)) ) AS score
+  FROM ztf
+  JOIN q ON ztf.term = q.term
+  JOIN zdft ON ztf.zone = zdft.zone AND ztf.term = zdft.term
+  JOIN zdl ON ztf.zone = zdl.zone AND ztf.doc_id = zdl.doc_id
+  JOIN zstats ON ztf.zone = zstats.zone
+  JOIN zw ON ztf.zone = zw.zone
+  GROUP BY ztf.doc_id
+), top AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
+
+
+def _r05_engine_queries() -> dict[str, Callable[[SparkSession, str],
+                                                DataFrame]]:
+    def html_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # parse (src, dst, anchor_text, same_host) edges out of the
+        # synthesized pages — value-checks the anchor regex route AND
+        # the reference's '#1'/'#0' same-host rule per row
+        from index_spark.sources.html import extract_links, synthesize_pages
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pages = synthesize_pages(docs)
+        return (extract_links(pages)
+                .select("src", "dst", "anchor_text",
+                        F.col("link_pos").cast("long").alias("link_pos"),
+                        "same_host"))
+
+    def html_zone_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # whole HTML path: synthesize -> parse zones -> 4-zone build ->
+        # zone-weighted BM25 top-10 (title 2.0 / head 1.5 / body 1.0 /
+        # anchor 1.5 — the reference's marker streams as zone columns)
+        from index_spark.operators.build import build_zoned_index
+        from index_spark.operators.query import zone_search
+        from index_spark.sources.html import (html_zone_corpus,
+                                              synthesize_pages)
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pages = synthesize_pages(docs.withColumn("source", F.lit("corpus")),
+                                 pad=8)
+        corpus = html_zone_corpus(pages)
+        _, index, stats = build_zoned_index(
+            corpus, [("title", "title"), ("head", "head"),
+                     ("body", "body"), ("anchor", "anchor")],
+            stem=False, camel=False, shard_size=256)
+        index = index.persist()
+        top = zone_search(index, stats, "data heading en",
+                          {"title": 2.0, "head": 1.5, "body": 1.0,
+                           "anchor": 1.5}, k=10, stem=False, camel=False)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
+    return {"html_links": html_links_q, "html_zone_topk": html_zone_q}
+
+
 def _build_registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -10281,6 +10397,10 @@ ORDER BY event_id""")
     add("cjk_bigram_counts", eng23["cjk_bigram_counts"],
         _ORACLE_CJK_BIGRAMS)
     add("cjk_topk", eng23["cjk_topk"], _ORACLE_CJK_TOPK)
+
+    eng25 = _r05_engine_queries()
+    add("html_links", eng25["html_links"], _ORACLE_HTML_LINKS)
+    add("html_zone_topk", eng25["html_zone_topk"], _ORACLE_HTML_ZONE_TOPK)
 
     # ---- driver-window rotation -----------------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry
