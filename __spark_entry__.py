@@ -9713,6 +9713,38 @@ scores AS (
 SELECT doc_id, round(score, 4) AS score FROM top"""
 
 
+# at-scale value check (round-5): the sf docs expanded x400 to 200k dense
+# doc_ids (per-copy dl varied so scores are strictly ordered within a copy
+# group) — catches scale-dependent bugs (shard boundaries at 196 shards of
+# 1024, int widths, block offsets) that sf0.001-0.1 oracles never cross
+_ORACLE_WAND_200K = """
+WITH gen AS (SELECT unnest(range(400)) AS c),
+docs2 AS (
+  SELECT d.doc_id * 400 + g.c AS doc_id,
+         substr(d.text, 1, 240) || repeat(' pad', CAST(g.c % 7 AS INT)) AS text
+  FROM documents d CROSS JOIN gen g),
+tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM docs2),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen FROM tok GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dlen) AS avgdl FROM dl),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+q(term) AS (SELECT * FROM (VALUES ('data'), ('table'), ('query')) AS v(term)),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+), top AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score, 4) AS score FROM top"""
+
+
 def _r05_engine_queries() -> dict[str, Callable[[SparkSession, str],
                                                 DataFrame]]:
     def html_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9751,7 +9783,41 @@ def _r05_engine_queries() -> dict[str, Callable[[SparkSession, str],
                            "anchor": 1.5}, k=10, stem=False, camel=False)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
-    return {"html_links": html_links_q, "html_zone_topk": html_zone_q}
+    def wand_200k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # 200k-doc block-max WAND BM25 vs the same expansion in DuckDB:
+        # engine doc_ids coincide with the dense expanded ids (constant
+        # repo + 12-digit zero-padded path); build crosses ~196 shard
+        # boundaries at shard_size=1024, which sf-scale entries never do
+        from index_spark.operators.build import build_index, release_build
+        from index_spark.operators.query import search
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        expanded = (docs
+                    .withColumn("c", F.explode(F.sequence(F.lit(0),
+                                                          F.lit(399))))
+                    .select((F.col("doc_id") * 400 + F.col("c"))
+                            .alias("doc_id"),
+                            F.concat(F.substring("text", 1, 240),
+                                     F.repeat(F.lit(" pad"),
+                                              (F.col("c") % 7).cast("int")))
+                            .alias("text")))
+        corpus = expanded.select(
+            F.lit("corpus").alias("repo"),
+            F.format_string("doc%012d", F.col("doc_id")).alias("path"),
+            F.col("text").alias("content"))
+        docs_b, index, stats = build_index(corpus, stem=False, camel=False,
+                                           shard_size=1024)
+        index = index.persist()
+        top = search(index, docs_b, stats, "data table query", k=10,
+                     use_wand=True, stem=False, camel=False,
+                     shard_size=1024)
+        out = top.select("doc_id", F.round("score", 4).alias("score"))
+        out = out.localCheckpoint()
+        release_build(index)
+        return out
+
+    return {"html_links": html_links_q, "html_zone_topk": html_zone_q,
+            "wand_topk_200k": wand_200k_q}
 
 
 def _build_registry():
@@ -10401,27 +10467,36 @@ ORDER BY event_id""")
     eng25 = _r05_engine_queries()
     add("html_links", eng25["html_links"], _ORACLE_HTML_LINKS)
     add("html_zone_topk", eng25["html_zone_topk"], _ORACLE_HTML_ZONE_TOPK)
+    add("wand_topk_200k", eng25["wand_topk_200k"], _ORACLE_WAND_200K)
 
-    # ---- driver-window rotation -----------------------------------------
+    # ---- driver-window rotation (round 5) --------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry
-    # entries.  Front-load (a) entries that have never had a driver-side
-    # green row (pre-r04), (b) entries green in r02 but outside the r03
-    # window, and (c) round-4 additions, so every entry has an at-rest
-    # driver artifact across r02-r04.  Entries pushed past the window this
-    # round were all green in CORRECTNESS_r03.
+    # entries.  DRIVER_ROUNDS.json (tools/driver_rounds.py) records every
+    # entry's most recent driver-green round; this round's window =
+    # (a) the three round-5 additions, then (b) the 47 STALEST entries —
+    # all from the never-driver-checked pool (round-4 sessions 7+), taken
+    # in registry order, with the judge-flagged ANN family (pq_adc /
+    # filtered_knn / ivfpq / mrl / srp) inside.  Entries pushed out of the
+    # window were driver-green in r03/r04 and stay covered by the
+    # committed 274-entry local replica.
     front = [
-        # (a) never driver-checked before r04; ranking_eval's schema
-        # changed this round (rr -> standard MRR + rr_full), so it
-        # re-enters the window too
-        "term_prefix", "snippet_topk", "and_queryset", "slop_phrase_topk",
-        "bm25f_topk", "minhash_pairs", "simhash_pairs", "ranking_eval",
-        # (c) round-4 additions
-        *[k for k in queries if k in _R04_NEW],
-        # (b) green in r02, outside the r03 window
-        "wand_queryset", "phrase_topk", "proximity_topk", "zone_topk",
-        "index_shard_stats", "ivf_topk", "top_posting_lists", "doc_lookup",
-        "doc_fingerprints", "emb_near_dup", "events_windowed",
-        "media_features",
+        # (a) round-5 additions
+        "html_links", "html_zone_topk", "wand_topk_200k",
+        # (b) stalest 47 (DRIVER_ROUNDS.json == 0), registry order
+        "fuzzy_trgm_topk", "hll_distinct_terms", "cms_heavy_hitters",
+        "haschild_topk", "top_hits_facet", "rm3_topk", "dup_span_removal",
+        "temperature_mixture", "dsir_scores", "substring_grep",
+        "regex_grep", "decay_topk", "concat_topk", "line_dedup",
+        "pq_adc_topk", "filtered_knn", "ivfpq_topk", "lmd_topk",
+        "upsampled_copies", "shuffled_ordinals", "fielded_topk",
+        "grep_lines", "gopher_quality", "srp_near_dup", "hybrid_combmnz",
+        "spanfirst_topk", "hard_negatives", "facet_percentiles",
+        "cardinality_facet", "doc_keywords", "srp_hamming_topk",
+        "mmr_topk", "phrase_suggest", "spannear_topk", "weighted_sample",
+        "lmjm_topk", "classic_topk", "symbol_defs", "symbol_topk",
+        "import_edges", "composite_facet", "t5_spans", "repo_pagerank",
+        "grep_context", "curriculum_buckets", "mrl_topk",
+        "events_pipeline",
     ]
     order = [k for k in front if k in queries] + \
             [k for k in queries if k not in front]
@@ -10429,35 +10504,6 @@ ORDER BY event_id""")
     oracles = {k: oracles[k] for k in order if k in oracles}
 
     return queries, oracles
-
-
-# round-4 new entry names (kept in the driver's 50-entry check window)
-_R04_NEW: frozenset = frozenset({"percolate_inverted_matches",
-                                 "styled_topk", "decontam_overlap",
-                                 "dup_span_coverage", "pii_scrub",
-                                 "snapshot_topk", "boosted_topk",
-                                 "synonym_topk", "page2_topk",
-                                 "wildcard_topk",
-                                 # session 3
-                                 "doc_chunks", "stratified_sample",
-                                 "hybrid_rrf_topk", "collapse_topk",
-                                 "significant_terms", "regex_topk",
-                                 "packed_sequences", "dismax_topk",
-                                 "hist_facet", "doc_term_vector",
-                                 # session 4
-                                 "kmeans_clusters", "tfidf_pairs",
-                                 "semantic_dedup", "repetition_stats",
-                                 # session 5
-                                 "dup_clusters", "lm_xent",
-                                 "pagerank_scores", "bpe_merges",
-                                 "mixture_balance", "warc_roundtrip",
-                                 "corpus_profile", "lr_quality",
-                                 "events_asof", "events_range",
-                                 "events_rollup",
-                                 # session 6
-                                 "msm_topk", "sorted_topk",
-                                 "stats_facet", "sq_topk",
-                                 "fim_samples", "rescored_topk"})
 
 
 # ---------------------------------------------------------------------------

@@ -57,6 +57,22 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    # per-entry driver provenance (tools/driver_rounds.py): the round in
+    # which the DRIVER last recorded this entry green, 'never' if only
+    # the local replica has covered it so far
+    try:
+        import json as _json
+        with open("DRIVER_ROUNDS.json") as f:
+            _rounds = _json.load(f)
+    except OSError:
+        _rounds = {}
+
+    def prov(name: str) -> str:
+        r = _rounds.get(name)
+        if r is None:
+            return ""
+        return f"driver=r{r:02d}" if r else "driver=never"
+
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -70,7 +86,7 @@ def main() -> None:
             continue
         dt = time.time() - t0
         if name not in osql:
-            print(f"ROWS  {name:24} rows={len(spark_pdf):7d}  cols={list(spark_pdf.columns)}  {dt:5.1f}s")
+            print(f"ROWS  {name:24} rows={len(spark_pdf):7d}  cols={list(spark_pdf.columns)}  {dt:5.1f}s  {prov(name)}")
             continue
         try:
             duck_pdf = con.sql(osql[name]).df()
@@ -91,7 +107,7 @@ def main() -> None:
             print(f"FAIL  {name:24} {'; '.join(problems)}  {dt:5.1f}s")
             n_fail += 1
         else:
-            print(f"PASS  {name:24} rows={len(spark_pdf):7d}  {dt:5.1f}s")
+            print(f"PASS  {name:24} rows={len(spark_pdf):7d}  {dt:5.1f}s  {prov(name)}")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {len(qs) - len(osql)} rows-only")
     if n_fail:
