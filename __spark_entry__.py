@@ -9816,8 +9816,22 @@ def _r05_engine_queries() -> dict[str, Callable[[SparkSession, str],
         release_build(index)
         return out
 
+    def replica_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # driver-resident ServingReplica (the round-5 sub-100ms serving
+        # path): in-memory top-10 BM25, value-checked against the same
+        # SQL restatement as the DataFrame engine — pins the replica's
+        # score identity through the driver harness, not just pytest
+        from index_spark.operators.serving import ServingReplica
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        rep = ServingReplica.from_index(index, stats, stem=False,
+                                        camel=False)
+        rows = [(int(d), round(s, 4))
+                for d, s in rep.search(" ".join(FLAGSHIP_TERMS), k=10)]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
     return {"html_links": html_links_q, "html_zone_topk": html_zone_q,
-            "wand_topk_200k": wand_200k_q}
+            "wand_topk_200k": wand_200k_q, "replica_topk": replica_topk_q}
 
 
 def _build_registry():
@@ -10468,12 +10482,14 @@ ORDER BY event_id""")
     add("html_links", eng25["html_links"], _ORACLE_HTML_LINKS)
     add("html_zone_topk", eng25["html_zone_topk"], _ORACLE_HTML_ZONE_TOPK)
     add("wand_topk_200k", eng25["wand_topk_200k"], _ORACLE_WAND_200K)
+    add("replica_topk", eng25["replica_topk"],
+        _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_WAND_TOPK, [q_cte]))
 
     # ---- driver-window rotation (round 5) --------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry
     # entries.  DRIVER_ROUNDS.json (tools/driver_rounds.py) records every
     # entry's most recent driver-green round; this round's window =
-    # (a) the three round-5 additions, then (b) the 47 STALEST entries —
+    # (a) the round-5 additions, then (b) the STALEST entries —
     # all from the never-driver-checked pool (round-4 sessions 7+), taken
     # in registry order, with the judge-flagged ANN family (pq_adc /
     # filtered_knn / ivfpq / mrl / srp) inside.  Entries pushed out of the
@@ -10481,8 +10497,8 @@ ORDER BY event_id""")
     # committed 274-entry local replica.
     front = [
         # (a) round-5 additions
-        "html_links", "html_zone_topk", "wand_topk_200k",
-        # (b) stalest 47 (DRIVER_ROUNDS.json == 0), registry order
+        "html_links", "html_zone_topk", "wand_topk_200k", "replica_topk",
+        # (b) stalest (DRIVER_ROUNDS.json == 0), registry order
         "fuzzy_trgm_topk", "hll_distinct_terms", "cms_heavy_hitters",
         "haschild_topk", "top_hits_facet", "rm3_topk", "dup_span_removal",
         "temperature_mixture", "dsir_scores", "substring_grep",

@@ -25,8 +25,20 @@ def qps_worker(cores: int) -> None:
     startup) — bench.py main() spawns one at 8 and one at 32 cores so
     BENCH_r{N} carries the throughput scaling pair. Single-query p95 at
     local[32] is scheduler-bound and misleading as a scaling signal;
-    queries/sec under concurrency is the serving-relevant number."""
+    queries/sec under concurrency is the serving-relevant number.
+
+    Also measures the round-5 ServingReplica FLEET (one in-memory
+    replica process per core, fork, no JVM in children): the
+    DataFrame thread-pool path is driver-dispatch-bounded (~0.1 s/job
+    floor -> flat QPS, the r04 finding), while the replica fleet is
+    the deployment serving architecture whose QPS genuinely scales
+    with cores — BENCH carries both so the contrast is explicit."""
     from concurrent.futures import ThreadPoolExecutor
+
+    try:  # honest N-core box: cap the whole process tree (JVM included)
+        os.sched_setaffinity(0, set(range(cores)))
+    except OSError:
+        pass
 
     from pyspark.sql import functions as F
 
@@ -72,12 +84,50 @@ def qps_worker(cores: int) -> None:
     t1 = time.time()
     search_many(index, stats, batch, k=10, stem=True).count()
     bdt = time.time() - t1
+
+    # ServingReplica fleet: `cores` forked processes, each a fixed
+    # per-process query count (total work scales with cores, the
+    # throughput-scaling shape); children run pure numpy
+    from multiprocessing import get_context
+
+    from index_spark.operators.serving import ServingReplica
+
+    global _FLEET_REPLICA, _FLEET_QUERIES
+    t2 = time.time()
+    _FLEET_REPLICA = ServingReplica.from_index(index, stats)
+    rep_load_s = time.time() - t2
+    _FLEET_QUERIES = qset
+    per_proc = int(os.environ.get("REPLICA_QUERIES_PER_PROC", "400"))
+    ctx = get_context("fork")
+    with ctx.Pool(cores) as pool:
+        pool.map(_replica_fleet_worker, [20] * cores)    # warm
+        t3 = time.time()
+        pool.map(_replica_fleet_worker, [per_proc] * cores)
+        rdt = time.time() - t3
+    rep_qps = cores * per_proc / rdt
+
     print(json.dumps({"cores": cores, "n_queries": len(queries),
                       "threads": n_threads,
                       "wall_s": round(dt, 3),
                       "qps": round(len(queries) / dt, 2),
-                      "batch_qps": round(len(batch) / bdt, 2)}))
+                      "batch_qps": round(len(batch) / bdt, 2),
+                      "replica_qps": round(rep_qps, 2),
+                      "replica_load_s": round(rep_load_s, 3),
+                      "replica_mb": round(
+                          _FLEET_REPLICA.nbytes / 1e6, 1)}))
     spark.stop()
+
+
+_FLEET_REPLICA = None
+_FLEET_QUERIES: list = []
+
+
+def _replica_fleet_worker(n: int) -> None:
+    """Child of the fork pool: n top-10 searches against the inherited
+    in-memory replica (no Spark, no JVM — the serving-node hot loop)."""
+    qs = _FLEET_QUERIES
+    for i in range(n):
+        _FLEET_REPLICA.search(qs[i % len(qs)], k=10)
 
 
 def _host_cpu() -> tuple[int, int, int] | None:
@@ -793,6 +843,8 @@ def main() -> None:
                 rec = json.loads(line)
                 timings[f"concurrent_qps_{c}"] = rec["qps"]
                 timings[f"batch_qps_{c}"] = rec["batch_qps"]
+                if "replica_qps" in rec:
+                    timings[f"replica_qps_{c}"] = rec["replica_qps"]
             except Exception:
                 timings[f"concurrent_qps_{c}"] = -1.0
         if timings.get("concurrent_qps_8", 0) > 0 \
@@ -805,6 +857,11 @@ def main() -> None:
             timings["batch_qps_scaling_8_to_32"] = round(
                 timings["batch_qps_32"]
                 / (timings["batch_qps_8"] * 4), 3)
+        if timings.get("replica_qps_8", 0) > 0 \
+                and timings.get("replica_qps_32", 0) > 0:
+            timings["replica_qps_scaling_8_to_32"] = round(
+                timings["replica_qps_32"]
+                / (timings["replica_qps_8"] * 4), 3)
 
     _concurrent_qps()
 

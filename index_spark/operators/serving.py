@@ -1,0 +1,171 @@
+"""Driver/worker-resident serving replica — the sub-100ms point-lookup
+path for interactive traffic.
+
+Why this exists (round-4 finding, BENCH r04): a Spark job per query has
+a ~0.1 s driver floor (job submit + task launch + Py4J round trips), so
+thread-pool QPS through the DataFrame path is driver-dispatch-bounded —
+it does NOT scale with executor cores (0.21 efficiency 8->32 threads).
+That is an architecture property, not a kernel property: at 100 TB the
+standard search deployment splits BUILD (Spark, this repo's operators)
+from SERVING (a fleet of stateless replicas, each holding one shard
+range of the published index in memory).  ``ServingReplica`` is that
+serving node: it loads its partition's posting lists once (pre-decoded
+numpy columns), then answers top-k BM25 queries in-process — no Spark
+job, no scheduler, no Py4J — with scores IDENTICAL to
+:func:`~index_spark.operators.query.search` (pytest-pinned, same df /
+idf / saturation / tie order).
+
+Scale shape: one replica holds ONE shard range (``shard_range``) — at
+10^12 docs a fleet of replicas each loads ``index.filter(shard
+BETWEEN lo AND hi)`` from the published parquet and a router fans out /
+merges top-k (k-row responses).  Memory is the partition's decoded
+postings (~16 B/posting); ``champion_m`` caps it harder by keeping only
+each term's top-m postings by tf (champion lists, Manning IIR §7.1.2 —
+approximate: a doc can only rank through terms where it is a champion;
+exact again when m >= the partition's max df).  QPS scales with
+PROCESSES (each replica is plain numpy; bench.py measures the 8 vs 32
+process-fleet ratio), which is the north-rule scaling story for the
+serving half.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+import index_spark.functions.varbyte as vb
+from index_spark.functions.text import tokenize
+from index_spark.operators.build import DOC_MARKER
+
+K1, B = 1.2, 0.75
+
+
+class ServingReplica:
+    """In-memory top-k BM25 over one shard range of a built index."""
+
+    def __init__(self, terms: dict[str, tuple[np.ndarray, np.ndarray]],
+                 dfs: dict[str, int], n_docs: int, avgdl: float,
+                 stem: bool = True, camel: bool = True):
+        self._terms = terms          # term -> (doc_ids, precomputed sat)
+        self._dfs = dfs              # term -> GLOBAL df (idf input)
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self.stem = stem
+        self.camel = camel
+        self.nbytes = sum(d.nbytes + s.nbytes
+                          for d, s in terms.values())
+
+    # -- construction ----------------------------------------------------
+
+    @classmethod
+    def from_index(cls, index: DataFrame, stats: dict,
+                   shard_range: tuple[int, int] | None = None,
+                   champion_m: int | None = None,
+                   stem: bool = True, camel: bool = True
+                   ) -> "ServingReplica":
+        """Load (and pre-decode) one shard range of the index.
+
+        The load is ONE bounded collect of this replica's partition —
+        the deployment move a serving node makes once at startup, not a
+        per-query driver hop.  ``stats`` must be the build's stats
+        (n_docs / avgdl are CORPUS-global even when the replica holds a
+        slice).  ``champion_m``: keep only the top-m postings of each
+        term by (tf desc, doc_id asc) — bounded-memory approximate mode.
+        """
+        part = index
+        gdfs: dict[str, int] | None = None
+        if shard_range is not None:
+            lo, hi = shard_range
+            part = part.filter(F.col("shard").between(lo, hi))
+            # idf needs the CORPUS-global df, not this partition's
+            # share: one metadata-only aggregate over the full index,
+            # semi-pruned to the partition's terms (in deployment the
+            # replica reads these from the published term dictionary)
+            gdfs = {r["term"]: int(r["df_g"]) for r in
+                    index.filter(F.col("term") != DOC_MARKER)
+                    .join(part.select("term").distinct(), "term", "semi")
+                    .groupBy("term").agg(F.sum("df").alias("df_g"))
+                    .collect()}
+        rows = (part.select("term", "df", "doc_blob", "tf_blob", "dl_blob")
+                .collect())
+        n_docs = float(stats.get("n_docs") or 0)
+        avgdl = float(stats.get("avgdl") or 0)
+        if n_docs <= 0 or avgdl <= 0:
+            raise ValueError("stats['n_docs'] and stats['avgdl'] must be "
+                             "positive")
+        by_term: dict[str, list] = {}
+        for r in rows:
+            if r["term"] == DOC_MARKER:
+                continue
+            docs = np.cumsum(vb.decode(r["doc_blob"])).astype(np.int64)
+            tfs = vb.decode(r["tf_blob"]).astype(np.float64)
+            dls = vb.decode(r["dl_blob"]).astype(np.float64)
+            by_term.setdefault(r["term"], []).append((docs, tfs, dls,
+                                                     int(r["df"])))
+        terms: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        dfs: dict[str, int] = {}
+        for term, parts in by_term.items():
+            docs = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+            order = np.argsort(docs, kind="stable")
+            docs, tfs, dls = docs[order], tfs[order], dls[order]
+            dfs[term] = (gdfs[term] if gdfs is not None
+                         else sum(p[3] for p in parts))   # global df
+            if champion_m is not None and docs.size > champion_m:
+                # top-m by (tf desc, doc_id asc): lexsort on (-tf, doc)
+                sel = np.lexsort((docs, -tfs))[:champion_m]
+                sel.sort()
+                docs, tfs, dls = docs[sel], tfs[sel], dls[sel]
+            # tf saturation is query-independent: precompute it once at
+            # load so a query is one weighted segment-sum
+            sat = tfs / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+            terms[term] = (docs, sat)
+        return cls(terms, dfs, n_docs, avgdl, stem=stem, camel=camel)
+
+    # -- serving ---------------------------------------------------------
+
+    def _weight(self, term: str) -> float:
+        df = self._dfs.get(term, 0)
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def search(self, query: str, k: int = 10,
+               qterms: list[str] | None = None
+               ) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score), identical contract to the DataFrame
+        :func:`search` (OR mode): dedup-sorted query terms, BM25 with
+        global df, ties broken (score desc, doc_id asc)."""
+        terms = sorted(set(qterms if qterms is not None
+                           else tokenize(query, stem=self.stem,
+                                         camel=self.camel)))
+        lists = [(t, self._terms[t]) for t in terms if t in self._terms]
+        if not lists:
+            return []
+        docs = np.concatenate([d for _, (d, _) in lists])
+        contrib = np.concatenate(
+            [self._weight(t) * s for t, (_, s) in lists])
+        uniq, inv = np.unique(docs, return_inverse=True)
+        scores = np.zeros(uniq.size)
+        np.add.at(scores, inv, contrib)
+        if k >= uniq.size:
+            top = np.lexsort((uniq, -scores))
+        else:
+            part = np.argpartition(-scores, k - 1)[:k]
+            top = part[np.lexsort((uniq[part], -scores[part]))]
+        return [(int(uniq[i]), float(scores[i])) for i in top[:k]]
+
+    def search_batch(self, queries: dict, k: int = 10
+                     ) -> dict[object, list[tuple[int, float]]]:
+        return {qid: self.search(q, k=k) for qid, q in queries.items()}
+
+
+def merge_topk(partials: list[list[tuple[int, float]]], k: int = 10
+               ) -> list[tuple[int, float]]:
+    """Router-side merge of per-replica top-ks (k rows per replica —
+    the bounded fan-in of a sharded serving fleet)."""
+    allrows = [r for p in partials for r in p]
+    return heapq.nsmallest(k, allrows, key=lambda r: (-r[1], r[0]))
