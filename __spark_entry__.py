@@ -9816,6 +9816,20 @@ def _r05_engine_queries() -> dict[str, Callable[[SparkSession, str],
         release_build(index)
         return out
 
+    def holt_winters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # seasonal (additive triple-smoothing) forecast over the hourly
+        # rollup — the round-5 moving_fn model; oracle renders the SAME
+        # generated expression in DuckDB dialect (parity by construction)
+        from index_spark.operators.temporal import (moving_fn,
+                                                    rollup_timeseries)
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        hourly = rollup_timeseries(ev, granularities=["hour"],
+                                   by=["event_type"])
+        return moving_fn(hourly, value_col="sum_value", window=7,
+                         fn="holt_winters", alpha=0.4, beta=0.2,
+                         gamma=0.3, period=3, by=["event_type"])
+
     def replica_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # driver-resident ServingReplica (the round-5 sub-100ms serving
         # path): in-memory top-10 BM25, value-checked against the same
@@ -9831,7 +9845,8 @@ def _r05_engine_queries() -> dict[str, Callable[[SparkSession, str],
         return spark.createDataFrame(rows, "doc_id long, score double")
 
     return {"html_links": html_links_q, "html_zone_topk": html_zone_q,
-            "wand_topk_200k": wand_200k_q, "replica_topk": replica_topk_q}
+            "wand_topk_200k": wand_200k_q, "replica_topk": replica_topk_q,
+            "events_holt_winters": holt_winters_q}
 
 
 def _build_registry():
@@ -10484,6 +10499,26 @@ ORDER BY event_id""")
     add("wand_topk_200k", eng25["wand_topk_200k"], _ORACLE_WAND_200K)
     add("replica_topk", eng25["replica_topk"],
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_WAND_TOPK, [q_cte]))
+    from index_spark.operators.temporal import holt_winters_case_sql
+
+    add("events_holt_winters", eng25["events_holt_winters"], """
+WITH r AS (
+  SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket,
+         event_type, CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 4) AS sum_value,
+         round(avg(value), 4) AS avg_value
+  FROM events GROUP BY 2, 3),
+win AS (
+  SELECT granularity, bucket, event_type, n_events, sum_value, avg_value,
+         list(CAST(sum_value AS DOUBLE))
+           OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS l
+  FROM r)
+SELECT granularity, bucket, event_type, n_events, sum_value, avg_value,
+       round(""" + holt_winters_case_sql(7, 0.4, 0.2, 0.3, 3,
+                                         dialect="duck") + """, 6)
+  AS holt_winters
+FROM win ORDER BY event_type, bucket""")
 
     # ---- driver-window rotation (round 5) --------------------------------
     # The driver's CORRECTNESS check covers only the FIRST 50 registry
@@ -10498,6 +10533,7 @@ ORDER BY event_id""")
     front = [
         # (a) round-5 additions
         "html_links", "html_zone_topk", "wand_topk_200k", "replica_topk",
+        "events_holt_winters",
         # (b) stalest (DRIVER_ROUNDS.json == 0), registry order
         "fuzzy_trgm_topk", "hll_distinct_terms", "cms_heavy_hitters",
         "haschild_topk", "top_hits_facet", "rm3_topk", "dup_span_removal",
@@ -10511,8 +10547,7 @@ ORDER BY event_id""")
         "mmr_topk", "phrase_suggest", "spannear_topk", "weighted_sample",
         "lmjm_topk", "classic_topk", "symbol_defs", "symbol_topk",
         "import_edges", "composite_facet", "t5_spans", "repo_pagerank",
-        "grep_context", "curriculum_buckets", "mrl_topk",
-        "events_pipeline",
+        "curriculum_buckets", "mrl_topk",
     ]
     order = [k for k in front if k in queries] + \
             [k for k in queries if k not in front]

@@ -550,11 +550,75 @@ def moving_percentiles(buckets: DataFrame, value_col: str = "sum_value",
     return out.orderBy(*keys, ts_col)
 
 
+def holt_winters_case_sql(window: int, alpha: float, beta: float,
+                          gamma: float, period: int,
+                          dialect: str = "spark",
+                          frame: str = "l") -> str:
+    """Unrolled additive Holt-Winters (triple exponential smoothing,
+    Winters 1960; Hyndman fpp2 §7.3 additive form) over a bounded
+    frame array — ONE symbolic expansion rendered to either dialect
+    (Spark SQL 0-based ``size``, DuckDB 1-based ``len``), so both
+    engines evaluate the textually identical arithmetic and the
+    rounded outputs match bitwise.
+
+    Pinned model, frame ``l`` of length n (NULL when n < 2*period):
+
+        s0  = mean(l[1..p]);  b0 = mean_i (l[i+p] - l[i]) / p
+        c_i = l[i] - s0                      for i = 1..p   (additive)
+        for k = p+1 .. n:
+            s_k = alpha*(l[k] - c_{k-p}) + (1-alpha)*(s + b)
+            c_k = gamma*(l[k] - s - b) + (1-gamma)*c_{k-p}
+            b_k = beta*(s_k - s) + (1-beta)*b
+        return s_n + b_n + c_{n+1-p}         (one-step-ahead forecast)
+
+    The expansion re-evaluates shared subexpressions instead of
+    let-binding them (neither dialect has a let); re-evaluation cannot
+    change a value, so it is bitwise-equal to the sequential fold —
+    but it GROWS geometrically in the iteration count, so the
+    unrollable depth is capped (window - 2*period <= 4).  Sizes:
+    ~5 KB at (window=6, period=3), ~20 KB at (7, 3), ~67 KB at (8, 3)
+    — past ~64 KB Spark's generated Java method overflows and the
+    expression evaluates interpreted (still correct, slower); keep
+    window - 2*period <= 1 when codegen matters."""
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    if window < 2 * period:
+        raise ValueError(f"window must be >= 2*period, got window="
+                         f"{window} period={period}")
+    if window - 2 * period > 4:
+        raise ValueError("unrolled expansion capped at window - "
+                         f"2*period <= 4 (got {window - 2 * period})")
+    if dialect == "spark":
+        at = lambda i: f"{frame}[{i - 1}]"
+        ln = f"size({frame})"
+    else:
+        at = lambda i: f"{frame}[{i}]"
+        ln = f"len({frame})"
+    a, ca = repr(float(alpha)), repr(1.0 - float(alpha))
+    bt, cbt = repr(float(beta)), repr(1.0 - float(beta))
+    g, cg = repr(float(gamma)), repr(1.0 - float(gamma))
+    p = period
+    arms = []
+    for n in range(2 * p, window + 1):
+        s = "((" + " + ".join(at(i) for i in range(1, p + 1)) + f") / {p}.0)"
+        b = ("((" + " + ".join(f"({at(i + p)} - {at(i)}) / {p}.0"
+                               for i in range(1, p + 1)) + f") / {p}.0)")
+        c = {i: f"({at(i)} - {s})" for i in range(1, p + 1)}
+        for k in range(p + 1, n + 1):
+            s_new = f"({a} * ({at(k)} - {c[k - p]}) + {ca} * ({s} + {b}))"
+            c[k] = f"({g} * ({at(k)} - {s} - {b}) + {cg} * {c[k - p]})"
+            b = f"({bt} * ({s_new} - {s}) + {cbt} * {b})"
+            s = s_new
+        arms.append(f"WHEN {n} THEN ({s} + {b} + {c[n + 1 - p]})")
+    return f"CASE {ln} " + " ".join(arms) + " END"
+
+
 def moving_fn(buckets: DataFrame, value_col: str = "sum_value",
               window: int = 5, fn: str = "unweighted_avg",
               alpha: float = 0.3, beta: float = 0.1, shift: int = 0,
               ts_col: str = "bucket", by: list[str] | None = None,
-              round_at: int = 6, out_col: str | None = None) -> DataFrame:
+              round_at: int = 6, out_col: str | None = None,
+              gamma: float = 0.1, period: int = 3) -> DataFrame:
     """ES ``moving_fn`` pipeline aggregation: slide a ``window``-bucket
     frame along each series and evaluate one of the stock
     ``MovingFunctions`` on it.  Unlike :func:`moving_percentiles` (which
@@ -583,6 +647,12 @@ def moving_fn(buckets: DataFrame, value_col: str = "sum_value",
       as a struct accumulator in both engines (DuckDB: list_reduce
       over a struct-lifted frame), same op order, so the 6-dp round
       matches bitwise.
+    * ``holt_winters`` — additive TRIPLE smoothing (level + trend +
+      seasonality of ``period`` buckets; Winters 1960): one-step-ahead
+      forecast from a textually unrolled expression
+      (:func:`holt_winters_case_sql`) whose identical rendering is the
+      DuckDB oracle — cross-engine parity by construction. NULL until
+      the frame holds 2 full seasons.
 
     The positional functions collect the frame with ``collect_list``
     over the ordered window — frame order IS series order, the
@@ -636,6 +706,22 @@ def moving_fn(buckets: DataFrame, value_col: str = "sum_value",
                               - acc["s"])
                  + F.lit(cbt) * acc["b"]).alias("b")))
         agg = F.when(n == 1, v1).when(n >= 2, folded["s"])
+    elif fn == "holt_winters":
+        # additive triple smoothing over the frame (seasonality-aware);
+        # the SAME generated expression text serves as the DuckDB
+        # oracle, so cross-engine parity is by construction — see
+        # holt_winters_case_sql for the pinned model + unroll cap
+        for nm, val in (("alpha", alpha), ("beta", beta),
+                        ("gamma", gamma)):
+            if not 0.0 < val <= 1.0:
+                raise ValueError(f"{nm} must be in (0, 1], got {val}")
+        arr = F.collect_list(v).over(w)
+        case = holt_winters_case_sql(window, alpha, beta, gamma, period,
+                                     dialect="spark", frame="__hw_frame")
+        out = (buckets.withColumn("__hw_frame", arr)
+               .withColumn(target, F.round(F.expr(case), round_at))
+               .drop("__hw_frame"))
+        return out.orderBy(*keys, ts_col)
     elif fn in ("linear", "ewma"):
         arr = F.collect_list(v).over(w)
         n = F.size(arr)
@@ -656,8 +742,8 @@ def moving_fn(buckets: DataFrame, value_col: str = "sum_value",
                 + acc * F.lit(1.0 - float(alpha)))
             agg = F.when(n > 0, folded)
     else:
-        raise ValueError(f"unknown fn: {fn!r} (expected one of "
-                         f"{sorted(simple) + ['linear', 'ewma', 'holt']})")
+        fns = sorted(simple) + ["linear", "ewma", "holt", "holt_winters"]
+        raise ValueError(f"unknown fn: {fn!r} (expected one of {fns})")
     return (buckets.withColumn(target, F.round(agg, round_at))
             .orderBy(*keys, ts_col))
 

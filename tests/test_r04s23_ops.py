@@ -552,3 +552,79 @@ def test_cjk_query_terms_and_qterms_hook(spark):
         index, docs, stats, "", qterms=["数据", "据库"], k=4,
         shard_size=64).collect()]
     assert set(direct) == {0, 3}
+
+
+# ---------------------------------------------------------------------------
+# moving_fn holt_winters (round 5)
+# ---------------------------------------------------------------------------
+
+def _hw_ref(l, a, b, g, p):
+    """Independent loop implementation of the pinned additive model."""
+    n = len(l)
+    if n < 2 * p:
+        return None
+    s = sum(l[:p]) / p
+    bb = sum((l[i + p] - l[i]) / p for i in range(p)) / p
+    c = {i: l[i - 1] - s for i in range(1, p + 1)}
+    for k in range(p + 1, n + 1):
+        sn = a * (l[k - 1] - c[k - p]) + (1 - a) * (s + bb)
+        c[k] = g * (l[k - 1] - s - bb) + (1 - g) * c[k - p]
+        bb = b * (sn - s) + (1 - b) * bb
+        s = sn
+    return s + bb + c[n + 1 - p]
+
+
+def test_holt_winters_matches_reference_loop(spark):
+    from index_spark.operators.temporal import moving_fn
+
+    vals = [float((i % 3) * 5 + i * 0.5 + (i * 37 % 11) / 7.0)
+            for i in range(15)]
+    df = spark.createDataFrame(
+        [(0, i, v) for i, v in enumerate(vals)],
+        "k int, bucket int, sum_value double")
+    out = {r.bucket: r.holt_winters for r in moving_fn(
+        df, window=7, fn="holt_winters", alpha=0.4, beta=0.2,
+        gamma=0.3, period=3, by=["k"]).collect()}
+    for i in range(15):
+        exp = _hw_ref(vals[max(0, i - 7):i], 0.4, 0.2, 0.3, 3)
+        if exp is None:
+            assert out[i] is None, i
+        else:
+            assert abs(out[i] - round(exp, 6)) < 1e-9, i
+
+
+def test_holt_winters_seasonal_signal_beats_holt(spark):
+    """On a pure period-3 seasonal series the seasonal model's one-step
+    forecast lands on the true value; trend-only holt cannot."""
+    from index_spark.operators.temporal import moving_fn
+
+    vals = [float([10, 0, 5][i % 3]) for i in range(12)]
+    df = spark.createDataFrame(
+        [(0, i, v) for i, v in enumerate(vals)],
+        "k int, bucket int, sum_value double")
+    hw = moving_fn(df, window=6, fn="holt_winters", alpha=0.5,
+                   beta=0.1, gamma=0.5, period=3, by=["k"])
+    both = moving_fn(hw, window=6, fn="holt", alpha=0.5, beta=0.1,
+                     by=["k"]).collect()
+    errs_hw = [abs(r.holt_winters - vals[r.bucket]) for r in both
+               if r.holt_winters is not None]
+    errs_h = [abs(r.holt - vals[r.bucket]) for r in both
+              if r.holt_winters is not None]
+    assert max(errs_hw) < 1e-6              # exact on pure seasonality
+    assert min(errs_h) > 1.0                # trend-only misses by a lot
+
+
+def test_holt_winters_guards(spark):
+    from index_spark.operators.temporal import (holt_winters_case_sql,
+                                                moving_fn)
+
+    df = spark.createDataFrame([(0, 0, 1.0)],
+                               "k int, bucket int, sum_value double")
+    with pytest.raises(ValueError, match="gamma"):
+        moving_fn(df, window=6, fn="holt_winters", gamma=0.0, period=3)
+    with pytest.raises(ValueError, match="period"):
+        holt_winters_case_sql(6, 0.3, 0.1, 0.1, period=1)
+    with pytest.raises(ValueError, match="2\\*period"):
+        holt_winters_case_sql(3, 0.3, 0.1, 0.1, period=2)
+    with pytest.raises(ValueError, match="capped"):
+        holt_winters_case_sql(20, 0.3, 0.1, 0.1, period=3)
