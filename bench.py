@@ -144,10 +144,48 @@ def _host_cpu() -> tuple[int, int, int] | None:
         return None
 
 
+def _await_quiet_window() -> dict:
+    """Bounded wait for a user-dominated measurement window.
+
+    This host has documented episodic sys-storms (see _host_cpu note);
+    a bench captured inside one measures the host, not the engine.
+    Probe the window (BENCH/window_probe.py kernel, inline) every
+    ~2 min for up to $BENCH_QUIET_WAIT_S seconds (default 600; 0
+    disables); proceed regardless at the deadline — the result JSON
+    records how long we waited and the last probe either way, so a
+    storm-floor capture is labeled as such instead of silently
+    standing in for engine speed."""
+    budget = float(os.environ.get("BENCH_QUIET_WAIT_S", "600"))
+    rec = {"quiet_waited_s": 0.0, "quiet_probe": None}
+    if budget <= 0:
+        return rec
+    import subprocess
+
+    t0 = time.time()
+    while True:
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH", "window_probe.py")],
+                capture_output=True, text=True, timeout=120)
+            probe = json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception:
+            probe = None
+        rec["quiet_probe"] = probe
+        rec["quiet_waited_s"] = round(time.time() - t0, 1)
+        if probe and probe.get("good_window"):
+            return rec
+        if time.time() - t0 + 120 > budget:
+            return rec
+        time.sleep(110)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    quiet = _await_quiet_window()
     cpu0 = _host_cpu()
 
     from pyspark.sql import functions as F
@@ -893,6 +931,9 @@ def main() -> None:
         d = cpu1[2] - cpu0[2]
         out["host_user_frac"] = round((cpu1[0] - cpu0[0]) / d, 4)
         out["host_sys_frac"] = round((cpu1[1] - cpu0[1]) / d, 4)
+    out["quiet_waited_s"] = quiet["quiet_waited_s"]
+    if quiet["quiet_probe"] is not None:
+        out["pre_probe"] = quiet["quiet_probe"]
     print(json.dumps(out))
     spark.stop()
 
