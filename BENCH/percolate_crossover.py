@@ -69,14 +69,12 @@ def main() -> None:
     nv = len(vocab)
 
     def standing_df(n: int):
+        i1 = ((F.col("id") * 7) % nv + 1).cast("int")
+        i2 = ((F.col("id") * 13 + 3) % nv + 1).cast("int")
         return (spark.range(n).select(
             F.col("id").alias("query_id"),
-            F.concat_ws(" ",
-                        F.element_at(varr, (F.col("id") * 7 % nv + 1)
-                                     .cast("int")),
-                        F.element_at(varr, (F.col("id") * 13 + 3) % nv + 1)
-                        .cast("int").cast("int"))
-            .alias("query")))
+            F.concat_ws(" ", F.element_at(varr, i1),
+                        F.element_at(varr, i2)).alias("query")))
 
     results = []
     for n in sizes:

@@ -150,12 +150,12 @@ def _await_quiet_window() -> dict:
     This host has documented episodic sys-storms (see _host_cpu note);
     a bench captured inside one measures the host, not the engine.
     Probe the window (BENCH/window_probe.py kernel, inline) every
-    ~2 min for up to $BENCH_QUIET_WAIT_S seconds (default 600; 0
+    ~2 min for up to $BENCH_QUIET_WAIT_S seconds (default 450; 0
     disables); proceed regardless at the deadline — the result JSON
     records how long we waited and the last probe either way, so a
     storm-floor capture is labeled as such instead of silently
     standing in for engine speed."""
-    budget = float(os.environ.get("BENCH_QUIET_WAIT_S", "600"))
+    budget = float(os.environ.get("BENCH_QUIET_WAIT_S", "450"))
     rec = {"quiet_waited_s": 0.0, "quiet_probe": None}
     if budget <= 0:
         return rec
