@@ -9830,6 +9830,35 @@ def _r05_engine_queries() -> dict[str, Callable[[SparkSession, str],
                          fn="holt_winters", alpha=0.4, beta=0.2,
                          gamma=0.3, period=3, by=["event_type"])
 
+    def warc_html_zone_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the Common Crawl shape end-to-end: pages wrapped into WARC
+        # archive blobs (text/html records keyed by page URL), parsed
+        # back, zone-extracted, 4-zone indexed, zone-weighted BM25 —
+        # the WARC hop is lossless, so the SAME oracle restates it
+        from index_spark.operators.build import build_zoned_index
+        from index_spark.operators.query import zone_search
+        from index_spark.sources.html import (html_zone_corpus,
+                                              pages_from_warc,
+                                              synthesize_pages)
+        from index_spark.sources.warc import build_warc_files, parse_warc
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pages = synthesize_pages(docs.withColumn("source", F.lit("corpus")),
+                                 pad=8)
+        blobs = build_warc_files(
+            pages.select("doc_id", F.col("html").alias("text"), "url"),
+            docs_per_file=100, uri_col="url", content_type="text/html")
+        corpus = html_zone_corpus(pages_from_warc(parse_warc(blobs)))
+        _, index, stats = build_zoned_index(
+            corpus, [("title", "title"), ("head", "head"),
+                     ("body", "body"), ("anchor", "anchor")],
+            stem=False, camel=False, shard_size=256)
+        index = index.persist()
+        top = zone_search(index, stats, "data heading en",
+                          {"title": 2.0, "head": 1.5, "body": 1.0,
+                           "anchor": 1.5}, k=10, stem=False, camel=False)
+        return top.select("doc_id", F.round("score", 4).alias("score"))
+
     def replica_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # driver-resident ServingReplica (the round-5 sub-100ms serving
         # path): in-memory top-10 BM25, value-checked against the same
@@ -9846,7 +9875,8 @@ def _r05_engine_queries() -> dict[str, Callable[[SparkSession, str],
 
     return {"html_links": html_links_q, "html_zone_topk": html_zone_q,
             "wand_topk_200k": wand_200k_q, "replica_topk": replica_topk_q,
-            "events_holt_winters": holt_winters_q}
+            "events_holt_winters": holt_winters_q,
+            "warc_html_zone_topk": warc_html_zone_q}
 
 
 def _build_registry():
@@ -10501,6 +10531,8 @@ ORDER BY event_id""")
         _docs_sql("duck", _BM25_SCORE_SQL + _ORACLE_WAND_TOPK, [q_cte]))
     from index_spark.operators.temporal import holt_winters_case_sql
 
+    add("warc_html_zone_topk", eng25["warc_html_zone_topk"],
+        _ORACLE_HTML_ZONE_TOPK)
     add("events_holt_winters", eng25["events_holt_winters"], """
 WITH r AS (
   SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket,

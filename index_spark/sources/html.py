@@ -129,6 +129,17 @@ def extract_links(pages: DataFrame, url_col: str = "url",
                           same_host(F.col("src"), F.col("dst")))
 
 
+def pages_from_warc(records: DataFrame, uri_col: str = "target_uri",
+                    text_col: str = "text") -> DataFrame:
+    """Adapt parsed WARC records (``sources/warc.py parse_warc``
+    output) to the (url, html) page relation the zone/link extractors
+    consume — the Common Crawl shape: WARC archive files are the unit
+    of parallelism, each record's Target-URI is the page URL and its
+    payload the HTML."""
+    return records.select(F.col(uri_col).alias("url"),
+                          F.col(text_col).alias("html"))
+
+
 def synthesize_pages(docs: DataFrame, host_col: str = "source",
                      pad: int = 0) -> DataFrame:
     """Deterministic HTML pages from the synthetic ``documents`` table

@@ -32,17 +32,24 @@ _CRLF = "\r\n"
 
 def build_warc_records(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
-                       uri_fmt: str = "http://corpus.example/doc%08d"
-                       ) -> DataFrame:
+                       uri_fmt: str = "http://corpus.example/doc%08d",
+                       uri_col: str | None = None,
+                       content_type: str = "text/plain") -> DataFrame:
     """(doc_id, record) — one WARC/1.0 resource record STRING per doc
-    (Content-Length in bytes via octet_length; encode at file assembly)."""
-    uri = F.format_string(uri_fmt, F.col(id_col))
+    (Content-Length in bytes via octet_length; encode at file assembly).
+
+    ``uri_col``: take the target URI from a column instead of
+    formatting ``uri_fmt`` over the id (HTML page archives carry the
+    page's own URL); ``content_type`` labels the payload (text/html
+    for page records)."""
+    uri = (F.col(uri_col) if uri_col is not None
+           else F.format_string(uri_fmt, F.col(id_col)))
     rec = F.concat(
         F.lit("WARC/1.0" + _CRLF),
         F.lit("WARC-Type: resource" + _CRLF),
         F.lit("WARC-Target-URI: "), uri, F.lit(_CRLF),
         F.format_string("WARC-Record-ID: <urn:doc:%d>" + _CRLF, F.col(id_col)),
-        F.lit("Content-Type: text/plain" + _CRLF),
+        F.lit(f"Content-Type: {content_type}" + _CRLF),
         F.lit("Content-Length: "),
         F.octet_length(F.col(text_col)).cast("string"), F.lit(_CRLF),
         F.lit(_CRLF),
@@ -52,12 +59,14 @@ def build_warc_records(docs: DataFrame, text_col: str = "text",
 
 def build_warc_files(docs: DataFrame, docs_per_file: int = 50,
                      text_col: str = "text", id_col: str = "doc_id",
-                     uri_fmt: str = "http://corpus.example/doc%08d"
-                     ) -> DataFrame:
+                     uri_fmt: str = "http://corpus.example/doc%08d",
+                     uri_col: str | None = None,
+                     content_type: str = "text/plain") -> DataFrame:
     """(file_id, payload) — archive blobs of ``docs_per_file`` records
     concatenated in doc_id order (sorted array_join, then one encode)."""
     recs = (build_warc_records(docs, text_col=text_col, id_col=id_col,
-                               uri_fmt=uri_fmt)
+                               uri_fmt=uri_fmt, uri_col=uri_col,
+                               content_type=content_type)
             .withColumn("file_id", (F.col("doc_id")
                                     / F.lit(docs_per_file)).cast("long")))
     body = F.array_join(

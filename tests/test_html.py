@@ -137,3 +137,30 @@ def test_link_edges_feed_graph_ops(spark):
     assert pr[3] == max(pr.values())
     h = hits(edges, iters=2).collect()
     assert {c for c in h[0].asDict()} >= {"node", "hub", "auth"}
+
+
+def test_html_over_warc_round_trip(spark):
+    """The Common Crawl shape end-to-end: synthesized pages -> WARC
+    archive blobs (text/html records keyed by page URL) -> parse_warc
+    -> pages_from_warc -> zone/link extraction identical to parsing
+    the pages directly."""
+    from index_spark.sources.html import pages_from_warc
+    from index_spark.sources.warc import build_warc_files, parse_warc
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} shared words here", "en", f"src{i % 3}")
+         for i in range(7)],
+        "doc_id long, text string, lang string, source string")
+    pages = synthesize_pages(docs).persist()
+    blobs = build_warc_files(
+        pages.select("doc_id", F.col("html").alias("text"), "url"),
+        docs_per_file=3, uri_col="url", content_type="text/html")
+    recs = parse_warc(blobs)
+    assert recs.count() == 7
+    via_warc = pages_from_warc(recs)
+    direct = sorted(map(tuple, extract_zones(pages).collect()))
+    warced = sorted(map(tuple, extract_zones(via_warc).collect()))
+    assert warced == direct
+    le = sorted(map(tuple, extract_links(via_warc).collect()))
+    assert le == sorted(map(tuple, extract_links(pages).collect()))
+    pages.unpersist()
