@@ -998,6 +998,68 @@ def cmd_bpe(args) -> None:
     print(json.dumps(summary))
 
 
+def _cli_corpus(args, spark):
+    from pyspark.sql import functions as F
+
+    corpus = spark.read.parquet(args.corpus)
+    if getattr(args, "documents_table", False):
+        corpus = corpus.select(
+            F.col("source").alias("repo"),
+            F.format_string("doc%08d", F.col("doc_id")).alias("path"),
+            F.col("text").alias("content"))
+    return corpus
+
+
+def cmd_export_ref(args) -> None:
+    """Build (positions) and serialize every shard in the reference
+    chunk grammar (plans/export.py)."""
+    from index_spark.operators.build import build_index
+    from index_spark.plans.export import export_all_chunks
+
+    spark = _spark(args)
+    corpus = _cli_corpus(args, spark)
+    docs, index, _ = build_index(corpus, stem=not args.no_stem,
+                                 positions=True,
+                                 shard_size=args.shard_size)
+    index = index.persist()
+    metas = export_all_chunks(index, docs, args.out,
+                              corpus_tag=args.tag)
+    print(json.dumps({"chunks": len(metas),
+                      "docs": sum(m["n_docs"] for m in metas),
+                      "bytes": sum(m["bytes"] for m in metas)}))
+
+
+def cmd_serve(args) -> None:
+    """One-shot in-memory replica serving: build, load the replica,
+    answer the query (repeated --bench times if asked) without a Spark
+    job per query."""
+    import time as _t
+
+    from index_spark.operators.build import build_index
+    from index_spark.operators.serving import ServingReplica
+
+    spark = _spark(args)
+    corpus = _cli_corpus(args, spark)
+    docs, index, stats = build_index(corpus, stem=not args.no_stem,
+                                     shard_size=args.shard_size)
+    index = index.persist()
+    t0 = _t.time()
+    rep = ServingReplica.from_index(index, stats,
+                                    champion_m=args.champion_m,
+                                    stem=not args.no_stem)
+    load_s = _t.time() - t0
+    t0 = _t.time()
+    n = max(1, args.bench)
+    for _ in range(n):
+        hits = rep.search(args.query, k=args.k)
+    dt = (_t.time() - t0) / n
+    print(json.dumps({"query": args.query,
+                      "hits": [[d, round(s, 4)] for d, s in hits],
+                      "replica_mb": round(rep.nbytes / 1e6, 2),
+                      "load_s": round(load_s, 3),
+                      "query_ms": round(dt * 1e3, 3)}))
+
+
 def cmd_bench(args) -> None:
     import bench
 
@@ -1415,6 +1477,29 @@ def main(argv=None) -> None:
     ig.add_argument("--text-field", default="text")
     ig.add_argument("--key-field", default="id")
     ig.set_defaults(fn=cmd_ingest)
+
+    xr = sub.add_parser("export-ref", help="serialize shards in the "
+                        "reference chunk grammar")
+    xr.add_argument("--corpus", required=True)
+    xr.add_argument("--out", required=True)
+    xr.add_argument("--shard-size", type=int, default=4096)
+    xr.add_argument("--no-stem", action="store_true")
+    xr.add_argument("--tag", default="index_spark")
+    xr.add_argument("--documents-table", action="store_true")
+    xr.set_defaults(fn=cmd_export_ref)
+
+    sv = sub.add_parser("serve", help="in-memory replica point query "
+                        "(no Spark job per query)")
+    sv.add_argument("--corpus", required=True)
+    sv.add_argument("--query", required=True)
+    sv.add_argument("-k", type=int, default=10)
+    sv.add_argument("--shard-size", type=int, default=4096)
+    sv.add_argument("--champion-m", type=int, default=None)
+    sv.add_argument("--no-stem", action="store_true")
+    sv.add_argument("--bench", type=int, default=1,
+                    help="repeat the query N times, report mean ms")
+    sv.add_argument("--documents-table", action="store_true")
+    sv.set_defaults(fn=cmd_serve)
 
     ex = sub.add_parser("export", help="export documents parquet to "
                                        "jsonl/csv/warc")
