@@ -136,3 +136,112 @@ def load_reversed_dictionary(spark: SparkSession, out_dir: str) -> DataFrame:
             f"no reversed dictionary under {p} — re-run compact_index "
             "(force=True) to publish it")
     return spark.read.parquet(p)
+
+
+# ---------------------------------------------------------------------------
+# front-coded dictionary blocks (IIR §5.2 "blocked storage with front
+# coding"): consecutive sorted terms share long prefixes, so a block of
+# B terms stores the head term verbatim and every other term as
+# (lcp vs PREVIOUS term, suffix).  At rest this is the classic
+# dictionary-compression artifact; the reference's sorted chunk keys
+# (/root/reference/index.cpp:51-52) are the same sorted-at-rest idea.
+#
+# Scale shape: the encode is range-partition-local (terms range-
+# partitioned, blocks never cross partitions, lcp via one lag window
+# per partition — no global sequence), and the block relation stores
+# (head, last) per block so prefix scans prune whole blocks through
+# ordinary parquet min/max before any decode.  Decode is a bounded
+# JVM aggregate per block row (B <= 128 entries).
+# ---------------------------------------------------------------------------
+
+
+def _lcp_expr(a, b):
+    """Length of the longest common prefix of two string columns —
+    prefix equality is monotone in i, so counting the i with equal
+    prefixes IS the lcp (terms are short; the quadratic substr is
+    bounded by max term length)."""
+    n = F.least(F.length(a), F.length(b))
+    return F.size(F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: (n > 0) & (F.substring(a, 1, i) == F.substring(b, 1, i))))
+
+
+def front_code_dictionary(dictionary: DataFrame, block: int = 16,
+                          n_parts: int | None = None) -> DataFrame:
+    """(part, block_id, head, last, n_terms, entries) — entries =
+    array<struct<lcp int, suffix string, df long>> for terms 2..B of
+    each block (the head's df rides in entries[0]-style via its own
+    columns ``head_df``).  Sorted by (part, block_id) == term order."""
+    from pyspark.sql.window import Window
+
+    cols = dictionary.select("term", "df")
+    parted = (cols.repartitionByRange(
+        *( [n_parts] if n_parts else [] ), F.col("term"))
+        .withColumn("part", F.spark_partition_id()))
+    w = Window.partitionBy("part").orderBy("term")
+    rows = (parted
+            .withColumn("rn", F.row_number().over(w) - 1)
+            .withColumn("prev", F.lag("term").over(w))
+            .withColumn("block_id", (F.col("rn") / block).cast("long"))
+            .withColumn("in_block", (F.col("rn") % block).cast("int")))
+    ent = F.when(
+        F.col("in_block") == 0,
+        F.struct(F.lit(-1).alias("lcp"), F.col("term").alias("suffix"),
+                 F.col("df").alias("df"))
+    ).otherwise(
+        F.struct(_lcp_expr(F.col("prev"), F.col("term")).alias("lcp"),
+                 F.expr("substring(term, "
+                        "size(filter(sequence(1, greatest(least(length(prev),"
+                        "length(term)), 1)), i -> substring(prev, 1, i) = "
+                        "substring(term, 1, i))) + 1)").alias("suffix"),
+                 F.col("df").alias("df")))
+    return (rows.select("part", "block_id", "in_block", "term",
+                        ent.alias("e"))
+            .groupBy("part", "block_id")
+            .agg(F.min("term").alias("head"),
+                 F.max("term").alias("last"),
+                 F.count("*").alias("n_terms"),
+                 F.array_sort(F.collect_list(
+                     F.struct(F.col("in_block"), F.col("e"))))
+                 .alias("_es"))
+            .withColumn("entries", F.transform(F.col("_es"),
+                                               lambda s: s["e"]))
+            .drop("_es"))
+
+
+def decode_front_coded(blocks: DataFrame) -> DataFrame:
+    """Inverse of :func:`front_code_dictionary`: back to (term, df)
+    rows.  The within-block sequential reconstruction (each term =
+    prefix of the PREVIOUS term + suffix) is one JVM ``aggregate``
+    fold per block row — no Python, no shuffle beyond the scan."""
+    folded = F.aggregate(
+        F.col("entries"),
+        F.struct(F.lit("").alias("prev"),
+                 F.array().cast("array<struct<term:string,df:bigint>>")
+                 .alias("out")),
+        lambda acc, e: F.struct(
+            F.concat(F.substring(acc["prev"], 1,
+                                 F.greatest(e["lcp"], F.lit(0))),
+                     e["suffix"]).alias("prev"),
+            F.concat(
+                acc["out"],
+                F.array(F.struct(
+                    F.concat(F.substring(acc["prev"], 1,
+                                         F.greatest(e["lcp"], F.lit(0))),
+                             e["suffix"]).alias("term"),
+                    e["df"].cast("bigint").alias("df")))).alias("out")),
+        lambda acc: acc["out"])
+    return (blocks.select(F.explode(folded).alias("r"))
+            .select(F.col("r.term").alias("term"),
+                    F.col("r.df").alias("df")))
+
+
+def prefix_scan_front_coded(blocks: DataFrame, prefix: str) -> DataFrame:
+    """Prefix lookup over the block relation: whole blocks prune via
+    (head, last) range predicates (parquet min/max at rest) BEFORE any
+    decode; only surviving blocks reconstruct."""
+    hi = prefix + "￿"
+    cand = blocks.filter((F.col("head") <= hi) & (F.col("last") >=
+                                                  F.lit(prefix)))
+    return (decode_front_coded(cand)
+            .filter(F.col("term").startswith(prefix)))

@@ -276,3 +276,30 @@ def test_crash_window_self_heal(spark, store):
     shutil.copytree(p, p + "_old")
     assert heal_swapped_dir(p) is False
     shutil.rmtree(p + "_old")
+
+
+def test_front_coded_blocks_round_trip(spark, store):
+    """IIR §5.2 front coding: encode -> decode reproduces the catalog
+    exactly; block (head, last) bounds let prefix scans prune whole
+    blocks before any decode."""
+    from index_spark.plans.dictionary import (decode_front_coded,
+                                              front_code_dictionary,
+                                              prefix_scan_front_coded)
+
+    d = load_dictionary(spark, store).select("term", "df")
+    blocks = front_code_dictionary(d, block=16).persist()
+    orig = sorted(map(tuple, d.collect()))
+    back = sorted(map(tuple, decode_front_coded(blocks).collect()))
+    assert back == orig
+    # every block's bounds hold and entry counts sum to the catalog
+    rows = blocks.collect()
+    assert sum(r.n_terms for r in rows) == len(orig)
+    assert all(r.head <= r.last and 1 <= r.n_terms <= 16 for r in rows)
+    # prefix scan parity with the flat catalog
+    for pref in ("re", "int", "zzz"):
+        a = sorted(r.term for r in
+                   prefix_scan_front_coded(blocks, pref).collect())
+        b = sorted(r.term for r in
+                   d.filter(F.col("term").startswith(pref)).collect())
+        assert a == b, pref
+    blocks.unpersist()
