@@ -9859,6 +9859,18 @@ def _r05_engine_queries() -> dict[str, Callable[[SparkSession, str],
                            "anchor": 1.5}, k=10, stem=False, camel=False)
         return top.select("doc_id", F.round("score", 4).alias("score"))
 
+    def front_coded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # front-coded dictionary blocks round trip THROUGH the driver
+        # harness: catalog -> 16-term lcp/suffix blocks -> JVM-fold
+        # decode, value-checked against the plain SQL term/df aggregate
+        from index_spark.plans.dictionary import (decode_front_coded,
+                                                  dictionary_from_index,
+                                                  front_code_dictionary)
+
+        _, index, _ = _parity_build(spark, sf_dir)
+        d = dictionary_from_index(index).select("term", "df")
+        return decode_front_coded(front_code_dictionary(d, block=16))
+
     def replica_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # driver-resident ServingReplica (the round-5 sub-100ms serving
         # path): in-memory top-10 BM25, value-checked against the same
@@ -9876,7 +9888,8 @@ def _r05_engine_queries() -> dict[str, Callable[[SparkSession, str],
     return {"html_links": html_links_q, "html_zone_topk": html_zone_q,
             "wand_topk_200k": wand_200k_q, "replica_topk": replica_topk_q,
             "events_holt_winters": holt_winters_q,
-            "warc_html_zone_topk": warc_html_zone_q}
+            "warc_html_zone_topk": warc_html_zone_q,
+            "front_coded_terms": front_coded_q}
 
 
 def _build_registry():
@@ -10533,6 +10546,9 @@ ORDER BY event_id""")
 
     add("warc_html_zone_topk", eng25["warc_html_zone_topk"],
         _ORACLE_HTML_ZONE_TOPK)
+    add("front_coded_terms", eng25["front_coded_terms"],
+        _docs_sql("duck",
+                  "SELECT term, CAST(df AS BIGINT) AS df FROM dft", []))
     add("events_holt_winters", eng25["events_holt_winters"], """
 WITH r AS (
   SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket,
