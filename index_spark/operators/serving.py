@@ -134,14 +134,23 @@ class ServingReplica:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
     def search(self, query: str, k: int = 10,
-               qterms: list[str] | None = None
+               qterms: list[str] | None = None, mode: str = "or"
                ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), identical contract to the DataFrame
-        :func:`search` (OR mode): dedup-sorted query terms, BM25 with
-        global df, ties broken (score desc, doc_id asc)."""
+        :func:`search`: dedup-sorted query terms, BM25 with global df,
+        ties broken (score desc, doc_id asc).  ``mode='and'``: only
+        docs containing EVERY query term score (a term absent from the
+        replica's partition empties the result, the engine's
+        short-circuit); the candidate intersection starts from the
+        rarest list, the conjunctive-kernel cost shape."""
+        if mode not in ("or", "and"):
+            raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
         terms = sorted(set(qterms if qterms is not None
                            else tokenize(query, stem=self.stem,
                                          camel=self.camel)))
+        if mode == "and" and terms and not all(t in self._terms
+                                               for t in terms):
+            return []
         lists = [(t, self._terms[t]) for t in terms if t in self._terms]
         if not lists:
             return []
@@ -151,6 +160,14 @@ class ServingReplica:
         uniq, inv = np.unique(docs, return_inverse=True)
         scores = np.zeros(uniq.size)
         np.add.at(scores, inv, contrib)
+        if mode == "and" and len(lists) > 1:
+            cand = lists[np.argmin([d.size for _, (d, _) in lists])][1][0]
+            for _, (d, _) in lists:
+                cand = cand[np.isin(cand, d, assume_unique=True)]
+                if cand.size == 0:
+                    return []
+            keep = np.isin(uniq, cand, assume_unique=True)
+            uniq, scores = uniq[keep], scores[keep]
         if k >= uniq.size:
             top = np.lexsort((uniq, -scores))
         else:

@@ -90,3 +90,17 @@ def test_stats_guard(built):
     _, index, _ = built
     with pytest.raises(ValueError, match="n_docs"):
         ServingReplica.from_index(index, {"n_docs": 0, "avgdl": 0})
+
+
+def test_and_mode_identity_with_engine(built, replica):
+    for q in ["data table", "import numpy value", "data zzz_absent", "data"]:
+        docs, index, stats = built
+        eng = [(r.doc_id, r.score) for r in
+               search(index, docs, stats, q, k=10, mode="and",
+                      shard_size=64).collect()]
+        rep = replica.search(q, k=10, mode="and")
+        assert [d for d, _ in rep] == [d for d, _ in eng], q
+        assert np.allclose([s for _, s in rep], [s for _, s in eng],
+                           rtol=0, atol=1e-12), q
+    with pytest.raises(ValueError, match="mode"):
+        replica.search("x", mode="nope")
