@@ -10581,7 +10581,7 @@ FROM win ORDER BY event_type, bucket""")
     front = [
         # (a) round-5 additions
         "html_links", "html_zone_topk", "wand_topk_200k", "replica_topk",
-        "events_holt_winters",
+        "events_holt_winters", "warc_html_zone_topk", "front_coded_terms",
         # (b) stalest (DRIVER_ROUNDS.json == 0), registry order
         "fuzzy_trgm_topk", "hll_distinct_terms", "cms_heavy_hitters",
         "haschild_topk", "top_hits_facet", "rm3_topk", "dup_span_removal",
@@ -10594,8 +10594,7 @@ FROM win ORDER BY event_type, bucket""")
         "cardinality_facet", "doc_keywords", "srp_hamming_topk",
         "mmr_topk", "phrase_suggest", "spannear_topk", "weighted_sample",
         "lmjm_topk", "classic_topk", "symbol_defs", "symbol_topk",
-        "import_edges", "composite_facet", "t5_spans", "repo_pagerank",
-        "curriculum_buckets", "mrl_topk",
+        "import_edges", "t5_spans", "repo_pagerank", "mrl_topk",
     ]
     order = [k for k in front if k in queries] + \
             [k for k in queries if k not in front]
