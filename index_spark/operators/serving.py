@@ -49,15 +49,24 @@ class ServingReplica:
 
     def __init__(self, terms: dict[str, tuple[np.ndarray, np.ndarray]],
                  dfs: dict[str, int], n_docs: int, avgdl: float,
-                 stem: bool = True, camel: bool = True):
+                 stem: bool = True, camel: bool = True,
+                 positions: dict[str, tuple[np.ndarray, np.ndarray]]
+                 | None = None):
         self._terms = terms          # term -> (doc_ids, precomputed sat)
         self._dfs = dfs              # term -> GLOBAL df (idf input)
+        self._pos = positions        # term -> (per-occurrence doc, pos)
+        self._pos_cap = (max((int(p.max()) for _, p in positions.values()
+                              if p.size), default=0) + 34
+                         if positions else 0)
         self.n_docs = n_docs
         self.avgdl = avgdl
         self.stem = stem
         self.camel = camel
         self.nbytes = sum(d.nbytes + s.nbytes
                           for d, s in terms.values())
+        if positions:
+            self.nbytes += sum(d.nbytes + p.nbytes
+                               for d, p in positions.values())
 
     # -- construction ----------------------------------------------------
 
@@ -65,8 +74,8 @@ class ServingReplica:
     def from_index(cls, index: DataFrame, stats: dict,
                    shard_range: tuple[int, int] | None = None,
                    champion_m: int | None = None,
-                   stem: bool = True, camel: bool = True
-                   ) -> "ServingReplica":
+                   stem: bool = True, camel: bool = True,
+                   positions: bool = False) -> "ServingReplica":
         """Load (and pre-decode) one shard range of the index.
 
         The load is ONE bounded collect of this replica's partition —
@@ -75,7 +84,13 @@ class ServingReplica:
         (n_docs / avgdl are CORPUS-global even when the replica holds a
         slice).  ``champion_m``: keep only the top-m postings of each
         term by (tf desc, doc_id asc) — bounded-memory approximate mode.
-        """
+        ``positions=True`` (requires a positions build; incompatible
+        with champion_m) additionally loads per-occurrence ordinals so
+        :meth:`phrase` answers exact-phrase point queries in-memory."""
+        if positions and champion_m is not None:
+            raise ValueError("positions replicas cannot truncate lists "
+                             "(champion_m) — phrase matches need every "
+                             "occurrence")
         part = index
         gdfs: dict[str, int] | None = None
         if shard_range is not None:
@@ -90,8 +105,10 @@ class ServingReplica:
                     .join(part.select("term").distinct(), "term", "semi")
                     .groupBy("term").agg(F.sum("df").alias("df_g"))
                     .collect()}
-        rows = (part.select("term", "df", "doc_blob", "tf_blob", "dl_blob")
-                .collect())
+        cols = ["term", "df", "doc_blob", "tf_blob", "dl_blob"]
+        if positions:
+            cols.append("pos_blob")
+        rows = part.select(*cols).collect()
         n_docs = float(stats.get("n_docs") or 0)
         avgdl = float(stats.get("avgdl") or 0)
         if n_docs <= 0 or avgdl <= 0:
@@ -104,9 +121,21 @@ class ServingReplica:
             docs = np.cumsum(vb.decode(r["doc_blob"])).astype(np.int64)
             tfs = vb.decode(r["tf_blob"]).astype(np.float64)
             dls = vb.decode(r["dl_blob"]).astype(np.float64)
+            occ = None
+            if positions:
+                from index_spark.operators.phrase import decode_positions
+
+                if r["pos_blob"] is None or len(r["pos_blob"]) == 0:
+                    raise ValueError(
+                        "positions=True needs a positions build "
+                        f"(term {r['term']!r} has no pos_blob)")
+                pos = decode_positions(bytes(r["tf_blob"]),
+                                       bytes(r["pos_blob"]))
+                occ = (np.repeat(docs, tfs.astype(np.int64)), pos)
             by_term.setdefault(r["term"], []).append((docs, tfs, dls,
-                                                     int(r["df"])))
+                                                     int(r["df"]), occ))
         terms: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        poss: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         dfs: dict[str, int] = {}
         for term, parts in by_term.items():
             docs = np.concatenate([p[0] for p in parts])
@@ -125,7 +154,13 @@ class ServingReplica:
             # load so a query is one weighted segment-sum
             sat = tfs / (tfs + K1 * (1.0 - B + B * dls / avgdl))
             terms[term] = (docs, sat)
-        return cls(terms, dfs, n_docs, avgdl, stem=stem, camel=camel)
+            if positions:
+                od = np.concatenate([p[4][0] for p in parts])
+                op = np.concatenate([p[4][1] for p in parts])
+                oo = np.lexsort((op, od))
+                poss[term] = (od[oo], op[oo])
+        return cls(terms, dfs, n_docs, avgdl, stem=stem, camel=camel,
+                   positions=poss if positions else None)
 
     # -- serving ---------------------------------------------------------
 
@@ -178,6 +213,36 @@ class ServingReplica:
     def search_batch(self, queries: dict, k: int = 10
                      ) -> dict[object, list[tuple[int, float]]]:
         return {qid: self.search(q, k=k) for qid, q in queries.items()}
+
+    def phrase(self, phrase: str, k: int = 10) -> list[tuple[int, int]]:
+        """Top-k exact-phrase matches (doc_id, n_matches) — the same
+        contract as :func:`~index_spark.operators.phrase.phrase_search`
+        (pure occurrence-count ranking, ties (n desc, doc asc)) and the
+        same composite-key m-way intersection, run in-process over the
+        replica's pre-decoded occurrence arrays."""
+        if self._pos is None:
+            raise ValueError("replica loaded without positions=True")
+        qterms = tokenize(phrase, stem=self.stem, camel=self.camel)
+        if not qterms:
+            return []
+        if len(qterms) > 32:
+            raise ValueError("phrase longer than 32 tokens")
+        if any(t not in self._pos for t in qterms):
+            return []
+        cap = self._pos_cap
+        keys: np.ndarray | None = None
+        for i, t in enumerate(qterms):
+            docs, pos = self._pos[t]
+            adj = pos - i
+            ok = adj >= 0
+            kk = docs[ok] * cap + adj[ok]
+            keys = kk if keys is None else np.intersect1d(
+                keys, kk, assume_unique=True)
+            if keys.size == 0:
+                return []
+        ud, cnt = np.unique(keys // cap, return_counts=True)
+        top = np.lexsort((ud, -cnt))[:k]
+        return [(int(ud[i]), int(cnt[i])) for i in top]
 
 
 def merge_topk(partials: list[list[tuple[int, float]]], k: int = 10

@@ -104,3 +104,23 @@ def test_and_mode_identity_with_engine(built, replica):
                            rtol=0, atol=1e-12), q
     with pytest.raises(ValueError, match="mode"):
         replica.search("x", mode="nope")
+
+
+def test_phrase_identity_with_engine(spark, tiny_corpus):
+    from index_spark.operators.phrase import phrase_search
+
+    docs, index, stats = build_index(
+        spark.createDataFrame(tiny_corpus), stem=True, positions=True,
+        shard_size=64)
+    index = index.persist()
+    rep = ServingReplica.from_index(index, stats, positions=True)
+    for ph in ["import numpy", "return the", "zzz missing", "import"]:
+        eng = [(r.doc_id, r.n_matches) for r in
+               phrase_search(index, stats, ph, k=10,
+                             shard_size=64).collect()]
+        assert rep.phrase(ph, k=10) == eng, ph
+    with pytest.raises(ValueError, match="positions"):
+        ServingReplica.from_index(index, stats).phrase("x")
+    with pytest.raises(ValueError, match="champion"):
+        ServingReplica.from_index(index, stats, positions=True,
+                                  champion_m=4)
