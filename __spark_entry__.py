@@ -9871,6 +9871,19 @@ def _r05_engine_queries() -> dict[str, Callable[[SparkSession, str],
         d = dictionary_from_index(index).select("term", "df")
         return decode_front_coded(front_code_dictionary(d, block=16))
 
+    def replica_phrase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # in-memory replica exact-phrase point query vs the SAME oracle
+        # as the DataFrame phrase_search entry (positions load path)
+        from index_spark.operators.serving import ServingReplica
+
+        _, index, stats = _parity_build(spark, sf_dir)
+        rep = ServingReplica.from_index(index, stats, stem=False,
+                                        camel=False, positions=True)
+        rows = rep.phrase("data table", k=10)
+        return spark.createDataFrame(
+            [(int(d), int(n)) for d, n in rows],
+            "doc_id long, n_matches long")
+
     def replica_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # driver-resident ServingReplica (the round-5 sub-100ms serving
         # path): in-memory top-10 BM25, value-checked against the same
@@ -9889,7 +9902,8 @@ def _r05_engine_queries() -> dict[str, Callable[[SparkSession, str],
             "wand_topk_200k": wand_200k_q, "replica_topk": replica_topk_q,
             "events_holt_winters": holt_winters_q,
             "warc_html_zone_topk": warc_html_zone_q,
-            "front_coded_terms": front_coded_q}
+            "front_coded_terms": front_coded_q,
+            "replica_phrase_topk": replica_phrase_q}
 
 
 def _build_registry():
@@ -10549,6 +10563,8 @@ ORDER BY event_id""")
     add("front_coded_terms", eng25["front_coded_terms"],
         _docs_sql("duck",
                   "SELECT term, CAST(df AS BIGINT) AS df FROM dft", []))
+    add("replica_phrase_topk", eng25["replica_phrase_topk"],
+        _ORACLE_PHRASE_TOPK_DUCK)
     add("events_holt_winters", eng25["events_holt_winters"], """
 WITH r AS (
   SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket,
@@ -10582,6 +10598,7 @@ FROM win ORDER BY event_type, bucket""")
         # (a) round-5 additions
         "html_links", "html_zone_topk", "wand_topk_200k", "replica_topk",
         "events_holt_winters", "warc_html_zone_topk", "front_coded_terms",
+        "replica_phrase_topk",
         # (b) stalest (DRIVER_ROUNDS.json == 0), registry order
         "fuzzy_trgm_topk", "hll_distinct_terms", "cms_heavy_hitters",
         "haschild_topk", "top_hits_facet", "rm3_topk", "dup_span_removal",
@@ -10594,7 +10611,7 @@ FROM win ORDER BY event_type, bucket""")
         "cardinality_facet", "doc_keywords", "srp_hamming_topk",
         "mmr_topk", "phrase_suggest", "spannear_topk", "weighted_sample",
         "lmjm_topk", "classic_topk", "symbol_defs", "symbol_topk",
-        "import_edges", "t5_spans", "repo_pagerank", "mrl_topk",
+        "import_edges", "repo_pagerank", "mrl_topk",
     ]
     order = [k for k in front if k in queries] + \
             [k for k in queries if k not in front]
