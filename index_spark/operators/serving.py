@@ -162,6 +162,55 @@ class ServingReplica:
         return cls(terms, dfs, n_docs, avgdl, stem=stem, camel=camel,
                    positions=poss if positions else None)
 
+    # -- snapshot --------------------------------------------------------
+
+    def save(self, path: str) -> dict:
+        """Publish the replica as one ``.npz`` snapshot (+ its scalar
+        stats): the build side writes this once; serving nodes then
+        boot with :meth:`load` and NO Spark dependency at all.  Arrays
+        are concatenated per kind with a term offset table, so the file
+        holds a handful of large arrays instead of 2x|vocab| tiny
+        ones."""
+        import json as _json
+
+        terms = sorted(self._terms)
+        offs = np.zeros(len(terms) + 1, np.int64)
+        for i, t in enumerate(terms):
+            offs[i + 1] = offs[i] + self._terms[t][0].size
+        docs = (np.concatenate([self._terms[t][0] for t in terms])
+                if terms else np.empty(0, np.int64))
+        sat = (np.concatenate([self._terms[t][1] for t in terms])
+               if terms else np.empty(0))
+        np.savez_compressed(
+            path, docs=docs, sat=sat, offsets=offs,
+            dfs=np.array([self._dfs[t] for t in terms], np.int64))
+        meta = {"terms": terms, "n_docs": self.n_docs,
+                "avgdl": self.avgdl, "stem": self.stem,
+                "camel": self.camel}
+        with open(path + ".meta.json", "w") as f:
+            _json.dump(meta, f)
+        return {"terms": len(terms), "postings": int(offs[-1])}
+
+    @classmethod
+    def load(cls, path: str) -> "ServingReplica":
+        """Boot a replica from a :meth:`save` snapshot — pure
+        numpy/json, no SparkSession (the serving-node startup path)."""
+        import json as _json
+
+        with open(path + ".meta.json") as f:
+            meta = _json.load(f)
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        docs, sat, offs, dfa = (z["docs"], z["sat"], z["offsets"],
+                                z["dfs"])
+        terms = {}
+        dfs = {}
+        for i, t in enumerate(meta["terms"]):
+            lo, hi = int(offs[i]), int(offs[i + 1])
+            terms[t] = (docs[lo:hi], sat[lo:hi])
+            dfs[t] = int(dfa[i])
+        return cls(terms, dfs, meta["n_docs"], meta["avgdl"],
+                   stem=meta["stem"], camel=meta["camel"])
+
     # -- serving ---------------------------------------------------------
 
     def _weight(self, term: str) -> float:

@@ -124,3 +124,16 @@ def test_phrase_identity_with_engine(spark, tiny_corpus):
     with pytest.raises(ValueError, match="champion"):
         ServingReplica.from_index(index, stats, positions=True,
                                   champion_m=4)
+
+
+def test_snapshot_save_load_identity(replica, tmp_path):
+    """save -> load round trip answers identically (the serving-node
+    boot path: numpy/json only, no Spark)."""
+    p = str(tmp_path / "replica_snapshot")
+    meta = replica.save(p)
+    assert meta["terms"] == len(replica._terms)
+    loaded = ServingReplica.load(p)
+    for q in ["data table query", "import numpy", "zzz"]:
+        assert loaded.search(q, k=10) == replica.search(q, k=10), q
+        assert loaded.search(q, k=10, mode="and") == \
+            replica.search(q, k=10, mode="and"), q
