@@ -1030,24 +1030,35 @@ def cmd_export_ref(args) -> None:
 
 
 def cmd_serve(args) -> None:
-    """One-shot in-memory replica serving: build, load the replica,
-    answer the query (repeated --bench times if asked) without a Spark
-    job per query."""
+    """One-shot in-memory replica serving: build (or boot from a
+    snapshot), answer the query (repeated --bench times if asked)
+    without a Spark job per query."""
+    if not args.corpus and not args.snapshot:
+        raise SystemExit("serve: pass --corpus or --snapshot")
     import time as _t
 
-    from index_spark.operators.build import build_index
     from index_spark.operators.serving import ServingReplica
 
-    spark = _spark(args)
-    corpus = _cli_corpus(args, spark)
-    docs, index, stats = build_index(corpus, stem=not args.no_stem,
-                                     shard_size=args.shard_size)
-    index = index.persist()
-    t0 = _t.time()
-    rep = ServingReplica.from_index(index, stats,
-                                    champion_m=args.champion_m,
-                                    stem=not args.no_stem)
-    load_s = _t.time() - t0
+    if args.snapshot:
+        # serving-node boot path: numpy/json only, no SparkSession
+        t0 = _t.time()
+        rep = ServingReplica.load(args.snapshot)
+        load_s = _t.time() - t0
+    else:
+        from index_spark.operators.build import build_index
+
+        spark = _spark(args)
+        corpus = _cli_corpus(args, spark)
+        docs, index, stats = build_index(corpus, stem=not args.no_stem,
+                                         shard_size=args.shard_size)
+        index = index.persist()
+        t0 = _t.time()
+        rep = ServingReplica.from_index(index, stats,
+                                        champion_m=args.champion_m,
+                                        stem=not args.no_stem)
+        load_s = _t.time() - t0
+        if args.save_snapshot:
+            rep.save(args.save_snapshot)
     t0 = _t.time()
     n = max(1, args.bench)
     for _ in range(n):
@@ -1490,7 +1501,11 @@ def main(argv=None) -> None:
 
     sv = sub.add_parser("serve", help="in-memory replica point query "
                         "(no Spark job per query)")
-    sv.add_argument("--corpus", required=True)
+    sv.add_argument("--corpus")
+    sv.add_argument("--snapshot", help="boot from a replica .npz "
+                    "snapshot (numpy-only, no Spark)")
+    sv.add_argument("--save-snapshot", help="after building, publish "
+                    "the replica snapshot here")
     sv.add_argument("--query", required=True)
     sv.add_argument("-k", type=int, default=10)
     sv.add_argument("--shard-size", type=int, default=4096)
