@@ -169,9 +169,14 @@ def _lcp_expr(a, b):
 def front_code_dictionary(dictionary: DataFrame, block: int = 16,
                           n_parts: int | None = None) -> DataFrame:
     """(part, block_id, head, last, n_terms, entries) — entries =
-    array<struct<lcp int, suffix string, df long>> for terms 2..B of
-    each block (the head's df rides in entries[0]-style via its own
-    columns ``head_df``).  Sorted by (part, block_id) == term order."""
+    array<struct<lcp int, suffix string, df long>>; entry 0 is the
+    block head (lcp = -1, suffix = the full term).  Sorted by
+    (part, block_id) == term order.
+
+    Note: Spark's range partitioner samples bounds, so BLOCK
+    COMPOSITION can differ run to run at partition edges; the decoded
+    CONTENT is identical regardless (round-trip pinned) — only the
+    at-rest grouping varies, exactly like file splits."""
     from pyspark.sql.window import Window
 
     cols = dictionary.select("term", "df")
