@@ -314,6 +314,10 @@ def main() -> None:
                  "tpch_q1", "tpch_q3", "events_hourly"]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
+    # BENCH_FAST=1: headline whitelist + build_200k only (~3-5 min) —
+    # the quiet-window capture shape; a full run rarely fits a window
+    fast = os.environ.get("BENCH_FAST") == "1"
+
     # 8b. session-3 query surfaces over the flagship build — reported
     # as separate keys, excluded from the round-over-round headline
     # total (same policy as build_200k)
@@ -376,7 +380,8 @@ def main() -> None:
                             k=10).collect()
         timings["lmd_query"] = round(time.time() - t0, 3)
 
-    _extras()
+    if not fast:
+        _extras()
 
     # 8b. session-3 surfaces: hybrid fusion, collapsing, significant
     # terms, regex expansion, chunking (each one measured number at the
@@ -420,7 +425,8 @@ def main() -> None:
         timings["chunk_docs"] = round(time.time() - t0, 3)
         timings["chunk_docs_n"] = n_chunks
 
-    _extras_s3()
+    if not fast:
+        _extras_s3()
 
     # 9. IVF pruned recall@10 at nprobe=2 (pinned config: 4 buckets,
     # build-side n_assign=2 — see tests/test_similarity.py for why the
@@ -520,7 +526,8 @@ def main() -> None:
         zidx.unpersist()
         big.unpersist()
 
-    _positional_200k()
+    if not fast:
+        _positional_200k()
 
     # 10b2. large-corpus dedup scale points (non-headline): MinHash/LSH
     # over a 20k-doc slice (4x the 5k headline row — the full 200k sweep
@@ -565,7 +572,8 @@ def main() -> None:
         timings["exact_dedup_200k"] = round(time.time() - t0, 3)
         big.unpersist()
 
-    _dedup_scale()
+    if not fast:
+        _dedup_scale()
 
     # 10b2s10. session-10 surfaces (non-headline): the Gopher gate
     # battery over the 200k corpus (map-only — the zero-shuffle quality
@@ -606,7 +614,8 @@ def main() -> None:
         timings["srp_hamming_query"] = round(time.time() - t0, 3)
         emb.unpersist()
 
-    _s10_scale()
+    if not fast:
+        _s10_scale()
 
     # 10b2s11. session-11 surfaces (non-headline): ctags-lite symbol
     # extraction over the 200k pseudo-code corpus (map-only
@@ -651,7 +660,8 @@ def main() -> None:
         timings["mrl_query"] = round(time.time() - t0, 3)
         emb.unpersist()
 
-    _s11_scale()
+    if not fast:
+        _s11_scale()
 
     # 10b2s12. session-12 geo surfaces (non-headline): geohash_grid over
     # 2M synthetic points (codegen cell key + map-side-combinable count)
@@ -693,28 +703,32 @@ def main() -> None:
         timings["geotile_grid_2m"] = round(time.time() - t0, 3)
         pts.unpersist()
 
-    _geo_scale()
+    if not fast:
+        _geo_scale()
 
     # 10b2s14. session-14 surfaces (non-headline), via the registry so
     # the measured plan is the driver-checked plan: one-pass moment
     # matrix, pooled character entropy, funnel frontiers, weekly
     # retention cohorts, capped phrase-prefix expansion
-    for name in ["matrix_stats", "string_stats", "events_funnel",
-                 "events_retention", "phrase_prefix_topk"]:
-        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+    if not fast:
+        for name in ["matrix_stats", "string_stats", "events_funnel",
+                     "events_retention", "phrase_prefix_topk"]:
+            timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # 10b2s15. session-15 surfaces (non-headline): gap-filled
     # date_histogram, parent-child join query, one-pass PCA moments
-    for name in ["events_gap_hist", "has_child_scores_topk", "pca_component",
-                 "boosting_topk", "distance_feature_topk"]:
-        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+    if not fast:
+        for name in ["events_gap_hist", "has_child_scores_topk", "pca_component",
+                     "boosting_topk", "distance_feature_topk"]:
+            timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # 10b3. iterative graph/LM surfaces (non-headline): transitive
     # duplicate clustering (large-star/small-star over the jaccard pair
     # graph), bigram-LM scoring, and 3-iteration PageRank — all via the
     # registry entries so the measured plan is the driver-checked plan
-    for name in ["dup_clusters", "lm_xent", "pagerank_scores"]:
-        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+    if not fast:
+        for name in ["dup_clusters", "lm_xent", "pagerank_scores"]:
+            timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # 10b4. store lifecycle (session 8, non-headline): two half-corpus
     # chunked stores, concat (one patched varbyte per blob), incremental
@@ -752,7 +766,8 @@ def main() -> None:
         timings["lifecycle_expire"] = round(time.time() - t0, 3)
         shutil.rmtree(root, ignore_errors=True)
 
-    _store_lifecycle()
+    if not fast:
+        _store_lifecycle()
 
     # 10d. session-17 surface scale points (non-headline): the boolean
     # query_string evaluator, the span/interval positional family, and
@@ -820,7 +835,8 @@ def main() -> None:
         timings["decontam_bloom"] = round(time.time() - t0, 3)
         release_build(pindex)
 
-    _s17_scale()
+    if not fast:
+        _s17_scale()
 
     # 10e. session-18 surface scale points (non-headline), via the
     # registry so the measured plan is the driver-checked plan:
@@ -828,16 +844,18 @@ def main() -> None:
     # (constant-score membership), function_score (fvf + LCG random),
     # cross_fields (blended-df dismax), combined_fields (merged
     # pseudo-field BM25)
-    for name in ["common_terms_topk", "terms_lookup_topk",
-                 "function_score_topk", "cross_fields_topk",
-                 "combined_fields_topk"]:
-        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+    if not fast:
+        for name in ["common_terms_topk", "terms_lookup_topk",
+                     "function_score_topk", "cross_fields_topk",
+                     "combined_fields_topk"]:
+            timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # 10f. session-18b surfaces (non-headline): weighted linear fusion,
     # composite-key terms agg, date_range buckets, ERR@10
-    for name in ["hybrid_linear_topk", "events_multi_terms",
-                 "events_date_range", "err_eval"]:
-        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+    if not fast:
+        for name in ["hybrid_linear_topk", "events_multi_terms",
+                     "events_date_range", "err_eval"]:
+            timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # 10g. session-19 surfaces (non-headline): TermRangeQuery
     # (row-group-pruned range scan), SpanMultiTermQueryWrapper
@@ -845,33 +863,36 @@ def main() -> None:
     # constant-score prefix), phonetic sounds-like, categorize_text
     # templates, random_sampler scaled agg, variable-width histogram,
     # sharded terms agg with error bounds
-    for name in ["term_range_topk", "span_multi_topk", "simple_qs_topk",
-                 "sounds_like_topk", "log_templates",
-                 "random_sampler_facet", "var_width_hist",
-                 "terms_shard_error", "sparse_vector_topk",
-                 "fuzzy_auto_topk", "collapse_inner_topk",
-                 "extended_stats_facet"]:
-        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+    if not fast:
+        for name in ["term_range_topk", "span_multi_topk", "simple_qs_topk",
+                     "sounds_like_topk", "log_templates",
+                     "random_sampler_facet", "var_width_hist",
+                     "terms_shard_error", "sparse_vector_topk",
+                     "fuzzy_auto_topk", "collapse_inner_topk",
+                     "extended_stats_facet"]:
+            timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # 10h. session-20 surfaces (non-headline): unified highlighting,
     # late-interaction maxsim, change-point detection, the C4 battery,
     # significant_text with duplicate-text filtering, ip_prefix agg,
     # bucket_correlation pipeline agg
-    for name in ["highlight_topk", "maxsim_topk", "events_change_point",
-                 "c4_quality", "significant_text", "ip_prefix_facet",
-                 "bucket_correlation", "dfr_topk", "langid_nb",
-                 "heaps_fit", "grok_fields"]:
-        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+    if not fast:
+        for name in ["highlight_topk", "maxsim_topk", "events_change_point",
+                     "c4_quality", "significant_text", "ip_prefix_facet",
+                     "bucket_correlation", "dfr_topk", "langid_nb",
+                     "heaps_fit", "grok_fields"]:
+            timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # 10i. session-21 surfaces (non-headline): the DFI / IB / Axiomatic
     # similarity modules, BBQ asymmetric 1-bit ANN, RBP evaluation,
     # Zipf rank-frequency fit, context-filtered completion
-    for name in ["dfi_topk", "ib_topk", "axiomatic_topk", "bbq_topk",
-                 "rbp_eval", "zipf_fit", "context_suggest",
-                 "lucene_norms_topk", "sig_chi2_terms", "missing_facet",
-                 "rocchio_topk", "ltr_features", "rbo_eval",
-                 "champion_topk", "freq_of_freqs"]:
-        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+    if not fast:
+        for name in ["dfi_topk", "ib_topk", "axiomatic_topk", "bbq_topk",
+                     "rbp_eval", "zipf_fit", "context_suggest",
+                     "lucene_norms_topk", "sig_chi2_terms", "missing_facet",
+                     "rocchio_topk", "ltr_features", "rbo_eval",
+                     "champion_topk", "freq_of_freqs"]:
+            timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # 10c. concurrent-query throughput at 8 vs 32 cores, each in its
     # own process/JVM (a Spark master is fixed at startup). The
@@ -912,7 +933,8 @@ def main() -> None:
                 timings["replica_qps_32"]
                 / (timings["replica_qps_8"] * 4), 3)
 
-    _concurrent_qps()
+    if not fast:
+        _concurrent_qps()
 
     # sub-timings of other entries don't double-count into the total
     # build_200k reports separately (one-off scale row, not part of the
