@@ -75,7 +75,8 @@ class ServingReplica:
                    shard_range: tuple[int, int] | None = None,
                    champion_m: int | None = None,
                    stem: bool = True, camel: bool = True,
-                   positions: bool = False) -> "ServingReplica":
+                   positions: bool = False,
+                   zone: str | None = None) -> "ServingReplica":
         """Load (and pre-decode) one shard range of the index.
 
         The load is ONE bounded collect of this replica's partition —
@@ -91,6 +92,13 @@ class ServingReplica:
             raise ValueError("positions replicas cannot truncate lists "
                              "(champion_m) — phrase matches need every "
                              "occurrence")
+        if "zone" in index.columns:
+            # a zoned index holds one row set PER zone; loading rows
+            # across zones would silently merge their postings — pin
+            # one zone (and pass that zone's stats)
+            from index_spark.operators.query import pin_zone
+
+            index = pin_zone(index, zone)
         part = index
         gdfs: dict[str, int] | None = None
         if shard_range is not None:

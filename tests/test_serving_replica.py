@@ -137,3 +137,32 @@ def test_snapshot_save_load_identity(replica, tmp_path):
         assert loaded.search(q, k=10) == replica.search(q, k=10), q
         assert loaded.search(q, k=10, mode="and") == \
             replica.search(q, k=10, mode="and"), q
+
+
+def test_zoned_index_pins_one_zone(spark):
+    """A zoned index must not silently merge zones into the replica:
+    the load pins one validated zone (default body) and scores match a
+    single-zone engine search over that zone."""
+    from index_spark.operators.build import build_zoned_index
+
+    docs = spark.createDataFrame(
+        [("r", f"d{i}", f"body words common w{i}", f"title{i % 2} common")
+         for i in range(8)],
+        "repo string, path string, content string, head string")
+    _, zidx, zstats = build_zoned_index(
+        docs, [("body", "content"), ("title", "head")],
+        stem=False, camel=False, shard_size=64)
+    rep = ServingReplica.from_index(zidx, zstats["body"], stem=False,
+                                    camel=False)          # default body
+    eng = [(r.doc_id, r.score) for r in
+           search(zidx, None, zstats["body"], "common", k=10,
+                  stem=False, camel=False, shard_size=64).collect()]
+    got = rep.search("common", k=10)
+    assert [d for d, _ in got] == [d for d, _ in eng]
+    assert np.allclose([s for _, s in got], [s for _, s in eng],
+                       rtol=0, atol=1e-12)
+    t = ServingReplica.from_index(zidx, zstats["title"], zone="title",
+                                  stem=False, camel=False)
+    assert t.search("title0", k=10)                      # title-only term
+    with pytest.raises(Exception):
+        ServingReplica.from_index(zidx, zstats["body"], zone="nope")
