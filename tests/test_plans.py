@@ -315,3 +315,29 @@ def test_explain_score_single_exchange(spark, index_on_disk):
     # groupBy, plus the final sort's rangepartitioning
     n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_hash <= 2, plan
+
+
+def test_bucket_placement_is_load_balanced(spark, tiny_corpus):
+    """Round-5: buckets are LPT-assigned to partitions through hash
+    tokens, so no partition carries a straggler load (plain
+    hash-of-bucket measured max/mean 1.79 at 32 partitions — the
+    dominant 8->32 scaling gap)."""
+    from pyspark.sql import functions as F
+
+    from index_spark.operators.build import (_bucket_partition,
+                                             _partition_tokens)
+
+    corpus = spark.createDataFrame(tiny_corpus)
+    parted, offsets, counts = _bucket_partition(corpus, num_partitions=8,
+                                                docs_per_partition=16)
+    pc = [r["c"] for r in parted.groupBy(F.spark_partition_id())
+          .agg(F.count(F.lit(1)).alias("c")).collect()]
+    assert len(pc) == 8
+    mean = sum(pc) / len(pc)
+    assert max(pc) / mean < 1.35        # LPT bound: 1 + max_bucket/bin
+    # token map really lands on the intended partitions
+    toks = _partition_tokens(spark, 8)
+    assert sorted(toks) == list(range(8))
+    got = spark.createDataFrame([(t,) for t in toks.values()], "t long") \
+        .select(F.pmod(F.hash("t"), F.lit(8)).alias("r")).collect()
+    assert sorted(r["r"] for r in got) == list(range(8))
