@@ -3,7 +3,7 @@
 # in flight at a time, priority order:
 #   1. fast headline bench (headline whitelist + build_200k, ~4 min —
 #      fits a typical window)            -> BENCH/bench_quiet_fast_r05.json
-#   2. 800k pinned scaling pair (the input-size sweep that shows the
+#   2. 200k pinned pair (post straggler fix), then 800k pinned pair (the input-size sweep that shows the
 #      serial floor amortizing)          -> BENCH/scaling_results_8_32_pinned_800k_r5.json
 #   3. full bench                        -> BENCH/bench_quiet_r05.json
 # Window gate: BENCH/window_probe.py good_window + docs/s floor, probed
@@ -11,6 +11,7 @@
 # files and never clobber a good one.  Exits when all three exist.
 cd "$(dirname "$0")/.." || exit 1
 FAST=BENCH/bench_quiet_fast_r05.json
+S200=BENCH/scaling_results_8_32_pinned_r5.json
 S800=BENCH/scaling_results_8_32_pinned_800k_r5.json
 FULL=BENCH/bench_quiet_r05.json
 MIN_DPS=${MIN_DPS:-5500}
@@ -37,7 +38,7 @@ EOF
 
 ATTEMPT=0
 while true; do
-  if [ -f "$FAST" ] && [ -f "$S800" ] && [ -f "$FULL" ]; then
+  if [ -f "$FAST" ] && [ -f "$S200" ] && [ -f "$S800" ] && [ -f "$FULL" ]; then
     echo "[quiet_r05] all three artifacts captured; done"
     exit 0
   fi
@@ -57,6 +58,35 @@ while true; do
     [ "$PG" = "True" ] && echo "[quiet_r05] FAST captured (attempt $ATTEMPT)" \
                        || echo "[quiet_r05] fast window degraded: $POST"
     continue   # re-probe before the next (longer) capture
+  fi
+
+  if [ ! -f "$S200" ]; then
+    SCALING_PIN=1 python BENCH/scaling.py /tmp/scale_corpus200k 1 200000 \
+      > /tmp/scaling200k_run.log 2>&1
+    POST=$(python BENCH/window_probe.py 2>/dev/null | tail -1)
+    PG=$(goodprobe "$POST")
+    if [ -f BENCH/scaling_results_8_32_pinned.json ]; then
+      python - "$PRE" "$POST" "$ATTEMPT" "$PG" <<'PYEOF'
+import json, sys
+pre, post, attempt, pg = sys.argv[1:5]
+rec = json.load(open("BENCH/scaling_results_8_32_pinned.json"))
+if rec.get("sf_dir") != "/tmp/scale_corpus200k":
+    raise SystemExit("stale scaling file; not wrapping")
+rec["pre_probe"] = json.loads(pre)
+rec["post_probe"] = json.loads(post)
+rec["attempt"] = int(attempt)
+rec["post_window_good"] = pg == "True"
+rec["note"] = "post load-balanced bucket placement"
+dest = ("BENCH/scaling_results_8_32_pinned_r5.json" if pg == "True"
+        else "BENCH/scaling200k_last_attempt.json")
+with open(dest, "w") as f:
+    json.dump(rec, f, indent=1)
+print("captured ->", dest)
+PYEOF
+    fi
+    [ -f "$S200" ] && echo "[quiet_r05] 200k pair captured (attempt $ATTEMPT)" \
+                   || echo "[quiet_r05] 200k window degraded: $POST"
+    continue
   fi
 
   if [ ! -f "$S800" ]; then
